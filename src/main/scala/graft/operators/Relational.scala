@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The general relational operator family (SURVEY.md §2.3, §2.4, §2.6,
+  * §2.7 + the §7.2-step-8 extensions). All joins declared logically; the
+  * small sides carry explicit `broadcast` hints so at 100 TB the fact
+  * side never shuffles for a dimension lookup.
+  */
+object Relational {
+
+  /** Exact decimal money: cast-before-aggregate makes sums identical
+    * across engines (no FP accumulation-order drift) and keeps the
+    * aggregation inside codegen.
+    */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** J1 — semi join: customers that have at least one order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** J2 — anti join (insert-detection shape): customers with no
+    * high-value order. The filter is applied to the build side before the
+    * join, so only ~10% of orders participate.
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > 450000.0)
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** J3 — broadcast enrichment join: fact rows decorated from three
+    * dimension tables; dims broadcast so the orders scan never shuffles.
+    */
+  def enrichBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"), "left")
+      .select(col("o_orderkey"), col("c_name"), col("n_name"), col("r_name"))
+      .orderBy(col("o_orderkey"))
+
+  /** O1 — top-k with deterministic tiebreak (TakeOrderedAndProject —
+    * per-partition top-k then a k-row merge on the driver; no full sort).
+    */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("value").desc, col("event_id").asc)
+      .limit(10)
+
+  /** U-family — relational set ops (EXCEPT/INTERSECT are DISTINCT-set
+    * semantics in both Spark and ANSI SQL).
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchasers = ev
+      .filter(col("event_type") === "purchase" && col("value") > 150.0)
+      .select(col("user_id"))
+    val errorers = ev
+      .filter(col("event_type") === "error" && col("value") > 150.0)
+      .select(col("user_id"))
+    purchasers.except(errorers).orderBy(col("user_id"))
+  }
+
+  /** Windowed analytics: lag + running sum per key (extension step 8).
+    * Running sum over exact decimals so the cumulative is reproducible.
+    */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        sum(dec(col("value")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** ROLLUP with GROUPING() disambiguation (extension step 8). */
+  def rollupOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** A4 collapse — per-key ordered-distinct sequence: first occurrence of
+    * each event_type per user, concatenated in event order. The window
+    * form proves the reference's sequential fold is expressible
+    * relationally (SURVEY.md §7.3-1).
+    */
+  def orderedFoldDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("event_id"), col("event_type")))),
+            s => s.getField("event_type")),
+          ",").as("type_seq"),
+        count(lit(1)).as("n_distinct_types"))
+      .orderBy(col("user_id"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver testdata tables (TESTDATA.md).
+  *
+  * Maps the reference's sources (SURVEY.md §2.1) onto parquet scans:
+  * the HTTP paginated fetch (`src/services/fetchContact.js:5-11`) and the
+  * keyset-paginated PostgreSQL scan (`src/services/preloadRedis.js:41-52`)
+  * both become a single declarative `spark.read.parquet` — Spark's split
+  * planning parallelizes what the reference serializes page-by-page.
+  *
+  * At 100 TB these would be partitioned/bucketed table scans; Catalyst
+  * pushes filters and prunes columns into the scan automatically, so the
+  * query functions never pre-materialize.
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark has no native
+    * type for — read it as nanos-since-epoch and truncate to a
+    * `timestamp_ntz` (µs). NTZ matches the oracle's naive timestamp
+    * semantics exactly, independent of session timezone. Integer `div`
+    * keeps the conversion exact (a double roundtrip would lose precision
+    * at 2024-epoch nanos ≈ 1.7e18).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+          .cast("timestamp_ntz"))
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+}
