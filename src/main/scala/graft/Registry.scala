@@ -29,6 +29,28 @@ object Registry {
     "q13_rollup_orders" -> ((s, d) => Relational.rollupOrders(s, d)),
     "q14_ordered_fold_distinct" -> ((s, d) => Relational.orderedFoldDistinct(s, d)),
     "q15_set_ops" -> ((s, d) => Relational.setOps(s, d)),
+    "q16_pricing_summary" -> ((s, d) => Analytics.pricingSummary(s, d)),
+    "q17_shipping_priority" -> ((s, d) => Analytics.shippingPriority(s, d)),
+    "q18_regional_revenue" -> ((s, d) => Analytics.regionalRevenue(s, d)),
+    "q19_salted_agg" -> ((s, d) => Analytics.saltedAgg(s, d)),
+    "q20_sessionize" -> ((s, d) => Sessionize.sessions(s, d)),
+    "q21_asof_join" -> ((s, d) => AsOf.eventsAsOfOrders(s, d)),
+    "q22_extract_multivalue" -> ((s, d) => TextOps.extractMultiValue(s, d)),
+    "q23_merge_multivalue" -> ((s, d) => TextOps.mergeMultiValue(s, d)),
+    "q24_doc_quality" -> ((s, d) => TextOps.docQuality(s, d)),
+    "q25_lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    "q26_fingerprint_dedup" -> ((s, d) => TextOps.fingerprintDedup(s, d)),
+    "q27_corpus_selection" -> ((s, d) => TextOps.corpusSelection(s, d)),
+    "q28_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "q29_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q30_embedding_stats" -> ((s, d) => Similarity.embeddingStats(s, d)),
+    // rows-only checks (hash/FP-dependent results are engine-specific,
+    // so no exact ANSI oracle exists for these by construction)
+    "q31_minhash_dedup" -> ((s, d) => Dedup.minhashCandidates(s, d)),
+    "q32_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "q33_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "q34_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "q35_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -98,5 +120,132 @@ object Registry {
       ("SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150.0 " +
         "EXCEPT SELECT user_id FROM events WHERE event_type = 'error' " +
         "AND value > 150.0 ORDER BY user_id"),
+    "q16_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))) * (CAST(1 AS DECIMAL(5,2)) + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE) AS sum_charge, " +
+        "COUNT(*) AS count_order FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '2001-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q17_shipping_priority" ->
+      ("SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate, o_orderpriority, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
+        "AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15' " +
+        "GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q18_regional_revenue" ->
+      ("SELECT r_name, n_name, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue, " +
+        "COUNT(*) AS n_items FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "q19_salted_agg" ->
+      ("SELECT event_type, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q20_sessionize" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, value, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g) " +
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, " +
+        "MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value " +
+        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "q21_asof_join" ->
+      ("WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey " +
+        "FROM orders GROUP BY o_custkey, o_orderdate) " +
+        "SELECT event_id, user_id, o_orderkey FROM events " +
+        "ASOF LEFT JOIN o ON user_id = o_custkey AND ts >= o_orderdate " +
+        "ORDER BY event_id"),
+    "q22_extract_multivalue" ->
+      ("WITH e AS (SELECT c_custkey, " +
+        "list_filter(list_transform(string_split_regex(replace(" +
+        "c_name || ';' || c_mktsegment || ';' || c_name || ' / ' || c_mktsegment, " +
+        "' ', ''), '[,;/]+'), x -> trim(x)), x -> x <> '') AS vals FROM customer) " +
+        "SELECT c_custkey, array_to_string(vals, ',') AS extracted, " +
+        "CAST(len(vals) AS BIGINT) AS n_values FROM e ORDER BY c_custkey"),
+    "q23_merge_multivalue" ->
+      ("WITH base AS (SELECT c_custkey, " +
+        "list_filter(list_transform(string_split(c_name, '#'), x -> trim(x)), " +
+        "x -> x IS NOT NULL AND x <> '') || " +
+        "list_filter(list_transform(string_split_regex(replace(" +
+        "c_mktsegment || ',' || c_name || ',' || c_mktsegment, ' ', ''), '[,;/]+'), " +
+        "x -> trim(x)), x -> x <> '') AS allv FROM customer), " +
+        "m AS (SELECT c_custkey, list_filter(allv, (x, i) -> list_position(allv, x) = i) " +
+        "AS merged FROM base) " +
+        "SELECT c_custkey, array_to_string(merged[1:10], '|') AS slots, " +
+        "COALESCE(array_to_string(merged[11:], ','), '') AS overflow " +
+        "FROM m ORDER BY c_custkey"),
+    "q24_doc_quality" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, n_subwords, " +
+        "CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len, " +
+        "CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio, " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio, " +
+        "CAST(len(toks) >= 20 AND " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) > 0.1 AND " +
+        "CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) < 0.5 " +
+        "AS BIGINT) AS quality_flag FROM t ORDER BY doc_id"),
+    "q25_lang_id" ->
+      ("WITH t AS (SELECT doc_id, lang, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents) " +
+        "SELECT doc_id, lang, CASE " +
+        "WHEN len(list_filter(toks, x -> x = 'the')) >= 3 THEN 'en' " +
+        "WHEN len(list_filter(toks, x -> x = 'data')) >= 3 THEN 'de' " +
+        "WHEN len(list_filter(toks, x -> x = 'table')) >= 3 THEN 'es' " +
+        "ELSE 'und' END AS lang_guess FROM t ORDER BY doc_id"),
+    "q26_fingerprint_dedup" ->
+      ("WITH f AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(" +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))), ' ')) AS fp " +
+        "FROM documents) " +
+        "SELECT fp, MIN(doc_id) AS keeper, COUNT(*) AS n_docs FROM f " +
+        "GROUP BY fp ORDER BY keeper"),
+    "q27_corpus_selection" ->
+      ("WITH t AS (SELECT doc_id, lang, source, n_chars, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks, " +
+        "md5(array_to_string(list_sort(list_distinct(" +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))), ' ')) AS fp " +
+        "FROM documents WHERE lang IN ('en', 'de', 'es')), " +
+        "q AS (SELECT * FROM t WHERE len(toks) >= 20 " +
+        "AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) > 0.1 " +
+        "AND CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) < 0.5), " +
+        "d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM q) " +
+        "SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
+        "FROM d WHERE rn = 1 GROUP BY lang, source ORDER BY lang, source"),
+    "q28_exact_dedup" ->
+      ("SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies " +
+        "FROM documents GROUP BY md5(text) ORDER BY keeper"),
+    "q29_ngram_jaccard" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni " +
+        "FROM s a, s b WHERE a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni, " +
+        "CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard FROM p " +
+        "WHERE inter > 0 ORDER BY jaccard DESC, id_a, id_b LIMIT 20"),
+    "q30_embedding_stats" ->
+      ("SELECT label, COUNT(*) AS n_vectors, " +
+        "CAST(MIN(len(embedding)) AS BIGINT) AS min_dim, " +
+        "CAST(MAX(len(embedding)) AS BIGINT) AS max_dim, " +
+        "MIN(vec_id) AS min_vec_id FROM embeddings GROUP BY label ORDER BY label"),
   )
 }

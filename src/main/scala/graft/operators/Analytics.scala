@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Headline analytical queries (TPC-H-shaped) — the bench workhorses.
+  * Money arithmetic is decimal-exact end-to-end so the oracle matches
+  * bit-for-bit; plans are shaped for scale: filters reach the parquet
+  * scan, dimensions broadcast, aggregations pre-combine map-side.
+  */
+object Analytics {
+
+  // narrow decimal widths: products of three 18-wide decimals overflow
+  // DuckDB's 38-digit cap; prices fit in 12 digits, rates in 5
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private def rate(c: Column): Column = c.cast("decimal(5,2)")
+  private val one = lit(1).cast("decimal(5,2)")
+
+  /** TPC-H Q1-shaped pricing summary over lineitem. One scan, one
+    * shuffle on a 6-value grouping key; all expressions codegen'd.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (one - rate(col("l_discount")))
+          * (one + rate(col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-shaped shipping priority: two joins + revenue top-10.
+    * Customer side filtered before the join; order of joins lets AQE
+    * broadcast the filtered build sides.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp_ntz"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("l_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (one - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped regional revenue: five joins; all dimension sides
+    * broadcast, the lineitem↔orders join is the only real shuffle.
+    */
+  def regionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) *
+          (one - rate(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Two-phase (salt-style) aggregation for skew resistance: partial
+    * agg on (key, salt) then final agg on key. Result is identical to a
+    * plain GROUP BY — which is exactly what the oracle checks — but no
+    * single reducer ever sees a whole hot key.
+    */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("v"))
+    salted.groupBy(col("event_type"))
+      .agg(
+        sum(col("n")).as("n_events"),
+        sum(col("v")).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+  }
+}

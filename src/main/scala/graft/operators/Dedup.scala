@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalytics
+import graft.sources.Tables
+
+/** Deduplication family for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine. All set-oriented —
+  * no driver loops — and the candidate generation never goes quadratic
+  * in the corpus: LSH banding turns all-pairs into an equi-join on
+  * (band, signature), which is the shape that survives 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup via content hash: one shuffle on the hash, keeps the
+    * smallest doc_id per group (deterministic keeper).
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper"))
+
+  /** Exact near-duplicate scoring on a deterministic sample: word-3-gram
+    * Jaccard over all sample pairs. The sample bound (doc_id % k == 0)
+    * keeps the all-pairs comparison fixed-size per partition; the full-
+    * corpus path is [[minhashCandidates]].
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), TextAnalytics.shingles(col("text"), 3).as("sh"))
+      .persist()
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni",
+        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("inter") > 0)
+      .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
+        col("uni").cast("long").as("uni"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  private val MinhashPerms = 16
+  private val Bands = 4
+  private val RowsPerBand = MinhashPerms / Bands
+
+  /** MinHash signature as a column: per permutation seed, the min
+    * xxhash64 over the shingle set. Pure HOFs — stays in codegen.
+    */
+  def minhashSignature(sh: Column): Column =
+    transform(sequence(lit(0), lit(MinhashPerms - 1)),
+      seed => array_min(transform(sh, s => xxhash64(s, seed))))
+
+  /** MinHash + LSH banding: shingle → 16 minhashes → 4 bands of 4 →
+    * explode bands → equi-join on (band, band signature). Candidate
+    * pairs then get their true Jaccard verified. Linear in corpus size
+    * plus bucket-local pair expansion — the 100 TB shape.
+    */
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    // persist() = materialization barrier: the shingle arrays are reused
+    // by three branches and Catalyst's project-collapse would otherwise
+    // re-inline (recompute) them per branch. At cluster scale this is
+    // the checkpointed signature table of a dedup pipeline.
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalytics.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    // band signatures only — shingle arrays never enter the self-join
+    val banded = docs
+      .withColumn("sig", minhashSignature(col("sh")))
+      .select(
+        col("doc_id"),
+        explode(
+          transform(sequence(lit(0), lit(Bands - 1)),
+            b => struct(b.as("band"),
+              xxhash64(b +: (1 to RowsPerBand).map(i =>
+                element_at(col("sig"), b * RowsPerBand + i)): _*)
+                .as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+      .persist()
+    val pairs = banded.as("l")
+      .join(banded.as("r"), Seq("band", "bucket"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    // verification: re-attach shingles to the (small) candidate set
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash (64-bit): per-bit majority vote over token hashes, built
+    * with HOFs only. Returns id + signature + Hamming-bucket prefix for
+    * near-dup banding.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextAnalytics.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    // one aggregation pass: per-bit set counts (map-side combined)
+    val aggs = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1L)).as(s"b$i")) :+
+      count(lit(1)).as("n")
+    val counted = exploded.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"b$i") * 2 >= col("n"), shiftleft(lit(1L), i))
+        .otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    counted
+      .select(col("doc_id"), sig.as("simhash"))
+      .withColumn("band16", shiftright(col("simhash"), 48))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding near-dup: cosine ≥ threshold among candidate pairs from
+    * a coarse LSH bucket (sign of projection onto deterministic pseudo-
+    * random hyperplanes) — avoids the all-pairs cross join.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Similarity.unitVectors(spark, dir)
+    val bucketed = emb.withColumn("bucket", Similarity.signBucket(col("v"), 4))
+    val l = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("label").as("label_a"), col("v").as("v_a"))
+    val r = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.dot(col("v_a"), col("v_b")))
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("label_a"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exactness baseline, and an LSH
+  * (random-hyperplane sign bucket) variant as the scale path — candidate
+  * generation becomes an equi-join on bucket id instead of a cross join.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product over double arrays (zip_with +
+    * aggregate): deterministic accumulation order, pure codegen'd HOFs.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Corpus prepared for cosine search: vectors cast to double and
+    * L2-normalized ONCE, so each pair comparison is a single dot product
+    * instead of dot + two norms.
+    */
+  def unitVectors(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v0"))
+      .withColumn("nrm", norm(col("v0")))
+    // persist: a materialization barrier, or project-collapse re-inlines
+    // the normalization into every downstream pair comparison. The three
+    // similarity queries share this cache entry (same logical plan).
+    emb.select(col("vec_id"), col("label"),
+      transform(col("v0"), x => x / col("nrm")).as("v"))
+      .persist()
+  }
+
+  /** Deterministic pseudo-random hyperplane LSH: plane p's component j is
+    * a hash-derived value in [-1, 1]; bucket = bit-packed signs of the
+    * projections. No stored model, reproducible across runs/engines.
+    */
+  def signBucket(v: Column, planes: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(planes - 1)),
+      lit(0L),
+      (acc, p) => {
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, j) => x * (pmod(xxhash64(p, j), lit(2000001L)).cast("double") / 1000000.0 - 1.0)),
+          lit(0.0), (a2, x) => a2 + x)
+        acc * 2 + when(proj >= 0, lit(1L)).otherwise(lit(0L))
+      })
+
+  /** Brute-force cosine top-k: fixed query set (vec_id < 5) broadcast
+    * against the corpus; per-query top-k via window. O(Q·N) with Q small
+    * — the baseline every ANN variant is checked against.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = unitVectors(spark, dir).select(col("vec_id"), col("v"))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v")))
+    import org.apache.spark.sql.expressions.Window
+    val scored = emb.join(queries, col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("v"), col("q_v")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: queries probe only their own sign bucket. Recall
+    * is partial by construction (bucket collisions only) — the scale
+    * path, checked for plausibility against [[bruteForceTopK]] in tests.
+    */
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = unitVectors(spark, dir)
+      .select(col("vec_id"), col("v"))
+      .withColumn("bucket", signBucket(col("v"), 4))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+          col("bucket").as("q_bucket")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    emb.join(queries,
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("v"), col("q_v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Per-label centroid stats — exact arithmetic over the vector column
+    * (counts + dims), oracle-checkable shape for the embeddings table.
+    */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        min(size(col("embedding"))).cast("long").as("min_dim"),
+        max(size(col("embedding"))).cast("long").as("max_dim"),
+        min(col("vec_id")).as("min_vec_id"))
+      .orderBy(col("label"))
+}

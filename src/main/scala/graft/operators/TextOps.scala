@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PhoneMerge, TextAnalytics, TextFunctions}
+import graft.sources.Tables
+
+/** Query-level wrappers for the scalar text layer: the reference's phone
+  * extraction/merge (X1/X2) exercised over synthesized messy strings, and
+  * the training-data text-analysis suite over `documents`.
+  */
+object TextOps {
+
+  /** X1 — multi-value field extraction. The messy input is synthesized
+    * from customer attributes (mixed separators, stray spaces), the shape
+    * `groupContact.js` handles.
+    */
+  def extractMultiValue(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .withColumn("raw",
+        concat_ws(";", col("c_name"), col("c_mktsegment"),
+          concat(col("c_name"), lit(" / "), col("c_mktsegment"))))
+      .select(
+        col("c_custkey"),
+        array_join(TextFunctions.extractPhones(col("raw")), ",").as("extracted"),
+        size(TextFunctions.extractPhones(col("raw"))).cast("long").as("n_values"))
+      .orderBy(col("c_custkey"))
+
+  /** X2 collapse — order-preserving merge of two multi-value fields into
+    * 10 slots + overflow, via [[PhoneMerge.mergedOrdered]].
+    */
+  def mergeMultiValue(spark: SparkSession, dir: String): DataFrame = {
+    val existing = split(col("c_name"), "#")       // Customer, 000000001
+    val incoming = TextFunctions.extractPhones(
+      concat_ws(",", col("c_mktsegment"), col("c_name"), col("c_mktsegment")))
+    Tables.customer(spark, dir)
+      .withColumn("merged",
+        PhoneMerge.mergedOrdered(existing, lit(null).cast("string"), incoming))
+      .select(
+        col("c_custkey"),
+        array_join(PhoneMerge.slotsOf(col("merged")), "|").as("slots"),
+        coalesce(PhoneMerge.overflowOf(col("merged")), lit("")).as("overflow"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Text-quality scoring suite over documents — every metric exact. */
+  def docQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalytics.subwordCount(col("text")).cast("long").as("n_subwords"),
+        TextAnalytics.avgTokenLen(col("text")).as("avg_token_len"),
+        TextAnalytics.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalytics.distinctRatio(col("text")).as("distinct_ratio"),
+        TextAnalytics.qualityFlag(col("text")).as("quality_flag"))
+      .orderBy(col("doc_id"))
+
+  /** Marker-based language guess vs the labeled lang column. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalytics.langGuess(col("text")).as("lang_guess"))
+      .orderBy(col("doc_id"))
+
+  /** Bag-of-words fingerprint + duplicate grouping on it. */
+  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(TextAnalytics.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .orderBy(col("keeper"))
+
+  /** Training-set selection pipeline: language filter + quality gate +
+    * fingerprint dedup, reported per (lang, source) — the composite
+    * 100 TB curation query.
+    */
+  def corpusSelection(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(TextAnalytics.fingerprint(col("text")))
+      .orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .filter(col("lang").isin("en", "de", "es"))
+      .filter(TextAnalytics.qualityFlag(col("text")) === 1)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+}

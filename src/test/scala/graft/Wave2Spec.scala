@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Semantic invariants for the wave-2 operators on sf0.001 — properties
+  * the DuckDB oracle can't express (rows-only queries) or cross-operator
+  * consistency checks.
+  */
+class Wave2Spec extends SparkSpec {
+
+  test("sessionize: session event counts sum to total events") {
+    val total = sources.Tables.events(spark, sfDir).count()
+    val sessions = Sessionize.sessions(spark, sfDir)
+    val summed = sessions.agg(sum(col("n_events"))).head().getLong(0)
+    assert(summed == total)
+  }
+
+  test("asof join: matched order is the user's latest at-or-before ts") {
+    val matched = AsOf.eventsAsOfOrders(spark, sfDir)
+      .filter(col("o_orderkey").isNotNull).limit(50)
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"))
+    val ord = sources.Tables.orders(spark, sfDir)
+    val joined = matched
+      .join(ev, "event_id")
+      .join(ord, matched("o_orderkey") === ord("o_orderkey"))
+    // every match respects the temporal predicate and key equality
+    assert(joined.filter(col("o_orderdate").cast("timestamp_ntz") > col("ts")).count() == 0)
+    assert(joined.filter(col("o_custkey") =!= col("user_id")).count() == 0)
+  }
+
+  test("brute-force ANN: ranks are 1..k descending in cosine") {
+    val rows = Similarity.bruteForceTopK(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      val cos = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cos == cos.sorted.reverse)
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("LSH ANN never beats brute force (it searches a subset)") {
+    val bf = Similarity.bruteForceTopK(spark, sfDir)
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("bf_cos"))
+    val lsh = Similarity.lshTopK(spark, sfDir)
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("lsh_cos"))
+    val both = bf.join(lsh, "q_id").collect()
+    both.foreach { r =>
+      assert(r.getAs[Double]("lsh_cos") <= r.getAs[Double]("bf_cos") + 1e-9)
+    }
+  }
+
+  test("simhash is deterministic and 64-bit complete") {
+    val a = Dedup.simhash(spark, sfDir).collect()
+    val b = Dedup.simhash(spark, sfDir).collect()
+    assert(a.sameElements(b))
+    assert(a.length == sources.Tables.documents(spark, sfDir).count())
+  }
+
+  test("minhash candidates have verified jaccard >= 0.5") {
+    val cands = Dedup.minhashCandidates(spark, sfDir).collect()
+    cands.foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+    }
+  }
+
+  test("exact dedup keeps every distinct content hash once") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val distinctTexts = docs.select(col("text")).distinct().count()
+    assert(Dedup.exactDedup(spark, sfDir).count() == distinctTexts)
+  }
+}
