@@ -51,6 +51,18 @@ object Registry {
     "q33_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "q34_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q35_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "q36_streaming_window" -> ((s, d) => graft.streaming.StreamingOps.hourlyWindowCounts(s, d)),
+    "q37_stateful_totals" -> ((s, d) => graft.streaming.StreamingOps.statefulUserTotals(s, d)),
+    "q38_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
+    "q39_frame_features" -> ((s, d) => Multimodal.frameFeatures(s, d)),
+    "q40_upsert" -> ((s, d) => Upsert.conflictIgnoreUpsert(s, d)),
+    "q41_update_write" -> ((s, d) => Upsert.columnReplacingUpdate(s, d)),
+    "q42_replay" -> ((s, d) => Upsert.replayBeyondWatermark(s, d)),
+    "q43_batch_log" -> ((s, d) => Upsert.batchLogFinish(s, d)),
+    "q44_state_rebuild" -> ((s, d) => Upsert.stateRebuild(s, d)),
+    "q45_cube" -> ((s, d) => Relational.cubeEvents(s, d)),
+    "q46_distinct_exact" -> ((s, d) => Relational.distinctCounts(s, d)),
+    "q47_approx_distinct" -> ((s, d) => Relational.approxDistinctCounts(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -247,5 +259,55 @@ object Registry {
         "CAST(MIN(len(embedding)) AS BIGINT) AS min_dim, " +
         "CAST(MAX(len(embedding)) AS BIGINT) AS max_dim, " +
         "MIN(vec_id) AS min_vec_id FROM embeddings GROUP BY label ORDER BY label"),
+    "q36_streaming_window" ->
+      ("SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type, " +
+        "COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q37_stateful_totals" ->
+      ("SELECT user_id, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q38_binary_meta" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "md5(text) AS content_hash, " +
+        "lower(hex(encode(substring(text, 1, 8)))) AS head_bytes " +
+        "FROM documents ORDER BY doc_id"),
+    "q40_upsert" ->
+      ("SELECT c_custkey AS key, 'existing' AS origin FROM customer " +
+        "UNION ALL SELECT user_id AS key, 'inserted' AS origin FROM " +
+        "(SELECT DISTINCT user_id FROM events WHERE user_id NOT IN " +
+        "(SELECT c_custkey FROM customer)) ORDER BY key, origin"),
+    "q41_update_write" ->
+      ("WITH u AS (SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS spend " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY user_id) " +
+        "SELECT c_custkey, c_acctbal AS old_acctbal, " +
+        "COALESCE(CAST(CAST(c_acctbal AS DECIMAL(18,2)) - spend AS DOUBLE), c_acctbal) AS new_acctbal, " +
+        "CAST(CASE WHEN spend IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS updated " +
+        "FROM customer LEFT JOIN u ON c_custkey = user_id ORDER BY c_custkey"),
+    "q42_replay" ->
+      ("SELECT event_id, user_id, CASE WHEN event_id <= " +
+        "(SELECT COALESCE(MAX(event_id), -1) FROM events WHERE event_type = 'signup') " +
+        "THEN 'stored' ELSE 'replayed' END AS state FROM events ORDER BY event_id"),
+    "q43_batch_log" ->
+      ("SELECT CAST(1 AS BIGINT) AS batch_no, 'success' AS status, " +
+        "COUNT(*) AS record_count, MIN(event_id) AS first_id, MAX(event_id) AS last_id, " +
+        "CAST(CAST(MIN(ts) AS DATE) AS VARCHAR) AS started_day, " +
+        "CAST(CAST(MAX(ts) AS DATE) AS VARCHAR) AS finished_day FROM events"),
+    "q44_state_rebuild" ->
+      ("SELECT user_id, COUNT(*) AS n_events, MAX(event_id) AS last_event_id, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q45_cube" ->
+      ("WITH e AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events) " +
+        "SELECT event_type, day, COUNT(*) AS n, " +
+        "CAST(GROUPING(event_type) AS BIGINT) AS g_type, " +
+        "CAST(GROUPING(day) AS BIGINT) AS g_day " +
+        "FROM e GROUP BY CUBE (event_type, day) " +
+        "ORDER BY g_type, g_day, event_type NULLS FIRST, day NULLS FIRST"),
+    "q46_distinct_exact" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
   )
 }

@@ -144,7 +144,7 @@ object Dedup {
       col("v").as("v_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.dot(col("v_a"), col("v_b")))
+      .withColumn("cos", org.apache.spark.sql.graft.VectorExpressions.dotNative(col("v_a"), col("v_b")))
       .filter(col("cos") >= 0.4)
       .select(col("id_a"), col("id_b"), col("label_a"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))

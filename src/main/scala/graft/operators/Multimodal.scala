@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal column plumbing: media as opaque `binary` columns with
+  * typed metadata, processed in partition-local batches. The container
+  * has no image/audio codecs, so the decode step is a clearly-marked
+  * deterministic fake ([[fakeDecodeBytes]]) — the Spark-side contract
+  * (schema, batch shape, partition locality, binary handling) is real
+  * and is what matters at 100 TB: bytes never leave the executor, only
+  * extracted features shuffle.
+  */
+object Multimodal {
+
+  /** Opaque-binary metadata extraction — pure column ops on a binary
+    * payload (here: the document text bytes standing in for a media
+    * blob): type tag, byte length, content hash, leading-bytes sample.
+    * Every output is engine-exact (oracle-checked).
+    */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("content_hash"),
+        lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("head_bytes"))
+      .orderBy(col("doc_id"))
+
+  /** STUB decoder — stands in for an image/audio codec, which this
+    * container does not ship. Deterministic: "frames" are fixed-stride
+    * byte windows, the "feature" is the window's mean byte value. The
+    * real codec would be dropped in here without touching the pipeline
+    * shape around it.
+    */
+  def fakeDecodeBytes(payload: Array[Byte], frameSize: Int): Seq[(Int, Double)] =
+    payload.grouped(frameSize).zipWithIndex.map { case (frame, idx) =>
+      (idx, frame.map(b => (b & 0xff).toDouble).sum / frame.length)
+    }.toSeq
+
+  final case class Frame(doc_id: Long, frame_idx: Int, mean_intensity: Double)
+
+  /** Partition-local batch decode: the Scala analogue of a Pandas-batch
+    * UDF — rows stream through `mapPartitions` so decode state (a real
+    * codec context) would be initialized once per partition, not per
+    * row, and the binary payload never shuffles.
+    */
+  def frameFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    docs.mapPartitions { rows =>
+      // per-partition init would go here (codec context, model handle)
+      rows.flatMap { case (id, payload) =>
+        fakeDecodeBytes(payload, 32).map { case (idx, mean) =>
+          Frame(id, idx, mean)
+        }
+      }
+    }.toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+}

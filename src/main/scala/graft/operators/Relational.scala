@@ -106,6 +106,41 @@ object Relational {
         col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** CUBE over (event_type, day) with GROUPING() markers. */
+  def cubeEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .cube(col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("day")).cast("long").as("g_day"))
+      .orderBy(col("g_type"), col("g_day"),
+        col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
+  /** Exact distinct counts per group (the oracle-checked twin of the
+    * approx sketch variant).
+    */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** HLL-sketch distinct counts — approximate by construction, so
+    * rows-only checked; at 100 TB this replaces the exact distinct's
+    * full shuffle with a fixed-size sketch merge.
+    */
+  def approxDistinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** A4 collapse — per-key ordered-distinct sequence: first occurrence of
     * each event_type per user, concatenated in event order. The window
     * form proves the reference's sequential fold is expressible

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graft.VectorExpressions.dotNative
 import graft.sources.Tables
 
 /** Similarity search over an embedding column (`Array[Float]`):
@@ -66,7 +67,7 @@ object Similarity {
         .select(col("vec_id").as("q_id"), col("v").as("q_v")))
     import org.apache.spark.sql.expressions.Window
     val scored = emb.join(queries, col("vec_id") =!= col("q_id"))
-      .withColumn("cos", dot(col("v"), col("q_v")))
+      .withColumn("cos", dotNative(col("v"), col("q_v")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored
@@ -94,7 +95,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
     emb.join(queries,
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-      .withColumn("cos", dot(col("v"), col("q_v")))
+      .withColumn("cos", dotNative(col("v"), col("q_v")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),

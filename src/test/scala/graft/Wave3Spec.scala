@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions.dotNative
+
+import graft.operators._
+
+class Wave3Spec extends SparkSpec {
+
+  test("native dot product matches the HOF fold bit-for-bit") {
+    val emb = Similarity.unitVectors(spark, sfDir).limit(50)
+    val pairs = emb.select(col("vec_id").as("ia"), col("v").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("v").as("vb")))
+      .filter(col("ia") < col("ib"))
+    val diff = pairs
+      .withColumn("hof", Similarity.dot(col("va"), col("vb")))
+      .withColumn("native", dotNative(col("va"), col("vb")))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("fake decoder is deterministic with full byte coverage") {
+    val payload = "hello multimodal world, fake frames".getBytes("UTF-8")
+    val frames = Multimodal.fakeDecodeBytes(payload, 8)
+    assert(frames == Multimodal.fakeDecodeBytes(payload, 8))
+    assert(frames.map(_._1) == frames.indices.toSeq)
+    assert(frames.length == (payload.length + 7) / 8)
+    frames.foreach { case (_, mean) => assert(mean > 0 && mean < 256) }
+  }
+
+  test("frame features: one row per frame, partition-local decode") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val expected = docs
+      .select((ceil(length(col("text")) / 32.0)).cast("long").as("nf"))
+      .agg(sum(col("nf"))).head().getLong(0)
+    assert(Multimodal.frameFeatures(spark, sfDir).count() == expected)
+  }
+
+  test("conflict-ignore upsert is idempotent") {
+    val once = Upsert.conflictIgnoreUpsert(spark, sfDir)
+    // re-applying the same source against the merged keys inserts nothing
+    val mergedKeys = once.select(col("key")).distinct()
+    val source = sources.Tables.events(spark, sfDir)
+      .select(col("user_id").as("key")).distinct()
+    val secondInserts = source.join(mergedKeys, Seq("key"), "left_anti").count()
+    assert(secondInserts == 0)
+  }
+
+  test("stateful streaming totals equal the batch aggregation") {
+    val streamed = graft.streaming.StreamingOps.statefulUserTotals(spark, sfDir)
+    val batch = sources.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("total_cents"))
+    val mismatches = streamed.as("s")
+      .join(batch.as("b"), Seq("user_id"), "full_outer")
+      .filter(col("s.n_events") =!= col("b.n_events") ||
+        col("s.total_cents") =!= col("b.total_cents") ||
+        col("s.n_events").isNull || col("b.n_events").isNull)
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("approx distinct is within rsd bounds of exact") {
+    val exact = Relational.distinctCounts(spark, sfDir)
+      .select(col("event_type"), col("n_users"))
+    val approx = Relational.approxDistinctCounts(spark, sfDir)
+      .select(col("event_type"), col("approx_users"))
+    exact.join(approx, "event_type").collect().foreach { r =>
+      val e = r.getAs[Long]("n_users").toDouble
+      val a = r.getAs[Long]("approx_users").toDouble
+      assert(math.abs(a - e) / e < 0.15, s"approx $a vs exact $e")
+    }
+  }
+}
