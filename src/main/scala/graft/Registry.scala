@@ -63,6 +63,8 @@ object Registry {
     "q45_cube" -> ((s, d) => Relational.cubeEvents(s, d)),
     "q46_distinct_exact" -> ((s, d) => Relational.distinctCounts(s, d)),
     "q47_approx_distinct" -> ((s, d) => Relational.approxDistinctCounts(s, d)),
+    "q48_json_extract" -> ((s, d) => Incremental.jsonExtract(s, d)),
+    "q49_keyset_page" -> ((s, d) => Incremental.keysetPage(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -309,5 +311,12 @@ object Registry {
     "q46_distinct_exact" ->
       ("SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q48_json_extract" ->
+      ("WITH j AS (SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events) SELECT k % 10 AS k_bucket, COUNT(*) AS n, " +
+        "CAST(SUM(k) AS BIGINT) AS sum_k FROM j GROUP BY k % 10 ORDER BY k_bucket"),
+    "q49_keyset_page" ->
+      ("SELECT event_id, user_id, event_type FROM events WHERE event_id > 500 " +
+        "ORDER BY event_id LIMIT 100"),
   )
 }

@@ -85,6 +85,31 @@ object Incremental {
     newKeys.union(existing).distinct().orderBy(col("key"))
   }
 
+  /** Semi-structured extraction: the upstream feed's JSON payload
+    * (`props`) parsed inline — the schema-on-read path the reference
+    * does in JS object land (`server.js:141-156`). get_json_object is
+    * codegen'd; at scale a typed from_json schema would let Catalyst
+    * prune unused keys.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("k_bucket"))
+
+  /** O2 — keyset pagination page: the reference's scan loop
+    * (`preloadRedis.js:41-52`); one page = filter + sort + limit, which
+    * Spark plans as TakeOrderedAndProject (no full sort).
+    */
+  def keysetPage(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_id") > 500)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+      .limit(100)
+
   /** A5 — first-occurrence-per-key (`saveToPostgres.js:224-230`): the row
     * that wins the single INSERT slot for its key.
     */
