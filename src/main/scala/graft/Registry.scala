@@ -65,6 +65,11 @@ object Registry {
     "q47_approx_distinct" -> ((s, d) => Relational.approxDistinctCounts(s, d)),
     "q48_json_extract" -> ((s, d) => Incremental.jsonExtract(s, d)),
     "q49_keyset_page" -> ((s, d) => Incremental.keysetPage(s, d)),
+    "q50_custom_source" -> ((s, d) => SqlSurface.customFeedScan(s, d)),
+    "q51_slot_fold_agg" -> ((s, d) => SqlSurface.slotFoldAgg(s, d)),
+    "q52_grouping_sets" -> ((s, d) => SqlSurface.groupingSets(s, d)),
+    "q53_range_frame" -> ((s, d) => SqlSurface.rangeFrame(s, d)),
+    "q54_mixed_case_normalize" -> ((s, d) => SqlSurface.mixedCaseNormalize(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -318,5 +323,39 @@ object Registry {
     "q49_keyset_page" ->
       ("SELECT event_id, user_id, event_type FROM events WHERE event_id > 500 " +
         "ORDER BY event_id LIMIT 100"),
+    "q50_custom_source" ->
+      ("SELECT 'u' || CAST(r % 100 AS VARCHAR) AS category, COUNT(*) AS n, " +
+        "CAST(SUM(r * 31 % 1000) AS BIGINT) AS sum_k, MIN(r) AS min_id, MAX(r) AS max_id " +
+        "FROM range(98001, 100000) t(r) GROUP BY 1 ORDER BY category"),
+    "q51_slot_fold_agg" ->
+      ("WITH x AS (SELECT user_id, event_id, 1 AS i, event_type AS tok FROM events " +
+        "UNION ALL SELECT user_id, event_id, 2 AS i, " +
+        "CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS tok FROM events), " +
+        "d AS (SELECT user_id, event_id, i, tok, ROW_NUMBER() OVER " +
+        "(PARTITION BY user_id, tok ORDER BY event_id, i) AS rn FROM x), " +
+        "o AS (SELECT user_id, tok, ROW_NUMBER() OVER " +
+        "(PARTITION BY user_id ORDER BY event_id, i) AS seq FROM d WHERE rn = 1) " +
+        "SELECT user_id, " +
+        "COALESCE(string_agg(tok, '|' ORDER BY seq) FILTER (WHERE seq <= 10), '') AS slots, " +
+        "COALESCE(string_agg(tok, ',' ORDER BY seq) FILTER (WHERE seq > 10), '') AS overflow " +
+        "FROM o GROUP BY user_id ORDER BY user_id"),
+    "q52_grouping_sets" ->
+      ("WITH e AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events) " +
+        "SELECT event_type, day, COUNT(*) AS n, " +
+        "CAST(GROUPING(event_type) AS BIGINT) AS g_type, " +
+        "CAST(GROUPING(day) AS BIGINT) AS g_day " +
+        "FROM e GROUP BY GROUPING SETS ((event_type), (day), ()) " +
+        "ORDER BY g_type, g_day, event_type ASC NULLS FIRST, day ASC NULLS FIRST"),
+    "q53_range_frame" ->
+      ("SELECT user_id, event_id, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_value, " +
+        "COUNT(*) OVER w AS trailing_n FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY event_id " +
+        "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id"),
+    "q54_mixed_case_normalize" ->
+      ("SELECT event_id, user_id, event_type, " +
+        "CASE WHEN value > 100 THEN value ELSE 0.0 END AS total_price " +
+        "FROM events ORDER BY event_id"),
   )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SlotFoldAggregator, SlotFoldInput}
+
+class FeedSourceSpec extends SparkSpec {
+
+  private def feed = spark.read
+    .format("graft.sources.feed.FeedTableProvider")
+    .option("rows", "10000").option("parts", "4").load()
+
+  test("DSv2 feed source generates the full id range") {
+    assert(feed.count() == 10000)
+    val r = feed.agg(min(col("id")), max(col("id"))).head()
+    assert(r.getLong(0) == 0 && r.getLong(1) == 9999)
+  }
+
+  test("keyset filter is pushed into partition planning") {
+    val tail = feed.filter(col("id") > 9990)
+    assert(tail.count() == 9)
+    // pushed lower bound => at most `parts` partitions over a 9-row span,
+    // and the physical plan shows the scan's pushed lower bound
+    val desc = tail.queryExecution.executedPlan.toString
+    assert(desc.contains("graft_feed"))
+    val partsUsed = tail.rdd.getNumPartitions
+    assert(partsUsed <= 4)
+  }
+
+  test("row function is deterministic") {
+    val r = feed.filter(col("id") === 1234).head()
+    assert(r.getAs[Long]("k") == 1234L * 31 % 1000)
+    assert(r.getAs[String]("category") == "u34")
+  }
+
+  test("typed slot-fold aggregator: arrival order, 10-slot split") {
+    import spark.implicits._
+    val in = Seq(
+      SlotFoldInput(1L, 2L, Seq("c", "d")),
+      SlotFoldInput(1L, 1L, Seq("a", "b", "a")),
+      SlotFoldInput(2L, 1L, (1 to 15).map(i => s"t$i")))
+      .toDS()
+    val out = in.groupByKey(_.user_id)
+      .agg(SlotFoldAggregator.toColumn.name("f"))
+      .collect().toMap
+    assert(out(1L).slots == "a|b|c|d")
+    assert(out(1L).overflow == "")
+    assert(out(2L).slots == (1 to 10).map(i => s"t$i").mkString("|"))
+    assert(out(2L).overflow == (11 to 15).map(i => s"t$i").mkString(","))
+  }
+}
