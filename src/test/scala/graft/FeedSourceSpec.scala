@@ -33,6 +33,26 @@ class FeedSourceSpec extends SparkSpec {
     assert(r.getAs[String]("category") == "u34")
   }
 
+  test("dot_product is callable from the SQL text surface") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+  }
+
+  test("extensions class wires dot_product at session build") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        "SELECT dot_product(array(2.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+      assert(r.getDouble(0) == 14.0)
+    } finally ()
+  }
+
   test("typed slot-fold aggregator: arrival order, 10-slot split") {
     import spark.implicits._
     val in = Seq(
