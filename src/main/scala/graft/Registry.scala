@@ -70,6 +70,11 @@ object Registry {
     "q52_grouping_sets" -> ((s, d) => SqlSurface.groupingSets(s, d)),
     "q53_range_frame" -> ((s, d) => SqlSurface.rangeFrame(s, d)),
     "q54_mixed_case_normalize" -> ((s, d) => SqlSurface.mixedCaseNormalize(s, d)),
+    "q55_pivot" -> ((s, d) => Relational.pivotEvents(s, d)),
+    "q56_explode_tokens" -> ((s, d) => Relational.explodeTokens(s, d)),
+    "q57_percentiles" -> ((s, d) => Relational.percentiles(s, d)),
+    "q58_exact_stats" -> ((s, d) => Relational.exactStats(s, d)),
+    "q59_salted_join" -> ((s, d) => Relational.saltedJoin(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -357,5 +362,34 @@ object Registry {
       ("SELECT event_id, user_id, event_type, " +
         "CASE WHEN value > 100 THEN value ELSE 0.0 END AS total_price " +
         "FROM events ORDER BY event_id"),
+    "q55_pivot" ->
+      ("SELECT user_id, " +
+        "COUNT(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "COUNT(*) FILTER (WHERE event_type = 'error') AS \"error\", " +
+        "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "COUNT(*) FILTER (WHERE event_type = 'view') AS \"view\" " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q56_explode_tokens" ->
+      ("SELECT tok, COUNT(*) AS n FROM (SELECT unnest(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS tok FROM documents) " +
+        "GROUP BY tok ORDER BY n DESC, tok LIMIT 20"),
+    "q57_percentiles" ->
+      ("SELECT event_type, quantile_cont(value, 0.5) AS p50, " +
+        "quantile_cont(value, 0.9) AS p90, MIN(value) AS vmin, MAX(value) AS vmax " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q58_exact_stats" ->
+      ("WITH s AS (SELECT event_type, COUNT(*) AS n, " +
+        "SUM(CAST(value AS DECIMAL(9,2))) AS s1, " +
+        "SUM(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2))) AS s2 " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT event_type, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, " +
+        "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        "/ CAST(n AS DOUBLE) AS variance FROM s ORDER BY event_type"),
+    "q59_salted_join" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events LEFT JOIN customer ON user_id = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST"),
   )
 }

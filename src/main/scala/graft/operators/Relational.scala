@@ -106,6 +106,81 @@ object Relational {
         col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Pivot: per-user event counts spread into one column per type
+    * (explicit value list keeps the schema deterministic).
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Explode/lateral: token frequencies across the corpus, top-20. */
+  def explodeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextAnalytics.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+
+  /** Exact percentiles (linear interpolation over the sorted set) —
+    * identical arithmetic in both engines, unlike the FP-accumulation
+    * aggregates.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+      .orderBy(col("event_type"))
+
+  /** Exact moments: mean and population variance computed from decimal
+    * sums (sum, sum-of-squares) so partitioned accumulation cannot
+    * drift — the portable form of stddev/variance at scale.
+    */
+  def exactStats(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("value").cast("decimal(9,2)")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(v).as("s1"),
+        sum(v * v).as("s2"))
+      .select(
+        col("event_type"), col("n"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mean"),
+        ((col("s2").cast("double") - col("s1").cast("double") *
+          col("s1").cast("double") / col("n").cast("double")) /
+          col("n").cast("double")).as("variance"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Skew-resistant salted join: the build side is replicated across 8
+    * salt values so a hot key spreads over 8 reducers; result is
+    * identical to the plain join, which is what the oracle checks.
+    */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val ev = Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .crossJoin(spark.range(salts).select(col("id").cast("int").as("salt")))
+    ev.join(dim,
+        ev("user_id") === dim("c_custkey") && ev("salt") === dim("salt"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("c_mktsegment").asc_nulls_first)
+  }
+
   /** CUBE over (event_type, day) with GROUPING() markers. */
   def cubeEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
