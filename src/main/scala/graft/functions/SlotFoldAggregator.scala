@@ -41,7 +41,9 @@ object SlotFoldAggregator
   }
 
   override def bufferEncoder: Encoder[List[(Long, Seq[String])]] =
-    Encoders.kryo[List[(Long, Seq[String])]]
+    // product encoder (Catalyst-native array<struct>) — measurably
+    // cheaper than kryo blobs for shuffle-heavy partial buffers
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, Seq[String])]]()
 
   override def outputEncoder: Encoder[SlotFoldResult] =
     Encoders.product[SlotFoldResult]

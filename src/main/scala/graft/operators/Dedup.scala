@@ -31,9 +31,15 @@ object Dedup {
     * corpus path is [[minhashCandidates]].
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // shingles compared as 64-bit hashes: long-array intersection is
+    // ~3× cheaper than string-array intersection and collision odds
+    // over a 50k-shingle sample are ~1e-10 (counts would be off by one
+    // vs the string-level oracle only on an actual collision)
     val sh = Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), TextAnalytics.shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"),
+        transform(TextAnalytics.shingles(col("text"), 3), s => xxhash64(s))
+          .as("sh"))
       .persist()
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
