@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Scale-mechanics evidence: the techniques that matter at 1000
+  * executors, demonstrated and asserted on local data — bucketing
+  * removes the join shuffle, partition layout prunes the scan, and
+  * streaming checkpoints make resumption incremental.
+  */
+class ScaleSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft-scale").toString
+
+  test("bucketed tables join without an exchange") {
+    val li = sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_b")
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("ord_b")
+    // disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == sources.Tables.lineitem(spark, sfDir).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
+  test("partitioned layout prunes the scan to matching partitions") {
+    val path = s"$tmp/events_by_day"
+    sources.Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    val allDays = spark.read.parquet(path)
+      .select(col("day")).distinct().count()
+    assert(allDays > 1)
+    val pruned = spark.read.parquet(path).filter(col("day") === "2024-01-02")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // partition filter present; scan reads one partition's files only
+    assert(plan.contains("PartitionFilters"))
+    val files = pruned.select(input_file_name()).distinct().count()
+    val totalFiles = spark.read.parquet(path)
+      .select(input_file_name()).distinct().count()
+    assert(files < totalFiles, s"pruned $files of $totalFiles files")
+  }
+
+  test("streaming checkpoint makes re-runs incremental (no reprocessing)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val ckpt = s"$tmp/ckpt"
+    val out = s"$tmp/stream_out"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .select(col("event_id"), col("user_id"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    runOnce() // same source, same checkpoint: offsets say "done"
+    val afterSecond = spark.read.parquet(out).count()
+    assert(afterFirst == sources.Tables.events(spark, sfDir).count())
+    assert(afterSecond == afterFirst, "checkpointed re-run must not duplicate")
+  }
+}
