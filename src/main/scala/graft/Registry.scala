@@ -75,6 +75,8 @@ object Registry {
     "q57_percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     "q58_exact_stats" -> ((s, d) => Relational.exactStats(s, d)),
     "q59_salted_join" -> ((s, d) => Relational.saltedJoin(s, d)),
+    "q60_topk_per_group" -> ((s, d) => Relational.topKPerGroup(s, d)),
+    "q61_ranking_functions" -> ((s, d) => Relational.rankingFunctions(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -391,5 +393,18 @@ object Registry {
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
         "FROM events LEFT JOIN customer ON user_id = c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST"),
+    "q60_topk_per_group" ->
+      ("SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM " +
+        "(SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER " +
+        "(PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk FROM documents) " +
+        "WHERE rk <= 3 ORDER BY lang, rk"),
+    "q61_ranking_functions" ->
+      ("SELECT event_type, event_id, value, " +
+        "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, " +
+        "PERCENT_RANK() OVER w AS pct_rank, " +
+        "CUME_DIST() OVER w AS cume, " +
+        "FIRST_VALUE(event_id) OVER w AS first_id " +
+        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC) " +
+        "ORDER BY event_type, event_id"),
   )
 }

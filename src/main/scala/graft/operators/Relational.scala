@@ -181,6 +181,36 @@ object Relational {
       .orderBy(col("c_mktsegment").asc_nulls_first)
   }
 
+  /** Top-k per group via ranked window (the scalable "greatest-n-per-
+    * group" shape — no self-join).
+    */
+  def topKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("lang"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Ranking-function family over a total order (deterministic:
+    * event_id tie-break makes every rank reproducible).
+    */
+  def rankingFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(
+        col("event_type"), col("event_id"), col("value"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first_value(col("event_id")).over(w).as("first_id"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   /** CUBE over (event_type, day) with GROUPING() markers. */
   def cubeEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
