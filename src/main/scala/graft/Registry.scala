@@ -77,6 +77,8 @@ object Registry {
     "q59_salted_join" -> ((s, d) => Relational.saltedJoin(s, d)),
     "q60_topk_per_group" -> ((s, d) => Relational.topKPerGroup(s, d)),
     "q61_ranking_functions" -> ((s, d) => Relational.rankingFunctions(s, d)),
+    // rows-only: FP-ranking ANN has no exact cross-engine oracle
+    "q62_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -103,6 +103,68 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: k-means-style coarse quantizer — a few
+    * Lloyd iterations, each one assign-join + per-dimension mean — then
+    * queries probe only the `nprobe` nearest inverted lists. Every step
+    * is a DataFrame op: assignment is a broadcast join + window top-1,
+    * centroid update is posexplode + groupBy(cid, pos) + rebuild. At
+    * 100 TB the centroid table stays tiny (nlist × dim) while the corpus
+    * only ever shuffles on its assigned list id.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nlist: Int = 8, nprobe: Int = 3, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = unitVectors(spark, dir).select(col("vec_id"), col("v"))
+
+    // deterministic seeding: first nlist vectors are the initial centroids
+    var centroids = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    def assign(cents: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cents))
+        .withColumn("sim", dotNative(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("v"))
+
+    for (_ <- 1 to iters) {
+      val assigned = assign(centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), e => e.getField("m")).as("cv"))
+    }
+    val lists = assign(centroids).persist() // inverted file: vec -> list
+
+    val queries = broadcast(
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v")))
+    // probe the nprobe closest lists per query
+    val byQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", dotNative(col("q_v"), col("cv")))
+      .withColumn("pr", row_number().over(byQ))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("cid"))
+    val rank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    probes.join(lists, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dotNative(col("v"), col("q_v")))
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Per-label centroid stats — exact arithmetic over the vector column
     * (counts + dims), oracle-checkable shape for the embeddings table.
     */

@@ -62,6 +62,25 @@ class Wave3Spec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("IVF with nprobe = nlist equals brute force (exhaustive probe)") {
+    val bf = Similarity.bruteForceTopK(spark, sfDir)
+      .select(col("q_id"), col("rank"), col("neighbor"))
+    val ivf = Similarity.ivfTopK(spark, sfDir, nlist = 8, nprobe = 8)
+      .select(col("q_id"), col("rank"), col("neighbor"))
+    assert(bf.exceptAll(ivf).count() == 0 && ivf.exceptAll(bf).count() == 0)
+  }
+
+  test("IVF with partial probe returns valid, well-ranked neighbors") {
+    val rows = Similarity.ivfTopK(spark, sfDir, nlist = 8, nprobe = 3).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      val cos = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cos == cos.sorted.reverse)
+    }
+  }
+
   test("approx distinct is within rsd bounds of exact") {
     val exact = Relational.distinctCounts(spark, sfDir)
       .select(col("event_type"), col("n_users"))
