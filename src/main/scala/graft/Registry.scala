@@ -79,6 +79,8 @@ object Registry {
     "q61_ranking_functions" -> ((s, d) => Relational.rankingFunctions(s, d)),
     // rows-only: FP-ranking ANN has no exact cross-engine oracle
     "q62_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q63_edit_distance" -> ((s, d) => TextOps.editDistancePairs(s, d)),
+    "q64_date_arithmetic" -> ((s, d) => TextOps.dateArithmetic(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -408,5 +410,18 @@ object Registry {
         "FIRST_VALUE(event_id) OVER w AS first_id " +
         "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC) " +
         "ORDER BY event_type, event_id"),
+    "q63_edit_distance" ->
+      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+        "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
+        "AND length(a.c_name) = length(b.c_name) " +
+        "WHERE a.c_custkey < 100 AND b.c_custkey < 100 " +
+        "AND levenshtein(a.c_name, b.c_name) <= 2 ORDER BY id_a, id_b"),
+    "q64_date_arithmetic" ->
+      ("SELECT o_orderkey, " +
+        "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_ref, " +
+        "CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date, " +
+        "CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR) AS order_month " +
+        "FROM orders ORDER BY o_orderkey"),
   )
 }

@@ -71,6 +71,35 @@ object TextOps {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
       .orderBy(col("keeper"))
 
+  /** Fuzzy matching: edit-distance near-duplicate names on a bounded
+    * sample (the blocking key — same name length — keeps the pair space
+    * linear-ish; at scale blocking precedes any pairwise metric).
+    */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.customer(spark, dir)
+      .filter(col("c_custkey") < 100)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    names.as("a").join(names.as("b"),
+        col("a.id") < col("b.id") &&
+          length(col("a.name")) === length(col("b.name")))
+      .withColumn("dist", levenshtein(col("a.name"), col("b.name")))
+      .filter(col("dist") <= 2)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("dist").cast("long").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Date arithmetic family: day diffs, offsets, month boundaries. */
+  def dateArithmetic(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_ref"),
+        date_add(col("o_orderdate").cast("date"), 30).cast("string").as("due_date"),
+        trunc(col("o_orderdate").cast("date"), "month").cast("string").as("order_month"))
+      .orderBy(col("o_orderkey"))
+
   /** Training-set selection pipeline: language filter + quality gate +
     * fingerprint dedup, reported per (lang, source) — the composite
     * 100 TB curation query.
