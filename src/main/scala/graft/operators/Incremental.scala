@@ -37,10 +37,17 @@ object Incremental {
     * as a streaming checkpoint/offset read; the scan below it stays fully
     * distributed and the predicate is pushed into the parquet scan.
     */
+  /** Shared one-row watermark read (checkpoint-style): MAX successful id
+    * with a -1 empty sentinel. Single definition so the incremental,
+    * replay, and flagship paths can never drift apart.
+    */
+  def watermark(events: DataFrame): Long =
+    events.filter(col("event_type") === "signup")
+      .agg(coalesce(max(col("event_id")), lit(-1L))).head().getLong(0)
+
   def incrementalBatch(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val wm = ev.filter(col("event_type") === "signup")
-      .agg(coalesce(max(col("event_id")), lit(-1L))).head().getLong(0)
+    val wm = watermark(ev)
     ev.filter(col("event_id") > wm)
       .select(col("event_id"), col("user_id"), col("event_type"))
       .orderBy(col("event_id"))

@@ -21,8 +21,7 @@ object Pipelines {
     val ev = Tables.events(spark, dir)
 
     // 1. watermark (L1): one-row checkpoint-style read
-    val wm = ev.filter(col("event_type") === "signup")
-      .agg(coalesce(max(col("event_id")), lit(-1L))).head().getLong(0)
+    val wm = Incremental.watermark(ev)
 
     // 2. incremental batch beyond the watermark (F2), messy multi-value
     //    field synthesized from event attrs (plays groupContact's input)
@@ -41,6 +40,7 @@ object Pipelines {
       .groupBy(col("user_id"))
       .agg(
         min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("max_event_id"),
         flatten(array_sort(collect_list(struct(col("rn"), col("phones")))).getField("phones"))
           .as("all_phones"))
       .withColumn("merged", TextFunctions.distinctOrdered(col("all_phones")))
@@ -58,7 +58,10 @@ object Pipelines {
       count(lit(1)).as("record_count"),
       sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("insert_count"),
       sum(when(col("c_custkey").isNotNull, 1L).otherwise(0L)).as("update_count"),
-      max(col("first_event_id")).as("new_last_id"),
+      // watermark must advance to the LAST processed id (the reference's
+      // `newLastId = data[last].id`), not the max of per-user first ids —
+      // resuming from the latter would re-process this batch's tail
+      max(col("max_event_id")).as("new_last_id"),
       sum(size(col("slots")) - size(filter(col("slots"), x => x.isNull)))
         .as("phones_in_slots"))
   }

@@ -55,8 +55,7 @@ object Upsert {
     */
   def replayBeyondWatermark(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val wm = ev.filter(col("event_type") === "signup")
-      .agg(coalesce(max(col("event_id")), lit(-1L))).head().getLong(0)
+    val wm = Incremental.watermark(ev)
     val kept = ev.filter(col("event_id") <= wm)
       .select(col("event_id"), col("user_id"), lit("stored").as("state"))
     val replayed = ev.filter(col("event_id") > wm)

@@ -99,10 +99,16 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the memory table holds one snapshot per update; the FINAL state is
+    // the snapshot with the highest n_events (monotone per key) — a
+    // struct-max, NOT independent per-column maxes, which would be wrong
+    // whenever total_cents is non-monotone (e.g. refunds)
     spark.table(name)
       .groupBy(col("user_id"))
-      .agg(max(col("n_events")).as("n_events"),
-        max(col("total_cents")).as("total_cents"))
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("last"))
+      .select(col("user_id"),
+        col("last.n_events").as("n_events"),
+        col("last.total_cents").as("total_cents"))
       .orderBy(col("user_id"))
   }
 }
