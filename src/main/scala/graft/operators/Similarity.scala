@@ -131,6 +131,9 @@ object Similarity {
 
     for (_ <- 1 to iters) {
       val assigned = assign(centroids)
+      // persist each iteration's centroids: without the barrier the
+      // final plan nests all assignment rounds and recomputes them
+      // (at cluster scale: checkpoint the centroid table per round)
       centroids = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -139,6 +142,7 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"),
           transform(col("pm"), e => e.getField("m")).as("cv"))
+        .persist()
     }
     val lists = assign(centroids).persist() // inverted file: vec -> list
 
