@@ -25,14 +25,17 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // release per-query persist() caches so later queries get the
-      // full execution-memory pool
-      spark.catalog.clearCache()
+      // full execution-memory pool (see Caches for the contract)
+      Caches.releaseAll(spark)
       name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query map on its own line FIRST; the compact total object LAST so
+    // a tail-capture of stdout always retains the parseable summary line.
+    println(s"""{"metric":"queries","queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

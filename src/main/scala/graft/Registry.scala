@@ -81,6 +81,7 @@ object Registry {
     "q62_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q63_edit_distance" -> ((s, d) => TextOps.editDistancePairs(s, d)),
     "q64_date_arithmetic" -> ((s, d) => TextOps.dateArithmetic(s, d)),
+    "q65_jdbc_roundtrip" -> ((s, d) => graft.sources.Jdbc.roundTripSummary(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -423,5 +424,10 @@ object Registry {
         "CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date, " +
         "CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR) AS order_month " +
         "FROM orders ORDER BY o_orderkey"),
+    "q65_jdbc_roundtrip" ->
+      ("SELECT event_type, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value, " +
+        "MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
   )
 }

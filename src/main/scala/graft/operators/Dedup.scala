@@ -139,11 +139,16 @@ object Dedup {
 
   /** Embedding near-dup: cosine ≥ threshold among candidate pairs from
     * a coarse LSH bucket (sign of projection onto deterministic pseudo-
-    * random hyperplanes) — avoids the all-pairs cross join.
+    * random hyperplanes) — avoids the all-pairs cross join. `planes`
+    * must grow with the corpus (p ≈ log2(n / targetBucketSize), see
+    * [[Similarity.signBucket]]) so bucket-local pair expansion stays
+    * linear in n.
     */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDup(spark: SparkSession, dir: String,
+      planes: Int = 4): DataFrame = {
     val emb = Similarity.unitVectors(spark, dir)
-    val bucketed = emb.withColumn("bucket", Similarity.signBucket(col("v"), 4))
+    val bucketed = emb.withColumn("bucket",
+      Similarity.signBucket(col("v"), planes))
     val l = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("label").as("label_a"), col("v").as("v_a"))
     val r = bucketed.select(col("bucket"), col("vec_id").as("id_b"),

@@ -43,6 +43,15 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane LSH: plane p's component j is
     * a hash-derived value in [-1, 1]; bucket = bit-packed signs of the
     * projections. No stored model, reproducible across runs/engines.
+    *
+    * Sizing rule: `planes` = p gives 2^p buckets, and bucket-local pair
+    * expansion is ~n²/2^(p+1) under a uniform spread — so p must GROW
+    * with the corpus: pick p ≈ log2(n / B) for a target mean bucket
+    * size B, which keeps total pair work ~n·B/2 (linear in n). At
+    * n = 10⁹ and B = 4096 that is p ≈ 18. Recall at high p is recovered
+    * by multi-probe (also hash the nearest sibling buckets) or by
+    * OR-ing several independent plane sets, exactly like minhash
+    * banding — see [[graft.operators.Dedup.minhashCandidates]].
     */
   def signBucket(v: Column, planes: Int): Column =
     aggregate(
@@ -81,11 +90,14 @@ object Similarity {
   /** LSH-bucketed ANN: queries probe only their own sign bucket. Recall
     * is partial by construction (bucket collisions only) — the scale
     * path, checked for plausibility against [[bruteForceTopK]] in tests.
+    * `planes` follows the [[signBucket]] sizing rule (default 4 suits
+    * the ~6k-vector test corpus; a 10⁹-vector corpus wants ~18).
     */
-  def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 5,
+      planes: Int = 4): DataFrame = {
     val emb = unitVectors(spark, dir)
       .select(col("vec_id"), col("v"))
-      .withColumn("bucket", signBucket(col("v"), 4))
+      .withColumn("bucket", signBucket(col("v"), planes))
     val queries = broadcast(
       emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("q_v"),
@@ -104,12 +116,18 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: k-means-style coarse quantizer — a few
-    * Lloyd iterations, each one assign-join + per-dimension mean — then
-    * queries probe only the `nprobe` nearest inverted lists. Every step
-    * is a DataFrame op: assignment is a broadcast join + window top-1,
-    * centroid update is posexplode + groupBy(cid, pos) + rebuild. At
-    * 100 TB the centroid table stays tiny (nlist × dim) while the corpus
-    * only ever shuffles on its assigned list id.
+    * Lloyd iterations — then queries probe only the `nprobe` nearest
+    * inverted lists.
+    *
+    * Scale shape (the MLlib-KMeans contract): the MODEL (nlist × dim
+    * doubles) lives on the driver; the CORPUS never shuffles during
+    * training. Assignment is a row-local argmax over the literal
+    * centroid set — one narrow projection, no join, no window. The
+    * centroid update is a map-side-combined `groupBy(cid)` of
+    * per-dimension sums, so the only shuffle payload per iteration is
+    * nlist × dim partial aggregates. (The previous form — crossJoin +
+    * window argmax + posexplode — shuffled an nlist×-expanded corpus
+    * four times and was 25% of the whole bench.)
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
       nlist: Int = 8, nprobe: Int = 3, iters: Int = 3): DataFrame = {
@@ -117,49 +135,60 @@ object Similarity {
     val emb = unitVectors(spark, dir).select(col("vec_id"), col("v"))
 
     // deterministic seeding: first nlist vectors are the initial centroids
-    var centroids = emb.filter(col("vec_id") < nlist)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    var centroids: Array[(Int, Array[Double])] =
+      emb.filter(col("vec_id") < nlist)
+        .select(col("vec_id").cast("int"), col("v"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1)
+    val dim = centroids.head._2.length
 
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cid").asc)
-    def assign(cents: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cents))
-        .withColumn("sim", dotNative(col("v"), col("cv")))
-        .withColumn("rn", row_number().over(byVec))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("v"))
+    // Row-local nearest-centroid id: max over struct(sim, -cid) encodes
+    // "highest similarity, ties to lowest cid" with zero shuffle.
+    def assignCol(cents: Array[(Int, Array[Double])]): Column = {
+      val scored = cents.map { case (cid, cv) =>
+        struct(dotNative(col("v"), typedLit(cv.toSeq)).as("sim"),
+          lit(-cid).as("ncid"))
+      }
+      (array_max(array(scored.toSeq: _*)).getField("ncid") * -1).as("cid")
+    }
 
     for (_ <- 1 to iters) {
-      val assigned = assign(centroids)
-      // persist each iteration's centroids: without the barrier the
-      // final plan nests all assignment rounds and recomputes them
-      // (at cluster scale: checkpoint the centroid table per round)
-      centroids = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+      // per-dimension SUM + COUNT per cid: partial-aggregated map-side,
+      // so the driver collects exactly nlist rows of dim+1 numbers
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("v"), i + 1)).as(s"s$i"))
+      val rows = emb
+        .select(assignCol(centroids), col("v"))
         .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"),
-          transform(col("pm"), e => e.getField("m")).as("cv"))
-        .persist()
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .collect()
+      val updated = rows.map { r =>
+        val cnt = r.getLong(1).toDouble
+        r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(2 + i) / cnt)
+      }.toMap
+      // a list that captured no vectors keeps its previous centroid
+      centroids = centroids.map { case (cid, old) =>
+        cid -> updated.getOrElse(cid, old)
+      }
     }
-    val lists = assign(centroids).persist() // inverted file: vec -> list
+    // inverted file: vec -> list, a pure projection (no shuffle, no cache)
+    val lists = emb.select(col("vec_id"), assignCol(centroids), col("v"))
 
-    val queries = broadcast(
-      emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("q_v")))
-    // probe the nprobe closest lists per query
-    val byQ = Window.partitionBy(col("q_id"))
-      .orderBy(col("csim").desc, col("cid").asc)
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("csim", dotNative(col("q_v"), col("cv")))
-      .withColumn("pr", row_number().over(byQ))
-      .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("q_v"), col("cid"))
+    // probe list per query, again row-local: sort centroid scores desc
+    // (ties to lowest cid via the -cid encoding), take the first nprobe
+    val probeScored = centroids.map { case (cid, cv) =>
+      struct(dotNative(col("v"), typedLit(cv.toSeq)).as("csim"),
+        lit(-cid).as("ncid"))
+    }
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        explode(slice(reverse(array_sort(array(probeScored.toSeq: _*))),
+          1, nprobe)).as("p"))
+      .select(col("q_id"), col("q_v"), (col("p.ncid") * -1).as("cid"))
     val rank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    probes.join(lists, Seq("cid"))
+    lists.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dotNative(col("v"), col("q_v")))
       .withColumn("rank", row_number().over(rank))

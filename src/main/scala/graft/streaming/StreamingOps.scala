@@ -1,8 +1,9 @@
 package graft.streaming
 
+import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -18,6 +19,16 @@ case class UserAgg(user_id: Long, n_events: Long, total_cents: Long)
   * real stream: parquet file source → event-time windowed aggregation /
   * keyed state → sink. `Trigger.AvailableNow` drains the backlog exactly
   * once, which is the cron-batch contract.
+  *
+  * Sink discipline: the registered queries write through `foreachBatch`
+  * into an executor-side parquet append (one delta file set per
+  * micro-batch, tagged with `batch_id`), and the final state is
+  * reconstructed by a DISTRIBUTED batch read — latest batch wins per
+  * key. Nothing ever materializes on the driver; a memory sink (which
+  * collects every snapshot into driver memory per trigger) appears only
+  * in tests. At cluster scale the same shape backs a Delta/Iceberg
+  * upsert sink; plain parquet-append + last-writer-wins keeps it
+  * dependency-free here.
   */
 object StreamingOps {
 
@@ -42,13 +53,46 @@ object StreamingOps {
         expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
   }
 
-  /** Event-time tumbling-window aggregation, complete mode into a memory
-    * sink, drained with AvailableNow — the batch-equivalent result is
-    * exactly GROUP BY date_trunc('hour', ts), which the oracle checks.
+  /** Runs `df` as an Update-mode stream whose micro-batches append to a
+    * fresh parquet directory (executor-side writes, no driver path),
+    * then returns a batch DataFrame over the accumulated deltas. The
+    * empty frame written up-front pins the sink schema so a zero-batch
+    * stream still yields a readable (empty) result.
+    */
+  private def runToDeltaSink(spark: SparkSession, df: DataFrame,
+      tag: String): DataFrame = {
+    val sinkDir = Files.createTempDirectory(
+      s"graft_${tag}_${counter.incrementAndGet()}_").toString
+    val out = df.withColumn("batch_id", lit(-1L))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], out.schema)
+      .write.mode("overwrite").parquet(sinkDir)
+    val q = df.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkDir)
+  }
+
+  /** Event-time tumbling-window aggregation: Update mode emits each
+    * window's refreshed total per micro-batch into the delta sink; the
+    * final read keeps the latest snapshot per (window, type) — a
+    * distributed groupBy, not a driver collect. The watermark bounds
+    * window state (with AvailableNow's single drain it never discards
+    * data). Batch-equivalent result = GROUP BY date_trunc('hour', ts),
+    * which the oracle checks.
     */
   def hourlyWindowCounts(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"graft_hourly_${counter.incrementAndGet()}"
+    // watermark demands TimestampType (not NTZ); the session timezone is
+    // pinned to UTC everywhere, so the rendered window_start is identical
     val agg = streamEvents(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -56,25 +100,26 @@ object StreamingOps {
       .select(
         col("window.start").cast("string").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy(col("window_start"), col("event_type"))
+    runToDeltaSink(spark, agg, "hourly")
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(max(struct(col("batch_id"), col("n_events"), col("total_value")))
+        .as("last"))
+      .select(col("window_start"), col("event_type"),
+        col("last.n_events").as("n_events"),
+        col("last.total_value").as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
   }
-
 
   /** Keyed custom state via mapGroupsWithState: per-user running totals.
     * Cents-as-long state keeps the arithmetic exact so the oracle can
-    * check it. With AvailableNow this is one pass of state updates — the
-    * same shape a 24/7 pipeline runs incrementally.
+    * check it. Each micro-batch's updated states append to the delta
+    * sink; the final state is the latest batch's snapshot per key
+    * (distributed last-writer-wins, no driver materialization). With
+    * AvailableNow this is one pass of state updates — the same shape a
+    * 24/7 pipeline runs incrementally.
     */
   def statefulUserTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val name = s"graft_state_${counter.incrementAndGet()}"
     val ds = streamEvents(spark, dir)
       .select(col("user_id"),
         round(col("value") * 100).cast("long").as("cents"))
@@ -91,21 +136,10 @@ object StreamingOps {
           state.update(next)
           next
       }
-    val q = updated.toDF()
-      .writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // the memory table holds one snapshot per update; the FINAL state is
-    // the snapshot with the highest n_events (monotone per key) — a
-    // struct-max, NOT independent per-column maxes, which would be wrong
-    // whenever total_cents is non-monotone (e.g. refunds)
-    spark.table(name)
+    runToDeltaSink(spark, updated.toDF(), "state")
       .groupBy(col("user_id"))
-      .agg(max(struct(col("n_events"), col("total_cents"))).as("last"))
+      .agg(max(struct(col("batch_id"), col("n_events"), col("total_cents")))
+        .as("last"))
       .select(col("user_id"),
         col("last.n_events").as("n_events"),
         col("last.total_cents").as("total_cents"))

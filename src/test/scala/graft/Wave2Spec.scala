@@ -56,6 +56,35 @@ class Wave2Spec extends SparkSpec {
     }
   }
 
+  test("LSH plane scaling: more planes keep pair work sub-quadratic") {
+    val emb = Similarity.unitVectors(spark, sfDir)
+    val n = emb.count()
+    def bucketStats(p: Int): (Long, Long) = {
+      val counts = emb
+        .withColumn("bucket", Similarity.signBucket(col("v"), p))
+        .groupBy(col("bucket")).count()
+      (counts.agg(max(col("count"))).head().getLong(0),
+        counts.agg(sum(col("count") * col("count"))).head().getLong(0))
+    }
+    val (max4, _) = bucketStats(4)
+    val (max6, pairWork6) = bucketStats(6)
+    // growing the plane count must not grow the hottest bucket, and the
+    // bucket-local pair expansion must stay far below all-pairs n²
+    assert(max6 <= max4)
+    assert(pairWork6 < n * n / 4,
+      s"pair work $pairWork6 too close to all-pairs ${n * n}")
+    // the subset-search property must survive the higher plane count
+    val bf = Similarity.bruteForceTopK(spark, sfDir)
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("bf_cos"))
+    val lsh = Similarity.lshTopK(spark, sfDir, planes = 6)
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("lsh_cos"))
+    bf.join(lsh, "q_id").collect().foreach { r =>
+      assert(r.getAs[Double]("lsh_cos") <= r.getAs[Double]("bf_cos") + 1e-9)
+    }
+  }
+
   test("simhash is deterministic and 64-bit complete") {
     val a = Dedup.simhash(spark, sfDir).collect()
     val b = Dedup.simhash(spark, sfDir).collect()
