@@ -82,6 +82,9 @@ object Registry {
     "q63_edit_distance" -> ((s, d) => TextOps.editDistancePairs(s, d)),
     "q64_date_arithmetic" -> ((s, d) => TextOps.dateArithmetic(s, d)),
     "q65_jdbc_roundtrip" -> ((s, d) => graft.sources.Jdbc.roundTripSummary(s, d)),
+    "q66_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    "q67_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    "q68_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -429,5 +432,41 @@ object Registry {
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value, " +
         "MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    // transitive closure over dup edges: DuckDB recursive CTE enumerates
+    // reachability, min reachable id = cluster label (same as the
+    // engine's min-label propagation fixpoint)
+    "q66_dup_clusters" ->
+      ("WITH RECURSIVE f AS (SELECT doc_id, md5(text) AS h1, " +
+        "md5(array_to_string(list_sort(list_distinct(" +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))), ' ')) AS h2 " +
+        "FROM documents), " +
+        "e0 AS (SELECT MIN(doc_id) OVER (PARTITION BY h1) AS a, doc_id AS b FROM f " +
+        "UNION ALL SELECT MIN(doc_id) OVER (PARTITION BY h2) AS a, doc_id AS b FROM f), " +
+        "e AS (SELECT a, b FROM e0 WHERE a <> b " +
+        "UNION SELECT b AS a, a AS b FROM e0 WHERE a <> b), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM f " +
+        "UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id), " +
+        "c AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id) " +
+        "SELECT doc_id, cluster, COUNT(*) OVER (PARTITION BY cluster) AS n_members " +
+        "FROM c ORDER BY doc_id"),
+    "q67_tfidf" ->
+      ("WITH toks AS (SELECT doc_id, unnest(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY doc_id, term), " +
+        "x AS (SELECT doc_id, term, cnt, " +
+        "SUM(cnt) OVER (PARTITION BY doc_id) AS doc_len, " +
+        "COUNT(*) OVER (PARTITION BY term) AS df FROM tf), " +
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "s AS (SELECT doc_id, term, (CAST(cnt AS DOUBLE) / CAST(doc_len AS DOUBLE)) * " +
+        "ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf FROM x, n), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY tfidf DESC, term ASC) AS rk FROM s) " +
+        "SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf FROM r " +
+        "WHERE rk <= 3 ORDER BY doc_id, rk"),
+    "q68_stratified_sample" ->
+      ("SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM " +
+        "(SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) " +
+        "WHERE rk <= 50 ORDER BY lang, rk"),
   )
 }

@@ -137,6 +137,85 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components by iterative min-label propagation: each round
+    * joins the current labels across the edge list and keeps the minimum
+    * label seen in any neighborhood. Rounds needed = graph diameter —
+    * duplicate graphs are shallow stars, so this converges in 2–3 rounds;
+    * an adversarial long chain would want the alternating large/small-
+    * star variant (O(log n) rounds) instead. Per round the shuffle is
+    * one (id, label) pair per node and edge endpoint — linear, no pair
+    * expansion, which is the 100 TB contract.
+    *
+    * @param edges two long columns `src`, `dst` (any orientation)
+    * @return (id, label) — label = min node id in the component
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    labels.count()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nmin = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")),
+          "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val joined = labels.join(nmin, Seq("id"), "left").persist()
+      changed = joined.filter(col("nmin") < col("label")).count()
+      val next = joined.select(col("id"),
+        least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      next.count() // materialize before dropping the parents
+      labels.unpersist()
+      joined.unpersist()
+      labels = next
+      it += 1
+    }
+    require(changed == 0, s"CC did not converge in $maxIters rounds")
+    val out = labels
+    sym.unpersist()
+    out
+  }
+
+  /** Dedup cluster assignment (q66): every document labeled with its
+    * duplicate-cluster id, where clusters merge BOTH exact duplicates
+    * (same content hash) and bag-of-words duplicates (same fingerprint)
+    * transitively. Edges are star-shaped (doc → group min), so the edge
+    * count is linear in the corpus; the transitive merge is
+    * [[connectedComponents]]. Singletons keep their own id.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h1"),
+        TextAnalytics.fingerprint(col("text")).as("h2"))
+      .persist()
+    def starEdges(h: String): DataFrame =
+      f.select(
+        min(col("doc_id")).over(Window.partitionBy(col(h))).as("src"),
+        col("doc_id").as("dst"))
+    val edges = starEdges("h1").union(starEdges("h2"))
+      .filter(col("src") =!= col("dst"))
+    val cc = connectedComponents(edges)
+    // docs in no dup pair are their own singleton cluster
+    val all = f.select(col("doc_id"))
+      .join(cc.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+    val bySize = Window.partitionBy(col("cluster"))
+    all
+      .withColumn("n_members", count(lit(1)).over(bySize))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding near-dup: cosine ≥ threshold among candidate pairs from
     * a coarse LSH bucket (sign of projection onto deterministic pseudo-
     * random hyperplanes) — avoids the all-pairs cross join. `planes`

@@ -130,9 +130,16 @@ object Similarity {
     * four times and was 25% of the whole bench.)
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
-      nlist: Int = 8, nprobe: Int = 3, iters: Int = 3): DataFrame = {
+      nlist: Int = 8, nprobe: Int = 3, iters: Int = 3,
+      trainMod: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = unitVectors(spark, dir).select(col("vec_id"), col("v"))
+    // Quantizer training runs on a deterministic 1/trainMod sample
+    // (standard IVF practice — FAISS trains on ~256·nlist points, not
+    // the corpus): the full corpus is touched exactly ONCE, by the
+    // final assignment. At 100 TB that is the difference between
+    // iters+1 corpus passes and one.
+    val train = emb.filter(pmod(col("vec_id"), lit(trainMod)) === 0)
 
     // deterministic seeding: first nlist vectors are the initial centroids
     var centroids: Array[(Int, Array[Double])] =
@@ -158,7 +165,7 @@ object Similarity {
       // so the driver collects exactly nlist rows of dim+1 numbers
       val sums = (0 until dim).map(i =>
         sum(element_at(col("v"), i + 1)).as(s"s$i"))
-      val rows = emb
+      val rows = train
         .select(assignCol(centroids), col("v"))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("cnt"), sums: _*)

@@ -119,4 +119,61 @@ object TextOps {
         sum(col("n_chars")).as("total_chars"))
       .orderBy(col("lang"), col("source"))
   }
+
+  /** TF-IDF top-k terms per document — the classic corpus-quality /
+    * keyword-extraction primitive. All linear passes: one shuffle to
+    * count (doc, term), window over doc for lengths, window over term
+    * for document frequency (both map-side-combinable at scale via
+    * two-level agg); the corpus count rides in as a one-row broadcast
+    * so the plan stays fully declarative.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextAnalytics.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val byTerm = Window.partitionBy(col("term"))
+    val rank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf
+      .withColumn("doc_len", sum(col("cnt")).over(byDoc))
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (col("cnt").cast("double") / col("doc_len").cast("double")) *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rk", row_number().over(rank))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Deterministic stratified sampling: a fixed-size, reproducible
+    * per-language sample ranked by a content-independent hash
+    * (md5 of the doc id — identical in any engine, stable across runs).
+    * The balancing step of a multilingual training-data mix. At 100 TB
+    * the per-group window wants a pre-filter: the hash is uniform, so
+    * `hk < threshold(perGroup / group_count)` cuts the corpus to ~the
+    * sample size BEFORE the window sorts anything; kept exact here.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      perGroup: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("hk"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        md5(col("doc_id").cast("string").cast("binary")).as("hk"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perGroup)
+      .select(col("lang"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rk"))
+  }
 }

@@ -57,6 +57,21 @@ class ScaleSpec extends SparkSpec {
     assert(files < totalFiles, s"pruned $files of $totalFiles files")
   }
 
+  test("IVF plan stays shuffle-lean: no cross join, no window, no explode") {
+    // regression guard for the round-1 shape (crossJoin + window argmax +
+    // posexplode centroid update = 4 shuffles of an 8×-expanded corpus);
+    // the rewrite must keep assignment row-local. The final top-k window
+    // over probed candidates is the only window allowed.
+    val plan = operators.Similarity.ivfTopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF must not cross-join the corpus:\n$plan")
+    assert(!plan.contains("Generate posexplode"),
+      s"IVF must not posexplode the corpus:\n$plan")
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows <= 1, s"expected at most the final ranking window:\n$plan")
+  }
+
   test("streaming checkpoint makes re-runs incremental (no reprocessing)") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
