@@ -85,6 +85,8 @@ object Registry {
     "q66_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "q67_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "q68_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    "q69_doc_chunks" -> ((s, d) => TextOps.chunkDocuments(s, d)),
+    "q70_embedding_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -468,5 +470,27 @@ object Registry {
         "(SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER (PARTITION BY lang " +
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) " +
         "WHERE rk <= 50 ORDER BY lang, rk"),
+    "q69_doc_chunks" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, toks, unnest(list_filter(list_transform(" +
+        "range(0, GREATEST(CAST(CEIL(CAST(len(toks) AS DOUBLE) / 40) AS BIGINT), 1)), " +
+        "i -> i * 40), st -> st < len(toks) OR st = 0)) AS start FROM t) " +
+        "SELECT doc_id, CAST(start / 40 AS BIGINT) AS chunk_id, " +
+        "CAST(len(COALESCE(toks[start + 1 : start + 50], [])) AS BIGINT) AS n_tokens, " +
+        "array_to_string(COALESCE(toks[start + 1 : start + 50], []), ' ') AS chunk_text " +
+        "FROM s ORDER BY doc_id, chunk_id"),
+    "q70_embedding_quantize" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "s AS (SELECT vec_id, v, 127.0 / list_max(list_transform(v, " +
+        "x -> abs(x))) AS scale FROM e), " +
+        "q AS (SELECT vec_id, v, scale, list_transform(v, " +
+        "x -> CAST(round(x * scale) AS INT)) AS qv FROM s) " +
+        "SELECT vec_id, scale, CAST(len(qv) AS BIGINT) AS n_dims, " +
+        "CAST(list_sum(qv) AS BIGINT) AS sum_q, " +
+        "list_max(list_transform(range(1, len(v) + 1), " +
+        "i -> abs(v[i] - CAST(qv[i] AS DOUBLE) / scale))) AS max_abs_err " +
+        "FROM q ORDER BY vec_id"),
   )
 }

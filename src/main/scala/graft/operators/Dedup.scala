@@ -149,16 +149,19 @@ object Dedup {
     * @param edges two long columns `src`, `dst` (any orientation)
     * @return (id, label) — label = min node id in the component
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame,
+      nodes: Option[DataFrame] = None, maxIters: Int = 50): DataFrame = {
+    // duplicate edges are harmless under min-agg, so no distinct() —
+    // one less shuffle on the (potentially large) edge list
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct()
       .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
+    var labels = nodes
+      .map(_.select(col("id")))
+      .getOrElse(sym.select(col("src").as("id")).distinct())
       .withColumn("label", col("id"))
       .persist()
-    labels.count()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -204,14 +207,12 @@ object Dedup {
         col("doc_id").as("dst"))
     val edges = starEdges("h1").union(starEdges("h2"))
       .filter(col("src") =!= col("dst"))
-    val cc = connectedComponents(edges)
-    // docs in no dup pair are their own singleton cluster
-    val all = f.select(col("doc_id"))
-      .join(cc.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster"))
+    // seed ALL docs as nodes: singletons fall out labeled with their own
+    // id, no complement join needed afterwards
+    val cc = connectedComponents(edges,
+      nodes = Some(f.select(col("doc_id").as("id"))))
     val bySize = Window.partitionBy(col("cluster"))
-    all
+    cc.select(col("id").as("doc_id"), col("label").as("cluster"))
       .withColumn("n_members", count(lit(1)).over(bySize))
       .orderBy(col("doc_id"))
   }

@@ -205,6 +205,30 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Scalar int8 quantization of the embedding column — the storage /
+    * bandwidth play for vector search at scale (4× smaller than float32,
+    * 8× smaller than the double intermediates). Per-vector symmetric
+    * scale = 127 / max|x|; emits the exact integer checksum of the
+    * quantized vector plus the max absolute reconstruction error, both
+    * row-local (no shuffle except the presentation sort).
+    */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("scale", lit(127.0) / array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv",
+        transform(col("v"), x => round(x * col("scale")).cast("int")))
+      .select(
+        col("vec_id"),
+        col("scale"),
+        size(col("qv")).cast("long").as("n_dims"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+        array_max(zip_with(col("v"), col("qv"),
+          (a, b) => abs(a - b.cast("double") / col("scale")))).as("max_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label centroid stats — exact arithmetic over the vector column
     * (counts + dims), oracle-checkable shape for the embeddings table.
     */

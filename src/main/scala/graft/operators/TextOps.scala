@@ -154,6 +154,43 @@ object TextOps {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Fixed-size token-window chunking with stride — the "split documents
+    * into training windows" step of an LLM data pipeline. Pure HOFs:
+    * window starts are a generated sequence filtered to the doc length,
+    * so the expansion factor is exactly chunkSize/stride and the only
+    * shuffle is the final presentation sort. Each chunk re-materializes
+    * its text (that is the point — downstream tokenization consumes
+    * chunks independently), so output size ≈ input × chunkSize/stride.
+    */
+  def chunkDocuments(spark: SparkSession, dir: String,
+      chunkSize: Int = 50, stride: Int = 40): DataFrame = {
+    val toks = TextAnalytics.tokens(col("text"))
+    // persist = materialization barrier: without it project-collapse
+    // re-inlines the tokenization into every post-explode chunk row
+    // (O(len²/stride) per doc). See Caches for the release contract.
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .persist()
+      .select(col("doc_id"), col("toks"),
+        explode(
+          filter(
+            transform(
+              sequence(lit(0),
+                greatest(
+                  ceil(size(col("toks")).cast("double") / stride).cast("int") - 1,
+                  lit(0))),
+              i => i * stride),
+            s => s < size(col("toks")) || s === 0)).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        size(slice(col("toks"), col("start") + 1, lit(chunkSize))).cast("long")
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkSize)))
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Deterministic stratified sampling: a fixed-size, reproducible
     * per-language sample ranked by a content-independent hash
     * (md5 of the doc id — identical in any engine, stable across runs).
