@@ -87,6 +87,8 @@ object Registry {
     "q68_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "q69_doc_chunks" -> ((s, d) => TextOps.chunkDocuments(s, d)),
     "q70_embedding_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
+    "q71_scd2_history" -> ((s, d) => Upsert.scd2History(s, d)),
+    "q72_range_join" -> ((s, d) => Relational.rangeJoin(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -492,5 +494,29 @@ object Registry {
         "list_max(list_transform(range(1, len(v) + 1), " +
         "i -> abs(v[i] - CAST(qv[i] AS DOUBLE) / scale))) AS max_abs_err " +
         "FROM q ORDER BY vec_id"),
+    "q71_scd2_history" ->
+      ("WITH c AS (SELECT user_id, event_id, event_type, " +
+        "CASE WHEN LAG(event_type) OVER w IS NULL " +
+        "OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)), " +
+        "r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM c), " +
+        "g AS (SELECT user_id, CAST(seg AS BIGINT) AS seg, " +
+        "MIN(event_type) AS event_type, MIN(event_id) AS valid_from_id, " +
+        "COUNT(*) AS n_events FROM r GROUP BY user_id, seg) " +
+        "SELECT user_id, seg, event_type, valid_from_id, " +
+        "LEAD(valid_from_id) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to_id, " +
+        "n_events FROM g ORDER BY user_id, seg"),
+    "q72_range_join" ->
+      ("WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "e AS (SELECT user_id, event_id AS e_id, ts AS e_ts FROM events " +
+        "WHERE event_type = 'error') " +
+        "SELECT user_id, COUNT(DISTINCT p_id) AS n_purchases_with_errors, " +
+        "COUNT(DISTINCT e_id) AS n_errors_after_purchase, " +
+        "MIN(p_id) AS first_purchase_id " +
+        "FROM p JOIN e USING (user_id) " +
+        "WHERE e_ts >= p_ts AND e_ts < p_ts + INTERVAL 1 HOUR " +
+        "GROUP BY user_id ORDER BY user_id"),
   )
 }

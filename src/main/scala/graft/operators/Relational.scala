@@ -55,6 +55,32 @@ object Relational {
       .select(col("o_orderkey"), col("c_name"), col("n_name"), col("r_name"))
       .orderBy(col("o_orderkey"))
 
+  /** Range (interval) join: errors attributed to the same user's
+    * purchases within a 1-hour follow-up window — equi-key on user plus
+    * a range predicate. Spark plans the equi-key as the shuffle key and
+    * evaluates the interval as a post-join filter, so the cost is one
+    * fact-fact shuffle; a skewed key would take the q59 salting
+    * treatment. (Band/interval joins that lack ANY equi-key need
+    * interval bucketing to avoid the cartesian; the user key makes that
+    * unnecessary here.) Aggregated so the oracle stays small.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("e_id"), col("ts").as("e_ts"))
+    purch.join(err, Seq("user_id"))
+      .filter(col("e_ts") >= col("p_ts") &&
+        col("e_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("p_id")).as("n_purchases_with_errors"),
+        countDistinct(col("e_id")).as("n_errors_after_purchase"),
+        min(col("p_id")).as("first_purchase_id"))
+      .orderBy(col("user_id"))
+  }
+
   /** O1 — top-k with deterministic tiebreak (TakeOrderedAndProject —
     * per-partition top-k then a k-row merge on the driver; no full sort).
     */

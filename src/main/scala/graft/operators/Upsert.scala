@@ -78,6 +78,42 @@ object Upsert {
         to_date(min(col("ts"))).cast("string").as("started_day"),
         to_date(max(col("ts"))).cast("string").as("finished_day"))
 
+  /** SCD2 history reconstruction: collapse each user's event-type
+    * timeline into validity segments (type-2 slowly-changing-dimension
+    * rows) — a change opens a segment, the next change closes it, the
+    * open segment has no successor. Two windows over the same
+    * (user_id, event_id) sort order, so Spark plans ONE shuffle + sort
+    * and both windows ride it; the segment collapse is an ordinary
+    * groupBy. This is the warehouse-side dual of the reference's
+    * per-key UPDATE (K4): instead of overwriting state, history is
+    * retained as intervals.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val segs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byUser).isNull ||
+          lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("seg", sum(col("chg")).over(run))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(
+        min(col("event_type")).as("event_type"), // constant within a run
+        min(col("event_id")).as("valid_from_id"),
+        max(col("event_id")).as("last_event_id"),
+        count(lit(1)).as("n_events"))
+    val bySeg = Window.partitionBy(col("user_id")).orderBy(col("seg"))
+    segs
+      .withColumn("valid_to_id", lead(col("valid_from_id"), 1).over(bySeg))
+      .select(col("user_id"), col("seg"), col("event_type"),
+        col("valid_from_id"), col("valid_to_id"), col("n_events"))
+      .orderBy(col("user_id"), col("seg"))
+  }
+
   /** E2 state rebuild (`preloadRedis.js:5-85`): the key registry and
     * keyed state snapshot derived in one pass — the two Redis structures
     * (SET + per-key HASH) as one keyed table.

@@ -67,15 +67,26 @@ object StreamingOps {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], out.schema)
       .write.mode("overwrite").parquet(sinkDir)
-    val q = df.writeStream
-      .outputMode(OutputMode.Update)
-      .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        batch.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(sinkDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful streaming cost is dominated by per-partition state-store
+    // instances; the state cardinality here (windows × types / user
+    // keys) is tiny relative to the shuffle default, so run the stream
+    // at a smaller state parallelism and restore the session setting
+    // after. On a real cluster this is the knob you SIZE to state
+    // volume (state ≫ partitions → raise it); each fresh temp
+    // checkpoint lets it differ per query.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(sinkDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.read.parquet(sinkDir)
   }
 
