@@ -20,6 +20,24 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // also JIT the execution machinery the queries share (hash-agg
+    // shuffle, window sort, broadcast join, date render) so the first
+    // measured queries aren't charged for one-time codegen/classloading
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val ev = spark.read.parquet(s"$sfDir/events.parquet").limit(10000)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)), sum(col("value").cast("decimal(18,2)")))
+        .count()
+      ev.withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("event_id"))))
+        .filter(col("rn") === 1).count()
+      ev.join(broadcast(spark.read.parquet(s"$sfDir/customer.parquet")),
+        col("user_id") === col("c_custkey"), "left")
+        .select(to_date(col("ts")).cast("string")).count()
+    } catch { case _: Throwable => () }
     // dev aid: SPARK_GRAFT_ONLY=q62,q66 times a subset (unset = all)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)

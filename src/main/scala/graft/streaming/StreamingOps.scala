@@ -76,6 +76,10 @@ object StreamingOps {
     // checkpoint lets it differ per query.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // the trailing no-data micro-batch exists only to advance the
+    // watermark for late-window emission; last-batch-wins reconstruction
+    // doesn't need it, and skipping it saves a full plan+commit round
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = df.writeStream
         .outputMode(OutputMode.Update)
@@ -86,7 +90,10 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    }
     spark.read.parquet(sinkDir)
   }
 
