@@ -89,6 +89,7 @@ object Registry {
     "q70_embedding_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
     "q71_scd2_history" -> ((s, d) => Upsert.scd2History(s, d)),
     "q72_range_join" -> ((s, d) => Relational.rangeJoin(s, d)),
+    "q73_weighted_mix" -> ((s, d) => TextOps.weightedMix(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -518,5 +519,13 @@ object Registry {
         "FROM p JOIN e USING (user_id) " +
         "WHERE e_ts >= p_ts AND e_ts < p_ts + INTERVAL 1 HOUR " +
         "GROUP BY user_id ORDER BY user_id"),
+    "q73_weighted_mix" ->
+      ("WITH k AS (SELECT lang, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < " +
+        "(CASE lang WHEN 'en' THEN 'zz' WHEN 'de' THEN '8' WHEN 'es' THEN '8' " +
+        "WHEN 'fr' THEN '4' ELSE '2' END) THEN 1 ELSE 0 END AS keep " +
+        "FROM documents) " +
+        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(keep) AS BIGINT) AS n_kept, " +
+        "CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_ratio " +
+        "FROM k GROUP BY lang ORDER BY lang"),
   )
 }

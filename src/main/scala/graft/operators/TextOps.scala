@@ -191,6 +191,34 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Weighted corpus mixing — the "temperature" step of a multilingual
+    * training mix: each language keeps a deterministic fraction of its
+    * documents (en 1.0, de/es 0.5, fr 0.25, zh 0.125) selected by
+    * comparing a content-independent hash against a hex-prefix
+    * threshold (md5 hex is uniform, so `hash < "8"` keeps ~1/2,
+    * `< "4"` ~1/4 …). Fully row-local decision — at 100 TB the keep
+    * filter runs inside the scan with zero coordination, and the same
+    * doc is kept or dropped on every rerun (reproducible mixes).
+    */
+  def weightedMix(spark: SparkSession, dir: String): DataFrame = {
+    val hk = md5(col("doc_id").cast("string").cast("binary"))
+    val thr = when(col("lang") === "en", lit("zz"))
+      .when(col("lang") === "de", lit("8"))
+      .when(col("lang") === "es", lit("8"))
+      .when(col("lang") === "fr", lit("4"))
+      .otherwise(lit("2"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        when(hk < thr, 1L).otherwise(0L).as("keep"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_kept"),
+        (sum(col("keep")).cast("double") / count(lit(1)).cast("double"))
+          .as("kept_ratio"))
+      .orderBy(col("lang"))
+  }
+
   /** Deterministic stratified sampling: a fixed-size, reproducible
     * per-language sample ranked by a content-independent hash
     * (md5 of the doc id — identical in any engine, stable across runs).

@@ -33,6 +33,33 @@ class JdbcSpec extends SparkSpec {
     assert(b.exceptAll(a).count() == 0)
   }
 
+  test("conflict-ignore upsert into a JDBC sink is idempotent") {
+    // the reference's INSERT ... ON CONFLICT DO NOTHING against a real
+    // JDBC table: anti-join the incoming batch against the sink's keys,
+    // append only the novel rows — replaying the same batch is a no-op
+    val url = Jdbc.tempDerbyUrl("upsert")
+    val batch1 = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name")).filter(col("c_custkey") < 100)
+    Jdbc.writeTable(batch1, url, "reg", maxConnections = 2)
+
+    val batch2 = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name")).filter(col("c_custkey") < 150)
+    def upsert(batch: org.apache.spark.sql.DataFrame): Unit = {
+      val existing = Jdbc.readTableWhole(spark, url, "reg")
+        .select(col("c_custkey").as("k"))
+      val novel = batch.join(existing, col("c_custkey") === col("k"),
+        "left_anti")
+      Jdbc.writeTable(novel, url, "reg", maxConnections = 2)
+    }
+    upsert(batch2)
+    assert(Jdbc.readTableWhole(spark, url, "reg").count() == 150)
+    upsert(batch2) // replay: nothing new
+    assert(Jdbc.readTableWhole(spark, url, "reg").count() == 150)
+    // no duplicated keys
+    assert(Jdbc.readTableWhole(spark, url, "reg")
+      .select(col("c_custkey")).distinct().count() == 150)
+  }
+
   test("q65 JDBC round trip equals the direct aggregation") {
     val direct = Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
