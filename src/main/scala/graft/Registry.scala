@@ -90,6 +90,8 @@ object Registry {
     "q71_scd2_history" -> ((s, d) => Upsert.scd2History(s, d)),
     "q72_range_join" -> ((s, d) => Relational.rangeJoin(s, d)),
     "q73_weighted_mix" -> ((s, d) => TextOps.weightedMix(s, d)),
+    "q74_stream_stream_join" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamStreamRangeJoin(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -527,5 +529,18 @@ object Registry {
         "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(keep) AS BIGINT) AS n_kept, " +
         "CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_ratio " +
         "FROM k GROUP BY lang ORDER BY lang"),
+    // the streaming interval join must converge to the batch answer —
+    // same oracle as q72
+    "q74_stream_stream_join" ->
+      ("WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "e AS (SELECT user_id, event_id AS e_id, ts AS e_ts FROM events " +
+        "WHERE event_type = 'error') " +
+        "SELECT user_id, COUNT(DISTINCT p_id) AS n_purchases_with_errors, " +
+        "COUNT(DISTINCT e_id) AS n_errors_after_purchase, " +
+        "MIN(p_id) AS first_purchase_id " +
+        "FROM p JOIN e USING (user_id) " +
+        "WHERE e_ts >= p_ts AND e_ts < p_ts + INTERVAL 1 HOUR " +
+        "GROUP BY user_id ORDER BY user_id"),
   )
 }

@@ -60,7 +60,8 @@ object StreamingOps {
     * stream still yields a readable (empty) result.
     */
   private def runToDeltaSink(spark: SparkSession, df: DataFrame,
-      tag: String): DataFrame = {
+      tag: String,
+      mode: OutputMode = OutputMode.Update): DataFrame = {
     val sinkDir = Files.createTempDirectory(
       s"graft_${tag}_${counter.incrementAndGet()}_").toString
     val out = df.withColumn("batch_id", lit(-1L))
@@ -82,7 +83,7 @@ object StreamingOps {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = df.writeStream
-        .outputMode(OutputMode.Update)
+        .outputMode(mode)
         .foreachBatch { (batch: Dataset[Row], id: Long) =>
           batch.withColumn("batch_id", lit(id))
             .write.mode("append").parquet(sinkDir)
@@ -126,6 +127,41 @@ object StreamingOps {
         col("last.n_events").as("n_events"),
         col("last.total_value").as("total_value"))
       .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Watermarked stream-stream interval join (q74): the streaming twin
+    * of the batch range join (q72) — purchases and errors arrive as two
+    * streams, and each error joins the same user's purchases from the
+    * preceding hour. Both sides carry event-time watermarks plus the
+    * time-range condition, so the join state is bounded: a purchase row
+    * is dropped once the error-side watermark passes its hour window —
+    * this is what makes the operator runnable forever at scale. Inner
+    * append-mode join emits each matched pair exactly once; the batch
+    * aggregation over the drained sink must equal q72's oracle.
+    */
+  def streamStreamRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = streamEvents(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("e_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = purch.join(errs,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") &&
+        col("e_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"))
+    runToDeltaSink(spark, joined.select(col("p_user"), col("p_id"),
+        col("e_id")), "ssjoin", OutputMode.Append)
+      .groupBy(col("p_user").as("user_id"))
+      .agg(
+        countDistinct(col("p_id")).as("n_purchases_with_errors"),
+        countDistinct(col("e_id")).as("n_errors_after_purchase"),
+        min(col("p_id")).as("first_purchase_id"))
+      .orderBy(col("user_id"))
   }
 
   /** Keyed custom state via mapGroupsWithState: per-user running totals.

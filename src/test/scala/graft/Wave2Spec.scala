@@ -100,6 +100,21 @@ class Wave2Spec extends SparkSpec {
     }
   }
 
+  test("weighted mix: en keeps everything, sampled langs keep a strict subset") {
+    val rows = TextOps.weightedMix(spark, sfDir).collect()
+    val byLang = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (enDocs, enKept, enRatio) = byLang("en")
+    assert(enKept == enDocs && enRatio == 1.0)
+    byLang.foreach { case (_, (docs, kept, ratio)) =>
+      assert(kept <= docs && ratio >= 0.0 && ratio <= 1.0)
+    }
+    // at least one non-en language actually downsampled
+    assert(byLang.exists { case (l, (docs, kept, _)) => l != "en" && kept < docs })
+    // determinism: a rerun keeps exactly the same docs
+    assert(TextOps.weightedMix(spark, sfDir).collect().sameElements(rows))
+  }
+
   test("exact dedup keeps every distinct content hash once") {
     val docs = sources.Tables.documents(spark, sfDir)
     val distinctTexts = docs.select(col("text")).distinct().count()
