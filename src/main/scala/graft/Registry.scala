@@ -92,6 +92,8 @@ object Registry {
     "q73_weighted_mix" -> ((s, d) => TextOps.weightedMix(s, d)),
     "q74_stream_stream_join" -> ((s, d) =>
       graft.streaming.StreamingOps.streamStreamRangeJoin(s, d)),
+    // rows-only: xxhash64-seeded signatures have no cross-engine oracle
+    "q75_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -137,6 +137,40 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash near-duplicate pairs: 64-bit signatures banded into four
+    * 16-bit keys — by pigeonhole, any pair within Hamming distance 3
+    * agrees exactly on at least one band, so the equi-join on
+    * (band, key) has FULL recall at the threshold while never forming
+    * all pairs. Candidates are verified with `bit_count(a XOR b)`
+    * (codegen'd Long.bitCount). Same banding algebra as minhash; this
+    * is the bit-level dedup path for when shingle sets are too heavy.
+    */
+  def simhashNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(spark, dir)
+      .select(col("doc_id"), col("simhash"))
+      .persist()
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
+            .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.select(col("band"), col("key"),
+      col("doc_id").as("id_a"), col("simhash").as("sig_a"))
+    val r = banded.select(col("band"), col("key"),
+      col("doc_id").as("id_b"), col("simhash").as("sig_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Connected components by iterative min-label propagation: each round
     * joins the current labels across the edge list and keeps the minimum
     * label seen in any neighborhood. Rounds needed = graph diameter —

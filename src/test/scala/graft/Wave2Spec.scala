@@ -92,6 +92,22 @@ class Wave2Spec extends SparkSpec {
     assert(a.length == sources.Tables.documents(spark, sfDir).count())
   }
 
+  test("simhash banding has exact recall at hamming <= 3 (pigeonhole)") {
+    val got = Dedup.simhashNearDup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming")))
+    got.foreach { case (a, b, h) => assert(a < b && h <= 3) }
+    // ground truth: all-pairs hamming on the collected signatures
+    val sigs = Dedup.simhash(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    val expected = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(got.toSet == expected,
+      s"banding returned ${got.length} pairs, all-pairs ground truth ${expected.size}")
+  }
+
   test("minhash candidates have verified jaccard >= 0.5") {
     val cands = Dedup.minhashCandidates(spark, sfDir).collect()
     cands.foreach { r =>
