@@ -94,6 +94,11 @@ object Registry {
       graft.streaming.StreamingOps.streamStreamRangeJoin(s, d)),
     // rows-only: xxhash64-seeded signatures have no cross-engine oracle
     "q75_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    "q76_stream_static_join" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamStaticEnrich(s, d)),
+    "q77_streaming_dedup" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingDedup(s, d)),
+    "q78_unpivot" -> ((s, d) => Relational.unpivotUserMetrics(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -544,5 +549,22 @@ object Registry {
         "FROM p JOIN e USING (user_id) " +
         "WHERE e_ts >= p_ts AND e_ts < p_ts + INTERVAL 1 HOUR " +
         "GROUP BY user_id ORDER BY user_id"),
+    "q76_stream_static_join" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events LEFT JOIN customer ON user_id = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST"),
+    "q77_streaming_dedup" ->
+      ("SELECT DISTINCT user_id, event_type FROM events " +
+        "ORDER BY user_id, event_type"),
+    "q78_unpivot" ->
+      ("WITH w AS (SELECT user_id, COUNT(*) AS n_events, " +
+        "COUNT(DISTINCT event_type) AS n_types, MAX(event_id) AS max_id " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT user_id, metric, value FROM (" +
+        "SELECT user_id, 'max_id' AS metric, max_id AS value FROM w " +
+        "UNION ALL SELECT user_id, 'n_events', n_events FROM w " +
+        "UNION ALL SELECT user_id, 'n_types', n_types FROM w) " +
+        "ORDER BY user_id, metric"),
   )
 }

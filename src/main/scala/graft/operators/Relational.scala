@@ -90,6 +90,22 @@ object Relational {
       .orderBy(col("value").desc, col("event_id").asc)
       .limit(10)
 
+  /** Unpivot (melt): wide per-user metrics stacked back to long form —
+    * the inverse of q55's pivot, via the codegen'd `stack` generator
+    * (no shuffle beyond the producing aggregation).
+    */
+  def unpivotUserMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        max(col("event_id")).as("max_id"))
+      .select(col("user_id"),
+        expr("stack(3, 'max_id', max_id, 'n_events', n_events, " +
+          "'n_types', n_types) AS (metric, value)"))
+      .orderBy(col("user_id"), col("metric"))
+
   /** U-family — relational set ops (EXCEPT/INTERSECT are DISTINCT-set
     * semantics in both Spark and ANSI SQL).
     */

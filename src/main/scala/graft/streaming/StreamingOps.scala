@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
+import graft.sources.Tables
+
 /** Keyed state record for [[StreamingOps.statefulUserTotals]] — top-level
   * so the Catalyst encoder's generated code can reach its accessors.
   */
@@ -162,6 +164,50 @@ object StreamingOps {
         countDistinct(col("e_id")).as("n_errors_after_purchase"),
         min(col("p_id")).as("first_purchase_id"))
       .orderBy(col("user_id"))
+  }
+
+  /** Stream-static broadcast enrichment (q76): the streaming micro-batch
+    * joined against a static dimension (customer) — Spark re-plans the
+    * static side per batch and broadcasts it, so the stream never
+    * shuffles. The enrichment-at-ingest shape of the reference's Redis
+    * HGET decoration, as a stream.
+    */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val ev = streamEvents(spark, dir)
+      .select(col("user_id"), col("value"))
+    val dim = broadcast(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val joined = ev.join(dim, col("user_id") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    runToDeltaSink(spark, joined, "enrich")
+      .groupBy(col("c_mktsegment"))
+      .agg(max(struct(col("batch_id"), col("n_events"), col("total_value")))
+        .as("last"))
+      .select(col("c_mktsegment"),
+        col("last.n_events").as("n_events"),
+        col("last.total_value").as("total_value"))
+      .orderBy(col("c_mktsegment").asc_nulls_first)
+  }
+
+  /** Streaming deduplication (q77): `dropDuplicates` on the key columns
+    * under an event-time watermark — the exactly-once ingest guard for a
+    * feed that may redeliver. Watermark bounds the dedup state (keys
+    * older than the horizon are forgotten — the at-scale contract);
+    * emitting only the key columns keeps the result deterministic.
+    */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val distinctKeys = streamEvents(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "24 hours")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToDeltaSink(spark, distinctKeys, "dedup", OutputMode.Append)
+      .select(col("user_id"), col("event_type"))
+      .distinct() // idempotent vs redelivered batches
+      .orderBy(col("user_id"), col("event_type"))
   }
 
   /** Keyed custom state via mapGroupsWithState: per-user running totals.
