@@ -26,8 +26,7 @@ object Bench {
     try {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
-      val ev = spark.read.parquet(s"$sfDir/events.parquet").limit(10000)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      val ev = graft.sources.Tables.events(spark, sfDir).limit(10000)
       ev.groupBy(col("event_type"))
         .agg(count(lit(1)), sum(col("value").cast("decimal(18,2)")))
         .count()

@@ -104,7 +104,6 @@ object Upsert {
       .agg(
         min(col("event_type")).as("event_type"), // constant within a run
         min(col("event_id")).as("valid_from_id"),
-        max(col("event_id")).as("last_event_id"),
         count(lit(1)).as("n_events"))
     val bySeg = Window.partitionBy(col("user_id")).orderBy(col("seg"))
     segs

@@ -54,12 +54,18 @@ object Http {
     while (!done && page < maxPages) {
       val uri = URI.create(pageUrl(after, pageSize))
       val req = HttpRequest.newBuilder(uri).GET().build()
-      val body = client.send(req, HttpResponse.BodyHandlers.ofString()).body()
-      val lines = body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toArray
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new IllegalStateException(
+          s"page $page: HTTP ${resp.statusCode()} from $uri")
+      val lines = resp.body().split('\n').iterator
+        .map(_.trim).filter(_.nonEmpty).toArray
       if (lines.isEmpty) done = true
       else {
         writePage(spool, page, lines)
-        after = cursorRe.findAllMatchIn(lines.last).toSeq.lastOption
+        // FIRST match = the record's top-level keyset field (a later
+        // match could be a same-named field nested in the payload)
+        after = cursorRe.findFirstMatchIn(lines.last)
           .map(_.group(1).toLong)
           .getOrElse(throw new IllegalStateException(
             s"page $page: no '$idField' cursor in last line"))
@@ -67,6 +73,10 @@ object Http {
         if (lines.length < pageSize) done = true // short page = feed drained
       }
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"feed not drained after maxPages=$maxPages pages " +
+          "(raise maxPages, or the cursor is not advancing)")
     spark.read.schema(schema).json(spool.toString)
   }
 

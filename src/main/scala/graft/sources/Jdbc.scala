@@ -33,10 +33,14 @@ object Jdbc {
 
   /** Executor-side batched append: each partition opens one connection
     * and writes `batchsize`-row INSERT batches — no driver collect.
+    * `repartition` (not `coalesce`) bounds the connection fan-out: a
+    * coalesce would propagate upstream and collapse the producing
+    * computation to `maxConnections` tasks; the shuffle barrier keeps
+    * upstream parallelism at cluster width and narrows only the write.
     */
   def writeTable(df: DataFrame, url: String, table: String,
       batchSize: Int = 1000, maxConnections: Int = 8): Unit =
-    df.coalesce(maxConnections)
+    df.repartition(maxConnections)
       .write.format("jdbc")
       .option("url", url)
       .option("dbtable", table)

@@ -78,6 +78,8 @@ object StreamingOps {
     // volume (state ≫ partitions → raise it); each fresh temp
     // checkpoint lets it differ per query.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf
+      .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     // the trailing no-data micro-batch exists only to advance the
     // watermark for late-window emission; last-batch-wins reconstruction
@@ -95,7 +97,7 @@ object StreamingOps {
       q.awaitTermination()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     }
     spark.read.parquet(sinkDir)
   }
@@ -192,17 +194,22 @@ object StreamingOps {
       .orderBy(col("c_mktsegment").asc_nulls_first)
   }
 
-  /** Streaming deduplication (q77): `dropDuplicates` on the key columns
-    * under an event-time watermark — the exactly-once ingest guard for a
-    * feed that may redeliver. Watermark bounds the dedup state (keys
-    * older than the horizon are forgotten — the at-scale contract);
-    * emitting only the key columns keeps the result deterministic.
+  /** Streaming deduplication (q77): `dropDuplicatesWithinWatermark` on
+    * the key columns — the exactly-once ingest guard for a feed that
+    * may redeliver. The within-watermark variant is what actually
+    * BOUNDS the dedup state (plain `dropDuplicates` without the event-
+    * time column in its key set keeps every key forever): a key's state
+    * is dropped once the watermark passes its event time, so a 24/7
+    * deployment holds only the horizon's keys. Keys re-arriving beyond
+    * the horizon may re-emit — the downstream `distinct()` (an
+    * idempotent sink merge in production) absorbs that, which is the
+    * standard at-least-once-to-exactly-once contract.
     */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
     val distinctKeys = streamEvents(spark, dir)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "24 hours")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
     runToDeltaSink(spark, distinctKeys, "dedup", OutputMode.Append)
       .select(col("user_id"), col("event_type"))
