@@ -12,6 +12,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SQL fn surface + HOF-dot rewrite rule (same wiring a user gets
+    // from GraftExtensions at session build)
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
     // untimed warmup: JVM/codegen spin-up + parquet footers/page cache,
     // so the first measured query isn't charged for session cold start
     val tables = Seq("region", "nation", "customer", "supplier", "part",

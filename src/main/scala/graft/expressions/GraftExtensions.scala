@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotProductDescriptor)
+    e.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }
 
@@ -26,8 +27,14 @@ object GraftFunctions {
     (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
       DotProduct(exprs(0), exprs(1)))
 
-  /** Runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Runtime registration on an existing session: the SQL function plus
+    * the HOF-dot-product rewrite rule (idempotent).
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.contains(RewriteHofDotProduct))
+      spark.experimental.extraOptimizations = existing :+ RewriteHofDotProduct
+  }
 }

@@ -17,6 +17,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * primitive-loop with full codegen — the difference is ~10× on the
   * ANN scoring kernel and grows with fan-out.
   *
+  * Semantics are EXACTLY the HOF form's, so [[RewriteHofDotProduct]]
+  * can substitute it unconditionally: mismatched lengths → null
+  * (zip_with pads the shorter side with null, poisoning the sum) and
+  * any null element → null. Dense equal-length inputs take the
+  * branch-light accumulation loop.
+  *
   * Custom-expression ladder (SURVEY.md §7.4): built-ins cover all
   * reference parity; this is the one extension operator where a native
   * `Expression` is genuinely warranted.
@@ -29,30 +35,42 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true // ragged/null-element inputs
+
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toDoubleArray()
-    val y = b.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(x.length, y.length)
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x(i) * y(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x")
-      val y = ctx.freshName("y")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       s"""
-         |double[] $x = $a.toDoubleArray();
-         |double[] $y = $b.toDoubleArray();
-         |int $n = java.lang.Math.min($x.length, $y.length);
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $acc += $x[$i] * $y[$i]; }
-         |${ev.value} = $acc;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n && !$bad; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
+         |    else { $acc += $a.getDouble($i) * $b.getDouble($i); }
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
        """.stripMargin
     })
 
@@ -66,4 +84,68 @@ object VectorExpressions {
   def dotNative(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** Optimizer rule: recognize the declarative dot-product idiom
+  * `aggregate(zip_with(a, b, (x, y) => x * y), 0.0d, (acc, x) => acc + x)`
+  * anywhere in a plan and substitute the codegen'd [[DotProduct]]
+  * kernel. Users (and this repo's own `Similarity.dot`/`norm`) write
+  * the composable HOF form; the session rewrites it to the primitive
+  * loop — the Catalyst-native way to accelerate an idiom without
+  * changing any call site. Registered build-time via [[GraftExtensions]]
+  * (`injectOptimizerRule`) or at runtime via [[GraftFunctions.register]]
+  * (`experimental.extraOptimizations`). Substitution is semantics-exact
+  * because [[DotProduct]] reproduces the HOF's ragged-length and
+  * null-element behavior.
+  */
+object RewriteHofDotProduct
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, LambdaFunction, ZipWith, Literal, Multiply, NamedLambdaVariable}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case n: NamedLambdaVariable => n.exprId == v.exprId
+    case _ => false
+  }
+
+  private def isElementwiseMul(f: Expression): Boolean = f match {
+    case LambdaFunction(Multiply(l, r, _),
+        Seq(a: NamedLambdaVariable, b: NamedLambdaVariable), _) =>
+      (isVar(l, a) && isVar(r, b)) || (isVar(l, b) && isVar(r, a))
+    case _ => false
+  }
+
+  private def isPlainSum(zero: Expression, merge: Expression,
+      finish: Expression): Boolean = {
+    val zeroOk = zero match {
+      case Literal(v, DoubleType) => v == 0.0
+      case _ => false
+    }
+    val mergeOk = merge match {
+      case LambdaFunction(Add(l, r, _),
+          Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _) =>
+        (isVar(l, acc) && isVar(r, el)) || (isVar(l, el) && isVar(r, acc))
+      case _ => false
+    }
+    val finishOk = finish match {
+      case LambdaFunction(body, Seq(acc: NamedLambdaVariable), _) =>
+        isVar(body, acc)
+      case _ => false
+    }
+    zeroOk && mergeOk && finishOk
+  }
+
+  private def doubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(ZipWith(a, b, mul), zero, merge, finish)
+          if doubleArray(a) && doubleArray(b) &&
+            isElementwiseMul(mul) && isPlainSum(zero, merge, finish) =>
+        DotProduct(a, b)
+    }
 }

@@ -20,6 +20,41 @@ class Wave3Spec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("optimizer rule rewrites the HOF dot idiom to the native kernel") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val df = spark.range(1, 100)
+      .select(col("id"),
+        transform(sequence(lit(1), lit(16)), i => i.cast("double") * col("id"))
+          .as("a"),
+        transform(sequence(lit(1), lit(16)), i => i.cast("double") + col("id"))
+          .as("b"))
+      .select(col("id"), Similarity.dot(col("a"), col("b")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(optimized.contains("dotproduct"),
+      s"HOF idiom not rewritten:\n$optimized")
+    // value check against a driver-side computation
+    df.collect().foreach { r =>
+      val id = r.getLong(0)
+      val expected = (1 to 16).map(i => (i.toDouble * id) * (i.toDouble + id)).sum
+      assert(r.getDouble(1) == expected)
+    }
+  }
+
+  test("native dot matches HOF null semantics (ragged and null elements)") {
+    val rows = spark.sql(
+      """SELECT
+        |  aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) AS hof,
+        |  dot_product(a, b) AS nat
+        |FROM VALUES
+        |  (array(1.0d, 2.0d), array(3.0d)),
+        |  (array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)),
+        |  (array(1.0d, 2.0d), array(3.0d, 4.0d)) AS t(a, b)""".stripMargin)
+      .collect()
+    rows.foreach { r => assert(r.isNullAt(0) == r.isNullAt(1)) }
+    assert(rows.count(_.isNullAt(1)) == 2)
+    assert(rows.find(!_.isNullAt(1)).get.getDouble(1) == 11.0)
+  }
+
   test("fake decoder is deterministic with full byte coverage") {
     val payload = "hello multimodal world, fake frames".getBytes("UTF-8")
     val frames = Multimodal.fakeDecodeBytes(payload, 8)
