@@ -5,7 +5,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -79,11 +79,109 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native MinHash signature kernel. The HOF form
+  * (`transform(sequence(0, p-1), seed => array_min(transform(sh, s =>
+  * xxhash64(s, seed))))`) is interpreted (higher-order functions are
+  * CodegenFallback) and re-hashes every shingle STRING once per
+  * permutation — p full string hashes per element. This expression is
+  * bit-compatible with that form (same XXH64 chaining:
+  * `hash(seed=42, s) then hash(·, p)`) but hashes each string ONCE and
+  * derives all p permutation values from the 8-byte intermediate —
+  * p× less string hashing, zero intermediate arrays, full codegen.
+  *
+  * Null/empty parity with the HOF: a null element contributes
+  * `hashInt(p, 42)` (XxHash64 skips null children); an empty shingle
+  * array yields null (`array_min` of an empty array).
+  */
+case class MinHashSignature(child: Expression, perms: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true // empty shingle set → null
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(perms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else {
+          val s = arr.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+            s.numBytes(), 42L)
+        }
+      var p = 0
+      while (p < perms) {
+        val hp = XXH64.hashInt(p, h)
+        if (hp < mins(p)) mins(p) = hp
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val h = ctx.freshName("h")
+      val hp = ctx.freshName("hp")
+      val s = ctx.freshName("s")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$perms];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h;
+         |    if ($a.isNullAt($i)) {
+         |      $h = 42L;
+         |    } else {
+         |      org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |      $h = $xxh.hashUnsafeBytes($s.getBaseObject(),
+         |        $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    }
+         |    for (int $p = 0; $p < $perms; $p++) {
+         |      long $hp = $xxh.hashInt($p, $h);
+         |      if ($hp < $mins[$p]) { $mins[$p] = $hp; }
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSignature = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level entry point for the native dot product. */
   def dotNative(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-level entry point for the native minhash signature. */
+  def minhashNative(sh: Column, perms: Int): Column =
+    ExpressionUtils.column(
+      MinHashSignature(ExpressionUtils.expression(sh), perms))
 }
 
 /** Optimizer rule: recognize the declarative dot-product idiom

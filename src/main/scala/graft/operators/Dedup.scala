@@ -60,12 +60,22 @@ object Dedup {
   private val Bands = 4
   private val RowsPerBand = MinhashPerms / Bands
 
-  /** MinHash signature as a column: per permutation seed, the min
-    * xxhash64 over the shingle set. Pure HOFs — stays in codegen.
+  /** MinHash signature as a column — reference HOF form: per
+    * permutation seed, the min xxhash64 over the shingle set.
+    * Interpreted (HOFs are CodegenFallback) and re-hashes each string
+    * per seed; kept as the spec the native kernel is tested against.
     */
-  def minhashSignature(sh: Column): Column =
+  def minhashSignatureHof(sh: Column): Column =
     transform(sequence(lit(0), lit(MinhashPerms - 1)),
       seed => array_min(transform(sh, s => xxhash64(s, seed))))
+
+  /** Production path: the codegen'd kernel, bit-identical to
+    * [[minhashSignatureHof]] (asserted in Wave3Spec) — one string hash
+    * per shingle instead of one per (shingle, permutation).
+    */
+  def minhashSignature(sh: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions
+      .minhashNative(sh, MinhashPerms)
 
   /** MinHash + LSH banding: shingle → 16 minhashes → 4 bands of 4 →
     * explode bands → equi-join on (band, band signature). Candidate

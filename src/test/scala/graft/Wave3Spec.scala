@@ -20,6 +20,19 @@ class Wave3Spec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native minhash signature matches the HOF form bit-for-bit") {
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextAnalytics.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val diff = docs
+      .withColumn("hof", Dedup.minhashSignatureHof(col("sh")))
+      .withColumn("native", Dedup.minhashSignature(col("sh")))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("optimizer rule rewrites the HOF dot idiom to the native kernel") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val df = spark.range(1, 100)
