@@ -207,10 +207,17 @@ object Dedup {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .persist()
+    // warm start = the first propagation round folded into init:
+    // label(v) = min(v, min incoming neighbor) — one aggregation
+    // instead of a full join+agg+rewrite round trip
+    val firstMin = sym.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("nmin0"))
     var labels = nodes
       .map(_.select(col("id")))
       .getOrElse(sym.select(col("src").as("id")).distinct())
-      .withColumn("label", col("id"))
+      .join(firstMin, Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("nmin0"), col("id"))).as("label"))
       .persist()
     var changed = 1L
     var it = 0
