@@ -99,6 +99,8 @@ object Registry {
     "q77_streaming_dedup" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingDedup(s, d)),
     "q78_unpivot" -> ((s, d) => Relational.unpivotUserMetrics(s, d)),
+    "q79_unigram_lm_score" -> ((s, d) => TextOps.unigramLmScore(s, d)),
+    "q80_decontamination" -> ((s, d) => TextOps.decontamination(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -566,5 +568,23 @@ object Registry {
         "UNION ALL SELECT user_id, 'n_events', n_events FROM w " +
         "UNION ALL SELECT user_id, 'n_types', n_types FROM w) " +
         "ORDER BY user_id, metric"),
+    "q79_unigram_lm_score" ->
+      ("WITH t AS (SELECT doc_id, unnest(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS tok FROM documents), " +
+        "f AS (SELECT tok, COUNT(*) AS tf FROM t GROUP BY tok), " +
+        "n AS (SELECT SUM(tf) AS n_total FROM f) " +
+        "SELECT doc_id, COUNT(*) AS n_tokens, " +
+        "AVG(ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE))) AS avg_logprob " +
+        "FROM t JOIN f USING (tok), n GROUP BY doc_id ORDER BY doc_id"),
+    "q80_decontamination" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gram FROM t), " +
+        "e AS (SELECT doc_id AS eval_id, gram FROM s WHERE doc_id % 100 = 0), " +
+        "tr AS (SELECT doc_id AS train_id, gram FROM s WHERE doc_id % 100 <> 0) " +
+        "SELECT train_id, eval_id, COUNT(DISTINCT gram) AS n_shared " +
+        "FROM tr JOIN e USING (gram) GROUP BY train_id, eval_id " +
+        "HAVING COUNT(DISTINCT gram) >= 2 ORDER BY train_id, eval_id"),
   )
 }

@@ -191,6 +191,57 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Unigram language-model quality score (CCNet-style): each document
+    * scored by the mean log-probability of its tokens under the
+    * corpus's own unigram distribution — low scores flag gibberish /
+    * boilerplate outliers for filtering. Two linear passes: the
+    * frequency table is a map-side-combined groupBy (vocabulary-sized
+    * output), then a token→frequency join (broadcast at this scale; a
+    * shuffle join on token at 100 TB) and a per-doc average.
+    */
+  def unigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextAnalytics.tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = freq.agg(sum(col("tf")).as("n_total"))
+    toks
+      .join(broadcast(freq), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(log(col("tf").cast("double") / col("n_total").cast("double")))
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Eval-set decontamination: flag training documents sharing at least
+    * `minShared` distinct word n-grams with any held-out document — the
+    * screening step that keeps benchmark data out of a training mix.
+    * The held-out side (here: every 100th doc as a stand-in) is small
+    * by construction, so its exploded n-gram set broadcasts and the
+    * corpus side streams through a broadcast join — no shuffle of the
+    * training corpus; the per-pair count is a map-side-combinable
+    * distinct aggregation.
+    */
+  def decontamination(spark: SparkSession, dir: String,
+      minShared: Int = 2): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalytics.shingles(col("text"), 3)))
+          .as("gram"))
+    val eval = g.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    val train = g.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id").as("train_id"), col("gram"))
+    train.join(broadcast(eval), "gram")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
   /** Weighted corpus mixing — the "temperature" step of a multilingual
     * training mix: each language keeps a deterministic fraction of its
     * documents (en 1.0, de/es 0.5, fr 0.25, zh 0.125) selected by
