@@ -13,8 +13,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SQL fn surface + HOF-dot rewrite rule (same wiring a user gets
-    // from GraftExtensions at session build)
-    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    // from GraftExtensions at session build). SPARK_GRAFT_NO_FNS=1 is a
+    // dev knob for A/B-ing the optimizer rule's planning cost.
+    if (!sys.env.contains("SPARK_GRAFT_NO_FNS"))
+      org.apache.spark.sql.graft.GraftFunctions.register(spark)
     // untimed warmup: JVM/codegen spin-up + parquet footers/page cache,
     // so the first measured query isn't charged for session cold start
     val tables = Seq("region", "nation", "customer", "supplier", "part",
@@ -59,8 +61,16 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Per-query map on its own line FIRST; the compact total object LAST so
     // a tail-capture of stdout always retains the parseable summary line.
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
     println(s"""{"metric":"queries","queries":$qs}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
+    println(totalLine)
+    // belt-and-braces: also drop the summary where a file-reader can find
+    // it even if stdout gets prefixed/truncated by the launcher
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_total.json"),
+      (totalLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

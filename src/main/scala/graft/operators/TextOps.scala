@@ -196,8 +196,11 @@ object TextOps {
     * corpus's own unigram distribution — low scores flag gibberish /
     * boilerplate outliers for filtering. Two linear passes: the
     * frequency table is a map-side-combined groupBy (vocabulary-sized
-    * output), then a token→frequency join (broadcast at this scale; a
-    * shuffle join on token at 100 TB) and a per-doc average.
+    * output), then a token→frequency join and a per-doc average. The
+    * join deliberately carries NO broadcast hint: a web-scale corpus's
+    * unigram vocabulary (1e8+ rows) cannot live on the driver, so the
+    * plan must stay a shuffle join at 100 TB — locally AQE sees the
+    * small vocabulary at runtime and converts to broadcast on its own.
     */
   def unigramLmScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
@@ -206,7 +209,7 @@ object TextOps {
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
     val total = freq.agg(sum(col("tf")).as("n_total"))
     toks
-      .join(broadcast(freq), "tok")
+      .join(freq, "tok")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(
@@ -219,25 +222,28 @@ object TextOps {
   /** Eval-set decontamination: flag training documents sharing at least
     * `minShared` distinct word n-grams with any held-out document — the
     * screening step that keeps benchmark data out of a training mix.
-    * The held-out side (here: every 100th doc as a stand-in) is small
-    * by construction, so its exploded n-gram set broadcasts and the
-    * corpus side streams through a broadcast join — no shuffle of the
-    * training corpus; the per-pair count is a map-side-combinable
-    * distinct aggregation.
+    * The held-out set (here: every 100th doc as a stand-in for an
+    * external benchmark file) is selected BEFORE shingling, so only
+    * those docs pay the eval-side tokenize/shingle cost and the
+    * broadcast is of a genuinely bounded input — the training corpus is
+    * scanned, shingled, and exploded exactly once and streams through
+    * the broadcast join with no shuffle. Grams cross the join as
+    * xxhash64 longs, not strings (same rationale and collision math as
+    * [[Dedup.ngramJaccard]]): the per-pair distinct count shuffles 8-byte
+    * keys instead of arbitrary-length gram text.
     */
   def decontamination(spark: SparkSession, dir: String,
       minShared: Int = 2): DataFrame = {
-    val g = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(TextAnalytics.shingles(col("text"), 3)))
-          .as("gram"))
-    val eval = g.filter(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("eval_id"), col("gram"))
-    val train = g.filter(col("doc_id") % 100 =!= 0)
-      .select(col("doc_id").as("train_id"), col("gram"))
-    train.join(broadcast(eval), "gram")
+    def grams(df: DataFrame, idAlias: String): DataFrame = df
+      .select(col("doc_id").as(idAlias),
+        explode(TextAnalytics.shingles(col("text"), 3)).as("gram"))
+      .select(col(idAlias), xxhash64(col("gram")).as("gh"))
+    val docs = Tables.documents(spark, dir)
+    val eval = grams(docs.filter(col("doc_id") % 100 === 0), "eval_id")
+    val train = grams(docs.filter(col("doc_id") % 100 =!= 0), "train_id")
+    train.join(broadcast(eval), "gh")
       .groupBy(col("train_id"), col("eval_id"))
-      .agg(countDistinct(col("gram")).as("n_shared"))
+      .agg(countDistinct(col("gh")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy(col("train_id"), col("eval_id"))
   }
