@@ -58,8 +58,9 @@ object StreamingOps {
   /** Runs `df` as an Update-mode stream whose micro-batches append to a
     * fresh parquet directory (executor-side writes, no driver path),
     * then returns a batch DataFrame over the accumulated deltas. The
-    * empty frame written up-front pins the sink schema so a zero-batch
-    * stream still yields a readable (empty) result.
+    * final read carries the sink schema explicitly, so a zero-batch
+    * stream (empty dir) still yields a readable empty result without
+    * paying a schema-pinning write job up-front.
     */
   private def runToDeltaSink(spark: SparkSession, df: DataFrame,
       tag: String,
@@ -67,9 +68,6 @@ object StreamingOps {
     val sinkDir = Files.createTempDirectory(
       s"graft_${tag}_${counter.incrementAndGet()}_").toString
     val out = df.withColumn("batch_id", lit(-1L))
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], out.schema)
-      .write.mode("overwrite").parquet(sinkDir)
     // Stateful streaming cost is dominated by per-partition state-store
     // instances; the state cardinality here (windows × types / user
     // keys) is tiny relative to the shuffle default, so run the stream
@@ -80,7 +78,7 @@ object StreamingOps {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf
       .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     // the trailing no-data micro-batch exists only to advance the
     // watermark for late-window emission; last-batch-wins reconstruction
     // doesn't need it, and skipping it saves a full plan+commit round
@@ -99,7 +97,7 @@ object StreamingOps {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     }
-    spark.read.parquet(sinkDir)
+    spark.read.schema(out.schema).parquet(sinkDir)
   }
 
   /** Event-time tumbling-window aggregation: Update mode emits each
