@@ -101,6 +101,7 @@ object Registry {
     "q78_unpivot" -> ((s, d) => Relational.unpivotUserMetrics(s, d)),
     "q79_unigram_lm_score" -> ((s, d) => TextOps.unigramLmScore(s, d)),
     "q80_decontamination" -> ((s, d) => TextOps.decontamination(s, d)),
+    "q81_approx_percentiles" -> ((s, d) => Relational.approxPercentiles(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -297,6 +298,24 @@ object Registry {
         "CAST(MIN(len(embedding)) AS BIGINT) AS min_dim, " +
         "CAST(MAX(len(embedding)) AS BIGINT) AS max_dim, " +
         "MIN(vec_id) AS min_vec_id FROM embeddings GROUP BY label ORDER BY label"),
+    // FP accumulation parity: DuckDB list_reduce is a left fold whose
+    // first step (x1, then acc+x2...) equals Spark's 0.0-seeded fold
+    // bit-for-bit (0.0+x1 == x1 in IEEE), so the normalized vectors and
+    // the cosine scores match the native kernel exactly — verified
+    // bit-identical at sf0.01, not just round-9-identical.
+    "q34_ann_bruteforce" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+        "FROM embeddings), " +
+        "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
+        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v FROM e), " +
+        "q AS (SELECT vec_id AS q_id, v AS q_v FROM u WHERE vec_id < 5), " +
+        "scored AS (SELECT q.q_id, u.vec_id AS neighbor, " +
+        "list_reduce(list_transform(list_zip(u.v, q.q_v), p -> p[1] * p[2]), (a,b) -> a+b) AS cos " +
+        "FROM u JOIN q ON u.vec_id <> q.q_id), " +
+        "ranked AS (SELECT q_id, neighbor, cos, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor ASC) AS rnk FROM scored) " +
+        "SELECT q_id, CAST(rnk AS BIGINT) AS rank, neighbor, cos FROM ranked " +
+        "WHERE rnk <= 5 ORDER BY q_id, rank"),
     "q36_streaming_window" ->
       ("SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type, " +
         "COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +

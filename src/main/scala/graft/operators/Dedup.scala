@@ -187,13 +187,16 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Connected components by iterative min-label propagation: each round
-    * joins the current labels across the edge list and keeps the minimum
-    * label seen in any neighborhood. Rounds needed = graph diameter —
-    * duplicate graphs are shallow stars, so this converges in 2–3 rounds;
-    * an adversarial long chain would want the alternating large/small-
-    * star variant (O(log n) rounds) instead. Per round the shuffle is
-    * one (id, label) pair per node and edge endpoint — linear, no pair
+  /** Connected components by min-label propagation with pointer
+    * jumping: each round (a) joins the current labels across the edge
+    * list and keeps the minimum label seen in any neighborhood, then
+    * (b) shortcuts `label(v) ← label(label(v))` — a self-join of the
+    * node-sized label table. Propagation alone needs diameter rounds
+    * (an adversarial long chain = O(n)); the shortcut halves the
+    * remaining distance to the component min every round, so
+    * convergence is O(log n) on any graph — the DedupChainSpec drives
+    * a 4k-node path through it. Per round the shuffle stays one
+    * (id, label) pair per node and edge endpoint — linear, no pair
     * expansion, which is the 100 TB contract.
     *
     * @param edges two long columns `src`, `dst` (any orientation)
@@ -212,13 +215,18 @@ object Dedup {
     // instead of a full join+agg+rewrite round trip
     val firstMin = sym.groupBy(col("dst").as("id"))
       .agg(min(col("src")).as("nmin0"))
+    // Eager localCheckpoint per round: the shortcut self-join would
+    // otherwise DOUBLE the logical plan every iteration (2^rounds tree
+    // by round 12). Truncating lineage to the materialized blocks keeps
+    // planning O(1) per round; at cluster scale the same call becomes a
+    // reliable checkpoint() for fault tolerance across long jobs.
     var labels = nodes
       .map(_.select(col("id")))
       .getOrElse(sym.select(col("src").as("id")).distinct())
       .join(firstMin, Seq("id"), "left")
       .select(col("id"),
         least(col("id"), coalesce(col("nmin0"), col("id"))).as("label"))
-      .persist()
+      .localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -227,15 +235,28 @@ object Dedup {
           "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
-      val joined = labels.join(nmin, Seq("id"), "left").persist()
-      changed = joined.filter(col("nmin") < col("label")).count()
-      val next = joined.select(col("id"),
-        least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist()
-      next.count() // materialize before dropping the parents
-      labels.unpersist()
-      joined.unpersist()
-      labels = next
+      // propagate-stability is the valid halt test: zero propagation
+      // change means labels are constant across every edge, which makes
+      // the shortcut below a no-op too (label(v) is then already the
+      // component constant)
+      val propagated = labels.join(nmin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("chg"))
+      // pointer jumping: label(v) <- label(label(v)). Labels are always
+      // member node ids, so the lookup side is the label table itself;
+      // a label pointing at a non-seeded node (possible only when the
+      // caller passes an incomplete `nodes` set) keeps its value.
+      val next = propagated.as("a")
+        .join(propagated.select(col("id").as("lid"),
+          col("label").as("llabel")).as("b"),
+          col("a.label") === col("b.lid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("b.llabel"), col("a.label")).as("label"),
+          col("a.chg").as("chg"))
+        .localCheckpoint(true) // materializes; parents become unreferenced
+      changed = next.filter(col("chg")).count() // scan of cached blocks
+      labels = next.select(col("id"), col("label"))
       it += 1
     }
     require(changed == 0, s"CC did not converge in $maxIters rounds")

@@ -182,6 +182,38 @@ object Relational {
         max(col("value")).as("vmax"))
       .orderBy(col("event_type"))
 
+  /** Exact tolerance envelope for the approx-percentile invariant test:
+    * the sketch's p50/p90 must land between the exact p45–p55 / p85–p95
+    * values (a rank-error bound, which is what the summary guarantees).
+    */
+  def percentilesEnvelope(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.45)").as("p45"),
+        expr("percentile(value, 0.55)").as("p55"),
+        expr("percentile(value, 0.85)").as("p85"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .orderBy(col("event_type"))
+
+  /** Approximate percentiles via Spark's built-in sketch aggregate
+    * (`approx_percentile`, a mergeable quantile summary): the 100 TB
+    * path beside [[percentiles]] — exact percentile sorts every group's
+    * values; the sketch is a bounded-size state merged map-side, so the
+    * shuffle payload per group is O(accuracy), not O(rows). Sketch
+    * output is implementation-defined, so this registers rows-only; the
+    * spec asserts each approximate quantile lands within the exact
+    * p45–p55 / p85–p95 value envelope.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
+        expr("approx_percentile(value, 0.9, 10000)").as("p90_approx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** Exact moments: mean and population variance computed from decimal
     * sums (sum, sum-of-squares) so partitioned accumulation cannot
     * drift — the portable form of stddev/variance at scale.

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Relational}
+
+/** Adversarial shapes for the distributed primitives: a long-chain
+  * graph for connected components (worst case for plain min-label
+  * propagation — diameter rounds; pointer jumping must close it in
+  * O(log n)), and the approx-percentile sketch against the exact
+  * percentile envelope.
+  */
+class DedupChainSpec extends SparkSpec {
+
+  test("connected components closes a 4000-node path graph within maxIters") {
+    import spark.implicits._
+    val n = 4000L
+    // path 0-1-2-...-3999: single component, diameter n-1
+    val edges = spark.range(0, n - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    // maxIters stays the production default — pointer jumping needs
+    // ~log2(n) rounds; plain propagation would blow the 50-round cap
+    val labels = Dedup.connectedComponents(edges).collect()
+    assert(labels.length == n)
+    labels.foreach { r =>
+      assert(r.getAs[Long]("label") == 0L,
+        s"node ${r.getAs[Long]("id")} labeled ${r.getAs[Long]("label")}")
+    }
+  }
+
+  test("connected components still exact on a multi-component forest") {
+    // two chains + a singleton: labels must be each component's min
+    val edges = spark.range(0, 99)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      .union(spark.range(200, 299)
+        .select(col("id").as("src"), (col("id") + 1).as("dst")))
+    val nodes = spark.range(0, 100).select(col("id"))
+      .union(spark.range(200, 300).select(col("id")))
+      .union(spark.range(500, 501).select(col("id")))
+    val labels = Dedup.connectedComponents(edges, nodes = Some(nodes))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(labels.size == 201)
+    (0L to 99L).foreach(i => assert(labels(i) == 0L))
+    (200L to 299L).foreach(i => assert(labels(i) == 200L))
+    assert(labels(500L) == 500L)
+  }
+
+  test("approx percentiles land inside the exact p45-p55 / p85-p95 envelope") {
+    val exact = Relational.percentilesEnvelope(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p45"), r.getAs[Double]("p55"),
+          r.getAs[Double]("p85"), r.getAs[Double]("p95"))).toMap
+    val approx = Relational.approxPercentiles(spark, sfDir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (lo50, hi50, lo90, hi90) = exact(t)
+      val p50 = r.getAs[Double]("p50_approx")
+      val p90 = r.getAs[Double]("p90_approx")
+      assert(p50 >= lo50 && p50 <= hi50, s"$t p50 $p50 outside [$lo50,$hi50]")
+      assert(p90 >= lo90 && p90 <= hi90, s"$t p90 $p90 outside [$lo90,$hi90]")
+    }
+  }
+}
