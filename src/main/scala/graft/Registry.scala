@@ -102,6 +102,9 @@ object Registry {
     "q79_unigram_lm_score" -> ((s, d) => TextOps.unigramLmScore(s, d)),
     "q80_decontamination" -> ((s, d) => TextOps.decontamination(s, d)),
     "q81_approx_percentiles" -> ((s, d) => Relational.approxPercentiles(s, d)),
+    "q82_pii_redaction" -> ((s, d) => TextOps.piiRedaction(s, d)),
+    "q83_length_buckets" -> ((s, d) => TextOps.lengthBuckets(s, d)),
+    "q84_sequence_packing" -> ((s, d) => TextOps.sequencePacking(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -605,5 +608,38 @@ object Registry {
         "SELECT train_id, eval_id, COUNT(DISTINCT gram) AS n_shared " +
         "FROM tr JOIN e USING (gram) GROUP BY train_id, eval_id " +
         "HAVING COUNT(DISTINCT gram) >= 2 ORDER BY train_id, eval_id"),
+    "q82_pii_redaction" ->
+      ("WITH r AS (SELECT doc_id, 'doc ' || doc_id || ' contact user' || (doc_id % 50) || " +
+        "'@example.com or admin@site' || (doc_id % 7) || '.org call +1-' || " +
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || " +
+        "lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') || " +
+        "' from 192.168.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || " +
+        "' :: ' || substring(text, 1, 40) AS raw FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(raw, '\\+1-\\d{3}-\\d{4}')) AS BIGINT) AS n_phones, " +
+        "CAST(len(regexp_extract_all(raw, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips, " +
+        "regexp_replace(regexp_replace(regexp_replace(raw, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+1-\\d{3}-\\d{4}', '<PHONE>', 'g'), " +
+        "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS clean " +
+        "FROM r ORDER BY doc_id"),
+    "q83_length_buckets" ->
+      ("WITH t AS (SELECT lang, len(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS n_tokens FROM documents) " +
+        "SELECT lang, CASE WHEN n_tokens < 64 THEN 'a_0-63' " +
+        "WHEN n_tokens < 128 THEN 'b_64-127' WHEN n_tokens < 256 THEN 'c_128-255' " +
+        "WHEN n_tokens < 512 THEN 'd_256-511' ELSE 'e_512+' END AS bucket, " +
+        "COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
+        "FROM t GROUP BY 1, 2 ORDER BY lang, bucket"),
+    "q84_sequence_packing" ->
+      ("WITH t AS (SELECT lang, doc_id, CAST(len(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), " +
+        "o AS (SELECT lang, doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER (" +
+        "PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off " +
+        "FROM t) " +
+        "SELECT lang, CAST(FLOOR(off / 2048) AS BIGINT) AS pack_id, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens, MIN(doc_id) AS first_doc " +
+        "FROM o GROUP BY 1, 2 ORDER BY lang, pack_id"),
   )
 }

@@ -248,6 +248,97 @@ object TextOps {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  private val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRx = "\\+1-\\d{3}-\\d{4}"
+  private val IpRx = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** PII redaction — the scrubbing pass of a training-data pipeline:
+    * emails, phone numbers, and IPv4 literals replaced with typed
+    * placeholder tokens, with per-doc match counts for audit. The
+    * corpus text is synthesized to contain deterministic PII (the test
+    * tables are clean by construction); every step is a row-local
+    * codegen'd regex — at 100 TB this runs inside the scan with zero
+    * shuffles beyond the presentation sort. Redaction order (email →
+    * phone → ip) is fixed so engines can't disagree on overlaps.
+    */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("doc "), col("doc_id"),
+      lit(" contact user"), pmod(col("doc_id"), lit(50)),
+      lit("@example.com or admin@site"), pmod(col("doc_id"), lit(7)),
+      lit(".org call +1-"),
+      lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+      lit("-"),
+      lpad(pmod(col("doc_id") * 3, lit(10000)).cast("string"), 4, "0"),
+      lit(" from 192.168."), pmod(col("doc_id"), lit(256)),
+      lit("."), pmod(col("doc_id") * 7, lit(256)),
+      lit(" :: "), substring(col("text"), 1, 40))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(EmailRx), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(PhoneRx), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("raw"), lit(IpRx), lit(0)))
+          .cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), EmailRx, "<EMAIL>"),
+            PhoneRx, "<PHONE>"),
+          IpRx, "<IP>").as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence-length bucketing — the histogram that shapes training
+    * batches (pad-to-bucket beats pad-to-max): docs per (lang, token-
+    * length bucket) with total token mass. One map-side-combined
+    * aggregation over row-local token counts.
+    */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val n = TextAnalytics.tokenCount(col("text"))
+    val bucket = when(n < 64, "a_0-63")
+      .when(n < 128, "b_64-127")
+      .when(n < 256, "c_128-255")
+      .when(n < 512, "d_256-511")
+      .otherwise("e_512+")
+    Tables.documents(spark, dir)
+      .select(col("lang"), n.as("n_tokens"), bucket.as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** Greedy sequence packing: documents stream (per language, in
+    * doc_id order) into fixed `capacity`-token context windows — each
+    * doc lands in the pack where its cumulative offset starts, the
+    * contiguous-fill packing used to batch pretraining data. The only
+    * state is a running token sum (window function, one shuffle on
+    * lang); a doc longer than the remaining space spills into the next
+    * pack, so fill can exceed 1.0 on boundary packs — exactly the
+    * behavior a downstream splitter expects.
+    */
+  def sequencePacking(spark: SparkSession, dir: String,
+      capacity: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("offset") / capacity))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
   /** Weighted corpus mixing — the "temperature" step of a multilingual
     * training mix: each language keeps a deterministic fraction of its
     * documents (en 1.0, de/es 0.5, fr 0.25, zh 0.125) selected by
