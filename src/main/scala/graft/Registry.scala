@@ -105,6 +105,9 @@ object Registry {
     "q82_pii_redaction" -> ((s, d) => TextOps.piiRedaction(s, d)),
     "q83_length_buckets" -> ((s, d) => TextOps.lengthBuckets(s, d)),
     "q84_sequence_packing" -> ((s, d) => TextOps.sequencePacking(s, d)),
+    "q85_bucketed_join" -> ((s, d) => {
+      Bucketed.writeBucketed(s, d); Bucketed.coLocatedOrderRevenue(s)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -641,5 +644,10 @@ object Registry {
         "SELECT lang, CAST(FLOOR(off / 2048) AS BIGINT) AS pack_id, COUNT(*) AS n_docs, " +
         "CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens, MIN(doc_id) AS first_doc " +
         "FROM o GROUP BY 1, 2 ORDER BY lang, pack_id"),
+    "q85_bucketed_join" ->
+      ("SELECT o_orderkey, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue, " +
+        "COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderkey ORDER BY o_orderkey"),
   )
 }
