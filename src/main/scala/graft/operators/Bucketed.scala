@@ -29,11 +29,22 @@ import graft.sources.Tables
 object Bucketed {
 
   /** Writes orders + lineitem as bucketed, in-bucket-sorted tables on
-    * the order key. Idempotent (overwrite) — the round's warehouse dir
-    * is session-scoped.
+    * the order key. Idempotent across sessions: a prior run's managed-
+    * table location can outlive the (in-memory) catalog that knew about
+    * it, and `Overwrite` refuses to adopt an orphaned location — so
+    * drop the table AND clear its directory through the warehouse
+    * filesystem first (Hadoop FS API, so the same code works on a
+    * cluster store, not just local disk).
     */
   def writeBucketed(spark: SparkSession, dir: String,
       buckets: Int = 8): Unit = {
+    Seq("orders_bkt", "lineitem_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     Tables.orders(spark, dir)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
