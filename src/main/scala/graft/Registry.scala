@@ -108,6 +108,7 @@ object Registry {
     "q85_bucketed_join" -> ((s, d) => {
       Bucketed.writeBucketed(s, d); Bucketed.coLocatedOrderRevenue(s)
     }),
+    "q86_incremental_dedup" -> ((s, d) => Dedup.incrementalMinhash(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(

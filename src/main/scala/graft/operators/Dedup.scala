@@ -82,23 +82,30 @@ object Dedup {
     * pairs then get their true Jaccard verified. Linear in corpus size
     * plus bucket-local pair expansion — the 100 TB shape.
     */
-  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
-    // persist() = materialization barrier: the shingle arrays are reused
-    // by three branches and Catalyst's project-collapse would otherwise
-    // re-inline (recompute) them per branch. At cluster scale this is
-    // the checkpointed signature table of a dedup pipeline.
-    // carries both the string shingles (signature input) and their
-    // 64-bit hashes (verification input — long-array intersection is
-    // ~3× cheaper than string-array intersection, same counts modulo
-    // ~1e-10 collision odds; same trick as ngramJaccard)
-    val docs = Tables.documents(spark, dir)
+  /** Shingled corpus: (doc_id, sh, sh64), persisted. The persist() is a
+    * materialization barrier: the shingle arrays are reused by several
+    * branches and Catalyst's project-collapse would otherwise re-inline
+    * (recompute) them per branch. Carries both the string shingles
+    * (signature input) and their 64-bit hashes (verification input —
+    * long-array intersection is ~3× cheaper than string-array
+    * intersection, same counts modulo ~1e-10 collision odds; same trick
+    * as ngramJaccard).
+    */
+  private def shingledDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalytics.shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"),
         transform(col("sh"), s => xxhash64(s)).as("sh64"))
       .persist()
-    // band signatures only — shingle arrays never enter the self-join
-    val banded = docs
+
+  /** Band signatures (doc_id, band, bucket) — the LSH candidate key.
+    * Band signatures only: shingle arrays never enter any join. At
+    * cluster scale this is the stored signature table of a dedup
+    * pipeline (recompute-free across runs).
+    */
+  private def bandedSignatures(docs: DataFrame): DataFrame =
+    docs
       .withColumn("sig", minhashSignature(col("sh")))
       .select(
         col("doc_id"),
@@ -110,22 +117,61 @@ object Dedup {
                 .as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-      .persist()
+
+  /** True-Jaccard verification of candidate pairs on the hashed-shingle
+    * arrays, keeping pairs at or above `minJaccard`.
+    */
+  private def verifiedJaccard(pairs: DataFrame, docs: DataFrame,
+      leftId: String, rightId: String,
+      minJaccard: Double): DataFrame =
+    pairs
+      .join(docs.select(col("doc_id").as(leftId), col("sh64").as("sh_a")), leftId)
+      .join(docs.select(col("doc_id").as(rightId), col("sh64").as("sh_b")), rightId)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .select(col(leftId), col(rightId), col("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingledDocs(spark, dir)
+    val banded = bandedSignatures(docs).persist()
     val pairs = banded.as("l")
       .join(banded.as("r"), Seq("band", "bucket"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
     // verification: re-attach hashed shingles to the (small) candidate set
-    pairs
-      .join(docs.select(col("doc_id").as("id_a"), col("sh64").as("sh_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("sh64").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+    verifiedJaccard(pairs, docs, "id_a", "id_b", 0.5)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Incremental near-dup screening — the production shape at 100 TB:
+    * a NEW batch (here: doc_id % batchMod == batchRem as a stand-in for
+    * today's crawl) is checked against the HISTORICAL corpus without
+    * any corpus self-join. The corpus band table is computed once here
+    * but is precisely what a pipeline persists between runs (signatures
+    * are content-addressed, so the historical side is read, not
+    * recomputed), making per-run candidate work proportional to the
+    * batch, not the corpus. No broadcast hint on the batch side: a
+    * daily increment is small relative to the corpus but not driver-
+    * small — AQE picks broadcast when the batch genuinely fits.
+    * Verification touches only surviving candidates.
+    */
+  def incrementalMinhash(spark: SparkSession, dir: String,
+      batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
+    val docs = shingledDocs(spark, dir)
+    val banded = bandedSignatures(docs).persist()
+    val isBatch = col("doc_id") % batchMod === batchRem
+    val newBands = banded.filter(isBatch)
+      .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
+    val corpusBands = banded.filter(!isBatch)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
+    val pairs = corpusBands.join(newBands, Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    verifiedJaccard(pairs, docs, "new_id", "corpus_id", 0.5)
+      .orderBy(col("new_id"), col("corpus_id"))
   }
 
   /** SimHash (64-bit): per-bit majority vote over token hashes, built

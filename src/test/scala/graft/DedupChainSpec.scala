@@ -45,6 +45,23 @@ class DedupChainSpec extends SparkSpec {
     assert(labels(500L) == 500L)
   }
 
+  test("incremental minhash equals the full sweep restricted to cross-split pairs") {
+    val batchRem = 9L
+    val full = Dedup.minhashCandidates(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard")))
+    // pairs with exactly one side in the new batch, oriented (new, corpus)
+    val expected = full.collect {
+      case (a, b, j) if (a % 10 == batchRem) != (b % 10 == batchRem) =>
+        if (a % 10 == batchRem) (a, b, j) else (b, a, j)
+    }.toSet
+    val got = Dedup.incrementalMinhash(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(got == expected,
+      s"incremental ${got.size} pairs vs cross-split ${expected.size}")
+  }
+
   test("approx percentiles land inside the exact p45-p55 / p85-p95 envelope") {
     val exact = Relational.percentilesEnvelope(spark, sfDir).collect()
       .map(r => r.getAs[String]("event_type") ->
