@@ -109,6 +109,7 @@ object Registry {
       Bucketed.writeBucketed(s, d); Bucketed.coLocatedOrderRevenue(s)
     }),
     "q86_incremental_dedup" -> ((s, d) => Dedup.incrementalMinhash(s, d)),
+    "q87_quarantine_routing" -> ((s, d) => Incremental.quarantineRouting(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -650,5 +651,14 @@ object Registry {
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue, " +
         "COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderkey ORDER BY o_orderkey"),
+    "q87_quarantine_routing" ->
+      ("WITH r AS (SELECT event_type, CASE WHEN event_id % 7 = 3 " +
+        "THEN substring(props, 1, len(props) - 2) ELSE props END AS raw FROM events) " +
+        "SELECT event_type, COUNT(*) AS n_events, " +
+        "COUNT(CASE WHEN json_valid(raw) THEN 1 END) AS n_valid, " +
+        "COUNT(*) - COUNT(CASE WHEN json_valid(raw) THEN 1 END) AS n_quarantined, " +
+        "CAST(SUM(CASE WHEN json_valid(raw) " +
+        "THEN CAST(json_extract_string(raw, '$.k') AS BIGINT) END) AS BIGINT) AS k_sum " +
+        "FROM r GROUP BY event_type ORDER BY event_type"),
   )
 }

@@ -112,6 +112,35 @@ object Incremental {
       .orderBy(col("k_bucket"))
   }
 
+  /** Corrupt-record quarantine routing — the bad-row contract every
+    * at-scale ingest needs: rows whose semi-structured payload fails to
+    * parse are counted into a quarantine bucket instead of failing the
+    * job or silently vanishing. Corruption is synthesized
+    * deterministically (every 7th event's JSON loses its closing
+    * bytes — the test tables are clean by construction); `from_json`
+    * yields null on a malformed document, so the valid/quarantined
+    * split is a row-local null check and the whole audit is one
+    * map-side-combined aggregation. In production the quarantined rows
+    * themselves fork to a dead-letter sink via the same null predicate.
+    */
+  def quarantineRouting(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
+    val raw = when(col("event_id") % 7 === 3,
+        expr("substring(props, 1, length(props) - 2)"))
+      .otherwise(col("props"))
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(raw, propsSchema).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_valid"),
+        (count(lit(1)) - count(col("k"))).as("n_quarantined"),
+        sum(col("k")).as("k_sum"))
+      .orderBy(col("event_type"))
+  }
+
   /** O2 — keyset pagination page: the reference's scan loop
     * (`preloadRedis.js:41-52`); one page = filter + sort + limit, which
     * Spark plans as TakeOrderedAndProject (no full sort).
