@@ -172,6 +172,176 @@ case class MinHashSignature(child: Expression, perms: Int)
       newChild: Expression): MinHashSignature = copy(child = newChild)
 }
 
+/** Native one-pass shingle-hash kernel: text → distinct xxhash64 values
+  * of its word n-grams, bit-compatible with the HOF spec
+  * `transform(shingles(text, n), s => xxhash64(s))` (shingles =
+  * whitespace tokens joined by single spaces, first-occurrence
+  * distinct). The HOF chain materializes 5+ intermediate arrays per row
+  * — split, one zip_with per gram width, slice, array_distinct, the
+  * hash transform — all interpreted (HOFs are CodegenFallback). This
+  * kernel tokenizes the UTF8 bytes directly (Java-regex `\s` is the
+  * six ASCII whitespace bytes, which never occur inside a multi-byte
+  * UTF-8 sequence, so a byte scan is exact), assembles each gram into
+  * one reused scratch buffer, and hashes it with the same XXH64 +
+  * seed-42 call the `xxhash64` builtin uses — identical 64-bit values,
+  * zero intermediate arrays.
+  *
+  * Dedup is on the HASH value rather than the gram string, so two
+  * colliding grams (p ≈ 1e-10 per pair) would emit one value where the
+  * HOF form emits the same value twice — every consumer treats the
+  * array as a hash SET, where the distinction is invisible.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  // the heavy loop lives in one static helper; generated code calls it
+  // directly (no virtual Expression.eval dispatch), keeping the
+  // surrounding operators inside whole-stage codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.ShingleHashes.compute($s, $n);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashes = copy(child = newChild)
+}
+
+object ShingleHashes {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.types.UTF8String
+
+  // Java regex \s — the only whitespace `split(text, "\\s+")` knows
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
+
+  /** Distinct n-gram hashes in first-occurrence order. Public + static
+    * so generated code can call it.
+    */
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // token spans: starts(i) inclusive, ends(i) exclusive
+    var tokens = 0
+    val starts = new Array[Int](len / 2 + 1)
+    val ends = new Array[Int](len / 2 + 1)
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        starts(tokens) = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        ends(tokens) = i
+        tokens += 1
+      }
+    }
+    val grams = tokens - (n - 1)
+    if (grams <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val scratch = new Array[Byte](len)
+    val seen = new java.util.HashSet[java.lang.Long](grams * 2)
+    val out = new Array[Long](grams)
+    var outN = 0
+    var g = 0
+    while (g < grams) {
+      var pos = 0
+      var k = 0
+      while (k < n) {
+        if (k > 0) { scratch(pos) = ' '; pos += 1 }
+        val w = ends(g + k) - starts(g + k)
+        System.arraycopy(bytes, starts(g + k), scratch, pos, w)
+        pos += w
+        k += 1
+      }
+      // same call + seed as the xxhash64 builtin on a UTF8String
+      val h = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, pos, 42L)
+      if (seen.add(h)) { out(outN) = h; outN += 1 }
+      g += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, outN))
+  }
+}
+
+/** MinHash signature over an ALREADY-hashed shingle set (the
+  * [[ShingleHashes]] output): per the string kernel, each element's
+  * base hash IS `xxhash64(s, 42)`, so deriving the permutation values
+  * from the longs directly produces bit-identical signatures to
+  * [[MinHashSignature]] with zero string work. Null elements take the
+  * string kernel's null-child value (42); an empty array yields null.
+  */
+case class MinHashSignatureFromHashes(child: Expression, perms: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.LongType
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true // empty shingle set → null
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(perms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = if (arr.isNullAt(i)) 42L else arr.getLong(i)
+      var p = 0
+      while (p < perms) {
+        val hp = XXH64.hashInt(p, h)
+        if (hp < mins(p)) mins(p) = hp
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val h = ctx.freshName("h")
+      val hp = ctx.freshName("hp")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$perms];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $a.isNullAt($i) ? 42L : $a.getLong($i);
+         |    for (int $p = 0; $p < $perms; $p++) {
+         |      long $hp = $xxh.hashInt($p, $h);
+         |      if ($hp < $mins[$p]) { $mins[$p] = $hp; }
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSignatureFromHashes = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level entry point for the native dot product. */
   def dotNative(a: Column, b: Column): Column =
@@ -182,6 +352,16 @@ object VectorExpressions {
   def minhashNative(sh: Column, perms: Int): Column =
     ExpressionUtils.column(
       MinHashSignature(ExpressionUtils.expression(sh), perms))
+
+  /** Column-level entry point for the native shingle-hash kernel. */
+  def shingleHashes(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      ShingleHashes(ExpressionUtils.expression(text), n))
+
+  /** Column-level entry point for the hash-input minhash signature. */
+  def minhashFromHashes(sh64: Column, perms: Int): Column =
+    ExpressionUtils.column(
+      MinHashSignatureFromHashes(ExpressionUtils.expression(sh64), perms))
 }
 
 /** Optimizer rule: recognize the declarative dot-product idiom

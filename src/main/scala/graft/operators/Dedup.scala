@@ -34,12 +34,14 @@ object Dedup {
     // shingles compared as 64-bit hashes: long-array intersection is
     // ~3× cheaper than string-array intersection and collision odds
     // over a 50k-shingle sample are ~1e-10 (counts would be off by one
-    // vs the string-level oracle only on an actual collision)
+    // vs the string-level oracle only on an actual collision). The
+    // hashes come from the native one-pass kernel — same values as
+    // transform(shingles(text), xxhash64), no intermediate arrays.
     val sh = Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"),
-        transform(TextAnalytics.shingles(col("text"), 3), s => xxhash64(s))
-          .as("sh"))
+        org.apache.spark.sql.graft.VectorExpressions
+          .shingleHashes(col("text"), 3).as("sh"))
       .persist()
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -82,21 +84,25 @@ object Dedup {
     * pairs then get their true Jaccard verified. Linear in corpus size
     * plus bucket-local pair expansion — the 100 TB shape.
     */
-  /** Shingled corpus: (doc_id, sh, sh64), persisted. The persist() is a
-    * materialization barrier: the shingle arrays are reused by several
+  /** Shingled corpus: (doc_id, sh64), persisted. The persist() is a
+    * materialization barrier: the hash arrays are reused by several
     * branches and Catalyst's project-collapse would otherwise re-inline
-    * (recompute) them per branch. Carries both the string shingles
-    * (signature input) and their 64-bit hashes (verification input —
-    * long-array intersection is ~3× cheaper than string-array
-    * intersection, same counts modulo ~1e-10 collision odds; same trick
-    * as ngramJaccard).
+    * (recompute) them per branch. One column serves both roles: the
+    * signature kernel derives its permutation values from these hashes
+    * (bit-identical to hashing the gram strings — see
+    * [[org.apache.spark.sql.graft.MinHashSignatureFromHashes]]) and
+    * verification intersects them directly (long-array intersection is
+    * ~3× cheaper than string-array intersection, same counts modulo
+    * ~1e-10 collision odds). The strings themselves never materialize —
+    * the native one-pass kernel hashes grams straight out of the text
+    * bytes.
     */
   private def shingledDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), TextAnalytics.shingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"),
-        transform(col("sh"), s => xxhash64(s)).as("sh64"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .shingleHashes(col("text"), 3).as("sh64"))
+      .filter(size(col("sh64")) > 0)
       .persist()
 
   /** Band signatures (doc_id, band, bucket) — the LSH candidate key.
@@ -106,7 +112,9 @@ object Dedup {
     */
   private def bandedSignatures(docs: DataFrame): DataFrame =
     docs
-      .withColumn("sig", minhashSignature(col("sh")))
+      .withColumn("sig",
+        org.apache.spark.sql.graft.VectorExpressions
+          .minhashFromHashes(col("sh64"), MinhashPerms))
       .select(
         col("doc_id"),
         explode(

@@ -234,10 +234,12 @@ object TextOps {
     */
   def decontamination(spark: SparkSession, dir: String,
       minShared: Int = 2): DataFrame = {
+    // gram hashes straight from the native one-pass kernel — same
+    // values as xxhash64 over the gram strings, no string arrays
     def grams(df: DataFrame, idAlias: String): DataFrame = df
       .select(col("doc_id").as(idAlias),
-        explode(TextAnalytics.shingles(col("text"), 3)).as("gram"))
-      .select(col(idAlias), xxhash64(col("gram")).as("gh"))
+        explode(org.apache.spark.sql.graft.VectorExpressions
+          .shingleHashes(col("text"), 3)).as("gh"))
     val docs = Tables.documents(spark, dir)
     val eval = grams(docs.filter(col("doc_id") % 100 === 0), "eval_id")
     val train = grams(docs.filter(col("doc_id") % 100 =!= 0), "train_id")

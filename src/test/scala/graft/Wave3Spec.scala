@@ -33,6 +33,48 @@ class Wave3Spec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native shingle-hash kernel matches the HOF pipeline's values") {
+    import org.apache.spark.sql.graft.VectorExpressions
+    // same hash values, same first-occurrence order (collision-free on
+    // this corpus, so hash-dedup == string-dedup exactly)
+    val diff = sources.Tables.documents(spark, sfDir)
+      .withColumn("hof",
+        transform(graft.functions.TextAnalytics.shingles(col("text"), 3),
+          s => xxhash64(s)))
+      .withColumn("native", VectorExpressions.shingleHashes(col("text"), 3))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diff == 0)
+    // whitespace torture: tabs/newlines/runs/leading/trailing + short docs
+    val cases = Seq("", " ", "a", "a b", "a b c", "  a\t\tb \n c  ",
+      "x y z w", "a  bc\fd\re f", "ä ö ü ß é 漢 字")
+    import spark.implicits._
+    val torture = cases.toDF("text")
+      .withColumn("hof",
+        transform(graft.functions.TextAnalytics.shingles(col("text"), 3),
+          s => xxhash64(s)))
+      .withColumn("native", VectorExpressions.shingleHashes(col("text"), 3))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(torture == 0)
+  }
+
+  test("hash-input minhash signature equals the string-input kernel") {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextAnalytics.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val diff = docs
+      .withColumn("fromStrings", Dedup.minhashSignature(col("sh")))
+      .withColumn("fromHashes",
+        VectorExpressions.minhashFromHashes(
+          VectorExpressions.shingleHashes(col("text"), 3), 16))
+      .filter(col("fromStrings") =!= col("fromHashes"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("optimizer rule rewrites the HOF dot idiom to the native kernel") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val df = spark.range(1, 100)
