@@ -342,6 +342,88 @@ case class MinHashSignatureFromHashes(child: Expression, perms: Int)
       newChild: Expression): MinHashSignatureFromHashes = copy(child = newChild)
 }
 
+/** Native 64-bit SimHash kernel: per-bit majority vote over the
+  * xxhash64 values of a document's whitespace tokens (every occurrence
+  * counted), computed row-locally in one pass over the UTF8 bytes. The
+  * relational form (explode tokens → 65-column groupBy) shuffles the
+  * entire tokenized corpus to build what is per-document state; this
+  * expression removes the explode AND the shuffle — the signature
+  * computation runs inside the scan, which is the difference between a
+  * corpus-sized exchange and none at 100 TB. Bit-identical to the
+  * relational form (same tokenization, same per-token hash, same
+  * `2·ones ≥ n` majority rule); a document with zero tokens yields
+  * null (the relational form emits no row — callers filter nulls).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true // zero-token input → null
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Long $boxed = org.apache.spark.sql.graft.SimHash64.compute($s);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
+object SimHash64 {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
+
+  /** Boxed so generated code can see the zero-token null. */
+  def compute(text: UTF8String): java.lang.Long = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val ones = new Array[Int](64)
+    var n = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        // same call + seed as xxhash64(token)
+        val h = XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
+        var b = 0
+        while (b < 64) {
+          ones(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+        n += 1
+      }
+    }
+    if (n == 0) return null
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * ones(b) >= n) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+}
+
 object VectorExpressions {
   /** Column-level entry point for the native dot product. */
   def dotNative(a: Column, b: Column): Column =
@@ -362,6 +444,10 @@ object VectorExpressions {
   def minhashFromHashes(sh64: Column, perms: Int): Column =
     ExpressionUtils.column(
       MinHashSignatureFromHashes(ExpressionUtils.expression(sh64), perms))
+
+  /** Column-level entry point for the native 64-bit simhash. */
+  def simhash64(text: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
 }
 
 /** Optimizer rule: recognize the declarative dot-product idiom

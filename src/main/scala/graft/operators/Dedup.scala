@@ -182,11 +182,13 @@ object Dedup {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
-  /** SimHash (64-bit): per-bit majority vote over token hashes, built
-    * with HOFs only. Returns id + signature + Hamming-bucket prefix for
-    * near-dup banding.
+  /** SimHash (64-bit) — relational spec form: per-bit majority vote
+    * over token hashes via explode + 65-column groupBy. Kept as the
+    * executable specification the native kernel is tested against;
+    * this shape shuffles the whole tokenized corpus to build what is
+    * per-document state.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhashRelational(spark: SparkSession, dir: String): DataFrame = {
     val exploded = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(TextAnalytics.tokens(col("text"))).as("tok"))
@@ -206,6 +208,21 @@ object Dedup {
       .withColumn("band16", shiftright(col("simhash"), 48))
       .orderBy(col("doc_id"))
   }
+
+  /** SimHash (64-bit), production path: the native row-local kernel —
+    * the signature computes inside the scan with no explode and no
+    * shuffle (bit-identical to [[simhashRelational]], asserted in
+    * Wave2Spec). Returns id + signature + Hamming-bucket prefix for
+    * near-dup banding.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .simhash64(col("text")).as("simhash"))
+      .filter(col("simhash").isNotNull)
+      .withColumn("band16", shiftright(col("simhash"), 48))
+      .orderBy(col("doc_id"))
 
   /** SimHash near-duplicate pairs: 64-bit signatures banded into four
     * 16-bit keys — by pigeonhole, any pair within Hamming distance 3

@@ -92,6 +92,13 @@ class Wave2Spec extends SparkSpec {
     assert(a.length == sources.Tables.documents(spark, sfDir).count())
   }
 
+  test("native simhash kernel equals the relational spec bit-for-bit") {
+    val native = Dedup.simhash(spark, sfDir).collect()
+    val spec = Dedup.simhashRelational(spark, sfDir).collect()
+    assert(native.length == spec.length)
+    native.zip(spec).foreach { case (n, s) => assert(n == s) }
+  }
+
   test("simhash banding has exact recall at hamming <= 3 (pigeonhole)") {
     val got = Dedup.simhashNearDup(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
