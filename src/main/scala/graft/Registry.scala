@@ -110,6 +110,7 @@ object Registry {
     }),
     "q86_incremental_dedup" -> ((s, d) => Dedup.incrementalMinhash(s, d)),
     "q87_quarantine_routing" -> ((s, d) => Incremental.quarantineRouting(s, d)),
+    "q88_winnow_neardup" -> ((s, d) => Dedup.winnowNearDup(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -190,8 +190,13 @@ case class MinHashSignature(child: Expression, perms: Int)
   * colliding grams (p ≈ 1e-10 per pair) would emit one value where the
   * HOF form emits the same value twice — every consumer treats the
   * array as a hash SET, where the distinction is invisible.
+  *
+  * `distinct = false` keeps every gram in POSITION order (one hash per
+  * window, duplicates included) — the rolling k-gram hash sequence
+  * that position-sensitive fingerprinting (winnowing) consumes.
   */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int,
+    distinct: Boolean = true)
     extends UnaryExpression with ExpectsInputTypes {
   import org.apache.spark.sql.types.{LongType, StringType}
 
@@ -201,14 +206,14 @@ case class ShingleHashes(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any =
     ShingleHashes.compute(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, distinct)
 
   // the heavy loop lives in one static helper; generated code calls it
   // directly (no virtual Expression.eval dispatch), keeping the
   // surrounding operators inside whole-stage codegen
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = org.apache.spark.sql.graft.ShingleHashes.compute($s, $n);")
+      s"${ev.value} = org.apache.spark.sql.graft.ShingleHashes.compute($s, $n, $distinct);")
 
   override protected def withNewChildInternal(
       newChild: Expression): ShingleHashes = copy(child = newChild)
@@ -224,10 +229,11 @@ object ShingleHashes {
   private def isWs(b: Byte): Boolean =
     b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
 
-  /** Distinct n-gram hashes in first-occurrence order. Public + static
-    * so generated code can call it.
+  /** N-gram hashes: distinct in first-occurrence order, or the full
+    * positional sequence when `distinct = false`. Public + static so
+    * generated code can call it.
     */
-  def compute(text: UTF8String, n: Int): GenericArrayData = {
+  def compute(text: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
     val bytes = text.getBytes
     val len = bytes.length
     // token spans: starts(i) inclusive, ends(i) exclusive
@@ -247,7 +253,8 @@ object ShingleHashes {
     val grams = tokens - (n - 1)
     if (grams <= 0) return new GenericArrayData(Array.emptyLongArray)
     val scratch = new Array[Byte](len)
-    val seen = new java.util.HashSet[java.lang.Long](grams * 2)
+    val seen =
+      if (distinct) new java.util.HashSet[java.lang.Long](grams * 2) else null
     val out = new Array[Long](grams)
     var outN = 0
     var g = 0
@@ -263,7 +270,7 @@ object ShingleHashes {
       }
       // same call + seed as the xxhash64 builtin on a UTF8String
       val h = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, pos, 42L)
-      if (seen.add(h)) { out(outN) = h; outN += 1 }
+      if (seen == null || seen.add(h)) { out(outN) = h; outN += 1 }
       g += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, outN))
@@ -340,6 +347,70 @@ case class MinHashSignatureFromHashes(child: Expression, perms: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): MinHashSignatureFromHashes = copy(child = newChild)
+}
+
+/** Native winnowing kernel (Schleimer/Wilkerson/Aiken 2003): the
+  * distinct sliding-window minima of the positional k-gram hash
+  * sequence, computed in one pass with a monotonic deque — O(grams)
+  * total. The HOF spelling (`transform(sequence(...), i =>
+  * array_min(slice(h, i, w)))`) copies w elements per window
+  * (O(grams·w) interpreted work) and was the measured hot loop of the
+  * winnow near-dup query. Short documents (fewer than w windows)
+  * contribute their single global minimum, matching the HOF form's
+  * fallback branch.
+  */
+case class WinnowHashes(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowHashes.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.WinnowHashes.compute($s, $k, $w);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowHashes = copy(child = newChild)
+}
+
+object WinnowHashes {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def compute(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val h = ShingleHashes.compute(text, k, distinct = false).toLongArray()
+    val n = h.length
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](n)
+    var outN = 0
+    if (n < w) {
+      var m = h(0); var i = 1
+      while (i < n) { if (h(i) < m) m = h(i); i += 1 }
+      return new GenericArrayData(Array(m))
+    }
+    // monotonic deque of candidate indices, increasing hash values
+    val deque = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail)
+    var i = 0
+    while (i < n) {
+      while (tail > head && h(deque(tail - 1)) >= h(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val m = h(deque(head))
+        if (seen.add(m)) { out(outN) = m; outN += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, outN))
+  }
 }
 
 /** Native 64-bit SimHash kernel: per-bit majority vote over the
@@ -440,6 +511,11 @@ object VectorExpressions {
     ExpressionUtils.column(
       ShingleHashes(ExpressionUtils.expression(text), n))
 
+  /** Positional (non-distinct) rolling k-gram hash sequence. */
+  def rollingShingleHashes(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      ShingleHashes(ExpressionUtils.expression(text), n, distinct = false))
+
   /** Column-level entry point for the hash-input minhash signature. */
   def minhashFromHashes(sh64: Column, perms: Int): Column =
     ExpressionUtils.column(
@@ -448,6 +524,11 @@ object VectorExpressions {
   /** Column-level entry point for the native 64-bit simhash. */
   def simhash64(text: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
+
+  /** Column-level entry point for the native winnowing kernel. */
+  def winnowHashes(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(
+      WinnowHashes(ExpressionUtils.expression(text), k, w))
 }
 
 /** Optimizer rule: recognize the declarative dot-product idiom

@@ -182,6 +182,74 @@ object Dedup {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
+  /** Winnowing fingerprints (the MOSS rolling-hash scheme, Schleimer/
+    * Wilkerson/Aiken 2003): over the POSITIONAL sequence of k-gram
+    * hashes, keep the minimum of each sliding window of `w` hashes —
+    * guaranteeing any shared run of w+k-1 tokens between two documents
+    * shares at least one selected fingerprint, at a ~2/(w+1) selection
+    * density. Position-robust where the bag-of-words fingerprint (q26)
+    * is not: local edits perturb only nearby windows. All row-local —
+    * the rolling hash sequence comes from the native kernel, the
+    * window-min from HOFs over it.
+    */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 16): Column =
+    org.apache.spark.sql.graft.VectorExpressions.winnowHashes(text, k, w)
+
+  /** HOF spelling of [[winnowFingerprints]] — O(grams·w) interpreted
+    * (slice copies w elements per window); kept as the executable
+    * specification the native deque kernel is asserted against.
+    */
+  def winnowFingerprintsHof(text: Column, k: Int = 3, w: Int = 16): Column = {
+    val h = org.apache.spark.sql.graft.VectorExpressions
+      .rollingShingleHashes(text, k)
+    when(size(h) >= w,
+      array_distinct(
+        transform(sequence(lit(1), size(h) - (w - 1)),
+          i => array_min(slice(h, i, lit(w))))))
+      .otherwise(
+        when(size(h) > 0, array(array_min(h)))
+          .otherwise(array().cast("array<bigint>")))
+  }
+
+  /** Segment-level near-dup pairs via shared winnowing fingerprints
+    * (q88): explode each document's fingerprint set, equi-join on the
+    * fingerprint, keep pairs sharing at least `minShared`. Two bounds
+    * keep the pair work linear at corpus scale: selection density is
+    * ~2/(w+1) of the gram count, and fingerprints appearing in more
+    * than `maxPostings` documents are dropped before the self-join —
+    * the stop-fingerprint cap standard in plagiarism detection
+    * (boilerplate runs shared by thousands of docs carry no dedup
+    * signal but would square the join). Complementary to whole-document
+    * minhash: this finds documents sharing SEGMENTS.
+    */
+  def winnowNearDup(spark: SparkSession, dir: String,
+      minShared: Int = 2, maxPostings: Int = 20): DataFrame = {
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(winnowFingerprints(col("text"))).as("fp"))
+      .persist()
+    val hot = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxPostings)
+      .select(col("fp"))
+    val kept = fps.join(hot, Seq("fp"), "left_anti")
+    // posting-list pair generation: one groupBy builds each surviving
+    // fingerprint's (≤ maxPostings) doc list; pairs expand from the
+    // list with HOFs — map-side, no self-join shuffle. collect_set is
+    // memory-safe only BECAUSE the hot filter ran first.
+    val posting = kept.groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+    posting
+      .select(explode(flatten(transform(col("docs"), (x, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared")) // docs per fp distinct ⇒ = countDistinct
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SimHash (64-bit) — relational spec form: per-bit majority vote
     * over token hashes via explode + 65-column groupBy. Kept as the
     * executable specification the native kernel is tested against;

@@ -92,6 +92,54 @@ class Wave2Spec extends SparkSpec {
     assert(a.length == sources.Tables.documents(spark, sfDir).count())
   }
 
+  test("native winnow kernel equals the HOF spec bit-for-bit") {
+    val diff = sources.Tables.documents(spark, sfDir)
+      .withColumn("hof", Dedup.winnowFingerprintsHof(col("text")))
+      .withColumn("native", Dedup.winnowFingerprints(col("text")))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diff == 0)
+    // short-doc fallback branches (0 tokens, < k tokens, < w windows)
+    import spark.implicits._
+    val cases = Seq("", "a", "a b", "a b c", "a b c d e",
+      (1 to 30).map(i => s"t$i").mkString(" ")).toDF("text")
+    val diff2 = cases
+      .withColumn("hof", Dedup.winnowFingerprintsHof(col("text")))
+      .withColumn("native", Dedup.winnowFingerprints(col("text")))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diff2 == 0)
+  }
+
+  test("winnowing fingerprints: deterministic, edit-robust, and dense enough") {
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(50)
+    val orig = docs.select(col("doc_id"),
+      Dedup.winnowFingerprints(col("text")).as("fp"))
+    // identical text → identical fingerprint set
+    val same = orig.join(docs.select(col("doc_id"),
+        Dedup.winnowFingerprints(col("text")).as("fp2")), "doc_id")
+      .filter(col("fp") =!= col("fp2")).count()
+    assert(same == 0)
+    // a local edit (one prepended token) leaves later windows intact:
+    // every doc keeps at least one shared fingerprint, and long docs
+    // keep most of them
+    val edited = docs.select(col("doc_id"),
+      Dedup.winnowFingerprints(concat(lit("zzzedit "), col("text"))).as("fp2"))
+    val rows = orig.join(edited, "doc_id")
+      .select(col("doc_id"),
+        size(array_intersect(col("fp"), col("fp2"))).as("shared"),
+        size(col("fp")).as("n"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("shared") >= 1,
+        s"doc ${r.getAs[Long]("doc_id")} lost all fingerprints to a 1-token edit")
+    }
+    // selection density ~2/(w+1): fingerprints are a small fraction of
+    // grams but never empty for non-trivial docs
+    rows.foreach(r => assert(r.getAs[Int]("n") >= 1))
+  }
+
   test("native simhash kernel equals the relational spec bit-for-bit") {
     val native = Dedup.simhash(spark, sfDir).collect()
     val spec = Dedup.simhashRelational(spark, sfDir).collect()
