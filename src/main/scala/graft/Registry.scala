@@ -111,6 +111,8 @@ object Registry {
     "q86_incremental_dedup" -> ((s, d) => Dedup.incrementalMinhash(s, d)),
     "q87_quarantine_routing" -> ((s, d) => Incremental.quarantineRouting(s, d)),
     "q88_winnow_neardup" -> ((s, d) => Dedup.winnowNearDup(s, d)),
+    "q89_stream_sessions" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingSessions(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -661,5 +663,18 @@ object Registry {
         "CAST(SUM(CASE WHEN json_valid(raw) " +
         "THEN CAST(json_extract_string(raw, '$.k') AS BIGINT) END) AS BIGINT) AS k_sum " +
         "FROM r GROUP BY event_type ORDER BY event_type"),
+    // identical to q20's oracle: the streaming sessionizer must converge
+    // to the batch result once its open sessions flush at end-of-stream
+    "q89_stream_sessions" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, value, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g) " +
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, " +
+        "MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value " +
+        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
   )
 }

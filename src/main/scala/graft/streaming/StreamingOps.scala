@@ -15,6 +15,14 @@ import graft.sources.Tables
   */
 case class UserAgg(user_id: Long, n_events: Long, total_cents: Long)
 
+/** Open-session state for [[StreamingOps.streamingSessions]]. */
+case class OpenSession(session_id: Long, n_events: Long,
+    first_event_id: Long, last_event_id: Long, cents: Long, last_ts_us: Long)
+
+/** Emitted closed session. */
+case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
+    first_event_id: Long, last_event_id: Long, session_value: Double)
+
 /** Structured Streaming surface. The reference's "streaming" is cron-
   * driven micro-batching with an application watermark (SURVEY.md §2.11,
   * `controller.js:50-75`); here the same incremental semantics run as a
@@ -64,7 +72,8 @@ object StreamingOps {
     */
   private def runToDeltaSink(spark: SparkSession, df: DataFrame,
       tag: String,
-      mode: OutputMode = OutputMode.Update): DataFrame = {
+      mode: OutputMode = OutputMode.Update,
+      noDataBatch: Boolean = false): DataFrame = {
     val sinkDir = Files.createTempDirectory(
       s"graft_${tag}_${counter.incrementAndGet()}_").toString
     val out = df.withColumn("batch_id", lit(-1L))
@@ -79,10 +88,12 @@ object StreamingOps {
     val prevNoData = spark.conf
       .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    // the trailing no-data micro-batch exists only to advance the
-    // watermark for late-window emission; last-batch-wins reconstruction
-    // doesn't need it, and skipping it saves a full plan+commit round
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // the trailing no-data micro-batch advances the watermark and fires
+    // state timeouts; last-batch-wins reconstruction doesn't need it
+    // (skipping saves a full plan+commit round), but timeout-flushing
+    // operators (session close) opt back in
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      noDataBatch.toString)
     try {
       val q = df.writeStream
         .outputMode(mode)
@@ -213,6 +224,78 @@ object StreamingOps {
       .select(col("user_id"), col("event_type"))
       .distinct() // idempotent vs redelivered batches
       .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Streaming gap sessionization via flatMapGroupsWithState (q89) —
+    * the multi-row-emit keyed-state operator §2.11 lists beside
+    * mapGroupsWithState: each user's events fold into gap-delimited
+    * (30 min) sessions. A batch's completed sessions emit as final
+    * rows; the still-open tail session emits a PROVISIONAL snapshot
+    * every batch and lives on in keyed state — the delta sink's
+    * last-batch-wins reconstruction keeps whichever snapshot a session
+    * settled at, so once the drain finishes the result equals batch
+    * [[graft.operators.Sessionize]] (oracled against the same SQL as
+    * q20). Update-mode re-emission instead of state timeouts: timeout
+    * flushing needs trailing no-data batches, which run UNBOUNDED under
+    * processing-time timeouts on a drain-once trigger (measured: an
+    * endless empty-batch loop); snapshot + last-writer-wins needs
+    * neither timeouts nor extra batches. Per-batch per-user events sort
+    * in memory: state is one open session per key, and the in-batch
+    * sort is bounded by a key's batch volume, the same bound every
+    * keyed-state operator carries.
+    */
+  def streamingSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val GapUs = 30L * 60 * 1000 * 1000 // 30 min in microseconds
+    val ds = streamEvents(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        // full microsecond precision — a bare long cast truncates to
+        // seconds and would mis-order ties vs the batch sessionizer
+        expr("unix_micros(cast(ts AS timestamp))").as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)]
+    val sessions = ds
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[OpenSession]) =>
+          def toRow(s: OpenSession): SessionRow =
+            SessionRow(user, s.session_id, s.n_events,
+              s.first_event_id, s.last_event_id, s.cents / 100.0)
+          val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+          val out = List.newBuilder[SessionRow]
+          var cur = state.getOption.orNull
+          sorted.foreach { case (_, eid, ts, cents) =>
+            cur match {
+              case null =>
+                cur = OpenSession(1L, 1L, eid, eid, cents, ts)
+              case s if ts > s.last_ts_us + GapUs =>
+                out += toRow(s) // closed: this emission is final
+                cur = OpenSession(s.session_id + 1, 1L, eid, eid, cents, ts)
+              case s =>
+                cur = OpenSession(s.session_id, s.n_events + 1,
+                  s.first_event_id, math.max(s.last_event_id, eid),
+                  s.cents + cents, math.max(s.last_ts_us, ts))
+            }
+          }
+          if (cur != null) {
+            state.update(cur)
+            out += toRow(cur) // open tail: provisional snapshot
+          }
+          out.result().iterator
+      }
+    runToDeltaSink(spark, sessions.toDF(), "sessions")
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(max(struct(col("batch_id"), col("n_events"),
+        col("first_event_id"), col("last_event_id"),
+        col("session_value"))).as("last"))
+      .select(col("user_id"), col("session_id"),
+        col("last.n_events").as("n_events"),
+        col("last.first_event_id").as("first_event_id"),
+        col("last.last_event_id").as("last_event_id"),
+        col("last.session_value").as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
   }
 
   /** Keyed custom state via mapGroupsWithState: per-user running totals.
