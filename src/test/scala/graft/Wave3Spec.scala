@@ -59,6 +59,24 @@ class Wave3Spec extends SparkSpec {
     assert(torture == 0)
   }
 
+  test("shingle/winnow/simhash kernels match HOF specs on seeded random text") {
+    import org.apache.spark.sql.graft.VectorExpressions
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val alphabet = "ab0д日 \t\n\f\r" // incl. every \s byte + multibyte
+    val cases = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = cases.toDF("text")
+      .withColumn("sh_hof",
+        transform(graft.functions.TextAnalytics.shingles(col("text"), 3),
+          s => xxhash64(s)))
+      .withColumn("sh_native", VectorExpressions.shingleHashes(col("text"), 3))
+      .withColumn("wn_hof", operators.Dedup.winnowFingerprintsHof(col("text"), 3, 4))
+      .withColumn("wn_native", operators.Dedup.winnowFingerprints(col("text"), 3, 4))
+    assert(df.filter(col("sh_hof") =!= col("sh_native")).count() == 0)
+    assert(df.filter(col("wn_hof") =!= col("wn_native")).count() == 0)
+  }
+
   test("hash-input minhash signature equals the string-input kernel") {
     import org.apache.spark.sql.graft.VectorExpressions
     val docs = sources.Tables.documents(spark, sfDir)
