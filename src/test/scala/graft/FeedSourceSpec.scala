@@ -40,6 +40,23 @@ class FeedSourceSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("text kernels are callable from the SQL text surface") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val sh = spark.sql(
+      "SELECT size(shingle_hashes('a b c d', 3)) AS n").head()
+    assert(sh.getInt(0) == 2) // "a b c", "b c d"
+    val sim = spark.sql(
+      "SELECT simhash64('a b c') = simhash64('a b c') AS eq, " +
+        "simhash64('') IS NULL AS empty_null").head()
+    assert(sim.getBoolean(0) && sim.getBoolean(1))
+    val wn = spark.sql(
+      "SELECT size(winnow_hashes('a b c d e f', 3, 2)) AS n").head()
+    assert(wn.getInt(0) >= 1)
+    val mh = spark.sql(
+      "SELECT size(minhash_signature(array('x', 'y'), 16)) AS n").head()
+    assert(mh.getInt(0) == 16)
+  }
+
   test("extensions class wires dot_product at session build") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
