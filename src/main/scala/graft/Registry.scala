@@ -113,6 +113,8 @@ object Registry {
     "q88_winnow_neardup" -> ((s, d) => Dedup.winnowNearDup(s, d)),
     "q89_stream_sessions" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingSessions(s, d)),
+    "q90_user_activity_tws" -> ((s, d) =>
+      graft.streaming.StreamingOps.userActivityTws(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -676,5 +678,10 @@ object Registry {
         "MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value " +
         "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "q90_user_activity_tws" ->
+      ("SELECT user_id, COUNT(*) AS n_events, " +
+        "COUNT(DISTINCT event_type) AS n_types, " +
+        "MAX(event_id) AS max_event_id " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
   )
 }

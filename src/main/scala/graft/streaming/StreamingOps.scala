@@ -23,6 +23,48 @@ case class OpenSession(session_id: Long, n_events: Long,
 case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
     first_event_id: Long, last_event_id: Long, session_value: Double)
 
+/** State + output rows for [[StreamingOps.userActivityTws]]
+  * (transformWithState).
+  */
+case class TwsState(n_events: Long, types: Seq[String], max_event_id: Long)
+case class TwsRow(user_id: Long, n_events: Long, n_types: Long,
+    max_event_id: Long)
+
+/** Arbitrary-state processor on the Spark 4 `transformWithState` API:
+  * per-user running activity profile in a typed `ValueState`. The
+  * state-variable handle model (named, independently-evolvable state
+  * slots with optional TTL) is what distinguishes the new API from
+  * mapGroupsWithState's single state blob; TTL is the knob that bounds
+  * a 24/7 deployment's state without a watermark.
+  */
+class UserActivityProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String, Long), TwsRow] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var state: ValueState[TwsState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[TwsState](
+      "activity", Encoders.product[TwsState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[(Long, String, Long)],
+      timers: TimerValues): Iterator[TwsRow] = {
+    val prev = Option(state.get()).getOrElse(TwsState(0L, Seq.empty, -1L))
+    var n = prev.n_events
+    var types = prev.types.toSet
+    var maxId = prev.max_event_id
+    rows.foreach { case (_, tpe, eid) =>
+      n += 1; types += tpe; maxId = math.max(maxId, eid)
+    }
+    val next = TwsState(n, types.toSeq.sorted, maxId)
+    state.update(next)
+    Iterator.single(TwsRow(user, n, types.size.toLong, maxId))
+  }
+}
+
 /** Structured Streaming surface. The reference's "streaming" is cron-
   * driven micro-batching with an application watermark (SURVEY.md §2.11,
   * `controller.js:50-75`); here the same incremental semantics run as a
@@ -296,6 +338,49 @@ object StreamingOps {
         col("last.last_event_id").as("last_event_id"),
         col("last.session_value").as("session_value"))
       .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Per-user activity profile on the NEW arbitrary-state API (q90):
+    * `transformWithState` + [[UserActivityProcessor]] — typed named
+    * state variables (vs mapGroupsWithState's single blob), TTL-capable,
+    * RocksDB-backed (the provider the new API requires; also the right
+    * provider for beyond-heap state at 100 TB). Update-mode snapshots
+    * into the delta sink; last batch wins per key — the same
+    * reconstruction contract as the rest of the streaming family, and
+    * the batch-equivalent aggregation is what the oracle checks.
+    */
+  def userActivityTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = streamEvents(spark, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .as[(Long, String, Long)]
+      val updated = ds
+        .groupByKey(_._1)
+        .transformWithState(new UserActivityProcessor,
+          TimeMode.None(), OutputMode.Update())
+      runToDeltaSink(spark, updated.toDF(), "tws")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("batch_id"), col("n_events"), col("n_types"),
+          col("max_event_id"))).as("last"))
+        .select(col("user_id"),
+          col("last.n_events").as("n_events"),
+          col("last.n_types").as("n_types"),
+          col("last.max_event_id").as("max_event_id"))
+        .orderBy(col("user_id"))
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   /** Keyed custom state via mapGroupsWithState: per-user running totals.
