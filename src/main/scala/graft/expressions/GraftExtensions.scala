@@ -22,24 +22,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
-  // kernel knobs (perms/k/w) arrive from SQL text as foldable literals
-  private def intArg(e: Expression): Int =
-    e.eval().asInstanceOf[Number].intValue
+  // kernel knobs (perms/k/w) arrive from SQL text as foldable literals;
+  // reject anything else with an error that names the requirement
+  // instead of an opaque eval/NPE failure at plan time
+  private def intArg(fn: String, knob: String)(e: Expression): Int = {
+    val v =
+      if (e.foldable) e.eval()
+      else throw new IllegalArgumentException(
+        s"$fn: $knob must be a literal integer, got non-foldable ${e.sql}")
+    v match {
+      case n: Number if n.intValue > 0 => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: $knob must be a positive integer literal, got $other")
+    }
+  }
 
-  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] =
+  private[graft] val builders:
+      Seq[(String, Class[_], Seq[Expression] => Expression)] =
     Seq(
-      "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
-      "shingle_hashes" -> (exprs =>
-        ShingleHashes(exprs(0), intArg(exprs(1)))),
-      "minhash_signature" -> (exprs =>
-        MinHashSignature(exprs(0), intArg(exprs(1)))),
-      "simhash64" -> (exprs => SimHash64(exprs(0))),
-      "winnow_hashes" -> (exprs =>
-        WinnowHashes(exprs(0), intArg(exprs(1)), intArg(exprs(2)))))
+      ("dot_product", classOf[DotProduct],
+        (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+      ("shingle_hashes", classOf[ShingleHashes],
+        (exprs: Seq[Expression]) => ShingleHashes(exprs(0),
+          intArg("shingle_hashes", "n")(exprs(1)))),
+      ("minhash_signature", classOf[MinHashSignature],
+        (exprs: Seq[Expression]) => MinHashSignature(exprs(0),
+          intArg("minhash_signature", "perms")(exprs(1)))),
+      ("simhash64", classOf[SimHash64],
+        (exprs: Seq[Expression]) => SimHash64(exprs(0))),
+      ("winnow_hashes", classOf[WinnowHashes],
+        (exprs: Seq[Expression]) => WinnowHashes(exprs(0),
+          intArg("winnow_hashes", "k")(exprs(1)),
+          intArg("winnow_hashes", "w")(exprs(2)))))
 
-  private[graft] val descriptors = builders.map { case (name, builder) =>
+  private[graft] val descriptors = builders.map { case (name, cls, builder) =>
     (FunctionIdentifier(name),
-      new ExpressionInfo(classOf[DotProduct].getCanonicalName, name),
+      new ExpressionInfo(cls.getCanonicalName, name),
       builder)
   }
 
@@ -47,7 +65,7 @@ object GraftFunctions {
     * the HOF-dot-product rewrite rule (idempotent).
     */
   def register(spark: SparkSession): Unit = {
-    builders.foreach { case (name, builder) =>
+    builders.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "scala_udf")
     }

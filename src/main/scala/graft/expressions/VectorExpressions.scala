@@ -200,6 +200,8 @@ case class ShingleHashes(child: Expression, n: Int,
     extends UnaryExpression with ExpectsInputTypes {
   import org.apache.spark.sql.types.{LongType, StringType}
 
+  require(n >= 1, s"shingle_hashes needs n >= 1, got $n")
+
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -362,6 +364,10 @@ case class MinHashSignatureFromHashes(child: Expression, perms: Int)
 case class WinnowHashes(child: Expression, k: Int, w: Int)
     extends UnaryExpression with ExpectsInputTypes {
   import org.apache.spark.sql.types.{LongType, StringType}
+
+  // w <= 0 would walk the deque head past uninitialized slots and
+  // return garbage silently; fail construction instead
+  require(k >= 1 && w >= 1, s"winnow_hashes needs k >= 1 and w >= 1, got k=$k w=$w")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 

@@ -368,40 +368,44 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var it = 0
-    while (changed > 0 && it < maxIters) {
-      val nmin = sym
-        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")),
-          "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nlabel")).as("nmin"))
-      // propagate-stability is the valid halt test: zero propagation
-      // change means labels are constant across every edge, which makes
-      // the shortcut below a no-op too (label(v) is then already the
-      // component constant)
-      val propagated = labels.join(nmin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (col("nmin") < col("label")).as("chg"))
-      // pointer jumping: label(v) <- label(label(v)). Labels are always
-      // member node ids, so the lookup side is the label table itself;
-      // a label pointing at a non-seeded node (possible only when the
-      // caller passes an incomplete `nodes` set) keeps its value.
-      val next = propagated.as("a")
-        .join(propagated.select(col("id").as("lid"),
-          col("label").as("llabel")).as("b"),
-          col("a.label") === col("b.lid"), "left")
-        .select(col("a.id").as("id"),
-          coalesce(col("b.llabel"), col("a.label")).as("label"),
-          col("a.chg").as("chg"))
-        .localCheckpoint(true) // materializes; parents become unreferenced
-      changed = next.filter(col("chg")).count() // scan of cached blocks
-      labels = next.select(col("id"), col("label"))
-      it += 1
-    }
-    require(changed == 0, s"CC did not converge in $maxIters rounds")
-    val out = labels
-    sym.unpersist()
-    out
+    try {
+      while (changed > 0 && it < maxIters) {
+        val nmin = sym
+          .join(labels.select(col("id").as("dst"), col("label").as("nlabel")),
+            "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("nlabel")).as("nmin"))
+        // propagate-stability is the valid halt test: zero propagation
+        // change means labels are constant across every edge, which makes
+        // the shortcut below a no-op too (label(v) is then already the
+        // component constant). Checkpoint HERE — the edge-sized join
+        // above is the expensive subtree, and the self-join below would
+        // otherwise execute it twice per round.
+        val propagated = labels.join(nmin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+            (col("nmin") < col("label")).as("chg"))
+          .localCheckpoint(true)
+        changed = propagated.filter(col("chg")).count() // scan of cached blocks
+        // pointer jumping: label(v) <- label(label(v)). Labels are always
+        // member node ids, so the lookup side is the label table itself;
+        // a label pointing at a non-seeded node (possible only when the
+        // caller passes an incomplete `nodes` set) keeps its value. Both
+        // sides read the materialized blocks, and the uncheckpointed
+        // join keeps the next round's plan depth bounded (its inputs are
+        // truncated). Superseded rounds' checkpoint blocks free via
+        // ContextCleaner once unreferenced — O(1) live rounds, GC-paced.
+        labels = propagated.as("a")
+          .join(propagated.select(col("id").as("lid"),
+            col("label").as("llabel")).as("b"),
+            col("a.label") === col("b.lid"), "left")
+          .select(col("a.id").as("id"),
+            coalesce(col("b.llabel"), col("a.label")).as("label"))
+        it += 1
+      }
+      require(changed == 0, s"CC did not converge in $maxIters rounds")
+      labels
+    } finally sym.unpersist()
   }
 
   /** Dedup cluster assignment (q66): every document labeled with its

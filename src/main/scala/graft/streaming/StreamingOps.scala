@@ -114,8 +114,7 @@ object StreamingOps {
     */
   private def runToDeltaSink(spark: SparkSession, df: DataFrame,
       tag: String,
-      mode: OutputMode = OutputMode.Update,
-      noDataBatch: Boolean = false): DataFrame = {
+      mode: OutputMode = OutputMode.Update): DataFrame = {
     val sinkDir = Files.createTempDirectory(
       s"graft_${tag}_${counter.incrementAndGet()}_").toString
     val out = df.withColumn("batch_id", lit(-1L))
@@ -131,11 +130,11 @@ object StreamingOps {
       .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     // the trailing no-data micro-batch advances the watermark and fires
-    // state timeouts; last-batch-wins reconstruction doesn't need it
-    // (skipping saves a full plan+commit round), but timeout-flushing
-    // operators (session close) opt back in
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-      noDataBatch.toString)
+    // state timeouts; NOTHING here needs it — last-batch-wins
+    // reconstruction replaces timeout flushing (see streamingSessions:
+    // processing-time timeouts under a drain-once trigger loop no-data
+    // batches unboundedly), and skipping saves a plan+commit round
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = df.writeStream
         .outputMode(mode)
@@ -316,8 +315,12 @@ object StreamingOps {
                 out += toRow(s) // closed: this emission is final
                 cur = OpenSession(s.session_id + 1, 1L, eid, eid, cents, ts)
               case s =>
+                // min/max both defended: (ts, event_id) sort order does
+                // not imply event_id order, and the oracle contract is
+                // MIN/MAX over the session's ids
                 cur = OpenSession(s.session_id, s.n_events + 1,
-                  s.first_event_id, math.max(s.last_event_id, eid),
+                  math.min(s.first_event_id, eid),
+                  math.max(s.last_event_id, eid),
                   s.cents + cents, math.max(s.last_ts_us, ts))
             }
           }

@@ -20,12 +20,13 @@ class BucketedSpec extends SparkSpec {
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
       // the presentation orderBy is allowed its range exchange; the join
-      // + aggregation subtree must be exchange-free, so at most ONE
-      // Exchange may appear (and it must be the final range partitioning)
-      val exchanges = "Exchange [a-z]+partitioning".r
-        .findAllIn(plan).toList
-      assert(exchanges.count(_.contains("hashpartitioning")) == 0,
-        s"join/agg introduced a hash exchange:\n$plan")
+      // + aggregation subtree must be exchange-free — count EVERY
+      // Exchange (hash, single-partition, …) and require all of them to
+      // be the allowed range partitioning
+      val allExchanges = "Exchange ".r.findAllIn(plan).length
+      val rangeExchanges = "Exchange rangepartitioning".r.findAllIn(plan).length
+      assert(allExchanges == rangeExchanges,
+        s"join/agg introduced a non-range exchange:\n$plan")
 
       // and the result is right: matches the plain (shuffling) join
       val expected = sources.Tables.lineitem(spark, sfDir)
