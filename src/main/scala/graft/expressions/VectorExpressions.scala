@@ -194,13 +194,17 @@ case class MinHashSignature(child: Expression, perms: Int)
   * `distinct = false` keeps every gram in POSITION order (one hash per
   * window, duplicates included) — the rolling k-gram hash sequence
   * that position-sensitive fingerprinting (winnowing) consumes.
+  * `sorted = true` emits the distinct hashes in ASCENDING order — the
+  * precondition [[SortedIntersectCount]] needs; sorting replaces the
+  * first-occurrence HashSet dedup with a sort + adjacent-unique scan.
   */
 case class ShingleHashes(child: Expression, n: Int,
-    distinct: Boolean = true)
+    distinct: Boolean = true, sorted: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
   import org.apache.spark.sql.types.{LongType, StringType}
 
   require(n >= 1, s"shingle_hashes needs n >= 1, got $n")
+  require(!sorted || distinct, "sorted output implies distinct")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 
@@ -208,14 +212,15 @@ case class ShingleHashes(child: Expression, n: Int,
 
   override def nullSafeEval(input: Any): Any =
     ShingleHashes.compute(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, distinct)
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      n, distinct, sorted)
 
   // the heavy loop lives in one static helper; generated code calls it
   // directly (no virtual Expression.eval dispatch), keeping the
   // surrounding operators inside whole-stage codegen
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = org.apache.spark.sql.graft.ShingleHashes.compute($s, $n, $distinct);")
+      s"${ev.value} = org.apache.spark.sql.graft.ShingleHashes.compute($s, $n, $distinct, $sorted);")
 
   override protected def withNewChildInternal(
       newChild: Expression): ShingleHashes = copy(child = newChild)
@@ -235,7 +240,11 @@ object ShingleHashes {
     * positional sequence when `distinct = false`. Public + static so
     * generated code can call it.
     */
-  def compute(text: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
+  def compute(text: UTF8String, n: Int, distinct: Boolean): GenericArrayData =
+    compute(text, n, distinct, sorted = false)
+
+  def compute(text: UTF8String, n: Int, distinct: Boolean,
+      sorted: Boolean): GenericArrayData = {
     val bytes = text.getBytes
     val len = bytes.length
     // token spans: starts(i) inclusive, ends(i) exclusive
@@ -256,7 +265,8 @@ object ShingleHashes {
     if (grams <= 0) return new GenericArrayData(Array.emptyLongArray)
     val scratch = new Array[Byte](len)
     val seen =
-      if (distinct) new java.util.HashSet[java.lang.Long](grams * 2) else null
+      if (distinct && !sorted) new java.util.HashSet[java.lang.Long](grams * 2)
+      else null
     val out = new Array[Long](grams)
     var outN = 0
     var g = 0
@@ -274,6 +284,17 @@ object ShingleHashes {
       val h = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, pos, 42L)
       if (seen == null || seen.add(h)) { out(outN) = h; outN += 1 }
       g += 1
+    }
+    if (sorted) {
+      // sort + adjacent-unique replaces the HashSet dedup
+      java.util.Arrays.sort(out, 0, outN)
+      var w2 = 0
+      var r = 0
+      while (r < outN) {
+        if (w2 == 0 || out(w2 - 1) != out(r)) { out(w2) = out(r); w2 += 1 }
+        r += 1
+      }
+      outN = w2
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, outN))
   }
@@ -349,6 +370,61 @@ case class MinHashSignatureFromHashes(child: Expression, perms: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): MinHashSignatureFromHashes = copy(child = newChild)
+}
+
+/** Count of common values between two SORTED long arrays — the
+  * Jaccard-verification hot loop. `size(array_intersect(a, b))`
+  * builds a hash set of one side AND materializes the intersection
+  * array just to take its length; over sorted inputs the same count is
+  * a zero-allocation merge walk. Consecutive duplicates are skipped on
+  * both sides, so the result equals `size(array_intersect(a, b))`
+  * (distinct-set semantics) whenever the inputs are sorted, even with
+  * repeated values. Inputs NOT in ascending order produce an
+  * undercount — callers own the precondition (the `sorted = true`
+  * [[ShingleHashes]] mode).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.SortedIntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var cnt = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        cnt += 1
+        // skip duplicates of the matched value on both sides
+        val v = x
+        while (i < na && a.getLong(i) == v) i += 1
+        while (j < nb && b.getLong(j) == v) j += 1
+      }
+    }
+    cnt
+  }
 }
 
 /** Native winnowing kernel (Schleimer/Wilkerson/Aiken 2003): the
@@ -521,6 +597,19 @@ object VectorExpressions {
   def rollingShingleHashes(text: Column, n: Int): Column =
     ExpressionUtils.column(
       ShingleHashes(ExpressionUtils.expression(text), n, distinct = false))
+
+  /** Distinct gram hashes in ascending order (SortedIntersectCount's
+    * precondition).
+    */
+  def sortedShingleHashes(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      ShingleHashes(ExpressionUtils.expression(text), n,
+        distinct = true, sorted = true))
+
+  /** Zero-allocation |a ∩ b| over sorted long arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Column-level entry point for the hash-input minhash signature. */
   def minhashFromHashes(sh64: Column, perms: Int): Column =

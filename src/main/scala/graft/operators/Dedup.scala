@@ -41,12 +41,14 @@ object Dedup {
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"),
         org.apache.spark.sql.graft.VectorExpressions
-          .shingleHashes(col("text"), 3).as("sh"))
+          .sortedShingleHashes(col("text"), 3).as("sh"))
       .persist()
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        org.apache.spark.sql.graft.VectorExpressions
+          .sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("uni",
         size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard",
@@ -101,7 +103,7 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         org.apache.spark.sql.graft.VectorExpressions
-          .shingleHashes(col("text"), 3).as("sh64"))
+          .sortedShingleHashes(col("text"), 3).as("sh64"))
       .filter(size(col("sh64")) > 0)
       .persist()
 
@@ -135,7 +137,9 @@ object Dedup {
     pairs
       .join(docs.select(col("doc_id").as(leftId), col("sh64").as("sh_a")), leftId)
       .join(docs.select(col("doc_id").as(rightId), col("sh64").as("sh_b")), rightId)
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        org.apache.spark.sql.graft.VectorExpressions
+          .sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .select(col(leftId), col(rightId), col("jaccard"))

@@ -75,6 +75,19 @@ class Wave3Spec extends SparkSpec {
       .withColumn("wn_native", operators.Dedup.winnowFingerprints(col("text"), 3, 4))
     assert(df.filter(col("sh_hof") =!= col("sh_native")).count() == 0)
     assert(df.filter(col("wn_hof") =!= col("wn_native")).count() == 0)
+    // sorted mode == sort_array of the unsorted mode; the sorted
+    // intersect count == size(array_intersect) on self-pairs of
+    // adjacent rows (covers empty/disjoint/overlapping)
+    val sorted = cases.toDF("text")
+      .withColumn("s_native", VectorExpressions.sortedShingleHashes(col("text"), 3))
+      .withColumn("s_ref", sort_array(VectorExpressions.shingleHashes(col("text"), 3)))
+    assert(sorted.filter(col("s_native") =!= col("s_ref")).count() == 0)
+    val pairs = cases.zip(cases.drop(1) :+ cases.head).toDF("ta", "tb")
+      .withColumn("a", VectorExpressions.sortedShingleHashes(col("ta"), 3))
+      .withColumn("b", VectorExpressions.sortedShingleHashes(col("tb"), 3))
+      .withColumn("cnt", VectorExpressions.sortedIntersectCount(col("a"), col("b")))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))))
+    assert(pairs.filter(col("cnt") =!= col("ref")).count() == 0)
   }
 
   test("hash-input minhash signature equals the string-input kernel") {
