@@ -115,6 +115,8 @@ object Registry {
       graft.streaming.StreamingOps.streamingSessions(s, d)),
     "q90_user_activity_tws" -> ((s, d) =>
       graft.streaming.StreamingOps.userActivityTws(s, d)),
+    "q91_cosine_neardup_exact" -> ((s, d) =>
+      Similarity.cosineNearDupExact(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -683,5 +685,17 @@ object Registry {
         "COUNT(DISTINCT event_type) AS n_types, " +
         "MAX(event_id) AS max_event_id " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    // same FP-parity argument as q34: list_reduce left fold == Spark's
+    // 0.0-seeded fold bit-for-bit
+    "q91_cosine_neardup_exact" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+        "FROM embeddings WHERE vec_id % 10 = 0), " +
+        "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
+        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v FROM e) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x,y) -> x+y) AS cos " +
+        "FROM u a JOIN u b ON a.vec_id < b.vec_id " +
+        "WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x,y) -> x+y) >= 0.3 " +
+        "ORDER BY id_a, id_b"),
   )
 }

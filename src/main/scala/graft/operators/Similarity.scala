@@ -205,6 +205,29 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Exact cosine near-dup on a deterministic sample (q91) — the
+    * oracled twin of the LSH-bucketed [[graft.operators.Dedup]] path:
+    * all sample pairs scored with the native dot kernel over unit
+    * vectors, kept at or above `minCos`. The sample bound keeps the
+    * pair space fixed; the full-corpus path is the bucketed variant.
+    * Cosine values are bit-identical to DuckDB's left-fold list math
+    * (same argument as the q34 oracle), so this family gets a
+    * hash-matched member alongside the hash-seeded one.
+    */
+  def cosineNearDupExact(spark: SparkSession, dir: String,
+      sampleMod: Int = 10, minCos: Double = 0.3): DataFrame = {
+    val emb = unitVectors(spark, dir)
+      .filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id"), col("v"))
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", dotNative(col("v_a"), col("v_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Scalar int8 quantization of the embedding column — the storage /
     * bandwidth play for vector search at scale (4× smaller than float32,
     * 8× smaller than the double intermediates). Per-vector symmetric
