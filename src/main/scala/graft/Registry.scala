@@ -117,6 +117,7 @@ object Registry {
       graft.streaming.StreamingOps.userActivityTws(s, d)),
     "q91_cosine_neardup_exact" -> ((s, d) =>
       Similarity.cosineNearDupExact(s, d)),
+    "q92_repetition_signals" -> ((s, d) => TextOps.repetitionSignals(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -697,5 +698,22 @@ object Registry {
         "FROM u a JOIN u b ON a.vec_id < b.vec_id " +
         "WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x,y) -> x+y) >= 0.3 " +
         "ORDER BY id_a, id_b"),
+    "q92_repetition_signals" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "b AS (SELECT doc_id, len(toks) AS n_tokens, " +
+        "unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g FROM t), " +
+        "c AS (SELECT doc_id, g, COUNT(*) AS cnt, MIN(n_tokens) AS n_tokens FROM b GROUP BY 1, 2), " +
+        "m AS (SELECT doc_id, MIN(n_tokens) AS n_tokens, MAX(cnt) AS max_bi FROM c GROUP BY doc_id), " +
+        "tri AS (SELECT doc_id, GREATEST(len(toks) - 2, 0) AS total_tri, " +
+        "len(list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS distinct_tri FROM t) " +
+        "SELECT m.doc_id, CAST(m.n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(max_bi * 2 AS DOUBLE) / CAST(m.n_tokens AS DOUBLE) AS top_bigram_frac, " +
+        "CAST(total_tri - distinct_tri AS DOUBLE) / CAST(GREATEST(total_tri, 1) AS DOUBLE) AS dup_trigram_frac, " +
+        "CAST(CASE WHEN CAST(max_bi * 2 AS DOUBLE) / CAST(m.n_tokens AS DOUBLE) >= 0.12 " +
+        "OR CAST(total_tri - distinct_tri AS DOUBLE) / CAST(GREATEST(total_tri, 1) AS DOUBLE) >= 0.02 " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS repetition_flag " +
+        "FROM m JOIN tri USING (doc_id) ORDER BY doc_id"),
   )
 }

@@ -83,13 +83,22 @@ object TextAnalytics {
     * (O(len²) regex splits per row). Here the token expression is
     * evaluated a constant number of times per row.
     */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
+  def shingles(c: Column, n: Int): Column =
+    array_distinct(positionalShingles(c, n))
+
+  /** Positional (non-distinct) word n-grams — one per window, in
+    * order. Repetition metrics need the duplicates [[shingles]] drops.
+    */
+  def positionalShingles(c: Column, n: Int): Column =
+    positionalShinglesOfTokens(tokens(c), n)
+
+  /** Same, over an already-tokenized array column. */
+  def positionalShinglesOfTokens(t: Column, n: Int): Column = {
     val grams = (2 to n).foldLeft(t) { (acc, k) =>
       // zip_with pads the shorter (shifted) side with nulls; concat_ws
       // skips nulls, so tail entries become short grams — cut below
       zip_with(acc, slice(t, lit(k), size(t)), (a, b) => concat_ws(" ", a, b))
     }
-    array_distinct(slice(grams, lit(1), greatest(size(t) - (n - 1), lit(0))))
+    slice(grams, lit(1), greatest(size(t) - (n - 1), lit(0)))
   }
 }

@@ -341,6 +341,52 @@ object TextOps {
       .orderBy(col("lang"), col("pack_id"))
   }
 
+  /** Repetition signals (Gopher/MassiveText-style quality rules): the
+    * fraction of a document covered by its single most frequent bigram
+    * and the duplicated-trigram fraction — the filters that catch
+    * boilerplate loops and degenerate generations, complementary to
+    * q24's length/stopword/ttr metrics. The trigram signal is fully
+    * row-local (array math); the bigram mode needs a per-(doc, gram)
+    * count — a two-level map-side-combinable aggregation, the standard
+    * distributed mode-finding shape.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String,
+      maxTopBigram: Double = 0.12, maxDupTrigram: Double = 0.02): DataFrame = {
+    val toks = TextAnalytics.tokens(col("text"))
+    // persist barrier: tokenization feeds both the exploded bigram
+    // branch and the row-local trigram branch
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .persist()
+    val biMode = base
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        explode(TextAnalytics.positionalShinglesOfTokens(col("toks"), 2))
+          .as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"), min(col("n_tokens")).as("n_tokens"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("n_tokens")).as("n_tokens"), max(col("cnt")).as("max_bi"))
+    val tri = base.select(
+      col("doc_id"),
+      greatest(size(col("toks")) - 2, lit(0)).as("total_tri"),
+      size(array_distinct(
+        TextAnalytics.positionalShinglesOfTokens(col("toks"), 3)))
+        .as("distinct_tri"))
+    biMode.join(tri, "doc_id")
+      .withColumn("top_bigram_frac",
+        (col("max_bi") * 2).cast("double") / col("n_tokens").cast("double"))
+      .withColumn("dup_trigram_frac",
+        (col("total_tri") - col("distinct_tri")).cast("double") /
+          greatest(col("total_tri"), lit(1)).cast("double"))
+      .withColumn("repetition_flag",
+        when(col("top_bigram_frac") >= maxTopBigram ||
+          col("dup_trigram_frac") >= maxDupTrigram, 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("top_bigram_frac"), col("dup_trigram_frac"),
+        col("repetition_flag"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Weighted corpus mixing — the "temperature" step of a multilingual
     * training mix: each language keeps a deterministic fraction of its
     * documents (en 1.0, de/es 0.5, fr 0.25, zh 0.125) selected by
