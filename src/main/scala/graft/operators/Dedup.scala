@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graft.VectorExpressions
+
 import graft.functions.TextAnalytics
 import graft.sources.Tables
 
@@ -40,15 +42,13 @@ object Dedup {
     val sh = Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"),
-        org.apache.spark.sql.graft.VectorExpressions
-          .sortedShingleHashes(col("text"), 3).as("sh"))
+        VectorExpressions.sortedShingleHashes(col("text"), 3).as("sh"))
       .persist()
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("inter",
-        org.apache.spark.sql.graft.VectorExpressions
-          .sortedIntersectCount(col("sh_a"), col("sh_b")))
+        VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("uni",
         size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard",
@@ -78,14 +78,8 @@ object Dedup {
     * per shingle instead of one per (shingle, permutation).
     */
   def minhashSignature(sh: Column): Column =
-    org.apache.spark.sql.graft.VectorExpressions
-      .minhashNative(sh, MinhashPerms)
+    VectorExpressions.minhashNative(sh, MinhashPerms)
 
-  /** MinHash + LSH banding: shingle → 16 minhashes → 4 bands of 4 →
-    * explode bands → equi-join on (band, band signature). Candidate
-    * pairs then get their true Jaccard verified. Linear in corpus size
-    * plus bucket-local pair expansion — the 100 TB shape.
-    */
   /** Shingled corpus: (doc_id, sh64), persisted. The persist() is a
     * materialization barrier: the hash arrays are reused by several
     * branches and Catalyst's project-collapse would otherwise re-inline
@@ -102,8 +96,7 @@ object Dedup {
   private def shingledDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        org.apache.spark.sql.graft.VectorExpressions
-          .sortedShingleHashes(col("text"), 3).as("sh64"))
+        VectorExpressions.sortedShingleHashes(col("text"), 3).as("sh64"))
       .filter(size(col("sh64")) > 0)
       .persist()
 
@@ -115,8 +108,7 @@ object Dedup {
   private def bandedSignatures(docs: DataFrame): DataFrame =
     docs
       .withColumn("sig",
-        org.apache.spark.sql.graft.VectorExpressions
-          .minhashFromHashes(col("sh64"), MinhashPerms))
+        VectorExpressions.minhashFromHashes(col("sh64"), MinhashPerms))
       .select(
         col("doc_id"),
         explode(
@@ -138,13 +130,17 @@ object Dedup {
       .join(docs.select(col("doc_id").as(leftId), col("sh64").as("sh_a")), leftId)
       .join(docs.select(col("doc_id").as(rightId), col("sh64").as("sh_b")), rightId)
       .withColumn("inter",
-        org.apache.spark.sql.graft.VectorExpressions
-          .sortedIntersectCount(col("sh_a"), col("sh_b")))
+        VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .select(col(leftId), col(rightId), col("jaccard"))
       .filter(col("jaccard") >= minJaccard)
 
+  /** MinHash + LSH banding: shingle → 16 minhashes → 4 bands of 4 →
+    * explode bands → equi-join on (band, band signature). Candidate
+    * pairs then get their true Jaccard verified. Linear in corpus size
+    * plus bucket-local pair expansion — the 100 TB shape.
+    */
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingledDocs(spark, dir)
     val banded = bandedSignatures(docs).persist()
@@ -197,15 +193,14 @@ object Dedup {
     * window-min from HOFs over it.
     */
   def winnowFingerprints(text: Column, k: Int = 3, w: Int = 16): Column =
-    org.apache.spark.sql.graft.VectorExpressions.winnowHashes(text, k, w)
+    VectorExpressions.winnowHashes(text, k, w)
 
   /** HOF spelling of [[winnowFingerprints]] — O(grams·w) interpreted
     * (slice copies w elements per window); kept as the executable
     * specification the native deque kernel is asserted against.
     */
   def winnowFingerprintsHof(text: Column, k: Int = 3, w: Int = 16): Column = {
-    val h = org.apache.spark.sql.graft.VectorExpressions
-      .rollingShingleHashes(text, k)
+    val h = VectorExpressions.rollingShingleHashes(text, k)
     when(size(h) >= w,
       array_distinct(
         transform(sequence(lit(1), size(h) - (w - 1)),
@@ -290,8 +285,7 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        org.apache.spark.sql.graft.VectorExpressions
-          .simhash64(col("text")).as("simhash"))
+        VectorExpressions.simhash64(col("text")).as("simhash"))
       .filter(col("simhash").isNotNull)
       .withColumn("band16", shiftright(col("simhash"), 48))
       .orderBy(col("doc_id"))
@@ -460,7 +454,7 @@ object Dedup {
       col("v").as("v_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", org.apache.spark.sql.graft.VectorExpressions.dotNative(col("v_a"), col("v_b")))
+      .withColumn("cos", VectorExpressions.dotNative(col("v_a"), col("v_b")))
       .filter(col("cos") >= 0.4)
       .select(col("id_a"), col("id_b"), col("label_a"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
