@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.{ShingleHashes, SimHash64, SortedIntersectCount, WinnowHashes}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM property tests for the native kernels against independent
+  * reference implementations — no Spark session, so thousands of cases
+  * run in milliseconds. The references re-derive the semantics from
+  * the HOF contracts: regex-split tokens, sliding-window grams hashed
+  * with the xxhash64 builtin's call, brute-force window minima, and
+  * set-intersection counts.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val token = Gen.choose(1, 4)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+  private val ws = Gen.oneOf(" ", "  ", "\t", "\n", "\f", "\r", " \t ")
+  private val text: Gen[String] = for {
+    toks <- Gen.listOf(token)
+    seps <- Gen.listOfN(math.max(toks.size + 1, 1), ws)
+  } yield seps.head + toks.zip(seps.tail).map { case (t, s) => t + s }.mkString
+
+  private def refTokens(s: String): Seq[String] =
+    s.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  private def refGramHashes(s: String, n: Int): Seq[Long] =
+    refTokens(s).sliding(n).filter(_.size == n).map { g =>
+      val u = UTF8String.fromString(g.mkString(" "))
+      XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+    }.toSeq
+
+  test("ShingleHashes positional mode == sliding-window reference") {
+    check(Prop.forAll(text, Gen.choose(1, 4)) { (s, n) =>
+      val got = ShingleHashes
+        .compute(UTF8String.fromString(s), n, distinct = false).toLongArray()
+      got.toSeq == refGramHashes(s, n)
+    })
+  }
+
+  test("ShingleHashes distinct mode == first-occurrence distinct reference") {
+    check(Prop.forAll(text) { s =>
+      val got = ShingleHashes
+        .compute(UTF8String.fromString(s), 3, distinct = true).toLongArray()
+      got.toSeq == refGramHashes(s, 3).distinct
+    })
+  }
+
+  test("ShingleHashes sorted mode == sorted distinct reference") {
+    check(Prop.forAll(text) { s =>
+      val got = ShingleHashes
+        .compute(UTF8String.fromString(s), 3, distinct = true, sorted = true)
+        .toLongArray()
+      got.toSeq == refGramHashes(s, 3).distinct.sorted
+    })
+  }
+
+  test("WinnowHashes == brute-force window minima") {
+    check(Prop.forAll(text, Gen.choose(1, 6)) { (s, w) =>
+      val h = refGramHashes(s, 3)
+      val expected =
+        if (h.isEmpty) Seq.empty[Long]
+        else if (h.size < w) Seq(h.min)
+        else h.sliding(w).filter(_.size == w).map(_.min).toSeq.distinct
+      val got = WinnowHashes
+        .compute(UTF8String.fromString(s), 3, w).toLongArray()
+      got.toSeq == expected
+    })
+  }
+
+  test("SortedIntersectCount == set intersection size on sorted arrays") {
+    val longs = Gen.listOf(Gen.choose(-50L, 50L)) // small domain → overlaps
+    check(Prop.forAll(longs, longs) { (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val got = SortedIntersectCount.compute(
+        new GenericArrayData(sa.toArray), new GenericArrayData(sb.toArray))
+      got == (sa.toSet intersect sb.toSet).size
+    })
+  }
+
+  test("SortedIntersectCount tolerates duplicate values (still set count)") {
+    val longs = Gen.listOf(Gen.choose(-10L, 10L))
+    check(Prop.forAll(longs, longs) { (a, b) =>
+      val sa = a.sorted // sorted but NOT distinct
+      val sb = b.sorted
+      val got = SortedIntersectCount.compute(
+        new GenericArrayData(sa.toArray), new GenericArrayData(sb.toArray))
+      got == (sa.toSet intersect sb.toSet).size
+    })
+  }
+
+  test("SimHash64 == per-bit majority reference") {
+    check(Prop.forAll(text) { s =>
+      val hs = refTokens(s).map { t =>
+        val u = UTF8String.fromString(t)
+        XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+      }
+      val got = Option(SimHash64.compute(UTF8String.fromString(s)))
+      if (hs.isEmpty) got.isEmpty
+      else {
+        val expected = (0 until 64).foldLeft(0L) { (acc, b) =>
+          val ones = hs.count(h => ((h >>> b) & 1L) == 1L)
+          if (2 * ones >= hs.size) acc | (1L << b) else acc
+        }
+        got.contains(expected)
+      }
+    })
+  }
+}
