@@ -201,21 +201,34 @@ object TextOps {
     * unigram vocabulary (1e8+ rows) cannot live on the driver, so the
     * plan must stay a shuffle join at 100 TB — locally AQE sees the
     * small vocabulary at runtime and converts to broadcast on its own.
+    *
+    * The corpus is scanned and tokenized exactly ONCE: the exploded
+    * token stream is immediately collapsed to `(doc_id, tok) → cnt`
+    * (map-side combine shrinks it to per-doc vocabulary size) and
+    * persisted as the single shared base. The global frequency table
+    * re-aggregates those counts (no second scan), and the per-doc
+    * score is the cnt-weighted mean — identical to the token-level
+    * mean the oracle computes, since each token's log-prob appears
+    * cnt times.
     */
   def unigramLmScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val docTok = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(TextAnalytics.tokens(col("text"))).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist() // barrier: freq derives from this, no re-tokenize
+    val freq = docTok.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
     val total = freq.agg(sum(col("tf")).as("n_total"))
-    toks
+    docTok
       .join(freq, "tok")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        avg(log(col("tf").cast("double") / col("n_total").cast("double")))
-          .as("avg_logprob"))
+        sum(col("cnt")).as("n_tokens"),
+        (sum(col("cnt").cast("double") *
+            log(col("tf").cast("double") / col("n_total").cast("double"))) /
+          sum(col("cnt")).cast("double")).as("avg_logprob"))
       .orderBy(col("doc_id"))
   }
 
