@@ -70,8 +70,59 @@ object Bench {
     // dev aid: SPARK_GRAFT_ONLY=q62,q66 times a subset (unset = all)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // dev aid: SPARK_GRAFT_REVERSE=1 runs the suite in reverse name
+    // order — if session degradation follows run POSITION the victims
+    // flip; if it follows specific predecessors they don't
+    val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered =
+      if (sys.env.contains("SPARK_GRAFT_REVERSE")) ordered0.reverse
+      else ordered0
+    val selected = ordered
       .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
+
+    // --- session-health profiling (bench_profile.jsonl, one line per
+    // query): heap, process RSS, spark/graft temp-dir footprint, and
+    // raw-RDD persist count — the attribution data for any run-order
+    // performance drift in the long 92-query session.
+    def rssMb: Long = try {
+      scala.io.Source.fromFile("/proc/self/status").getLines()
+        .find(_.startsWith("VmRSS"))
+        .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+    def tmpMb: Long = try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val tmp = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"))
+      Files.list(tmp).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("spark-") || n.startsWith("blockmgr-") ||
+            n.startsWith("graft_")
+        }
+        .map { p =>
+          try Files.walk(p).iterator().asScala
+            .filter(Files.isRegularFile(_)).map(_.toFile.length()).sum
+          catch { case _: Throwable => 0L }
+        }.sum / (1024 * 1024)
+    } catch { case _: Throwable => -1L }
+    val profilePath = java.nio.file.Paths.get("bench_profile.jsonl")
+    try java.nio.file.Files.deleteIfExists(profilePath)
+    catch { case _: Throwable => () }
+    def profile(name: String, sec: Double): Unit = try {
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      val sc = spark.sparkContext
+      val nRdd = sc.getPersistentRDDs.size
+      val storageMb = sc.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum / (1024 * 1024)
+      val line = s"""{"q":"$name","sec":${"%.3f".format(sec)},""" +
+        s""""heap_mb":$heapMb,"rss_mb":$rssMb,"tmp_mb":$tmpMb,""" +
+        s""""persistent_rdds":$nRdd,"storage_mb":$storageMb}""" + "\n"
+      java.nio.file.Files.write(profilePath, line.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
+
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -79,6 +130,7 @@ object Bench {
       // release per-query persist() caches so later queries get the
       // full execution-memory pool (see Caches for the contract)
       Caches.releaseAll(spark)
+      profile(name, dt)
       name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
