@@ -646,14 +646,14 @@ object Registry {
         "COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
         "FROM t GROUP BY 1, 2 ORDER BY lang, bucket"),
     "q84_sequence_packing" ->
-      ("WITH t AS (SELECT lang, doc_id, CAST(len(list_filter(" +
+      ("WITH t AS (SELECT lang, doc_id, doc_id % 8 AS shard, CAST(len(list_filter(" +
         "string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), " +
-        "o AS (SELECT lang, doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER (" +
-        "PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off " +
+        "o AS (SELECT lang, doc_id, shard, n_tokens, COALESCE(SUM(n_tokens) OVER (" +
+        "PARTITION BY lang, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off " +
         "FROM t) " +
-        "SELECT lang, CAST(FLOOR(off / 2048) AS BIGINT) AS pack_id, COUNT(*) AS n_docs, " +
+        "SELECT lang, shard, CAST(FLOOR(off / 2048) AS BIGINT) AS pack_id, COUNT(*) AS n_docs, " +
         "CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens, MIN(doc_id) AS first_doc " +
-        "FROM o GROUP BY 1, 2 ORDER BY lang, pack_id"),
+        "FROM o GROUP BY 1, 2, 3 ORDER BY lang, shard, pack_id"),
     "q85_bucketed_join" ->
       ("SELECT o_orderkey, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue, " +

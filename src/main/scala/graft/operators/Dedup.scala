@@ -215,30 +215,38 @@ object Dedup {
     * fingerprint, keep pairs sharing at least `minShared`. Two bounds
     * keep the pair work linear at corpus scale: selection density is
     * ~2/(w+1) of the gram count, and fingerprints appearing in more
-    * than `maxPostings` documents are dropped before the self-join —
+    * than `maxPostings` documents are dropped before pair expansion —
     * the stop-fingerprint cap standard in plagiarism detection
     * (boilerplate runs shared by thousands of docs carry no dedup
     * signal but would square the join). Complementary to whole-document
     * minhash: this finds documents sharing SEGMENTS.
     */
   def winnowNearDup(spark: SparkSession, dir: String,
+      minShared: Int = 2, maxPostings: Int = 20): DataFrame =
+    winnowNearDupDf(Tables.documents(spark, dir), minShared, maxPostings)
+
+  /** [[winnowNearDup]] over an explicit `(doc_id, text)` corpus —
+    * the injectable form the pair-level brute-force test drives.
+    */
+  def winnowNearDupDf(docs: DataFrame,
       minShared: Int = 2, maxPostings: Int = 20): DataFrame = {
-    val fps = Tables.documents(spark, dir)
+    val fps = docs
       .select(col("doc_id"),
         explode(winnowFingerprints(col("text"))).as("fp"))
-      .persist()
-    val hot = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxPostings)
-      .select(col("fp"))
-    val kept = fps.join(hot, Seq("fp"), "left_anti")
-    // posting-list pair generation: one groupBy builds each surviving
-    // fingerprint's (≤ maxPostings) doc list; pairs expand from the
-    // list with HOFs — map-side, no self-join shuffle. collect_set is
-    // memory-safe only BECAUSE the hot filter ran first.
-    val posting = kept.groupBy(col("fp"))
+    // posting-list pair generation in ONE corpus pass: the groupBy
+    // builds each fingerprint's doc list and the stop-fingerprint cap
+    // is the size filter on the collected list — exactly equivalent to
+    // a separate df-count pre-filter because per-doc fingerprints are
+    // distinct (array_distinct in the spec, kernel bit-equal), so
+    // size(collect_set) == df. Pairs then expand from the ≤maxPostings
+    // lists with HOFs — map-side, no self-join shuffle. A pathological
+    // boilerplate fingerprint's agg buffer is transient: collected
+    // once, fails the cap, dropped — the price of saving the two extra
+    // corpus passes (hot groupBy + anti-join) the old shape paid to
+    // never collect it.
+    val posting = fps.groupBy(col("fp"))
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) >= 2)
+      .filter(size(col("docs")).between(2, maxPostings))
     posting
       .select(explode(flatten(transform(col("docs"), (x, i) =>
         transform(slice(col("docs"), i + 2, size(col("docs"))),
@@ -357,6 +365,19 @@ object Dedup {
     // by round 12). Truncating lineage to the materialized blocks keeps
     // planning O(1) per round; at cluster scale the same call becomes a
     // reliable checkpoint() for fault tolerance across long jobs.
+    // Checkpoint-block bookkeeping: localCheckpoint persists raw RDDs
+    // that the SQL CacheManager never sees, so superseded rounds must
+    // be freed HERE, deterministically — waiting for driver GC +
+    // ContextCleaner leaves round-sized blocks squatting in the
+    // unified memory pool for the rest of the session (observed as
+    // nondeterministic multi-x slowdowns of whatever ran next).
+    val sc = edges.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def freeIds(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id)
+        .foreach(r => try r.unpersist(blocking = false)
+          catch { case _: Throwable => () }))
+    val before0 = persistedIds
     var labels = nodes
       .map(_.select(col("id")))
       .getOrElse(sym.select(col("src").as("id")).distinct())
@@ -364,6 +385,7 @@ object Dedup {
       .select(col("id"),
         least(col("id"), coalesce(col("nmin0"), col("id"))).as("label"))
       .localCheckpoint(true)
+    var prevCkpt = persistedIds -- before0
     var changed = 1L
     var it = 0
     try {
@@ -379,11 +401,18 @@ object Dedup {
         // component constant). Checkpoint HERE — the edge-sized join
         // above is the expensive subtree, and the self-join below would
         // otherwise execute it twice per round.
+        val before = persistedIds
         val propagated = labels.join(nmin, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
             (col("nmin") < col("label")).as("chg"))
           .localCheckpoint(true)
+        // the eager checkpoint above materialized this round from the
+        // previous round's blocks — nothing references those anymore,
+        // so free them now instead of leaving them to GC pacing
+        val thisRound = persistedIds -- before
+        freeIds(prevCkpt)
+        prevCkpt = thisRound
         changed = propagated.filter(col("chg")).count() // scan of cached blocks
         // pointer jumping: label(v) <- label(label(v)). Labels are always
         // member node ids, so the lookup side is the label table itself;
@@ -391,8 +420,9 @@ object Dedup {
         // caller passes an incomplete `nodes` set) keeps its value. Both
         // sides read the materialized blocks, and the uncheckpointed
         // join keeps the next round's plan depth bounded (its inputs are
-        // truncated). Superseded rounds' checkpoint blocks free via
-        // ContextCleaner once unreferenced — O(1) live rounds, GC-paced.
+        // truncated). Exactly one round's checkpoint blocks are live at
+        // any time (freeIds above); the final round's back the returned
+        // DataFrame and are released by Caches.releaseAll.
         labels = propagated.as("a")
           .join(propagated.select(col("id").as("lid"),
             col("label").as("llabel")).as("b"),

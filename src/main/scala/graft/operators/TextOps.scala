@@ -327,31 +327,44 @@ object TextOps {
       .orderBy(col("lang"), col("bucket"))
   }
 
-  /** Greedy sequence packing: documents stream (per language, in
+  /** Greedy sequence packing: documents stream (per pack stream, in
     * doc_id order) into fixed `capacity`-token context windows — each
     * doc lands in the pack where its cumulative offset starts, the
     * contiguous-fill packing used to batch pretraining data. The only
-    * state is a running token sum (window function, one shuffle on
-    * lang); a doc longer than the remaining space spills into the next
-    * pack, so fill can exceed 1.0 on boundary packs — exactly the
-    * behavior a downstream splitter expects.
+    * state is a running token sum (window function); a doc longer than
+    * the remaining space spills into the next pack, so fill can exceed
+    * 1.0 on boundary packs — exactly the behavior a downstream
+    * splitter expects.
+    *
+    * Pack streams are `(lang, shard)`, NOT bare `lang`: a window
+    * partitioned only by language would sort each language's ENTIRE
+    * token stream in one task — the single-task scale killer at
+    * 100 TB. Sharding by `doc_id % numShards` keeps every window
+    * partition ~corpus/(langs·shards) and each shard still packs
+    * contiguously; packs never span shards, which is what a parallel
+    * writer wants anyway (each shard is an independent output stream).
+    * The modulus (not a hash) keeps the shard function exactly
+    * reproducible in the SQL oracle; sequential doc_ids spread
+    * uniformly. numShards is the knob you raise with corpus size.
     */
   def sequencePacking(spark: SparkSession, dir: String,
-      capacity: Int = 2048): DataFrame = {
+      capacity: Int = 2048, numShards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"),
+        pmod(col("doc_id"), lit(numShards.toLong)).as("shard"),
         TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"))
       .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("pack_id", floor(col("offset") / capacity))
-      .groupBy(col("lang"), col("pack_id"))
+      .groupBy(col("lang"), col("shard"), col("pack_id"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("pack_tokens"),
         min(col("doc_id")).as("first_doc"))
-      .orderBy(col("lang"), col("pack_id"))
+      .orderBy(col("lang"), col("shard"), col("pack_id"))
   }
 
   /** Repetition signals (Gopher/MassiveText-style quality rules): the

@@ -43,7 +43,10 @@ object Http {
       startAfter: Long = -1L,
       pageSize: Int = 1000,
       maxPages: Int = 100000): DataFrame = {
-    val spool = Files.createTempDirectory("graft_http_spool_")
+    // tracked for deletion at Caches.releaseAll — the returned
+    // DataFrame reads the spool lazily, so it must outlive this call
+    val spool = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_http_spool_"))
     val client = HttpClient.newHttpClient()
     val cursorRe = ("\"" + java.util.regex.Pattern.quote(idField) +
       "\"\\s*:\\s*(-?\\d+)").r

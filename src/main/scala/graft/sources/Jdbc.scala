@@ -28,6 +28,18 @@ object Jdbc {
   def tempDerbyUrl(tag: String): String = {
     val dir = Files.createTempDirectory(s"graft_derby_${tag}_")
     System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    // post-consumption hygiene: cleanly shut down THIS database (the
+    // expected success signal is SQLState 08006, thrown), then hand
+    // the directory to the temp-dir sweep (Caches runs hooks before
+    // deleting tracked dirs, so the registration below is picked up
+    // in the same releaseAll pass)
+    graft.Caches.onRelease { () =>
+      try java.sql.DriverManager
+        .getConnection(s"jdbc:derby:$dir/db;shutdown=true")
+      catch { case _: Throwable => () }
+      graft.Caches.trackTempDir(dir)
+      ()
+    }
     s"jdbc:derby:$dir/db;create=true"
   }
 

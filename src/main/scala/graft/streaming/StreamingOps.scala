@@ -115,8 +115,15 @@ object StreamingOps {
   private def runToDeltaSink(spark: SparkSession, df: DataFrame,
       tag: String,
       mode: OutputMode = OutputMode.Update): DataFrame = {
-    val sinkDir = Files.createTempDirectory(
-      s"graft_${tag}_${counter.incrementAndGet()}_").toString
+    // Both residues of a one-shot stream are handed to Caches for the
+    // post-consumption release: the parquet delta-sink dir (read
+    // lazily by the returned DataFrame, so it cannot be deleted here)
+    // and the state-store providers the stream leaves loaded
+    // (HDFS-map heap / RocksDB native memory — see SessionHygiene).
+    val sinkDir = graft.Caches.trackTempDir(Files.createTempDirectory(
+      s"graft_${tag}_${counter.incrementAndGet()}_")).toString
+    graft.Caches.onRelease(
+      () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
     val out = df.withColumn("batch_id", lit(-1L))
     // Stateful streaming cost is dominated by per-partition state-store
     // instances; the state cardinality here (windows × types / user

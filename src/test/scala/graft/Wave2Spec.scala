@@ -140,6 +140,59 @@ class Wave2Spec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Int]("n") >= 1))
   }
 
+  test("winnow near-dup pairs equal brute-force shared-fingerprint counts") {
+    import spark.implicits._
+    val minShared = 2
+    val maxPostings = 20
+    // corpus = real docs + crafted near-dups (doc pairs sharing long
+    // segments, guaranteeing a non-vacuous expected pair set) + a
+    // boilerplate run shared by > maxPostings docs that the stop-
+    // fingerprint cap must drop
+    val boiler = (1 to 40).map(i => s"common boiler segment token$i").mkString(" ")
+    val segA = (1 to 60).map(i => s"alpha$i").mkString(" ")
+    val segB = (1 to 60).map(i => s"beta$i").mkString(" ")
+    val crafted =
+      Seq((9001L, s"$segA unique tail one"),
+        (9002L, s"$segA unique tail two entirely"),
+        (9003L, s"$segB other head $segA"),
+        (9004L, s"$segB standalone")) ++
+        (9100L until 9130L).map(i => (i, s"$boiler distinct$i"))
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .union(crafted.toDF("doc_id", "text"))
+    // ground truth from the independently-specified HOF fingerprints,
+    // with the same cap rule applied doc-set-wise
+    val fps = docs
+      .select(col("doc_id"), Dedup.winnowFingerprintsHof(col("text")).as("fp"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet)
+    val byFp = fps.flatMap { case (id, s) => s.iterator.map(_ -> id) }
+      .groupBy(_._1).map { case (fp, xs) => fp -> xs.map(_._2).toSet }
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byFp.values.filter(ds => ds.size >= 2 && ds.size <= maxPostings)
+      .foreach { ds =>
+        val sorted = ds.toSeq.sorted
+        for (i <- sorted.indices; j <- (i + 1) until sorted.length) {
+          val k = (sorted(i), sorted(j))
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + 1L
+        }
+      }
+    val expected = pairCounts.collect {
+      case ((a, b), n) if n >= minShared => (a, b, n)
+    }.toSet
+    val got = Dedup.winnowNearDupDf(docs, minShared, maxPostings).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared"))).toSet
+    assert(got == expected)
+    // the crafted segment-sharers are found; the boilerplate cluster
+    // (30 docs > maxPostings sharing only the capped run) is not
+    assert(got.exists { case (a, b, _) => a == 9001L && b == 9002L })
+    assert(got.exists { case (a, b, _) => Set(a, b) == Set(9001L, 9003L) })
+    val boilerIds = (9100L until 9130L).toSet
+    assert(!got.exists { case (a, b, _) =>
+      boilerIds.contains(a) && boilerIds.contains(b) })
+  }
+
   test("native simhash kernel equals the relational spec bit-for-bit") {
     val native = Dedup.simhash(spark, sfDir).collect()
     val spec = Dedup.simhashRelational(spark, sfDir).collect()
