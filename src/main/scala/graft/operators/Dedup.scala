@@ -182,6 +182,36 @@ object Dedup {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
+  /** [[incrementalMinhash]] with the historical band table as a real
+    * stored artifact: on first call the corpus bands are written to
+    * `bandTablePath` (parquet, partitionable by band); subsequent runs
+    * READ the table and band only the new batch — the signatures are
+    * content-addressed, so the historical side is never recomputed and
+    * per-run work is proportional to the batch. This is the
+    * between-runs persistence the in-memory variant documents;
+    * Wave2Spec asserts both paths produce identical pairs.
+    */
+  def incrementalMinhashPersisted(spark: SparkSession, dir: String,
+      bandTablePath: String,
+      batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
+    val docs = shingledDocs(spark, dir)
+    val isBatch = col("doc_id") % batchMod === batchRem
+    val path = new org.apache.hadoop.fs.Path(bandTablePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      bandedSignatures(docs.filter(!isBatch))
+        .write.mode("overwrite").parquet(bandTablePath)
+    val corpusBands = spark.read.parquet(bandTablePath)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
+    val newBands = bandedSignatures(docs.filter(isBatch))
+      .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
+    val pairs = corpusBands.join(newBands, Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    verifiedJaccard(pairs, docs, "new_id", "corpus_id", 0.5)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   /** Winnowing fingerprints (the MOSS rolling-hash scheme, Schleimer/
     * Wilkerson/Aiken 2003): over the POSITIONAL sequence of k-gram
     * hashes, keep the minimum of each sliding window of `w` hashes —

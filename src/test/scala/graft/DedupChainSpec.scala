@@ -62,6 +62,30 @@ class DedupChainSpec extends SparkSpec {
       s"incremental ${got.size} pairs vs cross-split ${expected.size}")
   }
 
+  test("persisted-band-table incremental minhash equals the in-memory path") {
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_bandtable_").toString + "/bands"
+    try {
+      def collectPairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[Double]("jaccard"))).toSet
+      val inMem = collectPairs(Dedup.incrementalMinhash(spark, sfDir))
+      // first call writes the historical band table...
+      val first = collectPairs(
+        Dedup.incrementalMinhashPersisted(spark, sfDir, tableDir))
+      assert(first == inMem)
+      // ...second call must READ it (corpus side never recomputed)
+      assert(new java.io.File(tableDir).exists())
+      val second = collectPairs(
+        Dedup.incrementalMinhashPersisted(spark, sfDir, tableDir))
+      assert(second == inMem)
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tableDir).getParentFile)
+    }
+  }
+
   test("approx percentiles land inside the exact p45-p55 / p85-p95 envelope") {
     val exact = Relational.percentilesEnvelope(spark, sfDir).collect()
       .map(r => r.getAs[String]("event_type") ->
