@@ -98,6 +98,31 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("SlotFoldAggregator: any partitioning + merge order gives one result") {
+    import graft.functions.{SlotFoldAggregator => A, SlotFoldInput}
+    val toks = Gen.choose(0, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("111-0001", "111-0002", "222-9999",
+        "333-1234", "444-5678", "555-0000")))
+    val inputs = Gen.listOf(toks).map(_.zipWithIndex.map {
+      // distinct seq per row — ties would make arrival order, and thus
+      // the fold, genuinely ambiguous (the real extractor emits one
+      // row per event with a unique event seq)
+      case (ts, i) => SlotFoldInput(1L, i.toLong, ts)
+    })
+    check(Prop.forAll(inputs, Gen.choose(0L, Long.MaxValue)) { (in, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val direct = A.finish(in.foldLeft(A.zero)(A.reduce))
+      val shuffled = rnd.shuffle(in)
+      val k = 1 + rnd.nextInt(4)
+      val parts = if (shuffled.isEmpty) List(Nil)
+        else shuffled.grouped(math.max(1, shuffled.size / k)).toList
+      val bufs = parts.map(_.foldLeft(A.zero)(A.reduce))
+      val leftFold = bufs.foldLeft(A.zero)(A.merge)
+      val rightFold = bufs.foldRight(A.zero)((b, acc) => A.merge(acc, b))
+      A.finish(leftFold) == direct && A.finish(rightFold) == direct
+    })
+  }
+
   test("SimHash64 == per-bit majority reference") {
     check(Prop.forAll(text) { s =>
       val hs = refTokens(s).map { t =>
