@@ -35,6 +35,41 @@ object Http {
     * @param idField  monotonically increasing keyset field; the last
     *                 line of each page carries the next cursor
     */
+  /** Transient-failure policy for the page loop (L6) — the same capped
+    * linear backoff as the reference's reconnect strategy
+    * (`src/database/redisClient.js:4-16`): attempt `n` sleeps
+    * `min(n * 100 ms, 3 s)`, giving up after `maxRetries`. Retryable:
+    * connect/IO errors, HTTP 429 and 5xx. Client errors (other 4xx)
+    * fail immediately — retrying a bad request can't help.
+    */
+  private[sources] def sendWithRetry(
+      client: HttpClient, req: HttpRequest,
+      maxRetries: Int = 10,
+      sleep: Long => Unit = Thread.sleep): HttpResponse[String] = {
+    var attempt = 0
+    while (true) {
+      val retryable: Boolean =
+        try {
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+          val sc = resp.statusCode()
+          if (sc / 100 == 2) return resp
+          if (sc == 429 || sc / 100 == 5) true
+          else throw new IllegalStateException(
+            s"HTTP $sc from ${req.uri} (non-retryable)")
+        } catch {
+          case _: java.io.IOException => true
+        }
+      if (retryable) {
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new IllegalStateException(
+            s"HTTP fetch failed after $maxRetries retries: ${req.uri}")
+        sleep(math.min(attempt * 100L, 3000L))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def fetchKeysetPaginated(
       spark: SparkSession,
       pageUrl: (Long, Int) => String,
@@ -42,7 +77,8 @@ object Http {
       idField: String,
       startAfter: Long = -1L,
       pageSize: Int = 1000,
-      maxPages: Int = 100000): DataFrame = {
+      maxPages: Int = 100000,
+      maxRetries: Int = 10): DataFrame = {
     // tracked for deletion at Caches.releaseAll — the returned
     // DataFrame reads the spool lazily, so it must outlive this call
     val spool = graft.Caches.trackTempDir(
@@ -57,10 +93,7 @@ object Http {
     while (!done && page < maxPages) {
       val uri = URI.create(pageUrl(after, pageSize))
       val req = HttpRequest.newBuilder(uri).GET().build()
-      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() / 100 != 2)
-        throw new IllegalStateException(
-          s"page $page: HTTP ${resp.statusCode()} from $uri")
+      val resp = sendWithRetry(client, req, maxRetries)
       val lines = resp.body().split('\n').iterator
         .map(_.trim).filter(_.nonEmpty).toArray
       if (lines.isEmpty) done = true

@@ -68,4 +68,83 @@ class HttpSpec extends SparkSpec {
       assert(requests.get() == 3)
     } finally server.stop(0)
   }
+
+  test("transient 5xx pages are retried with capped backoff; 4xx is not") {
+    val requests = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/flaky", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        // every third request succeeds; the two before it fail 500/429
+        val n = requests.incrementAndGet()
+        if (n % 3 != 0) {
+          ex.sendResponseHeaders(if (n % 3 == 1) 500 else 429, -1)
+          ex.close()
+        } else {
+          val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+            .split('&').filter(_.contains("=")).map { kv =>
+              val Array(k, v) = kv.split("=", 2); k -> v
+            }.toMap
+          val after = params.getOrElse("after", "-1").toLong
+          val rows = ((after + 1) until 250L).take(100)
+            .map(i => s"""{"id":$i,"name":"row_$i","score":0.5}""")
+          val body = rows.mkString("\n").getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
+          if (body.nonEmpty) ex.getResponseBody.write(body)
+          ex.close()
+        }
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val df = Http.fetchKeysetPaginated(
+        spark,
+        (after, limit) => s"http://127.0.0.1:$port/flaky?after=$after&limit=$limit",
+        schema, idField = "id", pageSize = 100)
+      assert(df.count() == 250)
+      // 3 logical pages (100+100+50), each costing 3 requests
+      assert(requests.get() == 9)
+    } finally server.stop(0)
+    // non-retryable 4xx: fails immediately, exactly one request
+    val reqs4 = new AtomicInteger(0)
+    val srv4 = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    srv4.createContext("/bad", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        reqs4.incrementAndGet()
+        ex.sendResponseHeaders(403, -1); ex.close()
+      }
+    })
+    srv4.start()
+    try {
+      val port = srv4.getAddress.getPort
+      val e = intercept[IllegalStateException] {
+        Http.fetchKeysetPaginated(
+          spark, (a, l) => s"http://127.0.0.1:$port/bad?after=$a&limit=$l",
+          schema, idField = "id", pageSize = 100)
+      }
+      assert(e.getMessage.contains("non-retryable"))
+      assert(reqs4.get() == 1)
+    } finally srv4.stop(0)
+    // retry budget exhausts: a permanently-down endpoint gives up after
+    // maxRetries with the backoff schedule, not an infinite loop
+    val reqs5 = new AtomicInteger(0)
+    val srv5 = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    srv5.createContext("/down", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        reqs5.incrementAndGet()
+        ex.sendResponseHeaders(503, -1); ex.close()
+      }
+    })
+    srv5.start()
+    try {
+      val port = srv5.getAddress.getPort
+      val e = intercept[IllegalStateException] {
+        Http.fetchKeysetPaginated(
+          spark, (a, l) => s"http://127.0.0.1:$port/down?after=$a&limit=$l",
+          schema, idField = "id", pageSize = 100, maxRetries = 2)
+      }
+      assert(e.getMessage.contains("after 2 retries"))
+      assert(reqs5.get() == 3) // initial + 2 retries
+    } finally srv5.stop(0)
+  }
 }
