@@ -118,6 +118,8 @@ object Registry {
     "q91_cosine_neardup_exact" -> ((s, d) =>
       Similarity.cosineNearDupExact(s, d)),
     "q92_repetition_signals" -> ((s, d) => TextOps.repetitionSignals(s, d)),
+    "q93_response_projection" -> ((s, d) =>
+      Pipelines.responseProjection(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -715,5 +717,15 @@ object Registry {
         "OR CAST(total_tri - distinct_tri AS DOUBLE) / CAST(GREATEST(total_tri, 1) AS DOUBLE) >= 0.02 " +
         "THEN 1 ELSE 0 END AS BIGINT) AS repetition_flag " +
         "FROM m JOIN tri USING (doc_id) ORDER BY doc_id"),
+    "q93_response_projection" ->
+      ("WITH b AS (SELECT CAST(FLOOR(event_id / 1000) AS BIGINT) AS batch_no, " +
+        "COUNT(*) AS cnt, MAX(event_id) AS last_id, " +
+        "CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ic, " +
+        "CAST(SUM(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS uc " +
+        "FROM events LEFT JOIN customer ON user_id = c_custkey GROUP BY 1) " +
+        "SELECT batch_no, '{\"message\":\"Batch completed\",\"batch_no\":' || batch_no || " +
+        "',\"count\":' || cnt || ',\"lastId\":' || last_id || " +
+        "',\"insertCount\":' || ic || ',\"updateCount\":' || uc || '}' AS response " +
+        "FROM b ORDER BY batch_no"),
   )
 }

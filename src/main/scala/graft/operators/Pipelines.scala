@@ -65,4 +65,37 @@ object Pipelines {
       sum(size(col("slots")) - size(filter(col("slots"), x => x.isNull)))
         .as("phones_in_slots"))
   }
+
+  /** K9 — the API response projection
+    * (`contactpoint.controller.js:146-155`): per processed batch, the
+    * JSON body the reference returns (`message`, `batch_no`, `count`,
+    * `lastId`, `insertCount`, `updateCount`). Batches are keyset pages
+    * (event_id div pageSize); insert-vs-update routing reuses the q04
+    * semantics (unknown vs known user against the customer registry).
+    * The body is built by string concatenation, not `to_json`, so the
+    * bytes are engine-portable (the oracle concatenates identically) —
+    * timing fields are the harness's job (L5), not the projection's.
+    */
+  def responseProjection(spark: SparkSession, dir: String,
+      pageSize: Int = 1000): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val registry = broadcast(
+      Tables.customer(spark, dir).select(col("c_custkey")))
+    ev.join(registry, col("user_id") === col("c_custkey"), "left")
+      .groupBy(floor(col("event_id") / pageSize).cast("long").as("batch_no"))
+      .agg(
+        count(lit(1)).as("count"),
+        max(col("event_id")).as("last_id"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("insert_count"),
+        sum(when(col("c_custkey").isNotNull, 1L).otherwise(0L)).as("update_count"))
+      .select(col("batch_no"),
+        concat(
+          lit("{\"message\":\"Batch completed\",\"batch_no\":"), col("batch_no"),
+          lit(",\"count\":"), col("count"),
+          lit(",\"lastId\":"), col("last_id"),
+          lit(",\"insertCount\":"), col("insert_count"),
+          lit(",\"updateCount\":"), col("update_count"),
+          lit("}")).as("response"))
+      .orderBy(col("batch_no"))
+  }
 }
