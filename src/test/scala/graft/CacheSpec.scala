@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Similarity}
+import graft.streaming.StreamingOps
 
 /** The cache-lifetime contract (see [[Caches]]): queries may persist
   * barrier intermediates; after the caller consumes a result,
@@ -17,5 +18,27 @@ class CacheSpec extends SparkSpec {
     Caches.releaseAll(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "releaseAll must leave no cached RDDs behind")
+  }
+
+  test("releaseAll reclaims localCheckpoint blocks and temp spool dirs") {
+    import scala.jdk.CollectionConverters._
+    def graftTmpDirs: Set[String] = java.nio.file.Files
+      .list(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir", "/tmp")))
+      .iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("graft_")).toSet
+    val before = graftTmpDirs
+    // residue-heavy paths: connected components (raw localCheckpoint
+    // persists, invisible to the SQL cache) and a streaming query
+    // (temp delta-sink dir + loaded state-store providers)
+    Dedup.dupClusters(spark, sfDir).count()
+    StreamingOps.hourlyWindowCounts(spark, sfDir).count()
+    assert(graftTmpDirs.size > before.size,
+      "the streaming query should have spooled a temp sink dir")
+    Caches.releaseAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "raw RDD persists (localCheckpoint blocks) must be freed")
+    assert(graftTmpDirs.subsetOf(before),
+      s"temp dirs not swept: ${(graftTmpDirs -- before).mkString(", ")}")
   }
 }
