@@ -120,6 +120,7 @@ object Registry {
     "q92_repetition_signals" -> ((s, d) => TextOps.repetitionSignals(s, d)),
     "q93_response_projection" -> ((s, d) =>
       Pipelines.responseProjection(s, d)),
+    "q94_span_dedup" -> ((s, d) => Dedup.spanDedup(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -727,5 +728,19 @@ object Registry {
         "',\"count\":' || cnt || ',\"lastId\":' || last_id || " +
         "',\"insertCount\":' || ic || ',\"updateCount\":' || uc || '}' AS response " +
         "FROM b ORDER BY batch_no"),
+    "q94_span_dedup" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "f AS (SELECT * FROM t WHERE len(toks) > 0), " +
+        "s AS (SELECT doc_id, unnest(list_transform(" +
+        "range(0, CAST(CEIL(CAST(len(toks) AS DOUBLE) / 25) AS BIGINT)), " +
+        "i -> md5(array_to_string(toks[i * 25 + 1 : i * 25 + 25], ' ')))) AS span_hash FROM f), " +
+        "g AS (SELECT span_hash, doc_id, COUNT(*) AS occ FROM s GROUP BY 1, 2), " +
+        "w AS (SELECT *, COUNT(*) OVER (PARTITION BY span_hash) AS span_docs FROM g) " +
+        "SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_spans, " +
+        "CAST(SUM(CASE WHEN span_docs >= 2 THEN occ ELSE 0 END) AS BIGINT) AS n_dup_spans, " +
+        "CAST(SUM(CASE WHEN span_docs >= 2 THEN occ ELSE 0 END) AS DOUBLE) / " +
+        "CAST(SUM(occ) AS DOUBLE) AS dup_span_ratio " +
+        "FROM w GROUP BY doc_id ORDER BY doc_id"),
   )
 }

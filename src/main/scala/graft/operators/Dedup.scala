@@ -519,4 +519,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("label_a"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Cross-document repeated-span detection (q94): each document scored
+    * by the fraction of its fixed-width token spans that also occur in
+    * some OTHER document — the C4/RefinedWeb "boilerplate fraction"
+    * filter signal at span granularity (exact-substring dedup
+    * approximated on non-overlapping windows, cf. Lee et al. 2022).
+    *
+    * Scale shape: one scan; spans leave the map side as md5 hashes only
+    * (never the span text), then a linear chain of three narrow-payload
+    * shuffles — (hash, doc) pre-aggregation with map-side combine, a
+    * cross-doc count window over hash, and the per-doc rollup. No
+    * self-join, no second pass over the corpus.
+    */
+  def spanDedup(spark: SparkSession, dir: String, span: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalytics.tokens(col("text"))
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      // barrier: without it project-collapse re-inlines the tokenization
+      // into every exploded span row (O(len²/span) per doc)
+      .persist()
+      .select(col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0),
+              ceil(size(col("toks")).cast("double") / span).cast("int") - 1),
+            i => md5(concat_ws(" ", slice(col("toks"), i * span + 1, lit(span)))
+              .cast("binary")))).as("span_hash"))
+    spans
+      .groupBy(col("span_hash"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("span_docs",
+        count(lit(1)).over(Window.partitionBy(col("span_hash"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("occ")).as("n_spans"),
+        sum(when(col("span_docs") >= 2, col("occ")).otherwise(lit(0L)))
+          .as("n_dup_spans"))
+      .withColumn("dup_span_ratio",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+      .orderBy(col("doc_id"))
+  }
 }

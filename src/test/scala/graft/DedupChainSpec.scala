@@ -102,4 +102,57 @@ class DedupChainSpec extends SparkSpec {
       assert(p90 >= lo90 && p90 <= hi90, s"$t p90 $p90 outside [$lo90,$hi90]")
     }
   }
+
+  test("span dedup: bounded ratios and exact span totals on the fixture corpus") {
+    import graft.functions.TextAnalytics
+    import graft.sources.Tables
+    val rows = Dedup.spanDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_spans"); val d = r.getAs[Long]("n_dup_spans")
+      val ratio = r.getAs[Double]("dup_span_ratio")
+      assert(n > 0 && d >= 0 && d <= n)
+      assert(math.abs(ratio - d.toDouble / n) < 1e-12)
+    }
+    // every non-empty doc contributes exactly ceil(len/25) spans
+    val expectedSpans = Tables.documents(spark, sfDir)
+      .select(TextAnalytics.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .agg(sum(ceil(size(col("toks")).cast("double") / 25).cast("long")))
+      .head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_spans")).sum == expectedSpans)
+  }
+
+  test("span dedup: hand-computed ratios on a crafted corpus") {
+    import spark.implicits._
+    // spans are 25 tokens wide; A and B are full spans, C is unique,
+    // tail is doc 3's 5-token remainder reused verbatim as doc 4
+    val a = (0 until 25).map(i => s"a$i").mkString(" ")
+    val b = (0 until 25).map(i => s"b$i").mkString(" ")
+    val c = (0 until 25).map(i => s"c$i").mkString(" ")
+    val d = (0 until 25).map(i => s"d$i").mkString(" ")
+    val tail = (0 until 5).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$a $b"),    // both spans shared with doc 1 → 1.0
+      (1L, s"$a $b"),    // exact duplicate of doc 0      → 1.0
+      (2L, s"$a $d"),    // span A shared, D unique       → 0.5
+      (3L, s"$c $tail"), // C unique, tail shared w/ 4    → 0.5
+      (4L, tail))        // single span, shared with 3    → 1.0
+      .map { case (id, text) =>
+        (id, text, "en", "crafted", text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("span-dedup").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = Dedup.spanDedup(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"))).toMap
+      assert(got == Map(
+        0L -> (2L, 2L), 1L -> (2L, 2L), 2L -> (2L, 1L),
+        3L -> (2L, 1L), 4L -> (1L, 1L)))
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
