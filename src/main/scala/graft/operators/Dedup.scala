@@ -532,6 +532,66 @@ object Dedup {
     * cross-doc count window over hash, and the per-doc rollup. No
     * self-join, no second pass over the corpus.
     */
+  /** MinHash + LSH with a cross-engine hash: each permutation is the
+    * lexicographic min of md5(shingle || '#' || seed) over the document's
+    * shingle set. md5 is bit-identical in Spark and DuckDB (unlike
+    * xxhash64, which only Spark computes), so the WHOLE pipeline —
+    * signatures, band buckets, candidate pairs, verified Jaccard — is
+    * hash-checked by an ANSI oracle. This is the oracled correctness
+    * twin of [[minhashCandidates]] (reference dedup cache:
+    * /root/reference/src/services/preloadRedis.js:57-71 holds only exact
+    * keys; near-dup is north-star surface). Same 100 TB shape: banding
+    * turns all-pairs into an equi-join on (band, bucket) and true-Jaccard
+    * verification touches only surviving candidates; the production path
+    * (q31) additionally keeps only 64-bit hashes in the hot joins.
+    */
+  def minhashOracled(spark: SparkSession, dir: String): DataFrame =
+    minhashOracledDf(Tables.documents(spark, dir))
+
+  def minhashOracledDf(docsRaw: DataFrame, perms: Int = 8, bands: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(perms % bands == 0, "perms must split evenly into bands")
+    val rows = perms / bands
+    val docs = docsRaw
+      .select(col("doc_id"), TextAnalytics.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      // barrier: shingle arrays feed both the signature build and the
+      // candidate verification; without it project-collapse recomputes
+      // the tokenization per branch
+      .persist()
+    val sig = docs
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(col("g"), lit("#0")).cast("binary"))).as("m0"),
+        (1 until perms).map(s =>
+          min(md5(concat(col("g"), lit(s"#$s")).cast("binary"))).as(s"m$s")): _*)
+    val banded = sig
+      .select(col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("|",
+              (0 until rows).map(i => col(s"m${b * rows + i}")): _*)
+              .cast("binary")).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val pairs = banded.as("l")
+      .join(banded.as("r"), Seq("band", "bucket"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def spanDedup(spark: SparkSession, dir: String, span: Int = 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = TextAnalytics.tokens(col("text"))

@@ -123,6 +123,55 @@ class DedupChainSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_spans")).sum == expectedSpans)
   }
 
+  test("oracled minhash: identical docs always recalled, output sound vs brute force") {
+    import spark.implicits._
+    import graft.functions.TextAnalytics
+    // 0/1 identical (jaccard 1 → every band matches → guaranteed recall);
+    // 2 shares no shingles with anything; 3 is a heavy near-dup of 0
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val near = ((0 until 36).map(i => s"w$i") ++
+      (0 until 4).map(i => s"x$i")).mkString(" ")
+    val other = (0 until 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, base), (2L, other), (3L, near))
+      .map { case (id, t) => (id, t, "en", "crafted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    try {
+      val got = Dedup.minhashOracledDf(docs).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          r.getAs[Double]("jaccard")).toMap
+      assert(got.contains((0L, 1L)) && got((0L, 1L)) == 1.0,
+        s"identical pair missing or wrong jaccard: $got")
+      assert(!got.keySet.exists(p => p._1 == 2L || p._2 == 2L),
+        s"disjoint doc 2 paired: $got")
+      // every emitted jaccard must equal the brute-force value
+      val sh = docs.select(col("doc_id"),
+        TextAnalytics.shingles(col("text"), 3).as("sh")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          r.getSeq[String](1).toSet).toMap
+      got.foreach { case ((a, b), j) =>
+        val (sa, sb) = (sh(a), sh(b))
+        val expect = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        assert(j == expect && j >= 0.5, s"pair ($a,$b) jaccard $j != $expect")
+      }
+    } finally Caches.releaseAll(spark)
+  }
+
+  test("oracled minhash on the fixture corpus: sound (subset of brute-force >= 0.5)") {
+    import graft.functions.TextAnalytics
+    import graft.sources.Tables
+    val got = Dedup.minhashOracled(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got.nonEmpty, "fixture corpus has near-dups; q95 found none")
+    val sh = Tables.documents(spark, sfDir).select(col("doc_id"),
+      TextAnalytics.shingles(col("text"), 3).as("sh")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet).toMap
+    got.foreach { case (a, b) =>
+      val j = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      assert(j >= 0.5, s"pair ($a,$b) emitted with true jaccard $j < 0.5")
+    }
+    Caches.releaseAll(spark)
+  }
+
   test("span dedup: hand-computed ratios on a crafted corpus") {
     import spark.implicits._
     // spans are 25 tokens wide; A and B are full spans, C is unique,
