@@ -122,6 +122,9 @@ object Registry {
       Pipelines.responseProjection(s, d)),
     "q94_span_dedup" -> ((s, d) => Dedup.spanDedup(s, d)),
     "q95_minhash_oracled" -> ((s, d) => Dedup.minhashOracled(s, d)),
+    "q96_ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(s, d)),
+    "q97_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
+    "q98_bloom_pruned_join" -> ((s, d) => BloomPrune.bloomPrunedRevenue(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -773,5 +776,47 @@ object Registry {
         "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard FROM v " +
         "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5 " +
         "ORDER BY id_a, id_b"),
+    "q96_ngram_novelty" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "e AS (SELECT doc_id, md5(unnest(sh)) AS gh FROM s WHERE len(sh) > 0), " +
+        "o AS (SELECT gh, MIN(doc_id) AS first_doc FROM e GROUP BY gh) " +
+        "SELECT doc_id, COUNT(*) AS n_grams, " +
+        "CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen, " +
+        "CAST(COUNT(*) - SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(COUNT(*) AS BIGINT) AS novelty " +
+        "FROM e JOIN o USING (gh) GROUP BY doc_id ORDER BY doc_id"),
+    // cosines via list_reduce left fold == Spark's 0.0-seeded fold
+    // bit-for-bit (q34 argument); argmax ties break to the lowest cid in
+    // both engines (Spark max(struct(sim, -cid)) vs ORDER BY sim DESC, cid)
+    "q97_semdedup" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+        "FROM embeddings), " +
+        "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
+        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v FROM e), " +
+        "c AS (SELECT vec_id AS cid, v AS cv FROM u WHERE vec_id < 8), " +
+        "s AS (SELECT u.vec_id, c.cid, " +
+        "list_reduce(list_transform(list_zip(u.v, c.cv), p -> p[1] * p[2]), (x,y) -> x+y) AS sim " +
+        "FROM u CROSS JOIN c), " +
+        "asn AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s) " +
+        "WHERE rn = 1), " +
+        "m AS (SELECT asn.vec_id, asn.cid, u.v FROM asn JOIN u USING (vec_id)), " +
+        "d AS (SELECT DISTINCT a.vec_id FROM m a JOIN m b " +
+        "ON a.cid = b.cid AND b.vec_id < a.vec_id " +
+        "WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x,y) -> x+y) >= 0.3) " +
+        "SELECT m.vec_id, m.cid, " +
+        "CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept " +
+        "FROM m LEFT JOIN d ON d.vec_id = m.vec_id ORDER BY m.vec_id"),
+    // the bloom prune is result-transparent (no false negatives + exact
+    // semi-join after), so the oracle is the plain semi-join
+    "q98_bloom_pruned_join" ->
+      ("SELECT l_returnflag, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM lineitem WHERE l_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
   )
 }

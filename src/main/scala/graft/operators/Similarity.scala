@@ -252,6 +252,46 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    * embedding space into clusters, then prune semantic near-duplicates
+    * WITHIN each cluster — pair work never crosses cluster boundaries,
+    * which is the paper's cost model for web-scale corpora (k grows with
+    * n to bound cluster size). Deterministic oracle-checkable variant:
+    * centroids are the k lowest-vec_id unit vectors (fixed seeds, no
+    * Lloyd rounds — the iterated-k-means path is [[ivfTopK]]),
+    * assignment is a row-local argmax over the broadcast centroid set,
+    * and the keeper of a near-dup group is the lowest vec_id (the
+    * paper keeps low-centroid-similarity members; any deterministic
+    * choice preserves the semantics). Cosines use the native dot kernel,
+    * bit-identical to DuckDB's left-fold list math (q34 argument), so
+    * the whole pipeline is hash-checked.
+    */
+  def semDedup(spark: SparkSession, dir: String, k: Int = 8,
+      tau: Double = 0.3): DataFrame = {
+    val u = unitVectors(spark, dir).select(col("vec_id"), col("v"))
+    val centroids = broadcast(u.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+    val asn = u.crossJoin(centroids)
+      .withColumn("sim", dotNative(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim").as("s"), (-col("cid")).as("negcid")))
+        .as("best"))
+      .select(col("vec_id"), (-col("best.negcid")).as("cid"))
+    // members: (vec_id, cid, v) — pair scan and output both read it
+    val members = asn.join(u, "vec_id").persist()
+    val dups = members.as("a")
+      .join(members.as("b"),
+        col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
+      .filter(dotNative(col("a.v"), col("b.v")) >= tau)
+      .select(col("a.vec_id").as("vec_id"))
+      .distinct()
+    members
+      .join(dups.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("dup").isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label centroid stats — exact arithmetic over the vector column
     * (counts + dims), oracle-checkable shape for the embeddings table.
     */

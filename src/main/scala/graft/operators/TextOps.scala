@@ -463,4 +463,34 @@ object TextOps {
         col("doc_id"), col("n_chars"))
       .orderBy(col("lang"), col("rk"))
   }
+
+  /** N-gram novelty: for each document, the fraction of its distinct
+    * word 3-grams NOT already present in any earlier (lower doc_id)
+    * document — the redundancy-vs-fresh-content signal a crawl-ordered
+    * curation pass ranks on. Shape at 100 TB: grams cross the shuffle as
+    * fixed-width hashes, never strings; one groupBy finds each gram's
+    * first owner, one equi-join on the same key attributes it back —
+    * both linear, no self-join. md5 here keeps the oracle exact; the
+    * production swap is the 64-bit native kernel hash (same plan).
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextAnalytics.shingles(col("text"), 3)).as("g"))
+      .select(col("doc_id"), md5(col("g").cast("binary")).as("gh"))
+      .persist() // barrier: first-owner agg + attribution join both read it
+    val firstOwner = grams.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams
+      .join(firstOwner, "gh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen"))
+      .withColumn("novelty",
+        (col("n_grams") - col("n_seen")).cast("double") /
+          col("n_grams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
 }

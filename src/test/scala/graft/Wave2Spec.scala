@@ -244,4 +244,62 @@ class Wave2Spec extends SparkSpec {
     val distinctTexts = docs.select(col("text")).distinct().count()
     assert(Dedup.exactDedup(spark, sfDir).count() == distinctTexts)
   }
+
+  test("semdedup: kept/dropped exactly matches the brute-force greedy rule") {
+    import operators.Similarity
+    val got = Similarity.semDedup(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cid"), r.getAs[Long]("kept"))).toMap
+    assert(got.nonEmpty)
+    assert(got.values.exists(_._2 == 0L), "no near-dups pruned")
+    assert(got.values.exists(_._2 == 1L), "everything pruned")
+    // recompute on the driver: unit vectors, same fold order
+    val u = Similarity.unitVectors(spark, sfDir)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    // cluster's lowest id has no lower-id neighbor → always kept
+    got.groupBy(_._2._1).foreach { case (_, ms) =>
+      val lowest = ms.keys.min
+      assert(ms(lowest)._2 == 1L, s"cluster-min $lowest not kept")
+    }
+    // dropped ⇔ some lower-id same-cluster member has cos >= tau
+    got.foreach { case (id, (cid, kept)) =>
+      val hasNear = got.exists { case (other, (ocid, _)) =>
+        ocid == cid && other < id && dot(u(id), u(other)) >= 0.3
+      }
+      assert((kept == 0L) == hasNear, s"vec $id kept=$kept hasNear=$hasNear")
+    }
+    Caches.releaseAll(spark)
+  }
+
+  test("ngram novelty: hand-computed fractions on a crafted corpus") {
+    import spark.implicits._
+    // doc 0 first owner of all 3 of its grams; doc 1 repeats doc 0
+    // verbatim (novelty 0); doc 2 shares exactly 2 of its 5 grams
+    val docs = Seq(
+      (0L, "a b c d e"),           // grams: abc bcd cde
+      (1L, "a b c d e"),           // all seen in 0 → 0.0
+      (2L, "a b c d q r s"))       // abc bcd seen; cdq dqr qrs new → 0.6
+      .map { case (id, t) => (id, t, "en", "crafted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("novelty").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = operators.TextOps.ngramNovelty(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_grams"), r.getAs[Long]("n_seen"),
+            r.getAs[Double]("novelty"))).toMap
+      assert(got == Map(
+        0L -> (3L, 0L, 1.0),
+        1L -> (3L, 3L, 0.0),
+        2L -> (5L, 2L, 0.6)))
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
