@@ -119,35 +119,40 @@ object Similarity {
     * Lloyd iterations — then queries probe only the `nprobe` nearest
     * inverted lists.
     *
-    * Scale shape (the MLlib-KMeans contract): the MODEL (nlist × dim
-    * doubles) lives on the driver; the CORPUS never shuffles during
-    * training. Assignment is a row-local argmax over the literal
-    * centroid set — one narrow projection, no join, no window. The
-    * centroid update is a map-side-combined `groupBy(cid)` of
-    * per-dimension sums, so the only shuffle payload per iteration is
-    * nlist × dim partial aggregates. (The previous form — crossJoin +
-    * window argmax + posexplode — shuffled an nlist×-expanded corpus
-    * four times and was 25% of the whole bench.)
+    * Scale shape (the FAISS contract): the MODEL (nlist × dim doubles)
+    * lives on the driver, and so does quantizer TRAINING — the training
+    * set is a bounded deterministic sample (FAISS trains on ~256·nlist
+    * points, never the corpus; `trainMod` is sized so the sample stays
+    * in that regime), collected once, with the Lloyd loop running in
+    * plain Scala at zero Spark jobs per iteration. The corpus is
+    * touched exactly ONCE, by the final assignment — a row-local argmax
+    * over the literal centroid set: one narrow projection, no join, no
+    * window. (The round-1 form — crossJoin + window argmax over the
+    * corpus — shuffled an nlist×-expanded corpus four times and was 25%
+    * of the whole bench; the round-5 form before this one ran a
+    * distributed aggregate per iteration, which is the right shape only
+    * when the training set is unbounded — it never is.)
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
       nlist: Int = 8, nprobe: Int = 3, iters: Int = 3,
       trainMod: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = unitVectors(spark, dir).select(col("vec_id"), col("v"))
-    // Quantizer training runs on a deterministic 1/trainMod sample
-    // (standard IVF practice — FAISS trains on ~256·nlist points, not
-    // the corpus): the full corpus is touched exactly ONCE, by the
-    // final assignment. At 100 TB that is the difference between
-    // iters+1 corpus passes and one.
-    val train = emb.filter(pmod(col("vec_id"), lit(trainMod)) === 0)
+    // one job: bounded training sample + the seed rows (first nlist
+    // vectors), fetched together. Both filters push down to the scan.
+    val sampled = emb
+      .filter(pmod(col("vec_id"), lit(trainMod)) === 0 ||
+        col("vec_id") < nlist)
+      .select(col("vec_id").cast("int"), col("v"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val train: Array[Array[Double]] =
+      sampled.collect { case (id, v) if id % trainMod == 0 => v }
 
     // deterministic seeding: first nlist vectors are the initial centroids
     var centroids: Array[(Int, Array[Double])] =
-      emb.filter(col("vec_id") < nlist)
-        .select(col("vec_id").cast("int"), col("v"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-        .sortBy(_._1)
+      sampled.take(nlist)
     val dim = centroids.head._2.length
 
     // Row-local nearest-centroid id: max over struct(sim, -cid) encodes
@@ -160,23 +165,30 @@ object Similarity {
       (array_max(array(scored.toSeq: _*)).getField("ncid") * -1).as("cid")
     }
 
+    // driver-side Lloyd over the bounded sample: nearest centroid =
+    // highest dot, ties to the lowest cid (the same rule assignCol
+    // encodes for the distributed pass)
     for (_ <- 1 to iters) {
-      // per-dimension SUM + COUNT per cid: partial-aggregated map-side,
-      // so the driver collects exactly nlist rows of dim+1 numbers
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col("v"), i + 1)).as(s"s$i"))
-      val rows = train
-        .select(assignCol(centroids), col("v"))
-        .groupBy(col("cid"))
-        .agg(count(lit(1)).as("cnt"), sums: _*)
-        .collect()
-      val updated = rows.map { r =>
-        val cnt = r.getLong(1).toDouble
-        r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(2 + i) / cnt)
-      }.toMap
+      val sums = Array.fill(nlist)(Array.ofDim[Double](dim))
+      val cnts = Array.ofDim[Long](nlist)
+      train.foreach { v =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < nlist) {
+          val cv = centroids(c)._2
+          var s = 0.0; var i = 0
+          while (i < dim) { s += v(i) * cv(i); i += 1 }
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        cnts(best) += 1
+      }
       // a list that captured no vectors keeps its previous centroid
-      centroids = centroids.map { case (cid, old) =>
-        cid -> updated.getOrElse(cid, old)
+      centroids = centroids.zipWithIndex.map { case ((cid, old), j) =>
+        if (cnts(j) == 0) cid -> old
+        else cid -> sums(j).map(_ / cnts(j))
       }
     }
     // inverted file: vec -> list, a pure projection (no shuffle, no cache)
