@@ -125,6 +125,9 @@ object Registry {
     "q96_ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(s, d)),
     "q97_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "q98_bloom_pruned_join" -> ((s, d) => BloomPrune.bloomPrunedRevenue(s, d)),
+    // rows-only: PQ codebooks are driver-trained Lloyd output — not
+    // SQL-expressible; recall/exactness invariants live in PqSpec
+    "q99_pq_ann" -> ((s, d) => Similarity.pqTopK(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graft.PqExpressions
 import org.apache.spark.sql.graft.VectorExpressions.dotNative
 import graft.sources.Tables
 
@@ -215,6 +216,101 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** PQ-flat ANN (q99): product-quantized corpus scanned with
+    * asymmetric-distance scoring — Jégou et al. 2011, the FAISS
+    * `IndexPQ`, and the codec inside IVFPQ, which is THE shape for
+    * billion-to-trillion-vector search: the corpus lives as m small
+    * codes per vector (m bytes at ksub ≤ 256 — 32× smaller than
+    * float32 at m=8, dim=64) while queries stay unquantized, so the
+    * quantization error is one-sided and recall survives.
+    *
+    * Scale shape, mirroring [[ivfTopK]]'s contract: codebook TRAINING
+    * is driver-side Lloyd over a bounded deterministic sample
+    * (collected once; FAISS trains PQ on ~max(256·ksub, 64k) points,
+    * never the corpus) — zero Spark jobs per iteration. The corpus is
+    * touched exactly once, by the row-local codegen'd
+    * [[org.apache.spark.sql.graft.PqEncode]] pass; scoring is the
+    * row-local [[org.apache.spark.sql.graft.PqAdc]] kernel against the
+    * broadcast query set — no join shuffle, no window but the final
+    * per-query top-k. Composing with the IVF list pruning of [[ivfTopK]]
+    * (probe nprobe lists, ADC-score only those) is the full IVFPQ; the
+    * flat scan here isolates the codec so the test can measure its
+    * recall against [[bruteForceTopK]] directly.
+    */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 5,
+      m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      trainMod: Int = 4): DataFrame =
+    pqTopKDf(unitVectors(spark, dir).select(col("vec_id"), col("v")),
+      k, m, ksub, iters, trainMod)
+
+  def pqTopKDf(emb: DataFrame, k: Int = 5, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3, trainMod: Int = 4, nQueries: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sample: Array[Array[Double]] = emb
+      .filter(pmod(col("vec_id"), lit(trainMod)) === 0)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val cb = trainPqCodebooks(sample, m, ksub, iters)
+    val codes = emb.select(col("vec_id"),
+      PqExpressions.pqEncodeNative(col("v"), cb).as("codes"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("adc",
+        PqExpressions.pqAdcNative(col("q_v"), col("codes"), cb))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), col("adc"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Per-subspace Lloyd (L2) over a driver-held sample. Deterministic:
+    * seeds are the first `ksub` sample subvectors in vec_id order,
+    * assignment ties break to the lowest codeword, an empty cell keeps
+    * its previous codeword — the same rules as [[ivfTopK]]'s coarse
+    * quantizer.
+    */
+  private[graft] def trainPqCodebooks(sample: Array[Array[Double]],
+      m: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "pq training needs a non-empty sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { b =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, b * dsub, (b + 1) * dsub))
+      var cents: Array[Array[Double]] =
+        sub.take(math.min(ksub, sub.length)).map(_.clone)
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length)(Array.ofDim[Double](dsub))
+        val cnts = Array.ofDim[Long](cents.length)
+        sub.foreach { x =>
+          var best = 0; var bestDist = Double.PositiveInfinity
+          var c = 0
+          while (c < cents.length) {
+            val w = cents(c)
+            var d = 0.0; var j = 0
+            while (j < dsub) { val t = x(j) - w(j); d += t * t; j += 1 }
+            if (d < bestDist) { bestDist = d; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += x(j); j += 1 }
+          cnts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, j) =>
+          if (cnts(j) == 0) old else sums(j).map(_ / cnts(j))
+        }
+      }
+      cents
+    }
   }
 
   /** Exact cosine near-dup on a deterministic sample (q91) — the

@@ -123,6 +123,71 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  private val pqGeom = for {
+    m <- Gen.choose(1, 3)
+    dsub <- Gen.choose(1, 3)
+    ksub <- Gen.choose(1, 4)
+  } yield (m, dsub, ksub)
+  private val unitD = Gen.choose(-1000, 1000).map(_ / 1000.0)
+  private def pqBooks(m: Int, dsub: Int, ksub: Int) =
+    Gen.listOfN(m * ksub * dsub, unitD).map(_.toArray
+      .grouped(dsub).toArray.grouped(ksub).toArray)
+
+  test("PqEncode == brute-force argmin-L2 reference (ties to lowest)") {
+    import org.apache.spark.sql.graft.PqEncode
+    val cases = for {
+      (m, dsub, ksub) <- pqGeom
+      cb <- pqBooks(m, dsub, ksub)
+      v <- Gen.listOfN(m * dsub, unitD)
+    } yield (cb, v)
+    check(Prop.forAll(cases) { case (cb, v) =>
+      val expected = cb.zipWithIndex.map { case (book, b) =>
+        val sub = v.slice(b * book(0).length, (b + 1) * book(0).length)
+        book.zipWithIndex.map { case (w, c) =>
+          (w.zip(sub).map { case (a, x) => (x - a) * (x - a) }.sum, c)
+        }.minBy { case (d, c) => (d, c) }._2
+      }.toSeq
+      val got = PqEncode.compute(
+        new GenericArrayData(v.toArray), cb).toIntArray().toSeq
+      got == expected
+    })
+  }
+
+  test("PqAdc == per-subspace dot of decoded codewords") {
+    import org.apache.spark.sql.graft.{PqAdc, PqEncode}
+    val cases = for {
+      (m, dsub, ksub) <- pqGeom
+      cb <- pqBooks(m, dsub, ksub)
+      v <- Gen.listOfN(m * dsub, unitD)
+      q <- Gen.listOfN(m * dsub, unitD)
+    } yield (cb, v, q)
+    check(Prop.forAll(cases) { case (cb, v, q) =>
+      val codes = PqEncode.compute(new GenericArrayData(v.toArray), cb)
+      val expected = cb.zipWithIndex.map { case (book, b) =>
+        val dsub = book(0).length
+        val w = book(codes.getInt(b))
+        (0 until dsub).map(j => q(b * dsub + j) * w(j)).sum
+      }.sum
+      val got = PqAdc.compute(
+        new GenericArrayData(q.toArray), codes, cb)
+      math.abs(got - expected) < 1e-12
+    })
+  }
+
+  test("PQ kernels poison malformed input to null, never throw") {
+    import org.apache.spark.sql.graft.{PqAdc, PqEncode}
+    val cb = Array(Array(Array(1.0, 0.0), Array(0.0, 1.0))) // m=1, dsub=2
+    assert(PqEncode.compute(new GenericArrayData(Array(1.0)), cb) == null)
+    assert(PqEncode.compute(
+      new GenericArrayData(Array[Any](1.0, null)), cb) == null)
+    assert(PqAdc.compute(new GenericArrayData(Array(1.0)),
+      new GenericArrayData(Array(0)), cb) == null)
+    assert(PqAdc.compute(new GenericArrayData(Array(1.0, 0.0)),
+      new GenericArrayData(Array(5)), cb) == null) // out-of-range code
+    assert(PqAdc.compute(new GenericArrayData(Array(1.0, 0.0)),
+      new GenericArrayData(Array[Any](null)), cb) == null)
+  }
+
   test("SimHash64 == per-bit majority reference") {
     check(Prop.forAll(text) { s =>
       val hs = refTokens(s).map { t =>

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Similarity
+
+/** Behavioral tests for the PQ-flat ANN path (q99): codebook training,
+  * the codegen'd encode/ADC kernels inside a real plan, and recall on a
+  * corpus with planted cluster structure.
+  */
+class PqSpec extends SparkSpec {
+
+  /** 40 vectors in 8 dims, 4 prototypes (one-hot at dims 0/2/4/6) with
+    * tiny per-row perturbations; vec_ids 0-3 hit all four prototypes, so
+    * the first-ksub seeding sees every cluster.
+    */
+  private lazy val planted = {
+    val rows = (0 until 40).map { i =>
+      val p = i % 4
+      val v = Array.ofDim[Double](8)
+      v(2 * p) = 1.0
+      v(2 * p + 1) = 0.01 * (i / 4)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      Row(i.toLong, v.map(_ / n).toSeq)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("v", ArrayType(DoubleType), nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("planted prototypes: every PQ neighbor shares the query's cluster") {
+    val out = Similarity.pqTopKDf(planted, k = 5, m = 2, ksub = 4,
+      iters = 3, trainMod = 1, nQueries = 4).collect()
+    assert(out.length == 4 * 5)
+    out.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val n = r.getAs[Long]("neighbor")
+      assert(n % 4 == q % 4,
+        s"neighbor $n of query $q crossed prototype boundaries")
+    }
+  }
+
+  test("ADC ranking is internally consistent (desc scores, ranks 1..k)") {
+    val rows = Similarity.pqTopK(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length))
+      val adc = sorted.map(_.getAs[Double]("adc")).toSeq
+      assert(adc.zip(adc.tail).forall { case (a, b) => a >= b },
+        s"ADC scores for query $q not descending: $adc")
+      assert(!rs.exists(_.getAs[Long]("neighbor") == q), "self-pair")
+    }
+  }
+
+  test("PQ run is deterministic (model, codes, and ranking)") {
+    val a = Similarity.pqTopK(spark, sfDir).collect().toSeq
+    val b = Similarity.pqTopK(spark, sfDir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("codes stay within [0, ksub) and compress to m ints") {
+    import org.apache.spark.sql.graft.PqExpressions
+    val emb = Similarity.unitVectors(spark, sfDir)
+      .select(col("vec_id"), col("v"))
+    val sample = emb.collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val cb = Similarity.trainPqCodebooks(sample, m = 8, ksub = 16, iters = 2)
+    val codes = emb
+      .select(PqExpressions.pqEncodeNative(col("v"), cb).as("codes"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.nonEmpty)
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+  }
+
+  test("PQ recall@5 vs brute force clears the flat-codec floor") {
+    val bf = Similarity.bruteForceTopK(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor")).toSet }
+    val pq = Similarity.pqTopK(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor")).toSet }
+    val recalls = bf.map { case (q, truth) =>
+      pq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean recall@5 $mean below the codec floor")
+  }
+}
