@@ -128,6 +128,9 @@ object Registry {
     // rows-only: PQ codebooks are driver-trained Lloyd output — not
     // SQL-expressible; recall/exactness invariants live in PqSpec
     "q99_pq_ann" -> ((s, d) => Similarity.pqTopK(s, d)),
+    // rows-only: same driver-trained models as q62/q99; PqSpec proves
+    // nprobe = nlist reproduces the PQ-flat ranking exactly
+    "q100_ivfpq_ann" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -152,23 +152,41 @@ object Similarity {
       sampled.collect { case (id, v) if id % trainMod == 0 => v }
 
     // deterministic seeding: first nlist vectors are the initial centroids
-    var centroids: Array[(Int, Array[Double])] =
-      sampled.take(nlist)
-    val dim = centroids.head._2.length
+    val centroids = lloydDot(train, sampled.take(nlist), iters)
 
-    // Row-local nearest-centroid id: max over struct(sim, -cid) encodes
-    // "highest similarity, ties to lowest cid" with zero shuffle.
-    def assignCol(cents: Array[(Int, Array[Double])]): Column = {
-      val scored = cents.map { case (cid, cv) =>
-        struct(dotNative(col("v"), typedLit(cv.toSeq)).as("sim"),
-          lit(-cid).as("ncid"))
-      }
-      (array_max(array(scored.toSeq: _*)).getField("ncid") * -1).as("cid")
-    }
+    // inverted file: vec -> list, a pure projection (no shuffle, no cache)
+    val lists = emb.select(col("vec_id"), assignCol(centroids, col("v")),
+      col("v"))
 
-    // driver-side Lloyd over the bounded sample: nearest centroid =
-    // highest dot, ties to the lowest cid (the same rule assignCol
-    // encodes for the distributed pass)
+    // probe list per query, again row-local: sort centroid scores desc
+    // (ties to lowest cid via the -cid encoding), take the first nprobe
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        probeCol(centroids, col("v"), nprobe).as("p"))
+      .select(col("q_id"), col("q_v"), (col("p.ncid") * -1).as("cid"))
+    val rank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dotNative(col("v"), col("q_v")))
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Driver-side Lloyd over a bounded sample: nearest centroid = highest
+    * dot, ties to the lowest cid — the same rule [[assignCol]] encodes
+    * for the distributed pass; a cell that captured no vectors keeps its
+    * previous centroid. Shared by the IVF and IVFPQ coarse quantizers.
+    */
+  private[graft] def lloydDot(train: Array[Array[Double]],
+      seeds: Array[(Int, Array[Double])],
+      iters: Int): Array[(Int, Array[Double])] = {
+    val nlist = seeds.length
+    val dim = seeds.head._2.length
+    var centroids = seeds
     for (_ <- 1 to iters) {
       val sums = Array.fill(nlist)(Array.ofDim[Double](dim))
       val cnts = Array.ofDim[Long](nlist)
@@ -186,36 +204,36 @@ object Similarity {
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
         cnts(best) += 1
       }
-      // a list that captured no vectors keeps its previous centroid
       centroids = centroids.zipWithIndex.map { case ((cid, old), j) =>
         if (cnts(j) == 0) cid -> old
         else cid -> sums(j).map(_ / cnts(j))
       }
     }
-    // inverted file: vec -> list, a pure projection (no shuffle, no cache)
-    val lists = emb.select(col("vec_id"), assignCol(centroids), col("v"))
+    centroids
+  }
 
-    // probe list per query, again row-local: sort centroid scores desc
-    // (ties to lowest cid via the -cid encoding), take the first nprobe
-    val probeScored = centroids.map { case (cid, cv) =>
-      struct(dotNative(col("v"), typedLit(cv.toSeq)).as("csim"),
+  /** Row-local nearest-centroid id: max over struct(sim, -cid) encodes
+    * "highest similarity, ties to lowest cid" with zero shuffle.
+    */
+  private def assignCol(cents: Array[(Int, Array[Double])],
+      v: Column): Column = {
+    val scored = cents.map { case (cid, cv) =>
+      struct(dotNative(v, typedLit(cv.toSeq)).as("sim"),
         lit(-cid).as("ncid"))
     }
-    val probes = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
-        explode(slice(reverse(array_sort(array(probeScored.toSeq: _*))),
-          1, nprobe)).as("p"))
-      .select(col("q_id"), col("q_v"), (col("p.ncid") * -1).as("cid"))
-    val rank = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    lists.join(broadcast(probes), Seq("cid"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", dotNative(col("v"), col("q_v")))
-      .withColumn("rank", row_number().over(rank))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
+    (array_max(array(scored.toSeq: _*)).getField("ncid") * -1).as("cid")
+  }
+
+  /** The `nprobe` nearest centroids of `v` as an exploded struct column
+    * (descending score, ties to lowest cid via the -cid encoding).
+    */
+  private def probeCol(cents: Array[(Int, Array[Double])], v: Column,
+      nprobe: Int): Column = {
+    val scored = cents.map { case (cid, cv) =>
+      struct(dotNative(v, typedLit(cv.toSeq)).as("csim"),
+        lit(-cid).as("ncid"))
+    }
+    explode(slice(reverse(array_sort(array(scored.toSeq: _*))), 1, nprobe))
   }
 
   /** PQ-flat ANN (q99): product-quantized corpus scanned with
@@ -262,6 +280,71 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
     codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("adc",
+        PqExpressions.pqAdcNative(col("q_v"), col("codes"), cb))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), col("adc"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** IVFPQ (q100): the full FAISS `IndexIVFPQ` composition — IVF list
+    * pruning over PQ codes with asymmetric-distance scoring. ONE corpus
+    * pass computes both the coarse list assignment and the PQ codes
+    * (two row-local codegen'd projections in the same scan); queries
+    * probe their `nprobe` nearest lists and ADC-score only those lists'
+    * members. This is the shape that serves billion-to-trillion-vector
+    * search: the index is (int cid + m byte codes) per vector, scan
+    * work is corpus/nlist·nprobe, and both models (nlist×dim centroids,
+    * m×ksub×dsub codebooks) are bounded driver-held artifacts trained
+    * on one collected sample — zero Spark jobs per Lloyd iteration.
+    *
+    * Codes are non-residual (raw vector, not x−centroid): for
+    * inner-product search the ADC of a raw-vector code is
+    * list-independent, so codes are computed once, probing more lists
+    * never changes a member's score, and `nprobe = nlist` reproduces
+    * [[pqTopK]] exactly — the equivalence PqSpec asserts. (Residual
+    * encoding is the L2 refinement; FAISS itself defaults it off for
+    * IP indexes.)
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nlist: Int = 8, nprobe: Int = 3, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3, trainMod: Int = 4): DataFrame =
+    ivfPqTopKDf(unitVectors(spark, dir).select(col("vec_id"), col("v")),
+      k, nlist, nprobe, m, ksub, iters, trainMod)
+
+  def ivfPqTopKDf(emb: DataFrame, k: Int = 5, nlist: Int = 8,
+      nprobe: Int = 3, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      trainMod: Int = 4, nQueries: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one job: bounded training sample + coarse seeds, fetched together
+    val sampled = emb
+      .filter(pmod(col("vec_id"), lit(trainMod)) === 0 ||
+        col("vec_id") < nlist)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val train = sampled.collect {
+      case (id, v) if id % trainMod == 0 => v
+    }
+    val centroids = lloydDot(train,
+      sampled.take(nlist).map { case (id, v) => id.toInt -> v }, iters)
+    val cb = trainPqCodebooks(train, m, ksub, iters)
+
+    // the single corpus pass: coarse list + PQ codes side by side
+    val index = emb.select(col("vec_id"),
+      assignCol(centroids, col("v")),
+      PqExpressions.pqEncodeNative(col("v"), cb).as("codes"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        probeCol(centroids, col("v"), nprobe).as("p"))
+      .select(col("q_id"), col("q_v"), (col("p.ncid") * -1).as("cid"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    index.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc",
         PqExpressions.pqAdcNative(col("q_v"), col("codes"), cb))
       .withColumn("rank", row_number().over(w))

@@ -78,6 +78,35 @@ class PqSpec extends SparkSpec {
     assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
   }
 
+  test("IVFPQ with nprobe = nlist reproduces PQ-flat exactly") {
+    val flat = Similarity.pqTopK(spark, sfDir).collect().toSeq
+    val full = Similarity.ivfPqTopK(spark, sfDir, nprobe = 8).collect().toSeq
+    assert(full == flat)
+  }
+
+  test("IVFPQ partial probe: valid ranks, descending ADC, no self-pairs") {
+    val rows = Similarity.ivfPqTopK(spark, sfDir, nprobe = 3).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length))
+      val adc = sorted.map(_.getAs[Double]("adc")).toSeq
+      assert(adc.zip(adc.tail).forall { case (a, b) => a >= b })
+      assert(!rs.exists(_.getAs[Long]("neighbor") == q))
+    }
+  }
+
+  test("IVFPQ on planted prototypes keeps neighbors inside the cluster") {
+    val out = Similarity.ivfPqTopKDf(planted, k = 5, nlist = 4,
+      nprobe = 1, m = 2, ksub = 4, iters = 3, trainMod = 1,
+      nQueries = 4).collect()
+    assert(out.length == 4 * 5)
+    out.foreach { r =>
+      assert(r.getAs[Long]("neighbor") % 4 == r.getAs[Long]("q_id") % 4)
+    }
+  }
+
   test("PQ recall@5 vs brute force clears the flat-codec floor") {
     val bf = Similarity.bruteForceTopK(spark, sfDir).collect()
       .groupBy(_.getAs[Long]("q_id"))
