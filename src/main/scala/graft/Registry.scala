@@ -131,6 +131,7 @@ object Registry {
     // rows-only: same driver-trained models as q62/q99; PqSpec proves
     // nprobe = nlist reproduces the PQ-flat ranking exactly
     "q100_ivfpq_ann" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "q101_shard_manifest" -> ((s, d) => TextOps.shardManifest(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -824,5 +825,19 @@ object Registry {
         "FROM lineitem WHERE l_orderkey IN " +
         "(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q101_shard_manifest" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS BIGINT) AS n_tokens, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents) " +
+        "SELECT substr(hk, 1, 1) AS shard, " +
+        "CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos, doc_id, n_tokens, " +
+        "CAST(COALESCE(SUM(n_tokens) OVER " +
+        "(PARTITION BY substr(hk, 1, 1) ORDER BY hk, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS tok_offset " +
+        "FROM t WINDOW w AS " +
+        "(PARTITION BY substr(hk, 1, 1) ORDER BY hk, doc_id) " +
+        "ORDER BY shard, pos"),
   )
 }

@@ -464,6 +464,38 @@ object TextOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Deterministic corpus shuffle + shard manifest (q101): the step
+    * between curation and the dataloader. Each document gets a
+    * content-independent pseudo-random rank (md5 of the doc id —
+    * identical in any engine, stable across runs), a shard (leading
+    * hash nibble — 16-way here; at 100 TB widen the prefix so shards
+    * stay O(file-size)), its position within the shard, and the
+    * cumulative token offset where it starts — exactly the manifest a
+    * training job seeks into.
+    *
+    * Scale shape: NO global sort — the permutation is realized as
+    * hash-sharding plus per-shard ordering, so every window partitions
+    * by shard and the work is embarrassingly parallel across shards;
+    * the trailing ORDER BY is presentation only.
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("shard"))
+      .orderBy(col("hk"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("hk"))
+      .withColumn("shard", substring(col("hk"), 1, 1))
+      .withColumn("pos", row_number().over(byPos).cast("long"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(
+          byPos.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("pos"), col("doc_id"),
+        col("n_tokens"), col("tok_offset"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** N-gram novelty: for each document, the fraction of its distinct
     * word 3-grams NOT already present in any earlier (lower doc_id)
     * document — the redundancy-vs-fresh-content signal a crawl-ordered
