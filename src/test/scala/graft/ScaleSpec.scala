@@ -72,6 +72,25 @@ class ScaleSpec extends SparkSpec {
     assert(windows <= 1, s"expected at most the final ranking window:\n$plan")
   }
 
+  test("PQ and IVFPQ plans stay shuffle-lean (broadcast probes, one window)") {
+    // q99: non-equi self-pair filter against a 5-row broadcast query set
+    // must plan as a broadcast nested-loop, never a cartesian product
+    val pq = operators.Similarity.pqTopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!pq.contains("CartesianProduct"), s"PQ cross-joined:\n$pq")
+    assert(pq.contains("BroadcastNestedLoopJoin"),
+      s"PQ query set not broadcast:\n$pq")
+    assert("\\bWindow\\b".r.findAllIn(pq).length <= 1)
+    // q100: probes join the index on cid — an equi broadcast hash join
+    val ivfpq = operators.Similarity.ivfPqTopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!ivfpq.contains("CartesianProduct"),
+      s"IVFPQ cross-joined:\n$ivfpq")
+    assert(ivfpq.contains("BroadcastHashJoin"),
+      s"IVFPQ probe join not broadcast:\n$ivfpq")
+    assert("\\bWindow\\b".r.findAllIn(ivfpq).length <= 1)
+  }
+
   test("streaming checkpoint makes re-runs incremental (no reprocessing)") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
