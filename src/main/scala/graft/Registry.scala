@@ -132,6 +132,7 @@ object Registry {
     // nprobe = nlist reproduces the PQ-flat ranking exactly
     "q100_ivfpq_ann" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "q101_shard_manifest" -> ((s, d) => TextOps.shardManifest(s, d)),
+    "q102_simhash_oracled" -> ((s, d) => Dedup.simhashOracled(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -839,5 +840,22 @@ object Registry {
         "FROM t WINDOW w AS " +
         "(PARTITION BY substr(hk, 1, 1) ORDER BY hk, doc_id) " +
         "ORDER BY shard, pos"),
+    // hex-nibble decode differs by function (conv in Spark, strpos
+    // here) but the VALUES are identical small ints, so the 60-bit
+    // majority signature hash-matches exactly
+    "q102_simhash_oracled" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS toks " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs, " +
+        "len(toks) AS n FROM t WHERE len(toks) > 0) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_toks, " +
+        "array_to_string(list_transform(range(0, 60), b -> " +
+        "CASE WHEN 2 * list_sum(list_transform(hs, h -> " +
+        "CAST(FLOOR((strpos('0123456789abcdef', " +
+        "substr(h, CAST(b // 4 AS INTEGER) + 1, 1)) - 1) / " +
+        "([8,4,2,1][CAST(b % 4 AS INTEGER) + 1])) AS INTEGER) % 2)) >= n " +
+        "THEN '1' ELSE '0' END), '') AS sig " +
+        "FROM f ORDER BY doc_id"),
   )
 }

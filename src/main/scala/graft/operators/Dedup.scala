@@ -592,6 +592,47 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SimHash with a cross-engine hash (q102): the oracled correctness
+    * twin of the xxhash64-seeded production kernel
+    * ([[org.apache.spark.sql.graft.SimHash64]], q32/q75) — the same
+    * per-bit-majority construction over distinct tokens, but each token
+    * hashed with md5 (bit-identical in Spark and DuckDB) and the
+    * signature emitted as a 60-bit string assembled from exact
+    * small-integer hex-nibble arithmetic, so the WHOLE signature is
+    * hash-checked by an ANSI oracle. Completes the per-family oracle
+    * pattern: minhash has q95, cosine near-dup has q91, simhash has
+    * this. Row-local (one projection, no shuffle but the presentation
+    * sort); the production path at scale stays the codegen'd native
+    * kernel — same plan, faster hash.
+    */
+  def simhashOracled(spark: SparkSession, dir: String,
+      bits: Int = 60): DataFrame = {
+    val toks = array_distinct(TextAnalytics.tokens(col("text")))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), transform(toks, t => md5(t.cast("binary"))).as("hs"),
+        size(toks).as("n"))
+      .filter(col("n") > 0)
+    // bit b of md5 hex h: nibble = hex char at b/4 decoded exactly
+    // (conv here, strpos in the oracle — same VALUES), then the
+    // power-of-two divide selects the bit. All small-int arithmetic,
+    // exact in double.
+    def bitOf(h: Column, b: Column): Column = {
+      val hv = conv(substr(h, (floor(b / 4) + 1).cast("int"), lit(1)),
+        16, 10).cast("int")
+      val p = element_at(array(lit(8), lit(4), lit(2), lit(1)),
+        (pmod(b, lit(4)) + 1).cast("int"))
+      pmod(floor(hv / p).cast("int"), lit(2))
+    }
+    docs
+      .select(col("doc_id"), col("n").cast("long").as("n_toks"),
+        array_join(
+          transform(sequence(lit(0), lit(bits - 1)), b =>
+            when(aggregate(col("hs"), lit(0),
+              (acc, h) => acc + bitOf(h, b)) * 2 >= col("n"),
+              lit("1")).otherwise(lit("0"))), "").as("sig"))
+      .orderBy(col("doc_id"))
+  }
+
   def spanDedup(spark: SparkSession, dir: String, span: Int = 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = TextAnalytics.tokens(col("text"))

@@ -172,6 +172,35 @@ class DedupChainSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("oracled simhash: order-invariant, dup-invariant, one-token flips few bits") {
+    import spark.implicits._
+    val base = (0 until 30).map(i => s"w$i")
+    val docs = Seq(
+      (0L, base.mkString(" ")),
+      (1L, base.reverse.mkString(" ")),            // permutation of 0
+      (2L, (base ++ base.take(7)).mkString(" ")),  // duplicated tokens
+      (3L, (base.tail :+ "zzz").mkString(" ")))    // one token swapped
+      .map { case (id, text) =>
+        (id, text, "en", "crafted", text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("simhash-o").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val sig = Dedup.simhashOracled(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("sig")).toMap
+      assert(sig(0L).length == 60 && sig(0L).forall(c => c == '0' || c == '1'))
+      // the signature is a function of the distinct token SET
+      assert(sig(1L) == sig(0L) && sig(2L) == sig(0L))
+      // swapping one of 30 tokens moves few majority bits
+      val hamming = sig(0L).zip(sig(3L)).count { case (x, y) => x != y }
+      assert(hamming > 0 && hamming <= 20,
+        s"one-token swap moved $hamming/60 bits")
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("span dedup: hand-computed ratios on a crafted corpus") {
     import spark.implicits._
     // spans are 25 tokens wide; A and B are full spans, C is unique,
