@@ -133,6 +133,8 @@ object Registry {
     "q100_ivfpq_ann" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "q101_shard_manifest" -> ((s, d) => TextOps.shardManifest(s, d)),
     "q102_simhash_oracled" -> ((s, d) => Dedup.simhashOracled(s, d)),
+    "q103_format_roundtrip" -> ((s, d) =>
+      graft.sources.Formats.formatRoundtrip(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -857,5 +859,16 @@ object Registry {
         "([8,4,2,1][CAST(b % 4 AS INTEGER) + 1])) AS INTEGER) % 2)) >= n " +
         "THEN '1' ELSE '0' END), '') AS sig " +
         "FROM f ORDER BY doc_id"),
+    // the Spark side aggregates AFTER an ORC and a CSV round-trip; the
+    // oracle aggregates the parquet originals — a hash match proves the
+    // codecs round-tripped every value
+    "q103_format_roundtrip" ->
+      ("SELECT 'orc_by_source' AS dim, source AS key, " +
+        "COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars " +
+        "FROM documents GROUP BY source " +
+        "UNION ALL " +
+        "SELECT 'csv_by_lang', lang, COUNT(*), SUM(n_chars) " +
+        "FROM documents GROUP BY lang " +
+        "ORDER BY dim, key"),
   )
 }

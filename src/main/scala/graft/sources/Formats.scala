@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.Caches
+
+/** Columnar/text format interop beyond parquet: ORC (the other
+  * splittable columnar format a lake-migration meets) and CSV (the
+  * lowest-common-denominator exchange format). The reference's only
+  * wire formats are JSON and SQL rows; a Spark-native engine inherits
+  * every Hadoop format for free, and this query PROVES the round-trip
+  * rather than asserting it: documents are written to ORC and CSV,
+  * read back through each codec, and aggregated — the oracle checks
+  * the same aggregates against the parquet originals, so any
+  * encode/decode drift (types, nulls, quoting) breaks the hash match.
+  *
+  * Scale notes: both writes shuffle nothing (narrow file rewrite);
+  * ORC round-trips the full row while CSV carries only scalar columns
+  * (its contract — no nested types). Temp artifacts register with
+  * [[graft.Caches.trackTempDir]], the session-hygiene contract every
+  * side-writing query follows.
+  */
+object Formats {
+
+  private val csvSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Caches.trackTempDir(
+      Files.createTempDirectory("graft-fmt")).toString
+    val docs = Tables.documents(spark, dir)
+    docs.write.mode(SaveMode.Overwrite).orc(s"$tmp/docs_orc")
+    docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(s"$tmp/docs_csv")
+
+    val fromOrc = spark.read.orc(s"$tmp/docs_orc")
+      .groupBy(col("source").as("key"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(lit("orc_by_source").as("dim"), col("key"),
+        col("n_docs"), col("sum_chars"))
+    val fromCsv = spark.read.schema(csvSchema)
+      .option("header", "true").csv(s"$tmp/docs_csv")
+      .groupBy(col("lang").as("key"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(lit("csv_by_lang").as("dim"), col("key"),
+        col("n_docs"), col("sum_chars"))
+    fromOrc.unionAll(fromCsv).orderBy(col("dim"), col("key"))
+  }
+}
