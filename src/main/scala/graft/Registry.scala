@@ -135,6 +135,7 @@ object Registry {
     "q102_simhash_oracled" -> ((s, d) => Dedup.simhashOracled(s, d)),
     "q103_format_roundtrip" -> ((s, d) =>
       graft.sources.Formats.formatRoundtrip(s, d)),
+    "q104_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -870,5 +871,22 @@ object Registry {
         "SELECT 'csv_by_lang', lang, COUNT(*), SUM(n_chars) " +
         "FROM documents GROUP BY lang " +
         "ORDER BY dim, key"),
+    // decimal element-sums make the FP mean exact and order-independent
+    // in both engines; the norm's left fold matches Spark's 0.0-seeded
+    // aggregate bit-for-bit (q34 argument)
+    "q104_label_centroids" ->
+      ("WITH p AS (SELECT unnest(range(1, 65)) AS pos), " +
+        "e AS (SELECT label, pos, " +
+        "CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(18,12)) AS x " +
+        "FROM embeddings, p), " +
+        "g AS (SELECT label, pos, COUNT(*) AS n, " +
+        "CAST(SUM(x) AS DOUBLE) / COUNT(*) AS m FROM e GROUP BY label, pos), " +
+        "a AS (SELECT label, MAX(n) AS n_vecs, " +
+        "list(m ORDER BY pos) AS cent FROM g GROUP BY label) " +
+        "SELECT CAST(label AS BIGINT) AS label, n_vecs, " +
+        "cent[1] AS c0, cent[2] AS c1, cent[3] AS c2, cent[4] AS c3, " +
+        "sqrt(list_reduce(list_transform(cent, x -> x * x), " +
+        "(acc, y) -> acc + y)) AS norm " +
+        "FROM a ORDER BY label"),
   )
 }

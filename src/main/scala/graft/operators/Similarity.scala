@@ -443,6 +443,46 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-label prototype centroids (q104): the mean embedding of each
+    * class plus its norm and leading components — the class-prototype
+    * op behind centroid classifiers, few-shot heads, and cluster-init
+    * (SemDeDup seeds from exactly this artifact). Fully oracled despite
+    * FP means: each element is cast to DECIMAL(18,12) BEFORE summing,
+    * so the per-(label, dim) sums are exact and order-independent
+    * (float→double→decimal can never tie at the rounding quantum —
+    * binary fractions have no 5×10⁻¹³ tail), and the one double
+    * division per dim starts from identical inputs in both engines.
+    *
+    * Scale shape: posexplode widens each row into dim (label, pos, x)
+    * triples but map-side combine collapses them to labels×dim partials
+    * per partition — the shuffle carries labels×dim decimal rows, then
+    * a second narrow shuffle assembles the per-label vector. Same
+    * contract as the IVF centroid update; no window, no self-join.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.embeddings(spark, dir)
+      .select(col("label"),
+        posexplode(transform(col("embedding"),
+          x => x.cast("double").cast("decimal(18,12)"))))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), col("n"),
+        (col("s").cast("double") / col("n")).as("m"))
+    per.groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        transform(col("pm"), p => p.getField("m")).as("cent"))
+      .select(col("label"), col("n_vecs"),
+        element_at(col("cent"), 1).as("c0"),
+        element_at(col("cent"), 2).as("c1"),
+        element_at(col("cent"), 3).as("c2"),
+        element_at(col("cent"), 4).as("c3"),
+        sqrt(aggregate(col("cent"), lit(0.0),
+          (a, x) => a + x * x)).as("norm"))
+      .orderBy(col("label"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
     * embedding space into clusters, then prune semantic near-duplicates
     * WITHIN each cluster — pair work never crosses cluster boundaries,
