@@ -136,6 +136,8 @@ object Registry {
     "q103_format_roundtrip" -> ((s, d) =>
       graft.sources.Formats.formatRoundtrip(s, d)),
     "q104_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    "q105_centroid_classify" -> ((s, d) =>
+      Similarity.centroidClassify(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -888,5 +890,29 @@ object Registry {
         "sqrt(list_reduce(list_transform(cent, x -> x * x), " +
         "(acc, y) -> acc + y)) AS norm " +
         "FROM a ORDER BY label"),
+    // prototypes exact by the q104 argument; dots fold left-to-right
+    // over identical doubles; argmax ties break to the lowest label in
+    // both engines
+    "q105_centroid_classify" ->
+      ("WITH p AS (SELECT unnest(range(1, 65)) AS pos), " +
+        "e AS (SELECT label, pos, " +
+        "CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(18,12)) AS x " +
+        "FROM embeddings, p), " +
+        "g AS (SELECT label, pos, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS m " +
+        "FROM e GROUP BY label, pos), " +
+        "a AS (SELECT label AS clabel, list(m ORDER BY pos) AS cent " +
+        "FROM g GROUP BY label), " +
+        "u AS (SELECT vec_id, label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " +
+        "s AS (SELECT u.vec_id, u.label, a.clabel, " +
+        "list_reduce(list_transform(list_zip(u.v, a.cent), " +
+        "pr -> pr[1] * pr[2]), (x, y) -> x + y) AS sim " +
+        "FROM u CROSS JOIN a), " +
+        "b AS (SELECT vec_id, label, clabel, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY sim DESC, clabel) AS rn FROM s) " +
+        "SELECT CAST(label AS BIGINT) AS label, " +
+        "CAST(clabel AS BIGINT) AS pred, COUNT(*) AS n " +
+        "FROM b WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
   )
 }

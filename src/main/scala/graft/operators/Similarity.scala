@@ -459,7 +459,22 @@ object Similarity {
     * a second narrow shuffle assembles the per-label vector. Same
     * contract as the IVF centroid update; no window, no self-join.
     */
-  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    centroidVectors(spark, dir)
+      .select(col("label"), col("n_vecs"),
+        element_at(col("cent"), 1).as("c0"),
+        element_at(col("cent"), 2).as("c1"),
+        element_at(col("cent"), 3).as("c2"),
+        element_at(col("cent"), 4).as("c3"),
+        sqrt(aggregate(col("cent"), lit(0.0),
+          (a, x) => a + x * x)).as("norm"))
+      .orderBy(col("label"))
+
+  /** Exact per-label mean vectors: (label, n_vecs, cent) with the
+    * decimal-sum arithmetic q104's scaladoc derives. Shared by the
+    * centroid report (q104) and the prototype classifier (q105).
+    */
+  private def centroidVectors(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.embeddings(spark, dir)
       .select(col("label"),
         posexplode(transform(col("embedding"),
@@ -473,14 +488,36 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("label").cast("long").as("label"), col("n_vecs"),
         transform(col("pm"), p => p.getField("m")).as("cent"))
-      .select(col("label"), col("n_vecs"),
-        element_at(col("cent"), 1).as("c0"),
-        element_at(col("cent"), 2).as("c1"),
-        element_at(col("cent"), 3).as("c2"),
-        element_at(col("cent"), 4).as("c3"),
-        sqrt(aggregate(col("cent"), lit(0.0),
-          (a, x) => a + x * x)).as("norm"))
-      .orderBy(col("label"))
+  }
+
+  /** Nearest-class-mean classifier + confusion matrix (q105): every
+    * embedding scored against the broadcast label prototypes of
+    * [[labelCentroids]], assigned to the highest-dot prototype (ties to
+    * the lowest label), and tallied as (label, pred) counts — the
+    * embedding-space quality report (cluster purity / separability) a
+    * curation pass reads before trusting embedding-based dedup. Fully
+    * oracled: prototype values are exact (decimal sums), and both
+    * engines fold the dot left-to-right over identical doubles.
+    *
+    * Scale shape: the prototype table is labels×dim — broadcast; the
+    * corpus is touched once, scored row-locally against every
+    * prototype, and the output shuffle carries labels² count rows.
+    */
+  def centroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cent = centroidVectors(spark, dir)
+      .select(col("label").as("clabel"), col("cent"))
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("sim", dot(col("v"), col("cent")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("sim").as("s"), (-col("clabel")).as("nc")))
+        .as("best"))
+      .select(col("label"), (-col("best.nc")).as("pred"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
