@@ -138,6 +138,7 @@ object Registry {
     "q104_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "q105_centroid_classify" -> ((s, d) =>
       Similarity.centroidClassify(s, d)),
+    "q106_gapfill" -> ((s, d) => Analytics.gapFillForwardFill(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -914,5 +915,26 @@ object Registry {
         "SELECT CAST(label AS BIGINT) AS label, " +
         "CAST(clabel AS BIGINT) AS pred, COUNT(*) AS n " +
         "FROM b WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q106_gapfill" ->
+      ("WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS eday, value " +
+        "FROM events), " +
+        "d AS (SELECT event_type, eday, COUNT(*) AS n, " +
+        "SUM(CAST(value AS DECIMAL(18,6))) AS sv " +
+        "FROM ev WHERE value >= 180 GROUP BY event_type, eday), " +
+        "cal AS (SELECT unnest(generate_series(" +
+        "(SELECT MIN(eday) FROM ev), (SELECT MAX(eday) FROM ev), " +
+        "INTERVAL 1 DAY)) AS cday), " +
+        "t AS (SELECT DISTINCT event_type FROM ev), " +
+        "g AS (SELECT t.event_type, CAST(cal.cday AS DATE) AS gday, " +
+        "COALESCE(d.n, 0) AS n, d.sv " +
+        "FROM t CROSS JOIN cal LEFT JOIN d " +
+        "ON d.event_type = t.event_type AND d.eday = CAST(cal.cday AS DATE)) " +
+        "SELECT event_type, CAST(gday AS VARCHAR) AS day, " +
+        "CAST(n AS BIGINT) AS n, " +
+        "COALESCE(CAST(last_value(sv IGNORE NULLS) OVER " +
+        "(PARTITION BY event_type ORDER BY gday " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 0) " +
+        "AS carried " +
+        "FROM g ORDER BY event_type, day"),
   )
 }

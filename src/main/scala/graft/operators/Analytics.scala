@@ -110,4 +110,45 @@ object Analytics {
         sum(col("v")).cast("double").as("total_value"))
       .orderBy(col("event_type"))
   }
+
+  /** Calendar gap-fill + forward-fill (q106): the timeseries
+    * completion every reporting/feature pipeline needs — a dense
+    * (event_type × day) grid over the corpus date span, zero-filled
+    * counts, and the last observed daily total carried forward across
+    * gap days. Sparse observations (high-value events only) make the
+    * fill path real at every SF.
+    *
+    * Scale shape: the grid is a dimension product — |types| × |days|
+    * rows, both tiny next to the corpus — built once and broadcast;
+    * the corpus contributes one map-side-combined daily aggregation.
+    * The forward-fill window partitions by type over calendar-length
+    * frames, never corpus-length ones. Sums are decimal before
+    * addition, so they're order-independent and oracle-exact (no
+    * binary double can tie at a 10⁻ᵏ rounding quantum — q104's
+    * argument).
+    */
+  def gapFillForwardFill(spark: SparkSession, dir: String,
+      minValue: Double = 180.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        col("value"))
+    val daily = ev.filter(col("value") >= minValue)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sv"))
+    val cal = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    types.crossJoin(broadcast(cal))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(last(col("sv"), ignoreNulls = true).over(w)
+          .cast("double"), lit(0.0)).as("carried"))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("n"), col("carried"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }
