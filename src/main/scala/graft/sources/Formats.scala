@@ -34,7 +34,7 @@ object Formats {
 
   def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp = Caches.trackTempDir(
-      Files.createTempDirectory("graft-fmt")).toString
+      Files.createTempDirectory("graft_fmt")).toString
     val docs = Tables.documents(spark, dir)
     docs.write.mode(SaveMode.Overwrite).orc(s"$tmp/docs_orc")
     docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))

@@ -29,10 +29,12 @@ class CacheSpec extends SparkSpec {
       .map(_.getFileName.toString).filter(_.startsWith("graft_")).toSet
     val before = graftTmpDirs
     // residue-heavy paths: connected components (raw localCheckpoint
-    // persists, invisible to the SQL cache) and a streaming query
-    // (temp delta-sink dir + loaded state-store providers)
+    // persists, invisible to the SQL cache), a streaming query (temp
+    // delta-sink dir + loaded state-store providers), and the format
+    // round-trip (tracked ORC/CSV artifact dir)
     Dedup.dupClusters(spark, sfDir).count()
     StreamingOps.hourlyWindowCounts(spark, sfDir).count()
+    graft.sources.Formats.formatRoundtrip(spark, sfDir).count()
     assert(graftTmpDirs.size > before.size,
       "the streaming query should have spooled a temp sink dir")
     Caches.releaseAll(spark)
