@@ -54,4 +54,34 @@ object Formats {
         col("n_docs"), col("sum_chars"))
     fromOrc.unionAll(fromCsv).orderBy(col("dim"), col("key"))
   }
+
+  /** Hive-style partitioned write: one directory per partition value,
+    * so downstream readers prune whole directories (the read-side proof
+    * lives in ScaleSpec's pruning test). At 100 TB the partition column
+    * must be low-cardinality and the write repartitioned on it first —
+    * otherwise every task writes a file into every partition dir and
+    * the lake fills with |tasks|×|partitions| small files.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCol: String): Unit =
+    df.repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(path)
+
+  /** Small-file compaction — the other half of the small-files problem:
+    * rewrite an input with a bounded per-file row count so file sizes
+    * land near the scan-efficient target regardless of how fragmented
+    * the input arrived. `maxRecordsPerFile` caps each file; the
+    * repartition bounds the file COUNT from below at
+    * ceil(rows / target), so output file count stays within a small
+    * factor of optimal.
+    */
+  def compact(df: DataFrame, path: String, targetRecordsPerFile: Long): Unit = {
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    df.repartition(nFiles.toInt)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .parquet(path)
+  }
 }

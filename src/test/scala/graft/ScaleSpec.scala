@@ -72,6 +72,36 @@ class ScaleSpec extends SparkSpec {
     assert(windows <= 1, s"expected at most the final ranking window:\n$plan")
   }
 
+  test("partitioned write: one directory per value, readable and prunable") {
+    import graft.sources.{Formats, Tables}
+    val out = s"$tmp/part_write"
+    Formats.writePartitioned(
+      Tables.documents(spark, sfDir), out, "lang")
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang="))
+    val langs = Tables.documents(spark, sfDir)
+      .select("lang").distinct().count()
+    assert(dirs.length == langs, s"expected $langs lang= dirs, got ${dirs.toSeq}")
+    assert(spark.read.parquet(out).count() ==
+      Tables.documents(spark, sfDir).count())
+  }
+
+  test("compaction bounds per-file rows and total file count") {
+    import graft.sources.{Formats, Tables}
+    val out = s"$tmp/compacted"
+    val docs = Tables.documents(spark, sfDir)
+    val rows = docs.count()
+    val target = 120L
+    Formats.compact(docs, out, target)
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(perFile.sum == rows)
+    assert(perFile.forall(_ <= target), s"file over target: ${perFile.toSeq}")
+    val optimal = (rows + target - 1) / target
+    assert(perFile.length <= 2 * optimal,
+      s"${perFile.length} files vs optimal $optimal")
+  }
+
   test("PQ and IVFPQ plans stay shuffle-lean (broadcast probes, one window)") {
     // q99: non-equi self-pair filter against a 5-row broadcast query set
     // must plan as a broadcast nested-loop, never a cartesian product
