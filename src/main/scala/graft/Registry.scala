@@ -139,6 +139,9 @@ object Registry {
     "q105_centroid_classify" -> ((s, d) =>
       Similarity.centroidClassify(s, d)),
     "q106_gapfill" -> ((s, d) => Analytics.gapFillForwardFill(s, d)),
+    // rows-only: the decode stage is the labeled codec stub; goldens
+    // and pipeline invariants live in MultimodalSpec tests
+    "q107_media_pipeline" -> ((s, d) => Multimodal.mediaPipeline(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(

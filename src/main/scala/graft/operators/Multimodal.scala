@@ -66,4 +66,56 @@ object Multimodal {
     }.toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  /** Deterministic 1-in-k frame sampling over a decoded frame sequence
+    * — the temporal-subsampling step of every video featurizer (keep
+    * frame 0, k, 2k, …). Pure function so the pipeline op and its tests
+    * share it.
+    */
+  def sampleFrames(frames: Seq[(Int, Double)], every: Int): Seq[(Int, Double)] =
+    frames.filter { case (idx, _) => idx % every == 0 }
+
+  /** Deterministic "resize": resample a variable-length feature
+    * sequence onto a fixed-size grid by bucket means — the 1-D analogue
+    * of image resize, with integer bucket edges `i*n/target` so the
+    * result is reproducible everywhere. Sequences shorter than the grid
+    * fill only their leading buckets (no interpolation — a codec's
+    * resampler would slot in here).
+    */
+  def resizeFeatures(feats: Seq[Double], target: Int): Seq[(Int, Double)] = {
+    val n = feats.length
+    if (n == 0) Seq.empty
+    else feats.zipWithIndex
+      .groupBy { case (_, i) => math.min(i.toLong * target / n, target - 1L).toInt }
+      .toSeq.sortBy(_._1)
+      .map { case (b, xs) => (b, xs.map(_._1).sum / xs.length) }
+  }
+
+  final case class Feat(doc_id: Long, bucket: Int, feat: Double)
+
+  /** The full media featurization pipeline (q107): decode → frame-sample
+    * → resize, all inside ONE `mapPartitions` pass — the 100 TB contract
+    * for media columns: the binary payload is decoded, subsampled, and
+    * reduced to a fixed-size feature grid WITHOUT leaving the executor;
+    * only |target| small rows per document ever shuffle (here only for
+    * the presentation sort). Swapping [[fakeDecodeBytes]] for a real
+    * codec changes no pipeline shape.
+    */
+  def mediaPipeline(spark: SparkSession, dir: String, frameSize: Int = 32,
+      sampleEvery: Int = 4, targetBuckets: Int = 8): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    docs.mapPartitions { rows =>
+      rows.flatMap { case (id, payload) =>
+        val sampled = sampleFrames(fakeDecodeBytes(payload, frameSize),
+          sampleEvery)
+        resizeFeatures(sampled.map(_._2), targetBuckets).map {
+          case (b, f) => Feat(id, b, f)
+        }
+      }
+    }.toDF()
+      .orderBy(col("doc_id"), col("bucket"))
+  }
 }

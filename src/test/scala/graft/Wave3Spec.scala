@@ -158,6 +158,44 @@ class Wave3Spec extends SparkSpec {
     assert(Multimodal.frameFeatures(spark, sfDir).count() == expected)
   }
 
+  test("frame-sample and resize: hand-computed goldens") {
+    assert(Multimodal.sampleFrames(
+      Seq(0 -> 1.0, 1 -> 2.0, 2 -> 3.0, 3 -> 4.0, 4 -> 5.0), 2) ==
+      Seq(0 -> 1.0, 2 -> 3.0, 4 -> 5.0))
+    // 10 features onto a 4-bucket grid: edges i*4/10 → [0,1,2],[3,4],
+    // [5,6,7],[8,9] with means 1.0, 3.5, 6.0, 8.5
+    assert(Multimodal.resizeFeatures((0 until 10).map(_.toDouble), 4) ==
+      Seq(0 -> 1.0, 1 -> 3.5, 2 -> 6.0, 3 -> 8.5))
+    // shorter than the grid: leading buckets only, one value each
+    assert(Multimodal.resizeFeatures(Seq(7.0, 9.0), 4) ==
+      Seq(0 -> 7.0, 2 -> 9.0))
+    assert(Multimodal.resizeFeatures(Seq.empty, 4) == Seq.empty)
+  }
+
+  test("media pipeline == composing decode, sample, resize per doc") {
+    val out = Multimodal.mediaPipeline(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Int]("bucket"))
+          .map(r => (r.getAs[Int]("bucket"), r.getAs[Double]("feat"))).toSeq
+      }
+    assert(out.nonEmpty)
+    out.values.foreach { bs =>
+      assert(bs.size <= 8 && bs.forall { case (b, _) => b >= 0 && b < 8 })
+    }
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) =>
+      val expected = Multimodal.resizeFeatures(
+        Multimodal.sampleFrames(
+          Multimodal.fakeDecodeBytes(text.getBytes("UTF-8"), 32), 4)
+          .map(_._2), 8)
+      assert(out.getOrElse(id, Seq.empty) == expected,
+        s"doc $id pipeline mismatch")
+    }
+  }
+
   test("conflict-ignore upsert is idempotent") {
     val once = Upsert.conflictIgnoreUpsert(spark, sfDir)
     // re-applying the same source against the merged keys inserts nothing
