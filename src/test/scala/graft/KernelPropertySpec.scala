@@ -188,6 +188,22 @@ class KernelPropertySpec extends AnyFunSuite {
       new GenericArrayData(Array[Any](null)), cb) == null)
   }
 
+  test("resizeFeatures partitions every index, in order, conserving mass") {
+    import graft.operators.Multimodal
+    val feats = Gen.listOf(Gen.choose(0, 2550).map(_ / 10.0))
+    check(Prop.forAll(feats, Gen.choose(1, 12)) { (xs, target) =>
+      val out = Multimodal.resizeFeatures(xs, target)
+      val buckets = out.map(_._1)
+      val sizes = xs.indices.groupBy(i =>
+        math.min(i.toLong * target / math.max(xs.length, 1), target - 1L).toInt)
+      // ordered, in-range, one row per non-empty bucket
+      buckets == buckets.sorted && buckets.forall(b => b >= 0 && b < target) &&
+      buckets.toSet == sizes.keySet &&
+      // bucket means weighted by bucket size reconstruct the total sum
+      math.abs(out.map { case (b, m) => m * sizes(b).size }.sum - xs.sum) < 1e-6
+    })
+  }
+
   test("SimHash64 == per-bit majority reference") {
     check(Prop.forAll(text) { s =>
       val hs = refTokens(s).map { t =>
