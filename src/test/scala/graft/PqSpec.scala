@@ -107,6 +107,30 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("trainPqCodebooks: deterministic shape, exact recovery of planted prototypes") {
+    // 4 prototypes per subspace, each repeated with zero noise: Lloyd
+    // must return exactly the prototype means after any iterations
+    val protos = Array(
+      Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0), Array(0.0, -1.0))
+    val sample = (0 until 40).map { i =>
+      val p = protos(i % 4)
+      Array(p(0), p(1), p(1), p(0)) // two subspaces, prototype-linked
+    }.toArray
+    val cb = Similarity.trainPqCodebooks(sample, m = 2, ksub = 4, iters = 3)
+    assert(cb.length == 2 && cb.forall(_.length == 4) &&
+      cb.forall(_.forall(_.length == 2)))
+    val cb2 = Similarity.trainPqCodebooks(sample, m = 2, ksub = 4, iters = 3)
+    assert(cb.map(_.toSeq.map(_.toSeq)).toSeq ==
+      cb2.map(_.toSeq.map(_.toSeq)).toSeq, "training must be deterministic")
+    // every codeword equals one of the planted prototypes (exact doubles)
+    val protoSet = protos.map(_.toSeq).toSet
+    cb(0).foreach(w => assert(protoSet.contains(w.toSeq)))
+    // ksub larger than the sample degrades gracefully
+    val small = Similarity.trainPqCodebooks(sample.take(3), m = 2,
+      ksub = 16, iters = 2)
+    assert(small.forall(_.length == 3))
+  }
+
   test("PQ recall@5 vs brute force clears the flat-codec floor") {
     val bf = Similarity.bruteForceTopK(spark, sfDir).collect()
       .groupBy(_.getAs[Long]("q_id"))
