@@ -142,6 +142,9 @@ object Registry {
     // rows-only: the decode stage is the labeled codec stub; goldens
     // and pipeline invariants live in MultimodalSpec tests
     "q107_media_pipeline" -> ((s, d) => Multimodal.mediaPipeline(s, d)),
+    // rows-only: bit-identical to q99 by construction (PqSpec asserts
+    // full equality); the LUT path drops the join from the plan
+    "q108_pq_lut_ann" -> ((s, d) => Similarity.pqTopKLut(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(

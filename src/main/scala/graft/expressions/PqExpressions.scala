@@ -158,6 +158,12 @@ object PqAdc {
   /** Σ over subspaces of ⟨query subvector, coded codeword⟩; null on any
     * malformed input. Shared by eval, codegen, and the property tests.
     */
+  /** Σ over subspaces of ⟨query subvector, coded codeword⟩. The inner
+    * dot accumulates into a per-subspace SUBTOTAL which is then added
+    * to the running score — the same grouping a precomputed lookup
+    * table produces, so [[PqLutScore]] is bit-identical to this by
+    * construction (not merely within FP tolerance).
+    */
   def compute(q: ArrayData, codes: ArrayData,
       cb: Array[Array[Array[Double]]]): java.lang.Double = {
     val m = cb.length
@@ -171,15 +177,92 @@ object PqAdc {
       if (c < 0 || c >= cb(b).length) return null
       val w = cb(b)(c)
       val off = b * dsub
+      var sub = 0.0
       var j = 0
       while (j < dsub) {
         if (q.isNullAt(off + j)) return null
-        acc += q.getDouble(off + j) * w(j)
+        sub += q.getDouble(off + j) * w(j)
         j += 1
       }
+      acc += sub
       b += 1
     }
     acc
+  }
+}
+
+/** LUT-based ADC — the batch form FAISS actually executes: for a FIXED
+  * query, ⟨q_sub(b), codeword⟩ has only m × ksub distinct values, so
+  * the driver precomputes that table once per query and scoring a
+  * vector collapses to m lookups + adds, independent of dim. With the
+  * LUT carried as a reference object, the corpus pass needs neither
+  * the query vector nor a join — scores for every broadcast-bounded
+  * query emit from one row-local projection.
+  *
+  * Bit-identical to [[PqAdc]] (both sum per-subspace subtotals in
+  * subspace order); PqSpec asserts the equivalence on the full query.
+  */
+case class PqLutScore(child: Expression, lut: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(lut.nonEmpty, "pq_lut_score needs at least one subspace")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(codes: Any): Any =
+    PqLutScore.compute(codes.asInstanceOf[ArrayData], lut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("pqLut", lut, "double[][]")
+    nullSafeCodeGen(ctx, ev, codes => {
+      val r = ctx.freshName("r")
+      s"""
+         |Double $r = org.apache.spark.sql.graft.PqLutScore.compute($codes, $l);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqLutScore = copy(child = newChild)
+}
+
+object PqLutScore {
+  /** m lookups + adds; null on malformed codes. */
+  def compute(codes: ArrayData, lut: Array[Array[Double]]): java.lang.Double = {
+    val m = lut.length
+    if (codes.numElements() != m) return null
+    var acc = 0.0
+    var b = 0
+    while (b < m) {
+      if (codes.isNullAt(b)) return null
+      val c = codes.getInt(b)
+      if (c < 0 || c >= lut(b).length) return null
+      acc += lut(b)(c)
+      b += 1
+    }
+    acc
+  }
+
+  /** The per-query table: lut[b][c] = ⟨q_sub(b), codebook[b][c]⟩, inner
+    * dot left-to-right — the same subtotal [[PqAdc]] forms.
+    */
+  def buildLut(q: Array[Double],
+      cb: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val dsub = cb(0)(0).length
+    Array.tabulate(cb.length) { b =>
+      val off = b * dsub
+      cb(b).map { w =>
+        var s = 0.0; var j = 0
+        while (j < dsub) { s += q(off + j) * w(j); j += 1 }
+        s
+      }
+    }
   }
 }
 
@@ -194,4 +277,9 @@ object PqExpressions {
       codebooks: Array[Array[Array[Double]]]): Column =
     ExpressionUtils.column(PqAdc(ExpressionUtils.expression(q),
       ExpressionUtils.expression(codes), codebooks))
+
+  /** Column-level entry point for LUT-based ADC scoring. */
+  def pqLutNative(codes: Column, lut: Array[Array[Double]]): Column =
+    ExpressionUtils.column(
+      PqLutScore(ExpressionUtils.expression(codes), lut))
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import org.apache.spark.sql.graft.PqExpressions
+import org.apache.spark.sql.graft.{PqExpressions, PqLutScore}
 import org.apache.spark.sql.graft.VectorExpressions.dotNative
 import graft.sources.Tables
 
@@ -282,6 +282,61 @@ object Similarity {
     codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .withColumn("adc",
         PqExpressions.pqAdcNative(col("q_v"), col("codes"), cb))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), col("adc"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** PQ-flat ANN via precomputed lookup tables (q108): the batch form
+    * FAISS actually executes. The bounded query set is collected with
+    * the training sample (one job), each query's m×ksub table of
+    * ⟨q_sub, codeword⟩ partials is built on the driver, and the corpus
+    * pass scores EVERY query from one row-local projection — m lookups
+    * + adds per (vector, query), independent of dim, no join at all
+    * (q99's broadcast nested-loop disappears from the plan). Scores
+    * are bit-identical to [[pqTopK]] because [[PqAdc]] sums the same
+    * per-subspace subtotals a LUT stores — PqSpec asserts full output
+    * equality, and the plan test asserts joinlessness.
+    */
+  def pqTopKLut(spark: SparkSession, dir: String, k: Int = 5,
+      m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      trainMod: Int = 4): DataFrame =
+    pqTopKLutDf(unitVectors(spark, dir).select(col("vec_id"), col("v")),
+      k, m, ksub, iters, trainMod)
+
+  def pqTopKLutDf(emb: DataFrame, k: Int = 5, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3, trainMod: Int = 4, nQueries: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one job: training sample + query vectors (both bounded)
+    val sampled = emb
+      .filter(pmod(col("vec_id"), lit(trainMod)) === 0 ||
+        col("vec_id") < nQueries)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val cb = trainPqCodebooks(
+      sampled.collect { case (id, v) if id % trainMod == 0 => v },
+      m, ksub, iters)
+    val luts = sampled.takeWhile(_._1 < nQueries).map { case (id, q) =>
+      id -> PqLutScore.buildLut(q, cb)
+    }
+    val codes = emb.select(col("vec_id"),
+      PqExpressions.pqEncodeNative(col("v"), cb).as("codes"))
+    // every query's score from the same row: explode a literal-bounded
+    // struct array, no join, no second corpus pass
+    val scored = codes.select(col("vec_id"),
+      explode(array(luts.map { case (qid, lut) =>
+        struct(lit(qid).as("q_id"),
+          PqExpressions.pqLutNative(col("codes"), lut).as("adc"))
+      }.toSeq: _*)).as("s"))
+      .select(col("vec_id"), col("s.q_id").as("q_id"), col("s.adc").as("adc"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),

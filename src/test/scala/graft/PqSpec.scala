@@ -107,6 +107,37 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("LUT scoring path is bit-identical to PqAdc (full output equality)") {
+    val adc = Similarity.pqTopK(spark, sfDir).collect().toSeq
+    val lut = Similarity.pqTopKLut(spark, sfDir).collect().toSeq
+    assert(lut == adc)
+  }
+
+  test("LUT plan is joinless: one corpus projection, one ranking window") {
+    val plan = Similarity.pqTopKLut(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"LUT path must not join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert("\\bWindow\\b".r.findAllIn(plan).length <= 1)
+  }
+
+  test("PqLutScore.compute == buildLut + PqAdc on random cases") {
+    import org.apache.spark.sql.graft.{PqAdc, PqEncode, PqLutScore}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val m = 1 + rnd.nextInt(3); val dsub = 1 + rnd.nextInt(3)
+      val ksub = 1 + rnd.nextInt(4)
+      val cb = Array.fill(m, ksub, dsub)(rnd.nextDouble() * 2 - 1)
+      val v = Array.fill(m * dsub)(rnd.nextDouble() * 2 - 1)
+      val q = Array.fill(m * dsub)(rnd.nextDouble() * 2 - 1)
+      val codes = PqEncode.compute(new GenericArrayData(v), cb)
+      val viaAdc = PqAdc.compute(new GenericArrayData(q), codes, cb)
+      val viaLut = PqLutScore.compute(codes, PqLutScore.buildLut(q, cb))
+      assert(viaAdc == viaLut, "ADC and LUT must agree bit-for-bit")
+    }
+  }
+
   test("trainPqCodebooks: deterministic shape, exact recovery of planted prototypes") {
     // 4 prototypes per subspace, each repeated with zero noise: Lloyd
     // must return exactly the prototype means after any iterations
