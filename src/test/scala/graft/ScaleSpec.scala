@@ -121,6 +121,25 @@ class ScaleSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(ivfpq).length <= 1)
   }
 
+  test("concurrent queries on one session match their serial results") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // a mixed workload: scan+agg, quality scan, dedup groupBy, vector
+    // scoring, and a windowed manifest — all sharing the session, its
+    // catalog, and the unitVectors persist barrier
+    val names = Seq("q01_watermark_last_id", "q24_doc_quality",
+      "q28_exact_dedup", "q34_ann_bruteforce", "q101_shard_manifest")
+    val serial = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, sfDir).collect().toSeq).toMap
+    val futures = (names ++ names).map { n =>
+      Future(n -> SparkEntry.queries(n)(spark, sfDir).collect().toSeq)
+    }
+    Await.result(Future.sequence(futures), 120.seconds).foreach {
+      case (n, rows) => assert(rows == serial(n), s"$n diverged under concurrency")
+    }
+  }
+
   test("streaming checkpoint makes re-runs incremental (no reprocessing)") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
