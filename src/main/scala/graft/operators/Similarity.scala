@@ -133,6 +133,10 @@ object Similarity {
     * of the whole bench; the round-5 form before this one ran a
     * distributed aggregate per iteration, which is the right shape only
     * when the training set is unbounded — it never is.)
+    *
+    * Sizing rule at scale: nlist ≈ 4·√n (FAISS guidance), so each
+    * inverted list holds ~√n/4 vectors and a probe scans
+    * ~nprobe·√n/4 of the corpus; kept small here for the local fixture.
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
       nlist: Int = 8, nprobe: Int = 3, iters: Int = 3,
