@@ -145,6 +145,7 @@ object Registry {
     // rows-only: bit-identical to q99 by construction (PqSpec asserts
     // full equality); the LUT path drops the join from the plan
     "q108_pq_lut_ann" -> ((s, d) => Similarity.pqTopKLut(s, d)),
+    "q109_containment_dedup" -> ((s, d) => Dedup.containmentOracled(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -942,5 +943,35 @@ object Registry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 0) " +
         "AS carried " +
         "FROM g ORDER BY event_type, day"),
+    // same md5-LSH candidate machinery as q95; the verified metric is
+    // the asymmetric containment |A∩B| / min(|A|,|B|)
+    "q109_containment_dedup" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+        "FROM e GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+        "FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket " +
+        "WHERE l.doc_id < r.doc_id), " +
+        "v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) AS la, len(b.sh) AS lb " +
+        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b) " +
+        "SELECT id_a, id_b, " +
+        "CAST(inter AS DOUBLE) / CAST(LEAST(la, lb) AS DOUBLE) AS containment " +
+        "FROM v " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(LEAST(la, lb) AS DOUBLE) >= 0.5 " +
+        "ORDER BY id_a, id_b"),
   )
 }

@@ -550,6 +550,49 @@ object Dedup {
 
   def minhashOracledDf(docsRaw: DataFrame, perms: Int = 8, bands: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
+    val (docs, pairs) = minhashCandidatePairs(docsRaw, perms, bands)
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Containment near-dup (q109): the asymmetric overlap
+    * |A ∩ B| / min(|A|, |B|) over the SAME oracled md5-LSH candidate
+    * pairs as q95 — the quote/subset-duplicate signal symmetric Jaccard
+    * under-scores (a short document fully embedded in a long one has
+    * tiny Jaccard but containment 1.0; C4/RealNews-era curation filters
+    * on exactly this). Same 100 TB shape as q95: banding equi-join for
+    * candidates, exact verification only on survivors.
+    */
+  def containmentOracled(spark: SparkSession, dir: String,
+      minContain: Double = 0.5): DataFrame =
+    containmentOracledDf(Tables.documents(spark, dir), minContain = minContain)
+
+  def containmentOracledDf(docsRaw: DataFrame, perms: Int = 8,
+      bands: Int = 4, minContain: Double = 0.5): DataFrame = {
+    val (docs, pairs) = minhashCandidatePairs(docsRaw, perms, bands)
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment", col("inter").cast("double") /
+        least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .filter(col("containment") >= minContain)
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Shared q95/q109 candidate machinery: persisted shingle sets plus
+    * the distinct md5-minhash band-bucket candidate pairs.
+    */
+  private def minhashCandidatePairs(docsRaw: DataFrame, perms: Int,
+      bands: Int): (DataFrame, DataFrame) = {
     require(perms % bands == 0, "perms must split evenly into bands")
     val rows = perms / bands
     val docs = docsRaw
@@ -581,15 +624,7 @@ object Dedup {
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    pairs
-      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
+    (docs, pairs)
   }
 
   /** SimHash with a cross-engine hash (q102): the oracled correctness

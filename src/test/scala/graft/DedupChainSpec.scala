@@ -201,6 +201,43 @@ class DedupChainSpec extends SparkSpec {
     }
   }
 
+  test("containment catches an embedded document that jaccard under-scores") {
+    import spark.implicits._
+    import graft.sources.Tables
+    val short = (0 until 30).map(i => s"w$i")
+    val long = short ++ (0 until 6).map(i => s"z$i") // short fully embedded
+    val other = (0 until 30).map(i => s"u$i")
+    val docs = Seq(
+      (0L, short.mkString(" ")),
+      (1L, long.mkString(" ")),
+      (2L, other.mkString(" ")))
+      .map { case (id, text) =>
+        (id, text, "en", "crafted", text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("containment").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val cont = Dedup.containmentOracledDf(
+        Tables.documents(spark, dir)).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          r.getAs[Double]("containment")).toMap
+      // every shingle of doc 0 appears in doc 1 → containment exactly 1
+      assert(cont.get((0L, 1L)).contains(1.0),
+        s"embedded pair missing or under-scored: $cont")
+      // same pair's jaccard is strictly below 1 (the signal gap)
+      val jac = Dedup.minhashOracledDf(
+        Tables.documents(spark, dir), minJaccard = 0.0).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          r.getAs[Double]("jaccard")).toMap
+      assert(jac((0L, 1L)) < 1.0 && jac((0L, 1L)) > 0.5)
+      // the unrelated doc pairs with nothing
+      assert(!cont.keySet.exists { case (a, b) => a == 2L || b == 2L })
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("span dedup: hand-computed ratios on a crafted corpus") {
     import spark.implicits._
     // spans are 25 tokens wide; A and B are full spans, C is unique,
