@@ -146,6 +146,7 @@ object Registry {
     // full equality); the LUT path drops the join from the plan
     "q108_pq_lut_ann" -> ((s, d) => Similarity.pqTopKLut(s, d)),
     "q109_containment_dedup" -> ((s, d) => Dedup.containmentOracled(s, d)),
+    "q110_token_budget" -> ((s, d) => TextOps.tokenBudgetSelection(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -973,5 +974,25 @@ object Registry {
         "FROM v " +
         "WHERE CAST(inter AS DOUBLE) / CAST(LEAST(la, lb) AS DOUBLE) >= 0.5 " +
         "ORDER BY id_a, id_b"),
+    "q110_token_budget" ->
+      ("WITH t AS (SELECT lang, doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks " +
+        "FROM documents), " +
+        "q AS (SELECT lang, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) " +
+        "AS distinct_ratio FROM t) " +
+        "SELECT lang, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank, doc_id, " +
+        "n_tokens, " +
+        "CAST(SUM(n_tokens) OVER (PARTITION BY lang " +
+        "ORDER BY distinct_ratio DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS cum_tokens, " +
+        "CAST(CASE WHEN SUM(n_tokens) OVER (PARTITION BY lang " +
+        "ORDER BY distinct_ratio DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens < 2000 " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS kept " +
+        "FROM q WINDOW w AS " +
+        "(PARTITION BY lang ORDER BY distinct_ratio DESC, doc_id) " +
+        "ORDER BY lang, rank"),
   )
 }

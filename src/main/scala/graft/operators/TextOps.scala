@@ -464,6 +464,39 @@ object TextOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Token-budget corpus assembly (q110): rank each language's
+    * documents by quality (type/token ratio, ties to doc_id) and keep
+    * documents until the running token total crosses the per-language
+    * budget — the SlimPajama-style "best N tokens" selection step. A
+    * document is kept when it STARTS under budget, so the kept set is a
+    * prefix of the quality ordering and the output records where every
+    * document landed (rank, cumulative tokens, kept flag).
+    *
+    * Exact here via a per-language window; at 100 TB the full sort is
+    * replaced by the standard two-pass form — approx-quantile the
+    * quality score to find the budget threshold, then filter — the
+    * same trade [[stratifiedSample]]'s scaladoc records.
+    */
+  def tokenBudgetSelection(spark: SparkSession, dir: String,
+      budget: Long = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("distinct_ratio").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalytics.distinctRatio(col("text")).as("distinct_ratio"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("kept",
+        (col("cum_tokens") - col("n_tokens") < budget).cast("long"))
+      .select(col("lang"), col("rank"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"), col("kept"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** Deterministic corpus shuffle + shard manifest (q101): the step
     * between curation and the dataloader. Each document gets a
     * content-independent pseudo-random rank (md5 of the doc id —
