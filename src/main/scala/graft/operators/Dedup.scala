@@ -569,6 +569,17 @@ object Dedup {
     * tiny Jaccard but containment 1.0; C4/RealNews-era curation filters
     * on exactly this). Same 100 TB shape as q95: banding equi-join for
     * candidates, exact verification only on survivors.
+    *
+    * Recall bound, stated honestly: candidates come from SYMMETRIC
+    * minhash banding, so an embedded pair is recalled only when its
+    * Jaccard is also high enough to band-collide (a 30-token doc inside
+    * a 36-token doc — Jaccard ≈ 0.78 — collides reliably; a tweet
+    * inside a book does not). Full-recall containment needs asymmetric
+    * candidates — band the SHORTER side's signature against per-window
+    * signatures of the longer side, which is exactly the span-hash
+    * posting-list shape [[spanDedup]]/[[winnowNearDup]] already
+    * implement; this operator is the exact-verification complement on
+    * LSH candidates, not a replacement for those.
     */
   def containmentOracled(spark: SparkSession, dir: String,
       minContain: Double = 0.5): DataFrame =
