@@ -881,6 +881,9 @@ object Registry {
         "UNION ALL " +
         "SELECT 'csv_by_lang', lang, COUNT(*), SUM(n_chars) " +
         "FROM documents GROUP BY lang " +
+        "UNION ALL " +
+        "SELECT 'json_total', 'all', COUNT(*), SUM(length(text)) " +
+        "FROM documents " +
         "ORDER BY dim, key"),
     // decimal element-sums make the FP mean exact and order-independent
     // in both engines; the norm's left fold matches Spark's 0.0-seeded

@@ -8,21 +8,21 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 
 import graft.Caches
 
-/** Columnar/text format interop beyond parquet: ORC (the other
-  * splittable columnar format a lake-migration meets) and CSV (the
-  * lowest-common-denominator exchange format). The reference's only
-  * wire formats are JSON and SQL rows; a Spark-native engine inherits
-  * every Hadoop format for free, and this query PROVES the round-trip
-  * rather than asserting it: documents are written to ORC and CSV,
-  * read back through each codec, and aggregated — the oracle checks
-  * the same aggregates against the parquet originals, so any
-  * encode/decode drift (types, nulls, quoting) breaks the hash match.
+/** Format interop beyond parquet: ORC (the other splittable columnar
+  * format a lake-migration meets), CSV (the lowest-common-denominator
+  * exchange format), and JSONL (the reference's OWN wire format — its
+  * API speaks JSON rows). A Spark-native engine inherits every Hadoop
+  * format for free, and this query PROVES the round-trips rather than
+  * asserting them: documents are written to all three codecs, read
+  * back through each, and aggregated — the oracle checks the same
+  * aggregates against the parquet originals, so any encode/decode
+  * drift (types, nulls, quoting, escaping) breaks the hash match.
   *
-  * Scale notes: both writes shuffle nothing (narrow file rewrite);
-  * ORC round-trips the full row while CSV carries only scalar columns
-  * (its contract — no nested types). Temp artifacts register with
-  * [[graft.Caches.trackTempDir]], the session-hygiene contract every
-  * side-writing query follows.
+  * Scale notes: the writes shuffle nothing (narrow file rewrite); ORC
+  * and JSON round-trip the full row while CSV carries only scalar
+  * columns (its contract — no nested types). Temp artifacts register
+  * with [[graft.Caches.trackTempDir]], the session-hygiene contract
+  * every side-writing query follows.
   */
 object Formats {
 
@@ -40,6 +40,7 @@ object Formats {
     docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$tmp/docs_csv")
+    docs.write.mode(SaveMode.Overwrite).json(s"$tmp/docs_json")
 
     val fromOrc = spark.read.orc(s"$tmp/docs_orc")
       .groupBy(col("source").as("key"))
@@ -52,7 +53,16 @@ object Formats {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .select(lit("csv_by_lang").as("dim"), col("key"),
         col("n_docs"), col("sum_chars"))
-    fromOrc.unionAll(fromCsv).orderBy(col("dim"), col("key"))
+    // JSON re-reads the full row including the text payload, so the
+    // checksum-style aggregate (sum of text lengths) catches any
+    // escaping/encoding drift, not just row counts
+    val fromJson = spark.read.schema(docs.schema).json(s"$tmp/docs_json")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+      .select(lit("json_total").as("dim"), lit("all").as("key"),
+        col("n_docs"), col("sum_chars"))
+    fromOrc.unionAll(fromCsv).unionAll(fromJson)
+      .orderBy(col("dim"), col("key"))
   }
 
   /** Hive-style partitioned write: one directory per partition value,
