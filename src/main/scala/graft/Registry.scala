@@ -147,6 +147,9 @@ object Registry {
     "q108_pq_lut_ann" -> ((s, d) => Similarity.pqTopKLut(s, d)),
     "q109_containment_dedup" -> ((s, d) => Dedup.containmentOracled(s, d)),
     "q110_token_budget" -> ((s, d) => TextOps.tokenBudgetSelection(s, d)),
+    // rows-only production twin of q109 (xxhash64 banding has no
+    // cross-engine oracle); soundness test vs brute-force containment
+    "q111_containment_prod" -> ((s, d) => Dedup.containmentCandidates(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(

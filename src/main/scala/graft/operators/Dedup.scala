@@ -154,6 +154,37 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Production containment screening (q111): the scale twin of the
+    * oracled [[containmentOracled]], on the SAME tight banding as the
+    * production minhash path (16 perms × 4 rows/band, so a spurious
+    * candidate survives at jaccard⁴ — the parameterization COVERAGE.md's
+    * 10× measurement shows the loose oracle banding lacks). Hash-only
+    * hot joins: band signatures drive candidates, sorted 64-bit shingle
+    * hashes drive the exact |A∩B| verification via the zero-allocation
+    * native kernel, and the asymmetric min-denominator flags embedded
+    * documents the symmetric path under-scores.
+    */
+  def containmentCandidates(spark: SparkSession, dir: String,
+      minContain: Double = 0.5): DataFrame = {
+    val docs = shingledDocs(spark, dir)
+    val banded = bandedSignatures(docs).persist()
+    val pairs = banded.as("l")
+      .join(banded.as("r"), Seq("band", "bucket"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("sh64").as("sh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh64").as("sh_b")), "id_b")
+      .withColumn("inter",
+        VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("containment", col("inter").cast("double") /
+        least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .filter(col("containment") >= minContain)
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Incremental near-dup screening — the production shape at 100 TB:
     * a NEW batch (here: doc_id % batchMod == batchRem as a stand-in for
     * today's crawl) is checked against the HISTORICAL corpus without

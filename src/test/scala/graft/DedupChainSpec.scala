@@ -238,6 +238,43 @@ class DedupChainSpec extends SparkSpec {
     }
   }
 
+  test("production containment: sound vs brute force, recalls the embedded doc") {
+    import spark.implicits._
+    import graft.sources.Tables
+    // soundness on the fixture corpus: every emitted pair's containment
+    // matches the brute-force value computed from raw shingle sets
+    val got = Dedup.containmentCandidates(spark, sfDir).collect()
+    assert(got.nonEmpty, "fixture corpus has planted near-dups")
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextAnalytics.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    got.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      val expected = sh(a).intersect(sh(b)).size.toDouble /
+        math.min(sh(a).size, sh(b).size)
+      assert(math.abs(r.getAs[Double]("containment") - expected) < 1e-12)
+    }
+    // recall on a crafted embedded pair (j ≈ 0.78 band-collides)
+    val short = (0 until 30).map(i => s"w$i")
+    val docs = Seq(
+      (0L, short.mkString(" ")),
+      (1L, (short ++ (0 until 6).map(i => s"z$i")).mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "crafted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("cont-prod").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val pair = Dedup.containmentCandidates(spark, dir).collect()
+      assert(pair.exists(r => r.getAs[Long]("id_a") == 0L &&
+        r.getAs[Long]("id_b") == 1L &&
+        r.getAs[Double]("containment") == 1.0))
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("span dedup: hand-computed ratios on a crafted corpus") {
     import spark.implicits._
     // spans are 25 tokens wide; A and B are full spans, C is unique,
