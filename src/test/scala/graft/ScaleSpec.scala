@@ -121,6 +121,20 @@ class ScaleSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(ivfpq).length <= 1)
   }
 
+  test("sequence packing windows partition by (lang, shard), never bare lang") {
+    // regression guard for the round-4 scale flaw: a window partitioned
+    // only by language sorts each language's whole token stream in one
+    // task; the shard column must stay in the partition spec
+    val plan = operators.TextOps.sequencePacking(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, s"expected a running-sum window:\n$plan")
+    windowLines.foreach { l =>
+      assert(l.contains("shard"),
+        s"window partition lost the shard column:\n$l")
+    }
+  }
+
   test("concurrent queries on one session match their serial results") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
