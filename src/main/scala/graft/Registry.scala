@@ -879,13 +879,16 @@ object Registry {
     // codecs round-tripped every value
     "q103_format_roundtrip" ->
       ("SELECT 'orc_by_source' AS dim, source AS key, " +
-        "COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
         "FROM documents GROUP BY source " +
         "UNION ALL " +
-        "SELECT 'csv_by_lang', lang, COUNT(*), SUM(n_chars) " +
+        "SELECT 'csv_by_lang', lang, CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(n_chars) AS BIGINT) " +
         "FROM documents GROUP BY lang " +
         "UNION ALL " +
-        "SELECT 'json_total', 'all', COUNT(*), SUM(length(text)) " +
+        "SELECT 'json_total', 'all', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(length(text)) AS BIGINT) " +
         "FROM documents " +
         "ORDER BY dim, key"),
     // decimal element-sums make the FP mean exact and order-independent

@@ -156,9 +156,7 @@ case class PqAdc(left: Expression, right: Expression,
 
 object PqAdc {
   /** Σ over subspaces of ⟨query subvector, coded codeword⟩; null on any
-    * malformed input. Shared by eval, codegen, and the property tests.
-    */
-  /** Σ over subspaces of ⟨query subvector, coded codeword⟩. The inner
+    * malformed input. Shared by eval, codegen, and the tests. The inner
     * dot accumulates into a per-subspace SUBTOTAL which is then added
     * to the running score — the same grouping a precomputed lookup
     * table produces, so [[PqLutScore]] is bit-identical to this by

@@ -644,13 +644,20 @@ object Dedup {
       // candidate verification; without it project-collapse recomputes
       // the tokenization per branch
       .persist()
+    // signatures are ROW-LOCAL: per-perm min over the doc's shingle set
+    // via array HOFs — no explode, no hash-aggregate, no shuffle (the
+    // former explode→groupBy shape pushed Σ|sh| rows through an
+    // exchange). Grams are cast to binary and the constant seed suffix
+    // concatenates as binary, so each perm costs one md5 over the same
+    // bytes the string form hashed — oracle-bit-identical. Per-row
+    // transient memory is O(|sh|) strings, bounded by doc length — the
+    // same rows the explode materialized, just at once.
+    val shb = transform(col("sh"), g => g.cast("binary"))
     val sig = docs
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .groupBy(col("doc_id"))
-      .agg(
-        min(md5(concat(col("g"), lit("#0")).cast("binary"))).as("m0"),
-        (1 until perms).map(s =>
-          min(md5(concat(col("g"), lit(s"#$s")).cast("binary"))).as(s"m$s")): _*)
+      .select(col("doc_id") +: (0 until perms).map { s =>
+        array_min(transform(shb, gb =>
+          md5(concat(gb, lit(s"#$s").cast("binary"))))).as(s"m$s")
+      }: _*)
     val banded = sig
       .select(col("doc_id"),
         explode(array((0 until bands).map { b =>

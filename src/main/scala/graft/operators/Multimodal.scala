@@ -79,8 +79,9 @@ object Multimodal {
     * sequence onto a fixed-size grid by bucket means — the 1-D analogue
     * of image resize, with integer bucket edges `i*n/target` so the
     * result is reproducible everywhere. Sequences shorter than the grid
-    * fill only their leading buckets (no interpolation — a codec's
-    * resampler would slot in here).
+    * occupy the spread bucket indices `i*target/n` — intermediate
+    * buckets stay empty (no interpolation — a codec's resampler would
+    * slot in here); Wave3Spec pins Seq(7,9)→4 buckets landing on 0 and 2.
     */
   def resizeFeatures(feats: Seq[Double], target: Int): Seq[(Int, Double)] = {
     val n = feats.length

@@ -140,23 +140,32 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
       nlist: Int = 8, nprobe: Int = 3, iters: Int = 3,
-      trainMod: Int = 4): DataFrame = {
+      trainMod: Int = 4, maxTrain: Int = 256 * 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = unitVectors(spark, dir).select(col("vec_id"), col("v"))
     // one job: bounded training sample + the seed rows (first nlist
     // vectors), fetched together. Both filters push down to the scan.
+    // The training predicate is CAPPED: vec_id < trainMod·maxTrain
+    // admits at most maxTrain rows no matter the corpus size — the
+    // FAISS contract (~256·nlist training points) made structural, so
+    // the collect below can never grow with n.
+    val trainCap = trainMod.toLong * maxTrain
     val sampled = emb
-      .filter(pmod(col("vec_id"), lit(trainMod)) === 0 ||
-        col("vec_id") < nlist)
+      .filter((pmod(col("vec_id"), lit(trainMod)) === 0 &&
+        col("vec_id") < trainCap) || col("vec_id") < nlist)
       .select(col("vec_id").cast("int"), col("v"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
     val train: Array[Array[Double]] =
-      sampled.collect { case (id, v) if id % trainMod == 0 => v }
+      sampled.collect {
+        case (id, v) if id % trainMod == 0 && id < trainCap => v
+      }
 
-    // deterministic seeding: first nlist vectors are the initial centroids
-    val centroids = lloydDot(train, sampled.take(nlist), iters)
+    // deterministic seeding: first nlist vectors are the initial
+    // centroids, selected explicitly (not take(nlist) — sparse or
+    // non-zero-based vec_ids must not let sample rows become seeds)
+    val centroids = lloydDot(train, sampled.filter(_._1 < nlist), iters)
 
     // inverted file: vec -> list, a pure projection (no shuffle, no cache)
     val lists = emb.select(col("vec_id"), assignCol(centroids, col("v")),
@@ -268,10 +277,16 @@ object Similarity {
       k, m, ksub, iters, trainMod)
 
   def pqTopKDf(emb: DataFrame, k: Int = 5, m: Int = 8, ksub: Int = 16,
-      iters: Int = 3, trainMod: Int = 4, nQueries: Int = 5): DataFrame = {
+      iters: Int = 3, trainMod: Int = 4, nQueries: Int = 5,
+      maxTrain: Int = 256 * 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // capped training sample (FAISS trains PQ on ~256·ksub points):
+    // the vec_id < trainMod·maxTrain bound makes the collected size a
+    // constant — never a corpus fraction — regardless of n
+    val trainCap = trainMod.toLong * maxTrain
     val sample: Array[Array[Double]] = emb
-      .filter(pmod(col("vec_id"), lit(trainMod)) === 0)
+      .filter(pmod(col("vec_id"), lit(trainMod)) === 0 &&
+        col("vec_id") < trainCap)
       .select(col("vec_id"), col("v"))
       .collect()
       .sortBy(_.getLong(0))
@@ -311,20 +326,25 @@ object Similarity {
       k, m, ksub, iters, trainMod)
 
   def pqTopKLutDf(emb: DataFrame, k: Int = 5, m: Int = 8, ksub: Int = 16,
-      iters: Int = 3, trainMod: Int = 4, nQueries: Int = 5): DataFrame = {
+      iters: Int = 3, trainMod: Int = 4, nQueries: Int = 5,
+      maxTrain: Int = 256 * 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // one job: training sample + query vectors (both bounded)
+    // one job: training sample + query vectors (both bounded; the
+    // trainCap keeps the collect constant-size per the FAISS contract)
+    val trainCap = trainMod.toLong * maxTrain
     val sampled = emb
-      .filter(pmod(col("vec_id"), lit(trainMod)) === 0 ||
-        col("vec_id") < nQueries)
+      .filter((pmod(col("vec_id"), lit(trainMod)) === 0 &&
+        col("vec_id") < trainCap) || col("vec_id") < nQueries)
       .select(col("vec_id"), col("v"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
     val cb = trainPqCodebooks(
-      sampled.collect { case (id, v) if id % trainMod == 0 => v },
+      sampled.collect {
+        case (id, v) if id % trainMod == 0 && id < trainCap => v
+      },
       m, ksub, iters)
-    val luts = sampled.takeWhile(_._1 < nQueries).map { case (id, q) =>
+    val luts = sampled.filter(_._1 < nQueries).map { case (id, q) =>
       id -> PqLutScore.buildLut(q, cb)
     }
     val codes = emb.select(col("vec_id"),
@@ -375,21 +395,28 @@ object Similarity {
 
   def ivfPqTopKDf(emb: DataFrame, k: Int = 5, nlist: Int = 8,
       nprobe: Int = 3, m: Int = 8, ksub: Int = 16, iters: Int = 3,
-      trainMod: Int = 4, nQueries: Int = 5): DataFrame = {
+      trainMod: Int = 4, nQueries: Int = 5,
+      maxTrain: Int = 256 * 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // one job: bounded training sample + coarse seeds, fetched together
+    // one job: capped training sample + coarse seeds, fetched together
+    // (vec_id < trainMod·maxTrain keeps the collect constant-size —
+    // the FAISS ~256·max(nlist, ksub) training contract, structural)
+    val trainCap = trainMod.toLong * maxTrain
     val sampled = emb
-      .filter(pmod(col("vec_id"), lit(trainMod)) === 0 ||
-        col("vec_id") < nlist)
+      .filter((pmod(col("vec_id"), lit(trainMod)) === 0 &&
+        col("vec_id") < trainCap) || col("vec_id") < nlist)
       .select(col("vec_id"), col("v"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
     val train = sampled.collect {
-      case (id, v) if id % trainMod == 0 => v
+      case (id, v) if id % trainMod == 0 && id < trainCap => v
     }
+    // seeds selected explicitly (not take(nlist)): sparse vec_ids must
+    // not promote training-sample rows into the seed set
     val centroids = lloydDot(train,
-      sampled.take(nlist).map { case (id, v) => id.toInt -> v }, iters)
+      sampled.filter(_._1 < nlist).map { case (id, v) => id.toInt -> v },
+      iters)
     val cb = trainPqCodebooks(train, m, ksub, iters)
 
     // the single corpus pass: coarse list + PQ codes side by side
