@@ -123,16 +123,32 @@ object Bench {
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
 
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release per-query persist() caches so later queries get the
-      // full execution-memory pool (see Caches for the contract)
-      Caches.releaseAll(spark)
-      profile(name, dt)
-      name -> dt
-    }.toMap
+    // hygiene proof: SPARK_GRAFT_PASSES=2 runs the whole suite N times
+    // in ONE session — a second pass within ~10% of the first (and no
+    // per-query blow-up) demonstrates the session leaks nothing that
+    // taxes later work. Reported queries/total stay the FIRST pass
+    // (comparable with single-pass runs); extra passes emit a
+    // {"metric":"passes"} line and per-pass profile rows.
+    val passes = math.max(1,
+      sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(1))
+    val perPass = (1 to passes).map { p =>
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release per-query persist() caches so later queries get the
+        // full execution-memory pool (see Caches for the contract)
+        Caches.releaseAll(spark)
+        profile(if (passes == 1) name else s"$name#p$p", dt)
+        name -> dt
+      }
+    }
+    val results = perPass.head.toMap
+    if (passes > 1) {
+      val totals = perPass.map(_.map(_._2).sum)
+      println(s"""{"metric":"passes","totals":[${
+        totals.map(t => "%.3f".format(t)).mkString(",")}]}""")
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

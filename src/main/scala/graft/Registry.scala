@@ -150,6 +150,14 @@ object Registry {
     // rows-only production twin of q109 (xxhash64 banding has no
     // cross-engine oracle); soundness test vs brute-force containment
     "q111_containment_prod" -> ((s, d) => Dedup.containmentCandidates(s, d)),
+    // rows-only: winnow fingerprints are xxhash64-seeded (no cross-
+    // engine oracle); the embedded-short-in-long recall test — the case
+    // q109/q111's symmetric banding provably misses — lives in
+    // DedupChainSpec
+    "q112_containment_asym" -> ((s, d) => Dedup.containmentAsym(s, d)),
+    // fully-oracled PQ twin: fixed md5-derived codebooks (no Lloyd) so
+    // the PqEncode/PqAdc kernel arithmetic is hash-checked cross-engine
+    "q113_pq_oracled" -> ((s, d) => Similarity.pqOracled(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1003,5 +1011,48 @@ object Registry {
         "FROM q WINDOW w AS " +
         "(PARTITION BY lang ORDER BY distinct_ratio DESC, doc_id) " +
         "ORDER BY lang, rank"),
+    // fixed md5-derived codebooks: component (b,c,j) = (nibble-8)/16,
+    // exact in double; nearest-L2 encode ties to the lowest codeword
+    // (ROW_NUMBER ORDER BY d, c) and both engines fold the squared
+    // distance and per-subspace ADC subtotals left-to-right from 0.0,
+    // so scores hash-match bit-for-bit (q34/q102 argument)
+    "q113_pq_oracled" ->
+      ("WITH cbv AS (SELECT b, c, jj, " +
+        "CAST(strpos('0123456789abcdef', substr(md5('cb|' || " +
+        "CAST(b AS VARCHAR) || '|' || CAST(c AS VARCHAR) || '|' || " +
+        "CAST(jj AS VARCHAR)), 1, 1)) - 9 AS DOUBLE) / 16.0 AS val " +
+        "FROM range(0, 8) t1(b), range(0, 4) t2(c), range(0, 8) t3(jj)), " +
+        "cb AS (SELECT b, c, list(val ORDER BY jj) AS w FROM cbv " +
+        "GROUP BY b, c), " +
+        "v AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " +
+        "sub AS (SELECT vec_id, b, " +
+        "list_slice(v, CAST(b * 8 + 1 AS INTEGER), CAST(b * 8 + 8 AS INTEGER)) AS vs " +
+        "FROM v, range(0, 8) t(b)), " +
+        "dist AS (SELECT vec_id, sub.b, cb.c, " +
+        "list_reduce(list_transform(range(1, 9), i -> " +
+        "(vs[CAST(i AS INTEGER)] - w[CAST(i AS INTEGER)]) * " +
+        "(vs[CAST(i AS INTEGER)] - w[CAST(i AS INTEGER)])), " +
+        "(acc, y) -> acc + y) AS d " +
+        "FROM sub JOIN cb ON sub.b = cb.b), " +
+        "code AS (SELECT vec_id, b, c FROM (SELECT vec_id, b, c, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, b ORDER BY d, c) AS rn " +
+        "FROM dist) WHERE rn = 1), " +
+        "qs AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5), " +
+        "ss AS (SELECT qs.q_id, cd.vec_id, cd.b, " +
+        "list_reduce(list_transform(list_zip(" +
+        "list_slice(qs.qv, CAST(cd.b * 8 + 1 AS INTEGER), CAST(cd.b * 8 + 8 AS INTEGER)), cb.w), " +
+        "pr -> pr[1] * pr[2]), (acc, y) -> acc + y) AS s " +
+        "FROM code cd JOIN cb ON cd.b = cb.b AND cd.c = cb.c " +
+        "CROSS JOIN qs WHERE cd.vec_id <> qs.q_id), " +
+        "adc AS (SELECT q_id, vec_id, " +
+        "list_reduce(list(s ORDER BY b), (acc, y) -> acc + y) AS adc " +
+        "FROM ss GROUP BY q_id, vec_id), " +
+        "rk AS (SELECT q_id, vec_id AS neighbor, adc, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) " +
+        "AS rank FROM adc) " +
+        "SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, adc " +
+        "FROM rk WHERE rank <= 5 ORDER BY q_id, rank"),
   )
 }

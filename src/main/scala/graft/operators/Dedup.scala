@@ -185,6 +185,74 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Asymmetric containment near-dup (q112): full-recall detection of a
+    * SHORT document embedded in a LONG one — the case symmetric minhash
+    * banding provably misses (a tweet inside a book has Jaccard
+    * |A|/|B| ≈ 0, so no band of whole-document signatures collides;
+    * [[containmentCandidates]]'s docstring states the bound). Candidates
+    * here come from the winnowing span machinery instead: a document's
+    * winnow fingerprints ARE per-window signatures of its token stream
+    * (each fingerprint is the min hash of a w-gram window — the
+    * asymmetric "band the short side against windows of the long side"
+    * design, with the posting-list join of [[winnowNearDup]] as the
+    * banding join). The winnowing guarantee makes recall structural: any
+    * shared token run of ≥ w+k−1 tokens shares at least one fingerprint,
+    * so an embedded document of L tokens shares ~2L/(w+1) of them —
+    * length of the CONTAINING side never appears in the bound.
+    *
+    * 100 TB shape: fingerprints are row-local (native deque kernel),
+    * candidates expand from capped posting lists (stop-fingerprint
+    * bound, map-side — no self-join), and exact containment
+    * |A∩B| / min(|A|,|B|) is verified with the zero-allocation sorted-
+    * intersect kernel on candidates only. Recall floor, stated
+    * honestly: embedded snippets shorter than w+k−1 tokens (here 18)
+    * can select < minShared fingerprints and are the price of the
+    * posting cap; lower `w` to chase shorter quotes.
+    */
+  def containmentAsym(spark: SparkSession, dir: String,
+      minShared: Int = 2, maxPostings: Int = 20,
+      minContain: Double = 0.5): DataFrame =
+    containmentAsymDf(Tables.documents(spark, dir), minShared,
+      maxPostings, minContain)
+
+  /** [[containmentAsym]] over an explicit `(doc_id, text)` corpus —
+    * the injectable form the embedded-doc recall test drives.
+    */
+  def containmentAsymDf(docsRaw: DataFrame, minShared: Int = 2,
+      maxPostings: Int = 20, minContain: Double = 0.5): DataFrame = {
+    // one corpus scan computes both row-local artifacts; the persist is
+    // the usual materialization barrier (fingerprints feed candidates,
+    // sorted shingle hashes feed verification)
+    val docs = docsRaw
+      .select(col("doc_id"),
+        VectorExpressions.sortedShingleHashes(col("text"), 3).as("sh64"),
+        winnowFingerprints(col("text")).as("fps"))
+      .filter(size(col("sh64")) > 0)
+      .persist()
+    val posting = docs
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxPostings))
+    val pairs = posting
+      .select(explode(flatten(transform(col("docs"), (x, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("sh64").as("sh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh64").as("sh_b")), "id_b")
+      .withColumn("inter",
+        VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("containment", col("inter").cast("double") /
+        least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .filter(col("containment") >= minContain)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Incremental near-dup screening — the production shape at 100 TB:
     * a NEW batch (here: doc_id % batchMod == batchRem as a stand-in for
     * today's crawl) is checked against the HISTORICAL corpus without
@@ -628,6 +696,34 @@ object Dedup {
       .filter(col("containment") >= minContain)
       .select(col("id_a"), col("id_b"), col("containment"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Candidate tables exposed for the banding CAPACITY guard
+    * (Wave2Spec): the loose oracle-pinned banding of q95/q109
+    * (8 perms × 4 bands ⇒ 2 rows/band — a spurious candidate survives
+    * at ~jaccard²) vs the tight production banding of q111 (16 perms ×
+    * 4 rows/band ⇒ jaccard⁴). The guard pins that loose banding's
+    * candidate count blows up on a moderately-overlapping corpus while
+    * the production banding stays near-linear — i.e. q109 is the
+    * ORACLE-PARITY path, never the capacity-bound screening path
+    * (COVERAGE.md "Measured scale growth" records the 10× measurement).
+    */
+  private[graft] def oracleBandingPairs(docsRaw: DataFrame,
+      perms: Int = 8, bands: Int = 4): DataFrame =
+    minhashCandidatePairs(docsRaw, perms, bands)._2
+
+  private[graft] def prodBandingPairs(docsRaw: DataFrame): DataFrame = {
+    val docs = docsRaw
+      .select(col("doc_id"),
+        VectorExpressions.sortedShingleHashes(col("text"), 3).as("sh64"))
+      .filter(size(col("sh64")) > 0)
+      .persist()
+    val banded = bandedSignatures(docs)
+    banded.as("l")
+      .join(banded.as("r"), Seq("band", "bucket"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
   }
 
   /** Shared q95/q109 candidate machinery: persisted shingle sets plus

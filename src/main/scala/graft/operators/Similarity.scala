@@ -440,6 +440,56 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Oracled PQ twin (q113): [[pqTopK]] with FIXED md5-derived
+    * codebooks instead of Lloyd training, so the PqEncode / PqAdc
+    * arithmetic is hash-checked cross-engine the way q95/q102 check
+    * minhash/simhash. Codeword component (b, c, j) is
+    * `(nibble(md5("cb|b|c|j")) − 8) / 16` — a small int divided by a
+    * power of two, exact in double and reproducible from ANSI SQL
+    * (DuckDB md5 + strpos nibble decode, the q102 trick). Encoding is
+    * nearest-L2 with ties to the lowest codeword; both engines
+    * accumulate the squared distance and the per-subspace ADC subtotal
+    * left-to-right from 0.0 over identical doubles, so scores are
+    * bit-identical (the q34/q104 argument) and the top-k windows break
+    * ties identically on (adc DESC, vec_id). The codec runs through
+    * the SAME native kernels as q99/q100/q108 — this row green means
+    * the kernels' arithmetic, not just their invariants, is verified.
+    */
+  def pqOracled(spark: SparkSession, dir: String, k: Int = 5,
+      m: Int = 8, ksub: Int = 4, dim: Int = 64,
+      nQueries: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dsub = dim / m
+    val cb: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub, dsub)((b, c, j) => mdNibbleVal(s"cb|$b|$c|$j"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val codes = emb.select(col("vec_id"),
+      PqExpressions.pqEncodeNative(col("v"), cb).as("codes"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("adc",
+        PqExpressions.pqAdcNative(col("q_v"), col("codes"), cb))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), col("adc"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** First md5 nibble of the UTF-8 key, shifted to (−8..7)/16 — the
+    * deterministic codebook entry both engines derive independently.
+    */
+  private def mdNibbleVal(key: String): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    (((d(0) >> 4) & 0xF) - 8) / 16.0
+  }
+
   /** Per-subspace Lloyd (L2) over a driver-held sample. Deterministic:
     * seeds are the first `ksub` sample subvectors in vec_id order,
     * assignment ties break to the lowest codeword, an empty cell keeps

@@ -275,6 +275,71 @@ class DedupChainSpec extends SparkSpec {
     }
   }
 
+  test("asymmetric containment recalls a short doc embedded in a 10x-longer doc") {
+    import spark.implicits._
+    import graft.sources.Tables
+    // 40-token doc verbatim inside a 400-token doc: jaccard ≈ 38/398 ≈
+    // 0.095, far below any banding threshold — the case the symmetric
+    // paths (q109/q111) provably miss and this operator exists for
+    val short = (0 until 40).map(i => s"w$i")
+    val long = (0 until 180).map(i => s"p$i") ++ short ++
+      (0 until 180).map(i => s"s$i")
+    val other = (0 until 40).map(i => s"u$i")
+    val docs = Seq(
+      (0L, short.mkString(" ")),
+      (1L, long.mkString(" ")),
+      (2L, other.mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "crafted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("cont-asym").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      // pin the gap: the symmetric production path does NOT surface the
+      // embedded pair (whole-document signatures cannot band-collide at
+      // jaccard 0.095 with 4 rows/band)
+      val sym = Dedup.containmentCandidates(spark, dir).collect()
+      assert(!sym.exists(r => r.getAs[Long]("id_a") == 0L &&
+        r.getAs[Long]("id_b") == 1L),
+        "symmetric banding unexpectedly recalled the embedded pair")
+      // the asymmetric path recalls it with exact containment 1.0:
+      // every 3-gram of doc 0 appears in doc 1, and every interior
+      // winnow window of the embedded span selects the same fingerprint
+      // in both documents
+      val asym = Dedup.containmentAsymDf(Tables.documents(spark, dir))
+        .collect()
+      val hit = asym.find(r => r.getAs[Long]("id_a") == 0L &&
+        r.getAs[Long]("id_b") == 1L)
+      assert(hit.isDefined, s"asymmetric path missed the embedded pair")
+      assert(hit.get.getAs[Double]("containment") == 1.0)
+      assert(hit.get.getAs[Long]("n_shared") >= 2L)
+      // the unrelated doc pairs with nothing
+      assert(!asym.exists(r => r.getAs[Long]("id_a") == 2L ||
+        r.getAs[Long]("id_b") == 2L))
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("asymmetric containment is sound vs brute force on the fixture corpus") {
+    import graft.sources.Tables
+    val got = Dedup.containmentAsym(spark, sfDir).collect()
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextAnalytics.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    got.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      val expected = sh(a).intersect(sh(b)).size.toDouble /
+        math.min(sh(a).size, sh(b).size)
+      // 64-bit hashed-shingle intersection vs string sets: equal modulo
+      // ~1e-10 collision odds (the q111 soundness argument)
+      assert(math.abs(r.getAs[Double]("containment") - expected) < 1e-12,
+        s"pair ($a,$b): got ${r.getAs[Double]("containment")}, want $expected")
+      assert(r.getAs[Double]("containment") >= 0.5)
+    }
+  }
+
   test("span dedup: hand-computed ratios on a crafted corpus") {
     import spark.implicits._
     // spans are 25 tokens wide; A and B are full spans, C is unique,

@@ -121,6 +121,26 @@ class ScaleSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(ivfpq).length <= 1)
   }
 
+  test("span-dedup and novelty shuffles carry hashes, never document text") {
+    // narrow-payload guard (the q94/q96 scale contract): every string
+    // column crossing an exchange must be an md5 hash column — raw
+    // text/gram/token payloads stay on the map side. Mirrors the plan
+    // guards PQ and sequence packing already have.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    def shuffledStringCols(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case e: ShuffleExchangeExec => e.child.output
+      }.flatten.filter(_.dataType == StringType).map(_.name).distinct
+    val span = shuffledStringCols(operators.Dedup.spanDedup(spark, sfDir))
+    assert(span.forall(_ == "span_hash"),
+      s"q94 shuffles a text column: $span")
+    val nov = shuffledStringCols(operators.TextOps.ngramNovelty(spark, sfDir))
+    assert(nov.forall(_ == "gh"),
+      s"q96 shuffles a text column: $nov")
+    Caches.releaseAll(spark)
+  }
+
   test("sequence packing windows partition by (lang, shard), never bare lang") {
     // regression guard for the round-4 scale flaw: a window partitioned
     // only by language sorts each language's whole token stream in one

@@ -276,6 +276,40 @@ class Wave2Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("banding capacity guard: q109's loose banding blows up where q111's stays linear") {
+    import spark.implicits._
+    // moderately-overlapping corpus: each doc concatenates 10 phrases
+    // drawn (seeded, deterministic) from a shared pool of 40 five-token
+    // phrases — typical pairs share a few phrases (jaccard ~0.1-0.3)
+    // without being near-dups, exactly the regime where the oracle's
+    // 2-row bands admit spurious candidates (~jaccard² each) but the
+    // production 4-row bands (~jaccard⁴) do not. Pins the documented
+    // contract: q109's banding is oracle parity, q111 is the screening
+    // path (COVERAGE.md "Measured scale growth": 6.1× at 10× corpus).
+    val phrases = (0 until 40).map(p =>
+      (0 until 5).map(t => s"p${p}t$t").mkString(" "))
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val docs = (0 until n).map { i =>
+      val text = Seq.fill(10)(phrases(rnd.nextInt(40))).mkString(" ")
+      (i.toLong, text, "en", "crafted", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val loose = operators.Dedup.oracleBandingPairs(docs).count()
+    val tight = operators.Dedup.prodBandingPairs(docs).count()
+    info(s"loose(q109)=$loose tight(q111)=$tight n=$n")
+    // production banding: candidate work stays far below linear in n
+    // (measured: 3 candidates for 200 docs)
+    assert(tight <= n / 4,
+      s"production banding produced $tight candidates for $n docs")
+    // oracle banding: super-linear spurious-candidate expansion — the
+    // measured scale-killer the docstring warns about (measured: 683)
+    assert(loose > 3L * n,
+      s"loose banding no longer blows up ($loose candidates) — " +
+        "if banding changed, re-derive the q109 oracle instead")
+    assert(loose > 50L * tight)
+    Caches.releaseAll(spark)
+  }
+
   test("ngram novelty: hand-computed fractions on a crafted corpus") {
     import spark.implicits._
     // doc 0 first owner of all 3 of its grams; doc 1 repeats doc 0
