@@ -276,21 +276,34 @@ object Similarity {
     pqTopKDf(unitVectors(spark, dir).select(col("vec_id"), col("v")),
       k, m, ksub, iters, trainMod)
 
-  def pqTopKDf(emb: DataFrame, k: Int = 5, m: Int = 8, ksub: Int = 16,
-      iters: Int = 3, trainMod: Int = 4, nQueries: Int = 5,
-      maxTrain: Int = 256 * 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // capped training sample (FAISS trains PQ on ~256·ksub points):
-    // the vec_id < trainMod·maxTrain bound makes the collected size a
-    // constant — never a corpus fraction — regardless of n
+  /** The capped deterministic training sample every ANN variant
+    * collects (FAISS trains PQ on ~256·ksub points, never the corpus):
+    * every trainMod-th vector, BUT only below vec_id trainMod·maxTrain
+    * — so the collected size is at most maxTrain rows no matter how
+    * many corpus rows exist. PqSpec asserts both halves of that
+    * contract directly (exact size on a large corpus; indifference to
+    * every row beyond the cap).
+    */
+  private[graft] def boundedTrainingSample(emb: DataFrame, trainMod: Int,
+      maxTrain: Int): Array[Array[Double]] = {
     val trainCap = trainMod.toLong * maxTrain
-    val sample: Array[Array[Double]] = emb
+    emb
       .filter(pmod(col("vec_id"), lit(trainMod)) === 0 &&
         col("vec_id") < trainCap)
       .select(col("vec_id"), col("v"))
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
+  }
+
+  def pqTopKDf(emb: DataFrame, k: Int = 5, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3, trainMod: Int = 4, nQueries: Int = 5,
+      maxTrain: Int = 256 * 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // capped training sample: the collected size is a constant — never
+    // a corpus fraction — regardless of n (see boundedTrainingSample)
+    val sample: Array[Array[Double]] =
+      boundedTrainingSample(emb, trainMod, maxTrain)
     val cb = trainPqCodebooks(sample, m, ksub, iters)
     val codes = emb.select(col("vec_id"),
       PqExpressions.pqEncodeNative(col("v"), cb).as("codes"))

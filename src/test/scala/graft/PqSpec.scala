@@ -175,4 +175,27 @@ class PqSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.2, s"mean recall@5 $mean below the codec floor")
   }
+
+  test("training sample is a constant size, indifferent to corpus rows beyond the cap") {
+    // the structural FAISS bound: exactly maxTrain rows collected from
+    // a large corpus, and every row at or beyond trainMod·maxTrain —
+    // here poisoned with huge values that would wreck Lloyd if seen —
+    // leaves the sample byte-identical
+    val trainMod = 4; val maxTrain = 64
+    val cap = trainMod.toLong * maxTrain // 256
+    def corpus(n: Long, poison: Boolean) =
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(3)), j =>
+          when(lit(poison) && col("id") >= cap, lit(1e9))
+            .otherwise((col("id") % 7 + j).cast("double"))).as("v"))
+    val capped = Similarity.boundedTrainingSample(
+      corpus(cap, poison = false), trainMod, maxTrain)
+    val huge = Similarity.boundedTrainingSample(
+      corpus(50000, poison = true), trainMod, maxTrain)
+    assert(capped.length == maxTrain)
+    assert(huge.length == maxTrain,
+      s"sample grew with the corpus: ${huge.length}")
+    assert(huge.map(_.toSeq).toSeq == capped.map(_.toSeq).toSeq,
+      "rows beyond the cap leaked into the training sample")
+  }
 }
