@@ -158,6 +158,9 @@ object Registry {
     // fully-oracled PQ twin: fixed md5-derived codebooks (no Lloyd) so
     // the PqEncode/PqAdc kernel arithmetic is hash-checked cross-engine
     "q113_pq_oracled" -> ((s, d) => Similarity.pqOracled(s, d)),
+    // the APPLYING dedup: paragraph-level global first-occurrence keep
+    // + byte-exact reassembly, hash-proven cross-engine
+    "q114_paragraph_dedup" -> ((s, d) => Dedup.paragraphDedup(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1054,5 +1057,27 @@ object Registry {
         "AS rank FROM adc) " +
         "SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, adc " +
         "FROM rk WHERE rank <= 5 ORDER BY q_id, rank"),
+    // keeper = lowest (doc_id, span_idx) per paragraph text; the md5 of
+    // each reassembled doc proves byte-exact reassembly cross-engine
+    "q114_paragraph_dedup" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "f AS (SELECT * FROM t WHERE len(toks) > 0), " +
+        "s AS (SELECT doc_id, toks, unnest(range(0, " +
+        "CAST(ceil(len(toks) / 25.0) AS BIGINT))) AS span_idx FROM f), " +
+        "s2 AS (SELECT doc_id, span_idx, array_to_string(list_slice(toks, " +
+        "CAST(span_idx * 25 + 1 AS INTEGER), " +
+        "CAST(span_idx * 25 + 25 AS INTEGER)), ' ') AS sp FROM s), " +
+        "k AS (SELECT doc_id, span_idx, sp, ROW_NUMBER() OVER " +
+        "(PARTITION BY sp ORDER BY doc_id, span_idx) AS rn FROM s2), " +
+        "r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, " +
+        "CAST(COALESCE(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+        "AS n_kept, " +
+        "md5(COALESCE(array_to_string(list(sp ORDER BY span_idx) " +
+        "FILTER (WHERE rn = 1), ' '), '')) AS kept_md5 " +
+        "FROM k GROUP BY doc_id) " +
+        "SELECT doc_id, n_spans, n_kept, " +
+        "CAST(n_kept AS DOUBLE) / CAST(n_spans AS DOUBLE) AS keep_ratio, " +
+        "kept_md5 FROM r ORDER BY doc_id"),
   )
 }

@@ -813,6 +813,66 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Paragraph-level global dedup WITH reassembly (q114) — the
+    * APPLYING member of the dedup family (the others detect/score; this
+    * one emits the deduplicated corpus): documents split into
+    * consecutive `span`-token paragraphs, each paragraph kept only at
+    * its first corpus occurrence (lowest (doc_id, span_idx) — the
+    * Dolma/RefinedWeb paragraph-dedup rule), and every document
+    * reassembled from its surviving paragraphs. Fully oracled: the
+    * keeper rule, counts, and the md5 of each reassembled text are all
+    * deterministic, so the hash check proves byte-exact reassembly
+    * cross-engine.
+    *
+    * 100 TB shape: paragraphs cross the keeper shuffle as md5 hashes
+    * only (doc_id, span_idx, hash — never text); the keeper decision is
+    * one window over the hash; reassembly joins the narrow kept-index
+    * array back to the cached token arrays and rebuilds row-locally.
+    * One corpus-width scan, two narrow shuffles.
+    */
+  def paragraphDedup(spark: SparkSession, dir: String,
+      span: Int = 25): DataFrame =
+    paragraphDedupDf(Tables.documents(spark, dir), span)
+
+  def paragraphDedupDf(docsRaw: DataFrame, span: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsRaw
+      .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      // barrier: token arrays feed both the span-hash explode and the
+      // final reassembly; without it the tokenization recomputes per
+      // branch (the q94 lesson)
+      .persist()
+    val nSpans = ceil(size(col("toks")).cast("double") / span).cast("int")
+    val spansDf = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nSpans - 1),
+        i => md5(concat_ws(" ", slice(col("toks"), i * span + 1, lit(span)))
+          .cast("binary")))))
+      .select(col("doc_id"), col("pos").as("span_idx"),
+        col("col").as("span_hash"))
+    // global first occurrence wins; every row keeps its verdict so the
+    // per-doc rollup sees kept and dropped spans alike
+    val marked = spansDf.withColumn("rn", row_number().over(
+      Window.partitionBy(col("span_hash"))
+        .orderBy(col("doc_id"), col("span_idx"))))
+    val perDoc = marked.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulls of dropped spans; sorted so the
+        // reassembly order is the original paragraph order
+        sort_array(collect_list(when(col("rn") === 1, col("span_idx"))))
+          .as("kept_idx"))
+    perDoc.join(docs, "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_spans").cast("double"))
+          .as("keep_ratio"),
+        md5(concat_ws(" ", transform(col("kept_idx"),
+          i => concat_ws(" ", slice(col("toks"), i * span + 1, lit(span)))))
+          .cast("binary")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def spanDedup(spark: SparkSession, dir: String, span: Int = 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = TextAnalytics.tokens(col("text"))

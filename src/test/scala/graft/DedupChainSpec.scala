@@ -340,6 +340,38 @@ class DedupChainSpec extends SparkSpec {
     }
   }
 
+  test("paragraph dedup: first occurrence wins, reassembly is byte-exact") {
+    import spark.implicits._
+    import graft.sources.Tables
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val a = (0 until 25).map(i => s"a$i").mkString(" ")
+    val b = (0 until 25).map(i => s"b$i").mkString(" ")
+    val c = (0 until 25).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$a $b"), // owns both of its paragraphs
+      (1L, s"$a $c"), // first paragraph is doc 0's → dropped; c kept
+      (2L, a))        // whole doc is a duplicate paragraph → empty out
+      .map { case (id, t) => (id, t, "en", "crafted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("para-dedup").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = Dedup.paragraphDedup(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_spans"), r.getAs[Long]("n_kept"),
+            r.getAs[String]("kept_md5"))).toMap
+      assert(got(0L) == (2L, 2L, md5hex(s"$a $b")))
+      assert(got(1L) == (2L, 1L, md5hex(c)))
+      // fully-duplicated doc keeps nothing; reassembled text is ""
+      assert(got(2L) == (1L, 0L, md5hex("")))
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("span dedup: hand-computed ratios on a crafted corpus") {
     import spark.implicits._
     // spans are 25 tokens wide; A and B are full spans, C is unique,
