@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC") // match Verify exactly
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // split small single-file fixtures across the local cores: the
+      // 53 MB embeddings file is ONE task at the 128 MB default, which
+      // serializes every corpus pass; order-independent aggregates
+      // (exact long/decimal sums, row-local folds) make the split
+      // count invisible to the oracle
+      .config("spark.sql.files.maxPartitionBytes", "2m")
       .getOrCreate()
     spark.sparkContext.setLogLevel(
       sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))

@@ -731,9 +731,12 @@ object Registry {
         "FROM events GROUP BY user_id ORDER BY user_id"),
     // same FP-parity argument as q34: list_reduce left fold == Spark's
     // 0.0-seeded fold bit-for-bit
+    // the vec_id < 2000 cap keeps the exactness baseline's all-pairs
+    // space structurally bounded (≤200 sampled vectors) at any corpus
+    // size — a no-op at the 500-vector correctness fixtures
     "q91_cosine_neardup_exact" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
-        "FROM embeddings WHERE vec_id % 10 = 0), " +
+        "FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 2000), " +
         "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
         "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v FROM e) " +
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
@@ -902,16 +905,19 @@ object Registry {
         "CAST(SUM(length(text)) AS BIGINT) " +
         "FROM documents " +
         "ORDER BY dim, key"),
-    // decimal element-sums make the FP mean exact and order-independent
-    // in both engines; the norm's left fold matches Spark's 0.0-seeded
-    // aggregate bit-for-bit (q34 argument)
+    // long fixed-point element-sums at 1e12 make the FP mean exact and
+    // order-independent in both engines (float mantissa 24 bits +
+    // 5^12's 28 bits = 52 <= 53, so x*1e12 is an exact double and both
+    // engines floor it to the same integer); the norm's left fold
+    // matches Spark's 0.0-seeded aggregate bit-for-bit (q34 argument)
     "q104_label_centroids" ->
       ("WITH p AS (SELECT unnest(range(1, 65)) AS pos), " +
         "e AS (SELECT label, pos, " +
-        "CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(18,12)) AS x " +
+        "CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS x " +
         "FROM embeddings, p), " +
         "g AS (SELECT label, pos, COUNT(*) AS n, " +
-        "CAST(SUM(x) AS DOUBLE) / COUNT(*) AS m FROM e GROUP BY label, pos), " +
+        "CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / 1000000000000.0 / COUNT(*) AS m " +
+        "FROM e GROUP BY label, pos), " +
         "a AS (SELECT label, MAX(n) AS n_vecs, " +
         "list(m ORDER BY pos) AS cent FROM g GROUP BY label) " +
         "SELECT CAST(label AS BIGINT) AS label, n_vecs, " +
@@ -925,9 +931,10 @@ object Registry {
     "q105_centroid_classify" ->
       ("WITH p AS (SELECT unnest(range(1, 65)) AS pos), " +
         "e AS (SELECT label, pos, " +
-        "CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(18,12)) AS x " +
+        "CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS x " +
         "FROM embeddings, p), " +
-        "g AS (SELECT label, pos, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS m " +
+        "g AS (SELECT label, pos, " +
+        "CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / 1000000000000.0 / COUNT(*) AS m " +
         "FROM e GROUP BY label, pos), " +
         "a AS (SELECT label AS clabel, list(m ORDER BY pos) AS cent " +
         "FROM g GROUP BY label), " +

@@ -600,13 +600,26 @@ object Dedup {
     * random hyperplanes) — avoids the all-pairs cross join. `planes`
     * must grow with the corpus (p ≈ log2(n / targetBucketSize), see
     * [[Similarity.signBucket]]) so bucket-local pair expansion stays
-    * linear in n.
+    * linear in n — and with `planes <= 0` (the default) that sizing
+    * rule is APPLIED, not just documented: p = max(4, ⌈log2(n/256)⌉)
+    * from one count of the persisted corpus. At the 500-vector
+    * correctness fixtures this resolves to the historical p=4; at the
+    * 200k-vector bench corpus it resolves to p=10, keeping bucket-local
+    * pair work ~n·128 instead of n²/32.
     */
   def embeddingNearDup(spark: SparkSession, dir: String,
-      planes: Int = 4): DataFrame = {
+      planes: Int = -1): DataFrame = {
     val emb = Similarity.unitVectors(spark, dir)
+    val p =
+      if (planes > 0) planes
+      else {
+        val n = emb.count()
+        math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, (n - 1) / 256)))
+      }
+    val dim = emb.select(size(col("v"))).head().getInt(0)
     val bucketed = emb.withColumn("bucket",
-      Similarity.signBucket(col("v"), planes))
+      Similarity.signBucketNative(spark, col("v"), p, dim))
     val l = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("label").as("label_a"), col("v").as("v_a"))
     val r = bucketed.select(col("bucket"), col("vec_id").as("id_b"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graft.{PqExpressions, PqLutScore}
-import org.apache.spark.sql.graft.VectorExpressions.dotNative
+import org.apache.spark.sql.graft.VectorExpressions.{dotNative, unitNative}
 import graft.sources.Tables
 
 /** Similarity search over an embedding column (`Array[Float]`):
@@ -28,18 +28,19 @@ object Similarity {
     * L2-normalized ONCE, so each pair comparison is a single dot product
     * instead of dot + two norms.
     */
-  def unitVectors(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+  def unitVectors(spark: SparkSession, dir: String): DataFrame =
+    // array cast + native one-pass normalizer: value-identical to the
+    // former HOF chain (per-element cast, sqrt of the ascending
+    // 0.0-seeded squared-sum fold, per-element divide) but fully
+    // codegen'd — the interpreted HOF passes dominated materialization
+    // at 200k×64. persist: a materialization barrier, or
+    // project-collapse re-inlines the normalization into every
+    // downstream pair comparison; the similarity queries share this
+    // cache entry (same logical plan).
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v0"))
-      .withColumn("nrm", norm(col("v0")))
-    // persist: a materialization barrier, or project-collapse re-inlines
-    // the normalization into every downstream pair comparison. The three
-    // similarity queries share this cache entry (same logical plan).
-    emb.select(col("vec_id"), col("label"),
-      transform(col("v0"), x => x / col("nrm")).as("v"))
+        unitNative(col("embedding").cast("array<double>")).as("v"))
       .persist()
-  }
 
   /** Deterministic pseudo-random hyperplane LSH: plane p's component j is
     * a hash-derived value in [-1, 1]; bucket = bit-packed signs of the
@@ -65,6 +66,32 @@ object Similarity {
           lit(0.0), (a2, x) => a2 + x)
         acc * 2 + when(proj >= 0, lit(1L)).otherwise(lit(0L))
       })
+
+  /** [[signBucket]] with the plane vectors materialized driver-side
+    * (one tiny planes×dim job) so each per-row projection runs through
+    * the codegen'd dot kernel instead of interpreted HOFs. Bucket ids
+    * are BIT-IDENTICAL to [[signBucket]]: the components come from the
+    * same xxhash64 expressions over the same int inputs, and
+    * [[VectorExpressions.dotNative]] folds ascending from 0.0 exactly
+    * like the HOF aggregate. The interpreted form cost ~planes·dim
+    * boxed ops per corpus row — measurable at 200k×64 — while this one
+    * stays inside whole-stage codegen.
+    */
+  def signBucketNative(spark: SparkSession, v: Column, planes: Int,
+      dim: Int): Column = {
+    val planeVals: Array[Seq[Double]] = spark.range(0, planes)
+      .select(col("id").cast("int").as("p"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          pmod(xxhash64(col("p"), j), lit(2000001L)).cast("double")
+            / 1000000.0 - 1.0).as("w"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1))
+    planeVals.foldLeft(lit(0L)) { (acc, w) =>
+      acc * 2 + when(dotNative(v, typedLit(w)) >= 0, lit(1L))
+        .otherwise(lit(0L))
+    }
+  }
 
   /** Brute-force cosine top-k: fixed query set (vec_id < 5) broadcast
     * against the corpus; per-query top-k via window. O(Q·N) with Q small
@@ -96,9 +123,10 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 5,
       planes: Int = 4): DataFrame = {
-    val emb = unitVectors(spark, dir)
-      .select(col("vec_id"), col("v"))
-      .withColumn("bucket", signBucket(col("v"), planes))
+    val emb0 = unitVectors(spark, dir).select(col("vec_id"), col("v"))
+    val dim = emb0.select(size(col("v"))).head().getInt(0)
+    val emb = emb0
+      .withColumn("bucket", signBucketNative(spark, col("v"), planes, dim))
     val queries = broadcast(
       emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("q_v"),
@@ -477,7 +505,7 @@ object Similarity {
       Array.tabulate(m, ksub, dsub)((b, c, j) => mdNibbleVal(s"cb|$b|$c|$j"))
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
     val codes = emb.select(col("vec_id"),
       PqExpressions.pqEncodeNative(col("v"), cb).as("codes"))
     val queries = emb.filter(col("vec_id") < nQueries)
@@ -555,10 +583,23 @@ object Similarity {
     * hash-matched member alongside the hash-seeded one.
     */
   def cosineNearDupExact(spark: SparkSession, dir: String,
-      sampleMod: Int = 10, minCos: Double = 0.3): DataFrame = {
-    val emb = unitVectors(spark, dir)
-      .filter(col("vec_id") % sampleMod === 0)
-      .select(col("vec_id"), col("v"))
+      sampleMod: Int = 10, minCos: Double = 0.3,
+      sampleCap: Long = 2000L): DataFrame = {
+    // the sample bound is STRUCTURAL (same principle as the ANN
+    // training cap): vec_id < sampleCap keeps the all-pairs space at
+    // most (sampleCap/sampleMod)² regardless of corpus size — without
+    // it a 100× corpus makes this exactness baseline quadratic. The
+    // sample normalizes ITSELF (same bit-exact arithmetic as
+    // [[unitVectors]]) so both filters push down to the scan instead
+    // of materializing the whole corpus first.
+    val v0 = col("embedding").cast("array<double>")
+    val emb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % sampleMod === 0 &&
+        col("vec_id") < sampleCap)
+      .select(col("vec_id"), v0.as("v0"))
+      .withColumn("nrm", sqrt(dotNative(col("v0"), col("v0"))))
+      .select(col("vec_id"),
+        transform(col("v0"), x => x / col("nrm")).as("v"))
     val a = emb.select(col("vec_id").as("id_a"), col("v").as("v_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("v").as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
@@ -576,7 +617,7 @@ object Similarity {
     * row-local (no shuffle except the presentation sort).
     */
   def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
-    val v = transform(col("embedding"), x => x.cast("double"))
+    val v = col("embedding").cast("array<double>")
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), v.as("v"))
       .withColumn("scale", lit(127.0) / array_max(transform(col("v"), x => abs(x))))
@@ -596,17 +637,16 @@ object Similarity {
     * class plus its norm and leading components — the class-prototype
     * op behind centroid classifiers, few-shot heads, and cluster-init
     * (SemDeDup seeds from exactly this artifact). Fully oracled despite
-    * FP means: each element is cast to DECIMAL(18,12) BEFORE summing,
-    * so the per-(label, dim) sums are exact and order-independent
-    * (float→double→decimal can never tie at the rounding quantum —
-    * binary fractions have no 5×10⁻¹³ tail), and the one double
-    * division per dim starts from identical inputs in both engines.
+    * FP means: elements sum as long fixed-point at 10¹² — exact,
+    * order-independent, and cross-engine identical (see
+    * [[centroidVectors]] for the 24+28 ≤ 53-bit argument), and the one
+    * double division chain per dim starts from identical inputs in
+    * both engines.
     *
-    * Scale shape: posexplode widens each row into dim (label, pos, x)
-    * triples but map-side combine collapses them to labels×dim partials
-    * per partition — the shuffle carries labels×dim decimal rows, then
-    * a second narrow shuffle assembles the per-label vector. Same
-    * contract as the IVF centroid update; no window, no self-join.
+    * Scale shape: one aggregation, map-side combined to labels×dim
+    * long partials per partition; the shuffle carries only those. Same
+    * contract as the IVF centroid update; no explode, no window, no
+    * self-join.
     */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     centroidVectors(spark, dir)
@@ -619,24 +659,40 @@ object Similarity {
           (a, x) => a + x * x)).as("norm"))
       .orderBy(col("label"))
 
-  /** Exact per-label mean vectors: (label, n_vecs, cent) with the
-    * decimal-sum arithmetic q104's scaladoc derives. Shared by the
+  /** Exact per-label mean vectors: (label, n_vecs, cent), exact and
+    * order-independent via LONG fixed-point at 10¹². Why this is exact:
+    * each element is a float (24-bit mantissa) cast to double, and
+    * 10¹² = 2¹²·5¹² where 5¹² needs 28 bits — 24+28 = 52 ≤ 53, so
+    * x·10¹² is EXACTLY representable in double in both engines; both
+    * then round the identical double to the identical integer, and the
+    * per-(label, dim) sums are exact integer arithmetic (|x|≲10 over
+    * ≤10⁶ rows stays far under 2⁶³). The one double division chain per
+    * dim starts from identical inputs cross-engine.
+    *
+    * Shape: ONE aggregation with dim primitive long-sum columns — the
+    * corpus never widens into n×dim exploded rows (the former
+    * posexplode form) and never pays per-element BigDecimal adds (the
+    * former decimal form — measured 19 s at 200k×64 vs sub-second for
+    * long sums); map-side combine reduces each partition to labels×dim
+    * longs and the shuffle carries only those partials. Shared by the
     * centroid report (q104) and the prototype classifier (q105).
     */
   private def centroidVectors(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.embeddings(spark, dir)
-      .select(col("label"),
-        posexplode(transform(col("embedding"),
-          x => x.cast("double").cast("decimal(18,12)"))))
-      .groupBy(col("label"), col("pos"))
-      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-      .select(col("label"), col("pos"), col("n"),
-        (col("s").cast("double") / col("n")).as("m"))
-    per.groupBy(col("label"))
-      .agg(max(col("n")).as("n_vecs"),
-        array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+    val emb = Tables.embeddings(spark, dir)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // floor(x·10¹² + 0.5), not round(): Spark's Round goes through
+    // BigDecimal per element (measured seconds at n×dim volume) while
+    // floor is one Math.floor; x·10¹² and the +0.5 sum are both exact
+    // doubles (≤45 bits), so both engines run the identical IEEE ops
+    // and land on the identical integer
+    val sums = (1 to dim).map(i =>
+      sum(floor(element_at(col("embedding"), i).cast("double") * 1e12
+        + 0.5)).as(s"s$i"))
+    emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sums: _*)
       .select(col("label").cast("long").as("label"), col("n_vecs"),
-        transform(col("pm"), p => p.getField("m")).as("cent"))
+        array((1 to dim).map(i =>
+          col(s"s$i").cast("double") / 1e12 / col("n_vecs")): _*).as("cent"))
   }
 
   /** Nearest-class-mean classifier + confusion matrix (q105): every
@@ -645,25 +701,34 @@ object Similarity {
     * the lowest label), and tallied as (label, pred) counts — the
     * embedding-space quality report (cluster purity / separability) a
     * curation pass reads before trusting embedding-based dedup. Fully
-    * oracled: prototype values are exact (decimal sums), and both
-    * engines fold the dot left-to-right over identical doubles.
+    * oracled: prototype values are exact (long fixed-point sums), and
+    * both engines fold the dot left-to-right over identical doubles.
     *
-    * Scale shape: the prototype table is labels×dim — broadcast; the
+    * Scale shape: the prototype model is labels×dim — driver-held; the
     * corpus is touched once, scored row-locally against every
     * prototype, and the output shuffle carries labels² count rows.
     */
   def centroidClassify(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label").cast("long").as("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-    val cent = centroidVectors(spark, dir)
-      .select(col("label").as("clabel"), col("cent"))
-    vecs.crossJoin(broadcast(cent))
-      .withColumn("sim", dot(col("v"), col("cent")))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(max(struct(col("sim").as("s"), (-col("clabel")).as("nc")))
-        .as("best"))
-      .select(col("label"), (-col("best.nc")).as("pred"))
+      .select(col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+    // the prototype model is labels×dim doubles — a bounded driver
+    // artifact (the IVF-model contract), so assignment is a row-local
+    // argmax over literal centroids: one corpus projection, no join,
+    // no per-vector groupBy. Same argmax rule as before (highest sim,
+    // ties to the lowest label via the -label encoding) over the same
+    // dotNative fold, so the oracle argument is unchanged; the n×labels
+    // crossJoin + n-key aggregation disappear from the plan.
+    val cents: Array[(Long, Seq[Double])] = centroidVectors(spark, dir)
+      .select(col("label"), col("cent")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val scored = cents.map { case (cl, cv) =>
+      struct(dotNative(col("v"), typedLit(cv)).as("sim"),
+        lit(-cl).as("nc"))
+    }
+    vecs
+      .select(col("label"),
+        (array_max(array(scored.toSeq: _*)).getField("nc") * -1).as("pred"))
       .groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("pred"))

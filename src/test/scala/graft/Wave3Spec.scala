@@ -20,6 +20,35 @@ class Wave3Spec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native unit-vector kernel matches the HOF normalize chain bit-for-bit") {
+    import org.apache.spark.sql.graft.VectorExpressions.unitNative
+    // the HOF spec: per-element double cast, norm = sqrt of the
+    // 0.0-seeded ascending squared-sum fold, per-element divide
+    val v0 = transform(col("embedding"), x => x.cast("double"))
+    val diff = sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), v0.as("v0"))
+      .withColumn("nrm", Similarity.norm(col("v0")))
+      .withColumn("hof", transform(col("v0"), x => x / col("nrm")))
+      .withColumn("native", unitNative(col("embedding").cast("array<double>")))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diff == 0)
+    // edge contract: empty array and null element poison to null;
+    // an all-zero vector propagates NaN like the HOF divide
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Seq(3.0, 4.0)),
+      (2L, Seq.empty[Double]),
+      (3L, Seq(0.0, 0.0)))
+      .toDF("id", "v")
+      .select(col("id"), unitNative(col("v")).as("u"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Double](1))).toMap
+    assert(edge(1L).get == Seq(0.6, 0.8))
+    assert(edge(2L).isEmpty)
+    assert(edge(3L).get.forall(_.isNaN))
+  }
+
   test("native minhash signature matches the HOF form bit-for-bit") {
     val docs = sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"),
