@@ -161,6 +161,10 @@ object Registry {
     // the APPLYING dedup: paragraph-level global first-occurrence keep
     // + byte-exact reassembly, hash-proven cross-engine
     "q114_paragraph_dedup" -> ((s, d) => Dedup.paragraphDedup(s, d)),
+    // rows-only (xxhash64-seeded buckets, like q35): multi-probe LSH —
+    // recall-vs-single-probe and never-beats-brute-force invariants in
+    // Wave2Spec
+    "q115_ann_multiprobe" -> ((s, d) => Similarity.lshMultiProbeTopK(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -144,6 +144,50 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Multi-probe LSH ANN (q115): the recall-recovery technique the
+    * [[signBucket]] sizing rule prescribes for high plane counts —
+    * each query probes its own sign bucket AND the `planes` sibling
+    * buckets at Hamming distance 1 (one sign flipped), so recall lost
+    * to a near-boundary projection is recovered without lowering p
+    * (Lv et al. 2007, multi-probe LSH). Probed bucket ids are exploded
+    * from a row-local literal-bounded array (planes+1 per query);
+    * candidates still come from one equi-join on bucket — the corpus
+    * side is untouched, so the scan/bucket work is identical to
+    * [[lshTopK]] and candidate work grows by at most (planes+1)×.
+    * Strictly-better recall is pinned by test: every [[lshTopK]] result
+    * is a subset of this one's candidate pool, and measured recall vs
+    * [[bruteForceTopK]] only goes up.
+    */
+  def lshMultiProbeTopK(spark: SparkSession, dir: String, k: Int = 5,
+      planes: Int = 4): DataFrame = {
+    val emb0 = unitVectors(spark, dir).select(col("vec_id"), col("v"))
+    val dim = emb0.select(size(col("v"))).head().getInt(0)
+    val emb = emb0
+      .withColumn("bucket", signBucketNative(spark, col("v"), planes, dim))
+    val probes = (0 until planes).map(i =>
+      col("bucket").bitwiseXOR(lit(1L << i))) :+ col("bucket")
+    val queries = broadcast(
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+          explode(array(probes: _*)).as("q_bucket")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    emb.join(queries,
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dotNative(col("v"), col("q_v")))
+      // a vector can match several probes of one query; duplicates
+      // carry identical cos, so the narrow scalar distinct collapses
+      // them without grouping on array columns
+      .select(col("q_id"), col("vec_id"), col("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** IVF (inverted-file) ANN: k-means-style coarse quantizer — a few
     * Lloyd iterations — then queries probe only the `nprobe` nearest
     * inverted lists.

@@ -276,6 +276,27 @@ class Wave2Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("multi-probe LSH: recall never below single-probe, never above brute force") {
+    def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q ->
+        rs.map(r => (r.getAs[Long]("neighbor"), r.getAs[Double]("cos"))).toMap }
+    val bf = topSets(Similarity.bruteForceTopK(spark, sfDir))
+    val single = topSets(Similarity.lshTopK(spark, sfDir))
+    val multi = topSets(Similarity.lshMultiProbeTopK(spark, sfDir))
+    bf.foreach { case (q, truth) =>
+      val rS = single.getOrElse(q, Map.empty).keySet.intersect(truth.keySet).size
+      val rM = multi.getOrElse(q, Map.empty).keySet.intersect(truth.keySet).size
+      // probing supersets of the single-probe bucket can only help
+      assert(rM >= rS, s"query $q: multi-probe recall $rM < single $rS")
+      // and an ANN never beats the exact baseline's best cosine
+      val bestTruth = truth.values.max
+      multi.getOrElse(q, Map.empty).values.foreach(c =>
+        assert(c <= bestTruth + 1e-9))
+    }
+    Caches.releaseAll(spark)
+  }
+
   test("banding capacity guard: q109's loose banding blows up where q111's stays linear") {
     import spark.implicits._
     // moderately-overlapping corpus: each doc concatenates 10 phrases
