@@ -165,6 +165,11 @@ object Registry {
     // recall-vs-single-probe and never-beats-brute-force invariants in
     // Wave2Spec
     "q115_ann_multiprobe" -> ((s, d) => Similarity.lshMultiProbeTopK(s, d)),
+    // rows-only (xxhash64 banding, like q86): streaming dedup against
+    // the persisted historical band table; StreamingSpec asserts the
+    // drained stream equals the batch incremental path exactly
+    "q116_streaming_band_dedup" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingBandDedup(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -281,6 +281,26 @@ object Dedup {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
+  /** Band + verification surface for the STREAMING twin
+    * ([[graft.streaming.StreamingOps.streamingBandDedup]]): band an
+    * arbitrary `(doc_id, text)` frame with the production banding, and
+    * verify candidate pairs against a corpus frame — the same private
+    * machinery the batch incremental paths compose.
+    */
+  private[graft] def bandDocs(docsRaw: DataFrame): DataFrame =
+    bandedSignatures(docsRaw
+      .select(col("doc_id"),
+        VectorExpressions.sortedShingleHashes(col("text"), 3).as("sh64"))
+      .filter(size(col("sh64")) > 0))
+
+  private[graft] def verifyPairs(pairs: DataFrame, corpusRaw: DataFrame,
+      leftId: String, rightId: String, minJaccard: Double): DataFrame =
+    verifiedJaccard(pairs,
+      corpusRaw.select(col("doc_id"),
+        VectorExpressions.sortedShingleHashes(col("text"), 3).as("sh64"))
+        .filter(size(col("sh64")) > 0),
+      leftId, rightId, minJaccard)
+
   /** [[incrementalMinhash]] with the historical band table as a real
     * stored artifact: on first call the corpus bands are written to
     * `bandTablePath` (parquet, partitionable by band); subsequent runs

@@ -86,6 +86,18 @@ class DedupChainSpec extends SparkSpec {
     }
   }
 
+  test("streaming band dedup drains to exactly the batch incremental pairs") {
+    def collectPairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    val batch = collectPairs(Dedup.incrementalMinhash(spark, sfDir))
+    val streamed = collectPairs(
+      graft.streaming.StreamingOps.streamingBandDedup(spark, sfDir))
+    assert(streamed == batch,
+      s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+    Caches.releaseAll(spark)
+  }
+
   test("approx percentiles land inside the exact p45-p55 / p85-p95 envelope") {
     val exact = Relational.percentilesEnvelope(spark, sfDir).collect()
       .map(r => r.getAs[String]("event_type") ->
