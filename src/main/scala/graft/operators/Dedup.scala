@@ -637,7 +637,8 @@ object Dedup {
         math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(
           math.max(1L, (n - 1) / 256)))
       }
-    val dim = emb.select(size(col("v"))).head().getInt(0)
+    val dim = emb.select(size(col("v"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus -> empty result
     val bucketed = emb.withColumn("bucket",
       Similarity.signBucketNative(spark, col("v"), p, dim))
     val l = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
@@ -746,12 +747,8 @@ object Dedup {
     minhashCandidatePairs(docsRaw, perms, bands)._2
 
   private[graft] def prodBandingPairs(docsRaw: DataFrame): DataFrame = {
-    val docs = docsRaw
-      .select(col("doc_id"),
-        VectorExpressions.sortedShingleHashes(col("text"), 3).as("sh64"))
-      .filter(size(col("sh64")) > 0)
-      .persist()
-    val banded = bandedSignatures(docs)
+    // persist before the self-join or the band build runs once per side
+    val banded = bandDocs(docsRaw).persist()
     banded.as("l")
       .join(banded.as("r"), Seq("band", "bucket"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))

@@ -73,9 +73,14 @@ object Similarity {
     * are BIT-IDENTICAL to [[signBucket]]: the components come from the
     * same xxhash64 expressions over the same int inputs, and
     * [[VectorExpressions.dotNative]] folds ascending from 0.0 exactly
-    * like the HOF aggregate. The interpreted form cost ~planes·dim
-    * boxed ops per corpus row — measurable at 200k×64 — while this one
-    * stays inside whole-stage codegen.
+    * like the HOF aggregate — on well-formed corpora. The one
+    * deliberate deviation: a ragged or null-element vector (length ≠
+    * the probed dim) NULL-POISONS its bucket and drops out of
+    * candidate generation ([[DotProduct]]'s rule), where the HOF form
+    * projected it over its own length into an arbitrary bucket. The
+    * interpreted form cost ~planes·dim boxed ops per corpus row —
+    * measurable at 200k×64 — while this one stays inside whole-stage
+    * codegen.
     */
   def signBucketNative(spark: SparkSession, v: Column, planes: Int,
       dim: Int): Column = {
@@ -88,8 +93,10 @@ object Similarity {
       .sortBy(_.getInt(0))
       .map(_.getSeq[Double](1))
     planeVals.foldLeft(lit(0L)) { (acc, w) =>
-      acc * 2 + when(dotNative(v, typedLit(w)) >= 0, lit(1L))
-        .otherwise(lit(0L))
+      val proj = dotNative(v, typedLit(w))
+      // no otherwise(): a null projection keeps the bit null, and the
+      // null propagates through the arithmetic to the whole bucket
+      acc * 2 + when(proj >= 0, lit(1L)).when(proj < 0, lit(0L))
     }
   }
 
@@ -124,7 +131,8 @@ object Similarity {
   def lshTopK(spark: SparkSession, dir: String, k: Int = 5,
       planes: Int = 4): DataFrame = {
     val emb0 = unitVectors(spark, dir).select(col("vec_id"), col("v"))
-    val dim = emb0.select(size(col("v"))).head().getInt(0)
+    val dim = emb0.select(size(col("v"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus -> empty result
     val emb = emb0
       .withColumn("bucket", signBucketNative(spark, col("v"), planes, dim))
     val queries = broadcast(
@@ -161,7 +169,8 @@ object Similarity {
   def lshMultiProbeTopK(spark: SparkSession, dir: String, k: Int = 5,
       planes: Int = 4): DataFrame = {
     val emb0 = unitVectors(spark, dir).select(col("vec_id"), col("v"))
-    val dim = emb0.select(size(col("v"))).head().getInt(0)
+    val dim = emb0.select(size(col("v"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus -> empty result
     val emb = emb0
       .withColumn("bucket", signBucketNative(spark, col("v"), planes, dim))
     val probes = (0 until planes).map(i =>
@@ -234,10 +243,12 @@ object Similarity {
         case (id, v) if id % trainMod == 0 && id < trainCap => v
       }
 
-    // deterministic seeding: first nlist vectors are the initial
-    // centroids, selected explicitly (not take(nlist) — sparse or
-    // non-zero-based vec_ids must not let sample rows become seeds)
-    val centroids = lloydDot(train, sampled.filter(_._1 < nlist), iters)
+    // deterministic seeding: rows with vec_id < nlist are the initial
+    // centroids; if ids are sparse or non-zero-based and fewer than
+    // nlist such rows exist, the lowest-id sampled rows fill the rest
+    // (graceful degradation instead of an empty seed set)
+    val (seedPref, seedRest) = sampled.partition(_._1 < nlist)
+    val centroids = lloydDot(train, (seedPref ++ seedRest).take(nlist), iters)
 
     // inverted file: vec -> list, a pure projection (no shuffle, no cache)
     val lists = emb.select(col("vec_id"), assignCol(centroids, col("v")),
@@ -269,6 +280,7 @@ object Similarity {
   private[graft] def lloydDot(train: Array[Array[Double]],
       seeds: Array[(Int, Array[Double])],
       iters: Int): Array[(Int, Array[Double])] = {
+    require(seeds.nonEmpty, "ivf seeding needs at least one vector")
     val nlist = seeds.length
     val dim = seeds.head._2.length
     var centroids = seeds
@@ -497,10 +509,11 @@ object Similarity {
     val train = sampled.collect {
       case (id, v) if id % trainMod == 0 && id < trainCap => v
     }
-    // seeds selected explicitly (not take(nlist)): sparse vec_ids must
-    // not promote training-sample rows into the seed set
+    // seeds: vec_id < nlist rows first, lowest-id sampled rows filling
+    // any shortfall (sparse/non-zero-based ids degrade gracefully)
+    val (seedPref, seedRest) = sampled.partition(_._1 < nlist)
     val centroids = lloydDot(train,
-      sampled.filter(_._1 < nlist).map { case (id, v) => id.toInt -> v },
+      (seedPref ++ seedRest).take(nlist).map { case (id, v) => id.toInt -> v },
       iters)
     val cb = trainPqCodebooks(train, m, ksub, iters)
 
@@ -723,7 +736,8 @@ object Similarity {
     */
   private def centroidVectors(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val dim = emb.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus -> empty result
     // floor(x·10¹² + 0.5), not round(): Spark's Round goes through
     // BigDecimal per element (measured seconds at n×dim volume) while
     // floor is one Math.floor; x·10¹² and the +0.5 sum are both exact

@@ -404,7 +404,7 @@ object StreamingOps {
     * for candidates, exact-Jaccard-verified (candidate-bounded), and
     * appended to the delta sink. Per-batch work is proportional to the
     * BATCH (banding) plus candidates (verification) — the historical
-    * side is read, never recomputed. StreamingSpec asserts the drained
+    * side is read, never recomputed. DedupChainSpec asserts the drained
     * stream emits exactly the batch path's pairs.
     */
   def streamingBandDedup(spark: SparkSession, dir: String,
