@@ -170,6 +170,8 @@ object Registry {
     // drained stream equals the batch incremental path exactly
     "q116_streaming_band_dedup" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingBandDedup(s, d)),
+    // snapshot audit: added/removed/changed/unchanged by content hash
+    "q117_corpus_diff" -> ((s, d) => TextOps.corpusDiff(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1095,5 +1097,20 @@ object Registry {
         "SELECT doc_id, n_spans, n_kept, " +
         "CAST(n_kept AS DOUBLE) / CAST(n_spans AS DOUBLE) AS keep_ratio, " +
         "kept_md5 FROM r ORDER BY doc_id"),
+    // both engines md5 the same utf8 bytes; upper() is engine-safe on
+    // this corpus (the q54 precedent)
+    "q117_corpus_diff" ->
+      ("WITH cur AS (SELECT doc_id, md5(text) AS h_cur FROM documents " +
+        "WHERE doc_id % 7 <> 3), " +
+        "prev AS (SELECT doc_id, md5(CASE WHEN doc_id % 13 = 0 " +
+        "THEN upper(text) ELSE text END) AS h_prev FROM documents " +
+        "WHERE doc_id % 10 <> 9) " +
+        "SELECT COALESCE(cur.doc_id, prev.doc_id) AS doc_id, " +
+        "CASE WHEN h_prev IS NULL THEN 'added' " +
+        "WHEN h_cur IS NULL THEN 'removed' " +
+        "WHEN h_cur <> h_prev THEN 'changed' " +
+        "ELSE 'unchanged' END AS status " +
+        "FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id " +
+        "ORDER BY doc_id"),
   )
 }

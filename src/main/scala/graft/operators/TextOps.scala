@@ -538,6 +538,39 @@ object TextOps {
     * both linear, no self-join. md5 here keeps the oracle exact; the
     * production swap is the 64-bit native kernel hash (same plan).
     */
+  /** Corpus snapshot diff (q117): per-document added / removed /
+    * changed / unchanged status between two corpus versions by content
+    * hash — the audit step every incremental curation pipeline runs
+    * before promoting a snapshot (and the set-level generalization of
+    * the reference's watermark delta, which only ever sees appends).
+    * The two versions here are deterministic derivations of the same
+    * fixture so the op is fully oracled: "current" drops doc_id % 7 == 3
+    * (removals), "previous" lacks doc_id % 10 == 9 (additions) and has
+    * doc_id % 13 == 0 upper-cased (changes).
+    *
+    * Scale shape: each side reduces to (doc_id, md5) at the scan — the
+    * full-outer join shuffles 16-byte hashes, never text; at 100 TB
+    * both snapshots would be bucketed on doc_id and the join is
+    * exchange-free (the q85 path).
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cur = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h_cur"))
+    val prev = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 13 === 0, upper(col("text")))
+          .otherwise(col("text")).cast("binary")).as("h_prev"))
+    cur.join(prev, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_prev").isNull, lit("added"))
+          .when(col("h_cur").isNull, lit("removed"))
+          .when(col("h_cur") =!= col("h_prev"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"),
