@@ -172,6 +172,9 @@ object Registry {
       graft.streaming.StreamingOps.streamingBandDedup(s, d)),
     // snapshot audit: added/removed/changed/unchanged by content hash
     "q117_corpus_diff" -> ((s, d) => TextOps.corpusDiff(s, d)),
+    // rows-only production twin of q97 (its oracle pins k=8): k scales
+    // with the corpus so cluster-bounded pair work stays linear
+    "q118_semdedup_scaled" -> ((s, d) => Similarity.semDedupScaled(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -350,10 +353,12 @@ object Registry {
     "q28_exact_dedup" ->
       ("SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies " +
         "FROM documents GROUP BY md5(text) ORDER BY keeper"),
+    // doc_id < 2000 makes the sample structurally bounded (≤200 docs)
+    // at any corpus size — a no-op at the 500-doc correctness fixtures
     "q29_ngram_jaccard" ->
       ("WITH t AS (SELECT doc_id, " +
         "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks " +
-        "FROM documents WHERE doc_id % 10 = 0), " +
+        "FROM documents WHERE doc_id % 10 = 0 AND doc_id < 2000), " +
         "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
         "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
         "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +

@@ -28,9 +28,10 @@ object Dedup {
       .orderBy(col("keeper"))
 
   /** Exact near-duplicate scoring on a deterministic sample: word-3-gram
-    * Jaccard over all sample pairs. The sample bound (doc_id % k == 0)
-    * keeps the all-pairs comparison fixed-size per partition; the full-
-    * corpus path is [[minhashCandidates]].
+    * Jaccard over all sample pairs. The sample bound is STRUCTURAL
+    * (doc_id % 10 == 0 AND doc_id < 2000 — at most 200 docs at any
+    * corpus size, the q91 principle); the full-corpus path is
+    * [[minhashCandidates]].
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // shingles compared as 64-bit hashes: long-array intersection is
@@ -40,7 +41,7 @@ object Dedup {
     // hashes come from the native one-pass kernel — same values as
     // transform(shingles(text), xxhash64), no intermediate arrays.
     val sh = Tables.documents(spark, dir)
-      .filter(col("doc_id") % 10 === 0)
+      .filter(col("doc_id") % 10 === 0 && col("doc_id") < 2000)
       .select(col("doc_id"),
         VectorExpressions.sortedShingleHashes(col("text"), 3).as("sh"))
       .persist()

@@ -832,6 +832,21 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** SemDeDup at production cluster count (q118): [[semDedup]] with k
+    * sized to the corpus per the paper's own cost model — k grows with
+    * n so cluster size stays bounded. k = max(8, n/targetCluster)
+    * keeps the mean cluster at ~targetCluster members, so
+    * within-cluster pair work is ~n·targetCluster/2 — LINEAR in n —
+    * where the fixed-k oracled twin (q97, whose SQL pins k=8) pays
+    * n²/8 and exists for cross-engine verification, not capacity. The
+    * same fixed-vs-scaled twin split as q109/q111.
+    */
+  def semDedupScaled(spark: SparkSession, dir: String,
+      targetCluster: Int = 3000, tau: Double = 0.3): DataFrame = {
+    val n = unitVectors(spark, dir).count()
+    semDedup(spark, dir, math.max(8L, n / targetCluster).toInt, tau)
+  }
+
   /** Per-label centroid stats — exact arithmetic over the vector column
     * (counts + dims), oracle-checkable shape for the embeddings table.
     */
