@@ -818,7 +818,16 @@ object Similarity {
         .as("best"))
       .select(col("vec_id"), (-col("best.negcid")).as("cid"))
     // members: (vec_id, cid, v) — pair scan and output both read it
-    val members = asn.join(u, "vec_id").persist()
+    greedyClusterPrune(asn.join(u, "vec_id").persist(), tau)
+  }
+
+  /** Within-cluster greedy prune shared by the SemDeDup twins: a member
+    * is a duplicate if any LOWER-id member of its cluster is within
+    * `tau` cosine — the deterministic keeper rule both variants (and
+    * q97's oracle) encode.
+    */
+  private def greedyClusterPrune(members: DataFrame,
+      tau: Double): DataFrame = {
     val dups = members.as("a")
       .join(members.as("b"),
         col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
@@ -840,6 +849,14 @@ object Similarity {
     * where the fixed-k oracled twin (q97, whose SQL pins k=8) pays
     * n²/8 and exists for cross-engine verification, not capacity. The
     * same fixed-vs-scaled twin split as q109/q111.
+    *
+    * Assignment stays the broadcast crossJoin + per-vector max — at
+    * k in the tens-to-hundreds that BEATS a literal-centroid argmax
+    * (measured: the 66-literal row-local form fell out of codegen and
+    * ran 7× slower than the 13M-row crossJoin aggregate; literal
+    * argmax is the right shape only at the ≤10-alternative scale of
+    * q105). At k beyond ~10³ the assignment itself becomes an IVF
+    * probe ([[ivfTopK]]'s quantizer).
     */
   def semDedupScaled(spark: SparkSession, dir: String,
       targetCluster: Int = 3000, tau: Double = 0.3): DataFrame = {

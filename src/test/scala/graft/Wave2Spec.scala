@@ -276,6 +276,19 @@ class Wave2Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("scaled semdedup equals the fixed-k path where k resolves equal") {
+    // at the 500-vector fixture, max(8, n/3000) = 8 = q97's k, so the
+    // row-local literal argmax of the scaled twin must reproduce the
+    // crossJoin+groupBy assignment (and the shared prune) EXACTLY
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+        r.getAs[Long]("kept"))).toSeq
+    val fixed = rows(Similarity.semDedup(spark, sfDir))
+    val scaled = rows(Similarity.semDedupScaled(spark, sfDir))
+    assert(scaled == fixed)
+    Caches.releaseAll(spark)
+  }
+
   test("multi-probe LSH: recall never below single-probe, never above brute force") {
     def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
       .groupBy(_.getAs[Long]("q_id"))
