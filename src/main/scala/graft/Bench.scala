@@ -111,7 +111,11 @@ object Bench {
           catch { case _: Throwable => 0L }
         }.sum / (1024 * 1024)
     } catch { case _: Throwable => -1L }
-    val profilePath = java.nio.file.Paths.get("bench_profile.jsonl")
+    // SPARK_GRAFT_PROFILE redirects the profile artifact — ad-hoc dev
+    // runs point it at a scratch path so the committed artifact (which
+    // the fork writes into the project cwd) isn't clobbered
+    val profilePath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PROFILE", "bench_profile.jsonl"))
     try java.nio.file.Files.deleteIfExists(profilePath)
     catch { case _: Throwable => () }
     def profile(name: String, sec: Double): Unit = try {

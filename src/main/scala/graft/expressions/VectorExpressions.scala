@@ -637,11 +637,104 @@ object UnitVector {
   }
 }
 
+/** Row-local nearest-centroid assignment over a bounded driver-held
+  * model (the IVF-model contract: k×dim doubles). The declarative
+  * spelling — crossJoin against the broadcast centroid set, dot per
+  * pair, `max(struct(sim, -cid))` per vector — materializes n·k joined
+  * rows each carrying BOTH vectors (~15 GB at 200k×66×64d) plus a
+  * per-vector aggregation; this kernel is the same argmax in one
+  * codegen'd pass over the corpus, n·k dots and nothing else.
+  *
+  * Ordering is BIT-COMPATIBLE with `max(struct(sim, -cid))`: cosines
+  * fold ascending from 0.0 (the [[DotProduct]] order), compared under
+  * java.lang.Double's total order (NaN greatest, -0.0 < 0.0 — Spark's
+  * double ordering), ties to the LOWEST cid; a null projection (ragged
+  * centroid/vector dim) ranks below every real cosine, and a vector
+  * whose every projection is null takes the lowest cid — exactly the
+  * null-struct ordering of the crossJoin form. A NULL input vector
+  * stays null (nullSafeEval), the one documented deviation (the
+  * crossJoin form would assign it the lowest cid): the same documented
+  * poisoning rule as `Similarity.signBucketNative`.
+  */
+case class NearestCentroid(child: Expression, cids: Array[Long],
+    cents: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.LongType
+
+  require(cids.nonEmpty && cids.length == cents.length,
+    s"nearest_centroid needs a non-empty model with one id per centroid")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroid.compute(v.asInstanceOf[ArrayData], cids, cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centroidIds", cids, "long[]")
+    val centsRef = ctx.addReferenceObj("centroidVecs", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.graft.NearestCentroid.compute(" +
+        s"$v, $idsRef, $centsRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroid = copy(child = newChild)
+}
+
+object NearestCentroid {
+  /** Shared by eval and codegen. `cids`/`cents` are parallel arrays
+    * sorted ascending by cid (the column builder owns the sort).
+    */
+  def compute(v: ArrayData, cids: Array[Long],
+      cents: Array[Array[Double]]): Long = {
+    val n = v.numElements()
+    val x = Array.ofDim[Double](n)
+    var i = 0
+    while (i < n) {
+      // null element → every projection null → the crossJoin form's
+      // all-null struct max lands on the lowest cid
+      if (v.isNullAt(i)) return cids(0)
+      x(i) = v.getDouble(i)
+      i += 1
+    }
+    var bestIdx = 0
+    var bestSet = false
+    var bestSim = 0.0
+    var c = 0
+    while (c < cents.length) {
+      val w = cents(c)
+      if (w.length == n) { // ragged model row → null sim → never wins
+        var acc = 0.0
+        var j = 0
+        while (j < n) { acc += x(j) * w(j); j += 1 }
+        if (!bestSet || java.lang.Double.compare(acc, bestSim) > 0) {
+          bestSet = true; bestSim = acc; bestIdx = c
+        }
+      }
+      c += 1
+    }
+    cids(bestIdx)
+  }
+}
+
 object VectorExpressions {
   /** Column-level entry point for the native dot product. */
   def dotNative(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Row-local argmax-cosine assignment against a bounded (cid, vector)
+    * model; the model is sorted by cid here so the kernel's
+    * ties-to-first rule IS the ties-to-lowest-cid rule.
+    */
+  def nearestCentroidNative(v: Column,
+      model: Array[(Long, Array[Double])]): Column = {
+    val sorted = model.sortBy(_._1)
+    ExpressionUtils.column(NearestCentroid(ExpressionUtils.expression(v),
+      sorted.map(_._1), sorted.map(_._2)))
+  }
 
   /** Column-level entry point for the native L2-normalizer. */
   def unitNative(v: Column): Column =

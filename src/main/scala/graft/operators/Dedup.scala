@@ -640,13 +640,17 @@ object Dedup {
       }
     val dim = emb.select(size(col("v"))).head(1)
       .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus -> empty result
+    // persist the bucketed corpus: both join sides read it, so the
+    // normalize+project pass runs once, not twice; hash-join instead of
+    // sort-merge — the equi-key is the bucket, and sorting 2×n rows of
+    // ~0.5 KB vector payload buys nothing over per-partition hash build
     val bucketed = emb.withColumn("bucket",
-      Similarity.signBucketNative(spark, col("v"), p, dim))
+      Similarity.signBucketNative(spark, col("v"), p, dim)).persist()
     val l = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("label").as("label_a"), col("v").as("v_a"))
     val r = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
       col("v").as("v_b"))
-    l.join(r, Seq("bucket"))
+    l.hint("shuffle_hash").join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", VectorExpressions.dotNative(col("v_a"), col("v_b")))
       .filter(col("cos") >= 0.4)

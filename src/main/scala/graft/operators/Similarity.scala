@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graft.{PqExpressions, PqLutScore}
+import org.apache.spark.sql.graft.VectorExpressions
 import org.apache.spark.sql.graft.VectorExpressions.{dotNative, unitNative}
 import graft.sources.Tables
 
@@ -37,7 +38,12 @@ object Similarity {
     // project-collapse re-inlines the normalization into every
     // downstream pair comparison; the similarity queries share this
     // cache entry (same logical plan).
-    Tables.embeddings(spark, dir)
+    // parallelized: a single-row-group fixture file decodes in one
+    // task, and WITHOUT the spread the cache built here inherits that
+    // one non-empty partition — every downstream pass over the corpus
+    // (bucketing, encode, pair scans) would run single-task. No-op on
+    // a real multi-file corpus (see Tables.parallelized).
+    Tables.parallelized(spark, Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"),
         unitNative(col("embedding").cast("array<double>")).as("v"))
       .persist()
@@ -309,17 +315,16 @@ object Similarity {
     centroids
   }
 
-  /** Row-local nearest-centroid id: max over struct(sim, -cid) encodes
-    * "highest similarity, ties to lowest cid" with zero shuffle.
+  /** Row-local nearest-centroid id — the codegen'd
+    * [[VectorExpressions.nearestCentroidNative]] kernel, whose ordering
+    * (highest similarity, ties to lowest cid, Double total order) is
+    * exactly the former max-over-struct(sim, -cid) spelling without the
+    * per-row struct-array allocation. Zero shuffle.
     */
   private def assignCol(cents: Array[(Int, Array[Double])],
-      v: Column): Column = {
-    val scored = cents.map { case (cid, cv) =>
-      struct(dotNative(v, typedLit(cv.toSeq)).as("sim"),
-        lit(-cid).as("ncid"))
-    }
-    (array_max(array(scored.toSeq: _*)).getField("ncid") * -1).as("cid")
-  }
+      v: Column): Column =
+    VectorExpressions.nearestCentroidNative(v,
+      cents.map { case (cid, cv) => cid.toLong -> cv }).as("cid")
 
   /** The `nprobe` nearest centroids of `v` as an exploded struct column
     * (descending score, ties to lowest cid via the -cid encoding).
@@ -560,9 +565,12 @@ object Similarity {
     val dsub = dim / m
     val cb: Array[Array[Array[Double]]] =
       Array.tabulate(m, ksub, dsub)((b, c, j) => mdNibbleVal(s"cb|$b|$c|$j"))
-    val emb = Tables.embeddings(spark, dir)
+    // parallelized + persisted: the encode pass and the query pull both
+    // read it; one decode, cores-wide encode (see Tables.parallelized)
+    val emb = Tables.parallelized(spark, Tables.embeddings(spark, dir))
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
+      .persist()
     val codes = emb.select(col("vec_id"),
       PqExpressions.pqEncodeNative(col("v"), cb).as("codes"))
     val queries = emb.filter(col("vec_id") < nQueries)
@@ -650,6 +658,9 @@ object Similarity {
     // [[unitVectors]]) so both filters push down to the scan instead
     // of materializing the whole corpus first.
     val v0 = col("embedding").cast("array<double>")
+    // persist the sample: both sides of the self-join read it, and
+    // without the barrier each side pays its own full decode of the
+    // (single-row-group) fixture scan
     val emb = Tables.embeddings(spark, dir)
       .filter(col("vec_id") % sampleMod === 0 &&
         col("vec_id") < sampleCap)
@@ -657,9 +668,15 @@ object Similarity {
       .withColumn("nrm", sqrt(dotNative(col("v0"), col("v0"))))
       .select(col("vec_id"),
         transform(col("v0"), x => x / col("nrm")).as("v"))
+      .persist()
     val a = emb.select(col("vec_id").as("id_a"), col("v").as("v_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("v").as("v_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    // broadcast the (bounded) sample: a plain non-equi self-join plans as
+    // CartesianProduct with leftSplits×rightSplits tasks — hundreds of
+    // near-empty tasks re-opening the parquet footer dominate the run.
+    // BroadcastNestedLoopJoin keeps one scan pass and is the right plan
+    // for a ≤(cap/mod)-row build side.
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cos", dotNative(col("v_a"), col("v_b")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
@@ -771,22 +788,19 @@ object Similarity {
       .select(col("label").cast("long").as("label"),
         col("embedding").cast("array<double>").as("v"))
     // the prototype model is labels×dim doubles — a bounded driver
-    // artifact (the IVF-model contract), so assignment is a row-local
-    // argmax over literal centroids: one corpus projection, no join,
-    // no per-vector groupBy. Same argmax rule as before (highest sim,
-    // ties to the lowest label via the -label encoding) over the same
-    // dotNative fold, so the oracle argument is unchanged; the n×labels
-    // crossJoin + n-key aggregation disappear from the plan.
-    val cents: Array[(Long, Seq[Double])] = centroidVectors(spark, dir)
+    // artifact (the IVF-model contract), so assignment is the row-local
+    // codegen'd [[VectorExpressions.nearestCentroidNative]] argmax: one
+    // corpus projection, no join, no per-vector groupBy, no per-row
+    // struct-array allocation. Same argmax rule as the former
+    // max(struct(sim, -label)) spelling (highest sim, ties to the
+    // lowest label) over the same dotNative fold order, so the oracle
+    // argument is unchanged.
+    val model: Array[(Long, Array[Double])] = centroidVectors(spark, dir)
       .select(col("label"), col("cent")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
-    val scored = cents.map { case (cl, cv) =>
-      struct(dotNative(col("v"), typedLit(cv)).as("sim"),
-        lit(-cl).as("nc"))
-    }
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     vecs
       .select(col("label"),
-        (array_max(array(scored.toSeq: _*)).getField("nc") * -1).as("pred"))
+        VectorExpressions.nearestCentroidNative(col("v"), model).as("pred"))
       .groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("pred"))
@@ -809,16 +823,21 @@ object Similarity {
   def semDedup(spark: SparkSession, dir: String, k: Int = 8,
       tau: Double = 0.3): DataFrame = {
     val u = unitVectors(spark, dir).select(col("vec_id"), col("v"))
-    val centroids = broadcast(u.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("v").as("cv")))
-    val asn = u.crossJoin(centroids)
-      .withColumn("sim", dotNative(col("v"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim").as("s"), (-col("cid")).as("negcid")))
-        .as("best"))
-      .select(col("vec_id"), (-col("best.negcid")).as("cid"))
+    // the centroid set is a bounded driver model (k×dim doubles — the
+    // IVF-model contract), so assignment is ONE row-local codegen'd
+    // argmax pass ([[VectorExpressions.nearestCentroidNative]], same
+    // tie/null ordering as the former max(struct(sim, -cid)) over a
+    // crossJoin — which materialized n·k joined rows carrying both
+    // vectors, ~15 GB at 200k×k=66, plus an n-key aggregation and a
+    // join back for v; all three leave the plan here)
+    val model: Array[(Long, Array[Double])] = u.filter(col("vec_id") < k)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray)
     // members: (vec_id, cid, v) — pair scan and output both read it
-    greedyClusterPrune(asn.join(u, "vec_id").persist(), tau)
+    val members = u.select(col("vec_id"),
+      VectorExpressions.nearestCentroidNative(col("v"), model).as("cid"),
+      col("v"))
+    greedyClusterPrune(members.persist(), tau)
   }
 
   /** Within-cluster greedy prune shared by the SemDeDup twins: a member

@@ -42,4 +42,20 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** Spread a scan's rows across the session's cores when the input
+    * cannot supply that parallelism itself. Parquet parallelism is
+    * bounded by row groups, not `maxPartitionBytes`: a single-file
+    * single-row-group fixture decodes in ONE task, and everything
+    * downstream of it — including reads of a cache built on top —
+    * inherits that one non-empty partition. For compute-heavy
+    * full-corpus pipelines the one-time ~file-size shuffle buys a
+    * cores-wide stage for every later pass. Scale-aware no-op: a real
+    * multi-file corpus (file count ≥ cores) already scans parallel, so
+    * the extra exchange is skipped — parallelism = max(splits, cores).
+    */
+  def parallelized(spark: SparkSession, df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.inputFiles.length < p) df.repartition(p) else df
+  }
 }
