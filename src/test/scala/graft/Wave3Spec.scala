@@ -49,6 +49,45 @@ class Wave3Spec extends SparkSpec {
     assert(edge(3L).get.forall(_.isNaN))
   }
 
+  test("nearest-centroid kernel matches the max-struct argmax spelling exactly") {
+    import org.apache.spark.sql.graft.VectorExpressions.nearestCentroidNative
+    val u = Similarity.unitVectors(spark, sfDir).select(col("vec_id"), col("v"))
+    val model: Array[(Long, Array[Double])] = u.filter(col("vec_id") < 7)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray)
+    // the declarative spec the kernel replaces: crossJoin + dot +
+    // max(struct(sim, -cid)) — highest sim, ties to the LOWEST cid
+    val cents = model.map { case (cid, cv) =>
+      struct(dotNative(col("v"), typedLit(cv.toSeq)).as("sim"),
+        lit(-cid).as("nc"))
+    }
+    val diff = u
+      .withColumn("spec", array_max(array(cents.toSeq: _*)).getField("nc") * -1)
+      .withColumn("native", nearestCentroidNative(col("v"), model))
+      .filter(col("spec") =!= col("native"))
+      .count()
+    assert(diff == 0)
+    // edge contract: exact ties go to the lowest cid regardless of model
+    // order; a ragged vector and a null-element vector (every/any
+    // projection null) take the lowest cid like the all-null struct max;
+    // a NULL input stays null (the kernel's one documented deviation)
+    val tiedModel = Array(5L -> Array(1.0, 0.0), 2L -> Array(1.0, 0.0),
+      7L -> Array(0.0, 1.0))
+    val edge = spark.range(1).select(
+      nearestCentroidNative(array(lit(1.0), lit(0.0)), tiedModel).as("tie"),
+      nearestCentroidNative(array(lit(1.0), lit(0.0), lit(9.9)), tiedModel)
+        .as("ragged"),
+      nearestCentroidNative(array(lit(1.0), lit(null).cast("double")),
+        tiedModel).as("poisoned"),
+      nearestCentroidNative(lit(null).cast("array<double>"), tiedModel)
+        .as("nullv"))
+      .collect().head
+    assert(edge.getLong(0) == 2L, "tie must break to the lowest cid")
+    assert(edge.getLong(1) == 2L, "ragged vector must take the lowest cid")
+    assert(edge.getLong(2) == 2L, "null element must poison to the lowest cid")
+    assert(edge.isNullAt(3), "null vector must stay null")
+    Caches.releaseAll(spark)
+  }
+
   test("native minhash signature matches the HOF form bit-for-bit") {
     val docs = sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"),
