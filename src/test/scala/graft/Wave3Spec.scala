@@ -88,6 +88,21 @@ class Wave3Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("parallelized: spreads a too-few-files scan, no-op when files suffice") {
+    val p = spark.sparkContext.defaultParallelism
+    // the 1-file fixture can't supply cores-wide parallelism → spread
+    val one = sources.Tables.embeddings(spark, sfDir)
+    assert(sources.Tables.parallelized(spark, one).rdd.getNumPartitions == p)
+    // a corpus with >= cores files already scans parallel → SAME plan,
+    // no extra exchange (reference equality: the input is returned)
+    val dir = java.nio.file.Files.createTempDirectory("graft_par").toString
+    one.limit(64).repartition(p + 1).write.mode("overwrite").parquet(dir)
+    val multi = spark.read.parquet(dir)
+    assert(multi.inputFiles.length >= p)
+    assert(sources.Tables.parallelized(spark, multi) eq multi)
+    Caches.releaseAll(spark)
+  }
+
   test("native minhash signature matches the HOF form bit-for-bit") {
     val docs = sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"),
