@@ -26,6 +26,20 @@ class AqePlanSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("bounded-sample non-equi self-joins broadcast, never CartesianProduct") {
+    // a plain a.join(b, id_a < id_b) plans as CartesianProduct with
+    // leftSplits×rightSplits tasks — hundreds of near-empty tasks at
+    // fixture split counts; the operators promise a broadcast build of
+    // the structurally-bounded side instead
+    import graft.operators.Similarity
+    val exact = finalPlan(Similarity.cosineNearDupExact(spark, sfDir))
+    assert(!exact.contains("CartesianProduct"),
+      s"q91 regressed to a cartesian plan:\n${exact.take(3000)}")
+    assert(exact.contains("BroadcastNestedLoopJoin"),
+      s"q91's bounded sample is not broadcast:\n${exact.take(3000)}")
+    Caches.releaseAll(spark)
+  }
+
   test("AQE broadcasts the incremental-minhash batch side at runtime") {
     val plan = finalPlan(Dedup.incrementalMinhash(spark, sfDir))
     assert(plan.contains("isFinalPlan=true"))
