@@ -989,9 +989,12 @@ object Registry {
         "FROM g ORDER BY event_type, day"),
     // same md5-LSH candidate machinery as q95; the verified metric is
     // the asymmetric containment |A∩B| / min(|A|,|B|)
+    // doc_id < 2000 mirrors the engine's structural cap on the oracle
+    // twin (no-op at the ≤500-doc correctness fixtures; q111 is the
+    // uncapped capacity path)
     "q109_containment_dedup" ->
       ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '') AS toks FROM documents), " +
+        "x -> x <> '') AS toks FROM documents WHERE doc_id < 2000), " +
         "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
         "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
         "f AS (SELECT * FROM s WHERE len(sh) > 0), " +

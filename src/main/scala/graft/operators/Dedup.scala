@@ -720,8 +720,16 @@ object Dedup {
     * LSH candidates, not a replacement for those.
     */
   def containmentOracled(spark: SparkSession, dir: String,
-      minContain: Double = 0.5): DataFrame =
-    containmentOracledDf(Tables.documents(spark, dir), minContain = minContain)
+      minContain: Double = 0.5, docCap: Long = 2000L): DataFrame =
+    // structural cap (q91's principle, mirrored in the oracle SQL): the
+    // loose oracle-pinned banding's spurious-candidate count grows
+    // ~quadratically on random text (measured 6.1× at 10× — COVERAGE
+    // "Measured scale growth"), so the ORACLE twin's input is bounded
+    // at any corpus size; a no-op at the ≤500-doc correctness fixtures.
+    // The capacity path is the uncapped tight-banded [[containmentCandidates]].
+    containmentOracledDf(
+      Tables.documents(spark, dir).filter(col("doc_id") < docCap),
+      minContain = minContain)
 
   def containmentOracledDf(docsRaw: DataFrame, perms: Int = 8,
       bands: Int = 4, minContain: Double = 0.5): DataFrame = {
