@@ -90,14 +90,19 @@ object Similarity {
     */
   def signBucketNative(spark: SparkSession, v: Column, planes: Int,
       dim: Int): Column = {
-    val planeVals: Array[Seq[Double]] = spark.range(0, planes)
-      .select(col("id").cast("int").as("p"),
-        transform(sequence(lit(0), lit(dim - 1)), j =>
-          pmod(xxhash64(col("p"), j), lit(2000001L)).cast("double")
-            / 1000000.0 - 1.0).as("w"))
-      .collect()
-      .sortBy(_.getInt(0))
-      .map(_.getSeq[Double](1))
+    // plane component (p, j) = pmod(xxhash64(p, j), 2000001)/1e6 − 1,
+    // computed DRIVER-SIDE with the same XXH64 chaining the SQL
+    // expression evaluates (seed 42 folded over the two int children) —
+    // bit-identical values (Wave2Spec pins native-vs-HOF bucket
+    // equality) without the tiny planes×dim Spark job the former
+    // spelling ran per call
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val planeVals: Array[Seq[Double]] = Array.tabulate(planes) { p =>
+      (0 until dim).map { j =>
+        val h = XXH64.hashInt(j, XXH64.hashInt(p, 42L))
+        (((h % 2000001L) + 2000001L) % 2000001L).toDouble / 1000000.0 - 1.0
+      }
+    }
     planeVals.foldLeft(lit(0L)) { (acc, w) =>
       val proj = dotNative(v, typedLit(w))
       // no otherwise(): a null projection keeps the bit null, and the

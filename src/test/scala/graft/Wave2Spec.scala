@@ -56,6 +56,23 @@ class Wave2Spec extends SparkSpec {
     }
   }
 
+  test("signBucketNative equals the HOF signBucket bit-for-bit") {
+    // pins that the driver-side XXH64 plane derivation reproduces the
+    // SQL expression's values exactly, at two plane counts
+    val emb = Similarity.unitVectors(spark, sfDir)
+    val dim = emb.select(size(col("v"))).head().getInt(0)
+    Seq(4, 7).foreach { p =>
+      val diff = emb
+        .withColumn("hof", Similarity.signBucket(col("v"), p))
+        .withColumn("native",
+          Similarity.signBucketNative(spark, col("v"), p, dim))
+        .filter(col("hof") =!= col("native"))
+        .count()
+      assert(diff == 0, s"bucket mismatch at planes=$p")
+    }
+    Caches.releaseAll(spark)
+  }
+
   test("LSH plane scaling: more planes keep pair work sub-quadratic") {
     val emb = Similarity.unitVectors(spark, sfDir)
     val n = emb.count()
