@@ -637,6 +637,107 @@ object UnitVector {
   }
 }
 
+/** Cross-engine md5 minhash signature (the q95/q109 oracle hash):
+  * per permutation s, the minimum of md5(gram ++ "#s") over the
+  * document's gram set, emitted as lowercase hex strings — exactly the
+  * `array_min(transform(sh, g => md5(concat(g, '#s'))))` HOF spelling
+  * (hex is a monotone byte-wise encoding, so the unsigned-digest min
+  * IS the lexicographic hex min). The HOF form is interpreted and
+  * allocates a hex UTF8String per (gram, perm); this kernel reuses ONE
+  * MessageDigest and keeps candidates as 16-byte digests, hexing only
+  * the `perms` winners. Null grams are skipped (concat-null poisons to
+  * null and array_min ignores nulls); a gram set with no non-null
+  * entry yields a null signature element; an EMPTY gram array yields
+  * null (array_min of an empty array).
+  */
+case class Md5MinHashSignature(child: Expression, perms: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.StringType
+
+  require(perms >= 1, s"md5 minhash needs perms >= 1, got $perms")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def nullable: Boolean = true // empty gram set → null
+
+  override def nullSafeEval(input: Any): Any =
+    Md5MinHashSignature.compute(input.asInstanceOf[ArrayData], perms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r =
+         |  org.apache.spark.sql.graft.Md5MinHashSignature.compute($a, $perms);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5MinHashSignature = copy(child = newChild)
+}
+
+object Md5MinHashSignature {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** Shared by eval and codegen; null on an empty gram array. */
+  def compute(arr: ArrayData, perms: Int): GenericArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val suffixes = Array.tabulate(perms)(s =>
+      ("#" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val mins = new Array[Array[Byte]](perms)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val g = arr.getUTF8String(i).getBytes
+        var s = 0
+        while (s < perms) {
+          md.reset()
+          md.update(g)
+          md.update(suffixes(s))
+          val d = md.digest()
+          if (mins(s) == null || unsignedLess(d, mins(s))) mins(s) = d
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map { d =>
+      if (d == null) null
+      else {
+        val out = new Array[Char](d.length * 2)
+        var j = 0
+        while (j < d.length) {
+          out(2 * j) = HEX((d(j) >> 4) & 0xf)
+          out(2 * j + 1) = HEX(d(j) & 0xf)
+          j += 1
+        }
+        UTF8String.fromString(new String(out))
+      }
+    }: Array[AnyRef])
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+}
+
 /** Row-local nearest-centroid assignment over a bounded driver-held
   * model (the IVF-model contract: k×dim doubles). The declarative
   * spelling — crossJoin against the broadcast centroid set, dot per
@@ -767,6 +868,11 @@ object VectorExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-level entry point for the cross-engine md5 minhash. */
+  def md5MinhashNative(grams: Column, perms: Int): Column =
+    ExpressionUtils.column(
+      Md5MinHashSignature(ExpressionUtils.expression(grams), perms))
 
   /** Column-level entry point for the hash-input minhash signature. */
   def minhashFromHashes(sh64: Column, perms: Int): Column =

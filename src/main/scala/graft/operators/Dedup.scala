@@ -784,19 +784,19 @@ object Dedup {
       // the tokenization per branch
       .persist()
     // signatures are ROW-LOCAL: per-perm min over the doc's shingle set
-    // via array HOFs — no explode, no hash-aggregate, no shuffle (the
-    // former explode→groupBy shape pushed Σ|sh| rows through an
-    // exchange). Grams are cast to binary and the constant seed suffix
-    // concatenates as binary, so each perm costs one md5 over the same
-    // bytes the string form hashed — oracle-bit-identical. Per-row
-    // transient memory is O(|sh|) strings, bounded by doc length — the
-    // same rows the explode materialized, just at once.
-    val shb = transform(col("sh"), g => g.cast("binary"))
+    // — no explode, no hash-aggregate, no shuffle (the former
+    // explode→groupBy shape pushed Σ|sh| rows through an exchange).
+    // The per-(gram, perm) md5 runs in the codegen'd
+    // [[org.apache.spark.sql.graft.Md5MinHashSignature]] kernel (one
+    // digest instance, byte-wise min, hex only the winners) — values
+    // bit-identical to the interpreted
+    // array_min(transform(sh, g -> md5(g ++ '#s'))) HOF spelling the
+    // oracle SQL mirrors, pinned by a direct equality test.
     val sig = docs
-      .select(col("doc_id") +: (0 until perms).map { s =>
-        array_min(transform(shb, gb =>
-          md5(concat(gb, lit(s"#$s").cast("binary"))))).as(s"m$s")
-      }: _*)
+      .select(col("doc_id"),
+        VectorExpressions.md5MinhashNative(col("sh"), perms).as("sigs"))
+      .select(col("doc_id") +:
+        (0 until perms).map(s => col("sigs").getItem(s).as(s"m$s")): _*)
     val banded = sig
       .select(col("doc_id"),
         explode(array((0 until bands).map { b =>

@@ -103,6 +103,40 @@ class Wave3Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("md5-minhash kernel matches the interpreted HOF spelling bit-for-bit") {
+    import org.apache.spark.sql.graft.VectorExpressions.md5MinhashNative
+    import graft.functions.TextAnalytics
+    val perms = 8
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalytics.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val shb = transform(col("sh"), g => g.cast("binary"))
+    val hof = array((0 until perms).map { s =>
+      array_min(transform(shb, gb =>
+        md5(concat(gb, lit(s"#$s").cast("binary")))))
+    }: _*)
+    val diff = docs
+      .withColumn("hof", hof)
+      .withColumn("native", md5MinhashNative(col("sh"), perms))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diff == 0)
+    // edge contract: empty gram array → null; null grams are skipped;
+    // all-null grams → null signature elements
+    val edge = spark.range(1).select(
+      md5MinhashNative(array().cast("array<string>"), 2).as("empty"),
+      md5MinhashNative(array(lit(null).cast("string"), lit("ab")), 2)
+        .as("skipnull"),
+      md5MinhashNative(array(lit(null).cast("string")), 2).as("allnull"))
+      .collect().head
+    assert(edge.isNullAt(0), "empty gram array must yield null")
+    val skip = edge.getSeq[String](1)
+    assert(skip.length == 2 && skip.forall(_ != null))
+    assert(edge.getSeq[String](2).forall(_ == null),
+      "all-null grams must yield null elements")
+    Caches.releaseAll(spark)
+  }
+
   test("native minhash signature matches the HOF form bit-for-bit") {
     val docs = sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"),
