@@ -846,9 +846,12 @@ object Registry {
     // cosines via list_reduce left fold == Spark's 0.0-seeded fold
     // bit-for-bit (q34 argument); argmax ties break to the lowest cid in
     // both engines (Spark max(struct(sim, -cid)) vs ORDER BY sim DESC, cid)
+    // vec_id < 5000 mirrors the engine's structural cap on the oracle
+    // twin (k is SQL-pinned at 8, so pair work is n²/16 — bounded here;
+    // no-op at the ≤500-vector fixtures; q118 is the uncapped path)
     "q97_semdedup" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
-        "FROM embeddings), " +
+        "FROM embeddings WHERE vec_id < 5000), " +
         "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
         "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v FROM e), " +
         "c AS (SELECT vec_id AS cid, v AS cv FROM u WHERE vec_id < 8), " +

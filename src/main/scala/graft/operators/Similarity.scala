@@ -826,8 +826,15 @@ object Similarity {
     * the whole pipeline is hash-checked.
     */
   def semDedup(spark: SparkSession, dir: String, k: Int = 8,
-      tau: Double = 0.3): DataFrame = {
+      tau: Double = 0.3, vecCap: Long = 5000L): DataFrame = {
+    // structural cap on the ORACLE twin (the q91/q109 principle,
+    // mirrored in q97's SQL): its k is pinned at 8 by the oracle, so
+    // the within-cluster prune is n²/2k — quadratic in n. The cap
+    // bounds that pair space at any corpus size (no-op at the ≤500-
+    // vector correctness fixtures); the capacity path is
+    // [[semDedupScaled]], whose k grows with n (vecCap = ∞ there).
     val u = unitVectors(spark, dir).select(col("vec_id"), col("v"))
+      .filter(col("vec_id") < vecCap)
     // the centroid set is a bounded driver model (k×dim doubles — the
     // IVF-model contract), so assignment is ONE row-local codegen'd
     // argmax pass ([[VectorExpressions.nearestCentroidNative]], same
@@ -885,7 +892,8 @@ object Similarity {
   def semDedupScaled(spark: SparkSession, dir: String,
       targetCluster: Int = 3000, tau: Double = 0.3): DataFrame = {
     val n = unitVectors(spark, dir).count()
-    semDedup(spark, dir, math.max(8L, n / targetCluster).toInt, tau)
+    semDedup(spark, dir, math.max(8L, n / targetCluster).toInt, tau,
+      vecCap = Long.MaxValue)
   }
 
   /** Per-label centroid stats — exact arithmetic over the vector column
