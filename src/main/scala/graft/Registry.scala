@@ -175,6 +175,9 @@ object Registry {
     // rows-only production twin of q97 (its oracle pins k=8): k scales
     // with the corpus so cluster-bounded pair work stays linear
     "q118_semdedup_scaled" -> ((s, d) => Similarity.semDedupScaled(s, d)),
+    // oracled winnowing twin: md5 window-min fingerprints, the q88
+    // posting-list pair shape hash-checked cross-engine
+    "q119_winnow_oracled" -> ((s, d) => Dedup.winnowOracled(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1123,5 +1126,28 @@ object Registry {
         "ELSE 'unchanged' END AS status " +
         "FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id " +
         "ORDER BY doc_id"),
+    // winnowing window-min spelled as list_aggregate over list_slice
+    // windows; hex md5 min is byte-wise == the kernel's digest min
+    "q119_winnow_oracled" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, list_transform(range(1, len(toks) - 1), " +
+        "i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS h " +
+        "FROM t), " +
+        "f AS (SELECT doc_id, CASE WHEN len(h) >= 8 THEN " +
+        "list_distinct(list_transform(range(1, len(h) - 6), " +
+        "j -> list_aggregate(list_slice(h, CAST(j AS INTEGER), " +
+        "CAST(j + 7 AS INTEGER)), 'min'))) " +
+        "ELSE [list_aggregate(h, 'min')] END AS fps " +
+        "FROM g WHERE len(h) > 0), " +
+        "e AS (SELECT doc_id, unnest(fps) AS fp FROM f), " +
+        "cap AS (SELECT fp FROM e GROUP BY fp " +
+        "HAVING COUNT(*) BETWEEN 2 AND 20), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "JOIN cap c ON a.fp = c.fp), " +
+        "r AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared " +
+        "FROM p GROUP BY id_a, id_b HAVING COUNT(*) >= 2) " +
+        "SELECT id_a, id_b, n_shared FROM r ORDER BY id_a, id_b"),
   )
 }

@@ -738,6 +738,125 @@ object Md5MinHashSignature {
   }
 }
 
+/** Cross-engine md5 winnowing fingerprints (the q119 oracle hash):
+  * window-min fingerprint selection (Schleimer et al., SIGMOD 2003)
+  * over the md5 digests of a document's POSITIONAL gram sequence,
+  * emitted as the distinct window minima as lowercase hex strings in
+  * first-occurrence order — exactly the interpreted HOF spelling
+  * `array_distinct(transform(sequence(1, n-w+1), j =>
+  * array_min(slice(md5grams, j, w))))`. Hex is a monotone byte-wise
+  * encoding, so the unsigned-digest min IS the lexicographic hex min,
+  * and DuckDB's `list_aggregate(..., 'min')` over the same md5 hex
+  * strings agrees bit-for-bit — which makes the whole winnowing
+  * selection ANSI-oracle-checkable (q88's production kernel
+  * [[WinnowHashes]] uses xxhash64-seeded rolling hashes only Spark
+  * computes). Fewer grams than w → the single global min; an empty
+  * gram sequence → an empty array (explode drops it, matching the
+  * HOF's `array()` branch). The HOF form allocates a hex string per
+  * (gram, window) and slice-copies w entries per window — O(n·w)
+  * interpreted; this kernel digests each gram ONCE, runs the same
+  * monotonic deque as [[WinnowHashes]] (O(n) total), and hexes only
+  * the distinct winners. Null grams cannot arise from
+  * `positionalShingles` (concat_ws never yields null) and are skipped
+  * defensively, matching array_min's null-skipping.
+  */
+case class Md5WinnowFp(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.StringType
+
+  require(w >= 1, s"md5 winnow needs w >= 1, got $w")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    Md5WinnowFp.compute(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  org.apache.spark.sql.graft.Md5WinnowFp.compute($a, $w);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5WinnowFp = copy(child = newChild)
+}
+
+object Md5WinnowFp {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Char](d.length * 2)
+    var j = 0
+    while (j < d.length) {
+      out(2 * j) = HEX((d(j) >> 4) & 0xf)
+      out(2 * j + 1) = HEX(d(j) & 0xf)
+      j += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** Shared by eval and codegen; empty output is an empty array, never
+    * null (the HOF spec's `array()` branch — explode drops it).
+    */
+  def compute(arr: ArrayData, w: Int): GenericArrayData = {
+    val n0 = arr.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = new Array[Array[Byte]](n0)
+    var n = 0
+    var i = 0
+    while (i < n0) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        md.update(arr.getUTF8String(i).getBytes)
+        h(n) = md.digest()
+        n += 1
+      }
+      i += 1
+    }
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+    if (n < w) {
+      var m = h(0); i = 1
+      while (i < n) { if (less(h(i), m)) m = h(i); i += 1 }
+      return new GenericArrayData(Array[AnyRef](hex(m)))
+    }
+    // monotonic deque of candidate indices, increasing digest values —
+    // the WinnowHashes selection verbatim, over 16-byte digests
+    val seen = new java.util.HashSet[String]()
+    val out = new java.util.ArrayList[AnyRef]()
+    val deque = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail)
+    i = 0
+    while (i < n) {
+      while (tail > head && !less(h(deque(tail - 1)), h(i))) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val m = hex(h(deque(head)))
+        if (seen.add(m.toString)) out.add(m)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Row-local nearest-centroid assignment over a bounded driver-held
   * model (the IVF-model contract: k×dim doubles). The declarative
   * spelling — crossJoin against the broadcast centroid set, dot per
@@ -887,6 +1006,11 @@ object VectorExpressions {
   def winnowHashes(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(
       WinnowHashes(ExpressionUtils.expression(text), k, w))
+
+  /** Column-level entry point for the cross-engine md5 winnowing. */
+  def md5WinnowFp(grams: Column, w: Int): Column =
+    ExpressionUtils.column(
+      Md5WinnowFp(ExpressionUtils.expression(grams), w))
 }
 
 /** Optimizer rule: recognize the declarative dot-product idiom

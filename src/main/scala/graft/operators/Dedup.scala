@@ -407,6 +407,66 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Winnowing with a cross-engine hash (q119): the oracled
+    * correctness twin of [[winnowNearDup]] (q88) — the same window-min
+    * fingerprint selection and posting-list pair generation, but grams
+    * are word 3-grams hashed with md5 (bit-identical in Spark and
+    * DuckDB) instead of the xxhash64-seeded rolling character shingles
+    * only Spark computes, so the WHOLE pipeline — fingerprint
+    * selection, stop-fingerprint cap, shared-fingerprint pair counts —
+    * is hash-checked by an ANSI oracle (window-min spelled as
+    * `list_aggregate(list_slice(...), 'min')` in DuckDB). Completes
+    * the per-family oracle pattern: minhash has q95, simhash q102,
+    * cosine q91, PQ q113; the winnowing deque selection has this.
+    * Same 100 TB shape as q88: fingerprint selection is ROW-LOCAL
+    * (the codegen'd [[org.apache.spark.sql.graft.Md5WinnowFp]] deque
+    * kernel — no explode/groupBy shuffle to build per-document state)
+    * and pair expansion is bounded by the posting cap, so the join
+    * pays for shared segments, not all pairs.
+    */
+  def winnowOracled(spark: SparkSession, dir: String): DataFrame =
+    winnowOracledDf(Tables.documents(spark, dir))
+
+  /** [[winnowOracled]] over an explicit `(doc_id, text)` corpus. */
+  def winnowOracledDf(docs: DataFrame, w: Int = 8,
+      minShared: Int = 2, maxPostings: Int = 20): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      explode(VectorExpressions.md5WinnowFp(
+        TextAnalytics.positionalShingles(col("text"), 3), w)).as("fp"))
+    // identical posting-list shape to q88 (winnowNearDupDf): one
+    // corpus pass, stop-fingerprint cap inside the agg, map-side HOF
+    // pair expansion — per-doc fingerprints are distinct (kernel
+    // contract), so count == countDistinct
+    val posting = fps.groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxPostings))
+    posting
+      .select(explode(flatten(transform(col("docs"), (x, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Interpreted HOF spelling of the [[winnowOracled]] fingerprint
+    * column — O(grams·w) slice-copies; kept as the executable
+    * specification the [[org.apache.spark.sql.graft.Md5WinnowFp]]
+    * deque kernel is asserted bit-equal against.
+    */
+  private[graft] def md5WinnowFpHof(text: Column, w: Int = 8): Column = {
+    val h = transform(TextAnalytics.positionalShingles(text, 3),
+      g => md5(g.cast("binary")))
+    when(size(h) >= w,
+      array_distinct(
+        transform(sequence(lit(1), size(h) - (w - 1)),
+          j => array_min(slice(h, j, lit(w))))))
+      .otherwise(
+        when(size(h) > 0, array(array_min(h)))
+          .otherwise(array().cast("array<string>")))
+  }
+
   /** SimHash (64-bit) — relational spec form: per-bit majority vote
     * over token hashes via explode + 65-column groupBy. Kept as the
     * executable specification the native kernel is tested against;

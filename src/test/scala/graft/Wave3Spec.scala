@@ -368,4 +368,50 @@ class Wave3Spec extends SparkSpec {
       assert(math.abs(a - e) / e < 0.15, s"approx $a vs exact $e")
     }
   }
+
+  test("md5-winnow kernel matches the interpreted HOF spelling bit-for-bit") {
+    import org.apache.spark.sql.graft.VectorExpressions.md5WinnowFp
+    import graft.functions.TextAnalytics
+    val docs = sources.Tables.documents(spark, sfDir)
+    val diff = docs
+      .withColumn("hof", operators.Dedup.md5WinnowFpHof(col("text")))
+      .withColumn("native",
+        md5WinnowFp(TextAnalytics.positionalShingles(col("text"), 3), 8))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diff == 0)
+    // edge contract: < 3 tokens → no grams → empty array; < w grams →
+    // the single global min; window count n-w+1 with distinct minima
+    val edge = spark.createDataFrame(Seq(
+      (1L, "a b"),                         // no grams
+      (2L, "a b c d"),                     // 2 grams < w → 1 global min
+      (3L, (1 to 20).map(i => s"t$i").mkString(" ")) // 18 grams, w=8
+    )).toDF("doc_id", "text")
+      .withColumn("native",
+        md5WinnowFp(TextAnalytics.positionalShingles(col("text"), 3), 8))
+      .withColumn("hof", operators.Dedup.md5WinnowFpHof(col("text")))
+      .collect().sortBy(_.getLong(0))
+    assert(edge(0).getSeq[String](2).isEmpty)
+    assert(edge(1).getSeq[String](2).length == 1)
+    edge.foreach { r =>
+      assert(r.getSeq[String](2) == r.getSeq[String](3),
+        s"doc ${r.getLong(0)} kernel != HOF")
+    }
+    Caches.releaseAll(spark)
+  }
+
+  test("winnow-oracled pairs recall a shared segment, not unrelated docs") {
+    import spark.implicits._
+    val shared = (1 to 30).map(i => s"seg$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"$shared zeta eta theta iota kappa"),
+      (3L, "unrelated words only nothing shared here at all " +
+        (1 to 25).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = operators.Dedup.winnowOracledDf(corpus).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getAs[Long]("n_shared") >= 2)
+    Caches.releaseAll(spark)
+  }
 }
