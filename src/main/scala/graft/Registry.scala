@@ -178,6 +178,12 @@ object Registry {
     // oracled winnowing twin: md5 window-min fingerprints, the q88
     // posting-list pair shape hash-checked cross-engine
     "q119_winnow_oracled" -> ((s, d) => Dedup.winnowOracled(s, d)),
+    // oracled IVF twin: fixed md5-nibble centroids, kernel assignment
+    // + probe + in-cell ranking hash-checked cross-engine
+    "q120_ivf_oracled" -> ((s, d) => Similarity.ivfOracled(s, d)),
+    // oracled LSH twin: md5-nibble planes, sign-bucket + cosine
+    // verification hash-checked cross-engine
+    "q121_lsh_oracled" -> ((s, d) => Similarity.lshOracled(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1149,5 +1155,71 @@ object Registry {
         "r AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared " +
         "FROM p GROUP BY id_a, id_b HAVING COUNT(*) >= 2) " +
         "SELECT id_a, id_b, n_shared FROM r ORDER BY id_a, id_b"),
+    // md5-nibble centroids (the q113 trick); argmax-dot assignment with
+    // ties to the lowest cid == the NearestCentroid kernel ordering
+    "q120_ivf_oracled" ->
+      ("WITH cv AS (SELECT c, d, " +
+        "CAST(strpos('0123456789abcdef', substr(md5('iv|' || " +
+        "CAST(c AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 " +
+        "AS DOUBLE) / 16.0 AS val " +
+        "FROM range(0, 4) t1(c), range(0, 64) t2(d)), " +
+        "cent AS (SELECT c, list(val ORDER BY d) AS w FROM cv GROUP BY c), " +
+        "v AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " +
+        "s AS (SELECT vec_id, c, " +
+        "list_reduce(list_transform(list_zip(v, w), pr -> pr[1] * pr[2]), " +
+        "(acc, y) -> acc + y) AS s FROM v CROSS JOIN cent), " +
+        "a AS (SELECT vec_id, c AS cid FROM (SELECT vec_id, c, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn " +
+        "FROM s) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5), " +
+        "qp AS (SELECT q_id, cid FROM (SELECT q.q_id, s.c AS cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY s.s DESC, s.c) AS rn " +
+        "FROM q JOIN s ON s.vec_id = q.q_id) WHERE rn <= 2), " +
+        "cand AS (SELECT qp.q_id, a.vec_id FROM qp JOIN a ON a.cid = qp.cid " +
+        "WHERE a.vec_id <> qp.q_id), " +
+        "sc AS (SELECT cand.q_id, cand.vec_id, " +
+        "list_reduce(list_transform(list_zip(q.qv, v.v), pr -> pr[1] * pr[2]), " +
+        "(acc, y) -> acc + y) AS score " +
+        "FROM cand JOIN q ON q.q_id = cand.q_id " +
+        "JOIN v ON v.vec_id = cand.vec_id), " +
+        "rk AS (SELECT q_id, vec_id AS neighbor, score, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) " +
+        "AS rank FROM sc) " +
+        "SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, score " +
+        "FROM rk WHERE rank <= 5 ORDER BY q_id, rank"),
+    // md5-nibble planes; bucket = bit-packed signs of unit-vector
+    // projections; cosine spelling matches q91's left-fold
+    "q121_lsh_oracled" ->
+      ("WITH pv AS (SELECT p, d, " +
+        "CAST(strpos('0123456789abcdef', substr(md5('pl|' || " +
+        "CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 " +
+        "AS DOUBLE) / 16.0 AS val " +
+        "FROM range(0, 6) t1(p), range(0, 64) t2(d)), " +
+        "pl AS (SELECT p, list(val ORDER BY d) AS w FROM pv GROUP BY p), " +
+        "e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+        "FROM embeddings WHERE vec_id < 2000), " +
+        "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
+        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v " +
+        "FROM e), " +
+        "pr AS (SELECT vec_id, p, " +
+        "list_reduce(list_transform(list_zip(v, w), z -> z[1] * z[2]), " +
+        "(a, b) -> a + b) AS s FROM u CROSS JOIN pl), " +
+        "b AS (SELECT vec_id, CAST(SUM(CASE WHEN s > 0 THEN " +
+        "(CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) " +
+        "AS bucket FROM pr GROUP BY vec_id), " +
+        "j AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b " +
+        "FROM b a JOIN b b2 ON a.bucket = b2.bucket " +
+        "AND a.vec_id < b2.vec_id) " +
+        "SELECT id_a, id_b, " +
+        "list_reduce(list_transform(list_zip(ua.v, ub.v), z -> z[1] * z[2]), " +
+        "(a, b) -> a + b) AS cos " +
+        "FROM j JOIN u ua ON ua.vec_id = j.id_a " +
+        "JOIN u ub ON ub.vec_id = j.id_b " +
+        "WHERE list_reduce(list_transform(list_zip(ua.v, ub.v), " +
+        "z -> z[1] * z[2]), (a, b) -> a + b) >= 0.4 " +
+        "ORDER BY id_a, id_b"),
   )
 }

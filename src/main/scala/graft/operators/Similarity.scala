@@ -592,10 +592,102 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF with a cross-engine model (q120): the oracled correctness
+    * twin of [[ivfTopK]] — q62/q100/q115 are rows-only because their
+    * Lloyd-trained centroids have no ANSI twin. Here the centroids are
+    * fixed md5-nibble derivations (`(nibble(md5("iv|c|d")) − 8) / 16`,
+    * the q113 codebook trick) both engines build independently, so the
+    * ENTIRE IVF composition — coarse assignment (the codegen'd
+    * [[org.apache.spark.sql.graft.NearestCentroid]] argmax kernel,
+    * ties to the lowest cid = `ROW_NUMBER ... ORDER BY s DESC, c`),
+    * nprobe probe selection, and exact ranking within probed cells —
+    * is hash-checked by a DuckDB oracle. Same 100 TB shape as the
+    * production path: assignment is one row-local kernel pass over the
+    * corpus (the oracle's corpus×nlist cross join is the SQL spelling,
+    * not the plan), probes are a bounded nQueries×nlist broadcast
+    * join, and candidate scoring touches only probed cells. Queries
+    * are structurally capped at nQueries corpus rows, mirrored in the
+    * SQL (the q91 principle).
+    */
+  def ivfOracled(spark: SparkSession, dir: String, nlist: Int = 4,
+      nprobe: Int = 2, k: Int = 5, dim: Int = 64,
+      nQueries: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model: Array[(Long, Array[Double])] = Array.tabulate(nlist)(c =>
+      (c.toLong, Array.tabulate(dim)(d => mdNibbleVal(s"iv|$c|$d"))))
+    val emb = Tables.parallelized(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    val assigned = emb.withColumn("cid",
+      VectorExpressions.nearestCentroidNative(col("v"), model))
+    val centDf = spark.createDataFrame(
+      model.toSeq.map { case (c, w) => (c, w.toSeq) }).toDF("c", "w")
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("s", dotNative(col("qv"), col("w")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("c"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("c").as("cid"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", dotNative(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Hyperplane LSH with a cross-engine model (q121): the oracled twin
+    * of the [[signBucket]] family — q33/q35/q115 are rows-only because
+    * xxhash64-derived planes have no ANSI twin. Plane components are
+    * the same md5-nibble derivations as [[ivfOracled]]'s centroids;
+    * the bucket is the bit-packed projection signs (`dot > 0`),
+    * candidates are same-bucket pairs, survivors rank by exact
+    * unit-vector cosine — sign arithmetic, bucketing, and
+    * verification all hash-checked. Same 100 TB shape as q33:
+    * signatures are row-local (planes inlined as literals into the
+    * codegen'd dot kernel — no plane-table join), pair work is
+    * bucket-local, and the plane count is the capacity knob
+    * ([[signBucket]]'s sizing rule). The oracle PINS the plane count
+    * at 6 (64 buckets), so the corpus is structurally capped at
+    * `vec_id < maxVec`, mirrored in the SQL (the q91/q109 principle:
+    * fixed-model oracle twins bound their pair work in code; q33 with
+    * its auto-sized plane count is the uncapped capacity path).
+    */
+  def lshOracled(spark: SparkSession, dir: String, planes: Int = 6,
+      dim: Int = 64, minCos: Double = 0.4,
+      maxVec: Long = 2000): DataFrame = {
+    val pls: Array[Array[Double]] = Array.tabulate(planes, dim)((p, d) =>
+      mdNibbleVal(s"pl|$p|$d"))
+    val bucket = (0 until planes).map { p =>
+      when(dotNative(col("v"), typedLit(pls(p).toSeq)) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = unitVectors(spark, dir).filter(col("vec_id") < maxVec)
+      .select(col("vec_id"), col("v"), bucket.as("bucket")).persist()
+    val l = b.select(col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("v_a"))
+    val r = b.select(col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("v_b"))
+    l.hint("shuffle_hash").join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dotNative(col("v_a"), col("v_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** First md5 nibble of the UTF-8 key, shifted to (−8..7)/16 — the
     * deterministic codebook entry both engines derive independently.
+    * private[graft]: tests rebuild models from it for independent
+    * spellings.
     */
-  private def mdNibbleVal(key: String): Double = {
+  private[graft] def mdNibbleVal(key: String): Double = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
     (((d(0) >> 4) & 0xF) - 8) / 16.0

@@ -369,6 +369,51 @@ class Wave3Spec extends SparkSpec {
     }
   }
 
+  test("ivf-oracled with nprobe = nlist equals exhaustive dot ranking") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val brute = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", operators.Similarity.dot(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+    val ivf = operators.Similarity.ivfOracled(spark, sfDir, nprobe = 4)
+    assert(ivf.collect().toSeq == brute.collect().toSeq)
+    Caches.releaseAll(spark)
+  }
+
+  test("lsh-oracled equals the independent HOF bucket spelling") {
+    val planes = Array.tabulate(6, 64)((p, d) =>
+      operators.Similarity.mdNibbleVal(s"pl|$p|$d"))
+    val u = operators.Similarity.unitVectors(spark, sfDir)
+    val bucket = (0 until 6).map { p =>
+      when(operators.Similarity.dot(col("v"),
+        typedLit(planes(p).toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = u.select(col("vec_id"), col("v"), bucket.as("bucket"))
+    val l = b.select(col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("v_a"))
+    val r = b.select(col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("v_b"))
+    val hof = l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", operators.Similarity.dot(col("v_a"), col("v_b")))
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+    val out = operators.Similarity.lshOracled(spark, sfDir)
+    assert(out.collect().toSeq == hof.collect().toSeq)
+    Caches.releaseAll(spark)
+  }
+
   test("md5-winnow kernel matches the interpreted HOF spelling bit-for-bit") {
     import org.apache.spark.sql.graft.VectorExpressions.md5WinnowFp
     import graft.functions.TextAnalytics
