@@ -184,6 +184,10 @@ object Registry {
     // oracled LSH twin: md5-nibble planes, sign-bucket + cosine
     // verification hash-checked cross-engine
     "q121_lsh_oracled" -> ((s, d) => Similarity.lshOracled(s, d)),
+    // oracled media twin: whole-frame decode → sample → resize with
+    // every intermediate dyadic-exact, so the pipeline arithmetic
+    // hash-checks cross-engine (q107 keeps the ragged tail frame)
+    "q122_media_oracled" -> ((s, d) => Multimodal.mediaPipelineOracled(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -415,6 +419,18 @@ object Registry {
         "md5(text) AS content_hash, " +
         "lower(hex(encode(substring(text, 1, 8)))) AS head_bytes " +
         "FROM documents ORDER BY doc_id"),
+    // text is ASCII in the fixtures (asserted by Wave3Spec), so
+    // ascii(substring(...)) IS the payload byte; each frame mean is
+    // an exact integer sum over <= 32 bytes with one closing IEEE
+    // division — bit-identical cross-engine
+    "q39_frame_features" ->
+      ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+        "pos AS (SELECT doc_id, text, unnest(range(0, n)) AS p FROM d), " +
+        "b AS (SELECT doc_id, CAST(p // 32 AS INT) AS frame_idx, " +
+        "ascii(substring(text, CAST(p + 1 AS INT), 1)) AS v FROM pos) " +
+        "SELECT doc_id, frame_idx, " +
+        "CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_intensity " +
+        "FROM b GROUP BY 1, 2 ORDER BY 1, 2"),
     "q40_upsert" ->
       ("SELECT c_custkey AS key, 'existing' AS origin FROM customer " +
         "UNION ALL SELECT user_id AS key, 'inserted' AS origin FROM " +
@@ -1221,5 +1237,22 @@ object Registry {
         "WHERE list_reduce(list_transform(list_zip(ua.v, ub.v), " +
         "z -> z[1] * z[2]), (a, b) -> a + b) >= 0.4 " +
         "ORDER BY id_a, id_b"),
+    // whole-frame truncation makes every frame mean dyadic (s/32), so
+    // bucket sums are exact and the final division deterministic
+    "q122_media_oracled" ->
+      ("WITH d AS (SELECT doc_id, text, " +
+        "length(text) - length(text) % 32 AS n FROM documents), " +
+        "pos AS (SELECT doc_id, text, unnest(range(0, n)) AS p FROM d), " +
+        "f AS (SELECT doc_id, p // 32 AS idx, " +
+        "SUM(ascii(substring(text, CAST(p + 1 AS INT), 1))) AS s " +
+        "FROM pos GROUP BY 1, 2), " +
+        "sm AS (SELECT doc_id, idx // 4 AS i, CAST(s AS DOUBLE) / 32 AS mean " +
+        "FROM f WHERE idx % 4 = 0), " +
+        "m AS (SELECT doc_id, COUNT(*) AS mm FROM sm GROUP BY 1), " +
+        "r AS (SELECT sm.doc_id, " +
+        "CAST(least(sm.i * 8 // m.mm, 7) AS INT) AS bucket, sm.mean " +
+        "FROM sm JOIN m ON sm.doc_id = m.doc_id) " +
+        "SELECT doc_id, bucket, SUM(mean) / COUNT(*) AS feat " +
+        "FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
   )
 }

@@ -119,4 +119,36 @@ object Multimodal {
     }.toDF()
       .orderBy(col("doc_id"), col("bucket"))
   }
+
+  /** Oracled twin of [[mediaPipeline]] (q122): the identical decode →
+    * frame-sample → resize pipeline, with the payload truncated to
+    * whole `frameSize`-byte frames. With 32 a power of two, every
+    * frame mean is a dyadic rational (integer sum / 32) — exactly
+    * representable as a double, so the resize bucket sums are exact
+    * and order-independent, and the single closing IEEE division is
+    * deterministic cross-engine. DuckDB reproduces the same arithmetic
+    * from `ascii()` byte values, which hash-checks the whole media
+    * plumbing (batch decode shape, sampling, grid resize) the way the
+    * md5 twins do for the dedup/ANN families. The production path
+    * (q107) keeps the ragged tail frame; its tail mean divides by an
+    * arbitrary frame length, which is the one non-dyadic step this
+    * twin trades away for an exact oracle.
+    */
+  def mediaPipelineOracled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frameSize = 32
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    docs.mapPartitions { rows =>
+      rows.flatMap { case (id, payload) =>
+        val whole = payload.take(payload.length - payload.length % frameSize)
+        val sampled = sampleFrames(fakeDecodeBytes(whole, frameSize), 4)
+        resizeFeatures(sampled.map(_._2), 8).map {
+          case (b, f) => Feat(id, b, f)
+        }
+      }
+    }.toDF()
+      .orderBy(col("doc_id"), col("bucket"))
+  }
 }

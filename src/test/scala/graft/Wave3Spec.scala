@@ -313,6 +313,34 @@ class Wave3Spec extends SparkSpec {
     }
   }
 
+  test("oracled media twin: whole-frame truncation, dyadic-exact means") {
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the oracle's precondition: fixture text is ASCII, so DuckDB's
+    // ascii(substring(...)) is the UTF-8 payload byte
+    assert(docs.values.forall(_.forall(_ < 128)), "fixture text not ASCII")
+    val out = Multimodal.mediaPipelineOracled(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Int]("bucket"))
+          .map(r => (r.getAs[Int]("bucket"), r.getAs[Double]("feat"))).toSeq
+      }
+    assert(out.nonEmpty)
+    docs.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val whole = bytes.take(bytes.length - bytes.length % 32)
+      val frames = Multimodal.fakeDecodeBytes(whole, 32)
+      // dyadic-exactness: every whole-frame mean is s/32 with s integral,
+      // which is what makes the cross-engine hash check sound
+      frames.foreach { case (_, m) => assert((m * 32) % 1.0 == 0.0) }
+      val expected = Multimodal.resizeFeatures(
+        Multimodal.sampleFrames(frames, 4).map(_._2), 8)
+      assert(out.getOrElse(id, Seq.empty) == expected,
+        s"doc $id oracled pipeline mismatch")
+    }
+  }
+
   test("conflict-ignore upsert is idempotent") {
     val once = Upsert.conflictIgnoreUpsert(spark, sfDir)
     // re-applying the same source against the merged keys inserts nothing
