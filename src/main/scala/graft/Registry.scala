@@ -188,6 +188,9 @@ object Registry {
     // every intermediate dyadic-exact, so the pipeline arithmetic
     // hash-checks cross-engine (q107 keeps the ragged tail frame)
     "q122_media_oracled" -> ((s, d) => Multimodal.mediaPipelineOracled(s, d)),
+    // frequency-threshold boilerplate removal: spans in >1 distinct
+    // docs removed from ALL docs (C4-style), byte-exact reassembly
+    "q123_boilerplate_removal" -> ((s, d) => Dedup.boilerplateRemoval(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1254,5 +1257,29 @@ object Registry {
         "FROM sm JOIN m ON sm.doc_id = m.doc_id) " +
         "SELECT doc_id, bucket, SUM(mean) / COUNT(*) AS feat " +
         "FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
+    // df counted on raw span text; the engine counts md5(span) — the
+    // same partition of spans absent a collision
+    "q123_boilerplate_removal" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "f AS (SELECT * FROM t WHERE len(toks) > 0), " +
+        "s AS (SELECT doc_id, toks, unnest(range(0, " +
+        "CAST(ceil(len(toks) / 25.0) AS BIGINT))) AS span_idx FROM f), " +
+        "s2 AS (SELECT doc_id, span_idx, array_to_string(list_slice(toks, " +
+        "CAST(span_idx * 25 + 1 AS INTEGER), " +
+        "CAST(span_idx * 25 + 25 AS INTEGER)), ' ') AS sp FROM s), " +
+        "d AS (SELECT sp, COUNT(DISTINCT doc_id) AS ndocs FROM s2 " +
+        "GROUP BY sp), " +
+        "k AS (SELECT s2.doc_id, s2.span_idx, s2.sp, " +
+        "d.ndocs > 1 AS bp FROM s2 JOIN d ON s2.sp = d.sp), " +
+        "r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, " +
+        "CAST(COALESCE(SUM(CASE WHEN bp THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+        "AS n_removed, " +
+        "md5(COALESCE(array_to_string(list(sp ORDER BY span_idx) " +
+        "FILTER (WHERE NOT bp), ' '), '')) AS clean_md5 " +
+        "FROM k GROUP BY doc_id) " +
+        "SELECT doc_id, n_spans, n_removed, " +
+        "CAST(n_spans - n_removed AS DOUBLE) / CAST(n_spans AS DOUBLE) " +
+        "AS keep_ratio, clean_md5 FROM r ORDER BY doc_id"),
   )
 }

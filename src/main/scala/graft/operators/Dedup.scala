@@ -976,6 +976,65 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  def boilerplateRemoval(spark: SparkSession, dir: String,
+      span: Int = 25, maxDf: Long = 1): DataFrame =
+    boilerplateRemovalDf(Tables.documents(spark, dir), span, maxDf)
+
+  /** Frequency-threshold boilerplate removal (q123): a span occurring
+    * in more than `maxDf` DISTINCT documents is boilerplate and is
+    * removed from EVERY document — the C4/RefinedWeb line-filtering
+    * rule, distinct from [[paragraphDedupDf]]'s first-occurrence-wins
+    * dedup (which keeps one copy). Reassembly is byte-exact via the
+    * kept-index slice of the persisted token arrays, proven by
+    * per-document md5 against the oracle.
+    *
+    * 100 TB shape: spans leave the map side as 16-byte md5 hashes; the
+    * document-frequency count is a two-level hash aggregation on those
+    * hashes; the verdict returns to spans through an equi-join against
+    * the (rare) boilerplate hash set, which AQE broadcasts when it
+    * fits. Token arrays cross one exchange for the reassembly join —
+    * the same unavoidable cost as q114, paid once per document.
+    */
+  def boilerplateRemovalDf(docsRaw: DataFrame, span: Int = 25,
+      maxDf: Long = 1): DataFrame = {
+    val docs = docsRaw
+      .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      // barrier: token arrays feed the span explode twice (df count +
+      // verdict join) and the final reassembly
+      .persist()
+    val nSpans = ceil(size(col("toks")).cast("double") / span).cast("int")
+    val spansDf = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nSpans - 1),
+        i => md5(concat_ws(" ", slice(col("toks"), i * span + 1, lit(span)))
+          .cast("binary")))))
+      .select(col("doc_id"), col("pos").as("span_idx"),
+        col("col").as("span_hash"))
+      // barrier: consumed by both the frequency count and the verdict
+      // join — narrow (id, idx, 16-byte hash) rows only
+      .persist()
+    val boilerplate = spansDf
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("span_df"))
+      .filter(col("span_df") > maxDf)
+      .select(col("span_hash"), lit(true).as("bp"))
+    val marked = spansDf.join(boilerplate, Seq("span_hash"), "left")
+    val perDoc = marked.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("bp"), 1L).otherwise(0L)).as("n_removed"),
+        sort_array(collect_list(when(col("bp").isNull, col("span_idx"))))
+          .as("kept_idx"))
+    perDoc.join(docs, "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("n_removed"),
+        ((col("n_spans") - col("n_removed")).cast("double") /
+          col("n_spans").cast("double")).as("keep_ratio"),
+        md5(concat_ws(" ", transform(col("kept_idx"),
+          i => concat_ws(" ", slice(col("toks"), i * span + 1, lit(span)))))
+          .cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def spanDedup(spark: SparkSession, dir: String, span: Int = 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = TextAnalytics.tokens(col("text"))

@@ -352,6 +352,36 @@ class DedupChainSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate removal: shared spans removed from ALL docs") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val a = (0 until 25).map(i => s"a$i").mkString(" ")
+    val b = (0 until 25).map(i => s"b$i").mkString(" ")
+    val c = (0 until 25).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$a $b"), // a is boilerplate (also in docs 1, 2) → only b kept
+      (1L, s"$a $c"), // a removed here too (unlike q114: no copy survives)
+      (2L, a))        // whole doc is boilerplate → empty reassembly
+      .map { case (id, t) => (id, t, "en", "crafted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("boilerplate").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = Dedup.boilerplateRemoval(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_spans"), r.getAs[Long]("n_removed"),
+            r.getAs[String]("clean_md5"))).toMap
+      assert(got(0L) == (2L, 1L, md5hex(b)))
+      assert(got(1L) == (2L, 1L, md5hex(c)))
+      assert(got(2L) == (1L, 1L, md5hex("")))
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("paragraph dedup: first occurrence wins, reassembly is byte-exact") {
     import spark.implicits._
     import graft.sources.Tables
