@@ -191,7 +191,40 @@ object Registry {
     // frequency-threshold boilerplate removal: spans in >1 distinct
     // docs removed from ALL docs (C4-style), byte-exact reassembly
     "q123_boilerplate_removal" -> ((s, d) => Dedup.boilerplateRemoval(s, d)),
+    // distributed Lloyd k-means: 2 full assign→update rounds + final
+    // Euclidean assignment, exact via long fixed-point centroid sums
+    "q124_kmeans" -> ((s, d) => Similarity.kmeansAssign(s, d)),
   )
+
+  /** k-means oracle CTE builders (q124): the Euclidean assignment
+    * argmax(v·c − ‖c‖²/2) with ties to the lowest cid, and the
+    * fixed-point centroid update — both folds ordered to match the
+    * engine's kernels exactly.
+    */
+  private def kmScore: String =
+    "list_reduce(list_transform(list_zip(e.v, c.c), z -> z[1]*z[2]), " +
+      "(a,b) -> a+b) - " +
+      "list_reduce(list_transform(c.c, x -> x*x), (a,b) -> a+b)/2"
+
+  private def kmAssign(prev: String, name: String,
+      withScore: Boolean): String = {
+    val scoreCol = if (withScore) s", $kmScore AS score" else ""
+    val outCol = if (withScore) ", score" else ""
+    s"$name AS (SELECT vec_id, cid$outCol FROM (" +
+      s"SELECT e.vec_id, c.cid$scoreCol, ROW_NUMBER() OVER (" +
+      s"PARTITION BY e.vec_id ORDER BY $kmScore DESC, c.cid ASC) AS rn " +
+      s"FROM e CROSS JOIN $prev c) WHERE rn = 1)"
+  }
+
+  private def kmUpdate(asn: String, prev: String, xn: String,
+      cn: String): String =
+    s"$xn AS (SELECT $asn.cid, d.i, " +
+      "CAST(SUM(CAST(floor(e.v[CAST(d.i AS INT)] * 1e12 + 0.5) AS BIGINT)) " +
+      s"AS DOUBLE)/1e12/COUNT(*) AS cv FROM $asn JOIN e USING (vec_id), " +
+      s"range(1, 65) d(i) GROUP BY $asn.cid, d.i), " +
+      s"$cn AS (SELECT p.cid, COALESCE(l.c, p.c) AS c FROM $prev p " +
+      "LEFT JOIN (SELECT cid, list(cv ORDER BY i) AS c FROM " +
+      s"$xn GROUP BY cid) l ON p.cid = l.cid)"
 
   val oracleSql: Map[String, String] = Map(
     "q01_watermark_last_id" ->
@@ -1281,5 +1314,18 @@ object Registry {
         "SELECT doc_id, n_spans, n_removed, " +
         "CAST(n_spans - n_removed AS DOUBLE) / CAST(n_spans AS DOUBLE) " +
         "AS keep_ratio, clean_md5 FROM r ORDER BY doc_id"),
+    // two unrolled Lloyd rounds; see kmAssign/kmUpdate for the
+    // fold-order and fixed-point exactness contract
+    "q124_kmeans" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings WHERE vec_id < 2000), " +
+        "c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8), " +
+        kmAssign("c0", "a1", withScore = false) + ", " +
+        kmUpdate("a1", "c0", "x1", "c1") + ", " +
+        kmAssign("c1", "a2", withScore = false) + ", " +
+        kmUpdate("a2", "c1", "x2", "c2") + ", " +
+        kmAssign("c2", "a3", withScore = true) +
+        " SELECT vec_id, cid, score FROM a3 ORDER BY vec_id"),
   )
 }

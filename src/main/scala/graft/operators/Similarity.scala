@@ -903,6 +903,100 @@ object Similarity {
       .orderBy(col("label"), col("pred"))
   }
 
+  /** Final k-means model after `iters` full Lloyd rounds from fixed
+    * seeds (the k lowest-vec_id vectors). Exact and cross-engine
+    * deterministic: Euclidean assignment runs through the dot-argmax
+    * kernel via the bias trick — argmin‖v−c‖² = argmax(v·c − ‖c‖²/2),
+    * computed by appending 1.0 to each vector and −‖c‖²/2 to each
+    * centroid, so [[VectorExpressions.nearestCentroidNative]]'s argmax
+    * (ties to the lowest cid) IS the Euclidean rule — and centroid
+    * updates sum per-dim LONG fixed-point at 10¹² (the q104 argument:
+    * x·10¹² is an exact double for float inputs, and long sums are
+    * exact integer arithmetic at any corpus size), so the updated
+    * centroids are identical doubles in both engines. Empty clusters
+    * keep their previous centroid.
+    *
+    * Scale shape: the model is k×dim doubles, driver-held (the
+    * IVF-model contract). Each round touches the corpus exactly once —
+    * a row-local kernel assignment feeding ONE map-side-combined
+    * aggregation whose shuffle carries k×dim long partials; no explode,
+    * no join, no per-row struct allocation anywhere in the loop. The
+    * caller persists the corpus (scored iters+1 times).
+    */
+  private def kmeansModel(emb: DataFrame, k: Int, iters: Int,
+      dim: Int): Array[Array[Double]] = {
+    val vAug = concat(col("v"), array(lit(1.0)))
+    var model: Array[Array[Double]] = emb.filter(col("vec_id") < k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val sums = (1 to dim).map(i =>
+      sum(floor(element_at(col("v"), i) * 1e12 + 0.5).cast("long"))
+        .as(s"s$i"))
+    for (_ <- 1 to iters) {
+      val upd = emb
+        .select(col("vec_id"),
+          VectorExpressions.nearestCentroidNative(vAug, biased(model))
+            .as("cid"),
+          col("v"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(1)
+          r.getLong(0).toInt ->
+            (1 to dim).map(i => r.getLong(1 + i).toDouble / 1e12 / n).toArray
+        }.toMap
+      model = model.indices.map(c => upd.getOrElse(c, model(c))).toArray
+    }
+    model
+  }
+
+  /** Bias-augmented model rows for Euclidean argmin through the dot
+    * kernel: (cid, c ++ [−‖c‖²/2]); the sum-of-squares folds
+    * left-to-right, matching DuckDB's `list_reduce`.
+    */
+  private def biased(model: Array[Array[Double]]): Array[(Long, Array[Double])] =
+    model.zipWithIndex.map { case (c, i) =>
+      val b = c.foldLeft(0.0)((a, x) => a + x * x) / 2
+      i.toLong -> (c :+ -b)
+    }
+
+  /** Distributed Lloyd k-means (q124): `iters` assign→update rounds
+    * from fixed seeds, then the final per-vector Euclidean assignment
+    * with its score (v·c − ‖c‖²/2) — the iterated-clustering trainer
+    * the SemDeDup/IVF family seeds from, fully oracled cross-engine
+    * (see [[kmeansModel]] for the exactness argument). The oracle twin
+    * caps the corpus structurally (the q91 principle); production
+    * callers pass `vecCap = Long.MaxValue` — every per-round cost is a
+    * single corpus pass with a k×dim-bounded shuffle and driver model,
+    * so the uncapped path holds at 100 TB.
+    */
+  def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, vecCap: Long = 2000L): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < vecCap)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    val dim = emb.select(size(col("v"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    val model = kmeansModel(emb, k, iters, dim)
+    val spark2 = spark
+    import spark2.implicits._
+    val modelDf = broadcast(model.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c, c.foldLeft(0.0)((a, x) => a + x * x) / 2)
+    }.toSeq.toDF("cid", "c", "bias"))
+    val vAug = concat(col("v"), array(lit(1.0)))
+    emb
+      .select(col("vec_id"),
+        VectorExpressions.nearestCentroidNative(vAug, biased(model))
+          .as("cid"),
+        col("v"))
+      .join(modelDf, "cid")
+      .select(col("vec_id"), col("cid"),
+        (dotNative(col("v"), col("c")) - col("bias")).as("score"))
+      .orderBy(col("vec_id"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
     * embedding space into clusters, then prune semantic near-duplicates
     * WITHIN each cluster — pair work never crosses cluster boundaries,

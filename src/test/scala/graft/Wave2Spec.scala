@@ -306,6 +306,52 @@ class Wave2Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("kmeans: output is the true Euclidean argmin over live clusters") {
+    import operators.Similarity
+    val got = Similarity.kmeansAssign(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+        r.getAs[Double]("score")))
+    assert(got.nonEmpty)
+    assert(got.map(_._2).distinct.length > 1, "degenerate single cluster")
+    // recompute the 2-round Lloyd model on the driver with the same
+    // fold orders and fixed-point update the engine uses
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 2000)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def sumsq(c: Array[Double]) = c.foldLeft(0.0)((a, x) => a + x * x)
+    var model = (0L until 8L).map(vecs).toArray
+    for (_ <- 1 to 2) {
+      val bias = model.map(sumsq(_) / 2)
+      val asn = vecs.map { case (id, v) =>
+        id -> model.indices.maxBy(c => (dot(v, model(c)) - bias(c), -c))
+      }
+      model = model.indices.map { c =>
+        val members = asn.collect { case (id, `c`) => vecs(id) }.toSeq
+        if (members.isEmpty) model(c)
+        else {
+          val dim = model(c).length
+          (0 until dim).map { j =>
+            val s = members.map(v => math.floor(v(j) * 1e12 + 0.5).toLong).sum
+            s.toDouble / 1e12 / members.size
+          }.toArray
+        }
+      }.toArray
+    }
+    val bias = model.map(sumsq(_) / 2)
+    got.foreach { case (id, cid, score) =>
+      val scores = model.indices.map(c => dot(vecs(id), model(c)) - bias(c))
+      val best = scores.indices.maxBy(c => (scores(c), -c))
+      assert(cid == best, s"vec $id assigned $cid, argmin is $best")
+      assert(score == scores(best), s"vec $id score drift")
+    }
+    Caches.releaseAll(spark)
+  }
+
   test("multi-probe LSH: recall never below single-probe, never above brute force") {
     def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
       .groupBy(_.getAs[Long]("q_id"))
