@@ -194,6 +194,9 @@ object Registry {
     // distributed Lloyd k-means: 2 full assign→update rounds + final
     // Euclidean assignment, exact via long fixed-point centroid sums
     "q124_kmeans" -> ((s, d) => Similarity.kmeansAssign(s, d)),
+    // SemDeDup over the TRAINED k-means partition: q124's Lloyd
+    // clustering feeding q97's greedy within-cluster prune
+    "q125_semdedup_kmeans" -> ((s, d) => Similarity.semDedupKmeans(s, d)),
   )
 
   /** k-means oracle CTE builders (q124): the Euclidean assignment
@@ -1327,5 +1330,29 @@ object Registry {
         kmUpdate("a2", "c1", "x2", "c2") + ", " +
         kmAssign("c2", "a3", withScore = true) +
         " SELECT vec_id, cid, score FROM a3 ORDER BY vec_id"),
+    // q124's Lloyd CTEs + q97's unit-normalize and greedy-prune CTEs
+    "q125_semdedup_kmeans" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings WHERE vec_id < 2000), " +
+        "c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8), " +
+        kmAssign("c0", "a1", withScore = false) + ", " +
+        kmUpdate("a1", "c0", "x1", "c1") + ", " +
+        kmAssign("c1", "a2", withScore = false) + ", " +
+        kmUpdate("a2", "c1", "x2", "c2") + ", " +
+        kmAssign("c2", "a3", withScore = false) + ", " +
+        "un AS (SELECT vec_id, list_transform(v, x -> x / " +
+        "sqrt(list_reduce(list_transform(v, y -> y*y), (a,b) -> a+b))) " +
+        "AS uv FROM e), " +
+        "m AS (SELECT a3.vec_id, a3.cid, un.uv AS v " +
+        "FROM a3 JOIN un USING (vec_id)), " +
+        "d AS (SELECT DISTINCT a.vec_id FROM m a JOIN m b " +
+        "ON a.cid = b.cid AND b.vec_id < a.vec_id " +
+        "WHERE list_reduce(list_transform(list_zip(a.v, b.v), " +
+        "p -> p[1] * p[2]), (x,y) -> x+y) >= 0.3) " +
+        "SELECT m.vec_id, m.cid, " +
+        "CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS kept FROM m LEFT JOIN d ON d.vec_id = m.vec_id " +
+        "ORDER BY m.vec_id"),
   )
 }

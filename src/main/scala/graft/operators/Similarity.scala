@@ -997,6 +997,40 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** SemDeDup over a TRAINED partition (q125): [[semDedup]]'s greedy
+    * within-cluster prune running on [[kmeansAssign]]'s 2-round Lloyd
+    * clustering instead of fixed lowest-id seeds — the composition a
+    * curation pipeline actually runs: train the space partition, then
+    * prune semantic near-duplicates inside each learned cluster.
+    * Assignment is Euclidean over raw vectors (the trainer's geometry);
+    * prune cosines use unit vectors (the paper's similarity). Fully
+    * oracled: q124's unrolled Lloyd CTEs feed q97's pair-prune CTEs —
+    * every step exact (fixed-point updates) or fold-order-matched
+    * (kernel dots vs `list_reduce`).
+    *
+    * Scale shape: model training is [[kmeansModel]]'s bounded-shuffle
+    * loop; members are built in ONE corpus pass (row-local kernel
+    * argmax + native normalize, no join); the prune is cluster-bounded
+    * pair work exactly as q97/q118. The oracle twin caps the corpus
+    * structurally; capacity callers raise k with n (the q118 rule) and
+    * pass `vecCap = Long.MaxValue`.
+    */
+  def semDedupKmeans(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, tau: Double = 0.3, vecCap: Long = 2000L): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < vecCap)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    val dim = emb.select(size(col("v"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    val model = kmeansModel(emb, k, iters, dim)
+    val vAug = concat(col("v"), array(lit(1.0)))
+    val members = emb.select(col("vec_id"),
+      VectorExpressions.nearestCentroidNative(vAug, biased(model)).as("cid"),
+      unitNative(col("v")).as("v"))
+    greedyClusterPrune(members.persist(), tau)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
     * embedding space into clusters, then prune semantic near-duplicates
     * WITHIN each cluster — pair work never crosses cluster boundaries,

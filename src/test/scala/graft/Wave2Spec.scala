@@ -352,6 +352,34 @@ class Wave2Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("semdedup-kmeans: trained clusters == q124, prune == greedy rule") {
+    import operators.Similarity
+    val got = Similarity.semDedupKmeans(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cid"), r.getAs[Long]("kept"))).toMap
+    assert(got.nonEmpty)
+    // the clustering IS q124's assignment (same trainer, same params)
+    val asn = Similarity.kmeansAssign(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    assert(got.view.mapValues(_._1).toMap == asn, "cluster drift vs q124")
+    // prune: dropped ⇔ a lower-id same-cluster member within tau cosine
+    val u = Similarity.unitVectors(spark, sfDir)
+      .filter(col("vec_id") < 2000)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    got.foreach { case (id, (cid, kept)) =>
+      val hasNear = got.exists { case (other, (ocid, _)) =>
+        ocid == cid && other < id && dot(u(id), u(other)) >= 0.3
+      }
+      assert((kept == 0L) == hasNear, s"vec $id kept=$kept hasNear=$hasNear")
+    }
+    Caches.releaseAll(spark)
+  }
+
   test("multi-probe LSH: recall never below single-probe, never above brute force") {
     def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
       .groupBy(_.getAs[Long]("q_id"))
