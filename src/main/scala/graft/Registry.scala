@@ -197,6 +197,9 @@ object Registry {
     // SemDeDup over the TRAINED k-means partition: q124's Lloyd
     // clustering feeding q97's greedy within-cluster prune
     "q125_semdedup_kmeans" -> ((s, d) => Similarity.semDedupKmeans(s, d)),
+    // corpus vocabulary report: tf/df/coverage, top-k by tf — the
+    // BPE-prep artifact and the df table behind stopword thresholds
+    "q126_vocab_report" -> ((s, d) => TextOps.vocabReport(s, d)),
   )
 
   /** k-means oracle CTE builders (q124): the Euclidean assignment
@@ -1354,5 +1357,18 @@ object Registry {
         "CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) " +
         "AS kept FROM m LEFT JOIN d ON d.vec_id = m.vec_id " +
         "ORDER BY m.vec_id"),
+    // SUM(BIGINT) is HUGEINT in DuckDB — the q103 lesson: cast before
+    // the division so both engines divide identical doubles
+    "q126_vocab_report" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "unnest(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS token FROM documents), " +
+        "p AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf, " +
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df " +
+        "FROM t GROUP BY token), " +
+        "tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM p) " +
+        "SELECT token, tf, df, " +
+        "CAST(tf AS DOUBLE) / CAST(total AS DOUBLE) AS coverage " +
+        "FROM p, tot ORDER BY tf DESC, token LIMIT 100"),
   )
 }

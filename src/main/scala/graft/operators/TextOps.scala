@@ -591,4 +591,35 @@ object TextOps {
           col("n_grams").cast("double"))
       .orderBy(col("doc_id"))
   }
+
+  /** Corpus vocabulary report (q126): per-token term frequency,
+    * document frequency, and corpus coverage, top-k by tf — the
+    * artifact a BPE/vocab-training pass reads first (which tokens to
+    * merge, what a candidate vocab covers), and the df table behind
+    * stopword/boilerplate thresholds.
+    *
+    * 100 TB shape: ONE two-level aggregation on token (map-side
+    * combine reduces each partition to its local vocab before the
+    * shuffle); the corpus-total denominator is a 1-row aggregate
+    * broadcast back — no unpartitioned window over the vocab, no
+    * second corpus pass. Top-k is TakeOrderedAndProject under a total
+    * order (tf desc, token asc — tokens are unique, so the boundary
+    * is deterministic).
+    */
+  def vocabReport(spark: SparkSession, dir: String,
+      topK: Int = 100): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextAnalytics.tokens(col("text"))).as("token"))
+    val perTok = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+    val total = perTok.agg(sum(col("tf")).as("total"))
+    perTok.crossJoin(broadcast(total))
+      .select(col("token"), col("tf"), col("df"),
+        (col("tf").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(topK)
+  }
 }

@@ -461,4 +461,29 @@ class Wave2Spec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("vocab report: hand-computed tf/df/coverage + top-k boundary") {
+    import spark.implicits._
+    // 10 tokens total: aa tf=5 (docs 0,1), bb tf=3 (docs 0,1,2),
+    // cc tf=2 (doc 2); topK=2 keeps aa,bb and drops cc
+    val docs = Seq(
+      (0L, "aa aa bb"),
+      (1L, "aa aa aa bb"),
+      (2L, "bb cc cc"))
+      .map { case (id, t) => (id, t, "en", "crafted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("vocab").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = operators.TextOps.vocabReport(spark, dir, topK = 2).collect()
+        .map(r => (r.getAs[String]("token"), r.getAs[Long]("tf"),
+          r.getAs[Long]("df"), r.getAs[Double]("coverage"))).toSeq
+      assert(got == Seq(
+        ("aa", 5L, 2L, 0.5),
+        ("bb", 3L, 3L, 0.3)))
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
