@@ -200,6 +200,13 @@ object Registry {
     // corpus vocabulary report: tf/df/coverage, top-k by tf — the
     // BPE-prep artifact and the df table behind stopword thresholds
     "q126_vocab_report" -> ((s, d) => TextOps.vocabReport(s, d)),
+    // feature-hashing vectorizer (HashingTF shape): md5-nibble bucket
+    // counts, entirely row-local — no vocabulary, no shuffle
+    "q127_hashing_vectorizer" -> ((s, d) => TextOps.hashingVectorizer(s, d)),
+    // streaming vocab maintenance: micro-batch tf/df merges into the
+    // stored table; drained == batch vocab, oracle-checked
+    "q128_streaming_vocab" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingVocab(s, d)),
   )
 
   /** k-means oracle CTE builders (q124): the Euclidean assignment
@@ -1370,5 +1377,24 @@ object Registry {
         "SELECT token, tf, df, " +
         "CAST(tf AS DOUBLE) / CAST(total AS DOUBLE) AS coverage " +
         "FROM p, tot ORDER BY tf DESC, token LIMIT 100"),
+    // same md5 first-nibble both engines evaluate (q120/q121 pattern)
+    "q127_hashing_vectorizer" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents) " +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "list_transform(range(0, 16), b -> " +
+        "CAST(len(list_filter(toks, tk -> " +
+        "strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1 = b)) " +
+        "AS BIGINT)) AS vec " +
+        "FROM t ORDER BY doc_id"),
+    // the drained stream must equal the full-corpus batch vocab
+    "q128_streaming_vocab" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "unnest(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS token FROM documents) " +
+        "SELECT token, CAST(COUNT(*) AS BIGINT) AS tf, " +
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df " +
+        "FROM t GROUP BY token ORDER BY token"),
   )
 }

@@ -622,4 +622,26 @@ object TextOps {
       .orderBy(col("tf").desc, col("token"))
       .limit(topK)
   }
+
+  /** Feature-hashing vectorizer (q127): each document becomes a
+    * fixed-`dim` bucket-count vector via an md5-nibble token hash —
+    * the HashingTF shape: no vocabulary pass, no model, and entirely
+    * ROW-LOCAL (zero shuffle; the only exchange is the presentation
+    * sort). The hash is the same md5 first-nibble both engines
+    * evaluate (the q120/q121 oracle pattern), so the vectors
+    * hash-check cross-engine. Production dims are 2^18+; the oracle
+    * pins 16 for a readable cross-engine check — dim only widens the
+    * row-local output array, the shape is unchanged.
+    */
+  def hashingVectorizer(spark: SparkSession, dir: String,
+      dim: Int = 16): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          b => size(filter(col("toks"),
+            t => conv(substring(md5(t), 1, 1), 16, 10).cast("int")
+              === b.cast("int"))).cast("long")).as("vec"))
+      .orderBy(col("doc_id"))
 }

@@ -500,4 +500,67 @@ object StreamingOps {
         col("last.total_cents").as("total_cents"))
       .orderBy(col("user_id"))
   }
+
+  /** Streaming vocabulary maintenance (q128): the q126 tf/df table
+    * kept current as new documents stream in. Historical documents
+    * build the stored vocab artifact once; the rest arrive as a
+    * stream, and each micro-batch MERGES its own token aggregation
+    * into the table — tf adds, and df adds too because document
+    * batches are disjoint (each doc_id streams exactly once), which is
+    * the mergeability contract an incremental vocab pipeline relies
+    * on. Merges write batch-versioned table snapshots (an idempotent
+    * replayed batch overwrites its own version, never double-appends).
+    * The drained result equals the batch vocab over the full corpus,
+    * which the DuckDB oracle checks directly (the q36/q89
+    * streaming-oracle pattern).
+    *
+    * 100 TB shape: per micro-batch work is one map-side-combined
+    * aggregation of the BATCH (vocab-sized, not corpus-sized) plus a
+    * vocab⋈vocab merge; the corpus is never rescanned. A real
+    * deployment would keep the table in a keyed store or Delta MERGE —
+    * the dataflow per batch is identical.
+    */
+  def streamingVocab(spark: SparkSession, dir: String,
+      batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
+    val isBatch = col("doc_id") % batchMod === batchRem
+    def vocabOf(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), explode(
+        graft.functions.TextAnalytics.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    val vocabRoot = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_vocabtab_")).toString
+    val current = new java.util.concurrent.atomic.AtomicReference[String](
+      s"$vocabRoot/v0")
+    vocabOf(Tables.documents(spark, dir).filter(!isBatch))
+      .write.mode("overwrite").parquet(current.get)
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val newDocs = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(isBatch)
+    val q = newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val prev = batch.sparkSession.read.parquet(current.get)
+        val next = s"$vocabRoot/b$id"
+        prev.unionByName(vocabOf(batch))
+          .groupBy(col("token"))
+          .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+          .write.mode("overwrite").parquet(next)
+        current.set(next)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(current.get)
+      .select(col("token"), col("tf"), col("df"))
+      .orderBy(col("token"))
+  }
 }

@@ -98,6 +98,27 @@ class DedupChainSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("streaming vocab drains to exactly the full-corpus batch vocab") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.{col, count, countDistinct, explode, lit}
+    val batch = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextAnalytics.tokens(col("text")))
+          .as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("df"))).toMap
+    val streamed = graft.streaming.StreamingOps.streamingVocab(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("df"))).toMap
+    assert(streamed == batch,
+      s"streamed ${streamed.size} tokens vs batch ${batch.size}")
+    Caches.releaseAll(spark)
+  }
+
   test("approx percentiles land inside the exact p45-p55 / p85-p95 envelope") {
     val exact = Relational.percentilesEnvelope(spark, sfDir).collect()
       .map(r => r.getAs[String]("event_type") ->

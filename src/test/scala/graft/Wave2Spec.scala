@@ -486,4 +486,36 @@ class Wave2Spec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("hashing vectorizer: buckets partition n_tokens; md5-nibble golden") {
+    val got = operators.TextOps.hashingVectorizer(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val vec = r.getSeq[Long](2)
+      assert(vec.length == 16)
+      assert(vec.sum == r.getAs[Long]("n_tokens"),
+        s"doc ${r.getLong(0)}: bucket counts don't partition the tokens")
+    }
+    // golden: bucket = first md5 nibble, computed independently
+    import spark.implicits._
+    val docs = Seq((0L, "aa aa bb", "en", "crafted", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("hashvec").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val vec = operators.TextOps.hashingVectorizer(spark, dir)
+        .collect().head.getSeq[Long](2)
+      def nibble(s: String): Int = Integer.parseInt(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .substring(0, 1), 16)
+      val expected = Seq.tabulate(16)(b =>
+        (if (nibble("aa") == b) 2L else 0L) +
+          (if (nibble("bb") == b) 1L else 0L))
+      assert(vec == expected)
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
