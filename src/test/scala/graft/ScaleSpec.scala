@@ -138,6 +138,20 @@ class ScaleSpec extends SparkSpec {
     val nov = shuffledStringCols(operators.TextOps.ngramNovelty(spark, sfDir))
     assert(nov.forall(_ == "gh"),
       s"q96 shuffles a text column: $nov")
+  }
+
+  test("hashing vectorizer is row-local: its only exchange is the sort") {
+    // the q127 scale contract: no vocabulary pass, no aggregation —
+    // vectors are built inside the scan projection, so the plan holds
+    // exactly one exchange (the presentation orderBy)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = operators.TextOps.hashingVectorizer(spark, sfDir)
+      .queryExecution.sparkPlan
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.length <= 1,
+      s"q127 should shuffle only for the sort:\n$plan")
+    assert(!plan.toString.contains("Aggregate"),
+      s"q127 grew an aggregation:\n$plan")
     Caches.releaseAll(spark)
   }
 
