@@ -207,6 +207,9 @@ object Registry {
     // stored table; drained == batch vocab, oracle-checked
     "q128_streaming_vocab" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingVocab(s, d)),
+    // bigram LM score: add-one smoothed mean log P(w2|w1) — flags
+    // improbable word transitions unigram LMs cannot see
+    "q129_bigram_lm_score" -> ((s, d) => TextOps.bigramLmScore(s, d)),
   )
 
   /** k-means oracle CTE builders (q124): the Euclidean assignment
@@ -1388,6 +1391,32 @@ object Registry {
         "strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1 = b)) " +
         "AS BIGINT)) AS vec " +
         "FROM t ORDER BY doc_id"),
+    // mirrors bigramLmScore: bigrams via adjacent list positions, the
+    // same add-one model; ln agreement is within the 1e-9 rounding
+    // both engines' float compare uses (the q79 precedent)
+    "q129_bigram_lm_score" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "f AS (SELECT * FROM t WHERE len(toks) >= 2), " +
+        "bg AS (SELECT doc_id, toks[CAST(p AS INT)] AS w1, " +
+        "toks[CAST(p + 1 AS INT)] AS w2 " +
+        "FROM f, unnest(range(1, len(toks))) u(p)), " +
+        "db AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt " +
+        "FROM bg GROUP BY 1, 2, 3), " +
+        "c2 AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c2 " +
+        "FROM db GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 " +
+        "FROM c2 GROUP BY 1), " +
+        "vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM " +
+        "(SELECT unnest(toks) AS tok FROM f)) " +
+        "SELECT db.doc_id, CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams, " +
+        "SUM(CAST(db.cnt AS DOUBLE) * ln((CAST(c2.c2 AS DOUBLE) + 1.0) / " +
+        "(CAST(c1.c1 AS DOUBLE) + CAST(vv.v AS DOUBLE)))) / " +
+        "CAST(SUM(db.cnt) AS DOUBLE) AS avg_logprob " +
+        "FROM db JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2 " +
+        "JOIN c1 ON db.w1 = c1.w1 CROSS JOIN vv " +
+        "GROUP BY db.doc_id ORDER BY db.doc_id"),
     // the drained stream must equal the full-corpus batch vocab
     "q128_streaming_vocab" ->
       ("WITH t AS (SELECT doc_id, " +

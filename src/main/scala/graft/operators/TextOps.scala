@@ -623,6 +623,54 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Bigram LM quality score (q129): the CCNet-style LM filter one
+    * order up from [[unigramLmScore]] — per-document mean add-one
+    * smoothed bigram log-probability, log P(w2|w1) =
+    * log((c(w1,w2)+1) / (c1(w1)+V)), with c1 the bigram-prefix count
+    * and V the corpus vocabulary size. Low scores flag text whose
+    * word TRANSITIONS are improbable even when its unigrams are
+    * common — gibberish that q79 cannot see.
+    *
+    * 100 TB shape: bigram counting is one map-side-combined
+    * aggregation off the per-(doc, bigram) table (itself map-side
+    * combined); the model joins are hash equi-joins on the bigram/
+    * prefix keys; V is a 1-row broadcast. The corpus is tokenized
+    * once behind a persist barrier.
+    */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .persist()
+    val docBg = toks
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val c2 = docBg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("cnt")).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = toks
+      .select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    docBg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_bigrams"),
+        (sum(col("cnt").cast("double") *
+            log((col("c2").cast("double") + 1.0) /
+              (col("c1").cast("double") + col("v").cast("double")))) /
+          sum(col("cnt")).cast("double")).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Feature-hashing vectorizer (q127): each document becomes a
     * fixed-`dim` bucket-count vector via an md5-nibble token hash —
     * the HashingTF shape: no vocabulary pass, no model, and entirely
