@@ -487,4 +487,36 @@ class Wave3Spec extends SparkSpec {
     assert(pairs.head.getAs[Long]("n_shared") >= 2)
     Caches.releaseAll(spark)
   }
+
+  test("bigram LM: hand-computed add-one probabilities on a crafted corpus") {
+    import spark.implicits._
+    // filtered corpus (len>=2): docs 0,1. c2(a,b)=3, c2(b,a)=1,
+    // c2(b,c)=1; prefix c1(a)=3, c1(b)=2; vocab V={a,b,c}=3.
+    // doc 2 (one token) contributes nothing and is dropped.
+    val docs = Seq(
+      (0L, "a b a b"),   // bigrams (a,b)x2 (b,a)x1
+      (1L, "a b c"),     // (a,b) (b,c)
+      (2L, "z"))
+      .map { case (id, t) => (id, t, "en", "crafted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("bigram").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = operators.TextOps.bigramLmScore(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob")))
+        .toMap
+      val lpAB = math.log(4.0 / 6.0)  // (3+1)/(3+3)
+      val lpBA = math.log(2.0 / 5.0)  // (1+1)/(2+3)
+      val lpBC = math.log(2.0 / 5.0)  // (1+1)/(2+3)
+      assert(got.keySet == Set(0L, 1L))
+      assert(got(0L)._1 == 3L)
+      assert(math.abs(got(0L)._2 - (2 * lpAB + lpBA) / 3.0) < 1e-12)
+      assert(got(1L)._1 == 2L)
+      assert(math.abs(got(1L)._2 - (lpAB + lpBC) / 2.0) < 1e-12)
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
