@@ -210,6 +210,9 @@ object Registry {
     // bigram LM score: add-one smoothed mean log P(w2|w1) — flags
     // improbable word transitions unigram LMs cannot see
     "q129_bigram_lm_score" -> ((s, d) => TextOps.bigramLmScore(s, d)),
+    // BM25 ranked retrieval: top-15 docs for a fixed term query,
+    // row-local tf, broadcast df/stats, TakeOrderedAndProject top-k
+    "q130_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
   )
 
   /** k-means oracle CTE builders (q124): the Euclidean assignment
@@ -1417,6 +1420,35 @@ object Registry {
         "FROM db JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2 " +
         "JOIN c1 ON db.w1 = c1.w1 CROSS JOIN vv " +
         "GROUP BY db.doc_id ORDER BY db.doc_id"),
+    // mirrors bm25TopK: same Okapi formula with literal constants;
+    // the k boundary ranks on the same 1e-9 fixed-point score so the
+    // selected set is deterministic cross-engine
+    "q130_bm25_topk" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
+        "q AS (SELECT * FROM (VALUES ('spark'), ('join'), ('stream')) " +
+        "v(term)), " +
+        "tf AS (SELECT doc_id, tok AS term, " +
+        "CAST(COUNT(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u " +
+        "JOIN q ON u.tok = q.term GROUP BY 1, 2), " +
+        "df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) " +
+        "AS df FROM tf GROUP BY 1), " +
+        "dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t), " +
+        "sc AS (SELECT tf.doc_id, " +
+        "SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) " +
+        "* CAST(tf.tf AS DOUBLE) * 2.2 " +
+        "/ (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl.dl / " +
+        "stats.avgdl))) AS score " +
+        "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) " +
+        "CROSS JOIN stats GROUP BY 1) " +
+        "SELECT doc_id, score FROM (" +
+        "SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY " +
+        "CAST(floor(score * 1e9 + 0.5) AS BIGINT) DESC, doc_id) AS rk " +
+        "FROM sc) WHERE rk <= 15 ORDER BY doc_id"),
     // the drained stream must equal the full-corpus batch vocab
     "q128_streaming_vocab" ->
       ("WITH t AS (SELECT doc_id, " +

@@ -692,4 +692,51 @@ object TextOps {
             t => conv(substring(md5(t), 1, 1), 16, 10).cast("int")
               === b.cast("int"))).cast("long")).as("vec"))
       .orderBy(col("doc_id"))
+
+  /** BM25 ranked retrieval (q130): top-`topK` documents for a fixed
+    * term query under Okapi BM25 (k1 = 1.2, b = 0.75, the Robertson
+    * idf with the +1 floor). The relevance layer a corpus-curation
+    * stack needs for "find training docs about X" — TF-IDF's (q67)
+    * ranked-search sibling with length normalization.
+    *
+    * 100 TB shape: per-term tf is ROW-LOCAL (an array filter inside
+    * the scan — tokens never explode for the query terms, only the
+    * |terms|-way struct melt leaves the row). df and (N, avgdl) are
+    * tiny aggregates broadcast back; scoring is row-local; the top-k
+    * is TakeOrderedAndProject (per-partition heads, no global sort).
+    * Rank order is (1e-9 fixed-point score desc, doc_id) so the k
+    * boundary is deterministic cross-engine: measured adjacent-score
+    * gaps are ≥1.6e-05 while the engines agree to 1e-16.
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "join", "stream"),
+      topK: Int = 15): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val melted = toks
+      .select(col("doc_id"), col("dl"), explode(array(terms.map(t =>
+        struct(lit(t).as("term"),
+          size(filter(col("toks"), x => x === lit(t))).cast("long")
+            .as("tf"))): _*)).as("x"))
+      .select(col("doc_id"), col("dl"), col("x.term"), col("x.tf"))
+      .filter(col("tf") > 0)
+    val docFreq = melted.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    melted.join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .orderBy(floor(col("score") * lit(1e9) + lit(0.5)).cast("long").desc,
+        col("doc_id"))
+      .limit(topK)
+      .orderBy(col("doc_id"))
+  }
 }
