@@ -213,6 +213,12 @@ object Registry {
     // BM25 ranked retrieval: top-15 docs for a fixed term query,
     // row-local tf, broadcast df/stats, TakeOrderedAndProject top-k
     "q130_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
+    // BPE tokenizer training: 3 merge rounds on the word-frequency
+    // table + the segmentation they induce on the top-20 words
+    "q131_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
+    // Johnson–Lindenstrauss random projection: ±1 md5-derived matrix
+    // over quantized vectors — exact integer arithmetic, row-local
+    "q132_random_projection" -> ((s, d) => Similarity.randomProjection(s, d)),
   )
 
   /** k-means oracle CTE builders (q124): the Euclidean assignment
@@ -244,6 +250,38 @@ object Registry {
       s"$cn AS (SELECT p.cid, COALESCE(l.c, p.c) AS c FROM $prev p " +
       "LEFT JOIN (SELECT cid, list(cv ORDER BY i) AS c FROM " +
       s"$xn GROUP BY cid) l ON p.cid = l.cid)"
+
+  /** BPE oracle round builder (q131): from symbol table `prev`
+    * (w, freq, pos, sym) derive `b$r` (the argmax pair) and `s$r`
+    * (the rewritten symbol table). Leftmost non-overlapping merge
+    * application via gaps-and-islands + odd run-parity — the same
+    * relational spelling as [[TextOps.bpeMerges]], so every
+    * intermediate hash-matches.
+    */
+  private def bpeRound(prev: String, r: Int): String =
+    s"n$r AS (SELECT w, freq, pos, sym, " +
+      "LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt " +
+      s"FROM $prev), " +
+      s"b$r AS (SELECT sym AS a, nxt AS b, " +
+      s"CAST(SUM(freq) AS BIGINT) AS cnt FROM n$r " +
+      "WHERE nxt IS NOT NULL GROUP BY sym, nxt " +
+      "ORDER BY cnt DESC, a ASC, b ASC LIMIT 1), " +
+      s"i$r AS (SELECT *, (nxt IS NOT NULL AND " +
+      s"sym = (SELECT a FROM b$r) AND nxt = (SELECT b FROM b$r)) " +
+      s"AS ispair FROM n$r), " +
+      s"r$r AS (SELECT *, CASE WHEN ispair THEN pos - " +
+      "ROW_NUMBER() OVER (PARTITION BY w, ispair ORDER BY pos) END " +
+      s"AS runid FROM i$r), " +
+      s"e$r AS (SELECT *, ispair AND " +
+      "(ROW_NUMBER() OVER (PARTITION BY w, runid ORDER BY pos) % 2 = 1) " +
+      s"AS sel FROM r$r), " +
+      s"g$r AS (SELECT *, COALESCE(" +
+      "LAG(sel) OVER (PARTITION BY w ORDER BY pos), false) " +
+      s"AS prevsel FROM e$r), " +
+      s"s$r AS (SELECT w, freq, " +
+      "ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, " +
+      "CASE WHEN sel THEN sym || nxt ELSE sym END AS sym " +
+      s"FROM g$r WHERE NOT prevsel)"
 
   val oracleSql: Map[String, String] = Map(
     "q01_watermark_last_id" ->
@@ -1449,6 +1487,44 @@ object Registry {
         "SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY " +
         "CAST(floor(score * 1e9 + 0.5) AS BIGINT) DESC, doc_id) AS rk " +
         "FROM sc) WHERE rk <= 15 ORDER BY doc_id"),
+    // three unrolled BPE merge rounds over the word-frequency table;
+    // see bpeRound for the leftmost-non-overlapping application CTEs
+    "q131_bpe_merges" ->
+      ("WITH words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq " +
+        "FROM (SELECT unnest(list_filter(string_split_regex(text, " +
+        "'\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY w), " +
+        "s0 AS (SELECT w, freq, CAST(u.p AS BIGINT) AS pos, " +
+        "substr(w, CAST(u.p + 1 AS INT), 1) AS sym " +
+        "FROM words, unnest(range(len(w))) u(p)), " +
+        bpeRound("s0", 1) + ", " +
+        bpeRound("s1", 2) + ", " +
+        bpeRound("s2", 3) + ", " +
+        "tw AS (SELECT w, freq, string_agg(sym, ' ' ORDER BY pos) " +
+        "AS seg FROM s3 GROUP BY w, freq " +
+        "ORDER BY freq DESC, w ASC LIMIT 20) " +
+        "SELECT kind, r, a, b, n FROM (" +
+        "SELECT 'merge' AS kind, CAST(1 AS BIGINT) AS r, a, b, " +
+        "cnt AS n FROM b1 " +
+        "UNION ALL SELECT 'merge', CAST(2 AS BIGINT), a, b, cnt FROM b2 " +
+        "UNION ALL SELECT 'merge', CAST(3 AS BIGINT), a, b, cnt FROM b3 " +
+        "UNION ALL SELECT 'word', CAST(0 AS BIGINT), w, seg, freq " +
+        "FROM tw) ORDER BY kind, r, a"),
+    // ±1 Rademacher matrix from md5 nibbles (≥8 → +1); quantized
+    // integer-valued doubles make the dot exact, one final /1e6
+    "q132_random_projection" ->
+      ("WITH sv AS (SELECT i, d, CASE WHEN " +
+        "strpos('0123456789abcdef', substr(md5('jl|' || " +
+        "CAST(i AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 " +
+        ">= 0 THEN 1.0 ELSE -1.0 END AS s " +
+        "FROM range(0, 8) t1(i), range(0, 64) t2(d)), " +
+        "sl AS (SELECT i, list(s ORDER BY d) AS w FROM sv GROUP BY i), " +
+        "q AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> floor(CAST(x AS DOUBLE) * 1e6 + 0.5)) AS qv " +
+        "FROM embeddings) " +
+        "SELECT q.vec_id, CAST(sl.i AS BIGINT) AS i, " +
+        "list_reduce(list_transform(list_zip(q.qv, sl.w), " +
+        "z -> z[1] * z[2]), (a, b) -> a + b) / 1e6 AS val " +
+        "FROM q CROSS JOIN sl ORDER BY q.vec_id, i"),
     // the drained stream must equal the full-corpus batch vocab
     "q128_streaming_vocab" ->
       ("WITH t AS (SELECT doc_id, " +

@@ -739,4 +739,97 @@ object TextOps {
       .limit(topK)
       .orderBy(col("doc_id"))
   }
+
+  /** BPE tokenizer training (q131): the first `rounds` merge operations
+    * of byte-pair-encoding over the corpus, plus the segmentation the
+    * learned merges induce on the `topWords` most frequent words. The
+    * reference has no tokenizer; this is the training-pipeline
+    * extension (a tokenizer trained on the corpus is the step before
+    * every token-count/packing operator in this file).
+    *
+    * Semantics are classic BPE (Sennrich et al. 2016): work on the
+    * word-frequency table; a round counts adjacent symbol pairs
+    * weighted by word frequency (overlapping occurrences each count),
+    * merges the argmax pair — ties broken (count desc, left asc,
+    * right asc) so the model is deterministic — and rewrites every
+    * word by greedy LEFTMOST NON-OVERLAPPING application ("aaaa" with
+    * merge a+a becomes "aa aa", not "aa a a"). Leftmost application
+    * is computed relationally, not sequentially: matches can only
+    * overlap inside runs of equal symbols (a match at i and i+1
+    * forces left = right), so gaps-and-islands run grouping + odd
+    * run-parity selects exactly the pairs a left-to-right scan would
+    * take, and a lag() drops each merge's consumed right symbol.
+    *
+    * 100 TB shape: the ONLY corpus-size-dependent step is the word
+    * frequency count (one map-side-combined shuffle of bare words).
+    * Every merge round then works on the DISTINCT-WORD symbol table —
+    * bounded by vocabulary size, not corpus size, exactly the working
+    * set production BPE trainers use — and each round's model is a
+    * 1-row driver-held argmax, the same bounded-model contract as the
+    * IVF/k-means quantizers. Window partitions are single words
+    * (bounded width), never corpus-scale.
+    *
+    * Output: `('merge', round, left, right, weighted_count)` per
+    * round, then `('word', 0, word, segmentation, freq)` for the top
+    * words — so any wrong merge, selection, or rewrite changes the
+    * hash.
+    */
+  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 3,
+      topWords: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(TextAnalytics.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var syms = words
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(0), length(col("w")) - 1)).as("pos"))
+      .withColumn("sym", col("w").substr(col("pos") + lit(1), lit(1)))
+    val wWin = Window.partitionBy("w").orderBy("pos")
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val withNext = syms
+        .withColumn("nxt", lead(col("sym"), 1).over(wWin))
+      val best = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym").asc, col("nxt").asc)
+        .limit(1).collect()(0)
+      val (a, b, cnt) =
+        (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r.toLong, a, b, cnt))
+      val ip = withNext.withColumn("ispair",
+        col("nxt").isNotNull &&
+          col("sym") === lit(a) && col("nxt") === lit(b))
+      val runWin = Window.partitionBy("w", "ispair").orderBy("pos")
+      val parWin = Window.partitionBy("w", "runid").orderBy("pos")
+      syms = ip
+        .withColumn("runid",
+          when(col("ispair"), col("pos") - row_number().over(runWin)))
+        .withColumn("sel",
+          col("ispair") && row_number().over(parWin) % 2 === 1)
+        .withColumn("prevsel",
+          coalesce(lag(col("sel"), 1).over(wWin), lit(false)))
+        .filter(!col("prevsel"))
+        .withColumn("merged",
+          when(col("sel"), concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")))
+        .select(col("w"), col("freq"),
+          (row_number().over(wWin) - 1).as("pos"),
+          col("merged").as("sym"))
+    }
+    val mergeRows = merges.result().toDF("r", "a", "b", "n")
+      .select(lit("merge").as("kind"), col("r"), col("a"), col("b"),
+        col("n"))
+    val segs = syms.groupBy(col("w"), col("freq"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("sym")))),
+          x => x.getField("sym")), " ").as("seg"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(topWords)
+      .select(lit("word").as("kind"), lit(0L).as("r"), col("w").as("a"),
+        col("seg").as("b"), col("freq").as("n"))
+    mergeRows.unionByName(segs)
+      .orderBy(col("kind"), col("r"), col("a"))
+  }
 }

@@ -519,4 +519,63 @@ class Wave3Spec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("BPE merges: hand-computed rounds incl. overlapping-run greedy") {
+    import spark.implicits._
+    // word freqs: aaaa:2 ab:1 abab:1 cd:1.
+    // r1 pairs: (a,a)=3·2=6 (overlaps count) > (a,b)=3 → merge a+a;
+    //   greedy leftmost on aaaa = [aa, aa] (NOT [aa, a, a]).
+    // r2: (a,b)=3 > (aa,aa)=2 → merge a+b; abab = [ab, ab].
+    // r3: (aa,aa)=2 → merge aa+aa; aaaa = [aaaa].
+    val docs = Seq((0L, "aaaa aaaa ab"), (1L, "abab cd"))
+      .map { case (id, t) => (id, t, "en", "crafted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = operators.TextOps.bpeMerges(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getLong(4)))
+      val expect = Seq(
+        ("merge", 1L, "a", "a", 6L),
+        ("merge", 2L, "a", "b", 3L),
+        ("merge", 3L, "aa", "aa", 2L),
+        ("word", 0L, "aaaa", "aaaa", 2L),
+        ("word", 0L, "ab", "ab", 1L),
+        ("word", 0L, "abab", "ab ab", 1L),
+        ("word", 0L, "cd", "c d", 1L))
+      assert(got.toSeq == expect)
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("random projection: golden signs + exact hand-computed output") {
+    import spark.implicits._
+    // independent md5 derivation (hex-string decode, not mdNibbleVal):
+    def sign(i: Int, j: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl|$i|$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.substring(0, 1), 16) >= 8) 1.0 else -1.0
+    }
+    assert((0 until 4).map(sign(0, _)) == Seq(1.0, 1.0, -1.0, -1.0))
+    assert((0 until 4).map(sign(1, _)) == Seq(-1.0, 1.0, -1.0, 1.0))
+    val emb = Seq((7L, Seq(1.0f, -2.0f, 0.5f, 0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("rp").toString
+    try {
+      emb.write.parquet(s"$dir/embeddings.parquet")
+      val got = operators.Similarity
+        .randomProjection(spark, dir, target = 2, dim = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // ±1 dot over 1e6-quantized values is exact: [1,1,-1,-1]·v and
+      // [-1,1,-1,1]·v for v = (1, -2, 0.5, 0.25)
+      assert(got.toSeq == Seq((7L, 0L, -1.75), (7L, 1L, -3.25)))
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
