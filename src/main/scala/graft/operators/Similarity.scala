@@ -1128,4 +1128,40 @@ object Similarity {
         max(size(col("embedding"))).cast("long").as("max_dim"),
         min(col("vec_id")).as("min_vec_id"))
       .orderBy(col("label"))
+
+  /** Random-projection dimensionality reduction (q132): project the
+    * 64-dim embeddings onto `target` dims with a Rademacher ±1 matrix
+    * (Achlioptas 2003 — the sparse-friendly Johnson–Lindenstrauss
+    * construction), the standard cheap pre-step before clustering /
+    * ANN when the native dimension is large.
+    *
+    * Exactness contract (what makes this oracle-able): the vector is
+    * first quantized to integer-valued doubles (`floor(x·1e6 + 0.5)`),
+    * and a ±1 dot product over integer-valued doubles is pure integer
+    * arithmetic below 2^53 — no rounding anywhere until the single
+    * final division by 1e6, which IEEE rounds identically in both
+    * engines. Sign (i,j) of the matrix is derived independently by
+    * both engines from the first md5 nibble of `"jl|i|j"` (≥ 8 → +1),
+    * the q113/q120/q121 fixed-model idiom.
+    *
+    * 100 TB shape: the 8×64 sign matrix is a driver-held constant
+    * folded into the codegen'd `dotNative` kernel; projection is
+    * entirely ROW-LOCAL (one scan, zero shuffle — the only exchange
+    * is the output sort). At a billion vectors this is a map-only job.
+    */
+  def randomProjection(spark: SparkSession, dir: String,
+      target: Int = 8, dim: Int = 64): DataFrame = {
+    val signs: Seq[Seq[Double]] = (0 until target).map(i =>
+      Seq.tabulate(dim)(j =>
+        if (mdNibbleVal(s"jl|$i|$j") >= 0) 1.0 else -1.0))
+    val qv = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("double"))
+    val proj = array(signs.map(s =>
+      dotNative(col("qv"), typedLit(s)) / lit(1e6)): _*)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), qv.as("qv"))
+      .select(col("vec_id"), posexplode(proj).as(Seq("i", "val")))
+      .select(col("vec_id"), col("i").cast("long").as("i"), col("val"))
+      .orderBy(col("vec_id"), col("i"))
+  }
 }
