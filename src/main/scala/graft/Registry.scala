@@ -219,6 +219,9 @@ object Registry {
     // Johnson–Lindenstrauss random projection: ±1 md5-derived matrix
     // over quantized vectors — exact integer arithmetic, row-local
     "q132_random_projection" -> ((s, d) => Similarity.randomProjection(s, d)),
+    // PageRank power iteration in BIGINT fixed-point over the
+    // customer↔supplier purchase graph — distributed rank vector
+    "q133_pagerank" -> ((s, d) => Analytics.pageRank(s, d)),
   )
 
   /** k-means oracle CTE builders (q124): the Euclidean assignment
@@ -1525,6 +1528,39 @@ object Registry {
         "list_reduce(list_transform(list_zip(q.qv, sl.w), " +
         "z -> z[1] * z[2]), (a, b) -> a + b) / 1e6 AS val " +
         "FROM q CROSS JOIN sl ORDER BY q.vec_id, i"),
+    // two unrolled integer fixed-point PageRank rounds; // is floor
+    // division, identical to Spark's div on these positive values
+    "q133_pagerank" ->
+      ("WITH cs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), " +
+        "ed AS (SELECT 'c' AS st, c AS sid, 's' AS dt, s AS did FROM cs " +
+        "UNION ALL SELECT 's', s, 'c', c FROM cs), " +
+        "nodes AS (SELECT DISTINCT st AS t, sid AS id FROM ed), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes), " +
+        "deg AS (SELECT st AS t, sid AS id, " +
+        "CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1, 2), " +
+        "r0 AS (SELECT t, id, (SELECT 1000000000000 // n FROM nn) AS r " +
+        "FROM nodes), " +
+        "c1 AS (SELECT r0.t, r0.id, r0.r // deg.deg AS c FROM r0 " +
+        "JOIN deg USING (t, id)), " +
+        "s1 AS (SELECT ed.dt AS t, ed.did AS id, " +
+        "CAST(SUM(c1.c) AS BIGINT) AS s FROM ed " +
+        "JOIN c1 ON ed.st = c1.t AND ed.sid = c1.id GROUP BY 1, 2), " +
+        "r1 AS (SELECT n2.t, n2.id, " +
+        "(SELECT (15 * (1000000000000 // nn.n)) // 100 FROM nn) + " +
+        "(85 * COALESCE(s1.s, 0)) // 100 AS r FROM nodes n2 " +
+        "LEFT JOIN s1 USING (t, id)), " +
+        "c2 AS (SELECT r1.t, r1.id, r1.r // deg.deg AS c FROM r1 " +
+        "JOIN deg USING (t, id)), " +
+        "s2 AS (SELECT ed.dt AS t, ed.did AS id, " +
+        "CAST(SUM(c2.c) AS BIGINT) AS s FROM ed " +
+        "JOIN c2 ON ed.st = c2.t AND ed.sid = c2.id GROUP BY 1, 2), " +
+        "r2 AS (SELECT n2.t, n2.id, " +
+        "(SELECT (15 * (1000000000000 // nn.n)) // 100 FROM nn) + " +
+        "(85 * COALESCE(s2.s, 0)) // 100 AS r FROM nodes n2 " +
+        "LEFT JOIN s2 USING (t, id)) " +
+        "SELECT t, id, r AS rank_fp, CAST(r AS DOUBLE) / 1e12 AS rank " +
+        "FROM r2 ORDER BY t, id"),
     // the drained stream must equal the full-corpus batch vocab
     "q128_streaming_vocab" ->
       ("WITH t AS (SELECT doc_id, " +

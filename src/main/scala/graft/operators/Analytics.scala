@@ -151,4 +151,65 @@ object Analytics {
         col("n"), col("carried"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** Distributed PageRank (q133): `rounds` power-iteration steps over
+    * the customer↔supplier purchase graph (distinct (custkey, suppkey)
+    * pairs from orders⋈lineitem, both directions — the bipartite
+    * random walk). PageRank is the classic link-quality signal a
+    * web-curation pipeline weights documents by; here it grades the
+    * same shape on the star schema.
+    *
+    * Exactness: ranks are BIGINT fixed-point at 1e12. Initial rank
+    * `SCALE div N`, per-edge contribution `rank div degree`, update
+    * `(15·(SCALE div N)) div 100 + (85·Σ contribs) div 100` — every
+    * step integer division on positive values, so both engines agree
+    * bit-for-bit with no FP anywhere until the final display division.
+    *
+    * 100 TB shape: the rank vector lives DISTRIBUTED (never on the
+    * driver — unlike the bounded quantizer models, rank state is
+    * corpus-sized). Each round is one hash join of ranks to the edge
+    * list plus one map-side-combined sum on the destination key —
+    * the canonical Pregel-style iteration as two shuffles on the same
+    * key, and AQE handles hub skew. Degrees are computed once.
+    */
+  def pageRank(spark: SparkSession, dir: String,
+      rounds: Int = 2): DataFrame = {
+    val scale = 1000000000000L
+    val cs = Tables.lineitem(spark, dir).select(col("l_orderkey"),
+        col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"),
+        col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val edges = cs.select(lit("c").as("st"), col("c").as("sid"),
+        lit("s").as("dt"), col("s").as("did"))
+      .unionByName(cs.select(lit("s").as("st"), col("s").as("sid"),
+        lit("c").as("dt"), col("c").as("did")))
+      .persist()
+    val nodes = edges.select(col("st").as("t"), col("sid").as("id"))
+      .distinct().persist()
+    val deg = edges.groupBy(col("st").as("t"), col("sid").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val n = nodes.count()
+    val base = (15L * (scale / n)) / 100L
+    var ranks = nodes.withColumn("r", lit(scale / n))
+    for (_ <- 1 to rounds) {
+      val contrib = ranks.join(deg, Seq("t", "id"))
+        .select(col("t"), col("id"), expr("r div deg").as("c"))
+      val sums = edges
+        .join(contrib, col("st") === col("t") && col("sid") === col("id"))
+        .groupBy(col("dt").as("t2"), col("did").as("id2"))
+        .agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(sums, col("t") === col("t2") && col("id") === col("id2"),
+          "left")
+        .select(col("t"), col("id"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+    }
+    val out = ranks
+      .select(col("t"), col("id"), col("r").as("rank_fp"),
+        (col("r").cast("double") / lit(1e12)).as("rank"))
+      .orderBy(col("t"), col("id"))
+    out
+  }
 }
