@@ -222,6 +222,9 @@ object Registry {
     // PageRank power iteration in BIGINT fixed-point over the
     // customer↔supplier purchase graph — distributed rank vector
     "q133_pagerank" -> ((s, d) => Analytics.pageRank(s, d)),
+    // tokenize the corpus with the q131-trained BPE: corpus words
+    // joined to the vocab segmentation table (train→apply)
+    "q134_bpe_tokenize" -> ((s, d) => TextOps.bpeTokenize(s, d)),
   )
 
   /** k-means oracle CTE builders (q124): the Euclidean assignment
@@ -1561,6 +1564,29 @@ object Registry {
         "LEFT JOIN s2 USING (t, id)) " +
         "SELECT t, id, r AS rank_fp, CAST(r AS DOUBLE) / 1e12 AS rank " +
         "FROM r2 ORDER BY t, id"),
+    // q131's trainer CTEs collapsed to a (word → token count) vocab,
+    // then one corpus join — the BPE train→apply composition
+    "q134_bpe_tokenize" ->
+      ("WITH words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq " +
+        "FROM (SELECT unnest(list_filter(string_split_regex(text, " +
+        "'\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY w), " +
+        "s0 AS (SELECT w, freq, CAST(u.p AS BIGINT) AS pos, " +
+        "substr(w, CAST(u.p + 1 AS INT), 1) AS sym " +
+        "FROM words, unnest(range(len(w))) u(p)), " +
+        bpeRound("s0", 1) + ", " +
+        bpeRound("s1", 2) + ", " +
+        bpeRound("s2", 3) + ", " +
+        "vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_syms " +
+        "FROM s3 GROUP BY w), " +
+        "tok AS (SELECT doc_id, " +
+        "unnest(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS w FROM documents) " +
+        "SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(SUM(vocab.n_syms) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(vocab.n_syms) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
+        "AS tokens_per_word " +
+        "FROM tok JOIN vocab USING (w) GROUP BY tok.doc_id " +
+        "ORDER BY tok.doc_id"),
     // the drained stream must equal the full-corpus batch vocab
     "q128_streaming_vocab" ->
       ("WITH t AS (SELECT doc_id, " +

@@ -776,8 +776,31 @@ object TextOps {
     */
   def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 3,
       topWords: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    val (mergeSeq, syms) = bpeCore(spark, dir, rounds)
+    val mergeRows = mergeSeq.toDF("r", "a", "b", "n")
+      .select(lit("merge").as("kind"), col("r"), col("a"), col("b"),
+        col("n"))
+    val segs = syms.groupBy(col("w"), col("freq"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("sym")))),
+          x => x.getField("sym")), " ").as("seg"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(topWords)
+      .select(lit("word").as("kind"), lit(0L).as("r"), col("w").as("a"),
+        col("seg").as("b"), col("freq").as("n"))
+    mergeRows.unionByName(segs)
+      .orderBy(col("kind"), col("r"), col("a"))
+  }
+
+  /** Shared BPE trainer core: runs the merge rounds and returns the
+    * learned merge table plus the final per-word symbol table
+    * (w, freq, pos, sym). [[bpeMerges]] reports it; [[bpeTokenize]]
+    * joins the corpus against it.
+    */
+  private def bpeCore(spark: SparkSession, dir: String,
+      rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val words = Tables.documents(spark, dir)
       .select(explode(TextAnalytics.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -818,18 +841,36 @@ object TextOps {
           (row_number().over(wWin) - 1).as("pos"),
           col("merged").as("sym"))
     }
-    val mergeRows = merges.result().toDF("r", "a", "b", "n")
-      .select(lit("merge").as("kind"), col("r"), col("a"), col("b"),
-        col("n"))
-    val segs = syms.groupBy(col("w"), col("freq"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("sym")))),
-          x => x.getField("sym")), " ").as("seg"))
-      .orderBy(col("freq").desc, col("w").asc)
-      .limit(topWords)
-      .select(lit("word").as("kind"), lit(0L).as("r"), col("w").as("a"),
-        col("seg").as("b"), col("freq").as("n"))
-    mergeRows.unionByName(segs)
-      .orderBy(col("kind"), col("r"), col("a"))
+    (merges.result(), syms)
+  }
+
+  /** BPE tokenizer APPLICATION (q134): tokenize the whole corpus with
+    * the q131-trained merges. The scalable trick is that BPE
+    * segmentation is a pure function of the word, so the corpus is
+    * never rewritten symbol-by-symbol: the trainer's final per-word
+    * symbol table collapses to a (word → token count) map, and corpus
+    * tokenization is one join of exploded corpus words against that
+    * bounded vocab table — the train→apply composition, like
+    * k-means→SemDeDup (q124→q125).
+    *
+    * 100 TB shape: corpus side is explode + join on the word key
+    * against a vocabulary-bounded build side (broadcastable at
+    * realistic vocab sizes) + one map-side-combined per-doc sum.
+    * All-integer output, exact cross-engine.
+    */
+  def bpeTokenize(spark: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame = {
+    val (_, syms) = bpeCore(spark, dir, rounds)
+    val vocab = syms.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_syms"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextAnalytics.tokens(col("text"))).as("w"))
+      .join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens"))
+      .withColumn("tokens_per_word",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+      .orderBy(col("doc_id"))
   }
 }

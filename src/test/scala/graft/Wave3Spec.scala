@@ -545,6 +545,11 @@ class Wave3Spec extends SparkSpec {
         ("word", 0L, "abab", "ab ab", 1L),
         ("word", 0L, "cd", "c d", 1L))
       assert(got.toSeq == expect)
+      // apply the learned merges: aaaa→1 token, ab→1, abab→2, cd→2
+      val tk = operators.TextOps.bpeTokenize(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      assert(tk.toSeq == Seq((0L, 3L, 3L, 1.0), (1L, 2L, 4L, 2.0)))
     } finally {
       Caches.releaseAll(spark)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
