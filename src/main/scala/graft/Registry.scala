@@ -225,6 +225,9 @@ object Registry {
     // tokenize the corpus with the q131-trained BPE: corpus words
     // joined to the vocab segmentation table (train→apply)
     "q134_bpe_tokenize" -> ((s, d) => TextOps.bpeTokenize(s, d)),
+    // temperature mixing (α=0.5): sqrt-scaled language quotas +
+    // deterministic hash-ranked selection within each language
+    "q135_temperature_mix" -> ((s, d) => TextOps.temperatureMix(s, d)),
   )
 
   /** k-means oracle CTE builders (q124): the Euclidean assignment
@@ -1587,6 +1590,23 @@ object Registry {
         "AS tokens_per_word " +
         "FROM tok JOIN vocab USING (w) GROUP BY tok.doc_id " +
         "ORDER BY tok.doc_id"),
+    // α=0.5 temperature quotas: sqrt + a lang-ordered fold keep every
+    // double bit-identical cross-engine; md5 hash-rank selection
+    "q135_temperature_mix" ->
+      ("WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM documents GROUP BY lang), " +
+        "s AS (SELECT lang, sqrt(CAST(n AS DOUBLE)) AS sv FROM c), " +
+        "tot AS (SELECT list_reduce(list(sv ORDER BY lang), " +
+        "(a, b) -> a + b) AS t FROM s), " +
+        "q AS (SELECT lang, CAST(floor(CAST(250 AS DOUBLE) * sv / " +
+        "tot.t) AS BIGINT) AS quota FROM s CROSS JOIN tot), " +
+        "r AS (SELECT doc_id, lang, source, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY " +
+        "md5('mix|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) " +
+        "AS rk FROM documents) " +
+        "SELECT r.doc_id, r.lang, r.source, r.rk FROM r " +
+        "JOIN q USING (lang) WHERE r.rk <= q.quota " +
+        "ORDER BY r.doc_id"),
     // the drained stream must equal the full-corpus batch vocab
     "q128_streaming_vocab" ->
       ("WITH t AS (SELECT doc_id, " +

@@ -858,6 +858,52 @@ object TextOps {
     * realistic vocab sizes) + one map-side-combined per-doc sum.
     * All-integer output, exact cross-engine.
     */
+  /** Temperature-scaled source mixing (q135): resample the corpus so
+    * language shares follow p_l ∝ n_l^α — the multilingual mixing
+    * rule (upweight low-resource languages) every multilingual LLM
+    * pipeline applies. α = 0.5 deliberately: sqrt is IEEE
+    * correctly-rounded, so with the share denominator folded in
+    * pinned lang order every double here is bit-identical
+    * cross-engine and the floor'd quotas are exact — no pow()
+    * last-ulp hazard.
+    *
+    * Selection is deterministic hash ranking (md5 of the doc id,
+    * doc_id tiebreak) within each language, so the sample is stable
+    * under reruns, partitioning, and engine — the q68 stratified-
+    * sampling contract with corpus-derived quotas.
+    *
+    * 100 TB shape: the per-language model is a driver-held
+    * #languages-row table (bounded); the corpus side is one scan +
+    * one window rank per language partition + a broadcast quota
+    * join. No corpus-size state anywhere.
+    */
+  def temperatureMix(spark: SparkSession, dir: String,
+      target: Int = 250): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang")).collect()
+    val shares = counts.map(r =>
+      r.getString(0) -> math.sqrt(r.getLong(1).toDouble))
+    val total = shares.map(_._2).sum // left fold in lang order
+    val quotas = shares.toSeq.map { case (l, v) =>
+      l -> math.floor(target.toDouble * v / total).toLong }
+    val qdf = quotas.toDF("lang", "quota")
+    docs
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("hk",
+        md5(concat(lit("mix|"), col("doc_id").cast("string"))
+          .cast("binary")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("hk"), col("doc_id"))).cast("long"))
+      .join(broadcast(qdf), Seq("lang"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("source"), col("rk"))
+      .orderBy(col("doc_id"))
+  }
+
   def bpeTokenize(spark: SparkSession, dir: String,
       rounds: Int = 3): DataFrame = {
     val (_, syms) = bpeCore(spark, dir, rounds)

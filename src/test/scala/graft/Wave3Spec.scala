@@ -584,6 +584,36 @@ class Wave3Spec extends SparkSpec {
     }
   }
 
+  test("temperature mix: sqrt quotas + independent md5 rank selection") {
+    import spark.implicits._
+    // langs en:9 de:4 zh:1 → sqrt shares 3:2:1 (all FP-exact), so
+    // target=6 gives quotas en=3 de=2 zh=1 — the low-resource lang is
+    // upweighted from 1/14 of the corpus to 1/6 of the sample
+    val docs = (0 until 9).map(i => (i.toLong, s"doc $i", "en")) ++
+      (9 until 13).map(i => (i.toLong, s"doc $i", "de")) ++
+      Seq((13L, "doc 13", "zh"))
+    val df = docs.map { case (id, t, l) => (id, t, l, "crafted",
+      t.length.toLong) }.toDF("doc_id", "text", "lang", "source",
+      "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("tmix").toString
+    try {
+      df.write.parquet(s"$dir/documents.parquet")
+      val got = operators.TextOps.temperatureMix(spark, dir, target = 6)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val byLang = got.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(byLang == Map("en" -> 3, "de" -> 2, "zh" -> 1))
+      // independent selection check: lowest md5("mix|id") ranks win
+      def hk(id: Long): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s"mix|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expectEn = (0L until 9L).sortBy(i => (hk(i), i)).take(3).toSet
+      assert(got.filter(_._2 == "en").map(_._1).toSet == expectEn)
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("pagerank: exact match with an independent driver-side walk") {
     // plain-Scala reimplementation of the integer fixed-point contract
     // (scale div n, rank div deg, 15/85 damping in integer div) over
