@@ -228,6 +228,9 @@ object Registry {
     // temperature mixing (α=0.5): sqrt-scaled language quotas +
     // deterministic hash-ranked selection within each language
     "q135_temperature_mix" -> ((s, d) => TextOps.temperatureMix(s, d)),
+    // deterministic 80/10/10 hash split + exact-dup leakage flags
+    // (val/test content hashes probed against the train side)
+    "q136_dataset_split" -> ((s, d) => TextOps.datasetSplit(s, d)),
   )
 
   /** k-means oracle CTE builders (q124): the Euclidean assignment
@@ -1607,6 +1610,25 @@ object Registry {
         "SELECT r.doc_id, r.lang, r.source, r.rk FROM r " +
         "JOIN q USING (lang) WHERE r.rk <= q.quota " +
         "ORDER BY r.doc_id"),
+    // doc-id-hash 80/10/10 assignment; leakage = val/test content
+    // hash present among train content hashes
+    "q136_dataset_split" ->
+      ("WITH a AS (SELECT doc_id, md5(text) AS content_hash, " +
+        "md5('split|' || CAST(doc_id AS VARCHAR)) AS hk " +
+        "FROM documents), " +
+        "b AS (SELECT *, (strpos('0123456789abcdef', " +
+        "substr(hk, 1, 1)) - 1) * 16 + " +
+        "strpos('0123456789abcdef', substr(hk, 2, 1)) - 1 AS bb " +
+        "FROM a), " +
+        "sp AS (SELECT doc_id, content_hash, CASE WHEN bb < 204 " +
+        "THEN 'train' WHEN bb < 230 THEN 'val' ELSE 'test' END " +
+        "AS split FROM b), " +
+        "th AS (SELECT DISTINCT content_hash AS t_hash FROM sp " +
+        "WHERE split = 'train') " +
+        "SELECT sp.doc_id, sp.split, (sp.split <> 'train' AND " +
+        "th.t_hash IS NOT NULL) AS leaked FROM sp " +
+        "LEFT JOIN th ON sp.content_hash = th.t_hash " +
+        "ORDER BY sp.doc_id"),
     // the drained stream must equal the full-corpus batch vocab
     "q128_streaming_vocab" ->
       ("WITH t AS (SELECT doc_id, " +

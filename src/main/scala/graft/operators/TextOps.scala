@@ -904,6 +904,42 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split with leakage guard (q136).
+    * Assignment hashes the DOC ID (md5 first byte: <204 train ≈ 80 %,
+    * <230 val ≈ 10 %, else test) so the split is stable under reruns,
+    * partitioning, and engine — never random(). The leakage guard
+    * then flags any val/test document whose exact CONTENT hash also
+    * appears in train (the eval-contamination check run before every
+    * training job; q80 is the n-gram version, this is the exact-dup
+    * version aligned with q28's content hashing).
+    *
+    * 100 TB shape: assignment is row-local; the guard is one
+    * left-semi hash join of val/test content hashes against train
+    * hashes (both sides narrow md5 columns). No driver state.
+    */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val byte1 = expr(
+      "(instr('0123456789abcdef', substring(hk, 1, 1)) - 1) * 16 + " +
+        "instr('0123456789abcdef', substring(hk, 2, 1)) - 1")
+    val assigned = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("content_hash"))
+      .withColumn("hk",
+        md5(concat(lit("split|"), col("doc_id").cast("string"))
+          .cast("binary")))
+      .withColumn("b", byte1)
+      .withColumn("split",
+        when(col("b") < 204, "train")
+          .when(col("b") < 230, "val").otherwise("test"))
+    val trainHashes = assigned.filter(col("split") === "train")
+      .select(col("content_hash").as("th")).distinct()
+    assigned
+      .join(trainHashes, col("content_hash") === col("th"), "left")
+      .select(col("doc_id"), col("split"),
+        (col("split") =!= "train" && col("th").isNotNull).as("leaked"))
+      .orderBy(col("doc_id"))
+  }
+
   def bpeTokenize(spark: SparkSession, dir: String,
       rounds: Int = 3): DataFrame = {
     val (_, syms) = bpeCore(spark, dir, rounds)

@@ -614,6 +614,40 @@ class Wave3Spec extends SparkSpec {
     }
   }
 
+  test("dataset split: independent byte-rule assignment + leakage flag") {
+    import spark.implicits._
+    def byte1(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 2), 16)
+    }
+    def expSplit(id: Long): String = {
+      val b = byte1(id)
+      if (b < 204) "train" else if (b < 230) "val" else "test"
+    }
+    val ids = (0L until 40L)
+    val train = ids.find(expSplit(_) == "train").get
+    val eval = ids.find(i => expSplit(i) != "train").get
+    // eval doc shares its exact text with a train doc → must be flagged
+    val docs = ids.map(i =>
+        (i, if (i == eval) s"doc $train" else s"doc $i"))
+      .map { case (id, t) => (id, t, "en", "crafted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("split").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = operators.TextOps.datasetSplit(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      assert(got.map(x => x._1 -> x._2).toMap ==
+        ids.map(i => i -> expSplit(i)).toMap)
+      assert(got.filter(_._3).map(_._1).toSeq == Seq(eval))
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("pagerank: exact match with an independent driver-side walk") {
     // plain-Scala reimplementation of the integer fixed-point contract
     // (scale div n, rank div deg, 15/85 damping in integer div) over
