@@ -231,6 +231,12 @@ object Registry {
     // deterministic 80/10/10 hash split + exact-dup leakage flags
     // (val/test content hashes probed against the train side)
     "q136_dataset_split" -> ((s, d) => TextOps.datasetSplit(s, d)),
+    // positional phrase search: query-term posting lists only, then
+    // a (doc, pos+1) adjacency equi-join
+    "q137_phrase_search" -> ((s, d) => TextOps.phraseSearch(s, d)),
+    // ±2-window skip-gram PMI: row-local pair gen (self-zip_with),
+    // integer-ranked top-k, single ln() per output row
+    "q138_cooccurrence_pmi" -> ((s, d) => TextOps.cooccurrencePmi(s, d)),
   )
 
   /** k-means oracle CTE builders (q124): the Euclidean assignment
@@ -1629,6 +1635,45 @@ object Registry {
         "th.t_hash IS NOT NULL) AS leaked FROM sp " +
         "LEFT JOIN th ON sp.content_hash = th.t_hash " +
         "ORDER BY sp.doc_id"),
+    // positions are 0-based (unnest ordinal − 1) to mirror posexplode
+    "q137_phrase_search" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "p AS (SELECT doc_id, CAST(u.p - 1 AS BIGINT) AS pos, " +
+        "toks[CAST(u.p AS INT)] AS term " +
+        "FROM t, unnest(range(1, len(toks) + 1)) u(p)) " +
+        "SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches, " +
+        "CAST(MIN(a.pos) AS BIGINT) AS first_pos " +
+        "FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 " +
+        "WHERE a.term = 'table' AND b.term = 'scan' " +
+        "GROUP BY a.doc_id ORDER BY a.doc_id"),
+    // integer counts everywhere; PMI operand grouping mirrors the
+    // engine exactly: (c_ab·n·n) / (p·c1·c2), one ln per row
+    "q138_cooccurrence_pmi" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "po AS (SELECT doc_id, CAST(u.p AS INT) AS i, " +
+        "toks[CAST(u.p AS INT)] AS w " +
+        "FROM t, unnest(range(1, len(toks) + 1)) u(p)), " +
+        "pr AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2 " +
+        "FROM po a JOIN po b ON a.doc_id = b.doc_id " +
+        "AND b.i > a.i AND b.i <= a.i + 2), " +
+        "pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab " +
+        "FROM pr GROUP BY 1, 2), " +
+        "un AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT unnest(toks) AS w FROM t) GROUP BY 1), " +
+        "nt AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n FROM t), " +
+        "np AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS p FROM pc), " +
+        "top AS (SELECT w1, w2, c_ab FROM pc " +
+        "ORDER BY c_ab DESC, w1, w2 LIMIT 30) " +
+        "SELECT top.w1, top.w2, top.c_ab, " +
+        "ln((CAST(top.c_ab AS DOUBLE) * nt.n * nt.n) / " +
+        "(np.p * u1.c * u2.c)) AS pmi " +
+        "FROM top JOIN un u1 ON u1.w = top.w1 " +
+        "JOIN un u2 ON u2.w = top.w2 CROSS JOIN nt CROSS JOIN np " +
+        "ORDER BY w1, w2"),
     // the drained stream must equal the full-corpus batch vocab
     "q128_streaming_vocab" ->
       ("WITH t AS (SELECT doc_id, " +

@@ -940,6 +940,84 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Positional phrase search (q137): exact-adjacency phrase matching
+    * over positional posting lists — the inverted-index operation BM25
+    * (q130) ranking sits on top of in a full-text stack.
+    *
+    * 100 TB shape: the posting lists for the QUERY TERMS ONLY leave
+    * the scan (the term filter applies inside the explode projection,
+    * so non-query tokens never reach an exchange); adjacency is an
+    * equi-join on (doc, position+1) between two narrow (doc_id, pos)
+    * relations, then one map-side-combined per-doc count.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+      first: String = "table", second: String = "scan"): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextAnalytics.tokens(col("text")))
+          .as(Seq("pos", "term")))
+    val t1 = toks.filter(col("term") === first)
+      .select(col("doc_id"), col("pos"))
+    val t2 = toks.filter(col("term") === second)
+      .select(col("doc_id").as("d2"), col("pos").as("pos2"))
+    t1.join(t2, col("doc_id") === col("d2") &&
+        col("pos2") === col("pos") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pos")).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Skip-gram co-occurrence PMI (q138): unordered token pairs within
+    * a ±`window` context window, scored by pointwise mutual
+    * information — the counting step word2vec/SGNS and GloVe start
+    * from, and a corpus-statistics signal in its own right.
+    *
+    * Exactness: all counts are integers; the PMI operand products
+    * stay far below 2^53 so the single ln() argument is bit-identical
+    * cross-engine (the q79/q129 ln contract). The top-k ranks on the
+    * INTEGER count (ties to the word pair), so the selected set has
+    * no FP boundary.
+    *
+    * 100 TB shape: pair generation is ROW-LOCAL (zip_with over the
+    * token array against its own 1- and 2-shifted slices — tokens
+    * never self-join); one map-side-combined count per pair; unigram
+    * and total models are vocab-bounded broadcasts.
+    */
+  def cooccurrencePmi(spark: SparkSession, dir: String,
+      topK: Int = 30): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(TextAnalytics.tokens(col("text")).as("t"))
+    val n = size(col("t"))
+    def offsetPairs(k: Int) = zip_with(
+      slice(col("t"), lit(1), greatest(n - k, lit(0))),
+      slice(col("t"), lit(k + 1), greatest(n - k, lit(0))),
+      (x, y) => struct(least(x, y).as("w1"), greatest(x, y).as("w2")))
+    val pairCounts = base
+      .select(explode(flatten(array(offsetPairs(1), offsetPairs(2))))
+        .as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val uni = base.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = base.agg(sum(n.cast("long")).as("n"))
+    val nPair = pairCounts.agg(sum(col("c_ab")).as("p"))
+    pairCounts
+      .orderBy(col("c_ab").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nPair))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        log((col("c_ab").cast("double") * col("n") * col("n")) /
+          (col("p") * col("c1") * col("c2"))).as("pmi"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   def bpeTokenize(spark: SparkSession, dir: String,
       rounds: Int = 3): DataFrame = {
     val (_, syms) = bpeCore(spark, dir, rounds)

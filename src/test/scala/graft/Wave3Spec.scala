@@ -648,6 +648,49 @@ class Wave3Spec extends SparkSpec {
     }
   }
 
+  test("phrase search: adjacency only, positions hand-checked") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "table scan x table scan"), // matches at pos 0 and 3
+      (1L, "table x scan"),            // gap — no match
+      (2L, "scan table"),              // reversed — no match
+      (3L, "table table scan"))        // match at pos 1 only
+      .map { case (id, t) => (id, t, "en", "crafted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("phrase").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = operators.TextOps.phraseSearch(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq((0L, 2L, 0L), (3L, 1L, 1L)))
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("cooccurrence PMI: hand-computed window pairs and scores") {
+    import spark.implicits._
+    // "a b a": ±2 pairs = (a,b) (a,b) (a,a); uni a=2 b=1; N=3; P=3
+    val docs = Seq((0L, "a b a"))
+      .map { case (id, t) => (id, t, "en", "crafted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("pmi").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = operators.TextOps.cooccurrencePmi(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      assert(got.map(x => (x._1, x._2, x._3)).toSeq ==
+        Seq(("a", "a", 1L), ("a", "b", 2L)))
+      assert(math.abs(got(0)._4 - math.log(9.0 / 12.0)) < 1e-12)
+      assert(math.abs(got(1)._4 - math.log(3.0)) < 1e-12)
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("pagerank: exact match with an independent driver-side walk") {
     // plain-Scala reimplementation of the integer fixed-point contract
     // (scale div n, rank div deg, 15/85 damping in integer div) over
