@@ -237,6 +237,9 @@ object Registry {
     // ±2-window skip-gram PMI: row-local pair gen (self-zip_with),
     // integer-ranked top-k, single ln() per output row
     "q138_cooccurrence_pmi" -> ((s, d) => TextOps.cooccurrencePmi(s, d)),
+    // per-source dataset card: volume + lang entropy (ordered fold)
+    // + exact-dup ratio, one scan, two map-side aggs
+    "q139_corpus_card" -> ((s, d) => TextOps.corpusCard(s, d)),
   )
 
   /** k-means oracle CTE builders (q124): the Euclidean assignment
@@ -1674,6 +1677,32 @@ object Registry {
         "FROM top JOIN un u1 ON u1.w = top.w1 " +
         "JOIN un u2 ON u2.w = top.w2 CROSS JOIN nt CROSS JOIN np " +
         "ORDER BY w1, w2"),
+    // entropy folds per-source lang counts in lang order from 0.0 —
+    // the same accumulation the engine's HOF aggregate performs
+    "q139_corpus_card" ->
+      ("WITH d AS (SELECT source, lang, n_chars, " +
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS BIGINT) AS tc, md5(text) AS h " +
+        "FROM documents), " +
+        "b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(SUM(tc) AS BIGINT) AS n_tokens, " +
+        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "CAST(COUNT(DISTINCT h) AS BIGINT) AS nd " +
+        "FROM d GROUP BY source), " +
+        "lc AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM d GROUP BY 1, 2), " +
+        "e AS (SELECT lc.source, " +
+        "list_reduce(list_prepend(0.0, list_transform(" +
+        "list(lc.c ORDER BY lc.lang), x -> " +
+        "-(CAST(x AS DOUBLE) / b.n_docs) * " +
+        "ln(CAST(x AS DOUBLE) / b.n_docs))), (a, v) -> a + v) AS ent " +
+        "FROM lc JOIN b USING (source) GROUP BY lc.source, b.n_docs) " +
+        "SELECT b.source, b.n_docs, b.n_chars, b.n_tokens, b.n_langs, " +
+        "e.ent AS lang_entropy, " +
+        "1.0 - CAST(b.nd AS DOUBLE) / CAST(b.n_docs AS DOUBLE) " +
+        "AS dup_ratio FROM b JOIN e ON b.source = e.source " +
+        "ORDER BY b.source"),
     // the drained stream must equal the full-corpus batch vocab
     "q128_streaming_vocab" ->
       ("WITH t AS (SELECT doc_id, " +

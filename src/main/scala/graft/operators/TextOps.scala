@@ -801,15 +801,31 @@ object TextOps {
   private def bpeCore(spark: SparkSession, dir: String,
       rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    // persist the vocab: it is the bounded working set every round's
+    // driver-side argmax action re-reads — without it each of the
+    // `rounds` actions re-runs the corpus-wide word count
     val words = Tables.documents(spark, dir)
       .select(explode(TextAnalytics.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
+      .persist()
     var syms = words
       .select(col("w"), col("freq"),
         explode(sequence(lit(0), length(col("w")) - 1)).as("pos"))
       .withColumn("sym", col("w").substr(col("pos") + lit(1), lit(1)))
     val wWin = Window.partitionBy("w").orderBy("pos")
     val merges = Seq.newBuilder[(Long, String, String, Long)]
+    // Eager localCheckpoint per round, superseded blocks freed in-loop
+    // (the q66 CC discipline): without lineage truncation every
+    // round's ARGMAX ACTION re-analyzes an r-deep window chain —
+    // measured as ~1 s of pure driver planning per round at any data
+    // size — and the checkpoint keeps each round's plan depth O(1).
+    val sc = spark.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def freeIds(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id)
+        .foreach(rdd => try rdd.unpersist(blocking = false)
+          catch { case _: Throwable => () }))
+    var prevCkpt = Set.empty[Int]
     for (r <- 1 to rounds) {
       val withNext = syms
         .withColumn("nxt", lead(col("sym"), 1).over(wWin))
@@ -821,16 +837,26 @@ object TextOps {
       val (a, b, cnt) =
         (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((r.toLong, a, b, cnt))
-      val ip = withNext.withColumn("ispair",
-        col("nxt").isNotNull &&
-          col("sym") === lit(a) && col("nxt") === lit(b))
-      val runWin = Window.partitionBy("w", "ispair").orderBy("pos")
-      val parWin = Window.partitionBy("w", "runid").orderBy("pos")
-      syms = ip
-        .withColumn("runid",
-          when(col("ispair"), col("pos") - row_number().over(runWin)))
+      // greedy leftmost selection with ONE window spec: every frame
+      // below partitions by w and orders by pos, so Catalyst plans a
+      // single exchange+sort per round (the (w,ispair)/(w,runid)
+      // gaps-and-islands spelling would add two more exchanges for
+      // the same relational result). Within a run of consecutive
+      // matches, the carried-forward run-start position gives the
+      // even-offset (= leftmost non-overlapping) positions directly.
+      val runWin = wWin.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      syms = withNext
+        .withColumn("ispair",
+          col("nxt").isNotNull &&
+            col("sym") === lit(a) && col("nxt") === lit(b))
+        .withColumn("boundary", col("ispair") &&
+          !coalesce(lag(col("ispair"), 1).over(wWin), lit(false)))
+        .withColumn("run_start",
+          last(when(col("boundary"), col("pos")), ignoreNulls = true)
+            .over(runWin))
         .withColumn("sel",
-          col("ispair") && row_number().over(parWin) % 2 === 1)
+          col("ispair") && (col("pos") - col("run_start")) % 2 === 0)
         .withColumn("prevsel",
           coalesce(lag(col("sel"), 1).over(wWin), lit(false)))
         .filter(!col("prevsel"))
@@ -840,7 +866,13 @@ object TextOps {
         .select(col("w"), col("freq"),
           (row_number().over(wWin) - 1).as("pos"),
           col("merged").as("sym"))
+      val before = persistedIds
+      syms = syms.localCheckpoint(true)
+      val thisRound = persistedIds -- before
+      freeIds(prevCkpt)
+      prevCkpt = thisRound
     }
+    words.unpersist(false)
     (merges.result(), syms)
   }
 
@@ -1016,6 +1048,49 @@ object TextOps {
         log((col("c_ab").cast("double") * col("n") * col("n")) /
           (col("p") * col("c1") * col("c2"))).as("pmi"))
       .orderBy(col("w1"), col("w2"))
+  }
+
+  /** Per-source corpus report card (q139): the dataset-card panel a
+    * curation pipeline publishes with a release — volume (docs /
+    * chars / tokens), language spread (count + Shannon entropy), and
+    * exact-duplicate ratio, one row per source.
+    *
+    * Determinism: counts are exact integers; the entropy fold runs
+    * over the per-source language counts in PINNED lang order
+    * (array_sort + HOF aggregate from 0.0 — the q135 ordered-fold
+    * contract), so the FP sum is bit-identical cross-engine.
+    *
+    * 100 TB shape: one scan feeding two map-side-combined aggregates
+    * (per-source and per-source×lang — the second is
+    * #sources×#languages rows, tiny); no window, no driver state.
+    */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("tc"),
+        md5(col("text").cast("binary")).as("h"))
+    val base = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(col("tc")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("h")).as("n_distinct"))
+    val langCounts = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(array_sort(collect_list(struct(col("lang"), col("c"))))
+        .as("lc"))
+    base.join(langCounts, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        col("n_tokens"), col("n_langs"),
+        aggregate(col("lc"), lit(0.0), (acc, x) =>
+          acc - (x.getField("c").cast("double") /
+            col("n_docs").cast("double")) *
+            log(x.getField("c").cast("double") /
+              col("n_docs").cast("double"))).as("lang_entropy"),
+        (lit(1.0) - col("n_distinct").cast("double") /
+          col("n_docs").cast("double")).as("dup_ratio"))
+      .orderBy(col("source"))
   }
 
   def bpeTokenize(spark: SparkSession, dir: String,

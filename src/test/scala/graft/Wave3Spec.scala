@@ -691,6 +691,34 @@ class Wave3Spec extends SparkSpec {
     }
   }
 
+  test("corpus card: hand-computed entropy and dup ratio") {
+    import spark.implicits._
+    // srcA: 4 docs, langs en,en,de,de (entropy ln 2), one exact dup
+    // (dup_ratio 1/4), 2+2+2+2 = 8 tokens; srcB: 1 doc, entropy 0
+    val docs = Seq(
+      (0L, "x y", "en", "srcA"), (1L, "x y", "en", "srcA"),
+      (2L, "a b", "de", "srcA"), (3L, "c d", "de", "srcA"),
+      (4L, "e f g", "fr", "srcB"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("card").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = operators.TextOps.corpusCard(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      assert(got.length == 2)
+      val (srcA, srcB) = (got(0), got(1))
+      assert(srcA == ("srcA", 4L, 8L, 2L, srcA._5, 0.25) &&
+        math.abs(srcA._5 - math.log(2.0)) < 1e-12)
+      assert(srcB == ("srcB", 1L, 3L, 1L, srcB._5, 0.0) &&
+        math.abs(srcB._5) < 1e-12)
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("pagerank: exact match with an independent driver-side walk") {
     // plain-Scala reimplementation of the integer fixed-point contract
     // (scale div n, rank div deg, 15/85 damping in integer div) over
