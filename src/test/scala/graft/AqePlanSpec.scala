@@ -47,4 +47,30 @@ class AqePlanSpec extends SparkSpec {
       s"batch-side band join did not convert to broadcast:\n${plan.take(3000)}")
     Caches.releaseAll(spark)
   }
+
+  test("random projection (q132) is map-only: the sort is the ONLY exchange") {
+    // the ±1 matrix is a folded constant; projection must never
+    // shuffle — a groupBy/join sneaking in would break the map-only
+    // 100 TB contract the scaladoc promises
+    import graft.operators.Similarity
+    val plan = finalPlan(Similarity.randomProjection(spark, sfDir))
+    // (AQE prints the pre- and post-adaptive plan, so the one sort
+    // exchange can appear twice — assert the KIND, not the count)
+    val exchanges = "(?m)^.*Exchange .*$".r.findAllIn(plan).toSeq
+      .filterNot(_.contains("Reused"))
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(_.contains("rangepartitioning")),
+      s"expected only the output-sort range exchange:\n$exchanges")
+    Caches.releaseAll(spark)
+  }
+
+  test("PMI pair generation (q138) is row-local: no token self-join") {
+    // pairs come from zip_with over shifted slices of the token array;
+    // a SortMergeJoin of the exploded token table against itself is
+    // the shape this operator exists to avoid
+    val plan = finalPlan(TextOps.cooccurrencePmi(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"pair generation regressed to a token self-join:\n${plan.take(3000)}")
+    Caches.releaseAll(spark)
+  }
 }
