@@ -240,6 +240,9 @@ object Registry {
     // per-source dataset card: volume + lang entropy (ordered fold)
     // + exact-dup ratio, one scan, two map-side aggs
     "q139_corpus_card" -> ((s, d) => TextOps.corpusCard(s, d)),
+    // held-out perplexity: bigram LM trained on the q136 train split
+    // only, scoring val/test — the leakage-free quality filter
+    "q140_heldout_perplexity" -> ((s, d) => TextOps.heldoutPerplexity(s, d)),
   )
 
   /** k-means oracle CTE builders (q124): the Euclidean assignment
@@ -1703,6 +1706,40 @@ object Registry {
         "1.0 - CAST(b.nd AS DOUBLE) / CAST(b.n_docs AS DOUBLE) " +
         "AS dup_ratio FROM b JOIN e ON b.source = e.source " +
         "ORDER BY b.source"),
+    // q129's model CTEs restricted to the q136 train split; unseen
+    // bigrams/prefixes COALESCE to the add-one limits
+    "q140_heldout_perplexity" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "f AS (SELECT t.*, CASE WHEN bb < 204 THEN 'train' " +
+        "WHEN bb < 230 THEN 'val' ELSE 'test' END AS split FROM " +
+        "(SELECT *, (strpos('0123456789abcdef', substr(md5('split|' " +
+        "|| CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
+        "strpos('0123456789abcdef', substr(md5('split|' || " +
+        "CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bb FROM t) t " +
+        "WHERE len(toks) >= 2), " +
+        "bg AS (SELECT doc_id, split, toks[CAST(p AS INT)] AS w1, " +
+        "toks[CAST(p + 1 AS INT)] AS w2 " +
+        "FROM f, unnest(range(1, len(toks))) u(p)), " +
+        "db AS (SELECT doc_id, split, w1, w2, COUNT(*) AS cnt " +
+        "FROM bg GROUP BY 1, 2, 3, 4), " +
+        "c2 AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c2 " +
+        "FROM db WHERE split = 'train' GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 " +
+        "FROM c2 GROUP BY 1), " +
+        "vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM " +
+        "(SELECT unnest(toks) AS tok FROM f WHERE split = 'train')) " +
+        "SELECT db.doc_id, db.split, " +
+        "CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams, " +
+        "SUM(CAST(db.cnt AS DOUBLE) * " +
+        "ln((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0) / " +
+        "(CAST(COALESCE(c1.c1, 0) AS DOUBLE) + CAST(vv.v AS DOUBLE)))) " +
+        "/ CAST(SUM(db.cnt) AS DOUBLE) AS avg_logprob " +
+        "FROM db LEFT JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2 " +
+        "LEFT JOIN c1 ON db.w1 = c1.w1 CROSS JOIN vv " +
+        "WHERE db.split <> 'train' " +
+        "GROUP BY db.doc_id, db.split ORDER BY db.doc_id"),
     // the drained stream must equal the full-corpus batch vocab
     "q128_streaming_vocab" ->
       ("WITH t AS (SELECT doc_id, " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PhoneMerge, TextAnalytics, TextFunctions}
@@ -949,20 +949,25 @@ object TextOps {
     * left-semi hash join of val/test content hashes against train
     * hashes (both sides narrow md5 columns). No driver state.
     */
+  /** The q136 deterministic split rule as a column: md5 first byte of
+    * "split|<doc_id>" mapped 80/10/10. Shared by [[datasetSplit]] and
+    * the held-out scorer [[heldoutPerplexity]] so "train" always means
+    * the same rows.
+    */
+  private def splitCol(docIdName: String): Column = {
+    val hk = s"md5(cast(concat('split|', cast($docIdName as string)) " +
+      "as binary))"
+    val b = expr(
+      s"(instr('0123456789abcdef', substring($hk, 1, 1)) - 1) * 16 + " +
+        s"instr('0123456789abcdef', substring($hk, 2, 1)) - 1")
+    when(b < 204, "train").when(b < 230, "val").otherwise("test")
+  }
+
   def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
-    val byte1 = expr(
-      "(instr('0123456789abcdef', substring(hk, 1, 1)) - 1) * 16 + " +
-        "instr('0123456789abcdef', substring(hk, 2, 1)) - 1")
     val assigned = Tables.documents(spark, dir)
       .select(col("doc_id"),
         md5(col("text").cast("binary")).as("content_hash"))
-      .withColumn("hk",
-        md5(concat(lit("split|"), col("doc_id").cast("string"))
-          .cast("binary")))
-      .withColumn("b", byte1)
-      .withColumn("split",
-        when(col("b") < 204, "train")
-          .when(col("b") < 230, "val").otherwise("test"))
+      .withColumn("split", splitCol("doc_id"))
     val trainHashes = assigned.filter(col("split") === "train")
       .select(col("content_hash").as("th")).distinct()
     assigned
@@ -1091,6 +1096,57 @@ object TextOps {
         (lit(1.0) - col("n_distinct").cast("double") /
           col("n_docs").cast("double")).as("dup_ratio"))
       .orderBy(col("source"))
+  }
+
+  /** Held-out perplexity scoring (q140): an add-one-smoothed bigram LM
+    * trained on q136's TRAIN split only, scoring the VAL/TEST docs —
+    * the leakage-free quality-filter composition (q129's model math ×
+    * q136's split rule). Unseen bigrams smooth to ln(1/(c1+V));
+    * unseen prefixes to ln(1/V) — the add-one limits, via COALESCE(0)
+    * on the model joins.
+    *
+    * 100 TB shape: identical to q129 (model = two map-side-combined
+    * aggs over the train side, V a 1-row broadcast) plus the
+    * row-local split predicate — no extra shuffles over q129.
+    */
+  def heldoutPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("split", splitCol("doc_id"))
+      .select(col("doc_id"), col("split"),
+        TextAnalytics.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .persist()
+    // row-local bigram extraction — the q129 idiom
+    val bigrams = docs
+      .select(col("doc_id"), col("split"), explode(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("split"), col("b.w1"), col("b.w2"))
+    val train = bigrams.filter(col("split") === "train")
+    val c2 = train.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = docs.filter(col("split") === "train")
+      .select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val held = bigrams.filter(col("split") =!= "train")
+      .groupBy(col("doc_id"), col("split"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    // no broadcast hint on the model sides: a real bigram model can
+    // exceed broadcast size; AQE converts when runtime-small (q129)
+    held
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1.select(col("w1"), col("c1")), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        (sum(col("cnt").cast("double") *
+          log((coalesce(col("c2"), lit(0L)).cast("double") + 1.0) /
+            (coalesce(col("c1"), lit(0L)).cast("double") +
+              col("v").cast("double")))) /
+          sum(col("cnt")).cast("double")).as("avg_logprob"))
+      .orderBy(col("doc_id"))
   }
 
   def bpeTokenize(spark: SparkSession, dir: String,

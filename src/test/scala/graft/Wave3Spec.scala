@@ -719,6 +719,50 @@ class Wave3Spec extends SparkSpec {
     }
   }
 
+  test("held-out perplexity: train-only model, add-one unseen limits") {
+    import spark.implicits._
+    def byte1(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 2), 16)
+    }
+    def sp(id: Long): String = {
+      val b = byte1(id)
+      if (b < 204) "train" else if (b < 230) "val" else "test"
+    }
+    val ids = (0L until 60L)
+    val trainIds = ids.filter(sp(_) == "train").take(2)
+    val held = ids.filter(sp(_) != "train").take(2)
+    // model from 2 train docs "a b a b": c2(a,b)=4 c2(b,a)=2,
+    // c1(a)=4 c1(b)=2, V=2. held(0)="a b" → ln(5/6);
+    // held(1)="z q" (nothing seen) → ln(1/2). All other docs are
+    // 1-token and drop out of both model and scoring.
+    val docs = ids.map { i =>
+      val t = if (trainIds.contains(i)) "a b a b"
+        else if (i == held(0)) "a b"
+        else if (i == held(1)) "z q" else "x"
+      (i, t, "en", "crafted", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("ppl").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = operators.TextOps.heldoutPerplexity(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._1)
+      assert(got.map(_._1).toSeq == held.sorted)
+      val byId = got.map(x => x._1 -> x).toMap
+      assert(byId(held(0))._3 == 1L &&
+        math.abs(byId(held(0))._4 - math.log(5.0 / 6.0)) < 1e-12)
+      assert(byId(held(1))._3 == 1L &&
+        math.abs(byId(held(1))._4 - math.log(0.5)) < 1e-12)
+      got.foreach(x => assert(x._2 != "train"))
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("pagerank: exact match with an independent driver-side walk") {
     // plain-Scala reimplementation of the integer fixed-point contract
     // (scale div n, rank div deg, 15/85 damping in integer div) over
