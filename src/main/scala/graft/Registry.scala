@@ -243,6 +243,12 @@ object Registry {
     // held-out perplexity: bigram LM trained on the q136 train split
     // only, scoring val/test — the leakage-free quality filter
     "q140_heldout_perplexity" -> ((s, d) => TextOps.heldoutPerplexity(s, d)),
+    // curation funnel: per-stage doc/token survival (raw → exact
+    // dedup → quality gate), three aggregate rows off one scan
+    "q141_curation_funnel" -> ((s, d) => TextOps.curationFunnel(s, d)),
+    // kNN leave-one-out eval: per-label 1-NN accuracy on the bounded
+    // eval set, fixed-point neighbor rank
+    "q142_knn_loo_eval" -> ((s, d) => Similarity.knnLooEval(s, d)),
   )
 
   /** k-means oracle CTE builders (q124): the Euclidean assignment
@@ -1740,6 +1746,45 @@ object Registry {
         "LEFT JOIN c1 ON db.w1 = c1.w1 CROSS JOIN vv " +
         "WHERE db.split <> 'train' " +
         "GROUP BY db.doc_id, db.split ORDER BY db.doc_id"),
+    // three cumulative predicates over one scan; exact counts
+    "q141_curation_funnel" ->
+      ("WITH d AS (SELECT doc_id, " +
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS BIGINT) AS tc, md5(text) AS h " +
+        "FROM documents), " +
+        "k AS (SELECT d.*, doc_id = MIN(doc_id) OVER " +
+        "(PARTITION BY h) AS keeper, " +
+        "tc >= 30 AND tc <= 90 AS quality FROM d) " +
+        "SELECT stage, n_docs, n_tokens FROM (" +
+        "SELECT 's0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(tc) AS BIGINT) AS n_tokens FROM k " +
+        "UNION ALL SELECT 's1_exact_dedup', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(tc) AS BIGINT) FROM k WHERE keeper " +
+        "UNION ALL SELECT 's2_quality', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(tc) AS BIGINT) FROM k WHERE keeper AND quality" +
+        ") ORDER BY stage"),
+    // LOO neighbor rank on the 1e-9 fixed-point cosine, ties to the
+    // lowest neighbor id; same ordered-fold dot as the engine kernel
+    "q142_knn_loo_eval" ->
+      ("WITH e AS (SELECT vec_id, label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+        "FROM embeddings WHERE vec_id < 2000), " +
+        "u AS (SELECT vec_id, label, list_transform(v0, x -> x / " +
+        "sqrt(list_reduce(list_prepend(0.0, " +
+        "list_transform(v0, y -> y*y)), (a, b) -> a + b))) AS v " +
+        "FROM e), " +
+        "pr AS (SELECT a.vec_id, a.label, b.label AS nlabel, " +
+        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY " +
+        "CAST(floor(list_reduce(list_prepend(0.0, " +
+        "list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])), " +
+        "(x, y) -> x + y) * 1e9 + 0.5) AS BIGINT) DESC, b.vec_id ASC) " +
+        "AS rk FROM u a JOIN u b ON a.vec_id <> b.vec_id) " +
+        "SELECT label, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN nlabel = label THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS correct, " +
+        "CAST(SUM(CASE WHEN nlabel = label THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS acc " +
+        "FROM pr WHERE rk = 1 GROUP BY label ORDER BY label"),
     // the drained stream must equal the full-corpus batch vocab
     "q128_streaming_vocab" ->
       ("WITH t AS (SELECT doc_id, " +

@@ -1129,6 +1129,47 @@ object Similarity {
         min(col("vec_id")).as("min_vec_id"))
       .orderBy(col("label"))
 
+  /** kNN leave-one-out evaluation (q142): 1-nearest-neighbor
+    * classification accuracy per label, each vector classified by its
+    * nearest OTHER vector's label — the standard embedding-quality
+    * probe run before committing to an embedding model.
+    *
+    * Determinism: the neighbor argmax ranks on the 1e-9 fixed-point
+    * cosine (ties to the lowest neighbor id) — the q130/q34 rank
+    * contract — and cosines come from the same ordered-fold dot both
+    * engines share, so the picked neighbor is identical cross-engine.
+    *
+    * 100 TB shape: leave-one-out is quadratic BY DESIGN in the EVAL
+    * set, never the corpus: the structural `vec_id < bound` cap (the
+    * q29/q91 idiom) bounds the pair table at any corpus size, and the
+    * bounded side broadcasts. Production-scale neighbor search is the
+    * ANN family (q34/q62/q99/q100/q115); this is its eval harness.
+    */
+  def knnLooEval(spark: SparkSession, dir: String,
+      bound: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = unitVectors(spark, dir)
+      .filter(col("vec_id") < bound)
+      .select(col("vec_id"), col("label"), col("v"))
+    val pairs = u.select(col("vec_id"), col("label"), col("v"))
+      .join(broadcast(u.select(col("vec_id").as("nid"),
+        col("label").as("nlabel"), col("v").as("nv"))),
+        col("vec_id") =!= col("nid"))
+      .withColumn("cos", dotNative(col("v"), col("nv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(
+          floor(col("cos") * lit(1e9) + lit(0.5)).cast("long").desc,
+          col("nid").asc)))
+      .filter(col("rk") === 1)
+    pairs.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("nlabel") === col("label"), 1L).otherwise(0L))
+          .as("correct"))
+      .withColumn("acc",
+        col("correct").cast("double") / col("n").cast("double"))
+      .orderBy(col("label"))
+  }
+
   /** Random-projection dimensionality reduction (q132): project the
     * 64-dim embeddings onto `target` dims with a Rademacher ±1 matrix
     * (Achlioptas 2003 — the sparse-friendly Johnson–Lindenstrauss

@@ -1149,6 +1149,36 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Curation funnel report (q141): the per-stage survival table every
+    * published pipeline ships — documents and tokens remaining after
+    * each curation stage (raw → exact dedup keepers → token-length
+    * quality gate), so reviewers see exactly where volume went.
+    *
+    * 100 TB shape: stages are cumulative row-local predicates over
+    * one scan (the dedup keeper flag is a min-over-content-hash
+    * window); the report is three map-side-combined aggregate rows.
+    */
+  def curationFunnel(spark: SparkSession, dir: String,
+      minTok: Int = 30, maxTok: Int = 90): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("tc"),
+        md5(col("text").cast("binary")).as("h"))
+      .withColumn("keeper",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy("h")))
+      .withColumn("quality",
+        col("tc") >= minTok && col("tc") <= maxTok)
+    def stage(name: String, pred: Column) =
+      d.filter(pred)
+        .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    stage("s0_raw", lit(true))
+      .unionByName(stage("s1_exact_dedup", col("keeper")))
+      .unionByName(stage("s2_quality", col("keeper") && col("quality")))
+      .orderBy(col("stage"))
+  }
+
   def bpeTokenize(spark: SparkSession, dir: String,
       rounds: Int = 3): DataFrame = {
     val (_, syms) = bpeCore(spark, dir, rounds)

@@ -763,6 +763,79 @@ class Wave3Spec extends SparkSpec {
     }
   }
 
+  test("curation funnel: hand-computed stage survival") {
+    import spark.implicits._
+    val long40 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, long40),          // keeper, quality (40 tokens)
+      (1L, long40),          // exact dup of 0 — dropped at s1
+      (2L, "tiny doc"),      // keeper, fails quality (2 tokens)
+      (3L, long40 + " extra")) // keeper, quality (41 tokens)
+      .map { case (id, t) => (id, t, "en", "crafted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = operators.TextOps.curationFunnel(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq(
+        ("s0_raw", 4L, 123L),          // 40+40+2+41
+        ("s1_exact_dedup", 3L, 83L),   // 40+2+41
+        ("s2_quality", 2L, 81L)))      // 40+41
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("knn LOO eval: nearest-other-vector labels, per-label accuracy") {
+    import spark.implicits._
+    // two tight clusters on distinct axes: label 0 at e1-ish, label 1
+    // at e2-ish; each vector's nearest OTHER vector is its cluster
+    // twin except vec 4 (label 1 but sitting in cluster 0 → wrong)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0.0f), 0),
+      (2L, Seq(0.0f, 0.0f, 1.0f), 1),
+      (3L, Seq(0.0f, 0.1f, 0.9f), 1),
+      (4L, Seq(1.0f, 0.05f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("knn").toString
+    try {
+      emb.write.parquet(s"$dir/embeddings.parquet")
+      val got = operators.Similarity.knnLooEval(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      // independent reimplementation: normalize, rank neighbors by the
+      // same 1e-9 fixed-point cosine with ties to lowest id
+      val vecs = Seq(
+        0L -> (Seq(1.0, 0.0, 0.0), 0), 1L -> (Seq(0.9, 0.1, 0.0), 0),
+        2L -> (Seq(0.0, 0.0, 1.0), 1), 3L -> (Seq(0.0, 0.1, 0.9), 1),
+        4L -> (Seq(1.0, 0.05, 0.0), 1))
+        .map { case (id, (v, l)) =>
+          val vf = v.map(_.toFloat.toDouble) // float32 storage first
+          val n = math.sqrt(vf.map(x => x * x).sum)
+          (id, vf.map(_ / n), l)
+        }
+      val nn = vecs.map { case (id, v, _) =>
+        val (bid, _) = vecs.filter(_._1 != id)
+          .map { case (oid, ov, _) =>
+            (oid, math.floor(v.zip(ov).map { case (a, b) => a * b }.sum
+              * 1e9 + 0.5).toLong) }
+          .minBy { case (oid, fp) => (-fp, oid) }
+        id -> vecs.find(_._1 == bid).get._3
+      }.toMap
+      val expect = vecs.groupBy(_._3).map { case (l, vs) =>
+        val correct = vs.count { case (id, _, lbl) => nn(id) == lbl }
+        (l, vs.size.toLong, correct.toLong,
+          correct.toDouble / vs.size) }.toSeq.sortBy(_._1)
+      assert(got.toSeq == expect)
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("pagerank: exact match with an independent driver-side walk") {
     // plain-Scala reimplementation of the integer fixed-point contract
     // (scale div n, rank div deg, 15/85 damping in integer div) over
