@@ -249,6 +249,12 @@ object Registry {
     // kNN leave-one-out eval: per-label 1-NN accuracy on the bounded
     // eval set, fixed-point neighbor rank
     "q142_knn_loo_eval" -> ((s, d) => Similarity.knnLooEval(s, d)),
+    // daily event-rate anomaly: z vs own trailing 7-day window,
+    // exact BIGINT window sums, one pinned double formula
+    "q143_rate_anomaly" -> ((s, d) => Analytics.rateAnomaly(s, d)),
+    // session conversion funnel: ordered view→click→purchase stages
+    // anchored on exact min event ids
+    "q144_session_funnel" -> ((s, d) => Sessionize.sessionFunnel(s, d)),
   )
 
   /** k-means oracle CTE builders (q124): the Euclidean assignment
@@ -1785,6 +1791,57 @@ object Registry {
         "CAST(SUM(CASE WHEN nlabel = label THEN 1 ELSE 0 END) " +
         "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS acc " +
         "FROM pr WHERE rk = 1 GROUP BY label ORDER BY label"),
+    // trailing sums are BIGINT-exact; one pinned double formula for
+    // mean/var/z so both engines round identically
+    "q143_rate_anomaly" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT *, COUNT(n) OVER win AS c, " +
+        "CAST(SUM(n) OVER win AS BIGINT) AS s, " +
+        "CAST(SUM(n * n) OVER win AS BIGINT) AS ss FROM daily " +
+        "WINDOW win AS (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_type, CAST(day AS VARCHAR) AS day, n, " +
+        "CASE WHEN CAST(ss AS DOUBLE) / CAST(c AS DOUBLE) - " +
+        "(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) * " +
+        "(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) > 0 THEN " +
+        "(CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) " +
+        "/ sqrt(CAST(ss AS DOUBLE) / CAST(c AS DOUBLE) - " +
+        "(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) * " +
+        "(CAST(s AS DOUBLE) / CAST(c AS DOUBLE))) ELSE 0.0 END AS z " +
+        "FROM w WHERE c = 7 ORDER BY event_type, day"),
+    // q20's session CTEs; stage anchors are exact min event ids
+    // (fixture event ids are strictly time-ordered)
+    "q144_session_funnel" ->
+      ("WITH g0 AS (SELECT user_id, ts, event_id, event_type, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR " +
+        "ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS session_id FROM g0), " +
+        "tv AS (SELECT user_id, session_id, MIN(event_id) AS tv " +
+        "FROM g WHERE event_type = 'view' GROUP BY 1, 2), " +
+        "tc AS (SELECT g.user_id, g.session_id, " +
+        "MIN(g.event_id) AS tc FROM g JOIN tv " +
+        "ON g.user_id = tv.user_id AND g.session_id = tv.session_id " +
+        "WHERE g.event_type = 'click' AND g.event_id > tv.tv " +
+        "GROUP BY 1, 2), " +
+        "tp AS (SELECT g.user_id, g.session_id, " +
+        "MIN(g.event_id) AS tp FROM g JOIN tc " +
+        "ON g.user_id = tc.user_id AND g.session_id = tc.session_id " +
+        "WHERE g.event_type = 'purchase' AND g.event_id > tc.tc " +
+        "GROUP BY 1, 2) " +
+        "SELECT stage, n_sessions FROM (" +
+        "SELECT 's0_sessions' AS stage, CAST(COUNT(*) AS BIGINT) " +
+        "AS n_sessions FROM " +
+        "(SELECT DISTINCT user_id, session_id FROM g) " +
+        "UNION ALL SELECT 's1_view', CAST(COUNT(*) AS BIGINT) FROM tv " +
+        "UNION ALL SELECT 's2_view_click', CAST(COUNT(*) AS BIGINT) " +
+        "FROM tc " +
+        "UNION ALL SELECT 's3_view_click_purchase', " +
+        "CAST(COUNT(*) AS BIGINT) FROM tp) ORDER BY stage"),
     // the drained stream must equal the full-corpus batch vocab
     "q128_streaming_vocab" ->
       ("WITH t AS (SELECT doc_id, " +

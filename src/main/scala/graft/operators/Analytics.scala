@@ -152,6 +152,46 @@ object Analytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Daily event-rate anomaly scores (q143): per event type, each
+    * day's count z-scored against its own trailing 7-day window
+    * (rows-based, excluding the current day) — the volume-drift
+    * monitor a production ingest pipeline alarms on.
+    *
+    * Determinism: the trailing sums (count, sum, sum of squares) are
+    * exact BIGINTs; mean/variance/z follow ONE pinned formula
+    * (`mean = s/c`, `var = ss/c − mean²`, `z = (n − mean)/sqrt(var)`)
+    * so the handful of double ops round identically cross-engine.
+    * Constant windows (var ≤ 0) emit z = 0 rather than NULL.
+    *
+    * 100 TB shape: one shuffle to daily counts (map-side combined),
+    * one window per event type over ~365 rows/type/year — window
+    * state is bounded by the calendar, not the event volume.
+    */
+  def rateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("c", count(col("n")).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("ss", sum(col("n") * col("n")).over(w))
+      .filter(col("c") === 7)
+      .withColumn("mean", col("s").cast("double") / col("c").cast("double"))
+      .withColumn("vr",
+        col("ss").cast("double") / col("c").cast("double") -
+          col("mean") * col("mean"))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("n"),
+        when(col("vr") > 0,
+          (col("n").cast("double") - col("mean")) / sqrt(col("vr")))
+          .otherwise(lit(0.0)).as("z"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Distributed PageRank (q133): `rounds` power-iteration steps over
     * the customer↔supplier purchase graph (distinct (custkey, suppkey)
     * pairs from orders⋈lineitem, both directions — the bipartite

@@ -35,4 +35,53 @@ object Sessionize {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** Session conversion funnel (q144): per-session ORDERED stage
+    * progression view → click → purchase (each stage must occur
+    * strictly after the previous one within the same session), plus
+    * global session/stage counts — the product-analytics companion to
+    * [[sessions]], and the event-stream analogue of q141's corpus
+    * funnel.
+    *
+    * Stage anchors are `min(event_id)` — the fixtures' event ids are
+    * strictly time-ordered (asserted by test), which makes every
+    * anchor and comparison exact BIGINT arithmetic cross-engine.
+    *
+    * 100 TB shape: one sessionization window (same sort q20 reuses),
+    * then three conditional per-session aggregates off the sessioned
+    * scan with broadcast-joined stage anchors; output is four
+    * aggregate rows.
+    */
+  def sessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("session_id"), col("event_type"),
+        col("event_id"))
+    val keys = Seq("user_id", "session_id")
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy(keys.map(col): _*).agg(min(col("event_id")).as("tv"))
+    val tc = ev.filter(col("event_type") === "click")
+      .join(tv, keys).filter(col("event_id") > col("tv"))
+      .groupBy(keys.map(col): _*).agg(min(col("event_id")).as("tc"))
+    val tp = ev.filter(col("event_type") === "purchase")
+      .join(tc, keys).filter(col("event_id") > col("tc"))
+      .groupBy(keys.map(col): _*).agg(min(col("event_id")).as("tp"))
+    def cnt(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_sessions"))
+        .select(lit(name).as("stage"), col("n_sessions"))
+    cnt(ev.select(keys.map(col): _*).distinct(), "s0_sessions")
+      .unionByName(cnt(tv, "s1_view"))
+      .unionByName(cnt(tc, "s2_view_click"))
+      .unionByName(cnt(tp, "s3_view_click_purchase"))
+      .orderBy(col("stage"))
+  }
 }

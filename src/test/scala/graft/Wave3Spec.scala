@@ -836,6 +836,83 @@ class Wave3Spec extends SparkSpec {
     }
   }
 
+  test("rate anomaly: exact match with an independent trailing window") {
+    // recompute from raw rows entirely driver-side
+    val rows = operators.Analytics.rateAnomaly(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val counts = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "cast(cast(ts as date) as string) as day")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byType = counts.toSeq.map { case ((t, d), n) => (t, d, n) }
+      .groupBy(_._1)
+    val expect = byType.toSeq.flatMap { case (t, ds) =>
+      val sorted = ds.sortBy(_._2)
+      sorted.indices.flatMap { i =>
+        val win = sorted.slice(math.max(0, i - 7), i).map(_._3)
+        if (win.size != 7) None
+        else {
+          val c = win.size.toDouble
+          val mean = win.sum.toDouble / c
+          val vr = win.map(x => x * x).sum.toDouble / c - mean * mean
+          val z = if (vr > 0)
+            (sorted(i)._3.toDouble - mean) / math.sqrt(vr) else 0.0
+          Some((t, sorted(i)._2, sorted(i)._3, z))
+        }
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(rows.toSeq == expect)
+    Caches.releaseAll(spark)
+  }
+
+  test("session funnel: exact match with an independent sessionizer") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "cast(ts as string) as ts", "event_id",
+        "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3)))
+    // fixture invariant the operator's scaladoc relies on: event ids
+    // are strictly time-ordered
+    val byId = ev.sortBy(_._3).map(_._2)
+    assert(byId.zip(byId.tail).forall { case (a, b) => a < b })
+    // driver-side sessionizer: 30-min gap on (ts, event_id) order
+    def t(s: String): Long = { // micros since epoch — full precision
+      val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val funnel = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      var sid = 0L
+      var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || t(e._2) > prev + 30L * 60 * 1000000)
+          sid += 1
+        prev = t(e._2)
+        (u, sid, e._3, e._4)
+      }
+    }
+    val sessions = funnel.map(x => (x._1, x._2)).distinct
+    def anchor(tpe: String, after: Map[(Long, Long), Long]) =
+      funnel.filter(e => e._4 == tpe &&
+          after.get((e._1, e._2)).exists(e._3 > _))
+        .groupBy(e => (e._1, e._2)).view
+        .mapValues(_.map(_._3).min).toMap
+    val tv = funnel.filter(_._4 == "view").groupBy(e => (e._1, e._2))
+      .view.mapValues(_.map(_._3).min).toMap
+    val tc = anchor("click", tv)
+    val tp = anchor("purchase", tc)
+    val got = operators.Sessionize.sessionFunnel(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      ("s0_sessions", sessions.size.toLong),
+      ("s1_view", tv.size.toLong),
+      ("s2_view_click", tc.size.toLong),
+      ("s3_view_click_purchase", tp.size.toLong)))
+    Caches.releaseAll(spark)
+  }
+
   test("pagerank: exact match with an independent driver-side walk") {
     // plain-Scala reimplementation of the integer fixed-point contract
     // (scale div n, rank div deg, 15/85 damping in integer div) over
