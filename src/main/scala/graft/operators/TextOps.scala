@@ -1179,6 +1179,47 @@ object TextOps {
       .orderBy(col("stage"))
   }
 
+  /** Cross-source overlap matrix (q145): for every source pair, the
+    * number of shared distinct word-3-gram fingerprints and the
+    * Jaccard overlap — the pairwise generalization of q80's
+    * train-vs-eval decontamination screen, the report that decides
+    * which sources double-count against each other.
+    *
+    * 100 TB shape: grams leave the scan as md5 HASHES (row-local HOF,
+    * the q94 discipline — no raw text crosses an exchange); per-source
+    * distinct is one shuffle on (source, hash); the pair join is
+    * hash-keyed with per-source totals broadcast for the Jaccard
+    * denominator. Output is #sources²/2 rows.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), TextAnalytics.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(
+        transform(sequence(lit(1), size(col("t")) - 2),
+          i => md5(concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2))
+            .cast("binary"))).as("h")))
+      .distinct()
+    val totals = grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+    val shared = grams.select(col("source").as("src_a"), col("h"))
+      .join(grams.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(totals.select(col("source").as("src_a"),
+        col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"),
+        col("n").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"),
+        (col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   def bpeTokenize(spark: SparkSession, dir: String,
       rounds: Int = 3): DataFrame = {
     val (_, syms) = bpeCore(spark, dir, rounds)
