@@ -1463,10 +1463,10 @@ object Registry {
         "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
         "AS toks FROM documents) " +
         "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        "list_transform(range(0, 16), b -> " +
+        "array_to_string(list_transform(range(0, 16), b -> " +
         "CAST(len(list_filter(toks, tk -> " +
         "strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1 = b)) " +
-        "AS BIGINT)) AS vec " +
+        "AS BIGINT)), ',') AS vec " +
         "FROM t ORDER BY doc_id"),
     // mirrors bigramLmScore: bigrams via adjacent list positions, the
     // same add-one model; ln agreement is within the 1e-9 rounding

@@ -233,6 +233,14 @@ object Analytics {
     val n = nodes.count()
     val base = (15L * (scale / n)) / 100L
     var ranks = nodes.withColumn("r", lit(scale / n))
+    // Eager localCheckpoint per round, superseded blocks freed in-loop
+    // (the BPE/q66 discipline): without lineage truncation the rank
+    // plan chains `rounds` joins deep — linear re-analysis cost per
+    // round and a re-execution hazard on any task retry. With it,
+    // plan depth is O(1) in `rounds` (spec-pinned at rounds=10), and
+    // each round holds at most two materialized rank vectors.
+    val sc = spark.sparkContext
+    var prevCkpt = Set.empty[Int]
     for (_ <- 1 to rounds) {
       val contrib = ranks.join(deg, Seq("t", "id"))
         .select(col("t"), col("id"), expr("r div deg").as("c"))
@@ -240,11 +248,17 @@ object Analytics {
         .join(contrib, col("st") === col("t") && col("sid") === col("id"))
         .groupBy(col("dt").as("t2"), col("did").as("id2"))
         .agg(sum(col("c")).as("s"))
+      val before = sc.getPersistentRDDs.keySet.toSet
       ranks = nodes
         .join(sums, col("t") === col("t2") && col("id") === col("id2"),
           "left")
         .select(col("t"), col("id"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+        .localCheckpoint(true)
+      prevCkpt.foreach(id => sc.getPersistentRDDs.get(id)
+        .foreach(rdd => try rdd.unpersist(blocking = false)
+          catch { case _: Throwable => () }))
+      prevCkpt = sc.getPersistentRDDs.keySet.toSet -- before
     }
     val out = ranks
       .select(col("t"), col("id"), col("r").as("rank_fp"),

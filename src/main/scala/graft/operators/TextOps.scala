@@ -679,7 +679,11 @@ object TextOps {
     * evaluate (the q120/q121 oracle pattern), so the vectors
     * hash-check cross-engine. Production dims are 2^18+; the oracle
     * pins 16 for a readable cross-engine check — dim only widens the
-    * row-local output array, the shape is unchanged.
+    * row-local output array, the shape is unchanged. The vector is
+    * emitted comma-serialized (`"3,0,1,…"`) rather than as
+    * `array<long>`: the driver's comparator sorts output frames and an
+    * array column is unhashable there — every registered query's
+    * output must be scalar columns only (guarded in `QueriesSpec`).
     */
   def hashingVectorizer(spark: SparkSession, dir: String,
       dim: Int = 16): DataFrame =
@@ -687,10 +691,10 @@ object TextOps {
       .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        transform(sequence(lit(0), lit(dim - 1)),
+        array_join(transform(sequence(lit(0), lit(dim - 1)),
           b => size(filter(col("toks"),
             t => conv(substring(md5(t), 1, 1), 16, 10).cast("int")
-              === b.cast("int"))).cast("long")).as("vec"))
+              === b.cast("int"))).cast("long")), ",").as("vec"))
       .orderBy(col("doc_id"))
 
   /** BM25 ranked retrieval (q130): top-`topK` documents for a fixed

@@ -18,19 +18,35 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark has no native
-    * type for — read it as nanos-since-epoch and truncate to a
-    * `timestamp_ntz` (µs). NTZ matches the oracle's naive timestamp
-    * semantics exactly, independent of session timezone. Integer `div`
-    * keeps the conversion exact (a double roundtrip would lose precision
-    * at 2024-epoch nanos ≈ 1.7e18).
+  /** `events.ts` normalized to `timestamp_ntz` (µs) regardless of how the
+    * fixture generation wrote it. Generations have shipped it as parquet
+    * TIMESTAMP(NANOS) (no native Spark type — surfaces as nanos-since-
+    * epoch long under `nanosAsLong`) and as TIMESTAMP(MICROS) (surfaces
+    * as `timestamp_ntz` directly). Dispatch on the footer schema so both
+    * read identically. NTZ matches the oracle's naive timestamp semantics
+    * exactly, independent of session timezone; the nanos branch uses
+    * integer `div` so the truncation is exact (a double roundtrip would
+    * lose precision at 2024-epoch nanos ≈ 1.7e18).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
-          .cast("timestamp_ntz"))
+    val raw = read(spark, dir, "events")
+    normalizeTs(raw)
+  }
+
+  /** Normalize a `ts` column to `timestamp_ntz` from any fixture vintage:
+    * nanos-as-long → exact integer truncation to µs; timestamp (µs, tz'd
+    * or not) → plain cast (identity wall-clock under the UTC session).
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      case org.apache.spark.sql.types.TimestampNTZType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "region")

@@ -84,25 +84,30 @@ class UserActivityProcessor
   */
 object StreamingOps {
 
-  // raw parquet schema (ts read as nanos-since-epoch long, see Tables)
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  // raw parquet schema modulo `ts`, whose physical type depends on the
+  // fixture vintage (TIMESTAMP(NANOS) → long, TIMESTAMP(MICROS) → ntz);
+  // streamEvents probes the footer and normalizes (see Tables.normalizeTs)
+  private def eventsSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   private val counter = new AtomicInteger(0)
 
-  private def streamEvents(spark: SparkSession, dir: String): DataFrame = {
+  def streamEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
+    // a streaming file source needs the schema up front — one footer read
+    // (driver-side, metadata only) pins the vintage-dependent ts type
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    Tables.normalizeTs(spark.readStream
+      .schema(eventsSchema(tsType))
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(dir)
-      .withColumn("ts",
-        expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      .parquet(dir))
   }
 
   /** Runs `df` as an Update-mode stream whose micro-batches append to a

@@ -21,6 +21,22 @@ class QueriesSpec extends SparkSpec {
       val df = fn(spark, sfDir)
       assert(df.columns.nonEmpty)
       assert(df.count() >= 0)
+      // Driver-comparator contract: the correctness gate sorts the output
+      // frame in pandas, where array/struct/map cells are unhashable (the
+      // r6 q127 failure class). Every oracled query must emit only
+      // atomic columns; complex intermediates serialize (array_join) or
+      // melt before the final select.
+      if (SparkEntry.oracleSql.contains(name)) {
+        import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+        val complex = df.schema.fields.filter(f => f.dataType match {
+          case _: ArrayType | _: MapType | _: StructType => true
+          case _ => false
+        })
+        assert(complex.isEmpty,
+          s"$name is oracled but emits non-atomic columns: " +
+            complex.map(f => s"${f.name}: ${f.dataType.simpleString}")
+              .mkString(", "))
+      }
     }
   }
 

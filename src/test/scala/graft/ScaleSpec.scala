@@ -193,14 +193,8 @@ class ScaleSpec extends SparkSpec {
     import org.apache.spark.sql.types._
     val ckpt = s"$tmp/ckpt"
     val out = s"$tmp/stream_out"
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def runOnce(): Unit = {
-      val q = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      val q = streaming.StreamingOps.streamEvents(spark, sfDir)
         .select(col("event_id"), col("user_id"))
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)

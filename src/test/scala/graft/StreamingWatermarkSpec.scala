@@ -10,17 +10,10 @@ import org.apache.spark.sql.types._
   */
 class StreamingWatermarkSpec extends SparkSpec {
 
-  private val schema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   test("append-mode watermarked windows match batch for closed windows") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_wm_append"
-    val agg = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = streaming.StreamingOps.streamEvents(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"))
       .agg(count(lit(1)).as("n"))

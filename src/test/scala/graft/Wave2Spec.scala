@@ -491,7 +491,7 @@ class Wave2Spec extends SparkSpec {
     val got = operators.TextOps.hashingVectorizer(spark, sfDir).collect()
     assert(got.nonEmpty)
     got.foreach { r =>
-      val vec = r.getSeq[Long](2)
+      val vec = r.getString(2).split(',').map(_.toLong).toSeq
       assert(vec.length == 16)
       assert(vec.sum == r.getAs[Long]("n_tokens"),
         s"doc ${r.getLong(0)}: bucket counts don't partition the tokens")
@@ -504,7 +504,7 @@ class Wave2Spec extends SparkSpec {
     try {
       docs.write.parquet(s"$dir/documents.parquet")
       val vec = operators.TextOps.hashingVectorizer(spark, dir)
-        .collect().head.getSeq[Long](2)
+        .collect().head.getString(2).split(',').map(_.toLong).toSeq
       def nibble(s: String): Int = Integer.parseInt(
         java.security.MessageDigest.getInstance("MD5")
           .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

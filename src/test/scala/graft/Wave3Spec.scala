@@ -944,4 +944,43 @@ class Wave3Spec extends SparkSpec {
     got.foreach { case (k, fp) => assert(fp == r(k), s"node $k") }
     Caches.releaseAll(spark)
   }
+
+  test("pagerank rounds=10: still exact, plan depth O(1) in rounds") {
+    // same independent walk, deeper iteration — proves the in-loop
+    // localCheckpoint discipline: results stay bit-exact and the final
+    // plan holds ONE round of joins regardless of rounds (without
+    // truncation the optimized plan would chain 10 rounds ≈ 30 joins)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edges = pairs.toSeq.flatMap { case (c, s) =>
+      Seq((("c", c), ("s", s)), (("s", s), ("c", c))) }
+    val nodes = edges.map(_._1).distinct.sorted
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val scale = 1000000000000L
+    val n = nodes.size.toLong
+    val base = (15L * (scale / n)) / 100L
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to 10) {
+      val sums = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum }
+      r = nodes.map(v => v -> (base + (85L * sums.getOrElse(v, 0L)) / 100L))
+        .toMap
+    }
+    val df = operators.Analytics.pageRank(spark, sfDir, rounds = 10)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    assert(joins <= 3,
+      s"plan depth grew with rounds: $joins joins in the final plan")
+    val got = df.collect()
+      .map(row => ((row.getString(0), row.getLong(1)), row.getLong(2)))
+    assert(got.length == nodes.size)
+    got.foreach { case (k, fp) => assert(fp == r(k), s"node $k") }
+    Caches.releaseAll(spark)
+  }
 }
