@@ -118,7 +118,35 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_PROFILE", "bench_profile.jsonl"))
     try java.nio.file.Files.deleteIfExists(profilePath)
     catch { case _: Throwable => () }
-    def profile(name: String, sec: Double): Unit = try {
+    // --- machine-interference markers (the r6 verdict's ask: the
+    // driver's bench showed two contiguous windows of 4–45× outliers
+    // vs an identical-code builder run — decisive attribution needs
+    // per-query evidence of EXTERNAL load). Two independent signals,
+    // sampled immediately before each query:
+    //   load1    — /proc/loadavg 1-min average; local[32] at rest runs
+    //              this box near the low single digits between queries.
+    //   spin_ms  — wall time of a FIXED single-thread arithmetic spin
+    //              (~10 ms quiet). CPU contention or cgroup throttling
+    //              stretches it in direct proportion; a query timed
+    //              next to a 40 ms spin was co-scheduled with noise.
+    def load1: Double = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    def spinMs: Double = {
+      var x = 0x9e3779b97f4a7c15L
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 4000000) { // fixed work: ~10 ms on this box, quiet
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e6
+      if (x == 0L) println("") // keep the spin observable
+      dt
+    }
+    def profile(name: String, sec: Double, ld: Double,
+        spin: Double): Unit = try {
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       val sc = spark.sparkContext
@@ -127,7 +155,9 @@ object Bench {
         .map(i => i.memSize + i.diskSize).sum / (1024 * 1024)
       val line = s"""{"q":"$name","sec":${"%.3f".format(sec)},""" +
         s""""heap_mb":$heapMb,"rss_mb":$rssMb,"tmp_mb":$tmpMb,""" +
-        s""""persistent_rdds":$nRdd,"storage_mb":$storageMb}""" + "\n"
+        s""""persistent_rdds":$nRdd,"storage_mb":$storageMb,""" +
+        s""""load1":${"%.2f".format(ld)},""" +
+        s""""spin_ms":${"%.2f".format(spin)}}""" + "\n"
       java.nio.file.Files.write(profilePath, line.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
@@ -143,13 +173,15 @@ object Bench {
       sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(1))
     val perPass = (1 to passes).map { p =>
       selected.map { case (name, fn) =>
+        val ld = load1
+        val spin = spinMs
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // release per-query persist() caches so later queries get the
         // full execution-memory pool (see Caches for the contract)
         Caches.releaseAll(spark)
-        profile(if (passes == 1) name else s"$name#p$p", dt)
+        profile(if (passes == 1) name else s"$name#p$p", dt, ld, spin)
         name -> dt
       }
     }

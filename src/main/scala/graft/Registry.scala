@@ -255,6 +255,14 @@ object Registry {
     // session conversion funnel: ordered view→click→purchase stages
     // anchored on exact min event ids
     "q144_session_funnel" -> ((s, d) => Sessionize.sessionFunnel(s, d)),
+    // streaming twin of q95's md5 banding: the foreachBatch band-join
+    // arithmetic is hash-checked cross-engine, not just batch-equal
+    "q145_streaming_band_oracled" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingBandDedupOracled(s, d)),
+    // q39's production shape: frame features row-local per doc (exact
+    // integer byte-sums, serialized) — only exchange is the final sort
+    "q146_frame_features_agg" -> ((s, d) =>
+      Multimodal.frameFeaturesAgg(s, d)),
   )
 
   /** k-means oracle CTE builders (q124): the Euclidean assignment
@@ -1842,6 +1850,49 @@ object Registry {
         "FROM tc " +
         "UNION ALL SELECT 's3_view_click_purchase', " +
         "CAST(COUNT(*) AS BIGINT) FROM tp) ORDER BY stage"),
+    // q95's md5 min-hash chain with the q116 corpus/batch split: new
+    // docs (doc_id%10=9) band-join the historical side only, then
+    // exact-Jaccard verification — the streaming foreachBatch result
+    // drained over the same fixture must hash-match this exactly
+    "q145_streaming_band_oracled" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+        "FROM e GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+        "p AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id " +
+        "FROM band n JOIN band c ON n.band = c.band AND n.bucket = c.bucket " +
+        "WHERE n.doc_id % 10 = 9 AND c.doc_id % 10 <> 9), " +
+        "v AS (SELECT new_id, corpus_id, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) AS la, len(b.sh) AS lb " +
+        "FROM p JOIN f a ON a.doc_id = p.new_id JOIN f b ON b.doc_id = p.corpus_id) " +
+        "SELECT new_id, corpus_id, " +
+        "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard FROM v " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5 " +
+        "ORDER BY new_id, corpus_id"),
+    // q39's production shape: per-doc frame byte-sums (exact integers,
+    // ragged tail included), comma-serialized in frame order
+    "q146_frame_features_agg" ->
+      ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents " +
+        "WHERE length(text) > 0), " +
+        "pos AS (SELECT doc_id, text, unnest(range(0, n)) AS p FROM d), " +
+        "f AS (SELECT doc_id, p // 32 AS idx, " +
+        "SUM(ascii(substring(text, CAST(p + 1 AS INT), 1))) AS s " +
+        "FROM pos GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames, " +
+        "string_agg(s, ',' ORDER BY idx) AS frame_sums " +
+        "FROM f GROUP BY doc_id ORDER BY doc_id"),
     // the drained stream must equal the full-corpus batch vocab
     "q128_streaming_vocab" ->
       ("WITH t AS (SELECT doc_id, " +

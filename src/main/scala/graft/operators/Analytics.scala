@@ -228,8 +228,15 @@ object Analytics {
       .persist()
     val nodes = edges.select(col("st").as("t"), col("sid").as("id"))
       .distinct().persist()
-    val deg = edges.groupBy(col("st").as("t"), col("sid").as("id"))
+    // Source degree attached to the edge table ONCE (persisted): the
+    // per-round work is then a single ranks⋈edges join + the
+    // destination-key sum — attaching deg per round would re-run its
+    // exchange and a second join every iteration. `r div deg` is
+    // evaluated edge-side after the rank join: same integer division
+    // per (source, edge), bit-identical sums.
+    val deg = edges.groupBy(col("st"), col("sid"))
       .agg(count(lit(1)).as("deg"))
+    val edgesWd = edges.join(deg, Seq("st", "sid")).persist()
     val n = nodes.count()
     val base = (15L * (scale / n)) / 100L
     var ranks = nodes.withColumn("r", lit(scale / n))
@@ -242,12 +249,10 @@ object Analytics {
     val sc = spark.sparkContext
     var prevCkpt = Set.empty[Int]
     for (_ <- 1 to rounds) {
-      val contrib = ranks.join(deg, Seq("t", "id"))
-        .select(col("t"), col("id"), expr("r div deg").as("c"))
-      val sums = edges
-        .join(contrib, col("st") === col("t") && col("sid") === col("id"))
+      val sums = edgesWd
+        .join(ranks, col("st") === col("t") && col("sid") === col("id"))
         .groupBy(col("dt").as("t2"), col("did").as("id2"))
-        .agg(sum(col("c")).as("s"))
+        .agg(sum(expr("r div deg")).as("s"))
       val before = sc.getPersistentRDDs.keySet.toSet
       ranks = nodes
         .join(sums, col("t") === col("t2") && col("id") === col("id2"),

@@ -749,14 +749,7 @@ object Dedup {
   def minhashOracledDf(docsRaw: DataFrame, perms: Int = 8, bands: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
     val (docs, pairs) = minhashCandidatePairs(docsRaw, perms, bands)
-    pairs
-      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    md5VerifyPairs(pairs, docs, "id_a", "id_b", minJaccard)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -834,30 +827,53 @@ object Dedup {
     */
   private def minhashCandidatePairs(docsRaw: DataFrame, perms: Int,
       bands: Int): (DataFrame, DataFrame) = {
-    require(perms % bands == 0, "perms must split evenly into bands")
-    val rows = perms / bands
-    val docs = docsRaw
-      .select(col("doc_id"), TextAnalytics.shingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val docs = md5ShingledDocs(docsRaw)
       // barrier: shingle arrays feed both the signature build and the
       // candidate verification; without it project-collapse recomputes
       // the tokenization per branch
       .persist()
-    // signatures are ROW-LOCAL: per-perm min over the doc's shingle set
-    // — no explode, no hash-aggregate, no shuffle (the former
-    // explode→groupBy shape pushed Σ|sh| rows through an exchange).
-    // The per-(gram, perm) md5 runs in the codegen'd
-    // [[org.apache.spark.sql.graft.Md5MinHashSignature]] kernel (one
-    // digest instance, byte-wise min, hex only the winners) — values
-    // bit-identical to the interpreted
-    // array_min(transform(sh, g -> md5(g ++ '#s'))) HOF spelling the
-    // oracle SQL mirrors, pinned by a direct equality test.
+    val banded = md5BandedSignatures(docs, perms, bands)
+    val pairs = banded.as("l")
+      .join(banded.as("r"), Seq("band", "bucket"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    (docs, pairs)
+  }
+
+  /** `(doc_id, sh)` string 3-shingle sets — the md5-oracled family's
+    * shared tokenization (q95/q109/q145).
+    */
+  private[graft] def md5ShingledDocs(docsRaw: DataFrame): DataFrame =
+    docsRaw
+      .select(col("doc_id"), TextAnalytics.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** md5 min-hash band table `(doc_id, band, bucket)` over shingled
+    * docs — the oracle-expressible banding q95/q109 pair on, exposed
+    * for the STREAMING twin (q145) so its historical table and per-
+    * micro-batch bands are the very same construction.
+    *
+    * Signatures are ROW-LOCAL: per-perm min over the doc's shingle set
+    * — no explode, no hash-aggregate, no shuffle (the former
+    * explode→groupBy shape pushed Σ|sh| rows through an exchange).
+    * The per-(gram, perm) md5 runs in the codegen'd
+    * [[org.apache.spark.sql.graft.Md5MinHashSignature]] kernel (one
+    * digest instance, byte-wise min, hex only the winners) — values
+    * bit-identical to the interpreted
+    * array_min(transform(sh, g -> md5(g ++ '#s'))) HOF spelling the
+    * oracle SQL mirrors, pinned by a direct equality test.
+    */
+  private[graft] def md5BandedSignatures(docs: DataFrame,
+      perms: Int = 8, bands: Int = 4): DataFrame = {
+    require(perms % bands == 0, "perms must split evenly into bands")
+    val rows = perms / bands
     val sig = docs
       .select(col("doc_id"),
         VectorExpressions.md5MinhashNative(col("sh"), perms).as("sigs"))
       .select(col("doc_id") +:
         (0 until perms).map(s => col("sigs").getItem(s).as(s"m$s")): _*)
-    val banded = sig
+    sig
       .select(col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -867,13 +883,24 @@ object Dedup {
         }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-    val pairs = banded.as("l")
-      .join(banded.as("r"), Seq("band", "bucket"))
-      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
-    (docs, pairs)
   }
+
+  /** Exact-Jaccard verification over md5-family string shingle sets:
+    * candidate `pairs` (leftId, rightId) joined to `shingled`
+    * (doc_id, sh) on both sides, kept at `jaccard >= minJaccard`.
+    */
+  private[graft] def md5VerifyPairs(pairs: DataFrame, shingled: DataFrame,
+      leftId: String, rightId: String, minJaccard: Double): DataFrame =
+    pairs
+      .join(shingled.select(col("doc_id").as(leftId), col("sh").as("sh_a")),
+        leftId)
+      .join(shingled.select(col("doc_id").as(rightId), col("sh").as("sh_b")),
+        rightId)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col(leftId), col(rightId), col("jaccard"))
 
   /** SimHash with a cross-engine hash (q102): the oracled correctness
     * twin of the xxhash64-seeded production kernel

@@ -67,6 +67,37 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  final case class FrameAgg(doc_id: Long, n_frames: Long, frame_sums: String)
+
+  /** Aggregate-per-doc frame features (q146) — the PRODUCTION shape of
+    * [[frameFeatures]] at 100 TB: q39 emits one row per 32-byte frame,
+    * so its presentation sort is a global order over bytes/32 rows;
+    * here the whole frame sequence stays ROW-LOCAL (one output row per
+    * document, the q127 serialization pattern), so the only exchange
+    * in the plan is the final per-doc sort — guarded by a ScaleSpec
+    * plan test. Features are the exact integer byte-sums per frame
+    * (no division), comma-serialized, so the oracle is bit-exact
+    * including the ragged tail frame q122 has to truncate. q39 stays
+    * as the per-frame oracle twin.
+    */
+  def frameFeaturesAgg(spark: SparkSession, dir: String,
+      frameSize: Int = 32): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    docs.mapPartitions { rows =>
+      // per-partition init would go here (codec context, model handle)
+      rows.map { case (id, payload) =>
+        val sums = payload.grouped(frameSize)
+          .map(_.map(b => (b & 0xff).toLong).sum).toSeq
+        FrameAgg(id, sums.length.toLong, sums.mkString(","))
+      }
+    }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic 1-in-k frame sampling over a decoded frame sequence
     * — the temporal-subsampling step of every video featurizer (keep
     * frame 0, k, 2k, …). Pure function so the pipeline op and its tests

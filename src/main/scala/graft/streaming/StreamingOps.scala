@@ -438,21 +438,102 @@ object StreamingOps {
       s"graft_streamdedup_${counter.incrementAndGet()}_")).toString
     graft.Caches.onRelease(
       () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
+    // The historical side is FIXED for the life of the query — cache it
+    // once across micro-batches (bands for candidate gen, shingle sets
+    // for verification) instead of re-scanning parquet per batch. The
+    // r6 driver bench charged q116 a per-batch corpus re-read; with the
+    // caches, per-batch work is banding the BATCH + the candidate join
+    // only. Both persists release via Caches.releaseAll after the
+    // drained stream's final batch read.
+    val corpusBands = spark.read.parquet(bandTab)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
+      .persist()
+    val corpusDocs = Tables.documents(spark, dir).persist()
+    graft.Caches.onRelease(() => {
+      try corpusBands.unpersist(false) catch { case _: Throwable => () }
+      try corpusDocs.unpersist(false) catch { case _: Throwable => () }
+    })
     val q = newDocs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val corpusBands = batch.sparkSession.read.parquet(bandTab)
-          .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
         val pairs = Dedup.bandDocs(batch)
           .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
           .join(corpusBands, Seq("band", "bucket"))
           .select(col("new_id"), col("corpus_id"))
           .distinct()
-        // verification reads both sides from the corpus parquet —
-        // candidate-bounded join work, one corpus scan per micro-batch
-        Dedup.verifyPairs(pairs,
-            Tables.documents(batch.sparkSession, dir),
+        // verification joins the cached corpus — candidate-bounded work
+        Dedup.verifyPairs(pairs, corpusDocs,
             "new_id", "corpus_id", 0.5)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sinkSchema = StructType(Seq(
+      StructField("new_id", LongType),
+      StructField("corpus_id", LongType),
+      StructField("jaccard", DoubleType),
+      StructField("batch_id", LongType)))
+    spark.read.schema(sinkSchema).parquet(sinkDir)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+      .distinct() // replayed micro-batches are idempotent on pairs
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  /** Oracled streaming band dedup (q145): [[streamingBandDedup]]'s
+    * foreachBatch band-join arithmetic run over the md5-permutation
+    * banding of q95 (fixed perms, oracle-expressible) instead of the
+    * xxhash64 production kernel — the q119/q120/q121 "oracled twin"
+    * pattern applied to the streaming path. Every moving part crosses
+    * engines: DuckDB computes the same corpus/batch split, the same
+    * min-md5 signatures and band buckets, the same band equi-join and
+    * the same exact-Jaccard verification, so the drained stream's pairs
+    * are hash-checked cross-engine, not just batch-equal.
+    *
+    * Same cross-batch cache discipline as the production path: the
+    * historical band table and the verification shingle sets are
+    * persisted ONCE for the life of the query; per-batch work is
+    * banding the BATCH plus the candidate-bounded join.
+    */
+  def streamingBandDedupOracled(spark: SparkSession, dir: String,
+      batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val isBatch = col("doc_id") % batchMod === batchRem
+    val corpusBands = Dedup.md5BandedSignatures(
+        Dedup.md5ShingledDocs(Tables.documents(spark, dir).filter(!isBatch)))
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
+      .persist()
+    val allSh = Dedup.md5ShingledDocs(Tables.documents(spark, dir)).persist()
+    graft.Caches.onRelease(() => {
+      try corpusBands.unpersist(false) catch { case _: Throwable => () }
+      try allSh.unpersist(false) catch { case _: Throwable => () }
+    })
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val newDocs = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(isBatch)
+    val sinkDir = graft.Caches.trackTempDir(Files.createTempDirectory(
+      s"graft_streamdedup_md5_${counter.incrementAndGet()}_")).toString
+    graft.Caches.onRelease(
+      () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
+    val q = newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val pairs = Dedup.md5BandedSignatures(Dedup.md5ShingledDocs(batch))
+          .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
+          .join(corpusBands, Seq("band", "bucket"))
+          .select(col("new_id"), col("corpus_id"))
+          .distinct()
+        Dedup.md5VerifyPairs(pairs, allSh, "new_id", "corpus_id", 0.5)
           .withColumn("batch_id", lit(id))
           .write.mode("append").parquet(sinkDir)
       }

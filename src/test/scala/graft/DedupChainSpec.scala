@@ -98,6 +98,30 @@ class DedupChainSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("oracled streaming band dedup == q95 pairs restricted cross-side") {
+    // the md5-banded streaming twin (q145) must emit exactly the q95
+    // candidate+verify pairs whose sides straddle the corpus/batch
+    // split — same banding, same verification, so the set identity is
+    // structural, independent of the DuckDB oracle
+    val q95 = operators.Dedup.minhashOracled(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard")))
+    val expected = q95.flatMap { case (a, b, j) =>
+      (a % 10 == 9, b % 10 == 9) match {
+        case (true, false) => Some((a, b, j))
+        case (false, true) => Some((b, a, j))
+        case _ => None
+      }
+    }.toSet
+    val streamed = graft.streaming.StreamingOps
+      .streamingBandDedupOracled(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(streamed == expected,
+      s"streamed ${streamed.size} pairs vs expected ${expected.size}")
+    Caches.releaseAll(spark)
+  }
+
   test("streaming vocab drains to exactly the full-corpus batch vocab") {
     import graft.sources.Tables
     import org.apache.spark.sql.functions.{col, count, countDistinct, explode, lit}

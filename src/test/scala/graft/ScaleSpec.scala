@@ -155,6 +155,24 @@ class ScaleSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("frame-features agg is row-local: its only exchange is the sort") {
+    // the q146 scale contract (q39's production shape): frames never
+    // explode into per-frame rows — the whole sequence reduces inside
+    // the scan partition, so the plan's only exchange is the per-doc
+    // presentation sort
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = operators.Multimodal.frameFeaturesAgg(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.length <= 1,
+      s"q146 should shuffle only for the sort:\n$plan")
+    assert(!plan.toString.contains("Generate"),
+      s"q146 grew a per-frame explode:\n$plan")
+    assert(!plan.toString.contains("Aggregate"),
+      s"q146 grew a cross-row aggregation:\n$plan")
+    Caches.releaseAll(spark)
+  }
+
   test("sequence packing windows partition by (lang, shard), never bare lang") {
     // regression guard for the round-4 scale flaw: a window partitioned
     // only by language sorts each language's whole token stream in one
