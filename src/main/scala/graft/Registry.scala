@@ -265,1641 +265,19 @@ object Registry {
       Multimodal.frameFeaturesAgg(s, d)),
   )
 
-  /** k-means oracle CTE builders (q124): the Euclidean assignment
-    * argmax(v·c − ‖c‖²/2) with ties to the lowest cid, and the
-    * fixed-point centroid update — both folds ordered to match the
-    * engine's kernels exactly.
+  /** DuckDB oracle SQL, merged from the per-family objects in
+    * `graft.oracles` (split when this file passed 1,900 lines). The
+    * size check makes a duplicated key a construction-time failure
+    * instead of a silent map override.
     */
-  private def kmScore: String =
-    "list_reduce(list_transform(list_zip(e.v, c.c), z -> z[1]*z[2]), " +
-      "(a,b) -> a+b) - " +
-      "list_reduce(list_transform(c.c, x -> x*x), (a,b) -> a+b)/2"
-
-  private def kmAssign(prev: String, name: String,
-      withScore: Boolean): String = {
-    val scoreCol = if (withScore) s", $kmScore AS score" else ""
-    val outCol = if (withScore) ", score" else ""
-    s"$name AS (SELECT vec_id, cid$outCol FROM (" +
-      s"SELECT e.vec_id, c.cid$scoreCol, ROW_NUMBER() OVER (" +
-      s"PARTITION BY e.vec_id ORDER BY $kmScore DESC, c.cid ASC) AS rn " +
-      s"FROM e CROSS JOIN $prev c) WHERE rn = 1)"
+  val oracleSql: Map[String, String] = {
+    val parts = Seq(
+      oracles.OracleEtl.sql, oracles.OracleRelational.sql,
+      oracles.OracleText.sql, oracles.OracleDedup.sql,
+      oracles.OracleAnn.sql, oracles.OracleStreamMedia.sql)
+    val merged = parts.reduce(_ ++ _)
+    require(merged.size == parts.map(_.size).sum,
+      "duplicate oracle key across graft.oracles family objects")
+    merged
   }
-
-  private def kmUpdate(asn: String, prev: String, xn: String,
-      cn: String): String =
-    s"$xn AS (SELECT $asn.cid, d.i, " +
-      "CAST(SUM(CAST(floor(e.v[CAST(d.i AS INT)] * 1e12 + 0.5) AS BIGINT)) " +
-      s"AS DOUBLE)/1e12/COUNT(*) AS cv FROM $asn JOIN e USING (vec_id), " +
-      s"range(1, 65) d(i) GROUP BY $asn.cid, d.i), " +
-      s"$cn AS (SELECT p.cid, COALESCE(l.c, p.c) AS c FROM $prev p " +
-      "LEFT JOIN (SELECT cid, list(cv ORDER BY i) AS c FROM " +
-      s"$xn GROUP BY cid) l ON p.cid = l.cid)"
-
-  /** BPE oracle round builder (q131): from symbol table `prev`
-    * (w, freq, pos, sym) derive `b$r` (the argmax pair) and `s$r`
-    * (the rewritten symbol table). Leftmost non-overlapping merge
-    * application via gaps-and-islands + odd run-parity — the same
-    * relational spelling as [[TextOps.bpeMerges]], so every
-    * intermediate hash-matches.
-    */
-  private def bpeRound(prev: String, r: Int): String =
-    s"n$r AS (SELECT w, freq, pos, sym, " +
-      "LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt " +
-      s"FROM $prev), " +
-      s"b$r AS (SELECT sym AS a, nxt AS b, " +
-      s"CAST(SUM(freq) AS BIGINT) AS cnt FROM n$r " +
-      "WHERE nxt IS NOT NULL GROUP BY sym, nxt " +
-      "ORDER BY cnt DESC, a ASC, b ASC LIMIT 1), " +
-      s"i$r AS (SELECT *, (nxt IS NOT NULL AND " +
-      s"sym = (SELECT a FROM b$r) AND nxt = (SELECT b FROM b$r)) " +
-      s"AS ispair FROM n$r), " +
-      s"r$r AS (SELECT *, CASE WHEN ispair THEN pos - " +
-      "ROW_NUMBER() OVER (PARTITION BY w, ispair ORDER BY pos) END " +
-      s"AS runid FROM i$r), " +
-      s"e$r AS (SELECT *, ispair AND " +
-      "(ROW_NUMBER() OVER (PARTITION BY w, runid ORDER BY pos) % 2 = 1) " +
-      s"AS sel FROM r$r), " +
-      s"g$r AS (SELECT *, COALESCE(" +
-      "LAG(sel) OVER (PARTITION BY w ORDER BY pos), false) " +
-      s"AS prevsel FROM e$r), " +
-      s"s$r AS (SELECT w, freq, " +
-      "ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, " +
-      "CASE WHEN sel THEN sym || nxt ELSE sym END AS sym " +
-      s"FROM g$r WHERE NOT prevsel)"
-
-  val oracleSql: Map[String, String] = Map(
-    "q01_watermark_last_id" ->
-      "SELECT MAX(event_id) AS last_id FROM events WHERE event_type = 'purchase'",
-    "q02_batch_counter" ->
-      ("SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, " +
-        "CAST(COALESCE(MAX(CAST(FLOOR(value) AS BIGINT)), 0) + 1 AS BIGINT) AS next_batch " +
-        "FROM events GROUP BY 1 ORDER BY day"),
-    "q03_incremental_batch" ->
-      ("SELECT event_id, user_id, event_type FROM events " +
-        "WHERE event_id > (SELECT COALESCE(MAX(event_id), -1) FROM events " +
-        "WHERE event_type = 'signup') ORDER BY event_id"),
-    "q04_insert_update_split" ->
-      ("SELECT CAST(COALESCE(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS inserts, " +
-        "CAST(COALESCE(SUM(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS updates, " +
-        "COUNT(*) AS total FROM events LEFT JOIN customer ON user_id = c_custkey"),
-    "q05_semi_join" ->
-      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
-        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
-    "q06_anti_join" ->
-      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
-        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
-        "AND o_totalprice > 450000.0) ORDER BY c_custkey"),
-    "q07_enrich_broadcast" ->
-      ("SELECT o_orderkey, c_name, n_name, r_name FROM orders " +
-        "LEFT JOIN customer ON o_custkey = c_custkey " +
-        "LEFT JOIN nation ON c_nationkey = n_nationkey " +
-        "LEFT JOIN region ON n_regionkey = r_regionkey ORDER BY o_orderkey"),
-    "q08_delete_complement" ->
-      ("SELECT COUNT(*) AS kept, " +
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS kept_qty " +
-        "FROM lineitem WHERE NOT (l_returnflag = 'A' " +
-        "AND l_shipdate >= TIMESTAMP '1995-01-01')"),
-    "q09_topk" ->
-      ("SELECT event_id, user_id, value FROM events " +
-        "ORDER BY value DESC, event_id LIMIT 10"),
-    "q10_key_registry" ->
-      ("SELECT user_id AS key FROM events UNION " +
-        "SELECT c_custkey AS key FROM customer ORDER BY key"),
-    "q11_first_per_key" ->
-      ("SELECT user_id, event_id AS first_event_id, event_type AS first_type, " +
-        "CAST(CAST(ts AS DATE) AS VARCHAR) AS first_day FROM " +
-        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn " +
-        "FROM events) WHERE rn = 1 ORDER BY user_id"),
-    "q12_window_analytics" ->
-      ("SELECT user_id, event_id, event_type, " +
-        "LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id " +
-        "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
-        "AS running_value FROM events ORDER BY user_id, event_id"),
-    "q13_rollup_orders" ->
-      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, " +
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price, " +
-        "CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status, " +
-        "CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority " +
-        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
-        "ORDER BY g_status, g_priority, o_orderstatus ASC NULLS FIRST, " +
-        "o_orderpriority ASC NULLS FIRST"),
-    "q14_ordered_fold_distinct" ->
-      ("SELECT user_id, STRING_AGG(event_type, ',' ORDER BY event_id) AS type_seq, " +
-        "COUNT(*) AS n_distinct_types FROM " +
-        "(SELECT user_id, event_id, event_type, ROW_NUMBER() OVER " +
-        "(PARTITION BY user_id, event_type ORDER BY event_id) AS rn FROM events) " +
-        "WHERE rn = 1 GROUP BY user_id ORDER BY user_id"),
-    "q15_set_ops" ->
-      ("SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150.0 " +
-        "EXCEPT SELECT user_id FROM events WHERE event_type = 'error' " +
-        "AND value > 150.0 ORDER BY user_id"),
-    "q16_pricing_summary" ->
-      ("SELECT l_returnflag, l_linestatus, " +
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS sum_disc_price, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))) * (CAST(1 AS DECIMAL(5,2)) + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE) AS sum_charge, " +
-        "COUNT(*) AS count_order FROM lineitem " +
-        "WHERE l_shipdate <= TIMESTAMP '2001-09-02' " +
-        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
-    "q17_shipping_priority" ->
-      ("SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate, o_orderpriority, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue " +
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
-        "AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15' " +
-        "GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority " +
-        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
-    "q18_regional_revenue" ->
-      ("SELECT r_name, n_name, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue, " +
-        "COUNT(*) AS n_items FROM lineitem " +
-        "JOIN orders ON l_orderkey = o_orderkey " +
-        "JOIN customer ON o_custkey = c_custkey " +
-        "JOIN supplier ON l_suppkey = s_suppkey " +
-        "JOIN nation ON s_nationkey = n_nationkey " +
-        "JOIN region ON n_regionkey = r_regionkey " +
-        "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
-    "q19_salted_agg" ->
-      ("SELECT event_type, COUNT(*) AS n_events, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
-        "FROM events GROUP BY event_type ORDER BY event_type"),
-    "q20_sessionize" ->
-      ("WITH g AS (SELECT user_id, ts, event_id, value, " +
-        "CASE WHEN LAG(ts) OVER w IS NULL OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
-        "THEN 1 ELSE 0 END AS new_session FROM events " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
-        "s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g) " +
-        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, " +
-        "MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value " +
-        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
-    "q21_asof_join" ->
-      ("WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey " +
-        "FROM orders GROUP BY o_custkey, o_orderdate) " +
-        "SELECT event_id, user_id, o_orderkey FROM events " +
-        "ASOF LEFT JOIN o ON user_id = o_custkey AND ts >= o_orderdate " +
-        "ORDER BY event_id"),
-    "q22_extract_multivalue" ->
-      ("WITH e AS (SELECT c_custkey, " +
-        "list_filter(list_transform(string_split_regex(replace(" +
-        "c_name || ';' || c_mktsegment || ';' || c_name || ' / ' || c_mktsegment, " +
-        "' ', ''), '[,;/]+'), x -> trim(x)), x -> x <> '') AS vals FROM customer) " +
-        "SELECT c_custkey, array_to_string(vals, ',') AS extracted, " +
-        "CAST(len(vals) AS BIGINT) AS n_values FROM e ORDER BY c_custkey"),
-    "q23_merge_multivalue" ->
-      ("WITH base AS (SELECT c_custkey, " +
-        "list_filter(list_transform(string_split(c_name, '#'), x -> trim(x)), " +
-        "x -> x IS NOT NULL AND x <> '') || " +
-        "list_filter(list_transform(string_split_regex(replace(" +
-        "c_mktsegment || ',' || c_name || ',' || c_mktsegment, ' ', ''), '[,;/]+'), " +
-        "x -> trim(x)), x -> x <> '') AS allv FROM customer), " +
-        "m AS (SELECT c_custkey, list_filter(allv, (x, i) -> list_position(allv, x) = i) " +
-        "AS merged FROM base) " +
-        "SELECT c_custkey, array_to_string(merged[1:10], '|') AS slots, " +
-        "COALESCE(array_to_string(merged[11:], ','), '') AS overflow " +
-        "FROM m ORDER BY c_custkey"),
-    "q24_doc_quality" ->
-      ("WITH t AS (SELECT doc_id, " +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks, " +
-        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords " +
-        "FROM documents) " +
-        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, n_subwords, " +
-        "CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len, " +
-        "CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio, " +
-        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio, " +
-        "CAST(len(toks) >= 20 AND " +
-        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) > 0.1 AND " +
-        "CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) < 0.5 " +
-        "AS BIGINT) AS quality_flag FROM t ORDER BY doc_id"),
-    "q25_lang_id" ->
-      ("WITH t AS (SELECT doc_id, lang, " +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents) " +
-        "SELECT doc_id, lang, CASE " +
-        "WHEN len(list_filter(toks, x -> x = 'the')) >= 3 THEN 'en' " +
-        "WHEN len(list_filter(toks, x -> x = 'data')) >= 3 THEN 'de' " +
-        "WHEN len(list_filter(toks, x -> x = 'table')) >= 3 THEN 'es' " +
-        "ELSE 'und' END AS lang_guess FROM t ORDER BY doc_id"),
-    "q26_fingerprint_dedup" ->
-      ("WITH f AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(" +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))), ' ')) AS fp " +
-        "FROM documents) " +
-        "SELECT fp, MIN(doc_id) AS keeper, COUNT(*) AS n_docs FROM f " +
-        "GROUP BY fp ORDER BY keeper"),
-    "q27_corpus_selection" ->
-      ("WITH t AS (SELECT doc_id, lang, source, n_chars, " +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks, " +
-        "md5(array_to_string(list_sort(list_distinct(" +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))), ' ')) AS fp " +
-        "FROM documents WHERE lang IN ('en', 'de', 'es')), " +
-        "q AS (SELECT * FROM t WHERE len(toks) >= 20 " +
-        "AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) > 0.1 " +
-        "AND CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) < 0.5), " +
-        "d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM q) " +
-        "SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
-        "FROM d WHERE rn = 1 GROUP BY lang, source ORDER BY lang, source"),
-    "q28_exact_dedup" ->
-      ("SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies " +
-        "FROM documents GROUP BY md5(text) ORDER BY keeper"),
-    // doc_id < 2000 makes the sample structurally bounded (≤200 docs)
-    // at any corpus size — a no-op at the 500-doc correctness fixtures
-    "q29_ngram_jaccard" ->
-      ("WITH t AS (SELECT doc_id, " +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks " +
-        "FROM documents WHERE doc_id % 10 = 0 AND doc_id < 2000), " +
-        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
-        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
-        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "len(list_intersect(a.sh, b.sh)) AS inter, " +
-        "len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni " +
-        "FROM s a, s b WHERE a.doc_id < b.doc_id) " +
-        "SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni, " +
-        "CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard FROM p " +
-        "WHERE inter > 0 ORDER BY jaccard DESC, id_a, id_b LIMIT 20"),
-    "q30_embedding_stats" ->
-      ("SELECT label, COUNT(*) AS n_vectors, " +
-        "CAST(MIN(len(embedding)) AS BIGINT) AS min_dim, " +
-        "CAST(MAX(len(embedding)) AS BIGINT) AS max_dim, " +
-        "MIN(vec_id) AS min_vec_id FROM embeddings GROUP BY label ORDER BY label"),
-    // FP accumulation parity: DuckDB list_reduce is a left fold whose
-    // first step (x1, then acc+x2...) equals Spark's 0.0-seeded fold
-    // bit-for-bit (0.0+x1 == x1 in IEEE), so the normalized vectors and
-    // the cosine scores match the native kernel exactly — verified
-    // bit-identical at sf0.01, not just round-9-identical.
-    "q34_ann_bruteforce" ->
-      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
-        "FROM embeddings), " +
-        "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
-        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v FROM e), " +
-        "q AS (SELECT vec_id AS q_id, v AS q_v FROM u WHERE vec_id < 5), " +
-        "scored AS (SELECT q.q_id, u.vec_id AS neighbor, " +
-        "list_reduce(list_transform(list_zip(u.v, q.q_v), p -> p[1] * p[2]), (a,b) -> a+b) AS cos " +
-        "FROM u JOIN q ON u.vec_id <> q.q_id), " +
-        "ranked AS (SELECT q_id, neighbor, cos, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor ASC) AS rnk FROM scored) " +
-        "SELECT q_id, CAST(rnk AS BIGINT) AS rank, neighbor, cos FROM ranked " +
-        "WHERE rnk <= 5 ORDER BY q_id, rank"),
-    "q36_streaming_window" ->
-      ("SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type, " +
-        "COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
-        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q37_stateful_totals" ->
-      ("SELECT user_id, COUNT(*) AS n_events, " +
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents " +
-        "FROM events GROUP BY user_id ORDER BY user_id"),
-    "q38_binary_meta" ->
-      ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
-        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type, " +
-        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "md5(text) AS content_hash, " +
-        "lower(hex(encode(substring(text, 1, 8)))) AS head_bytes " +
-        "FROM documents ORDER BY doc_id"),
-    // text is ASCII in the fixtures (asserted by Wave3Spec), so
-    // ascii(substring(...)) IS the payload byte; each frame mean is
-    // an exact integer sum over <= 32 bytes with one closing IEEE
-    // division — bit-identical cross-engine
-    "q39_frame_features" ->
-      ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
-        "pos AS (SELECT doc_id, text, unnest(range(0, n)) AS p FROM d), " +
-        "b AS (SELECT doc_id, CAST(p // 32 AS INT) AS frame_idx, " +
-        "ascii(substring(text, CAST(p + 1 AS INT), 1)) AS v FROM pos) " +
-        "SELECT doc_id, frame_idx, " +
-        "CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_intensity " +
-        "FROM b GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q40_upsert" ->
-      ("SELECT c_custkey AS key, 'existing' AS origin FROM customer " +
-        "UNION ALL SELECT user_id AS key, 'inserted' AS origin FROM " +
-        "(SELECT DISTINCT user_id FROM events WHERE user_id NOT IN " +
-        "(SELECT c_custkey FROM customer)) ORDER BY key, origin"),
-    "q41_update_write" ->
-      ("WITH u AS (SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS spend " +
-        "FROM events WHERE event_type = 'purchase' GROUP BY user_id) " +
-        "SELECT c_custkey, c_acctbal AS old_acctbal, " +
-        "COALESCE(CAST(CAST(c_acctbal AS DECIMAL(18,2)) - spend AS DOUBLE), c_acctbal) AS new_acctbal, " +
-        "CAST(CASE WHEN spend IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS updated " +
-        "FROM customer LEFT JOIN u ON c_custkey = user_id ORDER BY c_custkey"),
-    "q42_replay" ->
-      ("SELECT event_id, user_id, CASE WHEN event_id <= " +
-        "(SELECT COALESCE(MAX(event_id), -1) FROM events WHERE event_type = 'signup') " +
-        "THEN 'stored' ELSE 'replayed' END AS state FROM events ORDER BY event_id"),
-    "q43_batch_log" ->
-      ("SELECT CAST(1 AS BIGINT) AS batch_no, 'success' AS status, " +
-        "COUNT(*) AS record_count, MIN(event_id) AS first_id, MAX(event_id) AS last_id, " +
-        "CAST(CAST(MIN(ts) AS DATE) AS VARCHAR) AS started_day, " +
-        "CAST(CAST(MAX(ts) AS DATE) AS VARCHAR) AS finished_day FROM events"),
-    "q44_state_rebuild" ->
-      ("SELECT user_id, COUNT(*) AS n_events, MAX(event_id) AS last_event_id, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
-        "FROM events GROUP BY user_id ORDER BY user_id"),
-    "q45_cube" ->
-      ("WITH e AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events) " +
-        "SELECT event_type, day, COUNT(*) AS n, " +
-        "CAST(GROUPING(event_type) AS BIGINT) AS g_type, " +
-        "CAST(GROUPING(day) AS BIGINT) AS g_day " +
-        "FROM e GROUP BY CUBE (event_type, day) " +
-        "ORDER BY g_type, g_day, event_type NULLS FIRST, day NULLS FIRST"),
-    "q46_distinct_exact" ->
-      ("SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events " +
-        "FROM events GROUP BY event_type ORDER BY event_type"),
-    "q48_json_extract" ->
-      ("WITH j AS (SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
-        "FROM events) SELECT k % 10 AS k_bucket, COUNT(*) AS n, " +
-        "CAST(SUM(k) AS BIGINT) AS sum_k FROM j GROUP BY k % 10 ORDER BY k_bucket"),
-    "q49_keyset_page" ->
-      ("SELECT event_id, user_id, event_type FROM events WHERE event_id > 500 " +
-        "ORDER BY event_id LIMIT 100"),
-    "q50_custom_source" ->
-      ("SELECT 'u' || CAST(r % 100 AS VARCHAR) AS category, COUNT(*) AS n, " +
-        "CAST(SUM(r * 31 % 1000) AS BIGINT) AS sum_k, MIN(r) AS min_id, MAX(r) AS max_id " +
-        "FROM range(98001, 100000) t(r) GROUP BY 1 ORDER BY category"),
-    "q51_slot_fold_agg" ->
-      ("WITH x AS (SELECT user_id, event_id, 1 AS i, event_type AS tok FROM events " +
-        "UNION ALL SELECT user_id, event_id, 2 AS i, " +
-        "CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS tok FROM events), " +
-        "d AS (SELECT user_id, event_id, i, tok, ROW_NUMBER() OVER " +
-        "(PARTITION BY user_id, tok ORDER BY event_id, i) AS rn FROM x), " +
-        "o AS (SELECT user_id, tok, ROW_NUMBER() OVER " +
-        "(PARTITION BY user_id ORDER BY event_id, i) AS seq FROM d WHERE rn = 1) " +
-        "SELECT user_id, " +
-        "COALESCE(string_agg(tok, '|' ORDER BY seq) FILTER (WHERE seq <= 10), '') AS slots, " +
-        "COALESCE(string_agg(tok, ',' ORDER BY seq) FILTER (WHERE seq > 10), '') AS overflow " +
-        "FROM o GROUP BY user_id ORDER BY user_id"),
-    "q52_grouping_sets" ->
-      ("WITH e AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events) " +
-        "SELECT event_type, day, COUNT(*) AS n, " +
-        "CAST(GROUPING(event_type) AS BIGINT) AS g_type, " +
-        "CAST(GROUPING(day) AS BIGINT) AS g_day " +
-        "FROM e GROUP BY GROUPING SETS ((event_type), (day), ()) " +
-        "ORDER BY g_type, g_day, event_type ASC NULLS FIRST, day ASC NULLS FIRST"),
-    "q53_range_frame" ->
-      ("SELECT user_id, event_id, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_value, " +
-        "COUNT(*) OVER w AS trailing_n FROM events " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY event_id " +
-        "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) " +
-        "ORDER BY user_id, event_id"),
-    "q54_mixed_case_normalize" ->
-      ("SELECT event_id, user_id, event_type, " +
-        "CASE WHEN value > 100 THEN value ELSE 0.0 END AS total_price " +
-        "FROM events ORDER BY event_id"),
-    "q55_pivot" ->
-      ("SELECT user_id, " +
-        "COUNT(*) FILTER (WHERE event_type = 'click') AS click, " +
-        "COUNT(*) FILTER (WHERE event_type = 'error') AS \"error\", " +
-        "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
-        "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, " +
-        "COUNT(*) FILTER (WHERE event_type = 'view') AS \"view\" " +
-        "FROM events GROUP BY user_id ORDER BY user_id"),
-    "q56_explode_tokens" ->
-      ("SELECT tok, COUNT(*) AS n FROM (SELECT unnest(list_filter(" +
-        "string_split_regex(text, '\\s+'), x -> x <> '')) AS tok FROM documents) " +
-        "GROUP BY tok ORDER BY n DESC, tok LIMIT 20"),
-    "q57_percentiles" ->
-      ("SELECT event_type, quantile_cont(value, 0.5) AS p50, " +
-        "quantile_cont(value, 0.9) AS p90, MIN(value) AS vmin, MAX(value) AS vmax " +
-        "FROM events GROUP BY event_type ORDER BY event_type"),
-    "q58_exact_stats" ->
-      ("WITH s AS (SELECT event_type, COUNT(*) AS n, " +
-        "SUM(CAST(value AS DECIMAL(9,2))) AS s1, " +
-        "SUM(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2))) AS s2 " +
-        "FROM events GROUP BY event_type) " +
-        "SELECT event_type, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, " +
-        "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) " +
-        "/ CAST(n AS DOUBLE) AS variance FROM s ORDER BY event_type"),
-    "q59_salted_join" ->
-      ("SELECT c_mktsegment, COUNT(*) AS n_events, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
-        "FROM events LEFT JOIN customer ON user_id = c_custkey " +
-        "GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST"),
-    "q60_topk_per_group" ->
-      ("SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM " +
-        "(SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER " +
-        "(PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk FROM documents) " +
-        "WHERE rk <= 3 ORDER BY lang, rk"),
-    "q61_ranking_functions" ->
-      ("SELECT event_type, event_id, value, " +
-        "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, " +
-        "PERCENT_RANK() OVER w AS pct_rank, " +
-        "CUME_DIST() OVER w AS cume, " +
-        "FIRST_VALUE(event_id) OVER w AS first_id " +
-        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC) " +
-        "ORDER BY event_type, event_id"),
-    "q63_edit_distance" ->
-      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
-        "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
-        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
-        "AND length(a.c_name) = length(b.c_name) " +
-        "WHERE a.c_custkey < 100 AND b.c_custkey < 100 " +
-        "AND levenshtein(a.c_name, b.c_name) <= 2 ORDER BY id_a, id_b"),
-    "q64_date_arithmetic" ->
-      ("SELECT o_orderkey, " +
-        "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_ref, " +
-        "CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date, " +
-        "CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR) AS order_month " +
-        "FROM orders ORDER BY o_orderkey"),
-    "q65_jdbc_roundtrip" ->
-      ("SELECT event_type, COUNT(*) AS n_events, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value, " +
-        "MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id " +
-        "FROM events GROUP BY event_type ORDER BY event_type"),
-    // transitive closure over dup edges: DuckDB recursive CTE enumerates
-    // reachability, min reachable id = cluster label (same as the
-    // engine's min-label propagation fixpoint)
-    "q66_dup_clusters" ->
-      ("WITH RECURSIVE f AS (SELECT doc_id, md5(text) AS h1, " +
-        "md5(array_to_string(list_sort(list_distinct(" +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))), ' ')) AS h2 " +
-        "FROM documents), " +
-        "e0 AS (SELECT MIN(doc_id) OVER (PARTITION BY h1) AS a, doc_id AS b FROM f " +
-        "UNION ALL SELECT MIN(doc_id) OVER (PARTITION BY h2) AS a, doc_id AS b FROM f), " +
-        "e AS (SELECT a, b FROM e0 WHERE a <> b " +
-        "UNION SELECT b AS a, a AS b FROM e0 WHERE a <> b), " +
-        "reach(id, r) AS (SELECT doc_id, doc_id FROM f " +
-        "UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id), " +
-        "c AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id) " +
-        "SELECT doc_id, cluster, COUNT(*) OVER (PARTITION BY cluster) AS n_members " +
-        "FROM c ORDER BY doc_id"),
-    "q67_tfidf" ->
-      ("WITH toks AS (SELECT doc_id, unnest(list_filter(" +
-        "string_split_regex(text, '\\s+'), x -> x <> '')) AS term FROM documents), " +
-        "tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY doc_id, term), " +
-        "x AS (SELECT doc_id, term, cnt, " +
-        "SUM(cnt) OVER (PARTITION BY doc_id) AS doc_len, " +
-        "COUNT(*) OVER (PARTITION BY term) AS df FROM tf), " +
-        "n AS (SELECT COUNT(*) AS n_docs FROM documents), " +
-        "s AS (SELECT doc_id, term, (CAST(cnt AS DOUBLE) / CAST(doc_len AS DOUBLE)) * " +
-        "ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf FROM x, n), " +
-        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id " +
-        "ORDER BY tfidf DESC, term ASC) AS rk FROM s) " +
-        "SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf FROM r " +
-        "WHERE rk <= 3 ORDER BY doc_id, rk"),
-    "q68_stratified_sample" ->
-      ("SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM " +
-        "(SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER (PARTITION BY lang " +
-        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) " +
-        "WHERE rk <= 50 ORDER BY lang, rk"),
-    "q69_doc_chunks" ->
-      ("WITH t AS (SELECT doc_id, list_filter(" +
-        "string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, toks, unnest(list_filter(list_transform(" +
-        "range(0, GREATEST(CAST(CEIL(CAST(len(toks) AS DOUBLE) / 40) AS BIGINT), 1)), " +
-        "i -> i * 40), st -> st < len(toks) OR st = 0)) AS start FROM t) " +
-        "SELECT doc_id, CAST(start / 40 AS BIGINT) AS chunk_id, " +
-        "CAST(len(COALESCE(toks[start + 1 : start + 50], [])) AS BIGINT) AS n_tokens, " +
-        "array_to_string(COALESCE(toks[start + 1 : start + 50], []), ' ') AS chunk_text " +
-        "FROM s ORDER BY doc_id, chunk_id"),
-    "q70_embedding_quantize" ->
-      ("WITH e AS (SELECT vec_id, list_transform(embedding, " +
-        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
-        "s AS (SELECT vec_id, v, 127.0 / list_max(list_transform(v, " +
-        "x -> abs(x))) AS scale FROM e), " +
-        "q AS (SELECT vec_id, v, scale, list_transform(v, " +
-        "x -> CAST(round(x * scale) AS INT)) AS qv FROM s) " +
-        "SELECT vec_id, scale, CAST(len(qv) AS BIGINT) AS n_dims, " +
-        "CAST(list_sum(qv) AS BIGINT) AS sum_q, " +
-        "list_max(list_transform(range(1, len(v) + 1), " +
-        "i -> abs(v[i] - CAST(qv[i] AS DOUBLE) / scale))) AS max_abs_err " +
-        "FROM q ORDER BY vec_id"),
-    "q71_scd2_history" ->
-      ("WITH c AS (SELECT user_id, event_id, event_type, " +
-        "CASE WHEN LAG(event_type) OVER w IS NULL " +
-        "OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg " +
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)), " +
-        "r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM c), " +
-        "g AS (SELECT user_id, CAST(seg AS BIGINT) AS seg, " +
-        "MIN(event_type) AS event_type, MIN(event_id) AS valid_from_id, " +
-        "COUNT(*) AS n_events FROM r GROUP BY user_id, seg) " +
-        "SELECT user_id, seg, event_type, valid_from_id, " +
-        "LEAD(valid_from_id) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to_id, " +
-        "n_events FROM g ORDER BY user_id, seg"),
-    "q72_range_join" ->
-      ("WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events " +
-        "WHERE event_type = 'purchase'), " +
-        "e AS (SELECT user_id, event_id AS e_id, ts AS e_ts FROM events " +
-        "WHERE event_type = 'error') " +
-        "SELECT user_id, COUNT(DISTINCT p_id) AS n_purchases_with_errors, " +
-        "COUNT(DISTINCT e_id) AS n_errors_after_purchase, " +
-        "MIN(p_id) AS first_purchase_id " +
-        "FROM p JOIN e USING (user_id) " +
-        "WHERE e_ts >= p_ts AND e_ts < p_ts + INTERVAL 1 HOUR " +
-        "GROUP BY user_id ORDER BY user_id"),
-    "q73_weighted_mix" ->
-      ("WITH k AS (SELECT lang, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < " +
-        "(CASE lang WHEN 'en' THEN 'zz' WHEN 'de' THEN '8' WHEN 'es' THEN '8' " +
-        "WHEN 'fr' THEN '4' ELSE '2' END) THEN 1 ELSE 0 END AS keep " +
-        "FROM documents) " +
-        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(keep) AS BIGINT) AS n_kept, " +
-        "CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_ratio " +
-        "FROM k GROUP BY lang ORDER BY lang"),
-    // the streaming interval join must converge to the batch answer —
-    // same oracle as q72
-    "q74_stream_stream_join" ->
-      ("WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events " +
-        "WHERE event_type = 'purchase'), " +
-        "e AS (SELECT user_id, event_id AS e_id, ts AS e_ts FROM events " +
-        "WHERE event_type = 'error') " +
-        "SELECT user_id, COUNT(DISTINCT p_id) AS n_purchases_with_errors, " +
-        "COUNT(DISTINCT e_id) AS n_errors_after_purchase, " +
-        "MIN(p_id) AS first_purchase_id " +
-        "FROM p JOIN e USING (user_id) " +
-        "WHERE e_ts >= p_ts AND e_ts < p_ts + INTERVAL 1 HOUR " +
-        "GROUP BY user_id ORDER BY user_id"),
-    "q76_stream_static_join" ->
-      ("SELECT c_mktsegment, COUNT(*) AS n_events, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
-        "FROM events LEFT JOIN customer ON user_id = c_custkey " +
-        "GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST"),
-    "q77_streaming_dedup" ->
-      ("SELECT DISTINCT user_id, event_type FROM events " +
-        "ORDER BY user_id, event_type"),
-    "q78_unpivot" ->
-      ("WITH w AS (SELECT user_id, COUNT(*) AS n_events, " +
-        "COUNT(DISTINCT event_type) AS n_types, MAX(event_id) AS max_id " +
-        "FROM events GROUP BY user_id) " +
-        "SELECT user_id, metric, value FROM (" +
-        "SELECT user_id, 'max_id' AS metric, max_id AS value FROM w " +
-        "UNION ALL SELECT user_id, 'n_events', n_events FROM w " +
-        "UNION ALL SELECT user_id, 'n_types', n_types FROM w) " +
-        "ORDER BY user_id, metric"),
-    "q79_unigram_lm_score" ->
-      ("WITH t AS (SELECT doc_id, unnest(list_filter(" +
-        "string_split_regex(text, '\\s+'), x -> x <> '')) AS tok FROM documents), " +
-        "f AS (SELECT tok, COUNT(*) AS tf FROM t GROUP BY tok), " +
-        "n AS (SELECT SUM(tf) AS n_total FROM f) " +
-        "SELECT doc_id, COUNT(*) AS n_tokens, " +
-        "AVG(ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE))) AS avg_logprob " +
-        "FROM t JOIN f USING (tok), n GROUP BY doc_id ORDER BY doc_id"),
-    "q80_decontamination" ->
-      ("WITH t AS (SELECT doc_id, list_filter(" +
-        "string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
-        "range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gram FROM t), " +
-        "e AS (SELECT doc_id AS eval_id, gram FROM s WHERE doc_id % 100 = 0), " +
-        "tr AS (SELECT doc_id AS train_id, gram FROM s WHERE doc_id % 100 <> 0) " +
-        "SELECT train_id, eval_id, COUNT(DISTINCT gram) AS n_shared " +
-        "FROM tr JOIN e USING (gram) GROUP BY train_id, eval_id " +
-        "HAVING COUNT(DISTINCT gram) >= 2 ORDER BY train_id, eval_id"),
-    "q82_pii_redaction" ->
-      ("WITH r AS (SELECT doc_id, 'doc ' || doc_id || ' contact user' || (doc_id % 50) || " +
-        "'@example.com or admin@site' || (doc_id % 7) || '.org call +1-' || " +
-        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || " +
-        "lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') || " +
-        "' from 192.168.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || " +
-        "' :: ' || substring(text, 1, 40) AS raw FROM documents) " +
-        "SELECT doc_id, " +
-        "CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
-        "CAST(len(regexp_extract_all(raw, '\\+1-\\d{3}-\\d{4}')) AS BIGINT) AS n_phones, " +
-        "CAST(len(regexp_extract_all(raw, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips, " +
-        "regexp_replace(regexp_replace(regexp_replace(raw, " +
-        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
-        "'\\+1-\\d{3}-\\d{4}', '<PHONE>', 'g'), " +
-        "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS clean " +
-        "FROM r ORDER BY doc_id"),
-    "q83_length_buckets" ->
-      ("WITH t AS (SELECT lang, len(list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '')) AS n_tokens FROM documents) " +
-        "SELECT lang, CASE WHEN n_tokens < 64 THEN 'a_0-63' " +
-        "WHEN n_tokens < 128 THEN 'b_64-127' WHEN n_tokens < 256 THEN 'c_128-255' " +
-        "WHEN n_tokens < 512 THEN 'd_256-511' ELSE 'e_512+' END AS bucket, " +
-        "COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
-        "FROM t GROUP BY 1, 2 ORDER BY lang, bucket"),
-    "q84_sequence_packing" ->
-      ("WITH t AS (SELECT lang, doc_id, doc_id % 8 AS shard, CAST(len(list_filter(" +
-        "string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), " +
-        "o AS (SELECT lang, doc_id, shard, n_tokens, COALESCE(SUM(n_tokens) OVER (" +
-        "PARTITION BY lang, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off " +
-        "FROM t) " +
-        "SELECT lang, shard, CAST(FLOOR(off / 2048) AS BIGINT) AS pack_id, COUNT(*) AS n_docs, " +
-        "CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens, MIN(doc_id) AS first_doc " +
-        "FROM o GROUP BY 1, 2, 3 ORDER BY lang, shard, pack_id"),
-    "q85_bucketed_join" ->
-      ("SELECT o_orderkey, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue, " +
-        "COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "GROUP BY o_orderkey ORDER BY o_orderkey"),
-    "q87_quarantine_routing" ->
-      ("WITH r AS (SELECT event_type, CASE WHEN event_id % 7 = 3 " +
-        "THEN substring(props, 1, len(props) - 2) ELSE props END AS raw FROM events) " +
-        "SELECT event_type, COUNT(*) AS n_events, " +
-        "COUNT(CASE WHEN json_valid(raw) THEN 1 END) AS n_valid, " +
-        "COUNT(*) - COUNT(CASE WHEN json_valid(raw) THEN 1 END) AS n_quarantined, " +
-        "CAST(SUM(CASE WHEN json_valid(raw) " +
-        "THEN CAST(json_extract_string(raw, '$.k') AS BIGINT) END) AS BIGINT) AS k_sum " +
-        "FROM r GROUP BY event_type ORDER BY event_type"),
-    // identical to q20's oracle: the streaming sessionizer must converge
-    // to the batch result once its open sessions flush at end-of-stream
-    "q89_stream_sessions" ->
-      ("WITH g AS (SELECT user_id, ts, event_id, value, " +
-        "CASE WHEN LAG(ts) OVER w IS NULL OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
-        "THEN 1 ELSE 0 END AS new_session FROM events " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
-        "s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g) " +
-        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, " +
-        "MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value " +
-        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
-    "q90_user_activity_tws" ->
-      ("SELECT user_id, COUNT(*) AS n_events, " +
-        "COUNT(DISTINCT event_type) AS n_types, " +
-        "MAX(event_id) AS max_event_id " +
-        "FROM events GROUP BY user_id ORDER BY user_id"),
-    // same FP-parity argument as q34: list_reduce left fold == Spark's
-    // 0.0-seeded fold bit-for-bit
-    // the vec_id < 2000 cap keeps the exactness baseline's all-pairs
-    // space structurally bounded (≤200 sampled vectors) at any corpus
-    // size — a no-op at the 500-vector correctness fixtures
-    "q91_cosine_neardup_exact" ->
-      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
-        "FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 2000), " +
-        "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
-        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v FROM e) " +
-        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-        "list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x,y) -> x+y) AS cos " +
-        "FROM u a JOIN u b ON a.vec_id < b.vec_id " +
-        "WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x,y) -> x+y) >= 0.3 " +
-        "ORDER BY id_a, id_b"),
-    "q92_repetition_signals" ->
-      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '') AS toks FROM documents), " +
-        "b AS (SELECT doc_id, len(toks) AS n_tokens, " +
-        "unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g FROM t), " +
-        "c AS (SELECT doc_id, g, COUNT(*) AS cnt, MIN(n_tokens) AS n_tokens FROM b GROUP BY 1, 2), " +
-        "m AS (SELECT doc_id, MIN(n_tokens) AS n_tokens, MAX(cnt) AS max_bi FROM c GROUP BY doc_id), " +
-        "tri AS (SELECT doc_id, GREATEST(len(toks) - 2, 0) AS total_tri, " +
-        "len(list_distinct(list_transform(range(1, len(toks) - 1), " +
-        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS distinct_tri FROM t) " +
-        "SELECT m.doc_id, CAST(m.n_tokens AS BIGINT) AS n_tokens, " +
-        "CAST(max_bi * 2 AS DOUBLE) / CAST(m.n_tokens AS DOUBLE) AS top_bigram_frac, " +
-        "CAST(total_tri - distinct_tri AS DOUBLE) / CAST(GREATEST(total_tri, 1) AS DOUBLE) AS dup_trigram_frac, " +
-        "CAST(CASE WHEN CAST(max_bi * 2 AS DOUBLE) / CAST(m.n_tokens AS DOUBLE) >= 0.12 " +
-        "OR CAST(total_tri - distinct_tri AS DOUBLE) / CAST(GREATEST(total_tri, 1) AS DOUBLE) >= 0.02 " +
-        "THEN 1 ELSE 0 END AS BIGINT) AS repetition_flag " +
-        "FROM m JOIN tri USING (doc_id) ORDER BY doc_id"),
-    "q93_response_projection" ->
-      ("WITH b AS (SELECT CAST(FLOOR(event_id / 1000) AS BIGINT) AS batch_no, " +
-        "COUNT(*) AS cnt, MAX(event_id) AS last_id, " +
-        "CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ic, " +
-        "CAST(SUM(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS uc " +
-        "FROM events LEFT JOIN customer ON user_id = c_custkey GROUP BY 1) " +
-        "SELECT batch_no, '{\"message\":\"Batch completed\",\"batch_no\":' || batch_no || " +
-        "',\"count\":' || cnt || ',\"lastId\":' || last_id || " +
-        "',\"insertCount\":' || ic || ',\"updateCount\":' || uc || '}' AS response " +
-        "FROM b ORDER BY batch_no"),
-    "q94_span_dedup" ->
-      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '') AS toks FROM documents), " +
-        "f AS (SELECT * FROM t WHERE len(toks) > 0), " +
-        "s AS (SELECT doc_id, unnest(list_transform(" +
-        "range(0, CAST(CEIL(CAST(len(toks) AS DOUBLE) / 25) AS BIGINT)), " +
-        "i -> md5(array_to_string(toks[i * 25 + 1 : i * 25 + 25], ' ')))) AS span_hash FROM f), " +
-        "g AS (SELECT span_hash, doc_id, COUNT(*) AS occ FROM s GROUP BY 1, 2), " +
-        "w AS (SELECT *, COUNT(*) OVER (PARTITION BY span_hash) AS span_docs FROM g) " +
-        "SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_spans, " +
-        "CAST(SUM(CASE WHEN span_docs >= 2 THEN occ ELSE 0 END) AS BIGINT) AS n_dup_spans, " +
-        "CAST(SUM(CASE WHEN span_docs >= 2 THEN occ ELSE 0 END) AS DOUBLE) / " +
-        "CAST(SUM(occ) AS DOUBLE) AS dup_span_ratio " +
-        "FROM w GROUP BY doc_id ORDER BY doc_id"),
-    // md5 is bit-identical across engines, so the minhash permutations
-    // (min md5(shingle||'#'||seed)) and band buckets reproduce exactly —
-    // the one hash family where LSH is fully oracle-checkable
-    "q95_minhash_oracled" ->
-      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
-        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
-        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
-        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
-        "sig AS (SELECT doc_id, " +
-        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
-        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
-        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
-        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
-        "FROM e GROUP BY doc_id), " +
-        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
-        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
-        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
-        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
-        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
-        "FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket " +
-        "WHERE l.doc_id < r.doc_id), " +
-        "v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
-        "len(a.sh) AS la, len(b.sh) AS lb " +
-        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b) " +
-        "SELECT id_a, id_b, " +
-        "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard FROM v " +
-        "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5 " +
-        "ORDER BY id_a, id_b"),
-    "q96_ngram_novelty" ->
-      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
-        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
-        "e AS (SELECT doc_id, md5(unnest(sh)) AS gh FROM s WHERE len(sh) > 0), " +
-        "o AS (SELECT gh, MIN(doc_id) AS first_doc FROM e GROUP BY gh) " +
-        "SELECT doc_id, COUNT(*) AS n_grams, " +
-        "CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen, " +
-        "CAST(COUNT(*) - SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS DOUBLE) / " +
-        "CAST(COUNT(*) AS BIGINT) AS novelty " +
-        "FROM e JOIN o USING (gh) GROUP BY doc_id ORDER BY doc_id"),
-    // cosines via list_reduce left fold == Spark's 0.0-seeded fold
-    // bit-for-bit (q34 argument); argmax ties break to the lowest cid in
-    // both engines (Spark max(struct(sim, -cid)) vs ORDER BY sim DESC, cid)
-    // vec_id < 5000 mirrors the engine's structural cap on the oracle
-    // twin (k is SQL-pinned at 8, so pair work is n²/16 — bounded here;
-    // no-op at the ≤500-vector fixtures; q118 is the uncapped path)
-    "q97_semdedup" ->
-      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
-        "FROM embeddings WHERE vec_id < 5000), " +
-        "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
-        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v FROM e), " +
-        "c AS (SELECT vec_id AS cid, v AS cv FROM u WHERE vec_id < 8), " +
-        "s AS (SELECT u.vec_id, c.cid, " +
-        "list_reduce(list_transform(list_zip(u.v, c.cv), p -> p[1] * p[2]), (x,y) -> x+y) AS sim " +
-        "FROM u CROSS JOIN c), " +
-        "asn AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
-        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s) " +
-        "WHERE rn = 1), " +
-        "m AS (SELECT asn.vec_id, asn.cid, u.v FROM asn JOIN u USING (vec_id)), " +
-        "d AS (SELECT DISTINCT a.vec_id FROM m a JOIN m b " +
-        "ON a.cid = b.cid AND b.vec_id < a.vec_id " +
-        "WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x,y) -> x+y) >= 0.3) " +
-        "SELECT m.vec_id, m.cid, " +
-        "CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept " +
-        "FROM m LEFT JOIN d ON d.vec_id = m.vec_id ORDER BY m.vec_id"),
-    // the bloom prune is result-transparent (no false negatives + exact
-    // semi-join after), so the oracle is the plain semi-join
-    "q98_bloom_pruned_join" ->
-      ("SELECT l_returnflag, COUNT(*) AS n_items, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
-        "FROM lineitem WHERE l_orderkey IN " +
-        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) " +
-        "GROUP BY l_returnflag ORDER BY l_returnflag"),
-    "q101_shard_manifest" ->
-      ("WITH t AS (SELECT doc_id, " +
-        "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '')) AS BIGINT) AS n_tokens, " +
-        "md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents) " +
-        "SELECT substr(hk, 1, 1) AS shard, " +
-        "CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos, doc_id, n_tokens, " +
-        "CAST(COALESCE(SUM(n_tokens) OVER " +
-        "(PARTITION BY substr(hk, 1, 1) ORDER BY hk, doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
-        "AS tok_offset " +
-        "FROM t WINDOW w AS " +
-        "(PARTITION BY substr(hk, 1, 1) ORDER BY hk, doc_id) " +
-        "ORDER BY shard, pos"),
-    // hex-nibble decode differs by function (conv in Spark, strpos
-    // here) but the VALUES are identical small ints, so the 60-bit
-    // majority signature hash-matches exactly
-    "q102_simhash_oracled" ->
-      ("WITH t AS (SELECT doc_id, list_distinct(list_filter(" +
-        "string_split_regex(text, '\\s+'), x -> x <> '')) AS toks " +
-        "FROM documents), " +
-        "f AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs, " +
-        "len(toks) AS n FROM t WHERE len(toks) > 0) " +
-        "SELECT doc_id, CAST(n AS BIGINT) AS n_toks, " +
-        "array_to_string(list_transform(range(0, 60), b -> " +
-        "CASE WHEN 2 * list_sum(list_transform(hs, h -> " +
-        "CAST(FLOOR((strpos('0123456789abcdef', " +
-        "substr(h, CAST(b // 4 AS INTEGER) + 1, 1)) - 1) / " +
-        "([8,4,2,1][CAST(b % 4 AS INTEGER) + 1])) AS INTEGER) % 2)) >= n " +
-        "THEN '1' ELSE '0' END), '') AS sig " +
-        "FROM f ORDER BY doc_id"),
-    // the Spark side aggregates AFTER an ORC and a CSV round-trip; the
-    // oracle aggregates the parquet originals — a hash match proves the
-    // codecs round-tripped every value
-    "q103_format_roundtrip" ->
-      ("SELECT 'orc_by_source' AS dim, source AS key, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
-        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
-        "FROM documents GROUP BY source " +
-        "UNION ALL " +
-        "SELECT 'csv_by_lang', lang, CAST(COUNT(*) AS BIGINT), " +
-        "CAST(SUM(n_chars) AS BIGINT) " +
-        "FROM documents GROUP BY lang " +
-        "UNION ALL " +
-        "SELECT 'json_total', 'all', CAST(COUNT(*) AS BIGINT), " +
-        "CAST(SUM(length(text)) AS BIGINT) " +
-        "FROM documents " +
-        "ORDER BY dim, key"),
-    // long fixed-point element-sums at 1e12 make the FP mean exact and
-    // order-independent in both engines (float mantissa 24 bits +
-    // 5^12's 28 bits = 52 <= 53, so x*1e12 is an exact double and both
-    // engines floor it to the same integer); the norm's left fold
-    // matches Spark's 0.0-seeded aggregate bit-for-bit (q34 argument)
-    "q104_label_centroids" ->
-      ("WITH p AS (SELECT unnest(range(1, 65)) AS pos), " +
-        "e AS (SELECT label, pos, " +
-        "CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS x " +
-        "FROM embeddings, p), " +
-        "g AS (SELECT label, pos, COUNT(*) AS n, " +
-        "CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / 1000000000000.0 / COUNT(*) AS m " +
-        "FROM e GROUP BY label, pos), " +
-        "a AS (SELECT label, MAX(n) AS n_vecs, " +
-        "list(m ORDER BY pos) AS cent FROM g GROUP BY label) " +
-        "SELECT CAST(label AS BIGINT) AS label, n_vecs, " +
-        "cent[1] AS c0, cent[2] AS c1, cent[3] AS c2, cent[4] AS c3, " +
-        "sqrt(list_reduce(list_transform(cent, x -> x * x), " +
-        "(acc, y) -> acc + y)) AS norm " +
-        "FROM a ORDER BY label"),
-    // prototypes exact by the q104 argument; dots fold left-to-right
-    // over identical doubles; argmax ties break to the lowest label in
-    // both engines
-    "q105_centroid_classify" ->
-      ("WITH p AS (SELECT unnest(range(1, 65)) AS pos), " +
-        "e AS (SELECT label, pos, " +
-        "CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS x " +
-        "FROM embeddings, p), " +
-        "g AS (SELECT label, pos, " +
-        "CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / 1000000000000.0 / COUNT(*) AS m " +
-        "FROM e GROUP BY label, pos), " +
-        "a AS (SELECT label AS clabel, list(m ORDER BY pos) AS cent " +
-        "FROM g GROUP BY label), " +
-        "u AS (SELECT vec_id, label, " +
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
-        "FROM embeddings), " +
-        "s AS (SELECT u.vec_id, u.label, a.clabel, " +
-        "list_reduce(list_transform(list_zip(u.v, a.cent), " +
-        "pr -> pr[1] * pr[2]), (x, y) -> x + y) AS sim " +
-        "FROM u CROSS JOIN a), " +
-        "b AS (SELECT vec_id, label, clabel, ROW_NUMBER() OVER " +
-        "(PARTITION BY vec_id ORDER BY sim DESC, clabel) AS rn FROM s) " +
-        "SELECT CAST(label AS BIGINT) AS label, " +
-        "CAST(clabel AS BIGINT) AS pred, COUNT(*) AS n " +
-        "FROM b WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q106_gapfill" ->
-      ("WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS eday, value " +
-        "FROM events), " +
-        "d AS (SELECT event_type, eday, COUNT(*) AS n, " +
-        "SUM(CAST(value AS DECIMAL(18,6))) AS sv " +
-        "FROM ev WHERE value >= 180 GROUP BY event_type, eday), " +
-        "cal AS (SELECT unnest(generate_series(" +
-        "(SELECT MIN(eday) FROM ev), (SELECT MAX(eday) FROM ev), " +
-        "INTERVAL 1 DAY)) AS cday), " +
-        "t AS (SELECT DISTINCT event_type FROM ev), " +
-        "g AS (SELECT t.event_type, CAST(cal.cday AS DATE) AS gday, " +
-        "COALESCE(d.n, 0) AS n, d.sv " +
-        "FROM t CROSS JOIN cal LEFT JOIN d " +
-        "ON d.event_type = t.event_type AND d.eday = CAST(cal.cday AS DATE)) " +
-        "SELECT event_type, CAST(gday AS VARCHAR) AS day, " +
-        "CAST(n AS BIGINT) AS n, " +
-        "COALESCE(CAST(last_value(sv IGNORE NULLS) OVER " +
-        "(PARTITION BY event_type ORDER BY gday " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 0) " +
-        "AS carried " +
-        "FROM g ORDER BY event_type, day"),
-    // same md5-LSH candidate machinery as q95; the verified metric is
-    // the asymmetric containment |A∩B| / min(|A|,|B|)
-    // doc_id < 2000 mirrors the engine's structural cap on the oracle
-    // twin (no-op at the ≤500-doc correctness fixtures; q111 is the
-    // uncapped capacity path)
-    "q109_containment_dedup" ->
-      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '') AS toks FROM documents WHERE doc_id < 2000), " +
-        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
-        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
-        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
-        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
-        "sig AS (SELECT doc_id, " +
-        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
-        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
-        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
-        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
-        "FROM e GROUP BY doc_id), " +
-        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
-        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
-        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
-        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
-        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
-        "FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket " +
-        "WHERE l.doc_id < r.doc_id), " +
-        "v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
-        "len(a.sh) AS la, len(b.sh) AS lb " +
-        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b) " +
-        "SELECT id_a, id_b, " +
-        "CAST(inter AS DOUBLE) / CAST(LEAST(la, lb) AS DOUBLE) AS containment " +
-        "FROM v " +
-        "WHERE CAST(inter AS DOUBLE) / CAST(LEAST(la, lb) AS DOUBLE) >= 0.5 " +
-        "ORDER BY id_a, id_b"),
-    "q110_token_budget" ->
-      ("WITH t AS (SELECT lang, doc_id, " +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks " +
-        "FROM documents), " +
-        "q AS (SELECT lang, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) " +
-        "AS distinct_ratio FROM t) " +
-        "SELECT lang, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank, doc_id, " +
-        "n_tokens, " +
-        "CAST(SUM(n_tokens) OVER (PARTITION BY lang " +
-        "ORDER BY distinct_ratio DESC, doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
-        "AS cum_tokens, " +
-        "CAST(CASE WHEN SUM(n_tokens) OVER (PARTITION BY lang " +
-        "ORDER BY distinct_ratio DESC, doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens < 2000 " +
-        "THEN 1 ELSE 0 END AS BIGINT) AS kept " +
-        "FROM q WINDOW w AS " +
-        "(PARTITION BY lang ORDER BY distinct_ratio DESC, doc_id) " +
-        "ORDER BY lang, rank"),
-    // fixed md5-derived codebooks: component (b,c,j) = (nibble-8)/16,
-    // exact in double; nearest-L2 encode ties to the lowest codeword
-    // (ROW_NUMBER ORDER BY d, c) and both engines fold the squared
-    // distance and per-subspace ADC subtotals left-to-right from 0.0,
-    // so scores hash-match bit-for-bit (q34/q102 argument)
-    "q113_pq_oracled" ->
-      ("WITH cbv AS (SELECT b, c, jj, " +
-        "CAST(strpos('0123456789abcdef', substr(md5('cb|' || " +
-        "CAST(b AS VARCHAR) || '|' || CAST(c AS VARCHAR) || '|' || " +
-        "CAST(jj AS VARCHAR)), 1, 1)) - 9 AS DOUBLE) / 16.0 AS val " +
-        "FROM range(0, 8) t1(b), range(0, 4) t2(c), range(0, 8) t3(jj)), " +
-        "cb AS (SELECT b, c, list(val ORDER BY jj) AS w FROM cbv " +
-        "GROUP BY b, c), " +
-        "v AS (SELECT vec_id, " +
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
-        "FROM embeddings), " +
-        "sub AS (SELECT vec_id, b, " +
-        "list_slice(v, CAST(b * 8 + 1 AS INTEGER), CAST(b * 8 + 8 AS INTEGER)) AS vs " +
-        "FROM v, range(0, 8) t(b)), " +
-        "dist AS (SELECT vec_id, sub.b, cb.c, " +
-        "list_reduce(list_transform(range(1, 9), i -> " +
-        "(vs[CAST(i AS INTEGER)] - w[CAST(i AS INTEGER)]) * " +
-        "(vs[CAST(i AS INTEGER)] - w[CAST(i AS INTEGER)])), " +
-        "(acc, y) -> acc + y) AS d " +
-        "FROM sub JOIN cb ON sub.b = cb.b), " +
-        "code AS (SELECT vec_id, b, c FROM (SELECT vec_id, b, c, " +
-        "ROW_NUMBER() OVER (PARTITION BY vec_id, b ORDER BY d, c) AS rn " +
-        "FROM dist) WHERE rn = 1), " +
-        "qs AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5), " +
-        "ss AS (SELECT qs.q_id, cd.vec_id, cd.b, " +
-        "list_reduce(list_transform(list_zip(" +
-        "list_slice(qs.qv, CAST(cd.b * 8 + 1 AS INTEGER), CAST(cd.b * 8 + 8 AS INTEGER)), cb.w), " +
-        "pr -> pr[1] * pr[2]), (acc, y) -> acc + y) AS s " +
-        "FROM code cd JOIN cb ON cd.b = cb.b AND cd.c = cb.c " +
-        "CROSS JOIN qs WHERE cd.vec_id <> qs.q_id), " +
-        "adc AS (SELECT q_id, vec_id, " +
-        "list_reduce(list(s ORDER BY b), (acc, y) -> acc + y) AS adc " +
-        "FROM ss GROUP BY q_id, vec_id), " +
-        "rk AS (SELECT q_id, vec_id AS neighbor, adc, " +
-        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) " +
-        "AS rank FROM adc) " +
-        "SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, adc " +
-        "FROM rk WHERE rank <= 5 ORDER BY q_id, rank"),
-    // keeper = lowest (doc_id, span_idx) per paragraph text; the md5 of
-    // each reassembled doc proves byte-exact reassembly cross-engine
-    "q114_paragraph_dedup" ->
-      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '') AS toks FROM documents), " +
-        "f AS (SELECT * FROM t WHERE len(toks) > 0), " +
-        "s AS (SELECT doc_id, toks, unnest(range(0, " +
-        "CAST(ceil(len(toks) / 25.0) AS BIGINT))) AS span_idx FROM f), " +
-        "s2 AS (SELECT doc_id, span_idx, array_to_string(list_slice(toks, " +
-        "CAST(span_idx * 25 + 1 AS INTEGER), " +
-        "CAST(span_idx * 25 + 25 AS INTEGER)), ' ') AS sp FROM s), " +
-        "k AS (SELECT doc_id, span_idx, sp, ROW_NUMBER() OVER " +
-        "(PARTITION BY sp ORDER BY doc_id, span_idx) AS rn FROM s2), " +
-        "r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, " +
-        "CAST(COALESCE(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) " +
-        "AS n_kept, " +
-        "md5(COALESCE(array_to_string(list(sp ORDER BY span_idx) " +
-        "FILTER (WHERE rn = 1), ' '), '')) AS kept_md5 " +
-        "FROM k GROUP BY doc_id) " +
-        "SELECT doc_id, n_spans, n_kept, " +
-        "CAST(n_kept AS DOUBLE) / CAST(n_spans AS DOUBLE) AS keep_ratio, " +
-        "kept_md5 FROM r ORDER BY doc_id"),
-    // both engines md5 the same utf8 bytes; upper() is engine-safe on
-    // this corpus (the q54 precedent)
-    "q117_corpus_diff" ->
-      ("WITH cur AS (SELECT doc_id, md5(text) AS h_cur FROM documents " +
-        "WHERE doc_id % 7 <> 3), " +
-        "prev AS (SELECT doc_id, md5(CASE WHEN doc_id % 13 = 0 " +
-        "THEN upper(text) ELSE text END) AS h_prev FROM documents " +
-        "WHERE doc_id % 10 <> 9) " +
-        "SELECT COALESCE(cur.doc_id, prev.doc_id) AS doc_id, " +
-        "CASE WHEN h_prev IS NULL THEN 'added' " +
-        "WHEN h_cur IS NULL THEN 'removed' " +
-        "WHEN h_cur <> h_prev THEN 'changed' " +
-        "ELSE 'unchanged' END AS status " +
-        "FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id " +
-        "ORDER BY doc_id"),
-    // winnowing window-min spelled as list_aggregate over list_slice
-    // windows; hex md5 min is byte-wise == the kernel's digest min
-    "q119_winnow_oracled" ->
-      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '') AS toks FROM documents), " +
-        "g AS (SELECT doc_id, list_transform(range(1, len(toks) - 1), " +
-        "i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS h " +
-        "FROM t), " +
-        "f AS (SELECT doc_id, CASE WHEN len(h) >= 8 THEN " +
-        "list_distinct(list_transform(range(1, len(h) - 6), " +
-        "j -> list_aggregate(list_slice(h, CAST(j AS INTEGER), " +
-        "CAST(j + 7 AS INTEGER)), 'min'))) " +
-        "ELSE [list_aggregate(h, 'min')] END AS fps " +
-        "FROM g WHERE len(h) > 0), " +
-        "e AS (SELECT doc_id, unnest(fps) AS fp FROM f), " +
-        "cap AS (SELECT fp FROM e GROUP BY fp " +
-        "HAVING COUNT(*) BETWEEN 2 AND 20), " +
-        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
-        "FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
-        "JOIN cap c ON a.fp = c.fp), " +
-        "r AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared " +
-        "FROM p GROUP BY id_a, id_b HAVING COUNT(*) >= 2) " +
-        "SELECT id_a, id_b, n_shared FROM r ORDER BY id_a, id_b"),
-    // md5-nibble centroids (the q113 trick); argmax-dot assignment with
-    // ties to the lowest cid == the NearestCentroid kernel ordering
-    "q120_ivf_oracled" ->
-      ("WITH cv AS (SELECT c, d, " +
-        "CAST(strpos('0123456789abcdef', substr(md5('iv|' || " +
-        "CAST(c AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 " +
-        "AS DOUBLE) / 16.0 AS val " +
-        "FROM range(0, 4) t1(c), range(0, 64) t2(d)), " +
-        "cent AS (SELECT c, list(val ORDER BY d) AS w FROM cv GROUP BY c), " +
-        "v AS (SELECT vec_id, " +
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
-        "FROM embeddings), " +
-        "s AS (SELECT vec_id, c, " +
-        "list_reduce(list_transform(list_zip(v, w), pr -> pr[1] * pr[2]), " +
-        "(acc, y) -> acc + y) AS s FROM v CROSS JOIN cent), " +
-        "a AS (SELECT vec_id, c AS cid FROM (SELECT vec_id, c, " +
-        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn " +
-        "FROM s) WHERE rn = 1), " +
-        "q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5), " +
-        "qp AS (SELECT q_id, cid FROM (SELECT q.q_id, s.c AS cid, " +
-        "ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY s.s DESC, s.c) AS rn " +
-        "FROM q JOIN s ON s.vec_id = q.q_id) WHERE rn <= 2), " +
-        "cand AS (SELECT qp.q_id, a.vec_id FROM qp JOIN a ON a.cid = qp.cid " +
-        "WHERE a.vec_id <> qp.q_id), " +
-        "sc AS (SELECT cand.q_id, cand.vec_id, " +
-        "list_reduce(list_transform(list_zip(q.qv, v.v), pr -> pr[1] * pr[2]), " +
-        "(acc, y) -> acc + y) AS score " +
-        "FROM cand JOIN q ON q.q_id = cand.q_id " +
-        "JOIN v ON v.vec_id = cand.vec_id), " +
-        "rk AS (SELECT q_id, vec_id AS neighbor, score, " +
-        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) " +
-        "AS rank FROM sc) " +
-        "SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, score " +
-        "FROM rk WHERE rank <= 5 ORDER BY q_id, rank"),
-    // md5-nibble planes; bucket = bit-packed signs of unit-vector
-    // projections; cosine spelling matches q91's left-fold
-    "q121_lsh_oracled" ->
-      ("WITH pv AS (SELECT p, d, " +
-        "CAST(strpos('0123456789abcdef', substr(md5('pl|' || " +
-        "CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 " +
-        "AS DOUBLE) / 16.0 AS val " +
-        "FROM range(0, 6) t1(p), range(0, 64) t2(d)), " +
-        "pl AS (SELECT p, list(val ORDER BY d) AS w FROM pv GROUP BY p), " +
-        "e AS (SELECT vec_id, " +
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
-        "FROM embeddings WHERE vec_id < 2000), " +
-        "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
-        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v " +
-        "FROM e), " +
-        "pr AS (SELECT vec_id, p, " +
-        "list_reduce(list_transform(list_zip(v, w), z -> z[1] * z[2]), " +
-        "(a, b) -> a + b) AS s FROM u CROSS JOIN pl), " +
-        "b AS (SELECT vec_id, CAST(SUM(CASE WHEN s > 0 THEN " +
-        "(CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) " +
-        "AS bucket FROM pr GROUP BY vec_id), " +
-        "j AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b " +
-        "FROM b a JOIN b b2 ON a.bucket = b2.bucket " +
-        "AND a.vec_id < b2.vec_id) " +
-        "SELECT id_a, id_b, " +
-        "list_reduce(list_transform(list_zip(ua.v, ub.v), z -> z[1] * z[2]), " +
-        "(a, b) -> a + b) AS cos " +
-        "FROM j JOIN u ua ON ua.vec_id = j.id_a " +
-        "JOIN u ub ON ub.vec_id = j.id_b " +
-        "WHERE list_reduce(list_transform(list_zip(ua.v, ub.v), " +
-        "z -> z[1] * z[2]), (a, b) -> a + b) >= 0.4 " +
-        "ORDER BY id_a, id_b"),
-    // whole-frame truncation makes every frame mean dyadic (s/32), so
-    // bucket sums are exact and the final division deterministic
-    "q122_media_oracled" ->
-      ("WITH d AS (SELECT doc_id, text, " +
-        "length(text) - length(text) % 32 AS n FROM documents), " +
-        "pos AS (SELECT doc_id, text, unnest(range(0, n)) AS p FROM d), " +
-        "f AS (SELECT doc_id, p // 32 AS idx, " +
-        "SUM(ascii(substring(text, CAST(p + 1 AS INT), 1))) AS s " +
-        "FROM pos GROUP BY 1, 2), " +
-        "sm AS (SELECT doc_id, idx // 4 AS i, CAST(s AS DOUBLE) / 32 AS mean " +
-        "FROM f WHERE idx % 4 = 0), " +
-        "m AS (SELECT doc_id, COUNT(*) AS mm FROM sm GROUP BY 1), " +
-        "r AS (SELECT sm.doc_id, " +
-        "CAST(least(sm.i * 8 // m.mm, 7) AS INT) AS bucket, sm.mean " +
-        "FROM sm JOIN m ON sm.doc_id = m.doc_id) " +
-        "SELECT doc_id, bucket, SUM(mean) / COUNT(*) AS feat " +
-        "FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
-    // df counted on raw span text; the engine counts md5(span) — the
-    // same partition of spans absent a collision
-    "q123_boilerplate_removal" ->
-      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '') AS toks FROM documents), " +
-        "f AS (SELECT * FROM t WHERE len(toks) > 0), " +
-        "s AS (SELECT doc_id, toks, unnest(range(0, " +
-        "CAST(ceil(len(toks) / 25.0) AS BIGINT))) AS span_idx FROM f), " +
-        "s2 AS (SELECT doc_id, span_idx, array_to_string(list_slice(toks, " +
-        "CAST(span_idx * 25 + 1 AS INTEGER), " +
-        "CAST(span_idx * 25 + 25 AS INTEGER)), ' ') AS sp FROM s), " +
-        "d AS (SELECT sp, COUNT(DISTINCT doc_id) AS ndocs FROM s2 " +
-        "GROUP BY sp), " +
-        "k AS (SELECT s2.doc_id, s2.span_idx, s2.sp, " +
-        "d.ndocs > 1 AS bp FROM s2 JOIN d ON s2.sp = d.sp), " +
-        "r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, " +
-        "CAST(COALESCE(SUM(CASE WHEN bp THEN 1 ELSE 0 END), 0) AS BIGINT) " +
-        "AS n_removed, " +
-        "md5(COALESCE(array_to_string(list(sp ORDER BY span_idx) " +
-        "FILTER (WHERE NOT bp), ' '), '')) AS clean_md5 " +
-        "FROM k GROUP BY doc_id) " +
-        "SELECT doc_id, n_spans, n_removed, " +
-        "CAST(n_spans - n_removed AS DOUBLE) / CAST(n_spans AS DOUBLE) " +
-        "AS keep_ratio, clean_md5 FROM r ORDER BY doc_id"),
-    // two unrolled Lloyd rounds; see kmAssign/kmUpdate for the
-    // fold-order and fixed-point exactness contract
-    "q124_kmeans" ->
-      ("WITH e AS (SELECT vec_id, " +
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
-        "FROM embeddings WHERE vec_id < 2000), " +
-        "c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8), " +
-        kmAssign("c0", "a1", withScore = false) + ", " +
-        kmUpdate("a1", "c0", "x1", "c1") + ", " +
-        kmAssign("c1", "a2", withScore = false) + ", " +
-        kmUpdate("a2", "c1", "x2", "c2") + ", " +
-        kmAssign("c2", "a3", withScore = true) +
-        " SELECT vec_id, cid, score FROM a3 ORDER BY vec_id"),
-    // q124's Lloyd CTEs + q97's unit-normalize and greedy-prune CTEs
-    "q125_semdedup_kmeans" ->
-      ("WITH e AS (SELECT vec_id, " +
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
-        "FROM embeddings WHERE vec_id < 2000), " +
-        "c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8), " +
-        kmAssign("c0", "a1", withScore = false) + ", " +
-        kmUpdate("a1", "c0", "x1", "c1") + ", " +
-        kmAssign("c1", "a2", withScore = false) + ", " +
-        kmUpdate("a2", "c1", "x2", "c2") + ", " +
-        kmAssign("c2", "a3", withScore = false) + ", " +
-        "un AS (SELECT vec_id, list_transform(v, x -> x / " +
-        "sqrt(list_reduce(list_transform(v, y -> y*y), (a,b) -> a+b))) " +
-        "AS uv FROM e), " +
-        "m AS (SELECT a3.vec_id, a3.cid, un.uv AS v " +
-        "FROM a3 JOIN un USING (vec_id)), " +
-        "d AS (SELECT DISTINCT a.vec_id FROM m a JOIN m b " +
-        "ON a.cid = b.cid AND b.vec_id < a.vec_id " +
-        "WHERE list_reduce(list_transform(list_zip(a.v, b.v), " +
-        "p -> p[1] * p[2]), (x,y) -> x+y) >= 0.3) " +
-        "SELECT m.vec_id, m.cid, " +
-        "CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) " +
-        "AS kept FROM m LEFT JOIN d ON d.vec_id = m.vec_id " +
-        "ORDER BY m.vec_id"),
-    // SUM(BIGINT) is HUGEINT in DuckDB — the q103 lesson: cast before
-    // the division so both engines divide identical doubles
-    "q126_vocab_report" ->
-      ("WITH t AS (SELECT doc_id, " +
-        "unnest(list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '')) AS token FROM documents), " +
-        "p AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf, " +
-        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df " +
-        "FROM t GROUP BY token), " +
-        "tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM p) " +
-        "SELECT token, tf, df, " +
-        "CAST(tf AS DOUBLE) / CAST(total AS DOUBLE) AS coverage " +
-        "FROM p, tot ORDER BY tf DESC, token LIMIT 100"),
-    // same md5 first-nibble both engines evaluate (q120/q121 pattern)
-    "q127_hashing_vectorizer" ->
-      ("WITH t AS (SELECT doc_id, " +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
-        "AS toks FROM documents) " +
-        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        "array_to_string(list_transform(range(0, 16), b -> " +
-        "CAST(len(list_filter(toks, tk -> " +
-        "strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1 = b)) " +
-        "AS BIGINT)), ',') AS vec " +
-        "FROM t ORDER BY doc_id"),
-    // mirrors bigramLmScore: bigrams via adjacent list positions, the
-    // same add-one model; ln agreement is within the 1e-9 rounding
-    // both engines' float compare uses (the q79 precedent)
-    "q129_bigram_lm_score" ->
-      ("WITH t AS (SELECT doc_id, " +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
-        "AS toks FROM documents), " +
-        "f AS (SELECT * FROM t WHERE len(toks) >= 2), " +
-        "bg AS (SELECT doc_id, toks[CAST(p AS INT)] AS w1, " +
-        "toks[CAST(p + 1 AS INT)] AS w2 " +
-        "FROM f, unnest(range(1, len(toks))) u(p)), " +
-        "db AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt " +
-        "FROM bg GROUP BY 1, 2, 3), " +
-        "c2 AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c2 " +
-        "FROM db GROUP BY 1, 2), " +
-        "c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 " +
-        "FROM c2 GROUP BY 1), " +
-        "vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM " +
-        "(SELECT unnest(toks) AS tok FROM f)) " +
-        "SELECT db.doc_id, CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams, " +
-        "SUM(CAST(db.cnt AS DOUBLE) * ln((CAST(c2.c2 AS DOUBLE) + 1.0) / " +
-        "(CAST(c1.c1 AS DOUBLE) + CAST(vv.v AS DOUBLE)))) / " +
-        "CAST(SUM(db.cnt) AS DOUBLE) AS avg_logprob " +
-        "FROM db JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2 " +
-        "JOIN c1 ON db.w1 = c1.w1 CROSS JOIN vv " +
-        "GROUP BY db.doc_id ORDER BY db.doc_id"),
-    // mirrors bm25TopK: same Okapi formula with literal constants;
-    // the k boundary ranks on the same 1e-9 fixed-point score so the
-    // selected set is deterministic cross-engine
-    "q130_bm25_topk" ->
-      ("WITH t AS (SELECT doc_id, " +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
-        "AS toks FROM documents), " +
-        "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
-        "AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
-        "q AS (SELECT * FROM (VALUES ('spark'), ('join'), ('stream')) " +
-        "v(term)), " +
-        "tf AS (SELECT doc_id, tok AS term, " +
-        "CAST(COUNT(*) AS BIGINT) AS tf " +
-        "FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u " +
-        "JOIN q ON u.tok = q.term GROUP BY 1, 2), " +
-        "df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) " +
-        "AS df FROM tf GROUP BY 1), " +
-        "dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t), " +
-        "sc AS (SELECT tf.doc_id, " +
-        "SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) " +
-        "* CAST(tf.tf AS DOUBLE) * 2.2 " +
-        "/ (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl.dl / " +
-        "stats.avgdl))) AS score " +
-        "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) " +
-        "CROSS JOIN stats GROUP BY 1) " +
-        "SELECT doc_id, score FROM (" +
-        "SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY " +
-        "CAST(floor(score * 1e9 + 0.5) AS BIGINT) DESC, doc_id) AS rk " +
-        "FROM sc) WHERE rk <= 15 ORDER BY doc_id"),
-    // three unrolled BPE merge rounds over the word-frequency table;
-    // see bpeRound for the leftmost-non-overlapping application CTEs
-    "q131_bpe_merges" ->
-      ("WITH words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq " +
-        "FROM (SELECT unnest(list_filter(string_split_regex(text, " +
-        "'\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY w), " +
-        "s0 AS (SELECT w, freq, CAST(u.p AS BIGINT) AS pos, " +
-        "substr(w, CAST(u.p + 1 AS INT), 1) AS sym " +
-        "FROM words, unnest(range(len(w))) u(p)), " +
-        bpeRound("s0", 1) + ", " +
-        bpeRound("s1", 2) + ", " +
-        bpeRound("s2", 3) + ", " +
-        "tw AS (SELECT w, freq, string_agg(sym, ' ' ORDER BY pos) " +
-        "AS seg FROM s3 GROUP BY w, freq " +
-        "ORDER BY freq DESC, w ASC LIMIT 20) " +
-        "SELECT kind, r, a, b, n FROM (" +
-        "SELECT 'merge' AS kind, CAST(1 AS BIGINT) AS r, a, b, " +
-        "cnt AS n FROM b1 " +
-        "UNION ALL SELECT 'merge', CAST(2 AS BIGINT), a, b, cnt FROM b2 " +
-        "UNION ALL SELECT 'merge', CAST(3 AS BIGINT), a, b, cnt FROM b3 " +
-        "UNION ALL SELECT 'word', CAST(0 AS BIGINT), w, seg, freq " +
-        "FROM tw) ORDER BY kind, r, a"),
-    // ±1 Rademacher matrix from md5 nibbles (≥8 → +1); quantized
-    // integer-valued doubles make the dot exact, one final /1e6
-    "q132_random_projection" ->
-      ("WITH sv AS (SELECT i, d, CASE WHEN " +
-        "strpos('0123456789abcdef', substr(md5('jl|' || " +
-        "CAST(i AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 " +
-        ">= 0 THEN 1.0 ELSE -1.0 END AS s " +
-        "FROM range(0, 8) t1(i), range(0, 64) t2(d)), " +
-        "sl AS (SELECT i, list(s ORDER BY d) AS w FROM sv GROUP BY i), " +
-        "q AS (SELECT vec_id, list_transform(embedding, " +
-        "x -> floor(CAST(x AS DOUBLE) * 1e6 + 0.5)) AS qv " +
-        "FROM embeddings) " +
-        "SELECT q.vec_id, CAST(sl.i AS BIGINT) AS i, " +
-        "list_reduce(list_transform(list_zip(q.qv, sl.w), " +
-        "z -> z[1] * z[2]), (a, b) -> a + b) / 1e6 AS val " +
-        "FROM q CROSS JOIN sl ORDER BY q.vec_id, i"),
-    // two unrolled integer fixed-point PageRank rounds; // is floor
-    // division, identical to Spark's div on these positive values
-    "q133_pagerank" ->
-      ("WITH cs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s " +
-        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), " +
-        "ed AS (SELECT 'c' AS st, c AS sid, 's' AS dt, s AS did FROM cs " +
-        "UNION ALL SELECT 's', s, 'c', c FROM cs), " +
-        "nodes AS (SELECT DISTINCT st AS t, sid AS id FROM ed), " +
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes), " +
-        "deg AS (SELECT st AS t, sid AS id, " +
-        "CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1, 2), " +
-        "r0 AS (SELECT t, id, (SELECT 1000000000000 // n FROM nn) AS r " +
-        "FROM nodes), " +
-        "c1 AS (SELECT r0.t, r0.id, r0.r // deg.deg AS c FROM r0 " +
-        "JOIN deg USING (t, id)), " +
-        "s1 AS (SELECT ed.dt AS t, ed.did AS id, " +
-        "CAST(SUM(c1.c) AS BIGINT) AS s FROM ed " +
-        "JOIN c1 ON ed.st = c1.t AND ed.sid = c1.id GROUP BY 1, 2), " +
-        "r1 AS (SELECT n2.t, n2.id, " +
-        "(SELECT (15 * (1000000000000 // nn.n)) // 100 FROM nn) + " +
-        "(85 * COALESCE(s1.s, 0)) // 100 AS r FROM nodes n2 " +
-        "LEFT JOIN s1 USING (t, id)), " +
-        "c2 AS (SELECT r1.t, r1.id, r1.r // deg.deg AS c FROM r1 " +
-        "JOIN deg USING (t, id)), " +
-        "s2 AS (SELECT ed.dt AS t, ed.did AS id, " +
-        "CAST(SUM(c2.c) AS BIGINT) AS s FROM ed " +
-        "JOIN c2 ON ed.st = c2.t AND ed.sid = c2.id GROUP BY 1, 2), " +
-        "r2 AS (SELECT n2.t, n2.id, " +
-        "(SELECT (15 * (1000000000000 // nn.n)) // 100 FROM nn) + " +
-        "(85 * COALESCE(s2.s, 0)) // 100 AS r FROM nodes n2 " +
-        "LEFT JOIN s2 USING (t, id)) " +
-        "SELECT t, id, r AS rank_fp, CAST(r AS DOUBLE) / 1e12 AS rank " +
-        "FROM r2 ORDER BY t, id"),
-    // q131's trainer CTEs collapsed to a (word → token count) vocab,
-    // then one corpus join — the BPE train→apply composition
-    "q134_bpe_tokenize" ->
-      ("WITH words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq " +
-        "FROM (SELECT unnest(list_filter(string_split_regex(text, " +
-        "'\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY w), " +
-        "s0 AS (SELECT w, freq, CAST(u.p AS BIGINT) AS pos, " +
-        "substr(w, CAST(u.p + 1 AS INT), 1) AS sym " +
-        "FROM words, unnest(range(len(w))) u(p)), " +
-        bpeRound("s0", 1) + ", " +
-        bpeRound("s1", 2) + ", " +
-        bpeRound("s2", 3) + ", " +
-        "vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_syms " +
-        "FROM s3 GROUP BY w), " +
-        "tok AS (SELECT doc_id, " +
-        "unnest(list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '')) AS w FROM documents) " +
-        "SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
-        "CAST(SUM(vocab.n_syms) AS BIGINT) AS n_tokens, " +
-        "CAST(SUM(vocab.n_syms) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
-        "AS tokens_per_word " +
-        "FROM tok JOIN vocab USING (w) GROUP BY tok.doc_id " +
-        "ORDER BY tok.doc_id"),
-    // α=0.5 temperature quotas: sqrt + a lang-ordered fold keep every
-    // double bit-identical cross-engine; md5 hash-rank selection
-    "q135_temperature_mix" ->
-      ("WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n " +
-        "FROM documents GROUP BY lang), " +
-        "s AS (SELECT lang, sqrt(CAST(n AS DOUBLE)) AS sv FROM c), " +
-        "tot AS (SELECT list_reduce(list(sv ORDER BY lang), " +
-        "(a, b) -> a + b) AS t FROM s), " +
-        "q AS (SELECT lang, CAST(floor(CAST(250 AS DOUBLE) * sv / " +
-        "tot.t) AS BIGINT) AS quota FROM s CROSS JOIN tot), " +
-        "r AS (SELECT doc_id, lang, source, " +
-        "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY " +
-        "md5('mix|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) " +
-        "AS rk FROM documents) " +
-        "SELECT r.doc_id, r.lang, r.source, r.rk FROM r " +
-        "JOIN q USING (lang) WHERE r.rk <= q.quota " +
-        "ORDER BY r.doc_id"),
-    // doc-id-hash 80/10/10 assignment; leakage = val/test content
-    // hash present among train content hashes
-    "q136_dataset_split" ->
-      ("WITH a AS (SELECT doc_id, md5(text) AS content_hash, " +
-        "md5('split|' || CAST(doc_id AS VARCHAR)) AS hk " +
-        "FROM documents), " +
-        "b AS (SELECT *, (strpos('0123456789abcdef', " +
-        "substr(hk, 1, 1)) - 1) * 16 + " +
-        "strpos('0123456789abcdef', substr(hk, 2, 1)) - 1 AS bb " +
-        "FROM a), " +
-        "sp AS (SELECT doc_id, content_hash, CASE WHEN bb < 204 " +
-        "THEN 'train' WHEN bb < 230 THEN 'val' ELSE 'test' END " +
-        "AS split FROM b), " +
-        "th AS (SELECT DISTINCT content_hash AS t_hash FROM sp " +
-        "WHERE split = 'train') " +
-        "SELECT sp.doc_id, sp.split, (sp.split <> 'train' AND " +
-        "th.t_hash IS NOT NULL) AS leaked FROM sp " +
-        "LEFT JOIN th ON sp.content_hash = th.t_hash " +
-        "ORDER BY sp.doc_id"),
-    // positions are 0-based (unnest ordinal − 1) to mirror posexplode
-    "q137_phrase_search" ->
-      ("WITH t AS (SELECT doc_id, " +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
-        "AS toks FROM documents), " +
-        "p AS (SELECT doc_id, CAST(u.p - 1 AS BIGINT) AS pos, " +
-        "toks[CAST(u.p AS INT)] AS term " +
-        "FROM t, unnest(range(1, len(toks) + 1)) u(p)) " +
-        "SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches, " +
-        "CAST(MIN(a.pos) AS BIGINT) AS first_pos " +
-        "FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 " +
-        "WHERE a.term = 'table' AND b.term = 'scan' " +
-        "GROUP BY a.doc_id ORDER BY a.doc_id"),
-    // integer counts everywhere; PMI operand grouping mirrors the
-    // engine exactly: (c_ab·n·n) / (p·c1·c2), one ln per row
-    "q138_cooccurrence_pmi" ->
-      ("WITH t AS (SELECT doc_id, " +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
-        "AS toks FROM documents), " +
-        "po AS (SELECT doc_id, CAST(u.p AS INT) AS i, " +
-        "toks[CAST(u.p AS INT)] AS w " +
-        "FROM t, unnest(range(1, len(toks) + 1)) u(p)), " +
-        "pr AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2 " +
-        "FROM po a JOIN po b ON a.doc_id = b.doc_id " +
-        "AND b.i > a.i AND b.i <= a.i + 2), " +
-        "pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab " +
-        "FROM pr GROUP BY 1, 2), " +
-        "un AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM " +
-        "(SELECT unnest(toks) AS w FROM t) GROUP BY 1), " +
-        "nt AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n FROM t), " +
-        "np AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS p FROM pc), " +
-        "top AS (SELECT w1, w2, c_ab FROM pc " +
-        "ORDER BY c_ab DESC, w1, w2 LIMIT 30) " +
-        "SELECT top.w1, top.w2, top.c_ab, " +
-        "ln((CAST(top.c_ab AS DOUBLE) * nt.n * nt.n) / " +
-        "(np.p * u1.c * u2.c)) AS pmi " +
-        "FROM top JOIN un u1 ON u1.w = top.w1 " +
-        "JOIN un u2 ON u2.w = top.w2 CROSS JOIN nt CROSS JOIN np " +
-        "ORDER BY w1, w2"),
-    // entropy folds per-source lang counts in lang order from 0.0 —
-    // the same accumulation the engine's HOF aggregate performs
-    "q139_corpus_card" ->
-      ("WITH d AS (SELECT source, lang, n_chars, " +
-        "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '')) AS BIGINT) AS tc, md5(text) AS h " +
-        "FROM documents), " +
-        "b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
-        "CAST(SUM(n_chars) AS BIGINT) AS n_chars, " +
-        "CAST(SUM(tc) AS BIGINT) AS n_tokens, " +
-        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, " +
-        "CAST(COUNT(DISTINCT h) AS BIGINT) AS nd " +
-        "FROM d GROUP BY source), " +
-        "lc AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c " +
-        "FROM d GROUP BY 1, 2), " +
-        "e AS (SELECT lc.source, " +
-        "list_reduce(list_prepend(0.0, list_transform(" +
-        "list(lc.c ORDER BY lc.lang), x -> " +
-        "-(CAST(x AS DOUBLE) / b.n_docs) * " +
-        "ln(CAST(x AS DOUBLE) / b.n_docs))), (a, v) -> a + v) AS ent " +
-        "FROM lc JOIN b USING (source) GROUP BY lc.source, b.n_docs) " +
-        "SELECT b.source, b.n_docs, b.n_chars, b.n_tokens, b.n_langs, " +
-        "e.ent AS lang_entropy, " +
-        "1.0 - CAST(b.nd AS DOUBLE) / CAST(b.n_docs AS DOUBLE) " +
-        "AS dup_ratio FROM b JOIN e ON b.source = e.source " +
-        "ORDER BY b.source"),
-    // q129's model CTEs restricted to the q136 train split; unseen
-    // bigrams/prefixes COALESCE to the add-one limits
-    "q140_heldout_perplexity" ->
-      ("WITH t AS (SELECT doc_id, " +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
-        "AS toks FROM documents), " +
-        "f AS (SELECT t.*, CASE WHEN bb < 204 THEN 'train' " +
-        "WHEN bb < 230 THEN 'val' ELSE 'test' END AS split FROM " +
-        "(SELECT *, (strpos('0123456789abcdef', substr(md5('split|' " +
-        "|| CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
-        "strpos('0123456789abcdef', substr(md5('split|' || " +
-        "CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bb FROM t) t " +
-        "WHERE len(toks) >= 2), " +
-        "bg AS (SELECT doc_id, split, toks[CAST(p AS INT)] AS w1, " +
-        "toks[CAST(p + 1 AS INT)] AS w2 " +
-        "FROM f, unnest(range(1, len(toks))) u(p)), " +
-        "db AS (SELECT doc_id, split, w1, w2, COUNT(*) AS cnt " +
-        "FROM bg GROUP BY 1, 2, 3, 4), " +
-        "c2 AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c2 " +
-        "FROM db WHERE split = 'train' GROUP BY 1, 2), " +
-        "c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 " +
-        "FROM c2 GROUP BY 1), " +
-        "vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM " +
-        "(SELECT unnest(toks) AS tok FROM f WHERE split = 'train')) " +
-        "SELECT db.doc_id, db.split, " +
-        "CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams, " +
-        "SUM(CAST(db.cnt AS DOUBLE) * " +
-        "ln((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0) / " +
-        "(CAST(COALESCE(c1.c1, 0) AS DOUBLE) + CAST(vv.v AS DOUBLE)))) " +
-        "/ CAST(SUM(db.cnt) AS DOUBLE) AS avg_logprob " +
-        "FROM db LEFT JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2 " +
-        "LEFT JOIN c1 ON db.w1 = c1.w1 CROSS JOIN vv " +
-        "WHERE db.split <> 'train' " +
-        "GROUP BY db.doc_id, db.split ORDER BY db.doc_id"),
-    // three cumulative predicates over one scan; exact counts
-    "q141_curation_funnel" ->
-      ("WITH d AS (SELECT doc_id, " +
-        "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '')) AS BIGINT) AS tc, md5(text) AS h " +
-        "FROM documents), " +
-        "k AS (SELECT d.*, doc_id = MIN(doc_id) OVER " +
-        "(PARTITION BY h) AS keeper, " +
-        "tc >= 30 AND tc <= 90 AS quality FROM d) " +
-        "SELECT stage, n_docs, n_tokens FROM (" +
-        "SELECT 's0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
-        "CAST(SUM(tc) AS BIGINT) AS n_tokens FROM k " +
-        "UNION ALL SELECT 's1_exact_dedup', CAST(COUNT(*) AS BIGINT), " +
-        "CAST(SUM(tc) AS BIGINT) FROM k WHERE keeper " +
-        "UNION ALL SELECT 's2_quality', CAST(COUNT(*) AS BIGINT), " +
-        "CAST(SUM(tc) AS BIGINT) FROM k WHERE keeper AND quality" +
-        ") ORDER BY stage"),
-    // LOO neighbor rank on the 1e-9 fixed-point cosine, ties to the
-    // lowest neighbor id; same ordered-fold dot as the engine kernel
-    "q142_knn_loo_eval" ->
-      ("WITH e AS (SELECT vec_id, label, " +
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
-        "FROM embeddings WHERE vec_id < 2000), " +
-        "u AS (SELECT vec_id, label, list_transform(v0, x -> x / " +
-        "sqrt(list_reduce(list_prepend(0.0, " +
-        "list_transform(v0, y -> y*y)), (a, b) -> a + b))) AS v " +
-        "FROM e), " +
-        "pr AS (SELECT a.vec_id, a.label, b.label AS nlabel, " +
-        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY " +
-        "CAST(floor(list_reduce(list_prepend(0.0, " +
-        "list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])), " +
-        "(x, y) -> x + y) * 1e9 + 0.5) AS BIGINT) DESC, b.vec_id ASC) " +
-        "AS rk FROM u a JOIN u b ON a.vec_id <> b.vec_id) " +
-        "SELECT label, CAST(COUNT(*) AS BIGINT) AS n, " +
-        "CAST(SUM(CASE WHEN nlabel = label THEN 1 ELSE 0 END) " +
-        "AS BIGINT) AS correct, " +
-        "CAST(SUM(CASE WHEN nlabel = label THEN 1 ELSE 0 END) " +
-        "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS acc " +
-        "FROM pr WHERE rk = 1 GROUP BY label ORDER BY label"),
-    // trailing sums are BIGINT-exact; one pinned double formula for
-    // mean/var/z so both engines round identically
-    "q143_rate_anomaly" ->
-      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
-        "w AS (SELECT *, COUNT(n) OVER win AS c, " +
-        "CAST(SUM(n) OVER win AS BIGINT) AS s, " +
-        "CAST(SUM(n * n) OVER win AS BIGINT) AS ss FROM daily " +
-        "WINDOW win AS (PARTITION BY event_type ORDER BY day " +
-        "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) " +
-        "SELECT event_type, CAST(day AS VARCHAR) AS day, n, " +
-        "CASE WHEN CAST(ss AS DOUBLE) / CAST(c AS DOUBLE) - " +
-        "(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) * " +
-        "(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) > 0 THEN " +
-        "(CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) " +
-        "/ sqrt(CAST(ss AS DOUBLE) / CAST(c AS DOUBLE) - " +
-        "(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) * " +
-        "(CAST(s AS DOUBLE) / CAST(c AS DOUBLE))) ELSE 0.0 END AS z " +
-        "FROM w WHERE c = 7 ORDER BY event_type, day"),
-    // q20's session CTEs; stage anchors are exact min event ids
-    // (fixture event ids are strictly time-ordered)
-    "q144_session_funnel" ->
-      ("WITH g0 AS (SELECT user_id, ts, event_id, event_type, " +
-        "CASE WHEN LAG(ts) OVER w IS NULL OR " +
-        "ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
-        "THEN 1 ELSE 0 END AS new_session FROM events " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
-        "g AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id " +
-        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
-        "CURRENT ROW) AS session_id FROM g0), " +
-        "tv AS (SELECT user_id, session_id, MIN(event_id) AS tv " +
-        "FROM g WHERE event_type = 'view' GROUP BY 1, 2), " +
-        "tc AS (SELECT g.user_id, g.session_id, " +
-        "MIN(g.event_id) AS tc FROM g JOIN tv " +
-        "ON g.user_id = tv.user_id AND g.session_id = tv.session_id " +
-        "WHERE g.event_type = 'click' AND g.event_id > tv.tv " +
-        "GROUP BY 1, 2), " +
-        "tp AS (SELECT g.user_id, g.session_id, " +
-        "MIN(g.event_id) AS tp FROM g JOIN tc " +
-        "ON g.user_id = tc.user_id AND g.session_id = tc.session_id " +
-        "WHERE g.event_type = 'purchase' AND g.event_id > tc.tc " +
-        "GROUP BY 1, 2) " +
-        "SELECT stage, n_sessions FROM (" +
-        "SELECT 's0_sessions' AS stage, CAST(COUNT(*) AS BIGINT) " +
-        "AS n_sessions FROM " +
-        "(SELECT DISTINCT user_id, session_id FROM g) " +
-        "UNION ALL SELECT 's1_view', CAST(COUNT(*) AS BIGINT) FROM tv " +
-        "UNION ALL SELECT 's2_view_click', CAST(COUNT(*) AS BIGINT) " +
-        "FROM tc " +
-        "UNION ALL SELECT 's3_view_click_purchase', " +
-        "CAST(COUNT(*) AS BIGINT) FROM tp) ORDER BY stage"),
-    // q95's md5 min-hash chain with the q116 corpus/batch split: new
-    // docs (doc_id%10=9) band-join the historical side only, then
-    // exact-Jaccard verification — the streaming foreachBatch result
-    // drained over the same fixture must hash-match this exactly
-    "q145_streaming_band_oracled" ->
-      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
-        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
-        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
-        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
-        "sig AS (SELECT doc_id, " +
-        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
-        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
-        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
-        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
-        "FROM e GROUP BY doc_id), " +
-        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
-        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
-        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
-        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
-        "p AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id " +
-        "FROM band n JOIN band c ON n.band = c.band AND n.bucket = c.bucket " +
-        "WHERE n.doc_id % 10 = 9 AND c.doc_id % 10 <> 9), " +
-        "v AS (SELECT new_id, corpus_id, len(list_intersect(a.sh, b.sh)) AS inter, " +
-        "len(a.sh) AS la, len(b.sh) AS lb " +
-        "FROM p JOIN f a ON a.doc_id = p.new_id JOIN f b ON b.doc_id = p.corpus_id) " +
-        "SELECT new_id, corpus_id, " +
-        "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard FROM v " +
-        "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5 " +
-        "ORDER BY new_id, corpus_id"),
-    // q39's production shape: per-doc frame byte-sums (exact integers,
-    // ragged tail included), comma-serialized in frame order
-    "q146_frame_features_agg" ->
-      ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents " +
-        "WHERE length(text) > 0), " +
-        "pos AS (SELECT doc_id, text, unnest(range(0, n)) AS p FROM d), " +
-        "f AS (SELECT doc_id, p // 32 AS idx, " +
-        "SUM(ascii(substring(text, CAST(p + 1 AS INT), 1))) AS s " +
-        "FROM pos GROUP BY 1, 2) " +
-        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames, " +
-        "string_agg(s, ',' ORDER BY idx) AS frame_sums " +
-        "FROM f GROUP BY doc_id ORDER BY doc_id"),
-    // the drained stream must equal the full-corpus batch vocab
-    "q128_streaming_vocab" ->
-      ("WITH t AS (SELECT doc_id, " +
-        "unnest(list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '')) AS token FROM documents) " +
-        "SELECT token, CAST(COUNT(*) AS BIGINT) AS tf, " +
-        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df " +
-        "FROM t GROUP BY token ORDER BY token"),
-  )
 }

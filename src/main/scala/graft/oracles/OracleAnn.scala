@@ -1,0 +1,348 @@
+package graft.oracles
+
+/** DuckDB oracle SQL — embedding similarity / ANN / k-means family.
+  *
+  * Split out of `graft.Registry` (which had grown past 1,900 lines);
+  * `Registry.oracleSql` merges the per-family maps and asserts key
+  * disjointness. Entry text is unchanged — column aliases and total-
+  * order sorts still mirror the Spark queries exactly.
+  */
+private[graft] object OracleAnn {
+
+  /** k-means oracle CTE builders (q124): the Euclidean assignment
+    * argmax(v·c − ‖c‖²/2) with ties to the lowest cid, and the
+    * fixed-point centroid update — both folds ordered to match the
+    * engine's kernels exactly.
+    */
+  private def kmScore: String =
+    "list_reduce(list_transform(list_zip(e.v, c.c), z -> z[1]*z[2]), " +
+      "(a,b) -> a+b) - " +
+      "list_reduce(list_transform(c.c, x -> x*x), (a,b) -> a+b)/2"
+
+  private def kmAssign(prev: String, name: String,
+      withScore: Boolean): String = {
+    val scoreCol = if (withScore) s", $kmScore AS score" else ""
+    val outCol = if (withScore) ", score" else ""
+    s"$name AS (SELECT vec_id, cid$outCol FROM (" +
+      s"SELECT e.vec_id, c.cid$scoreCol, ROW_NUMBER() OVER (" +
+      s"PARTITION BY e.vec_id ORDER BY $kmScore DESC, c.cid ASC) AS rn " +
+      s"FROM e CROSS JOIN $prev c) WHERE rn = 1)"
+  }
+
+  private def kmUpdate(asn: String, prev: String, xn: String,
+      cn: String): String =
+    s"$xn AS (SELECT $asn.cid, d.i, " +
+      "CAST(SUM(CAST(floor(e.v[CAST(d.i AS INT)] * 1e12 + 0.5) AS BIGINT)) " +
+      s"AS DOUBLE)/1e12/COUNT(*) AS cv FROM $asn JOIN e USING (vec_id), " +
+      s"range(1, 65) d(i) GROUP BY $asn.cid, d.i), " +
+      s"$cn AS (SELECT p.cid, COALESCE(l.c, p.c) AS c FROM $prev p " +
+      "LEFT JOIN (SELECT cid, list(cv ORDER BY i) AS c FROM " +
+      s"$xn GROUP BY cid) l ON p.cid = l.cid)"
+
+  val sql: Map[String, String] = Map(
+    "q30_embedding_stats" ->
+      ("SELECT label, COUNT(*) AS n_vectors, " +
+        "CAST(MIN(len(embedding)) AS BIGINT) AS min_dim, " +
+        "CAST(MAX(len(embedding)) AS BIGINT) AS max_dim, " +
+        "MIN(vec_id) AS min_vec_id FROM embeddings GROUP BY label ORDER BY label"),
+    // FP accumulation parity: DuckDB list_reduce is a left fold whose
+    // first step (x1, then acc+x2...) equals Spark's 0.0-seeded fold
+    // bit-for-bit (0.0+x1 == x1 in IEEE), so the normalized vectors and
+    // the cosine scores match the native kernel exactly — verified
+    // bit-identical at sf0.01, not just round-9-identical.
+    "q34_ann_bruteforce" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+        "FROM embeddings), " +
+        "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
+        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v FROM e), " +
+        "q AS (SELECT vec_id AS q_id, v AS q_v FROM u WHERE vec_id < 5), " +
+        "scored AS (SELECT q.q_id, u.vec_id AS neighbor, " +
+        "list_reduce(list_transform(list_zip(u.v, q.q_v), p -> p[1] * p[2]), (a,b) -> a+b) AS cos " +
+        "FROM u JOIN q ON u.vec_id <> q.q_id), " +
+        "ranked AS (SELECT q_id, neighbor, cos, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor ASC) AS rnk FROM scored) " +
+        "SELECT q_id, CAST(rnk AS BIGINT) AS rank, neighbor, cos FROM ranked " +
+        "WHERE rnk <= 5 ORDER BY q_id, rank"),
+    "q70_embedding_quantize" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "s AS (SELECT vec_id, v, 127.0 / list_max(list_transform(v, " +
+        "x -> abs(x))) AS scale FROM e), " +
+        "q AS (SELECT vec_id, v, scale, list_transform(v, " +
+        "x -> CAST(round(x * scale) AS INT)) AS qv FROM s) " +
+        "SELECT vec_id, scale, CAST(len(qv) AS BIGINT) AS n_dims, " +
+        "CAST(list_sum(qv) AS BIGINT) AS sum_q, " +
+        "list_max(list_transform(range(1, len(v) + 1), " +
+        "i -> abs(v[i] - CAST(qv[i] AS DOUBLE) / scale))) AS max_abs_err " +
+        "FROM q ORDER BY vec_id"),
+    // same FP-parity argument as q34: list_reduce left fold == Spark's
+    // 0.0-seeded fold bit-for-bit
+    // the vec_id < 2000 cap keeps the exactness baseline's all-pairs
+    // space structurally bounded (≤200 sampled vectors) at any corpus
+    // size — a no-op at the 500-vector correctness fixtures
+    "q91_cosine_neardup_exact" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+        "FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 2000), " +
+        "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
+        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v FROM e) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x,y) -> x+y) AS cos " +
+        "FROM u a JOIN u b ON a.vec_id < b.vec_id " +
+        "WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x,y) -> x+y) >= 0.3 " +
+        "ORDER BY id_a, id_b"),
+    // cosines via list_reduce left fold == Spark's 0.0-seeded fold
+    // bit-for-bit (q34 argument); argmax ties break to the lowest cid in
+    // both engines (Spark max(struct(sim, -cid)) vs ORDER BY sim DESC, cid)
+    // vec_id < 5000 mirrors the engine's structural cap on the oracle
+    // twin (k is SQL-pinned at 8, so pair work is n²/16 — bounded here;
+    // no-op at the ≤500-vector fixtures; q118 is the uncapped path)
+    "q97_semdedup" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+        "FROM embeddings WHERE vec_id < 5000), " +
+        "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
+        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v FROM e), " +
+        "c AS (SELECT vec_id AS cid, v AS cv FROM u WHERE vec_id < 8), " +
+        "s AS (SELECT u.vec_id, c.cid, " +
+        "list_reduce(list_transform(list_zip(u.v, c.cv), p -> p[1] * p[2]), (x,y) -> x+y) AS sim " +
+        "FROM u CROSS JOIN c), " +
+        "asn AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s) " +
+        "WHERE rn = 1), " +
+        "m AS (SELECT asn.vec_id, asn.cid, u.v FROM asn JOIN u USING (vec_id)), " +
+        "d AS (SELECT DISTINCT a.vec_id FROM m a JOIN m b " +
+        "ON a.cid = b.cid AND b.vec_id < a.vec_id " +
+        "WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x,y) -> x+y) >= 0.3) " +
+        "SELECT m.vec_id, m.cid, " +
+        "CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept " +
+        "FROM m LEFT JOIN d ON d.vec_id = m.vec_id ORDER BY m.vec_id"),
+    // long fixed-point element-sums at 1e12 make the FP mean exact and
+    // order-independent in both engines (float mantissa 24 bits +
+    // 5^12's 28 bits = 52 <= 53, so x*1e12 is an exact double and both
+    // engines floor it to the same integer); the norm's left fold
+    // matches Spark's 0.0-seeded aggregate bit-for-bit (q34 argument)
+    "q104_label_centroids" ->
+      ("WITH p AS (SELECT unnest(range(1, 65)) AS pos), " +
+        "e AS (SELECT label, pos, " +
+        "CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS x " +
+        "FROM embeddings, p), " +
+        "g AS (SELECT label, pos, COUNT(*) AS n, " +
+        "CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / 1000000000000.0 / COUNT(*) AS m " +
+        "FROM e GROUP BY label, pos), " +
+        "a AS (SELECT label, MAX(n) AS n_vecs, " +
+        "list(m ORDER BY pos) AS cent FROM g GROUP BY label) " +
+        "SELECT CAST(label AS BIGINT) AS label, n_vecs, " +
+        "cent[1] AS c0, cent[2] AS c1, cent[3] AS c2, cent[4] AS c3, " +
+        "sqrt(list_reduce(list_transform(cent, x -> x * x), " +
+        "(acc, y) -> acc + y)) AS norm " +
+        "FROM a ORDER BY label"),
+    // prototypes exact by the q104 argument; dots fold left-to-right
+    // over identical doubles; argmax ties break to the lowest label in
+    // both engines
+    "q105_centroid_classify" ->
+      ("WITH p AS (SELECT unnest(range(1, 65)) AS pos), " +
+        "e AS (SELECT label, pos, " +
+        "CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS x " +
+        "FROM embeddings, p), " +
+        "g AS (SELECT label, pos, " +
+        "CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / 1000000000000.0 / COUNT(*) AS m " +
+        "FROM e GROUP BY label, pos), " +
+        "a AS (SELECT label AS clabel, list(m ORDER BY pos) AS cent " +
+        "FROM g GROUP BY label), " +
+        "u AS (SELECT vec_id, label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " +
+        "s AS (SELECT u.vec_id, u.label, a.clabel, " +
+        "list_reduce(list_transform(list_zip(u.v, a.cent), " +
+        "pr -> pr[1] * pr[2]), (x, y) -> x + y) AS sim " +
+        "FROM u CROSS JOIN a), " +
+        "b AS (SELECT vec_id, label, clabel, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY sim DESC, clabel) AS rn FROM s) " +
+        "SELECT CAST(label AS BIGINT) AS label, " +
+        "CAST(clabel AS BIGINT) AS pred, COUNT(*) AS n " +
+        "FROM b WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
+    // fixed md5-derived codebooks: component (b,c,j) = (nibble-8)/16,
+    // exact in double; nearest-L2 encode ties to the lowest codeword
+    // (ROW_NUMBER ORDER BY d, c) and both engines fold the squared
+    // distance and per-subspace ADC subtotals left-to-right from 0.0,
+    // so scores hash-match bit-for-bit (q34/q102 argument)
+    "q113_pq_oracled" ->
+      ("WITH cbv AS (SELECT b, c, jj, " +
+        "CAST(strpos('0123456789abcdef', substr(md5('cb|' || " +
+        "CAST(b AS VARCHAR) || '|' || CAST(c AS VARCHAR) || '|' || " +
+        "CAST(jj AS VARCHAR)), 1, 1)) - 9 AS DOUBLE) / 16.0 AS val " +
+        "FROM range(0, 8) t1(b), range(0, 4) t2(c), range(0, 8) t3(jj)), " +
+        "cb AS (SELECT b, c, list(val ORDER BY jj) AS w FROM cbv " +
+        "GROUP BY b, c), " +
+        "v AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " +
+        "sub AS (SELECT vec_id, b, " +
+        "list_slice(v, CAST(b * 8 + 1 AS INTEGER), CAST(b * 8 + 8 AS INTEGER)) AS vs " +
+        "FROM v, range(0, 8) t(b)), " +
+        "dist AS (SELECT vec_id, sub.b, cb.c, " +
+        "list_reduce(list_transform(range(1, 9), i -> " +
+        "(vs[CAST(i AS INTEGER)] - w[CAST(i AS INTEGER)]) * " +
+        "(vs[CAST(i AS INTEGER)] - w[CAST(i AS INTEGER)])), " +
+        "(acc, y) -> acc + y) AS d " +
+        "FROM sub JOIN cb ON sub.b = cb.b), " +
+        "code AS (SELECT vec_id, b, c FROM (SELECT vec_id, b, c, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, b ORDER BY d, c) AS rn " +
+        "FROM dist) WHERE rn = 1), " +
+        "qs AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5), " +
+        "ss AS (SELECT qs.q_id, cd.vec_id, cd.b, " +
+        "list_reduce(list_transform(list_zip(" +
+        "list_slice(qs.qv, CAST(cd.b * 8 + 1 AS INTEGER), CAST(cd.b * 8 + 8 AS INTEGER)), cb.w), " +
+        "pr -> pr[1] * pr[2]), (acc, y) -> acc + y) AS s " +
+        "FROM code cd JOIN cb ON cd.b = cb.b AND cd.c = cb.c " +
+        "CROSS JOIN qs WHERE cd.vec_id <> qs.q_id), " +
+        "adc AS (SELECT q_id, vec_id, " +
+        "list_reduce(list(s ORDER BY b), (acc, y) -> acc + y) AS adc " +
+        "FROM ss GROUP BY q_id, vec_id), " +
+        "rk AS (SELECT q_id, vec_id AS neighbor, adc, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) " +
+        "AS rank FROM adc) " +
+        "SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, adc " +
+        "FROM rk WHERE rank <= 5 ORDER BY q_id, rank"),
+    // md5-nibble centroids (the q113 trick); argmax-dot assignment with
+    // ties to the lowest cid == the NearestCentroid kernel ordering
+    "q120_ivf_oracled" ->
+      ("WITH cv AS (SELECT c, d, " +
+        "CAST(strpos('0123456789abcdef', substr(md5('iv|' || " +
+        "CAST(c AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 " +
+        "AS DOUBLE) / 16.0 AS val " +
+        "FROM range(0, 4) t1(c), range(0, 64) t2(d)), " +
+        "cent AS (SELECT c, list(val ORDER BY d) AS w FROM cv GROUP BY c), " +
+        "v AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " +
+        "s AS (SELECT vec_id, c, " +
+        "list_reduce(list_transform(list_zip(v, w), pr -> pr[1] * pr[2]), " +
+        "(acc, y) -> acc + y) AS s FROM v CROSS JOIN cent), " +
+        "a AS (SELECT vec_id, c AS cid FROM (SELECT vec_id, c, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn " +
+        "FROM s) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5), " +
+        "qp AS (SELECT q_id, cid FROM (SELECT q.q_id, s.c AS cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY s.s DESC, s.c) AS rn " +
+        "FROM q JOIN s ON s.vec_id = q.q_id) WHERE rn <= 2), " +
+        "cand AS (SELECT qp.q_id, a.vec_id FROM qp JOIN a ON a.cid = qp.cid " +
+        "WHERE a.vec_id <> qp.q_id), " +
+        "sc AS (SELECT cand.q_id, cand.vec_id, " +
+        "list_reduce(list_transform(list_zip(q.qv, v.v), pr -> pr[1] * pr[2]), " +
+        "(acc, y) -> acc + y) AS score " +
+        "FROM cand JOIN q ON q.q_id = cand.q_id " +
+        "JOIN v ON v.vec_id = cand.vec_id), " +
+        "rk AS (SELECT q_id, vec_id AS neighbor, score, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) " +
+        "AS rank FROM sc) " +
+        "SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, score " +
+        "FROM rk WHERE rank <= 5 ORDER BY q_id, rank"),
+    // md5-nibble planes; bucket = bit-packed signs of unit-vector
+    // projections; cosine spelling matches q91's left-fold
+    "q121_lsh_oracled" ->
+      ("WITH pv AS (SELECT p, d, " +
+        "CAST(strpos('0123456789abcdef', substr(md5('pl|' || " +
+        "CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 " +
+        "AS DOUBLE) / 16.0 AS val " +
+        "FROM range(0, 6) t1(p), range(0, 64) t2(d)), " +
+        "pl AS (SELECT p, list(val ORDER BY d) AS w FROM pv GROUP BY p), " +
+        "e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+        "FROM embeddings WHERE vec_id < 2000), " +
+        "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
+        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v " +
+        "FROM e), " +
+        "pr AS (SELECT vec_id, p, " +
+        "list_reduce(list_transform(list_zip(v, w), z -> z[1] * z[2]), " +
+        "(a, b) -> a + b) AS s FROM u CROSS JOIN pl), " +
+        "b AS (SELECT vec_id, CAST(SUM(CASE WHEN s > 0 THEN " +
+        "(CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) " +
+        "AS bucket FROM pr GROUP BY vec_id), " +
+        "j AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b " +
+        "FROM b a JOIN b b2 ON a.bucket = b2.bucket " +
+        "AND a.vec_id < b2.vec_id) " +
+        "SELECT id_a, id_b, " +
+        "list_reduce(list_transform(list_zip(ua.v, ub.v), z -> z[1] * z[2]), " +
+        "(a, b) -> a + b) AS cos " +
+        "FROM j JOIN u ua ON ua.vec_id = j.id_a " +
+        "JOIN u ub ON ub.vec_id = j.id_b " +
+        "WHERE list_reduce(list_transform(list_zip(ua.v, ub.v), " +
+        "z -> z[1] * z[2]), (a, b) -> a + b) >= 0.4 " +
+        "ORDER BY id_a, id_b"),
+    // two unrolled Lloyd rounds; see kmAssign/kmUpdate for the
+    // fold-order and fixed-point exactness contract
+    "q124_kmeans" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings WHERE vec_id < 2000), " +
+        "c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8), " +
+        kmAssign("c0", "a1", withScore = false) + ", " +
+        kmUpdate("a1", "c0", "x1", "c1") + ", " +
+        kmAssign("c1", "a2", withScore = false) + ", " +
+        kmUpdate("a2", "c1", "x2", "c2") + ", " +
+        kmAssign("c2", "a3", withScore = true) +
+        " SELECT vec_id, cid, score FROM a3 ORDER BY vec_id"),
+    // q124's Lloyd CTEs + q97's unit-normalize and greedy-prune CTEs
+    "q125_semdedup_kmeans" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings WHERE vec_id < 2000), " +
+        "c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8), " +
+        kmAssign("c0", "a1", withScore = false) + ", " +
+        kmUpdate("a1", "c0", "x1", "c1") + ", " +
+        kmAssign("c1", "a2", withScore = false) + ", " +
+        kmUpdate("a2", "c1", "x2", "c2") + ", " +
+        kmAssign("c2", "a3", withScore = false) + ", " +
+        "un AS (SELECT vec_id, list_transform(v, x -> x / " +
+        "sqrt(list_reduce(list_transform(v, y -> y*y), (a,b) -> a+b))) " +
+        "AS uv FROM e), " +
+        "m AS (SELECT a3.vec_id, a3.cid, un.uv AS v " +
+        "FROM a3 JOIN un USING (vec_id)), " +
+        "d AS (SELECT DISTINCT a.vec_id FROM m a JOIN m b " +
+        "ON a.cid = b.cid AND b.vec_id < a.vec_id " +
+        "WHERE list_reduce(list_transform(list_zip(a.v, b.v), " +
+        "p -> p[1] * p[2]), (x,y) -> x+y) >= 0.3) " +
+        "SELECT m.vec_id, m.cid, " +
+        "CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS kept FROM m LEFT JOIN d ON d.vec_id = m.vec_id " +
+        "ORDER BY m.vec_id"),
+    // ±1 Rademacher matrix from md5 nibbles (≥8 → +1); quantized
+    // integer-valued doubles make the dot exact, one final /1e6
+    "q132_random_projection" ->
+      ("WITH sv AS (SELECT i, d, CASE WHEN " +
+        "strpos('0123456789abcdef', substr(md5('jl|' || " +
+        "CAST(i AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 " +
+        ">= 0 THEN 1.0 ELSE -1.0 END AS s " +
+        "FROM range(0, 8) t1(i), range(0, 64) t2(d)), " +
+        "sl AS (SELECT i, list(s ORDER BY d) AS w FROM sv GROUP BY i), " +
+        "q AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> floor(CAST(x AS DOUBLE) * 1e6 + 0.5)) AS qv " +
+        "FROM embeddings) " +
+        "SELECT q.vec_id, CAST(sl.i AS BIGINT) AS i, " +
+        "list_reduce(list_transform(list_zip(q.qv, sl.w), " +
+        "z -> z[1] * z[2]), (a, b) -> a + b) / 1e6 AS val " +
+        "FROM q CROSS JOIN sl ORDER BY q.vec_id, i"),
+    // LOO neighbor rank on the 1e-9 fixed-point cosine, ties to the
+    // lowest neighbor id; same ordered-fold dot as the engine kernel
+    "q142_knn_loo_eval" ->
+      ("WITH e AS (SELECT vec_id, label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+        "FROM embeddings WHERE vec_id < 2000), " +
+        "u AS (SELECT vec_id, label, list_transform(v0, x -> x / " +
+        "sqrt(list_reduce(list_prepend(0.0, " +
+        "list_transform(v0, y -> y*y)), (a, b) -> a + b))) AS v " +
+        "FROM e), " +
+        "pr AS (SELECT a.vec_id, a.label, b.label AS nlabel, " +
+        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY " +
+        "CAST(floor(list_reduce(list_prepend(0.0, " +
+        "list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])), " +
+        "(x, y) -> x + y) * 1e9 + 0.5) AS BIGINT) DESC, b.vec_id ASC) " +
+        "AS rk FROM u a JOIN u b ON a.vec_id <> b.vec_id) " +
+        "SELECT label, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN nlabel = label THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS correct, " +
+        "CAST(SUM(CASE WHEN nlabel = label THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS acc " +
+        "FROM pr WHERE rk = 1 GROUP BY label ORDER BY label"),
+  )
+}

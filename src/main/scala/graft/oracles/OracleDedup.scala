@@ -1,0 +1,211 @@
+package graft.oracles
+
+/** DuckDB oracle SQL — document dedup family (exact, minhash/LSH, containment, simhash, winnowing, boilerplate).
+  *
+  * Split out of `graft.Registry` (which had grown past 1,900 lines);
+  * `Registry.oracleSql` merges the per-family maps and asserts key
+  * disjointness. Entry text is unchanged — column aliases and total-
+  * order sorts still mirror the Spark queries exactly.
+  */
+private[graft] object OracleDedup {
+  val sql: Map[String, String] = Map(
+    "q28_exact_dedup" ->
+      ("SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies " +
+        "FROM documents GROUP BY md5(text) ORDER BY keeper"),
+    // doc_id < 2000 makes the sample structurally bounded (≤200 docs)
+    // at any corpus size — a no-op at the 500-doc correctness fixtures
+    "q29_ngram_jaccard" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks " +
+        "FROM documents WHERE doc_id % 10 = 0 AND doc_id < 2000), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni " +
+        "FROM s a, s b WHERE a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni, " +
+        "CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard FROM p " +
+        "WHERE inter > 0 ORDER BY jaccard DESC, id_a, id_b LIMIT 20"),
+    // transitive closure over dup edges: DuckDB recursive CTE enumerates
+    // reachability, min reachable id = cluster label (same as the
+    // engine's min-label propagation fixpoint)
+    "q66_dup_clusters" ->
+      ("WITH RECURSIVE f AS (SELECT doc_id, md5(text) AS h1, " +
+        "md5(array_to_string(list_sort(list_distinct(" +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))), ' ')) AS h2 " +
+        "FROM documents), " +
+        "e0 AS (SELECT MIN(doc_id) OVER (PARTITION BY h1) AS a, doc_id AS b FROM f " +
+        "UNION ALL SELECT MIN(doc_id) OVER (PARTITION BY h2) AS a, doc_id AS b FROM f), " +
+        "e AS (SELECT a, b FROM e0 WHERE a <> b " +
+        "UNION SELECT b AS a, a AS b FROM e0 WHERE a <> b), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM f " +
+        "UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id), " +
+        "c AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id) " +
+        "SELECT doc_id, cluster, COUNT(*) OVER (PARTITION BY cluster) AS n_members " +
+        "FROM c ORDER BY doc_id"),
+    "q94_span_dedup" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "f AS (SELECT * FROM t WHERE len(toks) > 0), " +
+        "s AS (SELECT doc_id, unnest(list_transform(" +
+        "range(0, CAST(CEIL(CAST(len(toks) AS DOUBLE) / 25) AS BIGINT)), " +
+        "i -> md5(array_to_string(toks[i * 25 + 1 : i * 25 + 25], ' ')))) AS span_hash FROM f), " +
+        "g AS (SELECT span_hash, doc_id, COUNT(*) AS occ FROM s GROUP BY 1, 2), " +
+        "w AS (SELECT *, COUNT(*) OVER (PARTITION BY span_hash) AS span_docs FROM g) " +
+        "SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_spans, " +
+        "CAST(SUM(CASE WHEN span_docs >= 2 THEN occ ELSE 0 END) AS BIGINT) AS n_dup_spans, " +
+        "CAST(SUM(CASE WHEN span_docs >= 2 THEN occ ELSE 0 END) AS DOUBLE) / " +
+        "CAST(SUM(occ) AS DOUBLE) AS dup_span_ratio " +
+        "FROM w GROUP BY doc_id ORDER BY doc_id"),
+    // md5 is bit-identical across engines, so the minhash permutations
+    // (min md5(shingle||'#'||seed)) and band buckets reproduce exactly —
+    // the one hash family where LSH is fully oracle-checkable
+    "q95_minhash_oracled" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+        "FROM e GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+        "FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket " +
+        "WHERE l.doc_id < r.doc_id), " +
+        "v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) AS la, len(b.sh) AS lb " +
+        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b) " +
+        "SELECT id_a, id_b, " +
+        "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard FROM v " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5 " +
+        "ORDER BY id_a, id_b"),
+    // hex-nibble decode differs by function (conv in Spark, strpos
+    // here) but the VALUES are identical small ints, so the 60-bit
+    // majority signature hash-matches exactly
+    "q102_simhash_oracled" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS toks " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs, " +
+        "len(toks) AS n FROM t WHERE len(toks) > 0) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_toks, " +
+        "array_to_string(list_transform(range(0, 60), b -> " +
+        "CASE WHEN 2 * list_sum(list_transform(hs, h -> " +
+        "CAST(FLOOR((strpos('0123456789abcdef', " +
+        "substr(h, CAST(b // 4 AS INTEGER) + 1, 1)) - 1) / " +
+        "([8,4,2,1][CAST(b % 4 AS INTEGER) + 1])) AS INTEGER) % 2)) >= n " +
+        "THEN '1' ELSE '0' END), '') AS sig " +
+        "FROM f ORDER BY doc_id"),
+    // same md5-LSH candidate machinery as q95; the verified metric is
+    // the asymmetric containment |A∩B| / min(|A|,|B|)
+    // doc_id < 2000 mirrors the engine's structural cap on the oracle
+    // twin (no-op at the ≤500-doc correctness fixtures; q111 is the
+    // uncapped capacity path)
+    "q109_containment_dedup" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents WHERE doc_id < 2000), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+        "FROM e GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+        "FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket " +
+        "WHERE l.doc_id < r.doc_id), " +
+        "v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) AS la, len(b.sh) AS lb " +
+        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b) " +
+        "SELECT id_a, id_b, " +
+        "CAST(inter AS DOUBLE) / CAST(LEAST(la, lb) AS DOUBLE) AS containment " +
+        "FROM v " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(LEAST(la, lb) AS DOUBLE) >= 0.5 " +
+        "ORDER BY id_a, id_b"),
+    // keeper = lowest (doc_id, span_idx) per paragraph text; the md5 of
+    // each reassembled doc proves byte-exact reassembly cross-engine
+    "q114_paragraph_dedup" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "f AS (SELECT * FROM t WHERE len(toks) > 0), " +
+        "s AS (SELECT doc_id, toks, unnest(range(0, " +
+        "CAST(ceil(len(toks) / 25.0) AS BIGINT))) AS span_idx FROM f), " +
+        "s2 AS (SELECT doc_id, span_idx, array_to_string(list_slice(toks, " +
+        "CAST(span_idx * 25 + 1 AS INTEGER), " +
+        "CAST(span_idx * 25 + 25 AS INTEGER)), ' ') AS sp FROM s), " +
+        "k AS (SELECT doc_id, span_idx, sp, ROW_NUMBER() OVER " +
+        "(PARTITION BY sp ORDER BY doc_id, span_idx) AS rn FROM s2), " +
+        "r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, " +
+        "CAST(COALESCE(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+        "AS n_kept, " +
+        "md5(COALESCE(array_to_string(list(sp ORDER BY span_idx) " +
+        "FILTER (WHERE rn = 1), ' '), '')) AS kept_md5 " +
+        "FROM k GROUP BY doc_id) " +
+        "SELECT doc_id, n_spans, n_kept, " +
+        "CAST(n_kept AS DOUBLE) / CAST(n_spans AS DOUBLE) AS keep_ratio, " +
+        "kept_md5 FROM r ORDER BY doc_id"),
+    // winnowing window-min spelled as list_aggregate over list_slice
+    // windows; hex md5 min is byte-wise == the kernel's digest min
+    "q119_winnow_oracled" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, list_transform(range(1, len(toks) - 1), " +
+        "i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS h " +
+        "FROM t), " +
+        "f AS (SELECT doc_id, CASE WHEN len(h) >= 8 THEN " +
+        "list_distinct(list_transform(range(1, len(h) - 6), " +
+        "j -> list_aggregate(list_slice(h, CAST(j AS INTEGER), " +
+        "CAST(j + 7 AS INTEGER)), 'min'))) " +
+        "ELSE [list_aggregate(h, 'min')] END AS fps " +
+        "FROM g WHERE len(h) > 0), " +
+        "e AS (SELECT doc_id, unnest(fps) AS fp FROM f), " +
+        "cap AS (SELECT fp FROM e GROUP BY fp " +
+        "HAVING COUNT(*) BETWEEN 2 AND 20), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "JOIN cap c ON a.fp = c.fp), " +
+        "r AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared " +
+        "FROM p GROUP BY id_a, id_b HAVING COUNT(*) >= 2) " +
+        "SELECT id_a, id_b, n_shared FROM r ORDER BY id_a, id_b"),
+    // df counted on raw span text; the engine counts md5(span) — the
+    // same partition of spans absent a collision
+    "q123_boilerplate_removal" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "f AS (SELECT * FROM t WHERE len(toks) > 0), " +
+        "s AS (SELECT doc_id, toks, unnest(range(0, " +
+        "CAST(ceil(len(toks) / 25.0) AS BIGINT))) AS span_idx FROM f), " +
+        "s2 AS (SELECT doc_id, span_idx, array_to_string(list_slice(toks, " +
+        "CAST(span_idx * 25 + 1 AS INTEGER), " +
+        "CAST(span_idx * 25 + 25 AS INTEGER)), ' ') AS sp FROM s), " +
+        "d AS (SELECT sp, COUNT(DISTINCT doc_id) AS ndocs FROM s2 " +
+        "GROUP BY sp), " +
+        "k AS (SELECT s2.doc_id, s2.span_idx, s2.sp, " +
+        "d.ndocs > 1 AS bp FROM s2 JOIN d ON s2.sp = d.sp), " +
+        "r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, " +
+        "CAST(COALESCE(SUM(CASE WHEN bp THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+        "AS n_removed, " +
+        "md5(COALESCE(array_to_string(list(sp ORDER BY span_idx) " +
+        "FILTER (WHERE NOT bp), ' '), '')) AS clean_md5 " +
+        "FROM k GROUP BY doc_id) " +
+        "SELECT doc_id, n_spans, n_removed, " +
+        "CAST(n_spans - n_removed AS DOUBLE) / CAST(n_spans AS DOUBLE) " +
+        "AS keep_ratio, clean_md5 FROM r ORDER BY doc_id"),
+  )
+}

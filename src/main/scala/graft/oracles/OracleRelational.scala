@@ -1,0 +1,290 @@
+package graft.oracles
+
+/** DuckDB oracle SQL — relational, window/analytics, as-of/range, sessionization and join-strategy queries.
+  *
+  * Split out of `graft.Registry` (which had grown past 1,900 lines);
+  * `Registry.oracleSql` merges the per-family maps and asserts key
+  * disjointness. Entry text is unchanged — column aliases and total-
+  * order sorts still mirror the Spark queries exactly.
+  */
+private[graft] object OracleRelational {
+  val sql: Map[String, String] = Map(
+    "q05_semi_join" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "q06_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_totalprice > 450000.0) ORDER BY c_custkey"),
+    "q07_enrich_broadcast" ->
+      ("SELECT o_orderkey, c_name, n_name, r_name FROM orders " +
+        "LEFT JOIN customer ON o_custkey = c_custkey " +
+        "LEFT JOIN nation ON c_nationkey = n_nationkey " +
+        "LEFT JOIN region ON n_regionkey = r_regionkey ORDER BY o_orderkey"),
+    "q09_topk" ->
+      ("SELECT event_id, user_id, value FROM events " +
+        "ORDER BY value DESC, event_id LIMIT 10"),
+    "q12_window_analytics" ->
+      ("SELECT user_id, event_id, event_type, " +
+        "LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id " +
+        "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+        "AS running_value FROM events ORDER BY user_id, event_id"),
+    "q13_rollup_orders" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price, " +
+        "CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status, " +
+        "CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority " +
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
+        "ORDER BY g_status, g_priority, o_orderstatus ASC NULLS FIRST, " +
+        "o_orderpriority ASC NULLS FIRST"),
+    "q14_ordered_fold_distinct" ->
+      ("SELECT user_id, STRING_AGG(event_type, ',' ORDER BY event_id) AS type_seq, " +
+        "COUNT(*) AS n_distinct_types FROM " +
+        "(SELECT user_id, event_id, event_type, ROW_NUMBER() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY event_id) AS rn FROM events) " +
+        "WHERE rn = 1 GROUP BY user_id ORDER BY user_id"),
+    "q15_set_ops" ->
+      ("SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150.0 " +
+        "EXCEPT SELECT user_id FROM events WHERE event_type = 'error' " +
+        "AND value > 150.0 ORDER BY user_id"),
+    "q16_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))) * (CAST(1 AS DECIMAL(5,2)) + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE) AS sum_charge, " +
+        "COUNT(*) AS count_order FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '2001-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q17_shipping_priority" ->
+      ("SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate, o_orderpriority, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
+        "AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15' " +
+        "GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q18_regional_revenue" ->
+      ("SELECT r_name, n_name, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue, " +
+        "COUNT(*) AS n_items FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "q19_salted_agg" ->
+      ("SELECT event_type, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q20_sessionize" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, value, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g) " +
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, " +
+        "MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value " +
+        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "q21_asof_join" ->
+      ("WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey " +
+        "FROM orders GROUP BY o_custkey, o_orderdate) " +
+        "SELECT event_id, user_id, o_orderkey FROM events " +
+        "ASOF LEFT JOIN o ON user_id = o_custkey AND ts >= o_orderdate " +
+        "ORDER BY event_id"),
+    "q45_cube" ->
+      ("WITH e AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events) " +
+        "SELECT event_type, day, COUNT(*) AS n, " +
+        "CAST(GROUPING(event_type) AS BIGINT) AS g_type, " +
+        "CAST(GROUPING(day) AS BIGINT) AS g_day " +
+        "FROM e GROUP BY CUBE (event_type, day) " +
+        "ORDER BY g_type, g_day, event_type NULLS FIRST, day NULLS FIRST"),
+    "q46_distinct_exact" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q55_pivot" ->
+      ("SELECT user_id, " +
+        "COUNT(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "COUNT(*) FILTER (WHERE event_type = 'error') AS \"error\", " +
+        "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "COUNT(*) FILTER (WHERE event_type = 'view') AS \"view\" " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q56_explode_tokens" ->
+      ("SELECT tok, COUNT(*) AS n FROM (SELECT unnest(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS tok FROM documents) " +
+        "GROUP BY tok ORDER BY n DESC, tok LIMIT 20"),
+    "q57_percentiles" ->
+      ("SELECT event_type, quantile_cont(value, 0.5) AS p50, " +
+        "quantile_cont(value, 0.9) AS p90, MIN(value) AS vmin, MAX(value) AS vmax " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q58_exact_stats" ->
+      ("WITH s AS (SELECT event_type, COUNT(*) AS n, " +
+        "SUM(CAST(value AS DECIMAL(9,2))) AS s1, " +
+        "SUM(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2))) AS s2 " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT event_type, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, " +
+        "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        "/ CAST(n AS DOUBLE) AS variance FROM s ORDER BY event_type"),
+    "q59_salted_join" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events LEFT JOIN customer ON user_id = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST"),
+    "q60_topk_per_group" ->
+      ("SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM " +
+        "(SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER " +
+        "(PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk FROM documents) " +
+        "WHERE rk <= 3 ORDER BY lang, rk"),
+    "q61_ranking_functions" ->
+      ("SELECT event_type, event_id, value, " +
+        "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, " +
+        "PERCENT_RANK() OVER w AS pct_rank, " +
+        "CUME_DIST() OVER w AS cume, " +
+        "FIRST_VALUE(event_id) OVER w AS first_id " +
+        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC) " +
+        "ORDER BY event_type, event_id"),
+    "q72_range_join" ->
+      ("WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "e AS (SELECT user_id, event_id AS e_id, ts AS e_ts FROM events " +
+        "WHERE event_type = 'error') " +
+        "SELECT user_id, COUNT(DISTINCT p_id) AS n_purchases_with_errors, " +
+        "COUNT(DISTINCT e_id) AS n_errors_after_purchase, " +
+        "MIN(p_id) AS first_purchase_id " +
+        "FROM p JOIN e USING (user_id) " +
+        "WHERE e_ts >= p_ts AND e_ts < p_ts + INTERVAL 1 HOUR " +
+        "GROUP BY user_id ORDER BY user_id"),
+    "q78_unpivot" ->
+      ("WITH w AS (SELECT user_id, COUNT(*) AS n_events, " +
+        "COUNT(DISTINCT event_type) AS n_types, MAX(event_id) AS max_id " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT user_id, metric, value FROM (" +
+        "SELECT user_id, 'max_id' AS metric, max_id AS value FROM w " +
+        "UNION ALL SELECT user_id, 'n_events', n_events FROM w " +
+        "UNION ALL SELECT user_id, 'n_types', n_types FROM w) " +
+        "ORDER BY user_id, metric"),
+    "q85_bucketed_join" ->
+      ("SELECT o_orderkey, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue, " +
+        "COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderkey ORDER BY o_orderkey"),
+    // the bloom prune is result-transparent (no false negatives + exact
+    // semi-join after), so the oracle is the plain semi-join
+    "q98_bloom_pruned_join" ->
+      ("SELECT l_returnflag, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM lineitem WHERE l_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q106_gapfill" ->
+      ("WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS eday, value " +
+        "FROM events), " +
+        "d AS (SELECT event_type, eday, COUNT(*) AS n, " +
+        "SUM(CAST(value AS DECIMAL(18,6))) AS sv " +
+        "FROM ev WHERE value >= 180 GROUP BY event_type, eday), " +
+        "cal AS (SELECT unnest(generate_series(" +
+        "(SELECT MIN(eday) FROM ev), (SELECT MAX(eday) FROM ev), " +
+        "INTERVAL 1 DAY)) AS cday), " +
+        "t AS (SELECT DISTINCT event_type FROM ev), " +
+        "g AS (SELECT t.event_type, CAST(cal.cday AS DATE) AS gday, " +
+        "COALESCE(d.n, 0) AS n, d.sv " +
+        "FROM t CROSS JOIN cal LEFT JOIN d " +
+        "ON d.event_type = t.event_type AND d.eday = CAST(cal.cday AS DATE)) " +
+        "SELECT event_type, CAST(gday AS VARCHAR) AS day, " +
+        "CAST(n AS BIGINT) AS n, " +
+        "COALESCE(CAST(last_value(sv IGNORE NULLS) OVER " +
+        "(PARTITION BY event_type ORDER BY gday " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 0) " +
+        "AS carried " +
+        "FROM g ORDER BY event_type, day"),
+    // two unrolled integer fixed-point PageRank rounds; // is floor
+    // division, identical to Spark's div on these positive values
+    "q133_pagerank" ->
+      ("WITH cs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), " +
+        "ed AS (SELECT 'c' AS st, c AS sid, 's' AS dt, s AS did FROM cs " +
+        "UNION ALL SELECT 's', s, 'c', c FROM cs), " +
+        "nodes AS (SELECT DISTINCT st AS t, sid AS id FROM ed), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes), " +
+        "deg AS (SELECT st AS t, sid AS id, " +
+        "CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1, 2), " +
+        "r0 AS (SELECT t, id, (SELECT 1000000000000 // n FROM nn) AS r " +
+        "FROM nodes), " +
+        "c1 AS (SELECT r0.t, r0.id, r0.r // deg.deg AS c FROM r0 " +
+        "JOIN deg USING (t, id)), " +
+        "s1 AS (SELECT ed.dt AS t, ed.did AS id, " +
+        "CAST(SUM(c1.c) AS BIGINT) AS s FROM ed " +
+        "JOIN c1 ON ed.st = c1.t AND ed.sid = c1.id GROUP BY 1, 2), " +
+        "r1 AS (SELECT n2.t, n2.id, " +
+        "(SELECT (15 * (1000000000000 // nn.n)) // 100 FROM nn) + " +
+        "(85 * COALESCE(s1.s, 0)) // 100 AS r FROM nodes n2 " +
+        "LEFT JOIN s1 USING (t, id)), " +
+        "c2 AS (SELECT r1.t, r1.id, r1.r // deg.deg AS c FROM r1 " +
+        "JOIN deg USING (t, id)), " +
+        "s2 AS (SELECT ed.dt AS t, ed.did AS id, " +
+        "CAST(SUM(c2.c) AS BIGINT) AS s FROM ed " +
+        "JOIN c2 ON ed.st = c2.t AND ed.sid = c2.id GROUP BY 1, 2), " +
+        "r2 AS (SELECT n2.t, n2.id, " +
+        "(SELECT (15 * (1000000000000 // nn.n)) // 100 FROM nn) + " +
+        "(85 * COALESCE(s2.s, 0)) // 100 AS r FROM nodes n2 " +
+        "LEFT JOIN s2 USING (t, id)) " +
+        "SELECT t, id, r AS rank_fp, CAST(r AS DOUBLE) / 1e12 AS rank " +
+        "FROM r2 ORDER BY t, id"),
+    // trailing sums are BIGINT-exact; one pinned double formula for
+    // mean/var/z so both engines round identically
+    "q143_rate_anomaly" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT *, COUNT(n) OVER win AS c, " +
+        "CAST(SUM(n) OVER win AS BIGINT) AS s, " +
+        "CAST(SUM(n * n) OVER win AS BIGINT) AS ss FROM daily " +
+        "WINDOW win AS (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_type, CAST(day AS VARCHAR) AS day, n, " +
+        "CASE WHEN CAST(ss AS DOUBLE) / CAST(c AS DOUBLE) - " +
+        "(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) * " +
+        "(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) > 0 THEN " +
+        "(CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) " +
+        "/ sqrt(CAST(ss AS DOUBLE) / CAST(c AS DOUBLE) - " +
+        "(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) * " +
+        "(CAST(s AS DOUBLE) / CAST(c AS DOUBLE))) ELSE 0.0 END AS z " +
+        "FROM w WHERE c = 7 ORDER BY event_type, day"),
+    // q20's session CTEs; stage anchors are exact min event ids
+    // (fixture event ids are strictly time-ordered)
+    "q144_session_funnel" ->
+      ("WITH g0 AS (SELECT user_id, ts, event_id, event_type, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR " +
+        "ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS session_id FROM g0), " +
+        "tv AS (SELECT user_id, session_id, MIN(event_id) AS tv " +
+        "FROM g WHERE event_type = 'view' GROUP BY 1, 2), " +
+        "tc AS (SELECT g.user_id, g.session_id, " +
+        "MIN(g.event_id) AS tc FROM g JOIN tv " +
+        "ON g.user_id = tv.user_id AND g.session_id = tv.session_id " +
+        "WHERE g.event_type = 'click' AND g.event_id > tv.tv " +
+        "GROUP BY 1, 2), " +
+        "tp AS (SELECT g.user_id, g.session_id, " +
+        "MIN(g.event_id) AS tp FROM g JOIN tc " +
+        "ON g.user_id = tc.user_id AND g.session_id = tc.session_id " +
+        "WHERE g.event_type = 'purchase' AND g.event_id > tc.tc " +
+        "GROUP BY 1, 2) " +
+        "SELECT stage, n_sessions FROM (" +
+        "SELECT 's0_sessions' AS stage, CAST(COUNT(*) AS BIGINT) " +
+        "AS n_sessions FROM " +
+        "(SELECT DISTINCT user_id, session_id FROM g) " +
+        "UNION ALL SELECT 's1_view', CAST(COUNT(*) AS BIGINT) FROM tv " +
+        "UNION ALL SELECT 's2_view_click', CAST(COUNT(*) AS BIGINT) " +
+        "FROM tc " +
+        "UNION ALL SELECT 's3_view_click_purchase', " +
+        "CAST(COUNT(*) AS BIGINT) FROM tp) ORDER BY stage"),
+  )
+}

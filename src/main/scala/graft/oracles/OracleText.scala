@@ -1,0 +1,559 @@
+package graft.oracles
+
+/** DuckDB oracle SQL — text analysis, IR, LM and tokenizer-training queries.
+  *
+  * Split out of `graft.Registry` (which had grown past 1,900 lines);
+  * `Registry.oracleSql` merges the per-family maps and asserts key
+  * disjointness. Entry text is unchanged — column aliases and total-
+  * order sorts still mirror the Spark queries exactly.
+  */
+private[graft] object OracleText {
+
+  /** BPE oracle round builder (q131): from symbol table `prev`
+    * (w, freq, pos, sym) derive `b$r` (the argmax pair) and `s$r`
+    * (the rewritten symbol table). Leftmost non-overlapping merge
+    * application via gaps-and-islands + odd run-parity — the same
+    * relational spelling as [[TextOps.bpeMerges]], so every
+    * intermediate hash-matches.
+    */
+  private def bpeRound(prev: String, r: Int): String =
+    s"n$r AS (SELECT w, freq, pos, sym, " +
+      "LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt " +
+      s"FROM $prev), " +
+      s"b$r AS (SELECT sym AS a, nxt AS b, " +
+      s"CAST(SUM(freq) AS BIGINT) AS cnt FROM n$r " +
+      "WHERE nxt IS NOT NULL GROUP BY sym, nxt " +
+      "ORDER BY cnt DESC, a ASC, b ASC LIMIT 1), " +
+      s"i$r AS (SELECT *, (nxt IS NOT NULL AND " +
+      s"sym = (SELECT a FROM b$r) AND nxt = (SELECT b FROM b$r)) " +
+      s"AS ispair FROM n$r), " +
+      s"r$r AS (SELECT *, CASE WHEN ispair THEN pos - " +
+      "ROW_NUMBER() OVER (PARTITION BY w, ispair ORDER BY pos) END " +
+      s"AS runid FROM i$r), " +
+      s"e$r AS (SELECT *, ispair AND " +
+      "(ROW_NUMBER() OVER (PARTITION BY w, runid ORDER BY pos) % 2 = 1) " +
+      s"AS sel FROM r$r), " +
+      s"g$r AS (SELECT *, COALESCE(" +
+      "LAG(sel) OVER (PARTITION BY w ORDER BY pos), false) " +
+      s"AS prevsel FROM e$r), " +
+      s"s$r AS (SELECT w, freq, " +
+      "ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, " +
+      "CASE WHEN sel THEN sym || nxt ELSE sym END AS sym " +
+      s"FROM g$r WHERE NOT prevsel)"
+
+  val sql: Map[String, String] = Map(
+    "q22_extract_multivalue" ->
+      ("WITH e AS (SELECT c_custkey, " +
+        "list_filter(list_transform(string_split_regex(replace(" +
+        "c_name || ';' || c_mktsegment || ';' || c_name || ' / ' || c_mktsegment, " +
+        "' ', ''), '[,;/]+'), x -> trim(x)), x -> x <> '') AS vals FROM customer) " +
+        "SELECT c_custkey, array_to_string(vals, ',') AS extracted, " +
+        "CAST(len(vals) AS BIGINT) AS n_values FROM e ORDER BY c_custkey"),
+    "q23_merge_multivalue" ->
+      ("WITH base AS (SELECT c_custkey, " +
+        "list_filter(list_transform(string_split(c_name, '#'), x -> trim(x)), " +
+        "x -> x IS NOT NULL AND x <> '') || " +
+        "list_filter(list_transform(string_split_regex(replace(" +
+        "c_mktsegment || ',' || c_name || ',' || c_mktsegment, ' ', ''), '[,;/]+'), " +
+        "x -> trim(x)), x -> x <> '') AS allv FROM customer), " +
+        "m AS (SELECT c_custkey, list_filter(allv, (x, i) -> list_position(allv, x) = i) " +
+        "AS merged FROM base) " +
+        "SELECT c_custkey, array_to_string(merged[1:10], '|') AS slots, " +
+        "COALESCE(array_to_string(merged[11:], ','), '') AS overflow " +
+        "FROM m ORDER BY c_custkey"),
+    "q24_doc_quality" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, n_subwords, " +
+        "CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len, " +
+        "CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio, " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio, " +
+        "CAST(len(toks) >= 20 AND " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) > 0.1 AND " +
+        "CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) < 0.5 " +
+        "AS BIGINT) AS quality_flag FROM t ORDER BY doc_id"),
+    "q25_lang_id" ->
+      ("WITH t AS (SELECT doc_id, lang, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents) " +
+        "SELECT doc_id, lang, CASE " +
+        "WHEN len(list_filter(toks, x -> x = 'the')) >= 3 THEN 'en' " +
+        "WHEN len(list_filter(toks, x -> x = 'data')) >= 3 THEN 'de' " +
+        "WHEN len(list_filter(toks, x -> x = 'table')) >= 3 THEN 'es' " +
+        "ELSE 'und' END AS lang_guess FROM t ORDER BY doc_id"),
+    "q26_fingerprint_dedup" ->
+      ("WITH f AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(" +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))), ' ')) AS fp " +
+        "FROM documents) " +
+        "SELECT fp, MIN(doc_id) AS keeper, COUNT(*) AS n_docs FROM f " +
+        "GROUP BY fp ORDER BY keeper"),
+    "q27_corpus_selection" ->
+      ("WITH t AS (SELECT doc_id, lang, source, n_chars, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks, " +
+        "md5(array_to_string(list_sort(list_distinct(" +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))), ' ')) AS fp " +
+        "FROM documents WHERE lang IN ('en', 'de', 'es')), " +
+        "q AS (SELECT * FROM t WHERE len(toks) >= 20 " +
+        "AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) > 0.1 " +
+        "AND CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) < 0.5), " +
+        "d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM q) " +
+        "SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
+        "FROM d WHERE rn = 1 GROUP BY lang, source ORDER BY lang, source"),
+    "q63_edit_distance" ->
+      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+        "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
+        "AND length(a.c_name) = length(b.c_name) " +
+        "WHERE a.c_custkey < 100 AND b.c_custkey < 100 " +
+        "AND levenshtein(a.c_name, b.c_name) <= 2 ORDER BY id_a, id_b"),
+    "q64_date_arithmetic" ->
+      ("SELECT o_orderkey, " +
+        "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_ref, " +
+        "CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date, " +
+        "CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR) AS order_month " +
+        "FROM orders ORDER BY o_orderkey"),
+    "q67_tfidf" ->
+      ("WITH toks AS (SELECT doc_id, unnest(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY doc_id, term), " +
+        "x AS (SELECT doc_id, term, cnt, " +
+        "SUM(cnt) OVER (PARTITION BY doc_id) AS doc_len, " +
+        "COUNT(*) OVER (PARTITION BY term) AS df FROM tf), " +
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "s AS (SELECT doc_id, term, (CAST(cnt AS DOUBLE) / CAST(doc_len AS DOUBLE)) * " +
+        "ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf FROM x, n), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY tfidf DESC, term ASC) AS rk FROM s) " +
+        "SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf FROM r " +
+        "WHERE rk <= 3 ORDER BY doc_id, rk"),
+    "q68_stratified_sample" ->
+      ("SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM " +
+        "(SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) " +
+        "WHERE rk <= 50 ORDER BY lang, rk"),
+    "q69_doc_chunks" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, toks, unnest(list_filter(list_transform(" +
+        "range(0, GREATEST(CAST(CEIL(CAST(len(toks) AS DOUBLE) / 40) AS BIGINT), 1)), " +
+        "i -> i * 40), st -> st < len(toks) OR st = 0)) AS start FROM t) " +
+        "SELECT doc_id, CAST(start / 40 AS BIGINT) AS chunk_id, " +
+        "CAST(len(COALESCE(toks[start + 1 : start + 50], [])) AS BIGINT) AS n_tokens, " +
+        "array_to_string(COALESCE(toks[start + 1 : start + 50], []), ' ') AS chunk_text " +
+        "FROM s ORDER BY doc_id, chunk_id"),
+    "q73_weighted_mix" ->
+      ("WITH k AS (SELECT lang, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < " +
+        "(CASE lang WHEN 'en' THEN 'zz' WHEN 'de' THEN '8' WHEN 'es' THEN '8' " +
+        "WHEN 'fr' THEN '4' ELSE '2' END) THEN 1 ELSE 0 END AS keep " +
+        "FROM documents) " +
+        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(keep) AS BIGINT) AS n_kept, " +
+        "CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_ratio " +
+        "FROM k GROUP BY lang ORDER BY lang"),
+    "q79_unigram_lm_score" ->
+      ("WITH t AS (SELECT doc_id, unnest(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS tok FROM documents), " +
+        "f AS (SELECT tok, COUNT(*) AS tf FROM t GROUP BY tok), " +
+        "n AS (SELECT SUM(tf) AS n_total FROM f) " +
+        "SELECT doc_id, COUNT(*) AS n_tokens, " +
+        "AVG(ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE))) AS avg_logprob " +
+        "FROM t JOIN f USING (tok), n GROUP BY doc_id ORDER BY doc_id"),
+    "q80_decontamination" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gram FROM t), " +
+        "e AS (SELECT doc_id AS eval_id, gram FROM s WHERE doc_id % 100 = 0), " +
+        "tr AS (SELECT doc_id AS train_id, gram FROM s WHERE doc_id % 100 <> 0) " +
+        "SELECT train_id, eval_id, COUNT(DISTINCT gram) AS n_shared " +
+        "FROM tr JOIN e USING (gram) GROUP BY train_id, eval_id " +
+        "HAVING COUNT(DISTINCT gram) >= 2 ORDER BY train_id, eval_id"),
+    "q82_pii_redaction" ->
+      ("WITH r AS (SELECT doc_id, 'doc ' || doc_id || ' contact user' || (doc_id % 50) || " +
+        "'@example.com or admin@site' || (doc_id % 7) || '.org call +1-' || " +
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || " +
+        "lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') || " +
+        "' from 192.168.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || " +
+        "' :: ' || substring(text, 1, 40) AS raw FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(raw, '\\+1-\\d{3}-\\d{4}')) AS BIGINT) AS n_phones, " +
+        "CAST(len(regexp_extract_all(raw, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips, " +
+        "regexp_replace(regexp_replace(regexp_replace(raw, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+1-\\d{3}-\\d{4}', '<PHONE>', 'g'), " +
+        "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS clean " +
+        "FROM r ORDER BY doc_id"),
+    "q83_length_buckets" ->
+      ("WITH t AS (SELECT lang, len(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS n_tokens FROM documents) " +
+        "SELECT lang, CASE WHEN n_tokens < 64 THEN 'a_0-63' " +
+        "WHEN n_tokens < 128 THEN 'b_64-127' WHEN n_tokens < 256 THEN 'c_128-255' " +
+        "WHEN n_tokens < 512 THEN 'd_256-511' ELSE 'e_512+' END AS bucket, " +
+        "COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
+        "FROM t GROUP BY 1, 2 ORDER BY lang, bucket"),
+    "q84_sequence_packing" ->
+      ("WITH t AS (SELECT lang, doc_id, doc_id % 8 AS shard, CAST(len(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), " +
+        "o AS (SELECT lang, doc_id, shard, n_tokens, COALESCE(SUM(n_tokens) OVER (" +
+        "PARTITION BY lang, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off " +
+        "FROM t) " +
+        "SELECT lang, shard, CAST(FLOOR(off / 2048) AS BIGINT) AS pack_id, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens, MIN(doc_id) AS first_doc " +
+        "FROM o GROUP BY 1, 2, 3 ORDER BY lang, shard, pack_id"),
+    "q92_repetition_signals" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "b AS (SELECT doc_id, len(toks) AS n_tokens, " +
+        "unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g FROM t), " +
+        "c AS (SELECT doc_id, g, COUNT(*) AS cnt, MIN(n_tokens) AS n_tokens FROM b GROUP BY 1, 2), " +
+        "m AS (SELECT doc_id, MIN(n_tokens) AS n_tokens, MAX(cnt) AS max_bi FROM c GROUP BY doc_id), " +
+        "tri AS (SELECT doc_id, GREATEST(len(toks) - 2, 0) AS total_tri, " +
+        "len(list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS distinct_tri FROM t) " +
+        "SELECT m.doc_id, CAST(m.n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(max_bi * 2 AS DOUBLE) / CAST(m.n_tokens AS DOUBLE) AS top_bigram_frac, " +
+        "CAST(total_tri - distinct_tri AS DOUBLE) / CAST(GREATEST(total_tri, 1) AS DOUBLE) AS dup_trigram_frac, " +
+        "CAST(CASE WHEN CAST(max_bi * 2 AS DOUBLE) / CAST(m.n_tokens AS DOUBLE) >= 0.12 " +
+        "OR CAST(total_tri - distinct_tri AS DOUBLE) / CAST(GREATEST(total_tri, 1) AS DOUBLE) >= 0.02 " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS repetition_flag " +
+        "FROM m JOIN tri USING (doc_id) ORDER BY doc_id"),
+    "q96_ngram_novelty" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "e AS (SELECT doc_id, md5(unnest(sh)) AS gh FROM s WHERE len(sh) > 0), " +
+        "o AS (SELECT gh, MIN(doc_id) AS first_doc FROM e GROUP BY gh) " +
+        "SELECT doc_id, COUNT(*) AS n_grams, " +
+        "CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen, " +
+        "CAST(COUNT(*) - SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(COUNT(*) AS BIGINT) AS novelty " +
+        "FROM e JOIN o USING (gh) GROUP BY doc_id ORDER BY doc_id"),
+    "q101_shard_manifest" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS BIGINT) AS n_tokens, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents) " +
+        "SELECT substr(hk, 1, 1) AS shard, " +
+        "CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos, doc_id, n_tokens, " +
+        "CAST(COALESCE(SUM(n_tokens) OVER " +
+        "(PARTITION BY substr(hk, 1, 1) ORDER BY hk, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS tok_offset " +
+        "FROM t WINDOW w AS " +
+        "(PARTITION BY substr(hk, 1, 1) ORDER BY hk, doc_id) " +
+        "ORDER BY shard, pos"),
+    "q110_token_budget" ->
+      ("WITH t AS (SELECT lang, doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks " +
+        "FROM documents), " +
+        "q AS (SELECT lang, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) " +
+        "AS distinct_ratio FROM t) " +
+        "SELECT lang, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank, doc_id, " +
+        "n_tokens, " +
+        "CAST(SUM(n_tokens) OVER (PARTITION BY lang " +
+        "ORDER BY distinct_ratio DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS cum_tokens, " +
+        "CAST(CASE WHEN SUM(n_tokens) OVER (PARTITION BY lang " +
+        "ORDER BY distinct_ratio DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens < 2000 " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS kept " +
+        "FROM q WINDOW w AS " +
+        "(PARTITION BY lang ORDER BY distinct_ratio DESC, doc_id) " +
+        "ORDER BY lang, rank"),
+    // both engines md5 the same utf8 bytes; upper() is engine-safe on
+    // this corpus (the q54 precedent)
+    "q117_corpus_diff" ->
+      ("WITH cur AS (SELECT doc_id, md5(text) AS h_cur FROM documents " +
+        "WHERE doc_id % 7 <> 3), " +
+        "prev AS (SELECT doc_id, md5(CASE WHEN doc_id % 13 = 0 " +
+        "THEN upper(text) ELSE text END) AS h_prev FROM documents " +
+        "WHERE doc_id % 10 <> 9) " +
+        "SELECT COALESCE(cur.doc_id, prev.doc_id) AS doc_id, " +
+        "CASE WHEN h_prev IS NULL THEN 'added' " +
+        "WHEN h_cur IS NULL THEN 'removed' " +
+        "WHEN h_cur <> h_prev THEN 'changed' " +
+        "ELSE 'unchanged' END AS status " +
+        "FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id " +
+        "ORDER BY doc_id"),
+    // SUM(BIGINT) is HUGEINT in DuckDB — the q103 lesson: cast before
+    // the division so both engines divide identical doubles
+    "q126_vocab_report" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "unnest(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS token FROM documents), " +
+        "p AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf, " +
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df " +
+        "FROM t GROUP BY token), " +
+        "tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM p) " +
+        "SELECT token, tf, df, " +
+        "CAST(tf AS DOUBLE) / CAST(total AS DOUBLE) AS coverage " +
+        "FROM p, tot ORDER BY tf DESC, token LIMIT 100"),
+    // same md5 first-nibble both engines evaluate (q120/q121 pattern)
+    "q127_hashing_vectorizer" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents) " +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "array_to_string(list_transform(range(0, 16), b -> " +
+        "CAST(len(list_filter(toks, tk -> " +
+        "strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1 = b)) " +
+        "AS BIGINT)), ',') AS vec " +
+        "FROM t ORDER BY doc_id"),
+    // mirrors bigramLmScore: bigrams via adjacent list positions, the
+    // same add-one model; ln agreement is within the 1e-9 rounding
+    // both engines' float compare uses (the q79 precedent)
+    "q129_bigram_lm_score" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "f AS (SELECT * FROM t WHERE len(toks) >= 2), " +
+        "bg AS (SELECT doc_id, toks[CAST(p AS INT)] AS w1, " +
+        "toks[CAST(p + 1 AS INT)] AS w2 " +
+        "FROM f, unnest(range(1, len(toks))) u(p)), " +
+        "db AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt " +
+        "FROM bg GROUP BY 1, 2, 3), " +
+        "c2 AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c2 " +
+        "FROM db GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 " +
+        "FROM c2 GROUP BY 1), " +
+        "vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM " +
+        "(SELECT unnest(toks) AS tok FROM f)) " +
+        "SELECT db.doc_id, CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams, " +
+        "SUM(CAST(db.cnt AS DOUBLE) * ln((CAST(c2.c2 AS DOUBLE) + 1.0) / " +
+        "(CAST(c1.c1 AS DOUBLE) + CAST(vv.v AS DOUBLE)))) / " +
+        "CAST(SUM(db.cnt) AS DOUBLE) AS avg_logprob " +
+        "FROM db JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2 " +
+        "JOIN c1 ON db.w1 = c1.w1 CROSS JOIN vv " +
+        "GROUP BY db.doc_id ORDER BY db.doc_id"),
+    // mirrors bm25TopK: same Okapi formula with literal constants;
+    // the k boundary ranks on the same 1e-9 fixed-point score so the
+    // selected set is deterministic cross-engine
+    "q130_bm25_topk" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
+        "q AS (SELECT * FROM (VALUES ('spark'), ('join'), ('stream')) " +
+        "v(term)), " +
+        "tf AS (SELECT doc_id, tok AS term, " +
+        "CAST(COUNT(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u " +
+        "JOIN q ON u.tok = q.term GROUP BY 1, 2), " +
+        "df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) " +
+        "AS df FROM tf GROUP BY 1), " +
+        "dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t), " +
+        "sc AS (SELECT tf.doc_id, " +
+        "SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) " +
+        "* CAST(tf.tf AS DOUBLE) * 2.2 " +
+        "/ (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl.dl / " +
+        "stats.avgdl))) AS score " +
+        "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) " +
+        "CROSS JOIN stats GROUP BY 1) " +
+        "SELECT doc_id, score FROM (" +
+        "SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY " +
+        "CAST(floor(score * 1e9 + 0.5) AS BIGINT) DESC, doc_id) AS rk " +
+        "FROM sc) WHERE rk <= 15 ORDER BY doc_id"),
+    // three unrolled BPE merge rounds over the word-frequency table;
+    // see bpeRound for the leftmost-non-overlapping application CTEs
+    "q131_bpe_merges" ->
+      ("WITH words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq " +
+        "FROM (SELECT unnest(list_filter(string_split_regex(text, " +
+        "'\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY w), " +
+        "s0 AS (SELECT w, freq, CAST(u.p AS BIGINT) AS pos, " +
+        "substr(w, CAST(u.p + 1 AS INT), 1) AS sym " +
+        "FROM words, unnest(range(len(w))) u(p)), " +
+        bpeRound("s0", 1) + ", " +
+        bpeRound("s1", 2) + ", " +
+        bpeRound("s2", 3) + ", " +
+        "tw AS (SELECT w, freq, string_agg(sym, ' ' ORDER BY pos) " +
+        "AS seg FROM s3 GROUP BY w, freq " +
+        "ORDER BY freq DESC, w ASC LIMIT 20) " +
+        "SELECT kind, r, a, b, n FROM (" +
+        "SELECT 'merge' AS kind, CAST(1 AS BIGINT) AS r, a, b, " +
+        "cnt AS n FROM b1 " +
+        "UNION ALL SELECT 'merge', CAST(2 AS BIGINT), a, b, cnt FROM b2 " +
+        "UNION ALL SELECT 'merge', CAST(3 AS BIGINT), a, b, cnt FROM b3 " +
+        "UNION ALL SELECT 'word', CAST(0 AS BIGINT), w, seg, freq " +
+        "FROM tw) ORDER BY kind, r, a"),
+    // q131's trainer CTEs collapsed to a (word → token count) vocab,
+    // then one corpus join — the BPE train→apply composition
+    "q134_bpe_tokenize" ->
+      ("WITH words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq " +
+        "FROM (SELECT unnest(list_filter(string_split_regex(text, " +
+        "'\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY w), " +
+        "s0 AS (SELECT w, freq, CAST(u.p AS BIGINT) AS pos, " +
+        "substr(w, CAST(u.p + 1 AS INT), 1) AS sym " +
+        "FROM words, unnest(range(len(w))) u(p)), " +
+        bpeRound("s0", 1) + ", " +
+        bpeRound("s1", 2) + ", " +
+        bpeRound("s2", 3) + ", " +
+        "vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_syms " +
+        "FROM s3 GROUP BY w), " +
+        "tok AS (SELECT doc_id, " +
+        "unnest(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS w FROM documents) " +
+        "SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(SUM(vocab.n_syms) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(vocab.n_syms) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
+        "AS tokens_per_word " +
+        "FROM tok JOIN vocab USING (w) GROUP BY tok.doc_id " +
+        "ORDER BY tok.doc_id"),
+    // α=0.5 temperature quotas: sqrt + a lang-ordered fold keep every
+    // double bit-identical cross-engine; md5 hash-rank selection
+    "q135_temperature_mix" ->
+      ("WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM documents GROUP BY lang), " +
+        "s AS (SELECT lang, sqrt(CAST(n AS DOUBLE)) AS sv FROM c), " +
+        "tot AS (SELECT list_reduce(list(sv ORDER BY lang), " +
+        "(a, b) -> a + b) AS t FROM s), " +
+        "q AS (SELECT lang, CAST(floor(CAST(250 AS DOUBLE) * sv / " +
+        "tot.t) AS BIGINT) AS quota FROM s CROSS JOIN tot), " +
+        "r AS (SELECT doc_id, lang, source, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY " +
+        "md5('mix|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) " +
+        "AS rk FROM documents) " +
+        "SELECT r.doc_id, r.lang, r.source, r.rk FROM r " +
+        "JOIN q USING (lang) WHERE r.rk <= q.quota " +
+        "ORDER BY r.doc_id"),
+    // doc-id-hash 80/10/10 assignment; leakage = val/test content
+    // hash present among train content hashes
+    "q136_dataset_split" ->
+      ("WITH a AS (SELECT doc_id, md5(text) AS content_hash, " +
+        "md5('split|' || CAST(doc_id AS VARCHAR)) AS hk " +
+        "FROM documents), " +
+        "b AS (SELECT *, (strpos('0123456789abcdef', " +
+        "substr(hk, 1, 1)) - 1) * 16 + " +
+        "strpos('0123456789abcdef', substr(hk, 2, 1)) - 1 AS bb " +
+        "FROM a), " +
+        "sp AS (SELECT doc_id, content_hash, CASE WHEN bb < 204 " +
+        "THEN 'train' WHEN bb < 230 THEN 'val' ELSE 'test' END " +
+        "AS split FROM b), " +
+        "th AS (SELECT DISTINCT content_hash AS t_hash FROM sp " +
+        "WHERE split = 'train') " +
+        "SELECT sp.doc_id, sp.split, (sp.split <> 'train' AND " +
+        "th.t_hash IS NOT NULL) AS leaked FROM sp " +
+        "LEFT JOIN th ON sp.content_hash = th.t_hash " +
+        "ORDER BY sp.doc_id"),
+    // positions are 0-based (unnest ordinal − 1) to mirror posexplode
+    "q137_phrase_search" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "p AS (SELECT doc_id, CAST(u.p - 1 AS BIGINT) AS pos, " +
+        "toks[CAST(u.p AS INT)] AS term " +
+        "FROM t, unnest(range(1, len(toks) + 1)) u(p)) " +
+        "SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches, " +
+        "CAST(MIN(a.pos) AS BIGINT) AS first_pos " +
+        "FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 " +
+        "WHERE a.term = 'table' AND b.term = 'scan' " +
+        "GROUP BY a.doc_id ORDER BY a.doc_id"),
+    // integer counts everywhere; PMI operand grouping mirrors the
+    // engine exactly: (c_ab·n·n) / (p·c1·c2), one ln per row
+    "q138_cooccurrence_pmi" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "po AS (SELECT doc_id, CAST(u.p AS INT) AS i, " +
+        "toks[CAST(u.p AS INT)] AS w " +
+        "FROM t, unnest(range(1, len(toks) + 1)) u(p)), " +
+        "pr AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2 " +
+        "FROM po a JOIN po b ON a.doc_id = b.doc_id " +
+        "AND b.i > a.i AND b.i <= a.i + 2), " +
+        "pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab " +
+        "FROM pr GROUP BY 1, 2), " +
+        "un AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT unnest(toks) AS w FROM t) GROUP BY 1), " +
+        "nt AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n FROM t), " +
+        "np AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS p FROM pc), " +
+        "top AS (SELECT w1, w2, c_ab FROM pc " +
+        "ORDER BY c_ab DESC, w1, w2 LIMIT 30) " +
+        "SELECT top.w1, top.w2, top.c_ab, " +
+        "ln((CAST(top.c_ab AS DOUBLE) * nt.n * nt.n) / " +
+        "(np.p * u1.c * u2.c)) AS pmi " +
+        "FROM top JOIN un u1 ON u1.w = top.w1 " +
+        "JOIN un u2 ON u2.w = top.w2 CROSS JOIN nt CROSS JOIN np " +
+        "ORDER BY w1, w2"),
+    // entropy folds per-source lang counts in lang order from 0.0 —
+    // the same accumulation the engine's HOF aggregate performs
+    "q139_corpus_card" ->
+      ("WITH d AS (SELECT source, lang, n_chars, " +
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS BIGINT) AS tc, md5(text) AS h " +
+        "FROM documents), " +
+        "b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(SUM(tc) AS BIGINT) AS n_tokens, " +
+        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "CAST(COUNT(DISTINCT h) AS BIGINT) AS nd " +
+        "FROM d GROUP BY source), " +
+        "lc AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM d GROUP BY 1, 2), " +
+        "e AS (SELECT lc.source, " +
+        "list_reduce(list_prepend(0.0, list_transform(" +
+        "list(lc.c ORDER BY lc.lang), x -> " +
+        "-(CAST(x AS DOUBLE) / b.n_docs) * " +
+        "ln(CAST(x AS DOUBLE) / b.n_docs))), (a, v) -> a + v) AS ent " +
+        "FROM lc JOIN b USING (source) GROUP BY lc.source, b.n_docs) " +
+        "SELECT b.source, b.n_docs, b.n_chars, b.n_tokens, b.n_langs, " +
+        "e.ent AS lang_entropy, " +
+        "1.0 - CAST(b.nd AS DOUBLE) / CAST(b.n_docs AS DOUBLE) " +
+        "AS dup_ratio FROM b JOIN e ON b.source = e.source " +
+        "ORDER BY b.source"),
+    // q129's model CTEs restricted to the q136 train split; unseen
+    // bigrams/prefixes COALESCE to the add-one limits
+    "q140_heldout_perplexity" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "f AS (SELECT t.*, CASE WHEN bb < 204 THEN 'train' " +
+        "WHEN bb < 230 THEN 'val' ELSE 'test' END AS split FROM " +
+        "(SELECT *, (strpos('0123456789abcdef', substr(md5('split|' " +
+        "|| CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
+        "strpos('0123456789abcdef', substr(md5('split|' || " +
+        "CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bb FROM t) t " +
+        "WHERE len(toks) >= 2), " +
+        "bg AS (SELECT doc_id, split, toks[CAST(p AS INT)] AS w1, " +
+        "toks[CAST(p + 1 AS INT)] AS w2 " +
+        "FROM f, unnest(range(1, len(toks))) u(p)), " +
+        "db AS (SELECT doc_id, split, w1, w2, COUNT(*) AS cnt " +
+        "FROM bg GROUP BY 1, 2, 3, 4), " +
+        "c2 AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c2 " +
+        "FROM db WHERE split = 'train' GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 " +
+        "FROM c2 GROUP BY 1), " +
+        "vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM " +
+        "(SELECT unnest(toks) AS tok FROM f WHERE split = 'train')) " +
+        "SELECT db.doc_id, db.split, " +
+        "CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams, " +
+        "SUM(CAST(db.cnt AS DOUBLE) * " +
+        "ln((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0) / " +
+        "(CAST(COALESCE(c1.c1, 0) AS DOUBLE) + CAST(vv.v AS DOUBLE)))) " +
+        "/ CAST(SUM(db.cnt) AS DOUBLE) AS avg_logprob " +
+        "FROM db LEFT JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2 " +
+        "LEFT JOIN c1 ON db.w1 = c1.w1 CROSS JOIN vv " +
+        "WHERE db.split <> 'train' " +
+        "GROUP BY db.doc_id, db.split ORDER BY db.doc_id"),
+    // three cumulative predicates over one scan; exact counts
+    "q141_curation_funnel" ->
+      ("WITH d AS (SELECT doc_id, " +
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS BIGINT) AS tc, md5(text) AS h " +
+        "FROM documents), " +
+        "k AS (SELECT d.*, doc_id = MIN(doc_id) OVER " +
+        "(PARTITION BY h) AS keeper, " +
+        "tc >= 30 AND tc <= 90 AS quality FROM d) " +
+        "SELECT stage, n_docs, n_tokens FROM (" +
+        "SELECT 's0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(tc) AS BIGINT) AS n_tokens FROM k " +
+        "UNION ALL SELECT 's1_exact_dedup', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(tc) AS BIGINT) FROM k WHERE keeper " +
+        "UNION ALL SELECT 's2_quality', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(tc) AS BIGINT) FROM k WHERE keeper AND quality" +
+        ") ORDER BY stage"),
+  )
+}
