@@ -145,8 +145,15 @@ object Bench {
       if (x == 0L) println("") // keep the spin observable
       dt
     }
+    //   gc_ms    — JVM GC time spent DURING the query (MXBean delta):
+    //              separates own-heap pressure from external slowness.
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    }
     def profile(name: String, sec: Double, ld: Double,
-        spin: Double): Unit = try {
+        spin: Double, gc: Long): Unit = try {
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       val sc = spark.sparkContext
@@ -157,7 +164,7 @@ object Bench {
         s""""heap_mb":$heapMb,"rss_mb":$rssMb,"tmp_mb":$tmpMb,""" +
         s""""persistent_rdds":$nRdd,"storage_mb":$storageMb,""" +
         s""""load1":${"%.2f".format(ld)},""" +
-        s""""spin_ms":${"%.2f".format(spin)}}""" + "\n"
+        s""""spin_ms":${"%.2f".format(spin)},"gc_ms":$gc}""" + "\n"
       java.nio.file.Files.write(profilePath, line.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
@@ -175,13 +182,15 @@ object Bench {
       selected.map { case (name, fn) =>
         val ld = load1
         val spin = spinMs
+        val gc0 = gcMs
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
+        val gc = gcMs - gc0
         // release per-query persist() caches so later queries get the
         // full execution-memory pool (see Caches for the contract)
         Caches.releaseAll(spark)
-        profile(if (passes == 1) name else s"$name#p$p", dt, ld, spin)
+        profile(if (passes == 1) name else s"$name#p$p", dt, ld, spin, gc)
         name -> dt
       }
     }
