@@ -263,6 +263,18 @@ object Registry {
     // integer byte-sums, serialized) — only exchange is the final sort
     "q146_frame_features_agg" -> ((s, d) =>
       Multimodal.frameFeaturesAgg(s, d)),
+    // Efraimidis–Spirakis weighted sample with deterministic md5 draws
+    "q147_weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
+    // canonical-doc selection over the transitive closure of the q95
+    // pair graph — CC cross-checked against a recursive-CTE oracle
+    "q148_canonical_selection" -> ((s, d) => Dedup.canonicalSelection(s, d)),
+    // streaming ANN-index maintenance: new vectors routed to the fixed
+    // q120 md5-nibble coarse quantizer per micro-batch, oracled
+    "q149_streaming_ivf_assign" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingIvfAssign(s, d)),
+    // sketch-quality audit: signature-agreement estimate vs exact
+    // Jaccard on every q95 candidate pair
+    "q150_minhash_estimate" -> ((s, d) => Dedup.minhashEstimate(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -902,6 +902,89 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col(leftId), col(rightId), col("jaccard"))
 
+  /** Canonical document selection (q148): the step AFTER near-dup
+    * detection — group the corpus by the transitive closure of the
+    * verified q95 md5-LSH pairs ([[connectedComponents]], min-id
+    * labels, singletons self-labeled), then keep ONE representative
+    * per cluster: highest n_chars, ties to the lowest doc_id (the
+    * "keep the longest" curation rule). Emits every document with its
+    * cluster, member count and kept flag, so the downstream filter is
+    * `is_kept = 1` and the audit trail is the full table.
+    *
+    * Fully oracled INCLUDING the clustering: DuckDB reproduces the
+    * same pair graph from the q95 chain and closes it with a
+    * recursive-CTE min-label fixpoint — the one place the suite
+    * cross-checks a distributed iterative-graph result against a SQL
+    * recursion, not just against an independent Scala walk.
+    *
+    * 100 TB shape: pairs come from the banding equi-join (never
+    * all-pairs), CC is the pointer-jumping loop (O(log n) rounds, one
+    * (id,label) pair per node per round), and the representative
+    * choice is one window over (cluster) — all shuffles on ids, never
+    * text.
+    */
+  def canonicalSelection(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val pairs = minhashOracledDf(docs)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val cc = connectedComponents(pairs,
+      nodes = Some(docs.select(col("doc_id").as("id"))))
+    val byCluster = Window.partitionBy(col("cluster"))
+    cc.select(col("id").as("doc_id"), col("label").as("cluster"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("rk", row_number().over(byCluster
+        .orderBy(col("n_chars").desc, col("doc_id"))))
+      .select(col("doc_id"), col("cluster"), col("n_members"),
+        col("n_chars"),
+        when(col("rk") === 1, 1L).otherwise(0L).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash estimator audit (q150): for every q95 candidate pair,
+    * the signature-based similarity ESTIMATE (fraction of the 8 perms
+    * whose min-hashes agree — the statistic LSH actually thresholds
+    * on) next to the exact shingle Jaccard and the absolute error.
+    * The sketch-quality report a curation pipeline publishes before
+    * trusting banding parameters at scale: at 100 TB you tune
+    * (perms, bands) from THIS table on a sample, then run the cheap
+    * banding everywhere. Candidates only — the audit never goes
+    * all-pairs; work is bounded by the banding like q95 itself.
+    */
+  def minhashEstimate(spark: SparkSession, dir: String,
+      perms: Int = 8, bands: Int = 4): DataFrame = {
+    val docs = md5ShingledDocs(Tables.documents(spark, dir)).persist()
+    val sig = docs.select(col("doc_id"),
+      VectorExpressions.md5MinhashNative(col("sh"), perms).as("sigs"))
+    val banded = md5BandedSignatures(docs, perms, bands)
+    val pairs = banded.as("l")
+      .join(banded.as("r"), Seq("band", "bucket"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    val est = (0 until perms)
+      .map(i => when(col("sig_a").getItem(i) === col("sig_b").getItem(i),
+        1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(perms.toDouble)
+    pairs
+      .join(sig.select(col("doc_id").as("id_a"), col("sigs").as("sig_a")),
+        "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sigs").as("sig_b")),
+        "id_b")
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .withColumn("mh_est", est)
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("mh_est"),
+        abs(col("mh_est") - col("jaccard")).as("abs_err"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SimHash with a cross-engine hash (q102): the oracled correctness
     * twin of the xxhash64-seeded production kernel
     * ([[org.apache.spark.sql.graft.SimHash64]], q32/q75) — the same

@@ -441,6 +441,42 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Weighted sampling without replacement (q147): the Efraimidis–
+    * Spirakis A-ES scheme with DETERMINISTIC randomness — each doc
+    * draws u ∈ (0,1) from the first 12 md5 nibbles of its id (a 48-bit
+    * integer, exact in a double) and is ranked by key = ln(u)/w with
+    * w = n_chars; the top-k keys are the weighted sample. Longer
+    * documents are proportionally likelier — the importance-sampling
+    * primitive behind quality-weighted corpus mixing — and the whole
+    * draw replays bit-identically in any engine (ln agreement is
+    * within the 1e-9 float rounding both comparators use, the q79/q129
+    * precedent).
+    *
+    * 100 TB shape: key is row-local; the global top-k plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort); the
+    * rank window runs AFTER the limit, over k rows.
+    */
+  def weightedSample(spark: SparkSession, dir: String,
+      k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(lit("ws|"),
+      col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+      .cast("double")
+    val u = (h + lit(0.5)) / lit(math.pow(2.0, 48))
+    val scored = Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (log(u) / col("n_chars").cast("double")).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+    scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("es_key").desc, col("doc_id"))).cast("long"))
+      .select(col("rk"), col("doc_id"), col("lang"), col("n_chars"),
+        col("es_key"))
+      .orderBy(col("rk"))
+  }
+
   /** Deterministic stratified sampling: a fixed-size, reproducible
     * per-language sample ranked by a content-independent hash
     * (md5 of the doc id — identical in any engine, stable across runs).

@@ -207,5 +207,85 @@ private[graft] object OracleDedup {
         "SELECT doc_id, n_spans, n_removed, " +
         "CAST(n_spans - n_removed AS DOUBLE) / CAST(n_spans AS DOUBLE) " +
         "AS keep_ratio, clean_md5 FROM r ORDER BY doc_id"),
+    // q148: canonical selection — the q95 chain gives the verified pair
+    // graph; a recursive min-label fixpoint closes it transitively
+    // (cross-checking the engine's pointer-jumping CC), then one window
+    // picks the longest doc per cluster
+    "q148_canonical_selection" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+        "FROM e GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+        "FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket " +
+        "WHERE l.doc_id < r.doc_id), " +
+        "v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) AS la, len(b.sh) AS lb " +
+        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b), " +
+        "pj AS (SELECT id_a, id_b FROM v " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5), " +
+        "e2 AS (SELECT id_a AS a, id_b AS b FROM pj " +
+        "UNION ALL SELECT id_b, id_a FROM pj), " +
+        "lab AS (SELECT doc_id AS id, doc_id AS lbl FROM documents " +
+        "UNION SELECT e2.a, lab.lbl FROM lab, e2 WHERE lab.id = e2.b), " +
+        "cl AS (SELECT id, MIN(lbl) AS cluster FROM lab GROUP BY id) " +
+        "SELECT d.doc_id, cl.cluster, " +
+        "CAST(COUNT(*) OVER (PARTITION BY cl.cluster) AS BIGINT) AS n_members, " +
+        "d.n_chars, " +
+        "CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY cl.cluster " +
+        "ORDER BY d.n_chars DESC, d.doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS is_kept " +
+        "FROM documents d JOIN cl ON cl.id = d.doc_id ORDER BY d.doc_id"),
+    // q150: the q95 chain, candidates WITHOUT the threshold — per pair,
+    // the perm-agreement estimate next to exact Jaccard and |error|
+    "q150_minhash_estimate" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+        "FROM e GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+        "FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket " +
+        "WHERE l.doc_id < r.doc_id), " +
+        "v AS (SELECT id_a, id_b, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) " +
+        "AS jaccard, " +
+        "CAST((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END + " +
+        "CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END + " +
+        "CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END + " +
+        "CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END + " +
+        "CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END + " +
+        "CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END + " +
+        "CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END + " +
+        "CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 AS mh_est " +
+        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b " +
+        "JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b) " +
+        "SELECT id_a, id_b, jaccard, mh_est, abs(mh_est - jaccard) AS abs_err " +
+        "FROM v ORDER BY id_a, id_b"),
   )
 }

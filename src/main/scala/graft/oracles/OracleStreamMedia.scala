@@ -143,5 +143,25 @@ private[graft] object OracleStreamMedia {
         "SELECT token, CAST(COUNT(*) AS BIGINT) AS tf, " +
         "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df " +
         "FROM t GROUP BY token ORDER BY token"),
+    // q149: the q120 md5-nibble centroid model and dot-argmax `a` CTE,
+    // restricted to the streamed side (vec_id % 10 = 9), score kept —
+    // the drained foreachBatch assignments must hash-match exactly
+    "q149_streaming_ivf_assign" ->
+      ("WITH cv AS (SELECT c, d, " +
+        "CAST(strpos('0123456789abcdef', substr(md5('iv|' || " +
+        "CAST(c AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 " +
+        "AS DOUBLE) / 16.0 AS val " +
+        "FROM range(0, 4) t1(c), range(0, 64) t2(d)), " +
+        "cent AS (SELECT c, list(val ORDER BY d) AS w FROM cv GROUP BY c), " +
+        "v AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings WHERE vec_id % 10 = 9), " +
+        "s AS (SELECT vec_id, c, " +
+        "list_reduce(list_transform(list_zip(v, w), pr -> pr[1] * pr[2]), " +
+        "(acc, y) -> acc + y) AS s FROM v CROSS JOIN cent) " +
+        "SELECT vec_id, CAST(c AS BIGINT) AS cid, s AS score " +
+        "FROM (SELECT vec_id, c, s, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY s DESC, c) AS rn FROM s) " +
+        "WHERE rn = 1 ORDER BY vec_id"),
   )
 }

@@ -555,5 +555,32 @@ private[graft] object OracleText {
         "UNION ALL SELECT 's2_quality', CAST(COUNT(*) AS BIGINT), " +
         "CAST(SUM(tc) AS BIGINT) FROM k WHERE keeper AND quality" +
         ") ORDER BY stage"),
+    // q147: A-ES weighted sample — u from the first 12 md5 nibbles of
+    // 'ws|'||doc_id (48-bit integer, exact in a double), key = ln(u)/w;
+    // ln agreement sits inside the 1e-9 float rounding (q79 precedent)
+    "q147_weighted_sample" ->
+      ("WITH m0 AS (SELECT doc_id, lang, n_chars, " +
+        "md5('ws|' || CAST(doc_id AS VARCHAR)) AS m FROM documents " +
+        "WHERE n_chars > 0), " +
+        "kdf AS (SELECT doc_id, lang, n_chars, " +
+        "ln((CAST(" +
+        "(strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 17592186044416 + " +
+        "(strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 1099511627776 + " +
+        "(strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 68719476736 + " +
+        "(strpos('0123456789abcdef', substr(m, 4, 1)) - 1) * 4294967296 + " +
+        "(strpos('0123456789abcdef', substr(m, 5, 1)) - 1) * 268435456 + " +
+        "(strpos('0123456789abcdef', substr(m, 6, 1)) - 1) * 16777216 + " +
+        "(strpos('0123456789abcdef', substr(m, 7, 1)) - 1) * 1048576 + " +
+        "(strpos('0123456789abcdef', substr(m, 8, 1)) - 1) * 65536 + " +
+        "(strpos('0123456789abcdef', substr(m, 9, 1)) - 1) * 4096 + " +
+        "(strpos('0123456789abcdef', substr(m, 10, 1)) - 1) * 256 + " +
+        "(strpos('0123456789abcdef', substr(m, 11, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(m, 12, 1)) - 1) * 1 " +
+        "AS DOUBLE) + 0.5) / 281474976710656.0) / CAST(n_chars AS DOUBLE) " +
+        "AS es_key FROM m0), " +
+        "r AS (SELECT doc_id, lang, n_chars, es_key, ROW_NUMBER() OVER " +
+        "(ORDER BY es_key DESC, doc_id) AS rk FROM kdf) " +
+        "SELECT CAST(rk AS BIGINT) AS rk, doc_id, lang, n_chars, es_key " +
+        "FROM r WHERE rk <= 200 ORDER BY rk"),
   )
 }

@@ -551,6 +551,66 @@ object StreamingOps {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
+  /** Streaming IVF assignment (q149): new embeddings arrive as a
+    * stream and each micro-batch is assigned to the FIXED md5-nibble
+    * centroid model of q120 (`iv|c|d`, the oracled ANN twin family) —
+    * the maintenance half of an ANN index at 100 TB: the trained
+    * coarse quantizer is a bounded driver artifact, new vectors are
+    * routed to their inverted list row-locally per batch (one
+    * broadcast dot-product argmax, no shuffle but the sink append),
+    * and the index grows incrementally without touching the
+    * historical lists. Assignment arithmetic is the q120 `a`-CTE
+    * exactly, so the drained result is hash-checked cross-engine.
+    */
+  def streamingIvfAssign(spark: SparkSession, dir: String,
+      nlist: Int = 4, dim: Int = 64,
+      batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.graft.VectorExpressions.dotNative
+    import org.apache.spark.sql.expressions.Window
+    val model = (0 until nlist).map(c =>
+      (c.toLong, (0 until dim).map(d =>
+        Similarity.mdNibbleVal(s"iv|$c|$d")).toSeq))
+    val centDf = spark.createDataFrame(model).toDF("c", "w")
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val newVecs = spark.readStream
+      .schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .filter(col("vec_id") % batchMod === batchRem)
+    val sinkDir = graft.Caches.trackTempDir(Files.createTempDirectory(
+      s"graft_streamivf_${counter.incrementAndGet()}_")).toString
+    graft.Caches.onRelease(
+      () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
+    val q = newVecs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        batch
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .crossJoin(broadcast(centDf))
+          .withColumn("s", dotNative(col("v"), col("w")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("s").desc, col("c"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("c").as("cid"), col("s").as("score"))
+          .write.mode("append").parquet(sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sinkSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("cid", LongType),
+      StructField("score", DoubleType)))
+    spark.read.schema(sinkSchema).parquet(sinkDir)
+      .distinct() // replayed micro-batches are idempotent
+      .orderBy(col("vec_id"))
+  }
+
   /** Keyed custom state via mapGroupsWithState: per-user running totals.
     * Cents-as-long state keeps the arithmetic exact so the oracle can
     * check it. Each micro-batch's updated states append to the delta

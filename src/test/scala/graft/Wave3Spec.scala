@@ -983,4 +983,76 @@ class Wave3Spec extends SparkSpec {
     got.foreach { case (k, fp) => assert(fp == r(k), s"node $k") }
     Caches.releaseAll(spark)
   }
+
+  test("weighted sample: exact match with an independent driver-side draw") {
+    // plain-Scala A-ES replay: u from the first 12 md5 nibbles of
+    // 'ws|'||doc_id, key = ln(u)/n_chars, top-200 by (key desc, id)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 > 0)
+    def key(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val h = java.lang.Long.parseLong(hex, 16)
+      math.log((h + 0.5) / math.pow(2.0, 48)) / w
+    }
+    val expected = docs.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(200)
+    val got = operators.TextOps.weightedSample(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("es_key")))
+    assert(got.length == math.min(200, docs.length))
+    got.zip(expected).zipWithIndex.foreach { case (((gi, gk), (ei, ek)), n) =>
+      assert(gi == ei, s"rank ${n + 1}: doc $gi vs $ei")
+      assert(math.abs(gk - ek) < 1e-12, s"rank ${n + 1}: key $gk vs $ek")
+    }
+    // weighting sanity: the sample skews long — its mean n_chars beats
+    // the corpus mean (deterministic given the fixture, not a flake)
+    val byId = docs.toMap
+    val sampleMean = got.map(g => byId(g._1)).sum.toDouble / got.length
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample should skew long: $sampleMean vs $corpusMean")
+    Caches.releaseAll(spark)
+  }
+
+  test("canonical selection: one keeper per cluster, keeper is longest") {
+    val rows = operators.Dedup.canonicalSelection(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("n_members"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("is_kept")))
+    val all = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == all, "every document gets a cluster row")
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.count(_._5 == 1L) == 1, s"cluster $c keeper count")
+      assert(members.map(_._3).distinct.sizeIs == 1 &&
+        members.head._3 == members.length, s"cluster $c n_members")
+      val keeper = members.find(_._5 == 1L).get
+      val best = members.minBy(m => (-m._4, m._1))
+      assert(keeper._1 == best._1, s"cluster $c keeper not longest-then-min-id")
+    }
+    // clusters are consistent with the verified pair graph: every q95
+    // pair at >= 0.5 lands in one cluster
+    val pairs = operators.Dedup.minhashOracled(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusterOf = rows.map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (a, b) =>
+      assert(clusterOf(a) == clusterOf(b), s"pair ($a,$b) split across clusters")
+    }
+    Caches.releaseAll(spark)
+  }
+
+  test("minhash estimate: agreement fraction bounds and exact-dup case") {
+    val rows = operators.Dedup.minhashEstimate(spark, sfDir).collect()
+      .map(r => (r.getAs[Double]("jaccard"), r.getAs[Double]("mh_est"),
+        r.getAs[Double]("abs_err")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (j, e, err) =>
+      assert(j >= 0 && j <= 1 && e >= 0 && e <= 1)
+      assert(math.abs(err - math.abs(e - j)) < 1e-12)
+      // identical shingle sets hash identically under every perm
+      if (j == 1.0) assert(e == 1.0, "exact dup must agree on all perms")
+    }
+    Caches.releaseAll(spark)
+  }
 }
