@@ -275,6 +275,19 @@ object Registry {
     // sketch-quality audit: signature-agreement estimate vs exact
     // Jaccard on every q95 candidate pair
     "q150_minhash_estimate" -> ((s, d) => Dedup.minhashEstimate(s, d)),
+    // vector-space retrieval: full-norm tf-idf cosine, BM25's VSM twin
+    "q151_tfidf_cosine_topk" -> ((s, d) => TextOps.tfidfCosineTopK(s, d)),
+    // per-language fertility/compression of the trained q131 BPE
+    "q152_tokenizer_fertility" -> ((s, d) =>
+      TextOps.tokenizerFertility(s, d)),
+    // n-gram contamination between the q136 held-out splits and train
+    "q153_split_leakage_audit" -> ((s, d) =>
+      TextOps.splitLeakageAudit(s, d)),
+    // diversity-aware selection: greedy MMR over unit embeddings,
+    // the whole trajectory oracled via unrolled CTE steps
+    "q154_mmr_select" -> ((s, d) => Similarity.mmrSelect(s, d)),
+    // per-source (domain) volume/dup-rate/lang-spread report
+    "q155_source_report" -> ((s, d) => TextOps.sourceReport(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

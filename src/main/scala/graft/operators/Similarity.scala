@@ -693,6 +693,55 @@ object Similarity {
     (((d(0) >> 4) & 0xF) - 8) / 16.0
   }
 
+  /** Maximal-marginal-relevance selection (q154): greedy diverse top-k
+    * — step i adds the candidate maximizing
+    * λ·cos(v, q) − (1−λ)·max_{s∈selected} cos(v, s), with the query
+    * vector = unit vec_id 0 and λ = 0.7. THE diversity-aware selection
+    * primitive for eval-set and few-shot-pool construction: pure
+    * relevance top-k returns near-duplicates; MMR trades relevance
+    * against redundancy explicitly.
+    *
+    * Shape: k driver rounds; each is ONE distributed scan scoring all
+    * candidates against the ≤k selected vectors (broadcast literals,
+    * row-local GREATEST over dot kernels) and a
+    * TakeOrderedAndProject(1) argmax — the selected set is a bounded
+    * driver artifact (k×dim), the corpus never collects. Scores are
+    * the 0.0-seeded ascending dot folds both engines share, argmax
+    * picked on the fixed-point-rounded score (q130's determinism
+    * trick), so the whole greedy trajectory is oracle-exact against
+    * DuckDB's unrolled-CTE mirror.
+    */
+  def mmrSelect(spark: SparkSession, dir: String, k: Int = 5,
+      lambda: Double = 0.7): DataFrame = {
+    val emb = unitVectors(spark, dir).persist()
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("v")).head.getSeq[Double](0)
+    val cand = emb.filter(col("vec_id") =!= 0L)
+    var selected = Vector.empty[(Long, Seq[Double], Double)]
+    for (_ <- 1 to k) {
+      val rel = dotNative(col("v"), typedLit(qv))
+      val maxSim = selected
+        .map(s => dotNative(col("v"), typedLit(s._2)))
+        .reduceOption(greatest(_, _)).getOrElse(lit(0.0))
+      val score = lit(lambda) * rel - lit(1.0 - lambda) * maxSim
+      val taken = selected.map(_._1)
+      val best = cand
+        .filter(if (taken.isEmpty) lit(true)
+          else !col("vec_id").isin(taken: _*))
+        .select(col("vec_id"), col("v"), score.as("s"))
+        .orderBy(floor(col("s") * lit(1e9) + lit(0.5)).cast("long").desc,
+          col("vec_id"))
+        .limit(1).head()
+      selected = selected :+
+        ((best.getLong(0), best.getSeq[Double](1), best.getDouble(2)))
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _, s), i) => (i + 1L, id, s) }
+      .toDF("rk", "vec_id", "score")
+      .orderBy(col("rk"))
+  }
+
   /** Per-subspace Lloyd (L2) over a driver-held sample. Deterministic:
     * seeds are the first `ksub` sample subvectors in vec_id order,
     * assignment ties break to the lowest codeword, an empty cell keeps

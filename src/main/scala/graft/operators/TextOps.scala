@@ -154,6 +154,64 @@ object TextOps {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** TF-IDF cosine retrieval (q151): the vector-space twin of BM25
+    * (q130) — documents ranked by cosine between their FULL tf-idf
+    * vector (q67's weighting: (tf/len)·ln(N/df)) and the query's. The
+    * norm runs over every term of the document, not just query terms,
+    * so verbose documents are properly penalized — the classic VSM
+    * contrast to BM25's length saturation; shipping both lets a
+    * curation stack A/B relevance functions on the same corpus scan.
+    *
+    * 100 TB shape: one explode→(doc,term) aggregate; df and the doc
+    * norms are aggregates on the same keys; the query side is |Q|
+    * broadcast rows. Ranking selects by fixed-point-rounded score
+    * (q130's determinism trick) via TakeOrderedAndProject.
+    */
+  def tfidfCosineTopK(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "join", "stream"),
+      topK: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalytics.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val byTerm = Window.partitionBy(col("term"))
+    val weighted = tf
+      .withColumn("doc_len", sum(col("cnt")).over(byDoc))
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w",
+        (col("cnt").cast("double") / col("doc_len").cast("double")) *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+      .persist()
+    val normD = weighted.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("norm_d"))
+    // query vector: tf = 1 per term, length |Q|; terms absent from the
+    // corpus contribute nothing (df = 0 has no weight to give)
+    val qw = weighted
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("df"), col("n_docs")).distinct()
+      .withColumn("qw", (lit(1.0) / lit(terms.size.toDouble)) *
+        log(col("n_docs").cast("double") / col("df").cast("double")))
+      .select(col("term"), col("qw"))
+    val qNorm = qw.agg(sqrt(sum(col("qw") * col("qw"))).as("norm_q"))
+    weighted
+      .join(broadcast(qw), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("qw")).as("dot"))
+      .join(normD, Seq("doc_id"))
+      .crossJoin(broadcast(qNorm))
+      .select(col("doc_id"),
+        (col("dot") / (col("norm_d") * col("norm_q"))).as("score"))
+      .orderBy(floor(col("score") * lit(1e9) + lit(0.5)).cast("long").desc,
+        col("doc_id"))
+      .limit(topK)
+      .orderBy(col("doc_id"))
+  }
+
   /** Fixed-size token-window chunking with stride — the "split documents
     * into training windows" step of an LLM data pipeline. Pure HOFs:
     * window starts are a generated sequence filtered to the doc length,
@@ -1017,6 +1075,70 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Split-leakage n-gram audit (q153): for each held-out split of the
+    * q136 assignment, the fraction of its DISTINCT 3-shingles that
+    * also occur anywhere in train — the n-gram contamination statistic
+    * (q80's decontamination measure) applied split-wise, i.e. the
+    * audit a team runs on its OWN split before trusting held-out
+    * perplexity (q140 trains on exactly this split rule). Exact-dup
+    * leakage (q136's flag) is the limit case; n-gram overlap catches
+    * the near-dup leakage that content hashes miss.
+    *
+    * 100 TB shape: (split, gram) pairs deduplicate map-side before the
+    * exchange; the train side is a narrow distinct-gram relation; one
+    * left join + per-split aggregate. Nothing driver-side.
+    */
+  def splitLeakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .withColumn("split", splitCol("doc_id"))
+      .select(col("split"),
+        explode(TextAnalytics.shingles(col("text"), 3)).as("g"))
+      .distinct()
+      .persist()
+    val train = grams.filter(col("split") === "train")
+      .select(col("g").as("tg"))
+    grams.filter(col("split") =!= "train")
+      .join(train, col("g") === col("tg"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("tg").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .withColumn("overlap_ratio",
+        col("n_overlap").cast("double") / col("n_grams").cast("double"))
+      .orderBy(col("split"))
+  }
+
+  /** Per-source curation report (q155): the domain-level decision
+    * table — for each `source` (the stand-in for a crawl domain),
+    * volume, exact-duplicate rate (q28's first-occurrence rule on the
+    * content hash, computed CORPUS-wide so cross-source copies count
+    * against the later source), language spread and mean length. This
+    * is the table a curation run reads to decide per-domain keep
+    * rates before any expensive near-dup pass.
+    *
+    * 100 TB shape: one scan; the dup flag is a min-doc_id-per-hash
+    * aggregate joined back on the narrow hash column; everything else
+    * is a per-source aggregate. No text shuffles (hashes only).
+    */
+  def sourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(col("text").cast("binary")).as("h"))
+    val firstSeen = docs.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_id"))
+    docs.join(firstSeen, Seq("h"))
+      .withColumn("is_dup",
+        when(col("doc_id") =!= col("first_id"), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dups"),
+        (sum(col("is_dup")).cast("double") /
+          count(lit(1)).cast("double")).as("dup_ratio"),
+        countDistinct(col("lang")).as("n_langs"),
+        (sum(col("n_chars")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_chars"))
+      .orderBy(col("source"))
+  }
+
   /** Positional phrase search (q137): exact-adjacency phrase matching
     * over positional posting lists — the inverted-index operation BM25
     * (q130) ranking sits on top of in a full-text stack.
@@ -1274,5 +1396,35 @@ object TextOps {
       .withColumn("tokens_per_word",
         col("n_tokens").cast("double") / col("n_words").cast("double"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Tokenizer fertility report (q152): per-language compression stats
+    * of the TRAINED q131 BPE — words, characters, BPE tokens, and the
+    * two ratios every tokenizer eval publishes (tokens/word fertility
+    * and chars/token compression). A multilingual mix is budgeted in
+    * TOKENS, so a language with high fertility silently eats budget —
+    * this is the table that catches it (the q135 temperature mix's
+    * natural companion). Same 100 TB shape as q134: the trained vocab
+    * is a bounded broadcast artifact; the corpus pass is one
+    * explode→join→per-lang aggregate.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame = {
+    val (_, syms) = bpeCore(spark, dir, rounds)
+    val vocab = syms.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_syms"))
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(TextAnalytics.tokens(col("text"))).as("w"))
+      .join(vocab, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_syms")).as("n_tokens"))
+      .withColumn("tokens_per_word",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("lang"))
   }
 }

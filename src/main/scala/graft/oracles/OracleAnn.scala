@@ -9,6 +9,33 @@ package graft.oracles
   */
 private[graft] object OracleAnn {
 
+  /** MMR oracle step builder (q154): step n scores every remaining
+    * candidate as λ·dot(v, q) − (1−λ)·GREATEST(dot(v, m_j)) over the
+    * already-selected m_1..m_{n−1}, and takes the fixed-point-rounded
+    * argmax with ties to the lowest vec_id — the engine's greedy loop,
+    * unrolled. (1−λ) is spelled `(1.0 - 0.7)` so both engines perform
+    * the same IEEE subtraction rather than parsing different decimal
+    * literals.
+    */
+  private def mmrDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), pr -> pr[1] * pr[2]), " +
+      "(x, y) -> x + y)"
+
+  private def mmrStep(n: Int): String = {
+    val sims = (1 until n).map(j => mmrDot("c.v", s"m$j.v"))
+    val maxSim =
+      if (sims.isEmpty) "0.0" else s"GREATEST(${sims.mkString(", ")})"
+    val joins = (1 until n).map(j => s"CROSS JOIN m$j").mkString(" ")
+    val notPrev = (1 until n).map(j => s"AND c.vec_id <> m$j.vec_id")
+      .mkString(" ")
+    val score = s"0.7 * ${mmrDot("c.v", "qv.v")} - (1.0 - 0.7) * $maxSim"
+    s"m$n AS (SELECT * FROM (SELECT c.vec_id AS vec_id, c.v AS v, " +
+      s"$score AS score FROM cand c CROSS JOIN qv $joins " +
+      s"WHERE 1 = 1 $notPrev) " +
+      "ORDER BY CAST(floor(score * 1e9 + 0.5) AS BIGINT) DESC, vec_id " +
+      "LIMIT 1)"
+  }
+
   /** k-means oracle CTE builders (q124): the Euclidean assignment
     * argmax(v·c − ‖c‖²/2) with ties to the lowest cid, and the
     * fixed-point centroid update — both folds ordered to match the
@@ -344,5 +371,25 @@ private[graft] object OracleAnn {
         "CAST(SUM(CASE WHEN nlabel = label THEN 1 ELSE 0 END) " +
         "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS acc " +
         "FROM pr WHERE rk = 1 GROUP BY label ORDER BY label"),
+    // q154: MMR greedy selection, 5 unrolled steps (q97's unit-vector
+    // spelling, q130's fixed-point argmax)
+    "q154_mmr_select" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+        "FROM embeddings), " +
+        "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
+        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) " +
+        "AS v FROM e), " +
+        "qv AS (SELECT v FROM u WHERE vec_id = 0), " +
+        "cand AS (SELECT vec_id, v FROM u WHERE vec_id <> 0), " +
+        mmrStep(1) + ", " + mmrStep(2) + ", " + mmrStep(3) + ", " +
+        mmrStep(4) + ", " + mmrStep(5) + " " +
+        "SELECT rk, vec_id, score FROM (" +
+        "SELECT CAST(1 AS BIGINT) AS rk, vec_id, score FROM m1 " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), vec_id, score FROM m2 " +
+        "UNION ALL SELECT CAST(3 AS BIGINT), vec_id, score FROM m3 " +
+        "UNION ALL SELECT CAST(4 AS BIGINT), vec_id, score FROM m4 " +
+        "UNION ALL SELECT CAST(5 AS BIGINT), vec_id, score FROM m5) " +
+        "ORDER BY rk"),
   )
 }

@@ -582,5 +582,103 @@ private[graft] object OracleText {
         "(ORDER BY es_key DESC, doc_id) AS rk FROM kdf) " +
         "SELECT CAST(rk AS BIGINT) AS rk, doc_id, lang, n_chars, es_key " +
         "FROM r WHERE rk <= 200 ORDER BY rk"),
+    // q151: full-vector tf-idf cosine — q67's weighting, doc norm over
+    // ALL the doc's terms, fixed-point-rounded selection (q130's trick)
+    "q151_tfidf_cosine_topk" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM t), " +
+        "tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u GROUP BY 1, 2), " +
+        "w AS (SELECT tf.doc_id, tf.term, " +
+        "(CAST(cnt AS DOUBLE) / SUM(CAST(cnt AS DOUBLE)) OVER " +
+        "(PARTITION BY tf.doc_id)) * " +
+        "ln(nd.n_docs / CAST(COUNT(*) OVER (PARTITION BY tf.term) AS DOUBLE)) " +
+        "AS w FROM tf CROSS JOIN nd), " +
+        "normd AS (SELECT doc_id, sqrt(SUM(w * w)) AS norm_d FROM w GROUP BY 1), " +
+        "qterms AS (SELECT * FROM (VALUES ('spark'), ('join'), ('stream')) " +
+        "v(term)), " +
+        "qdf AS (SELECT tf.term, " +
+        "CAST(COUNT(DISTINCT tf.doc_id) AS DOUBLE) AS df " +
+        "FROM tf JOIN qterms ON tf.term = qterms.term GROUP BY 1), " +
+        "qw AS (SELECT term, (1.0 / 3.0) * ln(nd.n_docs / df) AS qw " +
+        "FROM qdf CROSS JOIN nd), " +
+        "qn AS (SELECT sqrt(SUM(qw * qw)) AS norm_q FROM qw), " +
+        "sc AS (SELECT w.doc_id, SUM(w.w * qw.qw) AS dot " +
+        "FROM w JOIN qw ON w.term = qw.term GROUP BY 1), " +
+        "r AS (SELECT sc.doc_id AS doc_id, " +
+        "sc.dot / (normd.norm_d * qn.norm_q) AS score " +
+        "FROM sc JOIN normd ON sc.doc_id = normd.doc_id CROSS JOIN qn " +
+        "ORDER BY CAST(floor(score * 1e9 + 0.5) AS BIGINT) DESC, sc.doc_id " +
+        "LIMIT 15) " +
+        "SELECT doc_id, score FROM r ORDER BY doc_id"),
+    // q152: per-language fertility of the trained q131 BPE (the q134
+    // vocab chain, aggregated by lang with char counts)
+    "q152_tokenizer_fertility" ->
+      ("WITH words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq " +
+        "FROM (SELECT unnest(list_filter(string_split_regex(text, " +
+        "'\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY w), " +
+        "s0 AS (SELECT w, freq, CAST(u.p AS BIGINT) AS pos, " +
+        "substr(w, CAST(u.p + 1 AS INT), 1) AS sym " +
+        "FROM words, unnest(range(len(w))) u(p)), " +
+        bpeRound("s0", 1) + ", " +
+        bpeRound("s1", 2) + ", " +
+        bpeRound("s2", 3) + ", " +
+        "vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_syms " +
+        "FROM s3 GROUP BY w), " +
+        "tok AS (SELECT lang, " +
+        "unnest(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS w FROM documents) " +
+        "SELECT tok.lang, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(SUM(len(tok.w)) AS BIGINT) AS n_chars, " +
+        "CAST(SUM(vocab.n_syms) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(vocab.n_syms) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
+        "AS tokens_per_word, " +
+        "CAST(SUM(len(tok.w)) AS DOUBLE) / CAST(SUM(vocab.n_syms) AS DOUBLE) " +
+        "AS chars_per_token " +
+        "FROM tok JOIN vocab USING (w) GROUP BY tok.lang " +
+        "ORDER BY tok.lang"),
+    // q153: per-held-out-split distinct-3-shingle overlap vs train
+    // (q136's split byte rule, q95's shingle spelling)
+    "q153_split_leakage_audit" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks, md5('split|' || CAST(doc_id AS VARCHAR)) AS hk " +
+        "FROM documents), " +
+        "sp AS (SELECT doc_id, toks, CASE WHEN " +
+        "(strpos('0123456789abcdef', substr(hk, 1, 1)) - 1) * 16 + " +
+        "strpos('0123456789abcdef', substr(hk, 2, 1)) - 1 < 204 " +
+        "THEN 'train' WHEN " +
+        "(strpos('0123456789abcdef', substr(hk, 1, 1)) - 1) * 16 + " +
+        "strpos('0123456789abcdef', substr(hk, 2, 1)) - 1 < 230 " +
+        "THEN 'val' ELSE 'test' END AS split FROM t), " +
+        "g AS (SELECT DISTINCT split, unnest(list_distinct(" +
+        "list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS g " +
+        "FROM sp), " +
+        "tr AS (SELECT g AS tg FROM g WHERE split = 'train') " +
+        "SELECT g.split, CAST(COUNT(*) AS BIGINT) AS n_grams, " +
+        "CAST(SUM(CASE WHEN tr.tg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_overlap, " +
+        "CAST(SUM(CASE WHEN tr.tg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(COUNT(*) AS DOUBLE) AS overlap_ratio " +
+        "FROM g LEFT JOIN tr ON g.g = tr.tg WHERE g.split <> 'train' " +
+        "GROUP BY g.split ORDER BY g.split"),
+    // q155: per-source volume / exact-dup rate (corpus-wide
+    // first-occurrence rule) / language spread / mean length
+    "q155_source_report" ->
+      ("WITH d AS (SELECT doc_id, source, lang, n_chars, md5(text) AS h " +
+        "FROM documents), " +
+        "fs AS (SELECT h, MIN(doc_id) AS first_id FROM d GROUP BY h) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN d.doc_id <> fs.first_id THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_dups, " +
+        "CAST(SUM(CASE WHEN d.doc_id <> fs.first_id THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_ratio, " +
+        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
+        "AS avg_chars " +
+        "FROM d JOIN fs USING (h) GROUP BY source ORDER BY source"),
   )
 }

@@ -1042,6 +1042,89 @@ class Wave3Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("tfidf cosine: scores are valid cosines over query-term docs") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val rows = operators.TextOps.tfidfCosineTopK(spark, sfDir).collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s > 0 && s <= 1.0 + 1e-9, s"cosine out of range: $s")
+    }
+    val terms = Set("spark", "join", "stream")
+    val withTerm = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        explode(functions.TextAnalytics.tokens(col("text"))).as("t"))
+      .collect().filter(r => terms(r.getString(1)))
+      .map(_.getLong(0)).toSet
+    rows.foreach(r => assert(withTerm(r.getAs[Long]("doc_id")),
+      "ranked doc lacks every query term"))
+    Caches.releaseAll(spark)
+  }
+
+  test("tokenizer fertility: language totals partition the corpus words") {
+    val rows = operators.TextOps.tokenizerFertility(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("tokens_per_word") >= 1.0,
+        "a word tokenizes to at least one symbol")
+      assert(r.getAs[Long]("n_chars") >= r.getAs[Long]("n_tokens"),
+        "BPE tokens cannot outnumber characters")
+    }
+    val totalWords = rows.map(_.getAs[Long]("n_words")).sum
+    val corpusWords = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        functions.TextAnalytics.tokens(
+          org.apache.spark.sql.functions.col("text"))))
+      .count()
+    assert(totalWords == corpusWords, s"$totalWords vs $corpusWords")
+    Caches.releaseAll(spark)
+  }
+
+  test("split leakage audit: held-out rows only, ratios in [0,1]") {
+    val rows = operators.TextOps.splitLeakageAudit(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("val", "test"))
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("overlap_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_grams"))
+    }
+    Caches.releaseAll(spark)
+  }
+
+  test("mmr: distinct picks, first pick is the pure-relevance argmax") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Similarity.mmrSelect(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score")))
+    assert(rows.map(_._1).toSeq == (1L to 5L))
+    assert(rows.map(_._2).distinct.length == 5, "picks must be distinct")
+    // rank 1 has no diversity penalty: it must be the plain cosine
+    // argmax against vec 0 (fixed-point rounding, ties to lowest id)
+    val emb = operators.Similarity.unitVectors(spark, sfDir)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val q = emb(0L)
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val best = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, 0.7 * dot(v, q)) }
+      .minBy { case (id, s) => (-math.floor(s * 1e9 + 0.5).toLong, id) }
+    assert(rows.head._2 == best._1, s"rank-1 pick ${rows.head._2} vs ${best._1}")
+    Caches.releaseAll(spark)
+  }
+
+  test("source report: volumes partition the corpus, ratios bounded") {
+    val rows = operators.TextOps.sourceReport(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == spark.read.parquet(s"$sfDir/documents.parquet").count())
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("dup_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0)
+      assert(r.getAs[Long]("n_dups") < r.getAs[Long]("n_docs"))
+    }
+    Caches.releaseAll(spark)
+  }
+
   test("minhash estimate: agreement fraction bounds and exact-dup case") {
     val rows = operators.Dedup.minhashEstimate(spark, sfDir).collect()
       .map(r => (r.getAs[Double]("jaccard"), r.getAs[Double]("mh_est"),
