@@ -288,6 +288,9 @@ object Registry {
     "q154_mmr_select" -> ((s, d) => Similarity.mmrSelect(s, d)),
     // per-source (domain) volume/dup-rate/lang-spread report
     "q155_source_report" -> ((s, d) => TextOps.sourceReport(s, d)),
+    // CCNet-style head/middle/tail perplexity bucketing by rank terciles
+    "q156_perplexity_buckets" -> ((s, d) =>
+      TextOps.perplexityBuckets(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

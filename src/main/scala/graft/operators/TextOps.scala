@@ -1311,6 +1311,69 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity bucketing (q156): every document scored by
+    * the TRAIN-split bigram LM (q140's model, including train docs —
+    * the filter runs corpus-wide), then split into head/middle/tail by
+    * RANK terciles over (fixed-point avg_logprob desc, doc_id) —
+    * highest-likelihood third is "head", the CCNet keep set. Rank
+    * cutpoints, not interpolated quantiles: `3·rk ≤ n` is integer
+    * arithmetic both engines replay exactly, where quantile
+    * interpolation formulas differ.
+    *
+    * 100 TB shape: scoring is q129/q140's model join (no new
+    * shuffles). The exact global rank here is one total sort; the
+    * production form at scale is the q110 two-pass pattern — find the
+    * two cutpoint SCORES via approx-percentile, then bucket row-local
+    * — which changes only the cutpoint discovery, not the labels'
+    * meaning.
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .withColumn("split", splitCol("doc_id"))
+      .select(col("doc_id"), col("split"),
+        TextAnalytics.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .persist()
+    val bigrams = docs
+      .select(col("doc_id"), col("split"), explode(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("split"), col("b.w1"), col("b.w2"))
+    val train = bigrams.filter(col("split") === "train")
+    val c2 = train.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = docs.filter(col("split") === "train")
+      .select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = bigrams
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1.select(col("w1"), col("c1")), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        (sum(col("cnt").cast("double") *
+          log((coalesce(col("c2"), lit(0L)).cast("double") + 1.0) /
+            (coalesce(col("c1"), lit(0L)).cast("double") +
+              col("v").cast("double")))) /
+          sum(col("cnt")).cast("double")).as("avg_logprob"))
+    val ranked = scored
+      .withColumn("rk", row_number().over(Window.orderBy(
+        floor(col("avg_logprob") * lit(1e9) + lit(0.5)).cast("long").desc,
+        col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    ranked
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
+        when(col("rk") * 3 <= col("n"), "head")
+          .when(col("rk") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Curation funnel report (q141): the per-stage survival table every
     * published pipeline ships — documents and tokens remaining after
     * each curation stage (raw → exact dedup keepers → token-length

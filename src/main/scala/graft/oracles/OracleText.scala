@@ -680,5 +680,45 @@ private[graft] object OracleText {
         "CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
         "AS avg_chars " +
         "FROM d JOIN fs USING (h) GROUP BY source ORDER BY source"),
+    // q156: q140's train-split LM scoring the WHOLE corpus, bucketed
+    // head/middle/tail by integer rank terciles (3*rk <= n / <= 2n)
+    "q156_perplexity_buckets" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "f AS (SELECT t.*, CASE WHEN bb < 204 THEN 'train' " +
+        "WHEN bb < 230 THEN 'val' ELSE 'test' END AS split FROM " +
+        "(SELECT *, (strpos('0123456789abcdef', substr(md5('split|' " +
+        "|| CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
+        "strpos('0123456789abcdef', substr(md5('split|' || " +
+        "CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bb FROM t) t " +
+        "WHERE len(toks) >= 2), " +
+        "bg AS (SELECT doc_id, split, toks[CAST(p AS INT)] AS w1, " +
+        "toks[CAST(p + 1 AS INT)] AS w2 " +
+        "FROM f, unnest(range(1, len(toks))) u(p)), " +
+        "db AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt " +
+        "FROM bg GROUP BY 1, 2, 3), " +
+        "c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 " +
+        "FROM bg WHERE split = 'train' GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 " +
+        "FROM c2 GROUP BY 1), " +
+        "vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM " +
+        "(SELECT unnest(toks) AS tok FROM f WHERE split = 'train')), " +
+        "sc AS (SELECT db.doc_id, " +
+        "CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams, " +
+        "SUM(CAST(db.cnt AS DOUBLE) * " +
+        "ln((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0) / " +
+        "(CAST(COALESCE(c1.c1, 0) AS DOUBLE) + CAST(vv.v AS DOUBLE)))) / " +
+        "CAST(SUM(db.cnt) AS DOUBLE) AS avg_logprob " +
+        "FROM db LEFT JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2 " +
+        "LEFT JOIN c1 ON db.w1 = c1.w1 CROSS JOIN vv " +
+        "GROUP BY db.doc_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY " +
+        "CAST(floor(avg_logprob * 1e9 + 0.5) AS BIGINT) DESC, doc_id) " +
+        "AS rk, COUNT(*) OVER () AS n FROM sc) " +
+        "SELECT doc_id, n_bigrams, avg_logprob, " +
+        "CASE WHEN rk * 3 <= n THEN 'head' " +
+        "WHEN rk * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket " +
+        "FROM r ORDER BY doc_id"),
   )
 }

@@ -1125,6 +1125,22 @@ class Wave3Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("perplexity buckets: rank terciles partition, head outscores tail") {
+    val rows = operators.TextOps.perplexityBuckets(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("avg_logprob"),
+        r.getAs[String]("bucket")))
+    val n = rows.length
+    assert(n > 0)
+    val byB = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byB("head") == n / 3, s"head size ${byB("head")} vs ${n / 3}")
+    assert(byB("head") + byB("middle") == 2 * n / 3)
+    val minHead = rows.filter(_._3 == "head").map(_._2).min
+    val maxTail = rows.filter(_._3 == "tail").map(_._2).max
+    assert(minHead >= maxTail - 1e-9,
+      s"head must outscore tail: $minHead vs $maxTail")
+    Caches.releaseAll(spark)
+  }
+
   test("minhash estimate: agreement fraction bounds and exact-dup case") {
     val rows = operators.Dedup.minhashEstimate(spark, sfDir).collect()
       .map(r => (r.getAs[Double]("jaccard"), r.getAs[Double]("mh_est"),
