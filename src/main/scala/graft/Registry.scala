@@ -291,6 +291,10 @@ object Registry {
     // CCNet-style head/middle/tail perplexity bucketing by rank terciles
     "q156_perplexity_buckets" -> ((s, d) =>
       TextOps.perplexityBuckets(s, d)),
+    // streaming reservoir: per-batch A-ES scoring folded into a
+    // persisted running top-k; drains to exactly the q147 answer
+    "q157_streaming_weighted_sample" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingWeightedSample(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

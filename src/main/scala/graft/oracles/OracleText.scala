@@ -41,7 +41,7 @@ private[graft] object OracleText {
       "CASE WHEN sel THEN sym || nxt ELSE sym END AS sym " +
       s"FROM g$r WHERE NOT prevsel)"
 
-  val sql: Map[String, String] = Map(
+  private val sql1: Map[String, String] = Map(
     "q22_extract_multivalue" ->
       ("WITH e AS (SELECT c_custkey, " +
         "list_filter(list_transform(string_split_regex(replace(" +
@@ -557,8 +557,14 @@ private[graft] object OracleText {
         ") ORDER BY stage"),
     // q147: A-ES weighted sample — u from the first 12 md5 nibbles of
     // 'ws|'||doc_id (48-bit integer, exact in a double), key = ln(u)/w;
-    // ln agreement sits inside the 1e-9 float rounding (q79 precedent)
-    "q147_weighted_sample" ->
+    // ln agreement sits inside the 1e-9 float rounding (q79 precedent).
+    // q157 (the streaming top-k maintenance twin) shares this SQL
+    // verbatim: the reservoir merge is associative, so the drained
+    // stream must equal the one-shot batch answer exactly.
+    "q147_weighted_sample" -> q147Sql,
+    "q157_streaming_weighted_sample" -> q147Sql,
+  )
+  private def q147Sql: String =
       ("WITH m0 AS (SELECT doc_id, lang, n_chars, " +
         "md5('ws|' || CAST(doc_id AS VARCHAR)) AS m FROM documents " +
         "WHERE n_chars > 0), " +
@@ -581,7 +587,9 @@ private[graft] object OracleText {
         "r AS (SELECT doc_id, lang, n_chars, es_key, ROW_NUMBER() OVER " +
         "(ORDER BY es_key DESC, doc_id) AS rk FROM kdf) " +
         "SELECT CAST(rk AS BIGINT) AS rk, doc_id, lang, n_chars, es_key " +
-        "FROM r WHERE rk <= 200 ORDER BY rk"),
+        "FROM r WHERE rk <= 200 ORDER BY rk")
+
+  private val sql2: Map[String, String] = Map(
     // q151: full-vector tf-idf cosine — q67's weighting, doc norm over
     // ALL the doc's terms, fixed-point-rounded selection (q130's trick)
     "q151_tfidf_cosine_topk" ->
@@ -721,4 +729,6 @@ private[graft] object OracleText {
         "WHEN rk * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket " +
         "FROM r ORDER BY doc_id"),
   )
+
+  val sql: Map[String, String] = sql1 ++ sql2
 }

@@ -611,6 +611,88 @@ object StreamingOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Streaming weighted-sample maintenance (q157): the q147
+    * Efraimidis–Spirakis draw run as a STREAM — each micro-batch
+    * scores its documents row-locally (same md5 draw, key = ln(u)/w)
+    * and folds them into a persisted running top-k state
+    * (union → top-k, the associative reservoir merge), so the sample
+    * is always current as the corpus grows. Top-k-by-key merge is
+    * order-insensitive, so ANY batch split drains to exactly the
+    * batch q147 answer — the oracle IS q147's SQL, verbatim.
+    *
+    * 100 TB shape: per-batch work is scoring the batch (row-local) +
+    * a k-bounded merge against the k-row state table; state is
+    * versioned per batch (write v{id}, read latest), so replays are
+    * idempotent overwrites.
+    */
+  def streamingWeightedSample(spark: SparkSession, dir: String,
+      k: Int = 200): DataFrame = {
+    val stateRoot = graft.Caches.trackTempDir(Files.createTempDirectory(
+      s"graft_streamws_${counter.incrementAndGet()}_")).toString
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // one file per micro-batch: on the single-file fixture this is one
+    // batch; the multi-batch fold (the point of the reservoir) is
+    // exercised by the spec over a two-file `documents_*` corpus,
+    // which the prefix glob also admits
+    val newDocs = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    // driver-tracked latest state version (foreachBatch runs on the
+    // driver; replay of batch b overwrites v<b> and re-reads v<b-1>'s
+    // path, keeping the fold idempotent)
+    var prevState: Option[String] = None
+    val q = newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        val h = conv(substring(md5(concat(lit("ws|"),
+          col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+          .cast("double")
+        val u = (h + lit(0.5)) / lit(math.pow(2.0, 48))
+        val scored = batch
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            (log(u) / col("n_chars").cast("double")).as("es_key"))
+        val merged = prevState match {
+          case Some(p) => ss.read.parquet(p).unionByName(scored)
+          case None => scored
+        }
+        val out = s"$stateRoot/v$id"
+        merged
+          .orderBy(col("es_key").desc, col("doc_id"))
+          .limit(k)
+          .write.mode("overwrite").parquet(out)
+        prevState = Some(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import org.apache.spark.sql.expressions.Window
+    val stateSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("es_key", DoubleType)))
+    val fin = prevState match {
+      case Some(p) => spark.read.parquet(p)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], stateSchema)
+    }
+    fin
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("es_key").desc, col("doc_id"))).cast("long"))
+      .select(col("rk"), col("doc_id"), col("lang"), col("n_chars"),
+        col("es_key"))
+      .orderBy(col("rk"))
+  }
+
   /** Keyed custom state via mapGroupsWithState: per-user running totals.
     * Cents-as-long state keeps the arithmetic exact so the oracle can
     * check it. Each micro-batch's updated states append to the delta

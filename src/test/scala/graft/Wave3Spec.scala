@@ -1141,6 +1141,41 @@ class Wave3Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("streaming weighted sample: multi-batch fold equals the batch draw") {
+    // two single-file shards -> maxFilesPerTrigger=1 forces TWO
+    // micro-batches, exercising the reservoir merge (state v0 + batch 1)
+    // — the drained top-k must equal the one-shot batch q147 answer on
+    // the union corpus
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val dir = JFiles.createTempDirectory("ws_stream").toString
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def shard(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val stage = s"$dir/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        JFiles.move(part.toPath, Paths.get(s"$dir/$name"),
+          StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+      }
+      shard(docs.filter(col("doc_id") % 2 === 0), "documents_a.parquet")
+      shard(docs.filter(col("doc_id") % 2 === 1), "documents_b.parquet")
+      val streamed = graft.streaming.StreamingOps
+        .streamingWeightedSample(spark, dir).collect()
+        .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("es_key")))
+      val batch = operators.TextOps.weightedSample(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("es_key")))
+      assert(streamed.toSeq == batch.toSeq,
+        s"streamed ${streamed.length} rows != batch ${batch.length}")
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("minhash estimate: agreement fraction bounds and exact-dup case") {
     val rows = operators.Dedup.minhashEstimate(spark, sfDir).collect()
       .map(r => (r.getAs[Double]("jaccard"), r.getAs[Double]("mh_est"),
