@@ -295,6 +295,11 @@ object Registry {
     // persisted running top-k; drains to exactly the q147 answer
     "q157_streaming_weighted_sample" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingWeightedSample(s, d)),
+    // per-source unigram KL drift vs the corpus mixture
+    "q158_source_kl_drift" -> ((s, d) => TextOps.sourceKlDrift(s, d)),
+    // trigram stupid-backoff LM: train-split model scores held-out docs
+    "q159_trigram_backoff_score" -> ((s, d) =>
+      TextOps.trigramBackoffScore(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -1311,6 +1311,49 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source language-drift report (q158): KL(source ‖ corpus) over
+    * unigram distributions — for each source, Σ_t p(t|s)·ln(p(t|s)/p(t))
+    * plus its token volume and distinct-term count. The drift score a
+    * curation run uses to spot domains whose language diverges from
+    * the corpus (boilerplate farms, non-prose dumps) before any
+    * per-document scoring. KL against the corpus mixture is always
+    * ≥ 0 and finite (every source term occurs in the corpus by
+    * construction), so no smoothing is needed — the statistic is
+    * exact.
+    *
+    * 100 TB shape: one explode → (source, term) count; corpus
+    * marginals are a second aggregate of the same relation; one join
+    * on term and a per-source sum. Counts shuffle, text never does
+    * twice.
+    */
+  def sourceKlDrift(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TextAnalytics.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val srcTotals = counts.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("s_total"))
+    val corpus = counts.groupBy(col("term"))
+      .agg(sum(col("cnt")).as("c_cnt"))
+    val corpusTotal = corpus.agg(sum(col("c_cnt")).as("c_total"))
+    counts
+      .join(srcTotals, Seq("source"))
+      .join(corpus, Seq("term"))
+      .crossJoin(broadcast(corpusTotal))
+      .withColumn("ps", col("cnt").cast("double") /
+        col("s_total").cast("double"))
+      .withColumn("pc", col("c_cnt").cast("double") /
+        col("c_total").cast("double"))
+      .groupBy(col("source"))
+      .agg(sum(col("ps") * log(col("ps") / col("pc"))).as("kl"),
+        max(col("s_total")).as("n_tokens"),
+        count(lit(1)).as("n_terms"))
+      .select(col("source"), col("n_tokens"), col("n_terms"), col("kl"))
+      .orderBy(col("source"))
+  }
+
   /** CCNet-style perplexity bucketing (q156): every document scored by
     * the TRAIN-split bigram LM (q140's model, including train docs —
     * the filter runs corpus-wide), then split into head/middle/tail by
@@ -1371,6 +1414,85 @@ object TextOps {
         when(col("rk") * 3 <= col("n"), "head")
           .when(col("rk") * 3 <= col("n") * 2, "middle")
           .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Trigram stupid-backoff scoring (q159): the q140 composition one
+    * order up — a trigram LM trained on the q136 TRAIN split scores
+    * the held-out documents with Brants-style stupid backoff:
+    * ln(c₁₂₃/c₁₂) when the trigram is known, else ln(0.4·c₂₃/c₂) from
+    * the bigram, else the add-one unigram floor
+    * ln(0.4·0.4·(c₃+1)/(N+V)) — always finite, no normalization pass
+    * (the "stupid" in the name is what makes it the LM that actually
+    * ships at corpus scale). Backoff literals are spelled `0.4 * 0.4`
+    * so both engines do the same IEEE multiply.
+    *
+    * 100 TB shape: q140's model-join pattern with one extra order —
+    * counts shuffle on (w1,w2,w3)/(w2,w3)/unigram keys, the scored
+    * side is per-doc distinct trigrams, AQE broadcasts model sides
+    * when runtime-small.
+    */
+  def trigramBackoffScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("split", splitCol("doc_id"))
+      .select(col("doc_id"), col("split"),
+        TextAnalytics.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .persist()
+    val trigrams = docs
+      .select(col("doc_id"), col("split"), explode(
+        transform(sequence(lit(1), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2"),
+            element_at(col("toks"), i + 2).as("w3")))).as("t"))
+      .select(col("doc_id"), col("split"),
+        col("t.w1"), col("t.w2"), col("t.w3"))
+    val trainToks = docs.filter(col("split") === "train")
+      .select(explode(col("toks")).as("tok"))
+    val c3g = trigrams.filter(col("split") === "train")
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+    // context/bigram/unigram counts over ALL train positions (not just
+    // trigram prefixes) — the standard backoff denominators
+    val bi = docs.filter(col("split") === "train")
+      .select(explode(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("wa"),
+            element_at(col("toks"), i + 1).as("wb")))).as("b"))
+      .select(col("b.wa"), col("b.wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("cb"))
+      .persist()
+    val uni = trainToks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      .persist()
+    val nv = trainToks.agg(count(lit(1)).as("n"),
+      countDistinct(col("tok")).as("v"))
+    val held = trigrams.filter(col("split") =!= "train")
+      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cnt"))
+    held
+      .join(c3g, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("wa").as("w1"), col("wb").as("w2"),
+        col("cb").as("c12")), Seq("w1", "w2"), "left")
+      .join(bi.select(col("wa").as("w2"), col("wb").as("w3"),
+        col("cb").as("c23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("tok").as("w2"), col("cu").as("c2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("tok").as("w3"), col("cu").as("c3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("lp",
+        when(col("c123").isNotNull,
+          log(col("c123").cast("double") / col("c12").cast("double")))
+          .when(col("c23").isNotNull,
+            log(lit(0.4) * col("c23").cast("double") /
+              col("c2").cast("double")))
+          .otherwise(log(lit(0.4) * lit(0.4) *
+            (coalesce(col("c3"), lit(0L)).cast("double") + 1.0) /
+            (col("n").cast("double") + col("v").cast("double")))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_trigrams"),
+        (sum(col("cnt").cast("double") * col("lp")) /
+          sum(col("cnt")).cast("double")).as("avg_logprob"))
       .orderBy(col("doc_id"))
   }
 

@@ -728,6 +728,75 @@ private[graft] object OracleText {
         "CASE WHEN rk * 3 <= n THEN 'head' " +
         "WHEN rk * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket " +
         "FROM r ORDER BY doc_id"),
+    // q158: per-source unigram KL(source || corpus) — exact counts, no
+    // smoothing needed (every source term occurs in the corpus)
+    "q158_source_kl_drift" ->
+      ("WITH tok AS (SELECT source, " +
+        "unnest(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS term FROM documents), " +
+        "c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM tok GROUP BY 1, 2), " +
+        "st AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS s_total " +
+        "FROM c GROUP BY 1), " +
+        "cc AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS c_cnt " +
+        "FROM c GROUP BY 1), " +
+        "ct AS (SELECT CAST(SUM(c_cnt) AS BIGINT) AS c_total FROM cc) " +
+        "SELECT c.source, MAX(st.s_total) AS n_tokens, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_terms, " +
+        "SUM((CAST(c.cnt AS DOUBLE) / CAST(st.s_total AS DOUBLE)) * " +
+        "ln((CAST(c.cnt AS DOUBLE) / CAST(st.s_total AS DOUBLE)) / " +
+        "(CAST(cc.c_cnt AS DOUBLE) / CAST(ct.c_total AS DOUBLE)))) AS kl " +
+        "FROM c JOIN st USING (source) JOIN cc USING (term) CROSS JOIN ct " +
+        "GROUP BY c.source ORDER BY c.source"),
+    // q159: train-split trigram LM with stupid backoff scoring the
+    // held-out docs; 0.4 * 0.4 spelled as the same IEEE multiply
+    "q159_trigram_backoff_score" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "f AS (SELECT t.*, CASE WHEN bb < 204 THEN 'train' " +
+        "WHEN bb < 230 THEN 'val' ELSE 'test' END AS split FROM " +
+        "(SELECT *, (strpos('0123456789abcdef', substr(md5('split|' " +
+        "|| CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
+        "strpos('0123456789abcdef', substr(md5('split|' || " +
+        "CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bb FROM t) t " +
+        "WHERE len(toks) >= 3), " +
+        "tg AS (SELECT doc_id, split, toks[CAST(p AS INT)] AS w1, " +
+        "toks[CAST(p + 1 AS INT)] AS w2, toks[CAST(p + 2 AS INT)] AS w3 " +
+        "FROM f, unnest(range(1, len(toks) - 1)) u(p)), " +
+        "bgt AS (SELECT toks[CAST(p AS INT)] AS wa, " +
+        "toks[CAST(p + 1 AS INT)] AS wb " +
+        "FROM f, unnest(range(1, len(toks))) u(p) " +
+        "WHERE split = 'train'), " +
+        "c3g AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123 " +
+        "FROM tg WHERE split = 'train' GROUP BY 1, 2, 3), " +
+        "cb AS (SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS cb " +
+        "FROM bgt GROUP BY 1, 2), " +
+        "cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM " +
+        "(SELECT unnest(toks) AS tok FROM f WHERE split = 'train') " +
+        "GROUP BY 1), " +
+        "nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM " +
+        "(SELECT unnest(toks) AS tok FROM f WHERE split = 'train')), " +
+        "db AS (SELECT doc_id, w1, w2, w3, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM tg " +
+        "WHERE split <> 'train' GROUP BY 1, 2, 3, 4), " +
+        "sc AS (SELECT db.*, CASE " +
+        "WHEN c3g.c123 IS NOT NULL THEN " +
+        "ln(CAST(c3g.c123 AS DOUBLE) / CAST(b12.cb AS DOUBLE)) " +
+        "WHEN b23.cb IS NOT NULL THEN " +
+        "ln(0.4 * CAST(b23.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE)) " +
+        "ELSE ln(0.4 * 0.4 * (CAST(COALESCE(u3.cu, 0) AS DOUBLE) + 1.0) / " +
+        "(CAST(nv.n AS DOUBLE) + CAST(nv.v AS DOUBLE))) END AS lp " +
+        "FROM db LEFT JOIN c3g ON db.w1 = c3g.w1 AND db.w2 = c3g.w2 " +
+        "AND db.w3 = c3g.w3 " +
+        "LEFT JOIN cb b12 ON db.w1 = b12.wa AND db.w2 = b12.wb " +
+        "LEFT JOIN cb b23 ON db.w2 = b23.wa AND db.w3 = b23.wb " +
+        "LEFT JOIN cu u2 ON db.w2 = u2.tok " +
+        "LEFT JOIN cu u3 ON db.w3 = u3.tok CROSS JOIN nv) " +
+        "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_trigrams, " +
+        "SUM(CAST(cnt AS DOUBLE) * lp) / CAST(SUM(cnt) AS DOUBLE) " +
+        "AS avg_logprob FROM sc GROUP BY doc_id ORDER BY doc_id"),
   )
 
   val sql: Map[String, String] = sql1 ++ sql2

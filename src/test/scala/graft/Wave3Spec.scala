@@ -1176,6 +1176,53 @@ class Wave3Spec extends SparkSpec {
     }
   }
 
+  test("source KL drift: non-negative, token volumes partition the corpus") {
+    val rows = operators.TextOps.sourceKlDrift(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_terms"), r.getAs[Double]("kl")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, _, _, kl) =>
+      assert(kl >= -1e-12, s"KL must be >= 0 for $s: $kl")
+    }
+    val totalToks = rows.map(_._2).sum
+    val corpusToks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        functions.TextAnalytics.tokens(
+          org.apache.spark.sql.functions.col("text"))))
+      .count()
+    assert(totalToks == corpusToks, s"$totalToks vs $corpusToks")
+    Caches.releaseAll(spark)
+  }
+
+  test("trigram backoff: held-out docs only, finite negative log-probs") {
+    val rows = operators.TextOps.trigramBackoffScore(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_trigrams"),
+        r.getAs[Double]("avg_logprob")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, lp) =>
+      assert(n > 0)
+      assert(!lp.isNaN && !lp.isInfinite, s"doc $id: non-finite $lp")
+      assert(lp < 0, s"doc $id: log-prob must be negative, got $lp")
+    }
+    // the scored set is exactly the held-out docs with >= 3 tokens
+    import org.apache.spark.sql.functions.{col, size}
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        size(functions.TextAnalytics.tokens(col("text"))).as("n"))
+      .collect()
+      .filter(r => r.getInt(1) >= 3)
+      .map(_.getLong(0))
+      .filter { id =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"split|$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val b = Integer.parseInt(hex.substring(0, 2), 16)
+        b >= 204 // val/test
+      }.toSet
+    assert(rows.map(_._1).toSet == expected)
+    Caches.releaseAll(spark)
+  }
+
   test("minhash estimate: agreement fraction bounds and exact-dup case") {
     val rows = operators.Dedup.minhashEstimate(spark, sfDir).collect()
       .map(r => (r.getAs[Double]("jaccard"), r.getAs[Double]("mh_est"),
