@@ -300,6 +300,10 @@ object Registry {
     // trigram stupid-backoff LM: train-split model scores held-out docs
     "q159_trigram_backoff_score" -> ((s, d) =>
       TextOps.trigramBackoffScore(s, d)),
+    // provenance view of near-duplication: q95 pairs by source pair
+    "q160_source_dup_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)),
+    // k furthest members of every trained q124 cluster
+    "q161_cluster_outliers" -> ((s, d) => Similarity.clusterOutliers(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

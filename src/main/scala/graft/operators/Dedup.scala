@@ -942,6 +942,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Inter-source duplication matrix (q160): the verified q95 pairs
+    * rolled up by the SOURCE of each side (unordered pair, lexicographic
+    * canonical order) — which domains copy from which, the provenance
+    * view of near-duplication. Off-diagonal mass is syndication;
+    * diagonal mass is within-domain boilerplate. Drives per-domain-pair
+    * dedup policy the way q155 drives per-domain keep rates.
+    *
+    * 100 TB shape: pairs stay banding-bounded; the rollup joins two
+    * narrow (doc_id, source) projections and aggregates on a
+    * low-cardinality key.
+    */
+  def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    minhashOracledDf(docs)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        "id_b")
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"),
+        col("jaccard"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("jaccard")) / count(lit(1)).cast("double"))
+          .as("avg_jaccard"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
   /** MinHash estimator audit (q150): for every q95 candidate pair,
     * the signature-based similarity ESTIMATE (fraction of the 8 perms
     * whose min-hashes agree — the statistic LSH actually thresholds

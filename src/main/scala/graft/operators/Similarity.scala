@@ -1046,6 +1046,31 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Cluster-outlier report (q161): the k furthest members of every
+    * trained q124 cluster — lowest assignment score (v·c − ‖c‖²/2,
+    * monotone in −distance) per cid, rank-selected with the fixed-point
+    * trick. The embedding-space anomaly surface: mislabeled points,
+    * codec glitches and off-distribution content all surface here
+    * first; at 100 TB this is the standing QA table refreshed after
+    * every re-clustering.
+    *
+    * Shape: q124's one-pass kernel assignment, then one per-cluster
+    * window over (k clusters × members) — no new corpus passes.
+    */
+  def clusterOutliers(spark: SparkSession, dir: String,
+      worst: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = kmeansAssign(spark, dir)
+    assigned
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(
+          floor(col("score") * lit(1e9) + lit(0.5)).cast("long").asc,
+          col("vec_id"))).cast("long"))
+      .filter(col("rk") <= worst)
+      .select(col("cid"), col("rk"), col("vec_id"), col("score"))
+      .orderBy(col("cid"), col("rk"))
+  }
+
   /** SemDeDup over a TRAINED partition (q125): [[semDedup]]'s greedy
     * within-cluster prune running on [[kmeansAssign]]'s 2-round Lloyd
     * clustering instead of fixed lowest-id seeds — the composition a

@@ -309,6 +309,22 @@ private[graft] object OracleAnn {
         kmUpdate("a2", "c1", "x2", "c2") + ", " +
         kmAssign("c2", "a3", withScore = true) +
         " SELECT vec_id, cid, score FROM a3 ORDER BY vec_id"),
+    // q161: q124's trained assignment, then the k lowest-score members
+    // per cluster (fixed-point rank, ties to lowest vec_id)
+    "q161_cluster_outliers" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings WHERE vec_id < 2000), " +
+        "c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8), " +
+        kmAssign("c0", "a1", withScore = false) + ", " +
+        kmUpdate("a1", "c0", "x1", "c1") + ", " +
+        kmAssign("c1", "a2", withScore = false) + ", " +
+        kmUpdate("a2", "c1", "x2", "c2") + ", " +
+        kmAssign("c2", "a3", withScore = true) +
+        " SELECT cid, CAST(rk AS BIGINT) AS rk, vec_id, score FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY " +
+        "CAST(floor(score * 1e9 + 0.5) AS BIGINT) ASC, vec_id) AS rk " +
+        "FROM a3) WHERE rk <= 3 ORDER BY cid, rk"),
     // q124's Lloyd CTEs + q97's unit-normalize and greedy-prune CTEs
     "q125_semdedup_kmeans" ->
       ("WITH e AS (SELECT vec_id, " +

@@ -287,5 +287,38 @@ private[graft] object OracleDedup {
         "JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b) " +
         "SELECT id_a, id_b, jaccard, mh_est, abs(mh_est - jaccard) AS abs_err " +
         "FROM v ORDER BY id_a, id_b"),
+    // q160: the q95 verified pairs rolled up by canonical source pair
+    "q160_source_dup_matrix" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+        "FROM e GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+        "FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket " +
+        "WHERE l.doc_id < r.doc_id), " +
+        "v AS (SELECT id_a, id_b, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) " +
+        "AS jaccard " +
+        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b), " +
+        "k AS (SELECT LEAST(da.source, db.source) AS source_lo, " +
+        "GREATEST(da.source, db.source) AS source_hi, jaccard " +
+        "FROM v JOIN documents da ON da.doc_id = v.id_a " +
+        "JOIN documents db ON db.doc_id = v.id_b WHERE jaccard >= 0.5) " +
+        "SELECT source_lo, source_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "SUM(jaccard) / CAST(COUNT(*) AS DOUBLE) AS avg_jaccard " +
+        "FROM k GROUP BY 1, 2 ORDER BY 1, 2"),
   )
 }

@@ -1223,6 +1223,43 @@ class Wave3Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("source dup matrix: pair mass equals q95's verified pair count") {
+    val m = operators.Dedup.sourceDupMatrix(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source_lo"), r.getAs[String]("source_hi"),
+        r.getAs[Long]("n_pairs"), r.getAs[Double]("avg_jaccard")))
+    val q95 = operators.Dedup.minhashOracled(spark, sfDir).count()
+    assert(m.map(_._3).sum == q95, "matrix must partition the pair set")
+    m.foreach { case (lo, hi, _, aj) =>
+      assert(lo <= hi, "canonical order violated")
+      assert(aj >= 0.5 && aj <= 1.0, s"avg jaccard out of band: $aj")
+    }
+    Caches.releaseAll(spark)
+  }
+
+  test("cluster outliers: per-cluster worst-k, scores dominate the rest") {
+    val out = operators.Similarity.clusterOutliers(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("rk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (cid, rows) =>
+      assert(rows.length <= 3)
+      val ss = rows.sortBy(_._2).map(_._4)
+      assert(ss.zip(ss.drop(1)).forall { case (a, b) => a <= b + 1e-9 },
+        s"cluster $cid outlier scores not ascending")
+    }
+    // every non-outlier member scores at least the cluster's worst-3 max
+    val asn = operators.Similarity.kmeansAssign(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score")))
+    val outIds = out.map(_._3).toSet
+    val worstMax = out.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+    asn.filterNot(a => outIds(a._2)).foreach { case (cid, id, s) =>
+      worstMax.get(cid).foreach(w =>
+        assert(s >= w - 1e-9, s"vec $id in $cid scores $s below outlier max $w"))
+    }
+    Caches.releaseAll(spark)
+  }
+
   test("minhash estimate: agreement fraction bounds and exact-dup case") {
     val rows = operators.Dedup.minhashEstimate(spark, sfDir).collect()
       .map(r => (r.getAs[Double]("jaccard"), r.getAs[Double]("mh_est"),
