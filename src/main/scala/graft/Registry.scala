@@ -304,6 +304,8 @@ object Registry {
     "q160_source_dup_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)),
     // k furthest members of every trained q124 cluster
     "q161_cluster_outliers" -> ((s, d) => Similarity.clusterOutliers(s, d)),
+    // dataset-card mix table: per-(split, lang) docs/tokens/shares
+    "q162_mix_manifest" -> ((s, d) => TextOps.mixManifest(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

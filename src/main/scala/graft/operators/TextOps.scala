@@ -1034,6 +1034,33 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Training-mix manifest (q162): the dataset-card table for the q136
+    * split — per (split, lang): documents, whitespace tokens, and each
+    * language's document/token share WITHIN its split. The first thing
+    * a reviewer checks before a run: does val/test language composition
+    * match train (a skewed share here invalidates held-out comparisons
+    * like q140/q159 across languages). All exact-count ratios — no
+    * sampling, no FP folds beyond the final divisions.
+    *
+    * 100 TB shape: one scan, row-local split/token computation, one
+    * low-cardinality aggregate + a split-total window.
+    */
+  def mixManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySplit = Window.partitionBy(col("split"))
+    Tables.documents(spark, dir)
+      .withColumn("split", splitCol("doc_id"))
+      .select(col("split"), col("lang"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("doc_share", col("n_docs").cast("double") /
+        sum(col("n_docs")).over(bySplit).cast("double"))
+      .withColumn("token_share", col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(bySplit).cast("double"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Deterministic train/val/test split with leakage guard (q136).
     * Assignment hashes the DOC ID (md5 first byte: <204 train ≈ 80 %,
     * <230 val ≈ 10 %, else test) so the split is stable under reruns,

@@ -797,6 +797,28 @@ private[graft] object OracleText {
         "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_trigrams, " +
         "SUM(CAST(cnt AS DOUBLE) * lp) / CAST(SUM(cnt) AS DOUBLE) " +
         "AS avg_logprob FROM sc GROUP BY doc_id ORDER BY doc_id"),
+    // q162: per-(split, lang) dataset-card mix table — exact counts,
+    // shares within split
+    "q162_mix_manifest" ->
+      ("WITH t AS (SELECT doc_id, lang, " +
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS BIGINT) AS n_toks, " +
+        "md5('split|' || CAST(doc_id AS VARCHAR)) AS hk FROM documents), " +
+        "sp AS (SELECT lang, n_toks, CASE WHEN " +
+        "(strpos('0123456789abcdef', substr(hk, 1, 1)) - 1) * 16 + " +
+        "strpos('0123456789abcdef', substr(hk, 2, 1)) - 1 < 204 " +
+        "THEN 'train' WHEN " +
+        "(strpos('0123456789abcdef', substr(hk, 1, 1)) - 1) * 16 + " +
+        "strpos('0123456789abcdef', substr(hk, 2, 1)) - 1 < 230 " +
+        "THEN 'val' ELSE 'test' END AS split FROM t), " +
+        "g AS (SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM sp GROUP BY 1, 2) " +
+        "SELECT split, lang, n_docs, n_tokens, " +
+        "CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER " +
+        "(PARTITION BY split) AS DOUBLE) AS doc_share, " +
+        "CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER " +
+        "(PARTITION BY split) AS DOUBLE) AS token_share " +
+        "FROM g ORDER BY split, lang"),
   )
 
   val sql: Map[String, String] = sql1 ++ sql2
