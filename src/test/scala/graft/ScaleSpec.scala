@@ -140,6 +140,37 @@ class ScaleSpec extends SparkSpec {
       s"q96 shuffles a text column: $nov")
   }
 
+  test("weighted sample plans as TakeOrdered, never a global sort") {
+    // the q147 scale contract: the top-k selection must be the
+    // per-partition-heap TakeOrderedAndProject (row-local keys +
+    // limit), and the rank window runs AFTER the limit over k rows —
+    // a Window over the full corpus would be the q84 round-4 flaw
+    val plan = operators.TextOps.weightedSample(spark, sfDir)
+      .queryExecution.sparkPlan
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"q147 lost its TakeOrdered selection:\n$plan")
+    val sorts = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    // the only global sort allowed is the k-row presentation sort
+    assert(sorts.size <= 2, s"q147 grew corpus-wide global sorts:\n$plan")
+    Caches.releaseAll(spark)
+  }
+
+  test("source report shuffles hashes and enums only, never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    def shuffled(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case e: ShuffleExchangeExec => e.child.output
+      }.flatten.filter(_.dataType == StringType).map(_.name).distinct
+    val cols = shuffled(operators.TextOps.sourceReport(spark, sfDir))
+    // h is the md5 content hash; source/lang are low-cardinality enums
+    assert(cols.forall(Set("h", "source", "lang")),
+      s"q155 shuffles a text column: $cols")
+    Caches.releaseAll(spark)
+  }
+
   test("hashing vectorizer is row-local: its only exchange is the sort") {
     // the q127 scale contract: no vocabulary pass, no aggregation —
     // vectors are built inside the scan projection, so the plan holds
