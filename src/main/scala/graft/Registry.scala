@@ -306,6 +306,8 @@ object Registry {
     "q161_cluster_outliers" -> ((s, d) => Similarity.clusterOutliers(s, d)),
     // dataset-card mix table: per-(split, lang) docs/tokens/shares
     "q162_mix_manifest" -> ((s, d) => TextOps.mixManifest(s, d)),
+    // cross-family capstone: md5-LSH near-dup over media frame sets
+    "q163_media_neardup" -> ((s, d) => Multimodal.mediaNearDup(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -98,6 +98,40 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Media near-duplicate detection (q163): the dedup machinery applied
+    * to the MEDIA family — each document's payload reduces to its SET
+    * of distinct frame byte-sums (q146's exact integer features, as
+    * strings), which then flow through the very same md5 min-hash
+    * banding + exact-Jaccard verification as text dedup (q95): two
+    * media blobs sharing most frames collide in a band and verify on
+    * frame-set overlap. Re-encoded/re-containered copies whose byte
+    * hashes differ (so q28-style exact dedup misses them) but whose
+    * decoded frames agree are exactly what this catches. Fully oracled:
+    * DuckDB rebuilds the frame sums, signatures, bands and
+    * verification end-to-end.
+    *
+    * 100 TB shape: frames never leave the executor (row-local
+    * reduction to a bounded signature); candidates are banding-bounded;
+    * only frame-sum strings and hashes shuffle, never payload bytes.
+    */
+  def mediaNearDup(spark: SparkSession, dir: String,
+      frameSize: Int = 32, minJaccard: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val sh = frameFeaturesAgg(spark, dir, frameSize)
+      .select(col("doc_id"),
+        array_distinct(split(col("frame_sums"), ",")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val banded = Dedup.md5BandedSignatures(sh)
+    val pairs = banded.as("l")
+      .join(banded.as("r"), Seq("band", "bucket"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    Dedup.md5VerifyPairs(pairs, sh, "id_a", "id_b", minJaccard)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Deterministic 1-in-k frame sampling over a decoded frame sequence
     * — the temporal-subsampling step of every video featurizer (keep
     * frame 0, k, 2k, …). Pure function so the pipeline op and its tests

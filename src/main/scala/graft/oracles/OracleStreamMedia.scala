@@ -163,5 +163,37 @@ private[graft] object OracleStreamMedia {
         "FROM (SELECT vec_id, c, s, ROW_NUMBER() OVER " +
         "(PARTITION BY vec_id ORDER BY s DESC, c) AS rn FROM s) " +
         "WHERE rn = 1 ORDER BY vec_id"),
+    // q163: q146's exact frame sums as the shingle set, then the q95
+    // md5 sig/band/verify chain — media near-dup, fully cross-engine
+    "q163_media_neardup" ->
+      ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents " +
+        "WHERE length(text) > 0), " +
+        "pos AS (SELECT doc_id, text, unnest(range(0, n)) AS p FROM d), " +
+        "fr AS (SELECT doc_id, p // 32 AS idx, " +
+        "SUM(ascii(substring(text, CAST(p + 1 AS INT), 1))) AS s " +
+        "FROM pos GROUP BY 1, 2), " +
+        "f AS (SELECT doc_id, list_distinct(list(CAST(s AS VARCHAR))) " +
+        "AS sh FROM fr GROUP BY doc_id), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+        "FROM e GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+        "FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket " +
+        "WHERE l.doc_id < r.doc_id), " +
+        "v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) AS la, len(b.sh) AS lb " +
+        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b) " +
+        "SELECT id_a, id_b, " +
+        "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard FROM v " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5 " +
+        "ORDER BY id_a, id_b"),
   )
 }

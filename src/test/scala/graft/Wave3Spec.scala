@@ -1260,6 +1260,34 @@ class Wave3Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("media near-dup: catches a frame-permuted copy exact hashing misses") {
+    // doc 1 = doc 0 with its 32-byte frames permuted: byte hash differs
+    // (q28-style exact dedup misses it) but the frame-sum SET is
+    // identical -> q163 must pair them at jaccard 1.0
+    import spark.implicits._
+    val frames = Seq.tabulate(6)(i => (('a' + i).toChar.toString * 32))
+    val orig = frames.mkString
+    val perm = (frames.drop(3) ++ frames.take(3)).mkString
+    val other = ("z" * 32) * 6
+    val docs = Seq(
+      (0L, orig, "en", "s0", orig.length.toLong),
+      (1L, perm, "en", "s0", perm.length.toLong),
+      (2L, other, "en", "s1", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("mediand").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      assert(orig != perm, "permutation must change the byte stream")
+      val pairs = operators.Multimodal.mediaNearDup(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.toSeq == Seq((0L, 1L, 1.0)),
+        s"expected exactly the permuted pair at 1.0, got ${pairs.toSeq}")
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("minhash estimate: agreement fraction bounds and exact-dup case") {
     val rows = operators.Dedup.minhashEstimate(spark, sfDir).collect()
       .map(r => (r.getAs[Double]("jaccard"), r.getAs[Double]("mh_est"),
