@@ -308,6 +308,8 @@ object Registry {
     "q162_mix_manifest" -> ((s, d) => TextOps.mixManifest(s, d)),
     // cross-family capstone: md5-LSH near-dup over media frame sets
     "q163_media_neardup" -> ((s, d) => Multimodal.mediaNearDup(s, d)),
+    // safety gate: exact-token blocklist screen with hit tolerance
+    "q164_blocklist_filter" -> ((s, d) => TextOps.blocklistFilter(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

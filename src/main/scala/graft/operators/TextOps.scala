@@ -1034,6 +1034,32 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Blocklist safety filter (q164): exact-token blocklist screening —
+    * per document, total and distinct blocklist-token occurrences and
+    * the keep/flag decision (flag at ≥ `maxHits` total hits; one hit
+    * of ordinary terms passes, the C4-style "bad-word count with
+    * tolerance" rule). PII redaction (q82) rewrites; this GATES — the
+    * two halves of the safety pass every published pipeline runs. The
+    * blocklist is a broadcast literal set and matching is a row-local
+    * HOF filter, so the whole screen adds zero exchanges beyond the
+    * presentation sort.
+    */
+  def blocklistFilter(spark: SparkSession, dir: String,
+      blocklist: Seq[String] = Seq("error", "null", "lorem"),
+      maxHits: Int = 2): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalytics.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(filter(col("toks"),
+          t => blocklist.map(b => t === lit(b)).reduce(_ || _)))
+          .cast("long").as("n_hits"),
+        size(array_intersect(array_distinct(col("toks")),
+          array(blocklist.map(lit): _*))).cast("long").as("n_distinct"))
+      .withColumn("flagged",
+        when(col("n_hits") >= maxHits, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+
   /** Training-mix manifest (q162): the dataset-card table for the q136
     * split — per (split, lang): documents, whitespace tokens, and each
     * language's document/token share WITHIN its split. The first thing

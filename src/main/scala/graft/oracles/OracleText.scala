@@ -819,6 +819,20 @@ private[graft] object OracleText {
         "CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER " +
         "(PARTITION BY split) AS DOUBLE) AS token_share " +
         "FROM g ORDER BY split, lang"),
+    // q164: exact-token blocklist screen with hit tolerance
+    "q164_blocklist_filter" ->
+      ("WITH t AS (SELECT doc_id, lang, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents) " +
+        "SELECT doc_id, lang, " +
+        "CAST(len(list_filter(toks, x -> x = 'error' OR x = 'null' " +
+        "OR x = 'lorem')) AS BIGINT) AS n_hits, " +
+        "CAST(len(list_intersect(list_distinct(toks), " +
+        "['error', 'null', 'lorem'])) AS BIGINT) AS n_distinct, " +
+        "CAST(CASE WHEN len(list_filter(toks, x -> x = 'error' " +
+        "OR x = 'null' OR x = 'lorem')) >= 2 THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS flagged " +
+        "FROM t ORDER BY doc_id"),
   )
 
   val sql: Map[String, String] = sql1 ++ sql2
