@@ -310,6 +310,9 @@ object Registry {
     "q163_media_neardup" -> ((s, d) => Multimodal.mediaNearDup(s, d)),
     // safety gate: exact-token blocklist screen with hit tolerance
     "q164_blocklist_filter" -> ((s, d) => TextOps.blocklistFilter(s, d)),
+    // per-split embedding-space coverage over the trained q124 clusters
+    "q165_split_embedding_coverage" -> ((s, d) =>
+      Similarity.splitEmbeddingCoverage(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

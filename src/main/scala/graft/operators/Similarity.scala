@@ -1071,6 +1071,36 @@ object Similarity {
       .orderBy(col("cid"), col("rk"))
   }
 
+  /** Split embedding-coverage report (q165): does each q136 split cover
+    * the learned embedding space evenly? Vectors carry the same
+    * deterministic split rule as documents (md5 of "split|id"), are
+    * assigned to the trained q124 clusters, and each split reports its
+    * volume, clusters hit, and cluster-distribution entropy — a val
+    * split that misses clusters (or collapses onto few) invalidates
+    * held-out comparisons the same way a language skew does (q162's
+    * embedding-space sibling). Entropy is a sum over ≤ k cluster terms,
+    * inside both engines' shared 1e-9 float rounding.
+    *
+    * Shape: q124's one-pass kernel assignment + a row-local split
+    * column + two low-cardinality aggregates. No new corpus passes.
+    */
+  def splitEmbeddingCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = kmeansAssign(spark, dir)
+      .withColumn("split", TextOps.splitCol("vec_id"))
+    val perCell = assigned.groupBy(col("split"), col("cid"))
+      .agg(count(lit(1)).as("n"))
+    val bySplit = Window.partitionBy(col("split"))
+    perCell
+      .withColumn("tot", sum(col("n")).over(bySplit))
+      .withColumn("p", col("n").cast("double") / col("tot").cast("double"))
+      .groupBy(col("split"))
+      .agg(max(col("tot")).as("n_vecs"),
+        count(lit(1)).as("n_clusters_hit"),
+        (-sum(col("p") * log(col("p")))).as("entropy"))
+      .orderBy(col("split"))
+  }
+
   /** SemDeDup over a TRAINED partition (q125): [[semDedup]]'s greedy
     * within-cluster prune running on [[kmeansAssign]]'s 2-round Lloyd
     * clustering instead of fixed lowest-id seeds — the composition a

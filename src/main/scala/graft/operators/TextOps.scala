@@ -1105,7 +1105,7 @@ object TextOps {
     * the held-out scorer [[heldoutPerplexity]] so "train" always means
     * the same rows.
     */
-  private def splitCol(docIdName: String): Column = {
+  private[graft] def splitCol(docIdName: String): Column = {
     val hk = s"md5(cast(concat('split|', cast($docIdName as string)) " +
       "as binary))"
     val b = expr(

@@ -325,6 +325,36 @@ private[graft] object OracleAnn {
         "(SELECT *, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY " +
         "CAST(floor(score * 1e9 + 0.5) AS BIGINT) ASC, vec_id) AS rk " +
         "FROM a3) WHERE rk <= 3 ORDER BY cid, rk"),
+    // q165: q124's trained assignment + the q136 split byte rule on
+    // vec_id; per-split cluster-distribution entropy
+    "q165_split_embedding_coverage" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings WHERE vec_id < 2000), " +
+        "c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8), " +
+        kmAssign("c0", "a1", withScore = false) + ", " +
+        kmUpdate("a1", "c0", "x1", "c1") + ", " +
+        kmAssign("c1", "a2", withScore = false) + ", " +
+        kmUpdate("a2", "c1", "x2", "c2") + ", " +
+        kmAssign("c2", "a3", withScore = false) + ", " +
+        "sp AS (SELECT vec_id, cid, CASE WHEN " +
+        "(strpos('0123456789abcdef', substr(md5('split|' || " +
+        "CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
+        "strpos('0123456789abcdef', substr(md5('split|' || " +
+        "CAST(vec_id AS VARCHAR)), 2, 1)) - 1 < 204 THEN 'train' WHEN " +
+        "(strpos('0123456789abcdef', substr(md5('split|' || " +
+        "CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
+        "strpos('0123456789abcdef', substr(md5('split|' || " +
+        "CAST(vec_id AS VARCHAR)), 2, 1)) - 1 < 230 THEN 'val' " +
+        "ELSE 'test' END AS split FROM a3), " +
+        "g AS (SELECT split, cid, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM sp GROUP BY 1, 2), " +
+        "w AS (SELECT *, SUM(n) OVER (PARTITION BY split) AS tot FROM g) " +
+        "SELECT split, CAST(MAX(tot) AS BIGINT) AS n_vecs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_clusters_hit, " +
+        "-SUM((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * " +
+        "ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))) AS entropy " +
+        "FROM w GROUP BY split ORDER BY split"),
     // q124's Lloyd CTEs + q97's unit-normalize and greedy-prune CTEs
     "q125_semdedup_kmeans" ->
       ("WITH e AS (SELECT vec_id, " +
