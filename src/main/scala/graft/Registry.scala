@@ -313,6 +313,9 @@ object Registry {
     // per-split embedding-space coverage over the trained q124 clusters
     "q165_split_embedding_coverage" -> ((s, d) =>
       Similarity.splitEmbeddingCoverage(s, d)),
+    // events analytics staple: first-activity cohort retention triangle
+    "q166_retention_cohorts" -> ((s, d) =>
+      Analytics.retentionCohorts(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -167,6 +167,42 @@ object Analytics {
     * one window per event type over ~365 rows/type/year — window
     * state is bounded by the calendar, not the event volume.
     */
+  /** Cohort retention (q166): users bucketed by FIRST-activity day,
+    * then the classic retention triangle — for each (cohort day, day
+    * offset), how many of the cohort's users were active, as a count
+    * and a share of the cohort. The missing staple of the events
+    * analytics family next to sessionization (q20), the funnel (q144)
+    * and rate anomalies (q143). Exact integer counts; the single
+    * division is the only double op. Dates emitted as ISO strings
+    * (the oracle-comparator date contract).
+    *
+    * 100 TB shape: one distinct over (user, day) — map-side combined —
+    * one min-per-user aggregate, one broadcast-joinable cohort-size
+    * table, one (cohort, offset) aggregate. All shuffles on ids/days.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .persist()
+    val first = activity.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort"))
+    val sizes = first.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    activity
+      .join(first, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("d"), col("cohort"))
+        .cast("long"))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort").cast("string").as("cohort"),
+        col("day_offset"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") /
+          col("cohort_size").cast("double")).as("retention"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
   def rateAnomaly(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(spark, dir)

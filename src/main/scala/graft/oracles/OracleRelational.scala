@@ -286,5 +286,22 @@ private[graft] object OracleRelational {
         "FROM tc " +
         "UNION ALL SELECT 's3_view_click_purchase', " +
         "CAST(COUNT(*) AS BIGINT) FROM tp) ORDER BY stage"),
+    // q166: retention triangle — first-activity cohorts, exact counts,
+    // cohort date emitted as an ISO string on both engines
+    "q166_retention_cohorts" ->
+      ("WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d " +
+        "FROM events), " +
+        "f AS (SELECT user_id, MIN(d) AS cohort FROM a GROUP BY 1), " +
+        "sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size " +
+        "FROM f GROUP BY 1), " +
+        "g AS (SELECT f.cohort, " +
+        "CAST(date_diff('day', f.cohort, a.d) AS BIGINT) AS day_offset, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_active " +
+        "FROM a JOIN f USING (user_id) GROUP BY 1, 2) " +
+        "SELECT CAST(g.cohort AS VARCHAR) AS cohort, day_offset, " +
+        "n_active, sz.cohort_size, " +
+        "CAST(n_active AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) " +
+        "AS retention " +
+        "FROM g JOIN sz USING (cohort) ORDER BY cohort, day_offset"),
   )
 }
