@@ -521,15 +521,19 @@ object TextOps {
       col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
       .cast("double")
     val u = (h + lit(0.5)) / lit(math.pow(2.0, 48))
+    // selection + rank on the fixed-point-rounded key (the q151/q154/
+    // q156 discipline): a last-ulp cross-engine ln disagreement at the
+    // rank-k boundary must not select different docs
+    val esRank = floor(col("es_key") * lit(1e9) + lit(0.5)).cast("long")
     val scored = Tables.documents(spark, dir)
       .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         (log(u) / col("n_chars").cast("double")).as("es_key"))
-      .orderBy(col("es_key").desc, col("doc_id"))
+      .orderBy(esRank.desc, col("doc_id"))
       .limit(k)
     scored
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("es_key").desc, col("doc_id"))).cast("long"))
+        Window.orderBy(esRank.desc, col("doc_id"))).cast("long"))
       .select(col("rk"), col("doc_id"), col("lang"), col("n_chars"),
         col("es_key"))
       .orderBy(col("rk"))

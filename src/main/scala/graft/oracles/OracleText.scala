@@ -585,7 +585,8 @@ private[graft] object OracleText {
         "AS DOUBLE) + 0.5) / 281474976710656.0) / CAST(n_chars AS DOUBLE) " +
         "AS es_key FROM m0), " +
         "r AS (SELECT doc_id, lang, n_chars, es_key, ROW_NUMBER() OVER " +
-        "(ORDER BY es_key DESC, doc_id) AS rk FROM kdf) " +
+        "(ORDER BY CAST(floor(es_key * 1e9 + 0.5) AS BIGINT) DESC, doc_id) " +
+        "AS rk FROM kdf) " +
         "SELECT CAST(rk AS BIGINT) AS rk, doc_id, lang, n_chars, es_key " +
         "FROM r WHERE rk <= 200 ORDER BY rk")
 
@@ -835,5 +836,10 @@ private[graft] object OracleText {
         "FROM t ORDER BY doc_id"),
   )
 
+  // Registry's size-sum check only catches CROSS-family collisions —
+  // a key duplicated between the two intra-family maps would silently
+  // shadow here, so pin disjointness at construction
+  require(sql1.keySet.intersect(sql2.keySet).isEmpty,
+    s"duplicate oracle keys: ${sql1.keySet.intersect(sql2.keySet)}")
   val sql: Map[String, String] = sql1 ++ sql2
 }

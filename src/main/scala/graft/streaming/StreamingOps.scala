@@ -645,8 +645,10 @@ object StreamingOps {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
     // driver-tracked latest state version (foreachBatch runs on the
-    // driver; replay of batch b overwrites v<b> and re-reads v<b-1>'s
-    // path, keeping the fold idempotent)
+    // driver); replays are idempotent whichever version they observe:
+    // re-merging a batch already folded into the state is a no-op
+    // because the per-doc draw is deterministic and the merge below
+    // dedups on doc_id before the top-k
     var prevState: Option[String] = None
     val q = newDocs.writeStream
       .outputMode(OutputMode.Append())
@@ -666,7 +668,14 @@ object StreamingOps {
         }
         val out = s"$stateRoot/v$id"
         merged
-          .orderBy(col("es_key").desc, col("doc_id"))
+          // a doc appears at most once per state version: the draw is a
+          // pure function of doc_id, so dropDuplicates makes even a
+          // state-already-advanced replay merge idempotent (one doc can
+          // never occupy two top-k slots)
+          .dropDuplicates("doc_id")
+          // fixed-point-rounded selection key (the q147/q151 discipline)
+          .orderBy(floor(col("es_key") * lit(1e9) + lit(0.5)).cast("long")
+            .desc, col("doc_id"))
           .limit(k)
           .write.mode("overwrite").parquet(out)
         prevState = Some(out)
@@ -687,7 +696,8 @@ object StreamingOps {
     }
     fin
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("es_key").desc, col("doc_id"))).cast("long"))
+        Window.orderBy(floor(col("es_key") * lit(1e9) + lit(0.5))
+          .cast("long").desc, col("doc_id"))).cast("long"))
       .select(col("rk"), col("doc_id"), col("lang"), col("n_chars"),
         col("es_key"))
       .orderBy(col("rk"))
