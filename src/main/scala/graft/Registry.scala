@@ -316,6 +316,10 @@ object Registry {
     // events analytics staple: first-activity cohort retention triangle
     "q166_retention_cohorts" -> ((s, d) =>
       Analytics.retentionCohorts(s, d)),
+    // band-bucket skew histogram: the QA table the hot-bucket cap
+    // (Dedup.BandBucketCap) is tuned from
+    "q168_band_skew_telemetry" -> ((s, d) =>
+      Dedup.bandSkewTelemetry(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -145,11 +145,7 @@ object Dedup {
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingledDocs(spark, dir)
     val banded = bandedSignatures(docs).persist()
-    val pairs = banded.as("l")
-      .join(banded.as("r"), Seq("band", "bucket"))
-      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+    val pairs = bandSelfJoinPairs(banded)
     // verification: re-attach hashed shingles to the (small) candidate set
     verifiedJaccard(pairs, docs, "id_a", "id_b", 0.5)
       .orderBy(col("id_a"), col("id_b"))
@@ -169,11 +165,7 @@ object Dedup {
       minContain: Double = 0.5): DataFrame = {
     val docs = shingledDocs(spark, dir)
     val banded = bandedSignatures(docs).persist()
-    val pairs = banded.as("l")
-      .join(banded.as("r"), Seq("band", "bucket"))
-      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+    val pairs = bandSelfJoinPairs(banded)
     pairs
       .join(docs.select(col("doc_id").as("id_a"), col("sh64").as("sh_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("sh64").as("sh_b")), "id_b")
@@ -809,36 +801,79 @@ object Dedup {
     * (COVERAGE.md "Measured scale growth" records the 10× measurement).
     */
   private[graft] def oracleBandingPairs(docsRaw: DataFrame,
-      perms: Int = 8, bands: Int = 4): DataFrame =
-    minhashCandidatePairs(docsRaw, perms, bands)._2
+      perms: Int = 8, bands: Int = 4,
+      bucketCap: Int = BandBucketCap): DataFrame =
+    minhashCandidatePairs(docsRaw, perms, bands, bucketCap)._2
 
   private[graft] def prodBandingPairs(docsRaw: DataFrame): DataFrame = {
     // persist before the self-join or the band build runs once per side
     val banded = bandDocs(docsRaw).persist()
-    banded.as("l")
-      .join(banded.as("r"), Seq("band", "bucket"))
+    bandSelfJoinPairs(banded)
+  }
+
+  /** Per-(band, bucket) frequency cap for the band SELF-joins. A hot
+    * bucket — boilerplate-heavy documents whose shared prefix dominates
+    * every min-hash — makes the self-join quadratic in the bucket
+    * population: the classic LSH skew bomb at 100 TB (a 1M-member
+    * bucket is 5·10¹¹ candidate pairs that then mostly FAIL
+    * verification). Buckets above the cap are quarantined out of
+    * candidate generation and surfaced through [[hotBuckets]] /
+    * the q168 skew telemetry for operator review (the q109 posting-cap
+    * principle applied to banding). 64 is a deliberate no-op at the
+    * correctness fixtures (measured max bucket = 11 at sf0.1) while
+    * bounding per-bucket pair expansion to 64²/2; tune from the q168
+    * histogram before a production run.
+    */
+  private[graft] val BandBucketCap = 64
+
+  /** Buckets over the cap — the quarantine report (band, bucket,
+    * bucket_size), never the members.
+    */
+  private[graft] def hotBuckets(banded: DataFrame,
+      cap: Int = BandBucketCap): DataFrame =
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > cap)
+
+  /** Drop members of over-cap buckets before a band join. The hot set
+    * is structurally tiny (only buckets > cap survive the count), so
+    * the anti join broadcasts: one narrow counting pass plus a
+    * map-side filter — no extra exchange on the corpus-sized side.
+    */
+  private[graft] def capHotBuckets(banded: DataFrame,
+      cap: Int = BandBucketCap): DataFrame =
+    banded.join(
+      broadcast(hotBuckets(banded, cap).select(col("band"), col("bucket"))),
+      Seq("band", "bucket"), "left_anti")
+
+  /** The shared band self-join: quarantine hot buckets, then candidate
+    * pairs from the (band, bucket) equi-join. Every self-join banding
+    * family (q31/q95/q111/q150/q163) routes through here so the skew
+    * cap is uniform.
+    */
+  private[graft] def bandSelfJoinPairs(banded: DataFrame,
+      cap: Int = BandBucketCap): DataFrame = {
+    val kept = capHotBuckets(banded, cap)
+    kept.as("l")
+      .join(kept.as("r"), Seq("band", "bucket"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
   }
 
   /** Shared q95/q109 candidate machinery: persisted shingle sets plus
-    * the distinct md5-minhash band-bucket candidate pairs.
+    * the distinct md5-minhash band-bucket candidate pairs (hot buckets
+    * quarantined — [[BandBucketCap]]).
     */
   private def minhashCandidatePairs(docsRaw: DataFrame, perms: Int,
-      bands: Int): (DataFrame, DataFrame) = {
+      bands: Int, bucketCap: Int = BandBucketCap): (DataFrame, DataFrame) = {
     val docs = md5ShingledDocs(docsRaw)
       // barrier: shingle arrays feed both the signature build and the
       // candidate verification; without it project-collapse recomputes
       // the tokenization per branch
       .persist()
     val banded = md5BandedSignatures(docs, perms, bands)
-    val pairs = banded.as("l")
-      .join(banded.as("r"), Seq("band", "bucket"))
-      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
-    (docs, pairs)
+    (docs, bandSelfJoinPairs(banded, bucketCap))
   }
 
   /** `(doc_id, sh)` string 3-shingle sets — the md5-oracled family's
@@ -987,11 +1022,7 @@ object Dedup {
     val sig = docs.select(col("doc_id"),
       VectorExpressions.md5MinhashNative(col("sh"), perms).as("sigs"))
     val banded = md5BandedSignatures(docs, perms, bands)
-    val pairs = banded.as("l")
-      .join(banded.as("r"), Seq("band", "bucket"))
-      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+    val pairs = bandSelfJoinPairs(banded)
     val est = (0 until perms)
       .map(i => when(col("sig_a").getItem(i) === col("sig_b").getItem(i),
         1).otherwise(0))
@@ -1012,6 +1043,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"), col("mh_est"),
         abs(col("mh_est") - col("jaccard")).as("abs_err"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Band-bucket skew telemetry (q168): the bucket-size histogram of
+    * the q95 md5 banding — for each (band, bucket_size) the number of
+    * buckets at that size, the documents they hold, and whether the
+    * size breaches [[BandBucketCap]]. This is the standing QA table a
+    * 100 TB run reads to TUNE the hot-bucket cap before trusting the
+    * banding joins (q95/q148/q150/q160/q163 all quarantine through the
+    * same constant): a fat tail here means boilerplate is dominating
+    * the min-hashes and the cap (or the shingling) needs attention.
+    *
+    * 100 TB shape: two narrow hash aggregations — (band, bucket) →
+    * size, then (band, size) → count — nothing but 16-byte bucket ids
+    * and longs ever shuffles, and the histogram itself is at most
+    * (bands × corpus-size distinct sizes) rows, in practice tiny.
+    * Exact counts, so fully oracled.
+    */
+  def bandSkewTelemetry(spark: SparkSession, dir: String): DataFrame = {
+    val banded = md5BandedSignatures(
+      md5ShingledDocs(Tables.documents(spark, dir)))
+    banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("band").cast("long").as("band"), col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("band"), col("bucket_size"), col("n_buckets"),
+        (col("bucket_size") * col("n_buckets")).as("n_docs"),
+        when(col("bucket_size") > BandBucketCap, 1L).otherwise(0L)
+          .as("over_cap"))
+      .orderBy(col("band"), col("bucket_size"))
   }
 
   /** SimHash with a cross-engine hash (q102): the oracled correctness

@@ -123,11 +123,7 @@ object Multimodal {
       .filter(size(col("sh")) > 0)
       .persist()
     val banded = Dedup.md5BandedSignatures(sh)
-    val pairs = banded.as("l")
-      .join(banded.as("r"), Seq("band", "bucket"))
-      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+    val pairs = Dedup.bandSelfJoinPairs(banded)
     Dedup.md5VerifyPairs(pairs, sh, "id_a", "id_b", minJaccard)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -320,5 +320,34 @@ private[graft] object OracleDedup {
         "SELECT source_lo, source_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
         "SUM(jaccard) / CAST(COUNT(*) AS DOUBLE) AS avg_jaccard " +
         "FROM k GROUP BY 1, 2 ORDER BY 1, 2"),
+    // q168: bucket-size histogram of the q95 md5 banding — the skew
+    // telemetry the hot-bucket quarantine (Dedup.BandBucketCap = 64)
+    // is tuned from; exact counts, fully oracled
+    "q168_band_skew_telemetry" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+        "FROM e GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+        "c AS (SELECT band, bucket, COUNT(*) AS bucket_size " +
+        "FROM band GROUP BY 1, 2) " +
+        "SELECT CAST(band AS BIGINT) AS band, " +
+        "CAST(bucket_size AS BIGINT) AS bucket_size, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_buckets, " +
+        "CAST(bucket_size * COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(CASE WHEN bucket_size > 64 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS over_cap " +
+        "FROM c GROUP BY band, bucket_size ORDER BY band, bucket_size"),
   )
 }

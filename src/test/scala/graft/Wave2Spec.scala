@@ -419,7 +419,11 @@ class Wave2Spec extends SparkSpec {
       val text = Seq.fill(10)(phrases(rnd.nextInt(40))).mkString(" ")
       (i.toLong, text, "en", "crafted", text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
-    val loose = operators.Dedup.oracleBandingPairs(docs).count()
+    // cap disabled here: this guard measures the RAW expansion of the
+    // loose banding (the quarantine that bounds it in production is
+    // pinned by the mega-bucket test below)
+    val loose = operators.Dedup
+      .oracleBandingPairs(docs, bucketCap = Int.MaxValue).count()
     val tight = operators.Dedup.prodBandingPairs(docs).count()
     info(s"loose(q109)=$loose tight(q111)=$tight n=$n")
     // production banding: candidate work stays far below linear in n
@@ -432,6 +436,43 @@ class Wave2Spec extends SparkSpec {
       s"loose banding no longer blows up ($loose candidates) — " +
         "if banding changed, re-derive the q109 oracle instead")
     assert(loose > 50L * tight)
+    Caches.releaseAll(spark)
+  }
+
+  test("hot-bucket cap: a mega-bucket is quarantined and reported, normal pairs survive") {
+    import spark.implicits._
+    // 100 identical docs — every band bucket holds all 100, far over
+    // the cap (64); plus one genuine near-dup pair and two unrelated
+    // docs. Without the cap the mega-cluster alone is 4,950 candidate
+    // pairs; with it, candidate work from that bucket is ZERO and the
+    // bucket is surfaced in the quarantine report instead.
+    val spam = (0 until 30).map(t => s"spam$t").mkString(" ")
+    val nearA = (0 until 30).map(t => s"tok$t").mkString(" ")
+    val nearB = (1 until 30).map(t => s"tok$t").mkString(" ") + " tokX"
+    val docs = ((0 until 100).map(i => (i.toLong, spam)) ++
+      Seq((200L, nearA), (201L, nearB),
+        (300L, (0 until 30).map(t => s"aa$t").mkString(" ")),
+        (301L, (0 until 30).map(t => s"bb$t").mkString(" "))))
+      .map { case (id, text) => (id, text, "en", "crafted", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val banded = operators.Dedup.md5BandedSignatures(
+      operators.Dedup.md5ShingledDocs(docs))
+    // the quarantine report names the mega-bucket at its true size
+    val hot = operators.Dedup.hotBuckets(banded).collect()
+    assert(hot.nonEmpty && hot.forall(_.getAs[Long]("bucket_size") == 100L),
+      s"hot buckets: ${hot.mkString(",")}")
+    // capped candidates: no pair touches the quarantined cluster…
+    val capped = operators.Dedup.oracleBandingPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.forall { case (a, b) => a >= 200L && b >= 200L },
+      s"quarantined docs leaked into candidates: $capped")
+    // …while the genuine near-dup pair still bands together
+    assert(capped.contains((200L, 201L)))
+    // uncapped, the mega-cluster alone would contribute 100·99/2 pairs
+    val uncapped = operators.Dedup
+      .oracleBandingPairs(docs, bucketCap = Int.MaxValue).count()
+    assert(uncapped >= 4950L + capped.size,
+      s"uncapped count $uncapped — mega-bucket no longer quadratic?")
     Caches.releaseAll(spark)
   }
 
