@@ -93,9 +93,11 @@ private[graft] object OracleStreamMedia {
         "SELECT doc_id, bucket, SUM(mean) / COUNT(*) AS feat " +
         "FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
     // q95's md5 min-hash chain with the q116 corpus/batch split: new
-    // docs (doc_id%10=9) band-join the historical side only, then
-    // exact-Jaccard verification — the streaming foreachBatch result
-    // drained over the same fixture must hash-match this exactly
+    // docs (doc_id%10=9) band-join the historical side AND each other
+    // (stream-vs-stream pairs canonically oriented new_id = max id, so
+    // the set is micro-batch-split-invariant), then exact-Jaccard
+    // verification — the streaming foreachBatch result drained over
+    // the same fixture must hash-match this exactly
     "q145_streaming_band_oracled" ->
       ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
         "x -> x <> '') AS toks FROM documents), " +
@@ -115,7 +117,8 @@ private[graft] object OracleStreamMedia {
         "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
         "p AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id " +
         "FROM band n JOIN band c ON n.band = c.band AND n.bucket = c.bucket " +
-        "WHERE n.doc_id % 10 = 9 AND c.doc_id % 10 <> 9), " +
+        "WHERE n.doc_id % 10 = 9 " +
+        "AND (c.doc_id % 10 <> 9 OR n.doc_id > c.doc_id)), " +
         "v AS (SELECT new_id, corpus_id, len(list_intersect(a.sh, b.sh)) AS inter, " +
         "len(a.sh) AS la, len(b.sh) AS lb " +
         "FROM p JOIN f a ON a.doc_id = p.new_id JOIN f b ON b.doc_id = p.corpus_id) " +

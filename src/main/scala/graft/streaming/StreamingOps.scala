@@ -407,13 +407,38 @@ object StreamingOps {
     * stream, and each micro-batch is shingled + banded EXECUTOR-SIDE
     * inside `foreachBatch`, equi-joined against the stored band table
     * for candidates, exact-Jaccard-verified (candidate-bounded), and
-    * appended to the delta sink. Per-batch work is proportional to the
-    * BATCH (banding) plus candidates (verification) — the historical
-    * side is read, never recomputed. DedupChainSpec asserts the drained
-    * stream emits exactly the batch path's pairs.
+    * appended to the delta sink.
+    *
+    * STREAM-vs-STREAM duplicates are paired too: each batch's bands are
+    * APPENDED to a stream band state table after pairing (mirroring the
+    * reference's per-batch registry update —
+    * /root/reference/src/services/saveToPostgres.js:249-252 — which
+    * exists precisely so later batches dedup against earlier ones), and
+    * the batch joins that state INCLUDING itself, so two copies of a
+    * document that both arrive via the stream — same micro-batch or
+    * different ones — are paired. Stream-stream pairs are canonically
+    * oriented (new_id = max id, corpus_id = min id), which makes the
+    * emitted pair set independent of how the stream happens to be
+    * micro-batched; cross pairs keep (new_id = stream doc).
+    *
+    * Per-batch work: banding the BATCH, the candidate joins (historical
+    * bands cached once for the life of the query; stream state is the
+    * accumulated bands — narrow (id, band, bucket) rows, exactly the
+    * artifact a real pipeline folds into its main band table), and
+    * candidate-bounded verification. Replays are idempotent: a re-run
+    * batch re-appends its bands, but candidate generation dedups pairs
+    * and the drained sink dedups rows.
+    *
+    * `sourceDir`/`sourceGlob`/`maxFilesPerTrigger` exist for the
+    * multi-micro-batch spec (DedupChainSpec splits a corpus across
+    * files to pin cross-batch stream-stream pairing); production
+    * defaults read the fixture as the batch path does.
     */
   def streamingBandDedup(spark: SparkSession, dir: String,
-      batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
+      batchMod: Int = 10, batchRem: Int = 9,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import graft.operators.Dedup
     import graft.sources.Tables
     val isBatch = col("doc_id") % batchMod === batchRem
@@ -423,17 +448,21 @@ object StreamingOps {
       Files.createTempDirectory("graft_bandtab_")).toString
     Dedup.bandDocs(Tables.documents(spark, dir).filter(!isBatch))
       .write.mode("overwrite").parquet(bandTab)
+    // stream band state: starts empty, grows by one append per batch
+    val streamBandTab = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_streambands_")).toString
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
       StructField("lang", StringType),
       StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val newDocs = spark.readStream
+    val reader = spark.readStream
       .schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .filter(isBatch)
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val newDocs = reader.parquet(sourceDir.getOrElse(dir)).filter(isBatch)
     val sinkDir = graft.Caches.trackTempDir(Files.createTempDirectory(
       s"graft_streamdedup_${counter.incrementAndGet()}_")).toString
     graft.Caches.onRelease(
@@ -442,7 +471,7 @@ object StreamingOps {
     // once across micro-batches (bands for candidate gen, shingle sets
     // for verification) instead of re-scanning parquet per batch. The
     // r6 driver bench charged q116 a per-batch corpus re-read; with the
-    // caches, per-batch work is banding the BATCH + the candidate join
+    // caches, per-batch work is banding the BATCH + the candidate joins
     // only. Both persists release via Caches.releaseAll after the
     // drained stream's final batch read.
     val corpusBands = spark.read.parquet(bandTab)
@@ -456,16 +485,36 @@ object StreamingOps {
     val q = newDocs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val pairs = Dedup.bandDocs(batch)
-          .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
+        val ss = batch.sparkSession
+        val bb = Dedup.bandDocs(batch)
+          .select(col("doc_id"), col("band"), col("bucket"))
+          // barrier: batch bands feed the state append and two
+          // candidate joins; band once
+          .persist()
+        // state append FIRST, so "state" below = earlier batches ∪ this
+        // one — within-batch and cross-batch stream pairs fall out of
+        // the same join
+        bb.write.mode("append").parquet(streamBandTab)
+        val newBands = bb.select(col("doc_id").as("new_id"),
+          col("band"), col("bucket"))
+        val cross = newBands
           .join(corpusBands, Seq("band", "bucket"))
           .select(col("new_id"), col("corpus_id"))
-          .distinct()
+        val state = ss.read.parquet(streamBandTab)
+          .select(col("doc_id").as("other_id"), col("band"), col("bucket"))
+        val streamPairs = newBands
+          .join(state, Seq("band", "bucket"))
+          .filter(col("new_id") =!= col("other_id"))
+          .select(greatest(col("new_id"), col("other_id")).as("new_id"),
+            least(col("new_id"), col("other_id")).as("corpus_id"))
+        val pairs = cross.unionByName(streamPairs).distinct()
         // verification joins the cached corpus — candidate-bounded work
         Dedup.verifyPairs(pairs, corpusDocs,
             "new_id", "corpus_id", 0.5)
           .withColumn("batch_id", lit(id))
           .write.mode("append").parquet(sinkDir)
+        bb.unpersist(false)
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -487,14 +536,23 @@ object StreamingOps {
     * xxhash64 production kernel — the q119/q120/q121 "oracled twin"
     * pattern applied to the streaming path. Every moving part crosses
     * engines: DuckDB computes the same corpus/batch split, the same
-    * min-md5 signatures and band buckets, the same band equi-join and
-    * the same exact-Jaccard verification, so the drained stream's pairs
-    * are hash-checked cross-engine, not just batch-equal.
+    * min-md5 signatures and band buckets, the same band equi-joins
+    * (historical AND stream-vs-stream) and the same exact-Jaccard
+    * verification, so the drained stream's pairs are hash-checked
+    * cross-engine, not just batch-equal.
+    *
+    * Stream-vs-stream pairing mirrors the production path: batch bands
+    * append to a state table before pairing, the batch joins the state
+    * including itself, and stream-stream pairs are canonically
+    * (max id, min id) — batch-split-invariant, which is exactly what
+    * lets a static SQL oracle pin a streaming result: the oracle
+    * predicate is `new side is a stream doc AND (other side is corpus
+    * OR new_id > corpus_id)`.
     *
     * Same cross-batch cache discipline as the production path: the
     * historical band table and the verification shingle sets are
     * persisted ONCE for the life of the query; per-batch work is
-    * banding the BATCH plus the candidate-bounded join.
+    * banding the BATCH plus the candidate-bounded joins.
     */
   def streamingBandDedupOracled(spark: SparkSession, dir: String,
       batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
@@ -510,6 +568,8 @@ object StreamingOps {
       try corpusBands.unpersist(false) catch { case _: Throwable => () }
       try allSh.unpersist(false) catch { case _: Throwable => () }
     })
+    val streamBandTab = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_streambands_md5_")).toString
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -528,14 +588,29 @@ object StreamingOps {
     val q = newDocs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val pairs = Dedup.md5BandedSignatures(Dedup.md5ShingledDocs(batch))
-          .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
+        val ss = batch.sparkSession
+        val bb = Dedup.md5BandedSignatures(Dedup.md5ShingledDocs(batch))
+          .select(col("doc_id"), col("band"), col("bucket"))
+          .persist()
+        bb.write.mode("append").parquet(streamBandTab)
+        val newBands = bb.select(col("doc_id").as("new_id"),
+          col("band"), col("bucket"))
+        val cross = newBands
           .join(corpusBands, Seq("band", "bucket"))
           .select(col("new_id"), col("corpus_id"))
-          .distinct()
+        val state = ss.read.parquet(streamBandTab)
+          .select(col("doc_id").as("other_id"), col("band"), col("bucket"))
+        val streamPairs = newBands
+          .join(state, Seq("band", "bucket"))
+          .filter(col("new_id") =!= col("other_id"))
+          .select(greatest(col("new_id"), col("other_id")).as("new_id"),
+            least(col("new_id"), col("other_id")).as("corpus_id"))
+        val pairs = cross.unionByName(streamPairs).distinct()
         Dedup.md5VerifyPairs(pairs, allSh, "new_id", "corpus_id", 0.5)
           .withColumn("batch_id", lit(id))
           .write.mode("append").parquet(sinkDir)
+        bb.unpersist(false)
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -86,22 +86,90 @@ class DedupChainSpec extends SparkSpec {
     }
   }
 
-  test("streaming band dedup drains to exactly the batch incremental pairs") {
+  test("streaming band dedup drains to batch cross-split PLUS stream-stream pairs") {
     def collectPairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id"),
         r.getAs[Double]("jaccard"))).toSet
-    val batch = collectPairs(Dedup.incrementalMinhash(spark, sfDir))
+    // full-pair parity with the batch path: every q31 production pair
+    // with at least one stream side (stream=cross orientation; both
+    // stream = (max, min)) — not just the cross-split restriction
+    val cross = collectPairs(Dedup.incrementalMinhash(spark, sfDir))
+    val streamStream = Dedup.minhashCandidates(spark, sfDir).collect()
+      .flatMap { r =>
+        val (a, b, j) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("jaccard"))
+        if (a % 10 == 9 && b % 10 == 9) Some((b, a, j)) else None
+      }.toSet
+    val expected = cross ++ streamStream
     val streamed = collectPairs(
       graft.streaming.StreamingOps.streamingBandDedup(spark, sfDir))
-    assert(streamed == batch,
-      s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+    assert(streamed == expected,
+      s"streamed ${streamed.size} pairs vs expected ${expected.size}")
     Caches.releaseAll(spark)
   }
 
-  test("oracled streaming band dedup == q95 pairs restricted cross-side") {
+  test("cross-micro-batch stream duplicates pair (band state grows per batch)") {
+    import spark.implicits._
+    // two stream docs (ids ≡ 9 mod 10) with identical text arrive in
+    // DIFFERENT micro-batches (one source file each, maxFilesPerTrigger
+    // = 1), plus a corpus near-dup of the same text and unrelated
+    // noise. The round-8 gap: the state table was read-only, so these
+    // two never paired. Now batch bands append to the state, so the
+    // later batch must pair with the earlier one: (29, 19) canonical.
+    val dup = (0 until 30).map(t => s"dup$t").mkString(" ")
+    val corpusDoc = (1 until 30).map(t => s"dup$t").mkString(" ") + " dupX"
+    def row(id: Long, text: String) =
+      (id, text, "en", "crafted", text.length.toLong)
+    val all = Seq(row(19L, dup), row(29L, dup), row(4L, corpusDoc),
+      row(6L, (0 until 30).map(t => s"zz$t").mkString(" ")))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_xbatch_").toString
+    // the fixture layout is FLAT single files (documents.parquet is a
+    // file, not a directory), so write each frame and promote its part
+    // file to a flat name the glob can see
+    def writeFlat(rows: Seq[(Long, String, String, String, Long)],
+        dest: String): Unit = {
+      val tmp = s"$root/_w"
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(dest)
+      target.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    try {
+      // the full corpus at dir (historical side = ids not ≡ 9)
+      writeFlat(all, s"$root/corpus/documents.parquet")
+      // the stream side split one-doc-per-file so each is its own batch
+      writeFlat(Seq(row(19L, dup)), s"$root/stream/b0.parquet")
+      writeFlat(Seq(row(29L, dup)), s"$root/stream/b1.parquet")
+      val got = graft.streaming.StreamingOps.streamingBandDedup(
+          spark, s"$root/corpus",
+          sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+          maxFilesPerTrigger = Some(1)).collect()
+        .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id")))
+        .toSet
+      // the cross-batch stream-stream pair is the point of the test
+      assert(got.contains((29L, 19L)),
+        s"cross-micro-batch duplicate not paired: $got")
+      // cross pairs against the historical corpus still emit
+      assert(got.contains((19L, 4L)) && got.contains((29L, 4L)), s"$got")
+      assert(got.forall { case (a, b) => Set(19L, 29L).contains(a) },
+        s"non-stream new_id leaked: $got")
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("oracled streaming band dedup == q95 pairs with a stream side") {
     // the md5-banded streaming twin (q145) must emit exactly the q95
-    // candidate+verify pairs whose sides straddle the corpus/batch
-    // split — same banding, same verification, so the set identity is
+    // candidate+verify pairs with AT LEAST ONE stream side — cross
+    // pairs oriented stream→new_id, stream-stream pairs (max, min) —
+    // same banding, same verification, so the set identity is
     // structural, independent of the DuckDB oracle
     val q95 = operators.Dedup.minhashOracled(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
@@ -110,6 +178,7 @@ class DedupChainSpec extends SparkSpec {
       (a % 10 == 9, b % 10 == 9) match {
         case (true, false) => Some((a, b, j))
         case (false, true) => Some((b, a, j))
+        case (true, true) => Some((math.max(a, b), math.min(a, b), j))
         case _ => None
       }
     }.toSet
