@@ -1141,15 +1141,22 @@ object TextOps {
     * leakage (q136's flag) is the limit case; n-gram overlap catches
     * the near-dup leakage that content hashes miss.
     *
-    * 100 TB shape: (split, gram) pairs deduplicate map-side before the
-    * exchange; the train side is a narrow distinct-gram relation; one
-    * left join + per-split aggregate. Nothing driver-side.
+    * 100 TB shape: grams leave the scan as 64-bit md5 prefixes — the
+    * engine-wide "hashes shuffle, never text" discipline (q101/q146/
+    * q155); a 16-hex-char key is oracle-expressible where xxhash64 is
+    * not, and a collision is deterministic and identical cross-engine,
+    * so the overlap counts still hash-match. (split, hash) pairs
+    * deduplicate map-side before the exchange; the train side is a
+    * narrow distinct-hash relation; one left join + per-split
+    * aggregate. Nothing driver-side.
     */
   def splitLeakageAudit(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
       .withColumn("split", splitCol("doc_id"))
       .select(col("split"),
-        explode(TextAnalytics.shingles(col("text"), 3)).as("g"))
+        explode(TextAnalytics.shingles(col("text"), 3)).as("gt"))
+      .select(col("split"),
+        substring(md5(col("gt").cast("binary")), 1, 16).as("g"))
       .distinct()
       .persist()
     val train = grams.filter(col("split") === "train")

@@ -662,10 +662,10 @@ private[graft] object OracleText {
         "(strpos('0123456789abcdef', substr(hk, 1, 1)) - 1) * 16 + " +
         "strpos('0123456789abcdef', substr(hk, 2, 1)) - 1 < 230 " +
         "THEN 'val' ELSE 'test' END AS split FROM t), " +
-        "g AS (SELECT DISTINCT split, unnest(list_distinct(" +
+        "g AS (SELECT DISTINCT split, substr(md5(unnest(list_distinct(" +
         "list_transform(range(1, len(toks) - 1), " +
-        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS g " +
-        "FROM sp), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))), 1, 16) " +
+        "AS g FROM sp), " +
         "tr AS (SELECT g AS tg FROM g WHERE split = 'train') " +
         "SELECT g.split, CAST(COUNT(*) AS BIGINT) AS n_grams, " +
         "CAST(SUM(CASE WHEN tr.tg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
