@@ -247,9 +247,24 @@ object Analytics {
     * list plus one map-side-combined sum on the destination key —
     * the canonical Pregel-style iteration as two shuffles on the same
     * key, and AQE handles hub skew. Degrees are computed once.
+    *
+    * `checkpointMode` picks the round-boundary materialization:
+    * - `"local"` (default, right for single-node bench): eager
+    *   `localCheckpoint` — lineage truncated into executor-local
+    *   blocks; cheapest, but NOT fault-tolerant (lose an executor
+    *   mid-iteration and the blocks are unrecomputable).
+    * - `"reliable"`: eager `checkpoint()` to the SparkContext
+    *   checkpoint dir (set one on HDFS/S3 for a cluster run; a
+    *   tracked temp dir is provisioned here if unset) — each round's
+    *   ranks survive executor loss, the right call when `rounds` ×
+    *   cluster-hours is too expensive to replay. Both modes are
+    *   bit-identical (spec-pinned): the mode changes WHERE the round
+    *   boundary materializes, never the arithmetic.
     */
   def pageRank(spark: SparkSession, dir: String,
-      rounds: Int = 2): DataFrame = {
+      rounds: Int = 2, checkpointMode: String = "local"): DataFrame = {
+    require(checkpointMode == "local" || checkpointMode == "reliable",
+      s"checkpointMode must be local|reliable, got $checkpointMode")
     val scale = 1000000000000L
     val cs = Tables.lineitem(spark, dir).select(col("l_orderkey"),
         col("l_suppkey"))
@@ -283,6 +298,10 @@ object Analytics {
     // plan depth is O(1) in `rounds` (spec-pinned at rounds=10), and
     // each round holds at most two materialized rank vectors.
     val sc = spark.sparkContext
+    val reliable = checkpointMode == "reliable"
+    if (reliable && sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(graft.Caches.trackTempDir(
+        java.nio.file.Files.createTempDirectory("graft_ckpt_")).toString)
     var prevCkpt = Set.empty[Int]
     for (_ <- 1 to rounds) {
       val sums = edgesWd
@@ -290,12 +309,13 @@ object Analytics {
         .groupBy(col("dt").as("t2"), col("did").as("id2"))
         .agg(sum(expr("r div deg")).as("s"))
       val before = sc.getPersistentRDDs.keySet.toSet
-      ranks = nodes
+      val next = nodes
         .join(sums, col("t") === col("t2") && col("id") === col("id2"),
           "left")
         .select(col("t"), col("id"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
-        .localCheckpoint(true)
+      ranks = if (reliable) next.checkpoint(eager = true)
+        else next.localCheckpoint(true)
       prevCkpt.foreach(id => sc.getPersistentRDDs.get(id)
         .foreach(rdd => try rdd.unpersist(blocking = false)
           catch { case _: Throwable => () }))

@@ -984,6 +984,23 @@ class Wave3Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("pagerank checkpoint modes are bit-identical (local vs reliable)") {
+    // the mode changes WHERE the round boundary materializes (executor-
+    // local blocks vs the fault-tolerant checkpoint dir), never the
+    // integer arithmetic — rounds=3 hits a multi-round lineage in both
+    def collectRanks(mode: String) =
+      operators.Analytics.pageRank(spark, sfDir, rounds = 3,
+          checkpointMode = mode).collect()
+        .map(row => ((row.getString(0), row.getLong(1)), row.getLong(2)))
+        .toMap
+    val local = collectRanks("local")
+    val reliable = collectRanks("reliable")
+    assert(local == reliable,
+      s"modes diverge: ${local.size} vs ${reliable.size} nodes")
+    assert(local.nonEmpty)
+    Caches.releaseAll(spark)
+  }
+
   test("weighted sample: exact match with an independent driver-side draw") {
     // plain-Scala A-ES replay: u from the first 12 md5 nibbles of
     // 'ws|'||doc_id, key = ln(u)/n_chars, top-200 by (key desc, id)
