@@ -200,18 +200,49 @@ object Relational {
     * (`approx_percentile`, a mergeable quantile summary): the 100 TB
     * path beside [[percentiles]] — exact percentile sorts every group's
     * values; the sketch is a bounded-size state merged map-side, so the
-    * shuffle payload per group is O(accuracy), not O(rows). Sketch
-    * output is implementation-defined, so this registers rows-only; the
-    * spec asserts each approximate quantile lands within the exact
-    * p45–p55 / p85–p95 value envelope.
+    * shuffle payload per group is O(accuracy), not O(rows). Sketch-only
+    * shape; the registered q81 is the oracled audit twin
+    * [[approxPercentiles]].
     */
-  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+  def approxPercentilesRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
         expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
         expr("approx_percentile(value, 0.9, 10000)").as("p90_approx"),
         count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** Oracled audit form of the percentile sketch (q81): runs the
+    * sketch AND the exact percentiles in one aggregation and emits the
+    * exact values plus `approx_ok` — whether each sketch quantile lands
+    * inside the exact p45–p55 / p85–p95 rank-error envelope (the bound
+    * the mergeable summary actually guarantees). The sketch output
+    * itself is implementation-defined so no SQL engine can reproduce
+    * it, but the ENVELOPE CHECK is portable: DuckDB computes the same
+    * exacts and expects ok = 1, which hash-pins the sketch in-tolerance
+    * cross-engine instead of settling for a rows-only check. The
+    * sketch-only production path (no exact co-compute) stays available
+    * as [[approxPercentilesRaw]].
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("p50a"),
+        expr("approx_percentile(value, 0.9, 10000)").as("p90a"),
+        expr("percentile(value, 0.45)").as("p45"),
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile(value, 0.55)").as("p55"),
+        expr("percentile(value, 0.85)").as("p85"),
+        expr("percentile(value, 0.9)").as("p90_exact"),
+        expr("percentile(value, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"), col("p50_exact"),
+        col("p90_exact"),
+        when(col("p50a").between(col("p45"), col("p55")) &&
+          col("p90a").between(col("p85"), col("p95")), 1L)
+          .otherwise(0L).as("approx_ok"))
       .orderBy(col("event_type"))
 
   /** Exact moments: mean and population variance computed from decimal
@@ -308,16 +339,40 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
-  /** HLL-sketch distinct counts — approximate by construction, so
-    * rows-only checked; at 100 TB this replaces the exact distinct's
-    * full shuffle with a fixed-size sketch merge.
+  /** HLL-sketch distinct counts — at 100 TB this replaces the exact
+    * distinct's full shuffle with a fixed-size sketch merge. Sketch-
+    * only shape; the registered q47 is the oracled audit twin
+    * [[approxDistinctCounts]].
     */
-  def approxDistinctCounts(spark: SparkSession, dir: String): DataFrame =
+  def approxDistinctRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Oracled audit form of the HLL sketch (q47): one aggregation
+    * computes the sketch AND the exact distinct, emitting the exact
+    * count plus `approx_ok` = |approx − exact| ≤ 15% · exact (rsd is
+    * 0.02, so 15% is a ≥7σ bound — the same envelope the invariant
+    * spec asserts). HLL output is hash-seeded and engine-specific, but
+    * the tolerance verdict is portable: DuckDB computes the exact count
+    * and expects ok = 1, hash-pinning the sketch in-tolerance
+    * cross-engine. Sketch-only production path: [[approxDistinctRaw]].
+    */
+  def approxDistinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("au"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"), col("n_users_exact"),
+        when(abs(col("au").cast("double") -
+            col("n_users_exact").cast("double")) <=
+          lit(0.15) * col("n_users_exact").cast("double"), 1L)
+          .otherwise(0L).as("approx_ok"))
       .orderBy(col("event_type"))
 
   /** A4 collapse — per-key ordered-distinct sequence: first occurrence of

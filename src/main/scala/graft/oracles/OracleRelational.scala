@@ -106,6 +106,22 @@ private[graft] object OracleRelational {
     "q46_distinct_exact" ->
       ("SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    // q47: the HLL audit twin — DuckDB computes the exact distinct and
+    // expects the Spark-side in-tolerance verdict to be 1, hash-pinning
+    // the sketch within its error envelope cross-engine
+    "q47_approx_distinct" ->
+      ("SELECT event_type, COUNT(*) AS n_events, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact, " +
+        "CAST(1 AS BIGINT) AS approx_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    // q81: same pattern for the quantile sketch — exact p50/p90 plus
+    // the p45–p55 / p85–p95 envelope verdict the summary guarantees
+    "q81_approx_percentiles" ->
+      ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "quantile_cont(value, 0.5) AS p50_exact, " +
+        "quantile_cont(value, 0.9) AS p90_exact, " +
+        "CAST(1 AS BIGINT) AS approx_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "q55_pivot" ->
       ("SELECT user_id, " +
         "COUNT(*) FILTER (WHERE event_type = 'click') AS click, " +

@@ -217,7 +217,7 @@ class DedupChainSpec extends SparkSpec {
       .map(r => r.getAs[String]("event_type") ->
         (r.getAs[Double]("p45"), r.getAs[Double]("p55"),
           r.getAs[Double]("p85"), r.getAs[Double]("p95"))).toMap
-    val approx = Relational.approxPercentiles(spark, sfDir).collect()
+    val approx = Relational.approxPercentilesRaw(spark, sfDir).collect()
     assert(approx.nonEmpty)
     approx.foreach { r =>
       val t = r.getAs[String]("event_type")

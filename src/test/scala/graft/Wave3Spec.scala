@@ -388,7 +388,7 @@ class Wave3Spec extends SparkSpec {
   test("approx distinct is within rsd bounds of exact") {
     val exact = Relational.distinctCounts(spark, sfDir)
       .select(col("event_type"), col("n_users"))
-    val approx = Relational.approxDistinctCounts(spark, sfDir)
+    val approx = Relational.approxDistinctRaw(spark, sfDir)
       .select(col("event_type"), col("approx_users"))
     exact.join(approx, "event_type").collect().foreach { r =>
       val e = r.getAs[Long]("n_users").toDouble
