@@ -316,6 +316,9 @@ object Registry {
     // events analytics staple: first-activity cohort retention triangle
     "q166_retention_cohorts" -> ((s, d) =>
       Analytics.retentionCohorts(s, d)),
+    // Lee et al.-style sliding-window exact-substring dedup with
+    // byte-exact reassembly of the uncovered tokens
+    "q167_window_dedup" -> ((s, d) => Dedup.windowDedup(s, d)),
     // band-bucket skew histogram: the QA table the hot-bucket cap
     // (Dedup.BandBucketCap) is tuned from
     "q168_band_skew_telemetry" -> ((s, d) =>

@@ -1265,4 +1265,73 @@ object Dedup {
         col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
       .orderBy(col("doc_id"))
   }
+
+  /** Sliding-window exact-substring dedup (q167) — the Lee et al. 2022
+    * "Deduplicating Training Data" staple the fixed-granularity family
+    * misses: EVERY w-token window (stride 1) is hashed, a window seen
+    * earlier anywhere in the corpus (first occurrence = lowest
+    * (doc_id, pos)) marks its token span for removal, and each document
+    * is reassembled from the uncovered tokens. Catches a shared
+    * substring at ANY alignment — q114's aligned 25-token paragraphs
+    * provably miss a 15-token template straddling a paragraph boundary
+    * (spec-pinned with an embedded-substring golden test).
+    *
+    * 100 TB shape: windows leave the scan as md5 hashes (never text) —
+    * ~1 hash per token, the distributed stand-in for the single-node
+    * suffix array Lee et al. build; the keeper rule is one window over
+    * the hash; removal starts return to their doc as a narrow
+    * (doc_id, pos) aggregate; coverage + reassembly are row-local HOFs
+    * over the cached token arrays (per-doc O(n·k) with k = removal
+    * starts, k ≪ n on real corpora). Fully oracled: starts, coverage,
+    * and the reassembled md5 are deterministic, so DuckDB hash-checks
+    * byte-exact reassembly cross-engine.
+    */
+  def windowDedup(spark: SparkSession, dir: String,
+      w: Int = 15): DataFrame =
+    windowDedupDf(Tables.documents(spark, dir), w)
+
+  def windowDedupDf(docsRaw: DataFrame, w: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsRaw
+      .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      // barrier: token arrays feed the window explode and the final
+      // reassembly (the q114/q123 lesson)
+      .persist()
+    // docs shorter than w emit no windows (sequence would run
+    // DESCENDING on a negative span — filter first)
+    val wins = docs.filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - w),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(w)))
+            .cast("binary")))))
+      .select(col("doc_id"), col("pos"), col("col").as("wh"))
+    val removed = wins
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("wh")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rn") > 1)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"),
+        count(lit(1)).as("n_dup"))
+    docs.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("starts"), typedLit(Seq.empty[Int])).as("starts"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"))
+      .withColumn("kept_idx",
+        filter(sequence(lit(0), size(col("toks")) - 1),
+          t => !exists(col("starts"), s => s <= t && t < s + w)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        greatest(size(col("toks")) - w + 1, lit(0)).cast("long")
+          .as("n_windows"),
+        col("n_dup_windows"),
+        size(col("kept_idx")).cast("long").as("n_kept_tokens"),
+        (size(col("kept_idx")).cast("double") /
+          size(col("toks")).cast("double")).as("keep_ratio"),
+        md5(concat_ws(" ",
+          transform(col("kept_idx"), t => element_at(col("toks"), t + 1)))
+          .cast("binary")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
 }

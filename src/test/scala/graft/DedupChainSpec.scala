@@ -528,6 +528,41 @@ class DedupChainSpec extends SparkSpec {
     }
   }
 
+  test("window dedup catches an unaligned shared substring paragraph dedup misses") {
+    import spark.implicits._
+    // doc 1: 30 unique tokens. doc 2: 10 own tokens, then doc 1's
+    // tokens 5..19 (a 15-token run at a DIFFERENT offset), then 10 more
+    // own tokens. Exactly one w=15 window of doc 2 (pos 10) matches a
+    // doc 1 window (pos 5) — no 25-token paragraph boundary aligns, so
+    // q114 keeps every span of both docs.
+    val aToks = (0 until 30).map(i => s"a$i")
+    val bToks = (0 until 10).map(i => s"b$i") ++ aToks.slice(5, 20) ++
+      (10 until 20).map(i => s"b$i")
+    val docs = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")))
+      .map { case (id, text) => (id, text, "en", "crafted", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.windowDedupDf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1 first-occurrence: untouched
+    assert(got(1L).getAs[Long]("n_dup_windows") == 0L)
+    assert(got(1L).getAs[Long]("n_kept_tokens") == 30L)
+    // doc 2: ONE duplicated window (pos 10), covering tokens 10..24 —
+    // the 15 borrowed tokens are removed, its own 20 survive
+    assert(got(2L).getAs[Long]("n_dup_windows") == 1L)
+    assert(got(2L).getAs[Long]("n_kept_tokens") == 20L)
+    val keptText = ((0 until 10).map(i => s"b$i") ++
+      (10 until 20).map(i => s"b$i")).mkString(" ")
+    val expMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(keptText.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(2L).getAs[String]("kept_md5") == expMd5)
+    // paragraph dedup (q114, aligned 25-token spans) sees nothing
+    val para = Dedup.paragraphDedupDf(docs).collect()
+    para.foreach(r => assert(
+      r.getAs[Long]("n_kept") == r.getAs[Long]("n_spans"),
+      s"q114 unexpectedly deduped doc ${r.getAs[Long]("doc_id")}"))
+    Caches.releaseAll(spark)
+  }
+
   test("span dedup: hand-computed ratios on a crafted corpus") {
     import spark.implicits._
     // spans are 25 tokens wide; A and B are full spans, C is unique,
