@@ -319,6 +319,10 @@ object Registry {
     // Lee et al.-style sliding-window exact-substring dedup with
     // byte-exact reassembly of the uncovered tokens
     "q167_window_dedup" -> ((s, d) => Dedup.windowDedup(s, d)),
+    // embedding-space incremental screen: new batch vs the corpus
+    // through the coarse quantizer's inverted lists
+    "q169_incremental_semdedup" -> ((s, d) =>
+      Similarity.incrementalSemDedup(s, d)),
     // band-bucket skew histogram: the QA table the hot-bucket cap
     // (Dedup.BandBucketCap) is tuned from
     "q168_band_skew_telemetry" -> ((s, d) =>

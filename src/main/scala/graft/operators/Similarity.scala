@@ -1220,6 +1220,67 @@ object Similarity {
       vecCap = Long.MaxValue)
   }
 
+  /** Incremental SemDeDup (q169): a NEW embedding batch (vec_id %
+    * batchMod == batchRem — today's crawl, embedded) screened against
+    * the HISTORICAL corpus without any corpus self-join — the
+    * embedding-space sibling of the minhash incremental screen (q86/
+    * q116): assign both sides to the q97 coarse quantizer (k lowest-id
+    * unit vectors, the oracled fixed model), then compare each batch
+    * vector ONLY to its own cluster's corpus members (the inverted-
+    * list read), flagging it a semantic duplicate when any corpus
+    * cosine ≥ tau. Emits every batch vector with its verdict, dup
+    * count and best corpus match (highest cosine, ties to the lowest
+    * corpus id — deterministic cross-engine by the q34 bit-identical-
+    * dot argument).
+    *
+    * 100 TB shape: per-batch work is assignment (one row-local argmax
+    * pass over the BATCH) plus the batch⋈inverted-list join — the
+    * historical side's assignments are the stored index a pipeline
+    * maintains (q149 is exactly that maintenance loop). The oracle
+    * twin's k is SQL-pinned, so the corpus is structurally capped at
+    * `vecCap` (the q97/q91 principle; no-op at the ≤500-vector
+    * fixtures); the capacity path grows k with n as
+    * [[semDedupScaled]] does.
+    */
+  def incrementalSemDedup(spark: SparkSession, dir: String, k: Int = 8,
+      tau: Double = 0.3, vecCap: Long = 5000L,
+      batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = unitVectors(spark, dir).select(col("vec_id"), col("v"))
+      .filter(col("vec_id") < vecCap)
+    val model: Array[(Long, Array[Double])] = u.filter(col("vec_id") < k)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray)
+    val members = u.select(col("vec_id"),
+      VectorExpressions.nearestCentroidNative(col("v"), model).as("cid"),
+      col("v"))
+      // barrier: both join sides read the assignment pass
+      .persist()
+    val isBatch = col("vec_id") % batchMod === batchRem
+    val batch = members.filter(isBatch)
+      .select(col("vec_id"), col("cid"), col("v"))
+    val corpus = members.filter(!isBatch)
+      .select(col("cid"), col("vec_id").as("other"), col("v").as("cv"))
+    val hits = batch.join(corpus, Seq("cid"))
+      .withColumn("sim", dotNative(col("v"), col("cv")))
+      .filter(col("sim") >= tau)
+      .withColumn("n_dups",
+        count(lit(1)).over(Window.partitionBy(col("vec_id"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("other"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("n_dups"),
+        col("other").as("best_match"), col("sim").as("best_sim"))
+    batch.select(col("vec_id"), col("cid"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        when(col("best_match").isNotNull, 1L).otherwise(0L).as("is_dup"),
+        col("best_match"), col("best_sim"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label centroid stats — exact arithmetic over the vector column
     * (counts + dims), oracle-checkable shape for the embeddings table.
     */

@@ -142,6 +142,40 @@ private[graft] object OracleAnn {
         "SELECT m.vec_id, m.cid, " +
         "CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept " +
         "FROM m LEFT JOIN d ON d.vec_id = m.vec_id ORDER BY m.vec_id"),
+    // q169: the q97 chain with the corpus/batch split — batch vectors
+    // compare only to corpus members of their own cluster; best match
+    // by (sim DESC, other) is deterministic by the q34 bit-identical-
+    // dot argument; vec_id < 5000 mirrors the engine's structural cap
+    "q169_incremental_semdedup" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+        "FROM embeddings WHERE vec_id < 5000), " +
+        "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
+        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v FROM e), " +
+        "c AS (SELECT vec_id AS cid, v AS cv FROM u WHERE vec_id < 8), " +
+        "s AS (SELECT u.vec_id, c.cid, " +
+        "list_reduce(list_transform(list_zip(u.v, c.cv), p -> p[1] * p[2]), (x,y) -> x+y) AS sim " +
+        "FROM u CROSS JOIN c), " +
+        "asn AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s) " +
+        "WHERE rn = 1), " +
+        "m AS (SELECT asn.vec_id, asn.cid, u.v FROM asn JOIN u USING (vec_id)), " +
+        "b AS (SELECT * FROM m WHERE vec_id % 10 = 9), " +
+        "cr AS (SELECT cid, vec_id AS other, v AS cv FROM m WHERE vec_id % 10 <> 9), " +
+        "p AS (SELECT b.vec_id, b.cid, cr.other, " +
+        "list_reduce(list_transform(list_zip(b.v, cr.cv), pr -> pr[1] * pr[2]), (x,y) -> x+y) AS sim " +
+        "FROM b JOIN cr ON b.cid = cr.cid), " +
+        "h AS (SELECT vec_id, COUNT(*) AS n_dups FROM p WHERE sim >= 0.3 " +
+        "GROUP BY vec_id), " +
+        "bst AS (SELECT vec_id, other AS best_match, sim AS best_sim FROM " +
+        "(SELECT vec_id, other, sim, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY sim DESC, other) AS rn " +
+        "FROM p WHERE sim >= 0.3) WHERE rn = 1) " +
+        "SELECT b.vec_id, b.cid, " +
+        "CAST(COALESCE(h.n_dups, 0) AS BIGINT) AS n_dups, " +
+        "CAST(CASE WHEN bst.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup, " +
+        "bst.best_match, bst.best_sim " +
+        "FROM b LEFT JOIN h ON h.vec_id = b.vec_id " +
+        "LEFT JOIN bst ON bst.vec_id = b.vec_id ORDER BY b.vec_id"),
     // long fixed-point element-sums at 1e12 make the FP mean exact and
     // order-independent in both engines (float mantissa 24 bits +
     // 5^12's 28 bits = 52 <= 53, so x*1e12 is an exact double and both

@@ -293,6 +293,42 @@ class Wave2Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("incremental semdedup: verdicts match a brute-force cluster scan") {
+    import operators.Similarity
+    val got = Similarity.incrementalSemDedup(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cid"), r.getAs[Long]("n_dups"),
+          r.getAs[Long]("is_dup"),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(got.nonEmpty && got.keySet.forall(_ % 10 == 9))
+    assert(got.values.exists(_._3 == 1L), "no batch vec flagged")
+    assert(got.values.exists(_._3 == 0L), "everything flagged")
+    // driver-side replay: same unit vectors, same q97 assignment rule
+    val u = Similarity.unitVectors(spark, sfDir)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val cents = u.filter(_._1 < 8)
+    def assign(v: Array[Double]): Long =
+      cents.toSeq.map { case (c, cv) => (dot(v, cv), c) }
+        .maxBy { case (s, c) => (s, -c) }._2
+    val cid = u.map { case (id, v) => id -> assign(v) }
+    val corpusByCid = u.keys.filter(_ % 10 != 9).toSeq.groupBy(cid)
+    got.foreach { case (id, (gcid, nDups, isDup, best)) =>
+      assert(gcid == cid(id), s"vec $id cluster")
+      val hits = corpusByCid.getOrElse(gcid, Seq.empty)
+        .map(o => (o, dot(u(id), u(o)))).filter(_._2 >= 0.3)
+      assert(nDups == hits.size.toLong, s"vec $id n_dups")
+      assert((isDup == 1L) == hits.nonEmpty, s"vec $id verdict")
+      val expBest = hits.sortBy { case (o, s) => (-s, o) }.headOption.map(_._1)
+      assert(best == expBest, s"vec $id best match")
+    }
+    Caches.releaseAll(spark)
+  }
+
   test("scaled semdedup equals the fixed-k path where k resolves equal") {
     // at the 500-vector fixture, max(8, n/3000) = 8 = q97's k, so the
     // row-local literal argmax of the scaled twin must reproduce the
