@@ -323,6 +323,10 @@ object Registry {
     // through the coarse quantizer's inverted lists
     "q169_incremental_semdedup" -> ((s, d) =>
       Similarity.incrementalSemDedup(s, d)),
+    // near-dup decontamination: md5-LSH banding run cross-side over
+    // the q136 split, exact-Jaccard verified
+    "q170_neardup_decontamination" -> ((s, d) =>
+      TextOps.neardupDecontamination(s, d)),
     // band-bucket skew histogram: the QA table the hot-bucket cap
     // (Dedup.BandBucketCap) is tuned from
     "q168_band_skew_telemetry" -> ((s, d) =>

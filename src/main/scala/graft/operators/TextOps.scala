@@ -321,6 +321,43 @@ object TextOps {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** Near-dup decontamination (q170): the stronger sibling of the
+    * exact-n-gram screen [[decontamination]] — training documents that
+    * are NEAR-duplicates of held-out documents (q136's split rule:
+    * train vs val/test) slip past exact gram matching when lightly
+    * edited, which is precisely the contamination mode benchmark
+    * paraphrases exhibit. Candidates come from the q95 md5-LSH banding
+    * run CROSS-side (train bands ⋈ held-out bands — never a corpus
+    * self-join), hot buckets quarantined by the population-level cap
+    * ([[Dedup.BandBucketCap]], the uniform banding discipline), and
+    * each surviving pair exact-Jaccard-verified. Emits the
+    * (train_id, heldout_id, heldout_split, jaccard) audit table a team
+    * reviews before dropping train docs.
+    *
+    * 100 TB shape: same as q95 — signatures and band keys shuffle,
+    * never text; pair work is bucket-bounded; verification is
+    * candidate-bounded. Fully oracled (the q95 chain + the q136 split
+    * CTE, cross-side predicate).
+    */
+  def neardupDecontamination(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sh = Dedup.md5ShingledDocs(Tables.documents(spark, dir)).persist()
+    val banded = Dedup.capHotBuckets(Dedup.md5BandedSignatures(sh))
+    val isTrain = splitCol("doc_id") === "train"
+    val trainB = banded.filter(isTrain)
+      .select(col("doc_id").as("train_id"), col("band"), col("bucket"))
+    val heldB = banded.filter(!isTrain)
+      .select(col("doc_id").as("heldout_id"), col("band"), col("bucket"))
+    val pairs = trainB.join(heldB, Seq("band", "bucket"))
+      .select(col("train_id"), col("heldout_id"))
+      .distinct()
+    Dedup.md5VerifyPairs(pairs, sh, "train_id", "heldout_id", minJaccard)
+      .withColumn("heldout_split", splitCol("heldout_id"))
+      .select(col("train_id"), col("heldout_id"), col("heldout_split"),
+        col("jaccard"))
+      .orderBy(col("train_id"), col("heldout_id"))
+  }
+
   private val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRx = "\\+1-\\d{3}-\\d{4}"
   private val IpRx = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"

@@ -320,6 +320,50 @@ private[graft] object OracleDedup {
         "SELECT source_lo, source_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
         "SUM(jaccard) / CAST(COUNT(*) AS DOUBLE) AS avg_jaccard " +
         "FROM k GROUP BY 1, 2 ORDER BY 1, 2"),
+    // q170: near-dup decontamination — the q95 md5 chain run CROSS-side
+    // over the q136 split (train bands vs held-out bands), exact-
+    // Jaccard verified; the population-level hot-bucket cap is a
+    // fixture no-op, so the uncapped SQL is the exact twin (q95
+    // precedent)
+    "q170_neardup_decontamination" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+        "FROM e GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+        "spl AS (SELECT doc_id, CASE WHEN b < 204 THEN 'train' " +
+        "WHEN b < 230 THEN 'val' ELSE 'test' END AS split FROM " +
+        "(SELECT doc_id, " +
+        "(strpos('0123456789abcdef', substr(hk, 1, 1)) - 1) * 16 + " +
+        "strpos('0123456789abcdef', substr(hk, 2, 1)) - 1 AS b FROM " +
+        "(SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS hk " +
+        "FROM f))), " +
+        "p AS (SELECT DISTINCT tr.doc_id AS train_id, ho.doc_id AS heldout_id " +
+        "FROM band tr JOIN band ho ON tr.band = ho.band AND tr.bucket = ho.bucket " +
+        "JOIN spl st ON st.doc_id = tr.doc_id " +
+        "JOIN spl sh2 ON sh2.doc_id = ho.doc_id " +
+        "WHERE st.split = 'train' AND sh2.split <> 'train'), " +
+        "v AS (SELECT train_id, heldout_id, " +
+        "len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) AS la, len(b.sh) AS lb " +
+        "FROM p JOIN f a ON a.doc_id = p.train_id " +
+        "JOIN f b ON b.doc_id = p.heldout_id) " +
+        "SELECT train_id, heldout_id, " +
+        "(SELECT split FROM spl WHERE spl.doc_id = v.heldout_id) AS heldout_split, " +
+        "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard " +
+        "FROM v WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5 " +
+        "ORDER BY train_id, heldout_id"),
     // q167: sliding-window (w=15, stride 1) exact-substring dedup —
     // global first-occurrence keeper on window md5s, coverage-union
     // removal, byte-exact reassembly md5 of the surviving tokens
