@@ -327,6 +327,9 @@ object Registry {
     // the q136 split, exact-Jaccard verified
     "q170_neardup_decontamination" -> ((s, d) =>
       TextOps.neardupDecontamination(s, d)),
+    // per-source token-budget sampling plan (epochs per source under
+    // α=0.5 temperature flattening)
+    "q171_token_budget_plan" -> ((s, d) => TextOps.tokenBudgetPlan(s, d)),
     // band-bucket skew histogram: the QA table the hot-bucket cap
     // (Dedup.BandBucketCap) is tuned from
     "q168_band_skew_telemetry" -> ((s, d) =>

@@ -321,6 +321,52 @@ object TextOps {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** Token-budget mix planner (q171): the per-source sampling table a
+    * training run is configured from (the LLaMA/DoReMi-style "epochs
+    * per source" plan) — given each source's exact token count, a
+    * global token budget (half the corpus, an exact integer), and
+    * α = 0.5 temperature flattening (q135's rule: sqrt is IEEE
+    * correctly-rounded, and the share denominator folds in pinned
+    * source order, so every double is bit-identical cross-engine),
+    * emit per source the target token draw, the implied epochs, and
+    * whether the source is UPSAMPLED (epochs > 1 — the flattening
+    * pushing a low-resource source past one full pass, the decision a
+    * mix reviewer actually looks for).
+    *
+    * 100 TB shape: one corpus scan for exact per-source token counts
+    * (map-side combined longs); the plan itself is a bounded
+    * #sources-row driver model (the q135 contract). Fully oracled.
+    */
+  def tokenBudgetPlan(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetPlanDf(spark, Tables.documents(spark, dir))
+
+  def tokenBudgetPlanDf(spark: SparkSession,
+      docsRaw: DataFrame): DataFrame = {
+    import spark.implicits._
+    val stats = docsRaw
+      .select(col("source"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("tc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens"))
+      .orderBy(col("source"))
+      .collect()
+    val budget = stats.map(_.getAs[Long]("n_tokens")).sum / 2
+    val weights = stats.map(r =>
+      math.sqrt(r.getAs[Long]("n_tokens").toDouble))
+    val wTot = weights.sum // left fold in source order
+    val rows = stats.zip(weights).map { case (r, w) =>
+      val nTokens = r.getAs[Long]("n_tokens")
+      val target = math.floor(budget.toDouble * w / wTot).toLong
+      val epochs = target.toDouble / nTokens.toDouble
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"), nTokens,
+        target, epochs, if (epochs > 1.0) 1L else 0L)
+    }
+    rows.toSeq
+      .toDF("source", "n_docs", "n_tokens", "target_tokens", "epochs",
+        "upsampled")
+      .orderBy(col("source"))
+  }
+
   /** Near-dup decontamination (q170): the stronger sibling of the
     * exact-n-gram screen [[decontamination]] — training documents that
     * are NEAR-duplicates of held-out documents (q136's split rule:

@@ -420,6 +420,29 @@ private[graft] object OracleText {
         "SELECT r.doc_id, r.lang, r.source, r.rk FROM r " +
         "JOIN q USING (lang) WHERE r.rk <= q.quota " +
         "ORDER BY r.doc_id"),
+    // q171: token-budget mix plan — exact per-source token counts,
+    // budget = total // 2, α=0.5 weights with the source-ordered fold
+    // (q135's bit-identical-double argument), floor'd targets
+    "q171_token_budget_plan" ->
+      ("WITH d AS (SELECT source, len(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS tc " +
+        "FROM documents), " +
+        "c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(tc) AS BIGINT) AS n_tokens FROM d GROUP BY source), " +
+        "tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS b FROM c), " +
+        "s AS (SELECT source, n_docs, n_tokens, " +
+        "sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM c), " +
+        "tot AS (SELECT list_reduce(list(w ORDER BY source), " +
+        "(a, b) -> a + b) AS t FROM s), " +
+        "p AS (SELECT source, n_docs, n_tokens, " +
+        "CAST(floor(CAST(tt.b AS DOUBLE) * w / tot.t) AS BIGINT) " +
+        "AS target_tokens FROM s CROSS JOIN tot CROSS JOIN tt) " +
+        "SELECT source, n_docs, n_tokens, target_tokens, " +
+        "CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs, " +
+        "CAST(CASE WHEN CAST(target_tokens AS DOUBLE) / " +
+        "CAST(n_tokens AS DOUBLE) > 1 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS upsampled " +
+        "FROM p ORDER BY source"),
     // doc-id-hash 80/10/10 assignment; leakage = val/test content
     // hash present among train content hashes
     "q136_dataset_split" ->

@@ -1097,6 +1097,33 @@ class Wave3Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("token budget plan: flattening upsamples the scarce source, targets respect the budget") {
+    import spark.implicits._
+    // one dominant source (9000 tokens) and one scarce (90): α=0.5
+    // gives the scarce source sqrt(90)/(sqrt(9000)+sqrt(90)) ≈ 9.1% of
+    // the 4545-token budget ≈ 413 tokens ≈ 4.6 epochs — upsampled —
+    // while the big source draws under one pass
+    def doc(id: Long, src: String, n: Int) =
+      (id, (0 until n).map(i => s"t$i").mkString(" "), "en", src, n.toLong)
+    val docs = ((0 until 90).map(i => doc(i.toLong, "big", 100)) ++
+      Seq(doc(1000L, "small", 90)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.TextOps.tokenBudgetPlanDf(spark, docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got.keySet == Set("big", "small"))
+    val small = got("small"); val big = got("big")
+    assert(small.getAs[Long]("n_tokens") == 90L)
+    assert(big.getAs[Long]("n_tokens") == 9000L)
+    assert(small.getAs[Long]("upsampled") == 1L &&
+      small.getAs[Double]("epochs") > 4.0)
+    assert(big.getAs[Long]("upsampled") == 0L &&
+      big.getAs[Double]("epochs") < 1.0)
+    // floor'd targets never exceed the budget (= total // 2)
+    val targetSum = got.values.map(_.getAs[Long]("target_tokens")).sum
+    assert(targetSum <= (9000L + 90L) / 2)
+    Caches.releaseAll(spark)
+  }
+
   test("split leakage audit: held-out rows only, ratios in [0,1]") {
     val rows = operators.TextOps.splitLeakageAudit(spark, sfDir).collect()
     assert(rows.map(_.getAs[String]("split")).toSet == Set("val", "test"))
