@@ -330,6 +330,14 @@ object Registry {
     // per-source token-budget sampling plan (epochs per source under
     // α=0.5 temperature flattening)
     "q171_token_budget_plan" -> ((s, d) => TextOps.tokenBudgetPlan(s, d)),
+    // tokenizer-sizing curve: exact token-mass coverage of top-k types
+    "q172_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
+    // per-language unigram entropy / perplexity corpus-health table
+    "q173_corpus_entropy" -> ((s, d) => TextOps.corpusEntropy(s, d)),
+    // daily-crawl form of the window screen: batch windows vs the
+    // historical window-hash artifact
+    "q174_incremental_window_dedup" -> ((s, d) =>
+      Dedup.incrementalWindowDedup(s, d)),
     // band-bucket skew histogram: the QA table the hot-bucket cap
     // (Dedup.BandBucketCap) is tuned from
     "q168_band_skew_telemetry" -> ((s, d) =>

@@ -1292,21 +1292,8 @@ object Dedup {
 
   def windowDedupDf(docsRaw: DataFrame, w: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = docsRaw
-      .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-      // barrier: token arrays feed the window explode and the final
-      // reassembly (the q114/q123 lesson)
-      .persist()
-    // docs shorter than w emit no windows (sequence would run
-    // DESCENDING on a negative span — filter first)
-    val wins = docs.filter(size(col("toks")) >= w)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), size(col("toks")) - w),
-          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(w)))
-            .cast("binary")))))
-      .select(col("doc_id"), col("pos"), col("col").as("wh"))
+    val docs = tokenizedDocs(docsRaw)
+    val wins = windowRows(docs, w)
     val removed = wins
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("wh")).orderBy(col("doc_id"), col("pos"))))
@@ -1314,6 +1301,65 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"),
         count(lit(1)).as("n_dup"))
+    reassembleUncovered(docs, removed, w)
+  }
+
+  /** Incremental sliding-window dedup (q174): the q167 screen run as
+    * the daily-crawl shape — a NEW batch (doc_id % batchMod ==
+    * batchRem) has its w-token windows checked against the HISTORICAL
+    * corpus's window-hash set only (history always wins; no corpus
+    * self-join, no batch-internal rule — q167 covers the global form),
+    * and each batch document is reassembled without the borrowed
+    * spans. Completes the incremental family column: exact (q28) /
+    * minhash (q86/q116) / embedding (q169) / substring (this).
+    *
+    * 100 TB shape: the historical window-hash set is the stored
+    * artifact a pipeline maintains (16-byte hashes, ~1 per corpus
+    * token — the same table q167's keeper window sorts); per-run work
+    * is windowing the BATCH plus one hash semi-join against it, then
+    * the row-local reassembly. Fully oracled.
+    */
+  def incrementalWindowDedup(spark: SparkSession, dir: String,
+      w: Int = 15, batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
+    val isBatch = col("doc_id") % batchMod === batchRem
+    val docs = tokenizedDocs(Tables.documents(spark, dir))
+    val corpusW = windowRows(docs.filter(!isBatch), w)
+      .select(col("wh")).distinct()
+    val removed = windowRows(docs.filter(isBatch), w)
+      .join(corpusW, Seq("wh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"),
+        count(lit(1)).as("n_dup"))
+    reassembleUncovered(docs.filter(isBatch), removed, w)
+  }
+
+  /** Shared q167/q174 tokenization barrier: token arrays feed the
+    * window explode and the final reassembly (the q114/q123 lesson).
+    */
+  private def tokenizedDocs(docsRaw: DataFrame): DataFrame =
+    docsRaw
+      .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .persist()
+
+  /** All w-token windows (stride 1) as (doc_id, pos, md5) rows. Docs
+    * shorter than w emit no windows (sequence would run DESCENDING on
+    * a negative span — filter first).
+    */
+  private def windowRows(docs: DataFrame, w: Int): DataFrame =
+    docs.filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - w),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(w)))
+            .cast("binary")))))
+      .select(col("doc_id"), col("pos"), col("col").as("wh"))
+
+  /** Reassembly of the tokens not covered by any removed window start:
+    * row-local coverage HOFs + the per-doc md5 of the surviving text.
+    */
+  private def reassembleUncovered(docs: DataFrame, removed: DataFrame,
+      w: Int): DataFrame =
     docs.join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
         coalesce(col("starts"), typedLit(Seq.empty[Int])).as("starts"),
@@ -1333,5 +1379,4 @@ object Dedup {
           transform(col("kept_idx"), t => element_at(col("toks"), t + 1)))
           .cast("binary")).as("kept_md5"))
       .orderBy(col("doc_id"))
-  }
 }

@@ -321,6 +321,78 @@ object TextOps {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** Vocabulary coverage curve (q172): for each candidate vocab size k,
+    * the exact fraction of corpus TOKEN MASS covered by the k most
+    * frequent types (ties broken lexically — deterministic) — the
+    * table a tokenizer-sizing decision reads (coverage vs k is the
+    * classic knee curve; the complement is the OOV rate a k-type vocab
+    * would pay). Counts are exact longs, so the curve is fully
+    * oracled.
+    *
+    * 100 TB shape: one corpus scan into the (token, tf) vocab relation
+    * (map-side combined); the ranking window runs over the VOCAB, not
+    * the corpus (types ≪ tokens; at web scale the vocab table is
+    * millions of rows — window-sortable — while the corpus is not),
+    * and the coverage rollup is one pass over the ranked vocab.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(explode(TextAnalytics.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val ranked = tf.withColumn("rk", row_number().over(
+      Window.orderBy(col("tf").desc, col("token"))))
+    val aggCols = Seq(
+      count(lit(1)).as("n_types"),
+      sum(col("tf")).as("total_tokens")) ++
+      ks.map(k => sum(when(col("rk") <= k, col("tf")).otherwise(0L))
+        .as(s"c$k"))
+    val aggs = ranked.agg(aggCols.head, aggCols.tail: _*)
+    aggs.select(explode(array(ks.map(k =>
+        struct(lit(k.toLong).as("k"), col(s"c$k").as("covered_tokens"))): _*))
+        .as("e"), col("n_types"), col("total_tokens"))
+      .select(col("e.k").as("k"), col("n_types"), col("total_tokens"),
+        col("e.covered_tokens").as("covered_tokens"),
+        (col("e.covered_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("coverage"))
+      .orderBy(col("k"))
+  }
+
+  /** Per-language corpus entropy (q173): the unigram entropy rate
+    * H = −Σ p ln p over each language's empirical token distribution,
+    * with its perplexity exp(H) — the corpus-health diagnostic that
+    * says how "compressible" each language slice is (a collapsed slice
+    * — bot spam, template floods — shows up as an entropy crater long
+    * before a human reads it). Probabilities are exact long ratios;
+    * ln/exp follow the q79/q129 cross-engine precedent (both
+    * comparators round at 1e-9, and the Σ over a vocab-sized term set
+    * keeps accumulated ulp noise orders below that).
+    *
+    * 100 TB shape: one scan to the (lang, token, tf) relation
+    * (map-side combined); the entropy fold is per-language over the
+    * VOCAB, not the corpus. Nothing driver-side.
+    */
+  def corpusEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(TextAnalytics.tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val totals = tf.groupBy(col("lang"))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_types"))
+    tf.join(totals, Seq("lang"))
+      .withColumn("p", col("tf").cast("double") /
+        col("n_tokens").cast("double"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        max(col("n_types")).as("n_types"),
+        (-sum(col("p") * log(col("p")))).as("entropy"))
+      .withColumn("perplexity", exp(col("entropy")))
+      .orderBy(col("lang"))
+  }
+
   /** Token-budget mix planner (q171): the per-source sampling table a
     * training run is configured from (the LLaMA/DoReMi-style "epochs
     * per source" plan) — given each source's exact token count, a

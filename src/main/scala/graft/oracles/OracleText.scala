@@ -420,6 +420,48 @@ private[graft] object OracleText {
         "SELECT r.doc_id, r.lang, r.source, r.rk FROM r " +
         "JOIN q USING (lang) WHERE r.rk <= q.quota " +
         "ORDER BY r.doc_id"),
+    // q172: exact token-mass coverage of the top-k vocab types
+    // (ties lexical) for k in {10, 100, 1000}
+    "q172_vocab_coverage" ->
+      ("WITH t AS (SELECT unnest(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM t " +
+        "GROUP BY token), " +
+        "r AS (SELECT token, tf, ROW_NUMBER() OVER " +
+        "(ORDER BY tf DESC, token) AS rk FROM tf), " +
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types, " +
+        "CAST(SUM(tf) AS BIGINT) AS total_tokens, " +
+        "CAST(SUM(CASE WHEN rk <= 10 THEN tf ELSE 0 END) AS BIGINT) AS c10, " +
+        "CAST(SUM(CASE WHEN rk <= 100 THEN tf ELSE 0 END) AS BIGINT) AS c100, " +
+        "CAST(SUM(CASE WHEN rk <= 1000 THEN tf ELSE 0 END) AS BIGINT) AS c1000 " +
+        "FROM r), " +
+        "u AS (SELECT CAST(10 AS BIGINT) AS k, n_types, total_tokens, " +
+        "c10 AS covered_tokens FROM a " +
+        "UNION ALL SELECT CAST(100 AS BIGINT), n_types, total_tokens, " +
+        "c100 FROM a " +
+        "UNION ALL SELECT CAST(1000 AS BIGINT), n_types, total_tokens, " +
+        "c1000 FROM a) " +
+        "SELECT k, n_types, total_tokens, covered_tokens, " +
+        "CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) " +
+        "AS coverage FROM u ORDER BY k"),
+    // q173: per-language unigram entropy over exact tf ratios; ln/exp
+    // per the q79 1e-9 comparator precedent
+    "q173_corpus_entropy" ->
+      ("WITH t AS (SELECT lang, unnest(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS tf " +
+        "FROM t GROUP BY 1, 2), " +
+        "tot AS (SELECT lang, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_types FROM tf GROUP BY lang), " +
+        "e AS (SELECT tf.lang, " +
+        "-SUM((CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * " +
+        "ln(CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE))) AS entropy " +
+        "FROM tf JOIN tot USING (lang) GROUP BY tf.lang) " +
+        "SELECT e.lang, n_tokens, n_types, entropy, " +
+        "exp(entropy) AS perplexity FROM e JOIN tot ON e.lang = tot.lang " +
+        "ORDER BY e.lang"),
     // q171: token-budget mix plan — exact per-source token counts,
     // budget = total // 2, α=0.5 weights with the source-ordered fold
     // (q135's bit-identical-double argument), floor'd targets
