@@ -338,6 +338,10 @@ object Registry {
     // historical window-hash artifact
     "q174_incremental_window_dedup" -> ((s, d) =>
       Dedup.incrementalWindowDedup(s, d)),
+    // the same screen as a drained stream (cached historical window
+    // set, per-batch semi-join + reassembly)
+    "q175_streaming_window_dedup" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingWindowDedup(s, d)),
     // band-bucket skew histogram: the QA table the hot-bucket cap
     // (Dedup.BandBucketCap) is tuned from
     "q168_band_skew_telemetry" -> ((s, d) =>

@@ -1336,7 +1336,7 @@ object Dedup {
   /** Shared q167/q174 tokenization barrier: token arrays feed the
     * window explode and the final reassembly (the q114/q123 lesson).
     */
-  private def tokenizedDocs(docsRaw: DataFrame): DataFrame =
+  private[graft] def tokenizedDocs(docsRaw: DataFrame): DataFrame =
     docsRaw
       .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
@@ -1346,7 +1346,7 @@ object Dedup {
     * shorter than w emit no windows (sequence would run DESCENDING on
     * a negative span — filter first).
     */
-  private def windowRows(docs: DataFrame, w: Int): DataFrame =
+  private[graft] def windowRows(docs: DataFrame, w: Int): DataFrame =
     docs.filter(size(col("toks")) >= w)
       .select(col("doc_id"),
         posexplode(transform(
@@ -1358,7 +1358,7 @@ object Dedup {
   /** Reassembly of the tokens not covered by any removed window start:
     * row-local coverage HOFs + the per-doc md5 of the surviving text.
     */
-  private def reassembleUncovered(docs: DataFrame, removed: DataFrame,
+  private[graft] def reassembleUncovered(docs: DataFrame, removed: DataFrame,
       w: Int): DataFrame =
     docs.join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),

@@ -399,37 +399,11 @@ private[graft] object OracleDedup {
     // q174: the q167 window screen run incrementally — batch docs'
     // windows semi-joined against the HISTORICAL window-hash set
     // (history always wins), batch docs reassembled without the
-    // borrowed spans
-    "q174_incremental_window_dedup" ->
-      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '') AS toks FROM documents), " +
-        "f AS (SELECT * FROM t WHERE len(toks) > 0), " +
-        "w AS (SELECT doc_id, p AS pos, " +
-        "md5(array_to_string(toks[p+1:p+15], ' ')) AS wh " +
-        "FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 14)) AS p " +
-        "FROM f WHERE len(toks) >= 15)), " +
-        "cw AS (SELECT DISTINCT wh FROM w WHERE doc_id % 10 <> 9), " +
-        "rem AS (SELECT doc_id, list(pos ORDER BY pos) AS starts, " +
-        "COUNT(*) AS n_dup FROM w JOIN cw USING (wh) " +
-        "WHERE doc_id % 10 = 9 GROUP BY doc_id), " +
-        "j AS (SELECT f.doc_id, toks, " +
-        "COALESCE(starts, CAST([] AS BIGINT[])) AS starts, " +
-        "COALESCE(n_dup, 0) AS n_dup FROM f " +
-        "LEFT JOIN rem ON f.doc_id = rem.doc_id " +
-        "WHERE f.doc_id % 10 = 9), " +
-        "k AS (SELECT doc_id, toks, n_dup, " +
-        "list_filter(range(0, len(toks)), tk -> " +
-        "len(list_filter(starts, s -> s <= tk AND tk < s + 15)) = 0) " +
-        "AS kept FROM j) " +
-        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        "CAST(greatest(len(toks) - 14, 0) AS BIGINT) AS n_windows, " +
-        "CAST(n_dup AS BIGINT) AS n_dup_windows, " +
-        "CAST(len(kept) AS BIGINT) AS n_kept_tokens, " +
-        "CAST(len(kept) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS keep_ratio, " +
-        "md5(COALESCE(array_to_string(" +
-        "list_transform(kept, tk -> toks[CAST(tk + 1 AS INT)]), ' '), '')) " +
-        "AS kept_md5 " +
-        "FROM k ORDER BY doc_id"),
+    // borrowed spans. q175 (the streaming form) shares this SQL
+    // verbatim: history-only reference makes any batch split drain to
+    // the batch answer (the q157 pattern)
+    "q174_incremental_window_dedup" -> q174Sql,
+    "q175_streaming_window_dedup" -> q174Sql,
     // q168: bucket-size histogram of the q95 md5 banding — the skew
     // telemetry the hot-bucket quarantine (Dedup.BandBucketCap = 64)
     // is tuned from; exact counts, fully oracled
@@ -460,4 +434,35 @@ private[graft] object OracleDedup {
         "AS over_cap " +
         "FROM c GROUP BY band, bucket_size ORDER BY band, bucket_size"),
   )
+
+  private def q174Sql: String =
+    ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+      "x -> x <> '') AS toks FROM documents), " +
+      "f AS (SELECT * FROM t WHERE len(toks) > 0), " +
+      "w AS (SELECT doc_id, p AS pos, " +
+      "md5(array_to_string(toks[p+1:p+15], ' ')) AS wh " +
+      "FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 14)) AS p " +
+      "FROM f WHERE len(toks) >= 15)), " +
+      "cw AS (SELECT DISTINCT wh FROM w WHERE doc_id % 10 <> 9), " +
+      "rem AS (SELECT doc_id, list(pos ORDER BY pos) AS starts, " +
+      "COUNT(*) AS n_dup FROM w JOIN cw USING (wh) " +
+      "WHERE doc_id % 10 = 9 GROUP BY doc_id), " +
+      "j AS (SELECT f.doc_id, toks, " +
+      "COALESCE(starts, CAST([] AS BIGINT[])) AS starts, " +
+      "COALESCE(n_dup, 0) AS n_dup FROM f " +
+      "LEFT JOIN rem ON f.doc_id = rem.doc_id " +
+      "WHERE f.doc_id % 10 = 9), " +
+      "k AS (SELECT doc_id, toks, n_dup, " +
+      "list_filter(range(0, len(toks)), tk -> " +
+      "len(list_filter(starts, s -> s <= tk AND tk < s + 15)) = 0) " +
+      "AS kept FROM j) " +
+      "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      "CAST(greatest(len(toks) - 14, 0) AS BIGINT) AS n_windows, " +
+      "CAST(n_dup AS BIGINT) AS n_dup_windows, " +
+      "CAST(len(kept) AS BIGINT) AS n_kept_tokens, " +
+      "CAST(len(kept) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS keep_ratio, " +
+      "md5(COALESCE(array_to_string(" +
+      "list_transform(kept, tk -> toks[CAST(tk + 1 AS INT)]), ' '), '')) " +
+      "AS kept_md5 " +
+      "FROM k ORDER BY doc_id")
 }

@@ -626,6 +626,81 @@ object StreamingOps {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
+  /** Streaming window dedup (q175): the q174 incremental substring
+    * screen run as a STREAM — the historical corpus's window-hash set
+    * is built once and cached for the life of the query (the q116
+    * discipline: it is the stored artifact a pipeline maintains), and
+    * each micro-batch is tokenized, windowed, semi-joined against it
+    * and reassembled without the borrowed spans, appending to the
+    * delta sink. History always wins and batches never reference each
+    * other, so ANY batch split drains to exactly the q174 batch
+    * answer — the oracle IS q174's SQL verbatim (the q157 shared-SQL
+    * pattern).
+    *
+    * Per-batch work: windowing the BATCH (row-local md5s) + one hash
+    * semi-join + row-local reassembly. Replays append duplicate rows;
+    * the drained read dedups.
+    */
+  def streamingWindowDedup(spark: SparkSession, dir: String,
+      w: Int = 15, batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val isBatch = col("doc_id") % batchMod === batchRem
+    val corpusW = Dedup.windowRows(
+        Dedup.tokenizedDocs(Tables.documents(spark, dir).filter(!isBatch)), w)
+      .select(col("wh")).distinct()
+      .persist()
+    graft.Caches.onRelease(() => {
+      try corpusW.unpersist(false) catch { case _: Throwable => () }
+    })
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val newDocs = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(isBatch)
+    val sinkDir = graft.Caches.trackTempDir(Files.createTempDirectory(
+      s"graft_streamwindedup_${counter.incrementAndGet()}_")).toString
+    graft.Caches.onRelease(
+      () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
+    val q = newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val toks = Dedup.tokenizedDocs(batch)
+        val removed = Dedup.windowRows(toks, w)
+          .join(corpusW, Seq("wh"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("pos"))).as("starts"),
+            count(lit(1)).as("n_dup"))
+        Dedup.reassembleUncovered(toks, removed, w)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(sinkDir)
+        toks.unpersist(false)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sinkSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_tokens", LongType),
+      StructField("n_windows", LongType),
+      StructField("n_dup_windows", LongType),
+      StructField("n_kept_tokens", LongType),
+      StructField("keep_ratio", DoubleType),
+      StructField("kept_md5", StringType),
+      StructField("batch_id", LongType)))
+    spark.read.schema(sinkSchema).parquet(sinkDir)
+      .drop("batch_id")
+      .distinct() // replayed micro-batches are idempotent on rows
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming IVF assignment (q149): new embeddings arrive as a
     * stream and each micro-batch is assigned to the FIXED md5-nibble
     * centroid model of q120 (`iv|c|d`, the oracled ANN twin family) —

@@ -191,6 +191,20 @@ class DedupChainSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("streaming window dedup drains to exactly the incremental batch rows") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+        r.getAs[Long]("n_kept_tokens"), r.getAs[String]("kept_md5"))).toSet
+    val batch = rows(Dedup.incrementalWindowDedup(spark, sfDir))
+    val streamed = rows(
+      graft.streaming.StreamingOps.streamingWindowDedup(spark, sfDir))
+    assert(streamed == batch,
+      s"streamed ${streamed.size} rows vs batch ${batch.size}")
+    assert(batch.exists(_._4 > 0L), "no borrowed spans in the fixture")
+    Caches.releaseAll(spark)
+  }
+
   test("streaming vocab drains to exactly the full-corpus batch vocab") {
     import graft.sources.Tables
     import org.apache.spark.sql.functions.{col, count, countDistinct, explode, lit}
