@@ -140,6 +140,32 @@ class ScaleSpec extends SparkSpec {
       s"q96 shuffles a text column: $nov")
   }
 
+  test("window-dedup and split-audit shuffles carry hashes, never tokens") {
+    // the q167/q174/q153 scale contract: every STRING column crossing
+    // an exchange is an md5 (wh window hash, g gram prefix, kept_md5
+    // digest) or a low-cardinality enum (split) — window/gram text
+    // stays on the map side. (The reassembly join's token ARRAYS are
+    // the documented q114-class cost, not a string-leak.)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    def shuffledStringCols(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case e: ShuffleExchangeExec => e.child.output
+      }.flatten.filter(_.dataType == StringType).map(_.name).distinct
+    val w = shuffledStringCols(operators.Dedup.windowDedup(spark, sfDir))
+    assert(w.forall(Set("wh", "kept_md5")),
+      s"q167 shuffles a text column: $w")
+    val iw = shuffledStringCols(
+      operators.Dedup.incrementalWindowDedup(spark, sfDir))
+    assert(iw.forall(Set("wh", "kept_md5")),
+      s"q174 shuffles a text column: $iw")
+    val sl = shuffledStringCols(
+      operators.TextOps.splitLeakageAudit(spark, sfDir))
+    assert(sl.forall(Set("g", "split")),
+      s"q153 shuffles a text column: $sl")
+    Caches.releaseAll(spark)
+  }
+
   test("weighted sample plans as TakeOrdered, never a global sort") {
     // the q147 scale contract: the top-k selection must be the
     // per-partition-heap TakeOrderedAndProject (row-local keys +
