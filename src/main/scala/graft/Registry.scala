@@ -342,6 +342,10 @@ object Registry {
     // set, per-batch semi-join + reassembly)
     "q175_streaming_window_dedup" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingWindowDedup(s, d)),
+    // context-length sizing: exact per-cap truncation cost
+    "q176_truncation_audit" -> ((s, d) => TextOps.truncationAudit(s, d)),
+    // degenerate-repetition loop detector (longest same-token run)
+    "q177_repetition_runs" -> ((s, d) => TextOps.repetitionRuns(s, d)),
     // band-bucket skew histogram: the QA table the hot-bucket cap
     // (Dedup.BandBucketCap) is tuned from
     "q168_band_skew_telemetry" -> ((s, d) =>

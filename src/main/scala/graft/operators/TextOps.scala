@@ -321,6 +321,74 @@ object TextOps {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** Context-length truncation audit (q176): for each candidate
+    * sequence cap, exactly how many documents would be truncated and
+    * what fraction of the corpus token mass a hard cut at that length
+    * drops — the table a context-length/packing decision reads next to
+    * q84's packing and q83's length buckets. Exact longs; one scan.
+    *
+    * 100 TB shape: per-doc token counts reduce row-locally in the scan
+    * projection; the audit is a single global aggregate (map-side
+    * combined) fanned out to one row per cap.
+    */
+  def truncationAudit(spark: SparkSession, dir: String,
+      caps: Seq[Int] = Seq(32, 64, 128)): DataFrame = {
+    val n = col("n")
+    val base = Tables.documents(spark, dir)
+      .select(TextAnalytics.tokenCount(col("text")).cast("long").as("n"))
+    val aggCols = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(n).as("total_tokens")) ++
+      caps.flatMap(c => Seq(
+        sum(when(n > c, 1L).otherwise(0L)).as(s"d$c"),
+        sum(greatest(n - c, lit(0L))).as(s"t$c")))
+    val aggs = base.agg(aggCols.head, aggCols.tail: _*)
+    aggs.select(explode(array(caps.map(c =>
+        struct(lit(c.toLong).as("cap"), col(s"d$c").as("docs_truncated"),
+          col(s"t$c").as("tokens_dropped"))): _*)).as("e"),
+        col("n_docs"), col("total_tokens"))
+      .select(col("e.cap").as("cap"), col("n_docs"), col("total_tokens"),
+        col("e.docs_truncated").as("docs_truncated"),
+        col("e.tokens_dropped").as("tokens_dropped"),
+        (col("e.tokens_dropped").cast("double") /
+          col("total_tokens").cast("double")).as("drop_ratio"))
+      .orderBy(col("cap"))
+  }
+
+  /** Degenerate-repetition detector (q177): the longest run of the
+    * SAME token repeated consecutively per document — the "the the
+    * the" loop signal every quality pipeline hard-filters on (model-
+    * generated and template spam both light it up; type/token ratio
+    * q24 misses a single long loop inside an otherwise-diverse doc).
+    * Flagged at run ≥ 3.
+    *
+    * 100 TB shape: the run fold is a row-local HOF over the token
+    * array inside the scan projection — no explode, no shuffle but
+    * the presentation sort. The oracle spells the same statistic
+    * relationally (gaps-and-islands over positions), pinning the fold
+    * cross-engine.
+    */
+  def repetitionRuns(spark: SparkSession, dir: String): DataFrame = {
+    val runState = aggregate(col("toks"),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        runState.cast("long").as("max_run"))
+      .withColumn("flagged",
+        when(col("max_run") >= 3, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
   /** Vocabulary coverage curve (q172): for each candidate vocab size k,
     * the exact fraction of corpus TOKEN MASS covered by the k most
     * frequent types (ties broken lexically — deterministic) — the

@@ -420,6 +420,44 @@ private[graft] object OracleText {
         "SELECT r.doc_id, r.lang, r.source, r.rk FROM r " +
         "JOIN q USING (lang) WHERE r.rk <= q.quota " +
         "ORDER BY r.doc_id"),
+    // q176: exact per-cap truncation cost (docs cut, token mass lost)
+    "q176_truncation_audit" ->
+      ("WITH d AS (SELECT len(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS n " +
+        "FROM documents), " +
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n) AS BIGINT) AS total_tokens, " +
+        "CAST(SUM(CASE WHEN n > 32 THEN 1 ELSE 0 END) AS BIGINT) AS d32, " +
+        "CAST(SUM(greatest(n - 32, 0)) AS BIGINT) AS t32, " +
+        "CAST(SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT) AS d64, " +
+        "CAST(SUM(greatest(n - 64, 0)) AS BIGINT) AS t64, " +
+        "CAST(SUM(CASE WHEN n > 128 THEN 1 ELSE 0 END) AS BIGINT) AS d128, " +
+        "CAST(SUM(greatest(n - 128, 0)) AS BIGINT) AS t128 FROM d), " +
+        "u AS (SELECT CAST(32 AS BIGINT) AS cap, n_docs, total_tokens, " +
+        "d32 AS docs_truncated, t32 AS tokens_dropped FROM a " +
+        "UNION ALL SELECT CAST(64 AS BIGINT), n_docs, total_tokens, d64, t64 FROM a " +
+        "UNION ALL SELECT CAST(128 AS BIGINT), n_docs, total_tokens, d128, t128 FROM a) " +
+        "SELECT cap, n_docs, total_tokens, docs_truncated, tokens_dropped, " +
+        "CAST(tokens_dropped AS DOUBLE) / CAST(total_tokens AS DOUBLE) " +
+        "AS drop_ratio FROM u ORDER BY cap"),
+    // q177: longest same-token run per doc — the row-local fold pinned
+    // by the relational gaps-and-islands spelling
+    "q177_repetition_runs" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '') AS toks " +
+        "FROM documents), " +
+        "f AS (SELECT * FROM t WHERE len(toks) > 0), " +
+        "e AS (SELECT doc_id, p AS pos, toks[CAST(p + 1 AS INT)] AS tok " +
+        "FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS p FROM f)), " +
+        "r AS (SELECT doc_id, tok, pos, pos - ROW_NUMBER() OVER " +
+        "(PARTITION BY doc_id, tok ORDER BY pos) AS isl FROM e), " +
+        "runs AS (SELECT doc_id, COUNT(*) AS run FROM r " +
+        "GROUP BY doc_id, tok, isl), " +
+        "m AS (SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id) " +
+        "SELECT f.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(max_run AS BIGINT) AS max_run, " +
+        "CAST(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END AS BIGINT) AS flagged " +
+        "FROM f JOIN m ON f.doc_id = m.doc_id ORDER BY f.doc_id"),
     // q172: exact token-mass coverage of the top-k vocab types
     // (ties lexical) for k in {10, 100, 1000}
     "q172_vocab_coverage" ->

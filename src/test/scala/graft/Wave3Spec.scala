@@ -1097,6 +1097,36 @@ class Wave3Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("repetition runs: row-local fold, hand-checked runs on the fixture") {
+    // plan: no Generate (explode) — the run fold happens inside the
+    // scan projection; the only exchange is the presentation sort
+    val df = operators.TextOps.repetitionRuns(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan
+    assert(!plan.toString.contains("Generate"),
+      s"q177 exploded tokens:\n$plan")
+    // independent driver-side recompute of the max run per doc
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = df.collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).split("\\s+")
+        .filter(_.nonEmpty)
+      var best = 0; var run = 0; var prev = ""
+      toks.foreach { t =>
+        run = if (t == prev) run + 1 else 1
+        prev = t; best = math.max(best, run)
+      }
+      assert(r.getAs[Long]("max_run") == best.toLong,
+        s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+    }
+    assert(got.exists(_.getAs[Long]("max_run") >= 2L),
+      "fixture has no repeated runs — weak signal")
+    Caches.releaseAll(spark)
+  }
+
   test("token budget plan: flattening upsamples the scarce source, targets respect the budget") {
     import spark.implicits._
     // one dominant source (9000 tokens) and one scarce (90): α=0.5
