@@ -350,6 +350,21 @@ object Registry {
     // (Dedup.BandBucketCap) is tuned from
     "q168_band_skew_telemetry" -> ((s, d) =>
       Dedup.bandSkewTelemetry(s, d)),
+    // GPT-style concat-and-chop packed-sequence audit (docs span
+    // boundaries; q84 is the keep-whole-docs complement)
+    "q178_packed_sequences" -> ((s, d) => TextOps.packedSequences(s, d)),
+    // RAG-unit overlapping chunk explode with md5 content digests
+    "q179_doc_chunking" -> ((s, d) => TextOps.docChunking(s, d)),
+    // DSIR-style unigram log-likelihood-ratio data selection
+    "q180_dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
+    // per-dimension embedding health profile (dead/collapsed dims)
+    "q181_dim_profile" -> ((s, d) => Similarity.dimProfile(s, d)),
+    // streaming per-source quality-acceptance ledger
+    "q182_streaming_quality_gate" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingQualityGate(s, d)),
+    // triangle census of the verified near-dup graph (degree-oriented)
+    "q183_dup_graph_triangles" -> ((s, d) =>
+      Analytics.dupGraphTriangles(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

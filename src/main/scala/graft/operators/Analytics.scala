@@ -327,4 +327,57 @@ object Analytics {
       .orderBy(col("t"), col("id"))
     out
   }
+
+  /** Triangle census of the verified near-duplicate graph (q183): per
+    * document, its degree and the number of duplicate TRIANGLES it sits
+    * in — the graph-shape diagnostic that separates pairwise noise from
+    * genuine template clusters (a triangle is the smallest evidence
+    * that three documents are mutually near-identical; clusters rich in
+    * triangles are the ones q148's canonical selection collapses
+    * hardest). Edges are the q95 oracled minhash pairs, so the whole
+    * census is cross-engine checkable.
+    *
+    * 100 TB shape: the classic degree-orientation bound — every edge is
+    * oriented from its lower-(degree, id) endpoint to the higher, so
+    * wedge generation at a node is quadratic in its OUT-degree, which
+    * orientation caps at O(√m) for any graph (arboricity bound); the
+    * closing-edge check is an equi-join back to the canonical edge set.
+    * Each triangle is produced exactly once, at its unique
+    * lowest-(degree, id) apex. Edge volume itself is bounded upstream
+    * by banding + the hot-bucket quarantine (`Dedup.BandBucketCap`).
+    */
+  def dupGraphTriangles(spark: SparkSession, dir: String): DataFrame =
+    // canonical edges, id_a < id_b
+    triangleCensus(Dedup.minhashOracledDf(Tables.documents(spark, dir))
+      .select(col("id_a").as("a"), col("id_b").as("b")))
+
+  /** Core census over a canonical (a < b) edge relation — split out so
+    * the golden spec can pin the orientation/wedge/closure arithmetic
+    * on a hand-built graph.
+    */
+  private[graft] def triangleCensus(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+    val oriented = und
+      .join(deg.select(col("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("degree").as("dv")), "v")
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"))
+    val wedges = oriented.select(col("u"), col("v").as("ta"))
+      .join(oriented.select(col("u"), col("v").as("tb")), "u")
+      .filter(col("ta") < col("tb"))
+    val triangles = wedges
+      .join(edges.select(col("a").as("ta"), col("b").as("tb")),
+        Seq("ta", "tb"))
+    val triNodes = triangles
+      .select(explode(array(col("u"), col("ta"), col("tb"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("u").as("doc_id"), col("degree"))
+      .join(triNodes, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
 }

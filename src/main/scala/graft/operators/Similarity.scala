@@ -1370,4 +1370,36 @@ object Similarity {
       .select(col("vec_id"), col("i").cast("long").as("i"), col("val"))
       .orderBy(col("vec_id"), col("i"))
   }
+
+  /** Per-dimension embedding health profile (q181): exact count, zero
+    * fraction, mean, population variance, and range for EVERY embedding
+    * dimension — the table that catches a dead dimension (all zeros: an
+    * upstream encoder bug), a collapsed one (variance crater), or a
+    * blown-out one (range orders beyond its siblings) before a 100 TB
+    * index build bakes the defect into every shard. Complements q139's
+    * corpus card (per-corpus) and q165 (per-split): this is the
+    * per-COORDINATE axis.
+    *
+    * 100 TB shape: `posexplode` emits (dim, value) pairs row-locally in
+    * the scan projection and the rollup is a map-side-combined aggregate
+    * on the dim key — d distinct groups (64 here), so the reduce side is
+    * trivially small at any corpus size. Variance = E[v²] − E[v]² from
+    * the same single pass (no second scan, no per-group sort).
+    */
+  def dimProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        (sum(col("v")) / count(lit(1)).cast("double")).as("mean"),
+        (sum(col("v") * col("v")) / count(lit(1)).cast("double"))
+          .as("mean_sq"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .select(col("dim"), col("n"), col("n_zero"), col("mean"),
+        (col("mean_sq") - col("mean") * col("mean")).as("var_pop"),
+        col("vmin"), col("vmax"))
+      .orderBy(col("dim"))
 }

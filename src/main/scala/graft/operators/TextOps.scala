@@ -1899,4 +1899,137 @@ object TextOps {
         col("n_chars").cast("double") / col("n_tokens").cast("double"))
       .orderBy(col("lang"))
   }
+
+  /** Packed-sequence audit (q178): GPT-style concat-and-chop — each
+    * shard's documents are concatenated in the q101 manifest order
+    * (md5 hash-shuffled, so packing order is deterministic and
+    * uncorrelated with crawl order) and the token stream is chopped
+    * into fixed `seqLen`-token training sequences, documents SPANNING
+    * sequence boundaries. Per sequence: how many documents contribute
+    * tokens, how many START inside it (the attention-reset points a
+    * packed-pretraining loader needs), and its exact fill (every
+    * sequence is full but each shard's last). Complementary to q84's
+    * [[sequencePacking]], which keeps documents whole and reports
+    * which docs land in which variable-fill pack; this is the
+    * fixed-length view with the boundary-crossing accounting.
+    *
+    * 100 TB shape: the cumulative offset is a per-SHARD window (the
+    * shard is the parallel unit — production widens `substring(hk,1,1)`
+    * to two hex chars for 256-way parallelism; the arithmetic is
+    * unchanged), the doc→sequence explode emits ~n_tokens/seqLen + 1
+    * rows per doc, and the per-sequence rollup is a map-side-combined
+    * aggregate on (shard, seq_id). No token text ever leaves the scan —
+    * only counts.
+    */
+  def packedSequences(spark: SparkSession, dir: String,
+      seqLen: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("shard"))
+      .orderBy(col("hk"), col("doc_id"))
+    val L = lit(seqLen.toLong)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("hk"))
+      .withColumn("shard", substring(col("hk"), 1, 1))
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("n_tokens") > 0)
+    val totals = base.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+    base
+      .withColumn("first_seq", floor(col("off") / L))
+      .withColumn("last_seq",
+        floor((col("off") + col("n_tokens") - 1) / L))
+      .select(col("shard"), col("first_seq"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("first_seq") === col("seq_id"), 1L).otherwise(0L))
+          .as("n_starts"))
+      .join(totals, "shard")
+      .select(col("shard"), col("seq_id"), col("n_docs"), col("n_starts"),
+        least(L, col("shard_tokens") - col("seq_id") * L).as("n_tokens"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
+  /** RAG-style overlapping chunking (q179): every document is split
+    * into `chunk`-token windows at `stride`-token steps (the standard
+    * retrieval-index unit: overlap preserves sentence context across
+    * chunk boundaries). Each chunk row carries its exact start, length,
+    * and an md5 content digest — the id a downstream embedding/indexing
+    * stage keys on — so the whole explode is hash-checked cross-engine.
+    *
+    * 100 TB shape: entirely row-local — `sequence`/`slice`/`md5` run as
+    * HOFs inside the scan projection; chunk TEXT never materializes
+    * beyond the md5 (the digest, start, length triple is what shuffles
+    * to the presentation sort). Output is ~n/stride rows per doc.
+    */
+  def docChunking(spark: SparkSession, dir: String,
+      chunk: Int = 20, stride: Int = 10): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1, lit(stride.toLong)))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        col("start"),
+        least(lit(chunk.toLong), col("n") - col("start"))
+          .as("n_chunk_tokens"),
+        md5(array_join(slice(col("toks"), (col("start") + 1).cast("int"),
+          least(lit(chunk.toLong), col("n") - col("start")).cast("int")),
+          " ").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** DSIR-style importance weighting (q180): score every non-target
+    * document by its average per-token log-likelihood ratio between a
+    * TARGET unigram LM (here the `target` source, standing in for the
+    * high-quality slice — wiki/books in the published recipe) and the
+    * RAW pool's LM, both add-one smoothed over the joint vocabulary;
+    * keep the top `k`. This is the data-selection staple between
+    * "hard quality rules" (q24) and "full perplexity filtering" (q156):
+    * cheap (unigram), targeted (ratio, not absolute fluency).
+    *
+    * 100 TB shape: both LMs live in one narrow (token, tf_t, tf_r)
+    * vocab relation built by a single map-side-combined corpus pass;
+    * scoring is the token-exploded corpus joined to that relation on
+    * the token key (vocab ≪ corpus; at web scale this is the same
+    * n-gram-relation join as q156/q158) and one per-doc aggregate.
+    * Selection orders by the fixed-point-rounded key (the q147/q151
+    * discipline) so a last-ulp cross-engine ln disagreement at the
+    * rank-k boundary cannot select different docs.
+    */
+  def dsirWeights(spark: SparkSession, dir: String,
+      target: String = "src0", k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalytics.tokens(col("text"))).as("token"))
+    val counts = toks.groupBy(col("token"))
+      .agg(sum(when(col("source") === target, 1L).otherwise(0L)).as("tf_t"),
+        sum(when(col("source") =!= target, 1L).otherwise(0L)).as("tf_r"))
+    val totals = counts.agg(sum(col("tf_t")).as("tt"),
+      sum(col("tf_r")).as("tr"), count(lit(1)).as("v"))
+    val lm = counts.crossJoin(broadcast(totals))
+      .select(col("token"),
+        (log((col("tf_t") + 1).cast("double") /
+            (col("tt") + col("v")).cast("double")) -
+          log((col("tf_r") + 1).cast("double") /
+            (col("tr") + col("v")).cast("double"))).as("lw"))
+    val scored = toks.filter(col("source") =!= target)
+      .join(lm, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lw")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s") / col("n_tokens").cast("double")).as("score"))
+    val fp = floor(col("score") * lit(1e9) + lit(0.5)).cast("long")
+    scored.orderBy(fp.desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(fp.desc, col("doc_id"))).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_tokens"), col("score"))
+      .orderBy(col("rk"))
+  }
 }

@@ -471,5 +471,17 @@ private[graft] object OracleAnn {
         "UNION ALL SELECT CAST(4 AS BIGINT), vec_id, score FROM m4 " +
         "UNION ALL SELECT CAST(5 AS BIGINT), vec_id, score FROM m5) " +
         "ORDER BY rk"),
+    // q181: per-dimension embedding health — zipped unnest gives the
+    // (dim, value) explode; single-pass E[v²]−E[v]² population variance
+    "q181_dim_profile" ->
+      ("WITH e AS (SELECT unnest(range(0, CAST(len(embedding) AS BIGINT))) " +
+        "AS dim, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings) " +
+        "SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero, " +
+        "SUM(v) / COUNT(*) AS mean, " +
+        "SUM(v * v) / COUNT(*) - (SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*)) " +
+        "AS var_pop, " +
+        "MIN(v) AS vmin, MAX(v) AS vmax " +
+        "FROM e GROUP BY dim ORDER BY dim"),
   )
 }

@@ -433,6 +433,52 @@ private[graft] object OracleDedup {
         "CAST(CASE WHEN bucket_size > 64 THEN 1 ELSE 0 END AS BIGINT) " +
         "AS over_cap " +
         "FROM c GROUP BY band, bucket_size ORDER BY band, bucket_size"),
+    // q183: triangle census of the q95 verified pair graph — edges
+    // oriented low-(degree, id) → high, wedges at each apex, closing
+    // edge checked against the canonical edge set (each triangle
+    // produced exactly once, at its unique lowest-(degree, id) apex)
+    "q183_dup_graph_triangles" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+        "FROM e GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+        "FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket " +
+        "WHERE l.doc_id < r.doc_id), " +
+        "v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) AS la, len(b.sh) AS lb " +
+        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b), " +
+        "ed AS (SELECT id_a AS a, id_b AS b FROM v " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5), " +
+        "und AS (SELECT a AS u, b AS w FROM ed " +
+        "UNION ALL SELECT b, a FROM ed), " +
+        "dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM und " +
+        "GROUP BY u), " +
+        "o AS (SELECT und.u, und.w FROM und " +
+        "JOIN dg d1 ON d1.u = und.u JOIN dg d2 ON d2.u = und.w " +
+        "WHERE d1.degree < d2.degree OR " +
+        "(d1.degree = d2.degree AND und.u < und.w)), " +
+        "wg AS (SELECT w1.u, w1.w AS ta, w2.w AS tb FROM o w1 " +
+        "JOIN o w2 ON w1.u = w2.u AND w1.w < w2.w), " +
+        "tri AS (SELECT wg.u, wg.ta, wg.tb FROM wg " +
+        "JOIN ed ON ed.a = wg.ta AND ed.b = wg.tb), " +
+        "tn AS (SELECT x AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles " +
+        "FROM (SELECT unnest([u, ta, tb]) AS x FROM tri) GROUP BY x) " +
+        "SELECT dg.u AS doc_id, dg.degree, " +
+        "CAST(COALESCE(tn.n_triangles, 0) AS BIGINT) AS n_triangles " +
+        "FROM dg LEFT JOIN tn ON tn.doc_id = dg.u ORDER BY doc_id"),
   )
 
   private def q174Sql: String =

@@ -198,5 +198,23 @@ private[graft] object OracleStreamMedia {
         "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard FROM v " +
         "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5 " +
         "ORDER BY id_a, id_b"),
+    // q182: streaming quality gate — the drained per-source (seen,
+    // passed) ledger equals this batch aggregate for ANY micro-batch
+    // split (the merge is a commutative sum); the flag is q24's
+    // composite rule verbatim
+    "q182_streaming_quality_gate" ->
+      ("WITH t AS (SELECT source, list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '') AS toks " +
+        "FROM documents), " +
+        "fl AS (SELECT source, CAST(len(toks) >= 20 AND " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / " +
+        "CAST(len(toks) AS DOUBLE) > 0.1 AND " +
+        "CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / " +
+        "CAST(len(toks) AS DOUBLE) < 0.5 AS BIGINT) AS flag FROM t) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_seen, " +
+        "CAST(SUM(flag) AS BIGINT) AS n_pass, " +
+        "CAST(SUM(flag) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
+        "AS accept_rate " +
+        "FROM fl GROUP BY source ORDER BY source"),
   )
 }

@@ -937,6 +937,75 @@ private[graft] object OracleText {
         "OR x = 'null' OR x = 'lorem')) >= 2 THEN 1 ELSE 0 END " +
         "AS BIGINT) AS flagged " +
         "FROM t ORDER BY doc_id"),
+    // q178: concat-and-chop sequence packing over the q101 shard order —
+    // per-shard cumulative offsets, doc→sequence span explode, exact
+    // per-sequence fill/composition
+    "q178_packed_sequences" ->
+      ("WITH d AS (SELECT doc_id, CAST(len(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents), " +
+        "o AS (SELECT substr(hk, 1, 1) AS shard, doc_id, n, hk, " +
+        "CAST(COALESCE(SUM(n) OVER (PARTITION BY substr(hk, 1, 1) " +
+        "ORDER BY hk, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS off FROM d), " +
+        "f AS (SELECT * FROM o WHERE n > 0), " +
+        "tot AS (SELECT shard, SUM(n) AS shard_tokens FROM f GROUP BY shard), " +
+        "e AS (SELECT shard, off // 64 AS first_seq, " +
+        "unnest(range(off // 64, (off + n - 1) // 64 + 1)) AS seq_id FROM f), " +
+        "g AS (SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN first_seq = seq_id THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_starts FROM e GROUP BY shard, seq_id) " +
+        "SELECT shard, CAST(g.seq_id AS BIGINT) AS seq_id, g.n_docs, " +
+        "g.n_starts, " +
+        "CAST(least(64, tot.shard_tokens - g.seq_id * 64) AS BIGINT) " +
+        "AS n_tokens " +
+        "FROM g JOIN tot USING (shard) ORDER BY shard, seq_id"),
+    // q179: overlapping chunk explode (C=20, S=10) — start/length exact,
+    // chunk text pinned by md5 of the space-joined window
+    "q179_doc_chunking" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '') AS toks " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n " +
+        "FROM t WHERE len(toks) > 0), " +
+        "e AS (SELECT doc_id, toks, n, unnest(range(0, n, 10)) AS start " +
+        "FROM f) " +
+        "SELECT doc_id, CAST(start // 10 AS BIGINT) AS chunk_idx, " +
+        "CAST(start AS BIGINT) AS start, " +
+        "CAST(least(20, n - start) AS BIGINT) AS n_chunk_tokens, " +
+        "md5(array_to_string(toks[start + 1 : start + 20], ' ')) " +
+        "AS chunk_md5 " +
+        "FROM e ORDER BY doc_id, chunk_idx"),
+    // q180: DSIR importance selection — add-one unigram LMs (target =
+    // src0 vs the raw pool) over the joint vocab; per-doc mean
+    // log-likelihood ratio; top-100 on the fixed-point-rounded key
+    "q180_dsir_weights" ->
+      ("WITH tok AS (SELECT doc_id, source, unnest(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS token " +
+        "FROM documents), " +
+        "c AS (SELECT token, " +
+        "CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS tf_t, " +
+        "CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS tf_r FROM tok GROUP BY token), " +
+        "tt AS (SELECT SUM(tf_t) AS tt, SUM(tf_r) AS tr, " +
+        "CAST(COUNT(*) AS BIGINT) AS v FROM c), " +
+        "lm AS (SELECT token, " +
+        "ln(CAST(tf_t + 1 AS DOUBLE) / CAST(tt.tt + tt.v AS DOUBLE)) - " +
+        "ln(CAST(tf_r + 1 AS DOUBLE) / CAST(tt.tr + tt.v AS DOUBLE)) AS lw " +
+        "FROM c CROSS JOIN tt), " +
+        "s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "SUM(lw) AS sm FROM tok JOIN lm USING (token) " +
+        "WHERE source <> 'src0' GROUP BY doc_id), " +
+        "sc AS (SELECT doc_id, n_tokens, " +
+        "sm / CAST(n_tokens AS DOUBLE) AS score FROM s), " +
+        "r AS (SELECT doc_id, n_tokens, score, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY " +
+        "CAST(floor(score * 1e9 + 0.5) AS BIGINT) DESC, doc_id) AS BIGINT) " +
+        "AS rk FROM sc) " +
+        "SELECT rk, doc_id, n_tokens, score FROM r WHERE rk <= 100 " +
+        "ORDER BY rk"),
   )
 
   // Registry's size-sum check only catches CROSS-family collisions —

@@ -951,4 +951,67 @@ object StreamingOps {
       .select(col("token"), col("tf"), col("df"))
       .orderBy(col("token"))
   }
+
+  /** Streaming quality gate (q182): the whole corpus arrives as a
+    * stream and every micro-batch is screened by the q24 composite
+    * quality rule EXECUTOR-SIDE; a tiny per-source acceptance ledger
+    * (seen, passed) is folded forward batch over batch — the live
+    * admission dashboard a 24/7 ingest runs (a source whose acceptance
+    * rate craters mid-crawl is a feed gone bad, caught while the crawl
+    * is running, not after). The drained ledger equals the batch
+    * aggregate regardless of how the stream was micro-batched — the
+    * merge is a sum of per-source counts, associative and commutative —
+    * which is exactly what lets a static SQL oracle pin a streaming
+    * result.
+    *
+    * 100 TB shape: the rule is row-local inside the batch scan; the
+    * per-batch aggregate is map-side combined down to ≤|sources| rows;
+    * state is that same tiny relation re-written per batch (the
+    * q128 versioned-parquet ledger pattern — at production scale this
+    * is the metadata table next to the ingest, not a data-scale
+    * artifact).
+    */
+  def streamingQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    def screen(docs: DataFrame): DataFrame = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seen"),
+        sum(graft.functions.TextAnalytics.qualityFlag(col("text")))
+          .as("n_pass"))
+    val ledgerRoot = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_qgate_")).toString
+    val current = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        val merged =
+          if (current.get.isEmpty) screen(batch.toDF())
+          else ss.read.parquet(current.get)
+            .unionByName(screen(batch.toDF()))
+            .groupBy(col("source"))
+            .agg(sum(col("n_seen")).as("n_seen"),
+              sum(col("n_pass")).as("n_pass"))
+        val next = s"$ledgerRoot/b$id"
+        merged.write.mode("overwrite").parquet(next)
+        current.set(next)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(current.get)
+      .select(col("source"), col("n_seen"), col("n_pass"),
+        (col("n_pass").cast("double") / col("n_seen").cast("double"))
+          .as("accept_rate"))
+      .orderBy(col("source"))
+  }
 }

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Invariant specs for the round-9 continuation wave (q178–q183):
+  * value-level correctness is the DuckDB oracle's job; these pin the
+  * structural properties a hash-compare can't articulate (full-fill,
+  * coverage, state-fold equality, golden graph shapes).
+  */
+class Wave4Spec extends SparkSpec {
+
+  test("q178: every sequence but each shard's last is exactly full, " +
+    "and per-shard starts add up to the shard's doc count") {
+    val seqs = TextOps.packedSequences(spark, sfDir).collect()
+    val byShard = seqs.groupBy(_.getAs[String]("shard"))
+    for ((_, rows) <- byShard) {
+      val sorted = rows.sortBy(_.getAs[Long]("seq_id"))
+      sorted.init.foreach(r => assert(r.getAs[Long]("n_tokens") == 64L))
+      assert(sorted.last.getAs[Long]("n_tokens") <= 64L)
+      assert(sorted.last.getAs[Long]("n_tokens") >= 1L)
+      // contiguous sequence ids from 0
+      assert(sorted.map(_.getAs[Long]("seq_id")).toSeq ==
+        sorted.indices.map(_.toLong))
+    }
+    // each doc starts in exactly one sequence, so Σ n_starts = n docs
+    val totalStarts = seqs.map(_.getAs[Long]("n_starts")).sum
+    val nDocs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(graft.functions.TextAnalytics.tokenCount(col("text")) > 0)
+      .count()
+    assert(totalStarts == nDocs)
+    // a doc contributing tokens is counted at least where it starts
+    seqs.foreach(r =>
+      assert(r.getAs[Long]("n_docs") >= r.getAs[Long]("n_starts")))
+  }
+
+  test("q179: chunk grid covers every token exactly once at stride " +
+    "offsets, and chunk 0's digest equals the direct md5 of the head") {
+    val chunks = TextOps.docChunking(spark, sfDir)
+    // per doc: starts are 0, 10, 20, …; last chunk reaches the end
+    val bad = chunks.groupBy(col("doc_id"))
+      .agg(max(col("start") + col("n_chunk_tokens")).as("covered"),
+        max(col("start")).as("last_start"),
+        count(lit(1)).as("n_chunks"))
+      .join(graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          graft.functions.TextAnalytics.tokenCount(col("text"))
+            .cast("long").as("n")),
+        "doc_id")
+      .filter(col("covered") =!= col("n") ||
+        col("last_start") =!= (col("n_chunks") - 1) * 10)
+      .count()
+    assert(bad == 0)
+    // chunk 0 digest == md5 of the first min(20, n) tokens
+    val toks = graft.functions.TextAnalytics.tokens(col("text"))
+    val expect = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(array_join(slice(toks, 1, 20), " ").cast("binary")).as("em"))
+    val mismatched = chunks.filter(col("chunk_idx") === 0)
+      .join(expect, "doc_id")
+      .filter(col("chunk_md5") =!= col("em"))
+      .count()
+    assert(mismatched == 0)
+  }
+
+  test("q180: selection excludes the target source and ranks by the " +
+    "fixed-point key") {
+    val top = TextOps.dsirWeights(spark, sfDir, k = 50).collect()
+    assert(top.nonEmpty && top.length <= 50)
+    val targetIds = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(top.forall(r => !targetIds.contains(r.getAs[Long]("doc_id"))))
+    val keys = top.map(r =>
+      (math.floor(r.getAs[Double]("score") * 1e9 + 0.5).toLong,
+        -r.getAs[Long]("doc_id")))
+    assert(keys.toSeq == keys.sortBy(k => (-k._1, -k._2)).toSeq)
+  }
+
+  test("q181: one row per dimension, counts equal the table size, " +
+    "variance is non-negative") {
+    val prof = Similarity.dimProfile(spark, sfDir).collect()
+    val nVecs = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(prof.map(_.getAs[Long]("dim")).toSeq ==
+      prof.indices.map(_.toLong))
+    prof.foreach { r =>
+      assert(r.getAs[Long]("n") == nVecs)
+      assert(r.getAs[Double]("var_pop") >= -1e-9)
+      assert(r.getAs[Double]("vmin") <= r.getAs[Double]("vmax"))
+    }
+  }
+
+  test("q182: the drained streaming ledger equals the batch aggregate") {
+    val streamed = graft.streaming.StreamingOps
+      .streamingQualityGate(spark, sfDir).collect()
+    Caches.releaseAll(spark)
+    val batch = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seen"),
+        sum(graft.functions.TextAnalytics.qualityFlag(col("text")))
+          .as("n_pass"))
+      .orderBy(col("source")).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[String]("source") == b.getAs[String]("source"))
+      assert(s.getAs[Long]("n_seen") == b.getAs[Long]("n_seen"))
+      assert(s.getAs[Long]("n_pass") == b.getAs[Long]("n_pass"))
+    }
+  }
+
+  test("q183 golden: K3 plus a pendant — one triangle at the right " +
+    "nodes, degrees intact, pendant untouched") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("a", "b")
+    val rows = Analytics.triangleCensus(edges).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles")))
+    assert(rows.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 3L, 1L),
+      (4L, 1L, 0L)))
+  }
+
+  test("q183: triangle mass divisible by 3 and degrees match an " +
+    "independent recount of the verified pair graph") {
+    val census = Analytics.dupGraphTriangles(spark, sfDir)
+    val triSum = census.agg(sum(col("n_triangles"))).collect()(0).getLong(0)
+    assert(triSum % 3 == 0)
+    val edges = Dedup.minhashOracledDf(
+      graft.sources.Tables.documents(spark, sfDir))
+      .select(col("id_a"), col("id_b"))
+    val recount = edges.select(col("id_a").as("doc_id"))
+      .unionByName(edges.select(col("id_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("d2"))
+    val bad = census.join(recount, "doc_id")
+      .filter(col("degree") =!= col("d2")).count()
+    assert(bad == 0)
+    assert(census.count() == recount.count())
+  }
+}
