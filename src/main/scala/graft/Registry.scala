@@ -365,6 +365,16 @@ object Registry {
     // triangle census of the verified near-dup graph (degree-oriented)
     "q183_dup_graph_triangles" -> ((s, d) =>
       Analytics.dupGraphTriangles(s, d)),
+    // Count-Min sketch grid + exact-count audit for top-k tokens
+    "q184_count_min_sketch" -> ((s, d) =>
+      TextOps.countMinHeavyHitters(s, d)),
+    // the q80 eval-gram screen as a drained stream (fixed eval side)
+    "q185_streaming_decontamination" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingDecontamination(s, d)),
+    // cluster-size histogram + keep-one-per-cluster savings table
+    "q186_dedup_yield" -> ((s, d) => Dedup.dedupYield(s, d)),
+    // recall@k of the oracled IVF index vs the exact baseline
+    "q187_ann_recall" -> ((s, d) => Similarity.annRecallReport(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

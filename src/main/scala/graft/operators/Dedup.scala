@@ -988,6 +988,32 @@ object Dedup {
     * narrow (doc_id, source) projections and aggregates on a
     * low-cardinality key.
     */
+  /** Dedup yield curve (q186): the cluster-size histogram of the
+    * verified near-dup graph's connected components, with the exact
+    * DOCUMENT and CHARACTER mass that keep-one-per-cluster (q148's
+    * policy) removes at each size — the before/after savings table a
+    * curation run reports ("N docs in clusters of size s, M chars
+    * reclaimed"). Singletons appear as cluster_size 1 with zero
+    * removed, so the histogram also reads as the duplication-rate
+    * summary of the whole corpus.
+    *
+    * 100 TB shape: inherits q148's machinery (banded candidates,
+    * pointer-jumping CC, per-cluster window); the rollup collapses to
+    * one row per distinct cluster size — a handful of groups at any
+    * corpus size.
+    */
+  def dedupYield(spark: SparkSession, dir: String): DataFrame =
+    canonicalSelection(spark, dir)
+      .groupBy(col("n_members").as("cluster_size"))
+      .agg(countDistinct(col("cluster")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_kept") === 0, 1L).otherwise(0L))
+          .as("n_docs_removed"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("is_kept") === 0, col("n_chars")).otherwise(0L))
+          .as("chars_removed"))
+      .orderBy(col("cluster_size"))
+
   def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val src = docs.select(col("doc_id"), col("source"))

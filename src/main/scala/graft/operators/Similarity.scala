@@ -1371,6 +1371,45 @@ object Similarity {
       .orderBy(col("vec_id"), col("i"))
   }
 
+  /** ANN recall report (q187): per query vector, how many of the IVF
+    * index's top-k (q120's oracled twin — fixed md5-nibble coarse
+    * quantizer, nprobe=2) appear in the EXACT top-k under the same
+    * raw-dot metric — recall@k, the one number an index rollout is
+    * gated on. Both sides of the comparison are independently oracled
+    * (q120 and the brute-force baseline), and so is the comparison
+    * itself: the overlap join is exact set arithmetic.
+    *
+    * 100 TB shape: the approx side inherits q120's inverted-list
+    * bound; the exact side is the brute-force baseline over the SAME
+    * bounded query set (nQueries broadcast against one corpus scan,
+    * TakeOrdered per query) — the standard offline eval harness shape:
+    * ground truth is computed once for a small probe set, never for
+    * the full corpus.
+    */
+  def annRecallReport(spark: SparkSession, dir: String,
+      k: Int = 5, nQueries: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val approx = ivfOracled(spark, dir, k = k, nQueries = nQueries)
+      .select(col("q_id"), col("neighbor"), lit(1L).as("hit"))
+    val emb = Tables.parallelized(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = broadcast(emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val truth = emb.join(queries, col("vec_id") =!= col("q_id"))
+      .withColumn("score", dotNative(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"))
+    truth.join(approx, Seq("q_id", "neighbor"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits").cast("double") / k).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   /** Per-dimension embedding health profile (q181): exact count, zero
     * fraction, mean, population variance, and range for EVERY embedding
     * dimension — the table that catches a dead dimension (all zeros: an

@@ -1984,6 +1984,55 @@ object TextOps {
           " ").cast("binary")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Count-Min heavy hitters (q184): the classic streaming-sketch
+    * frequency table — depth×width (4×256) counter grid, each token
+    * hashed into one cell per row, estimate = min over its cells — run
+    * over the corpus vocabulary and AUDITED against the exact counts
+    * for the top-k tokens. Count-Min's guarantee is one-sided
+    * (estimate ≥ truth, error bounded by colliding mass), so the
+    * emitted `overcount` column is the sketch-quality number a
+    * heavy-hitter pipeline monitors. Cells come from md5 (the q95/q113
+    * cross-engine hash family), so the WHOLE sketch — grid, estimates,
+    * overcounts — hash-matches in DuckDB exactly, not just within
+    * tolerance (the q47/q81 sketches are engine-native and get
+    * exact+tolerance twins instead).
+    *
+    * 100 TB shape: the grid is depth×width = 1024 cells built by one
+    * map-side-combined pass over the (token, tf) vocab relation (tf
+    * itself one corpus pass); estimates join the vocab back to the
+    * 1024-row grid (broadcast). Nothing scales with corpus size but
+    * the initial token count.
+    */
+  def countMinHeavyHitters(spark: SparkSession, dir: String,
+      depth: Int = 4, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def cell(i: Int) =
+      (conv(substring(md5(concat(lit(s"cm$i|"), col("token"))
+        .cast("binary")), 1, 1), 16, 10).cast("long") * 16 +
+        conv(substring(md5(concat(lit(s"cm$i|"), col("token"))
+          .cast("binary")), 2, 1), 16, 10).cast("long"))
+    val tf = Tables.documents(spark, dir)
+      .select(explode(TextAnalytics.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val cells = tf.select(col("token"), col("tf"),
+      explode(array((0 until depth).map(i =>
+        struct(lit(i.toLong).as("row"), cell(i).as("cell"))): _*)).as("rc"))
+      .select(col("token"), col("tf"),
+        col("rc.row").as("row"), col("rc.cell").as("cell"))
+    val grid = cells.groupBy(col("row"), col("cell"))
+      .agg(sum(col("tf")).as("cell_count"))
+    val est = cells.join(broadcast(grid), Seq("row", "cell"))
+      .groupBy(col("token"))
+      .agg(min(col("cell_count")).as("cm_estimate"), min(col("tf")).as("tf"))
+    est.orderBy(col("tf").desc, col("token")).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("tf").desc, col("token"))).cast("long"))
+      .select(col("rk"), col("token"), col("tf"), col("cm_estimate"),
+        (col("cm_estimate") - col("tf")).as("overcount"))
+      .orderBy(col("rk"))
+  }
+
   /** DSIR-style importance weighting (q180): score every non-target
     * document by its average per-token log-likelihood ratio between a
     * TARGET unigram LM (here the `target` source, standing in for the

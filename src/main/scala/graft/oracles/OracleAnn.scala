@@ -483,5 +483,52 @@ private[graft] object OracleAnn {
         "AS var_pop, " +
         "MIN(v) AS vmin, MAX(v) AS vmax " +
         "FROM e GROUP BY dim ORDER BY dim"),
+    // q187: recall@5 of the q120 IVF chain against the exact top-5
+    // under the same raw-dot metric — both sides and the overlap exact
+    "q187_ann_recall" ->
+      ("WITH cv AS (SELECT c, d, " +
+        "CAST(strpos('0123456789abcdef', substr(md5('iv|' || " +
+        "CAST(c AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 " +
+        "AS DOUBLE) / 16.0 AS val " +
+        "FROM range(0, 4) t1(c), range(0, 64) t2(d)), " +
+        "cent AS (SELECT c, list(val ORDER BY d) AS w FROM cv GROUP BY c), " +
+        "v AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " +
+        "s AS (SELECT vec_id, c, " +
+        "list_reduce(list_transform(list_zip(v, w), pr -> pr[1] * pr[2]), " +
+        "(acc, y) -> acc + y) AS s FROM v CROSS JOIN cent), " +
+        "a AS (SELECT vec_id, c AS cid FROM (SELECT vec_id, c, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn " +
+        "FROM s) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5), " +
+        "qp AS (SELECT q_id, cid FROM (SELECT q.q_id, s.c AS cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY s.s DESC, s.c) AS rn " +
+        "FROM q JOIN s ON s.vec_id = q.q_id) WHERE rn <= 2), " +
+        "cand AS (SELECT qp.q_id, a.vec_id FROM qp JOIN a ON a.cid = qp.cid " +
+        "WHERE a.vec_id <> qp.q_id), " +
+        "sc AS (SELECT cand.q_id, cand.vec_id, " +
+        "list_reduce(list_transform(list_zip(q.qv, v.v), pr -> pr[1] * pr[2]), " +
+        "(acc, y) -> acc + y) AS score " +
+        "FROM cand JOIN q ON q.q_id = cand.q_id " +
+        "JOIN v ON v.vec_id = cand.vec_id), " +
+        "ap AS (SELECT q_id, neighbor FROM (SELECT q_id, " +
+        "vec_id AS neighbor, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) " +
+        "AS rank FROM sc) WHERE rank <= 5), " +
+        "gt0 AS (SELECT q.q_id, v.vec_id AS neighbor, " +
+        "list_reduce(list_transform(list_zip(q.qv, v.v), pr -> pr[1] * pr[2]), " +
+        "(acc, y) -> acc + y) AS score " +
+        "FROM v CROSS JOIN q WHERE v.vec_id <> q.q_id), " +
+        "gt AS (SELECT q_id, neighbor FROM (SELECT q_id, neighbor, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor) " +
+        "AS rnk FROM gt0) WHERE rnk <= 5), " +
+        "h AS (SELECT gt.q_id, " +
+        "CAST(SUM(CASE WHEN ap.neighbor IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_hits FROM gt " +
+        "LEFT JOIN ap ON ap.q_id = gt.q_id AND ap.neighbor = gt.neighbor " +
+        "GROUP BY gt.q_id) " +
+        "SELECT q_id, n_hits, " +
+        "CAST(n_hits AS DOUBLE) / 5.0 AS recall FROM h ORDER BY q_id"),
   )
 }

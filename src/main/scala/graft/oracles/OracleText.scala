@@ -158,16 +158,7 @@ private[graft] object OracleText {
         "SELECT doc_id, COUNT(*) AS n_tokens, " +
         "AVG(ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE))) AS avg_logprob " +
         "FROM t JOIN f USING (tok), n GROUP BY doc_id ORDER BY doc_id"),
-    "q80_decontamination" ->
-      ("WITH t AS (SELECT doc_id, list_filter(" +
-        "string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
-        "range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gram FROM t), " +
-        "e AS (SELECT doc_id AS eval_id, gram FROM s WHERE doc_id % 100 = 0), " +
-        "tr AS (SELECT doc_id AS train_id, gram FROM s WHERE doc_id % 100 <> 0) " +
-        "SELECT train_id, eval_id, COUNT(DISTINCT gram) AS n_shared " +
-        "FROM tr JOIN e USING (gram) GROUP BY train_id, eval_id " +
-        "HAVING COUNT(DISTINCT gram) >= 2 ORDER BY train_id, eval_id"),
+    "q80_decontamination" -> q80Sql,
     "q82_pii_redaction" ->
       ("WITH r AS (SELECT doc_id, 'doc ' || doc_id || ' contact user' || (doc_id % 50) || " +
         "'@example.com or admin@site' || (doc_id % 7) || '.org call +1-' || " +
@@ -667,6 +658,21 @@ private[graft] object OracleText {
     "q147_weighted_sample" -> q147Sql,
     "q157_streaming_weighted_sample" -> q147Sql,
   )
+  /** Shared by q80 (batch decontamination) and q185 (its streaming
+    * form): a fixed eval side makes any micro-batch split of the train
+    * stream drain to the batch answer, so one static SQL pins both.
+    */
+  private[oracles] def q80Sql: String =
+    ("WITH t AS (SELECT doc_id, list_filter(" +
+      "string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents), " +
+      "s AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gram FROM t), " +
+      "e AS (SELECT doc_id AS eval_id, gram FROM s WHERE doc_id % 100 = 0), " +
+      "tr AS (SELECT doc_id AS train_id, gram FROM s WHERE doc_id % 100 <> 0) " +
+      "SELECT train_id, eval_id, COUNT(DISTINCT gram) AS n_shared " +
+      "FROM tr JOIN e USING (gram) GROUP BY train_id, eval_id " +
+      "HAVING COUNT(DISTINCT gram) >= 2 ORDER BY train_id, eval_id")
+
   private def q147Sql: String =
       ("WITH m0 AS (SELECT doc_id, lang, n_chars, " +
         "md5('ws|' || CAST(doc_id AS VARCHAR)) AS m FROM documents " +
@@ -1006,6 +1012,35 @@ private[graft] object OracleText {
         "AS rk FROM sc) " +
         "SELECT rk, doc_id, n_tokens, score FROM r WHERE rk <= 100 " +
         "ORDER BY rk"),
+    // q184: Count-Min 4×256 grid over the vocab — md5-nibble cells, so
+    // grid, estimates and overcounts hash-match exactly cross-engine
+    "q184_count_min_sketch" ->
+      ("WITH tok AS (SELECT unnest(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok " +
+        "GROUP BY token), " +
+        "cells AS (SELECT token, tf, r.range AS row, " +
+        "(strpos('0123456789abcdef', substr(md5('cm' || " +
+        "CAST(r.range AS VARCHAR) || '|' || token), 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(md5('cm' || " +
+        "CAST(r.range AS VARCHAR) || '|' || token), 2, 1)) - 1) AS cell " +
+        "FROM tf CROSS JOIN range(0, 4) r), " +
+        "grid AS (SELECT row, cell, SUM(tf) AS cell_count FROM cells " +
+        "GROUP BY row, cell), " +
+        "est AS (SELECT token, MIN(cell_count) AS cm_estimate, " +
+        "MIN(tf) AS tf FROM cells JOIN grid USING (row, cell) " +
+        "GROUP BY token), " +
+        "r2 AS (SELECT token, tf, cm_estimate, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS BIGINT) " +
+        "AS rk FROM est) " +
+        "SELECT rk, token, CAST(tf AS BIGINT) AS tf, " +
+        "CAST(cm_estimate AS BIGINT) AS cm_estimate, " +
+        "CAST(cm_estimate - tf AS BIGINT) AS overcount " +
+        "FROM r2 WHERE rk <= 20 ORDER BY rk"),
+    // q185: q80's screen with a streamed train side — fixed eval side
+    // makes the drained result batch-split-invariant
+    "q185_streaming_decontamination" -> q80Sql,
   )
 
   // Registry's size-sum check only catches CROSS-family collisions —

@@ -952,6 +952,71 @@ object StreamingOps {
       .orderBy(col("token"))
   }
 
+  /** Streaming decontamination (q185): the q80 eval-set n-gram screen
+    * run as a 24/7 ingest gate — the eval/benchmark side is FIXED (its
+    * distinct gram hashes computed once and cached for the life of the
+    * query), training documents arrive as a stream, and every
+    * micro-batch is shingled executor-side and broadcast-joined
+    * against the eval grams; (train, eval, shared-gram-count) pairs at
+    * the q80 threshold append to the sink. Because the reference side
+    * never moves, ANY micro-batching of the train stream drains to
+    * exactly the batch screen's answer — q80's SQL is the oracle
+    * verbatim (the q174/q175 pattern).
+    *
+    * 100 TB shape: per-batch work is shingling the BATCH (native
+    * one-pass kernel, grams cross the join as xxhash64 longs — q80's
+    * own discipline) plus a broadcast join against the eval gram set
+    * (eval suites are small by construction; a multi-GB eval side
+    * would flip to the shuffle join, same arithmetic).
+    */
+  def streamingDecontamination(spark: SparkSession, dir: String,
+      minShared: Int = 2): DataFrame = {
+    val isEval = col("doc_id") % 100 === 0
+    def grams(df: DataFrame, idAlias: String): DataFrame = df
+      .select(col("doc_id").as(idAlias),
+        explode(org.apache.spark.sql.graft.VectorExpressions
+          .shingleHashes(col("text"), 3)).as("gh"))
+    val evalGrams = grams(
+      graft.sources.Tables.documents(spark, dir).filter(isEval), "eval_id")
+      .distinct().persist()
+    graft.Caches.onRelease(() =>
+      try evalGrams.unpersist(false) catch { case _: Throwable => () })
+    val sinkDir = graft.Caches.trackTempDir(Files.createTempDirectory(
+      "graft_streamdecon_")).toString
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val trainStream = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(!isEval)
+    val q = trainStream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        grams(batch.toDF(), "train_id")
+          .join(broadcast(evalGrams), "gh")
+          .groupBy(col("train_id"), col("eval_id"))
+          .agg(countDistinct(col("gh")).as("n_shared"))
+          .filter(col("n_shared") >= minShared)
+          .write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sinkSchema = StructType(Seq(
+      StructField("train_id", LongType),
+      StructField("eval_id", LongType),
+      StructField("n_shared", LongType)))
+    spark.read.schema(sinkSchema).parquet(sinkDir)
+      .distinct() // replayed micro-batches are idempotent on pairs
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
   /** Streaming quality gate (q182): the whole corpus arrives as a
     * stream and every micro-batch is screened by the q24 composite
     * quality rule EXECUTOR-SIDE; a tiny per-source acceptance ledger

@@ -121,6 +121,54 @@ class Wave4Spec extends SparkSpec {
       (4L, 1L, 0L)))
   }
 
+  test("q184: Count-Min never under-counts and the audit covers the " +
+    "top tokens in exact-count order") {
+    val rows = TextOps.countMinHeavyHitters(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("cm_estimate") >= r.getAs[Long]("tf") &&
+        r.getAs[Long]("overcount") ==
+          r.getAs[Long]("cm_estimate") - r.getAs[Long]("tf")))
+    val tfs = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("tf"))
+    assert(tfs.toSeq == tfs.sortBy(-_).toSeq)
+  }
+
+  test("q185: the drained streaming screen equals the batch " +
+    "decontamination pair set") {
+    val streamed = graft.streaming.StreamingOps
+      .streamingDecontamination(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Caches.releaseAll(spark)
+    val batch = TextOps.decontamination(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("q186: yield histogram masses reconcile (docs, removals, chars)") {
+    val rows = Dedup.dedupYield(spark, sfDir).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val size = r.getAs[Long]("cluster_size")
+      val nc = r.getAs[Long]("n_clusters")
+      assert(r.getAs[Long]("n_docs") == size * nc)
+      // keep-one-per-cluster removes size-1 docs per cluster
+      assert(r.getAs[Long]("n_docs_removed") == (size - 1) * nc)
+      assert(r.getAs[Long]("chars_removed") <= r.getAs[Long]("chars_total"))
+      if (size == 1) assert(r.getAs[Long]("chars_removed") == 0L)
+    }
+  }
+
+  test("q187: recall@k is a valid fraction over exactly the probe set") {
+    val rows = Similarity.annRecallReport(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("q_id")).toSeq == (0L until 5L))
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= 5L)
+      assert(math.abs(r.getAs[Double]("recall") - hits / 5.0) < 1e-12)
+    }
+  }
+
   test("q183: triangle mass divisible by 3 and degrees match an " +
     "independent recount of the verified pair graph") {
     val census = Analytics.dupGraphTriangles(spark, sfDir)
