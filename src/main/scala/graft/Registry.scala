@@ -375,6 +375,12 @@ object Registry {
     "q186_dedup_yield" -> ((s, d) => Dedup.dedupYield(s, d)),
     // recall@k of the oracled IVF index vs the exact baseline
     "q187_ann_recall" -> ((s, d) => Similarity.annRecallReport(s, d)),
+    // CUBE(source, lang) dataset card: every grouping level in one pass
+    "q188_mix_cube" -> ((s, d) => TextOps.mixCube(s, d)),
+    // daily top-k leaderboard with rank movement vs previous day
+    "q189_event_trending" -> ((s, d) => Analytics.eventTrending(s, d)),
+    // Zipf slope/intercept/R2 via closed-form distributed regression
+    "q190_zipf_fit" -> ((s, d) => TextOps.zipfFit(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -328,6 +328,36 @@ object Analytics {
     out
   }
 
+  /** Daily trending table (q189): per day, the top-k event types by
+    * exact count with each type's rank movement against the previous
+    * OBSERVED day (prev_rk 0 = first appearance) — the ops dashboard
+    * staple next to q143's z-score anomalies: q143 flags a type whose
+    * own rate jumps; this flags the reshuffling of the leaderboard.
+    *
+    * 100 TB shape: one map-side-combined daily aggregate (types ×
+    * days rows); both windows run over that aggregate, not the event
+    * stream — the q143 discipline.
+    */
+  def eventTrending(spark: SparkSession, dir: String,
+      topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy(col("day"))
+      .orderBy(col("n").desc, col("event_type"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("rk", row_number().over(byDay).cast("long"))
+      .withColumn("prev_rk",
+        coalesce(lag(col("rk"), 1).over(byType), lit(0L)))
+      .filter(col("rk") <= topK)
+      .select(col("day").cast("string").as("day"), col("rk"),
+        col("event_type"), col("n"), col("prev_rk"),
+        (col("prev_rk") - col("rk")).as("rk_delta"))
+      .orderBy(col("day"), col("rk"))
+  }
+
   /** Triangle census of the verified near-duplicate graph (q183): per
     * document, its degree and the number of duplicate TRIANGLES it sits
     * in — the graph-shape diagnostic that separates pairwise noise from

@@ -1984,6 +1984,69 @@ object TextOps {
           " ").cast("binary")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Training-mix cube (q188): docs and token mass at EVERY grouping
+    * level of (source, lang) in one pass — per cell, per source, per
+    * lang, and the grand total, distinguished by the grouping id — the
+    * multi-level dataset-card table q162 (fixed (split, lang) grain)
+    * special-cases. `CUBE` is the grouping-sets surface SURVEY §7's
+    * extension list names; aggregated-away keys render as `(all)` so
+    * the cross-engine compare never touches NULL-ordering semantics.
+    *
+    * 100 TB shape: Spark expands the cube map-side (one scan, 4×
+    * partial aggregates, all map-side combined on low-cardinality
+    * keys); no extra pass per level.
+    */
+  def mixCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("nt"))
+      .cube(col("source"), col("lang"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .select(col("gid"),
+        coalesce(col("source"), lit("(all)")).as("source"),
+        coalesce(col("lang"), lit("(all)")).as("lang"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy(col("gid"), col("source"), col("lang"))
+
+  /** Zipf fit (q190): least-squares slope of ln(frequency) against
+    * ln(rank) over the corpus vocabulary, with intercept and R² — the
+    * canonical corpus-naturalness check (natural language sits near
+    * slope −1; template floods and vocabulary collapse bend it). The
+    * regression is three closed-form moments computed in ONE aggregate
+    * over the ranked vocab, so the whole fit is distributed arithmetic,
+    * no iterative solver.
+    *
+    * 100 TB shape: vocab relation + the q172 ranking window (over
+    * TYPES, not tokens); the moment aggregate is map-side combined and
+    * the output is one row. Formula spelled identically in the oracle
+    * so only SUM accumulation order differs (orders below the 1e-9
+    * comparator).
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val xy = Tables.documents(spark, dir)
+      .select(explode(TextAnalytics.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("tf").desc, col("token"))).cast("long"))
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("tf").cast("double")).as("y"))
+    val s = xy.agg(count(lit(1)).as("n_types"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n_types").cast("double")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val den = n * col("sxx") - col("sx") * col("sx")
+    val deny = n * col("syy") - col("sy") * col("sy")
+    s.select(col("n_types"),
+      (num / den).as("slope"),
+      ((col("sy") - (num / den) * col("sx")) / n).as("intercept"),
+      ((num * num) / (den * deny)).as("r2"))
+  }
+
   /** Count-Min heavy hitters (q184): the classic streaming-sketch
     * frequency table — depth×width (4×256) counter grid, each token
     * hashed into one cell per row, estimate = min over its cells — run

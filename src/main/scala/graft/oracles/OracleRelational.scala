@@ -270,6 +270,20 @@ private[graft] object OracleRelational {
         "(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) * " +
         "(CAST(s AS DOUBLE) / CAST(c AS DOUBLE))) ELSE 0.0 END AS z " +
         "FROM w WHERE c = 7 ORDER BY event_type, day"),
+    // q189: daily top-3 leaderboard with rank movement vs the previous
+    // OBSERVED day (prev_rk 0 = first appearance); ranks computed over
+    // the FULL daily table before the top-k filter
+    "q189_event_trending" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY day " +
+        "ORDER BY n DESC, event_type) AS BIGINT) AS rk FROM daily), " +
+        "p AS (SELECT *, CAST(COALESCE(LAG(rk, 1) OVER " +
+        "(PARTITION BY event_type ORDER BY day), 0) AS BIGINT) " +
+        "AS prev_rk FROM r) " +
+        "SELECT CAST(day AS VARCHAR) AS day, rk, event_type, n, " +
+        "prev_rk, CAST(prev_rk - rk AS BIGINT) AS rk_delta " +
+        "FROM p WHERE rk <= 3 ORDER BY day, rk"),
     // q20's session CTEs; stage anchors are exact min event ids
     // (fixture event ids are strictly time-ordered)
     "q144_session_funnel" ->

@@ -1041,6 +1041,46 @@ private[graft] object OracleText {
     // q185: q80's screen with a streamed train side — fixed eval side
     // makes the drained result batch-split-invariant
     "q185_streaming_decontamination" -> q80Sql,
+    // q188: CUBE(source, lang) — GROUPING bitmask (first arg = MSB,
+    // same as Spark's grouping_id) distinguishes the levels; '(all)'
+    // stands in for aggregated-away keys so NULL ordering never plays
+    "q188_mix_cube" ->
+      ("WITH d AS (SELECT source, lang, CAST(len(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS nt " +
+        "FROM documents) " +
+        "SELECT CAST(GROUPING(source, lang) AS BIGINT) AS gid, " +
+        "COALESCE(source, '(all)') AS source, " +
+        "COALESCE(lang, '(all)') AS lang, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(nt) AS BIGINT) AS n_tokens " +
+        "FROM d GROUP BY CUBE(source, lang) " +
+        "ORDER BY gid, source, lang"),
+    // q190: closed-form least squares of ln(tf) on ln(rank) over the
+    // ranked vocab — formula spelled identically to the Spark side
+    "q190_zipf_fit" ->
+      ("WITH t AS (SELECT unnest(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM t " +
+        "GROUP BY token), " +
+        "r AS (SELECT tf, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY tf DESC, token) AS BIGINT) AS rk FROM tf), " +
+        "xy AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, " +
+        "ln(CAST(tf AS DOUBLE)) AS y FROM r), " +
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types, " +
+        "SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, " +
+        "SUM(x * x) AS sxx, SUM(y * y) AS syy FROM xy) " +
+        "SELECT n_types, " +
+        "(CAST(n_types AS DOUBLE) * sxy - sx * sy) / " +
+        "(CAST(n_types AS DOUBLE) * sxx - sx * sx) AS slope, " +
+        "(sy - ((CAST(n_types AS DOUBLE) * sxy - sx * sy) / " +
+        "(CAST(n_types AS DOUBLE) * sxx - sx * sx)) * sx) / " +
+        "CAST(n_types AS DOUBLE) AS intercept, " +
+        "((CAST(n_types AS DOUBLE) * sxy - sx * sy) * " +
+        "(CAST(n_types AS DOUBLE) * sxy - sx * sy)) / " +
+        "((CAST(n_types AS DOUBLE) * sxx - sx * sx) * " +
+        "(CAST(n_types AS DOUBLE) * syy - sy * sy)) AS r2 " +
+        "FROM s"),
   )
 
   // Registry's size-sum check only catches CROSS-family collisions —

@@ -169,6 +169,42 @@ class Wave4Spec extends SparkSpec {
     }
   }
 
+  test("q188: cube levels reconcile — every grouping level carries " +
+    "the same doc and token mass") {
+    val rows = TextOps.mixCube(spark, sfDir).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    val masses = byGid.view.mapValues(rs =>
+      (rs.map(_.getAs[Long]("n_docs")).sum,
+        rs.map(_.getAs[Long]("n_tokens")).sum)).toMap
+    assert(masses.values.toSet.size == 1) // all levels sum to the total
+    assert(byGid(3L).length == 1) // single grand-total row
+    assert(byGid(3L).head.getAs[String]("source") == "(all)")
+  }
+
+  test("q189: three rows per day, ranks contiguous, delta arithmetic") {
+    val rows = Analytics.eventTrending(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("day")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq ==
+        (1L to rs.length).toSeq)
+      assert(rs.length <= 3)
+    }
+    rows.foreach(r => assert(r.getAs[Long]("rk_delta") ==
+      r.getAs[Long]("prev_rk") - r.getAs[Long]("rk")))
+  }
+
+  test("q190: Zipf fit is a sane regression (negative slope, R2 in " +
+    "[0,1], vocab-sized n)") {
+    val r = TextOps.zipfFit(spark, sfDir).collect()(0)
+    val vocab = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextAnalytics.tokens(col("text")))
+        .as("t")).distinct().count()
+    assert(r.getAs[Long]("n_types") == vocab)
+    assert(r.getAs[Double]("slope") < 0.0)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12)
+  }
+
   test("q183: triangle mass divisible by 3 and degrees match an " +
     "independent recount of the verified pair graph") {
     val census = Analytics.dupGraphTriangles(spark, sfDir)
