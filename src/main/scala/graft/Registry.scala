@@ -381,6 +381,11 @@ object Registry {
     "q189_event_trending" -> ((s, d) => Analytics.eventTrending(s, d)),
     // Zipf slope/intercept/R2 via closed-form distributed regression
     "q190_zipf_fit" -> ((s, d) => TextOps.zipfFit(s, d)),
+    // EXACT similarity join via prefix filtering (no recall loss) —
+    // the ppjoin-family alternative to q95's LSH banding
+    "q191_prefix_filter_join" -> ((s, d) => Dedup.prefixFilterJoin(s, d)),
+    // per-source KS drift of the length CDF vs the rest of the corpus
+    "q192_length_ks_drift" -> ((s, d) => TextOps.lengthKsDrift(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

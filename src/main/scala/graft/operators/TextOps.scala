@@ -2047,6 +2047,54 @@ object TextOps {
       ((num * num) / (den * deny)).as("r2"))
   }
 
+  /** Per-source length-distribution drift (q192): the exact
+    * Kolmogorov–Smirnov statistic between each source's document-length
+    * CDF and the rest-of-corpus CDF, with the length at which the gap
+    * peaks — the distribution-shape complement to q158's unigram KL
+    * (a feed that silently starts truncating or padding shifts its
+    * length CDF long before its vocabulary moves). All CDF values are
+    * ratios of exact counts, so the statistic is bit-identical
+    * cross-engine and fully oracled.
+    *
+    * 100 TB shape: one histogram pass (source × distinct lengths —
+    * lengths are a bounded value domain), cumulative windows over that
+    * HISTOGRAM (never the corpus), and a per-source argmax window over
+    * the same small grid.
+    */
+  def lengthKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("source"), col("n_chars"))
+    val hist = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val vals = docs.select(col("n_chars").as("v")).distinct()
+    val srcCnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val tot = docs.agg(count(lit(1)).as("n_all"))
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("v"))
+    val all = docs.groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt_all"))
+      .withColumn("cum_all", sum(col("cnt_all")).over(
+        Window.orderBy(col("v"))))
+    val cdfs = srcCnt.crossJoin(vals)
+      .join(hist, Seq("source", "v"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("cum_s", sum(col("cnt")).over(bySrc))
+      .join(all.select(col("v"), col("cum_all")), "v")
+      .crossJoin(broadcast(tot))
+      .withColumn("cdf_s",
+        col("cum_s").cast("double") / col("n_s").cast("double"))
+      .withColumn("cdf_r",
+        (col("cum_all") - col("cum_s")).cast("double") /
+          (col("n_all") - col("n_s")).cast("double"))
+      .withColumn("diff", abs(col("cdf_s") - col("cdf_r")))
+    cdfs.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("diff").desc, col("v"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_s"), col("diff").as("ks"),
+        col("v").as("at_chars"))
+      .orderBy(col("source"))
+  }
+
   /** Count-Min heavy hitters (q184): the classic streaming-sketch
     * frequency table — depth×width (4×256) counter grid, each token
     * hashed into one cell per row, estimate = min over its cells — run

@@ -526,6 +526,34 @@ private[graft] object OracleDedup {
         "CAST(SUM(CASE WHEN is_kept = 0 THEN n_chars ELSE 0 END) AS BIGINT) " +
         "AS chars_removed " +
         "FROM base GROUP BY n_members ORDER BY cluster_size"),
+    // q191: exact prefix-filtered similarity join — rarest-first
+    // (df, hash) order, prefix length n − ⌈t·n⌉ + 1, exact-verified
+    "q191_prefix_filter_join" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "f AS (SELECT doc_id, list_distinct(list_transform(sh, " +
+        "g -> substr(md5(g), 1, 16))) AS hs FROM s WHERE len(sh) > 0), " +
+        "e AS (SELECT doc_id, unnest(hs) AS gh FROM f), " +
+        "dfreq AS (SELECT gh, CAST(COUNT(*) AS BIGINT) AS df FROM e " +
+        "GROUP BY gh), " +
+        "r AS (SELECT e.doc_id, e.gh, ROW_NUMBER() OVER " +
+        "(PARTITION BY e.doc_id ORDER BY dfreq.df, e.gh) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY e.doc_id) AS n " +
+        "FROM e JOIN dfreq USING (gh)), " +
+        "pre AS (SELECT doc_id, gh FROM r " +
+        "WHERE rn <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM pre a JOIN pre b ON a.gh = b.gh AND a.doc_id < b.doc_id), " +
+        "v AS (SELECT id_a, id_b, len(list_intersect(fa.hs, fb.hs)) AS inter, " +
+        "len(fa.hs) AS la, len(fb.hs) AS lb " +
+        "FROM cand JOIN f fa ON fa.doc_id = cand.id_a " +
+        "JOIN f fb ON fb.doc_id = cand.id_b) " +
+        "SELECT id_a, id_b, " +
+        "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard " +
+        "FROM v WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) " +
+        ">= 0.5 ORDER BY id_a, id_b"),
   )
 
   private def q174Sql: String =

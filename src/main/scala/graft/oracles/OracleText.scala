@@ -1081,6 +1081,34 @@ private[graft] object OracleText {
         "((CAST(n_types AS DOUBLE) * sxx - sx * sx) * " +
         "(CAST(n_types AS DOUBLE) * syy - sy * sy)) AS r2 " +
         "FROM s"),
+    // q192: exact KS statistic per source — CDFs are ratios of exact
+    // counts over the length histogram, argmax at the smallest length
+    "q192_length_ks_drift" ->
+      ("WITH d AS (SELECT source, n_chars FROM documents), " +
+        "hist AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) " +
+        "AS cnt FROM d GROUP BY 1, 2), " +
+        "vals AS (SELECT DISTINCT n_chars AS v FROM d), " +
+        "sc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM d " +
+        "GROUP BY source), " +
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM d), " +
+        "grid AS (SELECT sc.source, sc.n_s, vals.v, " +
+        "COALESCE(hist.cnt, 0) AS cnt FROM sc CROSS JOIN vals " +
+        "LEFT JOIN hist ON hist.source = sc.source AND hist.v = vals.v), " +
+        "g2 AS (SELECT source, n_s, v, CAST(SUM(cnt) OVER " +
+        "(PARTITION BY source ORDER BY v) AS BIGINT) AS cum_s FROM grid), " +
+        "alltab AS (SELECT v, CAST(SUM(cnt_all) OVER (ORDER BY v) AS BIGINT) " +
+        "AS cum_all FROM (SELECT n_chars AS v, COUNT(*) AS cnt_all FROM d " +
+        "GROUP BY 1)), " +
+        "c AS (SELECT g2.source, g2.n_s, g2.v, " +
+        "CAST(g2.cum_s AS DOUBLE) / CAST(g2.n_s AS DOUBLE) AS cdf_s, " +
+        "CAST(alltab.cum_all - g2.cum_s AS DOUBLE) / " +
+        "CAST(tot.n_all - g2.n_s AS DOUBLE) AS cdf_r " +
+        "FROM g2 JOIN alltab USING (v) CROSS JOIN tot), " +
+        "k AS (SELECT source, n_s, abs(cdf_s - cdf_r) AS diff, v, " +
+        "ROW_NUMBER() OVER (PARTITION BY source " +
+        "ORDER BY abs(cdf_s - cdf_r) DESC, v) AS rn FROM c) " +
+        "SELECT source, n_s, diff AS ks, CAST(v AS BIGINT) AS at_chars " +
+        "FROM k WHERE rn = 1 ORDER BY source"),
   )
 
   // Registry's size-sum check only catches CROSS-family collisions —

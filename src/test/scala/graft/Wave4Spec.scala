@@ -205,6 +205,50 @@ class Wave4Spec extends SparkSpec {
     assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12)
   }
 
+  test("q191: prefix-filtered join is EXACT — equals brute-force " +
+    "all-pairs and contains every LSH-recalled pair") {
+    val pf = Dedup.prefixFilterJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force on the same md5-prefix shingle sets
+    val sh = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextAnalytics.shingles(col("text"), 3))
+          .as("gram"))
+      .select(col("doc_id"),
+        substring(md5(col("gram").cast("binary")), 1, 16).as("gh"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val brute = sh.select(col("doc_id").as("id_a"), col("gh"))
+      .join(sh.select(col("doc_id").as("id_b"), col("gh")), "gh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("la")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("lb")), "id_b")
+      .filter(col("inter").cast("double") /
+        (col("la") + col("lb") - col("inter")).cast("double") >= 0.5)
+      .collect().map(r =>
+        (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pf == brute)
+    val lsh = Dedup.minhashOracledDf(
+      graft.sources.Tables.documents(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(pf))
+  }
+
+  test("q192: KS stats are valid fractions over the real source sizes " +
+    "at observed lengths") {
+    val rows = TextOps.lengthKsDrift(spark, sfDir).collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    assert(rows.map(_.getAs[Long]("n_s")).sum == docs.count())
+    val lengths = docs.select(col("n_chars")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val ks = r.getAs[Double]("ks")
+      assert(ks >= 0.0 && ks <= 1.0)
+      assert(lengths.contains(r.getAs[Long]("at_chars")))
+    }
+  }
+
   test("q183: triangle mass divisible by 3 and degrees match an " +
     "independent recount of the verified pair graph") {
     val census = Analytics.dupGraphTriangles(spark, sfDir)
