@@ -386,6 +386,10 @@ object Registry {
     "q191_prefix_filter_join" -> ((s, d) => Dedup.prefixFilterJoin(s, d)),
     // per-source KS drift of the length CDF vs the rest of the corpus
     "q192_length_ks_drift" -> ((s, d) => TextOps.lengthKsDrift(s, d)),
+    // contract-then-solve incremental CC; oracle = full closure
+    "q193_incremental_cc" -> ((s, d) => Dedup.incrementalCC(s, d)),
+    // top-lift lexical signature per embedding label
+    "q194_label_lexicon" -> ((s, d) => TextOps.labelLexicon(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

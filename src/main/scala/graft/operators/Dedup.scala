@@ -988,6 +988,74 @@ object Dedup {
     * narrow (doc_id, source) projections and aggregates on a
     * low-cardinality key.
     */
+  /** Incremental connected components (q193): a daily crawl's new dup
+    * edges folded into yesterday's cluster labels WITHOUT re-solving
+    * the historical graph — contract-then-solve: historical endpoints
+    * map through their prior labels, CC runs on the CONTRACTED graph
+    * (prior labels ∪ batch ids — a graph the size of the delta, not
+    * the corpus), and the composition prior∘delta reproduces the
+    * from-scratch labeling exactly (min-labels compose: a prior label
+    * is its old component's min id, so the contracted solve's min is
+    * the global min). The oracle is the FULL recursive closure over
+    * all edges — the strongest possible check that the incremental
+    * path loses nothing.
+    *
+    * 100 TB shape: the from-scratch solve costs O(log n) rounds over
+    * the whole edge set every day; this costs one label join over the
+    * DELTA edges plus a CC on the contracted graph (delta-sized).
+    * Prior labels are the persisted artifact, exactly like the q86
+    * band table and q174 window-hash artifact.
+    */
+  def incrementalCC(spark: SparkSession, dir: String,
+      batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalCCFrom(
+      minhashOracledDf(docs).select(col("id_a"), col("id_b")).persist(),
+      docs.select(col("doc_id")),
+      col("doc_id") % batchMod === batchRem,
+      col("id_a") % batchMod === batchRem ||
+        col("id_b") % batchMod === batchRem)
+  }
+
+  /** Contract-then-solve core over explicit relations — split out so
+    * the spec can drive the hardest path (a delta edge MERGING two
+    * distinct historical components) on a hand-built graph.
+    */
+  private[graft] def incrementalCCFrom(allPairs: DataFrame,
+      docIds: DataFrame, isBatch: Column,
+      touchesBatch: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the PRIOR artifact: yesterday's labels over historical docs
+    val prior = connectedComponents(
+      allPairs.filter(!touchesBatch)
+        .select(col("id_a").as("src"), col("id_b").as("dst")),
+      Some(docIds.filter(!isBatch).select(col("doc_id").as("id"))))
+      .persist()
+    // contract delta edges through prior labels (batch ids map to self)
+    val contracted = allPairs.filter(touchesBatch)
+      .join(prior.select(col("id").as("id_a"), col("label").as("la")),
+        Seq("id_a"), "left")
+      .join(prior.select(col("id").as("id_b"), col("label").as("lb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("la"), col("id_a")).as("src"),
+        coalesce(col("lb"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val contractedNodes = prior.select(col("label").as("id")).distinct()
+      .unionByName(docIds.filter(isBatch).select(col("doc_id").as("id")))
+    val delta = connectedComponents(contracted, Some(contractedNodes))
+    val deltaMap = delta.select(col("id").as("l0"), col("label").as("cluster"))
+    val composed = prior
+      .join(deltaMap, prior("label") === deltaMap("l0"))
+      .select(col("id").as("doc_id"), col("cluster"))
+      .unionByName(docIds.filter(isBatch).select(col("doc_id"))
+        .join(deltaMap, col("doc_id") === deltaMap("l0"))
+        .select(col("doc_id"), col("cluster")))
+    composed
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .orderBy(col("doc_id"))
+  }
+
   /** EXACT similarity join via prefix filtering (q191): every pair of
     * documents with shingle-set Jaccard ≥ `minJaccard`, with NO recall
     * loss — the ppjoin-family alternative to q95's LSH banding. Shingle

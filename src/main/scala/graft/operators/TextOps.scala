@@ -2047,6 +2047,50 @@ object TextOps {
       ((num * num) / (den * deny)).as("r2"))
   }
 
+  /** Label lexicon (q194): the lexical signature of each embedding
+    * label — the top-3 tokens by LIFT, p(token | label) / p(token),
+    * the interpretability table that names what a cluster/class is
+    * "about" (the standard sanity check before a label drives a
+    * curation decision). Lift is a ratio of exact count ratios, so
+    * every score is bit-identical cross-engine; selection ranks on the
+    * fixed-point key (q147 discipline) with lexical tie-break.
+    *
+    * 100 TB shape: one token-explode pass joined to the (label ≪
+    * corpus) doc→label relation, two map-side-combined aggregates
+    * ((label, token) and token marginals), and a per-label top-k
+    * window over the (labels × vocab) relation — never the corpus.
+    */
+  def labelLexicon(spark: SparkSession, dir: String,
+      topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("label").cast("long").as("label"))
+    val toks = Tables.documents(spark, dir)
+      .join(labels, "doc_id")
+      .select(col("label"), explode(TextAnalytics.tokens(col("text")))
+        .as("token"))
+    val perLabel = toks.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("tf_l"))
+      .withColumn("n_l", sum(col("tf_l")).over(
+        Window.partitionBy(col("label"))))
+    val marginal = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val total = marginal.agg(sum(col("tf")).as("n_all"))
+    val scored = perLabel.join(marginal, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("tf_l").cast("double") / col("n_l").cast("double")) /
+          (col("tf").cast("double") / col("n_all").cast("double")))
+    val fp = floor(col("lift") * lit(1e9) + lit(0.5)).cast("long")
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(fp.desc, col("token")))
+        .cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("label"), col("rk"), col("token"), col("tf_l"),
+        col("lift"))
+      .orderBy(col("label"), col("rk"))
+  }
+
   /** Per-source length-distribution drift (q192): the exact
     * Kolmogorov–Smirnov statistic between each source's document-length
     * CDF and the rest-of-corpus CDF, with the length at which the gap

@@ -554,6 +554,44 @@ private[graft] object OracleDedup {
         "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard " +
         "FROM v WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) " +
         ">= 0.5 ORDER BY id_a, id_b"),
+    // q193: the FULL recursive closure over all q95 edges — the
+    // strongest check of the contract-then-solve incremental path
+    // (incremental composition must reproduce this labeling exactly)
+    "q193_incremental_cc" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+        "FROM e GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+        "FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket " +
+        "WHERE l.doc_id < r.doc_id), " +
+        "v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) AS la, len(b.sh) AS lb " +
+        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b), " +
+        "pj AS (SELECT id_a, id_b FROM v " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5), " +
+        "e2 AS (SELECT id_a AS a, id_b AS b FROM pj " +
+        "UNION ALL SELECT id_b, id_a FROM pj), " +
+        "lab AS (SELECT doc_id AS id, doc_id AS lbl FROM documents " +
+        "UNION SELECT e2.a, lab.lbl FROM lab, e2 WHERE lab.id = e2.b), " +
+        "cl AS (SELECT id, MIN(lbl) AS cluster FROM lab GROUP BY id) " +
+        "SELECT d.doc_id, cl.cluster, " +
+        "CAST(COUNT(*) OVER (PARTITION BY cl.cluster) AS BIGINT) " +
+        "AS n_members " +
+        "FROM documents d JOIN cl ON cl.id = d.doc_id ORDER BY d.doc_id"),
   )
 
   private def q174Sql: String =

@@ -1109,6 +1109,31 @@ private[graft] object OracleText {
         "ORDER BY abs(cdf_s - cdf_r) DESC, v) AS rn FROM c) " +
         "SELECT source, n_s, diff AS ks, CAST(v AS BIGINT) AS at_chars " +
         "FROM k WHERE rn = 1 ORDER BY source"),
+    // q194: top-3 lift tokens per embedding label — lift is a ratio of
+    // exact count ratios; fixed-point rank key, lexical tie-break
+    "q194_label_lexicon" ->
+      ("WITH lab AS (SELECT vec_id AS doc_id, CAST(label AS BIGINT) " +
+        "AS label FROM embeddings), " +
+        "tok AS (SELECT lab.label, unnest(list_filter(" +
+        "string_split_regex(d.text, '\\s+'), x -> x <> '')) AS token " +
+        "FROM documents d JOIN lab USING (doc_id)), " +
+        "pl AS (SELECT label, token, CAST(COUNT(*) AS BIGINT) AS tf_l " +
+        "FROM tok GROUP BY 1, 2), " +
+        "pl2 AS (SELECT *, CAST(SUM(tf_l) OVER (PARTITION BY label) " +
+        "AS BIGINT) AS n_l FROM pl), " +
+        "m AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok " +
+        "GROUP BY token), " +
+        "tt AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_all FROM m), " +
+        "sc AS (SELECT pl2.label, pl2.token, pl2.tf_l, " +
+        "(CAST(tf_l AS DOUBLE) / CAST(n_l AS DOUBLE)) / " +
+        "(CAST(tf AS DOUBLE) / CAST(n_all AS DOUBLE)) AS lift " +
+        "FROM pl2 JOIN m USING (token) CROSS JOIN tt), " +
+        "r AS (SELECT label, token, tf_l, lift, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY " +
+        "CAST(floor(lift * 1e9 + 0.5) AS BIGINT) DESC, token) AS BIGINT) " +
+        "AS rk FROM sc) " +
+        "SELECT label, rk, token, tf_l, lift FROM r WHERE rk <= 3 " +
+        "ORDER BY label, rk"),
   )
 
   // Registry's size-sum check only catches CROSS-family collisions —

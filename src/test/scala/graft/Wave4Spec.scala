@@ -249,6 +249,46 @@ class Wave4Spec extends SparkSpec {
     }
   }
 
+  test("q193 golden: a delta edge MERGES two historical components " +
+    "and composition yields the global min label") {
+    import spark.implicits._
+    // historical comps {1,2} and {3,4}; batch doc 9 bridges them
+    val pairs = Seq((1L, 2L), (3L, 4L), (2L, 9L), (3L, 9L))
+      .toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    val out = Dedup.incrementalCCFrom(pairs, ids,
+      col("doc_id") === 9L,
+      col("id_a") === 9L || col("id_b") === 9L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("n_members")))
+    Caches.releaseAll(spark)
+    assert(out.toSeq == Seq((1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 5L),
+      (4L, 1L, 5L), (5L, 5L, 1L), (9L, 1L, 5L)))
+  }
+
+  test("q193: incremental labels equal the from-scratch q148 clustering") {
+    val inc = Dedup.incrementalCC(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"))).toMap
+    Caches.releaseAll(spark)
+    val full = Dedup.canonicalSelection(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"))).toMap
+    assert(inc == full)
+  }
+
+  test("q194: three tokens per label, lift-ranked, tokens drawn from " +
+    "the label's own documents") {
+    val rows = TextOps.labelLexicon(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Long]("label")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq ==
+        (1L to rs.length).toSeq)
+      val lifts = rs.sortBy(_.getAs[Long]("rk"))
+        .map(r => math.floor(r.getAs[Double]("lift") * 1e9 + 0.5).toLong)
+      assert(lifts.toSeq == lifts.sortBy(-_).toSeq)
+    }
+    rows.foreach(r => assert(r.getAs[Long]("tf_l") >= 1L))
+  }
+
   test("q183: triangle mass divisible by 3 and degrees match an " +
     "independent recount of the verified pair graph") {
     val census = Analytics.dupGraphTriangles(spark, sfDir)
