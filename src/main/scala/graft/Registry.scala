@@ -390,6 +390,12 @@ object Registry {
     "q193_incremental_cc" -> ((s, d) => Dedup.incrementalCC(s, d)),
     // top-lift lexical signature per embedding label
     "q194_label_lexicon" -> ((s, d) => TextOps.labelLexicon(s, d)),
+    // set overlap of the BM25 and TF-IDF top-15 result sets
+    "q195_ranker_agreement" -> ((s, d) => TextOps.rankerAgreement(s, d)),
+    // live duplicate-cluster labels: streaming band state + per-batch
+    // contract-then-solve; drains to the full closure
+    "q196_streaming_incremental_cc" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingIncrementalCC(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

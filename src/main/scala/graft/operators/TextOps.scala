@@ -2047,6 +2047,32 @@ object TextOps {
       ((num * num) / (den * deny)).as("r2"))
   }
 
+  /** Ranker agreement (q195): set overlap between the BM25 (q130) and
+    * TF-IDF-cosine (q151) top-15 result sets for the SAME query terms —
+    * the one-row eval that says whether two retrieval scorers would
+    * surface the same training documents (high agreement = the cheaper
+    * ranker can gate; low = they see different corpora). Both inputs
+    * are independently oracled; the overlap is exact set arithmetic on
+    * their doc-id sets.
+    *
+    * 100 TB shape: both rankers are already bounded (query-term
+    * postings only, TakeOrdered top-15); the agreement is a join of
+    * two 15-row relations.
+    */
+  def rankerAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val bm = bm25TopK(spark, dir).select(col("doc_id"))
+    val ti = tfidfCosineTopK(spark, dir).select(col("doc_id"))
+    bm.join(ti, "doc_id").agg(count(lit(1)).as("n_common"))
+      .crossJoin(bm.agg(count(lit(1)).as("n_bm25")))
+      .crossJoin(ti.agg(count(lit(1)).as("n_tfidf")))
+      .select(col("n_bm25"), col("n_tfidf"), col("n_common"),
+        (col("n_bm25") - col("n_common")).as("n_bm25_only"),
+        (col("n_tfidf") - col("n_common")).as("n_tfidf_only"),
+        (col("n_common").cast("double") /
+          (col("n_bm25") + col("n_tfidf") - col("n_common")).cast("double"))
+          .as("overlap_jaccard"))
+  }
+
   /** Label lexicon (q194): the lexical signature of each embedding
     * label — the top-3 tokens by LIFT, p(token | label) / p(token),
     * the interpretability table that names what a cluster/class is

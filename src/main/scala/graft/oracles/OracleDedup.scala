@@ -556,8 +556,15 @@ private[graft] object OracleDedup {
         ">= 0.5 ORDER BY id_a, id_b"),
     // q193: the FULL recursive closure over all q95 edges — the
     // strongest check of the contract-then-solve incremental path
-    // (incremental composition must reproduce this labeling exactly)
-    "q193_incremental_cc" ->
+    // (incremental composition must reproduce this labeling exactly).
+    // q196 (the streaming form) shares it verbatim: min-label
+    // composition is associative over batch arrival order, so any
+    // micro-batching drains to this same labeling.
+    "q193_incremental_cc" -> q193Sql,
+    "q196_streaming_incremental_cc" -> q193Sql,
+  )
+
+  private def q193Sql: String =
       ("WITH RECURSIVE t AS (SELECT doc_id, " +
         "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
         "AS toks FROM documents), " +
@@ -591,8 +598,7 @@ private[graft] object OracleDedup {
         "SELECT d.doc_id, cl.cluster, " +
         "CAST(COUNT(*) OVER (PARTITION BY cl.cluster) AS BIGINT) " +
         "AS n_members " +
-        "FROM documents d JOIN cl ON cl.id = d.doc_id ORDER BY d.doc_id"),
-  )
+        "FROM documents d JOIN cl ON cl.id = d.doc_id ORDER BY d.doc_id")
 
   private def q174Sql: String =
     ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +

@@ -1109,6 +1109,70 @@ private[graft] object OracleText {
         "ORDER BY abs(cdf_s - cdf_r) DESC, v) AS rn FROM c) " +
         "SELECT source, n_s, diff AS ks, CAST(v AS BIGINT) AS at_chars " +
         "FROM k WHERE rn = 1 ORDER BY source"),
+    // q195: set overlap of the q130 (BM25) and q151 (TF-IDF cosine)
+    // top-15 sets — both chains inlined with bm_/ti_ prefixes, each
+    // spelled exactly as its own oracle entry
+    "q195_ranker_agreement" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "qterms AS (SELECT * FROM (VALUES ('spark'), ('join'), ('stream')) " +
+        "v(term)), " +
+        "bm_stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
+        "bm_tf AS (SELECT doc_id, tok AS term, " +
+        "CAST(COUNT(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u " +
+        "JOIN qterms ON u.tok = qterms.term GROUP BY 1, 2), " +
+        "bm_df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) " +
+        "AS df FROM bm_tf GROUP BY 1), " +
+        "bm_dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t), " +
+        "bm_sc AS (SELECT bm_tf.doc_id, " +
+        "SUM(ln(1.0 + (bm_stats.n - bm_df.df + 0.5) / (bm_df.df + 0.5)) " +
+        "* CAST(bm_tf.tf AS DOUBLE) * 2.2 " +
+        "/ (CAST(bm_tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * bm_dl.dl / " +
+        "bm_stats.avgdl))) AS score " +
+        "FROM bm_tf JOIN bm_df USING (term) JOIN bm_dl USING (doc_id) " +
+        "CROSS JOIN bm_stats GROUP BY 1), " +
+        "bm_sel AS (SELECT doc_id FROM (" +
+        "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY " +
+        "CAST(floor(score * 1e9 + 0.5) AS BIGINT) DESC, doc_id) AS rk " +
+        "FROM bm_sc) WHERE rk <= 15), " +
+        "ti_nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM t), " +
+        "ti_tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u GROUP BY 1, 2), " +
+        "ti_w AS (SELECT ti_tf.doc_id, ti_tf.term, " +
+        "(CAST(cnt AS DOUBLE) / SUM(CAST(cnt AS DOUBLE)) OVER " +
+        "(PARTITION BY ti_tf.doc_id)) * " +
+        "ln(ti_nd.n_docs / CAST(COUNT(*) OVER (PARTITION BY ti_tf.term) AS DOUBLE)) " +
+        "AS w FROM ti_tf CROSS JOIN ti_nd), " +
+        "ti_normd AS (SELECT doc_id, sqrt(SUM(w * w)) AS norm_d FROM ti_w " +
+        "GROUP BY 1), " +
+        "ti_qdf AS (SELECT ti_tf.term, " +
+        "CAST(COUNT(DISTINCT ti_tf.doc_id) AS DOUBLE) AS df " +
+        "FROM ti_tf JOIN qterms ON ti_tf.term = qterms.term GROUP BY 1), " +
+        "ti_qw AS (SELECT term, (1.0 / 3.0) * ln(ti_nd.n_docs / df) AS qw " +
+        "FROM ti_qdf CROSS JOIN ti_nd), " +
+        "ti_qn AS (SELECT sqrt(SUM(qw * qw)) AS norm_q FROM ti_qw), " +
+        "ti_sc AS (SELECT ti_w.doc_id, SUM(ti_w.w * ti_qw.qw) AS dot " +
+        "FROM ti_w JOIN ti_qw ON ti_w.term = ti_qw.term GROUP BY 1), " +
+        "ti_sel AS (SELECT sc2.doc_id FROM (" +
+        "SELECT ti_sc.doc_id, " +
+        "ti_sc.dot / (ti_normd.norm_d * ti_qn.norm_q) AS score " +
+        "FROM ti_sc JOIN ti_normd ON ti_sc.doc_id = ti_normd.doc_id " +
+        "CROSS JOIN ti_qn " +
+        "ORDER BY CAST(floor(ti_sc.dot / (ti_normd.norm_d * ti_qn.norm_q) " +
+        "* 1e9 + 0.5) AS BIGINT) DESC, ti_sc.doc_id LIMIT 15) sc2), " +
+        "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common " +
+        "FROM bm_sel JOIN ti_sel USING (doc_id)), " +
+        "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bm25 FROM bm_sel), " +
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tfidf FROM ti_sel) " +
+        "SELECT n_bm25, n_tfidf, n_common, " +
+        "CAST(n_bm25 - n_common AS BIGINT) AS n_bm25_only, " +
+        "CAST(n_tfidf - n_common AS BIGINT) AS n_tfidf_only, " +
+        "CAST(n_common AS DOUBLE) / " +
+        "CAST(n_bm25 + n_tfidf - n_common AS DOUBLE) AS overlap_jaccard " +
+        "FROM c CROSS JOIN nb CROSS JOIN nt"),
     // q194: top-3 lift tokens per embedding label — lift is a ratio of
     // exact count ratios; fixed-point rank key, lexical tie-break
     "q194_label_lexicon" ->

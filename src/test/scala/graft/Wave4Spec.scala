@@ -289,6 +289,53 @@ class Wave4Spec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("tf_l") >= 1L))
   }
 
+  test("q195: overlap accounting is exact set arithmetic on the two " +
+    "independently-computed top-15 sets") {
+    val r = TextOps.rankerAgreement(spark, sfDir).collect()(0)
+    val bm = TextOps.bm25TopK(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val ti = TextOps.tfidfCosineTopK(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(r.getAs[Long]("n_bm25") == bm.size)
+    assert(r.getAs[Long]("n_tfidf") == ti.size)
+    assert(r.getAs[Long]("n_common") == (bm intersect ti).size)
+    assert(r.getAs[Double]("overlap_jaccard") ==
+      (bm intersect ti).size.toDouble / (bm union ti).size)
+  }
+
+  test("q196: streaming incremental CC over a 3-file split drains to " +
+    "the from-scratch clustering") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_iccsplit_").toString
+    try {
+      for (b <- 0 until 3) {
+        val tmp = s"$root/_w"
+        docs.filter(col("doc_id") % 3 === b).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(s"$root/b$b.documents.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val streamed = graft.streaming.StreamingOps
+        .streamingIncrementalCC(spark, sfDir,
+          sourceDir = Some(root), sourceGlob = "*.documents.parquet",
+          maxFilesPerTrigger = Some(1))
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"))).toMap
+      Caches.releaseAll(spark)
+      val full = Dedup.canonicalSelection(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"))).toMap
+      assert(streamed == full)
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("q183: triangle mass divisible by 3 and degrees match an " +
     "independent recount of the verified pair graph") {
     val census = Analytics.dupGraphTriangles(spark, sfDir)
