@@ -396,6 +396,8 @@ object Registry {
     // contract-then-solve; drains to the full closure
     "q196_streaming_incremental_cc" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingIncrementalCC(s, d)),
+    // S-curve recall planner over the observed verified-pair jaccards
+    "q197_banding_planner" -> ((s, d) => Dedup.bandingPlanner(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

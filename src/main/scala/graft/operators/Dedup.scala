@@ -988,6 +988,35 @@ object Dedup {
     * narrow (doc_id, source) projections and aggregates on a
     * low-cardinality key.
     */
+  /** Banding-config recall planner (q197): for each way of splitting
+    * the 8 minhash permutations into (rows r × bands b), the S-curve
+    * collision probability 1 − (1 − j^r)^b EVALUATED ON THE OBSERVED
+    * verified-pair Jaccards — i.e. the expected recall each candidate
+    * config would have had on the duplicates this corpus actually
+    * contains, next to the config's threshold (1/b)^(1/r). This is the
+    * third leg of the LSH-tuning tripod: q168 measures bucket skew,
+    * q150 measures estimator error, this one measures recall-vs-config
+    * — the table consulted before changing `bands`.
+    *
+    * 100 TB shape: one aggregate over the (banding-bounded) verified
+    * pair set per config — 4 configs × pair-relation scan, map-side
+    * combined.
+    */
+  def bandingPlanner(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashOracledDf(Tables.documents(spark, dir))
+      .select(col("jaccard")).persist()
+    val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+    val rows = configs.map { case (r, b) =>
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        avg(lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), lit(r.toDouble)),
+          lit(b.toDouble))).as("expected_recall"))
+        .select(lit(r.toLong).as("r"), lit(b.toLong).as("b"),
+          pow(lit(1.0 / b), lit(1.0 / r)).as("threshold"),
+          col("n_pairs"), col("expected_recall"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("r"))
+  }
+
   /** Incremental connected components (q193): a daily crawl's new dup
     * edges folded into yesterday's cluster labels WITHOUT re-solving
     * the historical graph — contract-then-solve: historical endpoints

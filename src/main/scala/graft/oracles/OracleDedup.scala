@@ -562,6 +562,42 @@ private[graft] object OracleDedup {
     // micro-batching drains to this same labeling.
     "q193_incremental_cc" -> q193Sql,
     "q196_streaming_incremental_cc" -> q193Sql,
+    // q197: S-curve recall planner — the q95 verified-pair jaccards
+    // pushed through 1−(1−j^r)^b for every (r × b) split of the 8 perms
+    "q197_banding_planner" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+        "FROM e GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+        "FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket " +
+        "WHERE l.doc_id < r.doc_id), " +
+        "v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) AS la, len(b.sh) AS lb " +
+        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b), " +
+        "jc AS (SELECT CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) " +
+        "AS jaccard FROM v " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5), " +
+        "cfg AS (SELECT * FROM (VALUES (1, 8), (2, 4), (4, 2), (8, 1)) " +
+        "c(r, b)) " +
+        "SELECT CAST(r AS BIGINT) AS r, CAST(b AS BIGINT) AS b, " +
+        "POWER(1.0 / b, 1.0 / r) AS threshold, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "AVG(1.0 - POWER(1.0 - POWER(jaccard, CAST(r AS DOUBLE)), " +
+        "CAST(b AS DOUBLE))) AS expected_recall " +
+        "FROM jc CROSS JOIN cfg GROUP BY r, b ORDER BY r"),
   )
 
   private def q193Sql: String =

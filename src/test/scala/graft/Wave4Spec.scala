@@ -336,6 +336,19 @@ class Wave4Spec extends SparkSpec {
     }
   }
 
+  test("q197: S-curve recall is monotone in bands-per-perm and valid") {
+    val rows = Dedup.bandingPlanner(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("r"))
+    assert(rows.map(r => (r.getAs[Long]("r"), r.getAs[Long]("b"))).toSeq ==
+      Seq((1L, 8L), (2L, 4L), (4L, 2L), (8L, 1L)))
+    val recalls = rows.map(_.getAs[Double]("expected_recall"))
+    recalls.foreach(x => assert(x >= 0.0 && x <= 1.0))
+    // shorter bands (smaller r, more bands) can only raise collision
+    // probability at every jaccard, so recall must be non-increasing
+    assert(recalls.toSeq == recalls.sortBy(-_).toSeq)
+    assert(rows.map(_.getAs[Long]("n_pairs")).distinct.length == 1)
+  }
+
   test("q183: triangle mass divisible by 3 and degrees match an " +
     "independent recount of the verified pair graph") {
     val census = Analytics.dupGraphTriangles(spark, sfDir)
