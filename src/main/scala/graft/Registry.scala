@@ -398,6 +398,9 @@ object Registry {
       graft.streaming.StreamingOps.streamingIncrementalCC(s, d)),
     // S-curve recall planner over the observed verified-pair jaccards
     "q197_banding_planner" -> ((s, d) => Dedup.bandingPlanner(s, d)),
+    // first-order Markov transition matrix over q20's sessions
+    "q198_event_transitions" -> ((s, d) =>
+      Sessionize.eventTransitions(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -36,6 +36,43 @@ object Sessionize {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Session transition matrix (q198): counts and row-normalized
+    * probabilities of CONSECUTIVE event-type pairs inside the same
+    * session (q20's 30-minute sessionization) — the first-order Markov
+    * view of user behavior that q144's fixed funnel special-cases (a
+    * funnel is one path through this matrix; the matrix shows every
+    * path and its mass). Diagonal mass is repetition; heavy off-
+    * diagonal cells are the de-facto flows.
+    *
+    * 100 TB shape: the q20 sessionization sort is reused as-is, the
+    * lag is another frame over the SAME window sort (no extra
+    * exchange), and the rollup is a map-side-combined aggregate on a
+    * (types × types)-bounded key space.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("from_type", lag(col("event_type"), 1).over(bySess))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type")))
+          .cast("double"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Session conversion funnel (q144): per-session ORDERED stage
     * progression view → click → purchase (each stage must occur
     * strictly after the previous one within the same session), plus

@@ -90,6 +90,24 @@ private[graft] object OracleRelational {
         "MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value " +
         "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    // q198: first-order Markov transition matrix over q20's sessions —
+    // consecutive event-type pairs within a session, row-normalized
+    "q198_event_transitions" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, event_type, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g), " +
+        "tr AS (SELECT LAG(event_type) OVER " +
+        "(PARTITION BY user_id, session_id ORDER BY ts, event_id) " +
+        "AS from_type, event_type AS to_type FROM s), " +
+        "c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT from_type, to_type, n, " +
+        "CAST(n AS DOUBLE) / CAST(SUM(n) OVER " +
+        "(PARTITION BY from_type) AS DOUBLE) AS p " +
+        "FROM c ORDER BY from_type, to_type"),
     "q21_asof_join" ->
       ("WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey " +
         "FROM orders GROUP BY o_custkey, o_orderdate) " +

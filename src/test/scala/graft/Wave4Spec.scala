@@ -349,6 +349,18 @@ class Wave4Spec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_pairs")).distinct.length == 1)
   }
 
+  test("q198: transition rows normalize to 1 per from_type and the " +
+    "total mass equals events minus session starts") {
+    val rows = Sessionize.eventTransitions(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("p")).sum - 1.0) < 1e-9)
+    }
+    val nTransitions = rows.map(_.getAs[Long]("n")).sum
+    val nEvents = graft.sources.Tables.events(spark, sfDir).count()
+    val nSessions = Sessionize.sessions(spark, sfDir).count()
+    assert(nTransitions == nEvents - nSessions)
+  }
+
   test("q183: triangle mass divisible by 3 and degrees match an " +
     "independent recount of the verified pair graph") {
     val census = Analytics.dupGraphTriangles(spark, sfDir)
