@@ -1110,20 +1110,24 @@ object Dedup {
   def prefixFilterJoin(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextAnalytics.shingles(col("text"), 3))
-        .as("gram"))
-      .select(col("doc_id"),
-        substring(md5(col("gram").cast("binary")), 1, 16).as("gh"))
-      .distinct()
+    // per-doc distinct hash ARRAYS: built row-locally in the scan and
+    // reused by the df pass (exploded) and the verification (intact) —
+    // verification is then a row-local array_intersect on the
+    // candidate pairs instead of a candidate×gram join + re-aggregate
+    // (measured ~2× on the fixture; same answer by construction)
+    val hsDocs = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(transform(
+        TextAnalytics.shingles(col("text"), 3),
+        g => substring(md5(g.cast("binary")), 1, 16))).as("hs"))
+      .filter(size(col("hs")) > 0)
       .persist()
+    val sh = hsDocs.select(col("doc_id"), explode(col("hs")).as("gh"))
     val df = sh.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id"))
-    val ranked = sh.join(df, "gh")
+    val prefix = sh.join(df, "gh")
       .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("rn", row_number().over(
         byDoc.orderBy(col("df"), col("gh"))))
-    val prefix = ranked
       .filter(col("rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
       .select(col("doc_id"), col("gh"))
     val cand = prefix.select(col("doc_id").as("id_a"), col("gh"))
@@ -1131,20 +1135,16 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val shB = sh.select(col("doc_id").as("id_b"), col("gh").as("gh2"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("id_a"), col("gh")), "id_a")
-      .join(shB,
-        shB("id_b") === cand("id_b") && shB("gh2") === col("gh"))
-      .groupBy(cand("id_a"), cand("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("la")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("lb")), "id_b")
+    cand
+      .join(hsDocs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")),
+        "id_a")
+      .join(hsDocs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")),
+        "id_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
-          (col("la") + col("lb") - col("inter")).cast("double")).as("jaccard"))
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter"))
+            .cast("double")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("id_a"), col("id_b"))
   }
