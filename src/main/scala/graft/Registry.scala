@@ -401,6 +401,11 @@ object Registry {
     // first-order Markov transition matrix over q20's sessions
     "q198_event_transitions" -> ((s, d) =>
       Sessionize.eventTransitions(s, d)),
+    // stratified A-ES draw: k length-weighted docs per source
+    "q199_grouped_weighted_sample" -> ((s, d) =>
+      TextOps.groupedWeightedSample(s, d)),
+    // exact per-source length deciles by rank arithmetic
+    "q200_source_deciles" -> ((s, d) => TextOps.sourceDeciles(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

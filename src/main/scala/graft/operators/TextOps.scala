@@ -2047,6 +2047,72 @@ object TextOps {
       ((num * num) / (den * deny)).as("r2"))
   }
 
+  /** Per-source weighted sample (q199): the q147 Efraimidis–Spirakis
+    * exponential-key draw run PER SOURCE — k docs from every source,
+    * probability proportional to length — the stratified form a mix
+    * builder actually issues (q147 draws globally; q135's temperature
+    * quotas draw uniformly within language). Same md5 KDF, same
+    * fixed-point rank discipline; the only change is the window
+    * partition.
+    *
+    * 100 TB shape: one scan; the per-source top-k is a windowed
+    * row_number over (source)-partitioned sorts — k×|sources| output,
+    * no global ordering anywhere.
+    */
+  def groupedWeightedSample(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(lit("gws|"),
+      col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+      .cast("double")
+    val u = (h + lit(0.5)) / lit(math.pow(2.0, 48))
+    val esRank = floor(col("es_key") * lit(1e9) + lit(0.5)).cast("long")
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (log(u) / col("n_chars").cast("double")).as("es_key"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(esRank.desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"),
+        col("es_key"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** Exact per-source decile table (q200): length-distribution
+    * quantiles computed EXACTLY by rank arithmetic (value at rank
+    * ⌈q·n⌉ per source) — the deterministic counterpart to q81's
+    * mergeable sketch, and the per-source planning table behind
+    * length bucketing/curriculum decisions. Every cell is an observed
+    * value selected by integer rank, so the whole table hash-matches
+    * cross-engine with no tolerance at all.
+    *
+    * 100 TB shape: one (source)-partitioned window sort over the
+    * corpus scan (the same sort every per-source rank op here shares),
+    * then a rank-membership filter — output is 9×|sources| rows. At
+    * extreme scale the same table computes from the q192 length
+    * HISTOGRAM (value domain ≪ corpus) with a cumulative window; the
+    * direct form keeps the oracle one-to-one.
+    */
+  def sourceDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source"))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(
+        bySrc.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySrc))
+    val decs = explode(array((1 to 9).map(d => lit(d.toLong)): _*))
+    ranked.select(col("source"), col("n_chars"), col("rk"), col("n"),
+        decs.as("decile"))
+      .filter(col("rk") === ceil(col("decile").cast("double") *
+        col("n").cast("double") / lit(10.0)).cast("long"))
+      .select(col("source"), col("decile"), col("n_chars").as("value"),
+        col("n").as("n_docs"))
+      .orderBy(col("source"), col("decile"))
+  }
+
   /** Ranker agreement (q195): set overlap between the BM25 (q130) and
     * TF-IDF-cosine (q151) top-15 result sets for the SAME query terms —
     * the one-row eval that says whether two retrieval scorers would

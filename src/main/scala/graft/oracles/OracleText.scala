@@ -1109,6 +1109,48 @@ private[graft] object OracleText {
         "ORDER BY abs(cdf_s - cdf_r) DESC, v) AS rn FROM c) " +
         "SELECT source, n_s, diff AS ks, CAST(v AS BIGINT) AS at_chars " +
         "FROM k WHERE rn = 1 ORDER BY source"),
+    // q199: the q147 A-ES KDF with a 'gws|' salt and a per-source
+    // partitioned fixed-point rank — stratified k-per-source draw
+    "q199_grouped_weighted_sample" ->
+      ("WITH m0 AS (SELECT doc_id, source, n_chars, " +
+        "md5('gws|' || CAST(doc_id AS VARCHAR)) AS m FROM documents " +
+        "WHERE n_chars > 0), " +
+        "kdf AS (SELECT doc_id, source, n_chars, " +
+        "ln((CAST(" +
+        "(strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 17592186044416 + " +
+        "(strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 1099511627776 + " +
+        "(strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 68719476736 + " +
+        "(strpos('0123456789abcdef', substr(m, 4, 1)) - 1) * 4294967296 + " +
+        "(strpos('0123456789abcdef', substr(m, 5, 1)) - 1) * 268435456 + " +
+        "(strpos('0123456789abcdef', substr(m, 6, 1)) - 1) * 16777216 + " +
+        "(strpos('0123456789abcdef', substr(m, 7, 1)) - 1) * 1048576 + " +
+        "(strpos('0123456789abcdef', substr(m, 8, 1)) - 1) * 65536 + " +
+        "(strpos('0123456789abcdef', substr(m, 9, 1)) - 1) * 4096 + " +
+        "(strpos('0123456789abcdef', substr(m, 10, 1)) - 1) * 256 + " +
+        "(strpos('0123456789abcdef', substr(m, 11, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(m, 12, 1)) - 1) * 1 " +
+        "AS DOUBLE) + 0.5) / 281474976710656.0) / CAST(n_chars AS DOUBLE) " +
+        "AS es_key FROM m0), " +
+        "r AS (SELECT source, doc_id, n_chars, es_key, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY " +
+        "CAST(floor(es_key * 1e9 + 0.5) AS BIGINT) DESC, doc_id) AS BIGINT) " +
+        "AS rk FROM kdf) " +
+        "SELECT source, rk, doc_id, n_chars, es_key FROM r " +
+        "WHERE rk <= 10 ORDER BY source, rk"),
+    // q200: exact per-source deciles — the observed value at rank
+    // ceil(d·n/10); pure integer-rank selection, zero FP tolerance
+    "q200_source_deciles" ->
+      ("WITH r AS (SELECT source, n_chars, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY source " +
+        "ORDER BY n_chars, doc_id) AS BIGINT) AS rk, " +
+        "CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n " +
+        "FROM documents), " +
+        "d AS (SELECT source, n_chars, rk, n, " +
+        "unnest(range(1, 10)) AS decile FROM r) " +
+        "SELECT source, CAST(decile AS BIGINT) AS decile, " +
+        "n_chars AS value, n AS n_docs FROM d " +
+        "WHERE rk = CAST(ceil(CAST(decile AS DOUBLE) * CAST(n AS DOUBLE) " +
+        "/ 10.0) AS BIGINT) ORDER BY source, decile"),
     // q195: set overlap of the q130 (BM25) and q151 (TF-IDF cosine)
     // top-15 sets — both chains inlined with bm_/ti_ prefixes, each
     // spelled exactly as its own oracle entry

@@ -361,6 +361,38 @@ class Wave4Spec extends SparkSpec {
     assert(nTransitions == nEvents - nSessions)
   }
 
+  test("q199: exactly k docs per source, each from its own source, " +
+    "ranks contiguous") {
+    val rows = TextOps.groupedWeightedSample(spark, sfDir).collect()
+    val srcOf = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (s, rs) =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq ==
+        (1L to rs.length).toSeq)
+      assert(rs.length <= 10)
+      rs.foreach(r => assert(srcOf(r.getAs[Long]("doc_id")) == s))
+    }
+  }
+
+  test("q200: deciles are monotone per source and the median sits at " +
+    "the exact rank") {
+    val rows = TextOps.sourceDeciles(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("decile"))
+      assert(sorted.map(_.getAs[Long]("decile")).toSeq == (1L to 9L))
+      val vals = sorted.map(_.getAs[Long]("value"))
+      assert(vals.toSeq == vals.sorted.toSeq)
+    }
+    // spot-check one source's median against a direct sort
+    val s0 = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("source") === "src0")
+      .select(col("n_chars")).collect().map(_.getLong(0)).sorted
+    val med = rows.find(r => r.getAs[String]("source") == "src0" &&
+      r.getAs[Long]("decile") == 5L).get.getAs[Long]("value")
+    assert(med == s0(math.ceil(5.0 * s0.length / 10.0).toInt - 1))
+  }
+
   test("q183: triangle mass divisible by 3 and degrees match an " +
     "independent recount of the verified pair graph") {
     val census = Analytics.dupGraphTriangles(spark, sfDir)
