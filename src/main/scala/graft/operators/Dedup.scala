@@ -1108,6 +1108,16 @@ object Dedup {
     * discipline).
     */
   def prefixFilterJoin(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame =
+    prefixFilterJoinDf(Tables.documents(spark, dir), minJaccard)
+
+  /** Core over an explicit (doc_id, text) relation — split out so the
+    * spec can drive the skew story directly: a boilerplate phrase
+    * shared by many NON-duplicate documents lands at the COMMON end of
+    * the df order and never enters any prefix, so it generates zero
+    * candidates (the exact inverse of the LSH hot-bucket failure).
+    */
+  private[graft] def prefixFilterJoinDf(docs: DataFrame,
       minJaccard: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // per-doc distinct hash ARRAYS: built row-locally in the scan and
@@ -1115,7 +1125,7 @@ object Dedup {
     // verification is then a row-local array_intersect on the
     // candidate pairs instead of a candidate×gram join + re-aggregate
     // (measured ~2× on the fixture; same answer by construction)
-    val hsDocs = Tables.documents(spark, dir)
+    val hsDocs = docs
       .select(col("doc_id"), array_distinct(transform(
         TextAnalytics.shingles(col("text"), 3),
         g => substring(md5(g.cast("binary")), 1, 16))).as("hs"))

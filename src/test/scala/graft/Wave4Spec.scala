@@ -235,6 +235,25 @@ class Wave4Spec extends SparkSpec {
     assert(lsh.subsetOf(pf))
   }
 
+  test("q191 skew: shared boilerplate across non-duplicates generates " +
+    "ZERO candidates (rare-first prefixes exclude the hot token), " +
+    "while a genuine dup pair still pairs") {
+    import spark.implicits._
+    val boiler = "copyright all rights reserved contact us"
+    // 100 docs sharing ONLY the boilerplate phrase; the df-ordered
+    // prefix is filled by each doc's unique filler shingles
+    val docs = (0 until 100).map { i =>
+      val filler = (0 until 25).map(t => s"u${i}x$t").mkString(" ")
+      (i.toLong, s"$filler $boiler")
+    } :+ (900L, "dup a b c d e f g h i j k l m n o p q r s t") :+
+      (901L, "dup a b c d e f g h i j k l m n o p q r s t")
+    val out = Dedup.prefixFilterJoinDf(
+      docs.toDF("doc_id", "text"), 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    Caches.releaseAll(spark)
+    assert(out.toSeq == Seq((900L, 901L)))
+  }
+
   test("q192: KS stats are valid fractions over the real source sizes " +
     "at observed lengths") {
     val rows = TextOps.lengthKsDrift(spark, sfDir).collect()
