@@ -406,6 +406,8 @@ object Registry {
       TextOps.groupedWeightedSample(s, d)),
     // exact per-source length deciles by rank arithmetic
     "q200_source_deciles" -> ((s, d) => TextOps.sourceDeciles(s, d)),
+    // SCD2 history: versioned attribute rows with validity bounds
+    "q201_scd2_history" -> ((s, d) => Sessionize.scd2History(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -36,6 +36,39 @@ object Sessionize {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** SCD2 dimension history (q201): the slowly-changing-dimension
+    * type-2 build the reference's upsert family (K1–K8) stops short
+    * of — instead of overwriting a key's current value, every CHANGE
+    * of a user's tracked attribute (event_type here stands in for the
+    * dimension attribute) opens a new version row with
+    * [valid_from, valid_to) bounds and an is_current flag. Change
+    * detection is a lag-compare, versioning a row_number, closing a
+    * lead — all over ONE window sort; the result is the standard
+    * point-in-time-joinable history table ([[AsOf]] queries then
+    * resolve "value as of t" against it).
+    *
+    * 100 TB shape: one (user)-partitioned window sort over the event
+    * scan (the q20 sort, reused); output is change-bounded, not
+    * event-bounded. Timestamps render via a fixed strftime so the
+    * history is hash-exact cross-engine.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(byUser).cast("long"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("attr"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("valid_to"),
+        when(col("valid_to_ts").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** Session transition matrix (q198): counts and row-normalized
     * probabilities of CONSECUTIVE event-type pairs inside the same
     * session (q20's 30-minute sessionization) — the first-order Markov

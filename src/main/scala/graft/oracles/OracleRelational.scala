@@ -90,6 +90,23 @@ private[graft] object OracleRelational {
         "MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value " +
         "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    // q201: SCD2 type-2 history — change rows (lag-compare) versioned
+    // by row_number, closed by lead; fixed strftime keeps timestamps
+    // hash-exact; NULL valid_to marks the open/current version
+    "q201_scd2_history" ->
+      ("WITH c AS (SELECT user_id, ts, event_id, event_type, " +
+        "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS prev FROM events), " +
+        "ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type), " +
+        "v AS (SELECT user_id, event_type, ts, " +
+        "CAST(ROW_NUMBER() OVER w AS BIGINT) AS version, " +
+        "LEAD(ts) OVER w AS valid_to_ts FROM ch " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT user_id, version, event_type AS attr, " +
+        "strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from, " +
+        "strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to, " +
+        "CAST(CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS is_current FROM v ORDER BY user_id, version"),
     // q198: first-order Markov transition matrix over q20's sessions —
     // consecutive event-type pairs within a session, row-normalized
     "q198_event_transitions" ->

@@ -166,6 +166,21 @@ class ScaleSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("prefix-filter join shuffles carry md5 prefixes, never grams") {
+    // the q191 scale contract: candidate generation keys on 16-char
+    // md5 prefixes (gh) and verification ships per-doc hash ARRAYS —
+    // raw gram/token text never crosses an exchange
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val cols = operators.Dedup.prefixFilterJoin(spark, sfDir)
+      .queryExecution.sparkPlan.collect {
+        case e: ShuffleExchangeExec => e.child.output
+      }.flatten.filter(_.dataType == StringType).map(_.name).distinct
+    assert(cols.forall(Set("gh")),
+      s"q191 shuffles a text column: $cols")
+    Caches.releaseAll(spark)
+  }
+
   test("weighted sample plans as TakeOrdered, never a global sort") {
     // the q147 scale contract: the top-k selection must be the
     // per-partition-heap TakeOrderedAndProject (row-local keys +

@@ -412,6 +412,27 @@ class Wave4Spec extends SparkSpec {
     assert(med == s0(math.ceil(5.0 * s0.length / 10.0).toInt - 1))
   }
 
+  test("q201: SCD2 invariants — one current version per user, " +
+    "contiguous validity chain, adjacent versions differ") {
+    val rows = Sessionize.scd2History(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq ==
+        (1L to rs.length).toSeq)
+      assert(sorted.count(_.getAs[Long]("is_current") == 1L) == 1)
+      assert(sorted.last.getAs[Long]("is_current") == 1L)
+      assert(sorted.last.getAs[String]("valid_to") == null)
+      // each version closes exactly where the next opens
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") ==
+            b.getAs[String]("valid_from"))
+          assert(a.getAs[String]("attr") != b.getAs[String]("attr"))
+        case _ => ()
+      }
+    }
+  }
+
   test("q183: triangle mass divisible by 3 and degrees match an " +
     "independent recount of the verified pair graph") {
     val census = Analytics.dupGraphTriangles(spark, sfDir)
