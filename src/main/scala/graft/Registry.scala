@@ -408,6 +408,8 @@ object Registry {
     "q200_source_deciles" -> ((s, d) => TextOps.sourceDeciles(s, d)),
     // SCD2 history: versioned attribute rows with validity bounds
     "q201_scd2_history" -> ((s, d) => Sessionize.scd2History(s, d)),
+    // point-in-time attribute resolution against the SCD2 history
+    "q202_scd2_resolve" -> ((s, d) => Sessionize.scd2Resolve(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -69,6 +69,38 @@ object Sessionize {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Point-in-time resolution against the SCD2 history (q202): for a
+    * probe set of events, the attribute value that was CURRENT at each
+    * event's timestamp — the interval join every SCD2 table exists to
+    * serve (the complement of [[AsOf]]'s order-based as-of: here
+    * validity is an explicit [valid_from, valid_to) range). Probe =
+    * every 100th event; the resolved attr must equal that event's own
+    * type when the probe hits a change point, and the in-force version
+    * otherwise.
+    *
+    * 100 TB shape: the join keys on user_id EQUALITY (shuffle/broadcast
+    * on the user key — the selective predicate), with the interval
+    * containment as a residual per-user filter over that user's
+    * version chain (versions per user ≪ events per user). No
+    * cross-user work anywhere.
+    */
+  def scd2Resolve(spark: SparkSession, dir: String,
+      probeMod: Int = 100): DataFrame = {
+    val hist = scd2History(spark, dir)
+      .select(col("user_id"), col("version"), col("attr"),
+        col("valid_from"), col("valid_to"))
+    val probes = Tables.events(spark, dir)
+      .filter(col("event_id") % probeMod === 0)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("at"))
+    probes.join(hist, Seq("user_id"))
+      .filter(col("at") >= col("valid_from") &&
+        (col("valid_to").isNull || col("at") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("at"),
+        col("version"), col("attr"))
+      .orderBy(col("event_id"))
+  }
+
   /** Session transition matrix (q198): counts and row-normalized
     * probabilities of CONSECUTIVE event-type pairs inside the same
     * session (q20's 30-minute sessionization) — the first-order Markov

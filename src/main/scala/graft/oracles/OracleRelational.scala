@@ -107,6 +107,26 @@ private[graft] object OracleRelational {
         "strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to, " +
         "CAST(CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) " +
         "AS is_current FROM v ORDER BY user_id, version"),
+    // q202: point-in-time resolve against the q201 history — user-key
+    // equality join with [valid_from, valid_to) containment residual
+    "q202_scd2_resolve" ->
+      ("WITH c AS (SELECT user_id, ts, event_id, event_type, " +
+        "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS prev FROM events), " +
+        "ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type), " +
+        "v AS (SELECT user_id, event_type AS attr, " +
+        "CAST(ROW_NUMBER() OVER w AS BIGINT) AS version, " +
+        "strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from, " +
+        "strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to " +
+        "FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "p AS (SELECT event_id, user_id, " +
+        "strftime(ts, '%Y-%m-%d %H:%M:%S') AS at FROM events " +
+        "WHERE event_id % 100 = 0) " +
+        "SELECT p.event_id, p.user_id, p.at, v.version, v.attr " +
+        "FROM p JOIN v USING (user_id) " +
+        "WHERE p.at >= v.valid_from AND " +
+        "(v.valid_to IS NULL OR p.at < v.valid_to) " +
+        "ORDER BY p.event_id"),
     // q198: first-order Markov transition matrix over q20's sessions —
     // consecutive event-type pairs within a session, row-normalized
     "q198_event_transitions" ->

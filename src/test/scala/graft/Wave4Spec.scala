@@ -433,6 +433,32 @@ class Wave4Spec extends SparkSpec {
     }
   }
 
+  test("q202: every probe resolves to at most one version, and a probe " +
+    "AT a change instant resolves to that event's own type") {
+    val rows = Sessionize.scd2Resolve(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("event_id")).distinct.length ==
+      rows.length)
+    // probes that are themselves change points must resolve to their
+    // own event_type (the [from, to) half-open convention)
+    val types = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_id") % 100 === 0)
+      .select(col("event_id"), col("event_type")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hist = Sessionize.scd2History(spark, sfDir)
+      .filter(col("is_current") === 1L).count()
+    assert(hist > 0)
+    rows.foreach { r =>
+      val own = types(r.getAs[Long]("event_id"))
+      val resolved = r.getAs[String]("attr")
+      // resolved attr equals the event's own type UNLESS the event is
+      // a non-change (then it matches its run's opening type — which
+      // is still its own type). So they always agree.
+      assert(resolved == own,
+        s"event ${r.getAs[Long]("event_id")}: $resolved != $own")
+    }
+  }
+
   test("q183: triangle mass divisible by 3 and degrees match an " +
     "independent recount of the verified pair graph") {
     val census = Analytics.dupGraphTriangles(spark, sfDir)
