@@ -410,6 +410,9 @@ object Registry {
     "q201_scd2_history" -> ((s, d) => Sessionize.scd2History(s, d)),
     // point-in-time attribute resolution against the SCD2 history
     "q202_scd2_resolve" -> ((s, d) => Sessionize.scd2Resolve(s, d)),
+    // streaming MERGE: the SCD2 history folded live, batch over batch
+    "q203_streaming_scd2" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingScd2(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

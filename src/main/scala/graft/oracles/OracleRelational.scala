@@ -93,20 +93,10 @@ private[graft] object OracleRelational {
     // q201: SCD2 type-2 history — change rows (lag-compare) versioned
     // by row_number, closed by lead; fixed strftime keeps timestamps
     // hash-exact; NULL valid_to marks the open/current version
-    "q201_scd2_history" ->
-      ("WITH c AS (SELECT user_id, ts, event_id, event_type, " +
-        "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
-        "AS prev FROM events), " +
-        "ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type), " +
-        "v AS (SELECT user_id, event_type, ts, " +
-        "CAST(ROW_NUMBER() OVER w AS BIGINT) AS version, " +
-        "LEAD(ts) OVER w AS valid_to_ts FROM ch " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
-        "SELECT user_id, version, event_type AS attr, " +
-        "strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from, " +
-        "strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to, " +
-        "CAST(CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) " +
-        "AS is_current FROM v ORDER BY user_id, version"),
+    // q203 (the streaming fold) shares the SQL verbatim: time-ordered
+    // batch arrival + open-version seeding reproduce the batch chain
+    "q201_scd2_history" -> q201Sql,
+    "q203_streaming_scd2" -> q201Sql,
     // q202: point-in-time resolve against the q201 history — user-key
     // equality join with [valid_from, valid_to) containment residual
     "q202_scd2_resolve" ->
@@ -389,4 +379,19 @@ private[graft] object OracleRelational {
         "AS retention " +
         "FROM g JOIN sz USING (cohort) ORDER BY cohort, day_offset"),
   )
+
+  private def q201Sql: String =
+    ("WITH c AS (SELECT user_id, ts, event_id, event_type, " +
+      "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+      "AS prev FROM events), " +
+      "ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type), " +
+      "v AS (SELECT user_id, event_type, ts, " +
+      "CAST(ROW_NUMBER() OVER w AS BIGINT) AS version, " +
+      "LEAD(ts) OVER w AS valid_to_ts FROM ch " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+      "SELECT user_id, version, event_type AS attr, " +
+      "strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from, " +
+      "strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to, " +
+      "CAST(CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) " +
+      "AS is_current FROM v ORDER BY user_id, version")
 }

@@ -459,6 +459,45 @@ class Wave4Spec extends SparkSpec {
     }
   }
 
+  test("q203: streaming SCD2 over a 3-way chronological split drains " +
+    "to the from-scratch q201 history") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .orderBy(col("ts"), col("event_id"))
+    val bounds = ev.select(col("ts")).collect().map(_.get(0))
+    val n = bounds.length
+    val (t1, t2) = (bounds(n / 3), bounds(2 * n / 3))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_scd2split_").toString
+    try {
+      val parts = Seq(
+        ev.filter(col("ts") < lit(t1)),
+        ev.filter(col("ts") >= lit(t1) && col("ts") < lit(t2)),
+        ev.filter(col("ts") >= lit(t2)))
+      for ((p, b) <- parts.zipWithIndex) {
+        val tmp = s"$root/_w"
+        p.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(s"$root/b$b.events.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Thread.sleep(1100) // ascending modtimes pin the batch order
+      }
+      val streamed = graft.streaming.StreamingOps
+        .streamingScd2(spark, sfDir,
+          sourceDir = Some(root), sourceGlob = "*.events.parquet",
+          maxFilesPerTrigger = Some(1))
+        .collect().map(_.toSeq).toSeq
+      Caches.releaseAll(spark)
+      val batch = Sessionize.scd2History(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("q183: triangle mass divisible by 3 and degrees match an " +
     "independent recount of the verified pair graph") {
     val census = Analytics.dupGraphTriangles(spark, sfDir)
