@@ -413,6 +413,7 @@ object Registry {
     // streaming MERGE: the SCD2 history folded live, batch over batch
     "q203_streaming_scd2" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingScd2(s, d)),
+    "q204_dup_graph_kcore" -> ((s, d) => Analytics.dupGraphKCore(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -410,4 +410,96 @@ object Analytics {
       .na.fill(0L, Seq("n_triangles"))
       .orderBy(col("doc_id"))
   }
+
+  /** k-core decomposition of the verified near-duplicate graph (q204):
+    * per document its initial degree, whether it survives the k-core
+    * peel (iteratively delete every node of degree < k until fixpoint),
+    * and its degree INSIDE the surviving core. The 2-core separates
+    * robust template clusters (every member has ≥2 independent
+    * duplicate witnesses) from pairwise-only matches — exactly the
+    * confidence split a curation reviewer wants before q148's
+    * keep-one-per-cluster collapse deletes data. Edges are the q95
+    * oracled minhash pairs, so the whole decomposition is cross-engine
+    * checkable (the oracle unrolls the peel; [[kCorePeel]] returns the
+    * round count so the spec can pin convergence within the unroll).
+    *
+    * 100 TB shape: each peel round is one equi-join of the symmetric
+    * edge list against the surviving-node set plus a map-side-combined
+    * degree count — linear in edges, no pair expansion. Rounds needed =
+    * the peel depth, which on near-dup graphs (cliques + short chains)
+    * is small; the loop carries the q133/CC localCheckpoint discipline
+    * (O(1) plan depth, superseded round blocks freed deterministically).
+    * Edge volume is bounded upstream by banding + the hot-bucket
+    * quarantine.
+    */
+  def dupGraphKCore(spark: SparkSession, dir: String,
+      k: Int = 2): DataFrame =
+    kCorePeel(Dedup.minhashOracledDf(Tables.documents(spark, dir))
+      .select(col("id_a").as("a"), col("id_b").as("b")), k)._1
+
+  /** Peel loop over a canonical (a < b) edge relation; returns the
+    * census and the number of peel rounds actually run (fixpoint
+    * included — the last round observes zero deletions).
+    */
+  private[graft] def kCorePeel(edges: DataFrame, k: Int,
+      maxIters: Int = 30): (DataFrame, Int) = {
+    val sc = edges.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def freeIds(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id)
+        .foreach(r => try r.unpersist(blocking = false)
+          catch { case _: Throwable => () }))
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      .persist()
+    val deg0 = sym.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+      .persist()
+    val before0 = persistedIds
+    var alive = deg0.filter(col("degree") >= k).select(col("u"))
+      .localCheckpoint(true)
+    var prevCkpt = persistedIds -- before0
+    var nAlive = alive.count()
+    var rounds = 0
+    try {
+      var changed = true
+      while (changed && rounds < maxIters) {
+        rounds += 1
+        // degree restricted to the surviving induced subgraph: both
+        // endpoints must be alive (two semi-join-shaped equi-joins)
+        val before = persistedIds
+        val next = sym
+          .join(alive, "u")
+          .join(alive.select(col("u").as("v")), "v")
+          .groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("u"))
+          .localCheckpoint(true)
+        val thisRound = persistedIds -- before
+        freeIds(prevCkpt)
+        prevCkpt = thisRound
+        val n = next.count()
+        changed = n != nAlive
+        nAlive = n
+        alive = next
+      }
+      val coreDeg = sym
+        .join(alive, "u")
+        .join(alive.select(col("u").as("v")), "v")
+        .groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
+      val out = deg0.select(col("u").as("doc_id"), col("degree"))
+        .join(coreDeg.select(col("u").as("doc_id"), col("core_degree")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("degree"),
+          when(col("core_degree").isNotNull, 1L).otherwise(0L)
+            .as("in_core"),
+          coalesce(col("core_degree"), lit(0L)).as("core_degree"))
+        .orderBy(col("doc_id"))
+      // materialize before freeing the loop's checkpoint blocks
+      val rows = out.localCheckpoint(true)
+      (rows, rounds)
+    } finally {
+      freeIds(prevCkpt)
+      sym.unpersist(blocking = false)
+      deg0.unpersist(blocking = false)
+    }
+  }
 }

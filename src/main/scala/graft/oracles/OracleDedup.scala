@@ -8,6 +8,15 @@ package graft.oracles
   * order sorts still mirror the Spark queries exactly.
   */
 private[graft] object OracleDedup {
+
+  /** Unroll depth of the q204 oracle peel. The engine iterates to
+    * fixpoint; the spec asserts the fixture's round count stays under
+    * this, which is what makes the unrolled SQL the exact answer.
+    * (Declared before `sql`: the map literal evaluates q204Sql at
+    * object init, so this val must already be set.)
+    */
+  val KCoreRounds = 12
+
   val sql: Map[String, String] = Map(
     "q28_exact_dedup" ->
       ("SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies " +
@@ -598,7 +607,61 @@ private[graft] object OracleDedup {
         "AVG(1.0 - POWER(1.0 - POWER(jaccard, CAST(r AS DOUBLE)), " +
         "CAST(b AS DOUBLE))) AS expected_recall " +
         "FROM jc CROSS JOIN cfg GROUP BY r, b ORDER BY r"),
+    // q204: k-core of the q95 pair graph — the peel unrolled to 12
+    // rounds (KCoreRounds); the Spark side runs to fixpoint and the
+    // Wave5Spec pins that the fixture converges within the unroll
+    "q204_dup_graph_kcore" -> q204Sql,
   )
+
+  private def q204Sql: String = {
+    val prelude =
+      "WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+        "FROM e GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+        "FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket " +
+        "WHERE l.doc_id < r.doc_id), " +
+        "v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) AS la, len(b.sh) AS lb " +
+        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b), " +
+        "ed AS (SELECT id_a AS a, id_b AS b FROM v " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5), " +
+        "und AS (SELECT a AS u, b AS w FROM ed " +
+        "UNION ALL SELECT b, a FROM ed), " +
+        "dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM und " +
+        "GROUP BY u), " +
+        "a0 AS MATERIALIZED (SELECT u FROM dg WHERE degree >= 2)"
+    // MATERIALIZED is load-bearing: each round references the previous
+    // one twice (both join sides), so plain CTE inlining would copy the
+    // whole chain 2^rounds times
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"a$i AS MATERIALIZED (SELECT e.u FROM und e " +
+        s"JOIN a${i - 1} x ON x.u = e.u JOIN a${i - 1} y ON y.u = e.w " +
+        "GROUP BY e.u HAVING COUNT(*) >= 2)"
+    }.mkString(", ", ", ", "")
+    val core =
+      s", cd AS (SELECT e.u, CAST(COUNT(*) AS BIGINT) AS core_degree " +
+        s"FROM und e JOIN a$KCoreRounds x ON x.u = e.u " +
+        s"JOIN a$KCoreRounds y ON y.u = e.w GROUP BY e.u) " +
+        "SELECT dg.u AS doc_id, dg.degree, " +
+        "CAST(CASE WHEN cd.u IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core, " +
+        "CAST(COALESCE(cd.core_degree, 0) AS BIGINT) AS core_degree " +
+        "FROM dg LEFT JOIN cd ON cd.u = dg.u ORDER BY doc_id"
+    prelude + rounds + core
+  }
 
   private def q193Sql: String =
       ("WITH RECURSIVE t AS (SELECT doc_id, " +

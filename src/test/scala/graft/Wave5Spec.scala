@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Invariant specs for the round-9 final wave (q204+): golden graph
+  * shapes and convergence guards the DuckDB hash-compare can't state.
+  */
+class Wave5Spec extends SparkSpec {
+
+  test("q204 golden: a triangle survives the 2-core peel, a chain and " +
+    "an isolated edge are peeled away, and a chain-attached clique " +
+    "keeps exactly its clique members") {
+    import spark.implicits._
+    // components: triangle {1,2,3}; path 10-11-12-13; edge {20,21};
+    // clique {30,31,32,33} with a pendant chain 33-34-35
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L),
+      (20L, 21L),
+      (30L, 31L), (30L, 32L), (30L, 33L), (31L, 32L), (31L, 33L),
+      (32L, 33L), (33L, 34L), (34L, 35L)
+    ).toDF("a", "b")
+    val (df, rounds) = Analytics.kCorePeel(edges, k = 2)
+    val rows = df.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("degree"), r.getAs[Long]("in_core"),
+        r.getAs[Long]("core_degree"))).toMap
+    // every node with an edge is reported
+    assert(rows.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L, 13L, 20L, 21L,
+      30L, 31L, 32L, 33L, 34L, 35L))
+    // triangle: all in-core with core degree 2
+    for (n <- Seq(1L, 2L, 3L)) assert(rows(n) == ((2L, 1L, 2L)))
+    // path + isolated edge: peeled (ends have degree 1, peeling
+    // cascades through the middle)
+    for (n <- Seq(10L, 11L, 12L, 13L, 20L, 21L, 34L, 35L))
+      assert(rows(n)._2 == 0L && rows(n)._3 == 0L)
+    // clique survives minus the pendant chain; 33's initial degree
+    // counts the pendant edge but its core degree does not
+    for (n <- Seq(30L, 31L, 32L)) assert(rows(n) == ((3L, 1L, 3L)))
+    assert(rows(33L) == ((4L, 1L, 3L)))
+    // the path needs multiple peel rounds (cascade), and everything
+    // must converge comfortably inside the oracle's unroll depth
+    assert(rounds >= 2 &&
+      rounds <= graft.oracles.OracleDedup.KCoreRounds)
+  }
+
+  test("q204: fixture peel converges within the oracle unroll and " +
+    "core degrees are bounded by initial degrees") {
+    val edges = Dedup.minhashOracledDf(
+      graft.sources.Tables.documents(spark, sfDir))
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val (df, rounds) = Analytics.kCorePeel(edges, k = 2)
+    assert(rounds <= graft.oracles.OracleDedup.KCoreRounds)
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("core_degree") <= r.getAs[Long]("degree"))
+      assert((r.getAs[Long]("in_core") == 1L) ==
+        (r.getAs[Long]("core_degree") >= 2L))
+    }
+  }
+}
