@@ -414,6 +414,7 @@ object Registry {
     "q203_streaming_scd2" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingScd2(s, d)),
     "q204_dup_graph_kcore" -> ((s, d) => Analytics.dupGraphKCore(s, d)),
+    "q205_heaps_law" -> ((s, d) => TextOps.heapsLaw(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

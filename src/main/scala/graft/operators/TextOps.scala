@@ -2328,4 +2328,56 @@ object TextOps {
       .select(col("rk"), col("doc_id"), col("n_tokens"), col("score"))
       .orderBy(col("rk"))
   }
+
+  /** Heaps'-law vocabulary-growth curve (q205): vocabulary size after
+    * the first n tokens of the corpus (in deterministic doc_id order)
+    * at ten checkpoints n = ⌈d·N/10⌉, plus the fitted Heaps exponent β
+    * (log-log regression over the ten points, the [[zipfFit]]
+    * discipline). The companion diagnostic to q190's Zipf fit: together
+    * they answer "is this corpus's lexical diversity growing like
+    * natural text (β ≈ 0.5–0.8) or like boilerplate (β → 0)?" — the
+    * cheap health check before a tokenizer-vocab decision (q131/q172).
+    * Every checkpoint count is exact integer arithmetic, so the table
+    * hash-matches cross-engine; β is a shared-formula double.
+    *
+    * 100 TB shape: global token positions come from a prefix sum over
+    * the DOC table (docs ≪ tokens; the single-partition window here is
+    * the two-phase per-partition prefix-sum pattern at cluster scale),
+    * then one token explode → min-position per type (map-side
+    * combined). The decile membership join is checkpoint-table (10
+    * rows, broadcast) × vocab — never the corpus; at extreme scale the
+    * same counts fold from a first-position histogram instead.
+    */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
+      .withColumn("nt", size(col("toks")).cast("long"))
+      .filter(col("nt") > 0)
+    val withOff = docs.withColumn("off", coalesce(sum(col("nt")).over(
+      Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val first = withOff
+      .select(col("off"), posexplode(col("toks")).as(Seq("p", "token")))
+      .select(col("token"), (col("off") + col("p") + 1L).as("gpos"))
+      .groupBy(col("token")).agg(min(col("gpos")).as("first_pos"))
+    val tot = docs.agg(sum(col("nt")).as("n_total"))
+    val chk = spark.range(1, 11).select(col("id").as("decile"))
+      .crossJoin(tot)
+      .select(col("decile"),
+        expr("(decile * n_total + 9) div 10").as("n_tokens"))
+    val vc = broadcast(chk).join(first, col("first_pos") <= col("n_tokens"))
+      .groupBy(col("decile"), col("n_tokens"))
+      .agg(count(lit(1)).as("vocab"))
+    val x = log(col("n_tokens").cast("double"))
+    val y = log(col("vocab").cast("double"))
+    val fit = vc.agg(count(lit(1)).cast("double").as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    vc.crossJoin(fit)
+      .select(col("decile"), col("n_tokens"), col("vocab"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("beta"))
+      .orderBy(col("decile"))
+  }
 }

@@ -1240,6 +1240,42 @@ private[graft] object OracleText {
         "AS rk FROM sc) " +
         "SELECT label, rk, token, tf_l, lift FROM r WHERE rk <= 3 " +
         "ORDER BY label, rk"),
+    // q205: Heaps'-law growth — global token positions from a doc-level
+    // prefix sum, vocab measured at the ten exact integer checkpoints,
+    // β from the shared log-log regression formula (q190 discipline)
+    "q205_heaps_law" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "w AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt " +
+        "FROM t WHERE len(toks) > 0), " +
+        "o AS (SELECT doc_id, toks, nt, CAST(COALESCE(SUM(nt) OVER (" +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "1 PRECEDING), 0) AS BIGINT) AS off FROM w), " +
+        "x AS (SELECT off, toks, unnest(range(1, len(toks) + 1)) AS i " +
+        "FROM o), " +
+        "tk AS (SELECT toks[CAST(i AS INT)] AS token, off + i AS gpos " +
+        "FROM x), " +
+        "fp AS (SELECT token, MIN(gpos) AS first_pos FROM tk " +
+        "GROUP BY token), " +
+        "tt AS (SELECT CAST(SUM(nt) AS BIGINT) AS n_total FROM w), " +
+        "d AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS decile), " +
+        "chk AS (SELECT decile, (decile * n_total + 9) // 10 " +
+        "AS n_tokens FROM d CROSS JOIN tt), " +
+        "vc AS (SELECT chk.decile, chk.n_tokens, " +
+        "CAST(COUNT(*) AS BIGINT) AS vocab FROM chk " +
+        "JOIN fp ON fp.first_pos <= chk.n_tokens GROUP BY 1, 2), " +
+        "fit AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "SUM(ln(CAST(n_tokens AS DOUBLE))) AS sx, " +
+        "SUM(ln(CAST(vocab AS DOUBLE))) AS sy, " +
+        "SUM(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(vocab AS DOUBLE))) " +
+        "AS sxy, " +
+        "SUM(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(n_tokens AS DOUBLE))) " +
+        "AS sxx FROM vc) " +
+        "SELECT vc.decile, vc.n_tokens, vc.vocab, " +
+        "(fit.n * fit.sxy - fit.sx * fit.sy) / " +
+        "(fit.n * fit.sxx - fit.sx * fit.sx) AS beta " +
+        "FROM vc CROSS JOIN fit ORDER BY vc.decile"),
   )
 
   // Registry's size-sum check only catches CROSS-family collisions —

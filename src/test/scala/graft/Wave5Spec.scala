@@ -45,6 +45,31 @@ class Wave5Spec extends SparkSpec {
       rounds <= graft.oracles.OracleDedup.KCoreRounds)
   }
 
+  test("q205: vocab growth is monotone, the last checkpoint is the " +
+    "whole corpus, and the Heaps exponent is a sane sublinear fit") {
+    val rows = TextOps.heapsLaw(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val byD = rows.sortBy(_.getAs[Long]("decile"))
+    // monotone in both coordinates
+    byD.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_tokens") <= b.getAs[Long]("n_tokens"))
+      assert(a.getAs[Long]("vocab") <= b.getAs[Long]("vocab"))
+    }
+    // decile 10 = the full corpus: totals recomputed independently
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(graft.functions.TextAnalytics.tokens(col("text")).as("t"))
+    val nTotal = docs.select(sum(size(col("t"))).cast("long")).head.getLong(0)
+    val vTotal = docs.select(explode(col("t")).as("tok"))
+      .select(countDistinct(col("tok"))).head.getLong(0)
+    assert(byD.last.getAs[Long]("n_tokens") == nTotal)
+    assert(byD.last.getAs[Long]("vocab") == vTotal)
+    // sublinear growth: 0 < beta < 1 on any natural-ish corpus
+    val beta = byD.head.getAs[Double]("beta")
+    assert(beta > 0.0 && beta < 1.0)
+    // the fit column is constant across rows
+    assert(rows.map(_.getAs[Double]("beta")).distinct.length == 1)
+  }
+
   test("q204: fixture peel converges within the oracle unroll and " +
     "core degrees are bounded by initial degrees") {
     val edges = Dedup.minhashOracledDf(
