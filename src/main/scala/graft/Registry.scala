@@ -415,6 +415,8 @@ object Registry {
       graft.streaming.StreamingOps.streamingScd2(s, d)),
     "q204_dup_graph_kcore" -> ((s, d) => Analytics.dupGraphKCore(s, d)),
     "q205_heaps_law" -> ((s, d) => TextOps.heapsLaw(s, d)),
+    "q206_epoch_materialization" -> ((s, d) =>
+      TextOps.epochMaterialization(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -2329,6 +2329,56 @@ object TextOps {
       .orderBy(col("rk"))
   }
 
+  /** Fractional-epoch materialization (q206): turn q171's per-source
+    * epoch PLAN into the concrete per-epoch draw manifest a data loader
+    * consumes. Integer arithmetic does the split exactly: a source with
+    * target T and corpus size N tokens gets `T div N` FULL passes plus
+    * one PARTIAL pass of `T mod N` tokens; the partial pass selects the
+    * greedy prefix of the source's docs in deterministic md5 order
+    * until the remainder is covered (overshoot ≤ one doc — the
+    * classic shard-cut rule), so reruns and engines agree doc-for-doc.
+    *
+    * 100 TB shape: the plan is the q171 #sources-row driver model; the
+    * selection pass is one corpus scan with a per-source window prefix
+    * sum (hash order, source-partitioned — no global sort) against a
+    * broadcast remainder table. Output is Σ(epochs+1) rows per source,
+    * never the corpus. Fully oracled (shared q171 CTE + the same
+    * mod/div split).
+    */
+  def epochMaterialization(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val plan = tokenBudgetPlanDf(spark, docs)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("target_tokens"))
+      .withColumn("full_e", expr("target_tokens div n_tokens"))
+      .withColumn("ptar", col("target_tokens") % col("n_tokens"))
+    val cum = docs.select(col("source"), col("doc_id"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("tc"),
+        md5(concat(lit("epoch|"), col("doc_id").cast("string"))
+          .cast("binary")).as("hk"))
+      .withColumn("cum", coalesce(sum(col("tc")).over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("hk"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val sel = cum
+      .join(broadcast(plan.select(col("source"), col("ptar"))), "source")
+      .filter(col("cum") < col("ptar"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sel"), sum(col("tc")).as("tok_sel"))
+    val fulls = plan.filter(col("full_e") > 0)
+      .select(col("source"),
+        explode(sequence(lit(0L), col("full_e") - 1)).as("epoch"),
+        lit("full").as("kind"), col("n_docs"), col("n_tokens"))
+    val parts = plan.filter(col("ptar") > 0)
+      .join(sel, Seq("source"), "left")
+      .select(col("source"), col("full_e").as("epoch"),
+        lit("partial").as("kind"),
+        coalesce(col("n_sel"), lit(0L)).as("n_docs"),
+        coalesce(col("tok_sel"), lit(0L)).as("n_tokens"))
+    fulls.unionByName(parts).orderBy(col("source"), col("epoch"))
+  }
+
   /** Heaps'-law vocabulary-growth curve (q205): vocabulary size after
     * the first n tokens of the corpus (in deterministic doc_id order)
     * at ten checkpoints n = ⌈d·N/10⌉, plus the fitted Heaps exponent β

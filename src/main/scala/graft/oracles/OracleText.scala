@@ -1276,6 +1276,46 @@ private[graft] object OracleText {
         "(fit.n * fit.sxy - fit.sx * fit.sy) / " +
         "(fit.n * fit.sxx - fit.sx * fit.sx) AS beta " +
         "FROM vc CROSS JOIN fit ORDER BY vc.decile"),
+    // q206: the q171 plan CTE + the exact div/mod epoch split; the
+    // partial pass is the greedy md5-order prefix until T mod N tokens
+    "q206_epoch_materialization" ->
+      ("WITH d0 AS (SELECT source, len(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS tc " +
+        "FROM documents), " +
+        "c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(tc) AS BIGINT) AS n_tokens FROM d0 GROUP BY source), " +
+        "tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS b FROM c), " +
+        "s AS (SELECT source, n_docs, n_tokens, " +
+        "sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM c), " +
+        "tot AS (SELECT list_reduce(list(w ORDER BY source), " +
+        "(a, b) -> a + b) AS t FROM s), " +
+        "p AS (SELECT source, n_docs, n_tokens, " +
+        "CAST(floor(CAST(tt.b AS DOUBLE) * w / tot.t) AS BIGINT) " +
+        "AS target_tokens FROM s CROSS JOIN tot CROSS JOIN tt), " +
+        "pl AS (SELECT source, n_docs, n_tokens, " +
+        "target_tokens // n_tokens AS full_e, " +
+        "target_tokens % n_tokens AS ptar FROM p), " +
+        "h AS (SELECT source, doc_id, CAST(len(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) " +
+        "AS tc, md5('epoch|' || CAST(doc_id AS VARCHAR)) AS hk " +
+        "FROM documents), " +
+        "cb AS (SELECT source, doc_id, tc, CAST(COALESCE(SUM(tc) OVER (" +
+        "PARTITION BY source ORDER BY hk, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS BIGINT) AS cum FROM h), " +
+        "sel AS (SELECT cb.source, CAST(COUNT(*) AS BIGINT) AS n_sel, " +
+        "CAST(SUM(cb.tc) AS BIGINT) AS tok_sel FROM cb " +
+        "JOIN pl USING (source) WHERE cb.cum < pl.ptar " +
+        "GROUP BY cb.source), " +
+        "fulls AS (SELECT source, " +
+        "CAST(unnest(range(0, full_e)) AS BIGINT) AS epoch, " +
+        "'full' AS kind, n_docs, n_tokens FROM pl WHERE full_e > 0), " +
+        "parts AS (SELECT pl.source, CAST(full_e AS BIGINT) AS epoch, " +
+        "'partial' AS kind, COALESCE(sel.n_sel, 0) AS n_docs, " +
+        "COALESCE(sel.tok_sel, 0) AS n_tokens FROM pl " +
+        "LEFT JOIN sel USING (source) WHERE pl.ptar > 0) " +
+        "SELECT * FROM (SELECT * FROM fulls " +
+        "UNION ALL SELECT * FROM parts) ORDER BY source, epoch"),
   )
 
   // Registry's size-sum check only catches CROSS-family collisions —

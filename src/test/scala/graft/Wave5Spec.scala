@@ -70,6 +70,35 @@ class Wave5Spec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("beta")).distinct.length == 1)
   }
 
+  test("q206: per source, full epochs replay the whole corpus, the " +
+    "partial epoch covers the remainder with ≤ 1 doc of overshoot, " +
+    "and realized tokens meet the q171 target") {
+    val man = TextOps.epochMaterialization(spark, sfDir).collect()
+    val plan = TextOps.tokenBudgetPlan(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("target_tokens"))).toMap
+    val maxDoc = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(max(graft.functions.TextAnalytics.tokenCount(col("text"))
+        .cast("long")).as("m"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("m"))
+      .toMap
+    for ((src, rows) <- man.groupBy(_.getAs[String]("source"))) {
+      val (nTok, target) = plan(src)
+      val sorted = rows.sortBy(_.getAs[Long]("epoch"))
+      // epochs are contiguous from 0, full passes first
+      assert(sorted.map(_.getAs[Long]("epoch")).toSeq ==
+        sorted.indices.map(_.toLong))
+      sorted.init.foreach(r => assert(r.getAs[String]("kind") == "full"))
+      sorted.filter(_.getAs[String]("kind") == "full")
+        .foreach(r => assert(r.getAs[Long]("n_tokens") == nTok))
+      // realized ≥ target, overshoot bounded by one doc
+      val realized = sorted.map(_.getAs[Long]("n_tokens")).sum
+      assert(realized >= target)
+      assert(realized < target + maxDoc(src))
+    }
+  }
+
   test("q204: fixture peel converges within the oracle unroll and " +
     "core degrees are bounded by initial degrees") {
     val edges = Dedup.minhashOracledDf(
