@@ -417,6 +417,7 @@ object Registry {
     "q205_heaps_law" -> ((s, d) => TextOps.heapsLaw(s, d)),
     "q206_epoch_materialization" -> ((s, d) =>
       TextOps.epochMaterialization(s, d)),
+    "q207_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

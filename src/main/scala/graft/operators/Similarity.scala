@@ -1335,6 +1335,55 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Hard-negative mining (q207): for every embedding, its most
+    * similar neighbor of the SAME label (the positive anchor) and its
+    * most similar neighbor of a DIFFERENT label (the hard negative),
+    * plus the margin between them — the exact table a contrastive /
+    * retrieval fine-tune mines batches from, and the per-example
+    * difficulty signal (margin ≈ 0 means the class boundary passes
+    * right next to this vector; strongly negative margins flag label
+    * noise). Ranking uses the q130/q142 fixed-point cosine key, so
+    * selection is ulp-insensitive; vectors whose label has no second
+    * member are dropped (no positive exists).
+    *
+    * 100 TB shape: the q142 LOO skeleton — the bounded query slice
+    * (vec_id < bound, a structural cap) broadcast against itself; at
+    * index scale the same per-vec top-1s come from the ANN family
+    * (q34's brute top-k or q113/q120's IVF/PQ) with the label
+    * predicate pushed into candidate generation. The pivot is two
+    * window top-1s over (vec, same-label?) partitions — linear in
+    * candidate pairs, output one row per query vector.
+    */
+  def hardNegatives(spark: SparkSession, dir: String,
+      bound: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = unitVectors(spark, dir)
+      .filter(col("vec_id") < bound)
+      .select(col("vec_id"), col("label"), col("v"))
+    val top = u
+      .join(broadcast(u.select(col("vec_id").as("nid"),
+        col("label").as("nlabel"), col("v").as("nv"))),
+        col("vec_id") =!= col("nid"))
+      .withColumn("cos", dotNative(col("v"), col("nv")))
+      .withColumn("same", col("nlabel") === col("label"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("same")).orderBy(
+          floor(col("cos") * lit(1e9) + lit(0.5)).cast("long").desc,
+          col("nid").asc)))
+      .filter(col("rk") === 1)
+    val pos = top.filter(col("same"))
+      .select(col("vec_id"), col("label"),
+        col("nid").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = top.filter(!col("same"))
+      .select(col("vec_id"), col("nid").as("neg_id"),
+        col("cos").as("neg_cos"))
+    pos.join(neg, "vec_id")
+      .select(col("vec_id"), col("label"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        (col("neg_cos") - col("pos_cos")).as("margin"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Random-projection dimensionality reduction (q132): project the
     * 64-dim embeddings onto `target` dims with a Rademacher ±1 matrix
     * (Achlioptas 2003 — the sparse-friendly Johnson–Lindenstrauss

@@ -530,5 +530,33 @@ private[graft] object OracleAnn {
         "GROUP BY gt.q_id) " +
         "SELECT q_id, n_hits, " +
         "CAST(n_hits AS DOUBLE) / 5.0 AS recall FROM h ORDER BY q_id"),
+    // q207: per vector, top-1 same-label (positive) and top-1
+    // different-label (hard negative) neighbors on the q142 1e-9
+    // fixed-point cosine; vectors without a same-label peer drop
+    "q207_hard_negatives" ->
+      ("WITH e AS (SELECT vec_id, label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+        "FROM embeddings WHERE vec_id < 2000), " +
+        "u AS (SELECT vec_id, label, list_transform(v0, x -> x / " +
+        "sqrt(list_reduce(list_prepend(0.0, " +
+        "list_transform(v0, y -> y*y)), (a, b) -> a + b))) AS v " +
+        "FROM e), " +
+        "pr AS (SELECT a.vec_id, a.label, b.vec_id AS nid, " +
+        "b.label AS nlabel, " +
+        "list_reduce(list_prepend(0.0, " +
+        "list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])), " +
+        "(x, y) -> x + y) AS cos " +
+        "FROM u a JOIN u b ON a.vec_id <> b.vec_id), " +
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, " +
+        "(nlabel = label) ORDER BY " +
+        "CAST(floor(cos * 1e9 + 0.5) AS BIGINT) DESC, nid ASC) AS rn " +
+        "FROM pr), " +
+        "pos AS (SELECT vec_id, label, nid AS pos_id, cos AS pos_cos " +
+        "FROM rk WHERE rn = 1 AND nlabel = label), " +
+        "neg AS (SELECT vec_id, nid AS neg_id, cos AS neg_cos " +
+        "FROM rk WHERE rn = 1 AND nlabel <> label) " +
+        "SELECT pos.vec_id, pos.label, pos.pos_id, pos.pos_cos, " +
+        "neg.neg_id, neg.neg_cos, neg.neg_cos - pos.pos_cos AS margin " +
+        "FROM pos JOIN neg USING (vec_id) ORDER BY pos.vec_id"),
   )
 }

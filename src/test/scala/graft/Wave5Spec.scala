@@ -99,6 +99,39 @@ class Wave5Spec extends SparkSpec {
     }
   }
 
+  test("q207: one row per vector whose label has a peer, and the " +
+    "mined pair for a probe vector matches an independent brute-force " +
+    "argmax on both sides of the label predicate") {
+    val rows = Similarity.hardNegatives(spark, sfDir).collect()
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 2000)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val classSizes = emb.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(rows.length == emb.count(e => classSizes(e._2) >= 2))
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      v.map(_ / n)
+    }
+    val probe = rows.head.getAs[Long]("vec_id")
+    val (_, pl, pv) = emb.find(_._1 == probe).get
+    val uq = unit(pv)
+    val scored = emb.filter(_._1 != probe).map { case (id, l, v) =>
+      val c = unit(v).zip(uq).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+      (id, l, math.floor(c * 1e9 + 0.5).toLong)
+    }
+    val bestPos = scored.filter(_._2 == pl).minBy(s => (-s._3, s._1))._1
+    val bestNeg = scored.filter(_._2 != pl).minBy(s => (-s._3, s._1))._1
+    val row = rows.find(_.getAs[Long]("vec_id") == probe).get
+    assert(row.getAs[Long]("pos_id") == bestPos)
+    assert(row.getAs[Long]("neg_id") == bestNeg)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("margin") -
+        (r.getAs[Double]("neg_cos") - r.getAs[Double]("pos_cos"))) == 0.0)
+    }
+  }
+
   test("q204: fixture peel converges within the oracle unroll and " +
     "core degrees are bounded by initial degrees") {
     val edges = Dedup.minhashOracledDf(
