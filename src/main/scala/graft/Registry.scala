@@ -418,6 +418,7 @@ object Registry {
     "q206_epoch_materialization" -> ((s, d) =>
       TextOps.epochMaterialization(s, d)),
     "q207_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "q208_ewma_anomaly" -> ((s, d) => Analytics.ewmaAnomaly(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

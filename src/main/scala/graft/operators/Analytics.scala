@@ -228,6 +228,51 @@ object Analytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** EWMA rate anomaly (q208): the exponential-decay sibling of
+    * [[rateAnomaly]]'s z-score — each (event_type, day) count is
+    * compared against the exponentially-weighted mean of the 8
+    * preceding observed days (decay 3/4 per day, the operations-
+    * monitoring default that weights yesterday 4× over a week ago,
+    * where q143's flat window weights them equally). The whole
+    * comparison is EXACT integer arithmetic: weight for lag j is
+    * 3^(j-1)·4^(8−j) (the decay fraction cleared of its denominator),
+    * so num/den are BIGINTs and the spike decision `n·den > 2·num`
+    * never touches a double — the only doubles are the two final
+    * presentation divisions, computed by one pinned formula in both
+    * engines.
+    *
+    * 100 TB shape: identical to q143 — one map-side-combined daily
+    * aggregate (days × types rows, ≪ events), one partitioned window
+    * with 8 lags. The anomaly table is days×types no matter the event
+    * volume.
+    */
+  def ewmaAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val terms = (1 to 8).map { j =>
+      val wj = BigInt(3).pow(j - 1).toLong * BigInt(4).pow(8 - j).toLong
+      val lj = lag(col("n"), j).over(w)
+      (coalesce(lj * lit(wj), lit(0L)),
+        when(lj.isNotNull, lit(wj)).otherwise(lit(0L)))
+    }
+    daily
+      .withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("den", terms.map(_._2).reduce(_ + _))
+      .filter(col("den") > 0)
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("n"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("ewma"),
+        ((col("n") * col("den")).cast("double") /
+          col("num").cast("double")).as("ratio"),
+        when(col("n") * col("den") > lit(2L) * col("num"), 1L)
+          .otherwise(0L).as("spike"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Distributed PageRank (q133): `rounds` power-iteration steps over
     * the customer↔supplier purchase graph (distinct (custkey, suppkey)
     * pairs from orders⋈lineitem, both directions — the bipartite

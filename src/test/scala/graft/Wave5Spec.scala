@@ -132,6 +132,37 @@ class Wave5Spec extends SparkSpec {
     }
   }
 
+  test("q208: EWMA recomputed independently from the daily table " +
+    "matches, and the spike flag is the exact integer decision") {
+    val rows = Analytics.ewmaAnomaly(spark, sfDir).collect()
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("n")))
+    val byType = daily.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(x => (x._2, x._3)).toVector).toMap
+    val weights = (1 to 8).map(j =>
+      BigInt(3).pow(j - 1).toLong * BigInt(4).pow(8 - j).toLong)
+    for (r <- rows) {
+      val (t, d, n) = (r.getAs[String]("event_type"),
+        r.getAs[String]("day"), r.getAs[Long]("n"))
+      val series = byType(t)
+      val i = series.indexWhere(_._1 == d)
+      assert(series(i)._2 == n)
+      val lags = (1 to 8).flatMap(j =>
+        if (i - j >= 0) Some((series(i - j)._2, weights(j - 1))) else None)
+      val num = lags.map(l => l._1 * l._2).sum
+      val den = lags.map(_._2).sum
+      assert(den > 0)
+      assert(r.getAs[Double]("ewma") == num.toDouble / den.toDouble)
+      assert(r.getAs[Long]("spike") == (if (n * den > 2 * num) 1L else 0L))
+    }
+    // day 1 of each type (no lags) is excluded
+    assert(rows.length == daily.length - byType.size)
+  }
+
   test("q204: fixture peel converges within the oracle unroll and " +
     "core degrees are bounded by initial degrees") {
     val edges = Dedup.minhashOracledDf(
