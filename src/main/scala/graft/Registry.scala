@@ -419,6 +419,7 @@ object Registry {
       TextOps.epochMaterialization(s, d)),
     "q207_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q208_ewma_anomaly" -> ((s, d) => Analytics.ewmaAnomaly(s, d)),
+    "q209_dup_rate_ci" -> ((s, d) => Dedup.dupRateWilson(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -1576,4 +1576,45 @@ object Dedup {
           transform(col("kept_idx"), t => element_at(col("toks"), t + 1)))
           .cast("binary")).as("kept_md5"))
       .orderBy(col("doc_id"))
+
+  /** Per-source duplicate rate with a Wilson 95% interval (q209): the
+    * statistical summary a curation review reads BEFORE trusting a
+    * per-source dedup rate — a source with 3/10 duplicated docs and a
+    * source with 3,000/10,000 have the same point rate but wildly
+    * different intervals, and quota decisions (q171/q186) should key on
+    * the interval, not the point. A doc is "duplicated" when its exact
+    * content hash appears ≥ 2 times corpus-wide (the q28 rule). The
+    * counts are exact integers; the Wilson bounds are one pinned
+    * formula (z = 1.96) spelled identically in both engines.
+    *
+    * 100 TB shape: hashes shuffle, never text — one (hash) aggregate
+    * to find duplicated hashes, one semi-join back, two per-source
+    * counts; output is #sources rows.
+    */
+  def dupRateWilson(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), md5(col("text").cast("binary")).as("h"))
+      .persist()
+    val dupHashes = docs.groupBy(col("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("h"))
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val dupPerSource = docs.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+    val n = col("n_docs").cast("double")
+    val p = col("n_dup").cast("double") / n
+    val z = lit(1.96)
+    val z2 = lit(1.96) * lit(1.96)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = (z * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * n)) / n)) /
+      denom
+    perSource.join(dupPerSource, Seq("source"), "left")
+      .na.fill(0L, Seq("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        p.as("dup_rate"),
+        greatest(lit(0.0), center - half).as("wilson_lo"),
+        least(lit(1.0), center + half).as("wilson_hi"))
+      .orderBy(col("source"))
+  }
 }

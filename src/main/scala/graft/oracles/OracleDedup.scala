@@ -607,6 +607,31 @@ private[graft] object OracleDedup {
         "AVG(1.0 - POWER(1.0 - POWER(jaccard, CAST(r AS DOUBLE)), " +
         "CAST(b AS DOUBLE))) AS expected_recall " +
         "FROM jc CROSS JOIN cfg GROUP BY r, b ORDER BY r"),
+    // q209: per-source duplicate rate + Wilson 95% bounds — counts are
+    // exact; the interval is one pinned double formula (z = 1.96)
+    "q209_dup_rate_ci" ->
+      ("WITH h AS (SELECT source, md5(text) AS h FROM documents), " +
+        "dh AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM h " +
+        "GROUP BY h) WHERE c >= 2), " +
+        "s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs " +
+        "FROM h GROUP BY source), " +
+        "d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dup " +
+        "FROM h JOIN dh USING (h) GROUP BY source), " +
+        "j AS (SELECT s.source, s.n_docs, " +
+        "CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup " +
+        "FROM s LEFT JOIN d USING (source)), " +
+        "c AS (SELECT source, n_docs, n_dup, " +
+        "CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p, " +
+        "CAST(n_docs AS DOUBLE) AS n FROM j) " +
+        "SELECT source, n_docs, n_dup, p AS dup_rate, " +
+        "greatest(0.0, ((p + 1.96 * 1.96 / (2.0 * n)) / " +
+        "(1.0 + 1.96 * 1.96 / n)) - ((1.96 * sqrt((p * (1.0 - p) + " +
+        "1.96 * 1.96 / (4.0 * n)) / n)) / (1.0 + 1.96 * 1.96 / n))) " +
+        "AS wilson_lo, " +
+        "least(1.0, ((p + 1.96 * 1.96 / (2.0 * n)) / " +
+        "(1.0 + 1.96 * 1.96 / n)) + ((1.96 * sqrt((p * (1.0 - p) + " +
+        "1.96 * 1.96 / (4.0 * n)) / n)) / (1.0 + 1.96 * 1.96 / n))) " +
+        "AS wilson_hi FROM c ORDER BY source"),
     // q204: k-core of the q95 pair graph — the peel unrolled to 12
     // rounds (KCoreRounds); the Spark side runs to fixpoint and the
     // Wave5Spec pins that the fixture converges within the unroll

