@@ -420,6 +420,8 @@ object Registry {
     "q207_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q208_ewma_anomaly" -> ((s, d) => Analytics.ewmaAnomaly(s, d)),
     "q209_dup_rate_ci" -> ((s, d) => Dedup.dupRateWilson(s, d)),
+    "q210_streaming_ewma" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingEwmaAnomaly(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

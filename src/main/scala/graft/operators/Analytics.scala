@@ -246,11 +246,17 @@ object Analytics {
     * with 8 lags. The anomaly table is days×types no matter the event
     * volume.
     */
-  def ewmaAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(spark, dir)
+  def ewmaAnomaly(spark: SparkSession, dir: String): DataFrame =
+    ewmaFromDaily(Tables.events(spark, dir)
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The q208 window arithmetic over a prepared (event_type, day, n)
+    * daily table — split out so the streaming maintenance path (q210)
+    * shares it bit-for-bit with the batch query.
+    */
+  private[graft] def ewmaFromDaily(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val terms = (1 to 8).map { j =>
       val wj = BigInt(3).pow(j - 1).toLong * BigInt(4).pow(8 - j).toLong

@@ -316,28 +316,11 @@ private[graft] object OracleRelational {
         "(CAST(s AS DOUBLE) / CAST(c AS DOUBLE))) ELSE 0.0 END AS z " +
         "FROM w WHERE c = 7 ORDER BY event_type, day"),
     // q208: EWMA anomaly — lag-j weight 3^(j-1)·4^(8-j) keeps num/den
-    // integer-exact; spike decision n·den > 2·num never rounds
-    "q208_ewma_anomaly" ->
-      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
-        "l AS (SELECT *, " +
-        (1 to 8).map(j => s"LAG(n, $j) OVER win AS l$j")
-          .mkString(", ") + " FROM daily " +
-        "WINDOW win AS (PARTITION BY event_type ORDER BY day)), " +
-        "c AS (SELECT event_type, day, n, " +
-        (1 to 8).map { j =>
-          val wj = BigInt(3).pow(j - 1).toLong * BigInt(4).pow(8 - j).toLong
-          s"COALESCE(l$j * $wj, 0)"
-        }.mkString(" + ") + " AS num, " +
-        (1 to 8).map { j =>
-          val wj = BigInt(3).pow(j - 1).toLong * BigInt(4).pow(8 - j).toLong
-          s"(CASE WHEN l$j IS NULL THEN 0 ELSE $wj END)"
-        }.mkString(" + ") + " AS den FROM l) " +
-        "SELECT event_type, CAST(day AS VARCHAR) AS day, n, " +
-        "CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma, " +
-        "CAST(n * den AS DOUBLE) / CAST(num AS DOUBLE) AS ratio, " +
-        "CAST(CASE WHEN n * den > 2 * num THEN 1 ELSE 0 END AS BIGINT) " +
-        "AS spike FROM c WHERE den > 0 ORDER BY event_type, day"),
+    // integer-exact; spike decision n·den > 2·num never rounds.
+    // q210 (streaming maintenance of the same daily ledger) shares it
+    // verbatim: the sum-merge drains to the batch daily table
+    "q208_ewma_anomaly" -> q208Sql,
+    "q210_streaming_ewma" -> q208Sql,
     // q189: daily top-3 leaderboard with rank movement vs the previous
     // OBSERVED day (prev_rk 0 = first appearance); ranks computed over
     // the FULL daily table before the top-k filter
@@ -417,4 +400,26 @@ private[graft] object OracleRelational {
       "strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to, " +
       "CAST(CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) " +
       "AS is_current FROM v ORDER BY user_id, version")
+
+  private def q208Sql: String =
+    ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+      "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+      "l AS (SELECT *, " +
+      (1 to 8).map(j => s"LAG(n, $j) OVER win AS l$j")
+        .mkString(", ") + " FROM daily " +
+      "WINDOW win AS (PARTITION BY event_type ORDER BY day)), " +
+      "c AS (SELECT event_type, day, n, " +
+      (1 to 8).map { j =>
+        val wj = BigInt(3).pow(j - 1).toLong * BigInt(4).pow(8 - j).toLong
+        s"COALESCE(l$j * $wj, 0)"
+      }.mkString(" + ") + " AS num, " +
+      (1 to 8).map { j =>
+        val wj = BigInt(3).pow(j - 1).toLong * BigInt(4).pow(8 - j).toLong
+        s"(CASE WHEN l$j IS NULL THEN 0 ELSE $wj END)"
+      }.mkString(" + ") + " AS den FROM l) " +
+      "SELECT event_type, CAST(day AS VARCHAR) AS day, n, " +
+      "CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma, " +
+      "CAST(n * den AS DOUBLE) / CAST(num AS DOUBLE) AS ratio, " +
+      "CAST(CASE WHEN n * den > 2 * num THEN 1 ELSE 0 END AS BIGINT) " +
+      "AS spike FROM c WHERE den > 0 ORDER BY event_type, day")
 }

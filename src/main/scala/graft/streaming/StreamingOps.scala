@@ -1278,4 +1278,59 @@ object StreamingOps {
           .as("accept_rate"))
       .orderBy(col("source"))
   }
+
+  /** Streaming EWMA anomaly maintenance (q210): the q208 exponential-
+    * decay rate monitor kept live over an event stream. State is the
+    * tiny (event_type, day, n) daily-count ledger — each micro-batch's
+    * counts SUM-merge into it (associative + commutative, so ANY
+    * micro-batching drains to the batch table, the q182 ledger
+    * argument), and the drained ledger feeds the exact q208 window
+    * arithmetic. q208's oracle SQL is this query's oracle verbatim.
+    *
+    * 100 TB shape: per-batch work is one map-side-combined aggregate
+    * down to ≤ days×types rows; state is that same metadata-scale
+    * relation re-written per batch (versioned-parquet ledger). The
+    * EWMA pass runs once at drain over days×types rows — never the
+    * event volume.
+    */
+  def streamingEwmaAnomaly(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    def daily(ev: DataFrame): DataFrame = ev
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val ledgerRoot = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_sewma_")).toString
+    val current = new java.util.concurrent.atomic.AtomicReference[String]("")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val reader = spark.readStream
+      .schema(eventsSchema(tsType))
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        val merged =
+          if (current.get.isEmpty) daily(batch.toDF())
+          else ss.read.parquet(current.get)
+            .unionByName(daily(batch.toDF()))
+            .groupBy(col("event_type"), col("day"))
+            .agg(sum(col("n")).as("n"))
+        val next = s"$ledgerRoot/b$id"
+        merged.write.mode("overwrite").parquet(next)
+        current.set(next)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Analytics.ewmaFromDaily(
+      spark.read.parquet(current.get))
+  }
 }
