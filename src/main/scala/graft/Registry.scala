@@ -422,6 +422,7 @@ object Registry {
     "q209_dup_rate_ci" -> ((s, d) => Dedup.dupRateWilson(s, d)),
     "q210_streaming_ewma" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingEwmaAnomaly(s, d)),
+    "q211_source_scorecard" -> ((s, d) => TextOps.sourceScorecard(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

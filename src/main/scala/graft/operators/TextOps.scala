@@ -2379,6 +2379,47 @@ object TextOps {
     fulls.unionByName(parts).orderBy(col("source"), col("epoch"))
   }
 
+  /** Per-source curation scorecard (q211): the one-page review table a
+    * data lead reads before signing off a mix — for every source its
+    * volume (docs, tokens, token share), mean doc length, q24 quality
+    * acceptance rate, q209 duplicate rate with Wilson 95% bounds, and
+    * the q171 epoch plan — every column the exact arithmetic of its
+    * home query, composed here so the numbers a decision juxtaposes
+    * come from ONE consistent snapshot (mismatched-snapshot scorecards
+    * are how curation reviews go wrong). Fully oracled: the oracle SQL
+    * is the home queries' CTEs joined on source.
+    *
+    * 100 TB shape: every input is already a #sources-row relation
+    * (each from one map-side-combined corpus aggregate — the hash
+    * aggregate for dup rate, the token/flag aggregate, the q171 plan);
+    * the scorecard is a join of tiny tables.
+    */
+  def sourceScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalytics.tokenCount(col("text")).cast("long"))
+          .as("n_tokens"),
+        sum(TextAnalytics.qualityFlag(col("text"))).as("n_pass"))
+    val tot = base.agg(sum(col("n_tokens")).as("tt"))
+    val wilson = Dedup.dupRateWilson(spark, dir)
+      .select(col("source"), col("n_dup"), col("dup_rate"),
+        col("wilson_lo"), col("wilson_hi"))
+    val plan = tokenBudgetPlanDf(spark, docs)
+      .select(col("source"), col("epochs"), col("upsampled"))
+    base.crossJoin(tot)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tt").cast("double"))
+          .as("token_share"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tokens"),
+        (col("n_pass").cast("double") / col("n_docs").cast("double"))
+          .as("accept_rate"))
+      .join(wilson, "source")
+      .join(plan, "source")
+      .orderBy(col("source"))
+  }
+
   /** Heaps'-law vocabulary-growth curve (q205): vocabulary size after
     * the first n tokens of the corpus (in deterministic doc_id order)
     * at ten checkpoints n = ⌈d·N/10⌉, plus the fitted Heaps exponent β

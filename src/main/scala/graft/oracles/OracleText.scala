@@ -1316,6 +1316,67 @@ private[graft] object OracleText {
         "LEFT JOIN sel USING (source) WHERE pl.ptar > 0) " +
         "SELECT * FROM (SELECT * FROM fulls " +
         "UNION ALL SELECT * FROM parts) ORDER BY source, epoch"),
+    // q211: the home queries' CTEs (q182 quality flag, q209 dup rate +
+    // Wilson, q171 plan) joined on source into one snapshot table
+    "q211_source_scorecard" ->
+      ("WITH t AS (SELECT source, md5(text) AS h, list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '') AS toks " +
+        "FROM documents), " +
+        "fl AS (SELECT source, h, CAST(len(toks) AS BIGINT) AS tc, " +
+        "CAST(len(toks) >= 20 AND " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / " +
+        "CAST(len(toks) AS DOUBLE) > 0.1 AND " +
+        "CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / " +
+        "CAST(len(toks) AS DOUBLE) < 0.5 AS BIGINT) AS flag FROM t), " +
+        "c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(tc) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(flag) AS BIGINT) AS n_pass FROM fl GROUP BY source), " +
+        "tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM c), " +
+        "dh AS (SELECT h FROM (SELECT h, COUNT(*) AS cc FROM fl " +
+        "GROUP BY h) WHERE cc >= 2), " +
+        "ds AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dup " +
+        "FROM fl JOIN dh USING (h) GROUP BY source), " +
+        "wi AS (SELECT c.source, " +
+        "CAST(COALESCE(ds.n_dup, 0) AS BIGINT) AS n_dup, " +
+        "CAST(COALESCE(ds.n_dup, 0) AS DOUBLE) / " +
+        "CAST(c.n_docs AS DOUBLE) AS p, " +
+        "CAST(c.n_docs AS DOUBLE) AS n FROM c " +
+        "LEFT JOIN ds ON ds.source = c.source), " +
+        "w2 AS (SELECT source, n_dup, p AS dup_rate, " +
+        "greatest(0.0, ((p + 1.96 * 1.96 / (2.0 * n)) / " +
+        "(1.0 + 1.96 * 1.96 / n)) - ((1.96 * sqrt((p * (1.0 - p) + " +
+        "1.96 * 1.96 / (4.0 * n)) / n)) / (1.0 + 1.96 * 1.96 / n))) " +
+        "AS wilson_lo, " +
+        "least(1.0, ((p + 1.96 * 1.96 / (2.0 * n)) / " +
+        "(1.0 + 1.96 * 1.96 / n)) + ((1.96 * sqrt((p * (1.0 - p) + " +
+        "1.96 * 1.96 / (4.0 * n)) / n)) / (1.0 + 1.96 * 1.96 / n))) " +
+        "AS wilson_hi FROM wi), " +
+        "bt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS b FROM c), " +
+        "sw AS (SELECT source, n_tokens, " +
+        "sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM c), " +
+        "swt AS (SELECT list_reduce(list(w ORDER BY source), " +
+        "(a, b) -> a + b) AS t FROM sw), " +
+        "pp AS (SELECT source, " +
+        "CAST(floor(CAST(bt.b AS DOUBLE) * w / swt.t) AS BIGINT) " +
+        "AS target_tokens, n_tokens FROM sw " +
+        "CROSS JOIN swt CROSS JOIN bt), " +
+        "pe AS (SELECT source, CAST(target_tokens AS DOUBLE) / " +
+        "CAST(n_tokens AS DOUBLE) AS epochs, " +
+        "CAST(CASE WHEN CAST(target_tokens AS DOUBLE) / " +
+        "CAST(n_tokens AS DOUBLE) > 1 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS upsampled FROM pp) " +
+        "SELECT c.source, c.n_docs, c.n_tokens, " +
+        "CAST(c.n_tokens AS DOUBLE) / CAST(tt.tt AS DOUBLE) " +
+        "AS token_share, " +
+        "CAST(c.n_tokens AS DOUBLE) / CAST(c.n_docs AS DOUBLE) " +
+        "AS mean_tokens, " +
+        "CAST(c.n_pass AS DOUBLE) / CAST(c.n_docs AS DOUBLE) " +
+        "AS accept_rate, " +
+        "w2.n_dup, w2.dup_rate, w2.wilson_lo, w2.wilson_hi, " +
+        "pe.epochs, pe.upsampled " +
+        "FROM c CROSS JOIN tt " +
+        "JOIN w2 ON w2.source = c.source " +
+        "JOIN pe ON pe.source = c.source ORDER BY c.source"),
   )
 
   // Registry's size-sum check only catches CROSS-family collisions —

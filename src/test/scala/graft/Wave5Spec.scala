@@ -219,6 +219,31 @@ class Wave5Spec extends SparkSpec {
     }
   }
 
+  test("q211: scorecard columns agree with their home queries and " +
+    "token shares sum to one") {
+    val sc = TextOps.sourceScorecard(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val wilson = Dedup.dupRateWilson(spark, sfDir).collect()
+    for (w <- wilson) {
+      val r = sc(w.getAs[String]("source"))
+      assert(r.getAs[Long]("n_dup") == w.getAs[Long]("n_dup"))
+      assert(r.getAs[Double]("wilson_lo") == w.getAs[Double]("wilson_lo"))
+      assert(r.getAs[Double]("wilson_hi") == w.getAs[Double]("wilson_hi"))
+    }
+    val plan = TextOps.tokenBudgetPlan(spark, sfDir).collect()
+    for (p <- plan) {
+      val r = sc(p.getAs[String]("source"))
+      assert(r.getAs[Double]("epochs") == p.getAs[Double]("epochs"))
+      assert(r.getAs[Long]("n_tokens") == p.getAs[Long]("n_tokens"))
+    }
+    val shareSum = sc.values.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    sc.values.foreach { r =>
+      val a = r.getAs[Double]("accept_rate")
+      assert(a >= 0.0 && a <= 1.0)
+    }
+  }
+
   test("q204: fixture peel converges within the oracle unroll and " +
     "core degrees are bounded by initial degrees") {
     val edges = Dedup.minhashOracledDf(
