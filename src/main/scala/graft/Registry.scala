@@ -423,6 +423,7 @@ object Registry {
     "q210_streaming_ewma" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingEwmaAnomaly(s, d)),
     "q211_source_scorecard" -> ((s, d) => TextOps.sourceScorecard(s, d)),
+    "q212_dup_graph_degrees" -> ((s, d) => Analytics.dupGraphDegrees(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

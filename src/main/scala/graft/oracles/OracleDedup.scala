@@ -636,10 +636,15 @@ private[graft] object OracleDedup {
     // rounds (KCoreRounds); the Spark side runs to fixpoint and the
     // Wave5Spec pins that the fixture converges within the unroll
     "q204_dup_graph_kcore" -> q204Sql,
+    "q212_dup_graph_degrees" -> q212Sql,
   )
 
-  private def q204Sql: String = {
-    val prelude =
+  /** Shared q95-chain prelude: verified minhash pairs `ed(a, b)`, the
+    * symmetric edge list `und(u, w)` and per-node degrees `dg(u,
+    * degree)` — the graph every dup-graph oracle (q204/q212) peels or
+    * profiles.
+    */
+  private def dupGraphCte: String =
       "WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
         "x -> x <> '') AS toks FROM documents), " +
         "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
@@ -667,8 +672,11 @@ private[graft] object OracleDedup {
         "und AS (SELECT a AS u, b AS w FROM ed " +
         "UNION ALL SELECT b, a FROM ed), " +
         "dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM und " +
-        "GROUP BY u), " +
-        "a0 AS MATERIALIZED (SELECT u FROM dg WHERE degree >= 2)"
+        "GROUP BY u)"
+
+  private def q204Sql: String = {
+    val prelude = dupGraphCte +
+      ", a0 AS MATERIALIZED (SELECT u FROM dg WHERE degree >= 2)"
     // MATERIALIZED is load-bearing: each round references the previous
     // one twice (both join sides), so plain CTE inlining would copy the
     // whole chain 2^rounds times
@@ -687,6 +695,27 @@ private[graft] object OracleDedup {
         "FROM dg LEFT JOIN cd ON cd.u = dg.u ORDER BY doc_id"
     prelude + rounds + core
   }
+
+  // q212: degree histogram + degree assortativity. Over the symmetric
+  // edge list Σdu = Σdv and Σdu² = Σdv², so Pearson reduces to ONE
+  // final division over integer sums — exact cross-engine
+  private def q212Sql: String =
+    dupGraphCte +
+      ", hist AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes " +
+      "FROM dg GROUP BY degree), " +
+      "tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM dg), " +
+      "ej AS (SELECT d1.degree AS du, d2.degree AS dv FROM und " +
+      "JOIN dg d1 ON d1.u = und.u JOIN dg d2 ON d2.u = und.w), " +
+      "sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, " +
+      "CAST(SUM(du) AS BIGINT) AS sj, " +
+      "CAST(SUM(du * du) AS BIGINT) AS sjj, " +
+      "CAST(SUM(du * dv) AS BIGINT) AS sjk FROM ej) " +
+      "SELECT hist.degree, hist.n_nodes, " +
+      "CAST(hist.n_nodes AS DOUBLE) / CAST(tt.n_total AS DOUBLE) AS frac, " +
+      "CASE WHEN sm.m * sm.sjj - sm.sj * sm.sj = 0 THEN 0.0 ELSE " +
+      "CAST(sm.m * sm.sjk - sm.sj * sm.sj AS DOUBLE) / " +
+      "CAST(sm.m * sm.sjj - sm.sj * sm.sj AS DOUBLE) END AS assort " +
+      "FROM hist CROSS JOIN tt CROSS JOIN sm ORDER BY hist.degree"
 
   private def q193Sql: String =
       ("WITH RECURSIVE t AS (SELECT doc_id, " +

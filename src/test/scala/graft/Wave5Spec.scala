@@ -244,6 +244,28 @@ class Wave5Spec extends SparkSpec {
     }
   }
 
+  test("q212 golden: a star is perfectly disassortative (r = -1), a " +
+    "clique is degree-regular (guarded r = 0), and histogram " +
+    "fractions sum to one") {
+    import spark.implicits._
+    // 4-star: hub degree 4, leaves degree 1 → r = -1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("a", "b")
+    val sRows = Analytics.degreeProfile(star).collect()
+    assert(sRows.forall(_.getAs[Double]("assort") == -1.0))
+    assert(sRows.map(r => r.getAs[Long]("degree") ->
+      r.getAs[Long]("n_nodes")).toMap == Map(1L -> 4L, 4L -> 1L))
+    assert(math.abs(sRows.map(_.getAs[Double]("frac")).sum - 1.0) < 1e-12)
+    // triangle: all degrees equal → zero variance → guarded 0.0
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(Analytics.degreeProfile(tri).collect()
+      .forall(_.getAs[Double]("assort") == 0.0))
+    // fixture: histogram mass equals the node count, fracs sum to 1
+    val fix = Analytics.dupGraphDegrees(spark, sfDir).collect()
+    assert(math.abs(fix.map(_.getAs[Double]("frac")).sum - 1.0) < 1e-9)
+    val a = fix.map(_.getAs[Double]("assort")).distinct
+    assert(a.length == 1 && a.head >= -1.0 && a.head <= 1.0)
+  }
+
   test("q204: fixture peel converges within the oracle unroll and " +
     "core degrees are bounded by initial degrees") {
     val edges = Dedup.minhashOracledDf(
