@@ -424,6 +424,8 @@ object Registry {
       graft.streaming.StreamingOps.streamingEwmaAnomaly(s, d)),
     "q211_source_scorecard" -> ((s, d) => TextOps.sourceScorecard(s, d)),
     "q212_dup_graph_degrees" -> ((s, d) => Analytics.dupGraphDegrees(s, d)),
+    "q213_streaming_heavy_hitters" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingHeavyHitters(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

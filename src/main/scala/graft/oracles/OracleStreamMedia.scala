@@ -216,5 +216,15 @@ private[graft] object OracleStreamMedia {
         "CAST(SUM(flag) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
         "AS accept_rate " +
         "FROM fl GROUP BY source ORDER BY source"),
+    // q213: with capacity ≥ distinct users no eviction fires, so the
+    // drained SpaceSaving summary is the exact count table — err = 0
+    // is part of the oracle (the capacity contract made visible)
+    "q213_streaming_heavy_hitters" ->
+      ("WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events " +
+        "FROM events GROUP BY user_id), " +
+        "r AS (SELECT user_id, n_events, CAST(ROW_NUMBER() OVER (" +
+        "ORDER BY n_events DESC, user_id) AS BIGINT) AS rank FROM c) " +
+        "SELECT rank, user_id, n_events, CAST(0 AS BIGINT) AS err " +
+        "FROM r WHERE rank <= 20 ORDER BY rank"),
   )
 }

@@ -1333,4 +1333,85 @@ object StreamingOps {
     graft.operators.Analytics.ewmaFromDaily(
       spark.read.parquet(current.get))
   }
+
+  /** Streaming heavy hitters (q213): a capacity-bounded SpaceSaving-
+    * style summary of per-user event counts maintained live — the
+    * state a 24/7 ingest keeps when the key domain is too large to
+    * count exactly. Per batch: exact batch counts sum-merge into the
+    * summary; keys beyond `capacity` are EVICTED lowest-count-first
+    * and the summary records the cumulative eviction floor — a key
+    * (re-)entering later starts from `batch count + floor` with
+    * `err = floor`, the classic overestimate bound (true count ∈
+    * [cnt − err, cnt]). With capacity ≥ distinct keys (the fixture
+    * contract, asserted by the final `err = 0` column) no eviction
+    * ever fires and the drained top-k IS the exact batch top-k — which
+    * is what lets a static SQL oracle pin a sketch query; the
+    * eviction path is exercised by the Wave5Spec tiny-capacity golden.
+    *
+    * 100 TB shape: per-batch work is one map-side-combined count plus
+    * a join against the ≤capacity-row summary; state is metadata-sized
+    * (capacity rows + a one-row floor), never the key domain.
+    */
+  def streamingHeavyHitters(spark: SparkSession, dir: String,
+      capacity: Int = 4096, k: Int = 20,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ledgerRoot = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_shh_")).toString
+    val current = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val floorRef = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val reader = spark.readStream
+      .schema(eventsSchema(tsType))
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        val floor = floorRef.get
+        val bc = batch.toDF().groupBy(col("user_id"))
+          .agg(count(lit(1)).as("bn"))
+        val merged =
+          (if (current.get.isEmpty)
+            bc.select(col("user_id"),
+              (col("bn") + lit(floor)).as("cnt"), lit(floor).as("err"))
+          else ss.read.parquet(current.get)
+            .join(bc, Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              // known key: add the batch count; new key: enter at
+              // batch count + floor with err = floor
+              (coalesce(col("cnt"), lit(floor)) +
+                coalesce(col("bn"), lit(0L))).as("cnt"),
+              coalesce(col("err"), lit(floor)).as("err")))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("cnt").desc, col("user_id"))))
+        val kept = merged.filter(col("rk") <= capacity).drop("rk")
+        val evictMax = merged.filter(col("rk") > capacity)
+          .agg(max(col("cnt"))).collect()(0)
+        if (!evictMax.isNullAt(0))
+          floorRef.set(math.max(floor, evictMax.getLong(0)))
+        val next = s"$ledgerRoot/b$id"
+        kept.write.mode("overwrite").parquet(next)
+        current.set(next)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(current.get)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("user_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("user_id"), col("cnt").as("n_events"),
+        col("err"))
+      .orderBy(col("rank"))
+  }
 }

@@ -266,6 +266,62 @@ class Wave5Spec extends SparkSpec {
     assert(a.length == 1 && a.head >= -1.0 && a.head <= 1.0)
   }
 
+  test("q213: a 3-file split drains to the exact top-k with err 0, " +
+    "and a tiny-capacity run keeps the SpaceSaving bound " +
+    "true ≤ cnt ≤ true + err") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val trueCounts = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    val bounds = ev.orderBy(col("ts"), col("event_id"))
+      .select(col("ts")).collect().map(_.get(0))
+    val n = bounds.length
+    val (t1, t2) = (bounds(n / 3), bounds(2 * n / 3))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shhsplit_").toString
+    try {
+      val parts = Seq(
+        ev.filter(col("ts") < lit(t1)),
+        ev.filter(col("ts") >= lit(t1) && col("ts") < lit(t2)),
+        ev.filter(col("ts") >= lit(t2)))
+      for ((p, b) <- parts.zipWithIndex) {
+        val tmp = s"$root/_w"
+        p.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(s"$root/b$b.events.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      // ample capacity: exact drain, err = 0 on every row
+      val exact = graft.streaming.StreamingOps
+        .streamingHeavyHitters(spark, sfDir,
+          sourceDir = Some(root), sourceGlob = "*.events.parquet",
+          maxFilesPerTrigger = Some(1)).collect()
+      Caches.releaseAll(spark)
+      val expected = trueCounts.toSeq
+        .sortBy { case (u, c) => (-c, u) }.take(20)
+      assert(exact.map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"))).toSeq == expected)
+      assert(exact.forall(_.getAs[Long]("err") == 0L))
+      // starved capacity: eviction fires, the overestimate bound holds
+      val sketched = graft.streaming.StreamingOps
+        .streamingHeavyHitters(spark, sfDir, capacity = 8,
+          sourceDir = Some(root), sourceGlob = "*.events.parquet",
+          maxFilesPerTrigger = Some(1)).collect()
+      Caches.releaseAll(spark)
+      sketched.foreach { r =>
+        val t = trueCounts(r.getAs[Long]("user_id"))
+        val (c, e) = (r.getAs[Long]("n_events"), r.getAs[Long]("err"))
+        assert(c >= t)
+        assert(c - e <= t)
+      }
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("q204: fixture peel converges within the oracle unroll and " +
     "core degrees are bounded by initial degrees") {
     val edges = Dedup.minhashOracledDf(
