@@ -2432,23 +2432,32 @@ object TextOps {
     * hash-matches cross-engine; β is a shared-formula double.
     *
     * 100 TB shape: global token positions come from a prefix sum over
-    * the DOC table (docs ≪ tokens; the single-partition window here is
-    * the two-phase per-partition prefix-sum pattern at cluster scale),
-    * then one token explode → min-position per type (map-side
-    * combined). The decile membership join is checkpoint-table (10
-    * rows, broadcast) × vocab — never the corpus; at extreme scale the
-    * same counts fold from a first-position histogram instead.
+    * the NARROW (doc_id, n_tokens) relation — the offset window's
+    * exchange carries 16 bytes/doc, never text (the explode re-reads
+    * the corpus and joins the offsets back, trading a second scan for
+    * a text-free sort; at cluster scale the single-partition window is
+    * the two-phase per-partition prefix-sum pattern) — then one token
+    * explode → min-position per type (map-side combined). The decile
+    * membership join is checkpoint-table (10 rows, broadcast) × vocab —
+    * never the corpus; at extreme scale the same counts fold from a
+    * first-position histogram instead.
     */
-  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame =
+    heapsLawDf(spark, Tables.documents(spark, dir))
+
+  def heapsLawDf(spark: SparkSession, docsRaw: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
+    val docs = docsRaw
       .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
       .withColumn("nt", size(col("toks")).cast("long"))
       .filter(col("nt") > 0)
-    val withOff = docs.withColumn("off", coalesce(sum(col("nt")).over(
-      Window.orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val first = withOff
+    val offsets = docs.select(col("doc_id"), col("nt"))
+      .withColumn("off", coalesce(sum(col("nt")).over(
+        Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("off"))
+    val first = docs.select(col("doc_id"), col("toks"))
+      .join(offsets, "doc_id")
       .select(col("off"), posexplode(col("toks")).as(Seq("p", "token")))
       .select(col("token"), (col("off") + col("p") + 1L).as("gpos"))
       .groupBy(col("token")).agg(min(col("gpos")).as("first_pos"))

@@ -9,6 +9,37 @@ import graft.operators._
   */
 class Wave5Spec extends SparkSpec {
 
+  test("q205 plan guard: the global-offset window's single-partition " +
+    "exchange carries (doc_id, nt) only — never text or token arrays") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    // multi-partition input forces the window's SinglePartition
+    // exchange into the plan (the sf0.001 single-file scan would
+    // satisfy the distribution without one); its payload must be free
+    // of strings and arrays
+    val docs = graft.sources.Tables.documents(spark, sfDir).repartition(4)
+    // the adaptive wrapper's executedPlan, not sparkPlan: implicit
+    // exchanges only exist after AQE's preparation rules (which include
+    // EnsureRequirements) have produced the initial adaptive plan
+    val planned = TextOps.heapsLawDf(spark, docs)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    val single = planned.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning == SinglePartition => e.child.output
+    }
+    assert(single.nonEmpty)
+    single.flatten.foreach { a =>
+      assert(a.dataType != StringType &&
+        !a.dataType.isInstanceOf[ArrayType],
+        s"offset window shuffles wide column ${a.name}")
+    }
+  }
+
   test("q204 golden: a triangle survives the 2-core peel, a chain and " +
     "an isolated edge are peeled away, and a chain-attached clique " +
     "keeps exactly its clique members") {
