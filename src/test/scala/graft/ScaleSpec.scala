@@ -129,7 +129,7 @@ class ScaleSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.StringType
     def shuffledStringCols(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.queryExecution.sparkPlan.collect {
+      preparedPlan(df).collect {
         case e: ShuffleExchangeExec => e.child.output
       }.flatten.filter(_.dataType == StringType).map(_.name).distinct
     val span = shuffledStringCols(operators.Dedup.spanDedup(spark, sfDir))
@@ -149,7 +149,7 @@ class ScaleSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.StringType
     def shuffledStringCols(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.queryExecution.sparkPlan.collect {
+      preparedPlan(df).collect {
         case e: ShuffleExchangeExec => e.child.output
       }.flatten.filter(_.dataType == StringType).map(_.name).distinct
     val w = shuffledStringCols(operators.Dedup.windowDedup(spark, sfDir))
@@ -172,8 +172,8 @@ class ScaleSpec extends SparkSpec {
     // raw gram/token text never crosses an exchange
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.StringType
-    val cols = operators.Dedup.prefixFilterJoin(spark, sfDir)
-      .queryExecution.sparkPlan.collect {
+    val cols = preparedPlan(
+      operators.Dedup.prefixFilterJoin(spark, sfDir)).collect {
         case e: ShuffleExchangeExec => e.child.output
       }.flatten.filter(_.dataType == StringType).map(_.name).distinct
     assert(cols.forall(Set("gh")),
@@ -186,8 +186,7 @@ class ScaleSpec extends SparkSpec {
     // per-partition-heap TakeOrderedAndProject (row-local keys +
     // limit), and the rank window runs AFTER the limit over k rows —
     // a Window over the full corpus would be the q84 round-4 flaw
-    val plan = operators.TextOps.weightedSample(spark, sfDir)
-      .queryExecution.sparkPlan
+    val plan = preparedPlan(operators.TextOps.weightedSample(spark, sfDir))
     assert(plan.toString.contains("TakeOrderedAndProject"),
       s"q147 lost its TakeOrdered selection:\n$plan")
     val sorts = plan.collect {
@@ -202,7 +201,7 @@ class ScaleSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.StringType
     def shuffled(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.queryExecution.sparkPlan.collect {
+      preparedPlan(df).collect {
         case e: ShuffleExchangeExec => e.child.output
       }.flatten.filter(_.dataType == StringType).map(_.name).distinct
     val cols = shuffled(operators.TextOps.sourceReport(spark, sfDir))
@@ -217,8 +216,7 @@ class ScaleSpec extends SparkSpec {
     // vectors are built inside the scan projection, so the plan holds
     // exactly one exchange (the presentation orderBy)
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val plan = operators.TextOps.hashingVectorizer(spark, sfDir)
-      .queryExecution.sparkPlan
+    val plan = preparedPlan(operators.TextOps.hashingVectorizer(spark, sfDir))
     val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
     assert(exchanges.length <= 1,
       s"q127 should shuffle only for the sort:\n$plan")
@@ -234,7 +232,7 @@ class ScaleSpec extends SparkSpec {
     // presentation sort
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = operators.Multimodal.frameFeaturesAgg(spark, sfDir)
-    val plan = df.queryExecution.sparkPlan
+    val plan = preparedPlan(df)
     val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
     assert(exchanges.length <= 1,
       s"q146 should shuffle only for the sort:\n$plan")

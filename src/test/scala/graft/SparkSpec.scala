@@ -7,6 +7,20 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val sfDir = "/root/testdata/sf0.001"
+
+  /** The fully-prepared physical plan — under AQE the implicit
+    * exchanges (EnsureRequirements) only exist inside the adaptive
+    * wrapper's plan; `queryExecution.sparkPlan` predates them, so plan
+    * guards that collect `ShuffleExchangeExec` from it match nothing
+    * and pass vacuously.
+    */
+  def preparedPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
 }
 
 object SparkSpec {

@@ -1101,7 +1101,7 @@ class Wave3Spec extends SparkSpec {
     // plan: no Generate (explode) — the run fold happens inside the
     // scan projection; the only exchange is the presentation sort
     val df = operators.TextOps.repetitionRuns(spark, sfDir)
-    val plan = df.queryExecution.sparkPlan
+    val plan = preparedPlan(df)
     assert(!plan.toString.contains("Generate"),
       s"q177 exploded tokens:\n$plan")
     // independent driver-side recompute of the max run per doc
