@@ -426,6 +426,7 @@ object Registry {
     "q212_dup_graph_degrees" -> ((s, d) => Analytics.dupGraphDegrees(s, d)),
     "q213_streaming_heavy_hitters" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingHeavyHitters(s, d)),
+    "q214_attribution" -> ((s, d) => Analytics.lastTouchAttribution(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -462,6 +462,51 @@ object Analytics {
       .orderBy(col("doc_id"))
   }
 
+  /** Last-touch attribution (q214): each purchase is attributed to the
+    * user's most recent click no older than one hour — the canonical
+    * marketing-attribution join, expressed as a running MAX over a
+    * conditional window (max of click timestamps over the preceding
+    * frame IS the latest one, because the frame is time-ordered — no
+    * IGNORE NULLS dependency, which engines spell differently). Daily
+    * rollup: purchases, attributed count/rate, attributed revenue in
+    * integer cents (floor(value·100 + 0.5) before the sum, so the
+    * money aggregate is BIGINT-exact cross-engine).
+    *
+    * 100 TB shape: one (user)-partitioned window over the event scan
+    * (the q20 sessionize sort, reused), one map-side-combined daily
+    * aggregate. No self-join — the classic as-of formulation (q21)
+    * would join events×events; the window form is linear.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("att",
+        when(col("last_click_ts").isNotNull &&
+          col("ts") <= col("last_click_ts") + expr("INTERVAL 1 HOUR"),
+          1L).otherwise(0L))
+      .withColumn("cents",
+        floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("att")).as("n_attributed"),
+        (sum(col("att")).cast("double") / count(lit(1)).cast("double"))
+          .as("attribution_rate"),
+        sum(when(col("att") === 1L, col("cents")).otherwise(0L))
+          .as("attributed_cents"))
+      .select(col("day").cast("string").as("day"), col("n_purchases"),
+        col("n_attributed"), col("attribution_rate"),
+        col("attributed_cents"))
+      .orderBy(col("day"))
+  }
+
   /** Degree profile + assortativity of the duplicate graph (q212): the
     * degree histogram (how many documents have d duplicate witnesses)
     * and the degree-assortativity coefficient — Pearson correlation of
@@ -484,9 +529,15 @@ object Analytics {
       .select(col("id_a").as("a"), col("id_b").as("b")))
 
   private[graft] def degreeProfile(edges: DataFrame): DataFrame = {
+    // materialization barrier: the edge relation (for the dup graph, a
+    // whole shingle→band→verify chain) feeds FOUR branches (degrees,
+    // histogram, totals, assortativity sums) — without it each branch
+    // re-executes the chain
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      .persist()
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+      .persist()
     val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
     val totals = deg.agg(count(lit(1)).as("n_total"))
     val sums = sym

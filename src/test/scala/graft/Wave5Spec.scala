@@ -40,6 +40,43 @@ class Wave5Spec extends SparkSpec {
     }
   }
 
+  test("q214: attribution recomputed independently per purchase from " +
+    "the raw event log matches the daily rollup") {
+    val rows = Analytics.lastTouchAttribution(spark, sfDir).collect()
+      .map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("n_attributed"),
+          r.getAs[Long]("attributed_cents"))).toMap
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value")).collect()
+      .map { r =>
+        val ms = r.get(1) match {
+          case t: java.sql.Timestamp => t.getTime
+          case l: java.time.LocalDateTime =>
+            l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
+        (r.getAs[Long]("user_id"), ms, r.getAs[Long]("event_id"),
+          r.getAs[String]("event_type"), r.getAs[Double]("value"))
+      }
+    val byUser = ev.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._2, e._3)).toVector).toMap
+    val agg = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+    for ((_, seq) <- byUser; i <- seq.indices
+         if seq(i)._4 == "purchase") {
+      val (ts, v) = (seq(i)._2, seq(i)._5)
+      val lastClick = seq.take(i).filter(_._4 == "click")
+        .map(_._2).maxOption
+      val att = lastClick.exists(c => ts - c <= 3600L * 1000)
+      val day = java.time.Instant.ofEpochMilli(ts)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      val cents = math.floor(v * 100 + 0.5).toLong
+      val (p, a, c0) = agg.getOrElse(day, (0L, 0L, 0L))
+      agg(day) = (p + 1, a + (if (att) 1L else 0L),
+        c0 + (if (att) cents else 0L))
+    }
+    assert(agg.toMap == rows)
+  }
+
   test("q204 golden: a triangle survives the 2-core peel, a chain and " +
     "an isolated edge are peeled away, and a chain-attached clique " +
     "keeps exactly its clique members") {
