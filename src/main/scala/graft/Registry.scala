@@ -427,6 +427,8 @@ object Registry {
     "q213_streaming_heavy_hitters" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingHeavyHitters(s, d)),
     "q214_attribution" -> ((s, d) => Analytics.lastTouchAttribution(s, d)),
+    "q215_streaming_attribution" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingAttribution(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

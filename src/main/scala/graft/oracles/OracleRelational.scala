@@ -322,26 +322,12 @@ private[graft] object OracleRelational {
     "q208_ewma_anomaly" -> q208Sql,
     "q210_streaming_ewma" -> q208Sql,
     // q214: running conditional MAX = latest prior click (frame is
-    // time-ordered, no IGNORE NULLS); money summed as integer cents
-    "q214_attribution" ->
-      ("WITH w AS (SELECT user_id, ts, event_id, event_type, value, " +
-        "MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (" +
-        "PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
-        "AS last_click_ts FROM events), " +
-        "p AS (SELECT CAST(ts AS DATE) AS day, " +
-        "CASE WHEN last_click_ts IS NOT NULL AND " +
-        "ts <= last_click_ts + INTERVAL 1 HOUR THEN 1 ELSE 0 END AS att, " +
-        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents " +
-        "FROM w WHERE event_type = 'purchase') " +
-        "SELECT CAST(day AS VARCHAR) AS day, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_purchases, " +
-        "CAST(SUM(att) AS BIGINT) AS n_attributed, " +
-        "CAST(SUM(att) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
-        "AS attribution_rate, " +
-        "CAST(SUM(CASE WHEN att = 1 THEN cents ELSE 0 END) AS BIGINT) " +
-        "AS attributed_cents " +
-        "FROM p GROUP BY day ORDER BY day"),
+    // time-ordered, no IGNORE NULLS); money summed as integer cents.
+    // q215 (streaming maintenance with per-user click state) shares it
+    // verbatim: state re-enters with original (ts, event_id), so any
+    // time-ordered batching drains to the batch rollup
+    "q214_attribution" -> q214Sql,
+    "q215_streaming_attribution" -> q214Sql,
     // q189: daily top-3 leaderboard with rank movement vs the previous
     // OBSERVED day (prev_rk 0 = first appearance); ranks computed over
     // the FULL daily table before the top-k filter
@@ -421,6 +407,26 @@ private[graft] object OracleRelational {
       "strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to, " +
       "CAST(CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) " +
       "AS is_current FROM v ORDER BY user_id, version")
+
+  private def q214Sql: String =
+    ("WITH w AS (SELECT user_id, ts, event_id, event_type, value, " +
+      "MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (" +
+      "PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+      "AS last_click_ts FROM events), " +
+      "p AS (SELECT CAST(ts AS DATE) AS day, " +
+      "CASE WHEN last_click_ts IS NOT NULL AND " +
+      "ts <= last_click_ts + INTERVAL 1 HOUR THEN 1 ELSE 0 END AS att, " +
+      "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents " +
+      "FROM w WHERE event_type = 'purchase') " +
+      "SELECT CAST(day AS VARCHAR) AS day, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_purchases, " +
+      "CAST(SUM(att) AS BIGINT) AS n_attributed, " +
+      "CAST(SUM(att) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
+      "AS attribution_rate, " +
+      "CAST(SUM(CASE WHEN att = 1 THEN cents ELSE 0 END) AS BIGINT) " +
+      "AS attributed_cents " +
+      "FROM p GROUP BY day ORDER BY day")
 
   private def q208Sql: String =
     ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +

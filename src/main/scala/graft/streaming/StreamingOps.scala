@@ -1334,6 +1334,112 @@ object StreamingOps {
       spark.read.parquet(current.get))
   }
 
+  /** Streaming last-touch attribution (q215): q214 run as a live
+    * ingest — per-user "latest click" state (one (ts, event_id) pair
+    * per user, the as-of state a 24/7 attribution service keeps) is
+    * folded forward batch over batch; each batch's purchases are
+    * attributed against state ∪ in-batch earlier clicks by replaying
+    * the q214 window over the batch with the state injected as
+    * synthetic click rows CARRYING THEIR ORIGINAL (ts, event_id) —
+    * preserving the batch query's tie-ordering exactly, so any
+    * time-ordered micro-batching drains to q214's daily rollup and
+    * q214's SQL is the oracle verbatim.
+    *
+    * 100 TB shape: per-batch work is one window over the batch plus a
+    * max-merge into per-user state (users ≪ events); the daily ledger
+    * sum-merges like q210. State is two longs per user.
+    */
+  def streamingAttribution(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stateRoot = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_sattr_")).toString
+    val clickState =
+      new java.util.concurrent.atomic.AtomicReference[String]("")
+    val ledgerState =
+      new java.util.concurrent.atomic.AtomicReference[String]("")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val reader = spark.readStream
+      .schema(eventsSchema(tsType))
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        val ev = batch.toDF().select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type"), col("value"))
+        // state clicks re-enter with their ORIGINAL (ts, event_id) so
+        // the window's tie-break matches the batch query
+        val synth =
+          if (clickState.get.isEmpty) ev.limit(0)
+          else ss.read.parquet(clickState.get)
+            .select(col("user_id"), col("ts"), col("event_id"),
+              lit("click").as("event_type"), lit(0.0).as("value"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val batchDaily = ev.unionByName(synth)
+          .withColumn("last_click_ts",
+            max(when(col("event_type") === "click", col("ts"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .withColumn("att",
+            when(col("last_click_ts").isNotNull &&
+              col("ts") <= col("last_click_ts") +
+                expr("INTERVAL 1 HOUR"), 1L).otherwise(0L))
+          .withColumn("cents",
+            floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("att")).as("n_attributed"),
+            sum(when(col("att") === 1L, col("cents")).otherwise(0L))
+              .as("attributed_cents"))
+        val ledger =
+          if (ledgerState.get.isEmpty) batchDaily
+          else ss.read.parquet(ledgerState.get)
+            .unionByName(batchDaily)
+            .groupBy(col("day"))
+            .agg(sum(col("n_purchases")).as("n_purchases"),
+              sum(col("n_attributed")).as("n_attributed"),
+              sum(col("attributed_cents")).as("attributed_cents"))
+        val nextLedger = s"$stateRoot/ledger_b$id"
+        ledger.write.mode("overwrite").parquet(nextLedger)
+        ledgerState.set(nextLedger)
+        // fold batch clicks into per-user latest-click state:
+        // lexicographic max on (ts, event_id)
+        val batchClicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val allClicks =
+          if (clickState.get.isEmpty) batchClicks
+          else ss.read.parquet(clickState.get).unionByName(batchClicks)
+        val latest = allClicks
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("rk") === 1).drop("rk")
+        val nextClicks = s"$stateRoot/clicks_b$id"
+        latest.write.mode("overwrite").parquet(nextClicks)
+        clickState.set(nextClicks)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(ledgerState.get)
+      .select(col("day").cast("string").as("day"), col("n_purchases"),
+        col("n_attributed"),
+        (col("n_attributed").cast("double") /
+          col("n_purchases").cast("double")).as("attribution_rate"),
+        col("attributed_cents"))
+      .orderBy(col("day"))
+  }
+
   /** Streaming heavy hitters (q213): a capacity-bounded SpaceSaving-
     * style summary of per-user event counts maintained live — the
     * state a 24/7 ingest keeps when the key domain is too large to

@@ -77,6 +77,45 @@ class Wave5Spec extends SparkSpec {
     assert(agg.toMap == rows)
   }
 
+  test("q215: streaming attribution over a 3-file time split drains " +
+    "to the batch q214 rollup row-for-row") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .orderBy(col("ts"), col("event_id"))
+    val bounds = ev.select(col("ts")).collect().map(_.get(0))
+    val n = bounds.length
+    val (t1, t2) = (bounds(n / 3), bounds(2 * n / 3))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sattrsplit_").toString
+    try {
+      val parts = Seq(
+        ev.filter(col("ts") < lit(t1)),
+        ev.filter(col("ts") >= lit(t1) && col("ts") < lit(t2)),
+        ev.filter(col("ts") >= lit(t2)))
+      for ((p, b) <- parts.zipWithIndex) {
+        val tmp = s"$root/_w"
+        p.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(s"$root/b$b.events.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Thread.sleep(1100) // ascending modtimes pin time-ordered batches
+      }
+      val streamed = graft.streaming.StreamingOps
+        .streamingAttribution(spark, sfDir,
+          sourceDir = Some(root), sourceGlob = "*.events.parquet",
+          maxFilesPerTrigger = Some(1))
+        .collect().map(_.toSeq).toSeq
+      Caches.releaseAll(spark)
+      val batch = Analytics.lastTouchAttribution(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("q204 golden: a triangle survives the 2-core peel, a chain and " +
     "an isolated edge are peeled away, and a chain-attached clique " +
     "keeps exactly its clique members") {
