@@ -429,6 +429,9 @@ object Registry {
     "q214_attribution" -> ((s, d) => Analytics.lastTouchAttribution(s, d)),
     "q215_streaming_attribution" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingAttribution(s, d)),
+    "q216_greedy_decode" -> ((s, d) => TextOps.greedyDecode(s, d)),
+    "q217_dup_aware_weights" -> ((s, d) => TextOps.dupAwareWeights(s, d)),
+    "q218_split_leak_repair" -> ((s, d) => TextOps.splitLeakRepair(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

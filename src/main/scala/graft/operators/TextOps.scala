@@ -2379,6 +2379,125 @@ object TextOps {
     fulls.unionByName(parts).orderBy(col("source"), col("epoch"))
   }
 
+  /** Greedy bigram decode (q216): the determinism smoke test of the LM
+    * family — starting from the train corpus's most frequent token,
+    * repeatedly emit the argmax-count successor for `steps` steps. A
+    * quick qualitative probe of what the n-gram tables (q129/q159)
+    * actually memorized (looping output = boilerplate-dominated
+    * counts), and the same iterative-argmax harness as q154's MMR:
+    * every step is integer-count ranked with lexical tie-break, so the
+    * whole trajectory is exact and the oracle unrolls it step for step.
+    *
+    * 100 TB shape: the bigram table is the corpus-pass product (narrow
+    * (wa, wb, count) relation); each decode step is one equi-join of a
+    * 1-row context against it + a TakeOrdered(1). The driver holds
+    * `steps` strings (q154's bounded-trajectory contract).
+    */
+  def greedyDecode(spark: SparkSession, dir: String,
+      steps: Int = 8): DataFrame = {
+    import spark.implicits._
+    val train = Tables.documents(spark, dir)
+      .filter(splitCol("doc_id") === "train")
+      .select(TextAnalytics.tokens(col("text")).as("toks"))
+      .persist()
+    val bi = train
+      .filter(size(col("toks")) >= 2)
+      .select(explode(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("wa"),
+            element_at(col("toks"), i + 1).as("wb")))).as("b"))
+      .select(col("b.wa"), col("b.wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("cb"))
+      .persist()
+    val seed = train.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      .orderBy(col("cu").desc, col("tok")).limit(1)
+      .head().getString(0)
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var cur = seed
+    var step = 1
+    var dead = false
+    while (step <= steps && !dead) {
+      val next = bi.filter(col("wa") === cur)
+        .orderBy(col("cb").desc, col("wb")).limit(1).collect()
+      if (next.isEmpty) dead = true
+      else {
+        val r = next.head
+        out += ((step.toLong, cur, r.getAs[String]("wb"),
+          r.getAs[Long]("cb")))
+        cur = r.getAs[String]("wb")
+        step += 1
+      }
+    }
+    train.unpersist(false)
+    bi.unpersist(false)
+    out.result().toDF("step", "context", "next_tok", "c_bigram")
+      .orderBy(col("step"))
+  }
+
+  /** Duplicate-aware loss weighting (q217): instead of deleting exact
+    * duplicates (q28), keep every copy but weight it 1/n_copies — the
+    * soft-dedup alternative some training runs prefer (deletion loses
+    * cross-source provenance; downweighting preserves it while making
+    * each CONTENT count once toward the loss). Output grain is
+    * (source, n_copies): docs, raw tokens, and the weighted effective
+    * tokens n_tokens/n_copies — ONE division per output row over
+    * integer sums, so the table is exact cross-engine (a per-doc
+    * Σ(tc/n) of heterogeneous doubles would not be).
+    *
+    * 100 TB shape: hashes shuffle, never text — one hash aggregate for
+    * copy counts, one broadcast-size join back, one (source, n_copies)
+    * aggregate; output ≤ sources × distinct copy-counts rows.
+    */
+  def dupAwareWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), md5(col("text").cast("binary")).as("h"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("tc"))
+      .persist()
+    val copies = docs.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"))
+    docs.join(copies, "h")
+      .groupBy(col("source"), col("n_copies"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens"))
+      .select(col("source"), col("n_copies"), col("n_docs"),
+        col("n_tokens"),
+        (lit(1.0) / col("n_copies").cast("double")).as("weight"),
+        (col("n_tokens").cast("double") / col("n_copies").cast("double"))
+          .as("effective_tokens"))
+      .orderBy(col("source"), col("n_copies"))
+  }
+
+  /** Contamination-repair split manifest (q218): q136 assigns splits
+    * by doc-id hash and FLAGS leakage (val/test docs whose exact
+    * content also appears in train); this operator executes the repair
+    * a release actually ships — leaked held-out docs are REASSIGNED to
+    * train (the conservative direction: never let a train-seen content
+    * grade the model) — and emits the per-split audit: docs before,
+    * docs moved out (leaked), docs moved in, docs after. Pure integer
+    * set arithmetic over the q136 relation, exact cross-engine.
+    *
+    * 100 TB shape: the q136 chain (row-local split hash + one
+    * content-hash semi-join) plus two #splits-row aggregates.
+    */
+  def splitLeakRepair(spark: SparkSession, dir: String): DataFrame = {
+    val s = datasetSplit(spark, dir)
+      .select(col("doc_id"), col("split"),
+        when(col("leaked"), 1L).otherwise(0L).as("lk"))
+      .persist()
+    val before = s.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_before"), sum(col("lk")).as("n_out"))
+    val moved = s.filter(col("lk") === 1L).count()
+    before
+      .select(col("split"), col("n_before"),
+        when(col("split") === "train", 0L).otherwise(col("n_out"))
+          .as("n_moved_out"),
+        when(col("split") === "train", lit(moved)).otherwise(0L)
+          .as("n_moved_in"))
+      .withColumn("n_after",
+        col("n_before") - col("n_moved_out") + col("n_moved_in"))
+      .orderBy(col("split"))
+  }
+
   /** Per-source curation scorecard (q211): the one-page review table a
     * data lead reads before signing off a mix — for every source its
     * volume (docs, tokens, token share), mean doc length, q24 quality

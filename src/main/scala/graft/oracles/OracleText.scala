@@ -1377,7 +1377,91 @@ private[graft] object OracleText {
         "FROM c CROSS JOIN tt " +
         "JOIN w2 ON w2.source = c.source " +
         "JOIN pe ON pe.source = c.source ORDER BY c.source"),
+    // q216: the decode trajectory unrolled step for step (the q154
+    // discipline) — integer-count argmax with lexical tie-break
+    "q216_greedy_decode" -> q216Sql,
+    // q217: (source, n_copies)-grain soft-dedup weights — one division
+    // per output row over integer sums, exact cross-engine
+    "q217_dup_aware_weights" ->
+      ("WITH h AS (SELECT source, md5(text) AS h, " +
+        "len(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS tc FROM documents), " +
+        "c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies FROM h " +
+        "GROUP BY h), " +
+        "j AS (SELECT source, n_copies, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(tc) AS BIGINT) AS n_tokens " +
+        "FROM h JOIN c USING (h) GROUP BY 1, 2) " +
+        "SELECT source, n_copies, n_docs, n_tokens, " +
+        "1.0 / CAST(n_copies AS DOUBLE) AS weight, " +
+        "CAST(n_tokens AS DOUBLE) / CAST(n_copies AS DOUBLE) " +
+        "AS effective_tokens FROM j ORDER BY source, n_copies"),
+    // q218: the q136 chain + the reassignment audit — leaked held-out
+    // docs move to train, counts are exact set arithmetic
+    "q218_split_leak_repair" ->
+      ("WITH a AS (SELECT doc_id, md5(text) AS content_hash, " +
+        "md5('split|' || CAST(doc_id AS VARCHAR)) AS hk " +
+        "FROM documents), " +
+        "b AS (SELECT *, (strpos('0123456789abcdef', " +
+        "substr(hk, 1, 1)) - 1) * 16 + " +
+        "strpos('0123456789abcdef', substr(hk, 2, 1)) - 1 AS bb " +
+        "FROM a), " +
+        "sp AS (SELECT doc_id, content_hash, CASE WHEN bb < 204 " +
+        "THEN 'train' WHEN bb < 230 THEN 'val' ELSE 'test' END " +
+        "AS split FROM b), " +
+        "th AS (SELECT DISTINCT content_hash AS t_hash FROM sp " +
+        "WHERE split = 'train'), " +
+        "s AS (SELECT sp.split, CASE WHEN sp.split <> 'train' AND " +
+        "th.t_hash IS NOT NULL THEN 1 ELSE 0 END AS lk FROM sp " +
+        "LEFT JOIN th ON sp.content_hash = th.t_hash), " +
+        "bf AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_before, " +
+        "CAST(SUM(lk) AS BIGINT) AS n_out FROM s GROUP BY split), " +
+        "mv AS (SELECT CAST(SUM(lk) AS BIGINT) AS m FROM s) " +
+        "SELECT split, n_before, " +
+        "CAST(CASE WHEN split = 'train' THEN 0 ELSE n_out END " +
+        "AS BIGINT) AS n_moved_out, " +
+        "CAST(CASE WHEN split = 'train' THEN mv.m ELSE 0 END " +
+        "AS BIGINT) AS n_moved_in, " +
+        "CAST(n_before - (CASE WHEN split = 'train' THEN 0 ELSE n_out " +
+        "END) + (CASE WHEN split = 'train' THEN mv.m ELSE 0 END) " +
+        "AS BIGINT) AS n_after " +
+        "FROM bf CROSS JOIN mv ORDER BY split"),
   )
+
+  private def q216Sql: String = {
+    val steps = 8
+    val prelude =
+      "WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "sp AS (SELECT toks, (strpos('0123456789abcdef', " +
+        "substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) " +
+        "* 16 + strpos('0123456789abcdef', substr(md5('split|' || " +
+        "CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bb FROM t), " +
+        "tr AS (SELECT toks FROM sp WHERE bb < 204), " +
+        "bgt AS (SELECT toks[CAST(p AS INT)] AS wa, " +
+        "toks[CAST(p + 1 AS INT)] AS wb " +
+        "FROM tr, unnest(range(1, len(toks))) u(p)), " +
+        "bi AS (SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS cb " +
+        "FROM bgt GROUP BY 1, 2), " +
+        "uni AS (SELECT tok, COUNT(*) AS cu FROM " +
+        "(SELECT unnest(toks) AS tok FROM tr) GROUP BY 1), " +
+        "s0 AS (SELECT tok AS next_tok FROM (SELECT tok, " +
+        "ROW_NUMBER() OVER (ORDER BY cu DESC, tok) AS rn FROM uni) " +
+        "WHERE rn = 1)"
+    val chain = (1 to steps).map { i =>
+      s"g$i AS (SELECT CAST($i AS BIGINT) AS step, " +
+        s"p.next_tok AS context, b.wb AS next_tok, " +
+        s"b.cb AS c_bigram FROM bi b " +
+        s"JOIN ${if (i == 1) "s0" else s"g${i - 1}"} p " +
+        "ON b.wa = p.next_tok " +
+        "ORDER BY b.cb DESC, b.wb LIMIT 1)"
+    }.mkString(", ", ", ", " ")
+    val union = (1 to steps)
+      .map(i => s"SELECT step, context, next_tok, c_bigram FROM g$i")
+      .mkString(" UNION ALL ")
+    prelude + chain + "SELECT * FROM (" + union + ") ORDER BY step"
+  }
 
   // Registry's size-sum check only catches CROSS-family collisions —
   // a key duplicated between the two intra-family maps would silently

@@ -116,6 +116,69 @@ class Wave5Spec extends SparkSpec {
     }
   }
 
+  test("q216: the decode chain links step to step and the first step " +
+    "is the true argmax successor of the seed") {
+    val rows = TextOps.greedyDecode(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("step"))
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("step") == 1L)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[String]("context") == a.getAs[String]("next_tok"))
+        assert(b.getAs[Long]("step") == a.getAs[Long]("step") + 1)
+      case _ => ()
+    }
+    // independent check of step 1: recompute train bigrams driver-side
+    val toks = graft.sources.Tables.documents(spark, sfDir)
+      .filter(TextOps.splitCol("doc_id") === "train")
+      .select(graft.functions.TextAnalytics.tokens(col("text")))
+      .collect().map(_.getSeq[String](0))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.length)
+    val seed = uni.toSeq.minBy { case (t, c) => (-c, t) }._1
+    val succ = toks.flatMap(t => t.zip(t.drop(1)))
+      .filter(_._1 == seed).groupBy(_._2).view.mapValues(_.length)
+    val best = succ.toSeq.minBy { case (t, c) => (-c, t) }
+    assert(rows.head.getAs[String]("context") == seed)
+    assert(rows.head.getAs[String]("next_tok") == best._1)
+    assert(rows.head.getAs[Long]("c_bigram") == best._2.toLong)
+  }
+
+  test("q217: effective tokens sum to the deduplicated corpus's token " +
+    "count and weights invert copy counts") {
+    val rows = TextOps.dupAwareWeights(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("weight") ==
+        1.0 / r.getAs[Long]("n_copies").toDouble)
+    }
+    val eff = rows.map(_.getAs[Double]("effective_tokens")).sum
+    // one keeper per distinct content: its token count, counted once
+    val dedupTokens = graft.sources.Tables.documents(spark, sfDir)
+      .select(md5(col("text").cast("binary")).as("h"),
+        graft.functions.TextAnalytics.tokenCount(col("text"))
+          .cast("long").as("tc"))
+      .groupBy(col("h")).agg(first(col("tc")).as("tc"))
+      .agg(sum(col("tc"))).head.getLong(0)
+    assert(math.abs(eff - dedupTokens.toDouble) < 1e-6)
+  }
+
+  test("q218: repair conserves docs, empties held-out leakage into " +
+    "train, and agrees with q136's leak flags") {
+    val rows = TextOps.splitLeakRepair(spark, sfDir).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    val leaked = TextOps.datasetSplit(spark, sfDir)
+      .filter(col("leaked")).count()
+    assert(rows("train").getAs[Long]("n_moved_in") == leaked)
+    assert(rows("train").getAs[Long]("n_moved_out") == 0L)
+    val beforeSum = rows.values.map(_.getAs[Long]("n_before")).sum
+    val afterSum = rows.values.map(_.getAs[Long]("n_after")).sum
+    assert(beforeSum == afterSum)
+    for (s <- Seq("val", "test")) {
+      val r = rows(s)
+      assert(r.getAs[Long]("n_after") ==
+        r.getAs[Long]("n_before") - r.getAs[Long]("n_moved_out"))
+    }
+  }
+
   test("q204 golden: a triangle survives the 2-core peel, a chain and " +
     "an isolated edge are peeled away, and a chain-attached clique " +
     "keeps exactly its clique members") {
