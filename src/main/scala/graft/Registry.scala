@@ -432,6 +432,8 @@ object Registry {
     "q216_greedy_decode" -> ((s, d) => TextOps.greedyDecode(s, d)),
     "q217_dup_aware_weights" -> ((s, d) => TextOps.dupAwareWeights(s, d)),
     "q218_split_leak_repair" -> ((s, d) => TextOps.splitLeakRepair(s, d)),
+    "q219_length_mad_outliers" -> ((s, d) =>
+      TextOps.lengthMadOutliers(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -2435,6 +2435,52 @@ object TextOps {
       .orderBy(col("step"))
   }
 
+  /** Robust per-source length outliers (q219): median + MAD (median
+    * absolute deviation) of doc lengths per source, and the count of
+    * docs beyond k·MAD — the robust outlier rule a curation pass uses
+    * where mean/σ (q143's moment arithmetic) would be dragged by the
+    * very outliers it hunts. Both medians are EXACT rank selections
+    * (value at rank ⌈n/2⌉, the q200 discipline), so the whole table is
+    * integer arithmetic until the final share division.
+    *
+    * 100 TB shape: two (source)-partitioned window sorts (lengths,
+    * then deviations) + one broadcast-size median join; output is
+    * #sources rows. At extreme scale both selections fold from the
+    * q192 length histogram instead of row ranks.
+    */
+  def lengthMadOutliers(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val med = docs
+      .withColumn("rk", row_number().over(
+        bySrc.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("source"), col("n_chars").as("med"))
+    val dev = docs.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+      .persist()
+    val mad = dev
+      .withColumn("rk", row_number().over(
+        bySrc.orderBy(col("dev"), col("doc_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("source"), col("dev").as("mad"))
+    dev.join(broadcast(mad), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("med")).as("median"),
+        first(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(k.toLong) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_share",
+        col("n_outliers").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
   /** Duplicate-aware loss weighting (q217): instead of deleting exact
     * duplicates (q28), keep every copy but weight it 1/n_copies — the
     * soft-dedup alternative some training runs prefer (deletion loses

@@ -1380,6 +1380,31 @@ private[graft] object OracleText {
     // q216: the decode trajectory unrolled step for step (the q154
     // discipline) — integer-count argmax with lexical tie-break
     "q216_greedy_decode" -> q216Sql,
+    // q219: median and MAD by exact rank selection (value at ⌈n/2⌉,
+    // the q200 discipline); integer arithmetic until the final share
+    "q219_length_mad_outliers" ->
+      ("WITH d AS (SELECT source, doc_id, n_chars FROM documents), " +
+        "m AS (SELECT source, n_chars AS med FROM " +
+        "(SELECT source, n_chars, CAST(ROW_NUMBER() OVER (" +
+        "PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) " +
+        "AS rk, CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) " +
+        "AS n FROM d) WHERE rk = (n + 1) // 2), " +
+        "dv AS (SELECT d.source, d.doc_id, m.med, " +
+        "abs(d.n_chars - m.med) AS dev FROM d JOIN m USING (source)), " +
+        "md AS (SELECT source, dev AS mad FROM " +
+        "(SELECT source, dev, CAST(ROW_NUMBER() OVER (" +
+        "PARTITION BY source ORDER BY dev, doc_id) AS BIGINT) AS rk, " +
+        "CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n " +
+        "FROM dv) WHERE rk = (n + 1) // 2) " +
+        "SELECT dv.source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(MIN(dv.med) AS BIGINT) AS median, " +
+        "CAST(MIN(md.mad) AS BIGINT) AS mad, " +
+        "CAST(SUM(CASE WHEN dv.dev > 3 * md.mad THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_outliers, " +
+        "CAST(SUM(CASE WHEN dv.dev > 3 * md.mad THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS outlier_share " +
+        "FROM dv JOIN md USING (source) GROUP BY dv.source " +
+        "ORDER BY dv.source"),
     // q217: (source, n_copies)-grain soft-dedup weights — one division
     // per output row over integer sums, exact cross-engine
     "q217_dup_aware_weights" ->

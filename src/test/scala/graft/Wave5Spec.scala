@@ -179,6 +179,29 @@ class Wave5Spec extends SparkSpec {
     }
   }
 
+  test("q219: median and MAD recompute driver-side per source and the " +
+    "outlier rule is the exact integer decision") {
+    val rows = TextOps.lengthMadOutliers(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_chars")))
+    for ((src, g) <- docs.groupBy(_._1)) {
+      val sorted = g.sortBy(x => (x._3, x._2)).map(_._3)
+      val med = sorted((sorted.length + 1) / 2 - 1)
+      val devsSorted = g.map(x => (math.abs(x._3 - med), x._2))
+        .sortBy(identity).map(_._1)
+      val mad = devsSorted((devsSorted.length + 1) / 2 - 1)
+      val nOut = g.count(x => math.abs(x._3 - med) > 3 * mad)
+      val r = rows(src)
+      assert(r.getAs[Long]("median") == med)
+      assert(r.getAs[Long]("mad") == mad)
+      assert(r.getAs[Long]("n_outliers") == nOut.toLong)
+      assert(r.getAs[Long]("n_docs") == g.length.toLong)
+    }
+  }
+
   test("q204 golden: a triangle survives the 2-core peel, a chain and " +
     "an isolated edge are peeled away, and a chain-attached clique " +
     "keeps exactly its clique members") {
