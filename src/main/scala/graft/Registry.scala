@@ -434,6 +434,8 @@ object Registry {
     "q218_split_leak_repair" -> ((s, d) => TextOps.splitLeakRepair(s, d)),
     "q219_length_mad_outliers" -> ((s, d) =>
       TextOps.lengthMadOutliers(s, d)),
+    "q220_split_composition" -> ((s, d) =>
+      TextOps.splitCompositionAudit(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

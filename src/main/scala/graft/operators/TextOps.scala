@@ -2435,6 +2435,41 @@ object TextOps {
       .orderBy(col("step"))
   }
 
+  /** Split-composition bias audit (q220): for every (split, lang)
+    * cell, the observed doc count vs the count expected if the q136
+    * doc-id-hash split were independent of language — expected =
+    * split_total · lang_total / corpus_total, exact integer
+    * numerators with ONE final division per cell, plus the relative
+    * deviation. The QA table that certifies a hash split didn't
+    * accidentally correlate with a data attribute (it can, when ids
+    * encode ingest order and ingest order encodes language) before
+    * anyone trusts per-split evals.
+    *
+    * 100 TB shape: the split is row-local hash arithmetic; the audit
+    * is three map-side-combined count aggregates joined at
+    * (splits × langs) size.
+    */
+  def splitCompositionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(splitCol("doc_id").as("split"), col("lang"))
+      .persist()
+    val cells = base.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val bySplit = base.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_split"))
+    val byLang = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+    val total = base.agg(count(lit(1)).as("n_total"))
+    cells.join(bySplit, "split").join(byLang, "lang").crossJoin(total)
+      .select(col("split"), col("lang"), col("n"),
+        ((col("n_split") * col("n_lang")).cast("double") /
+          col("n_total").cast("double")).as("expected"),
+        ((col("n") * col("n_total")).cast("double") /
+          (col("n_split") * col("n_lang")).cast("double") - lit(1.0))
+          .as("rel_dev"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Robust per-source length outliers (q219): median + MAD (median
     * absolute deviation) of doc lengths per source, and the count of
     * docs beyond k·MAD — the robust outlier rule a curation pass uses

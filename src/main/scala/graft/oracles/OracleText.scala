@@ -1380,6 +1380,29 @@ private[graft] object OracleText {
     // q216: the decode trajectory unrolled step for step (the q154
     // discipline) — integer-count argmax with lexical tie-break
     "q216_greedy_decode" -> q216Sql,
+    // q220: observed vs independence-expected (split, lang) counts —
+    // integer numerators, one division per cell
+    "q220_split_composition" ->
+      ("WITH b AS (SELECT CASE WHEN bb < 204 THEN 'train' " +
+        "WHEN bb < 230 THEN 'val' ELSE 'test' END AS split, lang FROM " +
+        "(SELECT lang, (strpos('0123456789abcdef', " +
+        "substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) " +
+        "* 16 + strpos('0123456789abcdef', substr(md5('split|' || " +
+        "CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bb FROM documents)), " +
+        "c AS (SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM b GROUP BY 1, 2), " +
+        "s AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_split " +
+        "FROM b GROUP BY 1), " +
+        "l AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang " +
+        "FROM b GROUP BY 1), " +
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM b) " +
+        "SELECT c.split, c.lang, c.n, " +
+        "CAST(s.n_split * l.n_lang AS DOUBLE) / " +
+        "CAST(t.n_total AS DOUBLE) AS expected, " +
+        "CAST(c.n * t.n_total AS DOUBLE) / " +
+        "CAST(s.n_split * l.n_lang AS DOUBLE) - 1.0 AS rel_dev " +
+        "FROM c JOIN s USING (split) JOIN l USING (lang) CROSS JOIN t " +
+        "ORDER BY c.split, c.lang"),
     // q219: median and MAD by exact rank selection (value at ⌈n/2⌉,
     // the q200 discipline); integer arithmetic until the final share
     "q219_length_mad_outliers" ->

@@ -202,6 +202,26 @@ class Wave5Spec extends SparkSpec {
     }
   }
 
+  test("q220: cell counts roll up to the split and lang marginals and " +
+    "expected counts sum to the corpus per split") {
+    val rows = TextOps.splitCompositionAudit(spark, sfDir).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+    val splits = TextOps.datasetSplit(spark, sfDir)
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("count")).toMap
+    for ((s, cells) <- bySplit) {
+      assert(cells.map(_.getAs[Long]("n")).sum == splits(s))
+      // Σ expected over langs for one split = split total (exact up
+      // to the per-cell division)
+      val expSum = cells.map(_.getAs[Double]("expected")).sum
+      assert(math.abs(expSum - splits(s).toDouble) < 1e-6)
+      cells.foreach { c =>
+        val rd = c.getAs[Double]("rel_dev")
+        assert(rd > -1.0) // observed > 0 by construction of the cell
+      }
+    }
+  }
+
   test("q204 golden: a triangle survives the 2-core peel, a chain and " +
     "an isolated edge are peeled away, and a chain-attached clique " +
     "keeps exactly its clique members") {
