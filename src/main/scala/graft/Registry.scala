@@ -338,8 +338,9 @@ object Registry {
     // historical window-hash artifact
     "q174_incremental_window_dedup" -> ((s, d) =>
       Dedup.incrementalWindowDedup(s, d)),
-    // the same screen as a drained stream (cached historical window
-    // set, per-batch semi-join + reassembly)
+    // the same screen as a drained stream, widened by the state-append
+    // rule: batch windows join corpus hashes AND the growing stream
+    // min-doc state, so new-vs-new substrings dedup too
     "q175_streaming_window_dedup" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingWindowDedup(s, d)),
     // context-length sizing: exact per-cap truncation cost

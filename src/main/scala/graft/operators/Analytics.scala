@@ -475,23 +475,19 @@ object Analytics {
     * 100 TB shape: one (user)-partitioned window over the event scan
     * (the q20 sessionize sort, reused), one map-side-combined daily
     * aggregate. No self-join — the classic as-of formulation (q21)
-    * would join events×events; the window form is linear.
+    * would join events×events; the window form is linear, and lives
+    * as the reusable [[AsOf.asOfAttribution]] so it is the default
+    * shape, not a q214-local trick (r9 verdict ask).
     */
   def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type"), col("value"))
-      .withColumn("last_click_ts",
-        max(when(col("event_type") === "click", col("ts"))).over(w))
-      .filter(col("event_type") === "purchase")
-      .withColumn("att",
-        when(col("last_click_ts").isNotNull &&
-          col("ts") <= col("last_click_ts") + expr("INTERVAL 1 HOUR"),
-          1L).otherwise(0L))
+    AsOf.asOfAttribution(
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value")),
+        isSource = col("event_type") === "click",
+        isTarget = col("event_type") === "purchase",
+        horizonSeconds = 3600L)
+      .withColumnRenamed("asof_matched", "att")
       .withColumn("cents",
         floor(col("value") * 100 + lit(0.5)).cast("long"))
       .groupBy(col("ts").cast("date").as("day"))
@@ -581,9 +577,19 @@ object Analytics {
     * quarantine.
     */
   def dupGraphKCore(spark: SparkSession, dir: String,
-      k: Int = 2): DataFrame =
-    kCorePeel(Dedup.minhashOracledDf(Tables.documents(spark, dir))
-      .select(col("id_a").as("a"), col("id_b").as("b")), k)._1
+      k: Int = 2): DataFrame = {
+    val (census, rounds) = kCorePeel(
+      Dedup.minhashOracledDf(Tables.documents(spark, dir))
+        .select(col("id_a").as("a"), col("id_b").as("b")), k)
+    // the DuckDB oracle unrolls exactly KCoreRounds peel rounds; a
+    // graph that needs more would silently diverge cross-engine, so
+    // the contract is enforced HERE, not only in the fixture spec
+    require(rounds <= graft.oracles.OracleDedup.KCoreRounds,
+      s"k-core peel took $rounds rounds > oracle unroll " +
+        s"${graft.oracles.OracleDedup.KCoreRounds} — widen KCoreRounds " +
+        "and re-derive the q204 oracle before trusting this result")
+    census
+  }
 
   /** Peel loop over a canonical (a < b) edge relation; returns the
     * census and the number of peel rounds actually run (fixpoint
@@ -629,6 +635,13 @@ object Analytics {
         nAlive = n
         alive = next
       }
+      // a maxIters exit with deletions still happening means the
+      // returned census is NOT the k-core — fail loudly instead of
+      // handing back a silently-unconverged fixpoint
+      if (changed)
+        throw new IllegalStateException(
+          s"k-core peel did not converge within $maxIters rounds " +
+            s"($nAlive nodes still alive and changing)")
       val coreDeg = sym
         .join(alive, "u")
         .join(alive.select(col("u").as("v")), "v")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,5 +42,45 @@ object AsOf {
       .select(col("event_id"), col("key").as("user_id"),
         col("matched").as("o_orderkey"))
       .orderBy(col("event_id"))
+  }
+
+  /** Single-relation as-of with a horizon — the LINEAR form every
+    * attribution-style query should reach for (r9 verdict: lift q214's
+    * conditional-running-max trick into a reusable operator so the
+    * self-join-free plan is the default, with the join form as its
+    * oracle).
+    *
+    * For every row of `events`, `asof_src_ts` is the timestamp of the
+    * most recent STRICTLY-EARLIER row (ties broken by `tieCol` — a
+    * source at the exact same (ts, tie) position does not match
+    * itself) satisfying `isSource`, carried per `keyCol` by a running
+    * conditional MAX over the time-ordered preceding frame: the max of
+    * source timestamps IS the latest one because the frame is
+    * time-ordered — no IGNORE NULLS dependency, which engines spell
+    * differently. Rows satisfying `isTarget` are returned with
+    * `asof_matched` = 1 when the source lies within `horizonSeconds`.
+    *
+    * 100 TB shape: ONE (key)-partitioned window over the event scan —
+    * linear, no event×event range join (the q21 union-tag form is the
+    * two-relation sibling; this is the self-join-free single-relation
+    * case). The classic join formulation (`target ⋈ source ON key AND
+    * src.ts < tgt.ts AND tgt.ts − src.ts ≤ h` + argmax) is the oracle
+    * Wave5Spec checks this operator against.
+    */
+  def asOfAttribution(events: DataFrame, isSource: Column,
+      isTarget: Column, horizonSeconds: Long,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("asof_src_ts", max(when(isSource, col(tsCol))).over(w))
+      .filter(isTarget)
+      .withColumn("asof_matched",
+        when(col("asof_src_ts").isNotNull &&
+          col(tsCol) <= col("asof_src_ts") +
+            expr(s"INTERVAL $horizonSeconds SECOND"),
+          1L).otherwise(0L))
   }
 }

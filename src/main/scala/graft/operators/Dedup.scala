@@ -263,9 +263,16 @@ object Dedup {
     val docs = shingledDocs(spark, dir)
     val banded = bandedSignatures(docs).persist()
     val isBatch = col("doc_id") % batchMod === batchRem
-    val newBands = banded.filter(isBatch)
+    // BOTH sides route through the hot-bucket quarantine (r9 verdict):
+    // a boilerplate mega-bucket on the CORPUS side multiplies against
+    // every batch — the self-join skew bomb paid incrementally. Each
+    // side caps on its OWN frequencies, bounding per-bucket pair
+    // expansion at cap²; quarantined buckets surface through the q168
+    // telemetry (same BandBucketCap constant). No-op at the fixtures
+    // (measured max bucket 11 at sf0.1).
+    val newBands = capHotBuckets(banded.filter(isBatch))
       .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
-    val corpusBands = banded.filter(!isBatch)
+    val corpusBands = capHotBuckets(banded.filter(!isBatch))
       .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
     val pairs = corpusBands.join(newBands, Seq("band", "bucket"))
       .select(col("new_id"), col("corpus_id"))
@@ -313,9 +320,13 @@ object Dedup {
     if (!fs.exists(path))
       bandedSignatures(docs.filter(!isBatch))
         .write.mode("overwrite").parquet(bandTablePath)
-    val corpusBands = spark.read.parquet(bandTablePath)
+    // the stored artifact keeps EVERY bucket (so the cap stays tunable
+    // from the q168 histogram without rebuilding); the quarantine is
+    // applied on the read path of both join sides — one narrow
+    // counting pass + a broadcast anti join, no corpus-side exchange
+    val corpusBands = capHotBuckets(spark.read.parquet(bandTablePath))
       .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
-    val newBands = bandedSignatures(docs.filter(isBatch))
+    val newBands = capHotBuckets(bandedSignatures(docs.filter(isBatch)))
       .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
     val pairs = corpusBands.join(newBands, Seq("band", "bucket"))
       .select(col("new_id"), col("corpus_id"))
@@ -1139,10 +1150,20 @@ object Dedup {
       .withColumn("rn", row_number().over(
         byDoc.orderBy(col("df"), col("gh"))))
       .filter(col("rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
-      .select(col("doc_id"), col("gh"))
-    val cand = prefix.select(col("doc_id").as("id_a"), col("gh"))
-      .join(prefix.select(col("doc_id").as("id_b"), col("gh")), "gh")
+      .select(col("doc_id"), col("gh"), col("n"))
+    // ppjoin LENGTH filter: J(A,B) ≥ t forces t·|B| ≤ |A| (for
+    // |A| ≤ |B|), so any candidate with min(n_a,n_b) < t·max(n_a,n_b)
+    // cannot verify — prune it BEFORE the array joins (answer
+    // unchanged by construction; the sizes ride the prefix rows, so
+    // the filter costs nothing but the comparison)
+    val cand = prefix
+      .select(col("doc_id").as("id_a"), col("gh"), col("n").as("n_a"))
+      .join(prefix
+        .select(col("doc_id").as("id_b"), col("gh"), col("n").as("n_b")),
+        "gh")
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(minJaccard) * greatest(col("n_a"), col("n_b")).cast("double"))
       .select(col("id_a"), col("id_b"))
       .distinct()
     cand
@@ -1247,8 +1268,10 @@ object Dedup {
     * buckets at that size, the documents they hold, and whether the
     * size breaches [[BandBucketCap]]. This is the standing QA table a
     * 100 TB run reads to TUNE the hot-bucket cap before trusting the
-    * banding joins (q95/q148/q150/q160/q163 all quarantine through the
-    * same constant): a fat tail here means boilerplate is dominating
+    * banding joins (the self-join family q95/q148/q150/q160/q163 AND
+    * the cross-side incremental/streaming screens q86/q116/q145/q196
+    * all quarantine through the same constant, each side on its own
+    * frequencies): a fat tail here means boilerplate is dominating
     * the min-hashes and the cap (or the shingling) needs attention.
     *
     * 100 TB shape: two narrow hash aggregations — (band, bucket) →

@@ -1222,12 +1222,16 @@ object Similarity {
 
   /** Incremental SemDeDup (q169): a NEW embedding batch (vec_id %
     * batchMod == batchRem — today's crawl, embedded) screened against
-    * the HISTORICAL corpus without any corpus self-join — the
-    * embedding-space sibling of the minhash incremental screen (q86/
-    * q116): assign both sides to the q97 coarse quantizer (k lowest-id
+    * the HISTORICAL corpus PLUS the batch's own earlier-id members,
+    * without any corpus self-join — the embedding-space sibling of the
+    * minhash incremental screen (q86/q116, including its state-append
+    * rule: a batch vector also duplicates against earlier batch
+    * vectors, first occurrence winning by id, so new-vs-new semantic
+    * copies are caught and the verdict is batch-split invariant):
+    * assign both sides to the q97 coarse quantizer (k lowest-id
     * unit vectors, the oracled fixed model), then compare each batch
-    * vector ONLY to its own cluster's corpus members (the inverted-
-    * list read), flagging it a semantic duplicate when any corpus
+    * vector ONLY to its own cluster's members (the inverted-
+    * list read), flagging it a semantic duplicate when any eligible
     * cosine ≥ tau. Emits every batch vector with its verdict, dup
     * count and best corpus match (highest cosine, ties to the lowest
     * corpus id — deterministic cross-engine by the q34 bit-identical-
@@ -1259,9 +1263,16 @@ object Similarity {
     val isBatch = col("vec_id") % batchMod === batchRem
     val batch = members.filter(isBatch)
       .select(col("vec_id"), col("cid"), col("v"))
-    val corpus = members.filter(!isBatch)
+    // other side = corpus members PLUS earlier-id batch members: the
+    // q116 state-append rule in embedding space (r9 verdict — batch-
+    // vs-corpus alone misses new-vs-new semantic duplicates; first
+    // occurrence wins, canonical by id, so the result is batch-split
+    // invariant and statically oracleable)
+    val others = members
       .select(col("cid"), col("vec_id").as("other"), col("v").as("cv"))
-    val hits = batch.join(corpus, Seq("cid"))
+    val hits = batch.join(others, Seq("cid"))
+      .filter((col("other") % batchMod =!= batchRem) ||
+        (col("other") < col("vec_id")))
       .withColumn("sim", dotNative(col("v"), col("cv")))
       .filter(col("sim") >= tau)
       .withColumn("n_dups",

@@ -2088,26 +2088,33 @@ object TextOps {
     * value selected by integer rank, so the whole table hash-matches
     * cross-engine with no tolerance at all.
     *
-    * 100 TB shape: one (source)-partitioned window sort over the
-    * corpus scan (the same sort every per-source rank op here shares),
-    * then a rank-membership filter — output is 9×|sources| rows. At
-    * extreme scale the same table computes from the q192 length
-    * HISTOGRAM (value domain ≪ corpus) with a cumulative window; the
-    * direct form keeps the oracle one-to-one.
+    * 100 TB shape (the r9 verdict's histogram fold, now the
+    * implementation, not a comment): the corpus scan collapses to the
+    * per-(source, length) HISTOGRAM first — one map-side-combined
+    * aggregate — and the rank selection walks the histogram's
+    * cumulative counts. The only window runs over histogram rows
+    * (value domain ≪ corpus, distinct lengths per source), so a
+    * 40%-of-corpus source costs a few thousand window rows instead of
+    * a single-task sort of its entire doc grain. Lengths are bounded
+    * integers, so the fold is EXACT: rank r's value is the histogram
+    * row whose cumulative range covers r — byte-identical to the
+    * row-rank form, same oracle.
     */
   def sourceDeciles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bySrc = Window.partitionBy(col("source"))
-    val ranked = Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"), col("n_chars"))
-      .withColumn("rk", row_number().over(
-        bySrc.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
-      .withColumn("n", count(lit(1)).over(bySrc))
+    val hist = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(bySrc.orderBy(col("n_chars"))))
+      .withColumn("n", sum(col("cnt")).over(bySrc))
     val decs = explode(array((1 to 9).map(d => lit(d.toLong)): _*))
-    ranked.select(col("source"), col("n_chars"), col("rk"), col("n"),
-        decs.as("decile"))
-      .filter(col("rk") === ceil(col("decile").cast("double") *
+    cum.select(col("source"), col("n_chars"), col("cnt"), col("cum"),
+        col("n"), decs.as("decile"))
+      .withColumn("r", ceil(col("decile").cast("double") *
         col("n").cast("double") / lit(10.0)).cast("long"))
+      .filter(col("r") > col("cum") - col("cnt") && col("r") <= col("cum"))
       .select(col("source"), col("decile"), col("n_chars").as("value"),
         col("n").as("n_docs"))
       .orderBy(col("source"), col("decile"))
@@ -2351,6 +2358,10 @@ object TextOps {
     val plan = tokenBudgetPlanDf(spark, docs)
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("target_tokens"))
+      // an all-empty source (n_tokens = 0) would NULL the div here but
+      // hard-error DuckDB's `//` — filter in BOTH engines so they
+      // degrade identically (ADVICE r9)
+      .filter(col("n_tokens") > 0)
       .withColumn("full_e", expr("target_tokens div n_tokens"))
       .withColumn("ptar", col("target_tokens") % col("n_tokens"))
     val cum = docs.select(col("source"), col("doc_id"),
@@ -2409,14 +2420,17 @@ object TextOps {
       .select(col("b.wa"), col("b.wb"))
       .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("cb"))
       .persist()
-    val seed = train.select(explode(col("toks")).as("tok"))
+    val seedOpt = train.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
       .orderBy(col("cu").desc, col("tok")).limit(1)
-      .head().getString(0)
+      .collect().headOption.map(_.getString(0))
+    // an EMPTY train split (tiny/filtered corpora) has no seed — the
+    // trajectory is empty, matching the oracle's empty chain, not a
+    // NoSuchElementException (ADVICE r9)
     val out = Seq.newBuilder[(Long, String, String, Long)]
-    var cur = seed
+    var cur = seedOpt.getOrElse("")
     var step = 1
-    var dead = false
+    var dead = seedOpt.isEmpty
     while (step <= steps && !dead) {
       val next = bi.filter(col("wa") === cur)
         .orderBy(col("cb").desc, col("wb")).limit(1).collect()
@@ -2478,38 +2492,50 @@ object TextOps {
     * (value at rank ⌈n/2⌉, the q200 discipline), so the whole table is
     * integer arithmetic until the final share division.
     *
-    * 100 TB shape: two (source)-partitioned window sorts (lengths,
-    * then deviations) + one broadcast-size median join; output is
-    * #sources rows. At extreme scale both selections fold from the
-    * q192 length histogram instead of row ranks.
+    * 100 TB shape (the r9 verdict's histogram fold, now the
+    * implementation): the corpus collapses ONCE to the per-(source,
+    * length) histogram — one map-side-combined aggregate, the only
+    * pass that touches doc grain. Median, the deviation histogram
+    * (|len − med| merges the ± sides of the SAME histogram — no second
+    * corpus pass), MAD, and the outlier counts are all cumulative
+    * walks over histogram rows (value domain ≪ corpus). No per-source
+    * row-grain sort anywhere, so a dominant source costs its distinct
+    * lengths, not its doc count. Lengths are bounded integers, so
+    * every selection is exact — same values, same oracle.
     */
   def lengthMadOutliers(spark: SparkSession, dir: String,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bySrc = Window.partitionBy(col("source"))
-    val docs = Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"), col("n_chars"))
-    val med = docs
-      .withColumn("rk", row_number().over(
-        bySrc.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
-      .withColumn("n", count(lit(1)).over(bySrc))
-      .filter(col("rk") === expr("(n + 1) div 2"))
-      .select(col("source"), col("n_chars").as("med"))
-    val dev = docs.join(broadcast(med), "source")
-      .withColumn("dev", abs(col("n_chars") - col("med")))
+    val hist = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      // barrier: the histogram feeds the median walk, the deviation
+      // rebin, and the final rollup
       .persist()
-    val mad = dev
-      .withColumn("rk", row_number().over(
-        bySrc.orderBy(col("dev"), col("doc_id"))).cast("long"))
-      .withColumn("n", count(lit(1)).over(bySrc))
-      .filter(col("rk") === expr("(n + 1) div 2"))
-      .select(col("source"), col("dev").as("mad"))
-    dev.join(broadcast(mad), "source")
+    // value at rank (n+1) div 2 = the histogram row whose cumulative
+    // range covers the rank
+    def medianOf(h: DataFrame, v: String): DataFrame = h
+      .withColumn("cum", sum(col("cnt")).over(bySrc.orderBy(col(v))))
+      .withColumn("n", sum(col("cnt")).over(bySrc))
+      .withColumn("r", expr("(n + 1) div 2"))
+      .filter(col("r") > col("cum") - col("cnt") && col("r") <= col("cum"))
+      .select(col("source"), col(v).as("sel"))
+    val med = medianOf(hist, "n_chars")
+      .select(col("source"), col("sel").as("med"))
+    val devHist = hist.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+      .groupBy(col("source"), col("dev"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = medianOf(devHist, "dev")
+      .select(col("source"), col("sel").as("mad"))
+    hist.join(broadcast(med), "source").join(broadcast(mad), "source")
+      .withColumn("dev", abs(col("n_chars") - col("med")))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(sum(col("cnt")).as("n_docs"),
         first(col("med")).as("median"),
         first(col("mad")).as("mad"),
-        sum(when(col("dev") > lit(k.toLong) * col("mad"), 1L)
+        sum(when(col("dev") > lit(k.toLong) * col("mad"), col("cnt"))
           .otherwise(0L)).as("n_outliers"))
       .withColumn("outlier_share",
         col("n_outliers").cast("double") / col("n_docs").cast("double"))
@@ -2631,15 +2657,18 @@ object TextOps {
     * Every checkpoint count is exact integer arithmetic, so the table
     * hash-matches cross-engine; β is a shared-formula double.
     *
-    * 100 TB shape: global token positions come from a prefix sum over
-    * the NARROW (doc_id, n_tokens) relation — the offset window's
-    * exchange carries 16 bytes/doc, never text (the explode re-reads
-    * the corpus and joins the offsets back, trading a second scan for
-    * a text-free sort; at cluster scale the single-partition window is
-    * the two-phase per-partition prefix-sum pattern) — then one token
-    * explode → min-position per type (map-side combined). The decile
-    * membership join is checkpoint-table (10 rows, broadcast) × vocab —
-    * never the corpus; at extreme scale the same counts fold from a
+    * 100 TB shape: global token positions come from a TWO-PHASE
+    * prefix sum over the NARROW (doc_id, n_tokens) relation (the r9
+    * verdict's ask, now the implementation): range-partition by
+    * doc_id, per-partition running sums in parallel (a window keyed by
+    * partition id — every partition sorts its own slice), per-
+    * partition totals folded into cumulative offsets driver-side
+    * (#partitions rows, a bounded driver model) and broadcast back.
+    * No single-partition exchange of doc-grain rows anywhere — the
+    * Wave5Spec guard now asserts its ABSENCE. Then one token explode →
+    * min-position per type (map-side combined). The decile membership
+    * join is checkpoint-table (10 rows, broadcast) × vocab — never the
+    * corpus; at extreme scale the same counts fold from a
     * first-position histogram instead.
     */
   def heapsLaw(spark: SparkSession, dir: String): DataFrame =
@@ -2647,15 +2676,38 @@ object TextOps {
 
   def heapsLawDf(spark: SparkSession, docsRaw: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val docs = docsRaw
       .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
       .withColumn("nt", size(col("toks")).cast("long"))
       .filter(col("nt") > 0)
-    val offsets = docs.select(col("doc_id"), col("nt"))
-      .withColumn("off", coalesce(sum(col("nt")).over(
-        Window.orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("doc_id"), col("off"))
+    // phase 1: range-partition the narrow relation so partition index
+    // order == doc_id order, then each partition prefix-sums its own
+    // slice (the pid-keyed window runs one task per partition)
+    val narrow = docs.select(col("doc_id"), col("nt"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      // barrier: the partition-total pass and the local-prefix pass
+      // must see the SAME materialized partitioning
+      .persist()
+    // phase 2: per-partition totals → cumulative starting offsets.
+    // #partitions rows cross the driver — bounded by the session's
+    // shuffle parallelism, never the data
+    val totals = narrow.groupBy(col("pid")).agg(sum(col("nt")).as("ps"))
+      .collect().sortBy(_.getAs[Int]("pid"))
+    var acc = 0L
+    val cumOffs = totals.map { r =>
+      val o = acc; acc += r.getAs[Long]("ps"); (r.getAs[Int]("pid"), o)
+    }.toSeq
+    val offDf =
+      if (cumOffs.isEmpty) Seq((0, 0L)).toDF("pid", "poff").limit(0)
+      else cumOffs.toDF("pid", "poff")
+    val wLoc = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = narrow
+      .withColumn("loc", coalesce(sum(col("nt")).over(wLoc), lit(0L)))
+      .join(broadcast(offDf), "pid")
+      .select(col("doc_id"), (col("loc") + col("poff")).as("off"))
     val first = docs.select(col("doc_id"), col("toks"))
       .join(offsets, "doc_id")
       .select(col("off"), posexplode(col("toks")).as(Seq("p", "token")))

@@ -160,10 +160,14 @@ private[graft] object OracleAnn {
         "WHERE rn = 1), " +
         "m AS (SELECT asn.vec_id, asn.cid, u.v FROM asn JOIN u USING (vec_id)), " +
         "b AS (SELECT * FROM m WHERE vec_id % 10 = 9), " +
-        "cr AS (SELECT cid, vec_id AS other, v AS cv FROM m WHERE vec_id % 10 <> 9), " +
+        // other side = corpus members PLUS earlier-id batch members
+        // (the q116 state-append rule in embedding space — new-vs-new
+        // duplicates screen too, first occurrence wins)
+        "cr AS (SELECT cid, vec_id AS other, v AS cv FROM m), " +
         "p AS (SELECT b.vec_id, b.cid, cr.other, " +
         "list_reduce(list_transform(list_zip(b.v, cr.cv), pr -> pr[1] * pr[2]), (x,y) -> x+y) AS sim " +
-        "FROM b JOIN cr ON b.cid = cr.cid), " +
+        "FROM b JOIN cr ON b.cid = cr.cid " +
+        "AND (cr.other % 10 <> 9 OR cr.other < b.vec_id)), " +
         "h AS (SELECT vec_id, COUNT(*) AS n_dups FROM p WHERE sim >= 0.3 " +
         "GROUP BY vec_id), " +
         "bst AS (SELECT vec_id, other AS best_match, sim AS best_sim FROM " +

@@ -408,11 +408,12 @@ private[graft] object OracleDedup {
     // q174: the q167 window screen run incrementally — batch docs'
     // windows semi-joined against the HISTORICAL window-hash set
     // (history always wins), batch docs reassembled without the
-    // borrowed spans. q175 (the streaming form) shares this SQL
-    // verbatim: history-only reference makes any batch split drain to
-    // the batch answer (the q157 pattern)
+    // borrowed spans
     "q174_incremental_window_dedup" -> q174Sql,
-    "q175_streaming_window_dedup" -> q174Sql,
+    // q175: q174 WIDENED by the state-append rule (r10): a batch
+    // window is also borrowed when an EARLIER-id stream doc carries
+    // it — the static form of the streaming min-doc state screen
+    "q175_streaming_window_dedup" -> q175Sql,
     // q168: bucket-size histogram of the q95 md5 banding — the skew
     // telemetry the hot-bucket quarantine (Dedup.BandBucketCap = 64)
     // is tuned from; exact counts, fully oracled
@@ -752,6 +753,48 @@ private[graft] object OracleDedup {
         "CAST(COUNT(*) OVER (PARTITION BY cl.cluster) AS BIGINT) " +
         "AS n_members " +
         "FROM documents d JOIN cl ON cl.id = d.doc_id ORDER BY d.doc_id")
+
+  /** q175: q174's screen plus the stream-state rule — a batch window
+    * is borrowed when it appears in the corpus OR in a stream doc with
+    * a smaller doc_id (first occurrence wins; same-doc repeats never
+    * self-remove). Matches the drained stream under the id-ordered
+    * arrival contract the operator documents.
+    */
+  private def q175Sql: String =
+    ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+      "x -> x <> '') AS toks FROM documents), " +
+      "f AS (SELECT * FROM t WHERE len(toks) > 0), " +
+      "w AS (SELECT doc_id, p AS pos, " +
+      "md5(array_to_string(toks[p+1:p+15], ' ')) AS wh " +
+      "FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 14)) AS p " +
+      "FROM f WHERE len(toks) >= 15)), " +
+      "cw AS (SELECT DISTINCT wh, 1 AS inc FROM w WHERE doc_id % 10 <> 9), " +
+      "sw AS (SELECT wh, MIN(doc_id) AS mind FROM w " +
+      "WHERE doc_id % 10 = 9 GROUP BY wh), " +
+      "rem AS (SELECT w.doc_id, list(pos ORDER BY pos) AS starts, " +
+      "COUNT(*) AS n_dup FROM w " +
+      "LEFT JOIN cw USING (wh) LEFT JOIN sw USING (wh) " +
+      "WHERE w.doc_id % 10 = 9 " +
+      "AND (cw.inc IS NOT NULL OR sw.mind < w.doc_id) " +
+      "GROUP BY w.doc_id), " +
+      "j AS (SELECT f.doc_id, toks, " +
+      "COALESCE(starts, CAST([] AS BIGINT[])) AS starts, " +
+      "COALESCE(n_dup, 0) AS n_dup FROM f " +
+      "LEFT JOIN rem ON f.doc_id = rem.doc_id " +
+      "WHERE f.doc_id % 10 = 9), " +
+      "k AS (SELECT doc_id, toks, n_dup, " +
+      "list_filter(range(0, len(toks)), tk -> " +
+      "len(list_filter(starts, s -> s <= tk AND tk < s + 15)) = 0) " +
+      "AS kept FROM j) " +
+      "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      "CAST(greatest(len(toks) - 14, 0) AS BIGINT) AS n_windows, " +
+      "CAST(n_dup AS BIGINT) AS n_dup_windows, " +
+      "CAST(len(kept) AS BIGINT) AS n_kept_tokens, " +
+      "CAST(len(kept) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS keep_ratio, " +
+      "md5(COALESCE(array_to_string(" +
+      "list_transform(kept, tk -> toks[CAST(tk + 1 AS INT)]), ' '), '')) " +
+      "AS kept_md5 " +
+      "FROM k ORDER BY doc_id")
 
   private def q174Sql: String =
     ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +

@@ -1292,9 +1292,11 @@ private[graft] object OracleText {
         "p AS (SELECT source, n_docs, n_tokens, " +
         "CAST(floor(CAST(tt.b AS DOUBLE) * w / tot.t) AS BIGINT) " +
         "AS target_tokens FROM s CROSS JOIN tot CROSS JOIN tt), " +
+        // n_tokens = 0 (an all-empty source) would hard-error `//`
+        // where Spark NULLs — both engines filter it (ADVICE r9)
         "pl AS (SELECT source, n_docs, n_tokens, " +
         "target_tokens // n_tokens AS full_e, " +
-        "target_tokens % n_tokens AS ptar FROM p), " +
+        "target_tokens % n_tokens AS ptar FROM p WHERE n_tokens > 0), " +
         "h AS (SELECT source, doc_id, CAST(len(list_filter(" +
         "string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) " +
         "AS tc, md5('epoch|' || CAST(doc_id AS VARCHAR)) AS hk " +

@@ -191,18 +191,87 @@ class DedupChainSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
-  test("streaming window dedup drains to exactly the incremental batch rows") {
+  test("streaming window dedup drains to the STATIC corpus∪earlier-stream rule") {
+    import graft.sources.Tables
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
         r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
         r.getAs[Long]("n_kept_tokens"), r.getAs[String]("kept_md5"))).toSet
-    val batch = rows(Dedup.incrementalWindowDedup(spark, sfDir))
+    // static form of the r10 state-append rule: a batch window is
+    // borrowed when in the corpus OR carried by an earlier-id stream
+    // doc (first occurrence wins, same-doc repeats never self-remove)
+    val toksAll = Dedup.tokenizedDocs(Tables.documents(spark, sfDir))
+    val wAll = Dedup.windowRows(toksAll, 15)
+    val cw = wAll.filter(col("doc_id") % 10 =!= 9)
+      .select(col("wh")).distinct().withColumn("in_corpus", lit(1))
+    val sw = wAll.filter(col("doc_id") % 10 === 9)
+      .groupBy(col("wh")).agg(min(col("doc_id")).as("min_doc"))
+    val removed = wAll.filter(col("doc_id") % 10 === 9)
+      .join(cw, Seq("wh"), "left").join(sw, Seq("wh"), "left")
+      .filter(col("in_corpus").isNotNull || col("min_doc") < col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"),
+        count(lit(1)).as("n_dup"))
+    val expected = rows(Dedup.reassembleUncovered(
+      toksAll.filter(col("doc_id") % 10 === 9), removed, 15))
     val streamed = rows(
       graft.streaming.StreamingOps.streamingWindowDedup(spark, sfDir))
-    assert(streamed == batch,
-      s"streamed ${streamed.size} rows vs batch ${batch.size}")
-    assert(batch.exists(_._4 > 0L), "no borrowed spans in the fixture")
+    assert(streamed == expected,
+      s"streamed ${streamed.size} rows vs static ${expected.size}")
+    assert(expected.exists(_._4 > 0L), "no borrowed spans in the fixture")
     Caches.releaseAll(spark)
+  }
+
+  test("cross-micro-batch stream substring dedups (window state grows per batch)") {
+    import spark.implicits._
+    // two stream docs share a 15-token run and arrive in DIFFERENT
+    // micro-batches in id order: the earlier doc must keep its tokens,
+    // the later doc must lose the shared run — the r9 gap (history-only
+    // screen) would keep both
+    val shared = (0 until 15).map(t => s"dup$t").mkString(" ")
+    val d19 = shared + " " + (0 until 10).map(t => s"aa$t").mkString(" ")
+    val d29 = shared + " " + (0 until 10).map(t => s"bb$t").mkString(" ")
+    val corpus = (0 until 20).map(t => s"zz$t").mkString(" ")
+    def row(id: Long, text: String) =
+      (id, text, "en", "crafted", text.length.toLong)
+    val all = Seq(row(19L, d19), row(29L, d29), row(4L, corpus))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_xbatchwin_").toString
+    def writeFlat(rows: Seq[(Long, String, String, String, Long)],
+        dest: String): Unit = {
+      val tmp = s"$root/_w"
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(dest)
+      target.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    try {
+      writeFlat(all, s"$root/corpus/documents.parquet")
+      writeFlat(Seq(row(19L, d19)), s"$root/stream/b0.parquet")
+      writeFlat(Seq(row(29L, d29)), s"$root/stream/b1.parquet")
+      // id-ordered arrival (the keyset-pagination contract): b0 older
+      new java.io.File(s"$root/stream/b0.parquet")
+        .setLastModified(System.currentTimeMillis() - 60000L)
+      val got = graft.streaming.StreamingOps.streamingWindowDedup(
+          spark, s"$root/corpus",
+          sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+          maxFilesPerTrigger = Some(1)).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_dup_windows"), r.getAs[Long]("n_kept_tokens")))
+        .toMap
+      assert(got(19L)._1 == 0L && got(19L)._2 == 25L,
+        s"earlier doc lost tokens: $got")
+      assert(got(29L)._1 == 1L && got(29L)._2 == 10L,
+        s"later stream duplicate not screened: $got")
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
   }
 
   test("streaming vocab drains to exactly the full-corpus batch vocab") {
@@ -607,6 +676,146 @@ class DedupChainSpec extends SparkSpec {
     } finally {
       Caches.releaseAll(spark)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("stream band state compacts: a 10-batch drain leaves a bounded " +
+    "file count and identical pairs") {
+    import spark.implicits._
+    val dup = (0 until 30).map(t => s"dup$t").mkString(" ")
+    val corpusDoc = (1 until 30).map(t => s"dup$t").mkString(" ") + " dupX"
+    def row(id: Long, text: String) =
+      (id, text, "en", "crafted", text.length.toLong)
+    // stream docs ids 9,19,...,99 — first and last identical (a
+    // cross-batch stream-stream pair), the rest unique noise
+    val streamDocs = (0 until 10).map { i =>
+      val id = 10L * i + 9L
+      val text = if (i == 0 || i == 9) dup
+        else (0 until 30).map(t => s"u${i}t$t").mkString(" ")
+      row(id, text)
+    }
+    val all = streamDocs ++ Seq(row(4L, corpusDoc),
+      row(6L, (0 until 30).map(t => s"zz$t").mkString(" ")))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact_").toString
+    def writeFlat(rows: Seq[(Long, String, String, String, Long)],
+        dest: String): Unit = {
+      val tmp = s"$root/_w"
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(dest)
+      target.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    def pairs(stateDir: String, maxFiles: Int) = {
+      val got = graft.streaming.StreamingOps.streamingBandDedup(
+          spark, s"$root/corpus",
+          sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+          maxFilesPerTrigger = Some(1),
+          stateRoot = Some(stateDir), stateCompactMaxFiles = maxFiles)
+        .collect()
+        .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id")))
+        .toSet
+      Caches.releaseAll(spark)
+      got
+    }
+    try {
+      writeFlat(all, s"$root/corpus/documents.parquet")
+      streamDocs.zipWithIndex.foreach { case (d, i) =>
+        val f = s"$root/stream/b$i.parquet"
+        writeFlat(Seq(d), f)
+        // id-ordered arrival: monotone mtimes
+        new java.io.File(f)
+          .setLastModified(System.currentTimeMillis() - (100L - i) * 1000L)
+      }
+      val uncompacted = pairs(s"$root/state_plain", maxFiles = 1000)
+      val compacted = pairs(s"$root/state_compact", maxFiles = 3)
+      assert(compacted == uncompacted && compacted.contains((99L, 9L)),
+        s"compacted $compacted vs uncompacted $uncompacted")
+      // 10 appended deltas without compaction; a bounded handful with
+      val nPlain = new java.io.File(s"$root/state_plain").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val nCompact = new java.io.File(s"$root/state_compact").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(nPlain >= 10, s"expected >=10 delta files, got $nPlain")
+      assert(nCompact <= 5,
+        s"compaction left $nCompact files (bound 5; plain run: $nPlain)")
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("corpus-side mega-bucket contributes ZERO candidates to the batch screens") {
+    import spark.implicits._
+    // the r9 verdict's skew bomb: a boilerplate bucket on the CORPUS
+    // side of an incremental/streaming screen multiplies against every
+    // batch. 100 identical corpus docs (all band buckets size 100,
+    // over the cap of 64) + one batch doc with the SAME text that
+    // would otherwise pair with all 100, + a genuine batch-vs-corpus
+    // near-dup pair that must survive the quarantine.
+    val spam = (0 until 30).map(t => s"spam$t").mkString(" ")
+    val nearA = (0 until 30).map(t => s"tok$t").mkString(" ")
+    val nearB = (1 until 30).map(t => s"tok$t").mkString(" ") + " tokX"
+    def row(id: Long, text: String) =
+      (id, text, "en", "crafted", text.length.toLong)
+    val spamIds = (0 until 200).map(_.toLong).filter(_ % 10 != 9).take(100)
+    val all = spamIds.map(row(_, spam)) ++ Seq(
+      row(219L, spam), // batch doc hitting the mega-bucket
+      row(229L, nearA), row(224L, nearB),
+      row(226L, (0 until 30).map(t => s"zz$t").mkString(" ")))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_megacorpus_").toString
+    def writeFlat(rows: Seq[(Long, String, String, String, Long)],
+        dest: String): Unit = {
+      val tmp = s"$root/_w"
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(dest)
+      target.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    try {
+      writeFlat(all, s"$root/corpus/documents.parquet")
+      val spamSet = spamIds.toSet + 219L
+      // the quarantine report names the corpus mega-bucket at size 100
+      val corpusDf = all.filter(r => r._1 % 10 != 9)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val hot = Dedup.hotBuckets(Dedup.bandDocs(corpusDf)).collect()
+      assert(hot.nonEmpty && hot.forall(_.getAs[Long]("bucket_size") == 100L),
+        s"hot corpus buckets: ${hot.mkString(",")}")
+      // batch incremental screen (q86 shape): zero spam candidates,
+      // the genuine near-dup pair survives
+      val inc = Dedup.incrementalMinhash(spark, s"$root/corpus").collect()
+        .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id")))
+        .toSet
+      assert(inc.forall { case (a, b) =>
+        !spamSet.contains(a) && !spamSet.contains(b) },
+        s"quarantined corpus docs leaked into batch candidates: $inc")
+      assert(inc.contains((229L, 224L)), s"genuine pair lost: $inc")
+      // streaming screen (q116 shape): same quarantine per batch
+      writeFlat(all.filter(_._1 % 10 == 9), s"$root/stream/b0.parquet")
+      val streamed = graft.streaming.StreamingOps.streamingBandDedup(
+          spark, s"$root/corpus",
+          sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet")
+        .collect()
+        .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id")))
+        .toSet
+      assert(streamed.forall { case (a, b) =>
+        !spamSet.contains(a) && !spamSet.contains(b) },
+        s"quarantined corpus docs leaked into the stream screen: $streamed")
+      assert(streamed.contains((229L, 224L)), s"genuine pair lost: $streamed")
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
   }
 }

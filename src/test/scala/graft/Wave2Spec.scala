@@ -316,10 +316,13 @@ class Wave2Spec extends SparkSpec {
       cents.toSeq.map { case (c, cv) => (dot(v, cv), c) }
         .maxBy { case (s, c) => (s, -c) }._2
     val cid = u.map { case (id, v) => id -> assign(v) }
-    val corpusByCid = u.keys.filter(_ % 10 != 9).toSeq.groupBy(cid)
+    val byCid = u.keys.toSeq.groupBy(cid)
     got.foreach { case (id, (gcid, nDups, isDup, best)) =>
       assert(gcid == cid(id), s"vec $id cluster")
-      val hits = corpusByCid.getOrElse(gcid, Seq.empty)
+      // other side = corpus members + EARLIER-id batch members (the
+      // r10 state-append widening: new-vs-new duplicates screen too)
+      val hits = byCid.getOrElse(gcid, Seq.empty)
+        .filter(o => o % 10 != 9 || o < id)
         .map(o => (o, dot(u(id), u(o)))).filter(_._2 >= 0.3)
       assert(nDups == hits.size.toLong, s"vec $id n_dups")
       assert((isDup == 1L) == hits.nonEmpty, s"vec $id verdict")

@@ -9,15 +9,18 @@ import graft.operators._
   */
 class Wave5Spec extends SparkSpec {
 
-  test("q205 plan guard: the global-offset window's single-partition " +
-    "exchange carries (doc_id, nt) only — never text or token arrays") {
+  test("q205 plan guard: the two-phase prefix sum leaves NO global " +
+    "window and no single-partition exchange of row-grain data") {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.aggregate.{
+      HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.types.{ArrayType, StringType}
-    // multi-partition input forces the window's SinglePartition
-    // exchange into the plan (the sf0.001 single-file scan would
-    // satisfy the distribution without one); its payload must be free
-    // of strings and arrays
+    import org.apache.spark.sql.execution.window.WindowExec
+    // multi-partition input would force any global window's
+    // SinglePartition exchange into the plan (the sf0.001 single-file
+    // scan would satisfy the distribution without one) — the r9 fix
+    // replaced that window with the two-phase per-partition prefix
+    // sum, so the guard now asserts ABSENCE, not payload narrowness
     val docs = graft.sources.Tables.documents(spark, sfDir).repartition(4)
     // the adaptive wrapper's executedPlan, not sparkPlan: implicit
     // exchanges only exist after AQE's preparation rules (which include
@@ -28,16 +31,68 @@ class Wave5Spec extends SparkSpec {
           .AdaptiveSparkPlanExec => a.executedPlan
         case p => p
       }
-    val single = planned.collect {
+    // no window may run globally (empty partition spec = one task
+    // sorts everything)
+    val globalWindows = planned.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"global window survived the two-phase rewrite: $globalWindows")
+    // the only single-partition exchanges left are scalar-aggregate
+    // finals (one partial row per partition — #partitions rows, not
+    // data grain)
+    planned.collect {
       case e: ShuffleExchangeExec
-        if e.outputPartitioning == SinglePartition => e.child.output
+        if e.outputPartitioning == SinglePartition => e.child
+    }.foreach { child =>
+      assert(child.exists {
+        case _: HashAggregateExec | _: ObjectHashAggregateExec |
+          _: SortAggregateExec => true
+        case _ => false
+      }, s"single-partition exchange over non-aggregate input: $child")
     }
-    assert(single.nonEmpty)
-    single.flatten.foreach { a =>
-      assert(a.dataType != StringType &&
-        !a.dataType.isInstanceOf[ArrayType],
-        s"offset window shuffles wide column ${a.name}")
-    }
+  }
+
+  test("asOfAttribution: the linear window form equals the classic " +
+    "as-of JOIN form per target row") {
+    import graft.operators.AsOf
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    val linear = AsOf.asOfAttribution(ev,
+        isSource = col("event_type") === "click",
+        isTarget = col("event_type") === "purchase",
+        horizonSeconds = 3600L)
+      .select(col("event_id"), col("asof_src_ts"), col("asof_matched"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.get(1)).map(_.toString),
+          r.getAs[Long]("asof_matched"))).toMap
+    // the join form: target ⋈ source on key, strictly-earlier (ts,
+    // tie) order, argmax source ts, horizon check — the oracle the
+    // linear plan must reproduce
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("event_id").as("pid"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cuser"), col("ts").as("cts"),
+        col("event_id").as("cid"))
+    val joined = p.join(c, p("user_id") === c("cuser") &&
+        (c("cts") < p("pts") ||
+          (c("cts") === p("pts") && c("cid") < p("pid"))), "left")
+      .groupBy(col("pid"), col("pts"))
+      .agg(max(col("cts")).as("src_ts"))
+      .select(col("pid"), col("src_ts"),
+        when(col("src_ts").isNotNull &&
+          col("pts") <= col("src_ts") + expr("INTERVAL 1 HOUR"),
+          1L).otherwise(0L).as("matched"))
+      .collect()
+      .map(r => r.getAs[Long]("pid") ->
+        (Option(r.get(1)).map(_.toString),
+          r.getAs[Long]("matched"))).toMap
+    assert(linear == joined,
+      s"linear ${linear.size} targets vs join ${joined.size}")
+    assert(linear.nonEmpty && linear.values.exists(_._2 == 1L))
   }
 
   test("q214: attribution recomputed independently per purchase from " +
