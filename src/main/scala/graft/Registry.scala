@@ -437,6 +437,20 @@ object Registry {
       TextOps.lengthMadOutliers(s, d)),
     "q220_split_composition" -> ((s, d) =>
       TextOps.splitCompositionAudit(s, d)),
+    // event-grain as-of attribution: the linear window plan, oracled
+    // by the classic as-of JOIN formulation
+    "q221_asof_attribution" -> ((s, d) =>
+      Analytics.asOfAttributionEvents(s, d)),
+    // HyperLogLog distinct-content estimate per source (md5 registers,
+    // exact BIGINT harmonic sum — fully oracled) + exact audit
+    "q222_hll_distinct" -> ((s, d) => TextOps.hllDistinct(s, d)),
+    // the q222 sketch maintained per micro-batch and drained by
+    // register-max merge (shares q222's oracle SQL verbatim)
+    "q223_streaming_hll" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingHllDistinct(s, d)),
+    // pairwise source-overlap: bottom-k minwise Jaccard estimate +
+    // exact audit — the mix-planning overlap matrix
+    "q224_source_overlap" -> ((s, d) => Dedup.sourceOverlapSketch(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -503,6 +503,36 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Event-grain as-of attribution (q221): [[AsOf.asOfAttribution]]'s
+    * per-target rows exposed directly — each purchase with the
+    * timestamp of the user's most recent strictly-earlier click and
+    * the within-one-hour attribution flag. q214 is this relation's
+    * daily rollup; emitting the event grain makes the operator itself
+    * oracle-checked: the ORACLE is the classic as-of JOIN form
+    * (purchase ⋈ earlier clicks, argmax click ts, horizon check), so
+    * the linear window plan and the join formulation are pinned equal
+    * cross-engine — the q21/q214 unification the r9 verdict asked for,
+    * as a standing correctness gate instead of a one-off spec.
+    *
+    * 100 TB shape: ONE (user)-partitioned window over the event scan —
+    * the join form the oracle uses would be an events×events range
+    * join; the engine never runs it.
+    */
+  def asOfAttributionEvents(spark: SparkSession, dir: String): DataFrame =
+    AsOf.asOfAttribution(
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        isSource = col("event_type") === "click",
+        isTarget = col("event_type") === "purchase",
+        horizonSeconds = 3600L)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("asof_src_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("click_ts"),
+        col("asof_matched").as("attributed"))
+      .orderBy(col("event_id"))
+
   /** Degree profile + assortativity of the duplicate graph (q212): the
     * degree histogram (how many documents have d duplicate witnesses)
     * and the degree-assortativity coefficient — Pearson correlation of

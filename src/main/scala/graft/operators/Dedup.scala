@@ -1295,6 +1295,100 @@ object Dedup {
       .orderBy(col("band"), col("bucket_size"))
   }
 
+  /** Bottom-k source-overlap sketch (q224): pairwise shingle-set
+    * Jaccard between SOURCES, estimated from per-source bottom-k
+    * md5 sketches (k smallest distinct 3-shingle hashes — the k-min-
+    * values cardinality sketch applied to set resemblance, Broder's
+    * original minwise estimator) and AUDITED against the exact
+    * pairwise Jaccard. This is the mix-planning companion to q160's
+    * doc-level dup matrix: before trusting per-source quotas
+    * (q171/q220), check whether two "different" sources are actually
+    * the same crawl twice — source-LEVEL overlap that document-level
+    * dedup only shows after the fact.
+    *
+    * Estimator: for pair (A, B), take the k smallest hashes of
+    * S_A ∪ S_B; the fraction also present in both sketches estimates
+    * J(A, B). All integer/hash arithmetic until the two divisions, so
+    * the whole table (estimates AND exact audit) hash-matches
+    * cross-engine.
+    *
+    * 100 TB shape: the bottom-k selection is TWO-PHASE (per-partition
+    * top-k, then a k·#partitions-row re-rank — the q205 discipline;
+    * no per-source global sort of shingle grain). The pair arithmetic
+    * touches #sources² · k rows. The exact audit joins distinct
+    * (source, hash) rows on hash — the honest cost of an exact
+    * answer, linear in distinct shingle mass and cheap beside the
+    * banding passes; at extreme scale a run keeps only the estimator
+    * half.
+    */
+  def sourceOverlapSketch(spark: SparkSession, dir: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TextAnalytics.shingles(col("text"), 3)).as("g"))
+      .select(col("source"), md5(col("g").cast("binary")).as("h"))
+      .distinct()
+      // barrier: feeds the sketch build and the exact audit
+      .persist()
+    val local = sh.withColumn("pid", spark_partition_id())
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"), col("pid")).orderBy(col("h"))))
+      .filter(col("rn") <= k).drop("rn", "pid")
+    val sketch = local.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("h"))
+      .persist()
+    val srcs = sketch.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val ra = pairs
+      .join(sketch.select(col("source").as("source_a"), col("h")),
+        "source_a")
+      .select(col("source_a"), col("source_b"), col("h"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val rb = pairs
+      .join(sketch.select(col("source").as("source_b"), col("h")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("h"),
+        lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val est = ra.unionByName(rb)
+      .groupBy(col("source_a"), col("source_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source_a"), col("source_b"))
+          .orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .withColumn("est_jaccard",
+        col("n_both").cast("double") / col("k_used").cast("double"))
+    val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("source").as("source_a"), col("h"))
+      .join(sh.select(col("source").as("source_b"), col("h")), "h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    est.join(inter, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(broadcast(counts
+        .select(col("source").as("source_a"), col("n").as("n_a"))),
+        "source_a")
+      .join(broadcast(counts
+        .select(col("source").as("source_b"), col("n").as("n_b"))),
+        "source_b")
+      .withColumn("exact_jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("exact_jaccard"), col("k_used"),
+        col("n_both"), col("est_jaccard"),
+        abs(col("est_jaccard") - col("exact_jaccard")).as("abs_err"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** SimHash with a cross-engine hash (q102): the oracled correctness
     * twin of the xxhash64-seeded production kernel
     * ([[org.apache.spark.sql.graft.SimHash64]], q32/q75) — the same

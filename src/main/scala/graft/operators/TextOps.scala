@@ -2287,6 +2287,91 @@ object TextOps {
       .orderBy(col("rk"))
   }
 
+  /** HyperLogLog distinct-content estimate per source (q222): the
+    * cardinality sketch that completes the mergeable-sketch family
+    * (Count-Min q184 = frequency, SpaceSaving q213 = top-k, this =
+    * distinct count) — 256 registers from the first two md5 nibbles of
+    * the content hash, register value = leading-zero rank of the next
+    * 48 hash bits, Flajolet et al.'s estimator with the small-range
+    * linear-counting correction, AUDITED against the exact distinct
+    * count per source. Duplicates need no pre-dedup: identical content
+    * hashes hit the same register with the same rank, so the sketch is
+    * insensitive to multiplicity BY CONSTRUCTION — the property that
+    * makes it the 100 TB cardinality monitor.
+    *
+    * Exactness: registers are md5-nibble arithmetic (the q184 cell
+    * discipline), the harmonic sum is kept as an EXACT BIGINT by
+    * scaling 2^-rank to 2^(49-rank) (≤ 256·2^49 < 2^63 — no FP
+    * accumulation order anywhere), and the estimate is spelled as one
+    * shared formula with a single division, so the whole table
+    * hash-matches cross-engine.
+    *
+    * 100 TB shape: one map-side-combined (source, register) → max-rank
+    * aggregate over the corpus scan (512 groups), then #sources-row
+    * arithmetic. The register table is tiny and MERGEABLE (max is
+    * associative) — the streaming twin (q223) maintains it per batch
+    * and drains to this exact table.
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame =
+    hllFold(Tables.documents(spark, dir))
+
+  /** Shared q222/q223 fold: documents → per-source HLL report. */
+  private[graft] def hllFold(docsRaw: DataFrame): DataFrame = {
+    val docs = docsRaw
+      .select(col("source"), md5(col("text").cast("binary")).as("h"))
+      // barrier: feeds the register fold and the exact-count audit
+      .persist()
+    hllReport(docs, hllRegsFromHashed(docs))
+  }
+
+  /** Per-source register table (source, reg, mrho) from raw documents
+    * — the mergeable per-batch unit the streaming twin appends.
+    */
+  private[graft] def hllRegisters(docsRaw: DataFrame): DataFrame =
+    hllRegsFromHashed(docsRaw
+      .select(col("source"), md5(col("text").cast("binary")).as("h")))
+
+  private def hllRegsFromHashed(hashed: DataFrame): DataFrame =
+    hashed
+      .select(col("source"),
+        conv(substring(col("h"), 1, 2), 16, 10).cast("long").as("reg"),
+        conv(substring(col("h"), 3, 12), 16, 10).cast("long").as("v"))
+      .withColumn("rho", when(col("v") === 0L, lit(49L))
+        .otherwise(lit(49L) - length(bin(col("v"))).cast("long")))
+      .groupBy(col("source"), col("reg"))
+      .agg(max(col("rho")).as("mrho"))
+
+  /** Estimator arithmetic over a drained (source, reg, mrho) register
+    * table plus the doc relation for the exact audit — the half q223
+    * reuses after merging per-batch registers.
+    */
+  private[graft] def hllReport(docs: DataFrame, regs: DataFrame): DataFrame = {
+    val per = regs.groupBy(col("source"))
+      .agg(count(lit(1)).as("registers_hit"),
+        sum(expr("CAST(pow(2.0, 49 - mrho) AS BIGINT)")).as("s_hit"))
+    val exact = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("exact_distinct"))
+    exact.join(per, "source")
+      .withColumn("s_scaled", col("s_hit") +
+        (lit(256L) - col("registers_hit")) * lit(562949953421312L))
+      .withColumn("v0", lit(256L) - col("registers_hit"))
+      .withColumn("raw_estimate",
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
+          lit(65536.0) * lit(562949953421312.0) /
+          col("s_scaled").cast("double"))
+      .withColumn("estimate",
+        when(col("v0") > 0L && col("raw_estimate") <= lit(640.0),
+          lit(256.0) * log(lit(256.0) / col("v0").cast("double")))
+          .otherwise(col("raw_estimate")))
+      .select(col("source"), col("n_docs"), col("exact_distinct"),
+        col("registers_hit"), col("s_scaled"), col("raw_estimate"),
+        col("estimate"),
+        ((col("estimate") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double")).as("rel_err"))
+      .orderBy(col("source"))
+  }
+
   /** DSIR-style importance weighting (q180): score every non-target
     * document by its average per-token log-likelihood ratio between a
     * TARGET unigram LM (here the `target` source, standing in for the

@@ -638,6 +638,63 @@ private[graft] object OracleDedup {
     // Wave5Spec pins that the fixture converges within the unroll
     "q204_dup_graph_kcore" -> q204Sql,
     "q212_dup_graph_degrees" -> q212Sql,
+    // q224: pairwise source-overlap — bottom-k (k = 64) minwise
+    // Jaccard estimate over distinct (source, 3-shingle md5) sets,
+    // audited against the exact pairwise Jaccard; all integer/hash
+    // arithmetic until the two divisions
+    "q224_source_overlap" ->
+      ("WITH t AS (SELECT source, list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '') AS toks " +
+        "FROM documents), " +
+        "g AS (SELECT DISTINCT source, md5(gram) AS h FROM " +
+        "(SELECT source, unnest(list_distinct(list_transform(" +
+        "range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) " +
+        "AS gram FROM t)), " +
+        "sk AS (SELECT source, h FROM (SELECT source, h, " +
+        "ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn " +
+        "FROM g) WHERE rn <= 64), " +
+        "srcs AS (SELECT DISTINCT source FROM g), " +
+        "pr AS (SELECT a.source AS source_a, b.source AS source_b " +
+        "FROM srcs a JOIN srcs b ON a.source < b.source), " +
+        "m AS (SELECT source_a, source_b, h, MAX(in_a) AS in_a, " +
+        "MAX(in_b) AS in_b FROM (" +
+        "SELECT pr.source_a, pr.source_b, sk.h, 1 AS in_a, 0 AS in_b " +
+        "FROM pr JOIN sk ON sk.source = pr.source_a " +
+        "UNION ALL " +
+        "SELECT pr.source_a, pr.source_b, sk.h, 0 AS in_a, 1 AS in_b " +
+        "FROM pr JOIN sk ON sk.source = pr.source_b) " +
+        "GROUP BY source_a, source_b, h), " +
+        "tk AS (SELECT * FROM (SELECT m.*, ROW_NUMBER() OVER (" +
+        "PARTITION BY source_a, source_b ORDER BY h) AS rn FROM m) " +
+        "WHERE rn <= 64), " +
+        "est AS (SELECT source_a, source_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS k_used, " +
+        "CAST(SUM(in_a * in_b) AS BIGINT) AS n_both FROM tk " +
+        "GROUP BY source_a, source_b), " +
+        "cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g " +
+        "GROUP BY source), " +
+        "itr AS (SELECT a.source AS source_a, b.source AS source_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_inter FROM g a " +
+        "JOIN g b ON a.h = b.h AND a.source < b.source " +
+        "GROUP BY 1, 2) " +
+        "SELECT e.source_a, e.source_b, ca.n AS n_a, cb.n AS n_b, " +
+        "CAST(COALESCE(itr.n_inter, 0) AS BIGINT) AS n_inter, " +
+        "CAST(COALESCE(itr.n_inter, 0) AS DOUBLE) / " +
+        "CAST(ca.n + cb.n - COALESCE(itr.n_inter, 0) AS DOUBLE) " +
+        "AS exact_jaccard, " +
+        "e.k_used, e.n_both, " +
+        "CAST(e.n_both AS DOUBLE) / CAST(e.k_used AS DOUBLE) " +
+        "AS est_jaccard, " +
+        "abs(CAST(e.n_both AS DOUBLE) / CAST(e.k_used AS DOUBLE) - " +
+        "CAST(COALESCE(itr.n_inter, 0) AS DOUBLE) / " +
+        "CAST(ca.n + cb.n - COALESCE(itr.n_inter, 0) AS DOUBLE)) " +
+        "AS abs_err " +
+        "FROM est e JOIN cnt ca ON ca.source = e.source_a " +
+        "JOIN cnt cb ON cb.source = e.source_b " +
+        "LEFT JOIN itr ON itr.source_a = e.source_a " +
+        "AND itr.source_b = e.source_b " +
+        "ORDER BY e.source_a, e.source_b"),
   )
 
   /** Shared q95-chain prelude: verified minhash pairs `ed(a, b)`, the

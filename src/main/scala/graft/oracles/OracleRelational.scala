@@ -391,6 +391,26 @@ private[graft] object OracleRelational {
         "CAST(n_active AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) " +
         "AS retention " +
         "FROM g JOIN sz USING (cohort) ORDER BY cohort, day_offset"),
+    // q221: event-grain as-of attribution — the oracle is the CLASSIC
+    // as-of JOIN (purchase ⋈ strictly-earlier clicks by (ts, id)
+    // order, argmax click ts, 1-hour horizon); the engine's linear
+    // window plan must reproduce it row-for-row
+    "q221_asof_attribution" ->
+      ("WITH e AS (SELECT user_id, ts, event_id, event_type FROM events), " +
+        "p AS (SELECT user_id, ts AS pts, event_id AS pid FROM e " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id AS cuser, ts AS cts, event_id AS cid " +
+        "FROM e WHERE event_type = 'click'), " +
+        "j AS (SELECT p.pid, p.user_id, p.pts, MAX(c.cts) AS src_ts " +
+        "FROM p LEFT JOIN c ON c.cuser = p.user_id " +
+        "AND (c.cts < p.pts OR (c.cts = p.pts AND c.cid < p.pid)) " +
+        "GROUP BY p.pid, p.user_id, p.pts) " +
+        "SELECT pid AS event_id, user_id, " +
+        "strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts, " +
+        "strftime(src_ts, '%Y-%m-%d %H:%M:%S') AS click_ts, " +
+        "CAST(CASE WHEN src_ts IS NOT NULL " +
+        "AND pts <= src_ts + INTERVAL 1 HOUR THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS attributed FROM j ORDER BY event_id"),
   )
 
   private def q201Sql: String =

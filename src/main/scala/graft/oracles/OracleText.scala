@@ -657,6 +657,15 @@ private[graft] object OracleText {
     // stream must equal the one-shot batch answer exactly.
     "q147_weighted_sample" -> q147Sql,
     "q157_streaming_weighted_sample" -> q147Sql,
+    // q222: per-source HyperLogLog distinct-content estimate — md5
+    // nibble registers (q184 cell discipline), EXACT BIGINT harmonic
+    // sum via 2^(49-rank) scaling, one shared estimator formula with a
+    // single division + the linear-counting small-range branch.
+    // q223 (the streaming register-maintenance twin) shares this SQL
+    // verbatim: register max is associative, so any micro-batch split
+    // drains to the batch sketch (the q147/q157 pattern)
+    "q222_hll_distinct" -> q222Sql,
+    "q223_streaming_hll" -> q222Sql,
   )
   /** Shared by q80 (batch decontamination) and q185 (its streaming
     * form): a fixed eval side makes any micro-batch split of the train
@@ -672,6 +681,51 @@ private[graft] object OracleText {
       "SELECT train_id, eval_id, COUNT(DISTINCT gram) AS n_shared " +
       "FROM tr JOIN e USING (gram) GROUP BY train_id, eval_id " +
       "HAVING COUNT(DISTINCT gram) >= 2 ORDER BY train_id, eval_id")
+
+  /** q222/q223: register = first two md5 nibbles, rank = leading-zero
+    * position of the next 48 bits (length(bin(v)) is the minimal-bit
+    * length in BOTH engines), harmonic sum kept exact as Σ 2^(49-rank)
+    * in BIGINT, estimator spelled once with one division per row.
+    */
+  private def q222Sql: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val vExpr = (3 to 14).zipWithIndex.map { case (i, j) =>
+      val w = BigInt(16).pow(11 - j)
+      if (w == BigInt(1)) nib(i) else s"${nib(i)} * $w"
+    }.mkString(" + ")
+    ("WITH d AS (SELECT source, md5(text) AS h FROM documents), " +
+      "x AS (SELECT source, h, " +
+      s"${nib(1)} * 16 + ${nib(2)} AS reg, " +
+      s"$vExpr AS v FROM d), " +
+      "r AS (SELECT source, reg, MAX(CASE WHEN v = 0 THEN 49 " +
+      "ELSE 49 - length(bin(v)) END) AS mrho FROM x " +
+      "GROUP BY source, reg), " +
+      "p AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS registers_hit, " +
+      "CAST(SUM(CAST(pow(2.0, 49 - mrho) AS BIGINT)) AS BIGINT) " +
+      "AS s_hit FROM r GROUP BY source), " +
+      "e AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_distinct FROM d " +
+      "GROUP BY source), " +
+      "q AS (SELECT e.source, n_docs, exact_distinct, registers_hit, " +
+      "CAST(s_hit + (256 - registers_hit) * 562949953421312 AS BIGINT) " +
+      "AS s_scaled, 256 - registers_hit AS v0 " +
+      "FROM e JOIN p ON e.source = p.source), " +
+      "q2 AS (SELECT source, n_docs, exact_distinct, registers_hit, " +
+      "s_scaled, v0, " +
+      "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 562949953421312.0 " +
+      "/ CAST(s_scaled AS DOUBLE) AS raw_estimate FROM q), " +
+      "q3 AS (SELECT source, n_docs, exact_distinct, registers_hit, " +
+      "s_scaled, raw_estimate, " +
+      "CASE WHEN v0 > 0 AND raw_estimate <= 640.0 " +
+      "THEN 256.0 * ln(256.0 / CAST(v0 AS DOUBLE)) " +
+      "ELSE raw_estimate END AS estimate FROM q2) " +
+      "SELECT source, n_docs, exact_distinct, registers_hit, s_scaled, " +
+      "raw_estimate, estimate, " +
+      "(estimate - CAST(exact_distinct AS DOUBLE)) / " +
+      "CAST(exact_distinct AS DOUBLE) AS rel_err " +
+      "FROM q3 ORDER BY source")
+  }
 
   private def q147Sql: String =
       ("WITH m0 AS (SELECT doc_id, lang, n_chars, " +

@@ -954,6 +954,72 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming HLL maintenance (q223): the q222 distinct-content
+    * sketch kept current as documents stream in — each micro-batch
+    * folds its own (source, register) → max-rank table EXECUTOR-SIDE
+    * and appends it to the register state (compacted by
+    * [[StreamState]]); the drain merges registers by MAX and runs the
+    * q222 estimator arithmetic. Register max is associative and
+    * commutative, so ANY micro-batch split — and any replay — drains
+    * to exactly the batch sketch: q222's SQL is the oracle verbatim
+    * (the q157 shared-SQL pattern). This is the property that makes
+    * HLL the 100 TB cardinality monitor: per-batch state is ≤
+    * #sources × 256 rows regardless of batch size, and merging
+    * distributed sketches is a 512-group aggregate, never a re-scan.
+    *
+    * The exact-count audit column re-reads the static corpus at drain
+    * time (the q116 verification discipline) — a production run keeps
+    * only the estimator half.
+    */
+  def streamingHllDistinct(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.operators.TextOps
+    import graft.sources.Tables
+    val stateTab = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_hllstate_")).toString
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val reader = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = reader.parquet(sourceDir.getOrElse(dir))
+    graft.Caches.onRelease(
+      () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        TextOps.hllRegisters(batch.toDF())
+          .write.mode("append").parquet(stateTab)
+        StreamState.maybeCompact(ss, stateTab)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val regSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("reg", LongType),
+      StructField("mrho", LongType)))
+    val merged = spark.read.schema(regSchema).parquet(stateTab)
+      .groupBy(col("source"), col("reg"))
+      .agg(max(col("mrho")).as("mrho"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), md5(col("text").cast("binary")).as("h"))
+      .persist()
+    graft.Caches.onRelease(() =>
+      try docs.unpersist(false) catch { case _: Throwable => () })
+    TextOps.hllReport(docs, merged)
+  }
+
   /** Streaming vocabulary maintenance (q128): the q126 tf/df table
     * kept current as new documents stream in. Historical documents
     * build the stored vocab artifact once; the rest arrive as a
