@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Invariant specs for the round-10 additions (q221+): sketch
+  * properties the DuckDB hash-compare can't state — multiplicity
+  * insensitivity, merge associativity across micro-batch splits, and
+  * golden overlap geometry.
+  */
+class Wave6Spec extends SparkSpec {
+
+  test("q222 HLL: duplicating every document leaves the sketch " +
+    "bit-identical (multiplicity insensitivity)") {
+    import spark.implicits._
+    val base = (0 until 300).map(i =>
+      (i.toLong, s"doc $i " + (0 until 10).map(t => s"w$i-$t").mkString(" "),
+        "en", s"src${i % 3}", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val doubled = base.unionByName(
+      base.withColumn("doc_id", col("doc_id") + 1000L))
+    def report(df: org.apache.spark.sql.DataFrame) =
+      TextOps.hllFold(df).collect().map(r =>
+        (r.getAs[String]("source"), r.getAs[Long]("registers_hit"),
+          r.getAs[Long]("s_scaled"), r.getAs[Long]("exact_distinct"),
+          r.getAs[Double]("estimate"))).toSet
+    val a = report(base)
+    val b = report(doubled)
+    assert(a == b, s"sketch not multiplicity-insensitive:\n$a\nvs\n$b")
+    // the estimator lands near truth at this cardinality (HLL standard
+    // error ≈ 1.04/√256 ≈ 6.5%; linear counting tighter below 640)
+    a.foreach { case (src, _, _, exact, est) =>
+      assert(math.abs(est - exact) / exact < 0.2,
+        s"$src estimate $est vs exact $exact")
+    }
+    Caches.releaseAll(spark)
+  }
+
+  test("q223: a 3-file micro-batch split drains to the exact batch " +
+    "sketch (register max-merge associativity)") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("exact_distinct"), r.getAs[Long]("registers_hit"),
+        r.getAs[Long]("s_scaled"), r.getAs[Double]("estimate"))).toSet
+    val batch = rows(TextOps.hllDistinct(spark, sfDir))
+    Caches.releaseAll(spark)
+    // split the fixture corpus across 3 stream files, 1 per trigger
+    val docs = graft.sources.Tables.documents(spark, sfDir).collect()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hllsplit_").toString
+    def writeFlat(part: Int): Unit = {
+      val tmp = s"$root/_w"
+      val slice = docs.zipWithIndex.filter(_._2 % 3 == part).map(_._1)
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(slice.toSeq, 1),
+          graft.sources.Tables.documents(spark, sfDir).schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$root/stream/b$part.parquet")
+      target.getParentFile.mkdirs()
+      java.nio.file.Files.move(f.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    try {
+      (0 until 3).foreach(writeFlat)
+      val streamed = rows(graft.streaming.StreamingOps
+        .streamingHllDistinct(spark, sfDir,
+          sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+          maxFilesPerTrigger = Some(1)))
+      assert(streamed == batch,
+        s"streamed ${streamed.size} rows != batch ${batch.size}")
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("q224 golden: identical sources estimate Jaccard 1, disjoint " +
+    "sources estimate 0, and the exact audit is exact") {
+    import spark.implicits._
+    val shared = (0 until 40).map(t => s"sh$t").mkString(" ")
+    val only = (0 until 40).map(t => s"on$t").mkString(" ")
+    val docs = Seq(
+      (1L, shared, "en", "twinA", shared.length.toLong),
+      (2L, shared, "en", "twinB", shared.length.toLong),
+      (3L, only, "en", "loner", only.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_overlap_").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = Dedup.sourceOverlapSketch(spark, dir).collect()
+        .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+          (r.getAs[Double]("exact_jaccard"), r.getAs[Double]("est_jaccard")))
+        .toMap
+      assert(got(("twinA", "twinB")) == ((1.0, 1.0)), s"$got")
+      assert(got(("loner", "twinA")) == ((0.0, 0.0)), s"$got")
+      assert(got(("loner", "twinB")) == ((0.0, 0.0)), s"$got")
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("q224 estimator: bottom-64 estimate tracks exact Jaccard " +
+    "within the sketch's sampling error on the fixture") {
+    val rows = Dedup.sourceOverlapSketch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Double]("exact_jaccard")
+      val est = r.getAs[Double]("est_jaccard")
+      val k = r.getAs[Long]("k_used")
+      // bottom-k Jaccard estimator: binomial-ish error ~ sqrt(J/k);
+      // 3.5 sigma + floor keeps the guard tight but non-flaky
+      val tol = 3.5 * math.sqrt(math.max(exact, 0.01) / k) + 0.02
+      assert(math.abs(est - exact) <= tol,
+        s"${r.getAs[String]("source_a")}/${r.getAs[String]("source_b")}: " +
+          s"est $est exact $exact tol $tol")
+    }
+    Caches.releaseAll(spark)
+  }
+}
