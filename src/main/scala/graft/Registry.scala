@@ -451,6 +451,23 @@ object Registry {
     // pairwise source-overlap: bottom-k minwise Jaccard estimate +
     // exact audit — the mix-planning overlap matrix
     "q224_source_overlap" -> ((s, d) => Dedup.sourceOverlapSketch(s, d)),
+    // q174 with the corpus window-hash set as a stored parquet
+    // artifact (built on first call, read thereafter)
+    "q225_window_dedup_persisted" -> ((s, d) =>
+      Dedup.incrementalWindowDedupPersisted(s, d,
+        Caches.trackTempDir(java.nio.file.Files
+          .createTempDirectory("graft_wintab_")).toString + "/windows")),
+    // the whole dedup-and-filter pipeline as one audited 4-row table:
+    // raw → exact dedup → near-dedup → quality gate
+    "q226_curation_funnel" -> ((s, d) => TextOps.curationFunnel(s, d)),
+    // pairwise cosine between exact per-label centroid vectors — the
+    // embedding-space overlap matrix
+    "q227_label_centroid_matrix" -> ((s, d) =>
+      Similarity.labelCentroidMatrix(s, d)),
+    // the q224 bottom-k sketches maintained per micro-batch (KMV
+    // merge) and drained to the batch matrix (shares q224's oracle)
+    "q228_streaming_source_overlap" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingSourceOverlap(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

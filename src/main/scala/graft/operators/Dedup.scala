@@ -1323,23 +1323,46 @@ object Dedup {
     */
   def sourceOverlapSketch(spark: SparkSession, dir: String,
       k: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = Tables.documents(spark, dir)
+    val sh = shingleSetBySource(Tables.documents(spark, dir))
+      // barrier: feeds the sketch build and the exact audit
+      .persist()
+    overlapReport(sh, bottomKSketch(sh, k), k)
+  }
+
+  /** Distinct (source, 3-shingle md5) relation — the q224 grain. */
+  private[graft] def shingleSetBySource(docsRaw: DataFrame): DataFrame =
+    docsRaw
       .select(col("source"),
         explode(TextAnalytics.shingles(col("text"), 3)).as("g"))
       .select(col("source"), md5(col("g").cast("binary")).as("h"))
       .distinct()
-      // barrier: feeds the sketch build and the exact audit
-      .persist()
+
+  /** Per-source bottom-k hashes, TWO-PHASE (per-partition top-k, then
+    * a k·#partitions-row re-rank — no per-source global sort of
+    * shingle grain). Mergeable: bottom-k of a union equals bottom-k of
+    * the per-part bottom-ks, which is what the streaming twin (q228)
+    * appends per batch and re-ranks at drain.
+    */
+  private[graft] def bottomKSketch(sh: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val local = sh.withColumn("pid", spark_partition_id())
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("source"), col("pid")).orderBy(col("h"))))
       .filter(col("rn") <= k).drop("rn", "pid")
-    val sketch = local.withColumn("rn", row_number().over(
+    local.withColumn("rn", row_number().over(
         Window.partitionBy(col("source")).orderBy(col("h"))))
       .filter(col("rn") <= k)
       .select(col("source"), col("h"))
-      .persist()
+  }
+
+  /** Estimator + exact-audit arithmetic over a shingle relation and a
+    * bottom-k sketch — the half q228 reuses after merging per-batch
+    * sketches.
+    */
+  private[graft] def overlapReport(sh: DataFrame, sketchRaw: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sketch = sketchRaw.persist()
     val srcs = sketch.select(col("source")).distinct()
     val pairs = srcs.select(col("source").as("source_a"))
       .crossJoin(srcs.select(col("source").as("source_b")))
@@ -1639,6 +1662,37 @@ object Dedup {
     val docs = tokenizedDocs(Tables.documents(spark, dir))
     val corpusW = windowRows(docs.filter(!isBatch), w)
       .select(col("wh")).distinct()
+    val removed = windowRows(docs.filter(isBatch), w)
+      .join(corpusW, Seq("wh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"),
+        count(lit(1)).as("n_dup"))
+    reassembleUncovered(docs.filter(isBatch), removed, w)
+  }
+
+  /** [[incrementalWindowDedup]] with the historical window-hash set as
+    * a REAL stored artifact (q225): on first call the corpus's distinct
+    * w-token window md5s are written to `windowTablePath` (parquet —
+    * 16-byte hashes, ~1 per corpus token, the table a daily-crawl
+    * pipeline maintains and the thing q175's streaming state converges
+    * into); subsequent runs READ it and window only the batch, so
+    * per-run work is proportional to the batch, not the corpus — the
+    * window-dedup sibling of the q65/q116 persisted band table.
+    * Wave6Spec asserts the second call reads the artifact and both
+    * paths produce identical rows; the oracle is q174's SQL verbatim
+    * (the artifact is definitionally the corpus window set).
+    */
+  def incrementalWindowDedupPersisted(spark: SparkSession, dir: String,
+      windowTablePath: String, w: Int = 15,
+      batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
+    val isBatch = col("doc_id") % batchMod === batchRem
+    val docs = tokenizedDocs(Tables.documents(spark, dir))
+    val path = new org.apache.hadoop.fs.Path(windowTablePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      windowRows(docs.filter(!isBatch), w).select(col("wh")).distinct()
+        .write.mode("overwrite").parquet(windowTablePath)
+    val corpusW = spark.read.parquet(windowTablePath)
     val removed = windowRows(docs.filter(isBatch), w)
       .join(corpusW, Seq("wh"), "left_semi")
       .groupBy(col("doc_id"))

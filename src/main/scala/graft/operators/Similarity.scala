@@ -879,6 +879,41 @@ object Similarity {
           (a, x) => a + x * x)).as("norm"))
       .orderBy(col("label"))
 
+  /** Label-centroid cosine matrix (q227): pairwise cosine between the
+    * exact per-label mean vectors — the embedding-space sibling of
+    * q224's source-overlap matrix (does label A's region of embedding
+    * space coincide with label B's?), and the eval a SemDeDup-style
+    * curation run reads before trusting per-label quotas. Centroids
+    * are the q104 fixed-point-exact means; dot and norms are 0.0-seeded
+    * left folds over pos-ordered arrays (the q34 bit-identical-dot
+    * argument), so every cell — dot, norms, cosine — is reproduced
+    * exactly by the DuckDB oracle, with one division per row.
+    *
+    * 100 TB shape: the centroid relation is #labels rows built by ONE
+    * map-side-combined aggregation (the q104 long-sum shape); the pair
+    * join is #labels² — a driver-scale matrix, never data grain.
+    */
+  def labelCentroidMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val c = centroidVectors(spark, dir)
+      .select(col("label"), col("n_vecs"), col("cent"),
+        sqrt(aggregate(col("cent"), lit(0.0),
+          (a, x) => a + x * x)).as("norm"))
+      // barrier: both sides of the pair join read the centroid build
+      .persist()
+    val a = c.select(col("label").as("label_a"), col("n_vecs").as("n_a"),
+      col("cent").as("ca"), col("norm").as("norm_a"))
+    val b = c.select(col("label").as("label_b"), col("n_vecs").as("n_b"),
+      col("cent").as("cb"), col("norm").as("norm_b"))
+    a.crossJoin(b).filter(col("label_a") < col("label_b"))
+      .withColumn("dot", aggregate(
+        zip_with(col("ca"), col("cb"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("dot"), col("norm_a"), col("norm_b"),
+        (col("dot") / (col("norm_a") * col("norm_b"))).as("cosine"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   /** Exact per-label mean vectors: (label, n_vecs, cent), exact and
     * order-independent via LONG fixed-point at 10¹². Why this is exact:
     * each element is a float (24-bit mantissa) cast to double, and

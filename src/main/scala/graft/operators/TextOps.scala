@@ -2372,6 +2372,65 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** End-to-end curation funnel (q226): the whole dedup-and-filter
+    * pipeline as ONE audited table — raw corpus → exact dedup (first
+    * doc per content hash, the q28 rule) → near-dedup (drop the larger
+    * id of every verified q95 near-dup pair — the greedy pairwise
+    * keeper) → quality gate (the q211 flag: ≥ 20 tokens, distinct
+    * ratio > 0.1, stopword ratio < 0.5), with doc/token counts and
+    * retention vs raw at every stage. This is the one-page answer to
+    * "how much survives curation and which stage pays" that q155/q186
+    * give per source and per cluster; every count is exact integer
+    * arithmetic and the near-dup stage reuses the oracled q95 pair
+    * machinery, so the funnel is fully hash-checked cross-engine.
+    *
+    * 100 TB shape: content hashes and band buckets shuffle, never
+    * text; each stage is a semi/anti join on doc_id against a
+    * keeper/drop set; output is 4 rows.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup => D}
+    val docsRaw = Tables.documents(spark, dir)
+    val toks = TextAnalytics.tokens(col("text"))
+    val base = docsRaw.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        size(toks).cast("long").as("tc"),
+        size(array_distinct(toks)).cast("long").as("dtc"),
+        size(filter(toks, t => t === "the" || t === "a")).cast("long")
+          .as("stc"))
+      // barrier: every stage and the raw totals read this projection
+      .persist()
+    val exactKeep = base.join(
+      base.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val dropNear = D.minhashOracledDf(docsRaw)
+      .select(col("id_b").as("doc_id")).distinct()
+    val near = exactKeep.join(dropNear, Seq("doc_id"), "left_anti")
+    val qual = near.filter(col("tc") >= 20 &&
+      col("dtc").cast("double") / col("tc").cast("double") > 0.1 &&
+      col("stc").cast("double") / col("tc").cast("double") < 0.5)
+    def stage(df: DataFrame, id: Long, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("tc")), lit(0L)).as("n_tokens"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val stages = stage(base, 0L, "raw")
+      .unionByName(stage(exactKeep, 1L, "exact_dedup"))
+      .unionByName(stage(near, 2L, "near_dedup"))
+      .unionByName(stage(qual, 3L, "quality"))
+    val raw = base.agg(count(lit(1)).as("r_docs"),
+      sum(col("tc")).as("r_tokens"))
+    stages.crossJoin(raw)
+      .select(col("stage_id"), col("stage"), col("n_docs"),
+        col("n_tokens"),
+        (col("n_docs").cast("double") / col("r_docs").cast("double"))
+          .as("doc_retention"),
+        (col("n_tokens").cast("double") / col("r_tokens").cast("double"))
+          .as("token_retention"))
+      .orderBy(col("stage_id"))
+  }
+
   /** DSIR-style importance weighting (q180): score every non-target
     * document by its average per-token log-likelihood ratio between a
     * TARGET unigram LM (here the `target` source, standing in for the

@@ -562,5 +562,33 @@ private[graft] object OracleAnn {
         "SELECT pos.vec_id, pos.label, pos.pos_id, pos.pos_cos, " +
         "neg.neg_id, neg.neg_cos, neg.neg_cos - pos.pos_cos AS margin " +
         "FROM pos JOIN neg USING (vec_id) ORDER BY pos.vec_id"),
+    // q227: pairwise cosine between the q104 fixed-point-exact label
+    // centroids — dot and norms are left folds over pos-ordered lists
+    // (0.0-seeded in Spark; 0.0 + x = x exactly, the q34 argument),
+    // one division per row
+    "q227_label_centroid_matrix" ->
+      ("WITH p AS (SELECT unnest(range(1, 65)) AS pos), " +
+        "e AS (SELECT label, pos, " +
+        "CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS x " +
+        "FROM embeddings, p), " +
+        "g AS (SELECT label, pos, COUNT(*) AS n, " +
+        "CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / 1000000000000.0 / COUNT(*) AS m " +
+        "FROM e GROUP BY label, pos), " +
+        "a AS (SELECT label, MAX(n) AS n_vecs, " +
+        "list(m ORDER BY pos) AS cent FROM g GROUP BY label), " +
+        "w AS (SELECT label, n_vecs, cent, " +
+        "sqrt(list_reduce(list_transform(cent, x -> x * x), " +
+        "(acc, y) -> acc + y)) AS norm FROM a) " +
+        "SELECT CAST(x.label AS BIGINT) AS label_a, " +
+        "CAST(y.label AS BIGINT) AS label_b, " +
+        "CAST(x.n_vecs AS BIGINT) AS n_a, CAST(y.n_vecs AS BIGINT) AS n_b, " +
+        "list_reduce(list_transform(list_zip(x.cent, y.cent), " +
+        "pr -> pr[1] * pr[2]), (s, v) -> s + v) AS dot, " +
+        "x.norm AS norm_a, y.norm AS norm_b, " +
+        "list_reduce(list_transform(list_zip(x.cent, y.cent), " +
+        "pr -> pr[1] * pr[2]), (s, v) -> s + v) / (x.norm * y.norm) " +
+        "AS cosine " +
+        "FROM w x JOIN w y ON x.label < y.label " +
+        "ORDER BY label_a, label_b"),
   )
 }

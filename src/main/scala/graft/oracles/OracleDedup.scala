@@ -641,8 +641,78 @@ private[graft] object OracleDedup {
     // q224: pairwise source-overlap — bottom-k (k = 64) minwise
     // Jaccard estimate over distinct (source, 3-shingle md5) sets,
     // audited against the exact pairwise Jaccard; all integer/hash
-    // arithmetic until the two divisions
-    "q224_source_overlap" ->
+    // arithmetic until the two divisions. q228 (the streaming KMV-
+    // merge twin) shares this SQL verbatim: bottom-k of a union equals
+    // bottom-k of per-batch bottom-ks, so any micro-batch split drains
+    // to the batch matrix
+    "q224_source_overlap" -> q224Sql,
+    "q228_streaming_source_overlap" -> q224Sql,
+    // q225: q174 with the corpus window set as a stored artifact —
+    // definitionally the same reference set, so q174's SQL verbatim
+    "q225_window_dedup_persisted" -> q174Sql,
+    // q226: the curation funnel — q28 exact keeper, q95 pair chain
+    // (greedy pairwise near-dup drop), q211 quality flag, counts and
+    // retention per stage
+    "q226_curation_funnel" ->
+      ("WITH t AS (SELECT doc_id, md5(text) AS h, list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '') AS toks " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id, h, CAST(len(toks) AS BIGINT) AS tc, " +
+        "CAST(len(list_distinct(toks)) AS BIGINT) AS dtc, " +
+        "CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) " +
+        "AS BIGINT) AS stc FROM t), " +
+        "ex AS (SELECT b.* FROM b JOIN (SELECT h, MIN(doc_id) AS did " +
+        "FROM b GROUP BY h) kk ON b.doc_id = kk.did), " +
+        "s2 AS (SELECT doc_id, list_distinct(list_transform(" +
+        "range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) " +
+        "AS sh FROM t), " +
+        "f AS (SELECT * FROM s2 WHERE len(sh) > 0), " +
+        "e2 AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+        "FROM e2 GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+        "FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket " +
+        "WHERE l.doc_id < r.doc_id), " +
+        "v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) AS la, len(b.sh) AS lb " +
+        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b), " +
+        "drp AS (SELECT DISTINCT id_b AS doc_id FROM v " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5), " +
+        "nr AS (SELECT ex.* FROM ex WHERE ex.doc_id NOT IN " +
+        "(SELECT doc_id FROM drp)), " +
+        "ql AS (SELECT * FROM nr WHERE tc >= 20 " +
+        "AND CAST(dtc AS DOUBLE) / CAST(tc AS DOUBLE) > 0.1 " +
+        "AND CAST(stc AS DOUBLE) / CAST(tc AS DOUBLE) < 0.5), " +
+        "st AS (" +
+        "SELECT 0 AS stage_id, 'raw' AS stage, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(COALESCE(SUM(tc), 0) AS BIGINT) AS n_tokens FROM b " +
+        "UNION ALL SELECT 1, 'exact_dedup', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(COALESCE(SUM(tc), 0) AS BIGINT) FROM ex " +
+        "UNION ALL SELECT 2, 'near_dedup', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(COALESCE(SUM(tc), 0) AS BIGINT) FROM nr " +
+        "UNION ALL SELECT 3, 'quality', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(COALESCE(SUM(tc), 0) AS BIGINT) FROM ql), " +
+        "raw AS (SELECT CAST(COUNT(*) AS BIGINT) AS r_docs, " +
+        "CAST(SUM(tc) AS BIGINT) AS r_tokens FROM b) " +
+        "SELECT CAST(stage_id AS BIGINT) AS stage_id, stage, n_docs, " +
+        "n_tokens, " +
+        "CAST(n_docs AS DOUBLE) / CAST(r_docs AS DOUBLE) AS doc_retention, " +
+        "CAST(n_tokens AS DOUBLE) / CAST(r_tokens AS DOUBLE) " +
+        "AS token_retention " +
+        "FROM st CROSS JOIN raw ORDER BY stage_id"),
+  )
+
+  private def q224Sql: String =
       ("WITH t AS (SELECT source, list_filter(" +
         "string_split_regex(text, '\\s+'), x -> x <> '') AS toks " +
         "FROM documents), " +
@@ -694,8 +764,7 @@ private[graft] object OracleDedup {
         "JOIN cnt cb ON cb.source = e.source_b " +
         "LEFT JOIN itr ON itr.source_a = e.source_a " +
         "AND itr.source_b = e.source_b " +
-        "ORDER BY e.source_a, e.source_b"),
-  )
+        "ORDER BY e.source_a, e.source_b")
 
   /** Shared q95-chain prelude: verified minhash pairs `ed(a, b)`, the
     * symmetric edge list `und(u, w)` and per-node degrees `dg(u,

@@ -1020,6 +1020,71 @@ object StreamingOps {
     TextOps.hllReport(docs, merged)
   }
 
+  /** Streaming source-overlap maintenance (q228): the q224 bottom-k
+    * minwise sketches kept current as documents stream in — each
+    * micro-batch folds its own per-source bottom-k shingle-hash sketch
+    * EXECUTOR-SIDE and appends it to the sketch state (compacted by
+    * [[StreamState]]); the drain deduplicates and re-ranks (bottom-k
+    * of a union equals bottom-k of the per-batch bottom-ks — the
+    * k-minimum-values merge property) and runs the q224 pair
+    * arithmetic. Like q223, ANY micro-batch split and any replay
+    * drain to the batch sketch, so q224's SQL is the oracle verbatim.
+    * Per-batch state is ≤ k × #sources rows regardless of batch size —
+    * the property that lets a 100 TB crawl maintain its source-overlap
+    * matrix without ever re-scanning shingle grain.
+    *
+    * The exact-audit half re-reads the static corpus at drain time
+    * (the q116 verification discipline); a production run keeps only
+    * the estimator half.
+    */
+  def streamingSourceOverlap(spark: SparkSession, dir: String,
+      k: Int = 64,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val stateTab = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_kmvstate_")).toString
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val reader = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = reader.parquet(sourceDir.getOrElse(dir))
+    graft.Caches.onRelease(
+      () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        Dedup.bottomKSketch(
+            Dedup.shingleSetBySource(batch.toDF()), k)
+          .write.mode("append").parquet(stateTab)
+        StreamState.maybeCompact(ss, stateTab)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val skSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("h", StringType)))
+    val merged = Dedup.bottomKSketch(
+      spark.read.schema(skSchema).parquet(stateTab).distinct(), k)
+    val sh = Dedup.shingleSetBySource(Tables.documents(spark, dir))
+      .persist()
+    graft.Caches.onRelease(() =>
+      try sh.unpersist(false) catch { case _: Throwable => () })
+    Dedup.overlapReport(sh, merged, k)
+  }
+
   /** Streaming vocabulary maintenance (q128): the q126 tf/df table
     * kept current as new documents stream in. Historical documents
     * build the stored vocab artifact once; the rest arrive as a

@@ -79,6 +79,72 @@ class Wave6Spec extends SparkSpec {
     }
   }
 
+  test("q225: the persisted window artifact is written once and read " +
+    "thereafter, matching the in-memory path") {
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_wintab_spec_").toString + "/windows"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_dup_windows"),
+        r.getAs[String]("kept_md5"))).toSet
+    try {
+      val inMem = rows(Dedup.incrementalWindowDedup(spark, sfDir))
+      Caches.releaseAll(spark)
+      val first = rows(
+        Dedup.incrementalWindowDedupPersisted(spark, sfDir, tableDir))
+      assert(first == inMem)
+      assert(new java.io.File(tableDir).exists(), "artifact not written")
+      Caches.releaseAll(spark)
+      // second call must READ the artifact (corpus never re-windowed)
+      val second = rows(
+        Dedup.incrementalWindowDedupPersisted(spark, sfDir, tableDir))
+      assert(second == inMem)
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tableDir).getParentFile)
+    }
+  }
+
+  test("q228: a 3-file micro-batch split drains to the exact batch " +
+    "overlap matrix (KMV merge)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"),
+        r.getAs[Long]("n_both"), r.getAs[Long]("k_used"),
+        r.getAs[Long]("n_inter"), r.getAs[Double]("est_jaccard"))).toSet
+    val batch = rows(Dedup.sourceOverlapSketch(spark, sfDir))
+    Caches.releaseAll(spark)
+    val docs = graft.sources.Tables.documents(spark, sfDir).collect()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_kmvsplit_").toString
+    def writeFlat(part: Int): Unit = {
+      val tmp = s"$root/_w"
+      val slice = docs.zipWithIndex.filter(_._2 % 3 == part).map(_._1)
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(slice.toSeq, 1),
+          graft.sources.Tables.documents(spark, sfDir).schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$root/stream/b$part.parquet")
+      target.getParentFile.mkdirs()
+      java.nio.file.Files.move(f.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    try {
+      (0 until 3).foreach(writeFlat)
+      val streamed = rows(graft.streaming.StreamingOps
+        .streamingSourceOverlap(spark, sfDir,
+          sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+          maxFilesPerTrigger = Some(1)))
+      assert(streamed == batch,
+        s"streamed ${streamed.size} rows != batch ${batch.size}")
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("q224 golden: identical sources estimate Jaccard 1, disjoint " +
     "sources estimate 0, and the exact audit is exact") {
     import spark.implicits._
