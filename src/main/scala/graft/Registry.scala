@@ -459,7 +459,8 @@ object Registry {
           .createTempDirectory("graft_wintab_")).toString + "/windows")),
     // the whole dedup-and-filter pipeline as one audited 4-row table:
     // raw → exact dedup → near-dedup → quality gate
-    "q226_curation_funnel" -> ((s, d) => TextOps.curationFunnel(s, d)),
+    "q226_curation_funnel" -> ((s, d) =>
+      TextOps.curationPipelineFunnel(s, d)),
     // pairwise cosine between exact per-label centroid vectors — the
     // embedding-space overlap matrix
     "q227_label_centroid_matrix" -> ((s, d) =>

@@ -326,7 +326,10 @@ object Dedup {
     // counting pass + a broadcast anti join, no corpus-side exchange
     val corpusBands = capHotBuckets(spark.read.parquet(bandTablePath))
       .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
-    val newBands = capHotBuckets(bandedSignatures(docs.filter(isBatch)))
+    // barrier: capHotBuckets reads its argument twice (counts + anti
+    // join); persist so the batch isn't banded twice
+    val newBandsRaw = bandedSignatures(docs.filter(isBatch)).persist()
+    val newBands = capHotBuckets(newBandsRaw)
       .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
     val pairs = corpusBands.join(newBands, Seq("band", "bucket"))
       .select(col("new_id"), col("corpus_id"))

@@ -2378,9 +2378,11 @@ object TextOps {
     * id of every verified q95 near-dup pair — the greedy pairwise
     * keeper) → quality gate (the q211 flag: ≥ 20 tokens, distinct
     * ratio > 0.1, stopword ratio < 0.5), with doc/token counts and
-    * retention vs raw at every stage. This is the one-page answer to
-    * "how much survives curation and which stage pays" that q155/q186
-    * give per source and per cluster; every count is exact integer
+    * retention vs raw at every stage. Extends q141's row-local funnel
+    * (raw → exact → length gate) with the stage that actually needs
+    * distributed machinery — the near-dup drop over the banded pair
+    * graph — completing the one-page answer to "how much survives
+    * curation and which stage pays"; every count is exact integer
     * arithmetic and the near-dup stage reuses the oracled q95 pair
     * machinery, so the funnel is fully hash-checked cross-engine.
     *
@@ -2388,7 +2390,7 @@ object TextOps {
     * text; each stage is a semi/anti join on doc_id against a
     * keeper/drop set; output is 4 rows.
     */
-  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def curationPipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Dedup => D}
     val docsRaw = Tables.documents(spark, dir)
     val toks = TextAnalytics.tokens(col("text"))

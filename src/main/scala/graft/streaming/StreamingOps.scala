@@ -588,13 +588,20 @@ object StreamingOps {
     val isBatch = col("doc_id") % batchMod === batchRem
     // corpus side through the hot-bucket quarantine once per query —
     // see streamingBandDedup; the md5 twin shares the same cap so the
-    // oracled path exercises the exact production plan shape
-    val corpusBands = Dedup.capHotBuckets(Dedup.md5BandedSignatures(
-        Dedup.md5ShingledDocs(Tables.documents(spark, dir).filter(!isBatch))))
+    // oracled path exercises the exact production plan shape. The raw
+    // band table is persisted FIRST: capHotBuckets reads its argument
+    // twice (bucket counts + the anti join), and without the barrier
+    // the md5 shingle→band chain runs twice over the corpus (measured
+    // ~0.8 s of the bench row)
+    val corpusBandsRaw = Dedup.md5BandedSignatures(
+        Dedup.md5ShingledDocs(Tables.documents(spark, dir).filter(!isBatch)))
+      .persist()
+    val corpusBands = Dedup.capHotBuckets(corpusBandsRaw)
       .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
       .persist()
     val allSh = Dedup.md5ShingledDocs(Tables.documents(spark, dir)).persist()
     graft.Caches.onRelease(() => {
+      try corpusBandsRaw.unpersist(false) catch { case _: Throwable => () }
       try corpusBands.unpersist(false) catch { case _: Throwable => () }
       try allSh.unpersist(false) catch { case _: Throwable => () }
     })

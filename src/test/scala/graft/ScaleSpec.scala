@@ -211,6 +211,46 @@ class ScaleSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("q200/q219 plan guard: every window folds the length HISTOGRAM " +
+    "— no per-source sort of doc-grain rows") {
+    import org.apache.spark.sql.execution.aggregate.{
+      HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the r9 verdict's ask made structural: the rank-selection windows
+    // must consume the per-(source, n_chars) histogram (an aggregate
+    // output — value-domain-sized), never the raw document grain. A
+    // regression back to row_number-over-docs would put a scan (no
+    // aggregate) under the window.
+    // the histogram may sit behind a persist barrier — descend into
+    // InMemoryRelation cached plans (and their adaptive wrappers)
+    def aggBacked(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.exists {
+        case _: HashAggregateExec | _: ObjectHashAggregateExec |
+          _: SortAggregateExec => true
+        case i: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec => aggBacked(i.relation.cachedPlan)
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => aggBacked(a.executedPlan)
+        case _ => false
+      }
+    def assertHistogramWindows(df: org.apache.spark.sql.DataFrame,
+        name: String): Unit = {
+      val wins = preparedPlan(df).collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$name: expected rank windows in the plan")
+      wins.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$name: global window in the plan")
+        assert(aggBacked(w.child),
+          s"$name: window consumes non-aggregated (doc-grain) input:\n$w")
+      }
+    }
+    assertHistogramWindows(
+      operators.TextOps.sourceDeciles(spark, sfDir), "q200")
+    assertHistogramWindows(
+      operators.TextOps.lengthMadOutliers(spark, sfDir), "q219")
+    Caches.releaseAll(spark)
+  }
+
   test("hashing vectorizer is row-local: its only exchange is the sort") {
     // the q127 scale contract: no vocabulary pass, no aggregation —
     // vectors are built inside the scan projection, so the plan holds
