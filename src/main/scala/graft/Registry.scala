@@ -469,6 +469,17 @@ object Registry {
     // merge) and drained to the batch matrix (shares q224's oracle)
     "q228_streaming_source_overlap" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingSourceOverlap(s, d)),
+    // BM25 input relations (doclens + query-term postings) maintained
+    // as streaming state; drain scores with q130's arithmetic
+    "q229_streaming_bm25" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingBm25(s, d)),
+    // langid-mislabel / language-invariant-boilerplate detector:
+    // exact content hashes shared across language pairs
+    "q230_cross_lingual_dups" -> ((s, d) =>
+      Dedup.crossLingualDupMatrix(s, d)),
+    // id-hash shard assignment audit: doc and token mass deviation
+    // from uniform per shard
+    "q231_shard_balance" -> ((s, d) => TextOps.shardBalanceAudit(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -1415,6 +1415,49 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Cross-lingual exact-duplicate matrix (q230): for every language
+    * pair, the number of exact content hashes both claim — the cheap
+    * standing check that catches two failure modes at once: language-ID
+    * mislabeling (identical text cannot genuinely be two languages —
+    * q27's per-doc langid disagreement, aggregated to a corpus signal)
+    * and language-invariant boilerplate (templates/code blocks that
+    * slip every per-language dedup pass). The share normalizes by the
+    * SMALLER side so a tiny language fully duplicated inside a big one
+    * reads 1.0, the q109 containment convention. Full matrix including
+    * zero cells, so the all-clear is itself an assertable result.
+    *
+    * 100 TB shape: hashes shuffle, never text — one distinct over
+    * (lang, md5), one hash self-join on the digest, #langs² output.
+    */
+  def crossLingualDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val lh = Tables.documents(spark, dir)
+      .select(col("lang"), md5(col("text").cast("binary")).as("h"))
+      .distinct()
+      // barrier: feeds the marginals and both sides of the pair join
+      .persist()
+    val counts = lh.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val shared = lh.select(col("lang").as("lang_a"), col("h"))
+      .join(lh.select(col("lang").as("lang_b"), col("h")), "h")
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val langs = counts.select(col("lang")).persist()
+    langs.select(col("lang").as("lang_a"))
+      .crossJoin(langs.select(col("lang").as("lang_b")))
+      .filter(col("lang_a") < col("lang_b"))
+      .join(shared, Seq("lang_a", "lang_b"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .join(broadcast(counts
+        .select(col("lang").as("lang_a"), col("n").as("n_a"))), "lang_a")
+      .join(broadcast(counts
+        .select(col("lang").as("lang_b"), col("n").as("n_b"))), "lang_b")
+      .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("share"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
   /** SimHash with a cross-engine hash (q102): the oracled correctness
     * twin of the xxhash64-seeded production kernel
     * ([[org.apache.spark.sql.graft.SimHash64]], q32/q75) — the same

@@ -2433,6 +2433,42 @@ object TextOps {
       .orderBy(col("stage_id"))
   }
 
+  /** Shard-balance audit (q231): route every document to one of
+    * `shards` buckets by content-independent id hash (16 md5 bits mod
+    * shards — the assignment a 1000-executor run uses to lay data out
+    * before any repartition) and audit how evenly DOC count and TOKEN
+    * mass land: per shard, counts plus the exact relative deviation
+    * from the uniform expectation (integer numerators, ONE division
+    * per cell). Doc-count balance is guaranteed-good by the hash;
+    * token-mass balance is NOT (a shard can draw the long documents) —
+    * this table is how you see that before sizing
+    * `spark.sql.files.maxPartitionBytes` / bucket counts around it,
+    * the q168-for-sharding.
+    *
+    * 100 TB shape: row-local hash arithmetic + one map-side-combined
+    * #shards-row aggregate.
+    */
+  def shardBalanceAudit(spark: SparkSession, dir: String,
+      shards: Int = 32): DataFrame = {
+    val shard = conv(substring(md5(concat(lit("shard|"),
+      col("doc_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast("long") % shards
+    val per = Tables.documents(spark, dir)
+      .select(shard.as("shard"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("tc"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_docs")).as("t_docs"),
+      sum(col("n_tokens")).as("t_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        ((col("n_docs") * lit(shards.toLong)).cast("double") /
+          col("t_docs").cast("double") - lit(1.0)).as("doc_dev"),
+        ((col("n_tokens") * lit(shards.toLong)).cast("double") /
+          col("t_tokens").cast("double") - lit(1.0)).as("token_dev"))
+      .orderBy(col("shard"))
+  }
+
   /** DSIR-style importance weighting (q180): score every non-target
     * document by its average per-token log-likelihood ratio between a
     * TARGET unigram LM (here the `target` source, standing in for the

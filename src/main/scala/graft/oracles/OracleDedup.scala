@@ -650,6 +650,23 @@ private[graft] object OracleDedup {
     // q225: q174 with the corpus window set as a stored artifact —
     // definitionally the same reference set, so q174's SQL verbatim
     "q225_window_dedup_persisted" -> q174Sql,
+    // q230: exact content hashes shared across language pairs — full
+    // matrix including zero cells, share normalized by the smaller side
+    "q230_cross_lingual_dups" ->
+      ("WITH lh AS (SELECT DISTINCT lang, md5(text) AS h FROM documents), " +
+        "c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM lh " +
+        "GROUP BY lang), " +
+        "sh AS (SELECT a.lang AS lang_a, b.lang AS lang_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_shared FROM lh a " +
+        "JOIN lh b ON a.h = b.h AND a.lang < b.lang GROUP BY 1, 2) " +
+        "SELECT ca.lang AS lang_a, cb.lang AS lang_b, " +
+        "ca.n AS n_a, cb.n AS n_b, " +
+        "CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared, " +
+        "CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / " +
+        "CAST(least(ca.n, cb.n) AS DOUBLE) AS share " +
+        "FROM c ca JOIN c cb ON ca.lang < cb.lang " +
+        "LEFT JOIN sh ON sh.lang_a = ca.lang AND sh.lang_b = cb.lang " +
+        "ORDER BY lang_a, lang_b"),
     // q226: the curation funnel — q28 exact keeper, q95 pair chain
     // (greedy pairwise near-dup drop), q211 quality flag, counts and
     // retention per stage

@@ -323,32 +323,12 @@ private[graft] object OracleText {
     // mirrors bm25TopK: same Okapi formula with literal constants;
     // the k boundary ranks on the same 1e-9 fixed-point score so the
     // selected set is deterministic cross-engine
-    "q130_bm25_topk" ->
-      ("WITH t AS (SELECT doc_id, " +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
-        "AS toks FROM documents), " +
-        "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
-        "AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
-        "q AS (SELECT * FROM (VALUES ('spark'), ('join'), ('stream')) " +
-        "v(term)), " +
-        "tf AS (SELECT doc_id, tok AS term, " +
-        "CAST(COUNT(*) AS BIGINT) AS tf " +
-        "FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u " +
-        "JOIN q ON u.tok = q.term GROUP BY 1, 2), " +
-        "df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) " +
-        "AS df FROM tf GROUP BY 1), " +
-        "dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t), " +
-        "sc AS (SELECT tf.doc_id, " +
-        "SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) " +
-        "* CAST(tf.tf AS DOUBLE) * 2.2 " +
-        "/ (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl.dl / " +
-        "stats.avgdl))) AS score " +
-        "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) " +
-        "CROSS JOIN stats GROUP BY 1) " +
-        "SELECT doc_id, score FROM (" +
-        "SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY " +
-        "CAST(floor(score * 1e9 + 0.5) AS BIGINT) DESC, doc_id) AS rk " +
-        "FROM sc) WHERE rk <= 15 ORDER BY doc_id"),
+    // q229 (streaming postings maintenance) shares this SQL verbatim:
+    // docs stream exactly once, so the drained doclen/postings state
+    // tables EQUAL the batch relations and the scoring tail is
+    // identical arithmetic
+    "q130_bm25_topk" -> q130Sql,
+    "q229_streaming_bm25" -> q130Sql,
     // three unrolled BPE merge rounds over the word-frequency table;
     // see bpeRound for the leftmost-non-overlapping application CTEs
     "q131_bpe_merges" ->
@@ -666,6 +646,28 @@ private[graft] object OracleText {
     // drains to the batch sketch (the q147/q157 pattern)
     "q222_hll_distinct" -> q222Sql,
     "q223_streaming_hll" -> q222Sql,
+    // q231: id-hash shard routing (16 md5 bits mod 32) + the exact
+    // per-shard doc/token deviation from uniform
+    "q231_shard_balance" ->
+      ("WITH m AS (SELECT md5('shard|' || CAST(doc_id AS VARCHAR)) AS h, " +
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '')) AS BIGINT) AS tc FROM documents), " +
+        "d AS (SELECT CAST((" +
+        "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 + " +
+        "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 + " +
+        "(strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 32 " +
+        "AS BIGINT) AS shard, tc FROM m), " +
+        "p AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(tc) AS BIGINT) AS n_tokens FROM d GROUP BY shard), " +
+        "t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t_docs, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS t_tokens FROM p) " +
+        "SELECT shard, n_docs, n_tokens, " +
+        "CAST(n_docs * 32 AS DOUBLE) / CAST(t_docs AS DOUBLE) - 1.0 " +
+        "AS doc_dev, " +
+        "CAST(n_tokens * 32 AS DOUBLE) / CAST(t_tokens AS DOUBLE) - 1.0 " +
+        "AS token_dev " +
+        "FROM p CROSS JOIN t ORDER BY shard"),
   )
   /** Shared by q80 (batch decontamination) and q185 (its streaming
     * form): a fixed eval side makes any micro-batch split of the train
@@ -681,6 +683,34 @@ private[graft] object OracleText {
       "SELECT train_id, eval_id, COUNT(DISTINCT gram) AS n_shared " +
       "FROM tr JOIN e USING (gram) GROUP BY train_id, eval_id " +
       "HAVING COUNT(DISTINCT gram) >= 2 ORDER BY train_id, eval_id")
+
+
+  private def q130Sql: String =
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t), " +
+        "q AS (SELECT * FROM (VALUES ('spark'), ('join'), ('stream')) " +
+        "v(term)), " +
+        "tf AS (SELECT doc_id, tok AS term, " +
+        "CAST(COUNT(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u " +
+        "JOIN q ON u.tok = q.term GROUP BY 1, 2), " +
+        "df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) " +
+        "AS df FROM tf GROUP BY 1), " +
+        "dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t), " +
+        "sc AS (SELECT tf.doc_id, " +
+        "SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) " +
+        "* CAST(tf.tf AS DOUBLE) * 2.2 " +
+        "/ (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl.dl / " +
+        "stats.avgdl))) AS score " +
+        "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) " +
+        "CROSS JOIN stats GROUP BY 1) " +
+        "SELECT doc_id, score FROM (" +
+        "SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY " +
+        "CAST(floor(score * 1e9 + 0.5) AS BIGINT) DESC, doc_id) AS rk " +
+        "FROM sc) WHERE rk <= 15 ORDER BY doc_id")
 
   /** q222/q223: register = first two md5 nibbles, rank = leading-zero
     * position of the next 48 bits (length(bin(v)) is the minimal-bit

@@ -1092,6 +1092,103 @@ object StreamingOps {
     Dedup.overlapReport(sh, merged, k)
   }
 
+  /** Streaming BM25 index maintenance (q229): the q130 retrieval
+    * scorer's INPUT RELATIONS — per-doc lengths and query-term
+    * postings — maintained as append-only state while documents
+    * stream in; the drain runs q130's scoring arithmetic over the
+    * accumulated state. Because every document streams exactly once,
+    * the drained doclen/postings tables EQUAL the batch relations for
+    * ANY micro-batch split, so q130's SQL is the oracle verbatim (the
+    * q157/q223 shared-SQL pattern). This is the IR face of incremental
+    * index maintenance: per-batch work is tokenizing the BATCH and
+    * appending narrow (doc_id, dl) and (doc_id, term, tf) rows — the
+    * corpus is never re-tokenized, df/avgdl/idf are recomputed at
+    * drain from state-table aggregates (16-byte rows, never text).
+    *
+    * Both state tables are compacted by [[StreamState]]; replays
+    * append duplicate rows and the drain's distinct restores
+    * idempotence (doc_id streams once, so distinct is exact).
+    */
+  def streamingBm25(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "join", "stream"),
+      topK: Int = 15,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.functions.TextAnalytics
+    val dlTab = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_bm25dl_")).toString
+    val postTab = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_bm25post_")).toString
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val reader = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = reader.parquet(sourceDir.getOrElse(dir))
+    graft.Caches.onRelease(
+      () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        val toks = batch.toDF()
+          .select(col("doc_id"),
+            TextAnalytics.tokens(col("text")).as("toks"))
+          .withColumn("dl", size(col("toks")).cast("double"))
+          // barrier: feeds the doclen append and the postings melt
+          .persist()
+        toks.select(col("doc_id"), col("dl"))
+          .write.mode("append").parquet(dlTab)
+        StreamState.maybeCompact(ss, dlTab)
+        toks
+          .select(col("doc_id"), col("dl"),
+            explode(array(terms.map(t =>
+              struct(lit(t).as("term"),
+                size(filter(col("toks"), x => x === lit(t)))
+                  .cast("long").as("tf"))): _*)).as("x"))
+          .select(col("doc_id"), col("dl"), col("x.term"), col("x.tf"))
+          .filter(col("tf") > 0)
+          .write.mode("append").parquet(postTab)
+        StreamState.maybeCompact(ss, postTab)
+        toks.unpersist(false)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dlSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("dl", DoubleType)))
+    val postSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("dl", DoubleType),
+      StructField("term", StringType), StructField("tf", LongType)))
+    val dls = spark.read.schema(dlSchema).parquet(dlTab).distinct()
+    val melted = spark.read.schema(postSchema).parquet(postTab).distinct()
+    val stats = dls.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val docFreq = melted.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    melted.join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .orderBy(floor(col("score") * lit(1e9) + lit(0.5)).cast("long").desc,
+        col("doc_id"))
+      .limit(topK)
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming vocabulary maintenance (q128): the q126 tf/df table
     * kept current as new documents stream in. Historical documents
     * build the stored vocab artifact once; the rest arrive as a

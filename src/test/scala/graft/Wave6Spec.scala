@@ -145,6 +145,72 @@ class Wave6Spec extends SparkSpec {
     }
   }
 
+  test("q229: a 3-file micro-batch split drains to the exact batch " +
+    "BM25 top-k (postings state equals the batch relations)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        math.floor(r.getAs[Double]("score") * 1e9 + 0.5).toLong)).toSet
+    val batch = rows(TextOps.bm25TopK(spark, sfDir))
+    Caches.releaseAll(spark)
+    val docs = graft.sources.Tables.documents(spark, sfDir).collect()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bm25split_").toString
+    def writeFlat(part: Int): Unit = {
+      val tmp = s"$root/_w"
+      val slice = docs.zipWithIndex.filter(_._2 % 3 == part).map(_._1)
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(slice.toSeq, 1),
+          graft.sources.Tables.documents(spark, sfDir).schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$root/stream/b$part.parquet")
+      target.getParentFile.mkdirs()
+      java.nio.file.Files.move(f.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    try {
+      (0 until 3).foreach(writeFlat)
+      val streamed = rows(graft.streaming.StreamingOps
+        .streamingBm25(spark, sfDir,
+          sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+          maxFilesPerTrigger = Some(1)))
+      assert(streamed == batch,
+        s"streamed ${streamed.size} rows != batch ${batch.size}")
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("q230 golden: a planted cross-language exact duplicate is " +
+    "counted once, unrelated language pairs read zero") {
+    import spark.implicits._
+    val dup = (0 until 20).map(t => s"x$t").mkString(" ")
+    val docs = Seq(
+      (1L, dup, "en", "s", dup.length.toLong),
+      (2L, dup, "de", "s", dup.length.toLong),
+      (3L, dup, "en", "s", dup.length.toLong), // same-lang copy: no pair
+      (4L, "other text entirely", "fr", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_xlang_").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = Dedup.crossLingualDupMatrix(spark, dir).collect()
+        .map(r => (r.getAs[String]("lang_a"), r.getAs[String]("lang_b")) ->
+          (r.getAs[Long]("n_shared"), r.getAs[Double]("share"))).toMap
+      assert(got(("de", "en")) == ((1L, 1.0)), s"$got")
+      assert(got(("en", "fr")) == ((0L, 0.0)), s"$got")
+      assert(got(("de", "fr")) == ((0L, 0.0)), s"$got")
+      assert(got.size == 3, s"$got")
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("q224 golden: identical sources estimate Jaccard 1, disjoint " +
     "sources estimate 0, and the exact audit is exact") {
     import spark.implicits._
