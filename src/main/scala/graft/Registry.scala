@@ -480,6 +480,13 @@ object Registry {
     // id-hash shard assignment audit: doc and token mass deviation
     // from uniform per shard
     "q231_shard_balance" -> ((s, d) => TextOps.shardBalanceAudit(s, d)),
+    // filtered vector search: brute-force top-k with a label predicate
+    // pushed into the corpus scan
+    "q232_filtered_ann" -> ((s, d) => Similarity.filteredAnnTopK(s, d)),
+    // q146's decode-on-arrival streaming twin: per-batch frame
+    // features appended to compacted state, drained to the batch rows
+    "q233_streaming_frame_features" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingFrameFeatures(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

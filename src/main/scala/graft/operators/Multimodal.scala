@@ -81,9 +81,17 @@ object Multimodal {
     * as the per-frame oracle twin.
     */
   def frameFeaturesAgg(spark: SparkSession, dir: String,
+      frameSize: Int = 32): DataFrame =
+    frameFeaturesAggDf(Tables.documents(spark, dir), frameSize)
+
+  /** Core over an explicit documents frame — the per-batch unit the
+    * streaming twin (q233) reuses inside foreachBatch.
+    */
+  private[graft] def frameFeaturesAggDf(docsRaw: DataFrame,
       frameSize: Int = 32): DataFrame = {
+    val spark = docsRaw.sparkSession
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    val docs = docsRaw
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]

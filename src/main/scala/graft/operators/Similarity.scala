@@ -133,6 +133,46 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Filtered vector search (q232): brute-force cosine top-k where the
+    * corpus side carries a METADATA predicate (label = `targetLabel`)
+    * — the "find similar items *within this category*" query every
+    * production vector store serves, and the case where pre-filtering
+    * beats post-filtering: filtering AFTER a plain top-k can return
+    * fewer than k (or zero) matching rows, while the predicate pushed
+    * INTO the scan makes the guarantee exact and the scan cheaper.
+    * The label filter reaches the parquet reader as a pushed filter
+    * (Wave6Spec asserts `PushedFilters` on the plan), so at 100 TB the
+    * corpus side reads only the label's row groups — the selectivity
+    * is free, not an afterthought. Same bit-identical-dot oracle
+    * argument as q34.
+    */
+  def filteredAnnTopK(spark: SparkSession, dir: String, k: Int = 5,
+      targetLabel: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // built straight off the scan (NOT the persisted unitVectors
+    // cache): an InMemoryRelation would swallow the predicate, while
+    // here Catalyst pushes both filters through the normalization
+    // projection into the parquet reader — only the label's row
+    // groups are read AND only the surviving rows pay unitNative
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        unitNative(col("embedding").cast("array<double>")).as("v"))
+    val queries = broadcast(
+      base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v")))
+    val corpus = base.filter(col("label") === targetLabel)
+    val scored = corpus.join(queries, col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dotNative(col("v"), col("q_v")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), col("label"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: queries probe only their own sign bucket. Recall
     * is partial by construction (bucket collisions only) — the scale
     * path, checked for plausibility against [[bruteForceTopK]] in tests.

@@ -90,6 +90,24 @@ private[graft] object OracleAnn {
         "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor ASC) AS rnk FROM scored) " +
         "SELECT q_id, CAST(rnk AS BIGINT) AS rank, neighbor, cos FROM ranked " +
         "WHERE rnk <= 5 ORDER BY q_id, rank"),
+    // q232: q34's brute-force top-k with the corpus side constrained
+    // to label = 3 — the filtered vector search every production
+    // store serves; same FP-parity argument, predicate in the scan
+    "q232_filtered_ann" ->
+      ("WITH e AS (SELECT vec_id, label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+        "FROM embeddings), " +
+        "u AS (SELECT vec_id, label, list_transform(v0, x -> x / " +
+        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v FROM e), " +
+        "q AS (SELECT vec_id AS q_id, v AS q_v FROM u WHERE vec_id < 5), " +
+        "scored AS (SELECT q.q_id, u.vec_id AS neighbor, u.label, " +
+        "list_reduce(list_transform(list_zip(u.v, q.q_v), p -> p[1] * p[2]), (a,b) -> a+b) AS cos " +
+        "FROM u JOIN q ON u.vec_id <> q.q_id WHERE u.label = 3), " +
+        "ranked AS (SELECT q_id, neighbor, label, cos, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor ASC) AS rnk FROM scored) " +
+        "SELECT q_id, CAST(rnk AS BIGINT) AS rank, neighbor, " +
+        "CAST(label AS BIGINT) AS label, cos FROM ranked " +
+        "WHERE rnk <= 5 ORDER BY q_id, rank"),
     "q70_embedding_quantize" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +

@@ -128,16 +128,11 @@ private[graft] object OracleStreamMedia {
         "ORDER BY new_id, corpus_id"),
     // q39's production shape: per-doc frame byte-sums (exact integers,
     // ragged tail included), comma-serialized in frame order
-    "q146_frame_features_agg" ->
-      ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents " +
-        "WHERE length(text) > 0), " +
-        "pos AS (SELECT doc_id, text, unnest(range(0, n)) AS p FROM d), " +
-        "f AS (SELECT doc_id, p // 32 AS idx, " +
-        "SUM(ascii(substring(text, CAST(p + 1 AS INT), 1))) AS s " +
-        "FROM pos GROUP BY 1, 2) " +
-        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames, " +
-        "string_agg(s, ',' ORDER BY idx) AS frame_sums " +
-        "FROM f GROUP BY doc_id ORDER BY doc_id"),
+    "q146_frame_features_agg" -> q146Sql,
+    // q233 (the streaming decode-on-arrival twin) shares this SQL
+    // verbatim: docs stream exactly once, so the drained feature
+    // state equals the batch relation for any micro-batch split
+    "q233_streaming_frame_features" -> q146Sql,
     // the drained stream must equal the full-corpus batch vocab
     "q128_streaming_vocab" ->
       ("WITH t AS (SELECT doc_id, " +
@@ -227,4 +222,15 @@ private[graft] object OracleStreamMedia {
         "SELECT rank, user_id, n_events, CAST(0 AS BIGINT) AS err " +
         "FROM r WHERE rank <= 20 ORDER BY rank"),
   )
+
+  private def q146Sql: String =
+    ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents " +
+      "WHERE length(text) > 0), " +
+      "pos AS (SELECT doc_id, text, unnest(range(0, n)) AS p FROM d), " +
+      "f AS (SELECT doc_id, p // 32 AS idx, " +
+      "SUM(ascii(substring(text, CAST(p + 1 AS INT), 1))) AS s " +
+      "FROM pos GROUP BY 1, 2) " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames, " +
+      "string_agg(s, ',' ORDER BY idx) AS frame_sums " +
+      "FROM f GROUP BY doc_id ORDER BY doc_id")
 }

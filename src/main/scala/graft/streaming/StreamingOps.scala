@@ -1189,6 +1189,62 @@ object StreamingOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming media feature extraction (q233): the q146 per-document
+    * frame-feature aggregation run as a STREAM — each micro-batch's
+    * payloads decode EXECUTOR-SIDE inside foreachBatch (`mapPartitions`
+    * at the codec boundary, frames never leave the executor; the
+    * decode is the same deterministic stand-in q39/q146 use) and the
+    * per-doc feature rows append to a compacted state table. Docs
+    * stream exactly once, so the drained state equals the batch
+    * relation for ANY split and q146's SQL is the oracle verbatim —
+    * the multimodal face of the shared-oracle streaming-maintenance
+    * family (q157/q223/q228/q229). This is the 100 TB ingest shape for
+    * media: decode once on arrival, persist bounded features, never
+    * re-touch payload bytes.
+    */
+  def streamingFrameFeatures(spark: SparkSession, dir: String,
+      frameSize: Int = 32,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.operators.Multimodal
+    val stateTab = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_framestate_")).toString
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val reader = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = reader.parquet(sourceDir.getOrElse(dir))
+    graft.Caches.onRelease(
+      () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        Multimodal.frameFeaturesAggDf(batch.toDF(), frameSize)
+          .write.mode("append").parquet(stateTab)
+        StreamState.maybeCompact(ss, stateTab)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_frames", LongType),
+      StructField("frame_sums", StringType)))
+    spark.read.schema(outSchema).parquet(stateTab)
+      .distinct() // replayed micro-batches are idempotent on rows
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming vocabulary maintenance (q128): the q126 tf/df table
     * kept current as new documents stream in. Historical documents
     * build the stored vocab artifact once; the rest arrive as a

@@ -211,6 +211,67 @@ class Wave6Spec extends SparkSpec {
     }
   }
 
+  test("q232: the label predicate is PUSHED into the embeddings scan " +
+    "and every result row satisfies it") {
+    val df = Similarity.filteredAnnTopK(spark, sfDir)
+    val plan = preparedPlan(df).toString
+    // the corpus-side parquet scan must carry the label pushdown —
+    // post-filtering a plain top-k would both read more and return
+    // fewer than k matching rows
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s+", " ")
+        .matches("(?s).*PushedFilters: \\[[^\\]]*label[^\\]]*\\].*"),
+      s"label filter not pushed:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Number]("label").longValue == 3L))
+    // per query, ranks are 1..k contiguous
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rs.length).toSeq, s"query $q ranks")
+    }
+    Caches.releaseAll(spark)
+  }
+
+  test("q233: a 3-file micro-batch split drains to the exact batch " +
+    "frame-feature rows") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_frames"),
+        r.getAs[String]("frame_sums"))).toSet
+    val batch = rows(Multimodal.frameFeaturesAgg(spark, sfDir))
+    Caches.releaseAll(spark)
+    val docs = graft.sources.Tables.documents(spark, sfDir).collect()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_framesplit_").toString
+    def writeFlat(part: Int): Unit = {
+      val tmp = s"$root/_w"
+      val slice = docs.zipWithIndex.filter(_._2 % 3 == part).map(_._1)
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(slice.toSeq, 1),
+          graft.sources.Tables.documents(spark, sfDir).schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$root/stream/b$part.parquet")
+      target.getParentFile.mkdirs()
+      java.nio.file.Files.move(f.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    try {
+      (0 until 3).foreach(writeFlat)
+      val streamed = rows(graft.streaming.StreamingOps
+        .streamingFrameFeatures(spark, sfDir,
+          sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+          maxFilesPerTrigger = Some(1)))
+      assert(streamed == batch,
+        s"streamed ${streamed.size} rows != batch ${batch.size}")
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("q224 golden: identical sources estimate Jaccard 1, disjoint " +
     "sources estimate 0, and the exact audit is exact") {
     import spark.implicits._
