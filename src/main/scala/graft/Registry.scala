@@ -487,6 +487,9 @@ object Registry {
     // features appended to compacted state, drained to the batch rows
     "q233_streaming_frame_features" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingFrameFeatures(s, d)),
+    // the q222 sketch at (source, lang) cell grain; lang-cell register
+    // max-merge reproduces the source sketch exactly
+    "q234_hll_cells" -> ((s, d) => TextOps.hllDistinctCells(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

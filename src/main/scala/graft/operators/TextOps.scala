@@ -2331,28 +2331,40 @@ object TextOps {
     hllRegsFromHashed(docsRaw
       .select(col("source"), md5(col("text").cast("binary")).as("h")))
 
-  private def hllRegsFromHashed(hashed: DataFrame): DataFrame =
+  /** Register fold at arbitrary key grain — (keys..., reg, mrho). */
+  private[graft] def hllRegsKeyed(hashed: DataFrame,
+      keys: Seq[String]): DataFrame =
     hashed
-      .select(col("source"),
-        conv(substring(col("h"), 1, 2), 16, 10).cast("long").as("reg"),
-        conv(substring(col("h"), 3, 12), 16, 10).cast("long").as("v"))
+      .select(keys.map(col) :+
+        conv(substring(col("h"), 1, 2), 16, 10).cast("long").as("reg") :+
+        conv(substring(col("h"), 3, 12), 16, 10).cast("long").as("v"): _*)
       .withColumn("rho", when(col("v") === 0L, lit(49L))
         .otherwise(lit(49L) - length(bin(col("v"))).cast("long")))
-      .groupBy(col("source"), col("reg"))
+      .groupBy(keys.map(col) :+ col("reg"): _*)
       .agg(max(col("rho")).as("mrho"))
+
+  private def hllRegsFromHashed(hashed: DataFrame): DataFrame =
+    hllRegsKeyed(hashed, Seq("source"))
 
   /** Estimator arithmetic over a drained (source, reg, mrho) register
     * table plus the doc relation for the exact audit — the half q223
     * reuses after merging per-batch registers.
     */
-  private[graft] def hllReport(docs: DataFrame, regs: DataFrame): DataFrame = {
-    val per = regs.groupBy(col("source"))
+  private[graft] def hllReport(docs: DataFrame, regs: DataFrame): DataFrame =
+    hllReportKeyed(docs, regs, Seq("source"))
+
+  /** The same estimator at arbitrary key grain (q234 uses
+    * (source, lang) cells).
+    */
+  private[graft] def hllReportKeyed(docs: DataFrame, regs: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val per = regs.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("registers_hit"),
         sum(expr("CAST(pow(2.0, 49 - mrho) AS BIGINT)")).as("s_hit"))
-    val exact = docs.groupBy(col("source"))
+    val exact = docs.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("h")).as("exact_distinct"))
-    exact.join(per, "source")
+    exact.join(per, keys)
       .withColumn("s_scaled", col("s_hit") +
         (lit(256L) - col("registers_hit")) * lit(562949953421312L))
       .withColumn("v0", lit(256L) - col("registers_hit"))
@@ -2364,12 +2376,32 @@ object TextOps {
         when(col("v0") > 0L && col("raw_estimate") <= lit(640.0),
           lit(256.0) * log(lit(256.0) / col("v0").cast("double")))
           .otherwise(col("raw_estimate")))
-      .select(col("source"), col("n_docs"), col("exact_distinct"),
+      .select(keys.map(col) ++ Seq(col("n_docs"), col("exact_distinct"),
         col("registers_hit"), col("s_scaled"), col("raw_estimate"),
         col("estimate"),
         ((col("estimate") - col("exact_distinct").cast("double")) /
-          col("exact_distinct").cast("double")).as("rel_err"))
-      .orderBy(col("source"))
+          col("exact_distinct").cast("double")).as("rel_err")): _*)
+      .orderBy(keys.map(col): _*)
+  }
+
+  /** HLL cell table (q234): the q222 distinct-content sketch at the
+    * FINER (source, lang) grain — the cardinality monitor a mix table
+    * (q162) actually keys on — with the mergeability that justifies
+    * keeping registers per cell: max-merging a source's lang-cell
+    * registers yields EXACTLY the q222 source registers (max is
+    * associative over any partition of the rows), so one stored
+    * register table serves every roll-up grain; Wave6Spec pins the
+    * merged-equals-direct identity. Same exact BIGINT harmonic sums
+    * and single-division estimator as q222, per cell.
+    */
+  def hllDistinctCells(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        md5(col("text").cast("binary")).as("h"))
+      // barrier: feeds the register fold and the exact-count audit
+      .persist()
+    hllReportKeyed(docs, hllRegsKeyed(docs, Seq("source", "lang")),
+      Seq("source", "lang"))
   }
 
   /** End-to-end curation funnel (q226): the whole dedup-and-filter

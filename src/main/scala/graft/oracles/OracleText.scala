@@ -646,6 +646,9 @@ private[graft] object OracleText {
     // drains to the batch sketch (the q147/q157 pattern)
     "q222_hll_distinct" -> q222Sql,
     "q223_streaming_hll" -> q222Sql,
+    // q234: the same sketch at (source, lang) cell grain — register
+    // max-merge over lang reproduces q222 exactly (Wave6Spec)
+    "q234_hll_cells" -> hllSql(Seq("source", "lang")),
     // q231: id-hash shard routing (16 md5 bits mod 32) + the exact
     // per-shard doc/token deviation from uniform
     "q231_shard_balance" ->
@@ -717,44 +720,52 @@ private[graft] object OracleText {
     * length in BOTH engines), harmonic sum kept exact as Σ 2^(49-rank)
     * in BIGINT, estimator spelled once with one division per row.
     */
-  private def q222Sql: String = {
+  private def q222Sql: String = hllSql(Seq("source"))
+
+  /** The q222 estimator SQL at arbitrary key grain (q234 = (source,
+    * lang) cells): registers, exact BIGINT harmonic sums and the
+    * single-division estimator are identical — only the GROUP BY keys
+    * change.
+    */
+  private[oracles] def hllSql(keys: Seq[String]): String = {
+    val ks = keys.mkString(", ")
     val nib = (i: Int) =>
       s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
     val vExpr = (3 to 14).zipWithIndex.map { case (i, j) =>
       val w = BigInt(16).pow(11 - j)
       if (w == BigInt(1)) nib(i) else s"${nib(i)} * $w"
     }.mkString(" + ")
-    ("WITH d AS (SELECT source, md5(text) AS h FROM documents), " +
-      "x AS (SELECT source, h, " +
+    (s"WITH d AS (SELECT $ks, md5(text) AS h FROM documents), " +
+      s"x AS (SELECT $ks, h, " +
       s"${nib(1)} * 16 + ${nib(2)} AS reg, " +
       s"$vExpr AS v FROM d), " +
-      "r AS (SELECT source, reg, MAX(CASE WHEN v = 0 THEN 49 " +
-      "ELSE 49 - length(bin(v)) END) AS mrho FROM x " +
-      "GROUP BY source, reg), " +
-      "p AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS registers_hit, " +
+      s"r AS (SELECT $ks, reg, MAX(CASE WHEN v = 0 THEN 49 " +
+      s"ELSE 49 - length(bin(v)) END) AS mrho FROM x " +
+      s"GROUP BY $ks, reg), " +
+      s"p AS (SELECT $ks, CAST(COUNT(*) AS BIGINT) AS registers_hit, " +
       "CAST(SUM(CAST(pow(2.0, 49 - mrho) AS BIGINT)) AS BIGINT) " +
-      "AS s_hit FROM r GROUP BY source), " +
-      "e AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      s"AS s_hit FROM r GROUP BY $ks), " +
+      s"e AS (SELECT $ks, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
       "CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_distinct FROM d " +
-      "GROUP BY source), " +
-      "q AS (SELECT e.source, n_docs, exact_distinct, registers_hit, " +
+      s"GROUP BY $ks), " +
+      s"q AS (SELECT $ks, n_docs, exact_distinct, registers_hit, " +
       "CAST(s_hit + (256 - registers_hit) * 562949953421312 AS BIGINT) " +
       "AS s_scaled, 256 - registers_hit AS v0 " +
-      "FROM e JOIN p ON e.source = p.source), " +
-      "q2 AS (SELECT source, n_docs, exact_distinct, registers_hit, " +
+      s"FROM e JOIN p USING ($ks)), " +
+      s"q2 AS (SELECT $ks, n_docs, exact_distinct, registers_hit, " +
       "s_scaled, v0, " +
       "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 562949953421312.0 " +
       "/ CAST(s_scaled AS DOUBLE) AS raw_estimate FROM q), " +
-      "q3 AS (SELECT source, n_docs, exact_distinct, registers_hit, " +
+      s"q3 AS (SELECT $ks, n_docs, exact_distinct, registers_hit, " +
       "s_scaled, raw_estimate, " +
       "CASE WHEN v0 > 0 AND raw_estimate <= 640.0 " +
       "THEN 256.0 * ln(256.0 / CAST(v0 AS DOUBLE)) " +
       "ELSE raw_estimate END AS estimate FROM q2) " +
-      "SELECT source, n_docs, exact_distinct, registers_hit, s_scaled, " +
+      s"SELECT $ks, n_docs, exact_distinct, registers_hit, s_scaled, " +
       "raw_estimate, estimate, " +
       "(estimate - CAST(exact_distinct AS DOUBLE)) / " +
       "CAST(exact_distinct AS DOUBLE) AS rel_err " +
-      "FROM q3 ORDER BY source")
+      s"FROM q3 ORDER BY $ks")
   }
 
   private def q147Sql: String =

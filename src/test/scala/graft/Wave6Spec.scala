@@ -272,6 +272,27 @@ class Wave6Spec extends SparkSpec {
     }
   }
 
+  test("q234: max-merging the (source, lang) cell registers over lang " +
+    "reproduces the q222 source registers bit-for-bit") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"),
+        md5(col("text").cast("binary")).as("h"))
+    def regs(keys: Seq[String]) =
+      TextOps.hllRegsKeyed(docs, keys)
+    val direct = regs(Seq("source")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("reg")) ->
+        r.getAs[Long]("mrho")).toMap
+    val merged = regs(Seq("source", "lang"))
+      .groupBy(col("source"), col("reg"))
+      .agg(max(col("mrho")).as("mrho")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("reg")) ->
+        r.getAs[Long]("mrho")).toMap
+    assert(direct == merged,
+      s"roll-up mismatch: direct ${direct.size} vs merged ${merged.size}")
+    Caches.releaseAll(spark)
+  }
+
   test("q224 golden: identical sources estimate Jaccard 1, disjoint " +
     "sources estimate 0, and the exact audit is exact") {
     import spark.implicits._
