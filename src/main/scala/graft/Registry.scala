@@ -490,6 +490,10 @@ object Registry {
     // the q222 sketch at (source, lang) cell grain; lang-cell register
     // max-merge reproduces the source sketch exactly
     "q234_hll_cells" -> ((s, d) => TextOps.hllDistinctCells(s, d)),
+    // the reference's Redis-SET dedup (SADD + membership per batch) as
+    // a drained stream: persisted hash registry, first-occurrence-wins
+    "q235_streaming_exact_dedup" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingExactDedup(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

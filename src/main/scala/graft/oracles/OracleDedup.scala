@@ -650,6 +650,15 @@ private[graft] object OracleDedup {
     // q225: q174 with the corpus window set as a stored artifact —
     // definitionally the same reference set, so q174's SQL verbatim
     "q225_window_dedup_persisted" -> q174Sql,
+    // q235: the reference's Redis-SET dedup flow as a drained stream —
+    // first occurrence per content hash wins (id order = the keyset-
+    // pagination arrival contract), keeper annotated with its
+    // stream-wide copy count
+    "q235_streaming_exact_dedup" ->
+      ("WITH d AS (SELECT doc_id, md5(text) AS h FROM documents), " +
+        "m AS (SELECT h, MIN(doc_id) AS doc_id, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_copies FROM d GROUP BY h) " +
+        "SELECT doc_id, h, n_copies FROM m ORDER BY doc_id"),
     // q230: exact content hashes shared across language pairs — full
     // matrix including zero cells, share normalized by the smaller side
     "q230_cross_lingual_dups" ->

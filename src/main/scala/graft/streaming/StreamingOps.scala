@@ -1245,6 +1245,86 @@ object StreamingOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming exact dedup with a persisted hash registry (q235): the
+    * REFERENCE's core dedup flow — a Redis SET of seen keys probed and
+    * extended per batch
+    * (/root/reference/src/services/saveToPostgres.js:28,90-98 SADD +
+    * membership, preloaded at /root/reference/src/services/
+    * preloadRedis.js:41-52) — as its Spark streaming analogue: each
+    * micro-batch appends its (doc_id, content-md5) rows to the
+    * registry state (append FIRST, the q116 discipline, compacted by
+    * [[StreamState]]), and a batch document is KEPT exactly when the
+    * registry's min doc_id for its hash is itself — first occurrence
+    * wins, canonically by id, so within-batch and cross-batch
+    * duplicates fall out of one rule and the drain equals the static
+    * min-per-hash keeper (q28's rule) for the id-ordered arrival the
+    * reference's keyset pagination guarantees (fetchContact.js:5-11).
+    * The drain annotates each keeper with its stream-wide copy count
+    * from the registry — the dup-mass number the audit log tracks.
+    *
+    * 100 TB shape: per-batch work is hashing the BATCH + one
+    * broadcast-ish join against the registry's min-per-hash view;
+    * 16-byte hashes shuffle, never text; the registry is the stored
+    * artifact (Redis in the reference, compacted parquet here) and
+    * replays are idempotent (distinct on (doc_id, h) restores the set
+    * semantics SADD has natively).
+    */
+  def streamingExactDedup(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val regTab = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_hashreg_")).toString
+    val sinkDir = graft.Caches.trackTempDir(Files.createTempDirectory(
+      s"graft_exactdedup_${counter.incrementAndGet()}_")).toString
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val reader = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = reader.parquet(sourceDir.getOrElse(dir))
+    graft.Caches.onRelease(
+      () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        val bh = batch.toDF()
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+          // barrier: feeds the registry append and the keeper join
+          .persist()
+        bh.write.mode("append").parquet(regTab)
+        StreamState.maybeCompact(ss, regTab)
+        val minReg = ss.read.parquet(regTab)
+          .groupBy(col("h")).agg(min(col("doc_id")).as("min_doc"))
+        bh.join(minReg, Seq("h"))
+          .filter(col("min_doc") === col("doc_id"))
+          .select(col("doc_id"), col("h"))
+          .write.mode("append").parquet(sinkDir)
+        bh.unpersist(false)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rowSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("h", StringType)))
+    val copies = spark.read.schema(rowSchema).parquet(regTab)
+      .distinct() // replayed appends restore SADD set semantics
+      .groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
+    spark.read.schema(rowSchema).parquet(sinkDir)
+      .distinct()
+      .join(copies, Seq("h"))
+      .select(col("doc_id"), col("h"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming vocabulary maintenance (q128): the q126 tf/df table
     * kept current as new documents stream in. Historical documents
     * build the stored vocab artifact once; the rest arrive as a

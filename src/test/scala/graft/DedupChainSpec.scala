@@ -750,6 +750,49 @@ class DedupChainSpec extends SparkSpec {
     }
   }
 
+  test("q235: a cross-batch exact duplicate is suppressed by the hash " +
+    "registry and counted in n_copies") {
+    import spark.implicits._
+    val dup = "same exact content here"
+    def row(id: Long, text: String) =
+      (id, text, "en", "crafted", text.length.toLong)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_regdedup_").toString
+    def writeFlat(rows: Seq[(Long, String, String, String, Long)],
+        dest: String): Unit = {
+      val tmp = s"$root/_w"
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(dest)
+      target.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    try {
+      // b0: keeper + unrelated; b1: the SAME content again + another
+      writeFlat(Seq(row(1L, dup), row(2L, "unrelated a")),
+        s"$root/stream/b0.parquet")
+      writeFlat(Seq(row(3L, dup), row(4L, "unrelated b")),
+        s"$root/stream/b1.parquet")
+      new java.io.File(s"$root/stream/b0.parquet")
+        .setLastModified(System.currentTimeMillis() - 60000L)
+      val got = graft.streaming.StreamingOps.streamingExactDedup(
+          spark, s"$root/stream",
+          sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+          maxFilesPerTrigger = Some(1)).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies"))
+        .toMap
+      assert(got == Map(1L -> 2L, 2L -> 1L, 4L -> 1L),
+        s"registry dedup drained wrong: $got")
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("corpus-side mega-bucket contributes ZERO candidates to the batch screens") {
     import spark.implicits._
     // the r9 verdict's skew bomb: a boilerplate bucket on the CORPUS
