@@ -494,6 +494,10 @@ object Registry {
     // a drained stream: persisted hash registry, first-occurrence-wins
     "q235_streaming_exact_dedup" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingExactDedup(s, d)),
+    // is the quality gate secretly a length filter? point-biserial r
+    // per source from exact integer sufficient statistics
+    "q236_length_quality_corr" -> ((s, d) =>
+      TextOps.lengthQualityCorrelation(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -2501,6 +2501,51 @@ object TextOps {
       .orderBy(col("shard"))
   }
 
+  /** Length–quality correlation (q236): per source, the point-biserial
+    * correlation between document length and the q211 binary quality
+    * flag — the one-number answer to "is my quality gate secretly a
+    * length filter?" (r → 1 means the gate adds nothing over a length
+    * cut; r ≈ 0 means it measures something length doesn't). All five
+    * sufficient statistics (n, Σx, Σx², Σy, Σxy with y ∈ {0,1}) are
+    * EXACT integer sums spelled identically in both engines (the q212
+    * Pearson discipline); the combination into r is one shared double
+    * formula. Cells where the flag never varies (all 0 or all 1) emit
+    * r = 0 with `degenerate` = 1 rather than a NULL divide, so both
+    * engines agree on the guard too.
+    *
+    * 100 TB shape: one row-local projection + one map-side-combined
+    * per-source aggregate; output is #sources rows.
+    */
+  def lengthQualityCorrelation(spark: SparkSession,
+      dir: String): DataFrame = {
+    val toks = TextAnalytics.tokens(col("text"))
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("x"),
+        when(size(toks) >= 20 &&
+          size(array_distinct(toks)).cast("double") /
+            size(toks).cast("double") > 0.1 &&
+          size(filter(toks, t => t === "the" || t === "a"))
+            .cast("double") / size(toks).cast("double") < 0.5,
+          1L).otherwise(0L).as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+    // y is binary: Σy² = Σy, so var_y numerator = n·Σy − (Σy)²
+    val num = col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = col("n").cast("double") * col("sy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    per.select(col("source"), col("n").as("n_docs"),
+        col("sy").as("n_quality"),
+        when(vx > 0.0 && vy > 0.0, num / sqrt(vx * vy))
+          .otherwise(lit(0.0)).as("r"),
+        when(vx > 0.0 && vy > 0.0, 0L).otherwise(1L).as("degenerate"))
+      .orderBy(col("source"))
+  }
+
   /** DSIR-style importance weighting (q180): score every non-target
     * document by its average per-token log-likelihood ratio between a
     * TARGET unigram LM (here the `target` source, standing in for the

@@ -649,6 +649,36 @@ private[graft] object OracleText {
     // q234: the same sketch at (source, lang) cell grain — register
     // max-merge over lang reproduces q222 exactly (Wave6Spec)
     "q234_hll_cells" -> hllSql(Seq("source", "lang")),
+    // q236: per-source point-biserial correlation between length and
+    // the q211 quality flag — exact integer sufficient statistics,
+    // one shared double formula, degenerate cells guarded identically
+    "q236_length_quality_corr" ->
+      ("WITH t AS (SELECT source, n_chars AS x, list_filter(" +
+        "string_split_regex(text, '\\s+'), x2 -> x2 <> '') AS toks " +
+        "FROM documents), " +
+        "b AS (SELECT source, x, CAST(len(toks) >= 20 AND " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / " +
+        "CAST(len(toks) AS DOUBLE) > 0.1 AND " +
+        "CAST(len(list_filter(toks, w -> w = 'the' OR w = 'a')) " +
+        "AS DOUBLE) / CAST(len(toks) AS DOUBLE) < 0.5 AS BIGINT) AS y " +
+        "FROM t), " +
+        "p AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx, " +
+        "CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy " +
+        "FROM b GROUP BY source), " +
+        "f AS (SELECT source, n, sy, " +
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num, " +
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx, " +
+        "CAST(n AS DOUBLE) * CAST(sy AS DOUBLE) - " +
+        "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy FROM p) " +
+        "SELECT source, n AS n_docs, sy AS n_quality, " +
+        "CASE WHEN vx > 0.0 AND vy > 0.0 THEN num / sqrt(vx * vy) " +
+        "ELSE 0.0 END AS r, " +
+        "CAST(CASE WHEN vx > 0.0 AND vy > 0.0 THEN 0 ELSE 1 END " +
+        "AS BIGINT) AS degenerate " +
+        "FROM f ORDER BY source"),
     // q231: id-hash shard routing (16 md5 bits mod 32) + the exact
     // per-shard doc/token deviation from uniform
     "q231_shard_balance" ->

@@ -293,6 +293,38 @@ class Wave6Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("q236 golden: a pure length-gate corpus correlates r=1, a " +
+    "flag-invariant source is degenerate r=0") {
+    import spark.implicits._
+    // sourceA: long docs pass the gate, short docs fail it — the flag
+    // IS a length cut, so point-biserial r must be strongly positive;
+    // sourceB: every doc passes (flag never varies) → degenerate
+    // 32 toks, distinct 4/32 > 0.1, 'the' 8/32 < 0.5 → passes the gate
+    val longDoc = ("the quick row runs " * 8).trim
+    val shortDoc = "tiny doc here"                      // 3 toks, fails
+    val docs = ((0 until 10).map(i =>
+        (i.toLong, longDoc, "en", "gateA", 1000L + i)) ++
+      (10 until 20).map(i =>
+        (i.toLong, shortDoc, "en", "gateA", 10L + i)) ++
+      (20 until 25).map(i =>
+        (i.toLong, longDoc, "en", "allpass", 500L + i)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lqcorr_").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = TextOps.lengthQualityCorrelation(spark, dir).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Double]("r"), r.getAs[Long]("degenerate"))).toMap
+      assert(got("gateA")._2 == 0L && got("gateA")._1 > 0.9,
+        s"length-gate r: ${got("gateA")}")
+      assert(got("allpass") == ((0.0, 1L)), s"${got("allpass")}")
+    } finally {
+      Caches.releaseAll(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("q224 golden: identical sources estimate Jaccard 1, disjoint " +
     "sources estimate 0, and the exact audit is exact") {
     import spark.implicits._
