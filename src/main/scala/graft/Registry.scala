@@ -498,6 +498,10 @@ object Registry {
     // per source from exact integer sufficient statistics
     "q236_length_quality_corr" -> ((s, d) =>
       TextOps.lengthQualityCorrelation(s, d)),
+    // the embedding member of the decontamination family: held-out
+    // vectors screened semantically against train via inverted lists
+    "q237_embedding_decontamination" -> ((s, d) =>
+      Similarity.embeddingDecontamination(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -1367,6 +1367,64 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-space eval decontamination (q237): every HELD-OUT
+    * vector (vec_id % 5 == 0 — the q136 hash-split idiom on the
+    * embeddings table) screened for SEMANTIC leakage against the
+    * train side through the q97 coarse quantizer's inverted lists —
+    * the member the decontamination family was missing: exact n-gram
+    * (q80), hashed grams (q153), near-dup text (q170) and streaming
+    * (q185) all catch lexical leaks, but a paraphrased eval item leaks
+    * through all four and is exactly what embedding-space screening
+    * (the SemDeDup-style use) catches. A held-out vector is LEAKED
+    * when any same-cluster train cosine ≥ tau; emitted with its
+    * nearest train witness (deterministic by the q34 bit-identical-dot
+    * + fixed-point-free tie rule), so the repair manifest (drop or
+    * reassign, q218's policy question) is one join away.
+    *
+    * 100 TB shape: identical to q169 — assignment is row-local argmax
+    * against the bounded driver model, comparisons touch only the
+    * held-out×inverted-list join, never train×train.
+    */
+  def embeddingDecontamination(spark: SparkSession, dir: String,
+      k: Int = 8, tau: Double = 0.3, vecCap: Long = 5000L,
+      heldMod: Int = 5, heldRem: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = unitVectors(spark, dir).select(col("vec_id"), col("v"))
+      .filter(col("vec_id") < vecCap)
+    val model: Array[(Long, Array[Double])] = u.filter(col("vec_id") < k)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray)
+    val members = u.select(col("vec_id"),
+      VectorExpressions.nearestCentroidNative(col("v"), model).as("cid"),
+      col("v"))
+      // barrier: both join sides read the assignment pass
+      .persist()
+    val isHeld = col("vec_id") % heldMod === heldRem
+    val held = members.filter(isHeld)
+      .select(col("vec_id"), col("cid"), col("v"))
+    val train = members.filter(!isHeld)
+      .select(col("cid"), col("vec_id").as("train_id"),
+        col("v").as("tv"))
+    val hits = held.join(train, Seq("cid"))
+      .withColumn("sim", dotNative(col("v"), col("tv")))
+      .filter(col("sim") >= tau)
+      .withColumn("n_near_train",
+        count(lit(1)).over(Window.partitionBy(col("vec_id"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("train_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("n_near_train"),
+        col("train_id").as("best_train"), col("sim").as("best_sim"))
+    held.select(col("vec_id"), col("cid"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_near_train"), lit(0L)).as("n_near_train"),
+        when(col("best_train").isNotNull, 1L).otherwise(0L).as("leaked"),
+        col("best_train"), col("best_sim"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label centroid stats — exact arithmetic over the vector column
     * (counts + dims), oracle-checkable shape for the embeddings table.
     */

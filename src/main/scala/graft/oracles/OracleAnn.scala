@@ -90,6 +90,41 @@ private[graft] object OracleAnn {
         "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor ASC) AS rnk FROM scored) " +
         "SELECT q_id, CAST(rnk AS BIGINT) AS rank, neighbor, cos FROM ranked " +
         "WHERE rnk <= 5 ORDER BY q_id, rank"),
+    // q237: the q169 chain with a SPLIT predicate instead of the batch
+    // split — held-out (vec_id % 5 = 0) screened against train through
+    // the coarse-quantizer lists; the embedding member of the
+    // decontamination family
+    "q237_embedding_decontamination" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+        "FROM embeddings WHERE vec_id < 5000), " +
+        "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
+        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v FROM e), " +
+        "c AS (SELECT vec_id AS cid, v AS cv FROM u WHERE vec_id < 8), " +
+        "s AS (SELECT u.vec_id, c.cid, " +
+        "list_reduce(list_transform(list_zip(u.v, c.cv), p -> p[1] * p[2]), (x,y) -> x+y) AS sim " +
+        "FROM u CROSS JOIN c), " +
+        "asn AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s) " +
+        "WHERE rn = 1), " +
+        "m AS (SELECT asn.vec_id, asn.cid, u.v FROM asn JOIN u USING (vec_id)), " +
+        "b AS (SELECT * FROM m WHERE vec_id % 5 = 0), " +
+        "cr AS (SELECT cid, vec_id AS train_id, v AS tv FROM m " +
+        "WHERE vec_id % 5 <> 0), " +
+        "p AS (SELECT b.vec_id, b.cid, cr.train_id, " +
+        "list_reduce(list_transform(list_zip(b.v, cr.tv), pr -> pr[1] * pr[2]), (x,y) -> x+y) AS sim " +
+        "FROM b JOIN cr ON b.cid = cr.cid), " +
+        "h AS (SELECT vec_id, COUNT(*) AS n_near_train FROM p " +
+        "WHERE sim >= 0.3 GROUP BY vec_id), " +
+        "bst AS (SELECT vec_id, train_id AS best_train, sim AS best_sim FROM " +
+        "(SELECT vec_id, train_id, sim, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY sim DESC, train_id) AS rn " +
+        "FROM p WHERE sim >= 0.3) WHERE rn = 1) " +
+        "SELECT b.vec_id, b.cid, " +
+        "CAST(COALESCE(h.n_near_train, 0) AS BIGINT) AS n_near_train, " +
+        "CAST(CASE WHEN bst.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS leaked, " +
+        "bst.best_train, bst.best_sim " +
+        "FROM b LEFT JOIN h ON h.vec_id = b.vec_id " +
+        "LEFT JOIN bst ON bst.vec_id = b.vec_id ORDER BY b.vec_id"),
     // q232: q34's brute-force top-k with the corpus side constrained
     // to label = 3 — the filtered vector search every production
     // store serves; same FP-parity argument, predicate in the scan

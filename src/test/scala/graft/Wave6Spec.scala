@@ -325,6 +325,40 @@ class Wave6Spec extends SparkSpec {
     }
   }
 
+  test("q237: leak verdicts match a brute-force cluster scan") {
+    val got = Similarity.embeddingDecontamination(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cid"), r.getAs[Long]("n_near_train"),
+          r.getAs[Long]("leaked"),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(got.nonEmpty && got.keySet.forall(_ % 5 == 0))
+    assert(got.values.exists(_._3 == 1L), "no held-out vector leaked")
+    val u = Similarity.unitVectors(spark, sfDir)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val cents = u.filter(_._1 < 8)
+    def assign(v: Array[Double]): Long =
+      cents.toSeq.map { case (c, cv) => (dot(v, cv), c) }
+        .maxBy { case (s, c) => (s, -c) }._2
+    val cid = u.map { case (id, v) => id -> assign(v) }
+    val trainByCid = u.keys.filter(_ % 5 != 0).toSeq.groupBy(cid)
+    got.foreach { case (id, (gcid, nNear, leaked, best)) =>
+      assert(gcid == cid(id), s"vec $id cluster")
+      val hits = trainByCid.getOrElse(gcid, Seq.empty)
+        .map(o => (o, dot(u(id), u(o)))).filter(_._2 >= 0.3)
+      assert(nNear == hits.size.toLong, s"vec $id n_near_train")
+      assert((leaked == 1L) == hits.nonEmpty, s"vec $id verdict")
+      val expBest = hits.sortBy { case (o, s) => (-s, o) }.headOption.map(_._1)
+      assert(best == expBest, s"vec $id best train witness")
+    }
+    Caches.releaseAll(spark)
+  }
+
   test("q224 golden: identical sources estimate Jaccard 1, disjoint " +
     "sources estimate 0, and the exact audit is exact") {
     import spark.implicits._
