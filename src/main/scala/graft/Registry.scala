@@ -502,6 +502,10 @@ object Registry {
     // vectors screened semantically against train via inverted lists
     "q237_embedding_decontamination" -> ((s, d) =>
       Similarity.embeddingDecontamination(s, d)),
+    // q218's repair policy in embedding space: leaked held-out vectors
+    // reassigned to train, per-split before/out/in/after audit
+    "q238_embedding_leak_repair" -> ((s, d) =>
+      Similarity.embeddingLeakRepair(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

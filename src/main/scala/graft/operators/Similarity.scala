@@ -1425,6 +1425,46 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding decontamination repair manifest (q238): q218's policy
+    * applied in embedding space — every held-out vector q237 flags as
+    * a semantic leak is REASSIGNED to train (the conservative
+    * direction: never let a train-adjacent item grade the model), and
+    * the manifest reports, per split, vectors before, moved out
+    * (leaked), moved in, and after. Completes the detect→repair pair
+    * the text side has (q136 split → q218 repair); pure integer set
+    * arithmetic over the q237 relation, exact cross-engine.
+    *
+    * 100 TB shape: the q237 chain plus one #splits-row rollup.
+    */
+  def embeddingLeakRepair(spark: SparkSession, dir: String,
+      vecCap: Long = 5000L, heldMod: Int = 5,
+      heldRem: Int = 0): DataFrame = {
+    val leaked = embeddingDecontamination(spark, dir,
+        vecCap = vecCap, heldMod = heldMod, heldRem = heldRem)
+      .filter(col("leaked") === 1L)
+      .select(col("vec_id"))
+      // barrier: feeds both rollup branches
+      .persist()
+    val all = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < vecCap)
+      .select(col("vec_id"),
+        when(col("vec_id") % heldMod === heldRem, lit("heldout"))
+          .otherwise(lit("train")).as("split"))
+    val nLeak = leaked.count()
+    val before = all.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_before"))
+    val movedOut = all.join(leaked, Seq("vec_id"), "left_semi")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_out"))
+    before.join(movedOut, Seq("split"), "left")
+      .na.fill(0L, Seq("n_out"))
+      .withColumn("n_in",
+        when(col("split") === "train", lit(nLeak)).otherwise(lit(0L)))
+      .select(col("split"), col("n_before"),
+        col("n_out").as("n_moved_out"), col("n_in").as("n_moved_in"),
+        (col("n_before") - col("n_out") + col("n_in")).as("n_after"))
+      .orderBy(col("split"))
+  }
+
   /** Per-label centroid stats — exact arithmetic over the vector column
     * (counts + dims), oracle-checkable shape for the embeddings table.
     */

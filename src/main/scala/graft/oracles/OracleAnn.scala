@@ -125,6 +125,44 @@ private[graft] object OracleAnn {
         "bst.best_train, bst.best_sim " +
         "FROM b LEFT JOIN h ON h.vec_id = b.vec_id " +
         "LEFT JOIN bst ON bst.vec_id = b.vec_id ORDER BY b.vec_id"),
+    // q238: the q237 leak set folded into q218's repair policy —
+    // leaked held-out vectors reassigned to train, per-split audit
+    "q238_embedding_leak_repair" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+        "FROM embeddings WHERE vec_id < 5000), " +
+        "u AS (SELECT vec_id, list_transform(v0, x -> x / " +
+        "sqrt(list_reduce(list_transform(v0, y -> y*y), (a,b) -> a+b))) AS v FROM e), " +
+        "c AS (SELECT vec_id AS cid, v AS cv FROM u WHERE vec_id < 8), " +
+        "s AS (SELECT u.vec_id, c.cid, " +
+        "list_reduce(list_transform(list_zip(u.v, c.cv), p -> p[1] * p[2]), (x,y) -> x+y) AS sim " +
+        "FROM u CROSS JOIN c), " +
+        "asn AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s) " +
+        "WHERE rn = 1), " +
+        "m AS (SELECT asn.vec_id, asn.cid, u.v FROM asn JOIN u USING (vec_id)), " +
+        "b AS (SELECT * FROM m WHERE vec_id % 5 = 0), " +
+        "cr AS (SELECT cid, vec_id AS train_id, v AS tv FROM m " +
+        "WHERE vec_id % 5 <> 0), " +
+        "p AS (SELECT b.vec_id, cr.train_id, " +
+        "list_reduce(list_transform(list_zip(b.v, cr.tv), pr -> pr[1] * pr[2]), (x,y) -> x+y) AS sim " +
+        "FROM b JOIN cr ON b.cid = cr.cid), " +
+        "lk AS (SELECT DISTINCT vec_id FROM p WHERE sim >= 0.3), " +
+        "al AS (SELECT vec_id, CASE WHEN vec_id % 5 = 0 THEN 'heldout' " +
+        "ELSE 'train' END AS split FROM embeddings WHERE vec_id < 5000), " +
+        "bf AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_before " +
+        "FROM al GROUP BY split), " +
+        "mo AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_out FROM al " +
+        "WHERE vec_id IN (SELECT vec_id FROM lk) GROUP BY split), " +
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl FROM lk) " +
+        "SELECT bf.split, n_before, " +
+        "CAST(COALESCE(mo.n_out, 0) AS BIGINT) AS n_moved_out, " +
+        "CAST(CASE WHEN bf.split = 'train' THEN tot.nl ELSE 0 END " +
+        "AS BIGINT) AS n_moved_in, " +
+        "CAST(n_before - COALESCE(mo.n_out, 0) + " +
+        "CASE WHEN bf.split = 'train' THEN tot.nl ELSE 0 END " +
+        "AS BIGINT) AS n_after " +
+        "FROM bf LEFT JOIN mo ON mo.split = bf.split CROSS JOIN tot " +
+        "ORDER BY bf.split"),
     // q232: q34's brute-force top-k with the corpus side constrained
     // to label = 3 — the filtered vector search every production
     // store serves; same FP-parity argument, predicate in the scan

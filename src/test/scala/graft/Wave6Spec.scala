@@ -359,6 +359,25 @@ class Wave6Spec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("q238: repair conserves vectors and moves exactly the q237 " +
+    "leak set from heldout to train") {
+    val leaks = Similarity.embeddingDecontamination(spark, sfDir)
+      .filter(col("leaked") === 1L).count()
+    Caches.releaseAll(spark)
+    val rows = Similarity.embeddingLeakRepair(spark, sfDir).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_before"), r.getAs[Long]("n_moved_out"),
+          r.getAs[Long]("n_moved_in"), r.getAs[Long]("n_after"))).toMap
+    val h = rows("heldout"); val t = rows("train")
+    assert(h._2 == leaks && t._3 == leaks,
+      s"moved ${h._2}/${t._3} != q237 leaks $leaks")
+    assert(t._2 == 0L && h._3 == 0L, s"$rows")
+    assert(h._1 + t._1 == h._4 + t._4, s"vectors not conserved: $rows")
+    assert(h._4 == h._1 - leaks && t._4 == t._1 + leaks, s"$rows")
+    assert(leaks > 0L, "fixture has no semantic leaks to repair")
+    Caches.releaseAll(spark)
+  }
+
   test("q224 golden: identical sources estimate Jaccard 1, disjoint " +
     "sources estimate 0, and the exact audit is exact") {
     import spark.implicits._
