@@ -98,6 +98,114 @@ object StreamingOps {
 
   private val counter = new AtomicInteger(0)
 
+  /** Resolve the durable root for one operator's state: an explicit
+    * `stateRoot` parameter wins, then the `SPARK_GRAFT_STATE_ROOT`
+    * env override (the verify-harness knob that re-points EVERY
+    * streaming state table at a shared store in one sweep), else None
+    * (session-temp behavior). A durable root holds the operator's
+    * state tables, its drain sink, and its streaming CHECKPOINT — the
+    * three things a restarted query must find again (r10 verdict #1:
+    * the reference's Redis state outlives the Node process,
+    * /root/reference/src/database/redisClient.js:4-34; the Spark
+    * analogue is state + checkpoint on a store the driver doesn't own).
+    * Durable paths are intentionally NOT Caches-tracked — surviving
+    * the session is their point. On a cluster, pass an HDFS/S3A URI;
+    * everything below goes through the Hadoop FS API.
+    */
+  private def effectiveRoot(stateRoot: Option[String],
+      op: String): Option[String] =
+    stateRoot.orElse(
+      sys.env.get("SPARK_GRAFT_STATE_ROOT").map(r => s"$r/$op"))
+
+  /** A state/sink directory under the durable root, or a tracked temp
+    * dir when no root is configured.
+    */
+  private def stateDir(root: Option[String], name: String): String =
+    root.map(r => s"$r/$name").getOrElse(graft.Caches.trackTempDir(
+      Files.createTempDirectory(s"graft_${name}_")).toString)
+
+  /** Start a stream with the operator's durable checkpoint when a root
+    * is configured — a restarted AvailableNow drain then resumes from
+    * the file-source offsets instead of re-reading (and re-folding)
+    * every input file, which is what makes the versioned-ledger
+    * operators' resume exact rather than double-counted.
+    */
+  private def startWithCheckpoint(
+      w: org.apache.spark.sql.streaming.DataStreamWriter[Row],
+      root: Option[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    root.fold(w)(r => w.option("checkpointLocation", s"$r/_checkpoint"))
+      .start()
+
+  /** Latest existing version under a versioned-ledger root: (max
+    * numeric suffix, its path). Versions are written as `b<n>`; a
+    * resumed run continues the numbering past the max so no restart
+    * can overwrite a prior version.
+    */
+  private def latestVersion(spark: SparkSession,
+      root: String): (Long, Option[String]) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (-1L, None)
+    else {
+      val vs = fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("b"))
+        .flatMap(n => n.drop(1).toLongOption.map(v => (v, n)))
+      if (vs.isEmpty) (-1L, None)
+      else {
+        val (mx, nm) = vs.maxBy(_._1)
+        (mx, Some(s"$root/$nm"))
+      }
+    }
+  }
+
+  /** Max of a long column over an existing parquet state table, or
+    * None when the table doesn't exist yet / is empty — the
+    * arrival-contract seed for a resumed run (see [[batchOrderGuard]]).
+    */
+  private def existingStateMax(spark: SparkSession, dir: String,
+      colName: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) ||
+      !fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      None
+    else {
+      val r = spark.read.parquet(dir).agg(max(col(colName))).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+  }
+
+  /** Enforce the id-ordered arrival contract the min-doc streaming
+    * keepers (q175 window dedup, q235 exact dedup) are documented
+    * against: batches arrive in monotone doc_id order, the order the
+    * reference's keyset pagination guarantees
+    * (/root/reference/src/services/fetchContact.js:5-11). A batch
+    * carrying an id at or below the running max would silently keep
+    * both copies / pick the wrong keeper — this turns that silent
+    * divergence into a loud failure (r10 advice #2). Replayed batches
+    * (same or lower batch id after a restart retry) legitimately
+    * re-carry old ids and are exempt; only FORWARD batch progress is
+    * checked. Returns the batch max so the caller can advance the
+    * running max.
+    */
+  private def batchOrderGuard(batch: DataFrame, id: Long,
+      lastBatchId: java.util.concurrent.atomic.AtomicLong,
+      seenMax: java.util.concurrent.atomic.AtomicLong): Unit = {
+    val mm = batch.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    if (!mm.isNullAt(0)) {
+      val bmin = mm.getLong(0)
+      val bmax = mm.getLong(1)
+      if (id > lastBatchId.get && seenMax.get != Long.MinValue &&
+        bmin <= seenMax.get)
+        throw new IllegalStateException(
+          s"out-of-order arrival: batch $id carries doc_id $bmin <= " +
+            s"state max ${seenMax.get}; the min-doc keeper rule requires " +
+            "monotone id arrival (keyset-paginated feed)")
+      if (bmax > seenMax.get) seenMax.set(bmax)
+    }
+    if (id > lastBatchId.get) lastBatchId.set(id)
+  }
+
   def streamEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // a streaming file source needs the schema up front — one footer read
@@ -119,14 +227,18 @@ object StreamingOps {
     */
   private def runToDeltaSink(spark: SparkSession, df: DataFrame,
       tag: String,
-      mode: OutputMode = OutputMode.Update): DataFrame = {
+      mode: OutputMode = OutputMode.Update,
+      root: Option[String] = None): DataFrame = {
     // Both residues of a one-shot stream are handed to Caches for the
     // post-consumption release: the parquet delta-sink dir (read
     // lazily by the returned DataFrame, so it cannot be deleted here)
     // and the state-store providers the stream leaves loaded
     // (HDFS-map heap / RocksDB native memory — see SessionHygiene).
-    val sinkDir = graft.Caches.trackTempDir(Files.createTempDirectory(
-      s"graft_${tag}_${counter.incrementAndGet()}_")).toString
+    // Under a durable root the sink and the streaming checkpoint (the
+    // windowed/keyed STATE these operators keep lives in the
+    // checkpoint's state store) both land there, untracked — a
+    // restarted query resumes its state instead of re-aggregating.
+    val sinkDir = stateDir(root, s"${tag}_sink")
     graft.Caches.onRelease(
       () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
     val out = df.withColumn("batch_id", lit(-1L))
@@ -148,14 +260,14 @@ object StreamingOps {
     // batches unboundedly), and skipping saves a plan+commit round
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
-      val q = df.writeStream
+      val w = df.writeStream
         .outputMode(mode)
         .foreachBatch { (batch: Dataset[Row], id: Long) =>
           batch.withColumn("batch_id", lit(id))
             .write.mode("append").parquet(sinkDir)
         }
         .trigger(Trigger.AvailableNow())
-        .start()
+      val q = startWithCheckpoint(w, root)
       q.awaitTermination()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -172,7 +284,8 @@ object StreamingOps {
     * data). Batch-equivalent result = GROUP BY date_trunc('hour', ts),
     * which the oracle checks.
     */
-  def hourlyWindowCounts(spark: SparkSession, dir: String): DataFrame = {
+  def hourlyWindowCounts(spark: SparkSession, dir: String,
+      stateRoot: Option[String] = None): DataFrame = {
     // watermark demands TimestampType (not NTZ); the session timezone is
     // pinned to UTC everywhere, so the rendered window_start is identical
     val agg = streamEvents(spark, dir)
@@ -185,7 +298,8 @@ object StreamingOps {
       .select(
         col("window.start").cast("string").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
-    runToDeltaSink(spark, agg, "hourly")
+    runToDeltaSink(spark, agg, "hourly",
+      root = effectiveRoot(stateRoot, "hourly_window"))
       .groupBy(col("window_start"), col("event_type"))
       .agg(max(struct(col("batch_id"), col("n_events"), col("total_value")))
         .as("last"))
@@ -205,7 +319,8 @@ object StreamingOps {
     * append-mode join emits each matched pair exactly once; the batch
     * aggregation over the drained sink must equal q72's oracle.
     */
-  def streamStreamRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStreamRangeJoin(spark: SparkSession, dir: String,
+      stateRoot: Option[String] = None): DataFrame = {
     val ev = streamEvents(spark, dir)
       .withColumn("ts", col("ts").cast("timestamp"))
     val purch = ev.filter(col("event_type") === "purchase")
@@ -221,7 +336,8 @@ object StreamingOps {
         col("e_ts") >= col("p_ts") &&
         col("e_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"))
     runToDeltaSink(spark, joined.select(col("p_user"), col("p_id"),
-        col("e_id")), "ssjoin", OutputMode.Append)
+        col("e_id")), "ssjoin", OutputMode.Append,
+        root = effectiveRoot(stateRoot, "range_join"))
       .groupBy(col("p_user").as("user_id"))
       .agg(
         countDistinct(col("p_id")).as("n_purchases_with_errors"),
@@ -236,7 +352,8 @@ object StreamingOps {
     * shuffles. The enrichment-at-ingest shape of the reference's Redis
     * HGET decoration, as a stream.
     */
-  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+  def streamStaticEnrich(spark: SparkSession, dir: String,
+      stateRoot: Option[String] = None): DataFrame = {
     val ev = streamEvents(spark, dir)
       .select(col("user_id"), col("value"))
     val dim = broadcast(Tables.customer(spark, dir)
@@ -246,7 +363,8 @@ object StreamingOps {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-    runToDeltaSink(spark, joined, "enrich")
+    runToDeltaSink(spark, joined, "enrich",
+      root = effectiveRoot(stateRoot, "enrich"))
       .groupBy(col("c_mktsegment"))
       .agg(max(struct(col("batch_id"), col("n_events"), col("total_value")))
         .as("last"))
@@ -267,13 +385,15 @@ object StreamingOps {
     * idempotent sink merge in production) absorbs that, which is the
     * standard at-least-once-to-exactly-once contract.
     */
-  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamingDedup(spark: SparkSession, dir: String,
+      stateRoot: Option[String] = None): DataFrame = {
     val distinctKeys = streamEvents(spark, dir)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "24 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    runToDeltaSink(spark, distinctKeys, "dedup", OutputMode.Append)
+    runToDeltaSink(spark, distinctKeys, "dedup", OutputMode.Append,
+      root = effectiveRoot(stateRoot, "wm_dedup"))
       .select(col("user_id"), col("event_type"))
       .distinct() // idempotent vs redelivered batches
       .orderBy(col("user_id"), col("event_type"))
@@ -297,7 +417,8 @@ object StreamingOps {
     * sort is bounded by a key's batch volume, the same bound every
     * keyed-state operator carries.
     */
-  def streamingSessions(spark: SparkSession, dir: String): DataFrame = {
+  def streamingSessions(spark: SparkSession, dir: String,
+      stateRoot: Option[String] = None): DataFrame = {
     import spark.implicits._
     val GapUs = 30L * 60 * 1000 * 1000 // 30 min in microseconds
     val ds = streamEvents(spark, dir)
@@ -342,7 +463,8 @@ object StreamingOps {
           }
           out.result().iterator
       }
-    runToDeltaSink(spark, sessions.toDF(), "sessions")
+    runToDeltaSink(spark, sessions.toDF(), "sessions",
+      root = effectiveRoot(stateRoot, "sessions"))
       .groupBy(col("user_id"), col("session_id"))
       .agg(max(struct(col("batch_id"), col("n_events"),
         col("first_event_id"), col("last_event_id"),
@@ -364,7 +486,8 @@ object StreamingOps {
     * reconstruction contract as the rest of the streaming family, and
     * the batch-equivalent aggregation is what the oracle checks.
     */
-  def userActivityTws(spark: SparkSession, dir: String): DataFrame = {
+  def userActivityTws(spark: SparkSession, dir: String,
+      stateRoot: Option[String] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     val prevProvider = spark.conf.getOption(
@@ -379,7 +502,8 @@ object StreamingOps {
         .groupByKey(_._1)
         .transformWithState(new UserActivityProcessor,
           TimeMode.None(), OutputMode.Update())
-      runToDeltaSink(spark, updated.toDF(), "tws")
+      runToDeltaSink(spark, updated.toDF(), "tws",
+        root = effectiveRoot(stateRoot, "tws"))
         .groupBy(col("user_id"))
         .agg(max(struct(col("batch_id"), col("n_events"), col("n_types"),
           col("max_event_id"))).as("last"))
@@ -460,12 +584,14 @@ object StreamingOps {
       Files.createTempDirectory("graft_bandtab_")).toString
     Dedup.bandDocs(Tables.documents(spark, dir).filter(!isBatch))
       .write.mode("overwrite").parquet(bandTab)
-    // stream band state: starts empty, grows by one append per batch,
-    // compacted by StreamState when the delta-file count crosses the
-    // bound (stateRoot overridable so the compaction spec can inspect
-    // the directory it drains into)
-    val streamBandTab = stateRoot.getOrElse(graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_streambands_")).toString)
+    // stream band state: starts empty (or resumes durable content),
+    // grows by one append per batch, compacted by StreamState when the
+    // delta-file count crosses the bound. Under a durable root the
+    // state, sink, and checkpoint all land there — a restarted query
+    // finds all three (the compaction spec also uses the root to
+    // inspect the directory it drains into).
+    val root = effectiveRoot(stateRoot, "band_dedup")
+    val streamBandTab = stateDir(root, "bands")
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -478,8 +604,7 @@ object StreamingOps {
     maxFilesPerTrigger.foreach(m =>
       reader.option("maxFilesPerTrigger", m.toString))
     val newDocs = reader.parquet(sourceDir.getOrElse(dir)).filter(isBatch)
-    val sinkDir = graft.Caches.trackTempDir(Files.createTempDirectory(
-      s"graft_streamdedup_${counter.incrementAndGet()}_")).toString
+    val sinkDir = stateDir(root, "sink")
     graft.Caches.onRelease(
       () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
     // The historical side is FIXED for the life of the query — cache it
@@ -502,7 +627,7 @@ object StreamingOps {
       try corpusBands.unpersist(false) catch { case _: Throwable => () }
       try corpusDocs.unpersist(false) catch { case _: Throwable => () }
     })
-    val q = newDocs.writeStream
+    val w = newDocs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
@@ -513,12 +638,16 @@ object StreamingOps {
           .persist()
         // state append FIRST, so "state" below = earlier batches ∪ this
         // one — within-batch and cross-batch stream pairs fall out of
-        // the same join
+        // the same join. Recover any interrupted compaction swap BEFORE
+        // the append: appending into a mid-swap-missing directory would
+        // make the fresh append masquerade as the full state.
+        StreamState.recover(ss, streamBandTab)
         bb.write.mode("append").parquet(streamBandTab)
         // bounded state lifecycle: compact the append-only state table
         // before this batch's read when its file count crosses the
         // bound — per-batch state reads stay O(state), not O(batches)
-        StreamState.maybeCompact(ss, streamBandTab, stateCompactMaxFiles)
+        StreamState.maybeCompact(ss, streamBandTab, stateCompactMaxFiles,
+          tag = "band_dedup/bands")
         // batch side capped on its own frequencies; the growing state
         // side re-caps per read (it IS a self-side over enough
         // micro-batches — the r8 skew bomb paid incrementally)
@@ -544,7 +673,7 @@ object StreamingOps {
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     val sinkSchema = StructType(Seq(
       StructField("new_id", LongType),
@@ -582,7 +711,8 @@ object StreamingOps {
     * banding the BATCH plus the candidate-bounded joins.
     */
   def streamingBandDedupOracled(spark: SparkSession, dir: String,
-      batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
+      batchMod: Int = 10, batchRem: Int = 9,
+      stateRoot: Option[String] = None): DataFrame = {
     import graft.operators.Dedup
     import graft.sources.Tables
     val isBatch = col("doc_id") % batchMod === batchRem
@@ -605,8 +735,8 @@ object StreamingOps {
       try corpusBands.unpersist(false) catch { case _: Throwable => () }
       try allSh.unpersist(false) catch { case _: Throwable => () }
     })
-    val streamBandTab = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_streambands_md5_")).toString
+    val root = effectiveRoot(stateRoot, "band_dedup_md5")
+    val streamBandTab = stateDir(root, "bands")
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -618,19 +748,20 @@ object StreamingOps {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .filter(isBatch)
-    val sinkDir = graft.Caches.trackTempDir(Files.createTempDirectory(
-      s"graft_streamdedup_md5_${counter.incrementAndGet()}_")).toString
+    val sinkDir = stateDir(root, "sink")
     graft.Caches.onRelease(
       () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
-    val q = newDocs.writeStream
+    val w = newDocs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
         val bb = Dedup.md5BandedSignatures(Dedup.md5ShingledDocs(batch))
           .select(col("doc_id"), col("band"), col("bucket"))
           .persist()
+        StreamState.recover(ss, streamBandTab)
         bb.write.mode("append").parquet(streamBandTab)
-        StreamState.maybeCompact(ss, streamBandTab)
+        StreamState.maybeCompact(ss, streamBandTab,
+          tag = "band_dedup_md5/bands")
         // both moving sides capped, as in the production twin
         val newBands = Dedup.capHotBuckets(bb)
           .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
@@ -652,7 +783,7 @@ object StreamingOps {
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     val sinkSchema = StructType(Seq(
       StructField("new_id", LongType),
@@ -694,7 +825,8 @@ object StreamingOps {
       w: Int = 15, batchMod: Int = 10, batchRem: Int = 9,
       sourceDir: Option[String] = None,
       sourceGlob: String = "documents.parquet",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
     import graft.operators.Dedup
     import graft.sources.Tables
     val isBatch = col("doc_id") % batchMod === batchRem
@@ -707,8 +839,8 @@ object StreamingOps {
       try corpusW.unpersist(false) catch { case _: Throwable => () }
     })
     // stream window state: (doc_id, wh) per batch, min-doc on read
-    val stateTab = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_streamwinstate_")).toString
+    val root = effectiveRoot(stateRoot, "window_dedup")
+    val stateTab = stateDir(root, "windows")
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -721,14 +853,23 @@ object StreamingOps {
     maxFilesPerTrigger.foreach(m =>
       reader.option("maxFilesPerTrigger", m.toString))
     val newDocs = reader.parquet(sourceDir.getOrElse(dir)).filter(isBatch)
-    val sinkDir = graft.Caches.trackTempDir(Files.createTempDirectory(
-      s"graft_streamwindedup_${counter.incrementAndGet()}_")).toString
+    val sinkDir = stateDir(root, "sink")
     graft.Caches.onRelease(
       () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
-    val q = newDocs.writeStream
+    val lastBatchId = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val seenMax = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val wq = newDocs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
+        StreamState.recover(ss, stateTab)
+        // arrival contract first (r10 advice): seed the running max
+        // from durable state on the first batch of a resumed run, then
+        // fail loudly on a non-monotone batch instead of silently
+        // mis-keeping
+        if (seenMax.get == Long.MinValue)
+          existingStateMax(ss, stateTab, "doc_id").foreach(seenMax.set)
+        batchOrderGuard(batch.toDF(), id, lastBatchId, seenMax)
         val toks = Dedup.tokenizedDocs(batch)
         // barrier: batch windows feed the state append and the screen
         val bw = Dedup.windowRows(toks, w).persist()
@@ -737,7 +878,7 @@ object StreamingOps {
         // borrows fall out of the same min-doc rule
         bw.select(col("doc_id"), col("wh")).distinct()
           .write.mode("append").parquet(stateTab)
-        StreamState.maybeCompact(ss, stateTab)
+        StreamState.maybeCompact(ss, stateTab, tag = "window_dedup/windows")
         val stateMin = ss.read.parquet(stateTab)
           .groupBy(col("wh")).agg(min(col("doc_id")).as("min_doc"))
         val removed = bw
@@ -756,7 +897,7 @@ object StreamingOps {
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(wq, root)
     q.awaitTermination()
     val sinkSchema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -786,7 +927,8 @@ object StreamingOps {
     */
   def streamingIvfAssign(spark: SparkSession, dir: String,
       nlist: Int = 4, dim: Int = 64,
-      batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
+      batchMod: Int = 10, batchRem: Int = 9,
+      stateRoot: Option[String] = None): DataFrame = {
     import graft.operators.Similarity
     import org.apache.spark.sql.graft.VectorExpressions.dotNative
     import org.apache.spark.sql.expressions.Window
@@ -803,11 +945,11 @@ object StreamingOps {
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(dir)
       .filter(col("vec_id") % batchMod === batchRem)
-    val sinkDir = graft.Caches.trackTempDir(Files.createTempDirectory(
-      s"graft_streamivf_${counter.incrementAndGet()}_")).toString
+    val root = effectiveRoot(stateRoot, "ivf_assign")
+    val sinkDir = stateDir(root, "sink")
     graft.Caches.onRelease(
       () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
-    val q = newVecs.writeStream
+    val w = newVecs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         batch
@@ -822,7 +964,7 @@ object StreamingOps {
           .write.mode("append").parquet(sinkDir)
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     val sinkSchema = StructType(Seq(
       StructField("vec_id", LongType),
@@ -848,9 +990,9 @@ object StreamingOps {
     * idempotent overwrites.
     */
   def streamingWeightedSample(spark: SparkSession, dir: String,
-      k: Int = 200): DataFrame = {
-    val stateRoot = graft.Caches.trackTempDir(Files.createTempDirectory(
-      s"graft_streamws_${counter.incrementAndGet()}_")).toString
+      k: Int = 200, stateRoot: Option[String] = None): DataFrame = {
+    val root = effectiveRoot(stateRoot, "weighted_sample")
+    val versRoot = stateDir(root, "versions")
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -870,9 +1012,13 @@ object StreamingOps {
     // driver); replays are idempotent whichever version they observe:
     // re-merging a batch already folded into the state is a no-op
     // because the per-doc draw is deterministic and the merge below
-    // dedups on doc_id before the top-k
-    var prevState: Option[String] = None
-    val q = newDocs.writeStream
+    // dedups on doc_id before the top-k. A resumed run (durable root +
+    // checkpoint) seeds from the latest persisted version and continues
+    // the version numbering past it.
+    val (v0, resumed) = root.map(_ => latestVersion(spark, versRoot))
+      .getOrElse((-1L, None))
+    var prevState: Option[String] = resumed
+    val w = newDocs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
@@ -888,7 +1034,7 @@ object StreamingOps {
           case Some(p) => ss.read.parquet(p).unionByName(scored)
           case None => scored
         }
-        val out = s"$stateRoot/v$id"
+        val out = s"$versRoot/b${v0 + 1 + id}"
         merged
           // a doc appears at most once per state version: the draw is a
           // pure function of doc_id, so dropDuplicates makes even a
@@ -903,7 +1049,7 @@ object StreamingOps {
         prevState = Some(out)
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     import org.apache.spark.sql.expressions.Window
     val stateSchema = StructType(Seq(
@@ -933,7 +1079,8 @@ object StreamingOps {
     * AvailableNow this is one pass of state updates — the same shape a
     * 24/7 pipeline runs incrementally.
     */
-  def statefulUserTotals(spark: SparkSession, dir: String): DataFrame = {
+  def statefulUserTotals(spark: SparkSession, dir: String,
+      stateRoot: Option[String] = None): DataFrame = {
     import spark.implicits._
     val ds = streamEvents(spark, dir)
       .select(col("user_id"),
@@ -951,7 +1098,8 @@ object StreamingOps {
           state.update(next)
           next
       }
-    runToDeltaSink(spark, updated.toDF(), "state")
+    runToDeltaSink(spark, updated.toDF(), "state",
+      root = effectiveRoot(stateRoot, "user_totals"))
       .groupBy(col("user_id"))
       .agg(max(struct(col("batch_id"), col("n_events"), col("total_cents")))
         .as("last"))
@@ -981,11 +1129,12 @@ object StreamingOps {
   def streamingHllDistinct(spark: SparkSession, dir: String,
       sourceDir: Option[String] = None,
       sourceGlob: String = "documents.parquet",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
     import graft.operators.TextOps
     import graft.sources.Tables
-    val stateTab = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_hllstate_")).toString
+    val root = effectiveRoot(stateRoot, "hll_distinct")
+    val stateTab = stateDir(root, "registers")
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -1000,17 +1149,18 @@ object StreamingOps {
     val stream = reader.parquet(sourceDir.getOrElse(dir))
     graft.Caches.onRelease(
       () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
-    val q = stream.writeStream
+    val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
+        StreamState.recover(ss, stateTab)
         TextOps.hllRegisters(batch.toDF())
           .write.mode("append").parquet(stateTab)
-        StreamState.maybeCompact(ss, stateTab)
+        StreamState.maybeCompact(ss, stateTab, tag = "hll_distinct/registers")
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     val regSchema = StructType(Seq(
       StructField("source", StringType),
@@ -1048,11 +1198,12 @@ object StreamingOps {
       k: Int = 64,
       sourceDir: Option[String] = None,
       sourceGlob: String = "documents.parquet",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
     import graft.operators.Dedup
     import graft.sources.Tables
-    val stateTab = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_kmvstate_")).toString
+    val root = effectiveRoot(stateRoot, "source_overlap")
+    val stateTab = stateDir(root, "sketch")
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -1067,18 +1218,19 @@ object StreamingOps {
     val stream = reader.parquet(sourceDir.getOrElse(dir))
     graft.Caches.onRelease(
       () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
-    val q = stream.writeStream
+    val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
+        StreamState.recover(ss, stateTab)
         Dedup.bottomKSketch(
             Dedup.shingleSetBySource(batch.toDF()), k)
           .write.mode("append").parquet(stateTab)
-        StreamState.maybeCompact(ss, stateTab)
+        StreamState.maybeCompact(ss, stateTab, tag = "source_overlap/sketch")
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     val skSchema = StructType(Seq(
       StructField("source", StringType),
@@ -1114,12 +1266,12 @@ object StreamingOps {
       topK: Int = 15,
       sourceDir: Option[String] = None,
       sourceGlob: String = "documents.parquet",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
     import graft.functions.TextAnalytics
-    val dlTab = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_bm25dl_")).toString
-    val postTab = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_bm25post_")).toString
+    val root = effectiveRoot(stateRoot, "bm25")
+    val dlTab = stateDir(root, "doclen")
+    val postTab = stateDir(root, "postings")
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -1134,7 +1286,7 @@ object StreamingOps {
     val stream = reader.parquet(sourceDir.getOrElse(dir))
     graft.Caches.onRelease(
       () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
-    val q = stream.writeStream
+    val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
@@ -1144,9 +1296,11 @@ object StreamingOps {
           .withColumn("dl", size(col("toks")).cast("double"))
           // barrier: feeds the doclen append and the postings melt
           .persist()
+        StreamState.recover(ss, dlTab)
+        StreamState.recover(ss, postTab)
         toks.select(col("doc_id"), col("dl"))
           .write.mode("append").parquet(dlTab)
-        StreamState.maybeCompact(ss, dlTab)
+        StreamState.maybeCompact(ss, dlTab, tag = "bm25/doclen")
         toks
           .select(col("doc_id"), col("dl"),
             explode(array(terms.map(t =>
@@ -1156,12 +1310,12 @@ object StreamingOps {
           .select(col("doc_id"), col("dl"), col("x.term"), col("x.tf"))
           .filter(col("tf") > 0)
           .write.mode("append").parquet(postTab)
-        StreamState.maybeCompact(ss, postTab)
+        StreamState.maybeCompact(ss, postTab, tag = "bm25/postings")
         toks.unpersist(false)
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     val dlSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("dl", DoubleType)))
@@ -1206,10 +1360,11 @@ object StreamingOps {
       frameSize: Int = 32,
       sourceDir: Option[String] = None,
       sourceGlob: String = "documents.parquet",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
     import graft.operators.Multimodal
-    val stateTab = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_framestate_")).toString
+    val root = effectiveRoot(stateRoot, "frame_features")
+    val stateTab = stateDir(root, "features")
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -1224,17 +1379,19 @@ object StreamingOps {
     val stream = reader.parquet(sourceDir.getOrElse(dir))
     graft.Caches.onRelease(
       () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
-    val q = stream.writeStream
+    val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
+        StreamState.recover(ss, stateTab)
         Multimodal.frameFeaturesAggDf(batch.toDF(), frameSize)
           .write.mode("append").parquet(stateTab)
-        StreamState.maybeCompact(ss, stateTab)
+        StreamState.maybeCompact(ss, stateTab,
+          tag = "frame_features/features")
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -1272,11 +1429,12 @@ object StreamingOps {
   def streamingExactDedup(spark: SparkSession, dir: String,
       sourceDir: Option[String] = None,
       sourceGlob: String = "documents.parquet",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val regTab = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_hashreg_")).toString
-    val sinkDir = graft.Caches.trackTempDir(Files.createTempDirectory(
-      s"graft_exactdedup_${counter.incrementAndGet()}_")).toString
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None,
+      stateCompactMaxFiles: Int = 32): DataFrame = {
+    val root = effectiveRoot(stateRoot, "exact_dedup")
+    val regTab = stateDir(root, "registry")
+    val sinkDir = stateDir(root, "sink")
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -1291,16 +1449,26 @@ object StreamingOps {
     val stream = reader.parquet(sourceDir.getOrElse(dir))
     graft.Caches.onRelease(
       () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
-    val q = stream.writeStream
+    val lastBatchId = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val seenMax = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
+        StreamState.recover(ss, regTab)
+        // arrival contract (r10 advice): the first-occurrence-wins rule
+        // needs monotone id arrival; seed from durable registry state
+        // on resume, then fail loudly on a non-monotone batch
+        if (seenMax.get == Long.MinValue)
+          existingStateMax(ss, regTab, "doc_id").foreach(seenMax.set)
+        batchOrderGuard(batch.toDF(), id, lastBatchId, seenMax)
         val bh = batch.toDF()
           .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
           // barrier: feeds the registry append and the keeper join
           .persist()
         bh.write.mode("append").parquet(regTab)
-        StreamState.maybeCompact(ss, regTab)
+        StreamState.maybeCompact(ss, regTab, stateCompactMaxFiles,
+          tag = "exact_dedup/registry")
         val minReg = ss.read.parquet(regTab)
           .groupBy(col("h")).agg(min(col("doc_id")).as("min_doc"))
         bh.join(minReg, Seq("h"))
@@ -1311,7 +1479,7 @@ object StreamingOps {
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     val rowSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("h", StringType)))
@@ -1345,19 +1513,26 @@ object StreamingOps {
     * the dataflow per batch is identical.
     */
   def streamingVocab(spark: SparkSession, dir: String,
-      batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
+      batchMod: Int = 10, batchRem: Int = 9,
+      stateRoot: Option[String] = None): DataFrame = {
     val isBatch = col("doc_id") % batchMod === batchRem
     def vocabOf(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), explode(
         graft.functions.TextAnalytics.tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
-    val vocabRoot = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_vocabtab_")).toString
+    val root = effectiveRoot(stateRoot, "vocab")
+    val versRoot = stateDir(root, "versions")
+    // resume (durable root): seed from the latest persisted version and
+    // skip rebuilding the historical artifact — it is already folded in
+    val (vbase, resumed) = root.map(_ => latestVersion(spark, versRoot))
+      .getOrElse((-1L, None))
     val current = new java.util.concurrent.atomic.AtomicReference[String](
-      s"$vocabRoot/v0")
-    vocabOf(Tables.documents(spark, dir).filter(!isBatch))
-      .write.mode("overwrite").parquet(current.get)
+      resumed.getOrElse(s"$versRoot/b0"))
+    if (resumed.isEmpty)
+      vocabOf(Tables.documents(spark, dir).filter(!isBatch))
+        .write.mode("overwrite").parquet(current.get)
+    val vOffset = math.max(vbase, 0L)
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -1369,11 +1544,11 @@ object StreamingOps {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .filter(isBatch)
-    val q = newDocs.writeStream
+    val w = newDocs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val prev = batch.sparkSession.read.parquet(current.get)
-        val next = s"$vocabRoot/b$id"
+        val next = s"$versRoot/b${vOffset + 1 + id}"
         prev.unionByName(vocabOf(batch))
           .groupBy(col("token"))
           .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
@@ -1381,7 +1556,7 @@ object StreamingOps {
         current.set(next)
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     spark.read.parquet(current.get)
       .select(col("token"), col("tf"), col("df"))
@@ -1414,18 +1589,22 @@ object StreamingOps {
   def streamingIncrementalCC(spark: SparkSession, dir: String,
       sourceDir: Option[String] = None,
       sourceGlob: String = "documents.parquet",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
     import graft.operators.Dedup
     import graft.sources.Tables
     import org.apache.spark.sql.expressions.Window
     val allSh = Dedup.md5ShingledDocs(Tables.documents(spark, dir)).persist()
     graft.Caches.onRelease(() =>
       try allSh.unpersist(false) catch { case _: Throwable => () })
-    val bandTab = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_icc_bands_")).toString
-    val labRoot = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_icc_lab_")).toString
-    val current = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val root = effectiveRoot(stateRoot, "incremental_cc")
+    val bandTab = stateDir(root, "bands")
+    val labRoot = stateDir(root, "labels")
+    val (lbase, resumedLab) = root.map(_ => latestVersion(spark, labRoot))
+      .getOrElse((-1L, None))
+    val current = new java.util.concurrent.atomic.AtomicReference[String](
+      resumedLab.getOrElse(""))
+    val lOffset = math.max(lbase, -1L)
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -1438,7 +1617,7 @@ object StreamingOps {
     maxFilesPerTrigger.foreach(m =>
       reader.option("maxFilesPerTrigger", m.toString))
     val stream = reader.parquet(sourceDir.getOrElse(dir))
-    val q = stream.writeStream
+    val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
@@ -1446,8 +1625,9 @@ object StreamingOps {
         val bBands = Dedup.md5BandedSignatures(
           Dedup.md5ShingledDocs(batch.toDF())).persist()
         // state append FIRST: state = earlier batches ∪ this one
+        StreamState.recover(ss, bandTab)
         bBands.write.mode("append").parquet(bandTab)
-        StreamState.maybeCompact(ss, bandTab)
+        StreamState.maybeCompact(ss, bandTab, tag = "incremental_cc/bands")
         // the state table is a growing self-side: cap per read, and
         // cap the batch side on its own frequencies (r9 verdict — the
         // uncapped cross-side joins were the remaining LSH skew bomb)
@@ -1487,14 +1667,14 @@ object StreamingOps {
                 .join(dm, col("doc_id") === dm("l0"))
                 .select(col("doc_id").as("id"), col("lfin").as("label")))
           }
-        val next = s"$labRoot/b$id"
+        val next = s"$labRoot/b${lOffset + 1 + id}"
         newLabels.write.mode("overwrite").parquet(next)
         current.set(next)
         bBands.unpersist(false)
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     spark.read.parquet(current.get)
       .select(col("id").as("doc_id"), col("label").as("cluster"))
@@ -1525,12 +1705,17 @@ object StreamingOps {
   def streamingScd2(spark: SparkSession, dir: String,
       sourceDir: Option[String] = None,
       sourceGlob: String = "events.parquet",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.sources.Tables
-    val histRoot = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_scd2_")).toString
-    val current = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val root = effectiveRoot(stateRoot, "scd2")
+    val histRoot = stateDir(root, "history")
+    val (hbase, resumedHist) = root.map(_ => latestVersion(spark, histRoot))
+      .getOrElse((-1L, None))
+    val current = new java.util.concurrent.atomic.AtomicReference[String](
+      resumedHist.getOrElse(""))
+    val hOffset = math.max(hbase, -1L)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType = spark.read.parquet(s"$dir/events.parquet")
       .schema("ts").dataType
@@ -1540,7 +1725,7 @@ object StreamingOps {
     maxFilesPerTrigger.foreach(m =>
       reader.option("maxFilesPerTrigger", m.toString))
     val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
-    val q = stream.writeStream
+    val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
@@ -1574,13 +1759,13 @@ object StreamingOps {
           else ss.read.parquet(current.get)
             .filter(col("valid_to_ts").isNotNull)
             .unionByName(recomputed)
-        val next = s"$histRoot/b$id"
+        val next = s"$histRoot/b${hOffset + 1 + id}"
         artifact.write.mode("overwrite").parquet(next)
         current.set(next)
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     spark.read.parquet(current.get)
       .select(col("user_id"), col("version"), col("attr"),
@@ -1609,7 +1794,7 @@ object StreamingOps {
     * would flip to the shuffle join, same arithmetic).
     */
   def streamingDecontamination(spark: SparkSession, dir: String,
-      minShared: Int = 2): DataFrame = {
+      minShared: Int = 2, stateRoot: Option[String] = None): DataFrame = {
     val isEval = col("doc_id") % 100 === 0
     def grams(df: DataFrame, idAlias: String): DataFrame = df
       .select(col("doc_id").as(idAlias),
@@ -1620,8 +1805,8 @@ object StreamingOps {
       .distinct().persist()
     graft.Caches.onRelease(() =>
       try evalGrams.unpersist(false) catch { case _: Throwable => () })
-    val sinkDir = graft.Caches.trackTempDir(Files.createTempDirectory(
-      "graft_streamdecon_")).toString
+    val root = effectiveRoot(stateRoot, "decontamination")
+    val sinkDir = stateDir(root, "sink")
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -1633,7 +1818,7 @@ object StreamingOps {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .filter(!isEval)
-    val q = trainStream.writeStream
+    val w = trainStream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         grams(batch.toDF(), "train_id")
@@ -1645,7 +1830,7 @@ object StreamingOps {
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     val sinkSchema = StructType(Seq(
       StructField("train_id", LongType),
@@ -1675,15 +1860,20 @@ object StreamingOps {
     * is the metadata table next to the ingest, not a data-scale
     * artifact).
     */
-  def streamingQualityGate(spark: SparkSession, dir: String): DataFrame = {
+  def streamingQualityGate(spark: SparkSession, dir: String,
+      stateRoot: Option[String] = None): DataFrame = {
     def screen(docs: DataFrame): DataFrame = docs
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_seen"),
         sum(graft.functions.TextAnalytics.qualityFlag(col("text")))
           .as("n_pass"))
-    val ledgerRoot = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_qgate_")).toString
-    val current = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val root = effectiveRoot(stateRoot, "quality_gate")
+    val ledgerRoot = stateDir(root, "ledger")
+    val (lbase, resumedLedger) = root.map(_ => latestVersion(spark, ledgerRoot))
+      .getOrElse((-1L, None))
+    val current = new java.util.concurrent.atomic.AtomicReference[String](
+      resumedLedger.getOrElse(""))
+    val lOffset = math.max(lbase, -1L)
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -1694,7 +1884,7 @@ object StreamingOps {
       .schema(docsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-    val q = stream.writeStream
+    val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
@@ -1705,12 +1895,12 @@ object StreamingOps {
             .groupBy(col("source"))
             .agg(sum(col("n_seen")).as("n_seen"),
               sum(col("n_pass")).as("n_pass"))
-        val next = s"$ledgerRoot/b$id"
+        val next = s"$ledgerRoot/b${lOffset + 1 + id}"
         merged.write.mode("overwrite").parquet(next)
         current.set(next)
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     spark.read.parquet(current.get)
       .select(col("source"), col("n_seen"), col("n_pass"),
@@ -1736,13 +1926,18 @@ object StreamingOps {
   def streamingEwmaAnomaly(spark: SparkSession, dir: String,
       sourceDir: Option[String] = None,
       sourceGlob: String = "events.parquet",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
     def daily(ev: DataFrame): DataFrame = ev
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("n"))
-    val ledgerRoot = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_sewma_")).toString
-    val current = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val root = effectiveRoot(stateRoot, "ewma_anomaly")
+    val ledgerRoot = stateDir(root, "ledger")
+    val (lbase, resumedLedger) = root.map(_ => latestVersion(spark, ledgerRoot))
+      .getOrElse((-1L, None))
+    val current = new java.util.concurrent.atomic.AtomicReference[String](
+      resumedLedger.getOrElse(""))
+    val lOffset = math.max(lbase, -1L)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType = spark.read.parquet(s"$dir/events.parquet")
       .schema("ts").dataType
@@ -1752,7 +1947,7 @@ object StreamingOps {
     maxFilesPerTrigger.foreach(m =>
       reader.option("maxFilesPerTrigger", m.toString))
     val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
-    val q = stream.writeStream
+    val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
@@ -1762,13 +1957,13 @@ object StreamingOps {
             .unionByName(daily(batch.toDF()))
             .groupBy(col("event_type"), col("day"))
             .agg(sum(col("n")).as("n"))
-        val next = s"$ledgerRoot/b$id"
+        val next = s"$ledgerRoot/b${lOffset + 1 + id}"
         merged.write.mode("overwrite").parquet(next)
         current.set(next)
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     graft.operators.Analytics.ewmaFromDaily(
       spark.read.parquet(current.get))
@@ -1792,14 +1987,22 @@ object StreamingOps {
   def streamingAttribution(spark: SparkSession, dir: String,
       sourceDir: Option[String] = None,
       sourceGlob: String = "events.parquet",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val stateRoot = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_sattr_")).toString
-    val clickState =
-      new java.util.concurrent.atomic.AtomicReference[String]("")
-    val ledgerState =
-      new java.util.concurrent.atomic.AtomicReference[String]("")
+    val root = effectiveRoot(stateRoot, "attribution")
+    val clicksRoot = stateDir(root, "clicks")
+    val ledgerRoot = stateDir(root, "ledger")
+    val (cbase, resumedClicks) = root.map(_ => latestVersion(spark, clicksRoot))
+      .getOrElse((-1L, None))
+    val (lbase, resumedLedger) = root.map(_ => latestVersion(spark, ledgerRoot))
+      .getOrElse((-1L, None))
+    val clickState = new java.util.concurrent.atomic.AtomicReference[String](
+      resumedClicks.getOrElse(""))
+    val ledgerState = new java.util.concurrent.atomic.AtomicReference[String](
+      resumedLedger.getOrElse(""))
+    val cOffset = math.max(cbase, -1L)
+    val lOffset = math.max(lbase, -1L)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType = spark.read.parquet(s"$dir/events.parquet")
       .schema("ts").dataType
@@ -1809,7 +2012,7 @@ object StreamingOps {
     maxFilesPerTrigger.foreach(m =>
       reader.option("maxFilesPerTrigger", m.toString))
     val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
-    val q = stream.writeStream
+    val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
@@ -1848,7 +2051,7 @@ object StreamingOps {
             .agg(sum(col("n_purchases")).as("n_purchases"),
               sum(col("n_attributed")).as("n_attributed"),
               sum(col("attributed_cents")).as("attributed_cents"))
-        val nextLedger = s"$stateRoot/ledger_b$id"
+        val nextLedger = s"$ledgerRoot/b${lOffset + 1 + id}"
         ledger.write.mode("overwrite").parquet(nextLedger)
         ledgerState.set(nextLedger)
         // fold batch clicks into per-user latest-click state:
@@ -1863,13 +2066,13 @@ object StreamingOps {
             Window.partitionBy(col("user_id"))
               .orderBy(col("ts").desc, col("event_id").desc)))
           .filter(col("rk") === 1).drop("rk")
-        val nextClicks = s"$stateRoot/clicks_b$id"
+        val nextClicks = s"$clicksRoot/b${cOffset + 1 + id}"
         latest.write.mode("overwrite").parquet(nextClicks)
         clickState.set(nextClicks)
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     spark.read.parquet(ledgerState.get)
       .select(col("day").cast("string").as("day"), col("n_purchases"),
@@ -1902,12 +2105,27 @@ object StreamingOps {
       capacity: Int = 4096, k: Int = 20,
       sourceDir: Option[String] = None,
       sourceGlob: String = "events.parquet",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ledgerRoot = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_shh_")).toString
-    val current = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val root = effectiveRoot(stateRoot, "heavy_hitters")
+    val ledgerRoot = stateDir(root, "summary")
+    val (lbase, resumedSummary) = root.map(_ => latestVersion(spark, ledgerRoot))
+      .getOrElse((-1L, None))
+    val current = new java.util.concurrent.atomic.AtomicReference[String](
+      resumedSummary.getOrElse(""))
+    val lOffset = math.max(lbase, -1L)
     val floorRef = new java.util.concurrent.atomic.AtomicLong(0L)
+    // the eviction floor is part of the summary's semantics — persist
+    // it beside each version (underscore-prefixed: invisible to the
+    // version's own parquet read) so a resumed run re-enters with the
+    // same overestimate bound
+    resumedSummary.foreach { v =>
+      try {
+        val r = spark.read.parquet(s"$v/_floor").collect()
+        if (r.nonEmpty) floorRef.set(r(0).getLong(0))
+      } catch { case _: Throwable => () }
+    }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType = spark.read.parquet(s"$dir/events.parquet")
       .schema("ts").dataType
@@ -1917,7 +2135,7 @@ object StreamingOps {
     maxFilesPerTrigger.foreach(m =>
       reader.option("maxFilesPerTrigger", m.toString))
     val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
-    val q = stream.writeStream
+    val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
@@ -1943,13 +2161,16 @@ object StreamingOps {
           .agg(max(col("cnt"))).collect()(0)
         if (!evictMax.isNullAt(0))
           floorRef.set(math.max(floor, evictMax.getLong(0)))
-        val next = s"$ledgerRoot/b$id"
+        val next = s"$ledgerRoot/b${lOffset + 1 + id}"
         kept.write.mode("overwrite").parquet(next)
+        import ss.implicits._
+        Seq(floorRef.get).toDF("floor")
+          .write.mode("overwrite").parquet(s"$next/_floor")
         current.set(next)
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     spark.read.parquet(current.get)
       .withColumn("rank", row_number().over(

@@ -737,9 +737,11 @@ class DedupChainSpec extends SparkSpec {
       assert(compacted == uncompacted && compacted.contains((99L, 9L)),
         s"compacted $compacted vs uncompacted $uncompacted")
       // 10 appended deltas without compaction; a bounded handful with
-      val nPlain = new java.io.File(s"$root/state_plain").listFiles()
+      // (the band state table lives at <stateRoot>/bands — the durable
+      // root also holds the sink and checkpoint)
+      val nPlain = new java.io.File(s"$root/state_plain/bands").listFiles()
         .count(_.getName.endsWith(".parquet"))
-      val nCompact = new java.io.File(s"$root/state_compact").listFiles()
+      val nCompact = new java.io.File(s"$root/state_compact/bands").listFiles()
         .count(_.getName.endsWith(".parquet"))
       assert(nPlain >= 10, s"expected >=10 delta files, got $nPlain")
       assert(nCompact <= 5,
