@@ -153,18 +153,20 @@ object Bench {
         .asScala.map(_.getCollectionTime).filter(_ > 0).sum
     }
     def profile(name: String, sec: Double, ld: Double,
-        spin: Double, gc: Long): Unit = try {
+        spin: Double, gc: Long, retrySec: Option[Double] = None): Unit = try {
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       val sc = spark.sparkContext
       val nRdd = sc.getPersistentRDDs.size
       val storageMb = sc.getRDDStorageInfo
         .map(i => i.memSize + i.diskSize).sum / (1024 * 1024)
+      val retryField = retrySec
+        .map(r => s""","retry_sec":${"%.3f".format(r)}""").getOrElse("")
       val line = s"""{"q":"$name","sec":${"%.3f".format(sec)},""" +
         s""""heap_mb":$heapMb,"rss_mb":$rssMb,"tmp_mb":$tmpMb,""" +
         s""""persistent_rdds":$nRdd,"storage_mb":$storageMb,""" +
         s""""load1":${"%.2f".format(ld)},""" +
-        s""""spin_ms":${"%.2f".format(spin)},"gc_ms":$gc}""" + "\n"
+        s""""spin_ms":${"%.2f".format(spin)},"gc_ms":$gc$retryField}""" + "\n"
       java.nio.file.Files.write(profilePath, line.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
@@ -178,6 +180,15 @@ object Bench {
     // {"metric":"passes"} line and per-pass profile rows.
     val passes = math.max(1,
       sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(1))
+    // SPARK_GRAFT_RERUN_OUTLIERS=1: re-time any row exceeding 3× its
+    // trailing median (and 1 s absolute) once, and record BOTH numbers
+    // — the r10 driver artifact carried a 35 s host-drift row that cost
+    // a judge day to falsify; with this knob the harness
+    // self-attributes (a reproduced retry ≈ code, a collapsed retry ≈
+    // host). The reported queries map keeps the FIRST measurement for
+    // comparability; retry_sec lands in the profile row.
+    val rerunOutliers = sys.env.contains("SPARK_GRAFT_RERUN_OUTLIERS")
+    val trailing = scala.collection.mutable.ArrayBuffer.empty[Double]
     val perPass = (1 to passes).map { p =>
       selected.map { case (name, fn) =>
         val ld = load1
@@ -190,7 +201,24 @@ object Bench {
         // release per-query persist() caches so later queries get the
         // full execution-memory pool (see Caches for the contract)
         Caches.releaseAll(spark)
-        profile(if (passes == 1) name else s"$name#p$p", dt, ld, spin, gc)
+        val med = {
+          val recent = trailing.takeRight(20).sorted
+          if (recent.isEmpty) 0.0 else recent(recent.size / 2)
+        }
+        val retry =
+          if (rerunOutliers && trailing.size >= 5 && dt > 1.0 &&
+              dt > 3.0 * med) {
+            val r0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+            val rdt = (System.nanoTime() - r0) / 1e9
+            Caches.releaseAll(spark)
+            Some(rdt)
+          } else None
+        // the trailing median tracks code-characteristic times: feed it
+        // the retry when one ran (the first number may be host noise)
+        trailing += retry.getOrElse(dt)
+        profile(if (passes == 1) name else s"$name#p$p", dt, ld, spin, gc,
+          retry)
         name -> dt
       }
     }

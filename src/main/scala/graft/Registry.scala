@@ -452,7 +452,11 @@ object Registry {
     // exact audit — the mix-planning overlap matrix
     "q224_source_overlap" -> ((s, d) => Dedup.sourceOverlapSketch(s, d)),
     // q174 with the corpus window-hash set as a stored parquet
-    // artifact (built on first call, read thereafter)
+    // artifact (built on first call, read thereafter). The registered
+    // query passes a FRESH temp dir per invocation — deterministic,
+    // but it means the oracled gate always exercises the build+write
+    // path; the persisted-READ branch (artifact already present) is
+    // covered by Wave6Spec's second-call test over a stable path.
     "q225_window_dedup_persisted" -> ((s, d) =>
       Dedup.incrementalWindowDedupPersisted(s, d,
         Caches.trackTempDir(java.nio.file.Files
@@ -506,6 +510,20 @@ object Registry {
     // reassigned to train, per-split before/out/in/after audit
     "q238_embedding_leak_repair" -> ((s, d) =>
       Similarity.embeddingLeakRepair(s, d)),
+    // in-engine trained quality classifier (the CCNet/fastText stage):
+    // multinomial NB over token counts vs the q211 flag — integer
+    // sufficient statistics, fixed-point log-odds, exact BIGINT scores
+    "q239_nb_quality_train" -> ((s, d) => QualityModel.nbTrain(s, d)),
+    "q240_nb_quality_apply" -> ((s, d) => QualityModel.nbApply(s, d)),
+    // the q95 banding chain in the CAPPED regime (cap = 2, which
+    // actually fires at the fixtures) — cross-engine parity of the
+    // hot-bucket quarantine itself, not just the uncapped path
+    "q241_minhash_capped" -> ((s, d) => Dedup.minhashCappedOracled(s, d)),
+    // state-lifecycle health surfaced as a query: the q235 registry
+    // drained over a 4-way id-range split with forced drain-time
+    // compaction; the emitted rows_after is data-deterministic
+    "q242_compaction_telemetry" -> ((s, d) =>
+      graft.streaming.StreamingOps.compactionTelemetry(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

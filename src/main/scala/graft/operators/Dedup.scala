@@ -759,6 +759,27 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Capped-REGIME oracled minhash (q241): the exact q95 chain run
+    * with a deliberately tiny hot-bucket cap so the quarantine
+    * actually FIRES on the fixture corpus — r10 advice #4: the
+    * production `BandBucketCap = 64` is a no-op at the fixtures, so
+    * the oracled gates only ever certified the uncapped path and the
+    * quarantined regime was covered by a zero-candidate spec alone.
+    * Here the oracle SQL spells the cap out as
+    * `HAVING COUNT(*) <= cap` over (band, bucket), so DuckDB drops the
+    * SAME bucket members and cross-engine parity of the quarantined
+    * candidate generation itself is hash-asserted. Wave7Spec pins that
+    * the cap bites (hot buckets exist at cap = 2) and that the capped
+    * pair set is a strict subset of q95's.
+    */
+  def minhashCappedOracled(spark: SparkSession, dir: String,
+      cap: Int = 2): DataFrame = {
+    val (docs, pairs) = minhashCandidatePairs(
+      Tables.documents(spark, dir), 8, 4, cap)
+    md5VerifyPairs(pairs, docs, "id_a", "id_b", 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Containment near-dup (q109): the asymmetric overlap
     * |A ∩ B| / min(|A|, |B|) over the SAME oracled md5-LSH candidate
     * pairs as q95 — the quote/subset-duplicate signal symmetric Jaccard
@@ -1318,19 +1339,36 @@ object Dedup {
     * 100 TB shape: the bottom-k selection is TWO-PHASE (per-partition
     * top-k, then a k·#partitions-row re-rank — the q205 discipline;
     * no per-source global sort of shingle grain). The pair arithmetic
-    * touches #sources² · k rows. The exact audit joins distinct
-    * (source, hash) rows on hash — the honest cost of an exact
-    * answer, linear in distinct shingle mass and cheap beside the
-    * banding passes; at extreme scale a run keeps only the estimator
-    * half.
+    * touches #sources² · k rows. The exact audit is GATED to a
+    * deterministic doc_id band (`doc_id % auditMod = 0` — r10 verdict
+    * #2: the full-corpus exact audit was the row's only growing cost,
+    * 2.2× at 10×; nobody runs an exact pairwise-shingle audit over a
+    * 100 TB corpus). The estimator stays full-corpus; the audit
+    * columns measure the SAMPLED sub-corpora's exact Jaccard, and
+    * `audit_frac` surfaces the doc coverage so a reader knows the
+    * audit's scope at a glance.
     */
   def sourceOverlapSketch(spark: SparkSession, dir: String,
-      k: Int = 64): DataFrame = {
-    val sh = shingleSetBySource(Tables.documents(spark, dir))
-      // barrier: feeds the sketch build and the exact audit
+      k: Int = 64, auditMod: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = shingleSetBySource(docs)
+      // barrier: feeds the two-phase sketch ranking twice
       .persist()
-    overlapReport(sh, bottomKSketch(sh, k), k)
+    val shAudit = shingleSetBySource(
+      docs.filter(col("doc_id") % auditMod === 0)).persist()
+    overlapReport(shAudit, bottomKSketch(sh, k), k,
+      auditCoverage(docs, auditMod))
   }
+
+  /** One-row (audit_frac) relation: the fraction of documents inside
+    * the deterministic audit band — the same arithmetic both engines
+    * spell out.
+    */
+  private[graft] def auditCoverage(docs: DataFrame,
+      auditMod: Int): DataFrame =
+    docs.agg(
+      (sum(when(col("doc_id") % auditMod === 0, 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")).as("audit_frac"))
 
   /** Distinct (source, 3-shingle md5) relation — the q224 grain. */
   private[graft] def shingleSetBySource(docsRaw: DataFrame): DataFrame =
@@ -1358,12 +1396,16 @@ object Dedup {
       .select(col("source"), col("h"))
   }
 
-  /** Estimator + exact-audit arithmetic over a shingle relation and a
-    * bottom-k sketch — the half q228 reuses after merging per-batch
-    * sketches.
+  /** Estimator + banded exact-audit arithmetic — the half q228 reuses
+    * after merging per-batch sketches. `shAudit` is the audit band's
+    * distinct (source, hash) relation (NOT the full corpus — see
+    * [[sourceOverlapSketch]]); `coverage` is the one-row audit_frac
+    * relation. Sources absent from the audit band degrade to zero
+    * counts with audit_jaccard = 0, guarded identically in both
+    * engines.
     */
-  private[graft] def overlapReport(sh: DataFrame, sketchRaw: DataFrame,
-      k: Int): DataFrame = {
+  private[graft] def overlapReport(shAudit: DataFrame,
+      sketchRaw: DataFrame, k: Int, coverage: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sketch = sketchRaw.persist()
     val srcs = sketch.select(col("source")).distinct()
@@ -1392,26 +1434,33 @@ object Dedup {
         sum(col("in_a") * col("in_b")).as("n_both"))
       .withColumn("est_jaccard",
         col("n_both").cast("double") / col("k_used").cast("double"))
-    val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("source").as("source_a"), col("h"))
-      .join(sh.select(col("source").as("source_b"), col("h")), "h")
+    val counts = shAudit.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = shAudit.select(col("source").as("source_a"), col("h"))
+      .join(shAudit.select(col("source").as("source_b"), col("h")), "h")
       .filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_inter"))
+    val denom = col("audit_n_a") + col("audit_n_b") - col("audit_n_inter")
     est.join(inter, Seq("source_a", "source_b"), "left")
       .na.fill(0L, Seq("n_inter"))
       .join(broadcast(counts
-        .select(col("source").as("source_a"), col("n").as("n_a"))),
-        "source_a")
+        .select(col("source").as("source_a"), col("n").as("audit_n_a"))),
+        Seq("source_a"), "left")
       .join(broadcast(counts
-        .select(col("source").as("source_b"), col("n").as("n_b"))),
-        "source_b")
-      .withColumn("exact_jaccard", col("n_inter").cast("double") /
-        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
-        col("n_inter"), col("exact_jaccard"), col("k_used"),
+        .select(col("source").as("source_b"), col("n").as("audit_n_b"))),
+        Seq("source_b"), "left")
+      .na.fill(0L, Seq("audit_n_a", "audit_n_b"))
+      .withColumnRenamed("n_inter", "audit_n_inter")
+      .withColumn("audit_jaccard",
+        when(denom > 0, col("audit_n_inter").cast("double") /
+          denom.cast("double")).otherwise(lit(0.0)))
+      .crossJoin(broadcast(coverage))
+      .select(col("source_a"), col("source_b"), col("k_used"),
         col("n_both"), col("est_jaccard"),
-        abs(col("est_jaccard") - col("exact_jaccard")).as("abs_err"))
+        col("audit_n_a"), col("audit_n_b"), col("audit_n_inter"),
+        col("audit_jaccard"),
+        abs(col("est_jaccard") - col("audit_jaccard")).as("audit_abs_err"),
+        col("audit_frac"))
       .orderBy(col("source_a"), col("source_b"))
   }
 

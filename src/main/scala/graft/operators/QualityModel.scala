@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalytics
+import graft.sources.Tables
+
+/** In-engine TRAINED quality classifier (q239 train / q240 apply) —
+  * the learned curation stage every production corpus pipeline runs
+  * (the CCNet/fastText step) that the r10 verdict flagged as the one
+  * missing curation component: the existing surface has lexicons
+  * (q194), lift tables, scorecards (q211) and funnels (q141/q226),
+  * but no model that GENERALIZES from a labeled signal to unseen
+  * documents.
+  *
+  * Model: multinomial Naive Bayes over token counts, trained against
+  * the q211 composite quality flag as the (weak) label. Everything is
+  * exact-integer sufficient statistics combined by ONE shared double
+  * formula per value (the q212/q236 oracle discipline), and the
+  * per-token log-odds are FIXED-POINT-ROUNDED to micro units BEFORE
+  * the per-document sum — so document scores are exact BIGINT sums of
+  * BIGINT weights (order-independent, associative, cross-engine
+  * hash-identical), never a float accumulation whose order could
+  * drift between engines or partitionings.
+  *
+  *  - vocabulary: top `VocabSize` tokens by corpus occurrence count
+  *    (ties broken by token — deterministic in both engines);
+  *  - per-token weight: w = ln((n1+1)/(T1+V)) − ln((n0+1)/(T0+V)),
+  *    Laplace-smoothed class-conditional log-odds over vocab-restricted
+  *    totals, emitted as w_micro = floor(w·1e6 + 0.5);
+  *  - per-doc score: prior_micro + Σ count(d,t)·w_micro(t), gate at
+  *    score > 0.
+  *
+  * 100 TB shape: training is one explode + one map-side-combined
+  * (token, class) count aggregate (vocab-sized output) + a V-row
+  * model; application BROADCASTS the V-row model into the corpus scan
+  * — a map-side hash join at token grain, one per-doc aggregate, no
+  * corpus-side shuffle beyond the doc_id grouping of its own exploded
+  * rows. The trained model is exactly the bounded artifact a real run
+  * persists next to the corpus (the q128 vocab-table discipline).
+  */
+object QualityModel {
+
+  private[graft] val VocabSize = 256
+
+  /** (doc_id, toks, y) — the q211 quality flag as the training label. */
+  private def flagged(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      TextAnalytics.tokens(col("text")).as("toks"),
+      TextAnalytics.qualityFlag(col("text")).as("y"))
+
+  /** The trained model relation: (token, n1, n0, w_micro). */
+  private[graft] def trainDf(d: DataFrame): DataFrame = {
+    val counts = d
+      .select(col("y"), explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("y")).as("n1"),
+        sum(lit(1L) - col("y")).as("n0"))
+    val vocab = counts
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(VocabSize)
+    val totals = vocab.agg(
+      sum(col("n1")).as("t1"), sum(col("n0")).as("t0"))
+    vocab.crossJoin(broadcast(totals))
+      .withColumn("w_micro",
+        floor((log((col("n1") + 1L).cast("double") /
+          (col("t1") + lit(VocabSize.toLong)).cast("double")) -
+          log((col("n0") + 1L).cast("double") /
+            (col("t0") + lit(VocabSize.toLong)).cast("double"))) *
+          lit(1e6) + lit(0.5)).cast("long"))
+      .select(col("token"), col("n1"), col("n0"), col("w_micro"))
+  }
+
+  /** q239: train — the model table, ordered for the oracle. */
+  def nbTrain(spark: SparkSession, dir: String): DataFrame =
+    trainDf(flagged(Tables.documents(spark, dir)))
+      .orderBy(col("token"))
+
+  /** q240: apply — per-document fixed-point log-odds score + gate,
+    * with the weak label alongside so the table doubles as the
+    * confusion audit.
+    */
+  def nbApply(spark: SparkSession, dir: String): DataFrame = {
+    val d = flagged(Tables.documents(spark, dir))
+      // barrier: feeds training, the priors, and the scoring pass
+      .persist()
+    val model = trainDf(d)
+    val priors = d.agg(
+        count(lit(1)).as("n"), sum(col("y")).as("n1"))
+      .select(floor((log((col("n1") + 1L).cast("double") /
+          (col("n") + 2L).cast("double")) -
+        log((col("n") - col("n1") + 1L).cast("double") /
+          (col("n") + 2L).cast("double"))) * lit(1e6) + lit(0.5))
+        .cast("long").as("prior_micro"))
+    val perDoc = d
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .join(broadcast(model.select(col("token"), col("w_micro"))),
+        Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_vocab_tokens"),
+        sum(col("w_micro")).as("wsum"))
+    d.select(col("doc_id"), col("y"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_vocab_tokens", "wsum"))
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("y"),
+        col("n_vocab_tokens"),
+        (col("prior_micro") + col("wsum")).as("score_micro"),
+        when(col("prior_micro") + col("wsum") > 0L, 1L).otherwise(0L)
+          .as("predicted"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1803,15 +1803,30 @@ object TextOps {
         col("doc_id") === min(col("doc_id")).over(Window.partitionBy("h")))
       .withColumn("quality",
         col("tc") >= minTok && col("tc") <= maxTok)
-    def stage(name: String, pred: Column) =
-      d.filter(pred)
-        .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens"))
-        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-    stage("s0_raw", lit(true))
-      .unionByName(stage("s1_exact_dedup", col("keeper")))
-      .unionByName(stage("s2_quality", col("keeper") && col("quality")))
+    // shared staged-retention core with q226 (r10 verdict #6): q141 is
+    // the row-local 3-stage core, q226 the superset riding the q95
+    // near-dup chain — ONE aggregation path, two surfaces
+    stagedFunnel(Seq(
+        (0L, "s0_raw", d),
+        (1L, "s1_exact_dedup", d.filter(col("keeper"))),
+        (2L, "s2_quality", d.filter(col("keeper") && col("quality")))))
+      .select(col("stage"), col("n_docs"), col("n_tokens"))
       .orderBy(col("stage"))
   }
+
+  /** Per-stage (stage_id, stage, n_docs, n_tokens) aggregate rows over
+    * pre-filtered stage frames each carrying a `tc` token count — the
+    * single code path behind both curation funnels (q141/q226). Each
+    * stage is one map-side-combined aggregate; at 100 TB the stages
+    * share one scan via the caller's persisted base projection.
+    */
+  private def stagedFunnel(stages: Seq[(Long, String, DataFrame)]): DataFrame =
+    stages.map { case (id, name, df) =>
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("tc")), lit(0L)).as("n_tokens"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    }.reduce(_.unionByName(_))
 
   /** Cross-source overlap matrix (q145): for every source pair, the
     * number of shared distinct word-3-gram fingerprints and the
@@ -2444,15 +2459,12 @@ object TextOps {
     val qual = near.filter(col("tc") >= 20 &&
       col("dtc").cast("double") / col("tc").cast("double") > 0.1 &&
       col("stc").cast("double") / col("tc").cast("double") < 0.5)
-    def stage(df: DataFrame, id: Long, name: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("tc")), lit(0L)).as("n_tokens"))
-        .select(lit(id).as("stage_id"), lit(name).as("stage"),
-          col("n_docs"), col("n_tokens"))
-    val stages = stage(base, 0L, "raw")
-      .unionByName(stage(exactKeep, 1L, "exact_dedup"))
-      .unionByName(stage(near, 2L, "near_dedup"))
-      .unionByName(stage(qual, 3L, "quality"))
+    // shared staged-retention core with q141 (r10 verdict #6)
+    val stages = stagedFunnel(Seq(
+      (0L, "raw", base),
+      (1L, "exact_dedup", exactKeep),
+      (2L, "near_dedup", near),
+      (3L, "quality", qual)))
     val raw = base.agg(count(lit(1)).as("r_docs"),
       sum(col("tc")).as("r_tokens"))
     stages.crossJoin(raw)

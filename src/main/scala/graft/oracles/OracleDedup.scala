@@ -97,6 +97,42 @@ private[graft] object OracleDedup {
         "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard FROM v " +
         "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5 " +
         "ORDER BY id_a, id_b"),
+    // q241: the q95 chain in the CAPPED regime — the hot-bucket
+    // quarantine spelled out as HAVING COUNT(*) <= 2 over
+    // (band, bucket), so DuckDB drops the same bucket members and the
+    // quarantined candidate generation itself is hash-asserted
+    // (r10 advice #4: cap 64 never fires at the fixtures; cap 2 does)
+    "q241_minhash_capped" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+        "FROM e GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+        "keep AS (SELECT band, bucket FROM band GROUP BY band, bucket " +
+        "HAVING COUNT(*) <= 2), " +
+        "kb AS (SELECT band.doc_id, band.band, band.bucket FROM band " +
+        "JOIN keep ON band.band = keep.band AND band.bucket = keep.bucket), " +
+        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+        "FROM kb l JOIN kb r ON l.band = r.band AND l.bucket = r.bucket " +
+        "WHERE l.doc_id < r.doc_id), " +
+        "v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) AS la, len(b.sh) AS lb " +
+        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b) " +
+        "SELECT id_a, id_b, " +
+        "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard FROM v " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5 " +
+        "ORDER BY id_a, id_b"),
     // hex-nibble decode differs by function (conv in Spark, strpos
     // here) but the VALUES are identical small ints, so the 60-bit
     // majority signature hash-matches exactly
@@ -659,6 +695,14 @@ private[graft] object OracleDedup {
         "m AS (SELECT h, MIN(doc_id) AS doc_id, " +
         "CAST(COUNT(*) AS BIGINT) AS n_copies FROM d GROUP BY h) " +
         "SELECT doc_id, h, n_copies FROM m ORDER BY doc_id"),
+    // q242: the forced drain-time compaction of q235's registry leaves
+    // EXACTLY one (doc_id, hash) row per document — the lifecycle fact
+    // the telemetry row pins cross-engine (file/byte telemetry is
+    // run-shape and lives behind StreamState.telemetryDf, spec-pinned)
+    "q242_compaction_telemetry" ->
+      ("SELECT 'telemetry_probe/registry' AS state_table, " +
+        "CAST(COUNT(*) AS BIGINT) AS rows_after FROM documents " +
+        "ORDER BY state_table"),
     // q230: exact content hashes shared across language pairs — full
     // matrix including zero cells, share normalized by the smaller side
     "q230_cross_lingual_dups" ->
@@ -768,28 +812,50 @@ private[graft] object OracleDedup {
         "CAST(COUNT(*) AS BIGINT) AS k_used, " +
         "CAST(SUM(in_a * in_b) AS BIGINT) AS n_both FROM tk " +
         "GROUP BY source_a, source_b), " +
-        "cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g " +
+        // audit half gated to the deterministic doc_id band (the
+        // Spark side's auditMod = 5); estimator stays full-corpus
+        "ta AS (SELECT source, list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '') AS toks " +
+        "FROM documents WHERE doc_id % 5 = 0), " +
+        "ga AS (SELECT DISTINCT source, md5(gram) AS h FROM " +
+        "(SELECT source, unnest(list_distinct(list_transform(" +
+        "range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) " +
+        "AS gram FROM ta)), " +
+        "cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ga " +
         "GROUP BY source), " +
         "itr AS (SELECT a.source AS source_a, b.source AS source_b, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_inter FROM g a " +
-        "JOIN g b ON a.h = b.h AND a.source < b.source " +
-        "GROUP BY 1, 2) " +
-        "SELECT e.source_a, e.source_b, ca.n AS n_a, cb.n AS n_b, " +
-        "CAST(COALESCE(itr.n_inter, 0) AS BIGINT) AS n_inter, " +
-        "CAST(COALESCE(itr.n_inter, 0) AS DOUBLE) / " +
-        "CAST(ca.n + cb.n - COALESCE(itr.n_inter, 0) AS DOUBLE) " +
-        "AS exact_jaccard, " +
-        "e.k_used, e.n_both, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_inter FROM ga a " +
+        "JOIN ga b ON a.h = b.h AND a.source < b.source " +
+        "GROUP BY 1, 2), " +
+        "cov AS (SELECT CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 " +
+        "ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
+        "AS audit_frac FROM documents) " +
+        "SELECT e.source_a, e.source_b, e.k_used, e.n_both, " +
         "CAST(e.n_both AS DOUBLE) / CAST(e.k_used AS DOUBLE) " +
         "AS est_jaccard, " +
-        "abs(CAST(e.n_both AS DOUBLE) / CAST(e.k_used AS DOUBLE) - " +
+        "CAST(COALESCE(ca.n, 0) AS BIGINT) AS audit_n_a, " +
+        "CAST(COALESCE(cb.n, 0) AS BIGINT) AS audit_n_b, " +
+        "CAST(COALESCE(itr.n_inter, 0) AS BIGINT) AS audit_n_inter, " +
+        "CASE WHEN COALESCE(ca.n, 0) + COALESCE(cb.n, 0) - " +
+        "COALESCE(itr.n_inter, 0) > 0 THEN " +
         "CAST(COALESCE(itr.n_inter, 0) AS DOUBLE) / " +
-        "CAST(ca.n + cb.n - COALESCE(itr.n_inter, 0) AS DOUBLE)) " +
-        "AS abs_err " +
-        "FROM est e JOIN cnt ca ON ca.source = e.source_a " +
-        "JOIN cnt cb ON cb.source = e.source_b " +
+        "CAST(COALESCE(ca.n, 0) + COALESCE(cb.n, 0) - " +
+        "COALESCE(itr.n_inter, 0) AS DOUBLE) ELSE 0.0 END " +
+        "AS audit_jaccard, " +
+        "abs(CAST(e.n_both AS DOUBLE) / CAST(e.k_used AS DOUBLE) - " +
+        "CASE WHEN COALESCE(ca.n, 0) + COALESCE(cb.n, 0) - " +
+        "COALESCE(itr.n_inter, 0) > 0 THEN " +
+        "CAST(COALESCE(itr.n_inter, 0) AS DOUBLE) / " +
+        "CAST(COALESCE(ca.n, 0) + COALESCE(cb.n, 0) - " +
+        "COALESCE(itr.n_inter, 0) AS DOUBLE) ELSE 0.0 END) " +
+        "AS audit_abs_err, " +
+        "cov.audit_frac " +
+        "FROM est e LEFT JOIN cnt ca ON ca.source = e.source_a " +
+        "LEFT JOIN cnt cb ON cb.source = e.source_b " +
         "LEFT JOIN itr ON itr.source_a = e.source_a " +
         "AND itr.source_b = e.source_b " +
+        "CROSS JOIN cov " +
         "ORDER BY e.source_a, e.source_b")
 
   /** Shared q95-chain prelude: verified minhash pairs `ed(a, b)`, the

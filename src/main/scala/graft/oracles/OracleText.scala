@@ -679,6 +679,35 @@ private[graft] object OracleText {
         "CAST(CASE WHEN vx > 0.0 AND vy > 0.0 THEN 0 ELSE 1 END " +
         "AS BIGINT) AS degenerate " +
         "FROM f ORDER BY source"),
+    // q239/q240: the trained Naive-Bayes quality classifier — integer
+    // (token, class) sufficient statistics, top-256 vocab (cnt DESC,
+    // token — deterministic in both engines), Laplace log-odds
+    // fixed-point-rounded to micro units BEFORE the per-doc sum, so
+    // document scores are exact BIGINT sums (no float accumulation
+    // order anywhere). Label = the q236 quality flag.
+    "q239_nb_quality_train" -> (nbCommonSql +
+      "SELECT token, n1, n0, " + nbWeightExpr + " AS w_micro " +
+      "FROM v CROSS JOIN tt ORDER BY token"),
+    "q240_nb_quality_apply" -> (nbCommonSql +
+      ", w AS (SELECT token, " + nbWeightExpr + " AS w_micro " +
+      "FROM v CROSS JOIN tt), " +
+      "pr AS (SELECT CAST(FLOOR((ln(CAST(SUM(y) + 1 AS DOUBLE) / " +
+      "CAST(COUNT(*) + 2 AS DOUBLE)) - " +
+      "ln(CAST(COUNT(*) - SUM(y) + 1 AS DOUBLE) / " +
+      "CAST(COUNT(*) + 2 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) " +
+      "AS prior_micro FROM b), " +
+      "ed AS (SELECT doc_id, unnest(toks) AS token FROM b), " +
+      "pd AS (SELECT ed.doc_id, CAST(COUNT(*) AS BIGINT) " +
+      "AS n_vocab_tokens, CAST(SUM(w.w_micro) AS BIGINT) AS wsum " +
+      "FROM ed JOIN w ON ed.token = w.token GROUP BY ed.doc_id) " +
+      "SELECT b.doc_id, b.y, " +
+      "CAST(COALESCE(pd.n_vocab_tokens, 0) AS BIGINT) AS n_vocab_tokens, " +
+      "CAST(pr.prior_micro + COALESCE(pd.wsum, 0) AS BIGINT) " +
+      "AS score_micro, " +
+      "CAST(CASE WHEN pr.prior_micro + COALESCE(pd.wsum, 0) > 0 " +
+      "THEN 1 ELSE 0 END AS BIGINT) AS predicted " +
+      "FROM b LEFT JOIN pd ON pd.doc_id = b.doc_id CROSS JOIN pr " +
+      "ORDER BY b.doc_id"),
     // q231: id-hash shard routing (16 md5 bits mod 32) + the exact
     // per-shard doc/token deviation from uniform
     "q231_shard_balance" ->
@@ -797,6 +826,34 @@ private[graft] object OracleText {
       "CAST(exact_distinct AS DOUBLE) AS rel_err " +
       s"FROM q3 ORDER BY $ks")
   }
+
+  /** Shared q239/q240 prelude: the q236 quality-flag label, exact
+    * (token, class) occurrence counts, the top-256 vocabulary
+    * (cnt DESC, token — total order, so LIMIT is deterministic), and
+    * the vocab-restricted class totals.
+    */
+  private def nbCommonSql: String =
+    "WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+      "x -> x <> '') AS toks FROM documents), " +
+      "b AS (SELECT doc_id, toks, CAST(len(toks) >= 20 AND " +
+      "CAST(len(list_distinct(toks)) AS DOUBLE) / " +
+      "CAST(len(toks) AS DOUBLE) > 0.1 AND " +
+      "CAST(len(list_filter(toks, w2 -> w2 = 'the' OR w2 = 'a')) " +
+      "AS DOUBLE) / CAST(len(toks) AS DOUBLE) < 0.5 AS BIGINT) AS y " +
+      "FROM t), " +
+      "e AS (SELECT y, unnest(toks) AS token FROM b), " +
+      "c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+      "CAST(SUM(y) AS BIGINT) AS n1, CAST(SUM(1 - y) AS BIGINT) AS n0 " +
+      "FROM e GROUP BY token), " +
+      "v AS (SELECT * FROM c ORDER BY cnt DESC, token LIMIT 256), " +
+      "tt AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1, " +
+      "CAST(SUM(n0) AS BIGINT) AS t0 FROM v) "
+
+  /** Laplace log-odds in micro units — the ONE shared double formula. */
+  private def nbWeightExpr: String =
+    "CAST(FLOOR((ln(CAST(n1 + 1 AS DOUBLE) / CAST(t1 + 256 AS DOUBLE)) - " +
+      "ln(CAST(n0 + 1 AS DOUBLE) / CAST(t0 + 256 AS DOUBLE))) * 1000000 " +
+      "+ 0.5) AS BIGINT)"
 
   private def q147Sql: String =
       ("WITH m0 AS (SELECT doc_id, lang, n_chars, " +

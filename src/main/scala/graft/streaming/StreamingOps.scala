@@ -1237,11 +1237,17 @@ object StreamingOps {
       StructField("h", StringType)))
     val merged = Dedup.bottomKSketch(
       spark.read.schema(skSchema).parquet(stateTab).distinct(), k)
-    val sh = Dedup.shingleSetBySource(Tables.documents(spark, dir))
+    // audit half gated to the deterministic doc_id band (r10 verdict
+    // #2) — the drain-time corpus re-read touches 1/auditMod of docs
+    val auditMod = 5
+    val docs = Tables.documents(spark, dir)
+    val shAudit = Dedup.shingleSetBySource(
+        docs.filter(col("doc_id") % auditMod === 0))
       .persist()
     graft.Caches.onRelease(() =>
-      try sh.unpersist(false) catch { case _: Throwable => () })
-    Dedup.overlapReport(sh, merged, k)
+      try shAudit.unpersist(false) catch { case _: Throwable => () })
+    Dedup.overlapReport(shAudit, merged, k,
+      Dedup.auditCoverage(docs, auditMod))
   }
 
   /** Streaming BM25 index maintenance (q229): the q130 retrieval
@@ -1491,6 +1497,65 @@ object StreamingOps {
       .join(copies, Seq("h"))
       .select(col("doc_id"), col("h"), col("n_copies"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Compaction telemetry as a query (q242) — the q168 skew-telemetry
+    * discipline applied to the state LIFECYCLE (r10 verdict #5): a
+    * 24/7 operator needs to SEE state health (files collapsing, rows
+    * deduped), not trust it. The query drives the reference dedup flow
+    * (q235's registry) over a deterministic id-range file split with a
+    * tiny compaction threshold, forces a drain-time compaction, and
+    * emits the final telemetry row for the registry table. The emitted
+    * `rows_after` is data-deterministic — every document registers
+    * exactly once, so the compacted registry holds one row per
+    * document — which is what lets a DuckDB oracle pin a lifecycle
+    * fact. The full event stream (files/bytes before and after, per
+    * mid-run compaction) is the [[StreamState.telemetryDf]] surface,
+    * pinned by Wave7Spec.
+    */
+  def compactionTelemetry(spark: SparkSession, dir: String,
+      nSplits: Int = 4): DataFrame = {
+    import graft.sources.Tables
+    val tag = "telemetry_probe/registry"
+    val srcRoot = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_teleprobe_src_")).toString
+    val probeRoot = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_teleprobe_state_")).toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .persist()
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, (hi - lo + nSplits) / nSplits)
+    val baseMtime = 1700000000000L // fixed epoch: only the ORDER matters
+    (0 until nSplits).foreach { k =>
+      val upper = if (k == nSplits - 1) hi + 1 else lo + (k + 1) * span
+      docs.filter(col("doc_id") >= lo + k * span && col("doc_id") < upper)
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/w")
+      val part = new java.io.File(s"$srcRoot/w").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$srcRoot/stream/s$k.parquet")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      // id-ordered arrival (the exact-dedup contract): ascending mtimes
+      dest.setLastModified(baseMtime + k * 60000L)
+    }
+    docs.unpersist(false)
+    // drain the registry flow with a threshold small enough that
+    // mid-run compactions actually fire on the 4-batch run
+    streamingExactDedup(spark, dir,
+      sourceDir = Some(s"$srcRoot/stream"), sourceGlob = "*.parquet",
+      maxFilesPerTrigger = Some(1),
+      stateRoot = Some(probeRoot), stateCompactMaxFiles = 2).count()
+    // drain-time forced compaction: its telemetry row is the
+    // data-deterministic one (registry = one row per document)
+    StreamState.maybeCompact(spark, s"$probeRoot/registry",
+      force = true, tag = tag)
+    val ev = StreamState.telemetry.filter(_.table == tag).last
+    import spark.implicits._
+    Seq((tag, ev.rows_after)).toDF("state_table", "rows_after")
+      .orderBy(col("state_table"))
   }
 
   /** Streaming vocabulary maintenance (q128): the q126 tf/df table

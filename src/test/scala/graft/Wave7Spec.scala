@@ -192,6 +192,98 @@ class Wave7Spec extends SparkSpec {
     } finally { Caches.releaseAll(spark); rmrf(root) }
   }
 
+  test("q242 drive: mid-run compactions fire on the 4-batch split and " +
+    "the forced drain row matches the corpus") {
+    StreamState.clearTelemetry()
+    val got = StreamingOps.compactionTelemetry(spark, sfDir).collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    Caches.releaseAll(spark)
+    assert(got.length == 1 && got(0).getLong(1) == nDocs)
+    val tags = StreamState.telemetry.map(_.table)
+    assert(tags.contains("exact_dedup/registry"),
+      s"no mid-run compaction fired: $tags")
+    assert(tags.count(_ == "telemetry_probe/registry") == 1)
+  }
+
+  test("q239/q240 golden: planted vocabulary separates and the NB AUC " +
+    "beats the length baseline") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    val root = tmpDir("graft_nb_")
+    try {
+      // good docs: 24 varied tokens, one stopword, shared marker
+      // 'informative'; bad docs: 13×'the' + junk + marker 'spamword'.
+      // SAME byte length per class pair, so length cannot separate.
+      def pad(s: String, n: Int): String =
+        if (s.length >= n) s.take(n) else s + ("x" * (n - s.length))
+      val good = (0 until 20).map { i =>
+        val uniq = (0 until 22).map(t => s"g${i}w$t").mkString(" ")
+        (i.toLong, pad(s"informative the $uniq", 220))
+      }
+      val bad = (0 until 20).map { i =>
+        val uniq = (0 until 11).map(t => s"b${i}j$t").mkString(" ")
+        val stop = Seq.fill(13)("the").mkString(" ")
+        (100L + i, pad(s"spamword $stop $uniq", 220))
+      }
+      (good ++ bad)
+        .map { case (id, text) => (id, text, "en", "crafted",
+          text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$root/documents.parquet")
+      // planted separation in the trained weights
+      val model = QualityModel.nbTrain(spark, root).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(model("the") < 0L, s"w(the)=${model.get("the")}")
+      assert(model("informative") > 0L,
+        s"w(informative)=${model.get("informative")}")
+      assert(model("spamword") < 0L, s"w(spamword)=${model.get("spamword")}")
+      // AUC: P(score of a y=1 doc > score of a y=0 doc), ties = 0.5
+      val rows = QualityModel.nbApply(spark, root).collect()
+        .map(r => (r.getLong(1), r.getLong(3))) // (y, score_micro)
+      val pos = rows.filter(_._1 == 1L).map(_._2)
+      val neg = rows.filter(_._1 == 0L).map(_._2)
+      assert(pos.nonEmpty && neg.nonEmpty,
+        s"label degenerate: ${pos.length} pos / ${neg.length} neg")
+      def auc(posS: Seq[Long], negS: Seq[Long]): Double = {
+        val wins = (for (p <- posS; n <- negS)
+          yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+        wins / (posS.length.toDouble * negS.length.toDouble)
+      }
+      val aucNb = auc(pos.toSeq, neg.toSeq)
+      // length baseline over the same docs (n_chars as the score)
+      val lens = spark.read.parquet(s"$root/documents.parquet")
+        .select(col("doc_id"), col("n_chars")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rowsY = QualityModel.nbApply(spark, root).collect()
+        .map(r => (r.getLong(1), lens(r.getLong(0))))
+      val aucLen = auc(rowsY.filter(_._1 == 1L).map(_._2).toSeq,
+        rowsY.filter(_._1 == 0L).map(_._2).toSeq)
+      Caches.releaseAll(spark)
+      assert(aucNb > 0.95, s"NB AUC $aucNb")
+      assert(aucNb > aucLen + 0.3,
+        s"NB AUC $aucNb does not beat length baseline $aucLen")
+    } finally { Caches.releaseAll(spark); rmrf(root) }
+  }
+
+  test("q241 capped regime actually fires: hot buckets exist at cap 2 " +
+    "and the capped pair set is a strict subset of q95's") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val banded = Dedup.md5BandedSignatures(
+      Dedup.md5ShingledDocs(Tables.documents(spark, sfDir)))
+    assert(Dedup.hotBuckets(banded, 2).count() > 0,
+      "cap 2 never fires at the fixture — q241 would not test the " +
+        "quarantined regime")
+    val capped = Dedup.minhashCappedOracled(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashOracledDf(Tables.documents(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caches.releaseAll(spark)
+    assert(capped.subsetOf(full), "capped pairs must be a q95 subset")
+    assert(capped.size < full.size,
+      s"quarantine dropped nothing (${capped.size} vs ${full.size})")
+  }
+
   test("out-of-order arrival trips the contract guard instead of " +
     "silently mis-keeping (q235 exact dedup)") {
     val root = tmpDir("graft_ooo_")
