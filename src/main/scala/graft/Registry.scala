@@ -524,6 +524,18 @@ object Registry {
     // compaction; the emitted rows_after is data-deterministic
     "q242_compaction_telemetry" -> ((s, d) =>
       graft.streaming.StreamingOps.compactionTelemetry(s, d)),
+    // duplicated-substring length ladder: per rung w, does a doc share
+    // a w-window with another doc — the window-size tuning table for
+    // the q167 screen
+    "q243_dup_substring_ladder" -> ((s, d) =>
+      Dedup.dupSubstringLadder(s, d)),
+    // tokenizer stability: the q131 merges trained on the historical
+    // snapshot vs the full corpus, diffed rank by rank
+    "q244_bpe_vocab_drift" -> ((s, d) => TextOps.bpeVocabDrift(s, d)),
+    // the decontamination family rolled into one per-source table:
+    // exact / lexical (q80 rule) / near-dup (q170 rule) leak rates
+    "q245_contamination_scorecard" -> ((s, d) =>
+      TextOps.contaminationScorecard(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

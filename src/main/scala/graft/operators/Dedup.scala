@@ -1796,6 +1796,50 @@ object Dedup {
     reassembleUncovered(docs.filter(isBatch), removed, w)
   }
 
+  /** Duplicated-substring length ladder (q243): for each rung w ∈
+    * `rungs`, does a document share a w-token window with ANOTHER
+    * document? The per-doc max rung is the fixed-rung answer to
+    * "how long is this doc's longest duplicated substring" — the exact
+    * complement to the q167 window SCREEN (which removes at one w; the
+    * ladder tells you which w matters before you pick it, the
+    * Lee et al. window-size tuning table). Cross-doc only: a window
+    * must appear in ≥ 2 DISTINCT docs, so self-repeats don't flag.
+    *
+    * 100 TB shape: one tokenization pass feeds all rungs (persisted
+    * barrier); per rung, windows leave the scan as md5 HASHES
+    * (row-local), the ≥2-distinct-docs set is one narrow hash
+    * aggregation, and the per-doc flag is a semi-join — nothing but
+    * 16-byte hashes and doc_ids ever shuffles. Rung count is the
+    * ladder's only multiplier (4 here), each rung cheaper than the
+    * last (fewer docs reach longer windows).
+    */
+  def dupSubstringLadder(spark: SparkSession, dir: String,
+      rungs: Seq[Int] = Seq(10, 20, 40, 80)): DataFrame = {
+    val toks = tokenizedDocs(Tables.documents(spark, dir))
+    val flagged = rungs.map { w =>
+      val wr = windowRows(toks, w).select(col("doc_id"), col("wh"))
+      val shared = wr.groupBy(col("wh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("wh"))
+      wr.join(shared, Seq("wh"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn(s"dup_w$w", lit(1L))
+    }
+    val base = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"))
+    val joined = flagged.foldLeft(base)((acc, f) =>
+      acc.join(f, Seq("doc_id"), "left"))
+      .na.fill(0L, rungs.map(w => s"dup_w$w"))
+    val maxW = rungs.sorted.reverse
+      .foldRight(lit(0L)) { (w, acc) =>
+        when(col(s"dup_w$w") === 1L, lit(w.toLong)).otherwise(acc)
+      }
+    joined
+      .select((col("doc_id") +: col("n_tokens") +:
+        rungs.map(w => col(s"dup_w$w"))) :+ maxW.as("max_dup_w"): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared q167/q174 tokenization barrier: token arrays feed the
     * window explode and the final reassembly (the q114/q123 lesson).
     */

@@ -544,6 +544,72 @@ object TextOps {
       .orderBy(col("train_id"), col("heldout_id"))
   }
 
+  /** Per-source contamination scorecard (q245): the r10 verdict's ask
+    * to join the decontamination family into ONE per-source table — for
+    * each source, over the q136 split: training docs that leak into
+    * the heldout splits EXACTLY (shared content hash), LEXICALLY
+    * (≥ `minShared` shared distinct 3-grams with some heldout doc —
+    * the q80 rule at the q136 split), and as NEAR-DUPS (the q170
+    * md5-LSH + Jaccard ≥ 0.5 screen), each as a count and a rate over
+    * the source's training docs. This is the table that tells a mix
+    * planner WHICH source is poisoning evals before any per-pair
+    * digging (q80/q153/q170 are the per-pair evidence).
+    *
+    * 100 TB shape: hashes and gram longs shuffle, never text; the
+    * near-dup member rides the capped banding chain; per-source
+    * roll-ups are map-side-combined #sources-row aggregates.
+    */
+  def contaminationScorecard(spark: SparkSession, dir: String,
+      minShared: Int = 2): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("h"),
+        splitCol("doc_id").as("split"))
+      // barrier: feeds the marginals and three leak-set joins
+      .persist()
+    val train = base.filter(col("split") === "train")
+    val held = base.filter(col("split") =!= "train")
+    val exactLeak = train
+      .join(held.select(col("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id"))
+    def grams(df: DataFrame, a: String) = df
+      .select(col("doc_id").as(a),
+        explode(org.apache.spark.sql.graft.VectorExpressions
+          .shingleHashes(col("text"), 3)).as("gh"))
+    val gsrc = docs
+      .select(col("doc_id"), col("text"), splitCol("doc_id").as("split"))
+    val lexLeak = grams(gsrc.filter(col("split") === "train"), "train_id")
+      .join(grams(gsrc.filter(col("split") =!= "train"), "held_id")
+        .distinct(), "gh")
+      .groupBy(col("train_id"), col("held_id"))
+      .agg(countDistinct(col("gh")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("train_id").as("doc_id")).distinct()
+    val nearLeak = neardupDecontamination(spark, dir)
+      .select(col("train_id").as("doc_id")).distinct()
+    def srcCount(ids: DataFrame, name: String) = base
+      .join(ids, Seq("doc_id"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as(name))
+    def rate(n: Column) = when(col("n_train") > 0,
+      n.cast("double") / col("n_train").cast("double")).otherwise(lit(0.0))
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") =!= "train", 1L).otherwise(0L))
+          .as("n_heldout"))
+      .join(srcCount(exactLeak, "n_exact_leak"), Seq("source"), "left")
+      .join(srcCount(lexLeak, "n_lex_leak"), Seq("source"), "left")
+      .join(srcCount(nearLeak, "n_near_leak"), Seq("source"), "left")
+      .na.fill(0L, Seq("n_exact_leak", "n_lex_leak", "n_near_leak"))
+      .select(col("source"), col("n_docs"), col("n_train"),
+        col("n_heldout"), col("n_exact_leak"), col("n_lex_leak"),
+        col("n_near_leak"),
+        rate(col("n_exact_leak")).as("exact_rate"),
+        rate(col("n_lex_leak")).as("lex_rate"),
+        rate(col("n_near_leak")).as("near_rate"))
+      .orderBy(col("source"))
+  }
+
   private val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRx = "\\+1-\\d{3}-\\d{4}"
   private val IpRx = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
@@ -1118,18 +1184,47 @@ object TextOps {
       .orderBy(col("kind"), col("r"), col("a"))
   }
 
+  /** BPE vocabulary drift between corpus snapshots (q244): train the
+    * q131 merge sequence TWICE — on the historical snapshot (the q174
+    * incremental split, doc_id % 10 ≠ 9) and on the full corpus — and
+    * diff the learned merge tables rank by rank. This is the tokenizer
+    * stability check an incremental pipeline runs before REUSING a
+    * trained vocabulary on a grown corpus: if early merges already
+    * flip (`same_merge` = 0 at low rank), token boundaries drift and
+    * every downstream token budget / fertility table (q134/q152) is
+    * stale. Both trainings are driver-bounded models over the
+    * vocab-sized symbol table (the q131 shape); the corpus-size cost
+    * is two word-frequency counts.
+    */
+  def bpeVocabDrift(spark: SparkSession, dir: String,
+      rounds: Int = 3, batchMod: Int = 10,
+      batchRem: Int = 9): DataFrame = {
+    import spark.implicits._
+    val (snap, _) = bpeCore(spark, dir, rounds,
+      col("doc_id") % batchMod =!= batchRem)
+    val (full, _) = bpeCore(spark, dir, rounds)
+    (1 to rounds).map { r =>
+      val s = snap(r - 1); val f = full(r - 1)
+      (r.toLong, s._2, s._3, s._4, f._2, f._3, f._4,
+        if (s._2 == f._2 && s._3 == f._3) 1L else 0L)
+    }.toDF("r", "snap_a", "snap_b", "snap_cnt",
+        "full_a", "full_b", "full_cnt", "same_merge")
+      .orderBy(col("r"))
+  }
+
   /** Shared BPE trainer core: runs the merge rounds and returns the
     * learned merge table plus the final per-word symbol table
     * (w, freq, pos, sym). [[bpeMerges]] reports it; [[bpeTokenize]]
     * joins the corpus against it.
     */
   private def bpeCore(spark: SparkSession, dir: String,
-      rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+      rounds: Int,
+      docFilter: Column = lit(true)): (Seq[(Long, String, String, Long)], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // persist the vocab: it is the bounded working set every round's
     // driver-side argmax action re-reads — without it each of the
     // `rounds` actions re-runs the corpus-wide word count
-    val words = Tables.documents(spark, dir)
+    val words = Tables.documents(spark, dir).filter(docFilter)
       .select(explode(TextAnalytics.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .persist()

@@ -695,6 +695,14 @@ private[graft] object OracleDedup {
         "m AS (SELECT h, MIN(doc_id) AS doc_id, " +
         "CAST(COUNT(*) AS BIGINT) AS n_copies FROM d GROUP BY h) " +
         "SELECT doc_id, h, n_copies FROM m ORDER BY doc_id"),
+    // q243: duplicated-substring length ladder — per rung w, a doc
+    // flags when one of its w-windows appears in >= 2 DISTINCT docs
+    "q243_dup_substring_ladder" -> q243Sql,
+    // q245: the decontamination family joined into one per-source
+    // table over the q136 split — exact (shared content hash), lexical
+    // (>= 2 shared distinct 3-grams, the q80 rule) and near-dup (the
+    // q170 md5-LSH + Jaccard >= 0.5 screen) leak counts and rates
+    "q245_contamination_scorecard" -> q245Sql,
     // q242: the forced drain-time compaction of q235's registry leaves
     // EXACTLY one (doc_id, hash) row per document — the lifecycle fact
     // the telemetry row pins cross-engine (file/byte telemetry is
@@ -781,6 +789,122 @@ private[graft] object OracleDedup {
         "AS token_retention " +
         "FROM st CROSS JOIN raw ORDER BY stage_id"),
   )
+
+  /** q243: one window CTE + one >=2-distinct-docs set per rung. */
+  private def q243Sql: String = {
+    val rungs = Seq(10, 20, 40, 80)
+    val wctes = rungs.map { w =>
+      s"w$w AS (SELECT doc_id, " +
+        s"md5(array_to_string(toks[p+1:p+$w], ' ')) AS wh " +
+        s"FROM (SELECT doc_id, toks, " +
+        s"unnest(range(0, len(toks) - ${w - 1})) AS p " +
+        s"FROM f WHERE len(toks) >= $w)), " +
+        s"d$w AS (SELECT DISTINCT doc_id FROM w$w WHERE wh IN " +
+        s"(SELECT wh FROM w$w GROUP BY wh " +
+        "HAVING COUNT(DISTINCT doc_id) >= 2))"
+    }
+    "WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, " +
+      "'\\s+'), x -> x <> '') AS toks FROM documents), " +
+      "f AS (SELECT * FROM t WHERE len(toks) > 0), " +
+      wctes.mkString(", ") + " " +
+      "SELECT f.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      rungs.map(w => "CAST(CASE WHEN d" + w + ".doc_id IS NOT NULL " +
+        s"THEN 1 ELSE 0 END AS BIGINT) AS dup_w$w").mkString(", ") +
+      ", CAST(CASE " +
+      rungs.sorted.reverse.map(w =>
+        s"WHEN d$w.doc_id IS NOT NULL THEN $w").mkString(" ") +
+      " ELSE 0 END AS BIGINT) AS max_dup_w FROM f " +
+      rungs.map(w => s"LEFT JOIN d$w ON f.doc_id = d$w.doc_id")
+        .mkString(" ") +
+      " ORDER BY f.doc_id"
+  }
+
+  /** q245: exact/lexical/near-dup leak members over the q136 split,
+    * rolled up per source — the q80/q153/q170 rules as one table.
+    */
+  private def q245Sql: String =
+    "WITH t AS (SELECT doc_id, source, md5(text) AS h, " +
+      "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+      "AS toks FROM documents), " +
+      "spl AS (SELECT doc_id, CASE WHEN b < 204 THEN 'train' " +
+      "WHEN b < 230 THEN 'val' ELSE 'test' END AS split FROM " +
+      "(SELECT doc_id, " +
+      "(strpos('0123456789abcdef', substr(hk, 1, 1)) - 1) * 16 + " +
+      "strpos('0123456789abcdef', substr(hk, 2, 1)) - 1 AS b FROM " +
+      "(SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS hk " +
+      "FROM t))), " +
+      "b0 AS (SELECT t.doc_id, t.source, t.h, t.toks, spl.split " +
+      "FROM t JOIN spl USING (doc_id)), " +
+      "ex AS (SELECT DISTINCT doc_id FROM b0 WHERE split = 'train' " +
+      "AND h IN (SELECT h FROM b0 WHERE split <> 'train')), " +
+      "g AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) " +
+      "AS gram FROM b0), " +
+      "tg AS (SELECT g.doc_id AS train_id, gram FROM g " +
+      "JOIN spl ON spl.doc_id = g.doc_id WHERE spl.split = 'train'), " +
+      "hg AS (SELECT DISTINCT g.doc_id AS held_id, gram FROM g " +
+      "JOIN spl ON spl.doc_id = g.doc_id WHERE spl.split <> 'train'), " +
+      "lx AS (SELECT DISTINCT train_id AS doc_id FROM " +
+      "(SELECT train_id, held_id FROM tg JOIN hg USING (gram) " +
+      "GROUP BY train_id, held_id " +
+      "HAVING COUNT(DISTINCT gram) >= 2)), " +
+      "s2 AS (SELECT doc_id, list_distinct(list_transform(" +
+      "range(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) " +
+      "AS sh FROM b0), " +
+      "f2 AS (SELECT * FROM s2 WHERE len(sh) > 0), " +
+      "e2 AS (SELECT doc_id, unnest(sh) AS g2 FROM f2), " +
+      "sig AS (SELECT doc_id, " +
+      "MIN(md5(g2 || '#0')) AS m0, MIN(md5(g2 || '#1')) AS m1, " +
+      "MIN(md5(g2 || '#2')) AS m2, MIN(md5(g2 || '#3')) AS m3, " +
+      "MIN(md5(g2 || '#4')) AS m4, MIN(md5(g2 || '#5')) AS m5, " +
+      "MIN(md5(g2 || '#6')) AS m6, MIN(md5(g2 || '#7')) AS m7 " +
+      "FROM e2 GROUP BY doc_id), " +
+      "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) " +
+      "AS bucket FROM sig " +
+      "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+      "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+      "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+      "p AS (SELECT DISTINCT tr.doc_id AS train_id, " +
+      "ho.doc_id AS held_id FROM band tr " +
+      "JOIN band ho ON tr.band = ho.band AND tr.bucket = ho.bucket " +
+      "JOIN spl st ON st.doc_id = tr.doc_id " +
+      "JOIN spl s3 ON s3.doc_id = ho.doc_id " +
+      "WHERE st.split = 'train' AND s3.split <> 'train'), " +
+      "v AS (SELECT train_id, held_id, " +
+      "len(list_intersect(a.sh, b.sh)) AS inter, " +
+      "len(a.sh) AS la, len(b.sh) AS lb " +
+      "FROM p JOIN f2 a ON a.doc_id = p.train_id " +
+      "JOIN f2 b ON b.doc_id = p.held_id), " +
+      "nr AS (SELECT DISTINCT train_id AS doc_id FROM v " +
+      "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) " +
+      ">= 0.5), " +
+      "m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_train, " +
+      "CAST(SUM(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_heldout FROM b0 GROUP BY source), " +
+      "ce AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM b0 " +
+      "WHERE doc_id IN (SELECT doc_id FROM ex) GROUP BY source), " +
+      "cl AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM b0 " +
+      "WHERE doc_id IN (SELECT doc_id FROM lx) GROUP BY source), " +
+      "cn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM b0 " +
+      "WHERE doc_id IN (SELECT doc_id FROM nr) GROUP BY source) " +
+      "SELECT m.source, m.n_docs, m.n_train, m.n_heldout, " +
+      "CAST(COALESCE(ce.n, 0) AS BIGINT) AS n_exact_leak, " +
+      "CAST(COALESCE(cl.n, 0) AS BIGINT) AS n_lex_leak, " +
+      "CAST(COALESCE(cn.n, 0) AS BIGINT) AS n_near_leak, " +
+      "CASE WHEN m.n_train > 0 THEN CAST(COALESCE(ce.n, 0) AS DOUBLE) " +
+      "/ CAST(m.n_train AS DOUBLE) ELSE 0.0 END AS exact_rate, " +
+      "CASE WHEN m.n_train > 0 THEN CAST(COALESCE(cl.n, 0) AS DOUBLE) " +
+      "/ CAST(m.n_train AS DOUBLE) ELSE 0.0 END AS lex_rate, " +
+      "CASE WHEN m.n_train > 0 THEN CAST(COALESCE(cn.n, 0) AS DOUBLE) " +
+      "/ CAST(m.n_train AS DOUBLE) ELSE 0.0 END AS near_rate " +
+      "FROM m LEFT JOIN ce ON ce.source = m.source " +
+      "LEFT JOIN cl ON cl.source = m.source " +
+      "LEFT JOIN cn ON cn.source = m.source " +
+      "ORDER BY m.source"
 
   private def q224Sql: String =
       ("WITH t AS (SELECT source, list_filter(" +

@@ -16,30 +16,30 @@ private[graft] object OracleText {
     * relational spelling as [[TextOps.bpeMerges]], so every
     * intermediate hash-matches.
     */
-  private def bpeRound(prev: String, r: Int): String =
-    s"n$r AS (SELECT w, freq, pos, sym, " +
+  private def bpeRound(prev: String, r: Int, p: String = ""): String =
+    s"${p}n$r AS (SELECT w, freq, pos, sym, " +
       "LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt " +
       s"FROM $prev), " +
-      s"b$r AS (SELECT sym AS a, nxt AS b, " +
-      s"CAST(SUM(freq) AS BIGINT) AS cnt FROM n$r " +
+      s"${p}b$r AS (SELECT sym AS a, nxt AS b, " +
+      s"CAST(SUM(freq) AS BIGINT) AS cnt FROM ${p}n$r " +
       "WHERE nxt IS NOT NULL GROUP BY sym, nxt " +
       "ORDER BY cnt DESC, a ASC, b ASC LIMIT 1), " +
-      s"i$r AS (SELECT *, (nxt IS NOT NULL AND " +
-      s"sym = (SELECT a FROM b$r) AND nxt = (SELECT b FROM b$r)) " +
-      s"AS ispair FROM n$r), " +
-      s"r$r AS (SELECT *, CASE WHEN ispair THEN pos - " +
+      s"${p}i$r AS (SELECT *, (nxt IS NOT NULL AND " +
+      s"sym = (SELECT a FROM ${p}b$r) AND nxt = (SELECT b FROM ${p}b$r)) " +
+      s"AS ispair FROM ${p}n$r), " +
+      s"${p}r$r AS (SELECT *, CASE WHEN ispair THEN pos - " +
       "ROW_NUMBER() OVER (PARTITION BY w, ispair ORDER BY pos) END " +
-      s"AS runid FROM i$r), " +
-      s"e$r AS (SELECT *, ispair AND " +
+      s"AS runid FROM ${p}i$r), " +
+      s"${p}e$r AS (SELECT *, ispair AND " +
       "(ROW_NUMBER() OVER (PARTITION BY w, runid ORDER BY pos) % 2 = 1) " +
-      s"AS sel FROM r$r), " +
-      s"g$r AS (SELECT *, COALESCE(" +
+      s"AS sel FROM ${p}r$r), " +
+      s"${p}g$r AS (SELECT *, COALESCE(" +
       "LAG(sel) OVER (PARTITION BY w ORDER BY pos), false) " +
-      s"AS prevsel FROM e$r), " +
-      s"s$r AS (SELECT w, freq, " +
+      s"AS prevsel FROM ${p}e$r), " +
+      s"${p}s$r AS (SELECT w, freq, " +
       "ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, " +
       "CASE WHEN sel THEN sym || nxt ELSE sym END AS sym " +
-      s"FROM g$r WHERE NOT prevsel)"
+      s"FROM ${p}g$r WHERE NOT prevsel)"
 
   private val sql1: Map[String, String] = Map(
     "q22_extract_multivalue" ->
@@ -351,6 +351,38 @@ private[graft] object OracleText {
         "UNION ALL SELECT 'merge', CAST(3 AS BIGINT), a, b, cnt FROM b3 " +
         "UNION ALL SELECT 'word', CAST(0 AS BIGINT), w, seg, freq " +
         "FROM tw) ORDER BY kind, r, a"),
+    // q244: the q131 trainer run TWICE (snapshot = doc_id % 10 <> 9
+    // vs full corpus), merge tables diffed rank by rank — prefixed CTE
+    // chains keep the two trainings independent inside one query
+    "q244_bpe_vocab_drift" ->
+      ("WITH swords AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq " +
+        "FROM (SELECT unnest(list_filter(string_split_regex(text, " +
+        "'\\s+'), x -> x <> '')) AS w FROM documents " +
+        "WHERE doc_id % 10 <> 9) GROUP BY w), " +
+        "ss0 AS (SELECT w, freq, CAST(u.p AS BIGINT) AS pos, " +
+        "substr(w, CAST(u.p + 1 AS INT), 1) AS sym " +
+        "FROM swords, unnest(range(len(w))) u(p)), " +
+        bpeRound("ss0", 1, "s") + ", " +
+        bpeRound("ss1", 2, "s") + ", " +
+        bpeRound("ss2", 3, "s") + ", " +
+        "fwords AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq " +
+        "FROM (SELECT unnest(list_filter(string_split_regex(text, " +
+        "'\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY w), " +
+        "fs0 AS (SELECT w, freq, CAST(u.p AS BIGINT) AS pos, " +
+        "substr(w, CAST(u.p + 1 AS INT), 1) AS sym " +
+        "FROM fwords, unnest(range(len(w))) u(p)), " +
+        bpeRound("fs0", 1, "f") + ", " +
+        bpeRound("fs1", 2, "f") + ", " +
+        bpeRound("fs2", 3, "f") + " " +
+        "SELECT r, snap_a, snap_b, snap_cnt, full_a, full_b, full_cnt, " +
+        "CAST(CASE WHEN snap_a = full_a AND snap_b = full_b THEN 1 " +
+        "ELSE 0 END AS BIGINT) AS same_merge FROM (" +
+        (1 to 3).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS r, sb.a AS snap_a, " +
+            s"sb.b AS snap_b, sb.cnt AS snap_cnt, fb.a AS full_a, " +
+            s"fb.b AS full_b, fb.cnt AS full_cnt " +
+            s"FROM sb$r sb CROSS JOIN fb$r fb").mkString(" UNION ALL ") +
+        ") ORDER BY r"),
     // q131's trainer CTEs collapsed to a (word → token count) vocab,
     // then one corpus join — the BPE train→apply composition
     "q134_bpe_tokenize" ->
