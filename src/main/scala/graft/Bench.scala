@@ -206,8 +206,8 @@ object Bench {
           if (recent.isEmpty) 0.0 else recent(recent.size / 2)
         }
         val retry =
-          if (rerunOutliers && trailing.size >= 5 && dt > 1.0 &&
-              dt > 3.0 * med) {
+          if (rerunOutliers && trailing.size >= 5 && dt > 2.0 &&
+              dt > 4.0 * med) {
             val r0 = System.nanoTime()
             try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
             val rdt = (System.nanoTime() - r0) / 1e9
