@@ -536,6 +536,17 @@ object Registry {
     // exact / lexical (q80 rule) / near-dup (q170 rule) leak rates
     "q245_contamination_scorecard" -> ((s, d) =>
       TextOps.contaminationScorecard(s, d)),
+    // the q239 sufficient statistics maintained per micro-batch
+    // (SUM-merge of batch-tagged count rows, compacted state); drain
+    // runs q239's vocab+weight arithmetic (shares its oracle verbatim)
+    "q246_streaming_nb_train" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingNbTrain(s, d)),
+    // per-source confusion of the trained gate vs its weak label —
+    // where the classifier generalizes past (FP) or under-fits (FN)
+    // the rule it was trained on
+    "q247_nb_confusion" -> ((s, d) => QualityModel.nbConfusion(s, d)),
+    // calibration: 2-nat score bins vs empirical quality rate
+    "q248_nb_calibration" -> ((s, d) => QualityModel.nbCalibration(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

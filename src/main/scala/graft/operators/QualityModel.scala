@@ -45,19 +45,27 @@ object QualityModel {
   private[graft] val VocabSize = 256
 
   /** (doc_id, toks, y) — the q211 quality flag as the training label. */
-  private def flagged(docs: DataFrame): DataFrame = docs
+  private[graft] def flagged(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"),
       TextAnalytics.tokens(col("text")).as("toks"),
       TextAnalytics.qualityFlag(col("text")).as("y"))
 
-  /** The trained model relation: (token, n1, n0, w_micro). */
-  private[graft] def trainDf(d: DataFrame): DataFrame = {
-    val counts = d
-      .select(col("y"), explode(col("toks")).as("token"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("y")).as("n1"),
-        sum(lit(1L) - col("y")).as("n0"))
+  /** Per-token per-class occurrence counts (token, cnt, n1, n0) — the
+    * model's sufficient statistics. SUM-mergeable across disjoint doc
+    * sets, which is what the streaming maintenance twin (q246)
+    * appends per micro-batch.
+    */
+  private[graft] def tokenClassCounts(d: DataFrame): DataFrame = d
+    .select(col("y"), explode(col("toks")).as("token"))
+    .groupBy(col("token"))
+    .agg(count(lit(1)).as("cnt"),
+      sum(col("y")).as("n1"),
+      sum(lit(1L) - col("y")).as("n0"))
+
+  /** Vocab selection + fixed-point log-odds over a sufficient-
+    * statistics relation — the drain half q246 shares with q239.
+    */
+  private[graft] def weightsFromCounts(counts: DataFrame): DataFrame = {
     val vocab = counts
       .orderBy(col("cnt").desc, col("token"))
       .limit(VocabSize)
@@ -73,16 +81,20 @@ object QualityModel {
       .select(col("token"), col("n1"), col("n0"), col("w_micro"))
   }
 
+  /** The trained model relation: (token, n1, n0, w_micro). */
+  private[graft] def trainDf(d: DataFrame): DataFrame =
+    weightsFromCounts(tokenClassCounts(d))
+
   /** q239: train — the model table, ordered for the oracle. */
   def nbTrain(spark: SparkSession, dir: String): DataFrame =
     trainDf(flagged(Tables.documents(spark, dir)))
       .orderBy(col("token"))
 
-  /** q240: apply — per-document fixed-point log-odds score + gate,
-    * with the weak label alongside so the table doubles as the
-    * confusion audit.
+  /** Per-document scored relation (doc_id, y, n_vocab_tokens,
+    * score_micro, predicted) — unordered; q240/q247/q248 share it.
     */
-  def nbApply(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def scoredDocs(spark: SparkSession,
+      dir: String): DataFrame = {
     val d = flagged(Tables.documents(spark, dir))
       // barrier: feeds training, the priors, and the scoring pass
       .persist()
@@ -110,6 +122,57 @@ object QualityModel {
         (col("prior_micro") + col("wsum")).as("score_micro"),
         when(col("prior_micro") + col("wsum") > 0L, 1L).otherwise(0L)
           .as("predicted"))
-      .orderBy(col("doc_id"))
   }
+
+  /** q240: apply — per-document fixed-point log-odds score + gate,
+    * with the weak label alongside so the table doubles as the
+    * confusion audit.
+    */
+  def nbApply(spark: SparkSession, dir: String): DataFrame =
+    scoredDocs(spark, dir).orderBy(col("doc_id"))
+
+  /** q247: per-source confusion of the trained gate against its weak
+    * label — the table that says WHERE the learned stage disagrees
+    * with the rule it was trained on (a source with high FP mass is
+    * where the classifier generalized PAST the rule; high FN mass is
+    * where it under-fits). Exact integer cells; one broadcast-model
+    * scan + a #sources-row rollup.
+    */
+  def nbConfusion(spark: SparkSession, dir: String): DataFrame =
+    scoredDocs(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L && col("predicted") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0L && col("predicted") === 1L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1L && col("predicted") === 0L, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("y") === 0L && col("predicted") === 0L, 1L)
+          .otherwise(0L)).as("tn"))
+      .withColumn("accuracy",
+        (col("tp") + col("tn")).cast("double") /
+          col("n_docs").cast("double"))
+      .orderBy(col("source"))
+
+  /** q248: calibration table — fixed-width score bins (2e6 micro =
+    * 2 nats of log-odds per bin) against the empirical quality rate.
+    * A well-calibrated gate shows rate rising monotonically through
+    * bin 0; integer bin arithmetic (floor of an exact-long/double
+    * division), so fully oracled.
+    */
+  def nbCalibration(spark: SparkSession, dir: String,
+      binMicro: Long = 2000000L): DataFrame =
+    scoredDocs(spark, dir)
+      .withColumn("bin",
+        floor(col("score_micro").cast("double") /
+          lit(binMicro.toDouble)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y")).as("n_quality"))
+      .withColumn("quality_rate",
+        col("n_quality").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("bin"))
 }

@@ -717,29 +717,39 @@ private[graft] object OracleText {
     // fixed-point-rounded to micro units BEFORE the per-doc sum, so
     // document scores are exact BIGINT sums (no float accumulation
     // order anywhere). Label = the q236 quality flag.
-    "q239_nb_quality_train" -> (nbCommonSql +
-      "SELECT token, n1, n0, " + nbWeightExpr + " AS w_micro " +
-      "FROM v CROSS JOIN tt ORDER BY token"),
-    "q240_nb_quality_apply" -> (nbCommonSql +
-      ", w AS (SELECT token, " + nbWeightExpr + " AS w_micro " +
-      "FROM v CROSS JOIN tt), " +
-      "pr AS (SELECT CAST(FLOOR((ln(CAST(SUM(y) + 1 AS DOUBLE) / " +
-      "CAST(COUNT(*) + 2 AS DOUBLE)) - " +
-      "ln(CAST(COUNT(*) - SUM(y) + 1 AS DOUBLE) / " +
-      "CAST(COUNT(*) + 2 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) " +
-      "AS prior_micro FROM b), " +
-      "ed AS (SELECT doc_id, unnest(toks) AS token FROM b), " +
-      "pd AS (SELECT ed.doc_id, CAST(COUNT(*) AS BIGINT) " +
-      "AS n_vocab_tokens, CAST(SUM(w.w_micro) AS BIGINT) AS wsum " +
-      "FROM ed JOIN w ON ed.token = w.token GROUP BY ed.doc_id) " +
-      "SELECT b.doc_id, b.y, " +
-      "CAST(COALESCE(pd.n_vocab_tokens, 0) AS BIGINT) AS n_vocab_tokens, " +
-      "CAST(pr.prior_micro + COALESCE(pd.wsum, 0) AS BIGINT) " +
-      "AS score_micro, " +
-      "CAST(CASE WHEN pr.prior_micro + COALESCE(pd.wsum, 0) > 0 " +
-      "THEN 1 ELSE 0 END AS BIGINT) AS predicted " +
-      "FROM b LEFT JOIN pd ON pd.doc_id = b.doc_id CROSS JOIN pr " +
-      "ORDER BY b.doc_id"),
+    "q239_nb_quality_train" -> nbTrainSql,
+    // q246: the q239 sufficient statistics maintained per micro-batch
+    // (SUM-merge, batch-tagged rows) — counts are associative, so any
+    // split drains to the batch model: q239's SQL verbatim
+    "q246_streaming_nb_train" -> nbTrainSql,
+    "q240_nb_quality_apply" -> (nbScoredSql +
+      "SELECT doc_id, y, n_vocab_tokens, score_micro, predicted " +
+      "FROM scored ORDER BY doc_id"),
+    // q247: per-source confusion of the trained gate vs its weak label
+    "q247_nb_confusion" -> (nbScoredSql +
+      ", src AS (SELECT doc_id, source FROM documents), " +
+      "cf AS (SELECT src.source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(CASE WHEN y = 1 AND predicted = 1 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS tp, " +
+      "CAST(SUM(CASE WHEN y = 0 AND predicted = 1 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS fp, " +
+      "CAST(SUM(CASE WHEN y = 1 AND predicted = 0 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS fn, " +
+      "CAST(SUM(CASE WHEN y = 0 AND predicted = 0 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS tn " +
+      "FROM scored JOIN src ON src.doc_id = scored.doc_id " +
+      "GROUP BY src.source) " +
+      "SELECT source, n_docs, tp, fp, fn, tn, " +
+      "CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy " +
+      "FROM cf ORDER BY source"),
+    // q248: calibration — 2e6-micro (2-nat) score bins vs empirical
+    // quality rate; exact-long bin arithmetic
+    "q248_nb_calibration" -> (nbScoredSql +
+      "SELECT CAST(FLOOR(CAST(score_micro AS DOUBLE) / 2000000.0) " +
+      "AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(y) AS BIGINT) AS n_quality, " +
+      "CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
+      "AS quality_rate FROM scored GROUP BY bin ORDER BY bin"),
     // q231: id-hash shard routing (16 md5 bits mod 32) + the exact
     // per-shard doc/token deviation from uniform
     "q231_shard_balance" ->
@@ -886,6 +896,32 @@ private[graft] object OracleText {
     "CAST(FLOOR((ln(CAST(n1 + 1 AS DOUBLE) / CAST(t1 + 256 AS DOUBLE)) - " +
       "ln(CAST(n0 + 1 AS DOUBLE) / CAST(t0 + 256 AS DOUBLE))) * 1000000 " +
       "+ 0.5) AS BIGINT)"
+
+  /** q239 (and its streaming twin q246): the trained model table. */
+  private def nbTrainSql: String = nbCommonSql +
+    "SELECT token, n1, n0, " + nbWeightExpr + " AS w_micro " +
+    "FROM v CROSS JOIN tt ORDER BY token"
+
+  /** Shared q240/q247/q248 scored-documents relation. */
+  private def nbScoredSql: String = nbCommonSql +
+    ", w AS (SELECT token, " + nbWeightExpr + " AS w_micro " +
+    "FROM v CROSS JOIN tt), " +
+    "pr AS (SELECT CAST(FLOOR((ln(CAST(SUM(y) + 1 AS DOUBLE) / " +
+    "CAST(COUNT(*) + 2 AS DOUBLE)) - " +
+    "ln(CAST(COUNT(*) - SUM(y) + 1 AS DOUBLE) / " +
+    "CAST(COUNT(*) + 2 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) " +
+    "AS prior_micro FROM b), " +
+    "ed AS (SELECT doc_id, unnest(toks) AS token FROM b), " +
+    "pd AS (SELECT ed.doc_id, CAST(COUNT(*) AS BIGINT) " +
+    "AS n_vocab_tokens, CAST(SUM(w.w_micro) AS BIGINT) AS wsum " +
+    "FROM ed JOIN w ON ed.token = w.token GROUP BY ed.doc_id), " +
+    "scored AS (SELECT b.doc_id, b.y, " +
+    "CAST(COALESCE(pd.n_vocab_tokens, 0) AS BIGINT) AS n_vocab_tokens, " +
+    "CAST(pr.prior_micro + COALESCE(pd.wsum, 0) AS BIGINT) " +
+    "AS score_micro, " +
+    "CAST(CASE WHEN pr.prior_micro + COALESCE(pd.wsum, 0) > 0 " +
+    "THEN 1 ELSE 0 END AS BIGINT) AS predicted " +
+    "FROM b LEFT JOIN pd ON pd.doc_id = b.doc_id CROSS JOIN pr) "
 
   private def q147Sql: String =
       ("WITH m0 AS (SELECT doc_id, lang, n_chars, " +

@@ -136,12 +136,16 @@ object StreamingOps {
     root.fold(w)(r => w.option("checkpointLocation", s"$r/_checkpoint"))
       .start()
 
-  /** Latest existing version under a versioned-ledger root: (max
-    * numeric suffix, its path). Versions are written as `b<n>`; a
-    * resumed run continues the numbering past the max so no restart
-    * can overwrite a prior version.
+  /** Latest existing COMMITTED version under a versioned-ledger root:
+    * (max numeric suffix, its path). Versions are written as `b<n>`; a
+    * resumed run continues the numbering past the max (counting even
+    * uncommitted dirs, so nothing is ever overwritten) but only
+    * RESUMES from a version carrying the `_SUCCESS` commit marker — a
+    * crash mid-write leaves a partial version dir, and resuming from
+    * it would silently corrupt the ledger (the versioned-ledger
+    * analogue of the compaction-swap recovery).
     */
-  private def latestVersion(spark: SparkSession,
+  private[graft] def latestVersion(spark: SparkSession,
       root: String): (Long, Option[String]) = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -152,8 +156,12 @@ object StreamingOps {
         .flatMap(n => n.drop(1).toLongOption.map(v => (v, n)))
       if (vs.isEmpty) (-1L, None)
       else {
-        val (mx, nm) = vs.maxBy(_._1)
-        (mx, Some(s"$root/$nm"))
+        val mx = vs.map(_._1).max
+        val committed = vs
+          .filter { case (_, n) => fs.exists(
+            new org.apache.hadoop.fs.Path(s"$root/$n/_SUCCESS")) }
+        (mx, committed.sortBy(_._1).lastOption
+          .map { case (_, n) => s"$root/$n" })
       }
     }
   }
@@ -1497,6 +1505,74 @@ object StreamingOps {
       .join(copies, Seq("h"))
       .select(col("doc_id"), col("h"), col("n_copies"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Streaming NB sufficient-statistics maintenance (q246): the q239
+    * quality-classifier model kept CURRENT as documents stream in —
+    * each micro-batch folds its own (token, cnt, n1, n0) count table
+    * EXECUTOR-SIDE and appends it (batch-tagged) to compacted state;
+    * the drain SUM-merges the counts and runs q239's vocab + weight
+    * arithmetic. Counts are associative and every doc streams exactly
+    * once, so ANY micro-batch split drains to the batch model — q239's
+    * SQL is the oracle verbatim (the q157/q223/q228/q229 shared-SQL
+    * pattern). This is the retrain-free model refresh a 24/7 curation
+    * pipeline runs: per-batch work is one map-side-combined count of
+    * the BATCH (vocab-sized output); the corpus is never re-tokenized.
+    *
+    * State rows carry their batch_id so a replayed batch appends
+    * IDENTICAL rows and the drain's distinct restores idempotence
+    * exactly (two different batches can legitimately produce equal
+    * count rows — the tag is what keeps distinct from collapsing them).
+    */
+  def streamingNbTrain(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.QualityModel
+    val root = effectiveRoot(stateRoot, "nb_train")
+    val stateTab = stateDir(root, "counts")
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val reader = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = reader.parquet(sourceDir.getOrElse(dir))
+    graft.Caches.onRelease(
+      () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        StreamState.recover(ss, stateTab)
+        QualityModel.tokenClassCounts(
+            QualityModel.flagged(batch.toDF()))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(stateTab)
+        StreamState.maybeCompact(ss, stateTab, tag = "nb_train/counts")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    val cntSchema = StructType(Seq(
+      StructField("token", StringType),
+      StructField("cnt", LongType),
+      StructField("n1", LongType),
+      StructField("n0", LongType),
+      StructField("batch_id", LongType)))
+    val merged = spark.read.schema(cntSchema).parquet(stateTab)
+      .distinct() // replayed batch-tagged rows restore idempotence
+      .groupBy(col("token"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("n1")).as("n1"),
+        sum(col("n0")).as("n0"))
+    QualityModel.weightsFromCounts(merged).orderBy(col("token"))
   }
 
   /** Compaction telemetry as a query (q242) — the q168 skew-telemetry

@@ -192,6 +192,26 @@ class Wave7Spec extends SparkSpec {
     } finally { Caches.releaseAll(spark); rmrf(root) }
   }
 
+  test("versioned-ledger resume skips a partial (crashed) version but " +
+    "never reuses its number") {
+    import spark.implicits._
+    val root = tmpDir("graft_vers_")
+    try {
+      Seq((1L, 2L)).toDF("a", "b")
+        .write.parquet(s"$root/b0") // committed (_SUCCESS present)
+      // a crash mid-write: version dir exists, no _SUCCESS marker
+      val partial = new java.io.File(s"$root/b1")
+      partial.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/b1/part-junk.parquet"),
+        Array[Byte](1, 2, 3))
+      val (mx, resumed) = StreamingOps.latestVersion(spark, root)
+      assert(mx == 1L, "numbering must count the partial version")
+      assert(resumed.contains(s"$root/b0"),
+        s"resume must come from the committed version, got $resumed")
+    } finally rmrf(root)
+  }
+
   test("q242 drive: mid-run compactions fire on the 4-batch split and " +
     "the forced drain row matches the corpus") {
     StreamState.clearTelemetry()
@@ -262,6 +282,39 @@ class Wave7Spec extends SparkSpec {
       assert(aucNb > 0.95, s"NB AUC $aucNb")
       assert(aucNb > aucLen + 0.3,
         s"NB AUC $aucNb does not beat length baseline $aucLen")
+    } finally { Caches.releaseAll(spark); rmrf(root) }
+  }
+
+  test("q246: a 3-file micro-batch split drains to the exact batch " +
+    "model (count SUM-merge associativity)") {
+    import graft.operators.QualityModel
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batch = rows(QualityModel.nbTrain(spark, sfDir))
+    Caches.releaseAll(spark)
+    val docs = graft.sources.Tables.documents(spark, sfDir).collect()
+    val schema = graft.sources.Tables.documents(spark, sfDir).schema
+    val root = tmpDir("graft_nbsplit_")
+    try {
+      (0 until 3).foreach { part =>
+        val slice = docs.zipWithIndex.filter(_._2 % 3 == part).map(_._1)
+        val tmp = s"$root/_w"
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(slice.toSeq, 1), schema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val target = new java.io.File(s"$root/stream/b$part.parquet")
+        target.getParentFile.mkdirs()
+        java.nio.file.Files.move(f.toPath, target.toPath)
+        rmrf(tmp)
+      }
+      val streamed = rows(StreamingOps.streamingNbTrain(spark, sfDir,
+        sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1)))
+      assert(streamed == batch,
+        s"streamed ${streamed.size} rows != batch ${batch.size}")
     } finally { Caches.releaseAll(spark); rmrf(root) }
   }
 
