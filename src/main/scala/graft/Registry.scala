@@ -547,6 +547,18 @@ object Registry {
     "q247_nb_confusion" -> ((s, d) => QualityModel.nbConfusion(s, d)),
     // calibration: 2-nat score bins vs empirical quality rate
     "q248_nb_calibration" -> ((s, d) => QualityModel.nbCalibration(s, d)),
+    // U-shaped multi-touch attribution: purchase value split over the
+    // preceding hour's clicks (40/40/20), exact micro-unit credits
+    "q249_position_attribution" -> ((s, d) =>
+      Analytics.positionAttribution(s, d)),
+    // forward as-of: click → next-purchase latency, reverse-window
+    // linear plan oracled by the classic join + argmin form
+    "q250_conversion_latency" -> ((s, d) =>
+      Analytics.conversionLatency(s, d)),
+    // the q243 ladder maintained per micro-batch (append-only window
+    // facts; order-insensitive rule) — shares q243's oracle verbatim
+    "q251_streaming_dup_ladder" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingDupLadder(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -503,6 +503,114 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution (q249): q214's
+    * last-touch rule replaced by the position-weighted split every
+    * marketing/mixing pipeline also runs — each purchase distributes
+    * its value over the clicks in its preceding hour: one click takes
+    * all of it, two split 50/50, three-plus give 40% to the first,
+    * 40% to the last, and the middles share the remaining 20% evenly.
+    * Credits are exact micro-unit longs (cents × micro-share, ONE
+    * shared rounding formula for the middle share), so the daily
+    * rollup hash-matches cross-engine.
+    *
+    * 100 TB shape: the purchase×click pairing is a per-user range
+    * join (candidate-bounded by the horizon — the q72 shape) whose
+    * output immediately collapses to PURCHASE grain (count only);
+    * credit arithmetic is row-local on purchases; the rollup is a
+    * #days-row aggregate.
+    */
+  def positionAttribution(spark: SparkSession, dir: String,
+      horizonSeconds: Long = 3600L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val m = purch.join(clicks,
+        col("c_user") === col("p_user") &&
+          (col("c_ts") < col("p_ts") ||
+            (col("c_ts") === col("p_ts") && col("c_id") < col("p_id"))) &&
+          col("c_ts") >= col("p_ts") -
+            expr(s"INTERVAL $horizonSeconds SECOND"), "left")
+      .groupBy(col("p_id"), col("p_ts"), col("cents"))
+      .agg(count(col("c_id")).as("m"))
+    val mid = (col("m") - 2L) *
+      floor(col("cents").cast("double") * lit(200000.0) /
+        (col("m") - 2L).cast("double") + lit(0.5)).cast("long")
+    m.select(col("p_ts"), col("cents"), col("m"),
+        when(col("m") === 0L, 0L)
+          .when(col("m") === 1L, col("cents") * 1000000L)
+          .when(col("m") === 2L, col("cents") * 500000L)
+          .otherwise(col("cents") * 400000L).as("first_credit"),
+        when(col("m") <= 1L, 0L)
+          .when(col("m") === 2L, col("cents") * 500000L)
+          .otherwise(col("cents") * 400000L).as("last_credit"),
+        when(col("m") <= 2L, 0L).otherwise(mid).as("mid_credit"))
+      .groupBy(col("p_ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("m") > 0L, 1L).otherwise(0L)).as("n_attributed"),
+        sum(col("first_credit")).as("first_credit_micro"),
+        sum(col("last_credit")).as("last_credit_micro"),
+        sum(col("mid_credit")).as("mid_credit_micro"))
+      .select(col("day").cast("string").as("day"), col("n_purchases"),
+        col("n_attributed"), col("first_credit_micro"),
+        col("last_credit_micro"), col("mid_credit_micro"))
+      .orderBy(col("day"))
+  }
+
+  /** Conversion latency via FORWARD as-of (q250): for every click, the
+    * time to the user's NEXT purchase (strictly later in (ts, id)
+    * order), converted within a one-hour horizon — the other direction
+    * of the q214/q221 as-of family, and the table a funnel owner reads
+    * next to the attribution rate (how MANY convert is q214; how FAST
+    * is this). Linear plan: ONE per-user window over the event scan in
+    * REVERSE time order (running min of purchase (ts, id) over the
+    * already-seen suffix = the next purchase) — no events×events join;
+    * the oracle IS the classic forward as-of join + argmin, so the two
+    * formulations stay pinned equal cross-engine (the q221
+    * discipline). Latencies are exact micro-difference longs floored
+    * to seconds.
+    */
+  def conversionLatency(spark: SparkSession, dir: String,
+      horizonSeconds: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    val conv = ev
+      .withColumn("next_p",
+        min(when(col("event_type") === "purchase",
+          struct(col("ts"), col("event_id")))).over(w))
+      .filter(col("event_type") === "click")
+      .withColumn("lat_sec",
+        ((expr("unix_micros(cast(next_p.ts as timestamp))") -
+          expr("unix_micros(cast(ts as timestamp))")) /
+          lit(1000000L)).cast("long"))
+      .withColumn("converted",
+        when(col("next_p").isNotNull &&
+          col("lat_sec") <= horizonSeconds, 1L).otherwise(0L))
+    conv
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("converted")).as("n_converted"),
+        (sum(col("converted")).cast("double") /
+          count(lit(1)).cast("double")).as("conversion_rate"),
+        coalesce(sum(when(col("converted") === 1L, col("lat_sec"))),
+          lit(0L)).as("total_latency_sec"),
+        coalesce(max(when(col("converted") === 1L, col("lat_sec"))),
+          lit(0L)).as("max_latency_sec"))
+      .select(col("day").cast("string").as("day"), col("n_clicks"),
+        col("n_converted"), col("conversion_rate"),
+        col("total_latency_sec"), col("max_latency_sec"))
+      .orderBy(col("day"))
+  }
+
   /** Event-grain as-of attribution (q221): [[AsOf.asOfAttribution]]'s
     * per-target rows exposed directly — each purchase with the
     * timestamp of the user's most recent strictly-earlier click and

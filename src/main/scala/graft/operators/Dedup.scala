@@ -1816,8 +1816,22 @@ object Dedup {
   def dupSubstringLadder(spark: SparkSession, dir: String,
       rungs: Seq[Int] = Seq(10, 20, 40, 80)): DataFrame = {
     val toks = tokenizedDocs(Tables.documents(spark, dir))
+    ladderAssemble(
+      toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens")),
+      w => windowRows(toks, w).select(col("doc_id"), col("wh")),
+      rungs)
+  }
+
+  /** Shared q243/q251 assembly: per-rung ≥2-distinct-docs flags over
+    * (doc_id, wh) relations, folded onto the (doc_id, n_tokens) base.
+    * The streaming twin feeds the SAME relations from its drained
+    * state tables, so both surfaces stay one code path.
+    */
+  private[graft] def ladderAssemble(base: DataFrame,
+      winFor: Int => DataFrame, rungs: Seq[Int]): DataFrame = {
     val flagged = rungs.map { w =>
-      val wr = windowRows(toks, w).select(col("doc_id"), col("wh"))
+      val wr = winFor(w)
       val shared = wr.groupBy(col("wh"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select(col("wh"))
@@ -1825,8 +1839,6 @@ object Dedup {
         .select(col("doc_id")).distinct()
         .withColumn(s"dup_w$w", lit(1L))
     }
-    val base = toks.select(col("doc_id"),
-      size(col("toks")).cast("long").as("n_tokens"))
     val joined = flagged.foldLeft(base)((acc, f) =>
       acc.join(f, Seq("doc_id"), "left"))
       .na.fill(0L, rungs.map(w => s"dup_w$w"))

@@ -696,8 +696,13 @@ private[graft] object OracleDedup {
         "CAST(COUNT(*) AS BIGINT) AS n_copies FROM d GROUP BY h) " +
         "SELECT doc_id, h, n_copies FROM m ORDER BY doc_id"),
     // q243: duplicated-substring length ladder — per rung w, a doc
-    // flags when one of its w-windows appears in >= 2 DISTINCT docs
+    // flags when one of its w-windows appears in >= 2 DISTINCT docs.
+    // q251 (the streaming maintenance twin) shares this SQL verbatim:
+    // window sets are append-only facts and the >= 2-distinct-docs
+    // rule is order-insensitive, so any micro-batch split drains to
+    // the batch ladder
     "q243_dup_substring_ladder" -> q243Sql,
+    "q251_streaming_dup_ladder" -> q243Sql,
     // q245: the decontamination family joined into one per-source
     // table over the q136 split — exact (shared content hash), lexical
     // (>= 2 shared distinct 3-grams, the q80 rule) and near-dup (the

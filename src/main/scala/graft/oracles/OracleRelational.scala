@@ -328,6 +328,67 @@ private[graft] object OracleRelational {
     // time-ordered batching drains to the batch rollup
     "q214_attribution" -> q214Sql,
     "q215_streaming_attribution" -> q214Sql,
+    // q249: U-shaped multi-touch attribution — purchase value split
+    // over the preceding hour's clicks (1 → 100%, 2 → 50/50, 3+ →
+    // 40/40 + 20% shared by the middles); exact micro-unit longs with
+    // one shared rounding formula for the middle share
+    "q249_position_attribution" ->
+      ("WITH c AS (SELECT user_id, ts AS c_ts, event_id AS c_id " +
+        "FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts AS p_ts, event_id AS p_id, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "m AS (SELECT p.p_id, p.p_ts, p.cents, " +
+        "CAST(COUNT(c.c_id) AS BIGINT) AS m FROM p " +
+        "LEFT JOIN c ON c.user_id = p.user_id " +
+        "AND (c.c_ts < p.p_ts OR (c.c_ts = p.p_ts AND c.c_id < p.p_id)) " +
+        "AND c.c_ts >= p.p_ts - INTERVAL 3600 SECOND " +
+        "GROUP BY 1, 2, 3), " +
+        "cr AS (SELECT p_ts, m, " +
+        "CASE WHEN m = 0 THEN 0 WHEN m = 1 THEN cents * 1000000 " +
+        "WHEN m = 2 THEN cents * 500000 ELSE cents * 400000 END AS fc, " +
+        "CASE WHEN m <= 1 THEN 0 WHEN m = 2 THEN cents * 500000 " +
+        "ELSE cents * 400000 END AS lc, " +
+        "CASE WHEN m <= 2 THEN 0 ELSE (m - 2) * " +
+        "CAST(FLOOR(CAST(cents AS DOUBLE) * 200000.0 / " +
+        "CAST(m - 2 AS DOUBLE) + 0.5) AS BIGINT) END AS mc FROM m) " +
+        "SELECT CAST(CAST(p_ts AS DATE) AS VARCHAR) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_purchases, " +
+        "CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_attributed, " +
+        "CAST(SUM(fc) AS BIGINT) AS first_credit_micro, " +
+        "CAST(SUM(lc) AS BIGINT) AS last_credit_micro, " +
+        "CAST(SUM(mc) AS BIGINT) AS mid_credit_micro " +
+        "FROM cr GROUP BY 1 ORDER BY day"),
+    // q250: forward as-of — time from each click to the user's next
+    // purchase; the oracle is the classic join + argmin form, pinning
+    // the engine's reverse-window linear plan (the q221 discipline)
+    "q250_conversion_latency" ->
+      ("WITH c AS (SELECT user_id, ts AS c_ts, event_id AS c_id " +
+        "FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts AS p_ts, event_id AS p_id " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "j AS (SELECT c.user_id, c.c_ts, c.c_id, MIN(p.p_ts) AS np " +
+        "FROM c LEFT JOIN p ON p.user_id = c.user_id " +
+        "AND (p.p_ts > c.c_ts OR (p.p_ts = c.c_ts AND p.p_id > c.c_id)) " +
+        "GROUP BY 1, 2, 3), " +
+        "l AS (SELECT c_ts, CASE WHEN np IS NOT NULL THEN " +
+        "CAST(FLOOR((epoch_us(CAST(np AS TIMESTAMP)) - " +
+        "epoch_us(CAST(c_ts AS TIMESTAMP))) / 1000000.0) AS BIGINT) " +
+        "END AS lat_sec FROM j), " +
+        "f AS (SELECT CAST(c_ts AS DATE) AS day, " +
+        "CASE WHEN lat_sec IS NOT NULL AND lat_sec <= 3600 " +
+        "THEN 1 ELSE 0 END AS conv, lat_sec FROM l) " +
+        "SELECT CAST(day AS VARCHAR) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_clicks, " +
+        "CAST(SUM(conv) AS BIGINT) AS n_converted, " +
+        "CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
+        "AS conversion_rate, " +
+        "CAST(COALESCE(SUM(CASE WHEN conv = 1 THEN lat_sec END), 0) " +
+        "AS BIGINT) AS total_latency_sec, " +
+        "CAST(COALESCE(MAX(CASE WHEN conv = 1 THEN lat_sec END), 0) " +
+        "AS BIGINT) AS max_latency_sec " +
+        "FROM f GROUP BY day ORDER BY day"),
     // q189: daily top-3 leaderboard with rank movement vs the previous
     // OBSERVED day (prev_rk 0 = first appearance); ranks computed over
     // the FULL daily table before the top-k filter

@@ -1575,6 +1575,89 @@ object StreamingOps {
     QualityModel.weightsFromCounts(merged).orderBy(col("token"))
   }
 
+  /** Streaming dup-substring ladder maintenance (q251): the q243
+    * ladder kept current as documents stream in — each micro-batch
+    * appends its per-rung (w, doc_id, wh) window hashes and its
+    * (doc_id, n_tokens) lengths to compacted state; the drain feeds
+    * the drained relations into the SAME q243 assembly. Window sets
+    * are append-only facts and every doc streams once, so ANY split
+    * drains to the batch ladder — q243's SQL is the oracle verbatim
+    * (the q157/q223/q228/q229/q246 shared-SQL pattern). Unlike the
+    * min-doc keepers (q175/q235), the ≥2-distinct-docs rule is
+    * ORDER-INSENSITIVE, so this operator needs no arrival contract.
+    *
+    * 100 TB shape: per-batch work is windowing the BATCH (row-local
+    * md5s) + two narrow appends; 16-byte hashes shuffle, never text;
+    * the drain's per-rung aggregates are hash-keyed.
+    */
+  def streamingDupLadder(spark: SparkSession, dir: String,
+      rungs: Seq[Int] = Seq(10, 20, 40, 80),
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Dedup
+    val root = effectiveRoot(stateRoot, "dup_ladder")
+    val winTab = stateDir(root, "windows")
+    val lenTab = stateDir(root, "lengths")
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val reader = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = reader.parquet(sourceDir.getOrElse(dir))
+    graft.Caches.onRelease(
+      () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        StreamState.recover(ss, winTab)
+        StreamState.recover(ss, lenTab)
+        val toks = Dedup.tokenizedDocs(batch.toDF())
+        toks.select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"))
+          .write.mode("append").parquet(lenTab)
+        rungs.map(rw => Dedup.windowRows(toks, rw)
+            .select(lit(rw.toLong).as("w"), col("doc_id"), col("wh"))
+            .distinct())
+          .reduce(_.unionByName(_))
+          .write.mode("append").parquet(winTab)
+        StreamState.maybeCompact(ss, lenTab, tag = "dup_ladder/lengths")
+        StreamState.maybeCompact(ss, winTab, tag = "dup_ladder/windows")
+        toks.unpersist(false)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    val lenSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_tokens", LongType)))
+    val winSchema = StructType(Seq(
+      StructField("w", LongType),
+      StructField("doc_id", LongType),
+      StructField("wh", StringType)))
+    val lens = spark.read.schema(lenSchema).parquet(lenTab)
+      .distinct() // replays restore idempotence (doc_id streams once)
+    val wins = spark.read.schema(winSchema).parquet(winTab)
+      .distinct()
+      // barrier: all four rung reads share one state scan
+      .persist()
+    graft.Caches.onRelease(() =>
+      try wins.unpersist(false) catch { case _: Throwable => () })
+    Dedup.ladderAssemble(lens,
+      rw => wins.filter(col("w") === rw.toLong)
+        .select(col("doc_id"), col("wh")),
+      rungs)
+  }
+
   /** Compaction telemetry as a query (q242) — the q168 skew-telemetry
     * discipline applied to the state LIFECYCLE (r10 verdict #5): a
     * 24/7 operator needs to SEE state health (files collapsing, rows

@@ -318,6 +318,76 @@ class Wave7Spec extends SparkSpec {
     } finally { Caches.releaseAll(spark); rmrf(root) }
   }
 
+  test("q251: a 3-file micro-batch split drains to the exact batch " +
+    "ladder (append-only window facts, order-insensitive rule)") {
+    import graft.operators.Dedup
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(6))).toSet
+    val batch = rows(Dedup.dupSubstringLadder(spark, sfDir))
+    Caches.releaseAll(spark)
+    val docs = graft.sources.Tables.documents(spark, sfDir).collect()
+    val schema = graft.sources.Tables.documents(spark, sfDir).schema
+    val root = tmpDir("graft_ladsplit_")
+    try {
+      (0 until 3).foreach { part =>
+        val slice = docs.zipWithIndex.filter(_._2 % 3 == part).map(_._1)
+        val tmp = s"$root/_w"
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(slice.toSeq, 1), schema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val target = new java.io.File(s"$root/stream/b$part.parquet")
+        target.getParentFile.mkdirs()
+        java.nio.file.Files.move(f.toPath, target.toPath)
+        rmrf(tmp)
+      }
+      val streamed = rows(StreamingOps.streamingDupLadder(spark, sfDir,
+        sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1)))
+      assert(streamed == batch,
+        s"streamed ${streamed.size} rows != batch ${batch.size}")
+    } finally { Caches.releaseAll(spark); rmrf(root) }
+  }
+
+  test("q249 golden: hand-computed U-shaped credits for 0/1/2/3-click " +
+    "purchases") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    val root = tmpDir("graft_uattr_")
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(
+        f"2024-03-01 10:$min%02d:00")
+      // user 1: purchase with NO clicks; user 2: one click; user 3:
+      // two clicks; user 4: three clicks (mid share = 20% to one)
+      val ev = Seq(
+        (1L, ts(30), 100L, "purchase", 10.0),
+        (2L, ts(10), 200L, "click", 0.0),
+        (2L, ts(30), 201L, "purchase", 10.0),
+        (3L, ts(10), 300L, "click", 0.0),
+        (3L, ts(20), 301L, "click", 0.0),
+        (3L, ts(30), 302L, "purchase", 10.0),
+        (4L, ts(5), 400L, "click", 0.0),
+        (4L, ts(10), 401L, "click", 0.0),
+        (4L, ts(15), 402L, "click", 0.0),
+        (4L, ts(30), 403L, "purchase", 10.0))
+        .map { case (u, t, e, k, v) => (e, t, u, k, v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      ev.write.parquet(s"$root/events.parquet")
+      val got = Analytics.positionAttribution(spark, root).collect()
+      assert(got.length == 1)
+      val r = got(0)
+      // cents = 1000 per purchase; 4 purchases, 3 attributed
+      assert(r.getLong(1) == 4L && r.getLong(2) == 3L)
+      // first: 1000*1e6 (1 click) + 1000*5e5 (2) + 1000*4e5 (3)
+      assert(r.getLong(3) == 1000000000L + 500000000L + 400000000L,
+        s"first ${r.getLong(3)}")
+      assert(r.getLong(4) == 500000000L + 400000000L, s"last ${r.getLong(4)}")
+      // mid: one middle click shares the full 20% = 1000*2e5
+      assert(r.getLong(5) == 200000000L, s"mid ${r.getLong(5)}")
+    } finally { Caches.releaseAll(spark); rmrf(root) }
+  }
+
   test("q241 capped regime actually fires: hot buckets exist at cap 2 " +
     "and the capped pair set is a strict subset of q95's") {
     import graft.operators.Dedup
