@@ -559,6 +559,13 @@ object Registry {
     // facts; order-insensitive rule) — shares q243's oracle verbatim
     "q251_streaming_dup_ladder" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingDupLadder(s, d)),
+    // per-inverted-list balance of the 16-list md5-nibble quantizer —
+    // the q231 shard discipline applied to the ANN index
+    "q252_ivf_list_balance" -> ((s, d) => Similarity.ivfListBalance(s, d)),
+    // recall@10 vs brute force swept over nprobe {1,2,4} — the probe
+    // budget decision table, fully oracled on the fixed model
+    "q253_multiprobe_recall_sweep" -> ((s, d) =>
+      Similarity.multiprobeRecallSweep(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -722,6 +722,106 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** IVF inverted-list balance audit (q252): assign the whole corpus
+    * to the fixed md5-nibble coarse quantizer (q120's model at 16
+    * lists) and audit how evenly vectors land — per list, count and
+    * exact relative deviation from uniform. This is q231's
+    * shard-balance discipline applied to the ANN INDEX: a fat list is
+    * a probe that scans half the corpus, an empty list is wasted
+    * capacity — the table you read before trusting nprobe latency
+    * numbers, and the standing health check an index maintenance
+    * pipeline (q149) runs after each merge. Empty lists are emitted
+    * (the all-clear is assertable).
+    *
+    * 100 TB shape: one row-local argmax-dot kernel pass over the
+    * corpus + a #lists-row aggregate; the model is a driver literal.
+    */
+  def ivfListBalance(spark: SparkSession, dir: String,
+      nlist: Int = 16, dim: Int = 64): DataFrame = {
+    val model: Array[(Long, Array[Double])] = Array.tabulate(nlist)(c =>
+      (c.toLong, Array.tabulate(dim)(d => mdNibbleVal(s"iv|$c|$d"))))
+    val counts = Tables.parallelized(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cid", VectorExpressions.nearestCentroidNative(col("v"), model))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
+    val allLists = spark.createDataFrame(
+      (0 until nlist).map(c => Tuple1(c.toLong))).toDF("cid")
+    val tot = counts.agg(sum(col("n_vectors")).as("t"))
+    allLists.join(counts, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_vectors"))
+      .crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("t").cast("double"))
+          .as("frac"),
+        ((col("n_vectors") * lit(nlist.toLong)).cast("double") /
+          col("t").cast("double") - lit(1.0)).as("dev"))
+      .orderBy(col("cid"))
+  }
+
+  /** Multiprobe recall sweep (q253): recall@k of the oracled IVF
+    * (q120's md5-nibble model at 8 lists) against the exact
+    * brute-force top-k, swept over nprobe ∈ {1, 2, 4} — the
+    * latency/recall tradeoff curve an ANN deployment reads to pick
+    * its probe budget (q187 pins ONE configuration; this is the
+    * decision table). Every moving part is the fixed cross-engine
+    * model, so the whole sweep — ground truth, probe selection,
+    * candidate ranking, hit counting — is hash-checked by the DuckDB
+    * oracle.
+    *
+    * 100 TB shape: ground truth is nQueries broadcast rows against
+    * one corpus scan (the q34 brute-force shape, query-bounded); each
+    * probe level reuses ONE assignment pass and touches only probed
+    * cells; output is |probes| rows.
+    */
+  def multiprobeRecallSweep(spark: SparkSession, dir: String,
+      nlist: Int = 8, probesList: Seq[Int] = Seq(1, 2, 4),
+      k: Int = 10, dim: Int = 64, nQueries: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model: Array[(Long, Array[Double])] = Array.tabulate(nlist)(c =>
+      (c.toLong, Array.tabulate(dim)(d => mdNibbleVal(s"iv|$c|$d"))))
+    val emb = Tables.parallelized(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // barrier: corpus scan feeds ground truth, assignment, queries
+      .persist()
+    val assigned = emb.withColumn("cid",
+      VectorExpressions.nearestCentroidNative(col("v"), model))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val gt = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("score", dotNative(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"))
+      .persist()
+    val centDf = spark.createDataFrame(
+      model.toSeq.map { case (c, w) => (c, w.toSeq) }).toDF("c", "w")
+    val probeRanks = queries.crossJoin(broadcast(centDf))
+      .withColumn("s", dotNative(col("qv"), col("w")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("c"))))
+      .filter(col("rn") <= probesList.max)
+      .select(col("q_id"), col("qv"), col("c").as("cid"), col("rn"))
+    val nTruth = gt.count()
+    probesList.map { p =>
+      val sel = assigned
+        .join(broadcast(probeRanks.filter(col("rn") <= p)
+          .select(col("q_id"), col("qv"), col("cid"))), "cid")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score", dotNative(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(rankW))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("vec_id").as("neighbor"))
+      sel.join(gt, Seq("q_id", "neighbor"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(p.toLong).as("nprobe"), col("n_hits"),
+          lit(nTruth).as("n_truth"),
+          (col("n_hits").cast("double") / lit(nTruth.toDouble))
+            .as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+  }
+
   /** First md5 nibble of the UTF-8 key, shifted to (−8..7)/16 — the
     * deterministic codebook entry both engines derive independently.
     * private[graft]: tests rebuild models from it for independent

@@ -681,5 +681,93 @@ private[graft] object OracleAnn {
         "AS cosine " +
         "FROM w x JOIN w y ON x.label < y.label " +
         "ORDER BY label_a, label_b"),
+    // q252: the q120 md5-nibble coarse quantizer at 16 lists — per
+    // inverted list, count and exact relative deviation from uniform
+    // (the q231 shard-balance discipline applied to the ANN index);
+    // empty lists emitted
+    "q252_ivf_list_balance" ->
+      ("WITH cv AS (SELECT c, d, " +
+        "CAST(strpos('0123456789abcdef', substr(md5('iv|' || " +
+        "CAST(c AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 " +
+        "AS DOUBLE) / 16.0 AS val " +
+        "FROM range(0, 16) t1(c), range(0, 64) t2(d)), " +
+        "cent AS (SELECT c, list(val ORDER BY d) AS w FROM cv GROUP BY c), " +
+        "v AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " +
+        "s AS (SELECT vec_id, c, " +
+        "list_reduce(list_transform(list_zip(v, w), pr -> pr[1] * pr[2]), " +
+        "(acc, y) -> acc + y) AS s FROM v CROSS JOIN cent), " +
+        "a AS (SELECT vec_id, c AS cid FROM (SELECT vec_id, c, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn " +
+        "FROM s) WHERE rn = 1), " +
+        "cnt AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM a " +
+        "GROUP BY cid), " +
+        "alls AS (SELECT CAST(c AS BIGINT) AS cid FROM range(0, 16) t(c)), " +
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnt) " +
+        "SELECT alls.cid, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_vectors, " +
+        "CAST(COALESCE(cnt.n, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE) " +
+        "AS frac, " +
+        "CAST(COALESCE(cnt.n, 0) * 16 AS DOUBLE) / CAST(tot.t AS DOUBLE) " +
+        "- 1.0 AS dev " +
+        "FROM alls LEFT JOIN cnt ON cnt.cid = alls.cid CROSS JOIN tot " +
+        "ORDER BY alls.cid"),
+    // q253: recall@10 of the 8-list md5-nibble IVF vs brute force,
+    // swept over nprobe in {1, 2, 4} — the probe-budget decision table
+    "q253_multiprobe_recall_sweep" -> q253Sql,
   )
+
+  private def q253Sql: String = {
+    val probes = Seq(1, 2, 4)
+    val perP = probes.map { p =>
+      s"cand$p AS (SELECT qp.q_id, a.vec_id FROM qp " +
+        s"JOIN a ON a.cid = qp.cid WHERE qp.rn <= $p " +
+        "AND a.vec_id <> qp.q_id), " +
+        s"sc$p AS (SELECT cand$p.q_id, cand$p.vec_id, " +
+        "list_reduce(list_transform(list_zip(q.qv, v.v), " +
+        "pr -> pr[1] * pr[2]), (acc, y) -> acc + y) AS score " +
+        s"FROM cand$p JOIN q ON q.q_id = cand$p.q_id " +
+        s"JOIN v ON v.vec_id = cand$p.vec_id), " +
+        s"sel$p AS (SELECT q_id, vec_id AS neighbor FROM " +
+        "(SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id " +
+        s"ORDER BY score DESC, vec_id) AS rank FROM sc$p) " +
+        "WHERE rank <= 10), " +
+        s"hit$p AS (SELECT CAST(COUNT(*) AS BIGINT) AS h FROM sel$p " +
+        s"JOIN gt ON gt.q_id = sel$p.q_id " +
+        s"AND gt.neighbor = sel$p.neighbor)"
+    }.mkString(", ")
+    val unions = probes.map { p =>
+      s"SELECT CAST($p AS BIGINT) AS nprobe, hit$p.h AS n_hits, " +
+        "nt.t AS n_truth, CAST(hit" + p + ".h AS DOUBLE) / " +
+        s"CAST(nt.t AS DOUBLE) AS recall FROM hit$p CROSS JOIN nt"
+    }.mkString(" UNION ALL ")
+    "WITH cv AS (SELECT c, d, " +
+      "CAST(strpos('0123456789abcdef', substr(md5('iv|' || " +
+      "CAST(c AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 " +
+      "AS DOUBLE) / 16.0 AS val " +
+      "FROM range(0, 8) t1(c), range(0, 64) t2(d)), " +
+      "cent AS (SELECT c, list(val ORDER BY d) AS w FROM cv GROUP BY c), " +
+      "v AS (SELECT vec_id, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+      "FROM embeddings), " +
+      "s AS (SELECT vec_id, c, " +
+      "list_reduce(list_transform(list_zip(v, w), pr -> pr[1] * pr[2]), " +
+      "(acc, y) -> acc + y) AS s FROM v CROSS JOIN cent), " +
+      "a AS (SELECT vec_id, c AS cid FROM (SELECT vec_id, c, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn " +
+      "FROM s) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 20), " +
+      "gts AS (SELECT q.q_id, v.vec_id, " +
+      "list_reduce(list_transform(list_zip(q.qv, v.v), " +
+      "pr -> pr[1] * pr[2]), (acc, y) -> acc + y) AS score " +
+      "FROM q JOIN v ON v.vec_id <> q.q_id), " +
+      "gt AS (SELECT q_id, vec_id AS neighbor FROM " +
+      "(SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id " +
+      "ORDER BY score DESC, vec_id) AS rank FROM gts) WHERE rank <= 10), " +
+      "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM gt), " +
+      "qp AS (SELECT q_id, cid, rn FROM (SELECT q.q_id, s.c AS cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY s.s DESC, s.c) " +
+      "AS rn FROM q JOIN s ON s.vec_id = q.q_id) WHERE rn <= 4), " +
+      perP + " " + unions + " ORDER BY nprobe"
+  }
 }
