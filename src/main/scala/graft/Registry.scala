@@ -566,6 +566,13 @@ object Registry {
     // budget decision table, fully oracled on the fixed model
     "q253_multiprobe_recall_sweep" -> ((s, d) =>
       Similarity.multiprobeRecallSweep(s, d)),
+    // realized pair mass + docs touched per Jaccard threshold — the
+    // complement of q197's predicted-recall planner
+    "q254_dedup_threshold_sweep" -> ((s, d) =>
+      Dedup.dedupThresholdSweep(s, d)),
+    // the q244 drift check applied to the MODEL: snapshot-trained vs
+    // full-trained NB weights, token by token
+    "q255_nb_model_drift" -> ((s, d) => QualityModel.nbModelDrift(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

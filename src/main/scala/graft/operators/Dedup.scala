@@ -759,6 +759,32 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Dedup threshold sweep (q254): the q95 verified pair set rolled up
+    * at Jaccard thresholds {0.5, 0.6, 0.7, 0.8} — per threshold, pair
+    * count and distinct documents touched. q197 (the banding planner)
+    * predicts RECALL per config; this is the realized-pair-mass side
+    * of the same decision: how much the corpus actually loses as the
+    * near-dup bar moves — the table you read before committing a
+    * threshold to a 100 TB dedup pass. One banding+verification chain
+    * feeds all rungs (the candidates are generated once at the lowest
+    * threshold).
+    */
+  def dedupThresholdSweep(spark: SparkSession, dir: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8)): DataFrame = {
+    val pairs = minhashOracledDf(Tables.documents(spark, dir))
+      // barrier: every rung re-filters the one verified pair set
+      .persist()
+    thresholds.map { t =>
+      val f = pairs.filter(col("jaccard") >= t)
+      val affected = f.select(col("id_a").as("d"))
+        .unionByName(f.select(col("id_b").as("d"))).distinct()
+      f.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(affected.agg(count(lit(1)).as("n_docs_affected")))
+        .select(lit(t).as("threshold"), col("n_pairs"),
+          col("n_docs_affected"))
+    }.reduce(_.unionByName(_)).orderBy(col("threshold"))
+  }
+
   /** Capped-REGIME oracled minhash (q241): the exact q95 chain run
     * with a deliberately tiny hot-bucket cap so the quarantine
     * actually FIRES on the fixture corpus — r10 advice #4: the

@@ -157,6 +157,36 @@ object QualityModel {
           col("n_docs").cast("double"))
       .orderBy(col("source"))
 
+  /** NB model drift (q255): the classifier trained on the historical
+    * snapshot (doc_id % 10 ≠ 9, the q244 split) vs the full corpus,
+    * weight tables joined token by token — the q244 tokenizer-drift
+    * check applied to the MODEL: if per-token log-odds move materially
+    * between snapshots, a cached classifier artifact is stale and the
+    * q246 streaming maintenance needs to run before the next gate
+    * pass. Vocab membership flags make boundary churn visible; weights
+    * outside a vocabulary read 0 with the flag down.
+    */
+  def nbModelDrift(spark: SparkSession, dir: String,
+      batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val snap = trainDf(flagged(
+        docs.filter(col("doc_id") % batchMod =!= batchRem)))
+      .select(col("token"), col("w_micro").as("w_snap_micro"),
+        lit(1L).as("in_snap"))
+    val full = trainDf(flagged(docs))
+      .select(col("token"), col("w_micro").as("w_full_micro"),
+        lit(1L).as("in_full"))
+    snap.join(full, Seq("token"), "full_outer")
+      .na.fill(0L,
+        Seq("in_snap", "in_full", "w_snap_micro", "w_full_micro"))
+      .select(col("token"), col("in_snap"), col("in_full"),
+        col("w_snap_micro"), col("w_full_micro"),
+        when(col("in_snap") === 1L && col("in_full") === 1L,
+          col("w_full_micro") - col("w_snap_micro")).otherwise(0L)
+          .as("delta_micro"))
+      .orderBy(col("token"))
+  }
+
   /** q248: calibration table — fixed-width score bins (2e6 micro =
     * 2 nats of log-odds per bin) against the empirical quality rate.
     * A well-calibrated gate shows rate rising monotonically through

@@ -703,6 +703,9 @@ private[graft] object OracleDedup {
     // the batch ladder
     "q243_dup_substring_ladder" -> q243Sql,
     "q251_streaming_dup_ladder" -> q243Sql,
+    // q254: the q95 verified pair set rolled up at Jaccard thresholds
+    // — realized pair mass + documents touched per threshold
+    "q254_dedup_threshold_sweep" -> q254Sql,
     // q245: the decontamination family joined into one per-source
     // table over the q136 split — exact (shared content hash), lexical
     // (>= 2 shared distinct 3-grams, the q80 rule) and near-dup (the
@@ -822,6 +825,46 @@ private[graft] object OracleDedup {
       rungs.map(w => s"LEFT JOIN d$w ON f.doc_id = d$w.doc_id")
         .mkString(" ") +
       " ORDER BY f.doc_id"
+  }
+
+  /** q254: q95 chain + per-threshold rollups of the verified pairs. */
+  private def q254Sql: String = {
+    val thresholds = Seq("0.5", "0.6", "0.7", "0.8")
+    "WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+      "x -> x <> '') AS toks FROM documents), " +
+      "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+      "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
+      "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
+      "sig AS (SELECT doc_id, " +
+      "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+      "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+      "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+      "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+      "FROM e GROUP BY doc_id), " +
+      "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+      "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+      "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+      "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
+      "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+      "FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket " +
+      "WHERE l.doc_id < r.doc_id), " +
+      "v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
+      "len(a.sh) AS la, len(b.sh) AS lb " +
+      "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b), " +
+      "j AS (SELECT id_a, id_b, " +
+      "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard " +
+      "FROM v WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) " +
+      ">= 0.5) " +
+      thresholds.map(t =>
+        s"SELECT CAST($t AS DOUBLE) AS threshold, " +
+          s"(SELECT CAST(COUNT(*) AS BIGINT) FROM j WHERE jaccard >= $t) " +
+          "AS n_pairs, " +
+          "(SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT d FROM " +
+          s"(SELECT id_a AS d FROM j WHERE jaccard >= $t " +
+          s"UNION ALL SELECT id_b FROM j WHERE jaccard >= $t))) " +
+          "AS n_docs_affected").mkString(" UNION ALL ") +
+      " ORDER BY threshold"
   }
 
   /** q245: exact/lexical/near-dup leak members over the q136 split,

@@ -742,6 +742,27 @@ private[graft] object OracleText {
       "SELECT source, n_docs, tp, fp, fn, tn, " +
       "CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy " +
       "FROM cf ORDER BY source"),
+    // q255: the classifier trained on the historical snapshot vs the
+    // full corpus, weight tables full-outer-joined token by token —
+    // the q244 drift check applied to the model (two prefixed chains)
+    "q255_nb_model_drift" ->
+      ("WITH " + nbCtes("s", "WHERE doc_id % 10 <> 9") + ", " +
+        nbCtes("f", "") + ", " +
+        "sw AS (SELECT token, " + nbWeightExpr + " AS w " +
+        "FROM sv CROSS JOIN stt), " +
+        "fw AS (SELECT token, " + nbWeightExpr + " AS w " +
+        "FROM fv CROSS JOIN ftt) " +
+        "SELECT COALESCE(sw.token, fw.token) AS token, " +
+        "CAST(CASE WHEN sw.token IS NOT NULL THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS in_snap, " +
+        "CAST(CASE WHEN fw.token IS NOT NULL THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS in_full, " +
+        "CAST(COALESCE(sw.w, 0) AS BIGINT) AS w_snap_micro, " +
+        "CAST(COALESCE(fw.w, 0) AS BIGINT) AS w_full_micro, " +
+        "CAST(CASE WHEN sw.token IS NOT NULL AND fw.token IS NOT NULL " +
+        "THEN fw.w - sw.w ELSE 0 END AS BIGINT) AS delta_micro " +
+        "FROM sw FULL OUTER JOIN fw ON sw.token = fw.token " +
+        "ORDER BY token"),
     // q248: calibration — 2e6-micro (2-nat) score bins vs empirical
     // quality rate; exact-long bin arithmetic
     "q248_nb_calibration" -> (nbScoredSql +
@@ -874,22 +895,28 @@ private[graft] object OracleText {
     * (cnt DESC, token — total order, so LIMIT is deterministic), and
     * the vocab-restricted class totals.
     */
-  private def nbCommonSql: String =
-    "WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
-      "x -> x <> '') AS toks FROM documents), " +
-      "b AS (SELECT doc_id, toks, CAST(len(toks) >= 20 AND " +
+  private def nbCommonSql: String = "WITH " + nbCtes("", "") + " "
+
+  /** The q239 CTE chain with a name prefix and an optional doc filter
+    * — q255 holds TWO trainings (snapshot vs full) in one query.
+    */
+  private def nbCtes(p: String, where: String): String =
+    s"${p}t AS (SELECT doc_id, list_filter(string_split_regex(text, " +
+      "'\\s+'), x -> x <> '') AS toks FROM documents " + where + "), " +
+      s"${p}b AS (SELECT doc_id, toks, CAST(len(toks) >= 20 AND " +
       "CAST(len(list_distinct(toks)) AS DOUBLE) / " +
       "CAST(len(toks) AS DOUBLE) > 0.1 AND " +
       "CAST(len(list_filter(toks, w2 -> w2 = 'the' OR w2 = 'a')) " +
       "AS DOUBLE) / CAST(len(toks) AS DOUBLE) < 0.5 AS BIGINT) AS y " +
-      "FROM t), " +
-      "e AS (SELECT y, unnest(toks) AS token FROM b), " +
-      "c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+      s"FROM ${p}t), " +
+      s"${p}e AS (SELECT y, unnest(toks) AS token FROM ${p}b), " +
+      s"${p}c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt, " +
       "CAST(SUM(y) AS BIGINT) AS n1, CAST(SUM(1 - y) AS BIGINT) AS n0 " +
-      "FROM e GROUP BY token), " +
-      "v AS (SELECT * FROM c ORDER BY cnt DESC, token LIMIT 256), " +
-      "tt AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1, " +
-      "CAST(SUM(n0) AS BIGINT) AS t0 FROM v) "
+      s"FROM ${p}e GROUP BY token), " +
+      s"${p}v AS (SELECT * FROM ${p}c ORDER BY cnt DESC, token " +
+      "LIMIT 256), " +
+      s"${p}tt AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1, " +
+      s"CAST(SUM(n0) AS BIGINT) AS t0 FROM ${p}v)"
 
   /** Laplace log-odds in micro units — the ONE shared double formula. */
   private def nbWeightExpr: String =
