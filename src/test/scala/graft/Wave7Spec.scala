@@ -407,6 +407,67 @@ class Wave7Spec extends SparkSpec {
       s"quarantine dropped nothing (${capped.size} vs ${full.size})")
   }
 
+  test("durable stateRoot + checkpoint on the versioned-ledger family: " +
+    "a restarted streamingEwmaAnomaly folds only NEW files into the " +
+    "resumed ledger (no double count)") {
+    import spark.implicits._
+    val root = tmpDir("graft_ledger_")
+    val stateRoot = s"$root/shared_store"
+    def writeEvents(rows: Seq[(Long, String, String)], dest: String,
+        mtime: Long): Unit = {
+      val tmp = s"$root/_w"
+      rows.map { case (id, day, tpe) =>
+        (id, java.sql.Timestamp.valueOf(s"$day 12:00:00"), id % 7,
+          tpe, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val d = new java.io.File(dest)
+      d.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, d.toPath)
+      d.setLastModified(mtime)
+      rmrf(tmp)
+    }
+    try {
+      val t0 = System.currentTimeMillis() - 600000L
+      val a = Seq((1L, "2024-03-01", "view"), (2L, "2024-03-01", "view"),
+        (3L, "2024-03-02", "view"))
+      // the ts-vintage footer probe reads $dir/events.parquet
+      writeEvents(a, s"$root/events.parquet/p.parquet", t0)
+      writeEvents(a, s"$root/stream/e0.parquet", t0)
+      StreamingOps.streamingEwmaAnomaly(spark, root,
+        sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1),
+        stateRoot = Some(stateRoot)).collect()
+      Caches.releaseAll(spark)
+      def ledger: Map[(String, String), Long] = {
+        val (_, latest) = StreamingOps.latestVersion(spark,
+          s"$stateRoot/ledger")
+        spark.read.parquet(latest.get).collect()
+          .map(r => (r.getAs[String]("event_type"),
+            r.getAs[java.sql.Date]("day").toString) ->
+            r.getAs[Long]("n")).toMap
+      }
+      assert(ledger == Map(("view", "2024-03-01") -> 2L,
+        ("view", "2024-03-02") -> 1L))
+      // RESTART with new arrivals: one more view on 03-01, errors on
+      // 03-03 — the resumed run must skip e0 (checkpoint) and
+      // sum-merge only the new file into the persisted ledger
+      writeEvents(Seq((4L, "2024-03-01", "view"),
+        (5L, "2024-03-03", "error")),
+        s"$root/stream/e1.parquet", t0 + 60000L)
+      StreamingOps.streamingEwmaAnomaly(spark, root,
+        sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1),
+        stateRoot = Some(stateRoot)).collect()
+      Caches.releaseAll(spark)
+      assert(ledger == Map(("view", "2024-03-01") -> 3L,
+        ("view", "2024-03-02") -> 1L, ("error", "2024-03-03") -> 1L),
+        s"resumed ledger wrong: $ledger")
+    } finally { Caches.releaseAll(spark); rmrf(root) }
+  }
+
   test("out-of-order arrival trips the contract guard instead of " +
     "silently mis-keeping (q235 exact dedup)") {
     val root = tmpDir("graft_ooo_")
