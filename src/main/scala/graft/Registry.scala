@@ -573,6 +573,10 @@ object Registry {
     // the q244 drift check applied to the MODEL: snapshot-trained vs
     // full-trained NB weights, token by token
     "q255_nb_model_drift" -> ((s, d) => QualityModel.nbModelDrift(s, d)),
+    // q243's rung flags at source grain — which SOURCE needs the
+    // window screen vs plain near-dup
+    "q256_dup_ladder_by_source" -> ((s, d) =>
+      Dedup.dupLadderBySource(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -1849,6 +1849,28 @@ object Dedup {
       rungs)
   }
 
+  /** Per-source dup-ladder rollup (q256): q243's per-doc rung flags
+    * aggregated to SOURCE grain — per source, how many docs carry a
+    * duplicated substring at each rung. The q243 table says which
+    * window size matters; this one says for WHICH source it matters —
+    * the view that routes a source to the window screen (long shared
+    * runs) vs plain near-dup (whole-doc overlap) before any corpus-
+    * wide pass is paid.
+    */
+  def dupLadderBySource(spark: SparkSession, dir: String,
+      rungs: Seq[Int] = Seq(10, 20, 40, 80)): DataFrame = {
+    val lad = dupSubstringLadder(spark, dir, rungs)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+    val aggs = count(lit(1)).as("n_docs") +:
+      (rungs.map(w => sum(col(s"dup_w$w")).as(s"n_dup_w$w")) :+
+        sum(when(col("max_dup_w") > 0L, 1L).otherwise(0L))
+          .as("n_any_dup"))
+    lad.groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("source"))
+  }
+
   /** Shared q243/q251 assembly: per-rung ≥2-distinct-docs flags over
     * (doc_id, wh) relations, folded onto the (doc_id, n_tokens) base.
     * The streaming twin feeds the SAME relations from its drained

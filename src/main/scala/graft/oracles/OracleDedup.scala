@@ -706,6 +706,17 @@ private[graft] object OracleDedup {
     // q254: the q95 verified pair set rolled up at Jaccard thresholds
     // — realized pair mass + documents touched per threshold
     "q254_dedup_threshold_sweep" -> q254Sql,
+    // q256: q243's flags at SOURCE grain (nested-CTE wrap of q243Sql)
+    "q256_dup_ladder_by_source" ->
+      ("WITH lad AS (" + q243Sql + "), " +
+        "src AS (SELECT doc_id, source FROM documents) " +
+        "SELECT src.source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        Seq(10, 20, 40, 80).map(w =>
+          s"CAST(SUM(dup_w$w) AS BIGINT) AS n_dup_w$w").mkString(", ") +
+        ", CAST(SUM(CASE WHEN max_dup_w > 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_any_dup " +
+        "FROM lad JOIN src ON src.doc_id = lad.doc_id " +
+        "GROUP BY src.source ORDER BY src.source"),
     // q245: the decontamination family joined into one per-source
     // table over the q136 split — exact (shared content hash), lexical
     // (>= 2 shared distinct 3-grams, the q80 rule) and near-dup (the
