@@ -180,8 +180,9 @@ object Bench {
     // {"metric":"passes"} line and per-pass profile rows.
     val passes = math.max(1,
       sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(1))
-    // SPARK_GRAFT_RERUN_OUTLIERS=1: re-time any row exceeding 3× its
-    // trailing median (and 1 s absolute) once, and record BOTH numbers
+    // SPARK_GRAFT_RERUN_OUTLIERS=1: once at least 5 samples are in the
+    // trailing window, re-time any row exceeding 4× its trailing median
+    // (and 2 s absolute) once, and record BOTH numbers
     // — the r10 driver artifact carried a 35 s host-drift row that cost
     // a judge day to falsify; with this knob the harness
     // self-attributes (a reproduced retry ≈ code, a collapsed retry ≈

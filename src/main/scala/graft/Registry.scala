@@ -577,6 +577,23 @@ object Registry {
     // window screen vs plain near-dup
     "q256_dup_ladder_by_source" -> ((s, d) =>
       Dedup.dupLadderBySource(s, d)),
+    // retry-burst debounce: suppress same-(user, type) events within
+    // the gap of the previous raw event — one keyed lag, exact micros
+    "q257_event_debounce" -> ((s, d) => Analytics.eventDebounce(s, d)),
+    // per-source deciles from a deterministic 25% md5 sample vs exact
+    // — the decision table for the sampled quantile path at 100 TB
+    "q258_sampled_deciles" -> ((s, d) => TextOps.sampledDecileAudit(s, d)),
+    // cumulative distinct-user curve: exact first-seen prefix sum vs
+    // cumulatively max-merged HLL registers, per day
+    "q259_hll_user_curve" -> ((s, d) => Analytics.hllUserCurve(s, d)),
+    // log2 histogram of same-(user, type) inter-event gaps — sizes the
+    // debounce gap, session timeout and watermark delay
+    "q260_event_gap_histogram" -> ((s, d) =>
+      Analytics.eventGapHistogram(s, d)),
+    // q257 per micro-batch: last-event state re-entry + gated count
+    // ledger under the arrival contract — shares q257's oracle
+    "q261_streaming_debounce" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingDebounce(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -801,4 +801,159 @@ object Analytics {
       deg0.unpersist(blocking = false)
     }
   }
+
+  /** Event debounce (q257): suppress an event when the PREVIOUS raw
+    * event of the same (user, type) lies within `gapSeconds` — the
+    * duplicate-submission / retry-burst screen every ingest runs
+    * before counting (the reference dedups re-fetched rows by key the
+    * same way, saveToPostgres.js ON CONFLICT). The rule is against
+    * the previous RAW event, not the previous KEPT one: that keeps it
+    * a single `lag` — no iterative chain — and matches the "burst
+    * extender" semantics (a retry storm suppresses everything after
+    * its first event even when the storm outlasts one gap). Exact
+    * integer microsecond arithmetic; the kept rate is the only
+    * double, computed in one final division.
+    *
+    * 100 TB shape: ONE (user, type)-partitioned window over the event
+    * scan, then a map-side-combined count to ≤ #types rows. No joins,
+    * no state, no second pass.
+    */
+  def eventDebounce(spark: SparkSession, dir: String,
+      gapSeconds: Long = 3600L): DataFrame =
+    debounceRollup(debounceFlags(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type")), gapSeconds))
+
+  /** Per-event suppression flags — shared by the batch rollup and the
+    * streaming twin's per-batch fold (state rows enter as synthetic
+    * previous events and are filtered out by `is_state`).
+    */
+  private[graft] def debounceFlags(ev: DataFrame,
+      gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("suppressed",
+        when(col("prev_ts").isNotNull &&
+          expr("unix_micros(cast(ts as timestamp))") -
+            expr("unix_micros(cast(prev_ts as timestamp))") <=
+            gapSeconds * 1000000L, 1L).otherwise(0L))
+  }
+
+  /** Rollup half of q257 — the streaming twin sum-merges the same
+    * per-type counts through its ledger and drains through this
+    * arithmetic, so q257's SQL is its oracle verbatim.
+    */
+  private[graft] def debounceRollup(flagged: DataFrame): DataFrame =
+    flagged
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("suppressed")).as("n_suppressed"))
+      .select(col("event_type"), col("n_events"), col("n_suppressed"),
+        (col("n_events") - col("n_suppressed")).as("n_kept"),
+        ((col("n_events") - col("n_suppressed")).cast("double") /
+          col("n_events").cast("double")).as("kept_rate"))
+      .orderBy(col("event_type"))
+
+  /** Inter-event gap histogram (q260): per event_type, the log2
+    * histogram of seconds between a user's consecutive events of that
+    * type — the distribution that SIZES q257's debounce gap, q20's
+    * session timeout and a streaming watermark delay (pick the bucket
+    * where the burst mass ends). Buckets are exact integer log2 via
+    * the bit-length identity (`length(bin(g)) - 1`, the HLL rho
+    * trick): gap g seconds lands in bucket b iff 2^b <= g < 2^(b+1),
+    * with g = 0 folded into bucket 0. All columns are exact longs.
+    *
+    * 100 TB shape: the same single keyed window as q257, then a
+    * map-side-combined count to ≤ types × ~40 buckets rows.
+    */
+  def eventGapHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("gap_sec",
+        floor((expr("unix_micros(cast(ts as timestamp))") -
+          expr("unix_micros(cast(prev_ts as timestamp))")) /
+          lit(1000000L)).cast("long"))
+      .withColumn("bucket",
+        when(col("gap_sec") <= 1L, lit(0L))
+          .otherwise(length(bin(col("gap_sec"))).cast("long") - 1L))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_sec")).as("min_gap_sec"),
+        max(col("gap_sec")).as("max_gap_sec"),
+        sum(col("gap_sec")).as("sum_gap_sec"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** Cumulative distinct-user curve (q259): per day, the number of
+    * users EVER seen up to that day — exact and HLL-estimated, side by
+    * side. The exact side never rescans: each user contributes one
+    * (first_day) row and the curve is a prefix sum over the ≤ #days
+    * first-seen counts. The estimate side max-merges the per-day
+    * register tables cumulatively — the mergeability that makes the
+    * sketch the 100 TB path (yesterday's registers + today's batch,
+    * never the history). Same md5 register/rho construction and exact
+    * BIGINT harmonic sums as q222; the two curves' relative error per
+    * day is the sketch-trust audit.
+    *
+    * 100 TB shape: register state is metadata-sized (days × 256 rows);
+    * the day-expansion join and the prefix-sum window run on ≤ #days
+    * rows. The only corpus-scale work is one map-side-combined fold to
+    * (day, reg, mrho) and one (user → min day) aggregate.
+    */
+  def hllUserCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+    val hashed = ev.select(col("day"),
+      md5(col("user_id").cast("string").cast("binary")).as("h"))
+    val regs = TextOps.hllRegsKeyed(hashed, Seq("day"))
+    val days = ev.select(col("day")).distinct()
+    // cumulative register state per day: metadata-scale inequality
+    // join (days × day-registers), then max-merge
+    val cum = days.select(col("day").as("as_of"))
+      .join(regs, col("day") <= col("as_of"))
+      .groupBy(col("as_of"), col("reg"))
+      .agg(max(col("mrho")).as("mrho"))
+    val est = cum
+      .groupBy(col("as_of"))
+      .agg(count(lit(1)).as("registers_hit"),
+        sum(expr("CAST(pow(2.0, 49 - mrho) AS BIGINT)")).as("s_hit"))
+      .withColumn("s_scaled", col("s_hit") +
+        (lit(256L) - col("registers_hit")) * lit(562949953421312L))
+      .withColumn("v0", lit(256L) - col("registers_hit"))
+      .withColumn("raw_estimate",
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
+          lit(65536.0) * lit(562949953421312.0) /
+          col("s_scaled").cast("double"))
+      .withColumn("estimate",
+        when(col("v0") > 0L && col("raw_estimate") <= lit(640.0),
+          lit(256.0) * log(lit(256.0) / col("v0").cast("double")))
+          .otherwise(col("raw_estimate")))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+      .groupBy(col("first_day")).agg(count(lit(1)).as("n_new"))
+    val exact = days.select(col("day"))
+      .join(firstSeen, col("first_day") === col("day"), "left")
+      .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      // ≤ #days rows: the unpartitioned window is metadata-scale
+      .withColumn("exact_cum",
+        sum(col("n_new")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    exact.join(est, exact("day") === est("as_of"))
+      .select(col("day").cast("string").as("day"), col("n_new"),
+        col("exact_cum"), col("registers_hit"), col("s_scaled"),
+        col("raw_estimate"), col("estimate"),
+        ((col("estimate") - col("exact_cum").cast("double")) /
+          col("exact_cum").cast("double")).as("rel_err"))
+      .orderBy(col("day"))
+  }
 }

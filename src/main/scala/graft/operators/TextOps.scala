@@ -2210,10 +2210,20 @@ object TextOps {
     * row whose cumulative range covers r — byte-identical to the
     * row-rank form, same oracle.
     */
-  def sourceDeciles(spark: SparkSession, dir: String): DataFrame = {
+  def sourceDeciles(spark: SparkSession, dir: String): DataFrame =
+    decilesOf(Tables.documents(spark, dir))
+      .orderBy(col("source"), col("decile"))
+
+  /** Exact per-source deciles of `n_chars` over any doc relation —
+    * value-histogram form (group to distinct values, cumulate, select
+    * the value covering rank ceil(d·n/10)), so the heavy input never
+    * carries a per-row rank. Shared by q200 (full corpus) and q258
+    * (deterministic sample vs full, the sketch-trust audit).
+    */
+  private def decilesOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bySrc = Window.partitionBy(col("source"))
-    val hist = Tables.documents(spark, dir)
+    val hist = docs
       .groupBy(col("source"), col("n_chars"))
       .agg(count(lit(1)).as("cnt"))
     val cum = hist
@@ -2227,6 +2237,40 @@ object TextOps {
       .filter(col("r") > col("cum") - col("cnt") && col("r") <= col("cum"))
       .select(col("source"), col("decile"), col("n_chars").as("value"),
         col("n").as("n_docs"))
+  }
+
+  /** Sampled-decile audit (q258): per-source deciles from a
+    * deterministic 25% sample (docs whose first md5('sq|'||doc_id)
+    * byte < 64 — the q147 KDF discipline, so both engines draw the
+    * SAME sample) side by side with the exact deciles, plus the
+    * per-decile absolute error. This is the decision table for the
+    * 100 TB quantile path: exact deciles cost a full per-source
+    * histogram of the corpus; the sampled curve costs 1/4 of the scan
+    * and the audit says — per source, per decile — what that buys and
+    * what it loses. A source whose sample went empty keeps its exact
+    * rows with null sampled values (LEFT join): the failure mode the
+    * audit exists to surface, not drop.
+    *
+    * 100 TB shape: the sample predicate is a scan-level filter (no
+    * shuffle before it); both decile chains are value-histogram folds
+    * (distinct n_chars values, not rows); the final join is deciles ×
+    * sources — metadata-scale.
+    */
+  def sampledDecileAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sampled = docs.filter(
+      conv(substring(md5(concat(lit("sq|"),
+        col("doc_id").cast("string")).cast("binary")), 1, 2), 16, 10)
+        .cast("long") < 64L)
+    val exact = decilesOf(docs)
+    val samp = decilesOf(sampled)
+      .select(col("source"), col("decile"),
+        col("value").as("sampled_value"), col("n_docs").as("n_sampled"))
+    exact.join(samp, Seq("source", "decile"), "left")
+      .select(col("source"), col("decile"), col("value"),
+        col("n_docs"), col("sampled_value"), col("n_sampled"),
+        when(col("sampled_value").isNotNull,
+          abs(col("sampled_value") - col("value"))).as("abs_err"))
       .orderBy(col("source"), col("decile"))
   }
 

@@ -472,6 +472,35 @@ private[graft] object OracleRelational {
         "CAST(CASE WHEN src_ts IS NOT NULL " +
         "AND pts <= src_ts + INTERVAL 1 HOUR THEN 1 ELSE 0 END " +
         "AS BIGINT) AS attributed FROM j ORDER BY event_id"),
+    // q257: retry-burst debounce — suppress when the previous RAW
+    // (user, type) event lies within the gap; one lag, exact micros
+    "q257_event_debounce" -> q257Sql,
+    // q261: q257 per micro-batch (last-event state + gated count
+    // ledger) — shares q257's oracle verbatim
+    "q261_streaming_debounce" -> q257Sql,
+    // q260: log2 histogram of same-(user, type) inter-event gaps —
+    // the distribution that sizes the debounce gap / session timeout /
+    // watermark delay; exact integer log2 via the bit-length identity
+    "q260_event_gap_histogram" ->
+      ("WITH g AS (SELECT user_id, event_type, ts, " +
+        "LAG(ts) OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY ts, event_id) AS prev FROM events), " +
+        "d AS (SELECT event_type, " +
+        "CAST(FLOOR((epoch_us(CAST(ts AS TIMESTAMP)) - " +
+        "epoch_us(CAST(prev AS TIMESTAMP))) / 1000000.0) AS BIGINT) " +
+        "AS gap_sec FROM g WHERE prev IS NOT NULL), " +
+        "b AS (SELECT event_type, CASE WHEN gap_sec <= 1 THEN 0 " +
+        "ELSE CAST(length(bin(gap_sec)) - 1 AS BIGINT) END AS bucket, " +
+        "gap_sec FROM d) " +
+        "SELECT event_type, CAST(bucket AS BIGINT) AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_gaps, " +
+        "MIN(gap_sec) AS min_gap_sec, MAX(gap_sec) AS max_gap_sec, " +
+        "CAST(SUM(gap_sec) AS BIGINT) AS sum_gap_sec " +
+        "FROM b GROUP BY 1, 2 ORDER BY event_type, bucket"),
+    // q259: cumulative distinct-user curve — exact via first-seen-day
+    // prefix sum (never rescans history), estimated via cumulative
+    // max-merge of the q222 md5 registers; same BIGINT harmonic sums
+    "q259_hll_user_curve" -> q259Sql,
   )
 
   private def q201Sql: String =
@@ -530,4 +559,68 @@ private[graft] object OracleRelational {
       "CAST(n * den AS DOUBLE) / CAST(num AS DOUBLE) AS ratio, " +
       "CAST(CASE WHEN n * den > 2 * num THEN 1 ELSE 0 END AS BIGINT) " +
       "AS spike FROM c WHERE den > 0 ORDER BY event_type, day")
+
+  /** q257/q261: one lag per (user, type), exact micro gap compare. */
+  private def q257Sql: String =
+    ("WITH g AS (SELECT user_id, event_type, ts, " +
+      "LAG(ts) OVER (PARTITION BY user_id, event_type " +
+      "ORDER BY ts, event_id) AS prev FROM events), " +
+      "f AS (SELECT event_type, CASE WHEN prev IS NOT NULL AND " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) - " +
+      "epoch_us(CAST(prev AS TIMESTAMP)) <= 3600000000 " +
+      "THEN 1 ELSE 0 END AS sup FROM g) " +
+      "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+      "CAST(SUM(sup) AS BIGINT) AS n_suppressed, " +
+      "CAST(COUNT(*) - SUM(sup) AS BIGINT) AS n_kept, " +
+      "CAST(COUNT(*) - SUM(sup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
+      "AS kept_rate FROM f GROUP BY event_type ORDER BY event_type")
+
+  /** q259: the q222 register construction keyed by day over
+    * md5(user_id), cumulative max-merge across days, q222's exact
+    * BIGINT harmonic sums and estimator; exact curve via first-seen
+    * prefix sum.
+    */
+  private def q259Sql: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val vExpr = (3 to 14).zipWithIndex.map { case (i, j) =>
+      val w = BigInt(16).pow(11 - j)
+      if (w == BigInt(1)) nib(i) else s"${nib(i)} * $w"
+    }.mkString(" + ")
+    ("WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events), " +
+      "dd AS (SELECT DISTINCT day FROM ev), " +
+      "hh AS (SELECT day, md5(CAST(user_id AS VARCHAR)) AS h FROM ev), " +
+      s"x AS (SELECT day, ${nib(1)} * 16 + ${nib(2)} AS reg, " +
+      s"$vExpr AS v FROM hh), " +
+      "r AS (SELECT day, reg, MAX(CASE WHEN v = 0 THEN 49 " +
+      "ELSE 49 - length(bin(v)) END) AS mrho FROM x GROUP BY 1, 2), " +
+      "cum AS (SELECT dd.day AS as_of, r.reg, MAX(r.mrho) AS mrho " +
+      "FROM dd JOIN r ON r.day <= dd.day GROUP BY 1, 2), " +
+      "p AS (SELECT as_of, CAST(COUNT(*) AS BIGINT) AS registers_hit, " +
+      "CAST(SUM(CAST(pow(2.0, 49 - mrho) AS BIGINT)) AS BIGINT) " +
+      "AS s_hit FROM cum GROUP BY 1), " +
+      "q AS (SELECT as_of, registers_hit, " +
+      "CAST(s_hit + (256 - registers_hit) * 562949953421312 AS BIGINT) " +
+      "AS s_scaled, 256 - registers_hit AS v0 FROM p), " +
+      "q2 AS (SELECT *, (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * " +
+      "562949953421312.0 / CAST(s_scaled AS DOUBLE) AS raw_estimate " +
+      "FROM q), " +
+      "q3 AS (SELECT as_of, registers_hit, s_scaled, raw_estimate, " +
+      "CASE WHEN v0 > 0 AND raw_estimate <= 640.0 " +
+      "THEN 256.0 * ln(256.0 / CAST(v0 AS DOUBLE)) " +
+      "ELSE raw_estimate END AS estimate FROM q2), " +
+      "fs AS (SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY 1), " +
+      "nn AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) " +
+      "AS n_new FROM fs GROUP BY 1), " +
+      "e AS (SELECT dd.day, COALESCE(nn.n_new, 0) AS n_new, " +
+      "CAST(SUM(COALESCE(nn.n_new, 0)) OVER (ORDER BY dd.day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+      "AS exact_cum FROM dd LEFT JOIN nn USING (day)) " +
+      "SELECT CAST(e.day AS VARCHAR) AS day, " +
+      "CAST(e.n_new AS BIGINT) AS n_new, e.exact_cum, " +
+      "q3.registers_hit, q3.s_scaled, q3.raw_estimate, q3.estimate, " +
+      "(q3.estimate - CAST(e.exact_cum AS DOUBLE)) / " +
+      "CAST(e.exact_cum AS DOUBLE) AS rel_err " +
+      "FROM e JOIN q3 ON q3.as_of = e.day ORDER BY day")
+  }
 }

@@ -1753,7 +1753,44 @@ private[graft] object OracleText {
         "END) + (CASE WHEN split = 'train' THEN mv.m ELSE 0 END) " +
         "AS BIGINT) AS n_after " +
         "FROM bf CROSS JOIN mv ORDER BY split"),
+    // q258: per-source deciles from the deterministic 25% md5 sample
+    // vs exact — both halves are the q200 rank-selection CTE via one
+    // prefix-parameterized builder (the q244 discipline)
+    "q258_sampled_deciles" ->
+      ("WITH s0 AS (SELECT source, n_chars, doc_id FROM documents " +
+        "WHERE (strpos('0123456789abcdef', " +
+        "substr(md5('sq|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) " +
+        "* 16 + strpos('0123456789abcdef', " +
+        "substr(md5('sq|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1 " +
+        "< 64), " +
+        decileCtes("ex", "documents") + ", " +
+        decileCtes("sa", "s0") + " " +
+        "SELECT ex_d.source, ex_d.decile, ex_d.value, ex_d.n_docs, " +
+        "sa_d.value AS sampled_value, sa_d.n_docs AS n_sampled, " +
+        "CASE WHEN sa_d.value IS NOT NULL " +
+        "THEN abs(sa_d.value - ex_d.value) END AS abs_err " +
+        "FROM ex_d LEFT JOIN sa_d " +
+        "ON sa_d.source = ex_d.source AND sa_d.decile = ex_d.decile " +
+        "ORDER BY ex_d.source, ex_d.decile"),
   )
+
+  /** The q200 rank-selection decile CTEs over an arbitrary doc
+    * relation, prefix-parameterized so q258 can hold the exact and
+    * sampled chains side by side. Exposes `<p>_d(source, decile,
+    * value, n_docs)`.
+    */
+  private def decileCtes(p: String, rel: String): String =
+    (s"${p}_r AS (SELECT source, n_chars, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY source " +
+      "ORDER BY n_chars, doc_id) AS BIGINT) AS rk, " +
+      "CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n " +
+      s"FROM $rel), " +
+      s"${p}_u AS (SELECT source, n_chars, rk, n, " +
+      s"unnest(range(1, 10)) AS decile FROM ${p}_r), " +
+      s"${p}_d AS (SELECT source, CAST(decile AS BIGINT) AS decile, " +
+      "n_chars AS value, n AS n_docs " +
+      s"FROM ${p}_u WHERE rk = CAST(ceil(CAST(decile AS DOUBLE) * " +
+      "CAST(n AS DOUBLE) / 10.0) AS BIGINT))")
 
   private def q216Sql: String = {
     val steps = 8

@@ -126,9 +126,11 @@ object StreamingOps {
 
   /** Start a stream with the operator's durable checkpoint when a root
     * is configured — a restarted AvailableNow drain then resumes from
-    * the file-source offsets instead of re-reading (and re-folding)
-    * every input file, which is what makes the versioned-ledger
-    * operators' resume exact rather than double-counted.
+    * the file-source offsets instead of re-reading every input file.
+    * The checkpoint alone is NOT what makes versioned-ledger resume
+    * exact: a crash after a version commit but before the checkpoint's
+    * batch commit replays that batch, and [[VersionedLedger.isReplayed]]
+    * is the gate that keeps the replay from being folded twice.
     */
   private def startWithCheckpoint(
       w: org.apache.spark.sql.streaming.DataStreamWriter[Row],
@@ -137,32 +139,95 @@ object StreamingOps {
       .start()
 
   /** Latest existing COMMITTED version under a versioned-ledger root:
-    * (max numeric suffix, its path). Versions are written as `b<n>`; a
-    * resumed run continues the numbering past the max (counting even
-    * uncommitted dirs, so nothing is ever overwritten) but only
-    * RESUMES from a version carrying the `_SUCCESS` commit marker — a
-    * crash mid-write leaves a partial version dir, and resuming from
-    * it would silently corrupt the ledger (the versioned-ledger
-    * analogue of the compaction-swap recovery).
+    * (max numeric suffix, its path, its source micro-batch id).
+    * Versions are written as `b<n>_<batchId>` (legacy `b<n>` parses
+    * with batch id −1 = unknown); a resumed run continues the
+    * numbering past the max (counting even uncommitted dirs, so
+    * nothing is ever overwritten) but only RESUMES from a version
+    * carrying the `_SUCCESS` commit marker — a crash mid-write leaves
+    * a partial version dir, and resuming from it would silently
+    * corrupt the ledger (the versioned-ledger analogue of the
+    * compaction-swap recovery). The batch id lives in the DIRECTORY
+    * NAME so it commits atomically with the version itself: there is
+    * no sidecar-write window in which a committed version exists
+    * without its replay watermark (r11 advice #1/#3).
     */
   private[graft] def latestVersion(spark: SparkSession,
-      root: String): (Long, Option[String]) = {
+      root: String): (Long, Option[String], Long) = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) (-1L, None)
+    if (!fs.exists(p)) (-1L, None, -1L)
     else {
       val vs = fs.listStatus(p).map(_.getPath.getName)
         .filter(_.startsWith("b"))
-        .flatMap(n => n.drop(1).toLongOption.map(v => (v, n)))
-      if (vs.isEmpty) (-1L, None)
+        .flatMap { n =>
+          val body = n.drop(1)
+          val (vStr, bStr) = body.span(_ != '_')
+          vStr.toLongOption.map(v => (v, n,
+            if (bStr.isEmpty) -1L
+            else bStr.drop(1).toLongOption.getOrElse(-1L)))
+        }
+      if (vs.isEmpty) (-1L, None, -1L)
       else {
         val mx = vs.map(_._1).max
         val committed = vs
-          .filter { case (_, n) => fs.exists(
+          .filter { case (_, n, _) => fs.exists(
             new org.apache.hadoop.fs.Path(s"$root/$n/_SUCCESS")) }
-        (mx, committed.sortBy(_._1).lastOption
-          .map { case (_, n) => s"$root/$n" })
+        val best = committed.sortBy(_._1).lastOption
+        (mx, best.map { case (_, n, _) => s"$root/$n" },
+          best.map(_._3).getOrElse(-1L))
       }
+    }
+  }
+
+  /** Driver-side handle for ONE versioned-ledger state table: resume
+    * from the latest committed version, continue the numbering, and —
+    * the crash-replay contract (r11 advice #1) — SKIP the fold for a
+    * micro-batch whose id is already folded into the resumed version.
+    * The danger window: a crash lands after a version write completes
+    * (`_SUCCESS` present) but before the streaming checkpoint commits
+    * that batch; the restarted query then replays the batch against a
+    * state that already contains it, and every non-idempotent fold
+    * (sum-merge ledgers, SCD2 recompute, heavy-hitter counts) would
+    * double-count. Because each version's dir name carries its source
+    * batch id, `isReplayed` detects exactly that window and the
+    * operator reuses the committed version instead of re-folding.
+    * Without a durable root there is no checkpoint and no replay;
+    * the gate degenerates to always-fold.
+    */
+  private final class VersionedLedger(spark: SparkSession,
+      ledgerRoot: String, root: Option[String]) {
+    private val (base, committedPath, committedBatch) =
+      root.map(_ => latestVersion(spark, ledgerRoot))
+        .getOrElse((-1L, None, -1L))
+    private val ver =
+      new java.util.concurrent.atomic.AtomicLong(math.max(base, -1L))
+    private val lastBatch =
+      new java.util.concurrent.atomic.AtomicLong(committedBatch)
+    private val cur =
+      new java.util.concurrent.atomic.AtomicReference[String](
+        committedPath.getOrElse(""))
+    /** Latest committed version path at construction (resume seed). */
+    def resumedFrom: Option[String] = committedPath
+    def isEmpty: Boolean = cur.get.isEmpty
+    def path: String = cur.get
+    /** True iff `id` is already folded into the current version — the
+      * caller must skip its fold and keep the version as-is.
+      */
+    def isReplayed(id: Long): Boolean =
+      lastBatch.get >= 0L && id <= lastBatch.get
+    /** Write the next version for micro-batch `id`. */
+    def write(df: DataFrame, id: Long): Unit = {
+      val next = s"$ledgerRoot/b${ver.incrementAndGet()}_$id"
+      df.write.mode("overwrite").parquet(next)
+      cur.set(next)
+      lastBatch.set(math.max(lastBatch.get, id))
+    }
+    /** Initial (pre-stream) artifact — not tied to a source batch. */
+    def init(df: DataFrame): Unit = {
+      val next = s"$ledgerRoot/b${ver.incrementAndGet()}"
+      df.write.mode("overwrite").parquet(next)
+      cur.set(next)
     }
   }
 
@@ -183,6 +248,53 @@ object StreamingOps {
     }
   }
 
+  /** Highest micro-batch id recorded beside a durable append-state
+    * table, or None when no marker exists — the cross-restart seed for
+    * [[batchOrderGuard]]'s replay exemption (r11 advice #2): without
+    * it a restarted run treats a legitimately replayed batch as
+    * forward progress, finds its doc_ids already in the seeded state,
+    * and wedges on the arrival-contract check. Markers are empty
+    * `_batch_b<id>` files in a `<dir>_meta` SIBLING of the state table
+    * (inside the table they would be lost to the compaction swap):
+    * each write is an idempotent CREATE of a new name — no
+    * delete-then-rename window can lose the watermark — and older
+    * markers are garbage-collected best-effort after the new one
+    * exists (a failed delete leaves the max unchanged).
+    */
+  private def batchMarkerMax(spark: SparkSession,
+      stateTab: String): Option[Long] = {
+    val dir = stateTab + "_meta"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("_batch_b"))
+      .flatMap(_.drop(8).toLongOption)
+      .maxOption
+  }
+
+  /** Record that micro-batch `id` has passed the arrival guard for the
+    * state table at `dir`. Called BEFORE the batch's state append, so
+    * a crash anywhere after it leaves the replayed batch guard-exempt
+    * (the append itself is idempotent — identical rows, deduplicated
+    * by compaction and by the drain's distinct).
+    */
+  private def writeBatchMarker(spark: SparkSession, stateTab: String,
+      id: Long): Unit = {
+    val dir = stateTab + "_meta"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fs.mkdirs(p)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_batch_b$id"),
+      true).close()
+    fs.listStatus(p).map(_.getPath)
+      .filter(q => q.getName.startsWith("_batch_b") &&
+        q.getName.drop(8).toLongOption.exists(_ < id))
+      .foreach(q => try fs.delete(q, false) catch {
+        case _: java.io.IOException => ()
+      })
+  }
+
   /** Enforce the id-ordered arrival contract the min-doc streaming
     * keepers (q175 window dedup, q235 exact dedup) are documented
     * against: batches arrive in monotone doc_id order, the order the
@@ -191,22 +303,26 @@ object StreamingOps {
     * carrying an id at or below the running max would silently keep
     * both copies / pick the wrong keeper — this turns that silent
     * divergence into a loud failure (r10 advice #2). Replayed batches
-    * (same or lower batch id after a restart retry) legitimately
-    * re-carry old ids and are exempt; only FORWARD batch progress is
-    * checked. Returns the batch max so the caller can advance the
-    * running max.
+    * (same or lower batch id) legitimately re-carry old ids and are
+    * exempt; only FORWARD batch progress is checked. The exemption
+    * spans RESTARTS too (r11 advice #2): callers seed `lastBatchId`
+    * from the [[batchMarkerMax]] watermark persisted beside the
+    * durable state, so a crash-replayed batch whose doc_ids are
+    * already in the seeded state is recognized as a replay instead of
+    * wedging the resume on the very check that exists to protect it.
     */
   private def batchOrderGuard(batch: DataFrame, id: Long,
       lastBatchId: java.util.concurrent.atomic.AtomicLong,
-      seenMax: java.util.concurrent.atomic.AtomicLong): Unit = {
-    val mm = batch.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+      seenMax: java.util.concurrent.atomic.AtomicLong,
+      idCol: String = "doc_id"): Unit = {
+    val mm = batch.agg(min(col(idCol)), max(col(idCol))).collect()(0)
     if (!mm.isNullAt(0)) {
       val bmin = mm.getLong(0)
       val bmax = mm.getLong(1)
       if (id > lastBatchId.get && seenMax.get != Long.MinValue &&
         bmin <= seenMax.get)
         throw new IllegalStateException(
-          s"out-of-order arrival: batch $id carries doc_id $bmin <= " +
+          s"out-of-order arrival: batch $id carries $idCol $bmin <= " +
             s"state max ${seenMax.get}; the min-doc keeper rule requires " +
             "monotone id arrival (keyset-paginated feed)")
       if (bmax > seenMax.get) seenMax.set(bmax)
@@ -874,10 +990,14 @@ object StreamingOps {
         // arrival contract first (r10 advice): seed the running max
         // from durable state on the first batch of a resumed run, then
         // fail loudly on a non-monotone batch instead of silently
-        // mis-keeping
+        // mis-keeping; the persisted batch watermark keeps a
+        // crash-replayed batch exempt across restarts (r11 advice #2)
+        if (lastBatchId.get == Long.MinValue)
+          batchMarkerMax(ss, stateTab).foreach(lastBatchId.set)
         if (seenMax.get == Long.MinValue)
           existingStateMax(ss, stateTab, "doc_id").foreach(seenMax.set)
         batchOrderGuard(batch.toDF(), id, lastBatchId, seenMax)
+        root.foreach(_ => writeBatchMarker(ss, stateTab, id))
         val toks = Dedup.tokenizedDocs(batch)
         // barrier: batch windows feed the state append and the screen
         val bw = Dedup.windowRows(toks, w).persist()
@@ -1017,18 +1137,15 @@ object StreamingOps {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
     // driver-tracked latest state version (foreachBatch runs on the
-    // driver); replays are idempotent whichever version they observe:
-    // re-merging a batch already folded into the state is a no-op
-    // because the per-doc draw is deterministic and the merge below
-    // dedups on doc_id before the top-k. A resumed run (durable root +
-    // checkpoint) seeds from the latest persisted version and continues
-    // the version numbering past it.
-    val (v0, resumed) = root.map(_ => latestVersion(spark, versRoot))
-      .getOrElse((-1L, None))
-    var prevState: Option[String] = resumed
+    // driver); the per-doc draw is deterministic and the merge below
+    // dedups on doc_id, so even an ungated replay would be a no-op —
+    // the VersionedLedger batch-id gate still skips it (uniform with
+    // the non-idempotent ledger folds, and one fewer version write).
+    val ledger = new VersionedLedger(spark, versRoot, root)
     val w = newDocs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        if (!ledger.isReplayed(id)) {
         val ss = batch.sparkSession
         val h = conv(substring(md5(concat(lit("ws|"),
           col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
@@ -1038,12 +1155,10 @@ object StreamingOps {
           .filter(col("n_chars") > 0)
           .select(col("doc_id"), col("lang"), col("n_chars"),
             (log(u) / col("n_chars").cast("double")).as("es_key"))
-        val merged = prevState match {
-          case Some(p) => ss.read.parquet(p).unionByName(scored)
-          case None => scored
-        }
-        val out = s"$versRoot/b${v0 + 1 + id}"
-        merged
+        val merged =
+          if (ledger.isEmpty) scored
+          else ss.read.parquet(ledger.path).unionByName(scored)
+        ledger.write(merged
           // a doc appears at most once per state version: the draw is a
           // pure function of doc_id, so dropDuplicates makes even a
           // state-already-advanced replay merge idempotent (one doc can
@@ -1052,9 +1167,8 @@ object StreamingOps {
           // fixed-point-rounded selection key (the q147/q151 discipline)
           .orderBy(floor(col("es_key") * lit(1e9) + lit(0.5)).cast("long")
             .desc, col("doc_id"))
-          .limit(k)
-          .write.mode("overwrite").parquet(out)
-        prevState = Some(out)
+          .limit(k), id)
+        }
       }
       .trigger(Trigger.AvailableNow())
     val q = startWithCheckpoint(w, root)
@@ -1065,11 +1179,10 @@ object StreamingOps {
       StructField("lang", StringType),
       StructField("n_chars", LongType),
       StructField("es_key", DoubleType)))
-    val fin = prevState match {
-      case Some(p) => spark.read.parquet(p)
-      case None => spark.createDataFrame(
+    val fin =
+      if (ledger.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], stateSchema)
-    }
+      else spark.read.parquet(ledger.path)
     fin
       .withColumn("rk", row_number().over(
         Window.orderBy(floor(col("es_key") * lit(1e9) + lit(0.5))
@@ -1472,10 +1585,15 @@ object StreamingOps {
         StreamState.recover(ss, regTab)
         // arrival contract (r10 advice): the first-occurrence-wins rule
         // needs monotone id arrival; seed from durable registry state
-        // on resume, then fail loudly on a non-monotone batch
+        // on resume, then fail loudly on a non-monotone batch; the
+        // persisted batch watermark keeps a crash-replayed batch
+        // exempt across restarts (r11 advice #2)
+        if (lastBatchId.get == Long.MinValue)
+          batchMarkerMax(ss, regTab).foreach(lastBatchId.set)
         if (seenMax.get == Long.MinValue)
           existingStateMax(ss, regTab, "doc_id").foreach(seenMax.set)
         batchOrderGuard(batch.toDF(), id, lastBatchId, seenMax)
+        root.foreach(_ => writeBatchMarker(ss, regTab, id))
         val bh = batch.toDF()
           .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
           // barrier: feeds the registry append and the keeper join
@@ -1749,14 +1867,9 @@ object StreamingOps {
     val versRoot = stateDir(root, "versions")
     // resume (durable root): seed from the latest persisted version and
     // skip rebuilding the historical artifact — it is already folded in
-    val (vbase, resumed) = root.map(_ => latestVersion(spark, versRoot))
-      .getOrElse((-1L, None))
-    val current = new java.util.concurrent.atomic.AtomicReference[String](
-      resumed.getOrElse(s"$versRoot/b0"))
-    if (resumed.isEmpty)
-      vocabOf(Tables.documents(spark, dir).filter(!isBatch))
-        .write.mode("overwrite").parquet(current.get)
-    val vOffset = math.max(vbase, 0L)
+    val ledger = new VersionedLedger(spark, versRoot, root)
+    if (ledger.isEmpty)
+      ledger.init(vocabOf(Tables.documents(spark, dir).filter(!isBatch)))
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -1771,18 +1884,19 @@ object StreamingOps {
     val w = newDocs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val prev = batch.sparkSession.read.parquet(current.get)
-        val next = s"$versRoot/b${vOffset + 1 + id}"
-        prev.unionByName(vocabOf(batch))
-          .groupBy(col("token"))
-          .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
-          .write.mode("overwrite").parquet(next)
-        current.set(next)
+        // tf/df SUM-merge is not idempotent: skip a crash-replayed
+        // batch already folded into the resumed version (r11 advice #1)
+        if (!ledger.isReplayed(id)) {
+          val prev = batch.sparkSession.read.parquet(ledger.path)
+          ledger.write(prev.unionByName(vocabOf(batch))
+            .groupBy(col("token"))
+            .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df")), id)
+        }
       }
       .trigger(Trigger.AvailableNow())
     val q = startWithCheckpoint(w, root)
     q.awaitTermination()
-    spark.read.parquet(current.get)
+    spark.read.parquet(ledger.path)
       .select(col("token"), col("tf"), col("df"))
       .orderBy(col("token"))
   }
@@ -1824,11 +1938,7 @@ object StreamingOps {
     val root = effectiveRoot(stateRoot, "incremental_cc")
     val bandTab = stateDir(root, "bands")
     val labRoot = stateDir(root, "labels")
-    val (lbase, resumedLab) = root.map(_ => latestVersion(spark, labRoot))
-      .getOrElse((-1L, None))
-    val current = new java.util.concurrent.atomic.AtomicReference[String](
-      resumedLab.getOrElse(""))
-    val lOffset = math.max(lbase, -1L)
+    val ledger = new VersionedLedger(spark, labRoot, root)
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -1844,6 +1954,11 @@ object StreamingOps {
     val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        // label composition over already-composed labels is idempotent,
+        // but a replayed batch would re-APPEND its bands (duplicate
+        // state rows inflate capHotBuckets' counts) and could re-union
+        // already-labeled ids — skip the whole fold (r11 advice #1)
+        if (!ledger.isReplayed(id)) {
         val ss = batch.sparkSession
         val batchIds = batch.toDF().select(col("doc_id"))
         val bBands = Dedup.md5BandedSignatures(
@@ -1854,8 +1969,13 @@ object StreamingOps {
         StreamState.maybeCompact(ss, bandTab, tag = "incremental_cc/bands")
         // the state table is a growing self-side: cap per read, and
         // cap the batch side on its own frequencies (r9 verdict — the
-        // uncapped cross-side joins were the remaining LSH skew bomb)
-        val state = Dedup.capHotBuckets(ss.read.parquet(bandTab))
+        // uncapped cross-side joins were the remaining LSH skew bomb).
+        // distinct first: a crash between the band append and the label
+        // commit leaves this batch's bands appended twice on replay,
+        // and duplicated rows would inflate the hot-bucket counts
+        // (persisted — capHotBuckets reads its argument twice)
+        val stateBands = ss.read.parquet(bandTab).distinct().persist()
+        val state = Dedup.capHotBuckets(stateBands)
           .select(col("doc_id").as("other_id"), col("band"), col("bucket"))
         val cand = Dedup.capHotBuckets(bBands)
           .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
@@ -1867,12 +1987,12 @@ object StreamingOps {
         val pairs = Dedup.md5VerifyPairs(cand, allSh, "id_a", "id_b", 0.5)
           .select(col("id_a"), col("id_b"))
         val newLabels =
-          if (current.get.isEmpty)
+          if (ledger.isEmpty)
             Dedup.connectedComponents(
               pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
               Some(batchIds.select(col("doc_id").as("id"))))
           else {
-            val prior = ss.read.parquet(current.get)
+            val prior = ss.read.parquet(ledger.path)
             val contracted = pairs
               .join(prior.select(col("id").as("id_a"),
                 col("label").as("la")), Seq("id_a"), "left")
@@ -1891,16 +2011,16 @@ object StreamingOps {
                 .join(dm, col("doc_id") === dm("l0"))
                 .select(col("doc_id").as("id"), col("lfin").as("label")))
           }
-        val next = s"$labRoot/b${lOffset + 1 + id}"
-        newLabels.write.mode("overwrite").parquet(next)
-        current.set(next)
+        ledger.write(newLabels, id)
+        stateBands.unpersist(false)
         bBands.unpersist(false)
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
     val q = startWithCheckpoint(w, root)
     q.awaitTermination()
-    spark.read.parquet(current.get)
+    spark.read.parquet(ledger.path)
       .select(col("id").as("doc_id"), col("label").as("cluster"))
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy(col("cluster"))))
@@ -1935,11 +2055,7 @@ object StreamingOps {
     import graft.sources.Tables
     val root = effectiveRoot(stateRoot, "scd2")
     val histRoot = stateDir(root, "history")
-    val (hbase, resumedHist) = root.map(_ => latestVersion(spark, histRoot))
-      .getOrElse((-1L, None))
-    val current = new java.util.concurrent.atomic.AtomicReference[String](
-      resumedHist.getOrElse(""))
-    val hOffset = math.max(hbase, -1L)
+    val ledger = new VersionedLedger(spark, histRoot, root)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType = spark.read.parquet(s"$dir/events.parquet")
       .schema("ts").dataType
@@ -1952,6 +2068,10 @@ object StreamingOps {
     val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        // the seed∪batch recompute is not idempotent (a replayed
+        // batch's events already close the open seeds): skip a
+        // crash-replayed batch (r11 advice #1)
+        if (!ledger.isReplayed(id)) {
         val ss = batch.sparkSession
         val byUser = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))
@@ -1960,8 +2080,8 @@ object StreamingOps {
             col("event_type"))
           .withColumn("base_v", lit(null).cast("long"))
         val uni =
-          if (current.get.isEmpty) batchEv
-          else ss.read.parquet(current.get)
+          if (ledger.isEmpty) batchEv
+          else ss.read.parquet(ledger.path)
             .filter(col("valid_to_ts").isNull)
             .select(col("user_id"), col("ts"), col("event_id"),
               col("attr").as("event_type"), col("version").as("base_v"))
@@ -1979,19 +2099,18 @@ object StreamingOps {
             col("event_type").as("attr"), col("ts"), col("event_id"),
             col("valid_to_ts"))
         val artifact =
-          if (current.get.isEmpty) recomputed
-          else ss.read.parquet(current.get)
+          if (ledger.isEmpty) recomputed
+          else ss.read.parquet(ledger.path)
             .filter(col("valid_to_ts").isNotNull)
             .unionByName(recomputed)
-        val next = s"$histRoot/b${hOffset + 1 + id}"
-        artifact.write.mode("overwrite").parquet(next)
-        current.set(next)
+        ledger.write(artifact, id)
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
     val q = startWithCheckpoint(w, root)
     q.awaitTermination()
-    spark.read.parquet(current.get)
+    spark.read.parquet(ledger.path)
       .select(col("user_id"), col("version"), col("attr"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
         date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss")
@@ -2093,11 +2212,7 @@ object StreamingOps {
           .as("n_pass"))
     val root = effectiveRoot(stateRoot, "quality_gate")
     val ledgerRoot = stateDir(root, "ledger")
-    val (lbase, resumedLedger) = root.map(_ => latestVersion(spark, ledgerRoot))
-      .getOrElse((-1L, None))
-    val current = new java.util.concurrent.atomic.AtomicReference[String](
-      resumedLedger.getOrElse(""))
-    val lOffset = math.max(lbase, -1L)
+    val ledger = new VersionedLedger(spark, ledgerRoot, root)
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -2111,22 +2226,24 @@ object StreamingOps {
     val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val ss = batch.sparkSession
-        val merged =
-          if (current.get.isEmpty) screen(batch.toDF())
-          else ss.read.parquet(current.get)
-            .unionByName(screen(batch.toDF()))
-            .groupBy(col("source"))
-            .agg(sum(col("n_seen")).as("n_seen"),
-              sum(col("n_pass")).as("n_pass"))
-        val next = s"$ledgerRoot/b${lOffset + 1 + id}"
-        merged.write.mode("overwrite").parquet(next)
-        current.set(next)
+        // count SUM-merge is not idempotent: skip a crash-replayed
+        // batch already folded into the resumed version (r11 advice #1)
+        if (!ledger.isReplayed(id)) {
+          val ss = batch.sparkSession
+          val merged =
+            if (ledger.isEmpty) screen(batch.toDF())
+            else ss.read.parquet(ledger.path)
+              .unionByName(screen(batch.toDF()))
+              .groupBy(col("source"))
+              .agg(sum(col("n_seen")).as("n_seen"),
+                sum(col("n_pass")).as("n_pass"))
+          ledger.write(merged, id)
+        }
       }
       .trigger(Trigger.AvailableNow())
     val q = startWithCheckpoint(w, root)
     q.awaitTermination()
-    spark.read.parquet(current.get)
+    spark.read.parquet(ledger.path)
       .select(col("source"), col("n_seen"), col("n_pass"),
         (col("n_pass").cast("double") / col("n_seen").cast("double"))
           .as("accept_rate"))
@@ -2157,11 +2274,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
     val root = effectiveRoot(stateRoot, "ewma_anomaly")
     val ledgerRoot = stateDir(root, "ledger")
-    val (lbase, resumedLedger) = root.map(_ => latestVersion(spark, ledgerRoot))
-      .getOrElse((-1L, None))
-    val current = new java.util.concurrent.atomic.AtomicReference[String](
-      resumedLedger.getOrElse(""))
-    val lOffset = math.max(lbase, -1L)
+    val ledger = new VersionedLedger(spark, ledgerRoot, root)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType = spark.read.parquet(s"$dir/events.parquet")
       .schema("ts").dataType
@@ -2174,23 +2287,26 @@ object StreamingOps {
     val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val ss = batch.sparkSession
-        val merged =
-          if (current.get.isEmpty) daily(batch.toDF())
-          else ss.read.parquet(current.get)
-            .unionByName(daily(batch.toDF()))
-            .groupBy(col("event_type"), col("day"))
-            .agg(sum(col("n")).as("n"))
-        val next = s"$ledgerRoot/b${lOffset + 1 + id}"
-        merged.write.mode("overwrite").parquet(next)
-        current.set(next)
+        // daily-count SUM-merge is not idempotent: skip a crash-
+        // replayed batch already folded into the resumed version
+        // (r11 advice #1)
+        if (!ledger.isReplayed(id)) {
+          val ss = batch.sparkSession
+          val merged =
+            if (ledger.isEmpty) daily(batch.toDF())
+            else ss.read.parquet(ledger.path)
+              .unionByName(daily(batch.toDF()))
+              .groupBy(col("event_type"), col("day"))
+              .agg(sum(col("n")).as("n"))
+          ledger.write(merged, id)
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
     val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     graft.operators.Analytics.ewmaFromDaily(
-      spark.read.parquet(current.get))
+      spark.read.parquet(ledger.path))
   }
 
   /** Streaming last-touch attribution (q215): q214 run as a live
@@ -2217,16 +2333,12 @@ object StreamingOps {
     val root = effectiveRoot(stateRoot, "attribution")
     val clicksRoot = stateDir(root, "clicks")
     val ledgerRoot = stateDir(root, "ledger")
-    val (cbase, resumedClicks) = root.map(_ => latestVersion(spark, clicksRoot))
-      .getOrElse((-1L, None))
-    val (lbase, resumedLedger) = root.map(_ => latestVersion(spark, ledgerRoot))
-      .getOrElse((-1L, None))
-    val clickState = new java.util.concurrent.atomic.AtomicReference[String](
-      resumedClicks.getOrElse(""))
-    val ledgerState = new java.util.concurrent.atomic.AtomicReference[String](
-      resumedLedger.getOrElse(""))
-    val cOffset = math.max(cbase, -1L)
-    val lOffset = math.max(lbase, -1L)
+    // two state tables, one gate each: the daily ledger commits FIRST,
+    // the click state second, so on a crash between the two commits
+    // the replayed batch skips only the ledger fold and the click fold
+    // still sees its correct pre-batch state (r11 advice #1)
+    val clickLedger = new VersionedLedger(spark, clicksRoot, root)
+    val dailyLedger = new VersionedLedger(spark, ledgerRoot, root)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType = spark.read.parquet(s"$dir/events.parquet")
       .schema("ts").dataType
@@ -2245,8 +2357,8 @@ object StreamingOps {
         // state clicks re-enter with their ORIGINAL (ts, event_id) so
         // the window's tie-break matches the batch query
         val synth =
-          if (clickState.get.isEmpty) ev.limit(0)
-          else ss.read.parquet(clickState.get)
+          if (clickLedger.isEmpty) ev.limit(0)
+          else ss.read.parquet(clickLedger.path)
             .select(col("user_id"), col("ts"), col("event_id"),
               lit("click").as("event_type"), lit(0.0).as("value"))
         val w = Window.partitionBy(col("user_id"))
@@ -2267,38 +2379,41 @@ object StreamingOps {
             sum(col("att")).as("n_attributed"),
             sum(when(col("att") === 1L, col("cents")).otherwise(0L))
               .as("attributed_cents"))
-        val ledger =
-          if (ledgerState.get.isEmpty) batchDaily
-          else ss.read.parquet(ledgerState.get)
-            .unionByName(batchDaily)
-            .groupBy(col("day"))
-            .agg(sum(col("n_purchases")).as("n_purchases"),
-              sum(col("n_attributed")).as("n_attributed"),
-              sum(col("attributed_cents")).as("attributed_cents"))
-        val nextLedger = s"$ledgerRoot/b${lOffset + 1 + id}"
-        ledger.write.mode("overwrite").parquet(nextLedger)
-        ledgerState.set(nextLedger)
+        // daily SUM-merge is not idempotent: gate on the ledger's own
+        // replay watermark
+        if (!dailyLedger.isReplayed(id)) {
+          val merged =
+            if (dailyLedger.isEmpty) batchDaily
+            else ss.read.parquet(dailyLedger.path)
+              .unionByName(batchDaily)
+              .groupBy(col("day"))
+              .agg(sum(col("n_purchases")).as("n_purchases"),
+                sum(col("n_attributed")).as("n_attributed"),
+                sum(col("attributed_cents")).as("attributed_cents"))
+          dailyLedger.write(merged, id)
+        }
         // fold batch clicks into per-user latest-click state:
-        // lexicographic max on (ts, event_id)
-        val batchClicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts"), col("event_id"))
-        val allClicks =
-          if (clickState.get.isEmpty) batchClicks
-          else ss.read.parquet(clickState.get).unionByName(batchClicks)
-        val latest = allClicks
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("user_id"))
-              .orderBy(col("ts").desc, col("event_id").desc)))
-          .filter(col("rk") === 1).drop("rk")
-        val nextClicks = s"$clicksRoot/b${cOffset + 1 + id}"
-        latest.write.mode("overwrite").parquet(nextClicks)
-        clickState.set(nextClicks)
+        // lexicographic max on (ts, event_id) — the max-merge is
+        // idempotent, but the gate still skips the redundant version
+        if (!clickLedger.isReplayed(id)) {
+          val batchClicks = ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id"))
+          val allClicks =
+            if (clickLedger.isEmpty) batchClicks
+            else ss.read.parquet(clickLedger.path).unionByName(batchClicks)
+          val latest = allClicks
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(col("user_id"))
+                .orderBy(col("ts").desc, col("event_id").desc)))
+            .filter(col("rk") === 1).drop("rk")
+          clickLedger.write(latest, id)
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
     val q = startWithCheckpoint(w, root)
     q.awaitTermination()
-    spark.read.parquet(ledgerState.get)
+    spark.read.parquet(dailyLedger.path)
       .select(col("day").cast("string").as("day"), col("n_purchases"),
         col("n_attributed"),
         (col("n_attributed").cast("double") /
@@ -2334,21 +2449,19 @@ object StreamingOps {
     import org.apache.spark.sql.expressions.Window
     val root = effectiveRoot(stateRoot, "heavy_hitters")
     val ledgerRoot = stateDir(root, "summary")
-    val (lbase, resumedSummary) = root.map(_ => latestVersion(spark, ledgerRoot))
-      .getOrElse((-1L, None))
-    val current = new java.util.concurrent.atomic.AtomicReference[String](
-      resumedSummary.getOrElse(""))
-    val lOffset = math.max(lbase, -1L)
+    val ledger = new VersionedLedger(spark, ledgerRoot, root)
     val floorRef = new java.util.concurrent.atomic.AtomicLong(0L)
-    // the eviction floor is part of the summary's semantics — persist
-    // it beside each version (underscore-prefixed: invisible to the
-    // version's own parquet read) so a resumed run re-enters with the
-    // same overestimate bound
-    resumedSummary.foreach { v =>
-      try {
-        val r = spark.read.parquet(s"$v/_floor").collect()
-        if (r.nonEmpty) floorRef.set(r(0).getLong(0))
-      } catch { case _: Throwable => () }
+    // the eviction floor is part of the summary's semantics — it rides
+    // IN the version's own rows (a constant `floor` column), so
+    // version + floor commit atomically: no sidecar-write window can
+    // leave a committed summary whose resume silently resets the
+    // eviction floor to 0 (r11 advice #3). The read fails loudly on a
+    // floor-less version instead of swallowing the corruption. A
+    // rows-empty version can only exist before any eviction (eviction
+    // implies capacity+1 rows existed), so floor 0 is exact there.
+    ledger.resumedFrom.foreach { v =>
+      val r = spark.read.parquet(v).agg(max(col("floor"))).collect()(0)
+      if (!r.isNullAt(0)) floorRef.set(r.getLong(0))
     }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType = spark.read.parquet(s"$dir/events.parquet")
@@ -2362,15 +2475,18 @@ object StreamingOps {
     val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        // count SUM-merge is not idempotent: skip a crash-replayed
+        // batch already folded into the resumed version (r11 advice #1)
+        if (!ledger.isReplayed(id)) {
         val ss = batch.sparkSession
         val floor = floorRef.get
         val bc = batch.toDF().groupBy(col("user_id"))
           .agg(count(lit(1)).as("bn"))
         val merged =
-          (if (current.get.isEmpty)
+          (if (ledger.isEmpty)
             bc.select(col("user_id"),
               (col("bn") + lit(floor)).as("cnt"), lit(floor).as("err"))
-          else ss.read.parquet(current.get)
+          else ss.read.parquet(ledger.path)
             .join(bc, Seq("user_id"), "full_outer")
             .select(col("user_id"),
               // known key: add the batch count; new key: enter at
@@ -2385,18 +2501,14 @@ object StreamingOps {
           .agg(max(col("cnt"))).collect()(0)
         if (!evictMax.isNullAt(0))
           floorRef.set(math.max(floor, evictMax.getLong(0)))
-        val next = s"$ledgerRoot/b${lOffset + 1 + id}"
-        kept.write.mode("overwrite").parquet(next)
-        import ss.implicits._
-        Seq(floorRef.get).toDF("floor")
-          .write.mode("overwrite").parquet(s"$next/_floor")
-        current.set(next)
+        ledger.write(kept.withColumn("floor", lit(floorRef.get)), id)
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
     val q = startWithCheckpoint(w, root)
     q.awaitTermination()
-    spark.read.parquet(current.get)
+    spark.read.parquet(ledger.path)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("user_id"))).cast("long"))
@@ -2404,5 +2516,113 @@ object StreamingOps {
       .select(col("rank"), col("user_id"), col("cnt").as("n_events"),
         col("err"))
       .orderBy(col("rank"))
+  }
+
+  /** Streaming event debounce (q261): q257's retry-burst screen run as
+    * a live ingest. State is one row per (user, type) — the latest raw
+    * event's (ts, event_id), exactly what the lag rule needs at a
+    * batch boundary — injected into each batch as a synthetic previous
+    * event (the q215 state-reentry pattern) so the shared
+    * [[graft.operators.Analytics.debounceFlags]] window decides
+    * within-batch and cross-batch suppression by ONE rule. Per-type
+    * counts sum-merge through a gated versioned ledger and drain to
+    * q257's exact rollup — its SQL is the oracle verbatim for any
+    * time-ordered micro-batching. The lag rule is order-SENSITIVE, so
+    * the batchOrderGuard arrival contract (on event_id, with the
+    * persisted cross-restart watermark) protects it; the counts ledger
+    * commits BEFORE the last-event state (the q215 two-table order) so
+    * every crash point replays exactly.
+    *
+    * 100 TB shape: per-batch work is one (user, type) window over the
+    * BATCH ∪ #active-keys synthetic rows and two metadata-scale ledger
+    * writes; nothing rescans history.
+    */
+  def streamingDebounce(spark: SparkSession, dir: String,
+      gapSeconds: Long = 3600L,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    val root = effectiveRoot(stateRoot, "debounce")
+    val countsRoot = stateDir(root, "counts")
+    val lastRoot = stateDir(root, "last_event")
+    val countsLedger = new VersionedLedger(spark, countsRoot, root)
+    val lastLedger = new VersionedLedger(spark, lastRoot, root)
+    val lastBatchId = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val seenMax = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val reader = spark.readStream
+      .schema(eventsSchema(tsType))
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        // arrival contract on event_id (the lag rule is order-
+        // sensitive); watermark persisted beside the last-event ledger
+        if (lastBatchId.get == Long.MinValue)
+          batchMarkerMax(ss, lastRoot).foreach(lastBatchId.set)
+        if (seenMax.get == Long.MinValue && !lastLedger.isEmpty)
+          existingStateMax(ss, lastLedger.path, "event_id")
+            .foreach(seenMax.set)
+        batchOrderGuard(batch.toDF(), id, lastBatchId, seenMax,
+          idCol = "event_id")
+        root.foreach(_ => writeBatchMarker(ss, lastRoot, id))
+        val ev = batch.toDF()
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("is_state", lit(0))
+        val synth =
+          if (lastLedger.isEmpty) ev.limit(0)
+          else ss.read.parquet(lastLedger.path)
+            .withColumn("is_state", lit(1))
+        val flagged = graft.operators.Analytics
+          .debounceFlags(ev.unionByName(synth), gapSeconds)
+          .filter(col("is_state") === 0)
+        val bCounts = flagged
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("suppressed")).as("n_suppressed"))
+        // counts first (non-idempotent sum-merge), state second: a
+        // crash between the two commits replays into a skipped counts
+        // fold + a state fold that still sees its pre-batch image
+        if (!countsLedger.isReplayed(id)) {
+          val merged =
+            if (countsLedger.isEmpty) bCounts
+            else ss.read.parquet(countsLedger.path)
+              .unionByName(bCounts)
+              .groupBy(col("event_type"))
+              .agg(sum(col("n_events")).as("n_events"),
+                sum(col("n_suppressed")).as("n_suppressed"))
+          countsLedger.write(merged, id)
+        }
+        if (!lastLedger.isReplayed(id)) {
+          val batchLast = ev.drop("is_state")
+          val allLast =
+            if (lastLedger.isEmpty) batchLast
+            else ss.read.parquet(lastLedger.path).unionByName(batchLast)
+          val latest = allLast
+            .groupBy(col("user_id"), col("event_type"))
+            .agg(max(struct(col("ts"), col("event_id"))).as("m"))
+            .select(col("user_id"), col("event_type"),
+              col("m.ts").as("ts"), col("m.event_id").as("event_id"))
+          lastLedger.write(latest, id)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    spark.read.parquet(countsLedger.path)
+      .select(col("event_type"), col("n_events"), col("n_suppressed"),
+        (col("n_events") - col("n_suppressed")).as("n_kept"),
+        ((col("n_events") - col("n_suppressed")).cast("double") /
+          col("n_events").cast("double")).as("kept_rate"))
+      .orderBy(col("event_type"))
   }
 }

@@ -205,7 +205,7 @@ class Wave7Spec extends SparkSpec {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$root/b1/part-junk.parquet"),
         Array[Byte](1, 2, 3))
-      val (mx, resumed) = StreamingOps.latestVersion(spark, root)
+      val (mx, resumed, _) = StreamingOps.latestVersion(spark, root)
       assert(mx == 1L, "numbering must count the partial version")
       assert(resumed.contains(s"$root/b0"),
         s"resume must come from the committed version, got $resumed")
@@ -442,7 +442,7 @@ class Wave7Spec extends SparkSpec {
         stateRoot = Some(stateRoot)).collect()
       Caches.releaseAll(spark)
       def ledger: Map[(String, String), Long] = {
-        val (_, latest) = StreamingOps.latestVersion(spark,
+        val (_, latest, _) = StreamingOps.latestVersion(spark,
           s"$stateRoot/ledger")
         spark.read.parquet(latest.get).collect()
           .map(r => (r.getAs[String]("event_type"),
