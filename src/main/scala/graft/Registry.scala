@@ -594,6 +594,17 @@ object Registry {
     // ledger under the arrival contract — shares q257's oracle
     "q261_streaming_debounce" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingDebounce(s, d)),
+    // q258 swept over nested sample rates 1/4 ⊃ 1/16 ⊃ 1/64 — the
+    // per-source decision table for how cheap a quantile pass can get
+    "q264_decile_sample_sweep" -> ((s, d) =>
+      TextOps.decileSampleSweep(s, d)),
+    // per-label centroid cosine between two deterministic md5 halves
+    // — the embedding-space drift audit (q158/q244 in vector space)
+    "q265_centroid_drift" -> ((s, d) => Similarity.centroidDrift(s, d)),
+    // per from-type entropy/perplexity of q198's transition matrix —
+    // behavioral predictability, rides the same sessionization sort
+    "q266_transition_entropy" -> ((s, d) =>
+      Sessionize.transitionEntropy(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -114,7 +114,13 @@ object Sessionize {
     * exchange), and the rollup is a map-side-combined aggregate on a
     * (types × types)-bounded key space.
     */
-  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    transitionMatrix(spark, dir).orderBy(col("from_type"), col("to_type"))
+
+  /** The un-ordered q198 matrix — shared by q198's report and q266's
+    * per-row entropy rollup.
+    */
+  private def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val bySess = Window.partitionBy(col("user_id"), col("session_id"))
@@ -135,8 +141,32 @@ object Sessionize {
       .withColumn("p", col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy(col("from_type")))
           .cast("double"))
-      .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** Transition entropy (q266): per from-type, the Shannon entropy and
+    * perplexity of the next-event-type distribution — the one-number
+    * summary of q198's matrix that says how PREDICTABLE behavior is
+    * after each event kind (perplexity ≈ effective branching factor; a
+    * from-type whose perplexity ≈ 1 is a deterministic flow worth
+    * special-casing in q144's funnel, one near #types is noise). The
+    * q173 corpus-entropy discipline applied to the behavioral Markov
+    * view: p's are exact-count ratios, the entropy sum runs over a
+    * ≤ #types-sized distribution, and the checker's 9-decimal rounding
+    * absorbs fold-order drift exactly as it does for q173/q158.
+    *
+    * 100 TB shape: rides q198's single sessionization sort; the rollup
+    * collapses (types × types) rows to #types — driver-scale. No new
+    * corpus pass.
+    */
+  def transitionEntropy(spark: SparkSession, dir: String): DataFrame =
+    transitionMatrix(spark, dir)
+      .groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_total"),
+        count(lit(1)).as("n_dest"),
+        max(col("p")).as("top_p"),
+        (-sum(col("p") * log(col("p")))).as("entropy"))
+      .withColumn("perplexity", exp(col("entropy")))
+      .orderBy(col("from_type"))
 
   /** Session conversion funnel (q144): per-session ORDERED stage
     * progression view → click → purchase (each stage must occur

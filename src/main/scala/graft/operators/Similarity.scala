@@ -1054,6 +1054,63 @@ object Similarity {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** Label-centroid drift (q265): per label, the cosine between the
+    * centroids of two DETERMINISTIC halves of the corpus (first
+    * md5('cd|'||vec_id) nibble < 8 → half A, else B — the q147 KDF
+    * discipline, so both engines draw the same split). This is the
+    * embedding-space drift audit that q158 (lexical KL) and q244
+    * (vocab) run in token space: a label whose half-centroids don't
+    * agree (cosine well below its q227 cross-label cells) is a label
+    * whose embedding cloud is NOT stable under resampling — its
+    * per-label quotas, SemDeDup thresholds and q105 prototype are
+    * noise. Between two corpus SNAPSHOTS the same query is the
+    * ship/no-ship gate for reusing yesterday's centroid model.
+    * Centroids are the q104 fixed-point-exact means; dot and norms are
+    * 0.0-seeded left folds (q34 argument) — every cell hash-matches.
+    *
+    * 100 TB shape: ONE map-side-combined aggregation to labels × 2
+    * rows of long sums (the corpus never widens); the A–B pair join is
+    * #labels rows. A label with an empty half simply has no drift row
+    * (inner join) — at any real scale both halves are populated.
+    */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = emb.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    val half = when(conv(substring(md5(concat(lit("cd|"),
+      col("vec_id").cast("string")).cast("binary")), 1, 1), 16, 10)
+      .cast("long") < 8L, 0L).otherwise(1L)
+    val sums = (1 to dim).map(i =>
+      sum(floor(element_at(col("embedding"), i).cast("double") * 1e12
+        + 0.5)).as(s"s$i"))
+    val cents = emb.withColumn("half", half)
+      .groupBy(col("label"), col("half"))
+      .agg(count(lit(1)).as("n_vecs"), sums: _*)
+      .select(col("label").cast("long").as("label"), col("half"),
+        col("n_vecs"),
+        array((1 to dim).map(i =>
+          col(s"s$i").cast("double") / 1e12 / col("n_vecs")): _*)
+          .as("cent"))
+      .withColumn("norm", sqrt(aggregate(col("cent"), lit(0.0),
+        (a, x) => a + x * x)))
+      // barrier: both halves of the pair join read the centroid build
+      .persist()
+    val a = cents.filter(col("half") === 0L)
+      .select(col("label"), col("n_vecs").as("n_a"),
+        col("cent").as("ca"), col("norm").as("norm_a"))
+    val b = cents.filter(col("half") === 1L)
+      .select(col("label"), col("n_vecs").as("n_b"),
+        col("cent").as("cb"), col("norm").as("norm_b"))
+    a.join(b, Seq("label"))
+      .withColumn("dot", aggregate(
+        zip_with(col("ca"), col("cb"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v))
+      .select(col("label"), col("n_a"), col("n_b"), col("dot"),
+        col("norm_a"), col("norm_b"),
+        (col("dot") / (col("norm_a") * col("norm_b"))).as("cosine"))
+      .orderBy(col("label"))
+  }
+
   /** Exact per-label mean vectors: (label, n_vecs, cent), exact and
     * order-independent via LONG fixed-point at 10¹². Why this is exact:
     * each element is a float (24-bit mantissa) cast to double, and

@@ -2274,6 +2274,53 @@ object TextOps {
       .orderBy(col("source"), col("decile"))
   }
 
+  /** Decile sample-rate sweep (q264): q258's audit swept over nested
+    * deterministic sample rates 1/4, 1/16, 1/64 (same 'sq|' KDF,
+    * thresholds 64/16/4 over the first md5 byte — each sample is a
+    * SUBSET of the previous, the bottom-k discipline, so the sweep
+    * reads like tightening one dial). Per (source, rate): the max and
+    * mean absolute decile error, how many of the 9 deciles the sample
+    * could not estimate at all, and both population sizes. This is the
+    * 100 TB decision table in one query: pick, per source, the
+    * cheapest rate whose max_abs_err is inside tolerance — q258 told
+    * you what 1/4 buys; this says where the curve breaks.
+    *
+    * 100 TB shape: every sampled chain is a scan-level filter feeding
+    * the same value-histogram decile fold as q200 (distinct lengths,
+    * not rows); the exact chain is computed once; the join and rollup
+    * run on deciles × sources × 3 rows — metadata-scale.
+    */
+  def decileSampleSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val h = conv(substring(md5(concat(lit("sq|"),
+      col("doc_id").cast("string")).cast("binary")), 1, 2), 16, 10)
+      .cast("long")
+    val exact = decilesOf(docs)
+    val denoms = Seq(64L -> 4L, 16L -> 16L, 4L -> 64L)
+    val sweep = denoms.map { case (t, denom) =>
+      decilesOf(docs.filter(h < t))
+        .select(lit(denom).as("denom"), col("source"), col("decile"),
+          col("value").as("sampled_value"),
+          col("n_docs").as("n_sampled"))
+    }.reduce(_ unionByName _)
+    val dn = denoms.map { case (_, d) => d }
+      .map(d => lit(d)).toArray
+    val grid = exact.crossJoin(
+      spark.range(1).select(explode(array(dn: _*)).as("denom")))
+    grid.join(sweep, Seq("denom", "source", "decile"), "left")
+      .withColumn("abs_err",
+        when(col("sampled_value").isNotNull,
+          abs(col("sampled_value") - col("value"))))
+      .groupBy(col("source"), col("denom"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("n_sampled")).as("n_sampled"),
+        sum(when(col("sampled_value").isNull, 1L).otherwise(0L))
+          .as("n_missing"),
+        max(col("abs_err")).as("max_abs_err"),
+        avg(col("abs_err")).as("mean_abs_err"))
+      .orderBy(col("source"), col("denom"))
+  }
+
   /** Ranker agreement (q195): set overlap between the BM25 (q130) and
     * TF-IDF-cosine (q151) top-15 result sets for the SAME query terms —
     * the one-row eval that says whether two retrieval scorers would

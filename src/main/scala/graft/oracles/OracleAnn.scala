@@ -715,6 +715,37 @@ private[graft] object OracleAnn {
     // q253: recall@10 of the 8-list md5-nibble IVF vs brute force,
     // swept over nprobe in {1, 2, 4} — the probe-budget decision table
     "q253_multiprobe_recall_sweep" -> q253Sql,
+    // q265: per-label cosine between the centroids of the two
+    // deterministic md5('cd|') halves — the q104 fixed-point centroid
+    // CTEs keyed by (label, half), one A–B join row per label
+    "q265_centroid_drift" ->
+      ("WITH p AS (SELECT unnest(range(1, 65)) AS pos), " +
+        "hv AS (SELECT vec_id, label, embedding, " +
+        "CASE WHEN strpos('0123456789abcdef', " +
+        "substr(md5('cd|' || CAST(vec_id AS VARCHAR)), 1, 1)) - 1 < 8 " +
+        "THEN 0 ELSE 1 END AS half FROM embeddings), " +
+        "e AS (SELECT label, half, pos, " +
+        "CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS x " +
+        "FROM hv, p), " +
+        "g AS (SELECT label, half, pos, COUNT(*) AS n, " +
+        "CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / 1000000000000.0 / COUNT(*) AS m " +
+        "FROM e GROUP BY 1, 2, 3), " +
+        "a AS (SELECT label, half, MAX(n) AS n_vecs, " +
+        "list(m ORDER BY pos) AS cent FROM g GROUP BY 1, 2), " +
+        "w AS (SELECT label, half, n_vecs, cent, " +
+        "sqrt(list_reduce(list_transform(cent, x -> x * x), " +
+        "(acc, y) -> acc + y)) AS norm FROM a) " +
+        "SELECT CAST(x.label AS BIGINT) AS label, " +
+        "CAST(x.n_vecs AS BIGINT) AS n_a, " +
+        "CAST(y.n_vecs AS BIGINT) AS n_b, " +
+        "list_reduce(list_transform(list_zip(x.cent, y.cent), " +
+        "pr -> pr[1] * pr[2]), (s, v) -> s + v) AS dot, " +
+        "x.norm AS norm_a, y.norm AS norm_b, " +
+        "list_reduce(list_transform(list_zip(x.cent, y.cent), " +
+        "pr -> pr[1] * pr[2]), (s, v) -> s + v) / (x.norm * y.norm) " +
+        "AS cosine " +
+        "FROM w x JOIN w y ON x.label = y.label " +
+        "AND x.half = 0 AND y.half = 1 ORDER BY label"),
   )
 
   private def q253Sql: String = {

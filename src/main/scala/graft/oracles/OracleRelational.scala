@@ -501,6 +501,29 @@ private[graft] object OracleRelational {
     // prefix sum (never rescans history), estimated via cumulative
     // max-merge of the q222 md5 registers; same BIGINT harmonic sums
     "q259_hll_user_curve" -> q259Sql,
+    // q266: per from-type entropy/perplexity of the q198 transition
+    // matrix — the q198 CTE chain verbatim plus a #types-row rollup;
+    // the checker's 9-decimal rounding absorbs ln fold-order drift
+    // exactly as for q173/q158
+    "q266_transition_entropy" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, event_type, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g), " +
+        "tr AS (SELECT LAG(event_type) OVER " +
+        "(PARTITION BY user_id, session_id ORDER BY ts, event_id) " +
+        "AS from_type, event_type AS to_type FROM s), " +
+        "c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2), " +
+        "pr AS (SELECT from_type, to_type, n, " +
+        "CAST(n AS DOUBLE) / CAST(SUM(n) OVER " +
+        "(PARTITION BY from_type) AS DOUBLE) AS p FROM c) " +
+        "SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_total, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_dest, MAX(p) AS top_p, " +
+        "-SUM(p * ln(p)) AS entropy, exp(-SUM(p * ln(p))) AS perplexity " +
+        "FROM pr GROUP BY from_type ORDER BY from_type"),
   )
 
   private def q201Sql: String =

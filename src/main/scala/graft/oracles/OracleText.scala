@@ -1772,6 +1772,38 @@ private[graft] object OracleText {
         "FROM ex_d LEFT JOIN sa_d " +
         "ON sa_d.source = ex_d.source AND sa_d.decile = ex_d.decile " +
         "ORDER BY ex_d.source, ex_d.decile"),
+    // q264: q258 swept over nested 'sq|' sample rates 1/4, 1/16, 1/64
+    // (thresholds 64/16/4 over the first md5 byte) — four decileCtes
+    // chains, a denom grid, and a (source × rate) error rollup
+    "q264_decile_sample_sweep" ->
+      ("WITH " +
+        Seq(64 -> "a4", 16 -> "a16", 4 -> "a64").map { case (t, p) =>
+          s"s$p AS (SELECT source, n_chars, doc_id FROM documents " +
+            "WHERE (strpos('0123456789abcdef', " +
+            "substr(md5('sq|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) " +
+            "* 16 + strpos('0123456789abcdef', " +
+            "substr(md5('sq|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1 " +
+            s"< $t)"
+        }.mkString(", ") + ", " +
+        decileCtes("ex", "documents") + ", " +
+        decileCtes("a4", "sa4") + ", " +
+        decileCtes("a16", "sa16") + ", " +
+        decileCtes("a64", "sa64") + ", " +
+        "dn AS (SELECT unnest([4, 16, 64]) AS denom), " +
+        "sw AS (SELECT 4 AS denom, * FROM a4_d " +
+        "UNION ALL SELECT 16 AS denom, * FROM a16_d " +
+        "UNION ALL SELECT 64 AS denom, * FROM a64_d), " +
+        "j AS (SELECT ex_d.source, dn.denom, ex_d.decile, " +
+        "ex_d.value, ex_d.n_docs, sw.value AS sv, sw.n_docs AS ns " +
+        "FROM ex_d CROSS JOIN dn LEFT JOIN sw ON sw.denom = dn.denom " +
+        "AND sw.source = ex_d.source AND sw.decile = ex_d.decile) " +
+        "SELECT source, CAST(denom AS BIGINT) AS denom, " +
+        "MAX(n_docs) AS n_docs, MAX(ns) AS n_sampled, " +
+        "CAST(SUM(CASE WHEN sv IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_missing, " +
+        "MAX(abs(sv - value)) AS max_abs_err, " +
+        "AVG(abs(sv - value)) AS mean_abs_err " +
+        "FROM j GROUP BY 1, 2 ORDER BY source, denom"),
   )
 
   /** The q200 rank-selection decile CTEs over an arbitrary doc
