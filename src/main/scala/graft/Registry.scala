@@ -605,6 +605,19 @@ object Registry {
     // behavioral predictability, rides the same sessionization sort
     "q266_transition_entropy" -> ((s, d) =>
       Sessionize.transitionEntropy(s, d)),
+    // q260 per micro-batch: last-event anchors re-enter the lag, the
+    // histogram sum/min/max-merges through a gated ledger — shares
+    // q260's oracle
+    "q262_streaming_gap_histogram" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingGapHistogram(s, d)),
+    // q200 per micro-batch: the (source, n_chars) value histogram is
+    // the mergeable sufficient statistic — shares q200's oracle
+    "q263_streaming_deciles" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingDeciles(s, d)),
+    // q104 per micro-batch: fixed-point long element sums sum-merge —
+    // shares q104's oracle
+    "q267_streaming_label_centroids" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingLabelCentroids(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -869,15 +869,25 @@ object Analytics {
     * 100 TB shape: the same single keyed window as q257, then a
     * map-side-combined count to ≤ types × ~40 buckets rows.
     */
-  def eventGapHistogram(spark: SparkSession, dir: String): DataFrame = {
+  def eventGapHistogram(spark: SparkSession, dir: String): DataFrame =
+    gapRollup(gapBuckets(Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("is_state", lit(0))))
+      .orderBy(col("event_type"), col("bucket"))
+
+  /** Per-gap (event_type, gap_sec, bucket) rows — shared by the batch
+    * histogram and the streaming twin's per-batch fold, where the last
+    * prior event per (user, type) re-enters as a synthetic previous
+    * row (`is_state` = 1, contributing ONLY as a lag anchor) so the
+    * cross-batch gap is computed by the same lag rule.
+    */
+  private[graft] def gapBuckets(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type"))
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .filter(col("prev_ts").isNotNull)
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("is_state") === 0 && col("prev_ts").isNotNull)
       .withColumn("gap_sec",
         floor((expr("unix_micros(cast(ts as timestamp))") -
           expr("unix_micros(cast(prev_ts as timestamp))")) /
@@ -885,13 +895,19 @@ object Analytics {
       .withColumn("bucket",
         when(col("gap_sec") <= 1L, lit(0L))
           .otherwise(length(bin(col("gap_sec"))).cast("long") - 1L))
-      .groupBy(col("event_type"), col("bucket"))
+  }
+
+  /** Histogram rollup half of q260 — count/min/max/sum per (type,
+    * bucket) are all associative+commutative, so the streaming twin
+    * merges per-batch partials through its ledger with the SAME
+    * aggregate shapes and drains to q260's oracle verbatim.
+    */
+  private[graft] def gapRollup(gaps: DataFrame): DataFrame =
+    gaps.groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n_gaps"),
         min(col("gap_sec")).as("min_gap_sec"),
         max(col("gap_sec")).as("max_gap_sec"),
         sum(col("gap_sec")).as("sum_gap_sec"))
-      .orderBy(col("event_type"), col("bucket"))
-  }
 
   /** Cumulative distinct-user curve (q259): per day, the number of
     * users EVER seen up to that day — exact and HLL-estimated, side by

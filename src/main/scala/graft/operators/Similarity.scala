@@ -1009,8 +1009,13 @@ object Similarity {
     * self-join.
     */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
-    centroidVectors(spark, dir)
-      .select(col("label"), col("n_vecs"),
+    centroidReport(centroidVectors(spark, dir))
+
+  /** The q104 report shape over any (label, n_vecs, cent) relation —
+    * shared by the batch build and q267's streaming drain.
+    */
+  private[graft] def centroidReport(cent: DataFrame): DataFrame =
+    cent.select(col("label"), col("n_vecs"),
         element_at(col("cent"), 1).as("c0"),
         element_at(col("cent"), 2).as("c1"),
         element_at(col("cent"), 3).as("c2"),
@@ -1133,6 +1138,17 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     val dim = emb.select(size(col("embedding"))).head(1)
       .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus -> empty result
+    centroidFinish(centroidSumsOf(emb, dim), dim)
+  }
+
+  /** The mergeable half of the centroid build: per label, the row
+    * count and the dim fixed-point LONG element sums. Counts and sums
+    * are associative+commutative, so q267's streaming twin keeps this
+    * exact relation as ledger state and sum-merges each batch's
+    * partial — the drained centroid equals the from-scratch one for
+    * ANY micro-batching.
+    */
+  private[graft] def centroidSumsOf(emb: DataFrame, dim: Int): DataFrame = {
     // floor(x·10¹² + 0.5), not round(): Spark's Round goes through
     // BigDecimal per element (measured seconds at n×dim volume) while
     // floor is one Math.floor; x·10¹² and the +0.5 sum are both exact
@@ -1140,13 +1156,18 @@ object Similarity {
     // and land on the identical integer
     val sums = (1 to dim).map(i =>
       sum(floor(element_at(col("embedding"), i).cast("double") * 1e12
-        + 0.5)).as(s"s$i"))
+        + 0.5)).cast("long").as(s"s$i"))
     emb.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"), sums: _*)
-      .select(col("label").cast("long").as("label"), col("n_vecs"),
-        array((1 to dim).map(i =>
-          col(s"s$i").cast("double") / 1e12 / col("n_vecs")): _*).as("cent"))
   }
+
+  /** Finish sums → mean vectors: one double division chain per dim
+    * from identical integer inputs cross-engine.
+    */
+  private[graft] def centroidFinish(sums: DataFrame, dim: Int): DataFrame =
+    sums.select(col("label").cast("long").as("label"), col("n_vecs"),
+      array((1 to dim).map(i =>
+        col(s"s$i").cast("double") / 1e12 / col("n_vecs")): _*).as("cent"))
 
   /** Nearest-class-mean classifier + confusion matrix (q105): every
     * embedding scored against the broadcast label prototypes of

@@ -2220,12 +2220,20 @@ object TextOps {
     * carries a per-row rank. Shared by q200 (full corpus) and q258
     * (deterministic sample vs full, the sketch-trust audit).
     */
-  private def decilesOf(docs: DataFrame): DataFrame = {
+  private def decilesOf(docs: DataFrame): DataFrame =
+    decilesOfHist(docs
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** Decile selection over a pre-built (source, n_chars, cnt) value
+    * histogram — the histogram is the mergeable sufficient statistic
+    * (cnt sum-merges across batches), so q263's streaming twin
+    * maintains it as ledger state and drains through this exact
+    * arithmetic to q200's oracle verbatim.
+    */
+  private[graft] def decilesOfHist(hist: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bySrc = Window.partitionBy(col("source"))
-    val hist = docs
-      .groupBy(col("source"), col("n_chars"))
-      .agg(count(lit(1)).as("cnt"))
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(bySrc.orderBy(col("n_chars"))))
       .withColumn("n", sum(col("cnt")).over(bySrc))

@@ -276,21 +276,10 @@ private[graft] object OracleAnn {
     // 5^12's 28 bits = 52 <= 53, so x*1e12 is an exact double and both
     // engines floor it to the same integer); the norm's left fold
     // matches Spark's 0.0-seeded aggregate bit-for-bit (q34 argument)
-    "q104_label_centroids" ->
-      ("WITH p AS (SELECT unnest(range(1, 65)) AS pos), " +
-        "e AS (SELECT label, pos, " +
-        "CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS x " +
-        "FROM embeddings, p), " +
-        "g AS (SELECT label, pos, COUNT(*) AS n, " +
-        "CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / 1000000000000.0 / COUNT(*) AS m " +
-        "FROM e GROUP BY label, pos), " +
-        "a AS (SELECT label, MAX(n) AS n_vecs, " +
-        "list(m ORDER BY pos) AS cent FROM g GROUP BY label) " +
-        "SELECT CAST(label AS BIGINT) AS label, n_vecs, " +
-        "cent[1] AS c0, cent[2] AS c1, cent[3] AS c2, cent[4] AS c3, " +
-        "sqrt(list_reduce(list_transform(cent, x -> x * x), " +
-        "(acc, y) -> acc + y)) AS norm " +
-        "FROM a ORDER BY label"),
+    "q104_label_centroids" -> q104Sql,
+    // q267: q104 per micro-batch (gated fixed-point-sum ledger) —
+    // shares q104's oracle verbatim
+    "q267_streaming_label_centroids" -> q104Sql,
     // prototypes exact by the q104 argument; dots fold left-to-right
     // over identical doubles; argmax ties break to the lowest label in
     // both engines
@@ -747,6 +736,22 @@ private[graft] object OracleAnn {
         "FROM w x JOIN w y ON x.label = y.label " +
         "AND x.half = 0 AND y.half = 1 ORDER BY label"),
   )
+
+  private def q104Sql: String =
+    ("WITH p AS (SELECT unnest(range(1, 65)) AS pos), " +
+      "e AS (SELECT label, pos, " +
+      "CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS x " +
+      "FROM embeddings, p), " +
+      "g AS (SELECT label, pos, COUNT(*) AS n, " +
+      "CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / 1000000000000.0 / COUNT(*) AS m " +
+      "FROM e GROUP BY label, pos), " +
+      "a AS (SELECT label, MAX(n) AS n_vecs, " +
+      "list(m ORDER BY pos) AS cent FROM g GROUP BY label) " +
+      "SELECT CAST(label AS BIGINT) AS label, n_vecs, " +
+      "cent[1] AS c0, cent[2] AS c1, cent[3] AS c2, cent[4] AS c3, " +
+      "sqrt(list_reduce(list_transform(cent, x -> x * x), " +
+      "(acc, y) -> acc + y)) AS norm " +
+      "FROM a ORDER BY label")
 
   private def q253Sql: String = {
     val probes = Seq(1, 2, 4)

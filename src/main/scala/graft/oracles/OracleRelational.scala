@@ -481,22 +481,10 @@ private[graft] object OracleRelational {
     // q260: log2 histogram of same-(user, type) inter-event gaps —
     // the distribution that sizes the debounce gap / session timeout /
     // watermark delay; exact integer log2 via the bit-length identity
-    "q260_event_gap_histogram" ->
-      ("WITH g AS (SELECT user_id, event_type, ts, " +
-        "LAG(ts) OVER (PARTITION BY user_id, event_type " +
-        "ORDER BY ts, event_id) AS prev FROM events), " +
-        "d AS (SELECT event_type, " +
-        "CAST(FLOOR((epoch_us(CAST(ts AS TIMESTAMP)) - " +
-        "epoch_us(CAST(prev AS TIMESTAMP))) / 1000000.0) AS BIGINT) " +
-        "AS gap_sec FROM g WHERE prev IS NOT NULL), " +
-        "b AS (SELECT event_type, CASE WHEN gap_sec <= 1 THEN 0 " +
-        "ELSE CAST(length(bin(gap_sec)) - 1 AS BIGINT) END AS bucket, " +
-        "gap_sec FROM d) " +
-        "SELECT event_type, CAST(bucket AS BIGINT) AS bucket, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_gaps, " +
-        "MIN(gap_sec) AS min_gap_sec, MAX(gap_sec) AS max_gap_sec, " +
-        "CAST(SUM(gap_sec) AS BIGINT) AS sum_gap_sec " +
-        "FROM b GROUP BY 1, 2 ORDER BY event_type, bucket"),
+    "q260_event_gap_histogram" -> q260Sql,
+    // q262: q260 per micro-batch (last-event anchors + gated
+    // histogram ledger) — shares q260's oracle verbatim
+    "q262_streaming_gap_histogram" -> q260Sql,
     // q259: cumulative distinct-user curve — exact via first-seen-day
     // prefix sum (never rescans history), estimated via cumulative
     // max-merge of the q222 md5 registers; same BIGINT harmonic sums
@@ -584,6 +572,26 @@ private[graft] object OracleRelational {
       "AS spike FROM c WHERE den > 0 ORDER BY event_type, day")
 
   /** q257/q261: one lag per (user, type), exact micro gap compare. */
+  // q260: log2 histogram of same-(user, type) inter-event gaps —
+  // the distribution that sizes the debounce gap / session timeout /
+  // watermark delay; exact integer log2 via the bit-length identity
+  private def q260Sql: String =
+    ("WITH g AS (SELECT user_id, event_type, ts, " +
+      "LAG(ts) OVER (PARTITION BY user_id, event_type " +
+      "ORDER BY ts, event_id) AS prev FROM events), " +
+      "d AS (SELECT event_type, " +
+      "CAST(FLOOR((epoch_us(CAST(ts AS TIMESTAMP)) - " +
+      "epoch_us(CAST(prev AS TIMESTAMP))) / 1000000.0) AS BIGINT) " +
+      "AS gap_sec FROM g WHERE prev IS NOT NULL), " +
+      "b AS (SELECT event_type, CASE WHEN gap_sec <= 1 THEN 0 " +
+      "ELSE CAST(length(bin(gap_sec)) - 1 AS BIGINT) END AS bucket, " +
+      "gap_sec FROM d) " +
+      "SELECT event_type, CAST(bucket AS BIGINT) AS bucket, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_gaps, " +
+      "MIN(gap_sec) AS min_gap_sec, MAX(gap_sec) AS max_gap_sec, " +
+      "CAST(SUM(gap_sec) AS BIGINT) AS sum_gap_sec " +
+      "FROM b GROUP BY 1, 2 ORDER BY event_type, bucket")
+
   private def q257Sql: String =
     ("WITH g AS (SELECT user_id, event_type, ts, " +
       "LAG(ts) OVER (PARTITION BY user_id, event_type " +

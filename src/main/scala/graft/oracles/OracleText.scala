@@ -1416,18 +1416,10 @@ private[graft] object OracleText {
         "WHERE rk <= 10 ORDER BY source, rk"),
     // q200: exact per-source deciles — the observed value at rank
     // ceil(d·n/10); pure integer-rank selection, zero FP tolerance
-    "q200_source_deciles" ->
-      ("WITH r AS (SELECT source, n_chars, " +
-        "CAST(ROW_NUMBER() OVER (PARTITION BY source " +
-        "ORDER BY n_chars, doc_id) AS BIGINT) AS rk, " +
-        "CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n " +
-        "FROM documents), " +
-        "d AS (SELECT source, n_chars, rk, n, " +
-        "unnest(range(1, 10)) AS decile FROM r) " +
-        "SELECT source, CAST(decile AS BIGINT) AS decile, " +
-        "n_chars AS value, n AS n_docs FROM d " +
-        "WHERE rk = CAST(ceil(CAST(decile AS DOUBLE) * CAST(n AS DOUBLE) " +
-        "/ 10.0) AS BIGINT) ORDER BY source, decile"),
+    "q200_source_deciles" -> q200Sql,
+    // q263: q200 per micro-batch (gated value-histogram ledger) —
+    // shares q200's oracle verbatim
+    "q263_streaming_deciles" -> q200Sql,
     // q195: set overlap of the q130 (BM25) and q151 (TF-IDF cosine)
     // top-15 sets — both chains inlined with bm_/ti_ prefixes, each
     // spelled exactly as its own oracle entry
@@ -1805,6 +1797,19 @@ private[graft] object OracleText {
         "AVG(abs(sv - value)) AS mean_abs_err " +
         "FROM j GROUP BY 1, 2 ORDER BY source, denom"),
   )
+
+  private def q200Sql: String =
+    ("WITH r AS (SELECT source, n_chars, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY source " +
+      "ORDER BY n_chars, doc_id) AS BIGINT) AS rk, " +
+      "CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n " +
+      "FROM documents), " +
+      "d AS (SELECT source, n_chars, rk, n, " +
+      "unnest(range(1, 10)) AS decile FROM r) " +
+      "SELECT source, CAST(decile AS BIGINT) AS decile, " +
+      "n_chars AS value, n AS n_docs FROM d " +
+      "WHERE rk = CAST(ceil(CAST(decile AS DOUBLE) * CAST(n AS DOUBLE) " +
+      "/ 10.0) AS BIGINT) ORDER BY source, decile")
 
   /** The q200 rank-selection decile CTEs over an arbitrary doc
     * relation, prefix-parameterized so q258 can hold the exact and

@@ -2625,4 +2625,226 @@ object StreamingOps {
           col("n_events").cast("double")).as("kept_rate"))
       .orderBy(col("event_type"))
   }
+
+  /** Streaming inter-event gap histogram (q262): q260 per micro-batch.
+    * Cross-batch gaps need exactly ONE anchor — the last raw event per
+    * (user, type) — so that state re-enters each batch as synthetic
+    * previous rows (the q261 pattern; `is_state` rows anchor the lag
+    * but never count) and the SAME q260 bucket rule scores within- and
+    * cross-batch gaps. Count/min/max/sum per (type, bucket) are all
+    * associative+commutative, so per-batch partials sum/min/max-merge
+    * through a gated versioned ledger and the drain equals q260's
+    * batch answer for ANY micro-batching — q260's SQL is the oracle
+    * verbatim. Order-sensitive (a late event would pair against the
+    * wrong anchor): the arrival contract on event_id applies, with the
+    * persisted batch watermark keeping crash replays exempt.
+    *
+    * 100 TB shape: state is (users × types) last-event rows plus a
+    * ≤ types × ~40-bucket histogram; per-batch work is one keyed
+    * window over batch ∪ anchors and two metadata-scale merges.
+    */
+  def streamingGapHistogram(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    val root = effectiveRoot(stateRoot, "gaphist")
+    val histRoot = stateDir(root, "hist")
+    val lastRoot = stateDir(root, "last_event")
+    val histLedger = new VersionedLedger(spark, histRoot, root)
+    val lastLedger = new VersionedLedger(spark, lastRoot, root)
+    val lastBatchId = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val seenMax = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val reader = spark.readStream
+      .schema(eventsSchema(tsType))
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (lastBatchId.get == Long.MinValue)
+          batchMarkerMax(ss, lastRoot).foreach(lastBatchId.set)
+        if (seenMax.get == Long.MinValue && !lastLedger.isEmpty)
+          existingStateMax(ss, lastLedger.path, "event_id")
+            .foreach(seenMax.set)
+        batchOrderGuard(batch.toDF(), id, lastBatchId, seenMax,
+          idCol = "event_id")
+        root.foreach(_ => writeBatchMarker(ss, lastRoot, id))
+        val ev = batch.toDF()
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("is_state", lit(0))
+        val synth =
+          if (lastLedger.isEmpty) ev.limit(0)
+          else ss.read.parquet(lastLedger.path)
+            .withColumn("is_state", lit(1))
+        val bHist = graft.operators.Analytics.gapRollup(
+          graft.operators.Analytics.gapBuckets(ev.unionByName(synth)))
+        // histogram first (non-idempotent merge), anchors second: a
+        // crash between the two commits replays into a skipped
+        // histogram fold + an anchor fold off its pre-batch image
+        if (!histLedger.isReplayed(id)) {
+          val merged =
+            if (histLedger.isEmpty) bHist
+            else ss.read.parquet(histLedger.path)
+              .unionByName(bHist)
+              .groupBy(col("event_type"), col("bucket"))
+              .agg(sum(col("n_gaps")).as("n_gaps"),
+                min(col("min_gap_sec")).as("min_gap_sec"),
+                max(col("max_gap_sec")).as("max_gap_sec"),
+                sum(col("sum_gap_sec")).as("sum_gap_sec"))
+          histLedger.write(merged, id)
+        }
+        if (!lastLedger.isReplayed(id)) {
+          val batchLast = ev.drop("is_state")
+          val allLast =
+            if (lastLedger.isEmpty) batchLast
+            else ss.read.parquet(lastLedger.path).unionByName(batchLast)
+          val latest = allLast
+            .groupBy(col("user_id"), col("event_type"))
+            .agg(max(struct(col("ts"), col("event_id"))).as("m"))
+            .select(col("user_id"), col("event_type"),
+              col("m.ts").as("ts"), col("m.event_id").as("event_id"))
+          lastLedger.write(latest, id)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    spark.read.parquet(histLedger.path)
+      .select(col("event_type"), col("bucket"), col("n_gaps"),
+        col("min_gap_sec"), col("max_gap_sec"), col("sum_gap_sec"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** Streaming per-source deciles (q263): q200 per micro-batch. The
+    * (source, n_chars) VALUE HISTOGRAM is the mergeable sufficient
+    * statistic for exact rank selection — each batch's histogram
+    * sum-merges into the ledger state (gated against crash replays)
+    * and the drain walks the cumulative counts through the SAME
+    * decilesOfHist arithmetic as the batch query, so q200's SQL is
+    * the oracle verbatim for ANY micro-batching. Sum-merge is
+    * order-insensitive (the q251 rule): no arrival contract needed.
+    *
+    * 100 TB shape: state is sources × distinct-lengths rows (value
+    * domain, never corpus grain); per-batch work is one map-side-
+    * combined fold of the batch plus a metadata-scale merge. This is
+    * how a 24/7 ingest keeps EXACT corpus quantiles current without
+    * ever rescanning history — the streaming complement to q264's
+    * sampled-rate table.
+    */
+  def streamingDeciles(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    val root = effectiveRoot(stateRoot, "deciles")
+    val histRoot = stateDir(root, "hist")
+    val ledger = new VersionedLedger(spark, histRoot, root)
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val reader = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = reader.parquet(sourceDir.getOrElse(dir))
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        // cnt sum-merge is not idempotent: skip a crash-replayed batch
+        if (!ledger.isReplayed(id)) {
+          val bHist = batch.toDF()
+            .groupBy(col("source"), col("n_chars"))
+            .agg(count(lit(1)).as("cnt"))
+          val merged =
+            if (ledger.isEmpty) bHist
+            else ss.read.parquet(ledger.path)
+              .unionByName(bHist)
+              .groupBy(col("source"), col("n_chars"))
+              .agg(sum(col("cnt")).as("cnt"))
+          ledger.write(merged, id)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    graft.operators.TextOps.decilesOfHist(
+      spark.read.parquet(ledger.path))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  /** Streaming label-centroid maintenance (q267): q104 per
+    * micro-batch. The per-label fixed-point LONG element sums are the
+    * mergeable sufficient statistic for the exact centroid — each
+    * batch's (label, n_vecs, s1..s_dim) partial sum-merges into the
+    * ledger state (gated against crash replays) and the drain runs the
+    * SAME finish arithmetic as the batch build, so q104's SQL is the
+    * oracle verbatim for ANY micro-batching. Sum-merge is
+    * order-insensitive: no arrival contract needed. This is the
+    * centroid model a 24/7 embedding ingest keeps warm — q105's
+    * classifier and q227/q265's drift audits read the drained
+    * artifact instead of rescanning the corpus.
+    *
+    * 100 TB shape: state is labels × (dim+1) longs — metadata-scale;
+    * per-batch work is ONE map-side-combined aggregation of the batch
+    * (the corpus never widens into exploded rows) plus a labels-row
+    * merge.
+    */
+  def streamingLabelCentroids(spark: SparkSession, dir: String,
+      dim: Int = 64,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "embeddings.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Similarity
+    val root = effectiveRoot(stateRoot, "labcent")
+    val sumsRoot = stateDir(root, "sums")
+    val ledger = new VersionedLedger(spark, sumsRoot, root)
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val reader = spark.readStream
+      .schema(embSchema)
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = reader.parquet(sourceDir.getOrElse(dir))
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (!ledger.isReplayed(id)) {
+          val bSums = Similarity.centroidSumsOf(batch.toDF(), dim)
+          val merged =
+            if (ledger.isEmpty) bSums
+            else ss.read.parquet(ledger.path)
+              .unionByName(bSums)
+              .groupBy(col("label"))
+              .agg(sum(col("n_vecs")).as("n_vecs"),
+                (1 to dim).map(i => sum(col(s"s$i")).as(s"s$i")): _*)
+          ledger.write(merged, id)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    Similarity.centroidReport(Similarity.centroidFinish(
+      spark.read.parquet(ledger.path), dim))
+  }
 }
