@@ -618,6 +618,25 @@ object Registry {
     // shares q104's oracle
     "q267_streaming_label_centroids" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingLabelCentroids(s, d)),
+    // every 3-step session path, counted and totally ranked — the
+    // second-order q198 (q144's funnel is one row of this table)
+    "q268_event_path_trigrams" -> ((s, d) =>
+      Sessionize.eventPathTrigrams(s, d)),
+    // q198 per micro-batch: per-user last-event anchors + gated count
+    // ledger — shares q198's oracle
+    "q269_streaming_transitions" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingTransitions(s, d)),
+    // q158 per micro-batch: (source, term) counts are the mergeable
+    // sufficient statistic for KL(source‖corpus) — shares q158's oracle
+    "q270_streaming_kl_drift" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingKlDrift(s, d)),
+    // log2 histogram of events-per-session — sizes per-session state
+    "q271_session_size_histogram" -> ((s, d) =>
+      Sessionize.sessionSizeHistogram(s, d)),
+    // q257's kept rate at four candidate gaps from one window pass —
+    // the debounce-gap decision table
+    "q272_debounce_gap_sweep" -> ((s, d) =>
+      Analytics.debounceGapSweep(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

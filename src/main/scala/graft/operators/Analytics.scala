@@ -857,6 +857,46 @@ object Analytics {
           col("n_events").cast("double")).as("kept_rate"))
       .orderBy(col("event_type"))
 
+  /** Debounce gap sweep (q272): q257's kept-rate evaluated at four
+    * candidate gaps (1 min / 10 min / 1 h / 4 h) from ONE keyed window
+    * pass — the q264-style decision table for SIZING the debounce gap
+    * (read next to q260's histogram: pick the gap where kept_rate
+    * stops falling). Each gap is a conditional sum over the same lag,
+    * not a re-scan; the wide partials then stack into (type, gap)
+    * rows.
+    *
+    * 100 TB shape: one (user, type) window over the event scan, one
+    * map-side-combined aggregate to #types rows × 4 conditional sums,
+    * then a driver-scale unpivot. No joins, no row blowup.
+    */
+  def debounceGapSweep(spark: SparkSession, dir: String,
+      gaps: Seq[Long] = Seq(60L, 600L, 3600L, 14400L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = expr("unix_micros(cast(ts as timestamp))") -
+      expr("unix_micros(cast(prev_ts as timestamp))")
+    val sums = gaps.map(g =>
+      sum(when(col("prev_ts").isNotNull &&
+        gapUs <= g * 1000000L, 1L).otherwise(0L)).as(s"s$g"))
+    val wide = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sums: _*)
+    val stackArgs = gaps.map(g => s"${g}L, s$g").mkString(", ")
+    wide.select(col("event_type"), col("n_events"),
+        expr(s"stack(${gaps.length}, $stackArgs) " +
+          "as (gap_sec, n_suppressed)"))
+      .select(col("event_type"), col("gap_sec"), col("n_events"),
+        col("n_suppressed"),
+        (col("n_events") - col("n_suppressed")).as("n_kept"),
+        ((col("n_events") - col("n_suppressed")).cast("double") /
+          col("n_events").cast("double")).as("kept_rate"))
+      .orderBy(col("event_type"), col("gap_sec"))
+  }
+
   /** Inter-event gap histogram (q260): per event_type, the log2
     * histogram of seconds between a user's consecutive events of that
     * type — the distribution that SIZES q257's debounce gap, q20's

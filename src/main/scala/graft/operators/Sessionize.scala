@@ -120,7 +120,57 @@ object Sessionize {
   /** The un-ordered q198 matrix — shared by q198's report and q266's
     * per-row entropy rollup.
     */
-  private def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+  private def transitionMatrix(spark: SparkSession, dir: String): DataFrame =
+    transitionProbs(transitionPairs(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("is_state", lit(0)))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n")))
+
+  /** Per-event (from_type, to_type) transition pairs. A pair counts
+    * iff its events are CONSECUTIVE for the user and ≤ 30 min apart —
+    * exactly q198's same-session-consecutive rule (a session boundary
+    * is by definition a > 30 min gap, so "same session" for a
+    * consecutive pair ⇔ gap ≤ 30 min; no session ids needed). That
+    * single-lag form is what lets q269's streaming twin re-enter the
+    * last event per USER as a synthetic anchor (`is_state` rows anchor
+    * the lag but never count) and score cross-batch transitions with
+    * the same rule.
+    */
+  private[graft] def transitionPairs(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("is_state") === 0 && col("from_type").isNotNull &&
+        col("ts") <= col("prev_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("from_type"), col("event_type").as("to_type"))
+  }
+
+  /** Counts → row-normalized probabilities (over ≤ #types² rows) —
+    * shared by the batch matrix and q269's streaming drain.
+    */
+  private[graft] def transitionProbs(counts: DataFrame): DataFrame =
+    counts.withColumn("p", col("n").cast("double") /
+      sum(col("n")).over(Window.partitionBy(col("from_type")))
+        .cast("double"))
+
+  /** Session path trigrams (q268): every ordered 3-step event-type
+    * path inside a session, counted and ranked — the second-order
+    * extension of q198's matrix (q144's funnel is ONE row of this
+    * table; this surfaces every 3-step flow and its mass, the "what do
+    * users actually do" report behind funnel design). Rank is a total
+    * order (n desc, then path) so the table hash-matches; the full
+    * path space is ≤ #types³ rows — no LIMIT needed.
+    *
+    * 100 TB shape: the two lags are extra frames over q20's one
+    * sessionization sort (no new exchange); the rollup is map-side
+    * combined onto a ≤ types³ key space; the rank window runs on those
+    * bounded rows.
+    */
+  def eventPathTrigrams(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val bySess = Window.partitionBy(col("user_id"), col("session_id"))
@@ -134,14 +184,40 @@ object Sessionize {
       .withColumn("session_id",
         sum(col("new_session")).over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("from_type", lag(col("event_type"), 1).over(bySess))
-      .filter(col("from_type").isNotNull)
-      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .withColumn("from1", lag(col("event_type"), 1).over(bySess))
+      .withColumn("from2", lag(col("event_type"), 2).over(bySess))
+      .filter(col("from2").isNotNull)
+      .groupBy(col("from2"), col("from1"),
+        col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("p", col("n").cast("double") /
-        sum(col("n")).over(Window.partitionBy(col("from_type")))
-          .cast("double"))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("n").desc, col("from2"), col("from1"), col("to_type")))
+        .cast("long"))
+      .select(col("rank"), col("from2"), col("from1"), col("to_type"),
+        col("n"))
+      .orderBy(col("rank"))
   }
+
+  /** Session-size histogram (q271): log2 histogram of events-per-
+    * session (the q260 bit-length bucket rule over q20's sessions) —
+    * the distribution that SIZES per-session state (a mapGroupsWithState
+    * buffer, a funnel's per-session scan) and exposes the heavy-tail
+    * sessions that skew it. All columns exact longs.
+    *
+    * 100 TB shape: rides q20's sessionization sort; sessions collapse
+    * to ≤ ~40 bucket rows by one map-side-combined aggregate.
+    */
+  def sessionSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    sessions(spark, dir)
+      .withColumn("bucket",
+        when(col("n_events") <= 1L, lit(0L))
+          .otherwise(length(bin(col("n_events"))).cast("long") - 1L))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        min(col("n_events")).as("min_events"),
+        max(col("n_events")).as("max_events"))
+      .orderBy(col("bucket"))
 
   /** Transition entropy (q266): per from-type, the Shannon entropy and
     * perplexity of the next-event-type distribution — the one-number

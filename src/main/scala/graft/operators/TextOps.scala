@@ -1708,13 +1708,26 @@ object TextOps {
     * on term and a per-source sum. Counts shuffle, text never does
     * twice.
     */
-  def sourceKlDrift(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(spark, dir)
-      .select(col("source"),
+  def sourceKlDrift(spark: SparkSession, dir: String): DataFrame =
+    klFromCounts(tokenCountsOf(Tables.documents(spark, dir)))
+
+  /** The mergeable half of the KL audit: per-(source, term) exact
+    * token counts. Sum-merge is associative+commutative, so q270's
+    * streaming twin keeps this relation as ledger state and folds each
+    * batch's partial in — the drained KL equals the from-scratch one
+    * for ANY micro-batching.
+    */
+  private[graft] def tokenCountsOf(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
         explode(TextAnalytics.tokens(col("text"))).as("term"))
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-      .persist()
+
+  /** Finish counts → per-source KL(source ‖ corpus) — shared by the
+    * batch audit and q270's streaming drain.
+    */
+  private[graft] def klFromCounts(countsRaw: DataFrame): DataFrame = {
+    val counts = countsRaw.persist()
     val srcTotals = counts.groupBy(col("source"))
       .agg(sum(col("cnt")).as("s_total"))
     val corpus = counts.groupBy(col("term"))

@@ -119,22 +119,10 @@ private[graft] object OracleRelational {
         "ORDER BY p.event_id"),
     // q198: first-order Markov transition matrix over q20's sessions —
     // consecutive event-type pairs within a session, row-normalized
-    "q198_event_transitions" ->
-      ("WITH g AS (SELECT user_id, ts, event_id, event_type, " +
-        "CASE WHEN LAG(ts) OVER w IS NULL OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
-        "THEN 1 ELSE 0 END AS new_session FROM events " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
-        "s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g), " +
-        "tr AS (SELECT LAG(event_type) OVER " +
-        "(PARTITION BY user_id, session_id ORDER BY ts, event_id) " +
-        "AS from_type, event_type AS to_type FROM s), " +
-        "c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n " +
-        "FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2) " +
-        "SELECT from_type, to_type, n, " +
-        "CAST(n AS DOUBLE) / CAST(SUM(n) OVER " +
-        "(PARTITION BY from_type) AS DOUBLE) AS p " +
-        "FROM c ORDER BY from_type, to_type"),
+    "q198_event_transitions" -> q198Sql,
+    // q269: q198 per micro-batch (per-user last-event anchors + gated
+    // count ledger) — shares q198's oracle verbatim
+    "q269_streaming_transitions" -> q198Sql,
     "q21_asof_join" ->
       ("WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey " +
         "FROM orders GROUP BY o_custkey, o_orderdate) " +
@@ -489,6 +477,66 @@ private[graft] object OracleRelational {
     // prefix sum (never rescans history), estimated via cumulative
     // max-merge of the q222 md5 registers; same BIGINT harmonic sums
     "q259_hll_user_curve" -> q259Sql,
+    // q268: 3-step session paths, counted and totally ranked — q198's
+    // session CTEs with a second LAG; rank ties break on the path
+    "q268_event_path_trigrams" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, event_type, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g), " +
+        "tr AS (SELECT LAG(event_type, 2) OVER ws AS from2, " +
+        "LAG(event_type, 1) OVER ws AS from1, event_type AS to_type " +
+        "FROM s WINDOW ws AS " +
+        "(PARTITION BY user_id, session_id ORDER BY ts, event_id)), " +
+        "c AS (SELECT from2, from1, to_type, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM tr " +
+        "WHERE from2 IS NOT NULL GROUP BY 1, 2, 3) " +
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, from2, " +
+        "from1, to_type) AS BIGINT) AS rank, " +
+        "from2, from1, to_type, n FROM c ORDER BY rank"),
+    // q271: log2 histogram of events-per-session over q20's sessions
+    // — the bit-length bucket rule on the session grain
+    "q271_session_size_histogram" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g), " +
+        "z AS (SELECT user_id, session_id, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events FROM s GROUP BY 1, 2), " +
+        "b AS (SELECT CASE WHEN n_events <= 1 THEN 0 " +
+        "ELSE CAST(length(bin(n_events)) - 1 AS BIGINT) END AS bucket, " +
+        "n_events FROM z) " +
+        "SELECT CAST(bucket AS BIGINT) AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_sessions, " +
+        "CAST(SUM(n_events) AS BIGINT) AS n_events, " +
+        "MIN(n_events) AS min_events, MAX(n_events) AS max_events " +
+        "FROM b GROUP BY 1 ORDER BY bucket"),
+    // q272: q257's kept rate at four candidate gaps from one lag —
+    // the oracle evaluates the grid via a cross join; the engine uses
+    // conditional sums + stack (same cells)
+    "q272_debounce_gap_sweep" ->
+      ("WITH l AS (SELECT event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) - " +
+        "epoch_us(CAST(LAG(ts) OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY ts, event_id) AS TIMESTAMP)) AS gap_us FROM events), " +
+        "gr AS (SELECT unnest([60, 600, 3600, 14400]) AS gap_sec) " +
+        "SELECT event_type, CAST(gap_sec AS BIGINT) AS gap_sec, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(SUM(CASE WHEN gap_us IS NOT NULL AND " +
+        "gap_us <= CAST(gap_sec AS BIGINT) * 1000000 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_suppressed, " +
+        "CAST(COUNT(*) - SUM(CASE WHEN gap_us IS NOT NULL AND " +
+        "gap_us <= CAST(gap_sec AS BIGINT) * 1000000 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_kept, " +
+        "CAST(COUNT(*) - SUM(CASE WHEN gap_us IS NOT NULL AND " +
+        "gap_us <= CAST(gap_sec AS BIGINT) * 1000000 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(COUNT(*) AS DOUBLE) AS kept_rate " +
+        "FROM l CROSS JOIN gr GROUP BY 1, 2 " +
+        "ORDER BY event_type, gap_sec"),
     // q266: per from-type entropy/perplexity of the q198 transition
     // matrix — the q198 CTE chain verbatim plus a #types-row rollup;
     // the checker's 9-decimal rounding absorbs ln fold-order drift
@@ -572,6 +620,23 @@ private[graft] object OracleRelational {
       "AS spike FROM c WHERE den > 0 ORDER BY event_type, day")
 
   /** q257/q261: one lag per (user, type), exact micro gap compare. */
+  private def q198Sql: String =
+    ("WITH g AS (SELECT user_id, ts, event_id, event_type, " +
+      "CASE WHEN LAG(ts) OVER w IS NULL OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
+      "THEN 1 ELSE 0 END AS new_session FROM events " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g), " +
+      "tr AS (SELECT LAG(event_type) OVER " +
+      "(PARTITION BY user_id, session_id ORDER BY ts, event_id) " +
+      "AS from_type, event_type AS to_type FROM s), " +
+      "c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n " +
+      "FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2) " +
+      "SELECT from_type, to_type, n, " +
+      "CAST(n AS DOUBLE) / CAST(SUM(n) OVER " +
+      "(PARTITION BY from_type) AS DOUBLE) AS p " +
+      "FROM c ORDER BY from_type, to_type")
+
   // q260: log2 histogram of same-(user, type) inter-event gaps —
   // the distribution that sizes the debounce gap / session timeout /
   // watermark delay; exact integer log2 via the bit-length identity

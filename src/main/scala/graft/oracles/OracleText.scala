@@ -1117,24 +1117,10 @@ private[graft] object OracleText {
         "FROM r ORDER BY doc_id"),
     // q158: per-source unigram KL(source || corpus) — exact counts, no
     // smoothing needed (every source term occurs in the corpus)
-    "q158_source_kl_drift" ->
-      ("WITH tok AS (SELECT source, " +
-        "unnest(list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '')) AS term FROM documents), " +
-        "c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt " +
-        "FROM tok GROUP BY 1, 2), " +
-        "st AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS s_total " +
-        "FROM c GROUP BY 1), " +
-        "cc AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS c_cnt " +
-        "FROM c GROUP BY 1), " +
-        "ct AS (SELECT CAST(SUM(c_cnt) AS BIGINT) AS c_total FROM cc) " +
-        "SELECT c.source, MAX(st.s_total) AS n_tokens, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_terms, " +
-        "SUM((CAST(c.cnt AS DOUBLE) / CAST(st.s_total AS DOUBLE)) * " +
-        "ln((CAST(c.cnt AS DOUBLE) / CAST(st.s_total AS DOUBLE)) / " +
-        "(CAST(cc.c_cnt AS DOUBLE) / CAST(ct.c_total AS DOUBLE)))) AS kl " +
-        "FROM c JOIN st USING (source) JOIN cc USING (term) CROSS JOIN ct " +
-        "GROUP BY c.source ORDER BY c.source"),
+    "q158_source_kl_drift" -> q158Sql,
+    // q270: q158 per micro-batch (gated (source, term) count ledger)
+    // — shares q158's oracle verbatim
+    "q270_streaming_kl_drift" -> q158Sql,
     // q159: train-split trigram LM with stupid backoff scoring the
     // held-out docs; 0.4 * 0.4 spelled as the same IEEE multiply
     "q159_trigram_backoff_score" ->
@@ -1797,6 +1783,25 @@ private[graft] object OracleText {
         "AVG(abs(sv - value)) AS mean_abs_err " +
         "FROM j GROUP BY 1, 2 ORDER BY source, denom"),
   )
+
+  private def q158Sql: String =
+    ("WITH tok AS (SELECT source, " +
+      "unnest(list_filter(string_split_regex(text, '\\s+'), " +
+      "x -> x <> '')) AS term FROM documents), " +
+      "c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt " +
+      "FROM tok GROUP BY 1, 2), " +
+      "st AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS s_total " +
+      "FROM c GROUP BY 1), " +
+      "cc AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS c_cnt " +
+      "FROM c GROUP BY 1), " +
+      "ct AS (SELECT CAST(SUM(c_cnt) AS BIGINT) AS c_total FROM cc) " +
+      "SELECT c.source, MAX(st.s_total) AS n_tokens, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_terms, " +
+      "SUM((CAST(c.cnt AS DOUBLE) / CAST(st.s_total AS DOUBLE)) * " +
+      "ln((CAST(c.cnt AS DOUBLE) / CAST(st.s_total AS DOUBLE)) / " +
+      "(CAST(cc.c_cnt AS DOUBLE) / CAST(ct.c_total AS DOUBLE)))) AS kl " +
+      "FROM c JOIN st USING (source) JOIN cc USING (term) CROSS JOIN ct " +
+      "GROUP BY c.source ORDER BY c.source")
 
   private def q200Sql: String =
     ("WITH r AS (SELECT source, n_chars, " +

@@ -2577,10 +2577,7 @@ object StreamingOps {
           .select(col("user_id"), col("ts"), col("event_id"),
             col("event_type"))
           .withColumn("is_state", lit(0))
-        val synth =
-          if (lastLedger.isEmpty) ev.limit(0)
-          else ss.read.parquet(lastLedger.path)
-            .withColumn("is_state", lit(1))
+        val synth = lastEventAnchors(ss, lastLedger, ev)
         val flagged = graft.operators.Analytics
           .debounceFlags(ev.unionByName(synth), gapSeconds)
           .filter(col("is_state") === 0)
@@ -2601,18 +2598,7 @@ object StreamingOps {
                 sum(col("n_suppressed")).as("n_suppressed"))
           countsLedger.write(merged, id)
         }
-        if (!lastLedger.isReplayed(id)) {
-          val batchLast = ev.drop("is_state")
-          val allLast =
-            if (lastLedger.isEmpty) batchLast
-            else ss.read.parquet(lastLedger.path).unionByName(batchLast)
-          val latest = allLast
-            .groupBy(col("user_id"), col("event_type"))
-            .agg(max(struct(col("ts"), col("event_id"))).as("m"))
-            .select(col("user_id"), col("event_type"),
-              col("m.ts").as("ts"), col("m.event_id").as("event_id"))
-          lastLedger.write(latest, id)
-        }
+        foldLastEvents(ss, lastLedger, ev, id)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -2625,6 +2611,40 @@ object StreamingOps {
           col("n_events").cast("double")).as("kept_rate"))
       .orderBy(col("event_type"))
   }
+
+  /** State anchors for a lag-rule twin: the persisted last raw event
+    * per (user, type), re-entering the batch as `is_state` = 1 rows —
+    * lag anchors only, filtered out of every rollup. Empty before the
+    * first fold.
+    */
+  private def lastEventAnchors(ss: SparkSession,
+      ledger: VersionedLedger, ev: DataFrame): DataFrame =
+    if (ledger.isEmpty) ev.limit(0)
+    else ss.read.parquet(ledger.path).withColumn("is_state", lit(1))
+
+  /** Replace-merge the last raw event per key into `ledger` (gated
+    * against crash replays) — shared by every lag-rule twin: q261
+    * debounce and q262 gap histogram anchor per (user, type), q269
+    * transitions per user.
+    */
+  private def foldLastEvents(ss: SparkSession, ledger: VersionedLedger,
+      ev: DataFrame, id: Long,
+      keys: Seq[String] = Seq("user_id", "event_type")): Unit =
+    if (!ledger.isReplayed(id)) {
+      val batchLast = ev.drop("is_state")
+      val allLast =
+        if (ledger.isEmpty) batchLast
+        else ss.read.parquet(ledger.path).unionByName(batchLast)
+      val carried = batchLast.columns.filterNot(keys.contains)
+      val latest = allLast
+        .groupBy(keys.map(col): _*)
+        .agg(max(struct(col("ts") +: col("event_id") +:
+          carried.filterNot(Set("ts", "event_id")).map(col): _*))
+          .as("m"))
+        .select(keys.map(col) ++
+          carried.map(c => col(s"m.$c").as(c)): _*)
+      ledger.write(latest, id)
+    }
 
   /** Streaming inter-event gap histogram (q262): q260 per micro-batch.
     * Cross-batch gaps need exactly ONE anchor — the last raw event per
@@ -2680,10 +2700,7 @@ object StreamingOps {
           .select(col("user_id"), col("ts"), col("event_id"),
             col("event_type"))
           .withColumn("is_state", lit(0))
-        val synth =
-          if (lastLedger.isEmpty) ev.limit(0)
-          else ss.read.parquet(lastLedger.path)
-            .withColumn("is_state", lit(1))
+        val synth = lastEventAnchors(ss, lastLedger, ev)
         val bHist = graft.operators.Analytics.gapRollup(
           graft.operators.Analytics.gapBuckets(ev.unionByName(synth)))
         // histogram first (non-idempotent merge), anchors second: a
@@ -2701,18 +2718,7 @@ object StreamingOps {
                 sum(col("sum_gap_sec")).as("sum_gap_sec"))
           histLedger.write(merged, id)
         }
-        if (!lastLedger.isReplayed(id)) {
-          val batchLast = ev.drop("is_state")
-          val allLast =
-            if (lastLedger.isEmpty) batchLast
-            else ss.read.parquet(lastLedger.path).unionByName(batchLast)
-          val latest = allLast
-            .groupBy(col("user_id"), col("event_type"))
-            .agg(max(struct(col("ts"), col("event_id"))).as("m"))
-            .select(col("user_id"), col("event_type"),
-              col("m.ts").as("ts"), col("m.event_id").as("event_id"))
-          lastLedger.write(latest, id)
-        }
+        foldLastEvents(ss, lastLedger, ev, id)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -2846,5 +2852,147 @@ object StreamingOps {
     q.awaitTermination()
     Similarity.centroidReport(Similarity.centroidFinish(
       spark.read.parquet(ledger.path), dim))
+  }
+
+  /** Streaming transition matrix (q269): q198 per micro-batch. A
+    * cross-batch transition needs ONE anchor — the last raw event per
+    * USER — which re-enters each batch as a synthetic previous row and
+    * is scored by the SAME single-lag gap-≤-30-min rule as the batch
+    * matrix (transitionPairs; session ids never materialize). Pair
+    * counts sum-merge through a gated versioned ledger; the drain
+    * row-normalizes the final counts, so q198's SQL is the oracle
+    * verbatim for ANY micro-batching. Order-sensitive (a late event
+    * would pair against the wrong neighbor): arrival contract on
+    * event_id with the persisted batch watermark.
+    *
+    * 100 TB shape: state is one row per user plus a ≤ types² count
+    * matrix; per-batch work is one per-user window over batch ∪
+    * anchors and two metadata-scale merges. This is the live "what do
+    * users do next" model q144/q268 read, maintained 24/7 without
+    * rescanning history.
+    */
+  def streamingTransitions(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    val root = effectiveRoot(stateRoot, "transitions")
+    val cntRoot = stateDir(root, "counts")
+    val lastRoot = stateDir(root, "last_event")
+    val cntLedger = new VersionedLedger(spark, cntRoot, root)
+    val lastLedger = new VersionedLedger(spark, lastRoot, root)
+    val lastBatchId = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val seenMax = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val reader = spark.readStream
+      .schema(eventsSchema(tsType))
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (lastBatchId.get == Long.MinValue)
+          batchMarkerMax(ss, lastRoot).foreach(lastBatchId.set)
+        if (seenMax.get == Long.MinValue && !lastLedger.isEmpty)
+          existingStateMax(ss, lastLedger.path, "event_id")
+            .foreach(seenMax.set)
+        batchOrderGuard(batch.toDF(), id, lastBatchId, seenMax,
+          idCol = "event_id")
+        root.foreach(_ => writeBatchMarker(ss, lastRoot, id))
+        val ev = batch.toDF()
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("is_state", lit(0))
+        val synth = lastEventAnchors(ss, lastLedger, ev)
+        val bCounts = graft.operators.Sessionize
+          .transitionPairs(ev.unionByName(synth))
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        // counts first (non-idempotent sum-merge), anchors second: a
+        // crash between the two commits replays exactly
+        if (!cntLedger.isReplayed(id)) {
+          val merged =
+            if (cntLedger.isEmpty) bCounts
+            else ss.read.parquet(cntLedger.path)
+              .unionByName(bCounts)
+              .groupBy(col("from_type"), col("to_type"))
+              .agg(sum(col("n")).as("n"))
+          cntLedger.write(merged, id)
+        }
+        foldLastEvents(ss, lastLedger, ev, id, keys = Seq("user_id"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    graft.operators.Sessionize.transitionProbs(
+      spark.read.parquet(cntLedger.path))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Streaming per-source KL drift (q270): q158 per micro-batch. The
+    * per-(source, term) exact token counts are the mergeable
+    * sufficient statistic for BOTH distributions in
+    * KL(source ‖ corpus) — each batch's counts sum-merge into the
+    * ledger (gated against crash replays) and the drain runs the SAME
+    * finish arithmetic over the final counts, so q158's SQL is the
+    * oracle verbatim for ANY micro-batching. Sum-merge is
+    * order-insensitive: no arrival contract needed. This is the drift
+    * monitor a 24/7 ingest reads to catch a source going off-
+    * distribution WITHOUT rescanning history — the lexical sibling of
+    * q267's centroid maintenance.
+    *
+    * 100 TB shape: state is the (source, term) vocabulary relation —
+    * the q128/q229 compacted-vocab scale, value domain not corpus
+    * grain; per-batch work is one tokenize+fold of the batch plus a
+    * vocab-scale merge; the drain's joins run on vocab rows.
+    */
+  def streamingKlDrift(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    val root = effectiveRoot(stateRoot, "kldrift")
+    val cntRoot = stateDir(root, "counts")
+    val ledger = new VersionedLedger(spark, cntRoot, root)
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val reader = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = reader.parquet(sourceDir.getOrElse(dir))
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (!ledger.isReplayed(id)) {
+          val bCounts = graft.operators.TextOps
+            .tokenCountsOf(batch.toDF())
+          val merged =
+            if (ledger.isEmpty) bCounts
+            else ss.read.parquet(ledger.path)
+              .unionByName(bCounts)
+              .groupBy(col("source"), col("term"))
+              .agg(sum(col("cnt")).as("cnt"))
+          ledger.write(merged, id)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    graft.operators.TextOps.klFromCounts(
+      spark.read.parquet(ledger.path))
   }
 }

@@ -114,6 +114,61 @@ class Wave9Spec extends SparkSpec {
     } finally { Caches.releaseAll(spark); rmrf(root) }
   }
 
+  test("q269: a 3-file time-ordered split drains to the exact q198 " +
+    "matrix, and a crash-replayed batch neither double-counts nor " +
+    "trips the arrival guard") {
+    import graft.operators.Sessionize
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val batch = rows(Sessionize.eventTransitions(spark, sfDir))
+    Caches.releaseAll(spark)
+    val root = tmpDir("graft_transplit_")
+    val stateRoot = s"$root/store"
+    try {
+      splitTable(root, "events", "event_id")
+      def run() = {
+        val r = rows(StreamingOps.streamingTransitions(spark, sfDir,
+          sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+          maxFilesPerTrigger = Some(1), stateRoot = Some(stateRoot)))
+        Caches.releaseAll(spark)
+        r
+      }
+      assert(run() == batch, "3-way split diverged from the batch matrix")
+      dropLatestCommit(stateRoot)
+      assert(run() == batch,
+        "crash-replayed batch double-counted or tripped the guard")
+    } finally { Caches.releaseAll(spark); rmrf(root) }
+  }
+
+  test("q270: a 3-file split drains to the exact q158 KL table, and " +
+    "a crash-replayed batch is not re-summed into the counts") {
+    import graft.operators.TextOps
+    // kl is an FP sum whose fold order may differ between the batch
+    // plan and the drained-state plan — compare at the oracle gate's
+    // 9-decimal precision (counts/totals stay exact longs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9) / 1e9)).toSeq
+    val batch = rows(TextOps.sourceKlDrift(spark, sfDir))
+    Caches.releaseAll(spark)
+    val root = tmpDir("graft_klsplit_")
+    val stateRoot = s"$root/store"
+    try {
+      splitTable(root, "documents", "doc_id")
+      def run() = {
+        val r = rows(StreamingOps.streamingKlDrift(spark, sfDir,
+          sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+          maxFilesPerTrigger = Some(1), stateRoot = Some(stateRoot)))
+        Caches.releaseAll(spark)
+        r
+      }
+      assert(run() == batch, "3-way split diverged from the batch KL")
+      dropLatestCommit(stateRoot)
+      assert(run() == batch, "crash-replayed batch re-summed")
+    } finally { Caches.releaseAll(spark); rmrf(root) }
+  }
+
   test("q267: a 3-file split drains to the exact q104 centroid " +
     "report, and a crash-replayed batch is not re-summed") {
     import graft.operators.Similarity
