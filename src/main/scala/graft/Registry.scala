@@ -637,6 +637,21 @@ object Registry {
     // the debounce-gap decision table
     "q272_debounce_gap_sweep" -> ((s, d) =>
       Analytics.debounceGapSweep(s, d)),
+    // per-day new/retained/resurrected/churned user flows — one
+    // lag+lead window over the (user, day) grain
+    "q273_growth_accounting" -> ((s, d) =>
+      Lifecycle.growthAccounting(s, d)),
+    // RFM log2 cells: recency/frequency/exact-cents monetary binned
+    // by the bit-length rule — no global ntile sort
+    "q274_rfm_segments" -> ((s, d) => Lifecycle.rfmSegments(s, d)),
+    // exact DAU vs trailing-7-day WAU per observed day — rolling
+    // distinct via a 7x fan-out of the DAY grain, not the event grain
+    "q275_dau_wau_stickiness" -> ((s, d) =>
+      Lifecycle.dauWauStickiness(s, d)),
+    // q166 per micro-batch: the (user, date) grain distinct-merges
+    // (idempotent, order-insensitive) — shares q166's oracle
+    "q276_streaming_retention" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingRetention(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -180,11 +180,24 @@ object Analytics {
     * one min-per-user aggregate, one broadcast-joinable cohort-size
     * table, one (cohort, offset) aggregate. All shuffles on ids/days.
     */
-  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
-    val activity = Tables.events(spark, dir)
-      .select(col("user_id"), to_date(col("ts")).as("d"))
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    cohortTriangleOf(activityOf(Tables.events(spark, dir)))
+
+  /** The distinct (user_id, activity-date) grain q166 aggregates —
+    * also the mergeable sufficient statistic q276's streaming twin
+    * keeps as state (distinct-merge is idempotent + order-insensitive,
+    * and [[graft.operators.Lifecycle]]'s epoch-day reports derive
+    * their grain from the same dates).
+    */
+  private[graft] def activityOf(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), to_date(col("ts")).as("d"))
       .distinct()
-      .persist()
+
+  /** The q166 finish arithmetic over a (user_id, d) activity grain —
+    * shared by the batch triangle and q276's streaming drain.
+    */
+  private[graft] def cohortTriangleOf(activityRaw: DataFrame): DataFrame = {
+    val activity = activityRaw.persist()
     val first = activity.groupBy(col("user_id"))
       .agg(min(col("d")).as("cohort"))
     val sizes = first.groupBy(col("cohort"))

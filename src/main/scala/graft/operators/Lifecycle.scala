@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** User-lifecycle analytics over the events table — the cohort /
+  * growth-accounting / RFM / stickiness decision tables a 24/7
+  * product ingest reads next to the behavioral views (q198/q144/q260):
+  * WHO keeps coming back, not just what they do while here. The
+  * reference's contact-point service keeps per-contact recency state
+  * (`src/services/saveToPostgres.js` upsert timestamps); these are the
+  * corpus-wide rollups of that per-key state.
+  *
+  * Everything is built on ONE shared grain — the distinct
+  * (user_id, day) activity table that q166's retention triangle
+  * already aggregates — so the three new batch reports ride the same
+  * first collapse, and the streaming twin (q276) only has to maintain
+  * that grain (distinct-merge, order-insensitive) to drain the whole
+  * family exactly.
+  *
+  * Day numbers here are exact integer epoch-day
+  * (`unix_micros div 86.4e9`) in BOTH engines — no date formatting,
+  * no timezone arithmetic (q166 keeps its calendar-date form; under
+  * the UTC session the two grains are the same partition of events).
+  */
+object Lifecycle {
+
+  private val usPerDay = 86400000000L
+
+  /** The shared grain: distinct (user_id, day) activity pairs.
+    * 100 TB shape: one map-side-combined distinct collapses events to
+    * ≤ users × active-days rows; every report below aggregates THIS,
+    * never the raw events, and the streaming twin's state is exactly
+    * this table (distinct-merge = idempotent, order-insensitive).
+    */
+  private[graft] def userDays(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"),
+        expr(s"unix_micros(cast(ts as timestamp)) div $usPerDay")
+          .as("day"))
+      .distinct()
+
+  /** Growth accounting (q273): per active day, the classic
+    * new / retained / resurrected split of active users plus the
+    * churn-in count (users whose previous active day was yesterday but
+    * who are gone today) — the four numbers behind every "is this
+    * corpus/product actually growing" chart. Definitions on the
+    * (user, day) grain: `new` = first active day; `retained` =
+    * previous active day was exactly day−1; `resurrected` = a gap of
+    * ≥ 2 days; `n_churned` on day d = users active on d−1 whose next
+    * activity is not d. The report grid is the observed active days
+    * (churn past the last observed day is unknowable and not emitted).
+    *
+    * 100 TB shape: ONE user-partitioned window sort over the
+    * (user, day) grain serves both lag (classification) and lead
+    * (churn); both rollups are map-side-combined onto #days rows, then
+    * a days-bounded hash join stitches them.
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val ud = userDays(Tables.events(spark, dir))
+      .withColumn("prev_day", lag(col("day"), 1).over(byUser))
+      .withColumn("next_day", lead(col("day"), 1).over(byUser))
+    val active = ud.groupBy(col("day")).agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("prev_day").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev_day") === col("day") - 1L, 1L).otherwise(0L))
+        .as("n_retained"),
+      sum(when(col("prev_day").isNotNull &&
+        col("prev_day") < col("day") - 1L, 1L).otherwise(0L))
+        .as("n_resurrected"))
+    val churned = ud
+      .filter(col("next_day").isNull || col("next_day") > col("day") + 1L)
+      .select((col("day") + 1L).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("churn"))
+    active.join(churned, Seq("day"), "left")
+      .withColumn("n_churned", coalesce(col("churn"), lit(0L)))
+      .select(col("day"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_churned"))
+      .orderBy(col("day"))
+  }
+
+  /** RFM segmentation (q274): every user scored on Recency (days since
+    * last activity, vs the corpus max day), Frequency (event count)
+    * and Monetary (exact cent sum of `value`), then binned into log2
+    * cells by the q260 bit-length bucket rule — the marketing-standard
+    * user-value segmentation, made hash-exact by keeping money in
+    * integer cents (the `decimal(18,2)` discipline q20's session_value
+    * uses) and buckets in exact longs.
+    *
+    * 100 TB shape: one map-side-combined user-grain aggregate over the
+    * event scan, a broadcast of the single corpus-max-day row, then a
+    * second aggregate onto ≤ ~40³ bucket cells. No sort, no ntile —
+    * a global quantile rank would be a full sort at user grain; fixed
+    * log2 cells are the scale-safe segmentation.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(cast(ts as timestamp)) div $usPerDay")
+          .as("day"),
+        col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("n_events"),
+        (sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+    val maxDay = perUser.agg(max(col("last_day")).as("corpus_max_day"))
+    def bucket(c: org.apache.spark.sql.Column) =
+      when(c <= 1L, lit(0L)).otherwise(length(bin(c)).cast("long") - 1L)
+    perUser.crossJoin(broadcast(maxDay))
+      .withColumn("recency", col("corpus_max_day") - col("last_day"))
+      .withColumn("r_bucket", bucket(col("recency")))
+      .withColumn("f_bucket", bucket(col("n_events")))
+      .withColumn("m_bucket", bucket(col("cents")))
+      .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("recency")).as("min_recency"),
+        max(col("recency")).as("max_recency"))
+      .orderBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+  }
+
+  /** DAU/WAU stickiness (q275): per observed day, the exact count of
+    * distinct users active that day (DAU) and in the trailing 7-day
+    * window (WAU), plus their ratio — the engagement-depth series
+    * every growth dashboard pairs with q273's flows. Exact rolling
+    * distinct without rescanning: each (user, day) activity pair
+    * contributes itself to the 7 report days it can be visible in
+    * (a static 7× expansion of the DAY grain, not the event grain),
+    * then one distinct+count per report day.
+    *
+    * 100 TB shape: events collapse to (user, day) once; the sequence
+    * explode is a 7× fan-out of that already-collapsed grain; the
+    * report grid (distinct observed days) broadcasts into a semi join.
+    * No correlated rescan, no window over users.
+    */
+  def dauWauStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = userDays(Tables.events(spark, dir))
+    val days = ud.select(col("day")).distinct()
+    val dau = ud.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6L)).as("day"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness",
+        col("dau").cast("double") / col("wau").cast("double"))
+      .select(col("day"), col("dau"), col("wau"), col("stickiness"))
+      .orderBy(col("day"))
+  }
+}

@@ -425,21 +425,10 @@ private[graft] object OracleRelational {
         "CAST(COUNT(*) AS BIGINT) FROM tp) ORDER BY stage"),
     // q166: retention triangle — first-activity cohorts, exact counts,
     // cohort date emitted as an ISO string on both engines
-    "q166_retention_cohorts" ->
-      ("WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d " +
-        "FROM events), " +
-        "f AS (SELECT user_id, MIN(d) AS cohort FROM a GROUP BY 1), " +
-        "sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size " +
-        "FROM f GROUP BY 1), " +
-        "g AS (SELECT f.cohort, " +
-        "CAST(date_diff('day', f.cohort, a.d) AS BIGINT) AS day_offset, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_active " +
-        "FROM a JOIN f USING (user_id) GROUP BY 1, 2) " +
-        "SELECT CAST(g.cohort AS VARCHAR) AS cohort, day_offset, " +
-        "n_active, sz.cohort_size, " +
-        "CAST(n_active AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) " +
-        "AS retention " +
-        "FROM g JOIN sz USING (cohort) ORDER BY cohort, day_offset"),
+    "q166_retention_cohorts" -> q166Sql,
+    // q276: q166 per micro-batch (distinct-merged (user, date) state,
+    // idempotent + order-insensitive) — shares q166's oracle verbatim
+    "q276_streaming_retention" -> q166Sql,
     // q221: event-grain as-of attribution — the oracle is the CLASSIC
     // as-of JOIN (purchase ⋈ strictly-earlier clicks by (ts, id)
     // order, argmax click ts, 1-hour horizon); the engine's linear
@@ -560,7 +549,86 @@ private[graft] object OracleRelational {
         "CAST(COUNT(*) AS BIGINT) AS n_dest, MAX(p) AS top_p, " +
         "-SUM(p * ln(p)) AS entropy, exp(-SUM(p * ln(p))) AS perplexity " +
         "FROM pr GROUP BY from_type ORDER BY from_type"),
+    // q273: per-day new/retained/resurrected/churned split — one
+    // user-partitioned lag+lead over the (user, day) grain
+    "q273_growth_accounting" ->
+      (lifecycleUd +
+        "w AS (SELECT user_id, day, " +
+        "LAG(day) OVER uw AS prev_day, LEAD(day) OVER uw AS next_day " +
+        "FROM ud WINDOW uw AS (PARTITION BY user_id ORDER BY day)), " +
+        "act AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active, " +
+        "CAST(SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
+        "CAST(SUM(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, " +
+        "CAST(SUM(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected " +
+        "FROM w GROUP BY 1), " +
+        "ch AS (SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS churn " +
+        "FROM w WHERE next_day IS NULL OR next_day > day + 1 GROUP BY 1) " +
+        "SELECT CAST(a.day AS BIGINT) AS day, n_active, n_new, " +
+        "n_retained, n_resurrected, " +
+        "CAST(COALESCE(ch.churn, 0) AS BIGINT) AS n_churned " +
+        "FROM act a LEFT JOIN ch ON a.day = ch.day ORDER BY day"),
+    // q274: RFM log2 cells — recency vs the corpus max day, money in
+    // exact cents (the decimal(18,2) discipline), bit-length buckets
+    "q274_rfm_segments" ->
+      ("WITH pu AS (SELECT user_id, " +
+        "MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS last_day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1), " +
+        "r AS (SELECT *, (SELECT MAX(last_day) FROM pu) - last_day " +
+        "AS recency FROM pu), " +
+        "b AS (SELECT n_events, cents, recency, " +
+        "CASE WHEN recency <= 1 THEN 0 ELSE CAST(length(bin(recency)) - 1 AS BIGINT) END AS r_bucket, " +
+        "CASE WHEN n_events <= 1 THEN 0 ELSE CAST(length(bin(n_events)) - 1 AS BIGINT) END AS f_bucket, " +
+        "CASE WHEN cents <= 1 THEN 0 ELSE CAST(length(bin(cents)) - 1 AS BIGINT) END AS m_bucket " +
+        "FROM r) " +
+        "SELECT CAST(r_bucket AS BIGINT) AS r_bucket, " +
+        "CAST(f_bucket AS BIGINT) AS f_bucket, " +
+        "CAST(m_bucket AS BIGINT) AS m_bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(n_events) AS BIGINT) AS n_events, " +
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents, " +
+        "MIN(recency) AS min_recency, MAX(recency) AS max_recency " +
+        "FROM b GROUP BY 1, 2, 3 ORDER BY r_bucket, f_bucket, m_bucket"),
+    // q275: DAU vs trailing-7-day WAU per observed day — the range
+    // join runs on the day grain, never the event grain
+    "q275_dau_wau_stickiness" ->
+      (lifecycleUd +
+        "days AS (SELECT DISTINCT day FROM ud), " +
+        "dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau " +
+        "FROM ud GROUP BY 1), " +
+        "wau AS (SELECT g.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) " +
+        "AS wau FROM days g JOIN ud u " +
+        "ON u.day BETWEEN g.day - 6 AND g.day GROUP BY 1) " +
+        "SELECT CAST(d.day AS BIGINT) AS day, d.dau, w.wau, " +
+        "CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness " +
+        "FROM dau d JOIN wau w ON d.day = w.day ORDER BY day"),
   )
+
+  /** The shared lifecycle grain: distinct (user_id, exact epoch-day)
+    * pairs — integer `//` division so both engines agree bit-for-bit.
+    */
+  private def lifecycleUd: String =
+    ("WITH ud AS (SELECT DISTINCT user_id, " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day " +
+      "FROM events), ")
+
+  private def q166Sql: String =
+    ("WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d " +
+      "FROM events), " +
+      "f AS (SELECT user_id, MIN(d) AS cohort FROM a GROUP BY 1), " +
+      "sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size " +
+      "FROM f GROUP BY 1), " +
+      "g AS (SELECT f.cohort, " +
+      "CAST(date_diff('day', f.cohort, a.d) AS BIGINT) AS day_offset, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_active " +
+      "FROM a JOIN f USING (user_id) GROUP BY 1, 2) " +
+      "SELECT CAST(g.cohort AS VARCHAR) AS cohort, day_offset, " +
+      "n_active, sz.cohort_size, " +
+      "CAST(n_active AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) " +
+      "AS retention " +
+      "FROM g JOIN sz USING (cohort) ORDER BY cohort, day_offset")
 
   private def q201Sql: String =
     ("WITH c AS (SELECT user_id, ts, event_id, event_type, " +

@@ -2995,4 +2995,63 @@ object StreamingOps {
     graft.operators.TextOps.klFromCounts(
       spark.read.parquet(ledger.path))
   }
+
+  /** Streaming retention-cohort maintenance (q276): q166 per
+    * micro-batch. The distinct (user_id, activity-date) grain is the
+    * mergeable sufficient statistic for the WHOLE lifecycle family —
+    * each batch's pairs distinct-merge into the ledger state and the
+    * drain runs [[graft.operators.Analytics.cohortTriangleOf]] (the
+    * q166 finish) verbatim, so q166's SQL is the oracle for ANY
+    * micro-batching. Distinct-merge is idempotent AND
+    * order-insensitive (a replayed or late batch re-contributes the
+    * same pairs; min-over-user at drain re-derives every cohort from
+    * the final grain), so no arrival contract is needed; the ledger
+    * gate still skips replays so a crash-replay costs no version
+    * churn.
+    *
+    * 100 TB shape: state is ≤ users × active-days rows (the grain the
+    * reference keeps per-contact in Postgres/Redis, held corpus-wide);
+    * per-batch work is one map-side-combined distinct of the batch
+    * plus a grain-scale distinct-merge — history is never rescanned,
+    * and the same drained state also answers the epoch-day reports
+    * q273–q275 ([[graft.operators.Lifecycle]]).
+    */
+  def streamingRetention(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    val root = effectiveRoot(stateRoot, "retention")
+    val udRoot = stateDir(root, "user_days")
+    val ledger = new VersionedLedger(spark, udRoot, root)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val reader = spark.readStream
+      .schema(eventsSchema(tsType))
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (!ledger.isReplayed(id)) {
+          val bPairs = graft.operators.Analytics.activityOf(batch.toDF())
+          val merged =
+            if (ledger.isEmpty) bPairs
+            else ss.read.parquet(ledger.path)
+              .unionByName(bPairs)
+              .distinct()
+          ledger.write(merged, id)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    graft.operators.Analytics.cohortTriangleOf(
+      spark.read.parquet(ledger.path))
+  }
 }
