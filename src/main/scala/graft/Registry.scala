@@ -652,6 +652,22 @@ object Registry {
     // (idempotent, order-insensitive) — shares q166's oracle
     "q276_streaming_retention" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingRetention(s, d)),
+    // q144 per micro-batch: per-user session anchors + per-session
+    // (tv, tc, tp) stage state under the arrival contract — shares
+    // q144's oracle
+    "q277_streaming_funnel" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingFunnel(s, d)),
+    // exact stage-latency deciles for the q144 transitions — the
+    // latency distribution q250's daily means cannot show
+    "q278_funnel_latency_deciles" -> ((s, d) =>
+      Sessionize.funnelLatencyDeciles(s, d)),
+    // q274 per micro-batch: per-user (last_day, n_events, cents)
+    // max/sum-merge through a gated ledger — shares q274's oracle
+    "q279_streaming_rfm" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingRfm(s, d)),
+    // cohort x age revenue + cumulative LTV per acquired user —
+    // the money view of q166's triangle, exact cents
+    "q280_cohort_ltv" -> ((s, d) => Lifecycle.cohortLtv(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -96,9 +96,15 @@ object Lifecycle {
     * a global quantile rank would be a full sort at user grain; fixed
     * log2 cells are the scale-safe segmentation.
     */
-  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    val perUser = Tables.events(spark, dir)
-      .select(col("user_id"),
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmReport(rfmStatsOf(Tables.events(spark, dir)))
+
+  /** Per-user (last_day, n_events, cents) — the mergeable sufficient
+    * statistic for the RFM report (max / sum / sum), so q279's
+    * streaming twin keeps exactly this table as ledger state.
+    */
+  private[graft] def rfmStatsOf(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"),
         expr(s"unix_micros(cast(ts as timestamp)) div $usPerDay")
           .as("day"),
         col("value"))
@@ -107,6 +113,11 @@ object Lifecycle {
         count(lit(1)).as("n_events"),
         (sum(col("value").cast("decimal(18,2)")) * 100)
           .cast("long").as("cents"))
+
+  /** The q274 finish arithmetic over a per-user stats table — shared
+    * by the batch report and q279's streaming drain.
+    */
+  private[graft] def rfmReport(perUser: DataFrame): DataFrame = {
     val maxDay = perUser.agg(max(col("last_day")).as("corpus_max_day"))
     def bucket(c: org.apache.spark.sql.Column) =
       when(c <= 1L, lit(0L)).otherwise(length(bin(c)).cast("long") - 1L)
@@ -138,6 +149,49 @@ object Lifecycle {
     * report grid (distinct observed days) broadcasts into a semi join.
     * No correlated rescan, no window over users.
     */
+  /** Cohort LTV curve (q280): per (cohort_day, age), the exact cent
+    * revenue the cohort generated at that age, the cumulative revenue
+    * through that age, and cumulative LTV per acquired user — the
+    * money view of q166's retention triangle (retention says who came
+    * back; this says what coming back was worth). Cents all the way
+    * (the q274 discipline); the per-user division is the only double.
+    *
+    * 100 TB shape: events collapse once to (user, day, cents) —
+    * map-side combined — then a user-partitioned window min assigns
+    * cohorts (no self-join) and everything after runs on ≤ #days²
+    * rows, where the cumulative window is cheap.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val byCohort = Window.partitionBy(col("cohort_day"))
+      .orderBy(col("age"))
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(cast(ts as timestamp)) div $usPerDay")
+          .as("day"),
+        col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+      .withColumn("cohort_day", min(col("day")).over(byUser))
+      .withColumn("age", col("day") - col("cohort_day"))
+      .groupBy(col("cohort_day"), col("age"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cents")).as("cents"))
+      .withColumn("cohort_size",
+        first(col("n_users")).over(byCohort))
+      .withColumn("cum_cents",
+        sum(col("cents")).over(
+          byCohort.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .withColumn("ltv_cents_per_user",
+        col("cum_cents").cast("double") / col("cohort_size").cast("double"))
+      .select(col("cohort_day"), col("age"), col("n_users"),
+        col("cents"), col("cohort_size"), col("cum_cents"),
+        col("ltv_cents_per_user"))
+      .orderBy(col("cohort_day"), col("age"))
+  }
+
   def dauWauStickiness(spark: SparkSession, dir: String): DataFrame = {
     val ud = userDays(Tables.events(spark, dir))
     val days = ud.select(col("day")).distinct()

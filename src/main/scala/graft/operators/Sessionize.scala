@@ -261,17 +261,7 @@ object Sessionize {
     * aggregate rows.
     */
   def sessionFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val ev = Tables.events(spark, dir)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
-          .otherwise(0L))
-      .withColumn("session_id",
-        sum(col("new_session")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ev = sessionedEvents(spark, dir)
       .select(col("user_id"), col("session_id"), col("event_type"),
         col("event_id"))
     val keys = Seq("user_id", "session_id")
@@ -291,5 +281,85 @@ object Sessionize {
       .unionByName(cnt(tc, "s2_view_click"))
       .unionByName(cnt(tp, "s3_view_click_purchase"))
       .orderBy(col("stage"))
+  }
+
+  /** The q20 sessionization frame — (user_id, session_id, event_type,
+    * event_id, ts) — shared by q144's funnel and q278's stage
+    * latencies (one window sort, many readers).
+    */
+  private def sessionedEvents(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("session_id"), col("event_type"),
+        col("event_id"), col("ts"))
+  }
+
+  /** Funnel stage-latency deciles (q278): for the two q144 stage
+    * transitions — view→first qualifying click and click→first
+    * qualifying purchase inside one session — the exact decile table
+    * of the elapsed seconds, via the q200 value-histogram fold (the
+    * latency DISTRIBUTION q250's daily means cannot show; this is
+    * where "the funnel is fine at the median, broken at p90" becomes
+    * visible). Stage anchor ids are exact min event ids (ids are
+    * strictly time-ordered — the q144 contract), so each anchor's
+    * `min(ts)` is that same event's timestamp and every latency is
+    * exact integer seconds.
+    *
+    * 100 TB shape: rides q144's chain (sessionization sort + three
+    * session-grain aggregates); latencies collapse map-side into a
+    * (transition, gap_sec) value histogram, and decile selection runs
+    * on those bounded rows — no row-grain sort anywhere (the q200
+    * discipline).
+    */
+  def funnelLatencyDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = sessionedEvents(spark, dir)
+    val keys = Seq("user_id", "session_id")
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("event_id")).as("tv"), min(col("ts")).as("tv_ts"))
+    val tc = ev.filter(col("event_type") === "click")
+      .join(tv, keys).filter(col("event_id") > col("tv"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("event_id")).as("tc"), min(col("ts")).as("tc_ts"),
+        first(col("tv_ts")).as("tv_ts"))
+    val tp = ev.filter(col("event_type") === "purchase")
+      .join(tc.select(col("user_id"), col("session_id"), col("tc"),
+        col("tc_ts")), keys)
+      .filter(col("event_id") > col("tc"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("ts")).as("tp_ts"), first(col("tc_ts")).as("tc_ts"))
+    def gaps(df: DataFrame, a: String, b: String, name: String) =
+      df.select(lit(name).as("transition"),
+        floor((expr(s"unix_micros(cast($b as timestamp))") -
+          expr(s"unix_micros(cast($a as timestamp))")) /
+          lit(1000000L)).cast("long").as("gap_sec"))
+    val hist = gaps(tc, "tv_ts", "tc_ts", "t1_view_to_click")
+      .unionByName(gaps(tp, "tc_ts", "tp_ts", "t2_click_to_purchase"))
+      .groupBy(col("transition"), col("gap_sec"))
+      .agg(count(lit(1)).as("cnt"))
+    val byT = Window.partitionBy(col("transition"))
+    val cum = hist
+      .withColumn("cum",
+        sum(col("cnt")).over(byT.orderBy(col("gap_sec"))))
+      .withColumn("n", sum(col("cnt")).over(byT))
+    val decs = explode(array((1 to 9).map(d => lit(d.toLong)): _*))
+    cum.select(col("transition"), col("gap_sec"), col("cnt"),
+        col("cum"), col("n"), decs.as("decile"))
+      .withColumn("r", ceil(col("decile").cast("double") *
+        col("n").cast("double") / lit(10.0)).cast("long"))
+      .filter(col("r") > col("cum") - col("cnt") && col("r") <= col("cum"))
+      .select(col("transition"), col("decile"),
+        col("gap_sec").as("gap_sec"), col("n").as("n_transitions"))
+      .orderBy(col("transition"), col("decile"))
   }
 }

@@ -393,36 +393,11 @@ private[graft] object OracleRelational {
         "FROM p WHERE rk <= 3 ORDER BY day, rk"),
     // q20's session CTEs; stage anchors are exact min event ids
     // (fixture event ids are strictly time-ordered)
-    "q144_session_funnel" ->
-      ("WITH g0 AS (SELECT user_id, ts, event_id, event_type, " +
-        "CASE WHEN LAG(ts) OVER w IS NULL OR " +
-        "ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
-        "THEN 1 ELSE 0 END AS new_session FROM events " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
-        "g AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id " +
-        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
-        "CURRENT ROW) AS session_id FROM g0), " +
-        "tv AS (SELECT user_id, session_id, MIN(event_id) AS tv " +
-        "FROM g WHERE event_type = 'view' GROUP BY 1, 2), " +
-        "tc AS (SELECT g.user_id, g.session_id, " +
-        "MIN(g.event_id) AS tc FROM g JOIN tv " +
-        "ON g.user_id = tv.user_id AND g.session_id = tv.session_id " +
-        "WHERE g.event_type = 'click' AND g.event_id > tv.tv " +
-        "GROUP BY 1, 2), " +
-        "tp AS (SELECT g.user_id, g.session_id, " +
-        "MIN(g.event_id) AS tp FROM g JOIN tc " +
-        "ON g.user_id = tc.user_id AND g.session_id = tc.session_id " +
-        "WHERE g.event_type = 'purchase' AND g.event_id > tc.tc " +
-        "GROUP BY 1, 2) " +
-        "SELECT stage, n_sessions FROM (" +
-        "SELECT 's0_sessions' AS stage, CAST(COUNT(*) AS BIGINT) " +
-        "AS n_sessions FROM " +
-        "(SELECT DISTINCT user_id, session_id FROM g) " +
-        "UNION ALL SELECT 's1_view', CAST(COUNT(*) AS BIGINT) FROM tv " +
-        "UNION ALL SELECT 's2_view_click', CAST(COUNT(*) AS BIGINT) " +
-        "FROM tc " +
-        "UNION ALL SELECT 's3_view_click_purchase', " +
-        "CAST(COUNT(*) AS BIGINT) FROM tp) ORDER BY stage"),
+    "q144_session_funnel" -> q144Sql,
+    // q277: q144 per micro-batch (session anchors + per-session stage
+    // state under the arrival contract) — shares q144's oracle
+    "q277_streaming_funnel" -> q144Sql,
+    
     // q166: retention triangle — first-activity cohorts, exact counts,
     // cohort date emitted as an ISO string on both engines
     "q166_retention_cohorts" -> q166Sql,
@@ -549,6 +524,78 @@ private[graft] object OracleRelational {
         "CAST(COUNT(*) AS BIGINT) AS n_dest, MAX(p) AS top_p, " +
         "-SUM(p * ln(p)) AS entropy, exp(-SUM(p * ln(p))) AS perplexity " +
         "FROM pr GROUP BY from_type ORDER BY from_type"),
+    // q278: exact stage-latency deciles for the two q144 funnel
+    // transitions — the q144 CTE chain with ts mins + the q200
+    // decile-selection arithmetic over a (transition, gap) histogram
+    "q278_funnel_latency_deciles" ->
+      ("WITH g0 AS (SELECT user_id, ts, event_id, event_type, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR " +
+        "ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS session_id FROM g0), " +
+        "tv AS (SELECT user_id, session_id, MIN(event_id) AS tv, " +
+        "MIN(ts) AS tv_ts FROM g WHERE event_type = 'view' " +
+        "GROUP BY 1, 2), " +
+        "tc AS (SELECT g.user_id, g.session_id, " +
+        "MIN(g.event_id) AS tc, MIN(g.ts) AS tc_ts, " +
+        "MIN(tv.tv_ts) AS tv_ts FROM g JOIN tv " +
+        "ON g.user_id = tv.user_id AND g.session_id = tv.session_id " +
+        "WHERE g.event_type = 'click' AND g.event_id > tv.tv " +
+        "GROUP BY 1, 2), " +
+        "tp AS (SELECT g.user_id, g.session_id, MIN(g.ts) AS tp_ts, " +
+        "MIN(tc.tc_ts) AS tc_ts FROM g JOIN tc " +
+        "ON g.user_id = tc.user_id AND g.session_id = tc.session_id " +
+        "WHERE g.event_type = 'purchase' AND g.event_id > tc.tc " +
+        "GROUP BY 1, 2), " +
+        "lat AS (SELECT 't1_view_to_click' AS transition, " +
+        "CAST(FLOOR((epoch_us(CAST(tc_ts AS TIMESTAMP)) - " +
+        "epoch_us(CAST(tv_ts AS TIMESTAMP))) / 1000000.0) AS BIGINT) " +
+        "AS gap_sec FROM tc UNION ALL " +
+        "SELECT 't2_click_to_purchase' AS transition, " +
+        "CAST(FLOOR((epoch_us(CAST(tp_ts AS TIMESTAMP)) - " +
+        "epoch_us(CAST(tc_ts AS TIMESTAMP))) / 1000000.0) AS BIGINT) " +
+        "AS gap_sec FROM tp), " +
+        "h AS (SELECT transition, gap_sec, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM lat GROUP BY 1, 2), " +
+        "cm AS (SELECT transition, gap_sec, cnt, " +
+        "SUM(cnt) OVER (PARTITION BY transition ORDER BY gap_sec) AS cum, " +
+        "SUM(cnt) OVER (PARTITION BY transition) AS n FROM h), " +
+        "dd AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS decile) " +
+        "SELECT transition, CAST(dd.decile AS BIGINT) AS decile, " +
+        "gap_sec, CAST(n AS BIGINT) AS n_transitions " +
+        "FROM cm CROSS JOIN dd " +
+        "WHERE CAST(CEIL(CAST(dd.decile AS DOUBLE) * CAST(n AS DOUBLE) " +
+        "/ 10.0) AS BIGINT) > cum - cnt " +
+        "AND CAST(CEIL(CAST(dd.decile AS DOUBLE) * CAST(n AS DOUBLE) " +
+        "/ 10.0) AS BIGINT) <= cum " +
+        "ORDER BY transition, decile"),
+    // q280: cohort x age revenue + cumulative LTV per acquired user —
+    // exact cents (the q274 discipline) on the lifecycle grain
+    "q280_cohort_ltv" ->
+      ("WITH udc AS (SELECT user_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) " +
+        "AS cents FROM events GROUP BY 1, 2), " +
+        "c AS (SELECT *, MIN(day) OVER (PARTITION BY user_id) " +
+        "AS cohort_day FROM udc), " +
+        "a AS (SELECT cohort_day, day - cohort_day AS age, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(cents) AS BIGINT) AS cents FROM c GROUP BY 1, 2) " +
+        "SELECT CAST(cohort_day AS BIGINT) AS cohort_day, " +
+        "CAST(age AS BIGINT) AS age, n_users, cents, " +
+        "CAST(FIRST_VALUE(n_users) OVER cw AS BIGINT) AS cohort_size, " +
+        "CAST(SUM(cents) OVER (PARTITION BY cohort_day ORDER BY age " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS cum_cents, " +
+        "CAST(SUM(cents) OVER (PARTITION BY cohort_day ORDER BY age " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / " +
+        "CAST(FIRST_VALUE(n_users) OVER cw AS DOUBLE) " +
+        "AS ltv_cents_per_user " +
+        "FROM a WINDOW cw AS (PARTITION BY cohort_day ORDER BY age) " +
+        "ORDER BY cohort_day, age"),
     // q273: per-day new/retained/resurrected/churned split — one
     // user-partitioned lag+lead over the (user, day) grain
     "q273_growth_accounting" ->
@@ -570,27 +617,10 @@ private[graft] object OracleRelational {
         "FROM act a LEFT JOIN ch ON a.day = ch.day ORDER BY day"),
     // q274: RFM log2 cells — recency vs the corpus max day, money in
     // exact cents (the decimal(18,2) discipline), bit-length buckets
-    "q274_rfm_segments" ->
-      ("WITH pu AS (SELECT user_id, " +
-        "MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS last_day, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_events, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents " +
-        "FROM events GROUP BY 1), " +
-        "r AS (SELECT *, (SELECT MAX(last_day) FROM pu) - last_day " +
-        "AS recency FROM pu), " +
-        "b AS (SELECT n_events, cents, recency, " +
-        "CASE WHEN recency <= 1 THEN 0 ELSE CAST(length(bin(recency)) - 1 AS BIGINT) END AS r_bucket, " +
-        "CASE WHEN n_events <= 1 THEN 0 ELSE CAST(length(bin(n_events)) - 1 AS BIGINT) END AS f_bucket, " +
-        "CASE WHEN cents <= 1 THEN 0 ELSE CAST(length(bin(cents)) - 1 AS BIGINT) END AS m_bucket " +
-        "FROM r) " +
-        "SELECT CAST(r_bucket AS BIGINT) AS r_bucket, " +
-        "CAST(f_bucket AS BIGINT) AS f_bucket, " +
-        "CAST(m_bucket AS BIGINT) AS m_bucket, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_users, " +
-        "CAST(SUM(n_events) AS BIGINT) AS n_events, " +
-        "CAST(SUM(cents) AS BIGINT) AS sum_cents, " +
-        "MIN(recency) AS min_recency, MAX(recency) AS max_recency " +
-        "FROM b GROUP BY 1, 2, 3 ORDER BY r_bucket, f_bucket, m_bucket"),
+    "q274_rfm_segments" -> q274Sql,
+    // q279: q274 per micro-batch (per-user max/sum-merged stats
+    // through a gated ledger) — shares q274's oracle verbatim
+    "q279_streaming_rfm" -> q274Sql,
     // q275: DAU vs trailing-7-day WAU per observed day — the range
     // join runs on the day grain, never the event grain
     "q275_dau_wau_stickiness" ->
@@ -629,6 +659,59 @@ private[graft] object OracleRelational {
       "CAST(n_active AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) " +
       "AS retention " +
       "FROM g JOIN sz USING (cohort) ORDER BY cohort, day_offset")
+
+  private def q144Sql: String =
+    ("WITH g0 AS (SELECT user_id, ts, event_id, event_type, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR " +
+        "ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS session_id FROM g0), " +
+        "tv AS (SELECT user_id, session_id, MIN(event_id) AS tv " +
+        "FROM g WHERE event_type = 'view' GROUP BY 1, 2), " +
+        "tc AS (SELECT g.user_id, g.session_id, " +
+        "MIN(g.event_id) AS tc FROM g JOIN tv " +
+        "ON g.user_id = tv.user_id AND g.session_id = tv.session_id " +
+        "WHERE g.event_type = 'click' AND g.event_id > tv.tv " +
+        "GROUP BY 1, 2), " +
+        "tp AS (SELECT g.user_id, g.session_id, " +
+        "MIN(g.event_id) AS tp FROM g JOIN tc " +
+        "ON g.user_id = tc.user_id AND g.session_id = tc.session_id " +
+        "WHERE g.event_type = 'purchase' AND g.event_id > tc.tc " +
+        "GROUP BY 1, 2) " +
+        "SELECT stage, n_sessions FROM (" +
+        "SELECT 's0_sessions' AS stage, CAST(COUNT(*) AS BIGINT) " +
+        "AS n_sessions FROM " +
+        "(SELECT DISTINCT user_id, session_id FROM g) " +
+        "UNION ALL SELECT 's1_view', CAST(COUNT(*) AS BIGINT) FROM tv " +
+        "UNION ALL SELECT 's2_view_click', CAST(COUNT(*) AS BIGINT) " +
+        "FROM tc " +
+        "UNION ALL SELECT 's3_view_click_purchase', " +
+        "CAST(COUNT(*) AS BIGINT) FROM tp) ORDER BY stage")
+
+  private def q274Sql: String =
+    ("WITH pu AS (SELECT user_id, " +
+        "MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS last_day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1), " +
+        "r AS (SELECT *, (SELECT MAX(last_day) FROM pu) - last_day " +
+        "AS recency FROM pu), " +
+        "b AS (SELECT n_events, cents, recency, " +
+        "CASE WHEN recency <= 1 THEN 0 ELSE CAST(length(bin(recency)) - 1 AS BIGINT) END AS r_bucket, " +
+        "CASE WHEN n_events <= 1 THEN 0 ELSE CAST(length(bin(n_events)) - 1 AS BIGINT) END AS f_bucket, " +
+        "CASE WHEN cents <= 1 THEN 0 ELSE CAST(length(bin(cents)) - 1 AS BIGINT) END AS m_bucket " +
+        "FROM r) " +
+        "SELECT CAST(r_bucket AS BIGINT) AS r_bucket, " +
+        "CAST(f_bucket AS BIGINT) AS f_bucket, " +
+        "CAST(m_bucket AS BIGINT) AS m_bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(n_events) AS BIGINT) AS n_events, " +
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents, " +
+        "MIN(recency) AS min_recency, MAX(recency) AS max_recency " +
+        "FROM b GROUP BY 1, 2, 3 ORDER BY r_bucket, f_bucket, m_bucket")
 
   private def q201Sql: String =
     ("WITH c AS (SELECT user_id, ts, event_id, event_type, " +

@@ -3054,4 +3054,231 @@ object StreamingOps {
     graft.operators.Analytics.cohortTriangleOf(
       spark.read.parquet(ledger.path))
   }
+
+  /** Streaming RFM maintenance (q279): q274 per micro-batch. The
+    * per-user (last_day, n_events, cents) triple is the mergeable
+    * sufficient statistic — max / sum / sum-merge per user — so each
+    * batch folds one user-grain aggregate into the gated ledger and
+    * the drain runs [[graft.operators.Lifecycle.rfmReport]] (the q274
+    * finish, including the corpus-max-day recency anchor) verbatim:
+    * q274's SQL is the oracle for ANY micro-batching. The merge is
+    * order-insensitive (max and sum commute) — no arrival contract;
+    * sum-merge is NOT idempotent, so the ledger gate skips crash
+    * replays (the r11 batch-id-in-version discipline).
+    *
+    * 100 TB shape: state is one row per user — the same per-contact
+    * recency/frequency state the reference keeps in Postgres
+    * (`saveToPostgres.js` upsert timestamps), held as a compacted
+    * columnar table; per-batch work is one map-side-combined
+    * user-grain aggregate of the batch plus a user-grain merge.
+    */
+  def streamingRfm(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    val root = effectiveRoot(stateRoot, "rfm")
+    val statsRoot = stateDir(root, "user_stats")
+    val ledger = new VersionedLedger(spark, statsRoot, root)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val reader = spark.readStream
+      .schema(eventsSchema(tsType))
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (!ledger.isReplayed(id)) {
+          val bStats = graft.operators.Lifecycle.rfmStatsOf(batch.toDF())
+          val merged =
+            if (ledger.isEmpty) bStats
+            else ss.read.parquet(ledger.path)
+              .unionByName(bStats)
+              .groupBy(col("user_id"))
+              .agg(max(col("last_day")).as("last_day"),
+                sum(col("n_events")).as("n_events"),
+                sum(col("cents")).as("cents"))
+          ledger.write(merged, id)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    graft.operators.Lifecycle.rfmReport(
+      spark.read.parquet(ledger.path))
+  }
+
+  /** Streaming session-funnel maintenance (q277): q144 per
+    * micro-batch — the capstone of the behavioral twins. Two state
+    * tables:
+    *
+    *   - `anchors`, one row per user: (last_ts, last_event_id,
+    *     cur_session). A batch's events get session ids by re-entering
+    *     each user's anchor as a synthetic lag row (the q269 rule):
+    *     within 30 min of the anchor continues session `cur_session`,
+    *     a bigger gap opens `cur_session + 1`, and boundaries inside
+    *     the batch keep counting — so cross-batch numbering is exactly
+    *     the batch numbering. Max-merge (idempotent).
+    *   - `stages`, one row per (user, session): the q144 anchor ids
+    *     (tv, tc, tp), merged with the stage rules. Under the
+    *     id-ordered arrival contract each anchor is FINAL the moment
+    *     it is set (later events only carry larger ids), so the merge
+    *     is one coalesce per stage: tv' = coalesce(tv, min batch view
+    *     id); tc' = coalesce(tc, min batch click id > tv'); tp' =
+    *     coalesce(tc-wise). A click that predates its session's first
+    *     view can never qualify later (ids only grow) — dropping it is
+    *     exact, which is what makes (tv, tc, tp) a sufficient
+    *     statistic at SESSION grain instead of event grain.
+    *
+    * Order-sensitive, so the full durability discipline applies:
+    * arrival guard on event_id with the persisted batch watermark,
+    * stages folded before anchors (a crash between the two commits
+    * replays into a skipped stages fold + an anchors fold off its own
+    * pre-batch image — both exact), both ledgers gated against crash
+    * replays. Drain = the four q144 stage counts off the stages table;
+    * q144's SQL is the oracle for ANY micro-batching.
+    *
+    * 100 TB shape: state is users + sessions rows (never events); per
+    * batch, one window over batch ∪ anchors and three batch-grain
+    * stage joins. The reference's funnel analogue would rescan the
+    * event log; this never reads an event twice.
+    */
+  def streamingFunnel(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    val root = effectiveRoot(stateRoot, "funnel")
+    val stagesRoot = stateDir(root, "stages")
+    val anchorsRoot = stateDir(root, "anchors")
+    val stagesLedger = new VersionedLedger(spark, stagesRoot, root)
+    val anchorsLedger = new VersionedLedger(spark, anchorsRoot, root)
+    val lastBatchId = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val seenMax = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val reader = spark.readStream
+      .schema(eventsSchema(tsType))
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        if (lastBatchId.get == Long.MinValue)
+          batchMarkerMax(ss, anchorsRoot).foreach(lastBatchId.set)
+        if (seenMax.get == Long.MinValue && !anchorsLedger.isEmpty)
+          existingStateMax(ss, anchorsLedger.path, "last_event_id")
+            .foreach(seenMax.set)
+        batchOrderGuard(batch.toDF(), id, lastBatchId, seenMax,
+          idCol = "event_id")
+        root.foreach(_ => writeBatchMarker(ss, anchorsRoot, id))
+        val bev = batch.toDF()
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), lit(0).as("is_state"),
+            lit(null).cast("long").as("base"))
+        val anchors =
+          if (anchorsLedger.isEmpty) bev.limit(0)
+          else ss.read.parquet(anchorsLedger.path)
+            .select(col("user_id"), col("last_ts").as("ts"),
+              col("last_event_id").as("event_id"),
+              lit("__anchor").as("event_type"), lit(1).as("is_state"),
+              col("cur_session").as("base"))
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val assigned = bev.unionByName(anchors)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("is_state") === 1, lit(0L))
+              .when(col("prev_ts").isNull ||
+                col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"),
+                lit(1L))
+              .otherwise(lit(0L)))
+          .withColumn("base0",
+            coalesce(max(col("base")).over(
+              Window.partitionBy(col("user_id"))), lit(0L)))
+          .withColumn("session_id", col("base0") +
+            sum(col("new_session")).over(Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("is_state") === 0)
+          .select(col("user_id"), col("session_id"), col("event_type"),
+            col("event_id"), col("ts"))
+          .persist()
+        val keys = Seq("user_id", "session_id")
+        if (!stagesLedger.isReplayed(id)) {
+          val state =
+            if (stagesLedger.isEmpty)
+              assigned.select(col("user_id"), col("session_id"),
+                lit(null).cast("long").as("tv"),
+                lit(null).cast("long").as("tc"),
+                lit(null).cast("long").as("tp")).limit(0)
+            else ss.read.parquet(stagesLedger.path)
+          val bkeys = assigned.select(keys.map(col): _*).distinct()
+          val base = state.join(bkeys, keys, "full_outer")
+          val bv = assigned.filter(col("event_type") === "view")
+            .groupBy(keys.map(col): _*).agg(min(col("event_id")).as("bv"))
+          val m1 = base.join(bv, keys, "left")
+            .withColumn("tv2", coalesce(col("tv"), col("bv")))
+          val bc = assigned.filter(col("event_type") === "click")
+            .join(m1.select(col("user_id"), col("session_id"),
+              col("tv2")), keys)
+            .filter(col("event_id") > col("tv2"))
+            .groupBy(keys.map(col): _*).agg(min(col("event_id")).as("bc"))
+          val m2 = m1.join(bc, keys, "left")
+            .withColumn("tc2", coalesce(col("tc"), col("bc")))
+          val bp = assigned.filter(col("event_type") === "purchase")
+            .join(m2.select(col("user_id"), col("session_id"),
+              col("tc2")), keys)
+            .filter(col("event_id") > col("tc2"))
+            .groupBy(keys.map(col): _*).agg(min(col("event_id")).as("bp"))
+          val m3 = m2.join(bp, keys, "left")
+            .withColumn("tp2", coalesce(col("tp"), col("bp")))
+          stagesLedger.write(m3.select(col("user_id"), col("session_id"),
+            col("tv2").as("tv"), col("tc2").as("tc"),
+            col("tp2").as("tp")), id)
+        }
+        if (!anchorsLedger.isReplayed(id)) {
+          val bAnch = assigned.groupBy(col("user_id"))
+            .agg(max(col("ts")).as("last_ts"),
+              max(col("event_id")).as("last_event_id"),
+              max(col("session_id")).as("cur_session"))
+          val merged =
+            if (anchorsLedger.isEmpty) bAnch
+            else ss.read.parquet(anchorsLedger.path)
+              .unionByName(bAnch)
+              .groupBy(col("user_id"))
+              .agg(max(col("last_ts")).as("last_ts"),
+                max(col("last_event_id")).as("last_event_id"),
+                max(col("cur_session")).as("cur_session"))
+          anchorsLedger.write(merged, id)
+        }
+        assigned.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    val stages = spark.read.parquet(stagesLedger.path)
+    def cnt(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_sessions"))
+        .select(lit(name).as("stage"), col("n_sessions"))
+    cnt(stages, "s0_sessions")
+      .unionByName(cnt(stages.filter(col("tv").isNotNull), "s1_view"))
+      .unionByName(cnt(stages.filter(col("tc").isNotNull),
+        "s2_view_click"))
+      .unionByName(cnt(stages.filter(col("tp").isNotNull),
+        "s3_view_click_purchase"))
+      .orderBy(col("stage"))
+  }
 }

@@ -77,6 +77,58 @@ class Wave10Spec extends SparkSpec {
     } finally { Caches.releaseAll(spark); rmrf(root) }
   }
 
+  test("q277: a 3-file time-ordered split drains to the exact q144 " +
+    "funnel (sessions spanning batch boundaries keep their numbering " +
+    "and stage anchors), and a crash-replayed batch neither " +
+    "double-counts nor trips the arrival guard") {
+    import graft.operators.Sessionize
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = rows(Sessionize.sessionFunnel(spark, sfDir))
+    Caches.releaseAll(spark)
+    val root = tmpDir("graft_funsplit_")
+    val stateRoot = s"$root/store"
+    try {
+      splitEvents(root)
+      def run() = {
+        val r = rows(StreamingOps.streamingFunnel(spark, sfDir,
+          sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+          maxFilesPerTrigger = Some(1), stateRoot = Some(stateRoot)))
+        Caches.releaseAll(spark)
+        r
+      }
+      assert(run() == batch, "3-way split diverged from the batch funnel")
+      dropLatestCommit(stateRoot)
+      assert(run() == batch,
+        "crash-replayed batch double-counted or tripped the guard")
+    } finally { Caches.releaseAll(spark); rmrf(root) }
+  }
+
+  test("q279: a 3-file split drains to the exact q274 RFM cells, and " +
+    "a crash-replayed batch is not re-summed into the stats") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    val batch = rows(Lifecycle.rfmSegments(spark, sfDir))
+    Caches.releaseAll(spark)
+    val root = tmpDir("graft_rfmsplit_")
+    val stateRoot = s"$root/store"
+    try {
+      splitEvents(root)
+      def run() = {
+        val r = rows(StreamingOps.streamingRfm(spark, sfDir,
+          sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+          maxFilesPerTrigger = Some(1), stateRoot = Some(stateRoot)))
+        Caches.releaseAll(spark)
+        r
+      }
+      assert(run() == batch, "3-way split diverged from the batch RFM")
+      dropLatestCommit(stateRoot)
+      assert(run() == batch, "crash-replayed batch re-summed")
+    } finally { Caches.releaseAll(spark); rmrf(root) }
+  }
+
   test("lifecycle identities: active = new + retained + resurrected " +
     "per day, age-0 retention is 1.0, and cohort sizes sum to the " +
     "distinct-user count") {
