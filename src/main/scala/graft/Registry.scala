@@ -668,6 +668,26 @@ object Registry {
     // cohort x age revenue + cumulative LTV per acquired user —
     // the money view of q166's triangle, exact cents
     "q280_cohort_ltv" -> ((s, d) => Lifecycle.cohortLtv(s, d)),
+    // day-of-week baseline + residual z anomaly — the weekday-aware
+    // upgrade of q143's trailing-window anomaly
+    "q281_seasonal_baseline" -> ((s, d) =>
+      Lifecycle.seasonalBaseline(s, d)),
+    // funnel value by furthest stage — exclusive buckets partition
+    // q144's s0; f2 is the abandoned-cart mass
+    "q282_funnel_value_by_stage" -> ((s, d) =>
+      Sessionize.funnelValueByStage(s, d)),
+    // q271 per micro-batch: per-session event counts sum-merge
+    // through the funnel-stages state — shares q271's oracle
+    "q283_streaming_session_sizes" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingSessionSizes(s, d)),
+    // q280 per micro-batch: (user, day, cents) sum-merge through a
+    // gated ledger — shares q280's oracle
+    "q284_streaming_cohort_ltv" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingCohortLtv(s, d)),
+    // q278 per micro-batch: stage-timestamp state drains the exact
+    // decile fold — shares q278's oracle
+    "q285_streaming_funnel_latency" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingFunnelLatency(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -161,18 +161,30 @@ object Lifecycle {
     * cohorts (no self-join) and everything after runs on ≤ #days²
     * rows, where the cumulative window is cheap.
     */
-  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-    val byCohort = Window.partitionBy(col("cohort_day"))
-      .orderBy(col("age"))
-    Tables.events(spark, dir)
-      .select(col("user_id"),
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame =
+    ltvOf(userDayCentsOf(Tables.events(spark, dir)))
+
+  /** The (user, day, cents) grain — q280's mergeable sufficient
+    * statistic (cents sum-merge per (user, day)), kept as ledger state
+    * by q284's streaming twin.
+    */
+  private[graft] def userDayCentsOf(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"),
         expr(s"unix_micros(cast(ts as timestamp)) div $usPerDay")
           .as("day"),
         col("value"))
       .groupBy(col("user_id"), col("day"))
       .agg((sum(col("value").cast("decimal(18,2)")) * 100)
         .cast("long").as("cents"))
+
+  /** The q280 finish arithmetic over a (user, day, cents) grain —
+    * shared by the batch curve and q284's streaming drain.
+    */
+  private[graft] def ltvOf(udc: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val byCohort = Window.partitionBy(col("cohort_day"))
+      .orderBy(col("age"))
+    udc
       .withColumn("cohort_day", min(col("day")).over(byUser))
       .withColumn("age", col("day") - col("cohort_day"))
       .groupBy(col("cohort_day"), col("age"))
@@ -190,6 +202,53 @@ object Lifecycle {
         col("cents"), col("cohort_size"), col("cum_cents"),
         col("ltv_cents_per_user"))
       .orderBy(col("cohort_day"), col("age"))
+  }
+
+  /** Seasonal baseline + residual anomaly (q281): per (event_type,
+    * day), the observed daily count against that type's day-of-week
+    * baseline (mean/stddev over all observed days sharing the
+    * weekday), with the z-score and a |z| > 2 flag — the
+    * weekday-aware upgrade of q143's trailing-window anomaly (a
+    * Saturday dip is only anomalous vs other Saturdays). Day-of-week
+    * is exact integer arithmetic — `(epoch_day + 4) % 7`, 0 = Sunday
+    * (1970-01-01 was a Thursday) — identical in both engines, no
+    * calendar functions. Variance is the population form from exact
+    * integer sums (Σn, Σn²); the baseline includes the day itself
+    * (a pure lookup table, not a leave-one-out test).
+    *
+    * 100 TB shape: events collapse once to (type, day) counts —
+    * map-side combined; the baseline is a second aggregate onto
+    * #types × 7 rows broadcast back over the daily grid. Both windows
+    * of q143's discipline, neither over the event stream.
+    */
+  def seasonalBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr(s"unix_micros(cast(ts as timestamp)) div $usPerDay")
+          .as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", (col("day") + 4L) % 7L)
+    val base = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+      .withColumn("mean", col("s").cast("double") / col("n_days").cast("double"))
+      .withColumn("variance",
+        (col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n_days").cast("double")) / col("n_days").cast("double"))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        col("mean"), col("variance"))
+    daily.join(broadcast(base), Seq("event_type", "dow"))
+      .withColumn("z",
+        when(col("variance") <= 0.0, lit(0.0))
+          .otherwise((col("n").cast("double") - col("mean")) /
+            sqrt(col("variance"))))
+      .withColumn("is_anomaly",
+        when(abs(col("z")) > 2.0, 1L).otherwise(0L))
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        col("n_days"), col("mean"), col("z"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
   }
 
   def dauWauStickiness(spark: SparkSession, dir: String): DataFrame = {

@@ -208,7 +208,15 @@ object Sessionize {
     * to ≤ ~40 bucket rows by one map-side-combined aggregate.
     */
   def sessionSizeHistogram(spark: SparkSession, dir: String): DataFrame =
-    sessions(spark, dir)
+    sizeHistogramOf(sessions(spark, dir))
+
+  /** The q271 bucket rollup over any (n_events)-carrying session
+    * grain — shared by the batch histogram and q283's streaming drain
+    * (per-session event counts sum-merge, so the session grain is the
+    * mergeable sufficient statistic).
+    */
+  private[graft] def sizeHistogramOf(sess: DataFrame): DataFrame =
+    sess
       .withColumn("bucket",
         when(col("n_events") <= 1L, lit(0L))
           .otherwise(length(bin(col("n_events"))).cast("long") - 1L))
@@ -284,8 +292,9 @@ object Sessionize {
   }
 
   /** The q20 sessionization frame — (user_id, session_id, event_type,
-    * event_id, ts) — shared by q144's funnel and q278's stage
-    * latencies (one window sort, many readers).
+    * event_id, ts, value) — shared by q144's funnel, q278's stage
+    * latencies and q282's stage values (one window sort, many
+    * readers).
     */
   private def sessionedEvents(spark: SparkSession, dir: String)
       : DataFrame = {
@@ -301,7 +310,48 @@ object Sessionize {
         sum(col("new_session")).over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("user_id"), col("session_id"), col("event_type"),
-        col("event_id"), col("ts"))
+        col("event_id"), col("ts"), col("value"))
+  }
+
+  /** Funnel value by furthest stage (q282): every session bucketed by
+    * the deepest q144 stage it reached — no view / view only / click
+    * but no purchase / purchased — with exact session-value cents per
+    * bucket. This is the "how much money is stuck at each stage"
+    * table: f2 is the abandoned-cart mass q144's counts only imply.
+    * Buckets are EXCLUSIVE (each session counted once), so the n_
+    * column partitions q144's s0 exactly — spec-asserted.
+    *
+    * 100 TB shape: rides q144's chain (one sessionization sort, three
+    * session-grain stage aggregates) plus one session-grain cent sum;
+    * the stitch joins are all at session grain and the output is 4
+    * rows.
+    */
+  def funnelValueByStage(spark: SparkSession, dir: String): DataFrame = {
+    val ev = sessionedEvents(spark, dir)
+    val keys = Seq("user_id", "session_id")
+    val cents = ev.groupBy(keys.map(col): _*)
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy(keys.map(col): _*).agg(min(col("event_id")).as("tv"))
+    val tc = ev.filter(col("event_type") === "click")
+      .join(tv, keys).filter(col("event_id") > col("tv"))
+      .groupBy(keys.map(col): _*).agg(min(col("event_id")).as("tc"))
+    val tp = ev.filter(col("event_type") === "purchase")
+      .join(tc, keys).filter(col("event_id") > col("tc"))
+      .groupBy(keys.map(col): _*).agg(min(col("event_id")).as("tp"))
+    cents
+      .join(tv, keys, "left").join(tc, keys, "left")
+      .join(tp, keys, "left")
+      .withColumn("stage",
+        when(col("tp").isNotNull, "f3_purchased")
+          .when(col("tc").isNotNull, "f2_click_no_purchase")
+          .when(col("tv").isNotNull, "f1_view_only")
+          .otherwise("f0_no_view"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("cents")).as("cents"))
+      .orderBy(col("stage"))
   }
 
   /** Funnel stage-latency deciles (q278): for the two q144 stage
@@ -343,8 +393,17 @@ object Sessionize {
         floor((expr(s"unix_micros(cast($b as timestamp))") -
           expr(s"unix_micros(cast($a as timestamp))")) /
           lit(1000000L)).cast("long").as("gap_sec"))
-    val hist = gaps(tc, "tv_ts", "tc_ts", "t1_view_to_click")
-      .unionByName(gaps(tp, "tc_ts", "tp_ts", "t2_click_to_purchase"))
+    latencyDeciles(
+      gaps(tc, "tv_ts", "tc_ts", "t1_view_to_click")
+        .unionByName(gaps(tp, "tc_ts", "tp_ts", "t2_click_to_purchase")))
+  }
+
+  /** The q278 decile-selection fold over (transition, gap_sec) rows —
+    * shared by the batch latencies and q285's streaming drain (the
+    * stage-timestamp state carries everything the gaps need).
+    */
+  private[graft] def latencyDeciles(gapRows: DataFrame): DataFrame = {
+    val hist = gapRows
       .groupBy(col("transition"), col("gap_sec"))
       .agg(count(lit(1)).as("cnt"))
     val byT = Window.partitionBy(col("transition"))

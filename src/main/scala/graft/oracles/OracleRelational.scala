@@ -462,23 +462,11 @@ private[graft] object OracleRelational {
         "from2, from1, to_type, n FROM c ORDER BY rank"),
     // q271: log2 histogram of events-per-session over q20's sessions
     // — the bit-length bucket rule on the session grain
-    "q271_session_size_histogram" ->
-      ("WITH g AS (SELECT user_id, ts, event_id, " +
-        "CASE WHEN LAG(ts) OVER w IS NULL OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
-        "THEN 1 ELSE 0 END AS new_session FROM events " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
-        "s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g), " +
-        "z AS (SELECT user_id, session_id, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_events FROM s GROUP BY 1, 2), " +
-        "b AS (SELECT CASE WHEN n_events <= 1 THEN 0 " +
-        "ELSE CAST(length(bin(n_events)) - 1 AS BIGINT) END AS bucket, " +
-        "n_events FROM z) " +
-        "SELECT CAST(bucket AS BIGINT) AS bucket, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_sessions, " +
-        "CAST(SUM(n_events) AS BIGINT) AS n_events, " +
-        "MIN(n_events) AS min_events, MAX(n_events) AS max_events " +
-        "FROM b GROUP BY 1 ORDER BY bucket"),
+    "q271_session_size_histogram" -> q271Sql,
+    // q283: q271 per micro-batch (per-session counts sum-merge
+    // through the funnel-stages state) — shares q271's oracle
+    "q283_streaming_session_sizes" -> q271Sql,
+    
     // q272: q257's kept rate at four candidate gaps from one lag —
     // the oracle evaluates the grid via a cross join; the engine uses
     // conditional sums + stack (same cells)
@@ -527,8 +515,45 @@ private[graft] object OracleRelational {
     // q278: exact stage-latency deciles for the two q144 funnel
     // transitions — the q144 CTE chain with ts mins + the q200
     // decile-selection arithmetic over a (transition, gap) histogram
-    "q278_funnel_latency_deciles" ->
-      ("WITH g0 AS (SELECT user_id, ts, event_id, event_type, " +
+    "q278_funnel_latency_deciles" -> q278Sql,
+    // q285: q278 per micro-batch (stage-timestamp state + the exact
+    // decile fold at drain) — shares q278's oracle verbatim
+    "q285_streaming_funnel_latency" -> q278Sql,
+    
+    // q280: cohort x age revenue + cumulative LTV per acquired user —
+    // exact cents (the q274 discipline) on the lifecycle grain
+    "q280_cohort_ltv" -> q280Sql,
+    // q284: q280 per micro-batch ((user, day, cents) sum-merge
+    // through a gated ledger) — shares q280's oracle verbatim
+    "q284_streaming_cohort_ltv" -> q280Sql,
+    
+    // q281: day-of-week baseline + residual z anomaly — exact integer
+    // dow via (epoch_day + 4) % 7, population variance from Σn / Σn²
+    "q281_seasonal_baseline" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "d2 AS (SELECT *, (day + 4) % 7 AS dow FROM daily), " +
+        "b AS (SELECT event_type, dow, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "SUM(n) AS s, SUM(n * n) AS ss FROM d2 GROUP BY 1, 2), " +
+        "j AS (SELECT d2.event_type, d2.day, d2.dow, d2.n, b.n_days, " +
+        "CAST(b.s AS DOUBLE) / CAST(b.n_days AS DOUBLE) AS mean, " +
+        "(CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * " +
+        "CAST(b.s AS DOUBLE) / CAST(b.n_days AS DOUBLE)) / " +
+        "CAST(b.n_days AS DOUBLE) AS variance " +
+        "FROM d2 JOIN b ON d2.event_type = b.event_type " +
+        "AND d2.dow = b.dow), " +
+        "z AS (SELECT *, CASE WHEN variance <= 0 THEN 0.0 ELSE " +
+        "(CAST(n AS DOUBLE) - mean) / sqrt(variance) END AS z FROM j) " +
+        "SELECT event_type, CAST(day AS BIGINT) AS day, " +
+        "CAST(dow AS BIGINT) AS dow, n, n_days, mean, z, " +
+        "CAST(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS is_anomaly FROM z ORDER BY event_type, day"),
+    // q282: funnel value by furthest stage — q144's chain plus exact
+    // session cents; exclusive buckets partition q144's s0
+    "q282_funnel_value_by_stage" ->
+      ("WITH g0 AS (SELECT user_id, ts, event_id, event_type, value, " +
         "CASE WHEN LAG(ts) OVER w IS NULL OR " +
         "ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
         "THEN 1 ELSE 0 END AS new_session FROM events " +
@@ -536,66 +561,35 @@ private[graft] object OracleRelational {
         "g AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id " +
         "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
         "CURRENT ROW) AS session_id FROM g0), " +
-        "tv AS (SELECT user_id, session_id, MIN(event_id) AS tv, " +
-        "MIN(ts) AS tv_ts FROM g WHERE event_type = 'view' " +
-        "GROUP BY 1, 2), " +
+        "cents AS (SELECT user_id, session_id, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) " +
+        "AS cents FROM g GROUP BY 1, 2), " +
+        "tv AS (SELECT user_id, session_id, MIN(event_id) AS tv " +
+        "FROM g WHERE event_type = 'view' GROUP BY 1, 2), " +
         "tc AS (SELECT g.user_id, g.session_id, " +
-        "MIN(g.event_id) AS tc, MIN(g.ts) AS tc_ts, " +
-        "MIN(tv.tv_ts) AS tv_ts FROM g JOIN tv " +
+        "MIN(g.event_id) AS tc FROM g JOIN tv " +
         "ON g.user_id = tv.user_id AND g.session_id = tv.session_id " +
         "WHERE g.event_type = 'click' AND g.event_id > tv.tv " +
         "GROUP BY 1, 2), " +
-        "tp AS (SELECT g.user_id, g.session_id, MIN(g.ts) AS tp_ts, " +
-        "MIN(tc.tc_ts) AS tc_ts FROM g JOIN tc " +
+        "tp AS (SELECT g.user_id, g.session_id, " +
+        "MIN(g.event_id) AS tp FROM g JOIN tc " +
         "ON g.user_id = tc.user_id AND g.session_id = tc.session_id " +
         "WHERE g.event_type = 'purchase' AND g.event_id > tc.tc " +
         "GROUP BY 1, 2), " +
-        "lat AS (SELECT 't1_view_to_click' AS transition, " +
-        "CAST(FLOOR((epoch_us(CAST(tc_ts AS TIMESTAMP)) - " +
-        "epoch_us(CAST(tv_ts AS TIMESTAMP))) / 1000000.0) AS BIGINT) " +
-        "AS gap_sec FROM tc UNION ALL " +
-        "SELECT 't2_click_to_purchase' AS transition, " +
-        "CAST(FLOOR((epoch_us(CAST(tp_ts AS TIMESTAMP)) - " +
-        "epoch_us(CAST(tc_ts AS TIMESTAMP))) / 1000000.0) AS BIGINT) " +
-        "AS gap_sec FROM tp), " +
-        "h AS (SELECT transition, gap_sec, " +
-        "CAST(COUNT(*) AS BIGINT) AS cnt FROM lat GROUP BY 1, 2), " +
-        "cm AS (SELECT transition, gap_sec, cnt, " +
-        "SUM(cnt) OVER (PARTITION BY transition ORDER BY gap_sec) AS cum, " +
-        "SUM(cnt) OVER (PARTITION BY transition) AS n FROM h), " +
-        "dd AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS decile) " +
-        "SELECT transition, CAST(dd.decile AS BIGINT) AS decile, " +
-        "gap_sec, CAST(n AS BIGINT) AS n_transitions " +
-        "FROM cm CROSS JOIN dd " +
-        "WHERE CAST(CEIL(CAST(dd.decile AS DOUBLE) * CAST(n AS DOUBLE) " +
-        "/ 10.0) AS BIGINT) > cum - cnt " +
-        "AND CAST(CEIL(CAST(dd.decile AS DOUBLE) * CAST(n AS DOUBLE) " +
-        "/ 10.0) AS BIGINT) <= cum " +
-        "ORDER BY transition, decile"),
-    // q280: cohort x age revenue + cumulative LTV per acquired user —
-    // exact cents (the q274 discipline) on the lifecycle grain
-    "q280_cohort_ltv" ->
-      ("WITH udc AS (SELECT user_id, " +
-        "epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) " +
-        "AS cents FROM events GROUP BY 1, 2), " +
-        "c AS (SELECT *, MIN(day) OVER (PARTITION BY user_id) " +
-        "AS cohort_day FROM udc), " +
-        "a AS (SELECT cohort_day, day - cohort_day AS age, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_users, " +
-        "CAST(SUM(cents) AS BIGINT) AS cents FROM c GROUP BY 1, 2) " +
-        "SELECT CAST(cohort_day AS BIGINT) AS cohort_day, " +
-        "CAST(age AS BIGINT) AS age, n_users, cents, " +
-        "CAST(FIRST_VALUE(n_users) OVER cw AS BIGINT) AS cohort_size, " +
-        "CAST(SUM(cents) OVER (PARTITION BY cohort_day ORDER BY age " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
-        "AS cum_cents, " +
-        "CAST(SUM(cents) OVER (PARTITION BY cohort_day ORDER BY age " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / " +
-        "CAST(FIRST_VALUE(n_users) OVER cw AS DOUBLE) " +
-        "AS ltv_cents_per_user " +
-        "FROM a WINDOW cw AS (PARTITION BY cohort_day ORDER BY age) " +
-        "ORDER BY cohort_day, age"),
+        "st AS (SELECT c.user_id, c.session_id, c.cents, " +
+        "CASE WHEN tp.tp IS NOT NULL THEN 'f3_purchased' " +
+        "WHEN tc.tc IS NOT NULL THEN 'f2_click_no_purchase' " +
+        "WHEN tv.tv IS NOT NULL THEN 'f1_view_only' " +
+        "ELSE 'f0_no_view' END AS stage FROM cents c " +
+        "LEFT JOIN tv ON c.user_id = tv.user_id " +
+        "AND c.session_id = tv.session_id " +
+        "LEFT JOIN tc ON c.user_id = tc.user_id " +
+        "AND c.session_id = tc.session_id " +
+        "LEFT JOIN tp ON c.user_id = tp.user_id " +
+        "AND c.session_id = tp.session_id) " +
+        "SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_sessions, " +
+        "CAST(SUM(cents) AS BIGINT) AS cents FROM st " +
+        "GROUP BY 1 ORDER BY stage"),
     // q273: per-day new/retained/resurrected/churned split — one
     // user-partitioned lag+lead over the (user, day) grain
     "q273_growth_accounting" ->
@@ -659,6 +653,93 @@ private[graft] object OracleRelational {
       "CAST(n_active AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) " +
       "AS retention " +
       "FROM g JOIN sz USING (cohort) ORDER BY cohort, day_offset")
+
+  private def q271Sql: String =
+    ("WITH g AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g), " +
+        "z AS (SELECT user_id, session_id, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events FROM s GROUP BY 1, 2), " +
+        "b AS (SELECT CASE WHEN n_events <= 1 THEN 0 " +
+        "ELSE CAST(length(bin(n_events)) - 1 AS BIGINT) END AS bucket, " +
+        "n_events FROM z) " +
+        "SELECT CAST(bucket AS BIGINT) AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_sessions, " +
+        "CAST(SUM(n_events) AS BIGINT) AS n_events, " +
+        "MIN(n_events) AS min_events, MAX(n_events) AS max_events " +
+        "FROM b GROUP BY 1 ORDER BY bucket")
+
+  private def q278Sql: String =
+    ("WITH g0 AS (SELECT user_id, ts, event_id, event_type, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR " +
+        "ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS session_id FROM g0), " +
+        "tv AS (SELECT user_id, session_id, MIN(event_id) AS tv, " +
+        "MIN(ts) AS tv_ts FROM g WHERE event_type = 'view' " +
+        "GROUP BY 1, 2), " +
+        "tc AS (SELECT g.user_id, g.session_id, " +
+        "MIN(g.event_id) AS tc, MIN(g.ts) AS tc_ts, " +
+        "MIN(tv.tv_ts) AS tv_ts FROM g JOIN tv " +
+        "ON g.user_id = tv.user_id AND g.session_id = tv.session_id " +
+        "WHERE g.event_type = 'click' AND g.event_id > tv.tv " +
+        "GROUP BY 1, 2), " +
+        "tp AS (SELECT g.user_id, g.session_id, MIN(g.ts) AS tp_ts, " +
+        "MIN(tc.tc_ts) AS tc_ts FROM g JOIN tc " +
+        "ON g.user_id = tc.user_id AND g.session_id = tc.session_id " +
+        "WHERE g.event_type = 'purchase' AND g.event_id > tc.tc " +
+        "GROUP BY 1, 2), " +
+        "lat AS (SELECT 't1_view_to_click' AS transition, " +
+        "CAST(FLOOR((epoch_us(CAST(tc_ts AS TIMESTAMP)) - " +
+        "epoch_us(CAST(tv_ts AS TIMESTAMP))) / 1000000.0) AS BIGINT) " +
+        "AS gap_sec FROM tc UNION ALL " +
+        "SELECT 't2_click_to_purchase' AS transition, " +
+        "CAST(FLOOR((epoch_us(CAST(tp_ts AS TIMESTAMP)) - " +
+        "epoch_us(CAST(tc_ts AS TIMESTAMP))) / 1000000.0) AS BIGINT) " +
+        "AS gap_sec FROM tp), " +
+        "h AS (SELECT transition, gap_sec, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM lat GROUP BY 1, 2), " +
+        "cm AS (SELECT transition, gap_sec, cnt, " +
+        "SUM(cnt) OVER (PARTITION BY transition ORDER BY gap_sec) AS cum, " +
+        "SUM(cnt) OVER (PARTITION BY transition) AS n FROM h), " +
+        "dd AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS decile) " +
+        "SELECT transition, CAST(dd.decile AS BIGINT) AS decile, " +
+        "gap_sec, CAST(n AS BIGINT) AS n_transitions " +
+        "FROM cm CROSS JOIN dd " +
+        "WHERE CAST(CEIL(CAST(dd.decile AS DOUBLE) * CAST(n AS DOUBLE) " +
+        "/ 10.0) AS BIGINT) > cum - cnt " +
+        "AND CAST(CEIL(CAST(dd.decile AS DOUBLE) * CAST(n AS DOUBLE) " +
+        "/ 10.0) AS BIGINT) <= cum " +
+        "ORDER BY transition, decile")
+
+  private def q280Sql: String =
+    ("WITH udc AS (SELECT user_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) " +
+        "AS cents FROM events GROUP BY 1, 2), " +
+        "c AS (SELECT *, MIN(day) OVER (PARTITION BY user_id) " +
+        "AS cohort_day FROM udc), " +
+        "a AS (SELECT cohort_day, day - cohort_day AS age, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(cents) AS BIGINT) AS cents FROM c GROUP BY 1, 2) " +
+        "SELECT CAST(cohort_day AS BIGINT) AS cohort_day, " +
+        "CAST(age AS BIGINT) AS age, n_users, cents, " +
+        "CAST(FIRST_VALUE(n_users) OVER cw AS BIGINT) AS cohort_size, " +
+        "CAST(SUM(cents) OVER (PARTITION BY cohort_day ORDER BY age " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS cum_cents, " +
+        "CAST(SUM(cents) OVER (PARTITION BY cohort_day ORDER BY age " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / " +
+        "CAST(FIRST_VALUE(n_users) OVER cw AS DOUBLE) " +
+        "AS ltv_cents_per_user " +
+        "FROM a WINDOW cw AS (PARTITION BY cohort_day ORDER BY age) " +
+        "ORDER BY cohort_day, age")
 
   private def q144Sql: String =
     ("WITH g0 AS (SELECT user_id, ts, event_id, event_type, " +

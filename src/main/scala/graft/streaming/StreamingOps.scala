@@ -3154,7 +3154,131 @@ object StreamingOps {
       sourceGlob: String = "events.parquet",
       maxFilesPerTrigger: Option[Int] = None,
       stateRoot: Option[String] = None): DataFrame = {
-    val root = effectiveRoot(stateRoot, "funnel")
+    val stages = funnelStages(spark, dir, "funnel", sourceDir,
+      sourceGlob, maxFilesPerTrigger, stateRoot)
+    def cnt(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_sessions"))
+        .select(lit(name).as("stage"), col("n_sessions"))
+    cnt(stages, "s0_sessions")
+      .unionByName(cnt(stages.filter(col("tv").isNotNull), "s1_view"))
+      .unionByName(cnt(stages.filter(col("tc").isNotNull),
+        "s2_view_click"))
+      .unionByName(cnt(stages.filter(col("tp").isNotNull),
+        "s3_view_click_purchase"))
+      .orderBy(col("stage"))
+  }
+
+  /** Streaming funnel-latency maintenance (q285): q278 per
+    * micro-batch. The [[funnelStages]] state already carries each
+    * stage anchor's TIMESTAMP next to its event id (one coalesce per
+    * batch, final under the arrival contract), so the drained session
+    * grain holds every elapsed-seconds gap and the drain is exactly
+    * q278's decile fold — q278's SQL is the oracle for ANY
+    * micro-batching. Same state family as q277 (a 24/7 operator runs
+    * the fold once and reads both reports off it).
+    */
+  def streamingFunnelLatency(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    val stages = funnelStages(spark, dir, "funnel_lat", sourceDir,
+      sourceGlob, maxFilesPerTrigger, stateRoot)
+    def gaps(df: DataFrame, a: String, b: String, name: String) =
+      df.select(lit(name).as("transition"),
+        floor((expr(s"unix_micros(cast($b as timestamp))") -
+          expr(s"unix_micros(cast($a as timestamp))")) /
+          lit(1000000L)).cast("long").as("gap_sec"))
+    graft.operators.Sessionize.latencyDeciles(
+      gaps(stages.filter(col("tc").isNotNull), "tv_ts", "tc_ts",
+        "t1_view_to_click")
+        .unionByName(gaps(stages.filter(col("tp").isNotNull), "tc_ts",
+          "tp_ts", "t2_click_to_purchase")))
+  }
+
+  /** Streaming session-size maintenance (q283): q271 per micro-batch.
+    * Per-session event counts sum-merge through the [[funnelStages]]
+    * state (`n_events` rides the same gated ledger as the stage
+    * anchors), so the drained session grain feeds the exact q271
+    * bucket rollup — q271's SQL is the oracle for ANY micro-batching.
+    */
+  def streamingSessionSizes(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.Sessionize.sizeHistogramOf(
+      funnelStages(spark, dir, "sess_sizes", sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+
+  /** Streaming cohort-LTV maintenance (q284): q280 per micro-batch.
+    * The (user, day, cents) grain is the mergeable sufficient
+    * statistic — cents sum-merge per (user, day), cohorts re-derived
+    * at drain by the same min-over-user — so each batch folds one
+    * map-side-combined aggregate into the gated ledger and the drain
+    * runs [[graft.operators.Lifecycle.ltvOf]] (the q280 finish)
+    * verbatim: q280's SQL is the oracle for ANY micro-batching.
+    * Sum-merge commutes (order-insensitive, no arrival contract) but
+    * is not idempotent, so the ledger gate skips crash replays.
+    *
+    * 100 TB shape: state is users × active-days rows (the q276 grain
+    * plus one long); per-batch work is one aggregate of the batch
+    * plus a grain-scale merge — revenue history is never rescanned.
+    */
+  def streamingCohortLtv(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    val root = effectiveRoot(stateRoot, "ltv")
+    val udcRoot = stateDir(root, "user_day_cents")
+    val ledger = new VersionedLedger(spark, udcRoot, root)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val reader = spark.readStream
+      .schema(eventsSchema(tsType))
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (!ledger.isReplayed(id)) {
+          val bUdc = graft.operators.Lifecycle.userDayCentsOf(batch.toDF())
+          val merged =
+            if (ledger.isEmpty) bUdc
+            else ss.read.parquet(ledger.path)
+              .unionByName(bUdc)
+              .groupBy(col("user_id"), col("day"))
+              .agg(sum(col("cents")).as("cents"))
+          ledger.write(merged, id)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    graft.operators.Lifecycle.ltvOf(
+      spark.read.parquet(ledger.path))
+  }
+
+  /** The shared stateful core behind q277 / q283 / q285: maintains
+    * per-user session ANCHORS and the per-(user, session) grain —
+    * stage anchor ids AND timestamps (tv, tc, tp + _ts) plus the
+    * session's event count — and returns the drained session table.
+    * See [[streamingFunnel]] for the merge rules and the durability
+    * discipline.
+    */
+  private def funnelStages(spark: SparkSession, dir: String,
+      op: String,
+      sourceDir: Option[String],
+      sourceGlob: String,
+      maxFilesPerTrigger: Option[Int],
+      stateRoot: Option[String]): DataFrame = {
+    val root = effectiveRoot(stateRoot, op)
     val stagesRoot = stateDir(root, "stages")
     val anchorsRoot = stateDir(root, "anchors")
     val stagesLedger = new VersionedLedger(spark, stagesRoot, root)
@@ -3217,36 +3341,52 @@ object StreamingOps {
           .persist()
         val keys = Seq("user_id", "session_id")
         if (!stagesLedger.isReplayed(id)) {
+          val tsT = assigned.schema("ts").dataType.sql
           val state =
             if (stagesLedger.isEmpty)
               assigned.select(col("user_id"), col("session_id"),
                 lit(null).cast("long").as("tv"),
+                lit(null).cast(tsT).as("tv_ts"),
                 lit(null).cast("long").as("tc"),
-                lit(null).cast("long").as("tp")).limit(0)
+                lit(null).cast(tsT).as("tc_ts"),
+                lit(null).cast("long").as("tp"),
+                lit(null).cast(tsT).as("tp_ts"),
+                lit(null).cast("long").as("n_events")).limit(0)
             else ss.read.parquet(stagesLedger.path)
-          val bkeys = assigned.select(keys.map(col): _*).distinct()
-          val base = state.join(bkeys, keys, "full_outer")
+          val bn = assigned.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("bn"))
+          val base = state.join(bn, keys, "full_outer")
+            .withColumn("ne2", coalesce(col("n_events"), lit(0L)) +
+              coalesce(col("bn"), lit(0L)))
           val bv = assigned.filter(col("event_type") === "view")
-            .groupBy(keys.map(col): _*).agg(min(col("event_id")).as("bv"))
+            .groupBy(keys.map(col): _*)
+            .agg(min(col("event_id")).as("bv"), min(col("ts")).as("bv_ts"))
           val m1 = base.join(bv, keys, "left")
             .withColumn("tv2", coalesce(col("tv"), col("bv")))
+            .withColumn("tv2_ts", coalesce(col("tv_ts"), col("bv_ts")))
           val bc = assigned.filter(col("event_type") === "click")
             .join(m1.select(col("user_id"), col("session_id"),
               col("tv2")), keys)
             .filter(col("event_id") > col("tv2"))
-            .groupBy(keys.map(col): _*).agg(min(col("event_id")).as("bc"))
+            .groupBy(keys.map(col): _*)
+            .agg(min(col("event_id")).as("bc"), min(col("ts")).as("bc_ts"))
           val m2 = m1.join(bc, keys, "left")
             .withColumn("tc2", coalesce(col("tc"), col("bc")))
+            .withColumn("tc2_ts", coalesce(col("tc_ts"), col("bc_ts")))
           val bp = assigned.filter(col("event_type") === "purchase")
             .join(m2.select(col("user_id"), col("session_id"),
               col("tc2")), keys)
             .filter(col("event_id") > col("tc2"))
-            .groupBy(keys.map(col): _*).agg(min(col("event_id")).as("bp"))
+            .groupBy(keys.map(col): _*)
+            .agg(min(col("event_id")).as("bp"), min(col("ts")).as("bp_ts"))
           val m3 = m2.join(bp, keys, "left")
             .withColumn("tp2", coalesce(col("tp"), col("bp")))
+            .withColumn("tp2_ts", coalesce(col("tp_ts"), col("bp_ts")))
           stagesLedger.write(m3.select(col("user_id"), col("session_id"),
-            col("tv2").as("tv"), col("tc2").as("tc"),
-            col("tp2").as("tp")), id)
+            col("tv2").as("tv"), col("tv2_ts").as("tv_ts"),
+            col("tc2").as("tc"), col("tc2_ts").as("tc_ts"),
+            col("tp2").as("tp"), col("tp2_ts").as("tp_ts"),
+            col("ne2").as("n_events")), id)
         }
         if (!anchorsLedger.isReplayed(id)) {
           val bAnch = assigned.groupBy(col("user_id"))
@@ -3269,16 +3409,6 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
     val q = startWithCheckpoint(w, root)
     q.awaitTermination()
-    val stages = spark.read.parquet(stagesLedger.path)
-    def cnt(df: DataFrame, name: String) =
-      df.agg(count(lit(1)).as("n_sessions"))
-        .select(lit(name).as("stage"), col("n_sessions"))
-    cnt(stages, "s0_sessions")
-      .unionByName(cnt(stages.filter(col("tv").isNotNull), "s1_view"))
-      .unionByName(cnt(stages.filter(col("tc").isNotNull),
-        "s2_view_click"))
-      .unionByName(cnt(stages.filter(col("tp").isNotNull),
-        "s3_view_click_purchase"))
-      .orderBy(col("stage"))
+    spark.read.parquet(stagesLedger.path)
   }
 }

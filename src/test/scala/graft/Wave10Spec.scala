@@ -129,6 +129,77 @@ class Wave10Spec extends SparkSpec {
     } finally { Caches.releaseAll(spark); rmrf(root) }
   }
 
+  test("q283: a 3-file split drains to the exact q271 size histogram " +
+    "(per-session counts sum-merge across batch boundaries), and a " +
+    "crash-replayed batch is not re-summed") {
+    import graft.operators.Sessionize
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val batch = rows(Sessionize.sessionSizeHistogram(spark, sfDir))
+    Caches.releaseAll(spark)
+    val root = tmpDir("graft_szsplit_")
+    val stateRoot = s"$root/store"
+    try {
+      splitEvents(root)
+      def run() = {
+        val r = rows(StreamingOps.streamingSessionSizes(spark, sfDir,
+          sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+          maxFilesPerTrigger = Some(1), stateRoot = Some(stateRoot)))
+        Caches.releaseAll(spark)
+        r
+      }
+      assert(run() == batch, "3-way split diverged from the batch histogram")
+      dropLatestCommit(stateRoot)
+      assert(run() == batch, "crash-replayed batch re-summed")
+    } finally { Caches.releaseAll(spark); rmrf(root) }
+  }
+
+  test("q285: a 3-file split drains to the exact q278 latency " +
+    "deciles (stage timestamps survive the cross-batch merge)") {
+    import graft.operators.Sessionize
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val batch = rows(Sessionize.funnelLatencyDeciles(spark, sfDir))
+    Caches.releaseAll(spark)
+    val root = tmpDir("graft_latsplit_")
+    try {
+      splitEvents(root)
+      val r = rows(StreamingOps.streamingFunnelLatency(spark, sfDir,
+        sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1),
+        stateRoot = Some(s"$root/store")))
+      Caches.releaseAll(spark)
+      assert(r == batch, "3-way split diverged from the batch deciles")
+    } finally { Caches.releaseAll(spark); rmrf(root) }
+  }
+
+  test("q284: a 3-file split drains to the exact q280 LTV curve, and " +
+    "a crash-replayed batch is not re-summed into the cents") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getDouble(6))).toSeq
+    val batch = rows(Lifecycle.cohortLtv(spark, sfDir))
+    Caches.releaseAll(spark)
+    val root = tmpDir("graft_ltvsplit_")
+    val stateRoot = s"$root/store"
+    try {
+      splitEvents(root)
+      def run() = {
+        val r = rows(StreamingOps.streamingCohortLtv(spark, sfDir,
+          sourceDir = Some(s"$root/stream"), sourceGlob = "*.parquet",
+          maxFilesPerTrigger = Some(1), stateRoot = Some(stateRoot)))
+        Caches.releaseAll(spark)
+        r
+      }
+      assert(run() == batch, "3-way split diverged from the batch LTV")
+      dropLatestCommit(stateRoot)
+      assert(run() == batch, "crash-replayed batch re-summed")
+    } finally { Caches.releaseAll(spark); rmrf(root) }
+  }
+
   test("lifecycle identities: active = new + retained + resurrected " +
     "per day, age-0 retention is 1.0, and cohort sizes sum to the " +
     "distinct-user count") {
@@ -153,6 +224,19 @@ class Wave10Spec extends SparkSpec {
       "cohort sizes at age 0 must partition the distinct users")
     // total new users across growth accounting = distinct users too
     assert(ga.map(_.getAs[Long]("n_new")).sum == nUsers)
+  }
+
+  test("q282: the exclusive stage buckets partition q144's session " +
+    "count, and f3 matches q144's s3") {
+    import graft.operators.Sessionize
+    val byStage = Sessionize.funnelValueByStage(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val funnel = Sessionize.sessionFunnel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage.values.sum == funnel("s0_sessions"),
+      "stage buckets must partition the session set")
+    assert(byStage.getOrElse("f3_purchased", 0L) ==
+      funnel("s3_view_click_purchase"))
   }
 
   test("q275: every WAU covers its day's DAU and never exceeds the " +
