@@ -688,6 +688,20 @@ object Registry {
     // decile fold — shares q278's oracle
     "q285_streaming_funnel_latency" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingFunnelLatency(s, d)),
+    // per-label simplified silhouette (O(n*k) centroid form) — the
+    // vector-grain internal-validity score; negatives = label noise
+    "q286_simplified_silhouette" -> ((s, d) =>
+      Similarity.simplifiedSilhouette(s, d)),
+    // exact ROC AUC: trained NB score vs the n_chars baseline — the
+    // Mann-Whitney histogram fold, two-phase prefix sum
+    "q287_nb_auc" -> ((s, d) => QualityModel.nbAuc(s, d)),
+    // per-label deciles of the exact top1-top2 centroid margin — the
+    // classifier-confidence profile behind q105's confusion counts
+    "q288_centroid_margin_deciles" -> ((s, d) =>
+      Similarity.centroidMarginDeciles(s, d)),
+    // per-label Davies-Bouldin worst-pair ratio — which class pair is
+    // the merge risk (the q286 companion index)
+    "q289_davies_bouldin" -> ((s, d) => Similarity.daviesBouldin(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

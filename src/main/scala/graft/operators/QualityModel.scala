@@ -131,6 +131,71 @@ object QualityModel {
   def nbApply(spark: SparkSession, dir: String): DataFrame =
     scoredDocs(spark, dir).orderBy(col("doc_id"))
 
+  /** q287: exact ROC AUC of the trained score vs the length baseline —
+    * the one-number ranking-quality comparison behind the r10 advice
+    * "classifier must beat the length baseline", now an oracled TABLE
+    * instead of a spec assertion. AUC is the Mann-Whitney rank-sum
+    * computed over the SCORE HISTOGRAM with exact tie handling: for
+    * each distinct score, positives there credit one half-point per
+    * tied negative and one point per lower-scored negative, so
+    * num2 = Σ np·(2·neg_below + nn) and AUC = num2 / (2·P·N) — all
+    * integer arithmetic until the single final division.
+    *
+    * 100 TB shape: docs collapse once per scorer to the per-score
+    * (np, nn) histogram (map-side combined); the cumulative
+    * negatives-below walk is the q205 two-phase prefix sum
+    * (range-partition by score, per-partition local prefix, bounded
+    * partition offsets through the driver) — no single-partition
+    * window over the score domain, which for the micro-score is
+    * corpus-grain.
+    */
+  def nbAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val base = scoredDocs(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("y"), col("score_micro"), col("n_chars"))
+      .persist()
+    def aucOf(scoreCol: String, name: String): DataFrame = {
+      val hist = base
+        .groupBy(col(scoreCol).as("score"))
+        .agg(sum(col("y")).as("np"),
+          sum(lit(1L) - col("y")).as("nn"))
+        .repartitionByRange(col("score"))
+        .withColumn("pid", spark_partition_id())
+        // barrier: the totals pass and the local-prefix pass must see
+        // the same materialized partitioning
+        .persist()
+      val totals = hist.groupBy(col("pid")).agg(sum(col("nn")).as("ps"))
+        .collect().sortBy(_.getAs[Int]("pid"))
+      var acc = 0L
+      val cumOffs = totals.map { r =>
+        val o = acc; acc += r.getAs[Long]("ps"); (r.getAs[Int]("pid"), o)
+      }.toSeq
+      val offDf =
+        if (cumOffs.isEmpty) Seq((0, 0L)).toDF("pid", "poff").limit(0)
+        else cumOffs.toDF("pid", "poff")
+      val wLoc = Window.partitionBy(col("pid")).orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("loc", coalesce(sum(col("nn")).over(wLoc), lit(0L)))
+        .join(broadcast(offDf), "pid")
+        .withColumn("below", col("loc") + col("poff"))
+        .agg(sum(col("np") * (lit(2L) * col("below") + col("nn")))
+          .as("num2"),
+          sum(col("np")).as("p"), sum(col("nn")).as("n"))
+        .select(lit(name).as("scorer"),
+          col("p").as("n_pos"), col("n").as("n_neg"),
+          (col("num2").cast("double") /
+            (lit(2.0) * col("p").cast("double") * col("n").cast("double")))
+            .as("auc"))
+    }
+    aucOf("score_micro", "nb_log_odds")
+      .unionByName(aucOf("n_chars", "length_baseline"))
+      .orderBy(col("scorer"))
+  }
+
   /** q247: per-source confusion of the trained gate against its weak
     * label — the table that says WHERE the learned stage disagrees
     * with the rule it was trained on (a source with high FP mass is

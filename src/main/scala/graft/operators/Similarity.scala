@@ -1078,6 +1078,170 @@ object Similarity {
     * #labels rows. A label with an empty half simply has no drift row
     * (inner join) — at any real scale both halves are populated.
     */
+  /** (vec_id, label, clabel, sim_fp): the 1e-9 fixed-point cosine of
+    * EVERY vector to EVERY label centroid — the shared relation behind
+    * the internal-validity suite (q286 silhouette, q288 margins, q289
+    * Davies-Bouldin). Vectors ride the cached [[unitVectors]] corpus;
+    * centroids are the exact q104 build with the q227 norm spelling,
+    * broadcast (labels × dim — driver-scale); the cross join is a
+    * broadcast nested loop, so the corpus is touched once and nothing
+    * shuffles at corpus × labels grain until the per-query rollup.
+    * Rounding to fixed point BEFORE any comparison/subtraction keeps
+    * every downstream decision exact cross-engine (q130/q142 argument).
+    */
+  private def centroidSimRows(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centroidVectors(spark, dir)
+      .select(col("label").as("clabel"), col("cent"),
+        sqrt(aggregate(col("cent"), lit(0.0),
+          (a, x) => a + x * x)).as("cnorm"))
+    unitVectors(spark, dir)
+      .select(col("vec_id"), col("label"), col("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim_fp",
+        floor(VectorExpressions.dotNative(col("v"), col("cent")) /
+          col("cnorm") * lit(1e9) + lit(0.5)).cast("long"))
+      .select(col("vec_id"), col("label"), col("clabel"), col("sim_fp"))
+  }
+
+  /** Simplified silhouette by label (q286): per vector, a = cosine
+    * distance to its OWN label centroid, b = distance to the nearest
+    * OTHER centroid, s = (b − a) / max(a, b); per label, the vector
+    * count, mean s and the count of NEGATIVE s (vectors sitting closer
+    * to a foreign class mean than their own — the label-noise mass).
+    * This is the O(n·k) centroid form of the silhouette coefficient —
+    * the O(n²) pairwise form is unrunnable at corpus scale, and the
+    * centroid form is the standard internal-validity score embedding
+    * pipelines actually compute. Completes the embedding-quality suite
+    * next to q105 (confusion), q142 (kNN purity) and q227 (separation).
+    *
+    * 100 TB shape: one corpus pass against the broadcast centroid
+    * model, one map-side-combined per-vector conditional-max pair,
+    * one #labels rollup.
+    */
+  def simplifiedSilhouette(spark: SparkSession, dir: String): DataFrame =
+    centroidSimRows(spark, dir)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        max(when(col("clabel") === col("label"), col("sim_fp")))
+          .as("own_fp"),
+        max(when(col("clabel") =!= col("label"), col("sim_fp")))
+          .as("other_fp"))
+      .withColumn("a", lit(1.0) - col("own_fp").cast("double") / lit(1e9))
+      .withColumn("b", lit(1.0) - col("other_fp").cast("double") / lit(1e9))
+      .withColumn("s",
+        when(col("other_fp").isNull, lit(0.0))
+          .when(greatest(col("a"), col("b")) <= 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) /
+            greatest(col("a"), col("b"))))
+      // fixed-point the per-vector s BEFORE summing: s is computed
+      // from identical doubles in both engines, so its 1e-9 rounding
+      // is an exact long and the mean is fold-order-independent (the
+      // q104 discipline; a raw double sum hit the 9-decimal gate
+      // boundary on q289's sibling mean)
+      .withColumn("s_fp", floor(col("s") * lit(1e9) + lit(0.5))
+        .cast("long"))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("s_fp")).cast("double") / lit(1e9) / count(lit(1)))
+          .as("mean_silhouette"),
+        sum(when(col("s") < 0.0, 1L).otherwise(0L)).as("n_negative"))
+      .orderBy(col("label"))
+
+  /** Classification-margin deciles (q288): per vector, the exact
+    * fixed-point gap between its best and second-best centroid cosine
+    * (the q105 classifier's CONFIDENCE), rolled into per-true-label
+    * decile tables via the q200 value-histogram fold. A label whose
+    * low deciles hug zero is one the classifier only just separates —
+    * the place q105's confusion counts will move first under drift.
+    * All columns exact longs (margins are differences of 1e-9 fixed
+    * points).
+    *
+    * 100 TB shape: the rank window runs inside ≤ #labels-row
+    * per-vector partitions of the one corpus × labels pass; margins
+    * collapse map-side into a (label, margin) value histogram and the
+    * decile walk runs on that bounded domain.
+    */
+  def centroidMarginDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim_fp").desc, col("clabel").asc)
+    val margins = centroidSimRows(spark, dir)
+      .withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") <= 2)
+      .groupBy(col("vec_id"), col("label"))
+      .agg((max(when(col("rk") === 1, col("sim_fp"))) -
+        max(when(col("rk") === 2, col("sim_fp")))).as("margin_fp"))
+    val hist = margins.groupBy(col("label"), col("margin_fp"))
+      .agg(count(lit(1)).as("cnt"))
+    val byLab = Window.partitionBy(col("label"))
+    val cum = hist
+      .withColumn("cum",
+        sum(col("cnt")).over(byLab.orderBy(col("margin_fp"))))
+      .withColumn("n", sum(col("cnt")).over(byLab))
+    val decs = explode(array((1 to 9).map(d => lit(d.toLong)): _*))
+    cum.select(col("label"), col("margin_fp"), col("cnt"), col("cum"),
+        col("n"), decs.as("decile"))
+      .withColumn("r", ceil(col("decile").cast("double") *
+        col("n").cast("double") / lit(10.0)).cast("long"))
+      .filter(col("r") > col("cum") - col("cnt") && col("r") <= col("cum"))
+      .select(col("label").cast("long").as("label"), col("decile"),
+        col("margin_fp"), col("n").as("n_vecs"))
+      .orderBy(col("label"), col("decile"))
+  }
+
+  /** Davies-Bouldin separation table (q289): per label, the mean
+    * cosine distance of its vectors to its own centroid (compactness
+    * s_i), and the worst-case ratio (s_i + s_j) / d(c_i, c_j) over all
+    * other labels j (the DB term) with the offending label alongside —
+    * the companion internal-validity index to q286 (silhouette asks
+    * "is each VECTOR on the right side"; DB asks "which CLASS PAIR is
+    * the merge risk"). Centroid-pair distances are the q227 matrix
+    * arithmetic.
+    *
+    * 100 TB shape: compactness is one corpus-pass rollup; the ratio
+    * table is labels² driver-scale rows.
+    */
+  def daviesBouldin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = centroidSimRows(spark, dir)
+      .filter(col("clabel") === col("label"))
+      .groupBy(col("label"))
+      // Σ(1 − sim) = (n·1e9 − Σ sim_fp)/1e9 — exact integer
+      // arithmetic, so the mean is fold-order-independent (a raw
+      // double sum landed on opposite sides of the 9-decimal gate)
+      .agg(count(lit(1)).as("n_vecs"),
+        ((count(lit(1)) * lit(1000000000L) - sum(col("sim_fp")))
+          .cast("double") / lit(1e9) / count(lit(1))).as("s_mean"))
+      // barrier: both sides of the labels² pair join read this rollup
+      .persist()
+    val c = centroidVectors(spark, dir)
+      .select(col("label"), col("cent"),
+        sqrt(aggregate(col("cent"), lit(0.0),
+          (a, x) => a + x * x)).as("norm"))
+      .persist()
+    val pairs = c.select(col("label").as("la"), col("cent").as("ca"),
+        col("norm").as("na"))
+      .crossJoin(c.select(col("label").as("lb"), col("cent").as("cb"),
+        col("norm").as("nb")))
+      .filter(col("la") =!= col("lb"))
+      .withColumn("d", lit(1.0) - aggregate(
+        zip_with(col("ca"), col("cb"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v) / (col("na") * col("nb")))
+    val ratios = pairs
+      .join(s.select(col("label").as("la"), col("n_vecs"),
+        col("s_mean").as("sa")), "la")
+      .join(s.select(col("label").as("lb"), col("s_mean").as("sb")), "lb")
+      .withColumn("ratio", (col("sa") + col("sb")) / col("d"))
+    val byLab = Window.partitionBy(col("la"))
+      .orderBy(col("ratio").desc, col("lb").asc)
+    ratios.withColumn("rk", row_number().over(byLab))
+      .filter(col("rk") === 1)
+      .select(col("la").as("label"), col("n_vecs"),
+        col("sa").as("s_mean"), col("lb").as("worst_label"),
+        col("ratio").as("db"))
+      .orderBy(col("label"))
+  }
+
   def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val dim = emb.select(size(col("embedding"))).head(1)

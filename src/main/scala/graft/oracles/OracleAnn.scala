@@ -735,7 +735,101 @@ private[graft] object OracleAnn {
         "AS cosine " +
         "FROM w x JOIN w y ON x.label = y.label " +
         "AND x.half = 0 AND y.half = 1 ORDER BY label"),
+    // q286/q288/q289: the internal-validity suite over the shared
+    // vec x centroid fixed-point cosine relation (simCtes): exact
+    // q104 centroids, q142 unit spelling, 1e-9 rounding before any
+    // comparison
+    "q286_simplified_silhouette" -> (simCtes +
+      ", pv AS (SELECT vec_id, label, " +
+      "MAX(CASE WHEN clabel = label THEN sim_fp END) AS own_fp, " +
+      "MAX(CASE WHEN clabel <> label THEN sim_fp END) AS other_fp " +
+      "FROM sm GROUP BY 1, 2), " +
+      "sv AS (SELECT label, other_fp, " +
+      "1.0 - CAST(own_fp AS DOUBLE) / 1000000000.0 AS aa, " +
+      "1.0 - CAST(other_fp AS DOUBLE) / 1000000000.0 AS bb FROM pv), " +
+      "sx AS (SELECT label, CASE WHEN other_fp IS NULL THEN 0.0 " +
+      "WHEN greatest(aa, bb) <= 0.0 THEN 0.0 " +
+      "ELSE (bb - aa) / greatest(aa, bb) END AS s FROM sv) " +
+      "SELECT CAST(label AS BIGINT) AS label, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+      "CAST(SUM(CAST(floor(s * 1000000000.0 + 0.5) AS BIGINT)) " +
+      "AS DOUBLE) / 1000000000.0 / COUNT(*) AS mean_silhouette, " +
+      "CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_negative FROM sx GROUP BY label ORDER BY label"),
+    "q288_centroid_margin_deciles" -> (simCtes +
+      ", rk AS (SELECT vec_id, label, sim_fp, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id " +
+      "ORDER BY sim_fp DESC, clabel ASC) AS rk FROM sm), " +
+      "mg AS (SELECT vec_id, label, " +
+      "MAX(CASE WHEN rk = 1 THEN sim_fp END) - " +
+      "MAX(CASE WHEN rk = 2 THEN sim_fp END) AS margin_fp " +
+      "FROM rk WHERE rk <= 2 GROUP BY 1, 2), " +
+      "h AS (SELECT label, margin_fp, CAST(COUNT(*) AS BIGINT) AS cnt " +
+      "FROM mg GROUP BY 1, 2), " +
+      "cm AS (SELECT label, margin_fp, cnt, " +
+      "SUM(cnt) OVER (PARTITION BY label ORDER BY margin_fp) AS cum, " +
+      "SUM(cnt) OVER (PARTITION BY label) AS n FROM h), " +
+      "dd AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS decile) " +
+      "SELECT CAST(label AS BIGINT) AS label, " +
+      "CAST(dd.decile AS BIGINT) AS decile, " +
+      "CAST(margin_fp AS BIGINT) AS margin_fp, " +
+      "CAST(n AS BIGINT) AS n_vecs FROM cm CROSS JOIN dd " +
+      "WHERE CAST(CEIL(CAST(dd.decile AS DOUBLE) * CAST(n AS DOUBLE) " +
+      "/ 10.0) AS BIGINT) > cum - cnt " +
+      "AND CAST(CEIL(CAST(dd.decile AS DOUBLE) * CAST(n AS DOUBLE) " +
+      "/ 10.0) AS BIGINT) <= cum ORDER BY label, decile"),
+    "q289_davies_bouldin" -> (simCtes +
+      ", sc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+      "CAST(COUNT(*) * 1000000000 - CAST(SUM(sim_fp) AS BIGINT) " +
+      "AS DOUBLE) / 1000000000.0 / COUNT(*) " +
+      "AS s_mean FROM sm WHERE clabel = label GROUP BY 1), " +
+      "pr AS (SELECT x.clabel AS la, y.clabel AS lb, " +
+      "1.0 - list_reduce(list_prepend(0.0, " +
+      "list_transform(list_zip(x.cent, y.cent), z -> z[1] * z[2])), " +
+      "(aa, bb) -> aa + bb) / (x.cnorm * y.cnorm) AS d " +
+      "FROM an x CROSS JOIN an y WHERE x.clabel <> y.clabel), " +
+      "rt AS (SELECT pr.la, pr.lb, sa.n_vecs, sa.s_mean, " +
+      "(sa.s_mean + sb.s_mean) / pr.d AS ratio " +
+      "FROM pr JOIN sc sa ON sa.label = pr.la " +
+      "JOIN sc sb ON sb.label = pr.lb), " +
+      "w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY la " +
+      "ORDER BY ratio DESC, lb ASC) AS rk FROM rt) " +
+      "SELECT CAST(la AS BIGINT) AS label, n_vecs, s_mean, " +
+      "CAST(lb AS BIGINT) AS worst_label, ratio AS db " +
+      "FROM w WHERE rk = 1 ORDER BY label"),
   )
+
+  /** Shared CTE chain for the internal-validity suite: exact q104
+    * centroids (fixed-point long sums), the q142 unit-vector
+    * spelling, centroid norms by the q227 left fold, and the 1e-9
+    * fixed-point vec x centroid cosine relation `sm`.
+    */
+  private def simCtes: String =
+    ("WITH p AS (SELECT unnest(range(1, 65)) AS pos), " +
+      "e AS (SELECT label, pos, " +
+      "CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS x " +
+      "FROM embeddings, p), " +
+      "g AS (SELECT label, pos, " +
+      "CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / 1000000000000.0 / COUNT(*) AS m " +
+      "FROM e GROUP BY label, pos), " +
+      "a AS (SELECT label AS clabel, list(m ORDER BY pos) AS cent " +
+      "FROM g GROUP BY label), " +
+      "an AS (SELECT clabel, cent, " +
+      "sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(cent, x -> x * x)), (aa, bb) -> aa + bb)) " +
+      "AS cnorm FROM a), " +
+      "u0 AS (SELECT vec_id, label, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 " +
+      "FROM embeddings), " +
+      "u AS (SELECT vec_id, label, list_transform(v0, x -> x / " +
+      "sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(v0, y -> y * y)), (aa, bb) -> aa + bb))) AS v " +
+      "FROM u0), " +
+      "sm AS (SELECT u.vec_id, u.label, an.clabel, " +
+      "CAST(floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(list_zip(u.v, an.cent), z -> z[1] * z[2])), " +
+      "(x, y) -> x + y) / an.cnorm * 1000000000.0 + 0.5) AS BIGINT) " +
+      "AS sim_fp FROM u CROSS JOIN an)")
 
   private def q104Sql: String =
     ("WITH p AS (SELECT unnest(range(1, 65)) AS pos), " +

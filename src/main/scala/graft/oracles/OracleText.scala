@@ -725,6 +725,28 @@ private[graft] object OracleText {
     "q240_nb_quality_apply" -> (nbScoredSql +
       "SELECT doc_id, y, n_vocab_tokens, score_micro, predicted " +
       "FROM scored ORDER BY doc_id"),
+    // q287: exact ROC AUC (Mann-Whitney over the score histogram,
+    // half-credit ties) — trained score vs the n_chars baseline;
+    // integer arithmetic until the one final division
+    "q287_nb_auc" -> (nbScoredSql +
+      ", auc_sc AS (SELECT qs.y, qs.score_micro, d.n_chars " +
+      "FROM scored qs JOIN documents d USING (doc_id)), " +
+      "auc_u AS (SELECT 'nb_log_odds' AS scorer, score_micro AS score, y " +
+      "FROM auc_sc UNION ALL " +
+      "SELECT 'length_baseline' AS scorer, n_chars AS score, y FROM auc_sc), " +
+      "auc_h AS (SELECT scorer, score, CAST(SUM(y) AS BIGINT) AS np, " +
+      "CAST(SUM(1 - y) AS BIGINT) AS nn FROM auc_u GROUP BY 1, 2), " +
+      "auc_c AS (SELECT scorer, np, nn, CAST(COALESCE(SUM(nn) OVER " +
+      "(PARTITION BY scorer ORDER BY score " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+      "AS below FROM auc_h), " +
+      "auc_t AS (SELECT scorer, " +
+      "CAST(SUM(np * (2 * below + nn)) AS BIGINT) AS num2, " +
+      "CAST(SUM(np) AS BIGINT) AS p, CAST(SUM(nn) AS BIGINT) AS n " +
+      "FROM auc_c GROUP BY 1) " +
+      "SELECT scorer, p AS n_pos, n AS n_neg, " +
+      "CAST(num2 AS DOUBLE) / (2.0 * CAST(p AS DOUBLE) * " +
+      "CAST(n AS DOUBLE)) AS auc FROM auc_t ORDER BY scorer"),
     // q247: per-source confusion of the trained gate vs its weak label
     "q247_nb_confusion" -> (nbScoredSql +
       ", src AS (SELECT doc_id, source FROM documents), " +

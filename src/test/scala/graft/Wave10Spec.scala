@@ -239,6 +239,31 @@ class Wave10Spec extends SparkSpec {
       funnel("s3_view_click_purchase"))
   }
 
+  test("internal-validity suite: silhouettes within [-1, 1], margins " +
+    "non-negative, DB ratios positive, AUCs within [0, 1] over the " +
+    "full doc count") {
+    import graft.operators.{QualityModel, Similarity}
+    Similarity.simplifiedSilhouette(spark, sfDir).collect().foreach { r =>
+      val m = r.getAs[Double]("mean_silhouette")
+      assert(m >= -1.0 && m <= 1.0, s"silhouette $m out of range")
+    }
+    Similarity.centroidMarginDeciles(spark, sfDir).collect().foreach {
+      r => assert(r.getAs[Long]("margin_fp") >= 0L)
+    }
+    Similarity.daviesBouldin(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Double]("db") > 0.0)
+      assert(r.getAs[Long]("worst_label") != r.getAs[Long]("label"))
+    }
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val aucs = QualityModel.nbAuc(spark, sfDir).collect()
+    assert(aucs.length == 2)
+    aucs.foreach { r =>
+      val a = r.getAs[Double]("auc")
+      assert(a >= 0.0 && a <= 1.0)
+      assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") == nDocs)
+    }
+  }
+
   test("q275: every WAU covers its day's DAU and never exceeds the " +
     "trailing-week active-user union bound") {
     val rows = Lifecycle.dauWauStickiness(spark, sfDir).collect()
