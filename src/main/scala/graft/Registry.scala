@@ -702,6 +702,23 @@ object Registry {
     // per-label Davies-Bouldin worst-pair ratio — which class pair is
     // the merge risk (the q286 companion index)
     "q289_davies_bouldin" -> ((s, d) => Similarity.daviesBouldin(s, d)),
+    // per-day PEAK concurrent sessions — sweep-line +1/−1 boundaries,
+    // intra-day running sum + day-grain carry (the capacity view the
+    // per-day session counts cannot show)
+    "q290_session_concurrency" -> ((s, d) =>
+      Sessionize.sessionConcurrency(s, d)),
+    // Kaplan-Meier tenure table: at-risk / churned / censored +
+    // discrete hazard — the survival view of q273's churn flows
+    "q291_survival_hazard" -> ((s, d) => Lifecycle.survivalHazard(s, d)),
+    // integer CUSUM level-shift over DENSE daily counts (missing days
+    // count 0) — accumulates persistent small shifts q143/q281 miss
+    "q292_cusum_shift" -> ((s, d) => Lifecycle.cusumShift(s, d)),
+    // referential orphan audit over every FK edge of the schema —
+    // key-grain collapse + key-grain anti joins, #edges rows out
+    "q293_fk_integrity" -> ((s, d) => Audit.fkIntegrity(s, d)),
+    // join-key multiplicity/skew planner — the data-driven salting /
+    // broadcast / AQE-skew decision table behind q19/q59
+    "q294_join_key_skew" -> ((s, d) => Audit.joinKeySkew(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Physical-design audit tables — the two reports an operator reads
+  * BEFORE planning joins at 100 TB: which foreign keys are actually
+  * clean (so a join's null/orphan semantics are known up front) and
+  * how skewed each join key's multiplicity is (so the salting /
+  * broadcast / AQE-skew decision is data-driven, not guessed). The
+  * reference validates referential shape row-by-row while upserting
+  * (`src/services/saveToPostgres.js:1-527` checks each FK target
+  * before writing); these are the corpus-wide set-at-once versions
+  * of those per-row checks.
+  *
+  * Both reports collapse the child table to KEY grain first (one
+  * map-side-combined count per key), so nothing downstream ever
+  * touches row grain again: the anti joins and the stats run over
+  * |distinct keys| rows, and the outputs are #relations /
+  * #audited-keys rows.
+  */
+object Audit {
+
+  /** One relation's orphan profile: child collapsed to (key, cnt),
+    * left-anti against the distinct parent key set. A null child key
+    * never matches (kept as orphan) in BOTH engines — Spark's
+    * `left_anti` and the oracle's LEFT JOIN ... IS NULL agree on the
+    * null-FK convention.
+    */
+  private[graft] def orphanProfile(child: DataFrame, key: String,
+      parent: DataFrame, pkey: String, rel: String): DataFrame = {
+    val childKeys = child.groupBy(col(key).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val orphan = childKeys.join(
+      parent.select(col(pkey).as("k")).distinct(), Seq("k"), "left_anti")
+    val totals = childKeys.agg(
+      sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"))
+    val orph = orphan.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("n_orphan_rows"),
+      count(lit(1)).as("n_orphan_keys"))
+    totals.crossJoin(orph).select(lit(rel).as("relation"),
+      col("n_rows"), col("n_keys"), col("n_orphan_keys"),
+      col("n_orphan_rows"))
+  }
+
+  /** q293 — referential-integrity audit over every FK edge of the
+    * schema: per relation, child rows/keys and orphaned keys/rows
+    * (child keys with no parent). 100 TB shape: each edge is one
+    * key-grain collapse (map-side combined) + one key-grain anti join
+    * (small parents broadcast by AQE; orders-scale parents shuffle
+    * KEYS, never child rows); output is #edges rows.
+    */
+  def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val part = Tables.part(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    orphanProfile(li, "l_orderkey", ord, "o_orderkey",
+        "lineitem.l_orderkey->orders")
+      .unionAll(orphanProfile(li, "l_partkey", part, "p_partkey",
+        "lineitem.l_partkey->part"))
+      .unionAll(orphanProfile(li, "l_suppkey", supp, "s_suppkey",
+        "lineitem.l_suppkey->supplier"))
+      .unionAll(orphanProfile(ord, "o_custkey", cust, "c_custkey",
+        "orders.o_custkey->customer"))
+      .unionAll(orphanProfile(cust, "c_nationkey", nat, "n_nationkey",
+        "customer.c_nationkey->nation"))
+      .unionAll(orphanProfile(supp, "s_nationkey", nat, "n_nationkey",
+        "supplier.s_nationkey->nation"))
+      .unionAll(orphanProfile(nat, "n_regionkey", reg, "r_regionkey",
+        "nation.n_regionkey->region"))
+      .orderBy(col("relation"))
+  }
+
+  /** One key's multiplicity stats off the key-grain collapse. */
+  private[graft] def keyStats(df: DataFrame, key: String, name: String)
+      : DataFrame =
+    df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_mult"))
+      .select(lit(name).as("key_name"), col("n_rows"), col("n_keys"),
+        col("max_mult"),
+        (col("n_rows").cast("double") / col("n_keys").cast("double"))
+          .as("avg_mult"),
+        (col("max_mult").cast("double") / col("n_rows").cast("double"))
+          .as("max_share"))
+
+  /** q294 — join-key skew planner: per audited join key, row count,
+    * distinct keys, the heaviest key's multiplicity, mean
+    * multiplicity, and the heaviest key's share of all rows. This is
+    * the table behind the q19/q59 salting decision and the
+    * AQE-skew-join threshold: `max_mult × row-width` versus executor
+    * memory says whether the biggest shuffle bucket fits, BEFORE the
+    * job runs. 100 TB shape: one map-side-combined count per key per
+    * audited column, then a 3-value fold per key — output is
+    * #audited-keys rows; no row-grain data ever moves.
+    */
+  def joinKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ev = Tables.events(spark, dir)
+    keyStats(li, "l_orderkey", "lineitem.l_orderkey")
+      .unionAll(keyStats(li, "l_partkey", "lineitem.l_partkey"))
+      .unionAll(keyStats(li, "l_suppkey", "lineitem.l_suppkey"))
+      .unionAll(keyStats(Tables.orders(spark, dir), "o_custkey",
+        "orders.o_custkey"))
+      .unionAll(keyStats(ev, "user_id", "events.user_id"))
+      .unionAll(keyStats(ev, "event_type", "events.event_type"))
+      .unionAll(keyStats(Tables.documents(spark, dir), "source",
+        "documents.source"))
+      .orderBy(col("key_name"))
+  }
+}

@@ -269,4 +269,89 @@ object Lifecycle {
       .select(col("day"), col("dau"), col("wau"), col("stickiness"))
       .orderBy(col("day"))
   }
+
+  /** Survival / hazard table (q291): per observed tenure t (days
+    * between a user's first and last active day), the classic
+    * Kaplan-Meier triple — users still at risk at t (tenure ≥ t),
+    * users whose observed life ENDED at t, and users censored at t
+    * (their last day is the corpus max day, so "still alive") — plus
+    * the discrete hazard n_churned / n_at_risk. Everything is exact
+    * integers from the (user, first, last) grain; the single division
+    * is the hazard itself.
+    *
+    * 100 TB shape: userDays collapses to user grain (one map-side
+    * combine), the corpus max day is a broadcast scalar, and the
+    * at-risk suffix sum runs over TENURE grain (≤ #days rows — a
+    * bounded single-partition cumulative, the same day-grain
+    * discipline as q273's stitch).
+    */
+  def survivalHazard(spark: SparkSession, dir: String): DataFrame = {
+    val spans = userDays(Tables.events(spark, dir))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    val maxDay = spans.agg(max(col("last_day")).as("m"))
+    val byTenure = spans.crossJoin(broadcast(maxDay))
+      .select((col("last_day") - col("first_day")).as("tenure"),
+        (col("last_day") === col("m")).cast("long").as("censored"))
+      .groupBy(col("tenure"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("censored")).as("n_censored"))
+    val atRisk = Window.orderBy(col("tenure").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byTenure
+      .withColumn("n_at_risk", sum(col("n_total")).over(atRisk))
+      .withColumn("n_churned", col("n_total") - col("n_censored"))
+      .select(col("tenure"), col("n_at_risk"), col("n_churned"),
+        col("n_censored"),
+        (col("n_churned").cast("double") /
+          col("n_at_risk").cast("double")).as("hazard"))
+      .orderBy(col("tenure"))
+  }
+
+  /** CUSUM level-shift detector (q292): per event type, the one-sided
+    * cumulative-sum statistic over the DENSE daily-count series
+    * (missing days count 0 — a detector that skips quiet days would
+    * never see an outage). Kept exact by clearing denominators: with
+    * per-type total T over D days, y_d = D·n_d − T (long) and the
+    * CUSUM recursion S_d = max(0, S_{d−1} + y_d) has the closed form
+    * S_d = P_d − min(0, min_{j≤d} P_j) over the prefix sums P — two
+    * window folds, all BIGINT. `cusum` = S_d/D (mean-units, the one
+    * division) and the flag fires at S_d > 3T (three mean-days of
+    * excess). The sequential complement of q281's per-weekday z and
+    * q143's trailing window: CUSUM accumulates persistent small
+    * shifts those point tests miss.
+    *
+    * 100 TB shape: events collapse to (type, day) counts map-side;
+    * the dense grid is #types × #days rows; both window folds
+    * partition by type and run over day grain.
+    */
+  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr(s"unix_micros(cast(ts as timestamp)) div $usPerDay")
+          .as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    val full = grid.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val totals = full.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
+    val run = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full.join(broadcast(totals), Seq("event_type"))
+      .withColumn("y", col("n_days") * col("n") - col("total"))
+      .withColumn("p", sum(col("y")).over(run))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(run)))
+      .select(col("event_type"), col("day"), col("n"),
+        col("s").as("cusum_scaled"),
+        (col("s").cast("double") / col("n_days").cast("double"))
+          .as("cusum"),
+        (col("s") > lit(3L) * col("total")).cast("long").as("is_shift"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

@@ -421,4 +421,57 @@ object Sessionize {
         col("gap_sec").as("gap_sec"), col("n").as("n_transitions"))
       .orderBy(col("transition"), col("decile"))
   }
+
+  /** Session concurrency curve (q290): per day, how many sessions ran
+    * AT ONCE at the day's busiest instant — the capacity-planning
+    * number (peak concurrent load) that per-day session COUNTS
+    * (q20/q271) cannot show. Classic sweep line: every session
+    * becomes a +1 boundary at its first event and a −1 at its last,
+    * the running sum of boundaries in global (ts, start-before-end)
+    * order IS the live-session count, and the per-day max of that sum
+    * is the peak. Sessions are closed intervals (a session is live at
+    * both endpoint instants; at an exact tie, starts sort before
+    * ends), and single-event sessions contribute a +1/−1 pair at one
+    * instant. Cross-midnight sessions carry into the next day via the
+    * day-grain carry term.
+    *
+    * 100 TB shape: rides the one q20 sessionization sort, collapses
+    * to SESSION grain (2 boundary rows per session), then splits the
+    * global running sum the q205 two-phase way: an intra-day running
+    * sum (windows partitioned by day) plus a day-grain carry
+    * cumulative (≤ #days rows, the bounded single-partition
+    * discipline q273/q291 use). The peak within a day is
+    * carry + max(intra running) since the carry is constant inside a
+    * day. Exact: every term is a BIGINT count, and the max of the
+    * prefix-sum sequence is invariant to permutation inside an equal
+    * (ts, delta) tie group (all increments in the group are equal).
+    */
+  def sessionConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val usPerDay = 86400000000L
+    val sess = sessionedEvents(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+    val bounds = sess
+      .select(col("start_ts").as("ts"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("end_ts").as("ts"), lit(-1L).as("delta")))
+      .withColumn("day",
+        expr(s"unix_micros(cast(ts as timestamp)) div $usPerDay"))
+    val dayTotals = bounds.groupBy(col("day")).agg(
+      sum(col("delta")).as("net"),
+      sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+      sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_ends"))
+    val carryW = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = dayTotals.withColumn("carry",
+      coalesce(sum(col("net")).over(carryW), lit(0L)))
+    val intraW = Window.partitionBy(col("day"))
+      .orderBy(col("ts"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = bounds.withColumn("run", sum(col("delta")).over(intraW))
+      .groupBy(col("day")).agg(max(col("run")).as("peak"))
+    carried.join(peaks, Seq("day"))
+      .select(col("day"), col("n_starts"), col("n_ends"),
+        (col("carry") + col("peak")).as("max_concurrent"))
+      .orderBy(col("day"))
+  }
 }

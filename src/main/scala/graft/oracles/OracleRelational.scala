@@ -628,7 +628,131 @@ private[graft] object OracleRelational {
         "SELECT CAST(d.day AS BIGINT) AS day, d.dau, w.wau, " +
         "CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness " +
         "FROM dau d JOIN wau w ON d.day = w.day ORDER BY day"),
+    // q290: per-day peak concurrent sessions — the q20 session CTEs,
+    // sessions as closed intervals (+1/−1 boundaries, starts before
+    // ends at a tie), one global running sum grouped by day
+    "q290_session_concurrency" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g), " +
+        "se AS (SELECT user_id, session_id, MIN(ts) AS start_ts, " +
+        "MAX(ts) AS end_ts FROM s GROUP BY 1, 2), " +
+        "b AS (SELECT start_ts AS ts, 1 AS delta FROM se " +
+        "UNION ALL SELECT end_ts AS ts, -1 AS delta FROM se), " +
+        "r AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, delta, " +
+        "SUM(delta) OVER (ORDER BY ts, delta DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM b) " +
+        "SELECT CAST(day AS BIGINT) AS day, " +
+        "CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts, " +
+        "CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends, " +
+        "CAST(MAX(run) AS BIGINT) AS max_concurrent " +
+        "FROM r GROUP BY 1 ORDER BY day"),
+    // q291: Kaplan-Meier tenure table — censoring at the corpus max
+    // day, at-risk via a tenure-grain suffix sum; hazard is the one
+    // division
+    "q291_survival_hazard" ->
+      (lifecycleUd +
+        "sp AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld " +
+        "FROM ud GROUP BY 1), " +
+        "mx AS (SELECT MAX(ld) AS m FROM sp), " +
+        "t AS (SELECT ld - fd AS tenure, " +
+        "CASE WHEN ld = (SELECT m FROM mx) THEN 1 ELSE 0 END AS censored " +
+        "FROM sp), " +
+        "b AS (SELECT tenure, CAST(COUNT(*) AS BIGINT) AS n_total, " +
+        "CAST(SUM(censored) AS BIGINT) AS n_censored FROM t GROUP BY 1), " +
+        "r AS (SELECT *, SUM(n_total) OVER (ORDER BY tenure DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk " +
+        "FROM b) " +
+        "SELECT CAST(tenure AS BIGINT) AS tenure, " +
+        "CAST(n_at_risk AS BIGINT) AS n_at_risk, " +
+        "CAST(n_total - n_censored AS BIGINT) AS n_churned, n_censored, " +
+        "CAST(n_total - n_censored AS DOUBLE) / CAST(n_at_risk AS DOUBLE) " +
+        "AS hazard FROM r ORDER BY tenure"),
+    // q292: integer CUSUM over the DENSE (type, day) count grid —
+    // denominators cleared (y = D·n − T), closed form
+    // S = P − min(0, running min P), all BIGINT to one division
+    "q292_cusum_shift" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily), " +
+        "grid AS (SELECT t.event_type, g.day FROM " +
+        "(SELECT DISTINCT event_type FROM daily) t CROSS JOIN " +
+        "(SELECT unnest(generate_series(mn, mx)) AS day FROM bounds) g), " +
+        "f AS (SELECT grid.event_type, grid.day, " +
+        "COALESCE(daily.n, CAST(0 AS BIGINT)) AS n FROM grid " +
+        "LEFT JOIN daily ON grid.event_type = daily.event_type " +
+        "AND grid.day = daily.day), " +
+        "tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_days FROM f GROUP BY 1), " +
+        "y AS (SELECT f.event_type, f.day, f.n, t.n_days, t.total, " +
+        "t.n_days * f.n - t.total AS yv FROM f JOIN tot t USING (event_type)), " +
+        "p AS (SELECT *, SUM(yv) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv FROM y), " +
+        "sa AS (SELECT *, pv - LEAST(CAST(0 AS BIGINT), " +
+        "MIN(pv) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s FROM p) " +
+        "SELECT event_type, CAST(day AS BIGINT) AS day, " +
+        "CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS cusum_scaled, " +
+        "CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS cusum, " +
+        "CAST(CASE WHEN s > 3 * total THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS is_shift FROM sa ORDER BY event_type, day"),
+    // q293: referential orphan audit — one key-grain collapse + one
+    // LEFT JOIN ... IS NULL per FK edge (the anti-join convention:
+    // a NULL child key never matches, so it counts as orphaned)
+    "q293_fk_integrity" ->
+      (Seq(
+        fkEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        fkEdge("lineitem", "l_partkey", "part", "p_partkey"),
+        fkEdge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        fkEdge("orders", "o_custkey", "customer", "c_custkey"),
+        fkEdge("customer", "c_nationkey", "nation", "n_nationkey"),
+        fkEdge("supplier", "s_nationkey", "nation", "n_nationkey"),
+        fkEdge("nation", "n_regionkey", "region", "r_regionkey"))
+        .mkString("", " UNION ALL ", " ORDER BY relation")),
+    // q294: join-key multiplicity stats — key-grain collapse then a
+    // 3-value fold per audited key
+    "q294_join_key_skew" ->
+      (Seq(
+        skewKey("lineitem", "l_orderkey"),
+        skewKey("lineitem", "l_partkey"),
+        skewKey("lineitem", "l_suppkey"),
+        skewKey("orders", "o_custkey"),
+        skewKey("events", "user_id"),
+        skewKey("events", "event_type"),
+        skewKey("documents", "source"))
+        .mkString("", " UNION ALL ", " ORDER BY key_name")),
   )
+
+  /** One FK edge of the q293 audit: child collapsed to (key, cnt),
+    * left join against the distinct parent keys, NULL parent = orphan.
+    */
+  private def fkEdge(child: String, key: String,
+      parent: String, pkey: String): String =
+    (s"SELECT '$child.$key->$parent' AS relation, " +
+      "CAST(SUM(cnt) AS BIGINT) AS n_rows, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_keys, " +
+      "CAST(SUM(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys, " +
+      "CAST(SUM(CASE WHEN orphan THEN cnt ELSE 0 END) AS BIGINT) AS n_orphan_rows " +
+      "FROM (SELECT ck.cnt, p.pk IS NULL AS orphan FROM " +
+      s"(SELECT $key AS k, CAST(COUNT(*) AS BIGINT) AS cnt " +
+      s"FROM $child GROUP BY 1) ck " +
+      s"LEFT JOIN (SELECT DISTINCT $pkey AS pk FROM $parent) p " +
+      "ON ck.k = p.pk)")
+
+  /** One audited key of the q294 skew planner. */
+  private def skewKey(table: String, key: String): String =
+    (s"SELECT '$table.$key' AS key_name, " +
+      "CAST(SUM(cnt) AS BIGINT) AS n_rows, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_keys, " +
+      "CAST(MAX(cnt) AS BIGINT) AS max_mult, " +
+      "CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_mult, " +
+      "CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS max_share " +
+      s"FROM (SELECT $key AS k, CAST(COUNT(*) AS BIGINT) AS cnt " +
+      s"FROM $table GROUP BY 1)")
 
   /** The shared lifecycle grain: distinct (user_id, exact epoch-day)
     * pairs — integer `//` division so both engines agree bit-for-bit.

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Audit, Lifecycle, Sessionize}
+
+/** Round-12 ops/reliability-family specs (q290–q294): the sweep-line
+  * concurrency identities, the Kaplan-Meier partition/monotonicity
+  * laws, a driver-side replay of the CUSUM recursion against the
+  * closed-form windows, and planted-fixture orphan/skew audits.
+  */
+class Wave11Spec extends SparkSpec {
+
+  test("q290: boundary counts balance (every session starts and " +
+    "ends) and each day's peak is positive when sessions start") {
+    val df = Sessionize.sessionConcurrency(spark, sfDir).collect()
+    val starts = df.map(_.getLong(1)).sum
+    val ends = df.map(_.getLong(2)).sum
+    assert(starts == ends, s"starts=$starts ends=$ends")
+    assert(starts > 0)
+    df.foreach { r =>
+      val (day, nStarts, peak) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(peak >= 0, s"day=$day negative peak $peak")
+      if (nStarts > 0) assert(peak >= 1, s"day=$day starts but peak=$peak")
+    }
+  }
+
+  test("q290: the peak never exceeds sessions live that day " +
+    "(carry-in bound: starts so far minus ends of prior days)") {
+    val df = Sessionize.sessionConcurrency(spark, sfDir).collect()
+    var cumStarts = 0L
+    var cumEndsPrior = 0L
+    df.foreach { r =>
+      cumStarts += r.getLong(1)
+      val peak = r.getLong(3)
+      assert(peak <= cumStarts - cumEndsPrior,
+        s"day=${r.getLong(0)} peak=$peak exceeds live bound " +
+          s"${cumStarts - cumEndsPrior}")
+      cumEndsPrior += r.getLong(2)
+    }
+  }
+
+  test("q291: churned+censored partition the user count, at-risk is " +
+    "a strict suffix sum, and hazard stays in [0,1]") {
+    val df = Lifecycle.survivalHazard(spark, sfDir).collect()
+    val nUsers = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id")).distinct().count()
+    assert(df.map(r => r.getLong(2) + r.getLong(3)).sum == nUsers)
+    // suffix-sum law: n_at_risk(t) = Σ_{t' >= t} (churned + censored)
+    var suffix = 0L
+    df.reverse.foreach { r =>
+      suffix += r.getLong(2) + r.getLong(3)
+      assert(r.getLong(1) == suffix,
+        s"tenure=${r.getLong(0)} at_risk=${r.getLong(1)} != $suffix")
+    }
+    // the earliest observed tenure row covers every user
+    assert(df.head.getLong(1) == nUsers)
+    df.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("q292: the closed-form windows reproduce the literal CUSUM " +
+    "recursion S_d = max(0, S_prev + D*n_d - T), and S >= 0") {
+    val rows = Lifecycle.cusumShift(spark, sfDir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (tpe, byDay) =>
+      val days = byDay.sortBy(_.getLong(1))
+      val total = days.map(_.getLong(2)).sum
+      val nDays = days.length.toLong
+      var s = 0L
+      days.foreach { r =>
+        s = math.max(0L, s + nDays * r.getLong(2) - total)
+        assert(r.getLong(3) == s,
+          s"$tpe day=${r.getLong(1)} closed-form=${r.getLong(3)} " +
+            s"recursion=$s")
+        assert(r.getLong(3) >= 0L)
+      }
+    }
+    // the dense grid covers every (type, day) cell of the corpus range
+    val types = rows.map(_.getString(0)).distinct.length
+    val span = rows.map(_.getLong(1)).max - rows.map(_.getLong(1)).min + 1
+    assert(rows.length.toLong == types * span)
+  }
+
+  test("q293: a planted orphan is counted once as a key and by its " +
+    "row multiplicity, and a clean edge reports zero") {
+    import spark.implicits._
+    val child = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "d"), (9L, "e"),
+      (9L, "f")).toDF("fk", "payload")
+    val parent = Seq((1L, "p"), (2L, "q"), (3L, "r")).toDF("pk", "name")
+    val bad = Audit.orphanProfile(child, "fk", parent, "pk", "t").collect()(0)
+    assert(bad.getLong(1) == 6L && bad.getLong(2) == 3L)
+    assert(bad.getLong(3) == 1L, "one orphaned key (9)")
+    assert(bad.getLong(4) == 3L, "three orphaned rows")
+    val clean = Audit.orphanProfile(child.filter(col("fk") =!= 9L),
+      "fk", parent, "pk", "t").collect()(0)
+    assert(clean.getLong(3) == 0L && clean.getLong(4) == 0L)
+  }
+
+  test("q294: multiplicity identities hold on the real corpus " +
+    "(rows >= keys, max >= avg, share consistent)") {
+    val df = Audit.joinKeySkew(spark, sfDir).collect()
+    assert(df.length == 7)
+    df.foreach { r =>
+      val (nRows, nKeys, maxMult) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nRows >= nKeys && maxMult >= 1L)
+      assert(maxMult.toDouble >= r.getDouble(4) - 1e-9,
+        s"${r.getString(0)}: max below avg")
+      assert(math.abs(r.getDouble(5) - maxMult.toDouble / nRows) < 1e-12)
+    }
+  }
+}
