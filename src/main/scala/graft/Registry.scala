@@ -719,6 +719,25 @@ object Registry {
     // join-key multiplicity/skew planner — the data-driven salting /
     // broadcast / AQE-skew decision table behind q19/q59
     "q294_join_key_skew" -> ((s, d) => Audit.joinKeySkew(s, d)),
+    // q291 per micro-batch: per-user (first_day, last_day) spans
+    // min/max-merge (idempotent) — shares q291's oracle
+    "q295_streaming_survival" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingSurvival(s, d)),
+    // q292 per micro-batch: (type, day, n) counts sum-merge through a
+    // gated ledger; drain = the CUSUM finish — shares q292's oracle
+    "q296_streaming_cusum" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingCusum(s, d)),
+    // q281 per micro-batch off the SAME (type, day, n) state family
+    // as q296 — one maintained fold, two anomaly reports
+    "q297_streaming_seasonal" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingSeasonal(s, d)),
+    // q290 per micro-batch: session endpoints min/max-merge through
+    // the q277 funnel-stages state — shares q290's oracle
+    "q298_streaming_concurrency" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingConcurrency(s, d)),
+    // exact Gini concentration of events/cents/orders per key — the
+    // tie-group rank identity + q205 two-phase prefix, decimal sums
+    "q299_activity_gini" -> ((s, d) => Audit.activityGini(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

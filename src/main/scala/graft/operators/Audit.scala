@@ -114,4 +114,79 @@ object Audit {
         "documents.source"))
       .orderBy(col("key_name"))
   }
+
+  /** q299 — exact Gini concentration of activity and spend: how
+    * unequally events / cents / orders are distributed over their
+    * keys. Gini needs the rank-weighted sum Σ i·x_(i) over the SORTED
+    * per-key values — a full key-grain sort at 100 TB if done
+    * naively. Instead the keys collapse to their value HISTOGRAM
+    * (value v, multiplicity m): inside a tie group every permutation
+    * has the same rank-sum, so the group contributes
+    * v·(m·R + m(m+1)/2) with R = keys before the group — and R comes
+    * from the q205 two-phase prefix sum over the VALUE grain
+    * (range-partition by v, per-partition prefix in parallel,
+    * #partitions offsets through the driver). The weighted sums run
+    * in decimal(38,0) (Σ i·x overflows BIGINT near corpus scale —
+    * the oracle uses HUGEINT for the same reason); Gini is ONE final
+    * division: (2·Σi·x − (n+1)·Σx) / (n·Σx).
+    */
+  def activityGini(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val evCounts = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    val cents = ev.groupBy(col("user_id"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("x"))
+    val ordCounts = Tables.orders(spark, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    giniOf(spark, evCounts, "events_per_user")
+      .unionAll(giniOf(spark, cents, "cents_per_user"))
+      .unionAll(giniOf(spark, ordCounts, "orders_per_customer"))
+      .orderBy(col("entity"))
+  }
+
+  /** One Gini row off a per-key value relation (`x` column). */
+  private def giniOf(spark: SparkSession, perKey: DataFrame,
+      entity: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val byVal = perKey.groupBy(col("x")).agg(count(lit(1)).as("m"))
+      .repartitionByRange(col("x"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val totals = byVal.groupBy(col("pid")).agg(sum(col("m")).as("pm"))
+      .collect().sortBy(_.getAs[Int]("pid"))
+    var acc = 0L
+    val offs = totals.map { r =>
+      val o = acc; acc += r.getAs[Long]("pm"); (r.getAs[Int]("pid"), o)
+    }.toSeq
+    val offDf =
+      if (offs.isEmpty) Seq((0, 0L)).toDF("pid", "poff").limit(0)
+      else offs.toDF("pid", "poff")
+    val wLoc = Window.partitionBy(col("pid")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byVal
+      .withColumn("loc", coalesce(sum(col("m")).over(wLoc), lit(0L)))
+      .join(broadcast(offDf), "pid")
+      .withColumn("rbase", col("loc") + col("poff"))
+      // m(m+1)/2 stays in longs: m is ONE value's multiplicity, whose
+      // square fits long far past any real corpus's tie-group size
+      .withColumn("tri", expr("(m * (m + 1)) div 2"))
+    val agg = ranked.agg(
+      sum(col("x").cast(dec) *
+        (col("m").cast(dec) * col("rbase").cast(dec) +
+          col("tri").cast(dec))).as("sw"),
+      sum(col("m")).as("n"),
+      sum(col("x").cast(dec) * col("m").cast(dec)).as("total"))
+    agg.select(lit(entity).as("entity"),
+      col("n").as("n_keys"),
+      col("total").cast("long").as("total"),
+      when(col("n") * col("total") === 0, lit(0.0))
+        .otherwise(
+          (lit(2).cast(dec) * col("sw") -
+            (col("n") + 1L).cast(dec) * col("total")).cast("double") /
+          (col("n").cast(dec) * col("total")).cast("double"))
+        .as("gini"))
+  }
 }

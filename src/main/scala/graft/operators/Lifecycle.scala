@@ -221,12 +221,25 @@ object Lifecycle {
     * #types × 7 rows broadcast back over the daily grid. Both windows
     * of q143's discipline, neither over the event stream.
     */
-  def seasonalBaseline(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"),
+  def seasonalBaseline(spark: SparkSession, dir: String): DataFrame =
+    seasonalOf(dailyCountsOf(Tables.events(spark, dir)))
+
+  /** The shared anomaly grain: (event_type, exact epoch-day, count).
+    * Sufficient statistic for BOTH q281's weekday baseline and q292's
+    * CUSUM — and it sum-merges (per (type, day)), so ONE maintained
+    * streaming state drains both reports (q296/q297).
+    */
+  private[graft] def dailyCountsOf(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"),
         expr(s"unix_micros(cast(ts as timestamp)) div $usPerDay")
           .as("day"))
       .agg(count(lit(1)).as("n"))
+
+  /** The q281 finish off the daily-count grain — shared by the batch
+    * report and q297's streaming drain.
+    */
+  private[graft] def seasonalOf(dailyRaw: DataFrame): DataFrame = {
+    val daily = dailyRaw
       .withColumn("dow", (col("day") + 4L) % 7L)
     val base = daily.groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("n_days"),
@@ -285,10 +298,21 @@ object Lifecycle {
     * bounded single-partition cumulative, the same day-grain
     * discipline as q273's stitch).
     */
-  def survivalHazard(spark: SparkSession, dir: String): DataFrame = {
-    val spans = userDays(Tables.events(spark, dir))
-      .groupBy(col("user_id"))
+  def survivalHazard(spark: SparkSession, dir: String): DataFrame =
+    survivalOf(spansOf(Tables.events(spark, dir)))
+
+  /** The survival grain: per-user (first_day, last_day) — min/max-
+    * merges (idempotent AND order-insensitive), so q295's streaming
+    * state is exactly this table.
+    */
+  private[graft] def spansOf(ev: DataFrame): DataFrame =
+    userDays(ev).groupBy(col("user_id"))
       .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+
+  /** The q291 finish off the spans grain — shared by the batch report
+    * and q295's streaming drain.
+    */
+  private[graft] def survivalOf(spans: DataFrame): DataFrame = {
     val maxDay = spans.agg(max(col("last_day")).as("m"))
     val byTenure = spans.crossJoin(broadcast(maxDay))
       .select((col("last_day") - col("first_day")).as("tenure"),
@@ -325,13 +349,13 @@ object Lifecycle {
     * the dense grid is #types × #days rows; both window folds
     * partition by type and run over day grain.
     */
-  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .select(col("event_type"),
-        expr(s"unix_micros(cast(ts as timestamp)) div $usPerDay")
-          .as("day"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n"))
+  def cusumShift(spark: SparkSession, dir: String): DataFrame =
+    cusumOf(dailyCountsOf(Tables.events(spark, dir)))
+
+  /** The q292 finish off the daily-count grain — shared by the batch
+    * report and q296's streaming drain.
+    */
+  private[graft] def cusumOf(daily: DataFrame): DataFrame = {
     val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
     val grid = daily.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds))

@@ -446,11 +446,18 @@ object Sessionize {
     * prefix-sum sequence is invariant to permutation inside an equal
     * (ts, delta) tie group (all increments in the group are equal).
     */
-  def sessionConcurrency(spark: SparkSession, dir: String): DataFrame = {
-    val usPerDay = 86400000000L
-    val sess = sessionedEvents(spark, dir)
+  def sessionConcurrency(spark: SparkSession, dir: String): DataFrame =
+    concurrencyOf(sessionedEvents(spark, dir)
       .groupBy(col("user_id"), col("session_id"))
-      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts")))
+
+  /** The q290 sweep-line finish off the session (start_ts, end_ts)
+    * grain — shared by the batch report and q298's streaming drain
+    * (the funnel-stages state carries each session's first/last ts,
+    * which min/max-merge exactly).
+    */
+  private[graft] def concurrencyOf(sess: DataFrame): DataFrame = {
+    val usPerDay = 86400000000L
     val bounds = sess
       .select(col("start_ts").as("ts"), lit(1L).as("delta"))
       .unionAll(sess.select(col("end_ts").as("ts"), lit(-1L).as("delta")))

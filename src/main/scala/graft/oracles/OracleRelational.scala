@@ -529,27 +529,10 @@ private[graft] object OracleRelational {
     
     // q281: day-of-week baseline + residual z anomaly — exact integer
     // dow via (epoch_day + 4) % 7, population variance from Σn / Σn²
-    "q281_seasonal_baseline" ->
-      ("WITH daily AS (SELECT event_type, " +
-        "epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
-        "d2 AS (SELECT *, (day + 4) % 7 AS dow FROM daily), " +
-        "b AS (SELECT event_type, dow, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_days, " +
-        "SUM(n) AS s, SUM(n * n) AS ss FROM d2 GROUP BY 1, 2), " +
-        "j AS (SELECT d2.event_type, d2.day, d2.dow, d2.n, b.n_days, " +
-        "CAST(b.s AS DOUBLE) / CAST(b.n_days AS DOUBLE) AS mean, " +
-        "(CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * " +
-        "CAST(b.s AS DOUBLE) / CAST(b.n_days AS DOUBLE)) / " +
-        "CAST(b.n_days AS DOUBLE) AS variance " +
-        "FROM d2 JOIN b ON d2.event_type = b.event_type " +
-        "AND d2.dow = b.dow), " +
-        "z AS (SELECT *, CASE WHEN variance <= 0 THEN 0.0 ELSE " +
-        "(CAST(n AS DOUBLE) - mean) / sqrt(variance) END AS z FROM j) " +
-        "SELECT event_type, CAST(day AS BIGINT) AS day, " +
-        "CAST(dow AS BIGINT) AS dow, n, n_days, mean, z, " +
-        "CAST(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END AS BIGINT) " +
-        "AS is_anomaly FROM z ORDER BY event_type, day"),
+    "q281_seasonal_baseline" -> q281Sql,
+    // q297: q281 per micro-batch (the shared (type, day, n) count
+    // state drains the weekday-baseline finish) — shares q281's SQL
+    "q297_streaming_seasonal" -> q281Sql,
     // q282: funnel value by furthest stage — q144's chain plus exact
     // session cents; exclusive buckets partition q144's s0
     "q282_funnel_value_by_stage" ->
@@ -631,75 +614,24 @@ private[graft] object OracleRelational {
     // q290: per-day peak concurrent sessions — the q20 session CTEs,
     // sessions as closed intervals (+1/−1 boundaries, starts before
     // ends at a tie), one global running sum grouped by day
-    "q290_session_concurrency" ->
-      ("WITH g AS (SELECT user_id, ts, event_id, " +
-        "CASE WHEN LAG(ts) OVER w IS NULL OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
-        "THEN 1 ELSE 0 END AS new_session FROM events " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
-        "s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g), " +
-        "se AS (SELECT user_id, session_id, MIN(ts) AS start_ts, " +
-        "MAX(ts) AS end_ts FROM s GROUP BY 1, 2), " +
-        "b AS (SELECT start_ts AS ts, 1 AS delta FROM se " +
-        "UNION ALL SELECT end_ts AS ts, -1 AS delta FROM se), " +
-        "r AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, delta, " +
-        "SUM(delta) OVER (ORDER BY ts, delta DESC " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM b) " +
-        "SELECT CAST(day AS BIGINT) AS day, " +
-        "CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts, " +
-        "CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends, " +
-        "CAST(MAX(run) AS BIGINT) AS max_concurrent " +
-        "FROM r GROUP BY 1 ORDER BY day"),
+    "q290_session_concurrency" -> q290Sql,
+    // q298: q290 per micro-batch (session endpoints min/max-merge
+    // through the funnel-stages state) — shares q290's SQL verbatim
+    "q298_streaming_concurrency" -> q290Sql,
     // q291: Kaplan-Meier tenure table — censoring at the corpus max
     // day, at-risk via a tenure-grain suffix sum; hazard is the one
     // division
-    "q291_survival_hazard" ->
-      (lifecycleUd +
-        "sp AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld " +
-        "FROM ud GROUP BY 1), " +
-        "mx AS (SELECT MAX(ld) AS m FROM sp), " +
-        "t AS (SELECT ld - fd AS tenure, " +
-        "CASE WHEN ld = (SELECT m FROM mx) THEN 1 ELSE 0 END AS censored " +
-        "FROM sp), " +
-        "b AS (SELECT tenure, CAST(COUNT(*) AS BIGINT) AS n_total, " +
-        "CAST(SUM(censored) AS BIGINT) AS n_censored FROM t GROUP BY 1), " +
-        "r AS (SELECT *, SUM(n_total) OVER (ORDER BY tenure DESC " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk " +
-        "FROM b) " +
-        "SELECT CAST(tenure AS BIGINT) AS tenure, " +
-        "CAST(n_at_risk AS BIGINT) AS n_at_risk, " +
-        "CAST(n_total - n_censored AS BIGINT) AS n_churned, n_censored, " +
-        "CAST(n_total - n_censored AS DOUBLE) / CAST(n_at_risk AS DOUBLE) " +
-        "AS hazard FROM r ORDER BY tenure"),
+    "q291_survival_hazard" -> q291Sql,
+    // q295: q291 per micro-batch (per-user span min/max-merge) —
+    // shares q291's SQL verbatim
+    "q295_streaming_survival" -> q291Sql,
     // q292: integer CUSUM over the DENSE (type, day) count grid —
     // denominators cleared (y = D·n − T), closed form
     // S = P − min(0, running min P), all BIGINT to one division
-    "q292_cusum_shift" ->
-      ("WITH daily AS (SELECT event_type, " +
-        "epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
-        "bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily), " +
-        "grid AS (SELECT t.event_type, g.day FROM " +
-        "(SELECT DISTINCT event_type FROM daily) t CROSS JOIN " +
-        "(SELECT unnest(generate_series(mn, mx)) AS day FROM bounds) g), " +
-        "f AS (SELECT grid.event_type, grid.day, " +
-        "COALESCE(daily.n, CAST(0 AS BIGINT)) AS n FROM grid " +
-        "LEFT JOIN daily ON grid.event_type = daily.event_type " +
-        "AND grid.day = daily.day), " +
-        "tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_days FROM f GROUP BY 1), " +
-        "y AS (SELECT f.event_type, f.day, f.n, t.n_days, t.total, " +
-        "t.n_days * f.n - t.total AS yv FROM f JOIN tot t USING (event_type)), " +
-        "p AS (SELECT *, SUM(yv) OVER (PARTITION BY event_type ORDER BY day " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv FROM y), " +
-        "sa AS (SELECT *, pv - LEAST(CAST(0 AS BIGINT), " +
-        "MIN(pv) OVER (PARTITION BY event_type ORDER BY day " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s FROM p) " +
-        "SELECT event_type, CAST(day AS BIGINT) AS day, " +
-        "CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS cusum_scaled, " +
-        "CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS cusum, " +
-        "CAST(CASE WHEN s > 3 * total THEN 1 ELSE 0 END AS BIGINT) " +
-        "AS is_shift FROM sa ORDER BY event_type, day"),
+    "q292_cusum_shift" -> q292Sql,
+    // q296: q292 per micro-batch (the shared (type, day, n) count
+    // state drains the CUSUM finish) — shares q292's SQL verbatim
+    "q296_streaming_cusum" -> q292Sql,
     // q293: referential orphan audit — one key-grain collapse + one
     // LEFT JOIN ... IS NULL per FK edge (the anti-join convention:
     // a NULL child key never matches, so it counts as orphaned)
@@ -725,7 +657,44 @@ private[graft] object OracleRelational {
         skewKey("events", "event_type"),
         skewKey("documents", "source"))
         .mkString("", " UNION ALL ", " ORDER BY key_name")),
+    // q299: exact Gini via the tie-group rank identity over the value
+    // histogram — HUGEINT weighted sums (the engine's decimal(38,0)),
+    // one final division
+    "q299_activity_gini" ->
+      ("WITH " + Seq(
+        giniCtes("(SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x " +
+          "FROM events GROUP BY 1)", "g1"),
+        giniCtes("(SELECT user_id, " +
+          "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x " +
+          "FROM events GROUP BY 1)", "g2"),
+        giniCtes("(SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x " +
+          "FROM orders GROUP BY 1)", "g3")).mkString(", ") + " " +
+        Seq(giniSelect("events_per_user", "g1"),
+          giniSelect("cents_per_user", "g2"),
+          giniSelect("orders_per_customer", "g3"))
+          .mkString(" UNION ALL ") + " ORDER BY entity"),
   )
+
+  /** The q299 per-entity CTE chain: per-key values → value histogram
+    * → tie-group rank bases → HUGEINT weighted sums.
+    */
+  private def giniCtes(perKeySql: String, p: String): String =
+    (s"${p}bv AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS m " +
+      s"FROM $perKeySql GROUP BY 1), " +
+      s"${p}r AS (SELECT x, m, COALESCE(SUM(m) OVER (ORDER BY x " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+      s"CAST(0 AS BIGINT)) AS rbase FROM ${p}bv), " +
+      s"${p}a AS (SELECT SUM(CAST(x AS HUGEINT) * " +
+      "(CAST(m AS HUGEINT) * rbase + (CAST(m AS HUGEINT) * (m + 1)) // 2)) " +
+      "AS sw, CAST(SUM(m) AS HUGEINT) AS n, " +
+      s"SUM(CAST(x AS HUGEINT) * m) AS total FROM ${p}r)")
+
+  private def giniSelect(entity: String, p: String): String =
+    (s"SELECT '$entity' AS entity, CAST(n AS BIGINT) AS n_keys, " +
+      "CAST(total AS BIGINT) AS total, " +
+      "CASE WHEN n * total = 0 THEN 0.0 ELSE " +
+      "CAST(2 * sw - (n + 1) * total AS DOUBLE) / " +
+      s"CAST(n * total AS DOUBLE) END AS gini FROM ${p}a")
 
   /** One FK edge of the q293 audit: child collapsed to (key, cnt),
     * left join against the distinct parent keys, NULL parent = orphan.
@@ -753,6 +722,94 @@ private[graft] object OracleRelational {
       "CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS max_share " +
       s"FROM (SELECT $key AS k, CAST(COUNT(*) AS BIGINT) AS cnt " +
       s"FROM $table GROUP BY 1)")
+
+  private def q281Sql: String =
+      ("WITH daily AS (SELECT event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "d2 AS (SELECT *, (day + 4) % 7 AS dow FROM daily), " +
+        "b AS (SELECT event_type, dow, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "SUM(n) AS s, SUM(n * n) AS ss FROM d2 GROUP BY 1, 2), " +
+        "j AS (SELECT d2.event_type, d2.day, d2.dow, d2.n, b.n_days, " +
+        "CAST(b.s AS DOUBLE) / CAST(b.n_days AS DOUBLE) AS mean, " +
+        "(CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * " +
+        "CAST(b.s AS DOUBLE) / CAST(b.n_days AS DOUBLE)) / " +
+        "CAST(b.n_days AS DOUBLE) AS variance " +
+        "FROM d2 JOIN b ON d2.event_type = b.event_type " +
+        "AND d2.dow = b.dow), " +
+        "z AS (SELECT *, CASE WHEN variance <= 0 THEN 0.0 ELSE " +
+        "(CAST(n AS DOUBLE) - mean) / sqrt(variance) END AS z FROM j) " +
+        "SELECT event_type, CAST(day AS BIGINT) AS day, " +
+        "CAST(dow AS BIGINT) AS dow, n, n_days, mean, z, " +
+        "CAST(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS is_anomaly FROM z ORDER BY event_type, day")
+
+  private def q290Sql: String =
+      ("WITH g AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g), " +
+        "se AS (SELECT user_id, session_id, MIN(ts) AS start_ts, " +
+        "MAX(ts) AS end_ts FROM s GROUP BY 1, 2), " +
+        "b AS (SELECT start_ts AS ts, 1 AS delta FROM se " +
+        "UNION ALL SELECT end_ts AS ts, -1 AS delta FROM se), " +
+        "r AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, delta, " +
+        "SUM(delta) OVER (ORDER BY ts, delta DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM b) " +
+        "SELECT CAST(day AS BIGINT) AS day, " +
+        "CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts, " +
+        "CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends, " +
+        "CAST(MAX(run) AS BIGINT) AS max_concurrent " +
+        "FROM r GROUP BY 1 ORDER BY day")
+
+  private def q291Sql: String =
+      (lifecycleUd +
+        "sp AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld " +
+        "FROM ud GROUP BY 1), " +
+        "mx AS (SELECT MAX(ld) AS m FROM sp), " +
+        "t AS (SELECT ld - fd AS tenure, " +
+        "CASE WHEN ld = (SELECT m FROM mx) THEN 1 ELSE 0 END AS censored " +
+        "FROM sp), " +
+        "b AS (SELECT tenure, CAST(COUNT(*) AS BIGINT) AS n_total, " +
+        "CAST(SUM(censored) AS BIGINT) AS n_censored FROM t GROUP BY 1), " +
+        "r AS (SELECT *, SUM(n_total) OVER (ORDER BY tenure DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk " +
+        "FROM b) " +
+        "SELECT CAST(tenure AS BIGINT) AS tenure, " +
+        "CAST(n_at_risk AS BIGINT) AS n_at_risk, " +
+        "CAST(n_total - n_censored AS BIGINT) AS n_churned, n_censored, " +
+        "CAST(n_total - n_censored AS DOUBLE) / CAST(n_at_risk AS DOUBLE) " +
+        "AS hazard FROM r ORDER BY tenure")
+
+  private def q292Sql: String =
+      ("WITH daily AS (SELECT event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily), " +
+        "grid AS (SELECT t.event_type, g.day FROM " +
+        "(SELECT DISTINCT event_type FROM daily) t CROSS JOIN " +
+        "(SELECT unnest(generate_series(mn, mx)) AS day FROM bounds) g), " +
+        "f AS (SELECT grid.event_type, grid.day, " +
+        "COALESCE(daily.n, CAST(0 AS BIGINT)) AS n FROM grid " +
+        "LEFT JOIN daily ON grid.event_type = daily.event_type " +
+        "AND grid.day = daily.day), " +
+        "tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_days FROM f GROUP BY 1), " +
+        "y AS (SELECT f.event_type, f.day, f.n, t.n_days, t.total, " +
+        "t.n_days * f.n - t.total AS yv FROM f JOIN tot t USING (event_type)), " +
+        "p AS (SELECT *, SUM(yv) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv FROM y), " +
+        "sa AS (SELECT *, pv - LEAST(CAST(0 AS BIGINT), " +
+        "MIN(pv) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s FROM p) " +
+        "SELECT event_type, CAST(day AS BIGINT) AS day, " +
+        "CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS cusum_scaled, " +
+        "CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS cusum, " +
+        "CAST(CASE WHEN s > 3 * total THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS is_shift FROM sa ORDER BY event_type, day")
 
   /** The shared lifecycle grain: distinct (user_id, exact epoch-day)
     * pairs — integer `//` division so both engines agree bit-for-bit.

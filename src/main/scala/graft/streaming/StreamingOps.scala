@@ -3351,13 +3351,19 @@ object StreamingOps {
                 lit(null).cast(tsT).as("tc_ts"),
                 lit(null).cast("long").as("tp"),
                 lit(null).cast(tsT).as("tp_ts"),
-                lit(null).cast("long").as("n_events")).limit(0)
+                lit(null).cast("long").as("n_events"),
+                lit(null).cast(tsT).as("first_ts"),
+                lit(null).cast(tsT).as("last_ts")).limit(0)
             else ss.read.parquet(stagesLedger.path)
           val bn = assigned.groupBy(keys.map(col): _*)
-            .agg(count(lit(1)).as("bn"))
+            .agg(count(lit(1)).as("bn"), min(col("ts")).as("bft"),
+              max(col("ts")).as("blt"))
           val base = state.join(bn, keys, "full_outer")
             .withColumn("ne2", coalesce(col("n_events"), lit(0L)) +
               coalesce(col("bn"), lit(0L)))
+            // session endpoint min/max-merge (least/greatest skip nulls)
+            .withColumn("ft2", least(col("first_ts"), col("bft")))
+            .withColumn("lt2", greatest(col("last_ts"), col("blt")))
           val bv = assigned.filter(col("event_type") === "view")
             .groupBy(keys.map(col): _*)
             .agg(min(col("event_id")).as("bv"), min(col("ts")).as("bv_ts"))
@@ -3386,7 +3392,8 @@ object StreamingOps {
             col("tv2").as("tv"), col("tv2_ts").as("tv_ts"),
             col("tc2").as("tc"), col("tc2_ts").as("tc_ts"),
             col("tp2").as("tp"), col("tp2_ts").as("tp_ts"),
-            col("ne2").as("n_events")), id)
+            col("ne2").as("n_events"),
+            col("ft2").as("first_ts"), col("lt2").as("last_ts")), id)
         }
         if (!anchorsLedger.isReplayed(id)) {
           val bAnch = assigned.groupBy(col("user_id"))
@@ -3410,5 +3417,167 @@ object StreamingOps {
     val q = startWithCheckpoint(w, root)
     q.awaitTermination()
     spark.read.parquet(stagesLedger.path)
+  }
+
+  /** Streaming survival maintenance (q295): q291 per micro-batch.
+    * The per-user (first_day, last_day) span is the mergeable
+    * sufficient statistic — min/max-merge per user, which is
+    * idempotent AND order-insensitive (a replayed or late batch
+    * re-contributes the same endpoints), so no arrival contract is
+    * needed; the ledger gate still skips replays to avoid version
+    * churn. The drain runs
+    * [[graft.operators.Lifecycle.survivalOf]] (the q291 finish,
+    * including the corpus-max-day censoring anchor) verbatim: q291's
+    * SQL is the oracle for ANY micro-batching.
+    *
+    * 100 TB shape: state is ONE row per user (two longs) — smaller
+    * than the q276 (user, day) grain; per-batch work is one
+    * map-side-combined user-grain aggregate plus a user-grain merge.
+    */
+  def streamingSurvival(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    val root = effectiveRoot(stateRoot, "survival")
+    val spansRoot = stateDir(root, "user_spans")
+    val ledger = new VersionedLedger(spark, spansRoot, root)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val reader = spark.readStream
+      .schema(eventsSchema(tsType))
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (!ledger.isReplayed(id)) {
+          val bSpans = graft.operators.Lifecycle.spansOf(batch.toDF())
+          val merged =
+            if (ledger.isEmpty) bSpans
+            else ss.read.parquet(ledger.path)
+              .unionByName(bSpans)
+              .groupBy(col("user_id"))
+              .agg(min(col("first_day")).as("first_day"),
+                max(col("last_day")).as("last_day"))
+          ledger.write(merged, id)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    graft.operators.Lifecycle.survivalOf(
+      spark.read.parquet(ledger.path))
+  }
+
+  /** The shared stateful core behind q296/q297: maintains the
+    * (event_type, epoch-day, count) grain —
+    * [[graft.operators.Lifecycle.dailyCountsOf]], the sufficient
+    * statistic for BOTH the CUSUM and the weekday-baseline reports —
+    * as a sum-merged gated ledger. Sum-merge commutes
+    * (order-insensitive, no arrival contract) but is not idempotent,
+    * so the ledger gate skips crash replays. A 24/7 operator runs the
+    * fold once and reads both anomaly reports off the same state.
+    *
+    * 100 TB shape: state is #types × #days rows (tiny); per-batch
+    * work is one map-side-combined count of the batch plus a
+    * grain-scale merge — the count history is never rescanned.
+    */
+  private def dailyCountState(spark: SparkSession, dir: String,
+      op: String,
+      sourceDir: Option[String],
+      sourceGlob: String,
+      maxFilesPerTrigger: Option[Int],
+      stateRoot: Option[String]): DataFrame = {
+    val root = effectiveRoot(stateRoot, op)
+    val dcRoot = stateDir(root, "daily_counts")
+    val ledger = new VersionedLedger(spark, dcRoot, root)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val reader = spark.readStream
+      .schema(eventsSchema(tsType))
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (!ledger.isReplayed(id)) {
+          val bDaily = graft.operators.Lifecycle.dailyCountsOf(batch.toDF())
+          val merged =
+            if (ledger.isEmpty) bDaily
+            else ss.read.parquet(ledger.path)
+              .unionByName(bDaily)
+              .groupBy(col("event_type"), col("day"))
+              .agg(sum(col("n")).as("n"))
+          ledger.write(merged, id)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    spark.read.parquet(ledger.path)
+  }
+
+  /** Streaming CUSUM maintenance (q296): q292 per micro-batch — the
+    * drain runs [[graft.operators.Lifecycle.cusumOf]] (dense grid +
+    * closed-form windows) over the [[dailyCountState]] grain, so
+    * q292's SQL is the oracle for ANY micro-batching.
+    */
+  def streamingCusum(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.Lifecycle.cusumOf(
+      dailyCountState(spark, dir, "cusum", sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+
+  /** Streaming weekday-baseline maintenance (q297): q281 per
+    * micro-batch — the drain runs
+    * [[graft.operators.Lifecycle.seasonalOf]] over the SAME
+    * [[dailyCountState]] grain as q296, so q281's SQL is the oracle
+    * for ANY micro-batching.
+    */
+  def streamingSeasonal(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.Lifecycle.seasonalOf(
+      dailyCountState(spark, dir, "seasonal", sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+
+  /** Streaming concurrency maintenance (q298): q290 per micro-batch.
+    * Rides the [[funnelStages]] stateful core (q277's session anchors
+    * keep cross-batch session identity and numbering), whose session
+    * grain now carries each session's first/last event timestamp —
+    * endpoints min/max-merge, so under the arrival contract the
+    * drained (start_ts, end_ts) intervals equal the batch q20
+    * sessions' exactly and the drain is
+    * [[graft.operators.Sessionize.concurrencyOf]] (the sweep-line
+    * finish) verbatim: q290's SQL is the oracle for ANY
+    * micro-batching. Same state family as q277/q283/q285 — one
+    * maintained fold, four reports.
+    */
+  def streamingConcurrency(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    val stages = funnelStages(spark, dir, "concurrency", sourceDir,
+      sourceGlob, maxFilesPerTrigger, stateRoot)
+    graft.operators.Sessionize.concurrencyOf(
+      stages.select(col("user_id"), col("session_id"),
+        col("first_ts").as("start_ts"), col("last_ts").as("end_ts")))
   }
 }

@@ -3,13 +3,104 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Audit, Lifecycle, Sessionize}
+import graft.streaming.StreamingOps
 
-/** Round-12 ops/reliability-family specs (q290–q294): the sweep-line
+/** Round-12 ops/reliability-family specs (q290–q299): the sweep-line
   * concurrency identities, the Kaplan-Meier partition/monotonicity
   * laws, a driver-side replay of the CUSUM recursion against the
   * closed-form windows, and planted-fixture orphan/skew audits.
   */
 class Wave11Spec extends SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def rmrf(p: String): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+
+  private def dropLatestCommit(stateRoot: String): Unit = {
+    val commits = new java.io.File(s"$stateRoot/_checkpoint/commits")
+    val latest = commits.listFiles()
+      .filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(latest.delete(), s"could not delete $latest")
+    new java.io.File(commits, s".${latest.getName}.crc").delete()
+  }
+
+  private def splitEvents(root: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+      .orderBy(col("event_id"))
+    val rows = df.collect()
+    val schema = df.schema
+    val t0 = System.currentTimeMillis() - 600000L
+    val per = (rows.length + 2) / 3
+    (0 until 3).foreach { part =>
+      val slice = rows.slice(part * per,
+        math.min((part + 1) * per, rows.length))
+      val tmp = s"$root/_w"
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(slice.toSeq, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$root/stream/b$part.parquet")
+      target.getParentFile.mkdirs()
+      java.nio.file.Files.move(f.toPath, target.toPath)
+      target.setLastModified(t0 + part * 2000L)
+      rmrf(tmp)
+    }
+  }
+
+  private def streamTwinMatchesBatch(tag: String,
+      batchDf: => org.apache.spark.sql.DataFrame,
+      streamDf: (String, String) => org.apache.spark.sql.DataFrame)
+      : Unit = {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val batch = rows(batchDf)
+    Caches.releaseAll(spark)
+    val root = tmpDir(s"graft_${tag}_")
+    val stateRoot = s"$root/store"
+    try {
+      splitEvents(root)
+      def run() = {
+        val r = rows(streamDf(s"$root/stream", stateRoot))
+        Caches.releaseAll(spark)
+        r
+      }
+      assert(run() == batch, s"$tag: 3-way split diverged from batch")
+      dropLatestCommit(stateRoot)
+      assert(run() == batch, s"$tag: crash-replayed batch diverged")
+    } finally { Caches.releaseAll(spark); rmrf(root) }
+  }
+
+  test("q295: a 3-file split drains to the exact q291 survival " +
+    "table, and a crash-replayed batch leaves the span merge intact") {
+    streamTwinMatchesBatch("survival",
+      Lifecycle.survivalHazard(spark, sfDir),
+      (src, st) => StreamingOps.streamingSurvival(spark, sfDir,
+        sourceDir = Some(src), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
+  }
+
+  test("q296: a 3-file split drains to the exact q292 CUSUM table, " +
+    "and a crash-replayed batch is not re-summed into the counts") {
+    streamTwinMatchesBatch("cusum",
+      Lifecycle.cusumShift(spark, sfDir),
+      (src, st) => StreamingOps.streamingCusum(spark, sfDir,
+        sourceDir = Some(src), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
+  }
+
+  test("q298: a 3-file time-ordered split drains to the exact q290 " +
+    "concurrency curve (sessions spanning batch boundaries keep " +
+    "their endpoints), and a crash-replayed batch diverges nothing") {
+    streamTwinMatchesBatch("concurrency",
+      Sessionize.sessionConcurrency(spark, sfDir),
+      (src, st) => StreamingOps.streamingConcurrency(spark, sfDir,
+        sourceDir = Some(src), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
+  }
 
   test("q290: boundary counts balance (every session starts and " +
     "ends) and each day's peak is positive when sessions start") {
