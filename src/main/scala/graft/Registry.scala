@@ -738,6 +738,26 @@ object Registry {
     // exact Gini concentration of events/cents/orders per key — the
     // tie-group rank identity + q205 two-phase prefix, decimal sums
     "q299_activity_gini" -> ((s, d) => Audit.activityGini(s, d)),
+    // q273 per micro-batch: the (user, day) grain distinct-merges;
+    // drain = the lag+lead growth split — shares q273's oracle
+    "q300_streaming_growth" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingGrowth(s, d)),
+    // q275 per micro-batch off the SAME (user, day) state family as
+    // q300 — one maintained fold, two growth reports
+    "q301_streaming_stickiness" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingStickiness(s, d)),
+    // q234 per micro-batch: (source, lang) HLL registers max-merge
+    // through compacted state — shares q234's oracle
+    "q302_streaming_hll_cells" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingHllCells(s, d)),
+    // q299 per micro-batch off the q279 rfm state family (per-user
+    // n_events/cents sum-merge) + the static orders relation —
+    // shares q299's oracle
+    "q303_streaming_gini" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingGini(s, d)),
+    // exact Lorenz curve deciles — the distribution behind q299's
+    // scalar, off the same ranked value histogram
+    "q304_lorenz_deciles" -> ((s, d) => Audit.lorenzDeciles(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

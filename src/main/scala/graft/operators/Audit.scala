@@ -145,31 +145,56 @@ object Audit {
       .orderBy(col("entity"))
   }
 
-  /** One Gini row off a per-key value relation (`x` column). */
-  private def giniOf(spark: SparkSession, perKey: DataFrame,
-      entity: String): DataFrame = {
+  private val dec = "decimal(38,0)"
+
+  /** The shared rank machinery behind q299/q304: collapse a per-key
+    * value relation to its value HISTOGRAM (x, m), then attach each
+    * tie group's rank base `rbase` (keys strictly below) and value
+    * base `cb` (value mass strictly below) via the q205 two-phase
+    * prefix sum over the VALUE grain — range-partition by x,
+    * per-partition prefixes in parallel, #partitions offsets through
+    * the driver. Never sorts key grain.
+    */
+  private[graft] def rankedValueHistogram(spark: SparkSession,
+      perKey: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val dec = "decimal(38,0)"
     val byVal = perKey.groupBy(col("x")).agg(count(lit(1)).as("m"))
+      .withColumn("xm", col("x").cast(dec) * col("m").cast(dec))
       .repartitionByRange(col("x"))
       .withColumn("pid", spark_partition_id())
       .persist()
-    val totals = byVal.groupBy(col("pid")).agg(sum(col("m")).as("pm"))
+    val totals = byVal.groupBy(col("pid"))
+      .agg(sum(col("m")).as("pm"), sum(col("xm")).as("pxm"))
       .collect().sortBy(_.getAs[Int]("pid"))
-    var acc = 0L
+    var accM = 0L
+    var accX = BigDecimal(0)
     val offs = totals.map { r =>
-      val o = acc; acc += r.getAs[Long]("pm"); (r.getAs[Int]("pid"), o)
+      val o = (r.getAs[Int]("pid"), accM, accX)
+      accM += r.getAs[Long]("pm")
+      accX += BigDecimal(r.getAs[java.math.BigDecimal]("pxm"))
+      o
     }.toSeq
     val offDf =
-      if (offs.isEmpty) Seq((0, 0L)).toDF("pid", "poff").limit(0)
-      else offs.toDF("pid", "poff")
+      if (offs.isEmpty)
+        Seq((0, 0L, BigDecimal(0))).toDF("pid", "poff", "voff").limit(0)
+      else offs.toDF("pid", "poff", "voff")
     val wLoc = Window.partitionBy(col("pid")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = byVal
-      .withColumn("loc", coalesce(sum(col("m")).over(wLoc), lit(0L)))
+    byVal
+      .withColumn("locm", coalesce(sum(col("m")).over(wLoc), lit(0L)))
+      .withColumn("locx",
+        coalesce(sum(col("xm")).over(wLoc), lit(0).cast(dec)))
       .join(broadcast(offDf), "pid")
-      .withColumn("rbase", col("loc") + col("poff"))
+      .select(col("x"), col("m"), col("xm"),
+        (col("locm") + col("poff")).as("rbase"),
+        (col("locx") + col("voff").cast(dec)).cast(dec).as("cb"))
+  }
+
+  /** One Gini row off a per-key value relation (`x` column). */
+  private[graft] def giniOf(spark: SparkSession, perKey: DataFrame,
+      entity: String): DataFrame = {
+    val ranked = rankedValueHistogram(spark, perKey)
       // m(m+1)/2 stays in longs: m is ONE value's multiplicity, whose
       // square fits long far past any real corpus's tie-group size
       .withColumn("tri", expr("(m * (m + 1)) div 2"))
@@ -178,7 +203,7 @@ object Audit {
         (col("m").cast(dec) * col("rbase").cast(dec) +
           col("tri").cast(dec))).as("sw"),
       sum(col("m")).as("n"),
-      sum(col("x").cast(dec) * col("m").cast(dec)).as("total"))
+      sum(col("xm")).as("total"))
     agg.select(lit(entity).as("entity"),
       col("n").as("n_keys"),
       col("total").cast("long").as("total"),
@@ -188,5 +213,49 @@ object Audit {
             (col("n") + 1L).cast(dec) * col("total")).cast("double") /
           (col("n").cast(dec) * col("total")).cast("double"))
         .as("gini"))
+  }
+
+  /** q304 — exact Lorenz curve deciles: at each key-count decile rank
+    * r_d = ⌈d·n/10⌉ (keys ordered by ascending value), the cumulative
+    * value mass and its share of the total — the curve whose area
+    * deficit IS q299's Gini. Exact without a key-grain sort: inside a
+    * tie group all values are equal, so the cumulative mass at any
+    * rank r in the group is cb + (r − rbase)·x off the
+    * [[rankedValueHistogram]] grain; the decile table (10 rows,
+    * broadcast) range-joins the histogram. Same three entities as
+    * q299.
+    */
+  def lorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val evCounts = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    val cents = ev.groupBy(col("user_id"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("x"))
+    val ordCounts = Tables.orders(spark, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    lorenzOf(spark, evCounts, "events_per_user")
+      .unionAll(lorenzOf(spark, cents, "cents_per_user"))
+      .unionAll(lorenzOf(spark, ordCounts, "orders_per_customer"))
+      .orderBy(col("entity"), col("decile"))
+  }
+
+  private def lorenzOf(spark: SparkSession, perKey: DataFrame,
+      entity: String): DataFrame = {
+    val ranked = rankedValueHistogram(spark, perKey)
+    val agg = ranked.agg(sum(col("m")).as("n"), sum(col("xm")).as("total"))
+    val decs = spark.range(1, 11).select(col("id").as("decile"))
+      .crossJoin(agg)
+      .select(col("decile"), col("n"), col("total"),
+        expr("(decile * n + 9) div 10").as("r"))
+    broadcast(decs).join(ranked,
+        col("r") > col("rbase") && col("r") <= col("rbase") + col("m"))
+      .select(lit(entity).as("entity"), col("decile"),
+        col("r").as("rank"),
+        (col("cb") + (col("r") - col("rbase")).cast(dec) *
+          col("x").cast(dec)).cast("long").as("cum_value"),
+        ((col("cb") + (col("r") - col("rbase")).cast(dec) *
+          col("x").cast(dec)).cast("double") /
+          col("total").cast("double")).as("share"))
   }
 }

@@ -58,9 +58,15 @@ object Lifecycle {
     * (churn); both rollups are map-side-combined onto #days rows, then
     * a days-bounded hash join stitches them.
     */
-  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame =
+    growthOf(userDays(Tables.events(spark, dir)))
+
+  /** The q273 finish off the (user, day) grain — shared by the batch
+    * report and q300's streaming drain.
+    */
+  private[graft] def growthOf(udRaw: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
-    val ud = userDays(Tables.events(spark, dir))
+    val ud = udRaw
       .withColumn("prev_day", lag(col("day"), 1).over(byUser))
       .withColumn("next_day", lead(col("day"), 1).over(byUser))
     val active = ud.groupBy(col("day")).agg(
@@ -264,8 +270,13 @@ object Lifecycle {
       .orderBy(col("event_type"), col("day"))
   }
 
-  def dauWauStickiness(spark: SparkSession, dir: String): DataFrame = {
-    val ud = userDays(Tables.events(spark, dir))
+  def dauWauStickiness(spark: SparkSession, dir: String): DataFrame =
+    stickinessOf(userDays(Tables.events(spark, dir)))
+
+  /** The q275 finish off the (user, day) grain — shared by the batch
+    * report and q301's streaming drain.
+    */
+  private[graft] def stickinessOf(ud: DataFrame): DataFrame = {
     val days = ud.select(col("day")).distinct()
     val dau = ud.groupBy(col("day"))
       .agg(count(lit(1)).as("dau"))

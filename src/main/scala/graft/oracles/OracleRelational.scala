@@ -575,23 +575,10 @@ private[graft] object OracleRelational {
         "GROUP BY 1 ORDER BY stage"),
     // q273: per-day new/retained/resurrected/churned split — one
     // user-partitioned lag+lead over the (user, day) grain
-    "q273_growth_accounting" ->
-      (lifecycleUd +
-        "w AS (SELECT user_id, day, " +
-        "LAG(day) OVER uw AS prev_day, LEAD(day) OVER uw AS next_day " +
-        "FROM ud WINDOW uw AS (PARTITION BY user_id ORDER BY day)), " +
-        "act AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active, " +
-        "CAST(SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
-        "CAST(SUM(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, " +
-        "CAST(SUM(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1 " +
-        "THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected " +
-        "FROM w GROUP BY 1), " +
-        "ch AS (SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS churn " +
-        "FROM w WHERE next_day IS NULL OR next_day > day + 1 GROUP BY 1) " +
-        "SELECT CAST(a.day AS BIGINT) AS day, n_active, n_new, " +
-        "n_retained, n_resurrected, " +
-        "CAST(COALESCE(ch.churn, 0) AS BIGINT) AS n_churned " +
-        "FROM act a LEFT JOIN ch ON a.day = ch.day ORDER BY day"),
+    "q273_growth_accounting" -> q273Sql,
+    // q300: q273 per micro-batch (distinct-merged (user, day) grain)
+    // — shares q273's SQL verbatim
+    "q300_streaming_growth" -> q273Sql,
     // q274: RFM log2 cells — recency vs the corpus max day, money in
     // exact cents (the decimal(18,2) discipline), bit-length buckets
     "q274_rfm_segments" -> q274Sql,
@@ -600,17 +587,10 @@ private[graft] object OracleRelational {
     "q279_streaming_rfm" -> q274Sql,
     // q275: DAU vs trailing-7-day WAU per observed day — the range
     // join runs on the day grain, never the event grain
-    "q275_dau_wau_stickiness" ->
-      (lifecycleUd +
-        "days AS (SELECT DISTINCT day FROM ud), " +
-        "dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau " +
-        "FROM ud GROUP BY 1), " +
-        "wau AS (SELECT g.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) " +
-        "AS wau FROM days g JOIN ud u " +
-        "ON u.day BETWEEN g.day - 6 AND g.day GROUP BY 1) " +
-        "SELECT CAST(d.day AS BIGINT) AS day, d.dau, w.wau, " +
-        "CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness " +
-        "FROM dau d JOIN wau w ON d.day = w.day ORDER BY day"),
+    "q275_dau_wau_stickiness" -> q275Sql,
+    // q301: q275 per micro-batch off the same (user, day) grain —
+    // shares q275's SQL verbatim
+    "q301_streaming_stickiness" -> q275Sql,
     // q290: per-day peak concurrent sessions — the q20 session CTEs,
     // sessions as closed intervals (+1/−1 boundaries, starts before
     // ends at a tie), one global running sum grouped by day
@@ -660,7 +640,13 @@ private[graft] object OracleRelational {
     // q299: exact Gini via the tie-group rank identity over the value
     // histogram — HUGEINT weighted sums (the engine's decimal(38,0)),
     // one final division
-    "q299_activity_gini" ->
+    "q299_activity_gini" -> q299Sql,
+    // q303: q299 per micro-batch off the q279 rfm state family —
+    // shares q299's SQL verbatim
+    "q303_streaming_gini" -> q299Sql,
+    // q304: exact Lorenz deciles — the same giniCtes rank machinery,
+    // decile ranks range-joined into the value histogram
+    "q304_lorenz_deciles" ->
       ("WITH " + Seq(
         giniCtes("(SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x " +
           "FROM events GROUP BY 1)", "g1"),
@@ -669,10 +655,10 @@ private[graft] object OracleRelational {
           "FROM events GROUP BY 1)", "g2"),
         giniCtes("(SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x " +
           "FROM orders GROUP BY 1)", "g3")).mkString(", ") + " " +
-        Seq(giniSelect("events_per_user", "g1"),
-          giniSelect("cents_per_user", "g2"),
-          giniSelect("orders_per_customer", "g3"))
-          .mkString(" UNION ALL ") + " ORDER BY entity"),
+        Seq(lorenzSelect("events_per_user", "g1"),
+          lorenzSelect("cents_per_user", "g2"),
+          lorenzSelect("orders_per_customer", "g3"))
+          .mkString(" UNION ALL ") + " ORDER BY entity, decile"),
   )
 
   /** The q299 per-entity CTE chain: per-key values → value histogram
@@ -681,13 +667,29 @@ private[graft] object OracleRelational {
   private def giniCtes(perKeySql: String, p: String): String =
     (s"${p}bv AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS m " +
       s"FROM $perKeySql GROUP BY 1), " +
-      s"${p}r AS (SELECT x, m, COALESCE(SUM(m) OVER (ORDER BY x " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
-      s"CAST(0 AS BIGINT)) AS rbase FROM ${p}bv), " +
+      s"${p}r AS (SELECT x, m, " +
+      s"COALESCE(SUM(m) OVER wp, CAST(0 AS BIGINT)) AS rbase, " +
+      "COALESCE(SUM(CAST(x AS HUGEINT) * m) OVER wp, " +
+      s"CAST(0 AS HUGEINT)) AS cb FROM ${p}bv " +
+      "WINDOW wp AS (ORDER BY x " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
       s"${p}a AS (SELECT SUM(CAST(x AS HUGEINT) * " +
       "(CAST(m AS HUGEINT) * rbase + (CAST(m AS HUGEINT) * (m + 1)) // 2)) " +
       "AS sw, CAST(SUM(m) AS HUGEINT) AS n, " +
       s"SUM(CAST(x AS HUGEINT) * m) AS total FROM ${p}r)")
+
+  /** The q304 per-entity decile selection over the giniCtes chain. */
+  private def lorenzSelect(entity: String, p: String): String =
+    (s"SELECT '$entity' AS entity, CAST(d.decile AS BIGINT) AS decile, " +
+      "CAST(d.r AS BIGINT) AS rank, " +
+      "CAST(r0.cb + (d.r - r0.rbase) * CAST(r0.x AS HUGEINT) AS BIGINT) " +
+      "AS cum_value, " +
+      "CAST(r0.cb + (d.r - r0.rbase) * CAST(r0.x AS HUGEINT) AS DOUBLE) / " +
+      "CAST(d.total AS DOUBLE) AS share " +
+      "FROM (SELECT decile, (decile * n + 9) // 10 AS r, total " +
+      "FROM (SELECT unnest(generate_series(1, 10)) AS decile) " +
+      s"CROSS JOIN ${p}a) d " +
+      s"JOIN ${p}r r0 ON d.r > r0.rbase AND d.r <= r0.rbase + r0.m")
 
   private def giniSelect(entity: String, p: String): String =
     (s"SELECT '$entity' AS entity, CAST(n AS BIGINT) AS n_keys, " +
@@ -810,6 +812,50 @@ private[graft] object OracleRelational {
         "CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS cusum, " +
         "CAST(CASE WHEN s > 3 * total THEN 1 ELSE 0 END AS BIGINT) " +
         "AS is_shift FROM sa ORDER BY event_type, day")
+
+  private def q273Sql: String =
+      (lifecycleUd +
+        "w AS (SELECT user_id, day, " +
+        "LAG(day) OVER uw AS prev_day, LEAD(day) OVER uw AS next_day " +
+        "FROM ud WINDOW uw AS (PARTITION BY user_id ORDER BY day)), " +
+        "act AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active, " +
+        "CAST(SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
+        "CAST(SUM(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, " +
+        "CAST(SUM(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected " +
+        "FROM w GROUP BY 1), " +
+        "ch AS (SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS churn " +
+        "FROM w WHERE next_day IS NULL OR next_day > day + 1 GROUP BY 1) " +
+        "SELECT CAST(a.day AS BIGINT) AS day, n_active, n_new, " +
+        "n_retained, n_resurrected, " +
+        "CAST(COALESCE(ch.churn, 0) AS BIGINT) AS n_churned " +
+        "FROM act a LEFT JOIN ch ON a.day = ch.day ORDER BY day")
+
+  private def q275Sql: String =
+      (lifecycleUd +
+        "days AS (SELECT DISTINCT day FROM ud), " +
+        "dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau " +
+        "FROM ud GROUP BY 1), " +
+        "wau AS (SELECT g.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) " +
+        "AS wau FROM days g JOIN ud u " +
+        "ON u.day BETWEEN g.day - 6 AND g.day GROUP BY 1) " +
+        "SELECT CAST(d.day AS BIGINT) AS day, d.dau, w.wau, " +
+        "CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness " +
+        "FROM dau d JOIN wau w ON d.day = w.day ORDER BY day")
+
+  private def q299Sql: String =
+      ("WITH " + Seq(
+        giniCtes("(SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x " +
+          "FROM events GROUP BY 1)", "g1"),
+        giniCtes("(SELECT user_id, " +
+          "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x " +
+          "FROM events GROUP BY 1)", "g2"),
+        giniCtes("(SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x " +
+          "FROM orders GROUP BY 1)", "g3")).mkString(", ") + " " +
+        Seq(giniSelect("events_per_user", "g1"),
+          giniSelect("cents_per_user", "g2"),
+          giniSelect("orders_per_customer", "g3"))
+          .mkString(" UNION ALL ") + " ORDER BY entity")
 
   /** The shared lifecycle grain: distinct (user_id, exact epoch-day)
     * pairs — integer `//` division so both engines agree bit-for-bit.

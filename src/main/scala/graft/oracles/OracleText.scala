@@ -681,6 +681,9 @@ private[graft] object OracleText {
     // q234: the same sketch at (source, lang) cell grain — register
     // max-merge over lang reproduces q222 exactly (Wave6Spec)
     "q234_hll_cells" -> hllSql(Seq("source", "lang")),
+    // q302: q234 per micro-batch (register append + max-merge drain,
+    // the q223 discipline at cell grain) — shares q234's SQL
+    "q302_streaming_hll_cells" -> hllSql(Seq("source", "lang")),
     // q236: per-source point-biserial correlation between length and
     // the q211 quality flag — exact integer sufficient statistics,
     // one shared double formula, degenerate cells guarded identically

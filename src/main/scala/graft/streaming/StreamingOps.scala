@@ -3076,8 +3076,22 @@ object StreamingOps {
       sourceDir: Option[String] = None,
       sourceGlob: String = "events.parquet",
       maxFilesPerTrigger: Option[Int] = None,
-      stateRoot: Option[String] = None): DataFrame = {
-    val root = effectiveRoot(stateRoot, "rfm")
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.Lifecycle.rfmReport(
+      rfmState(spark, dir, "rfm", sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+
+  /** The shared stateful core behind q279/q303: the per-user
+    * (last_day, n_events, cents) stats as a max/sum-merged gated
+    * ledger — see [[streamingRfm]] for the merge discipline.
+    */
+  private def rfmState(spark: SparkSession, dir: String,
+      op: String,
+      sourceDir: Option[String],
+      sourceGlob: String,
+      maxFilesPerTrigger: Option[Int],
+      stateRoot: Option[String]): DataFrame = {
+    val root = effectiveRoot(stateRoot, op)
     val statsRoot = stateDir(root, "user_stats")
     val ledger = new VersionedLedger(spark, statsRoot, root)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -3110,8 +3124,7 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
     val q = startWithCheckpoint(w, root)
     q.awaitTermination()
-    graft.operators.Lifecycle.rfmReport(
-      spark.read.parquet(ledger.path))
+    spark.read.parquet(ledger.path)
   }
 
   /** Streaming session-funnel maintenance (q277): q144 per
@@ -3579,5 +3592,181 @@ object StreamingOps {
     graft.operators.Sessionize.concurrencyOf(
       stages.select(col("user_id"), col("session_id"),
         col("first_ts").as("start_ts"), col("last_ts").as("end_ts")))
+  }
+
+  /** The shared stateful core behind q300/q301: the distinct
+    * (user_id, epoch-day) grain — [[graft.operators.Lifecycle]]'s
+    * `userDays`, the sufficient statistic for the WHOLE epoch-day
+    * lifecycle family — distinct-merged through a gated ledger.
+    * Distinct-merge is idempotent AND order-insensitive, so no
+    * arrival contract; the gate only avoids version churn on replay.
+    * The calendar-date sibling of [[streamingRetention]]'s grain
+    * (q166 keys on CAST(ts AS DATE); q273/q275 key on exact
+    * epoch-day — under the UTC session the same partition of events).
+    *
+    * 100 TB shape: state is ≤ users × active-days rows; per-batch
+    * work is one map-side-combined distinct plus a grain-scale
+    * distinct-merge — one maintained fold, two growth reports.
+    */
+  private def userDayState(spark: SparkSession, dir: String,
+      op: String,
+      sourceDir: Option[String],
+      sourceGlob: String,
+      maxFilesPerTrigger: Option[Int],
+      stateRoot: Option[String]): DataFrame = {
+    val root = effectiveRoot(stateRoot, op)
+    val udRoot = stateDir(root, "user_days")
+    val ledger = new VersionedLedger(spark, udRoot, root)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val reader = spark.readStream
+      .schema(eventsSchema(tsType))
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (!ledger.isReplayed(id)) {
+          val bUd = graft.operators.Lifecycle.userDays(batch.toDF())
+          val merged =
+            if (ledger.isEmpty) bUd
+            else ss.read.parquet(ledger.path)
+              .unionByName(bUd)
+              .distinct()
+          ledger.write(merged, id)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    spark.read.parquet(ledger.path)
+  }
+
+  /** Streaming growth accounting (q300): q273 per micro-batch — the
+    * drain runs [[graft.operators.Lifecycle.growthOf]] (the lag+lead
+    * split) over the [[userDayState]] grain, so q273's SQL is the
+    * oracle for ANY micro-batching.
+    */
+  def streamingGrowth(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.Lifecycle.growthOf(
+      userDayState(spark, dir, "growth", sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+
+  /** Streaming DAU/WAU stickiness (q301): q275 per micro-batch — the
+    * drain runs [[graft.operators.Lifecycle.stickinessOf]] over the
+    * SAME [[userDayState]] grain as q300.
+    */
+  def streamingStickiness(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.Lifecycle.stickinessOf(
+      userDayState(spark, dir, "stickiness", sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+
+  /** Streaming HLL cell maintenance (q302): q234 per micro-batch —
+    * the q223 register-append discipline at the FINER (source, lang)
+    * grain. Register max-merge is associative and idempotent over any
+    * partition of the documents (the Wave6 roll-up identity), so ANY
+    * micro-batch split and any replay drain to the batch cell table;
+    * the exact-audit half re-reads the static corpus at drain time
+    * (the q223 verification discipline — a production run keeps only
+    * the estimator half). Shares q234's SQL.
+    *
+    * 100 TB shape: per-batch state is ≤ #cells × 256 register rows
+    * regardless of batch size, compacted by [[StreamState]].
+    */
+  def streamingHllCells(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.TextOps
+    import graft.sources.Tables
+    val root = effectiveRoot(stateRoot, "hll_cells")
+    val stateTab = stateDir(root, "registers")
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val reader = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = reader.parquet(sourceDir.getOrElse(dir))
+    graft.Caches.onRelease(
+      () => org.apache.spark.sql.graft.SessionHygiene.unloadStateStores())
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        StreamState.recover(ss, stateTab)
+        TextOps.hllRegsKeyed(batch.toDF()
+            .select(col("source"), col("lang"),
+              md5(col("text").cast("binary")).as("h")),
+            Seq("source", "lang"))
+          .write.mode("append").parquet(stateTab)
+        StreamState.maybeCompact(ss, stateTab, tag = "hll_cells/registers")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    val regSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("lang", StringType),
+      StructField("reg", LongType),
+      StructField("mrho", LongType)))
+    val merged = spark.read.schema(regSchema).parquet(stateTab)
+      .groupBy(col("source"), col("lang"), col("reg"))
+      .agg(max(col("mrho")).as("mrho"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        md5(col("text").cast("binary")).as("h"))
+      .persist()
+    graft.Caches.onRelease(() =>
+      try docs.unpersist(false) catch { case _: Throwable => () })
+    TextOps.hllReportKeyed(docs, merged, Seq("source", "lang"))
+  }
+
+  /** Streaming Gini maintenance (q303): q299 per micro-batch — the
+    * per-user stats the [[rfmState]] core already sum-merges
+    * (n_events, cents) are exactly the per-key values q299's Gini
+    * needs, so the drain runs the tie-group rank fold over the
+    * drained user grain (events + cents entities) plus the STATIC
+    * orders relation (the q76 stream-static discipline): q299's SQL
+    * is the oracle for ANY micro-batching. Same state family as q279
+    * — one maintained fold, two inequality reports.
+    */
+  def streamingGini(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Audit
+    val st = rfmState(spark, dir, "gini", sourceDir, sourceGlob,
+      maxFilesPerTrigger, stateRoot)
+    val ordCounts = graft.sources.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    Audit.giniOf(spark, st.select(col("n_events").as("x")),
+        "events_per_user")
+      .unionAll(Audit.giniOf(spark, st.select(col("cents").as("x")),
+        "cents_per_user"))
+      .unionAll(Audit.giniOf(spark, ordCounts, "orders_per_customer"))
+      .orderBy(col("entity"))
   }
 }

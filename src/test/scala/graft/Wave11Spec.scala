@@ -102,6 +102,44 @@ class Wave11Spec extends SparkSpec {
         maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
   }
 
+  test("q300: a 3-file split drains to the exact q273 growth split, " +
+    "and a crash-replayed batch leaves the distinct merge unchanged") {
+    streamTwinMatchesBatch("growth",
+      Lifecycle.growthAccounting(spark, sfDir),
+      (src, st) => StreamingOps.streamingGrowth(spark, sfDir,
+        sourceDir = Some(src), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
+  }
+
+  test("q303: a 3-file split drains to the exact q299 Gini rows, " +
+    "and a crash-replayed batch is not re-summed into the stats") {
+    streamTwinMatchesBatch("gini",
+      Audit.activityGini(spark, sfDir),
+      (src, st) => StreamingOps.streamingGini(spark, sfDir,
+        sourceDir = Some(src), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
+  }
+
+  test("q304: Lorenz shares are monotone, end at exactly 1.0, and " +
+    "the final cumulative mass equals q299's total") {
+    val lorenz = Audit.lorenzDeciles(spark, sfDir).collect()
+    val gini = Audit.activityGini(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    lorenz.groupBy(_.getString(0)).foreach { case (entity, rows) =>
+      val byDec = rows.sortBy(_.getLong(1))
+      assert(byDec.map(_.getLong(1)).toSeq == (1L to 10L))
+      byDec.sliding(2).foreach { w =>
+        assert(w(0).getDouble(4) <= w(1).getDouble(4) + 1e-12,
+          s"$entity: share not monotone")
+        assert(w(0).getLong(3) <= w(1).getLong(3))
+      }
+      assert(math.abs(byDec.last.getDouble(4) - 1.0) < 1e-12,
+        s"$entity: last share ${byDec.last.getDouble(4)}")
+      assert(byDec.last.getLong(3) == gini(entity),
+        s"$entity: cum_value(10) != q299 total")
+    }
+  }
+
   test("q290: boundary counts balance (every session starts and " +
     "ends) and each day's peak is positive when sessions start") {
     val df = Sessionize.sessionConcurrency(spark, sfDir).collect()
