@@ -758,6 +758,24 @@ object Registry {
     // exact Lorenz curve deciles — the distribution behind q299's
     // scalar, off the same ranked value histogram
     "q304_lorenz_deciles" -> ((s, d) => Audit.lorenzDeciles(s, d)),
+    // per-source bigram conditional entropy + perplexity — the
+    // sequential-predictability health metric (boilerplate detector)
+    "q305_bigram_entropy_rate" -> ((s, d) =>
+      TextOps.bigramEntropyRate(s, d)),
+    // q305 per micro-batch: (source, w1, w2) counts sum-merge —
+    // shares q305's oracle
+    "q306_streaming_bigram_entropy" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingBigramEntropy(s, d)),
+    // per-source Simpson/HHI token concentration + effective vocab —
+    // exact Σc/Σc² statistics, the power-mean companion of q173
+    "q307_simpson_diversity" -> ((s, d) => TextOps.simpsonDiversity(s, d)),
+    // q307 per micro-batch off the SAME (source, term) state grain as
+    // q270 — one maintained fold, two lexical-health reports
+    "q308_streaming_simpson" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingSimpson(s, d)),
+    // q25's marker-word guesser scored against the lang label — the
+    // confusion matrix behind the language filter
+    "q309_langid_confusion" -> ((s, d) => TextOps.langIdConfusion(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

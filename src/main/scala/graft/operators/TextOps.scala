@@ -3210,4 +3210,116 @@ object TextOps {
           (col("n") * col("sxx") - col("sx") * col("sx"))).as("beta"))
       .orderBy(col("decile"))
   }
+
+  /** Per-source bigram grain — (source, w1, w2, cnt), the q129 zip
+    * extraction keyed by source. Sum-merges per (source, w1, w2), so
+    * q306's streaming state is exactly this table.
+    */
+  private[graft] def bigramCountsOf(docs: DataFrame): DataFrame =
+    docs.select(col("source"), TextAnalytics.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("source"), col("b.w1"), col("b.w2"))
+      .groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Bigram entropy rate (q305): per source, the conditional entropy
+    * H(next | prev) of the token bigram distribution and its
+    * perplexity — the sequential-predictability health metric (q173's
+    * unigram entropy cannot see repetitive TEMPLATES whose unigram mix
+    * looks natural; a boilerplate source shows a collapsed entropy
+    * rate long before a human reads it). H = −Σ p(w1,w2)·ln p(w2|w1)
+    * folds from exact integer (source, w1, w2) counts with one ln per
+    * pair row; the checker's 9-decimal gate absorbs ln fold-order
+    * drift as for q173/q158/q266.
+    *
+    * 100 TB shape: counts collapse map-side to (source, bigram)
+    * grain; the context totals are one more combine; everything after
+    * is vocab²-bounded, never token grain.
+    */
+  def bigramEntropyRate(spark: SparkSession, dir: String): DataFrame =
+    entropyRateFromBigrams(bigramCountsOf(Tables.documents(spark, dir)))
+
+  /** The q305 finish off the bigram-count grain — shared by the batch
+    * report and q306's streaming drain.
+    */
+  private[graft] def entropyRateFromBigrams(countsRaw: DataFrame)
+      : DataFrame = {
+    val counts = countsRaw.persist()
+    val ctx = counts.groupBy(col("source"), col("w1"))
+      .agg(sum(col("cnt")).as("c1"))
+    val nctx = ctx.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contexts"))
+    val agg = counts.join(ctx, Seq("source", "w1"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        count(lit(1)).as("n_pairs"),
+        sum(col("cnt").cast("double") *
+          log(col("cnt").cast("double") / col("c1").cast("double")))
+          .as("sl"))
+    agg.join(nctx, Seq("source"))
+      .select(col("source"), col("n_bigrams"), col("n_contexts"),
+        col("n_pairs"),
+        (-col("sl") / col("n_bigrams").cast("double")).as("entropy_rate"),
+        exp(-col("sl") / col("n_bigrams").cast("double")).as("perplexity"))
+      .orderBy(col("source"))
+  }
+
+  /** Simpson diversity / HHI (q307): per source, the repeat
+    * probability Σ p(term)² (Herfindahl concentration of the token
+    * distribution) and its inverse — the "effective vocabulary" size.
+    * The power-mean companion to q173's Shannon entropy, and EXACT to
+    * one division per column: the sufficient statistics are the
+    * integer Σc and Σc² (Σc² in decimal(38,0)/HUGEINT — a 100 TB
+    * source's top term count squared overflows BIGINT).
+    *
+    * Rides the same (source, term) count grain as q158/q270, so the
+    * streaming twin (q308) drains the SAME maintained state as the KL
+    * monitor — one fold, two lexical-health reports.
+    */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    simpsonFromCounts(tokenCountsOf(Tables.documents(spark, dir)))
+
+  /** The q307 finish off the (source, term) count grain. */
+  private[graft] def simpsonFromCounts(counts: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    counts.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("cnt").cast(dec) * col("cnt").cast(dec)).as("ssq"))
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        (col("ssq").cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          .as("hhi"),
+        ((col("n_tokens").cast("double") * col("n_tokens").cast("double")) /
+          col("ssq").cast("double")).as("effective_vocab"))
+      .orderBy(col("source"))
+  }
+
+  /** Lang-id confusion matrix (q309): the q25 marker-word guesser
+    * evaluated against the labeled `lang` column — per (lang, guess)
+    * cell, doc count and within-language share (the q247 discipline
+    * applied to language identification: which languages the heuristic
+    * confuses, not just how often it is right). 100 TB shape: one
+    * map-side-combined count onto ≤ #langs × #guesses cells; the
+    * share join is cell-grain.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang"),
+        TextAnalytics.langGuess(col("text")).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("lang_total"))
+    cells.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("lang_guess"), col("n_docs"),
+        col("lang_total"),
+        (col("n_docs").cast("double") / col("lang_total").cast("double"))
+          .as("share"))
+      .orderBy(col("lang"), col("lang_guess"))
+  }
 }

@@ -1146,6 +1146,37 @@ private[graft] object OracleText {
     // q270: q158 per micro-batch (gated (source, term) count ledger)
     // — shares q158's oracle verbatim
     "q270_streaming_kl_drift" -> q158Sql,
+    // q305: per-source bigram conditional entropy H(next|prev) +
+    // perplexity — exact (source, w1, w2) counts, one ln per pair row
+    // (the q173/q158 fold-order discipline)
+    "q305_bigram_entropy_rate" -> q305Sql,
+    // q306: q305 per micro-batch (gated bigram count ledger) — shares
+    // q305's oracle verbatim
+    "q306_streaming_bigram_entropy" -> q305Sql,
+    // q307: per-source Simpson/HHI — exact Σc (BIGINT) and Σc²
+    // (HUGEINT; the engine uses decimal(38,0)), one division per col
+    "q307_simpson_diversity" -> q307Sql,
+    // q308: q307 per micro-batch off the same (source, term) grain as
+    // q270 — shares q307's oracle verbatim
+    "q308_streaming_simpson" -> q307Sql,
+    // q309: the q25 guesser's confusion matrix against the lang label
+    "q309_langid_confusion" ->
+      ("WITH t AS (SELECT lang, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "g AS (SELECT lang, CASE " +
+        "WHEN len(list_filter(toks, x -> x = 'the')) >= 3 THEN 'en' " +
+        "WHEN len(list_filter(toks, x -> x = 'data')) >= 3 THEN 'de' " +
+        "WHEN len(list_filter(toks, x -> x = 'table')) >= 3 THEN 'es' " +
+        "ELSE 'und' END AS lang_guess FROM t), " +
+        "c AS (SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) " +
+        "AS n_docs FROM g GROUP BY 1, 2), " +
+        "lt AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_total " +
+        "FROM c GROUP BY 1) " +
+        "SELECT c.lang, c.lang_guess, c.n_docs, lt.lang_total, " +
+        "CAST(c.n_docs AS DOUBLE) / CAST(lt.lang_total AS DOUBLE) " +
+        "AS share FROM c JOIN lt USING (lang) " +
+        "ORDER BY c.lang, c.lang_guess"),
     // q159: train-split trigram LM with stupid backoff scoring the
     // held-out docs; 0.4 * 0.4 spelled as the same IEEE multiply
     "q159_trigram_backoff_score" ->
@@ -1827,6 +1858,47 @@ private[graft] object OracleText {
       "(CAST(cc.c_cnt AS DOUBLE) / CAST(ct.c_total AS DOUBLE)))) AS kl " +
       "FROM c JOIN st USING (source) JOIN cc USING (term) CROSS JOIN ct " +
       "GROUP BY c.source ORDER BY c.source")
+
+  private def q305Sql: String =
+    ("WITH t AS (SELECT source, " +
+      "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+      "AS toks FROM documents), " +
+      "f AS (SELECT * FROM t WHERE len(toks) >= 2), " +
+      "bg AS (SELECT source, toks[CAST(p AS INT)] AS w1, " +
+      "toks[CAST(p + 1 AS INT)] AS w2 " +
+      "FROM f, unnest(range(1, len(toks))) u(p)), " +
+      "c AS (SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt " +
+      "FROM bg GROUP BY 1, 2, 3), " +
+      "cx AS (SELECT source, w1, CAST(SUM(cnt) AS BIGINT) AS c1 " +
+      "FROM c GROUP BY 1, 2), " +
+      "nc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_contexts " +
+      "FROM cx GROUP BY 1), " +
+      "a AS (SELECT c.source, CAST(SUM(c.cnt) AS BIGINT) AS n_bigrams, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+      "SUM(CAST(c.cnt AS DOUBLE) * ln(CAST(c.cnt AS DOUBLE) / " +
+      "CAST(cx.c1 AS DOUBLE))) AS sl " +
+      "FROM c JOIN cx ON c.source = cx.source AND c.w1 = cx.w1 " +
+      "GROUP BY 1) " +
+      "SELECT a.source, a.n_bigrams, nc.n_contexts, a.n_pairs, " +
+      "-a.sl / CAST(a.n_bigrams AS DOUBLE) AS entropy_rate, " +
+      "exp(-a.sl / CAST(a.n_bigrams AS DOUBLE)) AS perplexity " +
+      "FROM a JOIN nc ON a.source = nc.source ORDER BY a.source")
+
+  private def q307Sql: String =
+    ("WITH tok AS (SELECT source, " +
+      "unnest(list_filter(string_split_regex(text, '\\s+'), " +
+      "x -> x <> '')) AS term FROM documents), " +
+      "c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt " +
+      "FROM tok GROUP BY 1, 2), " +
+      "a AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_terms, " +
+      "SUM(CAST(cnt AS HUGEINT) * cnt) AS ssq FROM c GROUP BY 1) " +
+      "SELECT source, n_tokens, n_terms, " +
+      "CAST(ssq AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * " +
+      "CAST(n_tokens AS DOUBLE)) AS hhi, " +
+      "(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) / " +
+      "CAST(ssq AS DOUBLE) AS effective_vocab " +
+      "FROM a ORDER BY source")
 
   private def q200Sql: String =
     ("WITH r AS (SELECT source, n_chars, " +

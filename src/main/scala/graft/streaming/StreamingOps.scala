@@ -2956,8 +2956,33 @@ object StreamingOps {
       sourceDir: Option[String] = None,
       sourceGlob: String = "documents.parquet",
       maxFilesPerTrigger: Option[Int] = None,
-      stateRoot: Option[String] = None): DataFrame = {
-    val root = effectiveRoot(stateRoot, "kldrift")
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.TextOps.klFromCounts(
+      docCountState(spark, "kldrift", Seq("source", "term"),
+        graft.operators.TextOps.tokenCountsOf,
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
+
+  /** The shared stateful core behind q270/q306/q308: an arbitrary
+    * exact count grain over the documents stream (`stat` maps a batch
+    * to (keys..., cnt) rows), sum-merged per key through a gated
+    * ledger. Sum-merge commutes (order-insensitive, no arrival
+    * contract) but is not idempotent, so the ledger gate skips crash
+    * replays. One fold per grain; every finish that reads the grain
+    * (KL, entropy rate, Simpson) drains the same state.
+    *
+    * 100 TB shape: state is vocab-scale (never doc/token grain);
+    * per-batch work is one map-side-combined count of the batch plus
+    * a grain-scale merge.
+    */
+  private def docCountState(spark: SparkSession, op: String,
+      keys: Seq[String],
+      stat: DataFrame => DataFrame,
+      sourceDir: String,
+      sourceGlob: String,
+      maxFilesPerTrigger: Option[Int],
+      stateRoot: Option[String]): DataFrame = {
+    val root = effectiveRoot(stateRoot, op)
     val cntRoot = stateDir(root, "counts")
     val ledger = new VersionedLedger(spark, cntRoot, root)
     val docsSchema = StructType(Seq(
@@ -2971,19 +2996,18 @@ object StreamingOps {
       .option("pathGlobFilter", sourceGlob)
     maxFilesPerTrigger.foreach(m =>
       reader.option("maxFilesPerTrigger", m.toString))
-    val stream = reader.parquet(sourceDir.getOrElse(dir))
+    val stream = reader.parquet(sourceDir)
     val w = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
         if (!ledger.isReplayed(id)) {
-          val bCounts = graft.operators.TextOps
-            .tokenCountsOf(batch.toDF())
+          val bCounts = stat(batch.toDF())
           val merged =
             if (ledger.isEmpty) bCounts
             else ss.read.parquet(ledger.path)
               .unionByName(bCounts)
-              .groupBy(col("source"), col("term"))
+              .groupBy(keys.map(col): _*)
               .agg(sum(col("cnt")).as("cnt"))
           ledger.write(merged, id)
         }
@@ -2992,9 +3016,41 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
     val q = startWithCheckpoint(w, root)
     q.awaitTermination()
-    graft.operators.TextOps.klFromCounts(
-      spark.read.parquet(ledger.path))
+    spark.read.parquet(ledger.path)
   }
+
+  /** Streaming bigram-entropy maintenance (q306): q305 per
+    * micro-batch — the (source, w1, w2) count grain sum-merges
+    * through [[docCountState]] and the drain runs
+    * [[graft.operators.TextOps.entropyRateFromBigrams]] verbatim:
+    * q305's SQL is the oracle for ANY micro-batching.
+    */
+  def streamingBigramEntropy(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.TextOps.entropyRateFromBigrams(
+      docCountState(spark, "bigram_entropy", Seq("source", "w1", "w2"),
+        graft.operators.TextOps.bigramCountsOf,
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
+
+  /** Streaming Simpson-diversity maintenance (q308): q307 per
+    * micro-batch off the SAME (source, term) grain as q270 — the
+    * drain runs [[graft.operators.TextOps.simpsonFromCounts]]: one
+    * maintained fold, two lexical-health reports.
+    */
+  def streamingSimpson(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.TextOps.simpsonFromCounts(
+      docCountState(spark, "simpson", Seq("source", "term"),
+        graft.operators.TextOps.tokenCountsOf,
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
 
   /** Streaming retention-cohort maintenance (q276): q166 per
     * micro-batch. The distinct (user_id, activity-date) grain is the

@@ -102,6 +102,102 @@ class Wave11Spec extends SparkSpec {
         maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
   }
 
+  private def splitDocs(root: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .orderBy(col("doc_id"))
+    val rows = df.collect()
+    val schema = df.schema
+    val t0 = System.currentTimeMillis() - 600000L
+    val per = (rows.length + 2) / 3
+    (0 until 3).foreach { part =>
+      val slice = rows.slice(part * per,
+        math.min((part + 1) * per, rows.length))
+      val tmp = s"$root/_w"
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(slice.toSeq, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$root/stream/b$part.parquet")
+      target.getParentFile.mkdirs()
+      java.nio.file.Files.move(f.toPath, target.toPath)
+      target.setLastModified(t0 + part * 2000L)
+      rmrf(tmp)
+    }
+  }
+
+  private def docsTwinMatchesBatch(tag: String,
+      batchDf: => org.apache.spark.sql.DataFrame,
+      streamDf: (String, String) => org.apache.spark.sql.DataFrame)
+      : Unit = {
+    // doubles (entropy/perplexity/hhi) may fold in a different order
+    // between the batch plan and the drained-state plan — compare at
+    // the oracle gate's 9-decimal precision (counts stay exact longs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toSeq.map {
+        case d: Double => math.rint(d * 1e9) / 1e9
+        case v => v
+      }).toSeq
+    val batch = rows(batchDf)
+    Caches.releaseAll(spark)
+    val root = tmpDir(s"graft_${tag}_")
+    val stateRoot = s"$root/store"
+    try {
+      splitDocs(root)
+      def run() = {
+        val r = rows(streamDf(s"$root/stream", stateRoot))
+        Caches.releaseAll(spark)
+        r
+      }
+      assert(run() == batch, s"$tag: 3-way split diverged from batch")
+      dropLatestCommit(stateRoot)
+      assert(run() == batch, s"$tag: crash-replayed batch re-summed")
+    } finally { Caches.releaseAll(spark); rmrf(root) }
+  }
+
+  test("q306: a 3-file split drains to the exact q305 entropy-rate " +
+    "table, and a crash-replayed batch is not re-summed") {
+    docsTwinMatchesBatch("bigent",
+      graft.operators.TextOps.bigramEntropyRate(spark, sfDir),
+      (src, st) => StreamingOps.streamingBigramEntropy(spark, sfDir,
+        sourceDir = Some(src), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
+  }
+
+  test("q308: a 3-file split drains to the exact q307 Simpson table, " +
+    "and a crash-replayed batch is not re-summed") {
+    docsTwinMatchesBatch("simpson",
+      graft.operators.TextOps.simpsonDiversity(spark, sfDir),
+      (src, st) => StreamingOps.streamingSimpson(spark, sfDir,
+        sourceDir = Some(src), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
+  }
+
+  test("q305/q307/q309 invariants: entropy rate is non-negative and " +
+    "bounded by ln(contexts'), HHI in (0,1], effective vocab <= " +
+    "n_terms, confusion shares partition each language") {
+    import graft.operators.TextOps
+    TextOps.bigramEntropyRate(spark, sfDir).collect().foreach { r =>
+      val h = r.getDouble(4)
+      assert(h >= -1e-12, s"${r.getString(0)}: negative entropy $h")
+      // H(next|prev) <= ln(#distinct pairs) is a loose but safe bound
+      assert(h <= math.log(r.getLong(3).toDouble) + 1e-9)
+      assert(math.abs(math.exp(h) - r.getDouble(5)) < 1e-9)
+    }
+    TextOps.simpsonDiversity(spark, sfDir).collect().foreach { r =>
+      val hhi = r.getDouble(3)
+      assert(hhi > 0.0 && hhi <= 1.0)
+      assert(r.getDouble(4) <= r.getLong(2).toDouble + 1e-9,
+        s"${r.getString(0)}: effective vocab above n_terms")
+    }
+    val conf = TextOps.langIdConfusion(spark, sfDir).collect()
+    conf.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-9,
+        s"$lang: shares do not partition")
+      assert(rows.map(_.getLong(2)).sum == rows.head.getLong(3))
+    }
+  }
+
   test("q300: a 3-file split drains to the exact q273 growth split, " +
     "and a crash-replayed batch leaves the distinct merge unchanged") {
     streamTwinMatchesBatch("growth",
