@@ -776,6 +776,27 @@ object Registry {
     // q25's marker-word guesser scored against the lang label — the
     // confusion matrix behind the language filter
     "q309_langid_confusion" -> ((s, d) => TextOps.langIdConfusion(s, d)),
+    // q184 per micro-batch: the exact (token, tf) grain sum-merges;
+    // the 1024-cell grid rebuilds at drain — shares q184's oracle
+    "q310_streaming_count_min" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingCountMin(s, d)),
+    // q190 per micro-batch off the SAME (token, tf) grain as q310 —
+    // one maintained fold, frequency sketch AND naturalness fit
+    "q311_streaming_zipf" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingZipf(s, d)),
+    // q173 per micro-batch: (lang, token) counts sum-merge — shares
+    // q173's oracle
+    "q312_streaming_corpus_entropy" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingCorpusEntropy(s, d)),
+    // q309 per micro-batch: (lang, guess) cells sum-merge — shares
+    // q309's oracle
+    "q313_streaming_langid_confusion" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingLangIdConfusion(s, d)),
+    // q205 per micro-batch: order-sensitive first-position min-merge
+    // + a one-row token-offset ledger under the arrival contract —
+    // shares q205's oracle
+    "q314_streaming_heaps" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingHeaps(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -442,12 +442,21 @@ object TextOps {
     * (map-side combined); the entropy fold is per-language over the
     * VOCAB, not the corpus. Nothing driver-side.
     */
-  def corpusEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
-      .select(col("lang"),
+  def corpusEntropy(spark: SparkSession, dir: String): DataFrame =
+    entropyFromLangCounts(langTokenCountsOf(Tables.documents(spark, dir)))
+
+  /** The (lang, token, cnt) grain — sum-merges per (lang, token), so
+    * q312's streaming state is exactly this table.
+    */
+  private[graft] def langTokenCountsOf(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
         explode(TextAnalytics.tokens(col("text"))).as("token"))
       .groupBy(col("lang"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The q173 finish off the (lang, token) count grain. */
+  private[graft] def entropyFromLangCounts(cnts: DataFrame): DataFrame = {
+    val tf = cnts.select(col("lang"), col("token"), col("cnt").as("tf"))
     val totals = tf.groupBy(col("lang"))
       .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_types"))
     tf.join(totals, Seq("lang"))
@@ -2146,11 +2155,15 @@ object TextOps {
     * so only SUM accumulation order differs (orders below the 1e-9
     * comparator).
     */
-  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+  def zipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfFromTf(tokenTfOf(Tables.documents(spark, dir)))
+
+  /** The q190 finish off the term-frequency grain — shared by the
+    * batch fit and q311's streaming drain.
+    */
+  private[graft] def zipfFromTf(tfRaw: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val xy = Tables.documents(spark, dir)
-      .select(explode(TextAnalytics.tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val xy = tfRaw.select(col("token"), col("cnt").as("tf"))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("tf").desc, col("token"))).cast("long"))
       .select(log(col("rk").cast("double")).as("x"),
@@ -2480,6 +2493,20 @@ object TextOps {
     * the initial token count.
     */
   def countMinHeavyHitters(spark: SparkSession, dir: String,
+      depth: Int = 4, k: Int = 20): DataFrame =
+    cmsFromTf(tokenTfOf(Tables.documents(spark, dir)), depth, k)
+
+  /** The global (token, cnt) term-frequency grain — the shared
+    * sufficient statistic for the WHOLE global-vocab sketch family
+    * (q184 Count-Min, q190 Zipf), and it sum-merges per token, so the
+    * streaming twins (q310/q311) maintain exactly this table.
+    */
+  private[graft] def tokenTfOf(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalytics.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** The q184 finish off the term-frequency grain. */
+  private[graft] def cmsFromTf(tfRaw: DataFrame,
       depth: Int = 4, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def cell(i: Int) =
@@ -2487,9 +2514,7 @@ object TextOps {
         .cast("binary")), 1, 1), 16, 10).cast("long") * 16 +
         conv(substring(md5(concat(lit(s"cm$i|"), col("token"))
           .cast("binary")), 2, 1), 16, 10).cast("long"))
-    val tf = Tables.documents(spark, dir)
-      .select(explode(TextAnalytics.tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val tf = tfRaw.select(col("token"), col("cnt").as("tf"))
       .persist()
     val cells = tf.select(col("token"), col("tf"),
       explode(array((0 until depth).map(i =>
@@ -3153,6 +3178,23 @@ object TextOps {
     heapsLawDf(spark, Tables.documents(spark, dir))
 
   def heapsLawDf(spark: SparkSession, docsRaw: DataFrame): DataFrame = {
+    val (first, tot) = firstPositions(spark, docsRaw, 0L)
+    heapsFinish(spark, first,
+      tot.select(col("n_tokens").as("n_total")))
+  }
+
+  /** Global first-occurrence positions of each token type over a doc
+    * slice, with positions shifted by `offset` (tokens that precede
+    * the slice) — the order-sensitive sufficient statistic behind
+    * q205, extracted so q314's streaming twin can fold it per batch
+    * (min-merge per token; under the id-ordered arrival contract the
+    * per-batch positions ARE the global q205 positions). Returns the
+    * (token, first_pos) relation and a one-row (n_tokens, max_doc)
+    * summary for the offset/guard ledgers.
+    */
+  private[graft] def firstPositions(spark: SparkSession,
+      docsRaw: DataFrame, offset: Long)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val docs = docsRaw
@@ -3189,9 +3231,21 @@ object TextOps {
     val first = docs.select(col("doc_id"), col("toks"))
       .join(offsets, "doc_id")
       .select(col("off"), posexplode(col("toks")).as(Seq("p", "token")))
-      .select(col("token"), (col("off") + col("p") + 1L).as("gpos"))
+      .select(col("token"),
+        (col("off") + col("p") + 1L + lit(offset)).as("gpos"))
       .groupBy(col("token")).agg(min(col("gpos")).as("first_pos"))
-    val tot = docs.agg(sum(col("nt")).as("n_total"))
+    val tot = docs.agg(
+      coalesce(sum(col("nt")), lit(0L)).as("n_tokens"),
+      max(col("doc_id")).as("max_doc"))
+    (first, tot)
+  }
+
+  /** The q205 finish off the (token, first_pos) relation and the
+    * one-row total — shared by the batch curve and q314's streaming
+    * drain.
+    */
+  private[graft] def heapsFinish(spark: SparkSession, first: DataFrame,
+      tot: DataFrame): DataFrame = {
     val chk = spark.range(1, 11).select(col("id").as("decile"))
       .crossJoin(tot)
       .select(col("decile"),
@@ -3307,12 +3361,22 @@ object TextOps {
     * map-side-combined count onto ≤ #langs × #guesses cells; the
     * share join is cell-grain.
     */
-  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.documents(spark, dir)
-      .select(col("lang"),
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    confusionFromCells(confusionCellsOf(Tables.documents(spark, dir)))
+
+  /** The (lang, guess, cnt) cell grain — sum-merges, so q313's
+    * streaming state is exactly this table.
+    */
+  private[graft] def confusionCellsOf(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
         TextAnalytics.langGuess(col("text")).as("lang_guess"))
       .groupBy(col("lang"), col("lang_guess"))
-      .agg(count(lit(1)).as("n_docs"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The q309 finish off the confusion-cell grain. */
+  private[graft] def confusionFromCells(cellsRaw: DataFrame): DataFrame = {
+    val cells = cellsRaw.select(col("lang"), col("lang_guess"),
+      col("cnt").as("n_docs"))
     val totals = cells.groupBy(col("lang"))
       .agg(sum(col("n_docs")).as("lang_total"))
     cells.join(broadcast(totals), Seq("lang"))

@@ -488,21 +488,10 @@ private[graft] object OracleText {
         "AS coverage FROM u ORDER BY k"),
     // q173: per-language unigram entropy over exact tf ratios; ln/exp
     // per the q79 1e-9 comparator precedent
-    "q173_corpus_entropy" ->
-      ("WITH t AS (SELECT lang, unnest(list_filter(" +
-        "string_split_regex(text, '\\s+'), x -> x <> '')) AS token " +
-        "FROM documents), " +
-        "tf AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS tf " +
-        "FROM t GROUP BY 1, 2), " +
-        "tot AS (SELECT lang, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_types FROM tf GROUP BY lang), " +
-        "e AS (SELECT tf.lang, " +
-        "-SUM((CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * " +
-        "ln(CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE))) AS entropy " +
-        "FROM tf JOIN tot USING (lang) GROUP BY tf.lang) " +
-        "SELECT e.lang, n_tokens, n_types, entropy, " +
-        "exp(entropy) AS perplexity FROM e JOIN tot ON e.lang = tot.lang " +
-        "ORDER BY e.lang"),
+    "q173_corpus_entropy" -> q173Sql,
+    // q312: q173 per micro-batch ((lang, token) count ledger) —
+    // shares q173's oracle verbatim
+    "q312_streaming_corpus_entropy" -> q173Sql,
     // q171: token-budget mix plan — exact per-source token counts,
     // budget = total // 2, α=0.5 weights with the source-ordered fold
     // (q135's bit-identical-double argument), floor'd targets
@@ -1160,23 +1149,10 @@ private[graft] object OracleText {
     // q270 — shares q307's oracle verbatim
     "q308_streaming_simpson" -> q307Sql,
     // q309: the q25 guesser's confusion matrix against the lang label
-    "q309_langid_confusion" ->
-      ("WITH t AS (SELECT lang, " +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
-        "AS toks FROM documents), " +
-        "g AS (SELECT lang, CASE " +
-        "WHEN len(list_filter(toks, x -> x = 'the')) >= 3 THEN 'en' " +
-        "WHEN len(list_filter(toks, x -> x = 'data')) >= 3 THEN 'de' " +
-        "WHEN len(list_filter(toks, x -> x = 'table')) >= 3 THEN 'es' " +
-        "ELSE 'und' END AS lang_guess FROM t), " +
-        "c AS (SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) " +
-        "AS n_docs FROM g GROUP BY 1, 2), " +
-        "lt AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_total " +
-        "FROM c GROUP BY 1) " +
-        "SELECT c.lang, c.lang_guess, c.n_docs, lt.lang_total, " +
-        "CAST(c.n_docs AS DOUBLE) / CAST(lt.lang_total AS DOUBLE) " +
-        "AS share FROM c JOIN lt USING (lang) " +
-        "ORDER BY c.lang, c.lang_guess"),
+    "q309_langid_confusion" -> q309Sql,
+    // q313: q309 per micro-batch ((lang, guess) cell ledger) —
+    // shares q309's oracle verbatim
+    "q313_streaming_langid_confusion" -> q309Sql,
     // q159: train-split trigram LM with stupid backoff scoring the
     // held-out docs; 0.4 * 0.4 spelled as the same IEEE multiply
     "q159_trigram_backoff_score" ->
@@ -1333,30 +1309,10 @@ private[graft] object OracleText {
         "ORDER BY rk"),
     // q184: Count-Min 4×256 grid over the vocab — md5-nibble cells, so
     // grid, estimates and overcounts hash-match exactly cross-engine
-    "q184_count_min_sketch" ->
-      ("WITH tok AS (SELECT unnest(list_filter(" +
-        "string_split_regex(text, '\\s+'), x -> x <> '')) AS token " +
-        "FROM documents), " +
-        "tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok " +
-        "GROUP BY token), " +
-        "cells AS (SELECT token, tf, r.range AS row, " +
-        "(strpos('0123456789abcdef', substr(md5('cm' || " +
-        "CAST(r.range AS VARCHAR) || '|' || token), 1, 1)) - 1) * 16 + " +
-        "(strpos('0123456789abcdef', substr(md5('cm' || " +
-        "CAST(r.range AS VARCHAR) || '|' || token), 2, 1)) - 1) AS cell " +
-        "FROM tf CROSS JOIN range(0, 4) r), " +
-        "grid AS (SELECT row, cell, SUM(tf) AS cell_count FROM cells " +
-        "GROUP BY row, cell), " +
-        "est AS (SELECT token, MIN(cell_count) AS cm_estimate, " +
-        "MIN(tf) AS tf FROM cells JOIN grid USING (row, cell) " +
-        "GROUP BY token), " +
-        "r2 AS (SELECT token, tf, cm_estimate, " +
-        "CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS BIGINT) " +
-        "AS rk FROM est) " +
-        "SELECT rk, token, CAST(tf AS BIGINT) AS tf, " +
-        "CAST(cm_estimate AS BIGINT) AS cm_estimate, " +
-        "CAST(cm_estimate - tf AS BIGINT) AS overcount " +
-        "FROM r2 WHERE rk <= 20 ORDER BY rk"),
+    "q184_count_min_sketch" -> q184Sql,
+    // q310: q184 per micro-batch (global (token, tf) ledger; the grid
+    // rebuilds from the exact grain at drain) — shares q184's oracle
+    "q310_streaming_count_min" -> q184Sql,
     // q185: q80's screen with a streamed train side — fixed eval side
     // makes the drained result batch-split-invariant
     "q185_streaming_decontamination" -> q80Sql,
@@ -1376,30 +1332,10 @@ private[graft] object OracleText {
         "ORDER BY gid, source, lang"),
     // q190: closed-form least squares of ln(tf) on ln(rank) over the
     // ranked vocab — formula spelled identically to the Spark side
-    "q190_zipf_fit" ->
-      ("WITH t AS (SELECT unnest(list_filter(" +
-        "string_split_regex(text, '\\s+'), x -> x <> '')) AS token " +
-        "FROM documents), " +
-        "tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM t " +
-        "GROUP BY token), " +
-        "r AS (SELECT tf, CAST(ROW_NUMBER() OVER " +
-        "(ORDER BY tf DESC, token) AS BIGINT) AS rk FROM tf), " +
-        "xy AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, " +
-        "ln(CAST(tf AS DOUBLE)) AS y FROM r), " +
-        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types, " +
-        "SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, " +
-        "SUM(x * x) AS sxx, SUM(y * y) AS syy FROM xy) " +
-        "SELECT n_types, " +
-        "(CAST(n_types AS DOUBLE) * sxy - sx * sy) / " +
-        "(CAST(n_types AS DOUBLE) * sxx - sx * sx) AS slope, " +
-        "(sy - ((CAST(n_types AS DOUBLE) * sxy - sx * sy) / " +
-        "(CAST(n_types AS DOUBLE) * sxx - sx * sx)) * sx) / " +
-        "CAST(n_types AS DOUBLE) AS intercept, " +
-        "((CAST(n_types AS DOUBLE) * sxy - sx * sy) * " +
-        "(CAST(n_types AS DOUBLE) * sxy - sx * sy)) / " +
-        "((CAST(n_types AS DOUBLE) * sxx - sx * sx) * " +
-        "(CAST(n_types AS DOUBLE) * syy - sy * sy)) AS r2 " +
-        "FROM s"),
+    "q190_zipf_fit" -> q190Sql,
+    // q311: q190 per micro-batch off the same (token, tf) grain as
+    // q310 — shares q190's oracle verbatim
+    "q311_streaming_zipf" -> q190Sql,
     // q192: exact KS statistic per source — CDFs are ratios of exact
     // counts over the length histogram, argmax at the smallest length
     "q192_length_ks_drift" ->
@@ -1554,39 +1490,10 @@ private[graft] object OracleText {
     // q205: Heaps'-law growth — global token positions from a doc-level
     // prefix sum, vocab measured at the ten exact integer checkpoints,
     // β from the shared log-log regression formula (q190 discipline)
-    "q205_heaps_law" ->
-      ("WITH t AS (SELECT doc_id, " +
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
-        "AS toks FROM documents), " +
-        "w AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt " +
-        "FROM t WHERE len(toks) > 0), " +
-        "o AS (SELECT doc_id, toks, nt, CAST(COALESCE(SUM(nt) OVER (" +
-        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
-        "1 PRECEDING), 0) AS BIGINT) AS off FROM w), " +
-        "x AS (SELECT off, toks, unnest(range(1, len(toks) + 1)) AS i " +
-        "FROM o), " +
-        "tk AS (SELECT toks[CAST(i AS INT)] AS token, off + i AS gpos " +
-        "FROM x), " +
-        "fp AS (SELECT token, MIN(gpos) AS first_pos FROM tk " +
-        "GROUP BY token), " +
-        "tt AS (SELECT CAST(SUM(nt) AS BIGINT) AS n_total FROM w), " +
-        "d AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS decile), " +
-        "chk AS (SELECT decile, (decile * n_total + 9) // 10 " +
-        "AS n_tokens FROM d CROSS JOIN tt), " +
-        "vc AS (SELECT chk.decile, chk.n_tokens, " +
-        "CAST(COUNT(*) AS BIGINT) AS vocab FROM chk " +
-        "JOIN fp ON fp.first_pos <= chk.n_tokens GROUP BY 1, 2), " +
-        "fit AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
-        "SUM(ln(CAST(n_tokens AS DOUBLE))) AS sx, " +
-        "SUM(ln(CAST(vocab AS DOUBLE))) AS sy, " +
-        "SUM(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(vocab AS DOUBLE))) " +
-        "AS sxy, " +
-        "SUM(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(n_tokens AS DOUBLE))) " +
-        "AS sxx FROM vc) " +
-        "SELECT vc.decile, vc.n_tokens, vc.vocab, " +
-        "(fit.n * fit.sxy - fit.sx * fit.sy) / " +
-        "(fit.n * fit.sxx - fit.sx * fit.sx) AS beta " +
-        "FROM vc CROSS JOIN fit ORDER BY vc.decile"),
+    "q205_heaps_law" -> q205Sql,
+    // q314: q205 per micro-batch (order-sensitive first-position
+    // min-merge under the arrival contract) — shares q205's oracle
+    "q314_streaming_heaps" -> q205Sql,
     // q206: the q171 plan CTE + the exact div/mod epoch split; the
     // partial pass is the greedy md5-order prefix until T mod N tokens
     "q206_epoch_materialization" ->
@@ -1858,6 +1765,125 @@ private[graft] object OracleText {
       "(CAST(cc.c_cnt AS DOUBLE) / CAST(ct.c_total AS DOUBLE)))) AS kl " +
       "FROM c JOIN st USING (source) JOIN cc USING (term) CROSS JOIN ct " +
       "GROUP BY c.source ORDER BY c.source")
+
+
+  private def q173Sql: String =
+    ("WITH t AS (SELECT lang, unnest(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS tf " +
+        "FROM t GROUP BY 1, 2), " +
+        "tot AS (SELECT lang, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_types FROM tf GROUP BY lang), " +
+        "e AS (SELECT tf.lang, " +
+        "-SUM((CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * " +
+        "ln(CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE))) AS entropy " +
+        "FROM tf JOIN tot USING (lang) GROUP BY tf.lang) " +
+        "SELECT e.lang, n_tokens, n_types, entropy, " +
+        "exp(entropy) AS perplexity FROM e JOIN tot ON e.lang = tot.lang " +
+        "ORDER BY e.lang")
+
+  private def q309Sql: String =
+    ("WITH t AS (SELECT lang, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "g AS (SELECT lang, CASE " +
+        "WHEN len(list_filter(toks, x -> x = 'the')) >= 3 THEN 'en' " +
+        "WHEN len(list_filter(toks, x -> x = 'data')) >= 3 THEN 'de' " +
+        "WHEN len(list_filter(toks, x -> x = 'table')) >= 3 THEN 'es' " +
+        "ELSE 'und' END AS lang_guess FROM t), " +
+        "c AS (SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) " +
+        "AS n_docs FROM g GROUP BY 1, 2), " +
+        "lt AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_total " +
+        "FROM c GROUP BY 1) " +
+        "SELECT c.lang, c.lang_guess, c.n_docs, lt.lang_total, " +
+        "CAST(c.n_docs AS DOUBLE) / CAST(lt.lang_total AS DOUBLE) " +
+        "AS share FROM c JOIN lt USING (lang) " +
+        "ORDER BY c.lang, c.lang_guess")
+
+  private def q184Sql: String =
+    ("WITH tok AS (SELECT unnest(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok " +
+        "GROUP BY token), " +
+        "cells AS (SELECT token, tf, r.range AS row, " +
+        "(strpos('0123456789abcdef', substr(md5('cm' || " +
+        "CAST(r.range AS VARCHAR) || '|' || token), 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(md5('cm' || " +
+        "CAST(r.range AS VARCHAR) || '|' || token), 2, 1)) - 1) AS cell " +
+        "FROM tf CROSS JOIN range(0, 4) r), " +
+        "grid AS (SELECT row, cell, SUM(tf) AS cell_count FROM cells " +
+        "GROUP BY row, cell), " +
+        "est AS (SELECT token, MIN(cell_count) AS cm_estimate, " +
+        "MIN(tf) AS tf FROM cells JOIN grid USING (row, cell) " +
+        "GROUP BY token), " +
+        "r2 AS (SELECT token, tf, cm_estimate, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS BIGINT) " +
+        "AS rk FROM est) " +
+        "SELECT rk, token, CAST(tf AS BIGINT) AS tf, " +
+        "CAST(cm_estimate AS BIGINT) AS cm_estimate, " +
+        "CAST(cm_estimate - tf AS BIGINT) AS overcount " +
+        "FROM r2 WHERE rk <= 20 ORDER BY rk")
+
+  private def q190Sql: String =
+    ("WITH t AS (SELECT unnest(list_filter(" +
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM t " +
+        "GROUP BY token), " +
+        "r AS (SELECT tf, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY tf DESC, token) AS BIGINT) AS rk FROM tf), " +
+        "xy AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, " +
+        "ln(CAST(tf AS DOUBLE)) AS y FROM r), " +
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types, " +
+        "SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, " +
+        "SUM(x * x) AS sxx, SUM(y * y) AS syy FROM xy) " +
+        "SELECT n_types, " +
+        "(CAST(n_types AS DOUBLE) * sxy - sx * sy) / " +
+        "(CAST(n_types AS DOUBLE) * sxx - sx * sx) AS slope, " +
+        "(sy - ((CAST(n_types AS DOUBLE) * sxy - sx * sy) / " +
+        "(CAST(n_types AS DOUBLE) * sxx - sx * sx)) * sx) / " +
+        "CAST(n_types AS DOUBLE) AS intercept, " +
+        "((CAST(n_types AS DOUBLE) * sxy - sx * sy) * " +
+        "(CAST(n_types AS DOUBLE) * sxy - sx * sy)) / " +
+        "((CAST(n_types AS DOUBLE) * sxx - sx * sx) * " +
+        "(CAST(n_types AS DOUBLE) * syy - sy * sy)) AS r2 " +
+        "FROM s")
+
+  private def q205Sql: String =
+    ("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "w AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt " +
+        "FROM t WHERE len(toks) > 0), " +
+        "o AS (SELECT doc_id, toks, nt, CAST(COALESCE(SUM(nt) OVER (" +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "1 PRECEDING), 0) AS BIGINT) AS off FROM w), " +
+        "x AS (SELECT off, toks, unnest(range(1, len(toks) + 1)) AS i " +
+        "FROM o), " +
+        "tk AS (SELECT toks[CAST(i AS INT)] AS token, off + i AS gpos " +
+        "FROM x), " +
+        "fp AS (SELECT token, MIN(gpos) AS first_pos FROM tk " +
+        "GROUP BY token), " +
+        "tt AS (SELECT CAST(SUM(nt) AS BIGINT) AS n_total FROM w), " +
+        "d AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS decile), " +
+        "chk AS (SELECT decile, (decile * n_total + 9) // 10 " +
+        "AS n_tokens FROM d CROSS JOIN tt), " +
+        "vc AS (SELECT chk.decile, chk.n_tokens, " +
+        "CAST(COUNT(*) AS BIGINT) AS vocab FROM chk " +
+        "JOIN fp ON fp.first_pos <= chk.n_tokens GROUP BY 1, 2), " +
+        "fit AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "SUM(ln(CAST(n_tokens AS DOUBLE))) AS sx, " +
+        "SUM(ln(CAST(vocab AS DOUBLE))) AS sy, " +
+        "SUM(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(vocab AS DOUBLE))) " +
+        "AS sxy, " +
+        "SUM(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(n_tokens AS DOUBLE))) " +
+        "AS sxx FROM vc) " +
+        "SELECT vc.decile, vc.n_tokens, vc.vocab, " +
+        "(fit.n * fit.sxy - fit.sx * fit.sy) / " +
+        "(fit.n * fit.sxx - fit.sx * fit.sx) AS beta " +
+        "FROM vc CROSS JOIN fit ORDER BY vc.decile")
 
   private def q305Sql: String =
     ("WITH t AS (SELECT source, " +

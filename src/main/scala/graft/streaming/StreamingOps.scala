@@ -3052,6 +3052,158 @@ object StreamingOps {
         sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
         stateRoot))
 
+  /** Streaming Count-Min maintenance (q310): q184 per micro-batch —
+    * the global (token, cnt) grain sum-merges through
+    * [[docCountState]], the drain rebuilds the 1024-cell grid and the
+    * top-k audit ([[graft.operators.TextOps.cmsFromTf]]). Count-Min
+    * cells are themselves sums, so maintaining the EXACT tf grain
+    * maintains every derived sketch for free — the same reasoning as
+    * q229's BM25 state. Shares q184's SQL.
+    */
+  def streamingCountMin(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.TextOps.cmsFromTf(
+      docCountState(spark, "countmin", Seq("token"),
+        graft.operators.TextOps.tokenTfOf,
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
+
+  /** Streaming Zipf maintenance (q311): q190 per micro-batch off the
+    * SAME global (token, cnt) grain as q310 — one maintained fold,
+    * frequency sketch AND naturalness fit. Shares q190's SQL.
+    */
+  def streamingZipf(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.TextOps.zipfFromTf(
+      docCountState(spark, "zipf", Seq("token"),
+        graft.operators.TextOps.tokenTfOf,
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
+
+  /** Streaming corpus-entropy maintenance (q312): q173 per
+    * micro-batch — the (lang, token) grain sum-merges through
+    * [[docCountState]]; drain = the per-language entropy fold. Shares
+    * q173's SQL.
+    */
+  def streamingCorpusEntropy(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.TextOps.entropyFromLangCounts(
+      docCountState(spark, "corpus_entropy", Seq("lang", "token"),
+        graft.operators.TextOps.langTokenCountsOf,
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
+
+  /** Streaming lang-id confusion maintenance (q313): q309 per
+    * micro-batch — the (lang, guess) cells sum-merge through
+    * [[docCountState]]; drain = the share finish. Shares q309's SQL.
+    */
+  def streamingLangIdConfusion(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.TextOps.confusionFromCells(
+      docCountState(spark, "langid_conf", Seq("lang", "lang_guess"),
+        graft.operators.TextOps.confusionCellsOf,
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
+
+  /** Streaming Heaps'-law maintenance (q314): q205 per micro-batch —
+    * the one ORDER-SENSITIVE text state in the family. Each batch's
+    * global token positions are its q205 two-phase within-batch
+    * positions shifted by the running token offset, which is exact
+    * precisely under the id-ordered arrival contract (the q175/q235
+    * keyset-feed rule, guarded the same way); (token, first_pos) then
+    * MIN-merges into the ledger and a one-row (n_total, max_doc)
+    * offsets ledger carries the shift and the guard seed. Drain = the
+    * q205 checkpoint-membership finish over the merged state: q205's
+    * SQL is the oracle for ANY ordered micro-batching.
+    *
+    * 100 TB shape: state is VOCAB grain (one long per type) plus one
+    * summary row — the corpus's token stream is never rescanned, and
+    * each batch pays only its own two-phase prefix.
+    */
+  def streamingHeaps(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.TextOps
+    val root = effectiveRoot(stateRoot, "heaps")
+    val fpRoot = stateDir(root, "first_pos")
+    val offRoot = stateDir(root, "tok_offsets")
+    val fpLedger = new VersionedLedger(spark, fpRoot, root)
+    val offLedger = new VersionedLedger(spark, offRoot, root)
+    val lastBatchId = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val seenMax = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val reader = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = reader.parquet(sourceDir.getOrElse(dir))
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (lastBatchId.get == Long.MinValue)
+          batchMarkerMax(ss, fpRoot).foreach(lastBatchId.set)
+        if (seenMax.get == Long.MinValue && !offLedger.isEmpty)
+          existingStateMax(ss, offLedger.path, "max_doc")
+            .foreach(seenMax.set)
+        batchOrderGuard(batch.toDF(), id, lastBatchId, seenMax,
+          idCol = "doc_id")
+        root.foreach(_ => writeBatchMarker(ss, fpRoot, id))
+        val offset =
+          if (offLedger.isEmpty) 0L
+          else ss.read.parquet(offLedger.path)
+            .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+        val (bFirst, bTot) =
+          TextOps.firstPositions(ss, batch.toDF(), offset)
+        if (!fpLedger.isReplayed(id)) {
+          val merged =
+            if (fpLedger.isEmpty) bFirst
+            else ss.read.parquet(fpLedger.path)
+              .unionByName(bFirst)
+              .groupBy(col("token"))
+              .agg(min(col("first_pos")).as("first_pos"))
+          fpLedger.write(merged, id)
+        }
+        if (!offLedger.isReplayed(id)) {
+          val merged =
+            if (offLedger.isEmpty) bTot
+            else ss.read.parquet(offLedger.path)
+              .unionByName(bTot)
+              .agg(sum(col("n_tokens")).as("n_tokens"),
+                max(col("max_doc")).as("max_doc"))
+          offLedger.write(merged, id)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    TextOps.heapsFinish(spark,
+      spark.read.parquet(fpLedger.path),
+      spark.read.parquet(offLedger.path)
+        .select(col("n_tokens").as("n_total")))
+  }
+
   /** Streaming retention-cohort maintenance (q276): q166 per
     * micro-batch. The distinct (user_id, activity-date) grain is the
     * mergeable sufficient statistic for the WHOLE lifecycle family —

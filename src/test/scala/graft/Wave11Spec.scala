@@ -173,6 +173,35 @@ class Wave11Spec extends SparkSpec {
         maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
   }
 
+  test("q310: a 3-file split drains to the exact q184 Count-Min " +
+    "audit, and a crash-replayed batch is not re-summed") {
+    docsTwinMatchesBatch("cms",
+      graft.operators.TextOps.countMinHeavyHitters(spark, sfDir),
+      (src, st) => StreamingOps.streamingCountMin(spark, sfDir,
+        sourceDir = Some(src), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
+  }
+
+  test("q312: a 3-file split drains to the exact q173 entropy table, " +
+    "and a crash-replayed batch is not re-summed") {
+    docsTwinMatchesBatch("entropy",
+      graft.operators.TextOps.corpusEntropy(spark, sfDir),
+      (src, st) => StreamingOps.streamingCorpusEntropy(spark, sfDir,
+        sourceDir = Some(src), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
+  }
+
+  test("q314: a 3-file id-ordered split drains to the exact q205 " +
+    "Heaps curve (positions carry across batches via the offset " +
+    "ledger), and a crash-replayed batch neither shifts positions " +
+    "nor double-counts the offset") {
+    docsTwinMatchesBatch("heaps",
+      graft.operators.TextOps.heapsLaw(spark, sfDir),
+      (src, st) => StreamingOps.streamingHeaps(spark, sfDir,
+        sourceDir = Some(src), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
+  }
+
   test("q305/q307/q309 invariants: entropy rate is non-negative and " +
     "bounded by ln(contexts'), HHI in (0,1], effective vocab <= " +
     "n_terms, confusion shares partition each language") {
