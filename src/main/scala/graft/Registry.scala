@@ -797,6 +797,20 @@ object Registry {
     // shares q205's oracle
     "q314_streaming_heaps" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingHeaps(s, d)),
+    // TPC-H Q4 shape: per priority, orders with a line shipped > 60
+    // days after the order date + late rate
+    "q315_late_priority" -> ((s, d) => Analytics.latePriority(s, d)),
+    // TPC-H Q10 shape: top-20 customers by returned-line revenue
+    "q316_returned_revenue" -> ((s, d) => Analytics.returnedRevenue(s, d)),
+    // TPC-H Q14 shape: monthly PROMO revenue share, decimal-exact
+    "q317_promo_share" -> ((s, d) => Analytics.promoShare(s, d)),
+    // TPC-H Q15 shape: max-revenue suppliers over a fixed quarter
+    // (full tie set — decimal equality is exact)
+    "q318_top_supplier" -> ((s, d) => Analytics.topSupplier(s, d)),
+    // TPC-H Q17 shape: small-quantity lines per brand; the half-of-
+    // average threshold is cross-multiplied (no division anywhere)
+    "q319_small_quantity_brand" -> ((s, d) =>
+      Analytics.smallQuantityBrand(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

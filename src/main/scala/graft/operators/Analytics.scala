@@ -1025,4 +1025,139 @@ object Analytics {
           col("exact_cum").cast("double")).as("rel_err"))
       .orderBy(col("day"))
   }
+
+  /** TPC-H Q4-shaped late-shipment audit (q315): per order priority,
+    * total orders, orders with at least one line shipped > 60 days
+    * after the order date, and the late rate. 100 TB shape: lineitem
+    * joins orders on the order key (the one real shuffle), the late
+    * set collapses to ORDER grain before counting, and the output is
+    * #priorities rows.
+    */
+  def latePriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val late = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") +
+        expr("INTERVAL 60 DAYS"))
+      .select(col("o_orderkey"), col("o_orderpriority")).distinct()
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_late"))
+    ord.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+      .join(late, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"), col("n_orders"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"),
+        (coalesce(col("n_late"), lit(0L)).cast("double") /
+          col("n_orders").cast("double")).as("late_rate"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q10-shaped returned-item report (q316): top 20 customers by
+    * revenue lost to returned lines, with nation. Money in the q16
+    * decimal discipline; total order (revenue desc, custkey) makes the
+    * LIMIT deterministic. 100 TB shape: the returnflag filter reaches
+    * the lineitem scan, the fact join shuffles on the order key, and
+    * the name join runs at CUSTOMER grain against broadcast dims.
+    */
+  def returnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (one - rate(col("l_discount")))).as("revd"))
+    rev
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revd").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14-shaped promo revenue share (q317): per ship month, the
+    * percentage of discounted revenue from PROMO-type parts. 100 TB
+    * shape: part is a broadcast dim; one shuffle onto #months rows;
+    * both sums fold in decimal and the share is one division.
+    */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val zero = lit(0).cast("decimal(12,2)") * one
+    val disc = dec(col("l_extendedprice")) * (one - rate(col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        trunc(col("l_shipdate").cast("date"), "month").cast("string")
+          .as("ship_month"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(zero))
+          .as("promo_rev"),
+        sum(disc).as("total_rev"),
+        count(lit(1)).as("n_lines"))
+      .select(col("ship_month"), col("n_lines"),
+        col("promo_rev").cast("double").as("promo_revenue"),
+        col("total_rev").cast("double").as("total_revenue"),
+        (lit(100.0) * col("promo_rev").cast("double") /
+          col("total_rev").cast("double")).as("promo_share_pct"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** TPC-H Q15-shaped top supplier (q318): suppliers achieving the
+    * maximum revenue over a fixed ship-date quarter — emitted as the
+    * full tie set (decimal equality is exact, so the tie predicate is
+    * engine-identical). 100 TB shape: the date filter reaches the
+    * scan; revenue folds at SUPPLIER grain; the max is a one-row
+    * broadcast back onto that grain.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (one - rate(col("l_discount")))).as("revd"))
+    val mx = rev.agg(max(col("revd")).as("mx"))
+    rev.join(broadcast(mx), col("revd") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("revd").cast("double").as("revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17-shaped small-quantity audit (q319): per brand, lines
+    * whose quantity is below HALF the part's average quantity — the
+    * "small order" revenue a bulk-pricing review looks at. The
+    * threshold is CROSS-MULTIPLIED (2·n·qty < Σqty, all
+    * decimal/integer — no division anywhere), so the predicate is
+    * exact and engine-identical. 100 TB shape: the per-part average is
+    * one map-side-combined fold; the threshold join runs at part
+    * grain; brand rollup output is #brands rows.
+    */
+  def smallQuantityBrand(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val pa = li.groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("n"))
+    li.join(pa, Seq("l_partkey"))
+      .filter(dec(col("l_quantity")) * lit(2) * col("n") < col("sq"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy(col("p_brand"))
+  }
 }

@@ -265,6 +265,31 @@ class Wave11Spec extends SparkSpec {
     }
   }
 
+  test("q315-q319 invariants: late <= total with rate in [0,1], " +
+    "top-20 is revenue-sorted, promo <= total revenue, the top " +
+    "supplier set is the exact max tie set, small lines < all lines") {
+    import graft.operators.Analytics
+    Analytics.latePriority(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val top = Analytics.returnedRevenue(spark, sfDir).collect()
+    assert(top.nonEmpty && top.length <= 20)
+    top.sliding(2).foreach(w =>
+      assert(w(0).getDouble(3) >= w(1).getDouble(3)))
+    Analytics.promoShare(spark, sfDir).collect().foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-9)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 100.0 + 1e-9)
+    }
+    val ts = Analytics.topSupplier(spark, sfDir).collect()
+    assert(ts.nonEmpty)
+    assert(ts.map(_.getDouble(2)).distinct.length == 1,
+      "tie set must share one revenue value")
+    val small = Analytics.smallQuantityBrand(spark, sfDir).collect()
+    val allLines = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(small.map(_.getLong(1)).sum < allLines)
+  }
+
   test("q290: boundary counts balance (every session starts and " +
     "ends) and each day's peak is positive when sessions start") {
     val df = Sessionize.sessionConcurrency(spark, sfDir).collect()
