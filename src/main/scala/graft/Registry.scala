@@ -811,6 +811,26 @@ object Registry {
     // average threshold is cross-multiplied (no division anywhere)
     "q319_small_quantity_brand" -> ((s, d) =>
       Analytics.smallQuantityBrand(s, d)),
+    // TPC-H Q1 per micro-batch: decimal cell sums merge exactly —
+    // the incremental nightly-refresh form; shares q16's oracle
+    "q320_streaming_pricing_summary" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingPricingSummary(s, d)),
+    // TPC-H Q14 per micro-batch: month cells merge; static part dim
+    // joins per batch (q76 discipline) — shares q317's oracle
+    "q321_streaming_promo_share" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingPromoShare(s, d)),
+    // TPC-H Q10 per micro-batch: customer cent sums merge; top-20 +
+    // dims resolve at drain — shares q316's oracle
+    "q322_streaming_returned_revenue" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingReturnedRevenue(s, d)),
+    // TPC-H Q15 per micro-batch: supplier sums merge; the exact tie
+    // set resolves at drain — shares q318's oracle
+    "q323_streaming_top_supplier" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingTopSupplier(s, d)),
+    // TPC-H Q4 per micro-batch: the late order set distinct-merges
+    // (idempotent) — shares q315's oracle
+    "q324_streaming_late_priority" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingLatePriority(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

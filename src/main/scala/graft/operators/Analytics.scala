@@ -22,18 +22,38 @@ object Analytics {
     * shuffle on a 6-value grouping key; all expressions codegen'd.
     */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp_ntz"))
+    pricingFinish(pricingStatOf(Tables.lineitem(spark, dir)))
+
+  /** The q16 mergeable statistic: per (returnflag, linestatus) decimal
+    * sums + count. Decimal addition is associative and exact, so
+    * partial sums from any micro-batching merge to the batch answer —
+    * q320's streaming state is exactly this table.
+    */
+  private[graft] def pricingStatOf(li: DataFrame): DataFrame =
+    li.filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp_ntz"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_quantity"))).as("sq"),
+        sum(dec(col("l_extendedprice"))).as("sbp"),
         sum(dec(col("l_extendedprice")) * (one - rate(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
+          .as("sdp"),
         sum(dec(col("l_extendedprice")) * (one - rate(col("l_discount")))
-          * (one + rate(col("l_tax"))))
-          .cast("double").as("sum_charge"),
-        count(lit(1)).as("count_order"))
+          * (one + rate(col("l_tax")))).as("sc"),
+        count(lit(1)).as("n"))
+
+  private[graft] def pricingMerge(rows: DataFrame): DataFrame =
+    rows.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("sq")).as("sq"), sum(col("sbp")).as("sbp"),
+        sum(col("sdp")).as("sdp"), sum(col("sc")).as("sc"),
+        sum(col("n")).as("n"))
+
+  private[graft] def pricingFinish(sums: DataFrame): DataFrame =
+    sums.select(col("l_returnflag"), col("l_linestatus"),
+        col("sq").cast("double").as("sum_qty"),
+        col("sbp").cast("double").as("sum_base_price"),
+        col("sdp").cast("double").as("sum_disc_price"),
+        col("sc").cast("double").as("sum_charge"),
+        col("n").as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** TPC-H Q3-shaped shipping priority: two joins + revenue top-10.
@@ -1036,12 +1056,25 @@ object Analytics {
   def latePriority(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-    val late = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_shipdate"))
+    lateFinish(lateStatOf(Tables.lineitem(spark, dir), ord), ord)
+  }
+
+  /** The q315 mergeable statistic: the DISTINCT late (orderkey,
+    * priority) set — distinct-merge is idempotent and
+    * order-insensitive, so q324's streaming state is exactly this
+    * table (lineitem streams; orders is the static side, the q76
+    * discipline).
+    */
+  private[graft] def lateStatOf(li: DataFrame, ord: DataFrame): DataFrame =
+    li.select(col("l_orderkey"), col("l_shipdate"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") +
         expr("INTERVAL 60 DAYS"))
       .select(col("o_orderkey"), col("o_orderpriority")).distinct()
+
+  private[graft] def lateFinish(lateSet: DataFrame, ord: DataFrame)
+      : DataFrame = {
+    val late = lateSet
       .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_late"))
     ord.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
       .join(late, Seq("o_orderpriority"), "left")
@@ -1059,16 +1092,29 @@ object Analytics {
     * the lineitem scan, the fact join shuffles on the order key, and
     * the name join runs at CUSTOMER grain against broadcast dims.
     */
-  def returnedRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(spark, dir)
-      .filter(col("l_returnflag") === "R")
+  def returnedRevenue(spark: SparkSession, dir: String): DataFrame =
+    returnedFinish(spark, dir,
+      returnedStatOf(Tables.lineitem(spark, dir),
+        Tables.orders(spark, dir)))
+
+  /** The q316 mergeable statistic: per-customer returned-revenue
+    * decimal sums — q322's streaming state.
+    */
+  private[graft] def returnedStatOf(li: DataFrame, ord: DataFrame)
+      : DataFrame =
+    li.filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .join(Tables.orders(spark, dir)
-        .select(col("o_orderkey"), col("o_custkey")),
+      .join(ord.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(sum(dec(col("l_extendedprice")) *
         (one - rate(col("l_discount")))).as("revd"))
+
+  private[graft] def returnedMerge(rows: DataFrame): DataFrame =
+    rows.groupBy(col("o_custkey")).agg(sum(col("revd")).as("revd"))
+
+  private[graft] def returnedFinish(spark: SparkSession, dir: String,
+      rev: DataFrame): DataFrame =
     rev
       .join(broadcast(Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
@@ -1080,23 +1126,29 @@ object Analytics {
         col("revd").cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
-  }
 
   /** TPC-H Q14-shaped promo revenue share (q317): per ship month, the
     * percentage of discounted revenue from PROMO-type parts. 100 TB
     * shape: part is a broadcast dim; one shuffle onto #months rows;
     * both sums fold in decimal and the share is one division.
     */
-  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+  def promoShare(spark: SparkSession, dir: String): DataFrame =
+    promoFinish(promoStatOf(Tables.lineitem(spark, dir),
+      Tables.part(spark, dir)))
+
+  /** The q317 mergeable statistic: per-month promo/total decimal sums
+    * + line count — q321's streaming state (part is the broadcast
+    * static side).
+    */
+  private[graft] def promoStatOf(li: DataFrame, part: DataFrame)
+      : DataFrame = {
     val zero = lit(0).cast("decimal(12,2)") * one
     val disc = dec(col("l_extendedprice")) * (one - rate(col("l_discount")))
-    Tables.lineitem(spark, dir)
-      .select(col("l_partkey"),
+    li.select(col("l_partkey"),
         trunc(col("l_shipdate").cast("date"), "month").cast("string")
           .as("ship_month"),
         col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(Tables.part(spark, dir)
-        .select(col("p_partkey"), col("p_type"))),
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("ship_month"))
       .agg(
@@ -1104,13 +1156,21 @@ object Analytics {
           .as("promo_rev"),
         sum(disc).as("total_rev"),
         count(lit(1)).as("n_lines"))
-      .select(col("ship_month"), col("n_lines"),
+  }
+
+  private[graft] def promoMerge(rows: DataFrame): DataFrame =
+    rows.groupBy(col("ship_month"))
+      .agg(sum(col("promo_rev")).as("promo_rev"),
+        sum(col("total_rev")).as("total_rev"),
+        sum(col("n_lines")).as("n_lines"))
+
+  private[graft] def promoFinish(sums: DataFrame): DataFrame =
+    sums.select(col("ship_month"), col("n_lines"),
         col("promo_rev").cast("double").as("promo_revenue"),
         col("total_rev").cast("double").as("total_revenue"),
         (lit(100.0) * col("promo_rev").cast("double") /
           col("total_rev").cast("double")).as("promo_share_pct"))
       .orderBy(col("ship_month"))
-  }
 
   /** TPC-H Q15-shaped top supplier (q318): suppliers achieving the
     * maximum revenue over a fixed ship-date quarter — emitted as the
@@ -1119,13 +1179,25 @@ object Analytics {
     * scan; revenue folds at SUPPLIER grain; the max is a one-row
     * broadcast back onto that grain.
     */
-  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+  def topSupplier(spark: SparkSession, dir: String): DataFrame =
+    topSupplierFinish(spark, dir,
+      topSupplierStatOf(Tables.lineitem(spark, dir)))
+
+  /** The q318 mergeable statistic: per-supplier quarter-revenue
+    * decimal sums — q323's streaming state.
+    */
+  private[graft] def topSupplierStatOf(li: DataFrame): DataFrame =
+    li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
       .groupBy(col("l_suppkey"))
       .agg(sum(dec(col("l_extendedprice")) *
         (one - rate(col("l_discount")))).as("revd"))
+
+  private[graft] def topSupplierMerge(rows: DataFrame): DataFrame =
+    rows.groupBy(col("l_suppkey")).agg(sum(col("revd")).as("revd"))
+
+  private[graft] def topSupplierFinish(spark: SparkSession, dir: String,
+      rev: DataFrame): DataFrame = {
     val mx = rev.agg(max(col("revd")).as("mx"))
     rev.join(broadcast(mx), col("revd") === col("mx"))
       .join(broadcast(Tables.supplier(spark, dir)

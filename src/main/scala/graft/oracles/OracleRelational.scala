@@ -48,15 +48,10 @@ private[graft] object OracleRelational {
       ("SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150.0 " +
         "EXCEPT SELECT user_id FROM events WHERE event_type = 'error' " +
         "AND value > 150.0 ORDER BY user_id"),
-    "q16_pricing_summary" ->
-      ("SELECT l_returnflag, l_linestatus, " +
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS sum_disc_price, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))) * (CAST(1 AS DECIMAL(5,2)) + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE) AS sum_charge, " +
-        "COUNT(*) AS count_order FROM lineitem " +
-        "WHERE l_shipdate <= TIMESTAMP '2001-09-02' " +
-        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q16_pricing_summary" -> q16Sql,
+    // q320: TPC-H Q1 per micro-batch (decimal cell sums merge) —
+    // shares q16's oracle verbatim
+    "q320_streaming_pricing_summary" -> q16Sql,
     "q17_shipping_priority" ->
       ("SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate, o_orderpriority, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue " +
@@ -645,66 +640,27 @@ private[graft] object OracleRelational {
     // shares q299's SQL verbatim
     "q303_streaming_gini" -> q299Sql,
     // q315: TPC-H Q4 shape — late-shipment audit per priority
-    "q315_late_priority" ->
-      ("WITH late AS (SELECT DISTINCT o.o_orderkey, o.o_orderpriority " +
-        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
-        "WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY), " +
-        "lc AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) " +
-        "AS n_late FROM late GROUP BY 1), " +
-        "t AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) " +
-        "AS n_orders FROM orders GROUP BY 1) " +
-        "SELECT t.o_orderpriority, t.n_orders, " +
-        "CAST(COALESCE(lc.n_late, 0) AS BIGINT) AS n_late, " +
-        "CAST(COALESCE(lc.n_late, 0) AS DOUBLE) / " +
-        "CAST(t.n_orders AS DOUBLE) AS late_rate " +
-        "FROM t LEFT JOIN lc USING (o_orderpriority) " +
-        "ORDER BY t.o_orderpriority"),
+    "q315_late_priority" -> q315Sql,
+    // q324: q315 per micro-batch (late set distinct-merges) —
+    // shares q315's oracle verbatim
+    "q324_streaming_late_priority" -> q315Sql,
     // q316: TPC-H Q10 shape — top-20 returned-revenue customers;
     // total order (revenue desc, custkey) pins the LIMIT
-    "q316_returned_revenue" ->
-      ("WITH rev AS (SELECT o.o_custkey, " +
-        "SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * " +
-        "(CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2)))) " +
-        "AS revd FROM lineitem l JOIN orders o " +
-        "ON l.l_orderkey = o.o_orderkey " +
-        "WHERE l.l_returnflag = 'R' GROUP BY 1) " +
-        "SELECT c.c_custkey, c.c_name, n.n_name, " +
-        "CAST(rev.revd AS DOUBLE) AS revenue " +
-        "FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey " +
-        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
-        "ORDER BY revenue DESC, c.c_custkey LIMIT 20"),
+    "q316_returned_revenue" -> q316Sql,
+    // q322: q316 per micro-batch (customer cent sums merge) —
+    // shares q316's oracle verbatim
+    "q322_streaming_returned_revenue" -> q316Sql,
     // q317: TPC-H Q14 shape — monthly PROMO revenue share
-    "q317_promo_share" ->
-      ("WITH j AS (SELECT CAST(date_trunc('month', " +
-        "CAST(l.l_shipdate AS DATE)) AS VARCHAR) AS ship_month, " +
-        "p.p_type, " +
-        "CAST(l.l_extendedprice AS DECIMAL(12,2)) * " +
-        "(CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2))) " +
-        "AS disc FROM lineitem l JOIN part p " +
-        "ON l.l_partkey = p.p_partkey), " +
-        "a AS (SELECT ship_month, CAST(COUNT(*) AS BIGINT) AS n_lines, " +
-        "SUM(CASE WHEN p_type = 'PROMO' THEN disc " +
-        "ELSE CAST(0 AS DECIMAL(12,2)) * CAST(1 AS DECIMAL(5,2)) END) " +
-        "AS promo_rev, SUM(disc) AS total_rev FROM j GROUP BY 1) " +
-        "SELECT ship_month, n_lines, " +
-        "CAST(promo_rev AS DOUBLE) AS promo_revenue, " +
-        "CAST(total_rev AS DOUBLE) AS total_revenue, " +
-        "100.0 * CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) " +
-        "AS promo_share_pct FROM a ORDER BY ship_month"),
+    "q317_promo_share" -> q317Sql,
+    // q321: q317 per micro-batch (month cells merge) — shares
+    // q317's oracle verbatim
+    "q321_streaming_promo_share" -> q317Sql,
     // q318: TPC-H Q15 shape — max-revenue suppliers over a fixed
     // quarter, full tie set on exact decimal equality
-    "q318_top_supplier" ->
-      ("WITH rev AS (SELECT l_suppkey, " +
-        "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
-        "(CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) " +
-        "AS revd FROM lineitem " +
-        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
-        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1), " +
-        "mx AS (SELECT MAX(revd) AS mx FROM rev) " +
-        "SELECT s.s_suppkey, s.s_name, CAST(rev.revd AS DOUBLE) " +
-        "AS revenue FROM rev CROSS JOIN mx " +
-        "JOIN supplier s ON rev.l_suppkey = s.s_suppkey " +
-        "WHERE rev.revd = mx.mx ORDER BY s.s_suppkey"),
+    "q318_top_supplier" -> q318Sql,
+    // q323: q318 per micro-batch (supplier sums merge) — shares
+    // q318's oracle verbatim
+    "q323_streaming_top_supplier" -> q318Sql,
     // q319: TPC-H Q17 shape — the half-of-average threshold is
     // cross-multiplied (2·n·qty < Σqty), no division anywhere
     "q319_small_quantity_brand" ->
@@ -751,6 +707,75 @@ private[graft] object OracleRelational {
       "(CAST(m AS HUGEINT) * rbase + (CAST(m AS HUGEINT) * (m + 1)) // 2)) " +
       "AS sw, CAST(SUM(m) AS HUGEINT) AS n, " +
       s"SUM(CAST(x AS HUGEINT) * m) AS total FROM ${p}r)")
+
+  private def q16Sql: String =
+    ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))) * (CAST(1 AS DECIMAL(5,2)) + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE) AS sum_charge, " +
+        "COUNT(*) AS count_order FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '2001-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")
+
+  private def q315Sql: String =
+    ("WITH late AS (SELECT DISTINCT o.o_orderkey, o.o_orderpriority " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY), " +
+        "lc AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) " +
+        "AS n_late FROM late GROUP BY 1), " +
+        "t AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) " +
+        "AS n_orders FROM orders GROUP BY 1) " +
+        "SELECT t.o_orderpriority, t.n_orders, " +
+        "CAST(COALESCE(lc.n_late, 0) AS BIGINT) AS n_late, " +
+        "CAST(COALESCE(lc.n_late, 0) AS DOUBLE) / " +
+        "CAST(t.n_orders AS DOUBLE) AS late_rate " +
+        "FROM t LEFT JOIN lc USING (o_orderpriority) " +
+        "ORDER BY t.o_orderpriority")
+
+  private def q316Sql: String =
+    ("WITH rev AS (SELECT o.o_custkey, " +
+        "SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2)))) " +
+        "AS revd FROM lineitem l JOIN orders o " +
+        "ON l.l_orderkey = o.o_orderkey " +
+        "WHERE l.l_returnflag = 'R' GROUP BY 1) " +
+        "SELECT c.c_custkey, c.c_name, n.n_name, " +
+        "CAST(rev.revd AS DOUBLE) AS revenue " +
+        "FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "ORDER BY revenue DESC, c.c_custkey LIMIT 20")
+
+  private def q317Sql: String =
+    ("WITH j AS (SELECT CAST(date_trunc('month', " +
+        "CAST(l.l_shipdate AS DATE)) AS VARCHAR) AS ship_month, " +
+        "p.p_type, " +
+        "CAST(l.l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2))) " +
+        "AS disc FROM lineitem l JOIN part p " +
+        "ON l.l_partkey = p.p_partkey), " +
+        "a AS (SELECT ship_month, CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+        "SUM(CASE WHEN p_type = 'PROMO' THEN disc " +
+        "ELSE CAST(0 AS DECIMAL(12,2)) * CAST(1 AS DECIMAL(5,2)) END) " +
+        "AS promo_rev, SUM(disc) AS total_rev FROM j GROUP BY 1) " +
+        "SELECT ship_month, n_lines, " +
+        "CAST(promo_rev AS DOUBLE) AS promo_revenue, " +
+        "CAST(total_rev AS DOUBLE) AS total_revenue, " +
+        "100.0 * CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) " +
+        "AS promo_share_pct FROM a ORDER BY ship_month")
+
+  private def q318Sql: String =
+    ("WITH rev AS (SELECT l_suppkey, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) " +
+        "AS revd FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1), " +
+        "mx AS (SELECT MAX(revd) AS mx FROM rev) " +
+        "SELECT s.s_suppkey, s.s_name, CAST(rev.revd AS DOUBLE) " +
+        "AS revenue FROM rev CROSS JOIN mx " +
+        "JOIN supplier s ON rev.l_suppkey = s.s_suppkey " +
+        "WHERE rev.revd = mx.mx ORDER BY s.s_suppkey")
 
   /** The q304 per-entity decile selection over the giniCtes chain. */
   private def lorenzSelect(entity: String, p: String): String =

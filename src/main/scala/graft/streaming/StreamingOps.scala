@@ -3117,6 +3117,152 @@ object StreamingOps {
         sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
         stateRoot))
 
+  /** The shared stateful core behind the incremental decision-support
+    * family (q320–q324): an arbitrary mergeable statistic over a
+    * LINEITEM stream. `stat` maps a micro-batch (joined against any
+    * static dims inside the callback — the q76 stream-static
+    * discipline) to its partial-statistic rows; `merge` re-aggregates
+    * state ∪ batch. Decimal sums / counts / distinct sets all merge
+    * exactly (decimal addition is associative), so ANY micro-batching
+    * drains to the batch report and the batch query's SQL is the
+    * oracle verbatim. Sum-merges are not idempotent, so the ledger
+    * gate skips crash replays; distinct-merges ride the same gate for
+    * version hygiene.
+    *
+    * 100 TB shape: state is the REPORT grain (flag×status cells,
+    * months, suppliers, customers — never line grain); per batch one
+    * map-side-combined aggregate + a grain-scale merge. This is the
+    * incremental form of a nightly warehouse refresh: facts stream
+    * in, the decision tables stay current, history is never
+    * rescanned.
+    */
+  private def lineitemState(spark: SparkSession, dir: String,
+      op: String,
+      stat: DataFrame => DataFrame,
+      merge: DataFrame => DataFrame,
+      sourceDir: Option[String],
+      sourceGlob: String,
+      maxFilesPerTrigger: Option[Int],
+      stateRoot: Option[String]): DataFrame = {
+    val root = effectiveRoot(stateRoot, op)
+    val sumsRoot = stateDir(root, "sums")
+    val ledger = new VersionedLedger(spark, sumsRoot, root)
+    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val reader = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = reader.parquet(sourceDir.getOrElse(dir))
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (!ledger.isReplayed(id)) {
+          val b = stat(batch.toDF())
+          val merged =
+            if (ledger.isEmpty) b
+            else merge(ss.read.parquet(ledger.path).unionByName(b))
+          ledger.write(merged, id)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    spark.read.parquet(ledger.path)
+  }
+
+  /** Streaming pricing summary (q320): TPC-H Q1 per micro-batch —
+    * decimal sums + counts per (returnflag, linestatus) cell merge
+    * exactly. Shares q16's SQL.
+    */
+  def streamingPricingSummary(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "lineitem.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.pricingFinish(
+      lineitemState(spark, dir, "pricing", Analytics.pricingStatOf,
+        Analytics.pricingMerge, sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+  }
+
+  /** Streaming promo share (q321): TPC-H Q14 per micro-batch — each
+    * batch joins the STATIC part dim (broadcast) and folds month
+    * cells. Shares q317's SQL.
+    */
+  def streamingPromoShare(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "lineitem.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Analytics
+    import graft.sources.Tables
+    Analytics.promoFinish(
+      lineitemState(spark, dir, "promo",
+        b => Analytics.promoStatOf(b, Tables.part(spark, dir)),
+        Analytics.promoMerge, sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+  }
+
+  /** Streaming returned-revenue report (q322): TPC-H Q10 per
+    * micro-batch — per-customer returned-cent sums merge; the top-20
+    * + dim names resolve at drain. Shares q316's SQL.
+    */
+  def streamingReturnedRevenue(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "lineitem.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Analytics
+    import graft.sources.Tables
+    Analytics.returnedFinish(spark, dir,
+      lineitemState(spark, dir, "returned",
+        b => Analytics.returnedStatOf(b, Tables.orders(spark, dir)),
+        Analytics.returnedMerge, sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+  }
+
+  /** Streaming top supplier (q323): TPC-H Q15 per micro-batch — the
+    * max/tie-set resolves at drain over merged supplier sums. Shares
+    * q318's SQL.
+    */
+  def streamingTopSupplier(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "lineitem.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.topSupplierFinish(spark, dir,
+      lineitemState(spark, dir, "topsupp", Analytics.topSupplierStatOf,
+        Analytics.topSupplierMerge, sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+  }
+
+  /** Streaming late-shipment audit (q324): TPC-H Q4 per micro-batch —
+    * the DISTINCT late (orderkey, priority) set distinct-merges
+    * (idempotent); totals come from the static orders side at drain.
+    * Shares q315's SQL.
+    */
+  def streamingLatePriority(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "lineitem.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Analytics
+    import graft.sources.Tables
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Analytics.lateFinish(
+      lineitemState(spark, dir, "late",
+        b => Analytics.lateStatOf(b, ord),
+        rows => rows.distinct(), sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot),
+      ord)
+  }
+
   /** Streaming Heaps'-law maintenance (q314): q205 per micro-batch —
     * the one ORDER-SENSITIVE text state in the family. Each batch's
     * global token positions are its q205 two-phase within-batch

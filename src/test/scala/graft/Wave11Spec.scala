@@ -265,6 +265,75 @@ class Wave11Spec extends SparkSpec {
     }
   }
 
+  private def splitLineitem(root: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    val rows = df.collect()
+    val schema = df.schema
+    val t0 = System.currentTimeMillis() - 600000L
+    val per = (rows.length + 2) / 3
+    (0 until 3).foreach { part =>
+      val slice = rows.slice(part * per,
+        math.min((part + 1) * per, rows.length))
+      val tmp = s"$root/_w"
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(slice.toSeq, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$root/stream/b$part.parquet")
+      target.getParentFile.mkdirs()
+      java.nio.file.Files.move(f.toPath, target.toPath)
+      target.setLastModified(t0 + part * 2000L)
+      rmrf(tmp)
+    }
+  }
+
+  private def lineitemTwinMatchesBatch(tag: String,
+      batchDf: => org.apache.spark.sql.DataFrame,
+      streamDf: (String, String) => org.apache.spark.sql.DataFrame)
+      : Unit = {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case d: Double => math.rint(d * 1e9) / 1e9
+        case v => v
+      }).toSeq
+    val batch = rows(batchDf)
+    Caches.releaseAll(spark)
+    val root = tmpDir(s"graft_${tag}_")
+    val stateRoot = s"$root/store"
+    try {
+      splitLineitem(root)
+      def run() = {
+        val r = rows(streamDf(s"$root/stream", stateRoot))
+        Caches.releaseAll(spark)
+        r
+      }
+      assert(run() == batch, s"$tag: 3-way split diverged from batch")
+      dropLatestCommit(stateRoot)
+      assert(run() == batch, s"$tag: crash-replayed batch diverged")
+    } finally { Caches.releaseAll(spark); rmrf(root) }
+  }
+
+  test("q320: a 3-file lineitem split drains to the exact Q1 pricing " +
+    "summary, and a crash-replayed batch is not re-summed") {
+    lineitemTwinMatchesBatch("pricing",
+      graft.operators.Analytics.pricingSummary(spark, sfDir),
+      (src, st) => StreamingOps.streamingPricingSummary(spark, sfDir,
+        sourceDir = Some(src), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
+  }
+
+  test("q324: a 3-file lineitem split drains to the exact Q4 late " +
+    "audit (distinct-merge absorbs the replay), and a crash-replayed " +
+    "batch changes nothing") {
+    lineitemTwinMatchesBatch("lateaudit",
+      graft.operators.Analytics.latePriority(spark, sfDir),
+      (src, st) => StreamingOps.streamingLatePriority(spark, sfDir,
+        sourceDir = Some(src), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
+  }
+
   test("q315-q319 invariants: late <= total with rate in [0,1], " +
     "top-20 is revenue-sorted, promo <= total revenue, the top " +
     "supplier set is the exact max tie set, small lines < all lines") {
