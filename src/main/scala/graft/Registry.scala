@@ -831,6 +831,24 @@ object Registry {
     // (idempotent) — shares q315's oracle
     "q324_streaming_late_priority" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingLatePriority(s, d)),
+    // NB operating-point table: confusion quadrant + P/R/F1 at each
+    // score decile — exact integers, two-phase histogram prefix
+    "q325_nb_pr_sweep" -> ((s, d) => QualityModel.nbPrSweep(s, d)),
+    // Cohen's kappa for the NB gate and the q25 lang-id guesser —
+    // chance-corrected agreement, one division, decimal products
+    "q326_kappa_agreement" -> ((s, d) =>
+      QualityModel.kappaAgreement(s, d)),
+    // synchronous K-round label propagation over the dup graph —
+    // deterministic (mode, ties to min), oracled round-for-round
+    "q327_label_propagation" -> ((s, d) =>
+      Analytics.labelPropagation(s, d)),
+    // per (type, day) OHLC candlesticks: struct-min/max open/close,
+    // exact decimal volume — the mergeable time-series rollup
+    "q328_ohlc_daily" -> ((s, d) => Lifecycle.ohlcDaily(s, d)),
+    // q328 per micro-batch: the OHLC statistic merges exactly —
+    // shares q328's oracle
+    "q329_streaming_ohlc" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingOhlc(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

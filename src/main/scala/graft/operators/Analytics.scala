@@ -1046,6 +1046,51 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Synchronous label propagation (q327): community detection over
+    * the verified dup graph — every node starts as its own label; for
+    * a FIXED number of synchronous rounds each node adopts its
+    * neighbors' most frequent label (ties to the smallest), which
+    * makes the algorithm fully deterministic and therefore oracled
+    * round-for-round in SQL (the asynchronous/randomized variant is
+    * not reproducible cross-engine). The community view that
+    * complements the q148/q193 connected components: CC says "these
+    * documents touch", LPA says which DENSE cores they cluster into.
+    *
+    * 100 TB shape: each round is one edges⋈labels join (shuffle on
+    * node id) + a node-grain mode; rounds are a fixed constant and
+    * each round's result is persisted (a barrier, so the iterative
+    * plan never re-derives prior rounds). Node/edge grain is the dup
+    * graph — orders of magnitude below corpus grain.
+    */
+  def labelPropagation(spark: SparkSession, dir: String,
+      rounds: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = Dedup.minhashOracledDf(Tables.documents(spark, dir))
+      .select(col("id_a").as("u"), col("id_b").as("w"))
+    val und = edges
+      .unionAll(edges.select(col("w").as("u"), col("u").as("w")))
+      .persist()
+    var labels = und.select(col("u")).distinct()
+      .withColumn("lbl", col("u"))
+      .persist()
+    val byNode = Window.partitionBy(col("u"))
+      .orderBy(col("cnt").desc, col("lbl"))
+    (1 to rounds).foreach { _ =>
+      val next = und
+        .join(labels.select(col("u").as("w"), col("lbl")), Seq("w"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select(col("u"), col("lbl"))
+        .persist()
+      next.count() // materialization barrier before dropping the prior round
+      labels.unpersist(false)
+      labels = next
+    }
+    labels.select(col("u").as("node"), col("lbl").as("community"))
+      .orderBy(col("node"))
+  }
+
   /** TPC-H Q4-shaped late-shipment audit (q315): per order priority,
     * total orders, orders with at least one line shipped > 60 days
     * after the order date, and the late rate. 100 TB shape: lineitem

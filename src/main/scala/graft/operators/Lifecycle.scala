@@ -343,6 +343,48 @@ object Lifecycle {
       .orderBy(col("tenure"))
   }
 
+  /** Daily OHLC candlesticks (q328): per (event_type, day) — the
+    * first/last event's value (open/close, selected by the total
+    * (ts, event_id) order), the day's high/low, exact decimal volume
+    * and event count. The standard time-series rollup for a metric
+    * stream; every field is a SELECTION or an exact decimal sum, so
+    * the table hash-matches without any FP-accumulation concern.
+    *
+    * 100 TB shape: one map-side-combined aggregate onto #types×#days
+    * cells — open/close ride struct min/max (argmin/argmax without a
+    * sort), which also makes the statistic MERGEABLE: q329 maintains
+    * exactly this table per micro-batch.
+    */
+  def ohlcDaily(spark: SparkSession, dir: String): DataFrame =
+    ohlcFinish(ohlcStatOf(Tables.events(spark, dir)))
+
+  private[graft] def ohlcStatOf(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        expr(s"unix_micros(cast(ts as timestamp)) div $usPerDay")
+          .as("day"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        sum(col("value").cast("decimal(18,2)")).as("vol"),
+        count(lit(1)).as("n"))
+
+  private[graft] def ohlcMerge(rows: DataFrame): DataFrame =
+    rows.groupBy(col("event_type"), col("day"))
+      .agg(min(col("o")).as("o"), max(col("c")).as("c"),
+        max(col("high")).as("high"), min(col("low")).as("low"),
+        sum(col("vol")).as("vol"), sum(col("n")).as("n"))
+
+  private[graft] def ohlcFinish(sums: DataFrame): DataFrame =
+    sums.select(col("event_type"), col("day"), col("n").as("n_events"),
+        col("o").getField("value").as("open"),
+        col("high"), col("low"),
+        col("c").getField("value").as("close"),
+        col("vol").cast("double").as("volume"))
+      .orderBy(col("event_type"), col("day"))
+
   /** CUSUM level-shift detector (q292): per event type, the one-sided
     * cumulative-sum statistic over the DENSE daily-count series
     * (missing days count 0 — a detector that skips quiet days would

@@ -270,4 +270,121 @@ object QualityModel {
       .withColumn("quality_rate",
         col("n_quality").cast("double") / col("n_docs").cast("double"))
       .orderBy(col("bin"))
+
+  /** Precision/recall threshold sweep (q325): the NB score gated at
+    * each of its own score deciles — per decile rank r_d = ⌈d·n/10⌉
+    * (docs ordered by ascending score), the threshold score and the
+    * exact confusion quadrant of "predict positive when
+    * score > threshold", plus precision / recall / F1. F1 is spelled
+    * 2·TP / (2·TP + FP + FN) — like precision and recall, ONE
+    * division from exact integers. The operating-point table behind
+    * q287's single AUC number: which decile cut a curation run should
+    * actually gate at.
+    *
+    * 100 TB shape: docs collapse to the per-score (np, nn) histogram;
+    * cumulative counts ride the q205/q287 two-phase prefix (the score
+    * domain is corpus-grain — no single-partition window); the decile
+    * table (9 rows) range-joins the histogram.
+    */
+  def nbPrSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val hist = scoredDocs(spark, dir)
+      .groupBy(col("score_micro").as("score"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+      .repartitionByRange(col("score"))
+      .withColumn("pid", spark_partition_id())
+      // barrier: the totals pass and the local-prefix pass must see
+      // the same materialized partitioning
+      .persist()
+    val totals = hist.groupBy(col("pid"))
+      .agg(sum(col("np")).as("pp"), sum(col("nn")).as("pn"))
+      .collect().sortBy(_.getAs[Int]("pid"))
+    var accP = 0L
+    var accN = 0L
+    val offs = totals.map { r =>
+      val o = (r.getAs[Int]("pid"), accP, accN)
+      accP += r.getAs[Long]("pp"); accN += r.getAs[Long]("pn"); o
+    }.toSeq
+    val offDf =
+      if (offs.isEmpty) Seq((0, 0L, 0L)).toDF("pid", "ppoff", "pnoff").limit(0)
+      else offs.toDF("pid", "ppoff", "pnoff")
+    val wLoc = Window.partitionBy(col("pid")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("lp", coalesce(sum(col("np")).over(wLoc), lit(0L)))
+      .withColumn("ln", coalesce(sum(col("nn")).over(wLoc), lit(0L)))
+      .join(broadcast(offDf), "pid")
+      .select(col("score"), col("np"), col("nn"),
+        (col("lp") + col("ppoff")).as("np_below"),
+        (col("ln") + col("pnoff")).as("nn_below"))
+    val tot = ranked.agg(sum(col("np")).as("p"), sum(col("nn")).as("nneg"))
+    val decs = spark.range(1, 10).select(col("id").as("decile"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("p"), col("nneg"),
+        expr("(decile * (p + nneg) + 9) div 10").as("r"))
+    broadcast(decs).join(ranked,
+        col("r") > col("np_below") + col("nn_below") &&
+          col("r") <= col("np_below") + col("nn_below") +
+            col("np") + col("nn"))
+      .withColumn("tp", col("p") - col("np_below") - col("np"))
+      .withColumn("fp", col("nneg") - col("nn_below") - col("nn"))
+      .withColumn("fn", col("p") - col("tp"))
+      .select(col("decile"), col("score").as("threshold_micro"),
+        col("tp"), col("fp"), col("fn"),
+        (col("nneg") - col("fp")).as("tn"),
+        when(col("tp") + col("fp") === 0L, lit(0.0))
+          .otherwise(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double")).as("precision"),
+        (col("tp").cast("double") / col("p").cast("double")).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L, lit(0.0))
+          .otherwise((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .as("f1"))
+      .orderBy(col("decile"))
+  }
+
+  /** Cohen's kappa agreement (q326): chance-corrected agreement for
+    * the engine's two classifiers — the NB gate against its weak
+    * label and the q25 lang-id guesser against the labeled lang —
+    * computed exactly from integer confusion cells: with marginals
+    * r_k (true) and c_k (predicted),
+    * κ = (n·Σdiag − Σ r_k·c_k) / (n² − Σ r_k·c_k) — one division;
+    * products in decimal(38,0) (n² overflows BIGINT at corpus scale).
+    * The one-number "is this classifier better than its own base
+    * rates" check next to q247/q309's full matrices.
+    */
+  def kappaAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def kappaOf(cells: DataFrame, task: String): DataFrame = {
+      // cells: (t, g, cnt)
+      val c = cells.persist()
+      val base = c.agg(sum(col("cnt")).as("n"),
+        sum(when(col("t") === col("g"), col("cnt")).otherwise(lit(0L)))
+          .as("agree"))
+      val rc = c.groupBy(col("t").as("k")).agg(sum(col("cnt")).as("r"))
+        .join(c.groupBy(col("g").as("k")).agg(sum(col("cnt")).as("cc")),
+          Seq("k"), "full_outer")
+        .agg(sum(coalesce(col("r"), lit(0L)).cast(dec) *
+          coalesce(col("cc"), lit(0L)).cast(dec)).as("src"))
+      base.crossJoin(rc)
+        .select(lit(task).as("task"), col("n"), col("agree"),
+          when(col("n").cast(dec) * col("n").cast(dec) === col("src"),
+            lit(0.0))
+            .otherwise(
+              (col("n").cast(dec) * col("agree").cast(dec) - col("src"))
+                .cast("double") /
+              (col("n").cast(dec) * col("n").cast(dec) - col("src"))
+                .cast("double")).as("kappa"))
+    }
+    val nbCells = scoredDocs(spark, dir)
+      .groupBy(col("y").cast("string").as("t"),
+        col("predicted").cast("string").as("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val langCells = TextOps.confusionCellsOf(Tables.documents(spark, dir))
+      .select(col("lang").as("t"), col("lang_guess").as("g"), col("cnt"))
+    kappaOf(nbCells, "nb_vs_weak_label")
+      .unionAll(kappaOf(langCells, "langid_vs_lang"))
+      .orderBy(col("task"))
+  }
 }

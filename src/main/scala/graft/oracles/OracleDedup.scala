@@ -674,6 +674,13 @@ private[graft] object OracleDedup {
     // Wave5Spec pins that the fixture converges within the unroll
     "q204_dup_graph_kcore" -> q204Sql,
     "q212_dup_graph_degrees" -> q212Sql,
+    // q327: synchronous K-round label propagation — deterministic
+    // (mode, ties to the smallest label), replayed round-for-round
+    "q327_label_propagation" ->
+      (dupGraphCte +
+        ", l0 AS (SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM und)), " +
+        lpaRounds(4) +
+        " SELECT u AS node, lbl AS community FROM l4 ORDER BY node"),
     // q224: pairwise source-overlap — bottom-k (k = 64) minwise
     // Jaccard estimate over distinct (source, 3-shingle md5) sets,
     // audited against the exact pairwise Jaccard; all integer/hash
@@ -1046,6 +1053,19 @@ private[graft] object OracleDedup {
     * degree)` — the graph every dup-graph oracle (q204/q212) peels or
     * profiles.
     */
+  /** One synchronous LPA round over the `und` relation: every node
+    * adopts its neighbors' most frequent round-(i−1) label, ties to
+    * the smallest — the q327 determinism rule.
+    */
+  private def lpaRounds(k: Int): String =
+    (1 to k).map(i =>
+      s"n$i AS (SELECT und.u, l${i - 1}.lbl, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt " +
+        s"FROM und JOIN l${i - 1} ON und.w = l${i - 1}.u GROUP BY 1, 2), " +
+        s"l$i AS (SELECT u, lbl FROM (SELECT u, lbl, " +
+        "ROW_NUMBER() OVER (PARTITION BY u ORDER BY cnt DESC, lbl) " +
+        s"AS rn FROM n$i) WHERE rn = 1)").mkString(", ")
+
   private def dupGraphCte: String =
       "WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
         "x -> x <> '') AS toks FROM documents), " +

@@ -674,6 +674,12 @@ private[graft] object OracleRelational {
         "JOIN part p ON l.l_partkey = p.p_partkey " +
         "WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 2 * pa.n < pa.sq " +
         "GROUP BY 1 ORDER BY p.p_brand"),
+    // q328: daily OHLC candlesticks — open/close by the total
+    // (ts, event_id) order, exact decimal volume
+    "q328_ohlc_daily" -> q328Sql,
+    // q329: q328 per micro-batch (the OHLC statistic merges exactly)
+    // — shares q328's oracle verbatim
+    "q329_streaming_ohlc" -> q328Sql,
     // q304: exact Lorenz deciles — the same giniCtes rank machinery,
     // decile ranks range-joined into the value histogram
     "q304_lorenz_deciles" ->
@@ -776,6 +782,22 @@ private[graft] object OracleRelational {
         "AS revenue FROM rev CROSS JOIN mx " +
         "JOIN supplier s ON rev.l_suppkey = s.s_suppkey " +
         "WHERE rev.revd = mx.mx ORDER BY s.s_suppkey")
+
+  private def q328Sql: String =
+    ("WITH b AS (SELECT event_type, " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+      "ts, event_id, value FROM events), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER " +
+      "(PARTITION BY event_type, day ORDER BY ts, event_id) AS rna, " +
+      "ROW_NUMBER() OVER (PARTITION BY event_type, day " +
+      "ORDER BY ts DESC, event_id DESC) AS rnz FROM b) " +
+      "SELECT event_type, CAST(day AS BIGINT) AS day, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+      "MAX(CASE WHEN rna = 1 THEN value END) AS open, " +
+      "MAX(value) AS high, MIN(value) AS low, " +
+      "MAX(CASE WHEN rnz = 1 THEN value END) AS close, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume " +
+      "FROM r GROUP BY 1, 2 ORDER BY event_type, day")
 
   /** The q304 per-entity decile selection over the giniCtes chain. */
   private def lorenzSelect(entity: String, p: String): String =

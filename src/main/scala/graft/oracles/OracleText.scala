@@ -739,6 +739,86 @@ private[graft] object OracleText {
       "SELECT scorer, p AS n_pos, n AS n_neg, " +
       "CAST(num2 AS DOUBLE) / (2.0 * CAST(p AS DOUBLE) * " +
       "CAST(n AS DOUBLE)) AS auc FROM auc_t ORDER BY scorer"),
+    // q325: NB operating-point sweep — confusion quadrant + P/R/F1 at
+    // each score decile; exact integers to one division per column
+    "q325_nb_pr_sweep" -> (nbScoredSql +
+      ", q325h AS (SELECT score_micro AS score, CAST(SUM(y) AS BIGINT) " +
+      "AS np, CAST(SUM(1 - y) AS BIGINT) AS nn FROM scored GROUP BY 1), " +
+      "q325c AS (SELECT score, np, nn, " +
+      "CAST(COALESCE(SUM(np) OVER wp, 0) AS BIGINT) AS np_below, " +
+      "CAST(COALESCE(SUM(nn) OVER wp, 0) AS BIGINT) AS nn_below " +
+      "FROM q325h WINDOW wp AS (ORDER BY score " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+      "q325t AS (SELECT CAST(SUM(np) AS BIGINT) AS p, " +
+      "CAST(SUM(nn) AS BIGINT) AS nneg FROM q325h), " +
+      "q325d AS (SELECT decile, p, nneg, " +
+      "(decile * (p + nneg) + 9) // 10 AS r FROM " +
+      "(SELECT unnest(generate_series(1, 9)) AS decile) CROSS JOIN q325t) " +
+      "SELECT CAST(d.decile AS BIGINT) AS decile, " +
+      "CAST(h.score AS BIGINT) AS threshold_micro, " +
+      "CAST(d.p - h.np_below - h.np AS BIGINT) AS tp, " +
+      "CAST(d.nneg - h.nn_below - h.nn AS BIGINT) AS fp, " +
+      "CAST(h.np_below + h.np AS BIGINT) AS fn, " +
+      "CAST(h.nn_below + h.nn AS BIGINT) AS tn, " +
+      "CASE WHEN (d.p - h.np_below - h.np) + " +
+      "(d.nneg - h.nn_below - h.nn) = 0 THEN 0.0 ELSE " +
+      "CAST(d.p - h.np_below - h.np AS DOUBLE) / " +
+      "CAST((d.p - h.np_below - h.np) + (d.nneg - h.nn_below - h.nn) " +
+      "AS DOUBLE) END AS precision, " +
+      "CAST(d.p - h.np_below - h.np AS DOUBLE) / CAST(d.p AS DOUBLE) " +
+      "AS recall, " +
+      "CASE WHEN 2 * (d.p - h.np_below - h.np) + " +
+      "(d.nneg - h.nn_below - h.nn) + (h.np_below + h.np) = 0 THEN 0.0 " +
+      "ELSE CAST(2 * (d.p - h.np_below - h.np) AS DOUBLE) / " +
+      "CAST(2 * (d.p - h.np_below - h.np) + " +
+      "(d.nneg - h.nn_below - h.nn) + (h.np_below + h.np) AS DOUBLE) " +
+      "END AS f1 " +
+      "FROM q325d d JOIN q325c h ON d.r > h.np_below + h.nn_below " +
+      "AND d.r <= h.np_below + h.nn_below + h.np + h.nn " +
+      "ORDER BY decile"),
+    // q326: Cohen's kappa for the NB gate and the lang-id guesser —
+    // one division from integer marginals, HUGEINT products
+    "q326_kappa_agreement" -> (nbScoredSql +
+      ", kc1 AS (SELECT CAST(y AS VARCHAR) AS t, " +
+      "CAST(predicted AS VARCHAR) AS g, CAST(COUNT(*) AS BIGINT) " +
+      "AS cnt FROM scored GROUP BY 1, 2), " +
+      "kg AS (SELECT lang AS t, CASE " +
+      "WHEN len(list_filter(toks, x -> x = 'the')) >= 3 THEN 'en' " +
+      "WHEN len(list_filter(toks, x -> x = 'data')) >= 3 THEN 'de' " +
+      "WHEN len(list_filter(toks, x -> x = 'table')) >= 3 THEN 'es' " +
+      "ELSE 'und' END AS g FROM (SELECT lang, " +
+      "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+      "AS toks FROM documents)), " +
+      "kc2 AS (SELECT t, g, CAST(COUNT(*) AS BIGINT) AS cnt " +
+      "FROM kg GROUP BY 1, 2), " +
+      "ka1 AS (SELECT CAST(SUM(cnt) AS HUGEINT) AS n, " +
+      "CAST(SUM(CASE WHEN t = g THEN cnt ELSE 0 END) AS HUGEINT) " +
+      "AS agree FROM kc1), " +
+      "kr1 AS (SELECT SUM(CAST(COALESCE(r.r, 0) AS HUGEINT) * " +
+      "COALESCE(c.c, 0)) AS src FROM " +
+      "(SELECT t AS k, SUM(cnt) AS r FROM kc1 GROUP BY 1) r " +
+      "FULL JOIN (SELECT g AS k, SUM(cnt) AS c FROM kc1 GROUP BY 1) c " +
+      "USING (k)), " +
+      "ka2 AS (SELECT CAST(SUM(cnt) AS HUGEINT) AS n, " +
+      "CAST(SUM(CASE WHEN t = g THEN cnt ELSE 0 END) AS HUGEINT) " +
+      "AS agree FROM kc2), " +
+      "kr2 AS (SELECT SUM(CAST(COALESCE(r.r, 0) AS HUGEINT) * " +
+      "COALESCE(c.c, 0)) AS src FROM " +
+      "(SELECT t AS k, SUM(cnt) AS r FROM kc2 GROUP BY 1) r " +
+      "FULL JOIN (SELECT g AS k, SUM(cnt) AS c FROM kc2 GROUP BY 1) c " +
+      "USING (k)) " +
+      "SELECT 'nb_vs_weak_label' AS task, CAST(n AS BIGINT) AS n, " +
+      "CAST(agree AS BIGINT) AS agree, " +
+      "CASE WHEN n * n = src THEN 0.0 ELSE " +
+      "CAST(n * agree - src AS DOUBLE) / CAST(n * n - src AS DOUBLE) " +
+      "END AS kappa FROM ka1 CROSS JOIN kr1 " +
+      "UNION ALL " +
+      "SELECT 'langid_vs_lang' AS task, CAST(n AS BIGINT) AS n, " +
+      "CAST(agree AS BIGINT) AS agree, " +
+      "CASE WHEN n * n = src THEN 0.0 ELSE " +
+      "CAST(n * agree - src AS DOUBLE) / CAST(n * n - src AS DOUBLE) " +
+      "END AS kappa FROM ka2 CROSS JOIN kr2 " +
+      "ORDER BY task"),
     // q247: per-source confusion of the trained gate vs its weak label
     "q247_nb_confusion" -> (nbScoredSql +
       ", src AS (SELECT doc_id, source FROM documents), " +

@@ -3173,6 +3173,67 @@ object StreamingOps {
     spark.read.parquet(ledger.path)
   }
 
+  /** Events sibling of [[lineitemState]]: an arbitrary mergeable
+    * statistic over the events stream through a gated ledger — see
+    * [[lineitemState]] for the merge/replay contract.
+    */
+  private def eventsMergedState(spark: SparkSession, dir: String,
+      op: String,
+      stat: DataFrame => DataFrame,
+      merge: DataFrame => DataFrame,
+      sourceDir: Option[String],
+      sourceGlob: String,
+      maxFilesPerTrigger: Option[Int],
+      stateRoot: Option[String]): DataFrame = {
+    val root = effectiveRoot(stateRoot, op)
+    val sumsRoot = stateDir(root, "sums")
+    val ledger = new VersionedLedger(spark, sumsRoot, root)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val reader = spark.readStream
+      .schema(eventsSchema(tsType))
+      .option("pathGlobFilter", sourceGlob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = Tables.normalizeTs(reader.parquet(sourceDir.getOrElse(dir)))
+    val w = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (!ledger.isReplayed(id)) {
+          val b = stat(batch.toDF())
+          val merged =
+            if (ledger.isEmpty) b
+            else merge(ss.read.parquet(ledger.path).unionByName(b))
+          ledger.write(merged, id)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = startWithCheckpoint(w, root)
+    q.awaitTermination()
+    spark.read.parquet(ledger.path)
+  }
+
+  /** Streaming OHLC maintenance (q329): q328 per micro-batch — the
+    * per-cell (open-struct, close-struct, high, low, volume, count)
+    * statistic merges exactly (struct min/max are argmin/argmax
+    * selections; decimal volume sums are associative). Shares q328's
+    * SQL.
+    */
+  def streamingOhlc(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Lifecycle
+    Lifecycle.ohlcFinish(
+      eventsMergedState(spark, dir, "ohlc", Lifecycle.ohlcStatOf,
+        Lifecycle.ohlcMerge, sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+  }
+
   /** Streaming pricing summary (q320): TPC-H Q1 per micro-batch —
     * decimal sums + counts per (returnflag, linestatus) cell merge
     * exactly. Shares q16's SQL.

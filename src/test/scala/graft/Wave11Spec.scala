@@ -334,6 +334,48 @@ class Wave11Spec extends SparkSpec {
         maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
   }
 
+  test("q329: a 3-file events split drains to the exact q328 OHLC " +
+    "table, and a crash-replayed batch is not re-merged") {
+    streamTwinMatchesBatch("ohlc",
+      Lifecycle.ohlcDaily(spark, sfDir),
+      (src, st) => StreamingOps.streamingOhlc(spark, sfDir,
+        sourceDir = Some(src), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
+  }
+
+  test("q325-q328 invariants: recall non-increasing over the decile " +
+    "sweep with confusion quadrants partitioning the corpus, kappa " +
+    "in [-1,1], every LPA community label is a graph node, and " +
+    "low <= open/close <= high") {
+    import graft.operators.{Analytics, QualityModel}
+    val sweep = QualityModel.nbPrSweep(spark, sfDir).collect()
+    assert(sweep.length == 9)
+    val total = sweep.head.getLong(2) + sweep.head.getLong(3) +
+      sweep.head.getLong(4) + sweep.head.getLong(5)
+    sweep.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5)
+        == total, "quadrants must partition the corpus at every cut")
+    }
+    sweep.sliding(2).foreach(w =>
+      assert(w(0).getDouble(7) >= w(1).getDouble(7) - 1e-12,
+        "recall must not increase as the threshold rises"))
+    QualityModel.kappaAgreement(spark, sfDir).collect().foreach { r =>
+      assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9,
+        s"${r.getString(0)}: kappa out of range")
+    }
+    val lpa = Analytics.labelPropagation(spark, sfDir).collect()
+    val nodes = lpa.map(_.getLong(0)).toSet
+    lpa.foreach(r => assert(nodes.contains(r.getLong(1)),
+      "community label must be a node of the graph"))
+    Lifecycle.ohlcDaily(spark, sfDir).collect().foreach { r =>
+      val (open, high, low, close) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(low <= open && open <= high)
+      assert(low <= close && close <= high)
+      assert(r.getLong(2) > 0L)
+    }
+  }
+
   test("q315-q319 invariants: late <= total with rate in [0,1], " +
     "top-20 is revenue-sorted, promo <= total revenue, the top " +
     "supplier set is the exact max tie set, small lines < all lines") {
