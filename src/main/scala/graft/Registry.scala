@@ -849,6 +849,24 @@ object Registry {
     // shares q328's oracle
     "q329_streaming_ohlc" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingOhlc(s, d)),
+    // smoothed log-odds distinctive terms per source (top-5) — the
+    // term-level attribution behind q158's KL number
+    "q330_distinctive_terms" -> ((s, d) =>
+      TextOps.distinctiveTerms(s, d)),
+    // q330 per micro-batch off the q270/q308 (source, term) grain —
+    // shares q330's oracle
+    "q331_streaming_distinctive" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingDistinctiveTerms(s, d)),
+    // exact pairwise source-vocabulary Jaccard — the vocab view of
+    // q224's shingle overlap
+    "q332_vocab_jaccard" -> ((s, d) => TextOps.vocabJaccard(s, d)),
+    // q332 per micro-batch (distinct at drain over the count state)
+    // — shares q332's oracle
+    "q333_streaming_vocab_jaccard" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingVocabJaccard(s, d)),
+    // Benford first-digit audit of order totals / event values —
+    // digit from the exact decimal string, χ² vs log10(1 + 1/d)
+    "q334_benford_audit" -> ((s, d) => TextOps.benfordAudit(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

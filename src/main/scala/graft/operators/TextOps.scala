@@ -3353,6 +3353,136 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Distinctive terms per source (q330): smoothed log-odds of each
+    * term's rate inside a source versus the REST of the corpus,
+    * top-5 per source — the term-level "what makes this source
+    * different" attribution behind q158's source-level KL number
+    * (KL says A drifted; this says WHICH words). +1-smoothed odds on
+    * both sides keep every input an exact integer; the two ln calls
+    * are the only doubles (the q173/q158 gate discipline).
+    *
+    * 100 TB shape: one (source, term) count collapse (the q270/q308
+    * grain — q331 maintains it); corpus term totals are one more
+    * combine; the top-5 is a source-partitioned window over VOCAB
+    * grain (the q60 top-k-per-group shape).
+    */
+  def distinctiveTerms(spark: SparkSession, dir: String): DataFrame =
+    distinctiveFromCounts(tokenCountsOf(Tables.documents(spark, dir)))
+
+  /** The q330 finish off the (source, term) count grain. */
+  private[graft] def distinctiveFromCounts(countsRaw: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = countsRaw.persist()
+    val srcTot = counts.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("t_s"))
+    val termTot = counts.groupBy(col("term"))
+      .agg(sum(col("cnt")).as("c_all"))
+    val corpus = counts.agg(sum(col("cnt")).as("t_all"))
+    val scored = counts
+      .join(srcTot, Seq("source"))
+      .join(termTot, Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("c_rest", col("c_all") - col("cnt"))
+      .withColumn("t_rest", col("t_all") - col("t_s"))
+      .withColumn("log_odds",
+        log((col("cnt") + 1L).cast("double") /
+          (col("t_s") - col("cnt") + 1L).cast("double")) -
+        log((col("c_rest") + 1L).cast("double") /
+          (col("t_rest") - col("c_rest") + 1L).cast("double")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("log_odds").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= 5L)
+      .select(col("source"), col("rank"), col("term"), col("cnt"),
+        col("c_rest"), col("log_odds"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** Source-vocabulary overlap (q332): exact pairwise Jaccard of the
+    * term SETS of every source pair — the vocabulary view of q224's
+    * shingle-level source overlap (two sources can share few
+    * documents yet write in the same words). Exact: the pair
+    * intersection is a self-join of the distinct (source, term)
+    * relation on term (each term present in k sources contributes to
+    * C(k,2) pairs); union = |A|+|B|−∩; one division.
+    *
+    * 100 TB shape: vocab-grain relation, term-keyed self-join whose
+    * fan-out is bounded by #sources per term, #sources² output rows.
+    * q333 maintains the same grain per micro-batch (distinct at
+    * drain over the count state).
+    */
+  def vocabJaccard(spark: SparkSession, dir: String): DataFrame =
+    vocabJaccardFromCounts(tokenCountsOf(Tables.documents(spark, dir)))
+
+  /** The q332 finish off the (source, term) grain. */
+  private[graft] def vocabJaccardFromCounts(counts: DataFrame)
+      : DataFrame = {
+    val st = counts.select(col("source"), col("term")).distinct()
+      .persist()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Benford first-digit audit (q334): the first significant digit
+    * distribution of order totals and event values against Benford's
+    * law p(d) = log10(1 + 1/d), with the per-entity χ² — the classic
+    * fabricated-data / unit-mixup screen for numeric columns. The
+    * digit is extracted from the DECIMAL STRING rendering (exact in
+    * both engines — no floating log10-of-value boundary risk); counts
+    * are exact integers; expected shares and χ² are one shared
+    * formula.
+    *
+    * 100 TB shape: one map-side-combined count onto ≤ 9 digits per
+    * entity; χ² is a 9-row fold.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    def digitsOf(df: DataFrame, valueCol: String, entity: String)
+        : DataFrame =
+      df.select(col(valueCol).cast("decimal(18,2)").as("v"))
+        .filter(col("v") >= 1)
+        .select(substring(col("v").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .select(lit(entity).as("entity"), col("digit"), col("n"))
+    val cells = digitsOf(Tables.orders(spark, dir), "o_totalprice",
+        "orders.o_totalprice")
+      .unionAll(digitsOf(Tables.events(spark, dir), "value",
+        "events.value"))
+    val tot = cells.groupBy(col("entity")).agg(sum(col("n")).as("nt"))
+    val withExp = cells.join(broadcast(tot), Seq("entity"))
+      .withColumn("expected",
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .withColumn("exp_n", col("expected") * col("nt").cast("double"))
+      .withColumn("dev",
+        (col("n").cast("double") - col("exp_n")) *
+          (col("n").cast("double") - col("exp_n")) / col("exp_n"))
+    val chi = withExp.groupBy(col("entity"))
+      .agg(sum(col("dev")).as("chi2"))
+    withExp.join(broadcast(chi), Seq("entity"))
+      .select(col("entity"), col("digit"), col("n"),
+        (col("n").cast("double") / col("nt").cast("double")).as("share"),
+        col("expected"), col("chi2"))
+      .orderBy(col("entity"), col("digit"))
+  }
+
   /** Lang-id confusion matrix (q309): the q25 marker-word guesser
     * evaluated against the labeled `lang` column — per (lang, guess)
     * cell, doc count and within-language share (the q247 discipline

@@ -674,6 +674,33 @@ private[graft] object OracleRelational {
         "JOIN part p ON l.l_partkey = p.p_partkey " +
         "WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 2 * pa.n < pa.sq " +
         "GROUP BY 1 ORDER BY p.p_brand"),
+    // q334: Benford first-digit audit — digit from the exact decimal
+    // string rendering (no float-log10 boundary risk), χ² shared
+    "q334_benford_audit" ->
+      ("WITH c AS (SELECT 'orders.o_totalprice' AS entity, " +
+        "CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) " +
+        "AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders " +
+        "WHERE CAST(o_totalprice AS DECIMAL(18,2)) >= 1 " +
+        "UNION ALL SELECT 'events.value', " +
+        "CAST(substr(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), " +
+        "1, 1) AS BIGINT) FROM events " +
+        "WHERE CAST(value AS DECIMAL(18,2)) >= 1), " +
+        "g AS (SELECT entity, digit, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM c GROUP BY 1, 2), " +
+        "t AS (SELECT entity, CAST(SUM(n) AS BIGINT) AS nt " +
+        "FROM g GROUP BY 1), " +
+        "e AS (SELECT g.entity, g.digit, g.n, t.nt, " +
+        "log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE)) AS expected " +
+        "FROM g JOIN t USING (entity)), " +
+        "x AS (SELECT *, (CAST(n AS DOUBLE) - expected * " +
+        "CAST(nt AS DOUBLE)) * (CAST(n AS DOUBLE) - expected * " +
+        "CAST(nt AS DOUBLE)) / (expected * CAST(nt AS DOUBLE)) " +
+        "AS dev FROM e), " +
+        "ch AS (SELECT entity, SUM(dev) AS chi2 FROM x GROUP BY 1) " +
+        "SELECT x.entity, x.digit, x.n, " +
+        "CAST(x.n AS DOUBLE) / CAST(x.nt AS DOUBLE) AS share, " +
+        "x.expected, ch.chi2 FROM x JOIN ch USING (entity) " +
+        "ORDER BY x.entity, x.digit"),
     // q328: daily OHLC candlesticks — open/close by the total
     // (ts, event_id) order, exact decimal volume
     "q328_ohlc_daily" -> q328Sql,

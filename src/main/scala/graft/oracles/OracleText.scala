@@ -1215,6 +1215,18 @@ private[graft] object OracleText {
     // q270: q158 per micro-batch (gated (source, term) count ledger)
     // — shares q158's oracle verbatim
     "q270_streaming_kl_drift" -> q158Sql,
+    // q330: smoothed log-odds distinctive terms, top-5 per source —
+    // exact integer odds inputs, two ln calls (the q158 discipline)
+    "q330_distinctive_terms" -> q330Sql,
+    // q331: q330 per micro-batch off the q270 (source, term) grain —
+    // shares q330's oracle verbatim
+    "q331_streaming_distinctive" -> q330Sql,
+    // q332: exact pairwise source-vocabulary Jaccard — term-keyed
+    // self-join of the distinct (source, term) relation
+    "q332_vocab_jaccard" -> q332Sql,
+    // q333: q332 per micro-batch (distinct at drain over the count
+    // state) — shares q332's oracle verbatim
+    "q333_streaming_vocab_jaccard" -> q332Sql,
     // q305: per-source bigram conditional entropy H(next|prev) +
     // perplexity — exact (source, w1, w2) counts, one ln per pair row
     // (the q173/q158 fold-order discipline)
@@ -1964,6 +1976,48 @@ private[graft] object OracleText {
         "(fit.n * fit.sxy - fit.sx * fit.sy) / " +
         "(fit.n * fit.sxx - fit.sx * fit.sx) AS beta " +
         "FROM vc CROSS JOIN fit ORDER BY vc.decile")
+
+  private def q330Sql: String =
+    ("WITH tok AS (SELECT source, " +
+      "unnest(list_filter(string_split_regex(text, '\\s+'), " +
+      "x -> x <> '')) AS term FROM documents), " +
+      "c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt " +
+      "FROM tok GROUP BY 1, 2), " +
+      "st AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS t_s " +
+      "FROM c GROUP BY 1), " +
+      "ct AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS c_all " +
+      "FROM c GROUP BY 1), " +
+      "tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_all FROM c), " +
+      "sc AS (SELECT c.source, c.term, c.cnt, " +
+      "ct.c_all - c.cnt AS c_rest, " +
+      "ln(CAST(c.cnt + 1 AS DOUBLE) / " +
+      "CAST(st.t_s - c.cnt + 1 AS DOUBLE)) - " +
+      "ln(CAST(ct.c_all - c.cnt + 1 AS DOUBLE) / " +
+      "CAST(tt.t_all - st.t_s - (ct.c_all - c.cnt) + 1 AS DOUBLE)) " +
+      "AS log_odds FROM c JOIN st USING (source) " +
+      "JOIN ct USING (term) CROSS JOIN tt), " +
+      "rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source " +
+      "ORDER BY log_odds DESC, term) AS BIGINT) AS rank FROM sc) " +
+      "SELECT source, rank, term, cnt, CAST(c_rest AS BIGINT) " +
+      "AS c_rest, log_odds FROM rk WHERE rank <= 5 " +
+      "ORDER BY source, rank")
+
+  private def q332Sql: String =
+    ("WITH tok AS (SELECT source, " +
+      "unnest(list_filter(string_split_regex(text, '\\s+'), " +
+      "x -> x <> '')) AS term FROM documents), " +
+      "stt AS (SELECT DISTINCT source, term FROM tok), " +
+      "sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n " +
+      "FROM stt GROUP BY 1), " +
+      "pr AS (SELECT a.source AS source_a, b.source AS source_b, " +
+      "CAST(COUNT(*) AS BIGINT) AS inter FROM stt a JOIN stt b " +
+      "ON a.term = b.term AND a.source < b.source GROUP BY 1, 2) " +
+      "SELECT pr.source_a, pr.source_b, sa.n AS n_a, sb.n AS n_b, " +
+      "pr.inter, CAST(pr.inter AS DOUBLE) / " +
+      "CAST(sa.n + sb.n - pr.inter AS DOUBLE) AS jaccard " +
+      "FROM pr JOIN sz sa ON pr.source_a = sa.source " +
+      "JOIN sz sb ON pr.source_b = sb.source " +
+      "ORDER BY pr.source_a, pr.source_b")
 
   private def q305Sql: String =
     ("WITH t AS (SELECT source, " +

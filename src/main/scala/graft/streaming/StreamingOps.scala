@@ -3052,6 +3052,36 @@ object StreamingOps {
         sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
         stateRoot))
 
+  /** Streaming distinctive terms (q331): q330 per micro-batch off the
+    * SAME (source, term) grain as q270/q308 — the drain runs the
+    * smoothed log-odds top-5 finish. Shares q330's SQL.
+    */
+  def streamingDistinctiveTerms(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.TextOps.distinctiveFromCounts(
+      docCountState(spark, "distinctive", Seq("source", "term"),
+        graft.operators.TextOps.tokenCountsOf,
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
+
+  /** Streaming vocab Jaccard (q333): q332 per micro-batch — the
+    * drained (source, term) count grain collapses to the distinct
+    * relation at drain. Shares q332's SQL.
+    */
+  def streamingVocabJaccard(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.TextOps.vocabJaccardFromCounts(
+      docCountState(spark, "vocab_jaccard", Seq("source", "term"),
+        graft.operators.TextOps.tokenCountsOf,
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
+
   /** Streaming Count-Min maintenance (q310): q184 per micro-batch —
     * the global (token, cnt) grain sum-merges through
     * [[docCountState]], the drain rebuilds the 1024-cell grid and the

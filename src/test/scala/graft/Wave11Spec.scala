@@ -376,6 +376,41 @@ class Wave11Spec extends SparkSpec {
     }
   }
 
+  test("q331: a 3-file split drains to the exact q330 distinctive " +
+    "terms, and a crash-replayed batch is not re-summed") {
+    docsTwinMatchesBatch("distinctive",
+      graft.operators.TextOps.distinctiveTerms(spark, sfDir),
+      (src, st) => StreamingOps.streamingDistinctiveTerms(spark, sfDir,
+        sourceDir = Some(src), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
+  }
+
+  test("q330/q332/q334 invariants: every source gets exactly 5 ranked " +
+    "terms, Jaccard is symmetric-complete in (0,1], and Benford " +
+    "shares partition each entity") {
+    import graft.operators.TextOps
+    val dt = TextOps.distinctiveTerms(spark, sfDir).collect()
+    dt.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 5L),
+        s"$src: ranks must be 1..5")
+    }
+    val vj = TextOps.vocabJaccard(spark, sfDir).collect()
+    val sources = vj.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.length
+    assert(vj.length == sources * (sources - 1) / 2,
+      "one row per unordered source pair")
+    vj.foreach { r =>
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))
+    }
+    val bf = TextOps.benfordAudit(spark, sfDir).collect()
+    bf.groupBy(_.getString(0)).foreach { case (entity, rows) =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9,
+        s"$entity: shares must partition")
+      assert(rows.map(_.getLong(1)).forall(d => d >= 1 && d <= 9))
+    }
+  }
+
   test("q315-q319 invariants: late <= total with rate in [0,1], " +
     "top-20 is revenue-sorted, promo <= total revenue, the top " +
     "supplier set is the exact max tie set, small lines < all lines") {
