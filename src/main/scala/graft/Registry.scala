@@ -867,6 +867,23 @@ object Registry {
     // Benford first-digit audit of order totals / event values —
     // digit from the exact decimal string, χ² vs log10(1 + 1/d)
     "q334_benford_audit" -> ((s, d) => TextOps.benfordAudit(s, d)),
+    // per-language balanced downsample (k = min class size) by a
+    // deterministic md5 order — the sample itself hash-matches
+    "q335_balanced_sample" -> ((s, d) => TextOps.balancedSample(s, d)),
+    // WOE/IV of the length feature vs the q24 quality flag — the
+    // feature-level predictiveness table next to q287's model AUC
+    "q336_woe_iv" -> ((s, d) => QualityModel.woeIv(s, d)),
+    // q336 per micro-batch: (bucket, y) cells sum-merge — shares
+    // q336's oracle
+    "q337_streaming_woe" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingWoe(s, d)),
+    // stationary distribution of the q198 chain — K-round power
+    // iteration with renormalization, oracled round-for-round
+    "q338_markov_stationary" -> ((s, d) =>
+      Sessionize.markovStationary(s, d)),
+    // conversion rate per q274 RFM cell — the targeting table
+    "q339_segment_conversion" -> ((s, d) =>
+      Lifecycle.segmentConversion(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

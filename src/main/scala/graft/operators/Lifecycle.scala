@@ -123,10 +123,14 @@ object Lifecycle {
   /** The q274 finish arithmetic over a per-user stats table — shared
     * by the batch report and q279's streaming drain.
     */
+  /** The q260/q274 bit-length bucket rule. */
+  private[graft] def log2Bucket(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(c <= 1L, lit(0L)).otherwise(length(bin(c)).cast("long") - 1L)
+
   private[graft] def rfmReport(perUser: DataFrame): DataFrame = {
     val maxDay = perUser.agg(max(col("last_day")).as("corpus_max_day"))
-    def bucket(c: org.apache.spark.sql.Column) =
-      when(c <= 1L, lit(0L)).otherwise(length(bin(c)).cast("long") - 1L)
+    def bucket(c: org.apache.spark.sql.Column) = log2Bucket(c)
     perUser.crossJoin(broadcast(maxDay))
       .withColumn("recency", col("corpus_max_day") - col("last_day"))
       .withColumn("r_bucket", bucket(col("recency")))
@@ -341,6 +345,40 @@ object Lifecycle {
         (col("n_churned").cast("double") /
           col("n_at_risk").cast("double")).as("hazard"))
       .orderBy(col("tenure"))
+  }
+
+  /** Conversion by RFM segment (q339): the q274 cells scored on
+    * whether their users ever purchase — which recency/frequency/
+    * monetary segments actually convert, the targeting table a
+    * marketing run reads next to q274's population counts. Exact:
+    * converter = user with ≥ 1 purchase event (a distinct flag), the
+    * rate is one division per cell.
+    *
+    * 100 TB shape: rides q274's user-grain stats plus one distinct
+    * purchase-user flag (map-side combined), one user-grain left
+    * join, then the bucket rollup onto ≤ ~40³ cells.
+    */
+  def segmentConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val stats = rfmStatsOf(ev)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+      .withColumn("converted", lit(1L))
+    val maxDay = stats.agg(max(col("last_day")).as("corpus_max_day"))
+    stats.join(conv, Seq("user_id"), "left")
+      .crossJoin(broadcast(maxDay))
+      .withColumn("r_bucket",
+        log2Bucket(col("corpus_max_day") - col("last_day")))
+      .withColumn("f_bucket", log2Bucket(col("n_events")))
+      .withColumn("m_bucket", log2Bucket(col("cents")))
+      .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("converted"), lit(0L))).as("n_converters"))
+      .select(col("r_bucket"), col("f_bucket"), col("m_bucket"),
+        col("n_users"), col("n_converters"),
+        (col("n_converters").cast("double") /
+          col("n_users").cast("double")).as("conversion_rate"))
+      .orderBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
   }
 
   /** Daily OHLC candlesticks (q328): per (event_type, day) — the

@@ -344,6 +344,58 @@ object QualityModel {
       .orderBy(col("decile"))
   }
 
+  /** Weight-of-evidence / information-value table (q336): n_chars
+    * log2 buckets scored against the q24 quality flag — the
+    * credit-scoring-standard "how predictive is this feature, bucket
+    * by bucket" report (WOE per bucket, IV contribution, total IV).
+    * +1-smoothed rates keep every input an exact integer; two ln
+    * calls per bucket (the q158 discipline). The feature-engineering
+    * companion to q287's model-level AUC: q287 scores the trained
+    * model, this scores the RAW length feature it competes with.
+    *
+    * 100 TB shape: docs collapse map-side to ≤ ~40 (bucket, y) cells;
+    * everything after is cell arithmetic. q337 maintains exactly that
+    * cell grain per micro-batch.
+    */
+  def woeIv(spark: SparkSession, dir: String): DataFrame =
+    woeFromCells(woeCellsOf(Tables.documents(spark, dir)))
+
+  /** The (bucket, y, cnt) cell grain — sum-merges, so q337's
+    * streaming state is exactly this table.
+    */
+  private[graft] def woeCellsOf(docs: DataFrame): DataFrame =
+    docs.select(
+        when(col("n_chars") <= 1L, lit(0L))
+          .otherwise(length(bin(col("n_chars"))).cast("long") - 1L)
+          .as("bucket"),
+        TextAnalytics.qualityFlag(col("text")).as("y"))
+      .groupBy(col("bucket"), col("y"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The q336 finish off the cell grain. */
+  private[graft] def woeFromCells(cells: DataFrame): DataFrame = {
+    val byBucket = cells.groupBy(col("bucket"))
+      .agg(sum(when(col("y") === 1L, col("cnt")).otherwise(0L))
+        .as("n_good"),
+        sum(when(col("y") === 0L, col("cnt")).otherwise(0L))
+          .as("n_bad"))
+      .persist()
+    val tot = byBucket.agg(sum(col("n_good")).as("g"),
+      sum(col("n_bad")).as("b"))
+    val scored = byBucket.crossJoin(broadcast(tot))
+      .withColumn("pg", (col("n_good") + 1L).cast("double") /
+        (col("g") + 1L).cast("double"))
+      .withColumn("pb", (col("n_bad") + 1L).cast("double") /
+        (col("b") + 1L).cast("double"))
+      .withColumn("woe", log(col("pg")) - log(col("pb")))
+      .withColumn("iv_contrib", (col("pg") - col("pb")) * col("woe"))
+    val iv = scored.agg(sum(col("iv_contrib")).as("iv_total"))
+    scored.crossJoin(broadcast(iv))
+      .select(col("bucket"), col("n_good"), col("n_bad"), col("woe"),
+        col("iv_contrib"), col("iv_total"))
+      .orderBy(col("bucket"))
+  }
+
   /** Cohen's kappa agreement (q326): chance-corrected agreement for
     * the engine's two classifiers — the NB gate against its weak
     * label and the q25 lang-id guesser against the labeled lang —

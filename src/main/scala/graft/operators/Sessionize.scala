@@ -422,6 +422,67 @@ object Sessionize {
       .orderBy(col("transition"), col("decile"))
   }
 
+  /** Markov stationary distribution (q338): the long-run occupancy of
+    * the q198 transition chain — power iteration p ← normalize(p·M)
+    * from the uniform start for a FIXED number of rounds, which makes
+    * the whole computation deterministic and oracled round-for-round
+    * (the q327 determinism discipline applied to a stochastic
+    * matrix). Types without outgoing transitions lose mass to the
+    * renormalization — spelled identically in both engines. Where the
+    * q198 matrix says what happens NEXT, this says where user
+    * attention settles.
+    *
+    * 100 TB shape: the matrix is ≤ #types² rows (a broadcast model);
+    * each round is one bounded join + fold, persisted as a barrier;
+    * only the initial pair extraction touches event grain.
+    */
+  def markovStationary(spark: SparkSession, dir: String,
+      iters: Int = 10): DataFrame = {
+    val counts = transitionPairs(
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("is_state", lit(0)))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val rowSums = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("rs"))
+    val m = counts.join(rowSums, Seq("from_type"))
+      .select(col("from_type"), col("to_type"),
+        (col("n").cast("double") / col("rs").cast("double")).as("pt"))
+      .persist()
+    // lineage is TRUNCATED at every round boundary (localCheckpoint):
+    // ten join rounds over an un-truncated plan tree blow analysis/
+    // codegen memory even though the DATA is #types rows
+    val types = counts.select(col("from_type").as("t"))
+      .unionAll(counts.select(col("to_type").as("t")))
+      .distinct().localCheckpoint(true)
+    val nT = types.count()
+    var pv = types.withColumn("p", lit(1.0) / lit(nT.toDouble))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val raw = pv.select(col("t"), col("p").as("pw"))
+        .join(m, col("t") === col("from_type"))
+        .groupBy(col("to_type"))
+        .agg(sum(col("pw") * col("pt")).as("pin"))
+      val z = raw.agg(sum(col("pin")).as("z"))
+      pv = types
+        .join(raw.select(col("to_type").as("t"), col("pin")),
+          Seq("t"), "left")
+        .crossJoin(broadcast(z))
+        .select(col("t"),
+          (coalesce(col("pin"), lit(0.0)) / col("z")).as("p"))
+        .localCheckpoint(true)
+    }
+    pv.join(rowSums.select(col("from_type").as("t"), col("rs")),
+        Seq("t"), "left")
+      .select(col("t").as("event_type"),
+        coalesce(col("rs"), lit(0L)).as("n_out"),
+        col("p").as("stationary_p"))
+      .orderBy(col("event_type"))
+  }
+
   /** Session concurrency curve (q290): per day, how many sessions ran
     * AT ONCE at the day's busiest instant — the capacity-planning
     * number (peak concurrent load) that per-day session COUNTS

@@ -3441,6 +3441,34 @@ object TextOps {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Balanced class sample (q335): per language, exactly
+    * k = min-class-size documents drawn by a deterministic md5 order —
+    * the majority-downsampling step in front of any classifier
+    * training (the class-balance complement of q68's stratified and
+    * q147's weighted draws). The md5 rank is the engine-portable
+    * pseudo-random order (the q147 KDF discipline), so the SAMPLE
+    * ITSELF hash-matches cross-engine, not just its size.
+    *
+    * 100 TB shape: one class-count fold (broadcast scalar k), one
+    * class-partitioned top-k window (q60 shape) — no global sort.
+    */
+  def balancedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("h", md5(concat(lit("bal|"),
+        col("doc_id").cast("string")).cast("binary")))
+    val k = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("k"))
+    d.withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .crossJoin(broadcast(k))
+      .filter(col("rk") <= col("k"))
+      .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Benford first-digit audit (q334): the first significant digit
     * distribution of order totals and event values against Benford's
     * law p(d) = log10(1 + 1/d), with the per-entity χ² — the classic

@@ -674,6 +674,57 @@ private[graft] object OracleRelational {
         "JOIN part p ON l.l_partkey = p.p_partkey " +
         "WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 2 * pa.n < pa.sq " +
         "GROUP BY 1 ORDER BY p.p_brand"),
+    // q338: stationary distribution of the q198 chain — K-round power
+    // iteration with renormalization, generated CTE rounds (the q327
+    // determinism discipline on a stochastic matrix)
+    "q338_markov_stationary" ->
+      ("WITH tr AS (SELECT user_id, ts, event_id, event_type, " +
+        "LAG(event_type) OVER w AS from_type, LAG(ts) OVER w AS prev_ts " +
+        "FROM events WINDOW w AS " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "c AS (SELECT from_type, event_type AS to_type, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM tr " +
+        "WHERE from_type IS NOT NULL AND " +
+        "ts <= prev_ts + INTERVAL 30 MINUTE GROUP BY 1, 2), " +
+        "rs AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS rs " +
+        "FROM c GROUP BY 1), " +
+        "m AS (SELECT c.from_type, c.to_type, " +
+        "CAST(c.n AS DOUBLE) / CAST(rs.rs AS DOUBLE) AS pt " +
+        "FROM c JOIN rs USING (from_type)), " +
+        "ty AS (SELECT DISTINCT t FROM " +
+        "(SELECT from_type AS t FROM c UNION ALL SELECT to_type FROM c)), " +
+        "p0 AS (SELECT t, 1.0 / " +
+        "CAST((SELECT COUNT(*) FROM ty) AS DOUBLE) AS p FROM ty), " +
+        mkvRounds(10) +
+        " SELECT p10.t AS event_type, " +
+        "CAST(COALESCE(rs.rs, 0) AS BIGINT) AS n_out, " +
+        "p10.p AS stationary_p FROM p10 " +
+        "LEFT JOIN rs ON p10.t = rs.from_type ORDER BY event_type"),
+    // q339: conversion rate per q274 RFM cell — the targeting table
+    "q339_segment_conversion" ->
+      ("WITH pu AS (SELECT user_id, " +
+        "MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS last_day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1), " +
+        "cv AS (SELECT DISTINCT user_id FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "r AS (SELECT pu.*, (SELECT MAX(last_day) FROM pu) - last_day " +
+        "AS recency, CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END " +
+        "AS converted FROM pu LEFT JOIN cv ON pu.user_id = cv.user_id), " +
+        "b AS (SELECT converted, " +
+        "CASE WHEN recency <= 1 THEN 0 ELSE CAST(length(bin(recency)) - 1 AS BIGINT) END AS r_bucket, " +
+        "CASE WHEN n_events <= 1 THEN 0 ELSE CAST(length(bin(n_events)) - 1 AS BIGINT) END AS f_bucket, " +
+        "CASE WHEN cents <= 1 THEN 0 ELSE CAST(length(bin(cents)) - 1 AS BIGINT) END AS m_bucket " +
+        "FROM r) " +
+        "SELECT CAST(r_bucket AS BIGINT) AS r_bucket, " +
+        "CAST(f_bucket AS BIGINT) AS f_bucket, " +
+        "CAST(m_bucket AS BIGINT) AS m_bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(converted) AS BIGINT) AS n_converters, " +
+        "CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
+        "AS conversion_rate FROM b GROUP BY 1, 2, 3 " +
+        "ORDER BY r_bucket, f_bucket, m_bucket"),
     // q334: Benford first-digit audit — digit from the exact decimal
     // string rendering (no float-log10 boundary risk), χ² shared
     "q334_benford_audit" ->
@@ -809,6 +860,20 @@ private[graft] object OracleRelational {
         "AS revenue FROM rev CROSS JOIN mx " +
         "JOIN supplier s ON rev.l_suppkey = s.s_suppkey " +
         "WHERE rev.revd = mx.mx ORDER BY s.s_suppkey")
+
+  /** One q338 power-iteration round: inflow fold, renormalization.
+    * The normalizer is a window SUM over the SAME joined relation (not
+    * a separate scalar CTE) so every round references its predecessor
+    * exactly once — a second reference makes a non-materializing CTE
+    * engine re-evaluate the whole chain per level (2^K blowup).
+    */
+  private def mkvRounds(k: Int): String =
+    (1 to k).map(i =>
+      s"ri$i AS (SELECT m.to_type AS t, SUM(p${i - 1}.p * m.pt) AS pin " +
+        s"FROM p${i - 1} JOIN m ON p${i - 1}.t = m.from_type GROUP BY 1), " +
+        s"p$i AS (SELECT ty.t, COALESCE(ri$i.pin, 0.0) / " +
+        s"SUM(ri$i.pin) OVER () AS p FROM ty " +
+        s"LEFT JOIN ri$i ON ty.t = ri$i.t)").mkString(", ")
 
   private def q328Sql: String =
     ("WITH b AS (SELECT event_type, " +

@@ -1215,6 +1215,24 @@ private[graft] object OracleText {
     // q270: q158 per micro-batch (gated (source, term) count ledger)
     // — shares q158's oracle verbatim
     "q270_streaming_kl_drift" -> q158Sql,
+    // q335: balanced per-language downsample by the md5 order — the
+    // sample itself hash-matches (the q147 KDF discipline)
+    "q335_balanced_sample" ->
+      ("WITH d AS (SELECT lang, doc_id, " +
+        "md5('bal|' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "k AS (SELECT CAST(MIN(n) AS BIGINT) AS k FROM " +
+        "(SELECT lang, COUNT(*) AS n FROM d GROUP BY 1)), " +
+        "r AS (SELECT lang, doc_id, h, CAST(ROW_NUMBER() OVER " +
+        "(PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk " +
+        "FROM d) " +
+        "SELECT lang, rk, doc_id, h FROM r " +
+        "WHERE rk <= (SELECT k FROM k) ORDER BY lang, rk"),
+    // q336: WOE/IV of the length feature vs the q24 quality flag —
+    // +1-smoothed exact rates, two ln calls per bucket
+    "q336_woe_iv" -> q336Sql,
+    // q337: q336 per micro-batch ((bucket, y) cell ledger) — shares
+    // q336's oracle verbatim
+    "q337_streaming_woe" -> q336Sql,
     // q330: smoothed log-odds distinctive terms, top-5 per source —
     // exact integer odds inputs, two ln calls (the q158 discipline)
     "q330_distinctive_terms" -> q330Sql,
@@ -1976,6 +1994,32 @@ private[graft] object OracleText {
         "(fit.n * fit.sxy - fit.sx * fit.sy) / " +
         "(fit.n * fit.sxx - fit.sx * fit.sx) AS beta " +
         "FROM vc CROSS JOIN fit ORDER BY vc.decile")
+
+  private def q336Sql: String =
+    ("WITH t AS (SELECT n_chars, " +
+      "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+      "AS toks FROM documents), " +
+      "f AS (SELECT CASE WHEN n_chars <= 1 THEN 0 ELSE " +
+      "CAST(length(bin(n_chars)) - 1 AS BIGINT) END AS bucket, " +
+      "CAST(len(toks) >= 20 AND " +
+      "CAST(len(list_distinct(toks)) AS DOUBLE) / " +
+      "CAST(len(toks) AS DOUBLE) > 0.1 AND " +
+      "CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) " +
+      "AS DOUBLE) / CAST(len(toks) AS DOUBLE) < 0.5 AS BIGINT) AS y " +
+      "FROM t), " +
+      "c AS (SELECT bucket, CAST(SUM(y) AS BIGINT) AS n_good, " +
+      "CAST(SUM(1 - y) AS BIGINT) AS n_bad FROM f GROUP BY 1), " +
+      "tt AS (SELECT CAST(SUM(n_good) AS BIGINT) AS g, " +
+      "CAST(SUM(n_bad) AS BIGINT) AS b FROM c), " +
+      "s AS (SELECT c.bucket, c.n_good, c.n_bad, " +
+      "CAST(c.n_good + 1 AS DOUBLE) / CAST(tt.g + 1 AS DOUBLE) AS pg, " +
+      "CAST(c.n_bad + 1 AS DOUBLE) / CAST(tt.b + 1 AS DOUBLE) AS pb " +
+      "FROM c CROSS JOIN tt), " +
+      "x AS (SELECT *, ln(pg) - ln(pb) AS woe, " +
+      "(pg - pb) * (ln(pg) - ln(pb)) AS iv_contrib FROM s), " +
+      "iv AS (SELECT SUM(iv_contrib) AS iv_total FROM x) " +
+      "SELECT bucket, n_good, n_bad, woe, iv_contrib, iv.iv_total " +
+      "FROM x CROSS JOIN iv ORDER BY bucket")
 
   private def q330Sql: String =
     ("WITH tok AS (SELECT source, " +

@@ -3082,6 +3082,21 @@ object StreamingOps {
         sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
         stateRoot))
 
+  /** Streaming WOE maintenance (q337): q336 per micro-batch — the
+    * tiny (bucket, y) cell grain sum-merges through [[docCountState]];
+    * drain = the WOE/IV finish. Shares q336's SQL.
+    */
+  def streamingWoe(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.QualityModel.woeFromCells(
+      docCountState(spark, "woe", Seq("bucket", "y"),
+        graft.operators.QualityModel.woeCellsOf,
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
+
   /** Streaming Count-Min maintenance (q310): q184 per micro-batch —
     * the global (token, cnt) grain sum-merges through
     * [[docCountState]], the drain rebuilds the 1024-cell grid and the

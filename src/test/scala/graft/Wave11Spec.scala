@@ -411,6 +411,42 @@ class Wave11Spec extends SparkSpec {
     }
   }
 
+  test("q337: a 3-file split drains to the exact q336 WOE table, " +
+    "and a crash-replayed batch is not re-summed") {
+    docsTwinMatchesBatch("woe",
+      graft.operators.QualityModel.woeIv(spark, sfDir),
+      (src, st) => StreamingOps.streamingWoe(spark, sfDir,
+        sourceDir = Some(src), sourceGlob = "*.parquet",
+        maxFilesPerTrigger = Some(1), stateRoot = Some(st)))
+  }
+
+  test("q335/q338/q339 invariants: balanced classes are exactly " +
+    "min-size each, the stationary vector sums to 1 with mass only " +
+    "on live types, converters never exceed users and cells cover " +
+    "every user") {
+    import graft.operators.{QualityModel, Sessionize, TextOps}
+    val bal = TextOps.balancedSample(spark, sfDir).collect()
+    val perClass = bal.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perClass.values.toSet.size == 1, "all classes same size")
+    val classCounts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy(col("lang")).count().collect()
+      .map(_.getLong(1))
+    assert(perClass.values.head.toLong == classCounts.min)
+    val mk = Sessionize.markovStationary(spark, sfDir).collect()
+    assert(math.abs(mk.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    mk.foreach(r => assert(r.getDouble(2) >= 0.0))
+    val sc = Lifecycle.segmentConversion(spark, sfDir).collect()
+    sc.foreach(r => assert(r.getLong(4) <= r.getLong(3)))
+    val nUsers = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id")).distinct().count()
+    assert(sc.map(_.getLong(3)).sum == nUsers,
+      "RFM cells must cover every user")
+    // WOE buckets partition the corpus
+    val woe = QualityModel.woeIv(spark, sfDir).collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(woe.map(r => r.getLong(1) + r.getLong(2)).sum == nDocs)
+  }
+
   test("q315-q319 invariants: late <= total with rate in [0,1], " +
     "top-20 is revenue-sorted, promo <= total revenue, the top " +
     "supplier set is the exact max tie set, small lines < all lines") {
