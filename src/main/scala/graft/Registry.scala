@@ -884,6 +884,26 @@ object Registry {
     // conversion rate per q274 RFM cell — the targeting table
     "q339_segment_conversion" -> ((s, d) =>
       Lifecycle.segmentConversion(s, d)),
+    // TPC-H Q17 per micro-batch: (part, qty, brand) cells merge; the
+    // corpus-wide threshold applies at drain — shares q319's oracle
+    "q340_streaming_small_quantity" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingSmallQuantity(s, d)),
+    // q334 per micro-batch (events digit cells merge; static orders
+    // cells join at drain) — shares q334's oracle
+    "q341_streaming_benford" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingBenford(s, d)),
+    // q335 per micro-batch: the (lang, doc, h) index distinct-merges;
+    // min-class-size and ranks fold at drain — shares q335's oracle
+    "q342_streaming_balanced_sample" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingBalancedSample(s, d)),
+    // q338 per micro-batch off the SAME transition-count state as
+    // q269 — shares q338's oracle
+    "q343_streaming_markov" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingMarkovStationary(s, d)),
+    // q339 per micro-batch off the SAME rfm state as q279/q303 (the
+    // purchase flag max-merges) — shares q339's oracle
+    "q344_streaming_segment_conversion" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingSegmentConversion(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

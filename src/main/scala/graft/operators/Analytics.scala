@@ -1262,19 +1262,44 @@ object Analytics {
     * one map-side-combined fold; the threshold join runs at part
     * grain; brand rollup output is #brands rows.
     */
-  def smallQuantityBrand(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-    val pa = li.groupBy(col("l_partkey"))
-      .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("n"))
-    li.join(pa, Seq("l_partkey"))
-      .filter(dec(col("l_quantity")) * lit(2) * col("n") < col("sq"))
-      .join(broadcast(Tables.part(spark, dir)
-        .select(col("p_partkey"), col("p_brand"))),
+  def smallQuantityBrand(spark: SparkSession, dir: String): DataFrame =
+    smallQuantityFromCells(
+      smallQuantityCellsOf(Tables.lineitem(spark, dir),
+        Tables.part(spark, dir)))
+
+  /** The q319 mergeable statistic: (partkey, quantity, brand) cells
+    * with line count + decimal revenue. All lines in a cell share one
+    * quantity, so the half-of-average threshold qualifies a WHOLE
+    * cell at once — which is what makes the statistic sufficient even
+    * though the threshold itself is only known at drain time (q340
+    * maintains these cells per micro-batch and applies the final
+    * corpus-wide threshold at drain).
+    */
+  private[graft] def smallQuantityCellsOf(li: DataFrame,
+      part: DataFrame): DataFrame =
+    li.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), dec(col("l_quantity")).as("qty"),
+        col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).as("ext"))
+
+  private[graft] def smallQuantityMerge(rows: DataFrame): DataFrame =
+    rows.groupBy(col("l_partkey"), col("qty"), col("p_brand"))
+      .agg(sum(col("n")).as("n"), sum(col("ext")).as("ext"))
+
+  private[graft] def smallQuantityFromCells(cells: DataFrame)
+      : DataFrame = {
+    val c = cells.persist()
+    val pa = c.groupBy(col("l_partkey"))
+      .agg(sum(col("qty") * col("n")).as("sq"),
+        sum(col("n")).as("np"))
+    c.join(pa, Seq("l_partkey"))
+      .filter(col("qty") * lit(2) * col("np") < col("sq"))
       .groupBy(col("p_brand"))
-      .agg(count(lit(1)).as("n_small_lines"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+      .agg(sum(col("n")).as("n_small_lines"),
+        sum(col("ext")).cast("double").as("revenue"))
       .orderBy(col("p_brand"))
   }
 }

@@ -113,12 +113,16 @@ object Lifecycle {
     ev.select(col("user_id"),
         expr(s"unix_micros(cast(ts as timestamp)) div $usPerDay")
           .as("day"),
-        col("value"))
+        col("value"), col("event_type"))
       .groupBy(col("user_id"))
       .agg(max(col("day")).as("last_day"),
         count(lit(1)).as("n_events"),
         (sum(col("value").cast("decimal(18,2)")) * 100)
-          .cast("long").as("cents"))
+          .cast("long").as("cents"),
+        // purchase flag rides the same fold (max-merges) so the rfm
+        // state also drains q339/q344's conversion table
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
 
   /** The q274 finish arithmetic over a per-user stats table — shared
     * by the batch report and q279's streaming drain.
@@ -358,14 +362,16 @@ object Lifecycle {
     * purchase-user flag (map-side combined), one user-grain left
     * join, then the bucket rollup onto ≤ ~40³ cells.
     */
-  def segmentConversion(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val stats = rfmStatsOf(ev)
-    val conv = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id")).distinct()
-      .withColumn("converted", lit(1L))
+  def segmentConversion(spark: SparkSession, dir: String): DataFrame =
+    conversionFromStats(rfmStatsOf(Tables.events(spark, dir)))
+
+  /** The q339 finish off the per-user rfm stats (which carry the
+    * max-merged purchase flag) — shared by the batch table and
+    * q344's streaming drain.
+    */
+  private[graft] def conversionFromStats(stats: DataFrame): DataFrame = {
     val maxDay = stats.agg(max(col("last_day")).as("corpus_max_day"))
-    stats.join(conv, Seq("user_id"), "left")
+    stats
       .crossJoin(broadcast(maxDay))
       .withColumn("r_bucket",
         log2Bucket(col("corpus_max_day") - col("last_day")))
@@ -373,7 +379,7 @@ object Lifecycle {
       .withColumn("m_bucket", log2Bucket(col("cents")))
       .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
       .agg(count(lit(1)).as("n_users"),
-        sum(coalesce(col("converted"), lit(0L))).as("n_converters"))
+        sum(col("converted")).as("n_converters"))
       .select(col("r_bucket"), col("f_bucket"), col("m_bucket"),
         col("n_users"), col("n_converters"),
         (col("n_converters").cast("double") /

@@ -437,15 +437,24 @@ object Sessionize {
     * only the initial pair extraction touches event grain.
     */
   def markovStationary(spark: SparkSession, dir: String,
-      iters: Int = 10): DataFrame = {
-    val counts = transitionPairs(
+      iters: Int = 10): DataFrame =
+    stationaryFromCounts(spark,
+      transitionPairs(
         Tables.events(spark, dir)
           .select(col("user_id"), col("ts"), col("event_id"),
             col("event_type"))
           .withColumn("is_state", lit(0)))
-      .groupBy(col("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("n"))
-      .persist()
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n")),
+      iters)
+
+  /** The q338 finish off the (from, to, n) count grain — shared by
+    * the batch chain and q343's streaming drain (the same maintained
+    * transition counts q269 drains as a matrix).
+    */
+  private[graft] def stationaryFromCounts(spark: SparkSession,
+      countsRaw: DataFrame, iters: Int = 10): DataFrame = {
+    val counts = countsRaw.persist()
     val rowSums = counts.groupBy(col("from_type"))
       .agg(sum(col("n")).as("rs"))
     val m = counts.join(rowSums, Seq("from_type"))

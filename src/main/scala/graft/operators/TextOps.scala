@@ -3452,12 +3452,19 @@ object TextOps {
     * 100 TB shape: one class-count fold (broadcast scalar k), one
     * class-partitioned top-k window (q60 shape) — no global sort.
     */
-  def balancedSample(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(spark, dir)
+  def balancedSample(spark: SparkSession, dir: String): DataFrame =
+    balancedFromIndex(Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"))
       .withColumn("h", md5(concat(lit("bal|"),
-        col("doc_id").cast("string")).cast("binary")))
+        col("doc_id").cast("string")).cast("binary"))))
+
+  /** The q335 finish off the (lang, doc_id, h) index — shared by the
+    * batch draw and q342's streaming drain (the min class size and
+    * the md5 ranks are both drain-time folds, so the maintained index
+    * always draws the CURRENT balanced sample).
+    */
+  private[graft] def balancedFromIndex(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val k = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .agg(min(col("n")).as("k"))
     d.withColumn("rk", row_number().over(
@@ -3481,19 +3488,27 @@ object TextOps {
     * 100 TB shape: one map-side-combined count onto ≤ 9 digits per
     * entity; χ² is a 9-row fold.
     */
-  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
-    def digitsOf(df: DataFrame, valueCol: String, entity: String)
-        : DataFrame =
-      df.select(col(valueCol).cast("decimal(18,2)").as("v"))
-        .filter(col("v") >= 1)
-        .select(substring(col("v").cast("string"), 1, 1)
-          .cast("long").as("digit"))
-        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-        .select(lit(entity).as("entity"), col("digit"), col("n"))
-    val cells = digitsOf(Tables.orders(spark, dir), "o_totalprice",
-        "orders.o_totalprice")
-      .unionAll(digitsOf(Tables.events(spark, dir), "value",
-        "events.value"))
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame =
+    benfordFinish(
+      benfordCellsOf(Tables.orders(spark, dir), "o_totalprice",
+          "orders.o_totalprice")
+        .unionAll(benfordCellsOf(Tables.events(spark, dir), "value",
+          "events.value")))
+
+  /** One entity's (digit, n) cells — sum-merges, so q341's streaming
+    * state is exactly this table (events side).
+    */
+  private[graft] def benfordCellsOf(df: DataFrame, valueCol: String,
+      entity: String): DataFrame =
+    df.select(col(valueCol).cast("decimal(18,2)").as("v"))
+      .filter(col("v") >= 1)
+      .select(substring(col("v").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .select(lit(entity).as("entity"), col("digit"), col("n"))
+
+  /** The q334 finish off the (entity, digit, n) cells. */
+  private[graft] def benfordFinish(cells: DataFrame): DataFrame = {
     val tot = cells.groupBy(col("entity")).agg(sum(col("n")).as("nt"))
     val withExp = cells.join(broadcast(tot), Seq("entity"))
       .withColumn("expected",

@@ -663,95 +663,28 @@ private[graft] object OracleRelational {
     "q323_streaming_top_supplier" -> q318Sql,
     // q319: TPC-H Q17 shape — the half-of-average threshold is
     // cross-multiplied (2·n·qty < Σqty), no division anywhere
-    "q319_small_quantity_brand" ->
-      ("WITH pa AS (SELECT l_partkey, " +
-        "SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq, " +
-        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1) " +
-        "SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_small_lines, " +
-        "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) " +
-        "AS revenue " +
-        "FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey " +
-        "JOIN part p ON l.l_partkey = p.p_partkey " +
-        "WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 2 * pa.n < pa.sq " +
-        "GROUP BY 1 ORDER BY p.p_brand"),
+    "q319_small_quantity_brand" -> q319Sql,
+    // q340: q319 per micro-batch ((part, qty, brand) cells merge;
+    // threshold at drain) — shares q319's oracle verbatim
+    "q340_streaming_small_quantity" -> q319Sql,
     // q338: stationary distribution of the q198 chain — K-round power
     // iteration with renormalization, generated CTE rounds (the q327
     // determinism discipline on a stochastic matrix)
-    "q338_markov_stationary" ->
-      ("WITH tr AS (SELECT user_id, ts, event_id, event_type, " +
-        "LAG(event_type) OVER w AS from_type, LAG(ts) OVER w AS prev_ts " +
-        "FROM events WINDOW w AS " +
-        "(PARTITION BY user_id ORDER BY ts, event_id)), " +
-        "c AS (SELECT from_type, event_type AS to_type, " +
-        "CAST(COUNT(*) AS BIGINT) AS n FROM tr " +
-        "WHERE from_type IS NOT NULL AND " +
-        "ts <= prev_ts + INTERVAL 30 MINUTE GROUP BY 1, 2), " +
-        "rs AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS rs " +
-        "FROM c GROUP BY 1), " +
-        "m AS (SELECT c.from_type, c.to_type, " +
-        "CAST(c.n AS DOUBLE) / CAST(rs.rs AS DOUBLE) AS pt " +
-        "FROM c JOIN rs USING (from_type)), " +
-        "ty AS (SELECT DISTINCT t FROM " +
-        "(SELECT from_type AS t FROM c UNION ALL SELECT to_type FROM c)), " +
-        "p0 AS (SELECT t, 1.0 / " +
-        "CAST((SELECT COUNT(*) FROM ty) AS DOUBLE) AS p FROM ty), " +
-        mkvRounds(10) +
-        " SELECT p10.t AS event_type, " +
-        "CAST(COALESCE(rs.rs, 0) AS BIGINT) AS n_out, " +
-        "p10.p AS stationary_p FROM p10 " +
-        "LEFT JOIN rs ON p10.t = rs.from_type ORDER BY event_type"),
+    "q338_markov_stationary" -> q338Sql,
+    // q343: q338 per micro-batch off the q269 transition-count state
+    // — shares q338's oracle verbatim
+    "q343_streaming_markov" -> q338Sql,
     // q339: conversion rate per q274 RFM cell — the targeting table
-    "q339_segment_conversion" ->
-      ("WITH pu AS (SELECT user_id, " +
-        "MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS last_day, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_events, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents " +
-        "FROM events GROUP BY 1), " +
-        "cv AS (SELECT DISTINCT user_id FROM events " +
-        "WHERE event_type = 'purchase'), " +
-        "r AS (SELECT pu.*, (SELECT MAX(last_day) FROM pu) - last_day " +
-        "AS recency, CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END " +
-        "AS converted FROM pu LEFT JOIN cv ON pu.user_id = cv.user_id), " +
-        "b AS (SELECT converted, " +
-        "CASE WHEN recency <= 1 THEN 0 ELSE CAST(length(bin(recency)) - 1 AS BIGINT) END AS r_bucket, " +
-        "CASE WHEN n_events <= 1 THEN 0 ELSE CAST(length(bin(n_events)) - 1 AS BIGINT) END AS f_bucket, " +
-        "CASE WHEN cents <= 1 THEN 0 ELSE CAST(length(bin(cents)) - 1 AS BIGINT) END AS m_bucket " +
-        "FROM r) " +
-        "SELECT CAST(r_bucket AS BIGINT) AS r_bucket, " +
-        "CAST(f_bucket AS BIGINT) AS f_bucket, " +
-        "CAST(m_bucket AS BIGINT) AS m_bucket, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_users, " +
-        "CAST(SUM(converted) AS BIGINT) AS n_converters, " +
-        "CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
-        "AS conversion_rate FROM b GROUP BY 1, 2, 3 " +
-        "ORDER BY r_bucket, f_bucket, m_bucket"),
+    "q339_segment_conversion" -> q339Sql,
+    // q344: q339 per micro-batch off the rfm state (purchase flag
+    // max-merges) — shares q339's oracle verbatim
+    "q344_streaming_segment_conversion" -> q339Sql,
     // q334: Benford first-digit audit — digit from the exact decimal
     // string rendering (no float-log10 boundary risk), χ² shared
-    "q334_benford_audit" ->
-      ("WITH c AS (SELECT 'orders.o_totalprice' AS entity, " +
-        "CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) " +
-        "AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders " +
-        "WHERE CAST(o_totalprice AS DECIMAL(18,2)) >= 1 " +
-        "UNION ALL SELECT 'events.value', " +
-        "CAST(substr(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), " +
-        "1, 1) AS BIGINT) FROM events " +
-        "WHERE CAST(value AS DECIMAL(18,2)) >= 1), " +
-        "g AS (SELECT entity, digit, CAST(COUNT(*) AS BIGINT) AS n " +
-        "FROM c GROUP BY 1, 2), " +
-        "t AS (SELECT entity, CAST(SUM(n) AS BIGINT) AS nt " +
-        "FROM g GROUP BY 1), " +
-        "e AS (SELECT g.entity, g.digit, g.n, t.nt, " +
-        "log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE)) AS expected " +
-        "FROM g JOIN t USING (entity)), " +
-        "x AS (SELECT *, (CAST(n AS DOUBLE) - expected * " +
-        "CAST(nt AS DOUBLE)) * (CAST(n AS DOUBLE) - expected * " +
-        "CAST(nt AS DOUBLE)) / (expected * CAST(nt AS DOUBLE)) " +
-        "AS dev FROM e), " +
-        "ch AS (SELECT entity, SUM(dev) AS chi2 FROM x GROUP BY 1) " +
-        "SELECT x.entity, x.digit, x.n, " +
-        "CAST(x.n AS DOUBLE) / CAST(x.nt AS DOUBLE) AS share, " +
-        "x.expected, ch.chi2 FROM x JOIN ch USING (entity) " +
-        "ORDER BY x.entity, x.digit"),
+    "q334_benford_audit" -> q334Sql,
+    // q341: q334 per micro-batch (events cells merge + static orders
+    // at drain) — shares q334's oracle verbatim
+    "q341_streaming_benford" -> q334Sql,
     // q328: daily OHLC candlesticks — open/close by the total
     // (ts, event_id) order, exact decimal volume
     "q328_ohlc_daily" -> q328Sql,
@@ -860,6 +793,93 @@ private[graft] object OracleRelational {
         "AS revenue FROM rev CROSS JOIN mx " +
         "JOIN supplier s ON rev.l_suppkey = s.s_suppkey " +
         "WHERE rev.revd = mx.mx ORDER BY s.s_suppkey")
+
+  private def q319Sql: String =
+      ("WITH pa AS (SELECT l_partkey, " +
+        "SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1) " +
+        "SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_small_lines, " +
+        "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) " +
+        "AS revenue " +
+        "FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey " +
+        "JOIN part p ON l.l_partkey = p.p_partkey " +
+        "WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 2 * pa.n < pa.sq " +
+        "GROUP BY 1 ORDER BY p.p_brand")
+
+  private def q334Sql: String =
+      ("WITH c AS (SELECT 'orders.o_totalprice' AS entity, " +
+        "CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) " +
+        "AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders " +
+        "WHERE CAST(o_totalprice AS DECIMAL(18,2)) >= 1 " +
+        "UNION ALL SELECT 'events.value', " +
+        "CAST(substr(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), " +
+        "1, 1) AS BIGINT) FROM events " +
+        "WHERE CAST(value AS DECIMAL(18,2)) >= 1), " +
+        "g AS (SELECT entity, digit, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM c GROUP BY 1, 2), " +
+        "t AS (SELECT entity, CAST(SUM(n) AS BIGINT) AS nt " +
+        "FROM g GROUP BY 1), " +
+        "e AS (SELECT g.entity, g.digit, g.n, t.nt, " +
+        "log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE)) AS expected " +
+        "FROM g JOIN t USING (entity)), " +
+        "x AS (SELECT *, (CAST(n AS DOUBLE) - expected * " +
+        "CAST(nt AS DOUBLE)) * (CAST(n AS DOUBLE) - expected * " +
+        "CAST(nt AS DOUBLE)) / (expected * CAST(nt AS DOUBLE)) " +
+        "AS dev FROM e), " +
+        "ch AS (SELECT entity, SUM(dev) AS chi2 FROM x GROUP BY 1) " +
+        "SELECT x.entity, x.digit, x.n, " +
+        "CAST(x.n AS DOUBLE) / CAST(x.nt AS DOUBLE) AS share, " +
+        "x.expected, ch.chi2 FROM x JOIN ch USING (entity) " +
+        "ORDER BY x.entity, x.digit")
+
+  private def q338Sql: String =
+      ("WITH tr AS (SELECT user_id, ts, event_id, event_type, " +
+        "LAG(event_type) OVER w AS from_type, LAG(ts) OVER w AS prev_ts " +
+        "FROM events WINDOW w AS " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "c AS (SELECT from_type, event_type AS to_type, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM tr " +
+        "WHERE from_type IS NOT NULL AND " +
+        "ts <= prev_ts + INTERVAL 30 MINUTE GROUP BY 1, 2), " +
+        "rs AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS rs " +
+        "FROM c GROUP BY 1), " +
+        "m AS (SELECT c.from_type, c.to_type, " +
+        "CAST(c.n AS DOUBLE) / CAST(rs.rs AS DOUBLE) AS pt " +
+        "FROM c JOIN rs USING (from_type)), " +
+        "ty AS (SELECT DISTINCT t FROM " +
+        "(SELECT from_type AS t FROM c UNION ALL SELECT to_type FROM c)), " +
+        "p0 AS (SELECT t, 1.0 / " +
+        "CAST((SELECT COUNT(*) FROM ty) AS DOUBLE) AS p FROM ty), " +
+        mkvRounds(10) +
+        " SELECT p10.t AS event_type, " +
+        "CAST(COALESCE(rs.rs, 0) AS BIGINT) AS n_out, " +
+        "p10.p AS stationary_p FROM p10 " +
+        "LEFT JOIN rs ON p10.t = rs.from_type ORDER BY event_type")
+
+  private def q339Sql: String =
+      ("WITH pu AS (SELECT user_id, " +
+        "MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS last_day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1), " +
+        "cv AS (SELECT DISTINCT user_id FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "r AS (SELECT pu.*, (SELECT MAX(last_day) FROM pu) - last_day " +
+        "AS recency, CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END " +
+        "AS converted FROM pu LEFT JOIN cv ON pu.user_id = cv.user_id), " +
+        "b AS (SELECT converted, " +
+        "CASE WHEN recency <= 1 THEN 0 ELSE CAST(length(bin(recency)) - 1 AS BIGINT) END AS r_bucket, " +
+        "CASE WHEN n_events <= 1 THEN 0 ELSE CAST(length(bin(n_events)) - 1 AS BIGINT) END AS f_bucket, " +
+        "CASE WHEN cents <= 1 THEN 0 ELSE CAST(length(bin(cents)) - 1 AS BIGINT) END AS m_bucket " +
+        "FROM r) " +
+        "SELECT CAST(r_bucket AS BIGINT) AS r_bucket, " +
+        "CAST(f_bucket AS BIGINT) AS f_bucket, " +
+        "CAST(m_bucket AS BIGINT) AS m_bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(converted) AS BIGINT) AS n_converters, " +
+        "CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) " +
+        "AS conversion_rate FROM b GROUP BY 1, 2, 3 " +
+        "ORDER BY r_bucket, f_bucket, m_bucket")
 
   /** One q338 power-iteration round: inflow fold, renormalization.
     * The normalizer is a window SUM over the SAME joined relation (not

@@ -1217,16 +1217,10 @@ private[graft] object OracleText {
     "q270_streaming_kl_drift" -> q158Sql,
     // q335: balanced per-language downsample by the md5 order — the
     // sample itself hash-matches (the q147 KDF discipline)
-    "q335_balanced_sample" ->
-      ("WITH d AS (SELECT lang, doc_id, " +
-        "md5('bal|' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
-        "k AS (SELECT CAST(MIN(n) AS BIGINT) AS k FROM " +
-        "(SELECT lang, COUNT(*) AS n FROM d GROUP BY 1)), " +
-        "r AS (SELECT lang, doc_id, h, CAST(ROW_NUMBER() OVER " +
-        "(PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk " +
-        "FROM d) " +
-        "SELECT lang, rk, doc_id, h FROM r " +
-        "WHERE rk <= (SELECT k FROM k) ORDER BY lang, rk"),
+    "q335_balanced_sample" -> q335Sql,
+    // q342: q335 per micro-batch (the (lang, doc, h) index
+    // distinct-merges; k and ranks fold at drain) — shares q335's SQL
+    "q342_streaming_balanced_sample" -> q335Sql,
     // q336: WOE/IV of the length feature vs the q24 quality flag —
     // +1-smoothed exact rates, two ln calls per bucket
     "q336_woe_iv" -> q336Sql,
@@ -1994,6 +1988,17 @@ private[graft] object OracleText {
         "(fit.n * fit.sxy - fit.sx * fit.sy) / " +
         "(fit.n * fit.sxx - fit.sx * fit.sx) AS beta " +
         "FROM vc CROSS JOIN fit ORDER BY vc.decile")
+
+  private def q335Sql: String =
+      ("WITH d AS (SELECT lang, doc_id, " +
+        "md5('bal|' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "k AS (SELECT CAST(MIN(n) AS BIGINT) AS k FROM " +
+        "(SELECT lang, COUNT(*) AS n FROM d GROUP BY 1)), " +
+        "r AS (SELECT lang, doc_id, h, CAST(ROW_NUMBER() OVER " +
+        "(PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk " +
+        "FROM d) " +
+        "SELECT lang, rk, doc_id, h FROM r " +
+        "WHERE rk <= (SELECT k FROM k) ORDER BY lang, rk")
 
   private def q336Sql: String =
     ("WITH t AS (SELECT n_chars, " +

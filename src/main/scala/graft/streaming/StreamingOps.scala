@@ -2875,8 +2875,37 @@ object StreamingOps {
       sourceDir: Option[String] = None,
       sourceGlob: String = "events.parquet",
       maxFilesPerTrigger: Option[Int] = None,
-      stateRoot: Option[String] = None): DataFrame = {
-    val root = effectiveRoot(stateRoot, "transitions")
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.Sessionize.transitionProbs(
+      transitionCountState(spark, dir, "transitions", sourceDir,
+        sourceGlob, maxFilesPerTrigger, stateRoot))
+      .orderBy(col("from_type"), col("to_type"))
+
+  /** Streaming Markov stationary distribution (q343): q338 per
+    * micro-batch off the SAME maintained transition counts as q269 —
+    * one fold, the matrix AND its long-run occupancy. Shares q338's
+    * SQL.
+    */
+  def streamingMarkovStationary(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.Sessionize.stationaryFromCounts(spark,
+      transitionCountState(spark, dir, "markov", sourceDir,
+        sourceGlob, maxFilesPerTrigger, stateRoot))
+
+  /** The shared stateful core behind q269/q343: the (from, to, n)
+    * transition counts under the per-user last-event anchor rule and
+    * the arrival contract — see [[streamingTransitions]]'s doc.
+    */
+  private def transitionCountState(spark: SparkSession, dir: String,
+      op: String,
+      sourceDir: Option[String],
+      sourceGlob: String,
+      maxFilesPerTrigger: Option[Int],
+      stateRoot: Option[String]): DataFrame = {
+    val root = effectiveRoot(stateRoot, op)
     val cntRoot = stateDir(root, "counts")
     val lastRoot = stateDir(root, "last_event")
     val cntLedger = new VersionedLedger(spark, cntRoot, root)
@@ -2930,9 +2959,7 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
     val q = startWithCheckpoint(w, root)
     q.awaitTermination()
-    graft.operators.Sessionize.transitionProbs(
-      spark.read.parquet(cntLedger.path))
-      .orderBy(col("from_type"), col("to_type"))
+    spark.read.parquet(cntLedger.path)
   }
 
   /** Streaming per-source KL drift (q270): q158 per micro-batch. The
@@ -3315,7 +3342,12 @@ object StreamingOps {
 
   /** Streaming returned-revenue report (q322): TPC-H Q10 per
     * micro-batch — per-customer returned-cent sums merge; the top-20
-    * + dim names resolve at drain. Shares q316's SQL.
+    * + dim names resolve at drain. The static side here is ORDERS
+    * (fact-scale, unlike q321's part dim): each batch pays a
+    * batch×orders key join, which at 100 TB wants orders bucketed on
+    * o_orderkey once (the q85 bucketed-join discipline) so the
+    * per-batch join is co-partitioned instead of a full shuffle.
+    * Shares q316's SQL.
     */
   def streamingReturnedRevenue(spark: SparkSession, dir: String,
       sourceDir: Option[String] = None,
@@ -3350,7 +3382,9 @@ object StreamingOps {
   /** Streaming late-shipment audit (q324): TPC-H Q4 per micro-batch —
     * the DISTINCT late (orderkey, priority) set distinct-merges
     * (idempotent); totals come from the static orders side at drain.
-    * Shares q315's SQL.
+    * Like q322, the per-batch join is against fact-scale orders — at
+    * 100 TB bucket orders on o_orderkey once (q85 discipline) so each
+    * batch joins co-partitioned. Shares q315's SQL.
     */
   def streamingLatePriority(spark: SparkSession, dir: String,
       sourceDir: Option[String] = None,
@@ -3368,6 +3402,83 @@ object StreamingOps {
         maxFilesPerTrigger, stateRoot),
       ord)
   }
+
+  /** Streaming small-quantity audit (q340): TPC-H Q17 per
+    * micro-batch — the (partkey, quantity, brand) cells merge even
+    * though the half-of-average THRESHOLD is only known at drain
+    * (every line in a cell shares one quantity, so the final
+    * corpus-wide threshold qualifies whole cells). Shares q319's SQL.
+    */
+  def streamingSmallQuantity(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "lineitem.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Analytics
+    import graft.sources.Tables
+    Analytics.smallQuantityFromCells(
+      lineitemState(spark, dir, "smallqty",
+        b => Analytics.smallQuantityCellsOf(b, Tables.part(spark, dir)),
+        Analytics.smallQuantityMerge, sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+  }
+
+  /** Streaming Benford audit (q341): q334 per micro-batch on the
+    * events side — digit cells sum-merge; the static orders cells
+    * join at drain (the q76 hybrid). Shares q334's SQL.
+    */
+  def streamingBenford(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.TextOps
+    import graft.sources.Tables
+    val evCells = eventsMergedState(spark, dir, "benford",
+      b => TextOps.benfordCellsOf(b, "value", "events.value"),
+      rows => rows.groupBy(col("entity"), col("digit"))
+        .agg(sum(col("n")).as("n")),
+      sourceDir, sourceGlob, maxFilesPerTrigger, stateRoot)
+    TextOps.benfordFinish(evCells.unionByName(
+      TextOps.benfordCellsOf(Tables.orders(spark, dir), "o_totalprice",
+        "orders.o_totalprice")))
+  }
+
+  /** Streaming balanced sample (q342): q335 per micro-batch — the
+    * (lang, doc_id, h) index distinct-merges (gated count grain; the
+    * drain distincts), and BOTH the min class size and the md5 ranks
+    * are drain-time folds, so the maintained index always draws the
+    * CURRENT balanced sample. Shares q335's SQL.
+    */
+  def streamingBalancedSample(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.TextOps.balancedFromIndex(
+      docCountState(spark, "balanced", Seq("lang", "doc_id", "h"),
+        d => d.select(col("lang"), col("doc_id"),
+            md5(concat(lit("bal|"), col("doc_id").cast("string"))
+              .cast("binary")).as("h"))
+          .groupBy(col("lang"), col("doc_id"), col("h"))
+          .agg(count(lit(1)).as("cnt")),
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot)
+        .select(col("lang"), col("doc_id"), col("h")))
+
+  /** Streaming segment conversion (q344): q339 per micro-batch off
+    * the SAME [[rfmState]] core as q279/q303 (the purchase flag now
+    * rides the per-user stats, max-merged) — one maintained fold,
+    * three marketing reports. Shares q339's SQL.
+    */
+  def streamingSegmentConversion(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.Lifecycle.conversionFromStats(
+      rfmState(spark, dir, "segconv", sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
 
   /** Streaming Heaps'-law maintenance (q314): q205 per micro-batch —
     * the one ORDER-SENSITIVE text state in the family. Each batch's
@@ -3576,7 +3687,8 @@ object StreamingOps {
               .groupBy(col("user_id"))
               .agg(max(col("last_day")).as("last_day"),
                 sum(col("n_events")).as("n_events"),
-                sum(col("cents")).as("cents"))
+                sum(col("cents")).as("cents"),
+                max(col("converted")).as("converted"))
           ledger.write(merged, id)
         }
         ()
