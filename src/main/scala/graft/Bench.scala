@@ -190,6 +190,15 @@ object Bench {
     // comparability; retry_sec lands in the profile row.
     val rerunOutliers = sys.env.contains("SPARK_GRAFT_RERUN_OUTLIERS")
     val trailing = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // host-health rollup for the total line (r12 verdict #7): a
+    // drift-heavy pass self-identifies from the summary alone instead
+    // of requiring a 344-row profile read
+    val healthLd = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val healthSpin = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val healthGc = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var outliersRetried = 0
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0 else { val s = xs.sorted; s(s.size / 2) }
     val perPass = (1 to passes).map { p =>
       selected.map { case (name, fn) =>
         val ld = load1
@@ -218,6 +227,8 @@ object Bench {
         // the trailing median tracks code-characteristic times: feed it
         // the retry when one ran (the first number may be host noise)
         trailing += retry.getOrElse(dt)
+        healthLd += ld; healthSpin += spin; healthGc += gc.toDouble
+        if (retry.isDefined) outliersRetried += 1
         profile(if (passes == 1) name else s"$name#p$p", dt, ld, spin, gc,
           retry)
         name -> dt
@@ -235,7 +246,12 @@ object Bench {
     // Per-query map on its own line FIRST; the compact total object LAST so
     // a tail-capture of stdout always retains the parseable summary line.
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+        s""""n_queries":${results.size},""" +
+        s""""load1_median":${"%.2f".format(median(healthLd.toSeq))},""" +
+        s""""spin_ms_median":${"%.2f".format(median(healthSpin.toSeq))},""" +
+        s""""gc_ms_median":${"%.0f".format(median(healthGc.toSeq))},""" +
+        s""""outliers_retried":$outliersRetried}"""
     println(s"""{"metric":"queries","queries":$qs}""")
     println(totalLine)
     // belt-and-braces: also drop the summary where a file-reader can find

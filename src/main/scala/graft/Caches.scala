@@ -74,6 +74,9 @@ object Caches {
     }
   }
 
+  /** Recursive delete for JVM-exit hooks (shared edge artifact root). */
+  private[graft] def deleteTree(p: Path): Unit = deleteRecursively(p)
+
   private def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(p)) {

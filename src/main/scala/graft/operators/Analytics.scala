@@ -462,7 +462,7 @@ object Analytics {
     */
   def dupGraphTriangles(spark: SparkSession, dir: String): DataFrame =
     // canonical edges, id_a < id_b
-    triangleCensus(Dedup.minhashOracledDf(Tables.documents(spark, dir))
+    triangleCensus(Dedup.dupEdges(spark, dir)
       .select(col("id_a").as("a"), col("id_b").as("b")))
 
   /** Core census over a canonical (a < b) edge relation — split out so
@@ -692,7 +692,7 @@ object Analytics {
     * list. No pair expansion anywhere.
     */
   def dupGraphDegrees(spark: SparkSession, dir: String): DataFrame =
-    degreeProfile(Dedup.minhashOracledDf(Tables.documents(spark, dir))
+    degreeProfile(Dedup.dupEdges(spark, dir)
       .select(col("id_a").as("a"), col("id_b").as("b")))
 
   private[graft] def degreeProfile(edges: DataFrame): DataFrame = {
@@ -750,7 +750,7 @@ object Analytics {
   def dupGraphKCore(spark: SparkSession, dir: String,
       k: Int = 2): DataFrame = {
     val (census, rounds) = kCorePeel(
-      Dedup.minhashOracledDf(Tables.documents(spark, dir))
+      Dedup.dupEdges(spark, dir)
         .select(col("id_a").as("a"), col("id_b").as("b")), k)
     // the DuckDB oracle unrolls exactly KCoreRounds peel rounds; a
     // graph that needs more would silently diverge cross-engine, so
@@ -1065,7 +1065,7 @@ object Analytics {
   def labelPropagation(spark: SparkSession, dir: String,
       rounds: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val edges = Dedup.minhashOracledDf(Tables.documents(spark, dir))
+    val edges = Dedup.dupEdges(spark, dir)
       .select(col("id_a").as("u"), col("id_b").as("w"))
     val und = edges
       .unionAll(edges.select(col("w").as("u"), col("u").as("w")))

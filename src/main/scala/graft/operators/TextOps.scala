@@ -619,9 +619,12 @@ object TextOps {
       .orderBy(col("source"))
   }
 
-  private val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRx = "\\+1-\\d{3}-\\d{4}"
-  private val IpRx = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  // shared with the q345–q349 PII family (operators/Pii.scala); the
+  // exact patterns are dialect-portable (q82 proves Java-regex ↔ RE2
+  // parity for \b, \d, groups and the {m,n} quantifiers)
+  private[graft] val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRx = "\\+1-\\d{3}-\\d{4}"
+  private[graft] val IpRx = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
 
   /** PII redaction — the scrubbing pass of a training-data pipeline:
     * emails, phone numbers, and IPv4 literals replaced with typed
@@ -2685,7 +2688,7 @@ object TextOps {
       base.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-    val dropNear = D.minhashOracledDf(docsRaw)
+    val dropNear = D.dupEdges(spark, dir)
       .select(col("id_b").as("doc_id")).distinct()
     val near = exactKeep.join(dropNear, Seq("doc_id"), "left_anti")
     val qual = near.filter(col("tc") >= 20 &&
