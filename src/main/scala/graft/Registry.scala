@@ -904,6 +904,20 @@ object Registry {
     // purchase flag max-merges) — shares q339's oracle
     "q344_streaming_segment_conversion" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingSegmentConversion(s, d)),
+    // r12 advice #5 — PII family over a deterministically planted
+    // corpus (real detectors, oracled counts/bytes):
+    // per-source incidence report
+    "q345_pii_incidence" -> ((s, d) => Pii.piiIncidence(s, d)),
+    // X1 extractPhones over a planted multi-value contact list
+    "q346_pii_contact_extract" -> ((s, d) => Pii.contactExtract(s, d)),
+    // detector pass over events.props + distinct exposed users
+    "q347_pii_props_audit" -> ((s, d) => Pii.propsAudit(s, d)),
+    // redacted-copy writer: scrubbed parquet + read-back manifest
+    "q348_pii_redacted_copy" -> ((s, d) => Pii.redactedCopy(s, d)),
+    // q345 per micro-batch: (source, kind) cells sum-merge — shares
+    // q345's oracle
+    "q349_streaming_pii_incidence" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingPiiIncidence(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -1070,7 +1070,84 @@ private[graft] object OracleText {
         "SELECT CAST(rk AS BIGINT) AS rk, doc_id, lang, n_chars, es_key " +
         "FROM r WHERE rk <= 200 ORDER BY rk")
 
+  // q345–q349 PII family: deterministic conditional plant (the q82
+  // discipline — real detectors over arithmetic-planted PII), shared
+  // by the incidence report, the redacted-copy manifest, and the
+  // streaming twin
+  private val piiPlantCte =
+    "piidocs AS (SELECT doc_id, source, text || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || (doc_id % 50) || " +
+      "'@example.com' ELSE '' END || " +
+      "CASE WHEN doc_id % 4 = 0 THEN ' call +1-' || " +
+      "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || " +
+      "lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256) || " +
+      "'.' || ((doc_id * 7) % 256) ELSE '' END AS raw FROM documents)"
+  private val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiPhoneRe = "\\+1-\\d{3}-\\d{4}"
+  private val piiIpRe = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  private def piiIncidenceSql: String =
+    s"WITH $piiPlantCte, " +
+      "piih AS (SELECT source, length(raw) AS n_chars, " +
+      s"len(regexp_extract_all(raw, '$piiEmailRe')) AS n_email, " +
+      s"len(regexp_extract_all(raw, '$piiPhoneRe')) AS n_phone, " +
+      s"len(regexp_extract_all(raw, '$piiIpRe')) AS n_ip FROM piidocs) " +
+      "SELECT source, COUNT(*) AS n_docs, " +
+      "CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_docs_pii, " +
+      "CAST(SUM(n_email) AS BIGINT) AS n_email, " +
+      "CAST(SUM(n_phone) AS BIGINT) AS n_phone, " +
+      "CAST(SUM(n_ip) AS BIGINT) AS n_ip, " +
+      "CAST(SUM(n_email + n_phone + n_ip) * 10000 AS DOUBLE) / " +
+      "CAST(SUM(n_chars) AS DOUBLE) AS pii_per_10k " +
+      "FROM piih GROUP BY source ORDER BY source"
+
   private val sql2: Map[String, String] = Map(
+    "q345_pii_incidence" -> piiIncidenceSql,
+    "q346_pii_contact_extract" ->
+      ("WITH piicl AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN " +
+        "' 555-' || lpad(CAST(doc_id % 97 AS VARCHAR), 4, '0') || " +
+        "', 555-' || lpad(CAST(doc_id % 89 AS VARCHAR), 4, '0') || " +
+        "'; 555-' || lpad(CAST(doc_id % 97 AS VARCHAR), 4, '0') " +
+        "ELSE '' END AS cl FROM documents), " +
+        "piiex AS (SELECT doc_id, list_sort(list_distinct(list_filter(" +
+        "list_transform(string_split_regex(replace(cl, ' ', ''), " +
+        "'[,;/]+'), x -> trim(x)), x -> x <> ''))) AS ph FROM piicl) " +
+        "SELECT doc_id, CAST(len(ph) AS BIGINT) AS n_phones, " +
+        "array_to_string(ph, ',') AS phones " +
+        "FROM piiex WHERE len(ph) > 0 ORDER BY doc_id"),
+    "q347_pii_props_audit" ->
+      ("WITH piiev AS (SELECT event_type, user_id, " +
+        "len(regexp_extract_all(props || CASE WHEN event_id % 13 = 0 " +
+        "THEN ' user' || user_id || '@mail.test' ELSE '' END, " +
+        s"'$piiEmailRe')) AS n_email FROM events) " +
+        "SELECT event_type, COUNT(*) AS n_events, " +
+        "CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_with_contact, " +
+        "COUNT(DISTINCT CASE WHEN n_email > 0 THEN user_id END) " +
+        "AS n_users_exposed " +
+        "FROM piiev GROUP BY event_type ORDER BY event_type"),
+    "q348_pii_redacted_copy" ->
+      (s"WITH $piiPlantCte, " +
+        "piired AS (SELECT doc_id, source, " +
+        s"CAST(len(regexp_extract_all(raw, '$piiEmailRe')) + " +
+        s"len(regexp_extract_all(raw, '$piiPhoneRe')) + " +
+        s"len(regexp_extract_all(raw, '$piiIpRe')) AS BIGINT) " +
+        "AS n_redactions, " +
+        "regexp_replace(regexp_replace(regexp_replace(raw, " +
+        s"'$piiEmailRe', '<EMAIL>', 'g'), " +
+        s"'$piiPhoneRe', '<PHONE>', 'g'), " +
+        s"'$piiIpRe', '<IP>', 'g') AS clean FROM piidocs) " +
+        "SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_redactions) AS BIGINT) AS n_redactions, " +
+        "CAST(SUM(length(clean)) AS BIGINT) AS n_chars_clean, " +
+        "MIN(md5(clean)) AS content_md5_min, " +
+        "MAX(md5(clean)) AS content_md5_max " +
+        "FROM piired GROUP BY source ORDER BY source"),
+    // q345 per micro-batch — (source, kind) cells sum-merge; shares
+    // q345's oracle verbatim
+    "q349_streaming_pii_incidence" -> piiIncidenceSql,
     // q151: full-vector tf-idf cosine — q67's weighting, doc norm over
     // ALL the doc's terms, fixed-point-rounded selection (q130's trick)
     "q151_tfidf_cosine_topk" ->

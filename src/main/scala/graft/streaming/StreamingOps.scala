@@ -3063,6 +3063,24 @@ object StreamingOps {
         sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
         stateRoot))
 
+  /** Streaming PII incidence (q349): q345 per micro-batch — the
+    * (source, kind) detector cells sum-merge through [[docCountState]]
+    * and the drain runs [[graft.operators.Pii.incidenceFromCells]]
+    * verbatim, so q345's SQL is the oracle for ANY micro-batching.
+    * The scrub-or-not decision per source stays current as the crawl
+    * arrives, without ever rescanning the corpus.
+    */
+  def streamingPiiIncidence(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.Pii.incidenceFromCells(
+      docCountState(spark, "pii_incidence", Seq("source", "kind"),
+        graft.operators.Pii.piiCellsOf,
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
+
   /** Streaming Simpson-diversity maintenance (q308): q307 per
     * micro-batch off the SAME (source, term) grain as q270 — the
     * drain runs [[graft.operators.TextOps.simpsonFromCounts]]: one
