@@ -92,8 +92,11 @@ object Registry {
     "q73_weighted_mix" -> ((s, d) => TextOps.weightedMix(s, d)),
     "q74_stream_stream_join" -> ((s, d) =>
       graft.streaming.StreamingOps.streamStreamRangeJoin(s, d)),
-    // rows-only: xxhash64-seeded signatures have no cross-engine oracle
-    "q75_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    // r12 advice #6 fold: q102's md5 60-bit signatures, 4×15-bit
+    // pigeonhole banding, exact Hamming verify — fully oracled. The
+    // 64-bit xxhash kernel form (Dedup.simhashNearDup) stays as the
+    // bit_count/xor production path, Wave2Spec-pinned vs relational
+    "q75_simhash_neardup" -> ((s, d) => Dedup.simhashNearDupOracled(s, d)),
     "q76_stream_static_join" -> ((s, d) =>
       graft.streaming.StreamingOps.streamStaticEnrich(s, d)),
     "q77_streaming_dedup" -> ((s, d) =>
@@ -108,7 +111,12 @@ object Registry {
     "q85_bucketed_join" -> ((s, d) => {
       Bucketed.writeBucketed(s, d); Bucketed.coLocatedOrderRevenue(s)
     }),
-    "q86_incremental_dedup" -> ((s, d) => Dedup.incrementalMinhash(s, d)),
+    // r12 advice #6 fold: the corpus/batch incremental split on the
+    // md5 chain — the incremental candidate discipline itself is
+    // hash-checked. incrementalMinhash (xxhash64 hot joins) stays as
+    // the production form, Wave2Spec-pinned vs the persisted artifact
+    "q86_incremental_dedup" -> ((s, d) =>
+      Dedup.incrementalMinhashOracled(s, d)),
     "q87_quarantine_routing" -> ((s, d) => Incremental.quarantineRouting(s, d)),
     "q88_winnow_neardup" -> ((s, d) => Dedup.winnowNearDup(s, d)),
     "q89_stream_sessions" -> ((s, d) =>
@@ -147,14 +155,20 @@ object Registry {
     "q108_pq_lut_ann" -> ((s, d) => Similarity.pqTopKLut(s, d)),
     "q109_containment_dedup" -> ((s, d) => Dedup.containmentOracled(s, d)),
     "q110_token_budget" -> ((s, d) => TextOps.tokenBudgetSelection(s, d)),
-    // rows-only production twin of q109 (xxhash64 banding has no
-    // cross-engine oracle); soundness test vs brute-force containment
-    "q111_containment_prod" -> ((s, d) => Dedup.containmentCandidates(s, d)),
-    // rows-only: winnow fingerprints are xxhash64-seeded (no cross-
-    // engine oracle); the embedded-short-in-long recall test — the case
-    // q109/q111's symmetric banding provably misses — lives in
-    // DedupChainSpec
-    "q112_containment_asym" -> ((s, d) => Dedup.containmentAsym(s, d)),
+    // r12 advice #6 fold: the TIGHT production banding (16 perms ×
+    // 4 rows/band — spurious survival at jaccard⁴) on md5 arithmetic
+    // with asymmetric containment verify. containmentCandidates
+    // (xxhash64 + native sorted-intersect kernel) stays as the
+    // hash-only-hot-join capacity path with its soundness spec
+    "q111_containment_tight" -> ((s, d) =>
+      Dedup.containmentTightOracled(s, d)),
+    // r12 advice #6 fold: asymmetric containment on md5 winnow
+    // fingerprint posting lists (q119's machinery) + md5 shingle-set
+    // verify — fully oracled. containmentAsym (xxhash64 deque kernel)
+    // stays as the production path; the embedded-short-in-long recall
+    // test lives in DedupChainSpec
+    "q112_containment_asym" -> ((s, d) =>
+      Dedup.containmentAsymOracled(s, d)),
     // fully-oracled PQ twin: fixed md5-derived codebooks (no Lloyd) so
     // the PqEncode/PqAdc kernel arithmetic is hash-checked cross-engine
     "q113_pq_oracled" -> ((s, d) => Similarity.pqOracled(s, d)),
@@ -165,11 +179,16 @@ object Registry {
     // recall-vs-single-probe and never-beats-brute-force invariants in
     // Wave2Spec
     "q115_ann_multiprobe" -> ((s, d) => Similarity.lshMultiProbeTopK(s, d)),
-    // rows-only (xxhash64 banding, like q86): streaming dedup against
-    // the persisted historical band table; StreamingSpec asserts the
-    // drained stream equals the batch incremental path exactly
+    // r12 advice #6 fold: q145's md5 streaming band dedup in the
+    // CAPPED-corpus regime (cap 2 — the quarantine FIRES on the
+    // historical side, the streaming sibling of q241's capped batch
+    // gate; batch/state sides keep the 64 no-op cap so the pair set
+    // stays micro-batch-split-invariant). streamingBandDedup
+    // (xxhash64) stays as the production form; StreamingSpec asserts
+    // it equals the batch incremental path exactly
     "q116_streaming_band_dedup" -> ((s, d) =>
-      graft.streaming.StreamingOps.streamingBandDedup(s, d)),
+      graft.streaming.StreamingOps.streamingBandDedupOracled(s, d,
+        corpusCap = 2, opName = "band_dedup_md5_capped")),
     // snapshot audit: added/removed/changed/unchanged by content hash
     "q117_corpus_diff" -> ((s, d) => TextOps.corpusDiff(s, d)),
     // rows-only production twin of q97 (its oracle pins k=8): k scales
@@ -918,6 +937,24 @@ object Registry {
     // q345's oracle
     "q349_streaming_pii_incidence" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingPiiIncidence(s, d)),
+    // block 19 (r12 verdict #8): tokenizer health + scrub sizing
+    // q244's BPE re-training off the maintained (w, split) word state
+    // — shares q244's oracle
+    "q350_streaming_bpe_drift" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingBpeDrift(s, d)),
+    // batch word types absent from the snapshot vocabulary + OOV mass
+    // — the cheap daily trigger for the expensive q244 re-train
+    "q351_oov_pressure" -> ((s, d) => TextOps.oovPressure(s, d)),
+    // q351 off the SAME (w, split) state grain as q350 — shares
+    // q351's oracle
+    "q352_streaming_oov_pressure" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingOovPressure(s, d)),
+    // per-source scrub-job sizing: docs that change, spans, byte delta
+    "q353_redaction_yield" -> ((s, d) => Pii.redactionYield(s, d)),
+    // q353 off the SAME (source, kind) cells as q349 — shares q353's
+    // oracle
+    "q354_streaming_redaction_yield" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingRedactionYield(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

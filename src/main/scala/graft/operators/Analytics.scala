@@ -346,16 +346,25 @@ object Analytics {
     *   boundary materializes, never the arithmetic.
     */
   def pageRank(spark: SparkSession, dir: String,
+      rounds: Int = 2, checkpointMode: String = "local"): DataFrame =
+    pageRankFrom(spark,
+      Tables.lineitem(spark, dir).select(col("l_orderkey"),
+          col("l_suppkey"))
+        .join(Tables.orders(spark, dir).select(col("o_orderkey"),
+          col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct(),
+      rounds, checkpointMode)
+
+  /** [[pageRank]] over an explicit distinct `(c, s)` bipartite edge
+    * relation — split out so IterScaleProbe can drive the round loop
+    * on synthesized decade-apart graphs.
+    */
+  private[graft] def pageRankFrom(spark: SparkSession, cs: DataFrame,
       rounds: Int = 2, checkpointMode: String = "local"): DataFrame = {
     require(checkpointMode == "local" || checkpointMode == "reliable",
       s"checkpointMode must be local|reliable, got $checkpointMode")
     val scale = 1000000000000L
-    val cs = Tables.lineitem(spark, dir).select(col("l_orderkey"),
-        col("l_suppkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"),
-        col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
     val edges = cs.select(lit("c").as("st"), col("c").as("sid"),
         lit("s").as("dt"), col("s").as("did"))
       .unionByName(cs.select(lit("s").as("st"), col("s").as("sid"),
@@ -1063,10 +1072,17 @@ object Analytics {
     * graph — orders of magnitude below corpus grain.
     */
   def labelPropagation(spark: SparkSession, dir: String,
+      rounds: Int = 4): DataFrame =
+    labelPropagationFrom(Dedup.dupEdges(spark, dir)
+      .select(col("id_a").as("u"), col("id_b").as("w")), rounds)
+
+  /** [[labelPropagation]] over an explicit `(u, w)` edge relation —
+    * split out so IterScaleProbe can drive the synchronous-round
+    * machinery on synthesized decade-apart graphs.
+    */
+  private[graft] def labelPropagationFrom(edges: DataFrame,
       rounds: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val edges = Dedup.dupEdges(spark, dir)
-      .select(col("id_a").as("u"), col("id_b").as("w"))
     val und = edges
       .unionAll(edges.select(col("w").as("u"), col("u").as("w")))
       .persist()

@@ -889,6 +889,147 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Containment verification over md5 shingle STRING sets — the
+    * asymmetric sibling of [[md5VerifyPairs]]: |A∩B| / min(|A|,|B|)
+    * on candidate pairs, preserving any extra pair columns (n_shared).
+    */
+  private[graft] def md5ContainVerify(pairs: DataFrame, shingled: DataFrame,
+      leftId: String, rightId: String, minContain: Double): DataFrame =
+    pairs
+      .join(shingled.select(col("doc_id").as(leftId), col("sh").as("sh_a")),
+        leftId)
+      .join(shingled.select(col("doc_id").as(rightId), col("sh").as("sh_b")),
+        rightId)
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .filter(col("containment") >= minContain)
+      .drop("sh_a", "sh_b")
+
+  /** Oracled incremental near-dup screen (q86 — r12 advice #6 fold):
+    * the [[incrementalMinhash]] corpus/batch split run on the md5
+    * chain, so the INCREMENTAL candidate discipline itself (band the
+    * batch, join the historical band table, verify only batch×corpus
+    * survivors — never a corpus self-join) is hash-checked
+    * cross-engine, not just batch-equal. Same plan shape as the
+    * xxhash64 production form, which stays in the library as the
+    * 64-bit-hot-join capacity path (Wave2Spec pins it against
+    * [[incrementalMinhashPersisted]]); the seed-hash choice is the
+    * ONLY difference, exactly the q95↔q31 twin relation. Both sides
+    * route the hot-bucket quarantine (cap 64 — structural no-op at
+    * the fixtures, as in q95).
+    */
+  def incrementalMinhashOracled(spark: SparkSession, dir: String,
+      batchMod: Int = 10, batchRem: Int = 9): DataFrame = {
+    val isBatch = col("doc_id") % batchMod === batchRem
+    val allSh = md5ShingledDocs(Tables.documents(spark, dir)).persist()
+    // barrier: capHotBuckets reads each side twice (counts + anti join)
+    val banded = md5BandedSignatures(allSh).persist()
+    val newBands = capHotBuckets(banded.filter(isBatch))
+      .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
+    val corpusBands = capHotBuckets(banded.filter(!isBatch))
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
+    val pairs = corpusBands.join(newBands, Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    md5VerifyPairs(pairs, allSh, "new_id", "corpus_id", 0.5)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  /** Oracled TIGHT-banding containment screen (q111 — r12 advice #6
+    * fold): the md5 chain at the PRODUCTION banding parameterization —
+    * 16 perms × 4 rows/band, so a spurious candidate survives at
+    * jaccard⁴ instead of q95/q109's loose jaccard² — with asymmetric
+    * containment verification. This oracles the capacity-regime
+    * banding itself (the parameterization COVERAGE.md's 10× growth
+    * table shows the loose oracle banding lacks); the xxhash64 +
+    * native-kernel form ([[containmentCandidates]]) stays in the
+    * library as the hash-only-hot-join path, Wave2Spec-pinned.
+    */
+  def containmentTightOracled(spark: SparkSession, dir: String,
+      minContain: Double = 0.5): DataFrame = {
+    val allSh = md5ShingledDocs(Tables.documents(spark, dir)).persist()
+    val banded = md5BandedSignatures(allSh, perms = 16, bands = 4).persist()
+    md5ContainVerify(bandSelfJoinPairs(banded), allSh, "id_a", "id_b",
+      minContain)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Oracled ASYMMETRIC containment (q112 — r12 advice #6 fold): the
+    * embedded-short-document detector on fully-oracled arithmetic —
+    * candidates from the md5 winnow fingerprint posting lists (q119's
+    * machinery: any shared ≥ w+k−1-token run shares a fingerprint, so
+    * recall is structural and independent of the containing side's
+    * length), verified with |A∩B| / min(|A|,|B|) over the md5 shingle
+    * sets. The xxhash64 + deque-kernel form ([[containmentAsymDf]])
+    * stays as the production path with its embedded-doc recall spec.
+    */
+  def containmentAsymOracled(spark: SparkSession, dir: String,
+      minContain: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    md5ContainVerify(winnowOracledDf(docs), md5ShingledDocs(docs),
+      "id_a", "id_b", minContain)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Oracled SimHash near-dup pairs (q75 — r12 advice #6 fold): the
+    * q102 md5 60-bit majority signatures banded into four 15-bit
+    * substrings — pigeonhole: Hamming ≤ 3 over 60 bits leaves at
+    * least one of 4 bands untouched, so the (band, key) equi-join has
+    * FULL recall at the threshold while never forming all pairs —
+    * then exact Hamming verification per candidate. Identical banding
+    * algebra to the 64-bit production form ([[simhashNearDup]], which
+    * stays as the bit_count/xor kernel path); here every step is
+    * string arithmetic both engines reproduce.
+    */
+  def simhashNearDupOracled(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    // BIGRAM tf-weighted votes, unlike q102's distinct-unigram
+    // signature: on a narrow shared vocabulary both unigram vote
+    // schemes collapse the corpus onto corpus-distribution-dominated
+    // bit patterns whose 15-bit band keys collect 30–64 docs each
+    // (measured: 178k "pairs" / 271k candidates at sf0.1); bigram tf
+    // profiles are doc-specific enough that banding discriminates
+    // (2.8k candidates, 119 true pairs at sf0.1). Shingled simhash is
+    // the standard near-dup parameterization for exactly this reason —
+    // the oracled variant documents it where the 64-bit unigram kernel
+    // form relies on a wider hash space.
+    val bi = TextAnalytics.positionalShingles(col("text"), 2)
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        VectorExpressions.md5MajorityNative(bi, 60).as("sig"))
+      .filter(col("sig").isNotNull)
+      .persist()
+    // the hot-bucket quarantine is LOAD-BEARING here, not a no-op:
+    // majority bits are driven by the corpus-level token distribution,
+    // so a handful of band keys collect a large share of the corpus
+    // (measured: 271k candidates uncapped at sf0.1 vs ~3k capped) —
+    // the same skew bomb the minhash path caps, spelled in the oracle
+    // as HAVING COUNT(*) <= 64 so recall loss is cross-engine-exact
+    val banded = capHotBuckets(sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("sig"), b * 15 + 1, 15).as("bucket"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .persist())
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        size(filter(sequence(lit(1), lit(60)), i =>
+          col("sig_a").substr(i, lit(1)) =!= col("sig_b").substr(i, lit(1))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Containment near-dup (q109): the asymmetric overlap
     * |A ∩ B| / min(|A|, |B|) over the SAME oracled md5-LSH candidate
     * pairs as q95 — the quote/subset-duplicate signal symmetric Jaccard
@@ -1636,10 +1777,26 @@ object Dedup {
       .select(col("doc_id"), transform(toks, t => md5(t.cast("binary"))).as("hs"),
         size(toks).as("n"))
       .filter(col("n") > 0)
-    // bit b of md5 hex h: nibble = hex char at b/4 decoded exactly
-    // (conv here, strpos in the oracle — same VALUES), then the
-    // power-of-two divide selects the bit. All small-int arithmetic,
-    // exact in double.
+    docs
+      .select(col("doc_id"), col("n").cast("long").as("n_toks"),
+        md5MajoritySigHof(col("hs"), col("n"), bits).as("sig"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The md5 majority-vote bit signature over a hash array `hs` with
+    * vote count `n` — the interpreted HOF spelling, kept as the
+    * executable specification the
+    * [[org.apache.spark.sql.graft.Md5MajoritySignature]] kernel
+    * (q75's hot path) is asserted bit-equal against. q102 keeps this
+    * form: its OUTPUT carries the signature, so the driver's count()
+    * never prunes it there and the corpus is model-grain. Bit b of
+    * md5 hex h: nibble = hex char at b/4 decoded exactly (conv here,
+    * strpos in the oracle — same VALUES), then the power-of-two
+    * divide selects the bit. All small-int arithmetic, exact in
+    * double.
+    */
+  private[graft] def md5MajoritySigHof(hs: Column, n: Column,
+      bits: Int): Column = {
     def bitOf(h: Column, b: Column): Column = {
       val hv = conv(substr(h, (floor(b / 4) + 1).cast("int"), lit(1)),
         16, 10).cast("int")
@@ -1647,14 +1804,10 @@ object Dedup {
         (pmod(b, lit(4)) + 1).cast("int"))
       pmod(floor(hv / p).cast("int"), lit(2))
     }
-    docs
-      .select(col("doc_id"), col("n").cast("long").as("n_toks"),
-        array_join(
-          transform(sequence(lit(0), lit(bits - 1)), b =>
-            when(aggregate(col("hs"), lit(0),
-              (acc, h) => acc + bitOf(h, b)) * 2 >= col("n"),
-              lit("1")).otherwise(lit("0"))), "").as("sig"))
-      .orderBy(col("doc_id"))
+    array_join(
+      transform(sequence(lit(0), lit(bits - 1)), b =>
+        when(aggregate(hs, lit(0), (acc, h) => acc + bitOf(h, b)) * 2 >= n,
+          lit("1")).otherwise(lit("0"))), "")
   }
 
   /** Paragraph-level global dedup WITH reassembly (q114) — the

@@ -57,6 +57,16 @@ object Pii {
   private def hits(c: Column, rx: String): Column =
     size(regexp_extract_all(c, lit(rx), lit(0))).cast("long")
 
+  /** The scrubbed text: every PII span replaced by its typed
+    * placeholder, in fixed email → phone → ip order so engines can't
+    * disagree on overlaps. Shared by the q348 writer and the
+    * q353/q354 yield cells.
+    */
+  private[graft] def cleanCol: Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      plantedRaw, TextOps.EmailRx, "<EMAIL>"),
+      TextOps.PhoneRx, "<PHONE>"), TextOps.IpRx, "<IP>")
+
   /** Per-(source, kind) sufficient-statistic cells for the incidence
     * report: 'docs', 'docs_pii', 'email', 'phone', 'ip', 'chars' —
     * every kind a plain long that SUM-merges across micro-batches, so
@@ -66,20 +76,31 @@ object Pii {
   def piiCellsOf(docs: DataFrame): DataFrame = {
     val scored = docs.select(col("source"),
       length(plantedRaw).cast("long").as("n_chars_raw"),
+      length(cleanCol).cast("long").as("n_chars_clean"),
       hits(plantedRaw, TextOps.EmailRx).as("n_email"),
       hits(plantedRaw, TextOps.PhoneRx).as("n_phone"),
       hits(plantedRaw, TextOps.IpRx).as("n_ip"))
+    val isPii = col("n_email") + col("n_phone") + col("n_ip") > 0
     scored.groupBy(col("source")).agg(
         count(lit(1)).as("docs"),
-        sum(when(col("n_email") + col("n_phone") + col("n_ip") > 0, 1L)
-          .otherwise(0L)).as("docs_pii"),
+        sum(when(isPii, 1L).otherwise(0L)).as("docs_pii"),
         sum(col("n_email")).as("email"),
         sum(col("n_phone")).as("phone"),
         sum(col("n_ip")).as("ip"),
-        sum(col("n_chars_raw")).as("chars"))
+        sum(col("n_chars_raw")).as("chars"),
+        // rewrite-cost cells (q353/q354): raw/clean char mass of the
+        // DOCS THAT CHANGE — extra kinds ride the same state; the
+        // q345 pivot reads only its own kinds, so adding these is
+        // output-invariant for the incidence report
+        sum(when(isPii, col("n_chars_raw")).otherwise(0L))
+          .as("chars_red_in"),
+        sum(when(isPii, col("n_chars_clean")).otherwise(0L))
+          .as("chars_red_out"))
       .select(col("source"), expr(
-        "stack(6, 'docs', docs, 'docs_pii', docs_pii, 'email', email, " +
-          "'phone', phone, 'ip', ip, 'chars', chars) as (kind, cnt)"))
+        "stack(8, 'docs', docs, 'docs_pii', docs_pii, 'email', email, " +
+          "'phone', phone, 'ip', ip, 'chars', chars, " +
+          "'chars_red_in', chars_red_in, 'chars_red_out', chars_red_out) " +
+          "as (kind, cnt)"))
   }
 
   /** Drain/finish: pivot the cells back into the per-source report.
@@ -100,6 +121,32 @@ object Pii {
           .as("pii_per_10k"))
       .orderBy(col("source"))
   }
+
+  /** Redaction-yield forecast off the same cells (q353/q354): per
+    * source, how much work the scrubbing pass is — docs that change,
+    * spans to replace, raw/clean char mass of the changing docs and
+    * the byte delta (placeholders shrink or grow the text). The table
+    * that sizes the rewrite job BEFORE the corpus-wide pass is paid;
+    * all exact integers, sum-merged, so the streaming twin shares the
+    * batch oracle verbatim.
+    */
+  def yieldFromCells(cells: DataFrame): DataFrame = {
+    def k(kind: String) =
+      sum(when(col("kind") === kind, col("cnt")).otherwise(0L))
+    cells.groupBy(col("source")).agg(
+        k("docs_pii").as("n_docs_pii"),
+        (k("email") + k("phone") + k("ip")).as("n_spans"),
+        k("chars_red_in").as("chars_in"),
+        k("chars_red_out").as("chars_out"))
+      .select(col("source"), col("n_docs_pii"), col("n_spans"),
+        col("chars_in"), col("chars_out"),
+        (col("chars_out") - col("chars_in")).as("chars_delta"))
+      .orderBy(col("source"))
+  }
+
+  /** Redaction yield, batch form (q353). */
+  def redactionYield(spark: SparkSession, dir: String): DataFrame =
+    yieldFromCells(piiCellsOf(Tables.documents(spark, dir)))
 
   /** Per-source PII incidence report (q345): docs scanned, docs with
     * any PII, hits by type, and hits per 10k chars — the table that
@@ -171,9 +218,7 @@ object Pii {
     val out = outDir.getOrElse(graft.Caches.trackTempDir(
       java.nio.file.Files.createTempDirectory("graft_pii_copy_"))
       .toString + "/clean")
-    val clean = regexp_replace(regexp_replace(regexp_replace(
-      plantedRaw, TextOps.EmailRx, "<EMAIL>"),
-      TextOps.PhoneRx, "<PHONE>"), TextOps.IpRx, "<IP>")
+    val clean = cleanCol
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         (hits(plantedRaw, TextOps.EmailRx) + hits(plantedRaw, TextOps.PhoneRx)

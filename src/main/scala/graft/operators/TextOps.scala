@@ -1211,10 +1211,30 @@ object TextOps {
   def bpeVocabDrift(spark: SparkSession, dir: String,
       rounds: Int = 3, batchMod: Int = 10,
       batchRem: Int = 9): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    bpeDriftFromWords(spark,
+      wordCountsOf(docs.filter(col("doc_id") % batchMod =!= batchRem)),
+      wordCountsOf(docs), rounds)
+  }
+
+  /** `(w, freq)` word frequencies of a corpus — the BPE trainer's
+    * input grain and the thing that sum-merges across micro-batches.
+    */
+  private[graft] def wordCountsOf(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalytics.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** The q244 drift assembly off explicit snapshot/full word tables —
+    * shared by the batch query and q350's streaming twin (whose full
+    * side is the MAINTAINED word-count state): train both, diff the
+    * merge tables rank by rank.
+    */
+  private[graft] def bpeDriftFromWords(spark: SparkSession,
+      snapWords: DataFrame, fullWords: DataFrame,
+      rounds: Int = 3): DataFrame = {
     import spark.implicits._
-    val (snap, _) = bpeCore(spark, dir, rounds,
-      col("doc_id") % batchMod =!= batchRem)
-    val (full, _) = bpeCore(spark, dir, rounds)
+    val (snap, _) = bpeCoreFromWords(spark, snapWords, rounds)
+    val (full, _) = bpeCoreFromWords(spark, fullWords, rounds)
     (1 to rounds).map { r =>
       val s = snap(r - 1); val f = full(r - 1)
       (r.toLong, s._2, s._3, s._4, f._2, f._3, f._4,
@@ -1224,6 +1244,66 @@ object TextOps {
       .orderBy(col("r"))
   }
 
+  /** `(w, split, cnt)` word frequencies tagged with the q174/q244
+    * corpus split ('snap' = historical, 'batch' = today's crawl) —
+    * ONE maintained state grain that drains BOTH the q350 tokenizer
+    * drift re-training (full = snap + batch summed per word) and the
+    * q352 OOV-pressure report. Sum-merges across micro-batches.
+    */
+  private[graft] def wordSplitCountsOf(docs: DataFrame,
+      batchMod: Int = 10, batchRem: Int = 9): DataFrame =
+    docs.select(explode(TextAnalytics.tokens(col("text"))).as("w"),
+        when(col("doc_id") % batchMod === batchRem, "batch")
+          .otherwise("snap").as("split"))
+      .groupBy(col("w"), col("split")).agg(count(lit(1)).as("cnt"))
+
+  /** `(w, split, cnt)` word-3-gram frequencies tagged with the corpus
+    * split — q352's maintained grain. GRAM grain, not word grain: the
+    * fixture vocabularies fully overlap (word-level OOV is 0 rows —
+    * vacuous), while unseen 3-token SEQUENCES are exactly what
+    * stresses a trained merge table / n-gram LM (the q94 novelty
+    * signal put to tokenizer health).
+    */
+  private[graft] def gramSplitCountsOf(docs: DataFrame,
+      batchMod: Int = 10, batchRem: Int = 9): DataFrame =
+    docs.select(
+        explode(TextAnalytics.positionalShingles(col("text"), 3)).as("w"),
+        when(col("doc_id") % batchMod === batchRem, "batch")
+          .otherwise("snap").as("split"))
+      .groupBy(col("w"), col("split")).agg(count(lit(1)).as("cnt"))
+
+  /** Sequence-novelty (OOV-pressure) report off a (w, split) count
+    * grain (q351/q352): batch 3-gram types ABSENT from the historical
+    * snapshot, with their frequencies, plus the batch gram mass / new
+    * mass / novelty rate as constant audit columns — the "is the
+    * trained tokenizer still adequate for today's crawl" alert (the
+    * q244 drift check's cheap daily sibling: re-training is the
+    * expensive confirm; this is the trigger).
+    */
+  private[graft] def oovFromSplitCounts(counts: DataFrame): DataFrame = {
+    val batch = counts.filter(col("split") === "batch")
+      .select(col("w"), col("cnt").as("freq"))
+      // barrier: feeds the anti join, the token mass AND (via the
+      // anti join) the OOV mass
+      .persist()
+    val snapW = counts.filter(col("split") === "snap").select(col("w"))
+    val newTypes = batch.join(snapW, Seq("w"), "left_anti").persist()
+    val tot = batch.agg(coalesce(sum(col("freq")), lit(0L))
+      .as("n_batch_tokens"))
+    val oov = newTypes.agg(coalesce(sum(col("freq")), lit(0L))
+      .as("oov_tokens"))
+    newTypes.crossJoin(tot).crossJoin(oov)
+      .select(col("w"), col("freq"), col("n_batch_tokens"),
+        col("oov_tokens"),
+        (col("oov_tokens").cast("double") /
+          col("n_batch_tokens").cast("double")).as("oov_rate"))
+      .orderBy(col("freq").desc, col("w"))
+  }
+
+  /** Tokenizer OOV pressure, batch form (q351). */
+  def oovPressure(spark: SparkSession, dir: String): DataFrame =
+    oovFromSplitCounts(gramSplitCountsOf(Tables.documents(spark, dir)))
+
   /** Shared BPE trainer core: runs the merge rounds and returns the
     * learned merge table plus the final per-word symbol table
     * (w, freq, pos, sym). [[bpeMerges]] reports it; [[bpeTokenize]]
@@ -1231,15 +1311,27 @@ object TextOps {
     */
   private def bpeCore(spark: SparkSession, dir: String,
       rounds: Int,
-      docFilter: Column = lit(true)): (Seq[(Long, String, String, Long)], DataFrame) = {
+      docFilter: Column = lit(true)): (Seq[(Long, String, String, Long)], DataFrame) =
+    bpeCoreFromWords(spark,
+      Tables.documents(spark, dir).filter(docFilter)
+        .select(explode(TextAnalytics.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq")),
+      rounds)
+
+  /** The BPE trainer off an explicit `(w, freq)` word-frequency
+    * relation — the q131 training's TRUE input grain, split out
+    * because word frequencies SUM-merge across micro-batches: q350's
+    * streaming twin maintains exactly this table and re-trains at
+    * drain (the corpus text is never rescanned).
+    */
+  private[graft] def bpeCoreFromWords(spark: SparkSession,
+      wordsRaw: DataFrame,
+      rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // persist the vocab: it is the bounded working set every round's
     // driver-side argmax action re-reads — without it each of the
     // `rounds` actions re-runs the corpus-wide word count
-    val words = Tables.documents(spark, dir).filter(docFilter)
-      .select(explode(TextAnalytics.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .persist()
+    val words = wordsRaw.persist()
     var syms = words
       .select(col("w"), col("freq"),
         explode(sequence(lit(0), length(col("w")) - 1)).as("pos"))

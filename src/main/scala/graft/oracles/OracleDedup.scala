@@ -17,7 +17,181 @@ private[graft] object OracleDedup {
     */
   val KCoreRounds = 12
 
+  // shared CTE fragments for the r12-advice-#6 folds (q75/q86/q111/
+  // q112/q116): the q95 md5 shingle/signature chain and the q102
+  // simhash signature chain, reused verbatim so the folded queries
+  // stay bit-aligned with their established families
+  private val mhShingleCtes =
+    "t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+      "x -> x <> '') AS toks FROM documents), " +
+      "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+      "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
+      "e AS (SELECT doc_id, unnest(sh) AS g FROM f)"
+
+  private val mhBand8Ctes =
+    "sig AS (SELECT doc_id, " +
+      "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+      "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+      "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+      "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+      "FROM e GROUP BY doc_id), " +
+      "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
+      "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
+      "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
+      "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig)"
+
+  // NB: BIGRAM tf-weighted majority votes — unigram votes (distinct
+  // or tf) are corpus-distribution-dominated on the fixture
+  // vocabulary and the 15-bit band keys go quadratic; q102's
+  // distinct-unigram signature is a different, deliberately
+  // set-valued contract
+  private val simhashSigCtes =
+    "t AS (SELECT doc_id, list_filter(" +
+      "string_split_regex(text, '\\s+'), x -> x <> '') AS toks " +
+      "FROM documents), " +
+      "f AS (SELECT doc_id, list_transform(range(1, len(toks)), " +
+      "i -> md5(toks[i] || ' ' || toks[i + 1])) AS hs, " +
+      "len(toks) - 1 AS n FROM t WHERE len(toks) > 1), " +
+      "sg AS (SELECT doc_id, array_to_string(list_transform(range(0, 60), b -> " +
+      "CASE WHEN 2 * list_sum(list_transform(hs, h -> " +
+      "CAST(FLOOR((strpos('0123456789abcdef', " +
+      "substr(h, CAST(b // 4 AS INTEGER) + 1, 1)) - 1) / " +
+      "([8,4,2,1][CAST(b % 4 AS INTEGER) + 1])) AS INTEGER) % 2)) >= n " +
+      "THEN '1' ELSE '0' END), '') AS sig FROM f)"
+
   val sql: Map[String, String] = Map(
+    // q75 fold: q102's 60-bit signatures, four 15-bit pigeonhole bands
+    // (Hamming <= 3 leaves >= 1 band intact -> full recall), exact
+    // Hamming verify per candidate
+    "q75_simhash_neardup" ->
+      (s"WITH $simhashSigCtes, " +
+        "bd AS (SELECT doc_id, sig, 0 AS band, substr(sig, 1, 15) AS bk FROM sg " +
+        "UNION ALL SELECT doc_id, sig, 1, substr(sig, 16, 15) FROM sg " +
+        "UNION ALL SELECT doc_id, sig, 2, substr(sig, 31, 15) FROM sg " +
+        "UNION ALL SELECT doc_id, sig, 3, substr(sig, 46, 15) FROM sg), " +
+        "keep AS (SELECT band, bk FROM bd GROUP BY band, bk " +
+        "HAVING COUNT(*) <= 64), " +
+        "kb AS (SELECT bd.doc_id, bd.sig, bd.band, bd.bk FROM bd " +
+        "JOIN keep ON bd.band = keep.band AND bd.bk = keep.bk), " +
+        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, " +
+        "l.sig AS sig_a, r.sig AS sig_b FROM kb l JOIN kb r " +
+        "ON l.band = r.band AND l.bk = r.bk AND l.doc_id < r.doc_id), " +
+        "h AS (SELECT id_a, id_b, CAST(len(list_filter(range(1, 61), i -> " +
+        "substr(sig_a, CAST(i AS INTEGER), 1) <> " +
+        "substr(sig_b, CAST(i AS INTEGER), 1))) AS BIGINT) AS hamming FROM p) " +
+        "SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3 " +
+        "ORDER BY id_a, id_b"),
+    // q86 fold: the q95/q145 chain restricted to batch x corpus pairs
+    // (doc_id%10=9 is "today's crawl") — the incremental candidate
+    // discipline hash-checked
+    "q86_incremental_dedup" ->
+      (s"WITH $mhShingleCtes, $mhBand8Ctes, " +
+        "p AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id " +
+        "FROM band n JOIN band c ON n.band = c.band AND n.bucket = c.bucket " +
+        "WHERE n.doc_id % 10 = 9 AND c.doc_id % 10 <> 9), " +
+        "v AS (SELECT new_id, corpus_id, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) AS la, len(b.sh) AS lb " +
+        "FROM p JOIN f a ON a.doc_id = p.new_id JOIN f b ON b.doc_id = p.corpus_id) " +
+        "SELECT new_id, corpus_id, " +
+        "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard FROM v " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5 " +
+        "ORDER BY new_id, corpus_id"),
+    // q111 fold: TIGHT banding — 16 perms, 4 rows/band (spurious
+    // candidates survive at jaccard^4), hot-bucket cap spelled, and
+    // asymmetric containment |A∩B|/min verification
+    "q111_containment_tight" ->
+      (s"WITH $mhShingleCtes, " +
+        "sig AS (SELECT doc_id, " +
+        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7, " +
+        "MIN(md5(g || '#8')) AS m8, MIN(md5(g || '#9')) AS m9, " +
+        "MIN(md5(g || '#10')) AS m10, MIN(md5(g || '#11')) AS m11, " +
+        "MIN(md5(g || '#12')) AS m12, MIN(md5(g || '#13')) AS m13, " +
+        "MIN(md5(g || '#14')) AS m14, MIN(md5(g || '#15')) AS m15 " +
+        "FROM e GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, 0 AS band, " +
+        "md5(m0 || '|' || m1 || '|' || m2 || '|' || m3) AS bucket FROM sig " +
+        "UNION ALL SELECT doc_id, 1, " +
+        "md5(m4 || '|' || m5 || '|' || m6 || '|' || m7) FROM sig " +
+        "UNION ALL SELECT doc_id, 2, " +
+        "md5(m8 || '|' || m9 || '|' || m10 || '|' || m11) FROM sig " +
+        "UNION ALL SELECT doc_id, 3, " +
+        "md5(m12 || '|' || m13 || '|' || m14 || '|' || m15) FROM sig), " +
+        "keep AS (SELECT band, bucket FROM band GROUP BY band, bucket " +
+        "HAVING COUNT(*) <= 64), " +
+        "kb AS (SELECT band.doc_id, band.band, band.bucket FROM band " +
+        "JOIN keep ON band.band = keep.band AND band.bucket = keep.bucket), " +
+        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+        "FROM kb l JOIN kb r ON l.band = r.band AND l.bucket = r.bucket " +
+        "WHERE l.doc_id < r.doc_id), " +
+        "v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "least(len(a.sh), len(b.sh)) AS mn " +
+        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b) " +
+        "SELECT id_a, id_b, " +
+        "CAST(inter AS DOUBLE) / CAST(mn AS DOUBLE) AS containment FROM v " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(mn AS DOUBLE) >= 0.5 " +
+        "ORDER BY id_a, id_b"),
+    // q112 fold: q119's md5 winnow posting-list candidates + md5
+    // shingle-set containment verify — the embedded-short-in-long
+    // detector fully oracled
+    "q112_containment_asym" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, list_transform(range(1, len(toks) - 1), " +
+        "i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS h " +
+        "FROM t), " +
+        "f AS (SELECT doc_id, CASE WHEN len(h) >= 8 THEN " +
+        "list_distinct(list_transform(range(1, len(h) - 6), " +
+        "j -> list_aggregate(list_slice(h, CAST(j AS INTEGER), " +
+        "CAST(j + 7 AS INTEGER)), 'min'))) " +
+        "ELSE [list_aggregate(h, 'min')] END AS fps " +
+        "FROM g WHERE len(h) > 0), " +
+        "e AS (SELECT doc_id, unnest(fps) AS fp FROM f), " +
+        "cap AS (SELECT fp FROM e GROUP BY fp " +
+        "HAVING COUNT(*) BETWEEN 2 AND 20), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "JOIN cap c ON a.fp = c.fp), " +
+        "r AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared " +
+        "FROM p GROUP BY id_a, id_b HAVING COUNT(*) >= 2), " +
+        "qs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+        "qf AS (SELECT * FROM qs WHERE len(sh) > 0), " +
+        "v AS (SELECT id_a, id_b, n_shared, " +
+        "len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "least(len(a.sh), len(b.sh)) AS mn " +
+        "FROM r JOIN qf a ON a.doc_id = r.id_a JOIN qf b ON b.doc_id = r.id_b) " +
+        "SELECT id_a, id_b, n_shared, " +
+        "CAST(inter AS DOUBLE) / CAST(mn AS DOUBLE) AS containment FROM v " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(mn AS DOUBLE) >= 0.5 " +
+        "ORDER BY id_a, id_b"),
+    // q116 fold: q145's streaming chain with the CORPUS side in the
+    // capped regime (HAVING COUNT(*) <= 2 — the quarantine fires on
+    // the historical side; stream-vs-stream pairs stay uncapped so
+    // the set is micro-batch-split-invariant)
+    "q116_streaming_band_dedup" ->
+      (s"WITH $mhShingleCtes, $mhBand8Ctes, " +
+        "kc AS (SELECT band, bucket FROM band WHERE doc_id % 10 <> 9 " +
+        "GROUP BY band, bucket HAVING COUNT(*) <= 2), " +
+        "pc AS (SELECT n.doc_id AS new_id, c.doc_id AS corpus_id " +
+        "FROM band n JOIN band c ON n.band = c.band AND n.bucket = c.bucket " +
+        "JOIN kc ON c.band = kc.band AND c.bucket = kc.bucket " +
+        "WHERE n.doc_id % 10 = 9 AND c.doc_id % 10 <> 9), " +
+        "ps AS (SELECT n.doc_id AS new_id, c.doc_id AS corpus_id " +
+        "FROM band n JOIN band c ON n.band = c.band AND n.bucket = c.bucket " +
+        "WHERE n.doc_id % 10 = 9 AND c.doc_id % 10 = 9 AND n.doc_id > c.doc_id), " +
+        "p AS (SELECT DISTINCT new_id, corpus_id FROM " +
+        "(SELECT * FROM pc UNION ALL SELECT * FROM ps) u), " +
+        "v AS (SELECT new_id, corpus_id, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) AS la, len(b.sh) AS lb " +
+        "FROM p JOIN f a ON a.doc_id = p.new_id JOIN f b ON b.doc_id = p.corpus_id) " +
+        "SELECT new_id, corpus_id, " +
+        "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard FROM v " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5 " +
+        "ORDER BY new_id, corpus_id"),
     "q28_exact_dedup" ->
       ("SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies " +
         "FROM documents GROUP BY md5(text) ORDER BY keeper"),

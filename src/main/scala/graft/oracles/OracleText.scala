@@ -16,6 +16,68 @@ private[graft] object OracleText {
     * relational spelling as [[TextOps.bpeMerges]], so every
     * intermediate hash-matches.
     */
+  /** q244 / q350: the q131 trainer run TWICE (snapshot = doc_id % 10
+    * <> 9 vs full corpus), merge tables diffed rank by rank —
+    * prefixed CTE chains keep the two trainings independent inside
+    * one query. Shared verbatim by the batch drift check and its
+    * streaming twin off the maintained (w, split) word state.
+    */
+  private def q244DriftSql: String =
+    "WITH swords AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq " +
+      "FROM (SELECT unnest(list_filter(string_split_regex(text, " +
+      "'\\s+'), x -> x <> '')) AS w FROM documents " +
+      "WHERE doc_id % 10 <> 9) GROUP BY w), " +
+      "ss0 AS (SELECT w, freq, CAST(u.p AS BIGINT) AS pos, " +
+      "substr(w, CAST(u.p + 1 AS INT), 1) AS sym " +
+      "FROM swords, unnest(range(len(w))) u(p)), " +
+      bpeRound("ss0", 1, "s") + ", " +
+      bpeRound("ss1", 2, "s") + ", " +
+      bpeRound("ss2", 3, "s") + ", " +
+      "fwords AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq " +
+      "FROM (SELECT unnest(list_filter(string_split_regex(text, " +
+      "'\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY w), " +
+      "fs0 AS (SELECT w, freq, CAST(u.p AS BIGINT) AS pos, " +
+      "substr(w, CAST(u.p + 1 AS INT), 1) AS sym " +
+      "FROM fwords, unnest(range(len(w))) u(p)), " +
+      bpeRound("fs0", 1, "f") + ", " +
+      bpeRound("fs1", 2, "f") + ", " +
+      bpeRound("fs2", 3, "f") + " " +
+      "SELECT r, snap_a, snap_b, snap_cnt, full_a, full_b, full_cnt, " +
+      "CAST(CASE WHEN snap_a = full_a AND snap_b = full_b THEN 1 " +
+      "ELSE 0 END AS BIGINT) AS same_merge FROM (" +
+      (1 to 3).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS r, sb.a AS snap_a, " +
+          s"sb.b AS snap_b, sb.cnt AS snap_cnt, fb.a AS full_a, " +
+          s"fb.b AS full_b, fb.cnt AS full_cnt " +
+          s"FROM sb$r sb CROSS JOIN fb$r fb").mkString(" UNION ALL ") +
+      ") ORDER BY r"
+
+  /** q351 / q352: batch word-3-gram types absent from the snapshot,
+    * with frequencies and the novelty mass/rate audit columns.
+    * GRAM grain — word-level OOV is vacuous on the fixture (0 rows).
+    */
+  private def oovSql: String =
+    "WITH oovtk AS (SELECT doc_id % 10 = 9 AS is_batch, " +
+      "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
+      "AS toks FROM documents), " +
+      "oovt AS (SELECT is_batch, " +
+      "unnest(list_transform(range(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) " +
+      "AS w FROM oovtk), " +
+      "oovb AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq " +
+      "FROM oovt WHERE is_batch GROUP BY w), " +
+      "oovs AS (SELECT DISTINCT w FROM oovt WHERE NOT is_batch), " +
+      "oovn AS (SELECT b.w, b.freq FROM oovb b " +
+      "LEFT JOIN oovs s ON b.w = s.w WHERE s.w IS NULL), " +
+      "oovtot AS (SELECT CAST(COALESCE(SUM(freq), 0) AS BIGINT) " +
+      "AS n_batch_tokens FROM oovb), " +
+      "oovm AS (SELECT CAST(COALESCE(SUM(freq), 0) AS BIGINT) " +
+      "AS oov_tokens FROM oovn) " +
+      "SELECT n.w, n.freq, t.n_batch_tokens, m.oov_tokens, " +
+      "CAST(m.oov_tokens AS DOUBLE) / CAST(t.n_batch_tokens AS DOUBLE) " +
+      "AS oov_rate FROM oovn n CROSS JOIN oovtot t CROSS JOIN oovm m " +
+      "ORDER BY n.freq DESC, n.w"
+
   private def bpeRound(prev: String, r: Int, p: String = ""): String =
     s"${p}n$r AS (SELECT w, freq, pos, sym, " +
       "LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt " +
@@ -353,36 +415,10 @@ private[graft] object OracleText {
         "FROM tw) ORDER BY kind, r, a"),
     // q244: the q131 trainer run TWICE (snapshot = doc_id % 10 <> 9
     // vs full corpus), merge tables diffed rank by rank — prefixed CTE
-    // chains keep the two trainings independent inside one query
-    "q244_bpe_vocab_drift" ->
-      ("WITH swords AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq " +
-        "FROM (SELECT unnest(list_filter(string_split_regex(text, " +
-        "'\\s+'), x -> x <> '')) AS w FROM documents " +
-        "WHERE doc_id % 10 <> 9) GROUP BY w), " +
-        "ss0 AS (SELECT w, freq, CAST(u.p AS BIGINT) AS pos, " +
-        "substr(w, CAST(u.p + 1 AS INT), 1) AS sym " +
-        "FROM swords, unnest(range(len(w))) u(p)), " +
-        bpeRound("ss0", 1, "s") + ", " +
-        bpeRound("ss1", 2, "s") + ", " +
-        bpeRound("ss2", 3, "s") + ", " +
-        "fwords AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq " +
-        "FROM (SELECT unnest(list_filter(string_split_regex(text, " +
-        "'\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY w), " +
-        "fs0 AS (SELECT w, freq, CAST(u.p AS BIGINT) AS pos, " +
-        "substr(w, CAST(u.p + 1 AS INT), 1) AS sym " +
-        "FROM fwords, unnest(range(len(w))) u(p)), " +
-        bpeRound("fs0", 1, "f") + ", " +
-        bpeRound("fs1", 2, "f") + ", " +
-        bpeRound("fs2", 3, "f") + " " +
-        "SELECT r, snap_a, snap_b, snap_cnt, full_a, full_b, full_cnt, " +
-        "CAST(CASE WHEN snap_a = full_a AND snap_b = full_b THEN 1 " +
-        "ELSE 0 END AS BIGINT) AS same_merge FROM (" +
-        (1 to 3).map(r =>
-          s"SELECT CAST($r AS BIGINT) AS r, sb.a AS snap_a, " +
-            s"sb.b AS snap_b, sb.cnt AS snap_cnt, fb.a AS full_a, " +
-            s"fb.b AS full_b, fb.cnt AS full_cnt " +
-            s"FROM sb$r sb CROSS JOIN fb$r fb").mkString(" UNION ALL ") +
-        ") ORDER BY r"),
+    // chains keep the two trainings independent inside one query.
+    // q350 (the streaming twin off the maintained (w, split) word
+    // state) shares this SQL verbatim.
+    "q244_bpe_vocab_drift" -> q244DriftSql,
     // q131's trainer CTEs collapsed to a (word → token count) vocab,
     // then one corpus join — the BPE train→apply composition
     "q134_bpe_tokenize" ->
@@ -1103,8 +1139,41 @@ private[graft] object OracleText {
       "CAST(SUM(n_chars) AS DOUBLE) AS pii_per_10k " +
       "FROM piih GROUP BY source ORDER BY source"
 
+  /** q353 / q354: per-source scrub-job sizing off the planted corpus —
+    * docs that change, spans to replace, raw/clean char mass of the
+    * changing docs and the byte delta.
+    */
+  private def piiYieldSql: String =
+    s"WITH $piiPlantCte, " +
+      "piiy AS (SELECT source, length(raw) AS nr, " +
+      "length(regexp_replace(regexp_replace(regexp_replace(raw, " +
+      s"'$piiEmailRe', '<EMAIL>', 'g'), " +
+      s"'$piiPhoneRe', '<PHONE>', 'g'), " +
+      s"'$piiIpRe', '<IP>', 'g')) AS nc, " +
+      s"len(regexp_extract_all(raw, '$piiEmailRe')) + " +
+      s"len(regexp_extract_all(raw, '$piiPhoneRe')) + " +
+      s"len(regexp_extract_all(raw, '$piiIpRe')) AS spans FROM piidocs) " +
+      "SELECT source, " +
+      "CAST(SUM(CASE WHEN spans > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_docs_pii, " +
+      "CAST(SUM(spans) AS BIGINT) AS n_spans, " +
+      "CAST(SUM(CASE WHEN spans > 0 THEN nr ELSE 0 END) AS BIGINT) " +
+      "AS chars_in, " +
+      "CAST(SUM(CASE WHEN spans > 0 THEN nc ELSE 0 END) AS BIGINT) " +
+      "AS chars_out, " +
+      "CAST(SUM(CASE WHEN spans > 0 THEN nc ELSE 0 END) - " +
+      "SUM(CASE WHEN spans > 0 THEN nr ELSE 0 END) AS BIGINT) " +
+      "AS chars_delta " +
+      "FROM piiy GROUP BY source ORDER BY source"
+
   private val sql2: Map[String, String] = Map(
     "q345_pii_incidence" -> piiIncidenceSql,
+    // block 19: tokenizer health + scrub sizing
+    "q350_streaming_bpe_drift" -> q244DriftSql,
+    "q351_oov_pressure" -> oovSql,
+    "q352_streaming_oov_pressure" -> oovSql,
+    "q353_redaction_yield" -> piiYieldSql,
+    "q354_streaming_redaction_yield" -> piiYieldSql,
     "q346_pii_contact_extract" ->
       ("WITH piicl AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN " +
         "' 555-' || lpad(CAST(doc_id % 97 AS VARCHAR), 4, '0') || " +

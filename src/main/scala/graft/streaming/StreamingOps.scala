@@ -836,7 +836,9 @@ object StreamingOps {
     */
   def streamingBandDedupOracled(spark: SparkSession, dir: String,
       batchMod: Int = 10, batchRem: Int = 9,
-      stateRoot: Option[String] = None): DataFrame = {
+      stateRoot: Option[String] = None,
+      corpusCap: Int = graft.operators.Dedup.BandBucketCap,
+      opName: String = "band_dedup_md5"): DataFrame = {
     import graft.operators.Dedup
     import graft.sources.Tables
     val isBatch = col("doc_id") % batchMod === batchRem
@@ -850,7 +852,7 @@ object StreamingOps {
     val corpusBandsRaw = Dedup.md5BandedSignatures(
         Dedup.md5ShingledDocs(Tables.documents(spark, dir).filter(!isBatch)))
       .persist()
-    val corpusBands = Dedup.capHotBuckets(corpusBandsRaw)
+    val corpusBands = Dedup.capHotBuckets(corpusBandsRaw, corpusCap)
       .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
       .persist()
     val allSh = Dedup.md5ShingledDocs(Tables.documents(spark, dir)).persist()
@@ -859,7 +861,7 @@ object StreamingOps {
       try corpusBands.unpersist(false) catch { case _: Throwable => () }
       try allSh.unpersist(false) catch { case _: Throwable => () }
     })
-    val root = effectiveRoot(stateRoot, "band_dedup_md5")
+    val root = effectiveRoot(stateRoot, opName)
     val streamBandTab = stateDir(root, "bands")
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -885,7 +887,7 @@ object StreamingOps {
         StreamState.recover(ss, streamBandTab)
         bb.write.mode("append").parquet(streamBandTab)
         StreamState.maybeCompact(ss, streamBandTab,
-          tag = "band_dedup_md5/bands")
+          tag = s"$opName/bands")
         // both moving sides capped, as in the production twin
         val newBands = Dedup.capHotBuckets(bb)
           .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
@@ -3077,6 +3079,64 @@ object StreamingOps {
       stateRoot: Option[String] = None): DataFrame =
     graft.operators.Pii.incidenceFromCells(
       docCountState(spark, "pii_incidence", Seq("source", "kind"),
+        graft.operators.Pii.piiCellsOf,
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
+
+  /** Streaming tokenizer-drift alert (q350): q244's BPE re-training
+    * off the MAINTAINED (w, split) word-frequency state — word counts
+    * sum-merge per micro-batch, and at drain the snapshot side trains
+    * from the 'snap' rows while the full side trains from both splits
+    * summed per word, so q244's SQL is the oracle for ANY
+    * micro-batching. The corpus text is never rescanned: re-training
+    * cost is vocab-grain (r12 verdict #8's incremental
+    * tokenizer-drift ask).
+    */
+  def streamingBpeDrift(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.TextOps
+    val state = docCountState(spark, "bpe_drift", Seq("w", "split"),
+      d => TextOps.wordSplitCountsOf(d),
+      sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+      stateRoot)
+      // barrier: both trainings and the per-word sum read the state
+      .persist()
+    TextOps.bpeDriftFromWords(spark,
+      state.filter(col("split") === "snap")
+        .select(col("w"), col("cnt").as("freq")),
+      state.groupBy(col("w")).agg(sum(col("cnt")).as("freq")))
+  }
+
+  /** Streaming sequence-novelty alert (q352): q351 off a maintained
+    * (3-gram, split) count state — gram counts sum-merge per
+    * micro-batch and the drain runs the same report, so q351's SQL is
+    * the oracle for ANY micro-batching.
+    */
+  def streamingOovPressure(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.TextOps.oovFromSplitCounts(
+      docCountState(spark, "oov_pressure", Seq("w", "split"),
+        d => graft.operators.TextOps.gramSplitCountsOf(d),
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
+
+  /** Streaming redaction-yield forecast (q354): q353 off the SAME
+    * (source, kind) detector cells as q349 — the two extra
+    * char-mass kinds sum-merge identically. Shares q353's SQL.
+    */
+  def streamingRedactionYield(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.Pii.yieldFromCells(
+      docCountState(spark, "pii_yield", Seq("source", "kind"),
         graft.operators.Pii.piiCellsOf,
         sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
         stateRoot))

@@ -204,6 +204,31 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("Md5MajoritySignature == hex-nibble-decode reference") {
+    import org.apache.spark.sql.graft.Md5MajoritySignature
+    check(Prop.forAll(Gen.listOf(token), Gen.choose(1, 128)) { (grams, bits) =>
+      val got = Option(Md5MajoritySignature.compute(
+        new GenericArrayData(grams.map(UTF8String.fromString).toArray),
+        bits)).map(_.toString)
+      if (grams.isEmpty) got.isEmpty
+      else {
+        // the oracle/HOF decode: nibble = hex char at b/4, then
+        // floor(nibble / [8,4,2,1][b%4]) % 2
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexes = grams.map(g => md.digest(
+          g.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        val expected = (0 until bits).map { b =>
+          val ones = hexes.count { h =>
+            val nib = Integer.parseInt(h.charAt(b / 4).toString, 16)
+            (nib / Seq(8, 4, 2, 1)(b % 4)) % 2 == 1
+          }
+          if (2 * ones >= grams.size) '1' else '0'
+        }.mkString
+        got.contains(expected)
+      }
+    })
+  }
+
   test("SimHash64 == per-bit majority reference") {
     check(Prop.forAll(text) { s =>
       val hs = refTokens(s).map { t =>
