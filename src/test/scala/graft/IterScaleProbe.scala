@@ -38,7 +38,12 @@ object IterScaleProbe {
       .filter(col("a") =!= col("b"))
     for ((tag, n, m) <- Seq(("1x", 100000L, 400000L),
         ("10x", 1000000L, 4000000L))) {
-      val ed = graph(n, m).localCheckpoint(true) // gen cost out of loops
+      // regenerated per probe: Caches.releaseAll between timings
+      // frees ALL persisted blocks including a lineage-truncated
+      // checkpoint, so a shared edge frame would die after the first
+      // probe; generation is a range projection (~free) and is part
+      // of every probe uniformly
+      def ed = graph(n, m)
       time(s"cc_$tag") {
         operators.Dedup.connectedComponents(
           ed.select(col("a").as("src"), col("b").as("dst"))).count()
@@ -58,15 +63,17 @@ object IterScaleProbe {
           ed.select(col("a").as("c"), col("b").as("s")).distinct(),
           2).count()
       }
-      ed.unpersist(true)
     }
     for ((tag, k) <- Seq(("1x", 100), ("10x", 1000))) {
-      // dense k-state transition counts (k^2 cells)
+      // dense k-state transition counts (k^2 cells) over ONE state
+      // space — every state needs outgoing mass or the stationary
+      // normalization rightly throws (q338's chains are event types
+      // observed as both source and target)
       val counts = spark.range(k.toLong * k).select(
           concat(lit("s"), col("id") % k).as("from_type"),
-          concat(lit("t"), col("id") / k).as("to_type"),
+          // Column./ is DOUBLE division — floor back to the k states
+          concat(lit("s"), floor(col("id") / k)).as("to_type"),
           (pmod(xxhash64(col("id")), lit(100)) + 1).as("n"))
-        .localCheckpoint(true)
       time(s"markov_$tag") {
         operators.Sessionize.stationaryFromCounts(spark, counts, 10).count()
       }
