@@ -955,6 +955,24 @@ object Registry {
     // oracle
     "q354_streaming_redaction_yield" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingRedactionYield(s, d)),
+    // block 20 (r12 verdict #8): lineage/provenance over the versioned
+    // ledgers — which batch fed which state version fed which report
+    "q355_lineage_manifest" -> ((s, d) =>
+      graft.streaming.Provenance.ledgerManifest(s, d)),
+    // which micro-batch FIRST introduced each state key — min-merged
+    // provenance riding the existing cell merge
+    "q356_first_writer_provenance" -> ((s, d) =>
+      graft.streaming.Provenance.firstWriterProvenance(s, d)),
+    // q345's report + the (state_version, state_batch) it drained from
+    "q357_report_lineage_binding" -> ((s, d) =>
+      graft.streaming.Provenance.incidenceWithLineage(s, d)),
+    // version-pinned time travel: the per-source state AS OF version 1
+    "q358_state_asof_version" -> ((s, d) =>
+      graft.streaming.Provenance.stateAsOfVersion(s, d)),
+    // every ingested doc accounted for in the final state (full outer
+    // join so one-sided keys surface)
+    "q359_lineage_conservation" -> ((s, d) =>
+      graft.streaming.Provenance.lineageConservation(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -966,7 +984,8 @@ object Registry {
     val parts = Seq(
       oracles.OracleEtl.sql, oracles.OracleRelational.sql,
       oracles.OracleText.sql, oracles.OracleDedup.sql,
-      oracles.OracleAnn.sql, oracles.OracleStreamMedia.sql)
+      oracles.OracleAnn.sql, oracles.OracleStreamMedia.sql,
+      oracles.OracleProvenance.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

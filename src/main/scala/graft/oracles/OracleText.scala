@@ -1123,7 +1123,7 @@ private[graft] object OracleText {
   private val piiPhoneRe = "\\+1-\\d{3}-\\d{4}"
   private val piiIpRe = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
 
-  private def piiIncidenceSql: String =
+  private[oracles] def piiIncidenceSql: String =
     s"WITH $piiPlantCte, " +
       "piih AS (SELECT source, length(raw) AS n_chars, " +
       s"len(regexp_extract_all(raw, '$piiEmailRe')) AS n_email, " +

@@ -1,0 +1,243 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Lineage / provenance over versioned-ledger state tables (q355–q359,
+  * r12 verdict #8's "query-able lineage/provenance manifest").
+  *
+  * Every durable streaming state in this library is persisted as a
+  * versioned ledger whose version dirs carry their source micro-batch
+  * id in the NAME (`b<n>_<batchId>`, [[StreamingOps.VersionedLedger]])
+  * — so "which data fed which state version fed which report" is
+  * already recorded on disk, atomically with each version's own
+  * `_SUCCESS`. This object turns that record into first-class queries:
+  * the manifest (version → batch → state rollup), per-key first-writer
+  * provenance, report→version binding, version-pinned time travel, and
+  * the conservation audit.
+  *
+  * The reference keeps no such record — a crashed run is re-run from
+  * the watermark and history is overwritten in place
+  * (/root/reference/src/services/saveToPostgres.js:249-252 re-registers
+  * Redis keys after every batch); the ledger versions are what a
+  * Spark-first deployment keeps instead, and these queries are how an
+  * operator interrogates them.
+  *
+  * Oracle-ability: a manifest is batch-DEPENDENT, so the query forms
+  * drive a probe pipeline over [[StreamingOps.idRangeSplitSource]]'s
+  * deterministic 3-batch id-range split (the reference's keyset-
+  * pagination arrival order) — micro-batch k is exactly the k-th id
+  * range, `(doc_id − lo) // span` in DuckDB, and a fresh checkpoint
+  * numbers batches 0,1,2. The library forms ([[committedVersions]],
+  * [[manifestOf]]) work against ANY ledger root.
+  *
+  * 100 TB shape: the manifest never rescans the corpus — it lists
+  * version dir NAMES (≤ #versions) and reads version parquet at state
+  * grain (≤ #keys rows each); first-writer provenance is one extra
+  * min-merged column riding the existing cell merge; time travel is a
+  * version-pinned read. Driver-side collection is bounded by
+  * #versions (3 here), the same ≤ #partitions discipline as the
+  * two-phase prefix sums.
+  */
+object Provenance {
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** All COMMITTED versions under a versioned-ledger root, in version
+    * order: (version, source micro-batch id, path). Uncommitted dirs
+    * (no `_SUCCESS` — a crash mid-write) are excluded, mirroring
+    * [[StreamingOps.latestVersion]]'s resume rule; legacy `b<n>` dirs
+    * parse with batch id −1 = unknown.
+    */
+  def committedVersions(spark: SparkSession,
+      root: String): Seq[(Long, Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("b"))
+      .flatMap { n =>
+        val body = n.drop(1)
+        val (vStr, bStr) = body.span(_ != '_')
+        vStr.toLongOption.map(v => (v,
+          if (bStr.isEmpty) -1L
+          else bStr.drop(1).toLongOption.getOrElse(-1L),
+          s"$root/$n"))
+      }
+      .filter { case (_, _, path) => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")) }
+      .sortBy(_._1).toSeq
+  }
+
+  /** The library manifest: one row per committed version of the ledger
+    * at `root` — (version, batch_id, n_rows). Works against any
+    * versioned-ledger root; the oracled query form is [[ledgerManifest]].
+    */
+  def manifestOf(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    committedVersions(spark, root)
+      .map { case (v, b, path) =>
+        (v, b, spark.read.parquet(path).count())
+      }
+      .toDF("version", "batch_id", "n_rows")
+      .orderBy(col("version"))
+  }
+
+  /** Per-batch (source → doc count) cells — the probe state's stat. */
+  private def sourceCounts(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+
+  /** The probe pipeline every query in the family drives: a cell-grain
+    * state (`keys` → summed `cnt`, optionally a min-merged
+    * `first_batch`) maintained over the deterministic 3-batch id-range
+    * split of `documents`, persisted as a versioned ledger with the
+    * standard replay gate. Returns (final drained state, ledger root).
+    */
+  private def splitLedger(spark: SparkSession, dir: String, op: String,
+      keys: Seq[String], stat: DataFrame => DataFrame,
+      firstBatchCol: Boolean = false): (DataFrame, String) = {
+    val streamDir = StreamingOps.idRangeSplitSource(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars")), 3)
+    val root = graft.Caches.trackTempDir(
+      Files.createTempDirectory(s"graft_${op}_state_")).toString
+    val ledgerRoot = s"$root/state"
+    val ledger =
+      new StreamingOps.VersionedLedger(spark, ledgerRoot, Some(root))
+    val stream = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val w = stream.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (!ledger.isReplayed(id)) {
+          val bc = stat(batch.toDF())
+          val bCells =
+            if (firstBatchCol) bc.withColumn("first_batch", lit(id))
+            else bc
+          val merged =
+            if (ledger.isEmpty) bCells
+            else {
+              val aggs =
+                if (firstBatchCol)
+                  Seq(sum(col("cnt")).as("cnt"),
+                    min(col("first_batch")).as("first_batch"))
+                else Seq(sum(col("cnt")).as("cnt"))
+              ss.read.parquet(ledger.path).unionByName(bCells)
+                .groupBy(keys.map(col): _*)
+                .agg(aggs.head, aggs.tail: _*)
+            }
+          ledger.write(merged, id)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    StreamingOps.startWithCheckpoint(w, Some(root)).awaitTermination()
+    (spark.read.parquet(ledger.path), ledgerRoot)
+  }
+
+  /** Ledger lineage manifest (q355): which micro-batch produced which
+    * state version, with each version's state rolled up — the record
+    * an incident review reads first ("the bad report came from
+    * version 1; version 1 folded batch 1; batch 1 was ids X..Y").
+    * Versions carry a CUMULATIVE state, so n_sources / n_docs grow
+    * monotonically along the version axis — the oracle pins all three
+    * prefixes exactly.
+    */
+  def ledgerManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, root) = splitLedger(spark, dir, "lineage_manifest",
+      Seq("source"), sourceCounts)
+    committedVersions(spark, root)
+      .map { case (v, b, path) =>
+        val r = spark.read.parquet(path)
+          .agg(count(lit(1)), sum(col("cnt"))).collect()(0)
+        (v, b, r.getLong(0), r.getLong(1))
+      }
+      .toDF("version", "batch_id", "n_sources", "n_docs")
+      .orderBy(col("version"))
+  }
+
+  /** First-writer provenance (q356): for every state key, the
+    * micro-batch that FIRST introduced it — `min(first_batch)` merges
+    * associatively alongside the cell sums, so provenance rides the
+    * existing state for one extra column. The question it answers:
+    * "when did this source first appear?" without replaying history.
+    */
+  def firstWriterProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val (state, _) = splitLedger(spark, dir, "first_writer",
+      Seq("source"), sourceCounts, firstBatchCol = true)
+    state.select(col("source"), col("first_batch"),
+        col("cnt").as("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** Report→version binding (q357): the q345 PII incidence report with
+    * the state version and source batch id it was drained from — the
+    * two columns that make a shipped report REPRODUCIBLE (re-read that
+    * version, get that report). The oracle pins the report body via
+    * q345's SQL and the binding via the deterministic batch plan.
+    */
+  def incidenceWithLineage(spark: SparkSession, dir: String): DataFrame = {
+    val (state, root) = splitLedger(spark, dir, "bound_incidence",
+      Seq("source", "kind"), d => graft.operators.Pii.piiCellsOf(d))
+    val (v, b, _) = committedVersions(spark, root).last
+    graft.operators.Pii.incidenceFromCells(state)
+      .withColumn("state_version", lit(v))
+      .withColumn("state_batch", lit(b))
+  }
+
+  /** Version-pinned time travel (q358): the per-source state AS OF an
+    * earlier version — reproducing yesterday's numbers from today's
+    * ledger, the actual USE of keeping versions. Version `version`
+    * holds exactly batches 0..version of the deterministic split, so
+    * the oracle is the same report with the id-range predicate.
+    * A missing version fails loudly — silently answering from a
+    * different version is the one wrong behavior here.
+    */
+  def stateAsOfVersion(spark: SparkSession, dir: String,
+      version: Long = 1L): DataFrame = {
+    val (_, root) = splitLedger(spark, dir, "asof_version",
+      Seq("source"), sourceCounts)
+    val path = committedVersions(spark, root).find(_._1 == version)
+      .map(_._3)
+      .getOrElse(sys.error(
+        s"state version $version is not committed under $root"))
+    spark.read.parquet(path)
+      .select(col("source"), col("cnt").as("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** Lineage conservation audit (q359): every ingested document is
+    * accounted for in the final state — per source, state count vs a
+    * fresh batch count of the raw table, full-outer joined so a key
+    * present on only ONE side still surfaces (the failure mode that
+    * matters). The audit a 24/7 pipeline runs after every resume.
+    */
+  def lineageConservation(spark: SparkSession, dir: String): DataFrame = {
+    val (state, _) = splitLedger(spark, dir, "conservation",
+      Seq("source"), sourceCounts)
+    val raw = Tables.documents(spark, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"))
+    state.select(col("source"), col("cnt").as("n_state"))
+      .join(raw, Seq("source"), "full")
+      .select(col("source"),
+        coalesce(col("n_state"), lit(0L)).as("n_state"),
+        coalesce(col("n_raw"), lit(0L)).as("n_raw"),
+        (coalesce(col("n_state"), lit(0L)) ===
+          coalesce(col("n_raw"), lit(0L))).as("conserved"))
+      .orderBy(col("source"))
+  }
+}

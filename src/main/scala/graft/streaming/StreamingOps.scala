@@ -132,7 +132,7 @@ object StreamingOps {
     * batch commit replays that batch, and [[VersionedLedger.isReplayed]]
     * is the gate that keeps the replay from being folded twice.
     */
-  private def startWithCheckpoint(
+  private[streaming] def startWithCheckpoint(
       w: org.apache.spark.sql.streaming.DataStreamWriter[Row],
       root: Option[String]): org.apache.spark.sql.streaming.StreamingQuery =
     root.fold(w)(r => w.option("checkpointLocation", s"$r/_checkpoint"))
@@ -195,7 +195,7 @@ object StreamingOps {
     * Without a durable root there is no checkpoint and no replay;
     * the gate degenerates to always-fold.
     */
-  private final class VersionedLedger(spark: SparkSession,
+  private[streaming] final class VersionedLedger(spark: SparkSession,
       ledgerRoot: String, root: Option[String]) {
     private val (base, committedPath, committedBatch) =
       root.map(_ => latestVersion(spark, ledgerRoot))
@@ -1778,6 +1778,44 @@ object StreamingOps {
       rungs)
   }
 
+  /** Write `docs` as `nSplits` id-range parquet files under a tracked
+    * temp dir with PINNED ascending mtimes — a deterministic
+    * multi-batch stream source mirroring the reference's keyset-
+    * pagination arrival order
+    * (/root/reference/src/services/fetchContact.js:5-11). File k holds
+    * doc_ids in [lo + k·span, lo + (k+1)·span) with
+    * span = (hi − lo + nSplits) div nSplits (the last file extends to
+    * hi), so with `maxFilesPerTrigger = 1` micro-batch k is EXACTLY
+    * the k-th id range — arithmetic a DuckDB oracle can reproduce
+    * (`(doc_id − lo) // span`), which is what makes batch-DEPENDENT
+    * facts (lineage manifests, first-writer provenance) oracle-able.
+    * The mtime epoch is fixed: only the order matters.
+    */
+  private[streaming] def idRangeSplitSource(spark: SparkSession,
+      docsRaw: DataFrame, nSplits: Int): String = {
+    val docs = docsRaw.persist()
+    val srcRoot = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_idsplit_src_")).toString
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, (hi - lo + nSplits) / nSplits)
+    val baseMtime = 1700000000000L
+    (0 until nSplits).foreach { k =>
+      val upper = if (k == nSplits - 1) hi + 1 else lo + (k + 1) * span
+      docs.filter(col("doc_id") >= lo + k * span && col("doc_id") < upper)
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/w")
+      val part = new java.io.File(s"$srcRoot/w").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$srcRoot/stream/s$k.parquet")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      // id-ordered arrival (the exact-dedup contract): ascending mtimes
+      dest.setLastModified(baseMtime + k * 60000L)
+    }
+    docs.unpersist(false)
+    s"$srcRoot/stream"
+  }
+
   /** Compaction telemetry as a query (q242) — the q168 skew-telemetry
     * discipline applied to the state LIFECYCLE (r10 verdict #5): a
     * 24/7 operator needs to SEE state health (files collapsing, rows
@@ -1796,35 +1834,17 @@ object StreamingOps {
       nSplits: Int = 4): DataFrame = {
     import graft.sources.Tables
     val tag = "telemetry_probe/registry"
-    val srcRoot = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_teleprobe_src_")).toString
     val probeRoot = graft.Caches.trackTempDir(
       Files.createTempDirectory("graft_teleprobe_state_")).toString
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        col("n_chars"))
-      .persist()
-    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val span = math.max(1L, (hi - lo + nSplits) / nSplits)
-    val baseMtime = 1700000000000L // fixed epoch: only the ORDER matters
-    (0 until nSplits).foreach { k =>
-      val upper = if (k == nSplits - 1) hi + 1 else lo + (k + 1) * span
-      docs.filter(col("doc_id") >= lo + k * span && col("doc_id") < upper)
-        .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/w")
-      val part = new java.io.File(s"$srcRoot/w").listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(s"$srcRoot/stream/s$k.parquet")
-      dest.getParentFile.mkdirs()
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      // id-ordered arrival (the exact-dedup contract): ascending mtimes
-      dest.setLastModified(baseMtime + k * 60000L)
-    }
-    docs.unpersist(false)
+    val streamDir = idRangeSplitSource(spark,
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")),
+      nSplits)
     // drain the registry flow with a threshold small enough that
     // mid-run compactions actually fire on the 4-batch run
     streamingExactDedup(spark, dir,
-      sourceDir = Some(s"$srcRoot/stream"), sourceGlob = "*.parquet",
+      sourceDir = Some(streamDir), sourceGlob = "*.parquet",
       maxFilesPerTrigger = Some(1),
       stateRoot = Some(probeRoot), stateCompactMaxFiles = 2).count()
     // drain-time forced compaction: its telemetry row is the
