@@ -973,6 +973,21 @@ object Registry {
     // join so one-sided keys surface)
     "q359_lineage_conservation" -> ((s, d) =>
       graft.streaming.Provenance.lineageConservation(s, d)),
+    // block 21: split hygiene — the mix-mass table, the near-dup leak
+    // matrix, the group-safe fix, its migration cost, a streaming twin
+    "q360_split_mass" -> ((s, d) => Splits.splitMassReport(s, d)),
+    // verified near-dup pairs by the split pair they straddle (rides
+    // the shared dup-edge artifact)
+    "q361_split_leakage_matrix" -> ((s, d) =>
+      Splits.splitLeakageMatrix(s, d)),
+    // assign by near-dup component: cross-split edges computed -> 0
+    "q362_group_safe_split" -> ((s, d) => Splits.groupSafeSplit(s, d)),
+    // what adopting the fix costs: the doc-hash -> group transition
+    // matrix
+    "q363_split_migration" -> ((s, d) => Splits.splitMigration(s, d)),
+    // q360 off maintained (source, split, kind) cells — shares its SQL
+    "q364_streaming_split_mass" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingSplitMass(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -985,7 +1000,7 @@ object Registry {
       oracles.OracleEtl.sql, oracles.OracleRelational.sql,
       oracles.OracleText.sql, oracles.OracleDedup.sql,
       oracles.OracleAnn.sql, oracles.OracleStreamMedia.sql,
-      oracles.OracleProvenance.sql)
+      oracles.OracleProvenance.sql, oracles.OracleSplits.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

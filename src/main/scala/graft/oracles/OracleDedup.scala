@@ -1240,7 +1240,7 @@ private[graft] object OracleDedup {
         "ROW_NUMBER() OVER (PARTITION BY u ORDER BY cnt DESC, lbl) " +
         s"AS rn FROM n$i) WHERE rn = 1)").mkString(", ")
 
-  private def dupGraphCte: String =
+  private[oracles] def dupGraphCte: String =
       "WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
         "x -> x <> '') AS toks FROM documents), " +
         "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
@@ -1313,7 +1313,13 @@ private[graft] object OracleDedup {
       "CAST(sm.m * sm.sjj - sm.sj * sm.sj AS DOUBLE) END AS assort " +
       "FROM hist CROSS JOIN tt CROSS JOIN sm ORDER BY hist.degree"
 
-  private def q193Sql: String =
+  /** The q193 chain up to `cl(id, cluster)` — the recursive min-label
+    * closure over the verified dup edges, reused by the split-hygiene
+    * family (q362) for its group-safe assignment grain. Intermediate
+    * CTEs `pj` (directed verified pairs, id_a < id_b) and `e2`
+    * (symmetric) are part of the reusable surface.
+    */
+  private[oracles] def q193ClusterCtes: String =
       ("WITH RECURSIVE t AS (SELECT doc_id, " +
         "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
         "AS toks FROM documents), " +
@@ -1343,8 +1349,11 @@ private[graft] object OracleDedup {
         "UNION ALL SELECT id_b, id_a FROM pj), " +
         "lab AS (SELECT doc_id AS id, doc_id AS lbl FROM documents " +
         "UNION SELECT e2.a, lab.lbl FROM lab, e2 WHERE lab.id = e2.b), " +
-        "cl AS (SELECT id, MIN(lbl) AS cluster FROM lab GROUP BY id) " +
-        "SELECT d.doc_id, cl.cluster, " +
+        "cl AS (SELECT id, MIN(lbl) AS cluster FROM lab GROUP BY id)")
+
+  private def q193Sql: String =
+      (q193ClusterCtes +
+        " SELECT d.doc_id, cl.cluster, " +
         "CAST(COUNT(*) OVER (PARTITION BY cl.cluster) AS BIGINT) " +
         "AS n_members " +
         "FROM documents d JOIN cl ON cl.id = d.doc_id ORDER BY d.doc_id")

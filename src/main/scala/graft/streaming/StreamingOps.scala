@@ -3103,6 +3103,24 @@ object StreamingOps {
         sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
         stateRoot))
 
+  /** Streaming split-mass maintenance (q364): q360's (source, split,
+    * kind) cells sum-merge per micro-batch — the training-mix table
+    * kept current as documents arrive. Assignment is the stateless
+    * q136 hash rule, so a doc's split never depends on WHICH batch
+    * carried it and q360's SQL is the oracle for ANY micro-batching.
+    */
+  def streamingSplitMass(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.Splits.massFromCells(
+      docCountState(spark, "split_mass", Seq("source", "split", "kind"),
+        d => graft.operators.Splits.splitCells(
+          d.select(col("doc_id"), col("source"), col("n_chars"))),
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
+
   /** Streaming tokenizer-drift alert (q350): q244's BPE re-training
     * off the MAINTAINED (w, split) word-frequency state — word counts
     * sum-merge per micro-batch, and at drain the snapshot side trains
