@@ -988,6 +988,27 @@ object Registry {
     // q360 off maintained (source, split, kind) cells — shares its SQL
     "q364_streaming_split_mass" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingSplitMass(s, d)),
+    // block 22: the remaining classic decision-support shapes
+    // TPC-H Q6: one filtered scan, one decimal sum — the canonical
+    // pushdown row; discount band in integer cents
+    "q365_forecast_revenue" -> ((s, d) => Analytics.forecastRevenue(s, d)),
+    // TPC-H Q13: recent order-count histogram, zero bucket via left join
+    "q366_order_count_distribution" -> ((s, d) =>
+      Analytics.orderCountDistribution(s, d)),
+    // TPC-H Q18: per-order quantity >= 250, customer resolved at drain
+    "q367_large_volume_customers" -> ((s, d) =>
+      Analytics.largeVolumeCustomers(s, d)),
+    // TPC-H Q22: above-positive-mean balances with no recent orders;
+    // the mean compares cross-multiplied (no division)
+    "q368_idle_balance_audit" -> ((s, d) =>
+      Analytics.idleBalanceAudit(s, d)),
+    // Q6 per micro-batch: the single cell sum-merges — shares q365's
+    "q369_streaming_forecast_revenue" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingForecastRevenue(s, d)),
+    // Q18 per micro-batch: per-order sums merge across batch-spanning
+    // orders — shares q367's
+    "q370_streaming_large_volume" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingLargeVolume(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -1318,4 +1318,123 @@ object Analytics {
         sum(col("ext")).cast("double").as("revenue"))
       .orderBy(col("p_brand"))
   }
+
+  /** TPC-H Q6-shaped forecast revenue (q365): one filtered scan, one
+    * global decimal sum — the canonical pushdown row (every predicate
+    * reaches the parquet scan; no join, no shuffle beyond the final
+    * 1-row fold). The discount band compares in integer CENTS
+    * (round(d·100) ∈ [5,7]) so the band edges cannot drift between
+    * engines on double representation.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    forecastFinish(forecastStatOf(Tables.lineitem(spark, dir)))
+
+  /** The q365 mergeable statistic: one (decimal revenue, line count)
+    * cell — q369's streaming state.
+    */
+  private[graft] def forecastStatOf(li: DataFrame): DataFrame =
+    li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz")
+        && round(col("l_discount") * 100).cast("int").between(5, 7)
+        && col("l_quantity") < 24)
+      .agg(coalesce(sum(dec(col("l_extendedprice")) *
+          rate(col("l_discount"))), lit(0).cast("decimal(22,4)"))
+        .as("sr"),
+        count(lit(1)).as("n"))
+
+  private[graft] def forecastMerge(rows: DataFrame): DataFrame =
+    rows.agg(sum(col("sr")).as("sr"), sum(col("n")).as("n"))
+
+  private[graft] def forecastFinish(sums: DataFrame): DataFrame =
+    sums.select(col("sr").cast("double").as("revenue"),
+      col("n").as("n_lines"))
+
+  /** TPC-H Q13-shaped order-count distribution (q366): how many
+    * customers placed exactly k recent orders — the engagement
+    * histogram (zero-order customers included via the left join, the
+    * bucket the inner-join version silently drops).
+    *
+    * 100 TB shape: one shuffle on the customer key to the per-customer
+    * count, then a ≤ #distinct-counts-row aggregate.
+    */
+  def orderCountDistribution(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >=
+        lit("2000-01-01").cast("timestamp_ntz"))
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(col("n_custs").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q18-shaped large-volume customers (q367): orders whose
+    * total line quantity reaches 250, with their customer. Quantity
+    * sums in the q16 decimal discipline; total order (qty desc,
+    * orderkey) makes the report deterministic.
+    */
+  def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame =
+    largeVolumeFinish(spark, dir,
+      volumeStatOf(Tables.lineitem(spark, dir)))
+
+  /** The q367 mergeable statistic: per-order decimal quantity sum +
+    * line count — q370's streaming state (order grain, ≤ #orders
+    * rows; dims join at drain).
+    */
+  private[graft] def volumeStatOf(li: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"),
+        count(lit(1)).as("nl"))
+
+  private[graft] def volumeMerge(rows: DataFrame): DataFrame =
+    rows.groupBy(col("l_orderkey"))
+      .agg(sum(col("sq")).as("sq"), sum(col("nl")).as("nl"))
+
+  private[graft] def largeVolumeFinish(spark: SparkSession, dir: String,
+      sums: DataFrame): DataFrame =
+    sums.filter(col("sq") >= lit(250))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate"), col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_totalprice"),
+        col("sq").cast("double").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+
+  /** TPC-H Q22-shaped idle-balance audit (q368): high-balance
+    * customers with NO recent orders, rolled up per market segment —
+    * the dormant-capital report. "High" is above the positive-balance
+    * mean, compared CROSS-MULTIPLIED (bal·n_pos > Σ_pos — the q319
+    * discipline) so no division ever happens and the threshold is
+    * exact in both engines.
+    *
+    * 100 TB shape: the mean's (Σ, n) is one broadcast row; the recent
+    * set joins anti at customer grain; the rollup is ≤ #segments rows.
+    */
+  def idleBalanceAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val posStat = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("sp"), count(lit(1)).as("np"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >=
+        lit("2001-01-01").cast("timestamp_ntz"))
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    cust.crossJoin(broadcast(posStat))
+      .filter(dec(col("c_acctbal")) * col("np") > col("sp"))
+      .join(recent, Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(dec(col("c_acctbal"))).cast("double").as("balance_mass"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

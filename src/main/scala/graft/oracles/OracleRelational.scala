@@ -664,6 +664,42 @@ private[graft] object OracleRelational {
     // q319: TPC-H Q17 shape — the half-of-average threshold is
     // cross-multiplied (2·n·qty < Σqty), no division anywhere
     "q319_small_quantity_brand" -> q319Sql,
+    // q365: TPC-H Q6 shape — one filtered scan, one decimal sum; the
+    // discount band compares in integer cents so the edges are exact
+    "q365_forecast_revenue" -> q365Sql,
+    // q369: q365 per micro-batch (the single cell sum-merges) —
+    // shares q365's oracle verbatim
+    "q369_streaming_forecast_revenue" -> q365Sql,
+    // q366: TPC-H Q13 shape — recent order-count histogram, zero
+    // bucket included via the left join
+    "q366_order_count_distribution" ->
+      ("WITH ocd AS (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count " +
+        "FROM customer c LEFT JOIN (SELECT o_custkey, o_orderkey " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01') o " +
+        "ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey) " +
+        "SELECT c_count, COUNT(*) AS n_custs FROM ocd " +
+        "GROUP BY c_count ORDER BY n_custs DESC, c_count DESC"),
+    // q367: TPC-H Q18 shape — per-order quantity sums at the 250
+    // threshold, customer resolved
+    "q367_large_volume_customers" -> q367Sql,
+    // q370: q367 per micro-batch (per-order sums merge even when an
+    // order's lines span batches) — shares q367's oracle verbatim
+    "q370_streaming_large_volume" -> q367Sql,
+    // q368: TPC-H Q22 shape — above-positive-mean balances with no
+    // recent orders; the mean is cross-multiplied (bal·n > Σ), no
+    // division anywhere
+    "q368_idle_balance_audit" ->
+      ("WITH ibp AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sp, " +
+        "COUNT(*) AS np FROM customer WHERE c_acctbal > 0), " +
+        "ibr AS (SELECT DISTINCT o_custkey FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '2001-01-01') " +
+        "SELECT c_mktsegment, COUNT(*) AS n_custs, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) " +
+        "AS balance_mass " +
+        "FROM customer, ibp " +
+        "WHERE CAST(c_acctbal AS DECIMAL(12,2)) * ibp.np > ibp.sp " +
+        "AND c_custkey NOT IN (SELECT o_custkey FROM ibr) " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     // q340: q319 per micro-batch ((part, qty, brand) cells merge;
     // threshold at drain) — shares q319's oracle verbatim
     "q340_streaming_small_quantity" -> q319Sql,
@@ -793,6 +829,27 @@ private[graft] object OracleRelational {
         "AS revenue FROM rev CROSS JOIN mx " +
         "JOIN supplier s ON rev.l_suppkey = s.s_suppkey " +
         "WHERE rev.revd = mx.mx ORDER BY s.s_suppkey")
+
+  private def q365Sql: String =
+    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue, " +
+      "COUNT(*) AS n_lines FROM lineitem " +
+      "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+      "AND CAST(ROUND(l_discount * 100) AS INTEGER) BETWEEN 5 AND 7 " +
+      "AND l_quantity < 24"
+
+  private def q367Sql: String =
+    "WITH lvq AS (SELECT l_orderkey, " +
+      "SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq FROM lineitem " +
+      "GROUP BY l_orderkey HAVING " +
+      "SUM(CAST(l_quantity AS DECIMAL(12,2))) >= 250) " +
+      "SELECT c.c_name, c.c_custkey, o.o_orderkey, " +
+      "CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate, " +
+      "o.o_totalprice, CAST(lvq.sq AS DOUBLE) AS total_qty " +
+      "FROM lvq JOIN orders o ON o.o_orderkey = lvq.l_orderkey " +
+      "JOIN customer c ON c.c_custkey = o.o_custkey " +
+      "ORDER BY total_qty DESC, o.o_orderkey"
 
   private def q319Sql: String =
       ("WITH pa AS (SELECT l_partkey, " +

@@ -3539,6 +3539,39 @@ object StreamingOps {
         maxFilesPerTrigger, stateRoot))
   }
 
+  /** Streaming forecast revenue (q369): TPC-H Q6 per micro-batch —
+    * ONE (decimal revenue, count) cell sum-merges; the pushed-down
+    * predicates run per batch. Shares q365's SQL.
+    */
+  def streamingForecastRevenue(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "lineitem.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.forecastFinish(
+      lineitemState(spark, dir, "forecast", Analytics.forecastStatOf,
+        Analytics.forecastMerge, sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+  }
+
+  /** Streaming large-volume customers (q370): TPC-H Q18 per
+    * micro-batch — per-order decimal quantity sums merge (an order's
+    * lines may SPAN batches; the sum still lands exactly); the 250
+    * threshold and the dim joins resolve at drain. Shares q367's SQL.
+    */
+  def streamingLargeVolume(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "lineitem.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.largeVolumeFinish(spark, dir,
+      lineitemState(spark, dir, "volume", Analytics.volumeStatOf,
+        Analytics.volumeMerge, sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+  }
+
   /** Streaming Benford audit (q341): q334 per micro-batch on the
     * events side — digit cells sum-merge; the static orders cells
     * join at drain (the q76 hybrid). Shares q334's SQL.
