@@ -1009,6 +1009,23 @@ object Registry {
     // orders — shares q367's
     "q370_streaming_large_volume" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingLargeVolume(s, d)),
+    // block 23: TPC-H Q7/Q8/Q19 shapes + Q7/Q19 twins
+    // Q7: cross-nation revenue within EUROPE by ship year (the classic
+    // two-nation literal pair is vacuous on the synthetic fixture)
+    "q371_volume_shipping" -> ((s, d) => Analytics.volumeShipping(s, d)),
+    // Q8: supplier-nation revenue share for ASIA customers on PROMO
+    // parts, per order year; ONE double division at the end
+    "q372_market_share" -> ((s, d) => Analytics.marketShare(s, d)),
+    // Q19: three OR'd (brand, size, quantity) bands — the disjunctive
+    // pushdown shape, one (revenue, count) cell
+    "q373_disjunctive_revenue" -> ((s, d) =>
+      Analytics.disjunctiveRevenue(s, d)),
+    // Q7 per micro-batch: nation-pair-year cells merge — shares q371's
+    "q374_streaming_volume_shipping" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingVolumeShipping(s, d)),
+    // Q19 per micro-batch: the single cell merges — shares q373's
+    "q375_streaming_disjunctive_revenue" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingDisjunctiveRevenue(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

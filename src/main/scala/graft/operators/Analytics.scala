@@ -1437,4 +1437,140 @@ object Analytics {
         sum(dec(col("c_acctbal"))).cast("double").as("balance_mass"))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** TPC-H Q7-shaped volume shipping (q371): revenue between each
+    * cross-nation (supplier nation, customer nation) pair WITHIN one
+    * region, by ship year. The classic two-nation literal pair is
+    * vacuous on the synthetic fixture (25 nations over small
+    * customer/supplier sets), so the report keeps every EUROPE pair —
+    * no magic constants, total-ordered.
+    */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame =
+    volumeShipFinish(volumeShipMerge(
+      volumeShipCellsOf(spark, dir, Tables.lineitem(spark, dir))))
+
+  /** The q371 mergeable statistic: (supp_nation, cust_nation, year)
+    * decimal revenue + count cells — q374's streaming state. The
+    * nation/region/supplier sides broadcast; orders⋈customer is the
+    * static enrich side (the q322 discipline).
+    */
+  private[graft] def volumeShipCellsOf(spark: SparkSession, dir: String,
+      li: DataFrame): DataFrame = {
+    val nat = broadcast(Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("n_nationkey"), col("n_name")))
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val ordC = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey"), col("n_name").as("cust_nation"))
+    li.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ordC, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (one - rate(col("l_discount")))).as("rev"),
+        count(lit(1)).as("n"))
+  }
+
+  private[graft] def volumeShipMerge(rows: DataFrame): DataFrame =
+    rows.groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
+
+  private[graft] def volumeShipFinish(sums: DataFrame): DataFrame =
+    sums.select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        col("rev").cast("double").as("revenue"), col("n").as("n_lines"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+
+  /** TPC-H Q8-shaped market share (q372): for ASIA customers buying
+    * PROMO parts, each supplier nation's revenue share per order
+    * year. Decimal sums end-to-end; the share divides two doubles
+    * ONCE at the end (IEEE-identical cross-engine).
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val custAsia = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(Tables.region(spark, dir),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNat = broadcast(Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val promoParts = broadcast(Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey")))
+    val cells = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate"))
+          .join(custAsia, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("supp_nation"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (one - rate(col("l_discount")))).as("rev"))
+    val byYear = Window.partitionBy(col("o_year"))
+    cells.select(col("o_year"), col("supp_nation"),
+        col("rev").cast("double").as("nation_rev"),
+        sum(col("rev")).over(byYear).cast("double").as("total_rev"))
+      .withColumn("mkt_share", col("nation_rev") / col("total_rev"))
+      .orderBy(col("o_year"), col("supp_nation"))
+  }
+
+  /** TPC-H Q19-shaped disjunctive-band revenue (q373): three OR'd
+    * (brand, size band, quantity band) predicates over the part join —
+    * the disjunctive-pushdown shape. One (revenue, count) cell.
+    */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame =
+    forecastFinish(disjunctiveMerge(
+      disjunctiveStatOf(spark, dir, Tables.lineitem(spark, dir))))
+
+  /** The q373 mergeable statistic — q375's streaming state (part is
+    * the broadcast static side per batch, the q321 discipline).
+    */
+  private[graft] def disjunctiveStatOf(spark: SparkSession, dir: String,
+      li: DataFrame): DataFrame = {
+    def band(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(band("Brand#11", 15, 1, 11) ||
+        band("Brand#12", 25, 10, 20) ||
+        band("Brand#13", 35, 20, 30))
+      .agg(coalesce(sum(dec(col("l_extendedprice")) *
+          (one - rate(col("l_discount")))), lit(0).cast("decimal(22,4)"))
+        .as("sr"),
+        count(lit(1)).as("n"))
+  }
+
+  private[graft] def disjunctiveMerge(rows: DataFrame): DataFrame =
+    rows.agg(sum(col("sr")).as("sr"), sum(col("n")).as("n"))
 }

@@ -685,6 +685,41 @@ private[graft] object OracleRelational {
     // q370: q367 per micro-batch (per-order sums merge even when an
     // order's lines span batches) — shares q367's oracle verbatim
     "q370_streaming_large_volume" -> q367Sql,
+    // q371: TPC-H Q7 shape — cross-nation revenue within EUROPE by
+    // ship year
+    "q371_volume_shipping" -> q371Sql,
+    // q374: q371 per micro-batch (nation-pair-year cells merge) —
+    // shares q371's oracle verbatim
+    "q374_streaming_volume_shipping" -> q371Sql,
+    // q372: TPC-H Q8 shape — supplier-nation share per order year for
+    // ASIA customers on PROMO parts; decimal sums, one final division
+    "q372_market_share" ->
+      ("WITH msc AS (SELECT YEAR(o.o_orderdate) AS o_year, " +
+        "sn.n_name AS supp_nation, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) " +
+        "AS rev FROM lineitem l " +
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey " +
+        "JOIN customer c ON c.c_custkey = o.o_custkey " +
+        "JOIN nation cn ON cn.n_nationkey = c.c_nationkey " +
+        "JOIN region r ON r.r_regionkey = cn.n_regionkey " +
+        "AND r.r_name = 'ASIA' " +
+        "JOIN part p ON p.p_partkey = l.l_partkey " +
+        "AND p.p_type = 'PROMO' " +
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey " +
+        "JOIN nation sn ON sn.n_nationkey = s.s_nationkey " +
+        "GROUP BY o_year, supp_nation) " +
+        "SELECT o_year, supp_nation, CAST(rev AS DOUBLE) AS nation_rev, " +
+        "CAST(SUM(rev) OVER (PARTITION BY o_year) AS DOUBLE) " +
+        "AS total_rev, " +
+        "CAST(rev AS DOUBLE) / " +
+        "CAST(SUM(rev) OVER (PARTITION BY o_year) AS DOUBLE) " +
+        "AS mkt_share FROM msc ORDER BY o_year, supp_nation"),
+    // q373: TPC-H Q19 shape — disjunctive (brand, size, quantity)
+    // bands, one cell
+    "q373_disjunctive_revenue" -> q373Sql,
+    // q375: q373 per micro-batch (the cell merges) — shares q373's
+    "q375_streaming_disjunctive_revenue" -> q373Sql,
     // q368: TPC-H Q22 shape — above-positive-mean balances with no
     // recent orders; the mean is cross-multiplied (bal·n > Σ), no
     // division anywhere
@@ -850,6 +885,36 @@ private[graft] object OracleRelational {
       "FROM lvq JOIN orders o ON o.o_orderkey = lvq.l_orderkey " +
       "JOIN customer c ON c.c_custkey = o.o_custkey " +
       "ORDER BY total_qty DESC, o.o_orderkey"
+
+  private def q371Sql: String =
+    "WITH vsn AS (SELECT n_nationkey, n_name FROM nation " +
+      "JOIN region ON r_regionkey = n_regionkey " +
+      "WHERE r_name = 'EUROPE') " +
+      "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, " +
+      "YEAR(l_shipdate) AS l_year, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) " +
+      "AS DOUBLE) AS revenue, COUNT(*) AS n_lines " +
+      "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey " +
+      "JOIN customer c ON c.c_custkey = o.o_custkey " +
+      "JOIN supplier s ON s.s_suppkey = l.l_suppkey " +
+      "JOIN vsn sn ON sn.n_nationkey = s.s_nationkey " +
+      "JOIN vsn cn ON cn.n_nationkey = c.c_nationkey " +
+      "WHERE sn.n_name <> cn.n_name " +
+      "GROUP BY supp_nation, cust_nation, l_year " +
+      "ORDER BY supp_nation, cust_nation, l_year"
+
+  private def q373Sql: String =
+    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) " +
+      "AS DOUBLE) AS revenue, COUNT(*) AS n_lines " +
+      "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey " +
+      "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 " +
+      "AND l_quantity BETWEEN 1 AND 11) " +
+      "OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25 " +
+      "AND l_quantity BETWEEN 10 AND 20) " +
+      "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 " +
+      "AND l_quantity BETWEEN 20 AND 30)"
 
   private def q319Sql: String =
       ("WITH pa AS (SELECT l_partkey, " +

@@ -3572,6 +3572,41 @@ object StreamingOps {
         maxFilesPerTrigger, stateRoot))
   }
 
+  /** Streaming volume shipping (q374): TPC-H Q7 per micro-batch —
+    * (supp_nation, cust_nation, year) decimal cells merge; each batch
+    * joins the static dim/order sides (the q322 discipline). Shares
+    * q371's SQL.
+    */
+  def streamingVolumeShipping(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "lineitem.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.volumeShipFinish(
+      lineitemState(spark, dir, "volship",
+        b => Analytics.volumeShipCellsOf(spark, dir, b),
+        Analytics.volumeShipMerge, sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+  }
+
+  /** Streaming disjunctive-band revenue (q375): TPC-H Q19 per
+    * micro-batch — the single (revenue, count) cell merges; part is
+    * the broadcast static side per batch. Shares q373's SQL.
+    */
+  def streamingDisjunctiveRevenue(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "lineitem.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.forecastFinish(
+      lineitemState(spark, dir, "disjrev",
+        b => Analytics.disjunctiveStatOf(spark, dir, b),
+        Analytics.disjunctiveMerge, sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+  }
+
   /** Streaming Benford audit (q341): q334 per micro-batch on the
     * events side — digit cells sum-merge; the static orders cells
     * join at drain (the q76 hybrid). Shares q334's SQL.
