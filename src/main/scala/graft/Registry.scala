@@ -1026,6 +1026,22 @@ object Registry {
     // Q19 per micro-batch: the single cell merges — shares q373's
     "q375_streaming_disjunctive_revenue" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingDisjunctiveRevenue(s, d)),
+    // block 24: the declared data contract as queries — the audits a
+    // training run is gated on
+    // per (table, column) row/null counts, one aggregate pass per table
+    "q376_completeness" -> ((s, d) => Audit.completeness(s, d)),
+    // per declared key: rows/keys/dup keys (lineitem's composite key
+    // is warn-grade: it genuinely does NOT hold on the fixture)
+    "q377_key_uniqueness" -> ((s, d) => Audit.keyUniqueness(s, d)),
+    // declared domain rules with severity; warn rules fire on the
+    // fixture so the counts are non-vacuous
+    "q378_domain_audit" -> ((s, d) => Audit.domainAudit(s, d)),
+    // q376's documents rows per micro-batch (cells sum-merge)
+    "q379_streaming_completeness" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingCompleteness(s, d)),
+    // the one-row CI gate over all three audits: PASS iff zero
+    // error-grade violations; warn findings report but never gate
+    "q380_contract_gate" -> ((s, d) => Audit.contractGate(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1038,7 +1054,8 @@ object Registry {
       oracles.OracleEtl.sql, oracles.OracleRelational.sql,
       oracles.OracleText.sql, oracles.OracleDedup.sql,
       oracles.OracleAnn.sql, oracles.OracleStreamMedia.sql,
-      oracles.OracleProvenance.sql, oracles.OracleSplits.sql)
+      oracles.OracleProvenance.sql, oracles.OracleSplits.sql,
+      oracles.OracleContracts.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

@@ -258,4 +258,196 @@ object Audit {
           col("x").cast(dec)).cast("double") /
           col("total").cast("double")).as("share"))
   }
+
+  // ---- data-contract expectations (q376–q380) -------------------
+  //
+  // The declared contract a training run is gated on, as data:
+  // completeness (no unexpected nulls), key uniqueness, and domain
+  // rules — each an audit TABLE, plus the one-row gate a CI job
+  // reads. Severity is part of the contract: 'error' rules gate,
+  // 'warn' rules report (the fixture itself carries warn-grade
+  // findings — lineitem's composite key does not hold and negative
+  // balances / short docs exist — so the reports are non-vacuous).
+
+  /** Every contract table with its accessor — schema read at runtime
+    * (events through the ts-normalizing reader; null counts are
+    * type-invariant).
+    */
+  private def contractTables(spark: SparkSession, dir: String)
+      : Seq[(String, DataFrame)] = Seq(
+    "customer" -> Tables.customer(spark, dir),
+    "documents" -> Tables.documents(spark, dir),
+    "embeddings" -> Tables.embeddings(spark, dir),
+    "events" -> Tables.events(spark, dir),
+    "lineitem" -> Tables.lineitem(spark, dir),
+    "nation" -> Tables.nation(spark, dir),
+    "orders" -> Tables.orders(spark, dir),
+    "part" -> Tables.part(spark, dir),
+    "region" -> Tables.region(spark, dir),
+    "supplier" -> Tables.supplier(spark, dir))
+
+  /** Per-table (col, n_nulls) cells + row count in ONE pass (q379's
+    * mergeable statistic for the documents stream: counts sum-merge).
+    */
+  private[graft] def completenessCellsOf(tbl: String, df: DataFrame)
+      : DataFrame = {
+    val cs = df.columns.toSeq
+    val aggs = count(lit(1)).as("n_rows") +:
+      cs.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+        .as(s"nn_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(lit(tbl).as("tbl"), col("n_rows"), expr(
+        s"stack(${cs.size}, " +
+          cs.map(c => s"'$c', nn_$c").mkString(", ") +
+          ") as (col_name, n_nulls)"))
+      .select(col("tbl"), col("col_name"), col("n_rows"),
+        col("n_nulls"))
+  }
+
+  /** q379's cell form: documents completeness as (col_name, kind) →
+    * cnt — rows and nulls both sum-merge per micro-batch.
+    */
+  private[graft] def docCompletenessCells(docs: DataFrame): DataFrame =
+    completenessCellsOf("documents", docs)
+      .select(col("col_name"), expr(
+        "stack(2, 'rows', n_rows, 'nulls', n_nulls) as (kind, cnt)"))
+
+  /** q379's drain: pivot the maintained cells back to the q376 row
+    * shape (documents rows only).
+    */
+  private[graft] def completenessFromCells(cells: DataFrame): DataFrame = {
+    def k(kind: String) =
+      sum(when(col("kind") === kind, col("cnt")).otherwise(0L))
+    cells.groupBy(col("col_name"))
+      .agg(k("rows").as("n_rows"), k("nulls").as("n_nulls"))
+      .select(lit("documents").as("tbl"), col("col_name"),
+        col("n_rows"), col("n_nulls"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Column completeness audit (q376): per (table, column), row and
+    * null counts over every contract table — one aggregate pass per
+    * table, #columns rows out.
+    */
+  def completeness(spark: SparkSession, dir: String): DataFrame =
+    contractTables(spark, dir)
+      .map { case (t, df) => completenessCellsOf(t, df) }
+      .reduce(_.unionByName(_))
+      .orderBy(col("tbl"), col("col_name"))
+
+  /** Declared keys. lineitem's composite is declared at WARN severity:
+    * the classic PK does NOT hold on the synthetic fixture, which is
+    * exactly the kind of silent modeling drift this audit exists to
+    * surface (a join assuming it would silently duplicate rows).
+    */
+  private val declaredKeys: Seq[(String, Seq[String], String)] = Seq(
+    ("customer", Seq("c_custkey"), "error"),
+    ("documents", Seq("doc_id"), "error"),
+    ("embeddings", Seq("vec_id"), "error"),
+    ("events", Seq("event_id"), "error"),
+    ("lineitem", Seq("l_orderkey", "l_linenumber"), "warn"),
+    ("nation", Seq("n_nationkey"), "error"),
+    ("orders", Seq("o_orderkey"), "error"),
+    ("part", Seq("p_partkey"), "error"),
+    ("region", Seq("r_regionkey"), "error"),
+    ("supplier", Seq("s_suppkey"), "error"))
+
+  /** Key uniqueness audit (q377): per declared key, row/key/dup-key
+    * counts — key-grain collapse first, so the dup check is one
+    * aggregate over |distinct keys| rows.
+    */
+  def keyUniqueness(spark: SparkSession, dir: String): DataFrame = {
+    val byName = contractTables(spark, dir).toMap
+    declaredKeys.map { case (t, ks, sev) =>
+      byName(t).groupBy(ks.map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L))
+            .as("n_dup_keys"))
+        .select(lit(t).as("tbl"),
+          lit(ks.mkString(",")).as("key_cols"),
+          lit(sev).as("severity"),
+          col("n_rows"), col("n_keys"), col("n_dup_keys"))
+    }.reduce(_.unionByName(_)).orderBy(col("tbl"))
+  }
+
+  /** The declared domain rules: (rule_id, table, severity, violation
+    * predicate). Error rules hold on the fixture by construction;
+    * warn rules FIRE (negative balances, short docs) so the report
+    * certifies real counting, not vacuous zeros.
+    */
+  private def domainRules(spark: SparkSession, dir: String)
+      : Seq[(String, String, String, DataFrame)] = {
+    val byName = contractTables(spark, dir).toMap
+    def v(t: String, c: org.apache.spark.sql.Column) =
+      byName(t).filter(c)
+    Seq(
+      ("r01_doc_chars_positive", "documents", "error",
+        v("documents", col("n_chars") <= 0)),
+      ("r02_doc_lang_nonempty", "documents", "error",
+        v("documents", col("lang").isNull || length(col("lang")) === 0)),
+      ("r03_li_quantity_band", "lineitem", "error",
+        v("lineitem", !col("l_quantity").between(1, 50))),
+      ("r04_li_discount_band", "lineitem", "error",
+        v("lineitem", !col("l_discount").between(0, 0.1))),
+      ("r05_ord_total_positive", "orders", "error",
+        v("orders", col("o_totalprice") <= 0)),
+      ("r06_part_size_band", "part", "error",
+        v("part", !col("p_size").between(1, 50))),
+      ("r07_event_year_band", "events", "error",
+        v("events", !year(col("ts")).between(2020, 2030))),
+      ("r08_cust_bal_nonneg", "customer", "warn",
+        v("customer", col("c_acctbal") < 0)),
+      ("r09_doc_min_len", "documents", "warn",
+        v("documents", col("n_chars") < 100)))
+  }
+
+  /** Domain-rule audit (q378): per rule, checked and violating row
+    * counts. Each rule is one filtered count — the predicates reach
+    * the scans.
+    */
+  def domainAudit(spark: SparkSession, dir: String): DataFrame = {
+    val byName = contractTables(spark, dir).toMap
+    domainRules(spark, dir).map { case (id, t, sev, viol) =>
+      val n = byName(t).count()
+      viol.agg(count(lit(1)).as("n_violations"))
+        .select(lit(id).as("rule_id"), lit(t).as("tbl"),
+          lit(sev).as("severity"), lit(n).as("n_checked"),
+          col("n_violations"))
+    }.reduce(_.unionByName(_)).orderBy(col("rule_id"))
+  }
+
+  /** Contract gate (q380): the one row a CI job reads — rule counts
+    * and violation counts by severity over all three audits (a null
+    * anywhere and a dup on an error-grade key are error-grade).
+    * PASS ⇔ zero error-grade violations; warn findings report but
+    * never gate.
+    */
+  def contractGate(spark: SparkSession, dir: String): DataFrame = {
+    val nullCols = completeness(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_nulls") > 0, 1L).otherwise(0L)).as("viol"))
+      .select(col("n"), col("viol"), lit(0L).as("warnViol"))
+    val keys = keyUniqueness(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_dup_keys") > 0 && col("severity") === "error",
+          1L).otherwise(0L)).as("viol"),
+        sum(when(col("n_dup_keys") > 0 && col("severity") === "warn",
+          1L).otherwise(0L)).as("warnViol"))
+    val rules = domainAudit(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_violations") > 0 && col("severity") === "error",
+          1L).otherwise(0L)).as("viol"),
+        sum(when(col("n_violations") > 0 && col("severity") === "warn",
+          1L).otherwise(0L)).as("warnViol"))
+    nullCols.unionByName(keys).unionByName(rules)
+      .agg(sum(col("n")).as("n_rules"),
+        sum(col("viol")).as("n_error_violations"),
+        sum(col("warnViol")).as("n_warn_violations"))
+      .select(col("n_rules"), col("n_error_violations"),
+        col("n_warn_violations"),
+        when(col("n_error_violations") === 0, "PASS").otherwise("FAIL")
+          .as("gate"))
+  }
 }

@@ -3121,6 +3121,22 @@ object StreamingOps {
         sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
         stateRoot))
 
+  /** Streaming completeness audit (q379): q376's documents rows per
+    * micro-batch — (col_name, kind) row/null counts sum-merge, so the
+    * maintained audit equals the batch one under any batching. The
+    * contract check a 24/7 ingest runs WITH the data, not after it.
+    */
+  def streamingCompleteness(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.Audit.completenessFromCells(
+      docCountState(spark, "doc_completeness", Seq("col_name", "kind"),
+        graft.operators.Audit.docCompletenessCells,
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
+
   /** Streaming tokenizer-drift alert (q350): q244's BPE re-training
     * off the MAINTAINED (w, split) word-frequency state — word counts
     * sum-merge per micro-batch, and at drain the snapshot side trains
