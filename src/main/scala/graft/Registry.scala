@@ -1042,6 +1042,21 @@ object Registry {
     // the one-row CI gate over all three audits: PASS iff zero
     // error-grade violations; warn findings report but never gate
     "q380_contract_gate" -> ((s, d) => Audit.contractGate(s, d)),
+    // block 25: market-basket affinity — one (order, brand) grain
+    // pair support + exact-integer lift (one double division at end)
+    "q381_brand_affinity" -> ((s, d) => Basket.brandAffinity(s, d)),
+    // symmetrized pairs ranked by lift within brand, top 3, ties
+    // broken by partner name
+    "q382_top_affinities" -> ((s, d) => Basket.topAffinities(s, d)),
+    // distinct brands per order -> order-count histogram
+    "q383_basket_sizes" -> ((s, d) => Basket.basketSizes(s, d)),
+    // the (order, brand) grain distinct-merges per micro-batch —
+    // shares q381's SQL
+    "q384_streaming_brand_affinity" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingBrandAffinity(s, d)),
+    // q383 off the same maintained state core — shares q383's SQL
+    "q385_streaming_basket_sizes" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingBasketSizes(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

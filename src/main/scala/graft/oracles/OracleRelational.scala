@@ -720,6 +720,37 @@ private[graft] object OracleRelational {
     "q373_disjunctive_revenue" -> q373Sql,
     // q375: q373 per micro-batch (the cell merges) — shares q373's
     "q375_streaming_disjunctive_revenue" -> q373Sql,
+    // q381: brand-pair support + lift off the distinct (order, brand)
+    // grain — integer products, one double division
+    "q381_brand_affinity" -> (bkCtes +
+      " SELECT brand_a, brand_b, n_cooc, n_a, n_b, " +
+      "CAST(n_cooc * n_orders AS DOUBLE) / " +
+      "CAST(n_a * n_b AS DOUBLE) AS lift " +
+      "FROM bkl ORDER BY brand_a, brand_b"),
+    // q384: the grain distinct-merges per micro-batch — shares q381's
+    "q384_streaming_brand_affinity" -> (bkCtes +
+      " SELECT brand_a, brand_b, n_cooc, n_a, n_b, " +
+      "CAST(n_cooc * n_orders AS DOUBLE) / " +
+      "CAST(n_a * n_b AS DOUBLE) AS lift " +
+      "FROM bkl ORDER BY brand_a, brand_b"),
+    // q382: symmetrized pairs ranked by lift within brand (partner
+    // breaks ties), top 3
+    "q382_top_affinities" -> (bkCtes +
+      ", bksym AS (SELECT brand_a AS brand, brand_b AS partner, " +
+      "n_cooc, CAST(n_cooc * n_orders AS DOUBLE) / " +
+      "CAST(n_a * n_b AS DOUBLE) AS lift FROM bkl " +
+      "UNION ALL SELECT brand_b, brand_a, n_cooc, " +
+      "CAST(n_cooc * n_orders AS DOUBLE) / " +
+      "CAST(n_a * n_b AS DOUBLE) FROM bkl), " +
+      "bkrk AS (SELECT brand, partner, n_cooc, lift, " +
+      "ROW_NUMBER() OVER (PARTITION BY brand " +
+      "ORDER BY lift DESC, partner) AS rk FROM bksym) " +
+      "SELECT brand, partner, n_cooc, lift, CAST(rk AS BIGINT) AS rank " +
+      "FROM bkrk WHERE rk <= 3 ORDER BY brand, rank"),
+    // q383: distinct brands per order -> order-count histogram
+    "q383_basket_sizes" -> bkSizesSql,
+    // q385: q383 off the same maintained state — shares its SQL
+    "q385_streaming_basket_sizes" -> bkSizesSql,
     // q368: TPC-H Q22 shape — above-positive-mean balances with no
     // recent orders; the mean is cross-multiplied (bal·n > Σ), no
     // division anywhere
@@ -885,6 +916,32 @@ private[graft] object OracleRelational {
       "FROM lvq JOIN orders o ON o.o_orderkey = lvq.l_orderkey " +
       "JOIN customer c ON c.c_custkey = o.o_custkey " +
       "ORDER BY total_qty DESC, o.o_orderkey"
+
+  /** The market-basket chain: distinct (order, brand) grain, order
+    * total, per-brand marginals, pair support with marginals attached
+    * (`bkl`). Prefix `bk` is unique to this family.
+    */
+  private def bkCtes: String =
+    "WITH bkob AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem l " +
+      "JOIN part p ON p.p_partkey = l.l_partkey), " +
+      "bkn AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM bkob), " +
+      "bkpb AS (SELECT p_brand, COUNT(*) AS n_brand FROM bkob " +
+      "GROUP BY p_brand), " +
+      "bkl AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, " +
+      "COUNT(*) AS n_cooc, ANY_VALUE(na.n_brand) AS n_a, " +
+      "ANY_VALUE(nb.n_brand) AS n_b, ANY_VALUE(bkn.n_orders) AS n_orders " +
+      "FROM bkob a JOIN bkob b ON a.l_orderkey = b.l_orderkey " +
+      "AND a.p_brand < b.p_brand " +
+      "JOIN bkpb na ON na.p_brand = a.p_brand " +
+      "JOIN bkpb nb ON nb.p_brand = b.p_brand CROSS JOIN bkn " +
+      "GROUP BY a.p_brand, b.p_brand)"
+
+  private def bkSizesSql: String =
+    "WITH bkob AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem l " +
+      "JOIN part p ON p.p_partkey = l.l_partkey) " +
+      "SELECT n_brands, COUNT(*) AS n_orders FROM " +
+      "(SELECT l_orderkey, COUNT(*) AS n_brands FROM bkob " +
+      "GROUP BY l_orderkey) bkbs GROUP BY n_brands ORDER BY n_brands"
 
   private def q371Sql: String =
     "WITH vsn AS (SELECT n_nationkey, n_name FROM nation " +

@@ -3623,6 +3623,41 @@ object StreamingOps {
         maxFilesPerTrigger, stateRoot))
   }
 
+  /** Streaming brand affinity (q384): the (order, brand) grain
+    * DISTINCT-merges per micro-batch (idempotent — an order's lines
+    * spanning batches still land one row per brand); support counts,
+    * marginals, and lift resolve at drain. Shares q381's SQL.
+    */
+  def streamingBrandAffinity(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "lineitem.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Basket
+    Basket.affinityOf(
+      lineitemState(spark, dir, "basket",
+        b => Basket.orderBrands(spark, dir, b),
+        _.distinct(), sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  /** Streaming basket sizes (q385): q383 off the SAME maintained
+    * (order, brand) state core. Shares q383's SQL.
+    */
+  def streamingBasketSizes(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "lineitem.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Basket
+    Basket.sizesOf(
+      lineitemState(spark, dir, "basket_sizes",
+        b => Basket.orderBrands(spark, dir, b),
+        _.distinct(), sourceDir, sourceGlob,
+        maxFilesPerTrigger, stateRoot))
+  }
+
   /** Streaming Benford audit (q341): q334 per micro-batch on the
     * events side — digit cells sum-merge; the static orders cells
     * join at drain (the q76 hybrid). Shares q334's SQL.
