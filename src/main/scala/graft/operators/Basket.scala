@@ -39,8 +39,12 @@ object Basket {
 
   /** Pair support + lift off the (order, brand) grain. */
   private[graft] def affinityOf(ob0: DataFrame): DataFrame = {
-    // barrier: the grain feeds totals, marginals, and the pair join
-    val ob = ob0.persist()
+    // barrier: the grain feeds totals, marginals, and the pair join.
+    // Cached PRE-PARTITIONED on the order key so the pair self-join
+    // reuses the cached partitioning on both sides (zero extra
+    // shuffle) — the co-located-join discipline that matters when the
+    // grain is orders × brands at 100 TB.
+    val ob = ob0.repartition(col("l_orderkey")).persist()
     graft.Caches.onRelease(() =>
       try ob.unpersist(false) catch { case _: Throwable => () })
     val totals = ob.agg(countDistinct(col("l_orderkey")).as("n_orders"))
