@@ -377,43 +377,38 @@ object Audit {
     * warn rules FIRE (negative balances, short docs) so the report
     * certifies real counting, not vacuous zeros.
     */
-  private def domainRules(spark: SparkSession, dir: String)
-      : Seq[(String, String, String, DataFrame)] = {
-    val byName = contractTables(spark, dir).toMap
-    def v(t: String, c: org.apache.spark.sql.Column) =
-      byName(t).filter(c)
-    Seq(
-      ("r01_doc_chars_positive", "documents", "error",
-        v("documents", col("n_chars") <= 0)),
-      ("r02_doc_lang_nonempty", "documents", "error",
-        v("documents", col("lang").isNull || length(col("lang")) === 0)),
-      ("r03_li_quantity_band", "lineitem", "error",
-        v("lineitem", !col("l_quantity").between(1, 50))),
-      ("r04_li_discount_band", "lineitem", "error",
-        v("lineitem", !col("l_discount").between(0, 0.1))),
-      ("r05_ord_total_positive", "orders", "error",
-        v("orders", col("o_totalprice") <= 0)),
-      ("r06_part_size_band", "part", "error",
-        v("part", !col("p_size").between(1, 50))),
-      ("r07_event_year_band", "events", "error",
-        v("events", !year(col("ts")).between(2020, 2030))),
-      ("r08_cust_bal_nonneg", "customer", "warn",
-        v("customer", col("c_acctbal") < 0)),
-      ("r09_doc_min_len", "documents", "warn",
-        v("documents", col("n_chars") < 100)))
-  }
+  private def domainRules
+      : Seq[(String, String, String, org.apache.spark.sql.Column)] = Seq(
+    ("r01_doc_chars_positive", "documents", "error",
+      col("n_chars") <= 0),
+    ("r02_doc_lang_nonempty", "documents", "error",
+      col("lang").isNull || length(col("lang")) === 0),
+    ("r03_li_quantity_band", "lineitem", "error",
+      !col("l_quantity").between(1, 50)),
+    ("r04_li_discount_band", "lineitem", "error",
+      !col("l_discount").between(0, 0.1)),
+    ("r05_ord_total_positive", "orders", "error",
+      col("o_totalprice") <= 0),
+    ("r06_part_size_band", "part", "error",
+      !col("p_size").between(1, 50)),
+    ("r07_event_year_band", "events", "error",
+      !year(col("ts")).between(2020, 2030)),
+    ("r08_cust_bal_nonneg", "customer", "warn",
+      col("c_acctbal") < 0),
+    ("r09_doc_min_len", "documents", "warn",
+      col("n_chars") < 100))
 
   /** Domain-rule audit (q378): per rule, checked and violating row
-    * counts. Each rule is one filtered count — the predicates reach
-    * the scans.
+    * counts — ONE lazy aggregate per rule (count + conditional sum),
+    * never a separate eager count scan.
     */
   def domainAudit(spark: SparkSession, dir: String): DataFrame = {
     val byName = contractTables(spark, dir).toMap
-    domainRules(spark, dir).map { case (id, t, sev, viol) =>
-      val n = byName(t).count()
-      viol.agg(count(lit(1)).as("n_violations"))
+    domainRules.map { case (id, t, sev, viol) =>
+      byName(t).agg(count(lit(1)).as("n_checked"),
+          sum(when(viol, 1L).otherwise(0L)).as("n_violations"))
         .select(lit(id).as("rule_id"), lit(t).as("tbl"),
-          lit(sev).as("severity"), lit(n).as("n_checked"),
+          lit(sev).as("severity"), col("n_checked"),
           col("n_violations"))
     }.reduce(_.unionByName(_)).orderBy(col("rule_id"))
   }

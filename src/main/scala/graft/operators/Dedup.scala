@@ -835,6 +835,13 @@ object Dedup {
       } catch { case _: Throwable => false })
     if (!fresh) {
       dupEdgeBuilds.incrementAndGet()
+      // invalidate-first: the meta fingerprint is the COMMIT marker,
+      // so it must be gone before the edges overwrite begins — a
+      // crash between the two writes then leaves no meta and the next
+      // call rebuilds, instead of pairing NEW edges with a stale
+      // still-matching fingerprint (the corpus-rollback window)
+      if (fs.exists(new Path(metaPath)))
+        fs.delete(new Path(metaPath), true)
       minhashOracledDf(docs).write.mode("overwrite").parquet(edgesPath)
       spark.range(1).select(lit(n).as("n"), lit(h).as("h"))
         .write.mode("overwrite").parquet(metaPath)
@@ -952,6 +959,9 @@ object Dedup {
     val banded = md5BandedSignatures(allSh, perms = 16, bands = 4).persist()
     md5ContainVerify(bandSelfJoinPairs(banded), allSh, "id_a", "id_b",
       minContain)
+      // the using-column joins physically lead with id_b — restore the
+      // (id_a, id_b, containment) order the oracle SELECT spells
+      .select(col("id_a"), col("id_b"), col("containment"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -996,11 +1006,14 @@ object Dedup {
     // the oracled variant documents it where the 64-bit unigram kernel
     // form relies on a wider hash space.
     val bi = TextAnalytics.positionalShingles(col("text"), 2)
+    // no persist: the signature frame has exactly ONE consumer (the
+    // banded explode below, which IS persisted for capHotBuckets's
+    // double read) — caching it would only shrink the pool the band
+    // self-join runs in
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         VectorExpressions.md5MajorityNative(bi, 60).as("sig"))
       .filter(col("sig").isNotNull)
-      .persist()
     // the hot-bucket quarantine is LOAD-BEARING here, not a no-op:
     // majority bits are driven by the corpus-level token distribution,
     // so a handful of band keys collect a large share of the corpus
