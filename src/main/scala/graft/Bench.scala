@@ -171,6 +171,20 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
+    // stored-artifact build attribution (r13 verdict #2): any one-time
+    // artifact build that ran INSIDE a query's timing window gets its
+    // own profile row, so a partial run's inflated consumer number is
+    // self-explaining (`sec` minus `build_sec` ≈ the committed row)
+    def profileArtifacts(during: String): Unit =
+      ArtifactLog.drain().foreach { b =>
+        try {
+          val line = s"""{"artifact":"${b.name}","build_sec":${
+            "%.3f".format(b.sec)},"during":"$during"}""" + "\n"
+          java.nio.file.Files.write(profilePath, line.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        } catch { case _: Throwable => () }
+      }
 
     // hygiene proof: SPARK_GRAFT_PASSES=2 runs the whole suite N times
     // in ONE session — a second pass within ~10% of the first (and no
@@ -231,6 +245,7 @@ object Bench {
         if (retry.isDefined) outliersRetried += 1
         profile(if (passes == 1) name else s"$name#p$p", dt, ld, spin, gc,
           retry)
+        profileArtifacts(if (passes == 1) name else s"$name#p$p")
         name -> dt
       }
     }

@@ -81,8 +81,13 @@ object Basket {
     */
   def topAffinities(spark: SparkSession, dir: String,
       k: Int = 3): DataFrame = {
+    // barrier: both arms of the symmetrizing union read the pair
+    // table — persist it or the pair self-join plus both marginal
+    // joins execute twice (r13 advice)
     val pairs = affinityOf(
-      orderBrands(spark, dir, Tables.lineitem(spark, dir)))
+      orderBrands(spark, dir, Tables.lineitem(spark, dir))).persist()
+    graft.Caches.onRelease(() =>
+      try pairs.unpersist(false) catch { case _: Throwable => () })
     val sym = pairs.select(col("brand_a").as("brand"),
         col("brand_b").as("partner"), col("n_cooc"), col("lift"))
       .unionByName(pairs.select(col("brand_b").as("brand"),

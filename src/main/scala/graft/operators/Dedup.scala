@@ -815,6 +815,19 @@ object Dedup {
       s"$artifactRoot/dup_edges_$key")
   }
 
+  /** Single-writer contract: `SPARK_GRAFT_ARTIFACT_ROOT` (like the
+    * streaming state roots) assumes ONE writing JVM per corpus key at
+    * a time — the pattern a production pipeline gets from running the
+    * build as its own scheduled step ([[graft.BuildArtifacts]]).
+    * Within that contract the protocol below is crash-safe at every
+    * point: the full edge relation is built into a STAGING dir first
+    * (readers of the current `edges` dir are never exposed to a
+    * partial overwrite), the meta fingerprint — the commit marker —
+    * is deleted before the staging dir is renamed into place, and
+    * meta is rewritten only after the rename. A crash in any window
+    * leaves either the old committed pair intact (staging build
+    * windows) or no meta (swap windows), and the next caller rebuilds.
+    */
   private[graft] def dupEdgesAt(spark: SparkSession, docs: DataFrame,
       path: String): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -823,6 +836,7 @@ object Dedup {
         .as("h")).collect()(0)
     val (n, h) = (fp.getLong(0), fp.getLong(1))
     val edgesPath = s"$path/edges"
+    val stagingPath = s"$path/edges_staging"
     val metaPath = s"$path/meta"
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -835,16 +849,27 @@ object Dedup {
       } catch { case _: Throwable => false })
     if (!fresh) {
       dupEdgeBuilds.incrementAndGet()
+      val t0 = System.nanoTime()
+      // build off to the side: a crash here leaves the committed
+      // edges+meta pair untouched and only strands a staging dir,
+      // which the next build overwrites
+      minhashOracledDf(docs).write.mode("overwrite").parquet(stagingPath)
       // invalidate-first: the meta fingerprint is the COMMIT marker,
-      // so it must be gone before the edges overwrite begins — a
-      // crash between the two writes then leaves no meta and the next
-      // call rebuilds, instead of pairing NEW edges with a stale
-      // still-matching fingerprint (the corpus-rollback window)
+      // so it must be gone before the committed edges dir is touched —
+      // a crash between here and the meta rewrite leaves no meta and
+      // the next call rebuilds, instead of pairing swapped edges with
+      // a stale still-matching fingerprint (the corpus-rollback window)
       if (fs.exists(new Path(metaPath)))
         fs.delete(new Path(metaPath), true)
-      minhashOracledDf(docs).write.mode("overwrite").parquet(edgesPath)
+      if (fs.exists(new Path(edgesPath)))
+        fs.delete(new Path(edgesPath), true)
+      if (!fs.rename(new Path(stagingPath), new Path(edgesPath)))
+        sys.error(s"dup-edge artifact swap failed: " +
+          s"rename($stagingPath -> $edgesPath)")
       spark.range(1).select(lit(n).as("n"), lit(h).as("h"))
         .write.mode("overwrite").parquet(metaPath)
+      graft.ArtifactLog.record(s"dup_edges:${new Path(path).getName}",
+        (System.nanoTime() - t0) / 1e9)
     }
     spark.read.parquet(edgesPath)
   }
@@ -2059,9 +2084,13 @@ object Dedup {
     val docs = tokenizedDocs(Tables.documents(spark, dir))
     val path = new org.apache.hadoop.fs.Path(windowTablePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path))
+    if (!fs.exists(path)) {
+      val t0 = System.nanoTime()
       windowRows(docs.filter(!isBatch), w).select(col("wh")).distinct()
         .write.mode("overwrite").parquet(windowTablePath)
+      graft.ArtifactLog.record("window_hashes",
+        (System.nanoTime() - t0) / 1e9)
+    }
     val corpusW = spark.read.parquet(windowTablePath)
     val removed = windowRows(docs.filter(isBatch), w)
       .join(corpusW, Seq("wh"), "left_semi")

@@ -193,7 +193,11 @@ object Provenance {
   def incidenceWithLineage(spark: SparkSession, dir: String): DataFrame = {
     val (state, root) = splitLedger(spark, dir, "bound_incidence",
       Seq("source", "kind"), d => graft.operators.Pii.piiCellsOf(d))
-    val (v, b, _) = committedVersions(spark, root).last
+    val (v, b, _) = committedVersions(spark, root).lastOption
+      .getOrElse(sys.error(
+        s"no committed state version under $root — the probe stream " +
+          "drained without committing (empty source, or a crash " +
+          "before the first version write)"))
     graft.operators.Pii.incidenceFromCells(state)
       .withColumn("state_version", lit(v))
       .withColumn("state_batch", lit(b))

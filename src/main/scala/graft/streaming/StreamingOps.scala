@@ -1804,8 +1804,15 @@ object StreamingOps {
       val upper = if (k == nSplits - 1) hi + 1 else lo + (k + 1) * span
       docs.filter(col("doc_id") >= lo + k * span && col("doc_id") < upper)
         .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/w")
+      // a sparse doc_id space can leave an id-range slice EMPTY, and
+      // an empty 1-partition write may produce no part file at all —
+      // fail with the range rather than an opaque NoSuchElement (the
+      // batch numbering contract needs every slice to be a real file)
       val part = new java.io.File(s"$srcRoot/w").listFiles()
-        .find(_.getName.endsWith(".parquet")).get
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(
+          s"idRangeSplitSource: slice $k (doc_id in [${lo + k * span}, " +
+            s"$upper)) produced no parquet part file — empty id range?"))
       val dest = new java.io.File(s"$srcRoot/stream/s$k.parquet")
       dest.getParentFile.mkdirs()
       java.nio.file.Files.move(part.toPath, dest.toPath)
