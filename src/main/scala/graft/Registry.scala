@@ -1057,6 +1057,28 @@ object Registry {
     // q383 off the same maintained state core — shares q383's SQL
     "q385_streaming_basket_sizes" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingBasketSizes(s, d)),
+    // block 26: erasure / right-to-be-forgotten — the missing PII
+    // lifecycle step (r13 verdict #1). Deterministic request:
+    // doc_id % 37 == 0
+    // blast radius per surface (documents / embeddings / dup-edge
+    // artifact) — reads the shared artifact, never re-bands
+    "q386_erasure_plan" -> ((s, d) =>
+      graft.streaming.Erasure.erasurePlan(s, d)),
+    // ledger rewrite: erased keys dropped as a NEW committed version,
+    // tombstone-first; drained per source
+    "q387_erasure_execute" -> ((s, d) =>
+      graft.streaming.Erasure.erasureExecute(s, d)),
+    // the version trail the request leaves: 3 batch prefixes + the
+    // rewrite (same batch id, fewer rows)
+    "q388_erasure_manifest" -> ((s, d) =>
+      graft.streaming.Erasure.erasureManifest(s, d)),
+    // post-erasure audit: state == retained, erased gone, full-outer
+    "q389_erasure_conservation" -> ((s, d) =>
+      graft.streaming.Erasure.erasureConservation(s, d)),
+    // dup-edge artifact invalidation: fingerprint-driven rebuild over
+    // the retained corpus + the exact edge-conservation identity
+    "q390_erasure_artifact_rebuild" -> ((s, d) =>
+      graft.streaming.Erasure.artifactRebuild(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1070,7 +1092,7 @@ object Registry {
       oracles.OracleText.sql, oracles.OracleDedup.sql,
       oracles.OracleAnn.sql, oracles.OracleStreamMedia.sql,
       oracles.OracleProvenance.sql, oracles.OracleSplits.sql,
-      oracles.OracleContracts.sql)
+      oracles.OracleContracts.sql, oracles.OracleErasure.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

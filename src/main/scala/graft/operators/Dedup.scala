@@ -815,6 +815,23 @@ object Dedup {
       s"$artifactRoot/dup_edges_$key")
   }
 
+  /** The edge artifact over the corpus MINUS the deterministic
+    * erasure set (doc_id % `erasureMod` == 0) — the post-takedown
+    * relation q390 certifies. Kept under its own artifact key (the
+    * erased corpus IS a different corpus), so within a JVM the
+    * eleven full-corpus consumers and the erasure family each build
+    * once; the fingerprint contract is identical.
+    */
+  def dupEdgesErased(spark: SparkSession, dir: String,
+      erasureMod: Int): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    dupEdgesAt(spark,
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % erasureMod =!= 0),
+      s"$artifactRoot/dup_edges_${key}_erased$erasureMod")
+  }
+
   /** Single-writer contract: `SPARK_GRAFT_ARTIFACT_ROOT` (like the
     * streaming state roots) assumes ONE writing JVM per corpus key at
     * a time — the pattern a production pipeline gets from running the

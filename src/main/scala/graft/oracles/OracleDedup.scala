@@ -1241,33 +1241,42 @@ private[graft] object OracleDedup {
         s"AS rn FROM n$i) WHERE rn = 1)").mkString(", ")
 
   private[oracles] def dupGraphCte: String =
-      "WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
-        "x -> x <> '') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
-        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
-        "f AS (SELECT * FROM s WHERE len(sh) > 0), " +
-        "e AS (SELECT doc_id, unnest(sh) AS g FROM f), " +
-        "sig AS (SELECT doc_id, " +
+    "WITH " + dupGraphCteBody("", "documents")
+
+  /** The q95 banding chain with every CTE name carrying prefix `p`,
+    * over an arbitrary base relation — no leading WITH, so two chains
+    * (e.g. full corpus vs post-erasure corpus, q390) compose in one
+    * statement. `dupGraphCte` is the zero-prefix instance every
+    * existing consumer keeps reading verbatim.
+    */
+  private[oracles] def dupGraphCteBody(p: String, base: String): String =
+      s"${p}t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        s"x -> x <> '') AS toks FROM $base), " +
+        s"${p}s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+        s"i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM ${p}t), " +
+        s"${p}f AS (SELECT * FROM ${p}s WHERE len(sh) > 0), " +
+        s"${p}e AS (SELECT doc_id, unnest(sh) AS g FROM ${p}f), " +
+        s"${p}sig AS (SELECT doc_id, " +
         "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
         "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
         "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
         "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
-        "FROM e GROUP BY doc_id), " +
-        "band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig " +
-        "UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig " +
-        "UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig " +
-        "UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig), " +
-        "p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
-        "FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket " +
+        s"FROM ${p}e GROUP BY doc_id), " +
+        s"${p}band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM ${p}sig " +
+        s"UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM ${p}sig " +
+        s"UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM ${p}sig " +
+        s"UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM ${p}sig), " +
+        s"${p}p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+        s"FROM ${p}band l JOIN ${p}band r ON l.band = r.band AND l.bucket = r.bucket " +
         "WHERE l.doc_id < r.doc_id), " +
-        "v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
+        s"${p}v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
         "len(a.sh) AS la, len(b.sh) AS lb " +
-        "FROM p JOIN f a ON a.doc_id = p.id_a JOIN f b ON b.doc_id = p.id_b), " +
-        "ed AS (SELECT id_a AS a, id_b AS b FROM v " +
+        s"FROM ${p}p JOIN ${p}f a ON a.doc_id = ${p}p.id_a JOIN ${p}f b ON b.doc_id = ${p}p.id_b), " +
+        s"${p}ed AS (SELECT id_a AS a, id_b AS b FROM ${p}v " +
         "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5), " +
-        "und AS (SELECT a AS u, b AS w FROM ed " +
-        "UNION ALL SELECT b, a FROM ed), " +
-        "dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM und " +
+        s"${p}und AS (SELECT a AS u, b AS w FROM ${p}ed " +
+        s"UNION ALL SELECT b, a FROM ${p}ed), " +
+        s"${p}dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM ${p}und " +
         "GROUP BY u)"
 
   private def q204Sql: String = {

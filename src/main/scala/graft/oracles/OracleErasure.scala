@@ -1,0 +1,107 @@
+package graft.oracles
+
+/** DuckDB oracles for the erasure / right-to-be-forgotten family
+  * (q386–q390).
+  *
+  * The request is pure arithmetic both engines spell identically:
+  * doc_id % 37 == 0 (and vec_id % 37 == 0 on the embedding surface).
+  * The executor queries ride the same deterministic 3-batch id-range
+  * split as the provenance family, so every batch-dependent fact is
+  * the prefix arithmetic of [[OracleProvenance]] plus the erasure
+  * predicate; the artifact queries re-derive the banding chain via
+  * [[OracleDedup.dupGraphCteBody]] over the full and the retained
+  * corpus and pin the exact edge-conservation identity.
+  *
+  * CTE prefix `ers` is unique to this family.
+  */
+object OracleErasure {
+
+  private val Mod = 37
+
+  /** lo/hi + per-doc batch assignment (3 splits), shared head. */
+  private val ersBatchCtes =
+    "ersmm AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi " +
+      "FROM documents), " +
+      "ersb AS (SELECT d.doc_id, d.source, " +
+      "(d.doc_id - m.lo) // ((m.hi - m.lo + 3) // 3) AS b " +
+      "FROM documents d, ersmm m)"
+
+  val sql: Map[String, String] = Map(
+    // q386: blast radius per surface. dup_edges counts incident
+    // verified edges and the RETAINED partner docs whose neighborhood
+    // changes
+    "q386_erasure_plan" ->
+      ("WITH " + OracleDedup.dupGraphCteBody("", "documents") + ", " +
+        "ersinc AS (SELECT a, b FROM ed " +
+        s"WHERE a % $Mod = 0 OR b % $Mod = 0), " +
+        "ersprt AS (SELECT CASE WHEN a % " + Mod + " = 0 THEN b " +
+        "ELSE a END AS d FROM ersinc) " +
+        "SELECT * FROM (" +
+        "SELECT 'documents' AS surface, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_keys " +
+        s"FROM documents WHERE doc_id % $Mod = 0 " +
+        "UNION ALL SELECT 'embeddings', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(COUNT(DISTINCT label) AS BIGINT) " +
+        s"FROM embeddings WHERE vec_id % $Mod = 0 " +
+        "UNION ALL SELECT 'dup_edges', " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ersinc), " +
+        "(SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM ersprt " +
+        s"WHERE d % $Mod <> 0)" +
+        ") ORDER BY surface"),
+    // q387: the post-erasure ledger state == the raw table minus the
+    // request (per source)
+    "q387_erasure_execute" ->
+      ("SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents " +
+        s"WHERE doc_id % $Mod <> 0 GROUP BY source ORDER BY source"),
+    // q388: versions 0..2 are cumulative batch prefixes; version 3 is
+    // the rewrite — same batch id as the version it retired (2),
+    // row count = total minus the request
+    "q388_erasure_manifest" ->
+      (s"WITH $ersBatchCtes, " +
+        "ersv AS (SELECT CAST(v AS BIGINT) AS version FROM " +
+        "(VALUES (0), (1), (2), (3)) AS t(v)) " +
+        "SELECT ersv.version, " +
+        "CAST(CASE WHEN ersv.version = 3 THEN 2 ELSE ersv.version END " +
+        "AS BIGINT) AS batch_id, " +
+        "CAST(SUM(CASE WHEN (ersv.version < 3 AND ersb.b <= ersv.version) " +
+        s"OR (ersv.version = 3 AND ersb.doc_id % $Mod <> 0) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_rows " +
+        "FROM ersv CROSS JOIN ersb " +
+        "GROUP BY ersv.version ORDER BY ersv.version"),
+    // q389: state == retained and erased fully gone, per source —
+    // conserved is identically TRUE on a clean run (the q359 shape)
+    "q389_erasure_conservation" ->
+      ("SELECT source, " +
+        s"CAST(SUM(CASE WHEN doc_id % $Mod <> 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_state, " +
+        s"CAST(SUM(CASE WHEN doc_id % $Mod <> 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_retained, " +
+        s"CAST(SUM(CASE WHEN doc_id % $Mod = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_erased, " +
+        "TRUE AS conserved FROM documents " +
+        "GROUP BY source ORDER BY source"),
+    // q390: banding signatures are per-doc, so removing docs removes
+    // exactly the edges incident to them — the rebuilt artifact obeys
+    // after == before − incident(before), and no surviving edge
+    // touches an erased doc
+    "q390_erasure_artifact_rebuild" ->
+      ("WITH " + OracleDedup.dupGraphCteBody("", "documents") + ", " +
+        "ersbase AS (SELECT * FROM documents " +
+        s"WHERE doc_id % $Mod <> 0), " +
+        OracleDedup.dupGraphCteBody("ers", "ersbase") + ", " +
+        "ersx AS (SELECT " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges_before, " +
+        "(SELECT CAST(COALESCE(SUM(CASE WHEN a % " + Mod +
+        s" = 0 OR b % $Mod = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+        "FROM ed) AS n_incident_before, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ersed) AS n_edges_after, " +
+        "(SELECT CAST(COALESCE(SUM(CASE WHEN a % " + Mod +
+        s" = 0 OR b % $Mod = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+        "FROM ersed) AS n_incident_after) " +
+        "SELECT n_edges_before, n_incident_before, n_edges_after, " +
+        "n_incident_after, " +
+        "(n_edges_after = n_edges_before - n_incident_before) " +
+        "AS conserved FROM ersx"))
+}

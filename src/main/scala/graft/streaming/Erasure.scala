@@ -1,0 +1,324 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Erasure / right-to-be-forgotten propagation (q386–q390) — the r13
+  * verdict's #1 gap: q347 FINDS exposed identities and q348 writes a
+  * scrubbed copy, but nothing DELETED a given doc set through the
+  * system. This family composes the three existing surfaces into that
+  * lifecycle step: the PII sweep's scope (which rows an erasure
+  * request touches, across documents / embeddings / the dup-edge
+  * artifact), the versioned ledgers (rewrite affected state as a NEW
+  * committed version with the erased keys dropped — old versions
+  * retired, never edited in place), the dup-edge artifact's freshness
+  * fingerprint (erased docs vanish → the artifact rebuilds, and the
+  * rebuilt edge set obeys an exact conservation identity), and q359's
+  * conservation-audit shape (post-erasure: retained rows all present,
+  * erased rows all gone, nothing else lost).
+  *
+  * The reference's own delete flows are the §2 anchor: the chunked
+  * DELETE + per-key cache wipe
+  * (/root/reference/src/controllers/contactpoint.controller.js:176-227,
+  * /root/reference/src/services/preloadRedis.js:15-29) remove a
+  * contact and invalidate the derived Redis view; this family is the
+  * GDPR-era composition of exactly those two moves — remove the rows,
+  * invalidate every derived artifact — plus the audit trail a
+  * regulated pipeline must keep.
+  *
+  * Durability contract (the "erased stays erased" property, pinned by
+  * ErasureSpec across a restart): the erasure is committed
+  * TOMBSTONE-FIRST. The erased key set is appended to a tombstone
+  * table BESIDE the ledger before the rewritten version is written;
+  * every subsequent fold — including a crash-replayed micro-batch and
+  * any batch that arrives after the request — anti-joins its input
+  * against the tombstones. A crash between the tombstone write and
+  * the version write therefore re-erases on the next fold instead of
+  * resurrecting the keys; a crash before the tombstone write is a
+  * not-yet-executed request (the requester retries — erasure is
+  * idempotent). The rewritten version keeps the SOURCE BATCH ID of
+  * the version it retired (name `b<v+1>_<sameBatch>`): erasure
+  * changes state CONTENT, not stream progress, so the replay
+  * watermark must not move.
+  *
+  * Deterministic request: doc_id % 37 == 0 — the takedown list both
+  * engines can spell (the q82/q117 planted-fixture discipline).
+  *
+  * 100 TB shape: the plan is three narrow scans (documents and
+  * embeddings never ship text/vectors — only ids and group keys
+  * shuffle) plus one read of the already-built edge artifact; the
+  * executor rewrites ONE state-grain table (≤ #keys rows) and never
+  * rescans the corpus; tombstones are a bare id column the folds
+  * broadcast-anti-join; the artifact rebuild is the standard banding
+  * chain over the RETAINED corpus, triggered by the same fingerprint
+  * that already guards every consumer.
+  */
+object Erasure {
+
+  /** The deterministic erasure request: one in every 37 doc ids. */
+  private val ErasureMod = 37
+
+  private[streaming] def erasedPred = col("doc_id") % ErasureMod === 0
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  // ---------------------------------------------------------------
+  // tombstones
+  // ---------------------------------------------------------------
+
+  private def tombstonePath(ledgerRoot: String): String =
+    s"${ledgerRoot}_tombstones"
+
+  /** Erased keys recorded beside the ledger, or None before any
+    * erasure. A sibling dir (not inside the root) so the version
+    * listing never confuses it with a `b<n>` dir.
+    */
+  private[streaming] def readTombstones(spark: SparkSession,
+      ledgerRoot: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstonePath(ledgerRoot))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        tombstonePath(ledgerRoot) + "/_SUCCESS")))
+      Some(spark.read.parquet(tombstonePath(ledgerRoot)))
+    else None
+  }
+
+  /** Drop tombstoned keys from a fold input (no-op before the first
+    * erasure). The tombstone table is a bare id column — broadcast it
+    * so the anti-join never shuffles the state side.
+    */
+  private[streaming] def applyTombstones(spark: SparkSession,
+      ledgerRoot: String, rows: DataFrame): DataFrame =
+    readTombstones(spark, ledgerRoot) match {
+      case Some(t) =>
+        rows.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => rows
+    }
+
+  /** Execute an erasure request against a versioned ledger whose state
+    * grain carries `doc_id`: commit the tombstones FIRST (append to
+    * any prior request — erasure accumulates), then retire the current
+    * version by writing its anti-joined rewrite as the next version
+    * under the SAME source batch id. Idempotent: re-running the same
+    * request writes an identical version.
+    */
+  private[streaming] def erase(spark: SparkSession, ledgerRoot: String,
+      erasedIds: DataFrame): Unit = {
+    val tomb = tombstonePath(ledgerRoot)
+    val merged = readTombstones(spark, ledgerRoot) match {
+      case Some(t) => t.unionByName(erasedIds.select(col("doc_id")))
+        .distinct()
+      case None => erasedIds.select(col("doc_id")).distinct()
+    }
+    // tombstone-first: once this commits, every future fold filters
+    // the erased keys even if the version rewrite below never runs.
+    // The union above already read the old table, so an in-place
+    // overwrite here is safe single-writer (the ledger contract).
+    val staging = tomb + "_staging"
+    merged.write.mode("overwrite").parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(tomb)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(tomb)))
+      fs.delete(new org.apache.hadoop.fs.Path(tomb), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(tomb)))
+      sys.error(s"tombstone swap failed: rename($staging -> $tomb)")
+    val (v, b, path) = Provenance.committedVersions(spark, ledgerRoot)
+      .lastOption.getOrElse(sys.error(
+        s"erasure against an empty ledger: no committed version " +
+          s"under $ledgerRoot"))
+    val rewritten = spark.read.parquet(path)
+      .join(broadcast(spark.read.parquet(tomb)), Seq("doc_id"),
+        "left_anti")
+    // same batch id: content rewrite, not stream progress
+    rewritten.write.mode("overwrite")
+      .parquet(s"$ledgerRoot/b${v + 1}_$b")
+  }
+
+  // ---------------------------------------------------------------
+  // the probe ledger every executor-side query drives
+  // ---------------------------------------------------------------
+
+  /** Registry-grain probe: a (doc_id, source, n_chars) state table
+    * maintained over the deterministic 3-batch id-range split, then
+    * the erasure request executed against it. Every fold applies the
+    * tombstones, so the pipeline stays correct whether the request
+    * lands mid-stream or after the drain. Returns the post-erasure
+    * state and the ledger root.
+    */
+  private[streaming] def erasedRegistryLedger(spark: SparkSession,
+      dir: String): (DataFrame, String) = {
+    val streamDir = StreamingOps.idRangeSplitSource(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars")), 3)
+    val root = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_erasure_state_")).toString
+    val ledgerRoot = s"$root/state"
+    val ledger =
+      new StreamingOps.VersionedLedger(spark, ledgerRoot, Some(root))
+    val stream = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val w = stream.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (!ledger.isReplayed(id)) {
+          val rows = applyTombstones(ss, ledgerRoot,
+            batch.select(col("doc_id"), col("source"), col("n_chars")))
+          val merged =
+            if (ledger.isEmpty) rows
+            else ss.read.parquet(ledger.path).unionByName(rows)
+          ledger.write(merged, id)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    StreamingOps.startWithCheckpoint(w, Some(root)).awaitTermination()
+    erase(spark, ledgerRoot,
+      Tables.documents(spark, dir).filter(erasedPred)
+        .select(col("doc_id")))
+    val (_, _, path) = Provenance.committedVersions(spark, ledgerRoot)
+      .last
+    (spark.read.parquet(path), ledgerRoot)
+  }
+
+  // ---------------------------------------------------------------
+  // the query surface
+  // ---------------------------------------------------------------
+
+  /** Erasure plan (q386): what a takedown of the erased doc set
+    * touches, per surface — documents (rows to delete, sources
+    * touched), embeddings (vectors to delete, labels touched; vec_id
+    * is the corpus doc key, the q239 convention), and the dup-edge
+    * artifact (edges incident to an erased doc, plus the RETAINED
+    * partner docs whose dup neighborhood changes — the blast radius a
+    * reviewer signs off on before the executor runs). Reads the
+    * shared artifact; never re-bands.
+    */
+  def erasurePlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(erasedPred)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("source")).as("n_keys"))
+      .select(lit("documents").as("surface"), col("n_rows"),
+        col("n_keys"))
+    val embs = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % ErasureMod === 0)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("label")).as("n_keys"))
+      .select(lit("embeddings").as("surface"), col("n_rows"),
+        col("n_keys"))
+    val e = graft.operators.Dedup.dupEdges(spark, dir)
+    val incident = e.filter(col("id_a") % ErasureMod === 0 ||
+      col("id_b") % ErasureMod === 0)
+    val partners = incident
+      .select(when(col("id_a") % ErasureMod === 0, col("id_b"))
+        .otherwise(col("id_a")).as("d"))
+      .filter(col("d") % ErasureMod =!= 0)
+    val edges = incident.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(partners.agg(countDistinct(col("d")).as("n_keys")))
+      .select(lit("dup_edges").as("surface"), col("n_rows"),
+        col("n_keys"))
+    docs.unionByName(embs).unionByName(edges).orderBy(col("surface"))
+  }
+
+  /** Erasure executor (q387): the registry ledger after the request —
+    * per source, surviving docs and chars. The erased keys are GONE
+    * from the latest committed version (old versions retired, not
+    * edited), which is what the oracle pins: the post-erasure state
+    * equals the raw table minus the request.
+    */
+  def erasureExecute(spark: SparkSession, dir: String): DataFrame = {
+    val (state, _) = erasedRegistryLedger(spark, dir)
+    state.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Erasure ledger manifest (q388): the version trail the request
+    * leaves — versions 0..2 are the three micro-batches' cumulative
+    * prefixes; version 3 is the rewrite, carrying the SAME batch id
+    * as the version it retired and fewer rows. The audit row a
+    * regulator asks for: when was the request executed, against which
+    * stream position, and how many rows left the state.
+    */
+  def erasureManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, root) = erasedRegistryLedger(spark, dir)
+    Provenance.committedVersions(spark, root)
+      .map { case (v, b, path) =>
+        (v, b, spark.read.parquet(path).count())
+      }
+      .toDF("version", "batch_id", "n_rows")
+      .orderBy(col("version"))
+  }
+
+  /** Post-erasure conservation audit (q389): per source, full-outer
+    * across the three populations — post-erasure state, retained raw,
+    * erased raw — with the two facts that certify the executor:
+    * state == retained (nothing else lost) and state ∩ erased == ∅
+    * (checked as counts; the q359 shape extended with the erased
+    * column). A source whose every doc was erased still surfaces via
+    * the full-outer join.
+    */
+  def erasureConservation(spark: SparkSession, dir: String): DataFrame = {
+    val (state, _) = erasedRegistryLedger(spark, dir)
+    val st = state.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_state"))
+    val raw = Tables.documents(spark, dir).groupBy(col("source"))
+      .agg(sum(when(erasedPred, 0L).otherwise(1L)).as("n_retained"),
+        sum(when(erasedPred, 1L).otherwise(0L)).as("n_erased"))
+    st.join(raw, Seq("source"), "full")
+      .select(col("source"),
+        coalesce(col("n_state"), lit(0L)).as("n_state"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_erased"), lit(0L)).as("n_erased"),
+        (coalesce(col("n_state"), lit(0L)) ===
+          coalesce(col("n_retained"), lit(0L))).as("conserved"))
+      .orderBy(col("source"))
+  }
+
+  /** Dup-edge artifact invalidation (q390): erased docs vanish from
+    * the corpus → the artifact fingerprint misses → the edge relation
+    * rebuilds over the retained corpus. The rebuilt set obeys an
+    * exact conservation identity — removing docs removes exactly the
+    * edges incident to them (banding signatures are per-doc, so
+    * retained-pair candidacy and verification are unchanged) — and
+    * the query emits both sides of it plus the zero that matters:
+    * no surviving edge touches an erased doc.
+    */
+  def artifactRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val before = graft.operators.Dedup.dupEdges(spark, dir)
+      // barrier: two counts off one artifact read
+      .persist()
+    graft.Caches.onRelease(() =>
+      try before.unpersist(false) catch { case _: Throwable => () })
+    val after = graft.operators.Dedup.dupEdgesErased(spark, dir,
+      ErasureMod)
+    val incident = col("id_a") % ErasureMod === 0 ||
+      col("id_b") % ErasureMod === 0
+    before.agg(count(lit(1)).as("n_edges_before"),
+        coalesce(sum(when(incident, 1L).otherwise(0L)), lit(0L))
+          .as("n_incident_before"))
+      .crossJoin(after.agg(count(lit(1)).as("n_edges_after"),
+        coalesce(sum(when(incident, 1L).otherwise(0L)), lit(0L))
+          .as("n_incident_after")))
+      .select(col("n_edges_before"), col("n_incident_before"),
+        col("n_edges_after"), col("n_incident_after"),
+        (col("n_edges_after") ===
+          col("n_edges_before") - col("n_incident_before"))
+          .as("conserved"))
+  }
+}

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The erasure family's durability contract (r13 verdict #1's "done"
+  * bar): erased keys stay erased across a resume, including the
+  * crash-replay window, and the erasure itself is idempotent and
+  * tombstone-first.
+  */
+class ErasureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String = java.nio.file.Files
+    .createTempDirectory("graft_erasure_spec_").toString
+
+  private def batchDf(ids: Seq[Long]) =
+    ids.map(i => (i, s"s${i % 3}", 10L + i)).toDF(
+      "doc_id", "source", "n_chars")
+
+  /** One ledger fold, as the probe pipeline does it: tombstone filter,
+    * then union-merge with the current version.
+    */
+  private def fold(ledger: StreamingOps.VersionedLedger,
+      ledgerRoot: String, id: Long, ids: Seq[Long]): Unit =
+    if (!ledger.isReplayed(id)) {
+      val rows = Erasure.applyTombstones(spark, ledgerRoot, batchDf(ids))
+      val merged =
+        if (ledger.isEmpty) rows
+        else spark.read.parquet(ledger.path).unionByName(rows)
+      ledger.write(merged, id)
+    }
+
+  private def stateIds(ledgerRoot: String): Set[Long] = {
+    val (_, _, path) =
+      Provenance.committedVersions(spark, ledgerRoot).last
+    spark.read.parquet(path).select("doc_id").as[Long].collect().toSet
+  }
+
+  test("erase drops keys, retires the old version, keeps the batch id") {
+    val root = freshRoot()
+    val ledgerRoot = s"$root/state"
+    val ledger = new StreamingOps.VersionedLedger(spark, ledgerRoot,
+      Some(root))
+    fold(ledger, ledgerRoot, 0L, Seq(1L, 2L, 37L))
+    fold(ledger, ledgerRoot, 1L, Seq(74L, 75L))
+    Erasure.erase(spark, ledgerRoot, Seq(37L, 74L).toDF("doc_id"))
+    assert(stateIds(ledgerRoot) === Set(1L, 2L, 75L))
+    val vs = Provenance.committedVersions(spark, ledgerRoot)
+    // versions 0,1 intact (retired, not edited); version 2 = rewrite
+    // under batch 1 (content change, not stream progress)
+    assert(vs.map(v => (v._1, v._2)) === Seq((0L, 0L), (1L, 1L), (2L, 1L)))
+    assert(spark.read.parquet(vs(1)._3).count() === 5L)
+  }
+
+  test("erased keys stay erased across a resume that replays a batch") {
+    val root = freshRoot()
+    val ledgerRoot = s"$root/state"
+    val ledger = new StreamingOps.VersionedLedger(spark, ledgerRoot,
+      Some(root))
+    fold(ledger, ledgerRoot, 0L, Seq(1L, 2L, 37L))
+    fold(ledger, ledgerRoot, 1L, Seq(74L, 75L))
+    Erasure.erase(spark, ledgerRoot, Seq(37L, 74L).toDF("doc_id"))
+    // restart: a new handle resumes from the rewrite (watermark = 1)
+    val resumed = new StreamingOps.VersionedLedger(spark, ledgerRoot,
+      Some(root))
+    // crash-replay window: batch 1 replays — the gate must skip it
+    // (re-folding would resurrect 74 and double-count 75)
+    fold(resumed, ledgerRoot, 1L, Seq(74L, 75L))
+    assert(stateIds(ledgerRoot) === Set(1L, 2L, 75L))
+    // forward progress: a new batch CONTAINING an erased key (late
+    // duplicate arrival) folds, but the tombstone filter drops it
+    fold(resumed, ledgerRoot, 2L, Seq(37L, 99L))
+    assert(stateIds(ledgerRoot) === Set(1L, 2L, 75L, 99L))
+    val st = spark.read.parquet(
+      Provenance.committedVersions(spark, ledgerRoot).last._3)
+    assert(st.count() === 4L) // no double-counted 75 either
+  }
+
+  test("erasure is idempotent and accumulates across requests") {
+    val root = freshRoot()
+    val ledgerRoot = s"$root/state"
+    val ledger = new StreamingOps.VersionedLedger(spark, ledgerRoot,
+      Some(root))
+    fold(ledger, ledgerRoot, 0L, Seq(1L, 2L, 37L, 74L))
+    Erasure.erase(spark, ledgerRoot, Seq(37L).toDF("doc_id"))
+    Erasure.erase(spark, ledgerRoot, Seq(37L).toDF("doc_id")) // retry
+    assert(stateIds(ledgerRoot) === Set(1L, 2L, 74L))
+    Erasure.erase(spark, ledgerRoot, Seq(74L).toDF("doc_id")) // second
+    assert(stateIds(ledgerRoot) === Set(1L, 2L))
+    // both requests' tombstones persist
+    val tomb = Erasure.readTombstones(spark, ledgerRoot).get
+      .select("doc_id").as[Long].collect().toSet
+    assert(tomb === Set(37L, 74L))
+  }
+
+  test("crash between tombstone write and rewrite re-erases on next fold") {
+    val root = freshRoot()
+    val ledgerRoot = s"$root/state"
+    val ledger = new StreamingOps.VersionedLedger(spark, ledgerRoot,
+      Some(root))
+    fold(ledger, ledgerRoot, 0L, Seq(1L, 37L))
+    // simulate the crash window: tombstones committed, rewrite never
+    // ran (write them exactly as erase() does, then stop)
+    Erasure.erase(spark, ledgerRoot, Seq(37L).toDF("doc_id"))
+    // delete the rewrite version to model "crashed before it"
+    val vs = Provenance.committedVersions(spark, ledgerRoot)
+    val fs = new org.apache.hadoop.fs.Path(ledgerRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(vs.last._3), true)
+    assert(stateIds(ledgerRoot) === Set(1L, 37L)) // stale, pre-rewrite
+    // next fold filters ITS input through the surviving tombstones
+    // (the late-arriving 37 never lands), and the retried erase —
+    // idempotent — purges the stale pre-crash state row
+    val resumed = new StreamingOps.VersionedLedger(spark, ledgerRoot,
+      Some(root))
+    fold(resumed, ledgerRoot, 1L, Seq(37L, 50L))
+    assert(stateIds(ledgerRoot) === Set(1L, 37L, 50L))
+    Erasure.erase(spark, ledgerRoot, Seq(37L).toDF("doc_id"))
+    assert(stateIds(ledgerRoot) === Set(1L, 50L))
+  }
+
+  test("artifact rebuild: fingerprint misses when erased docs vanish") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_erasure_art_").toString + "/a"
+    val beforeDf = graft.operators.Dedup.dupEdgesAt(spark, docs, path)
+    val before = beforeDf.count()
+    val incidentBefore = beforeDf.filter(col("id_a") % 37 === 0 ||
+      col("id_b") % 37 === 0).count()
+    val builds0 = graft.operators.Dedup.dupEdgeBuildCount
+    // same corpus: fresh, no rebuild
+    graft.operators.Dedup.dupEdgesAt(spark, docs, path).count()
+    assert(graft.operators.Dedup.dupEdgeBuildCount === builds0)
+    // erased corpus at the same path: fingerprint misses, rebuilds,
+    // and no surviving edge touches an erased doc
+    val retained = docs.filter(col("doc_id") % 37 =!= 0)
+    val after = graft.operators.Dedup.dupEdgesAt(spark, retained, path)
+    assert(graft.operators.Dedup.dupEdgeBuildCount === builds0 + 1)
+    assert(after.filter(col("id_a") % 37 === 0 ||
+      col("id_b") % 37 === 0).count() === 0L)
+    // exact conservation: removal deletes precisely the incident edges
+    assert(after.count() === before - incidentBefore)
+    assert(incidentBefore > 0L) // non-vacuous on the fixture
+  }
+}
