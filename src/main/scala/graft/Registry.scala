@@ -1079,6 +1079,15 @@ object Registry {
     // the retained corpus + the exact edge-conservation identity
     "q390_erasure_artifact_rebuild" -> ((s, d) =>
       graft.streaming.Erasure.artifactRebuild(s, d)),
+    // ANN index maintenance with deletes (r13 verdict #3): the q149
+    // maintained lists + tombstone-first delete + compaction rewrite
+    // per-list census after the delete (survivors + removed mass)
+    "q391_ivf_delete_maintenance" -> ((s, d) =>
+      graft.streaming.AnnMaintenance.ivfDeleteMaintenance(s, d)),
+    // delete-then-query: top-10 nprobe=2 through the COMPACTED lists —
+    // a surviving deleted vector would break the hash
+    "q392_ivf_delete_then_query" -> ((s, d) =>
+      graft.streaming.AnnMaintenance.deleteThenQuery(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -704,6 +704,40 @@ private[graft] object OracleAnn {
     // q253: recall@10 of the 8-list md5-nibble IVF vs brute force,
     // swept over nprobe in {1, 2, 4} — the probe-budget decision table
     "q253_multiprobe_recall_sweep" -> q253Sql,
+    // q391: per-list census after the delete request — the maintained
+    // lists hold the retained assignments of the q120 model; the
+    // deleted column is the request's per-list mass
+    "q391_ivf_delete_maintenance" ->
+      (ivfModelCtes +
+        " SELECT cid, " +
+        "CAST(SUM(CASE WHEN vec_id % 37 <> 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_vectors, " +
+        "CAST(SUM(CASE WHEN vec_id % 37 = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_deleted " +
+        "FROM a GROUP BY cid ORDER BY cid"),
+    // q392: top-10 nprobe=2 search through the compacted lists for
+    // five retained queries — candidates are retained list members
+    // only, so a surviving deleted vector breaks the hash
+    "q392_ivf_delete_then_query" ->
+      (ivfModelCtes + ", " +
+        "q AS (SELECT vec_id AS q_id, v AS qv FROM v " +
+        "WHERE vec_id BETWEEN 1 AND 5), " +
+        "qp AS (SELECT q_id, cid FROM (SELECT q.q_id, s.c AS cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY s.s DESC, s.c) " +
+        "AS rn FROM q JOIN s ON s.vec_id = q.q_id) WHERE rn <= 2), " +
+        "cand AS (SELECT qp.q_id, a.vec_id FROM qp " +
+        "JOIN a ON a.cid = qp.cid " +
+        "WHERE a.vec_id <> qp.q_id AND a.vec_id % 37 <> 0), " +
+        "sc AS (SELECT cand.q_id, cand.vec_id, " +
+        "list_reduce(list_transform(list_zip(q.qv, v.v), " +
+        "pr -> pr[1] * pr[2]), (acc, y) -> acc + y) AS score " +
+        "FROM cand JOIN q ON q.q_id = cand.q_id " +
+        "JOIN v ON v.vec_id = cand.vec_id), " +
+        "rk AS (SELECT q_id, vec_id AS neighbor, score, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, " +
+        "vec_id) AS rank FROM sc) " +
+        "SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, score " +
+        "FROM rk WHERE rank <= 10 ORDER BY q_id, rank"),
     // q265: per-label cosine between the centroids of the two
     // deterministic md5('cd|') halves — the q104 fixed-point centroid
     // CTEs keyed by (label, half), one A–B join row per label
@@ -846,6 +880,28 @@ private[graft] object OracleAnn {
       "sqrt(list_reduce(list_transform(cent, x -> x * x), " +
       "(acc, y) -> acc + y)) AS norm " +
       "FROM a ORDER BY label")
+
+  /** The q120 4-list md5-nibble model + assignment, reused by the
+    * delete-maintenance rows (q391/q392): cv/cent (the fixed
+    * quantizer), v (double-cast corpus), s (all centroid scores),
+    * a (argmax list assignment).
+    */
+  private def ivfModelCtes: String =
+    "WITH cv AS (SELECT c, d, " +
+      "CAST(strpos('0123456789abcdef', substr(md5('iv|' || " +
+      "CAST(c AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 " +
+      "AS DOUBLE) / 16.0 AS val " +
+      "FROM range(0, 4) t1(c), range(0, 64) t2(d)), " +
+      "cent AS (SELECT c, list(val ORDER BY d) AS w FROM cv GROUP BY c), " +
+      "v AS (SELECT vec_id, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+      "FROM embeddings), " +
+      "s AS (SELECT vec_id, c, " +
+      "list_reduce(list_transform(list_zip(v, w), pr -> pr[1] * pr[2]), " +
+      "(acc, y) -> acc + y) AS s FROM v CROSS JOIN cent), " +
+      "a AS (SELECT vec_id, c AS cid FROM (SELECT vec_id, c, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn " +
+      "FROM s) WHERE rn = 1)"
 
   private def q253Sql: String = {
     val probes = Seq(1, 2, 4)

@@ -99,10 +99,11 @@ object Erasure {
     * so the anti-join never shuffles the state side.
     */
   private[streaming] def applyTombstones(spark: SparkSession,
-      ledgerRoot: String, rows: DataFrame): DataFrame =
+      ledgerRoot: String, rows: DataFrame,
+      keyCol: String = "doc_id"): DataFrame =
     readTombstones(spark, ledgerRoot) match {
       case Some(t) =>
-        rows.join(broadcast(t), Seq("doc_id"), "left_anti")
+        rows.join(broadcast(t), Seq(keyCol), "left_anti")
       case None => rows
     }
 
@@ -114,12 +115,12 @@ object Erasure {
     * request writes an identical version.
     */
   private[streaming] def erase(spark: SparkSession, ledgerRoot: String,
-      erasedIds: DataFrame): Unit = {
+      erasedIds: DataFrame, keyCol: String = "doc_id"): Unit = {
     val tomb = tombstonePath(ledgerRoot)
     val merged = readTombstones(spark, ledgerRoot) match {
-      case Some(t) => t.unionByName(erasedIds.select(col("doc_id")))
+      case Some(t) => t.unionByName(erasedIds.select(col(keyCol)))
         .distinct()
-      case None => erasedIds.select(col("doc_id")).distinct()
+      case None => erasedIds.select(col(keyCol)).distinct()
     }
     // tombstone-first: once this commits, every future fold filters
     // the erased keys even if the version rewrite below never runs.
@@ -139,7 +140,7 @@ object Erasure {
         s"erasure against an empty ledger: no committed version " +
           s"under $ledgerRoot"))
     val rewritten = spark.read.parquet(path)
-      .join(broadcast(spark.read.parquet(tomb)), Seq("doc_id"),
+      .join(broadcast(spark.read.parquet(tomb)), Seq(keyCol),
         "left_anti")
     // same batch id: content rewrite, not stream progress
     rewritten.write.mode("overwrite")
