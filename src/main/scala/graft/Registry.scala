@@ -1088,6 +1088,10 @@ object Registry {
     // a surviving deleted vector would break the hash
     "q392_ivf_delete_then_query" -> ((s, d) =>
       graft.streaming.AnnMaintenance.deleteThenQuery(s, d)),
+    // q380's CI gate off maintained documents state (all three audit
+    // facets merge exactly) — shares q380's SQL
+    "q393_streaming_contract_gate" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingContractGate(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

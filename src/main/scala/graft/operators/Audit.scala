@@ -352,6 +352,19 @@ object Audit {
     ("region", Seq("r_regionkey"), "error"),
     ("supplier", Seq("s_suppkey"), "error"))
 
+  /** One q377 row from a key-grain (…, cnt) frame. */
+  private def keyRowOf(t: String, ks: Seq[String], sev: String,
+      keyCounts: DataFrame): DataFrame =
+    keyCounts
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L))
+          .as("n_dup_keys"))
+      .select(lit(t).as("tbl"),
+        lit(ks.mkString(",")).as("key_cols"),
+        lit(sev).as("severity"),
+        col("n_rows"), col("n_keys"), col("n_dup_keys"))
+
   /** Key uniqueness audit (q377): per declared key, row/key/dup-key
     * counts — key-grain collapse first, so the dup check is one
     * aggregate over |distinct keys| rows.
@@ -359,18 +372,22 @@ object Audit {
   def keyUniqueness(spark: SparkSession, dir: String): DataFrame = {
     val byName = contractTables(spark, dir).toMap
     declaredKeys.map { case (t, ks, sev) =>
-      byName(t).groupBy(ks.map(col): _*)
-        .agg(count(lit(1)).as("cnt"))
-        .agg(sum(col("cnt")).as("n_rows"),
-          count(lit(1)).as("n_keys"),
-          sum(when(col("cnt") > 1, 1L).otherwise(0L))
-            .as("n_dup_keys"))
-        .select(lit(t).as("tbl"),
-          lit(ks.mkString(",")).as("key_cols"),
-          lit(sev).as("severity"),
-          col("n_rows"), col("n_keys"), col("n_dup_keys"))
+      keyRowOf(t, ks, sev,
+        byName(t).groupBy(ks.map(col): _*)
+          .agg(count(lit(1)).as("cnt")))
     }.reduce(_.unionByName(_)).orderBy(col("tbl"))
   }
+
+  /** q393's key-grain state stat: (doc_id → cnt) — the distinct-merge
+    * state key uniqueness needs (sum-merging per-batch counts makes a
+    * cross-batch duplicate a cnt > 1 key at drain).
+    */
+  private[graft] def docKeyCells(docs: DataFrame): DataFrame =
+    docs.groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
+
+  /** q393's drain of [[docKeyCells]]: the q377 documents row. */
+  private[graft] def docKeyRowFromCells(cells: DataFrame): DataFrame =
+    keyRowOf("documents", Seq("doc_id"), "error", cells)
 
   /** The declared domain rules: (rule_id, table, severity, violation
     * predicate). Error rules hold on the fixture by construction;
@@ -413,24 +430,61 @@ object Audit {
     }.reduce(_.unionByName(_)).orderBy(col("rule_id"))
   }
 
+  /** q393's documents-rule state stat: per documents rule,
+    * (rule_id, kind ∈ checked/viol) → cnt — both counts sum-merge.
+    */
+  private[graft] def docDomainCells(docs: DataFrame): DataFrame =
+    domainRules.filter(_._2 == "documents").map { case (id, _, _, viol) =>
+      docs.agg(count(lit(1)).as("n_checked"),
+          sum(when(viol, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(id).as("rule_id"), expr(
+          "stack(2, 'checked', n_checked, 'viol', n_violations) " +
+            "as (kind, cnt)"))
+    }.reduce(_.unionByName(_))
+
+  /** q393's drain of [[docDomainCells]]: the q378 documents rows
+    * (severity rejoined from the declared contract).
+    */
+  private[graft] def docDomainFromCells(cells: DataFrame): DataFrame = {
+    def k(kind: String) =
+      sum(when(col("kind") === kind, col("cnt")).otherwise(0L))
+    val sev = domainRules.filter(_._2 == "documents")
+      .map { case (id, _, s, _) => (id, s) }
+    val sevCol = sev.foldLeft(lit(null).cast("string")) {
+      case (acc, (id, s)) => when(col("rule_id") === id, s).otherwise(acc)
+    }
+    cells.groupBy(col("rule_id"))
+      .agg(k("checked").as("n_checked"), k("viol").as("n_violations"))
+      .select(col("rule_id"), lit("documents").as("tbl"),
+        sevCol.as("severity"), col("n_checked"), col("n_violations"))
+  }
+
   /** Contract gate (q380): the one row a CI job reads — rule counts
     * and violation counts by severity over all three audits (a null
     * anywhere and a dup on an error-grade key are error-grade).
     * PASS ⇔ zero error-grade violations; warn findings report but
     * never gate.
     */
-  def contractGate(spark: SparkSession, dir: String): DataFrame = {
-    val nullCols = completeness(spark, dir)
+  def contractGate(spark: SparkSession, dir: String): DataFrame =
+    gateFrom(completeness(spark, dir), keyUniqueness(spark, dir),
+      domainAudit(spark, dir))
+
+  /** The gate rollup over the three audit tables — shared by the
+    * batch gate and the q393 streaming twin, so the two can't drift.
+    */
+  private[graft] def gateFrom(completenessDf: DataFrame,
+      keyDf: DataFrame, domainDf: DataFrame): DataFrame = {
+    val nullCols = completenessDf
       .agg(count(lit(1)).as("n"),
         sum(when(col("n_nulls") > 0, 1L).otherwise(0L)).as("viol"))
       .select(col("n"), col("viol"), lit(0L).as("warnViol"))
-    val keys = keyUniqueness(spark, dir)
+    val keys = keyDf
       .agg(count(lit(1)).as("n"),
         sum(when(col("n_dup_keys") > 0 && col("severity") === "error",
           1L).otherwise(0L)).as("viol"),
         sum(when(col("n_dup_keys") > 0 && col("severity") === "warn",
           1L).otherwise(0L)).as("warnViol"))
-    val rules = domainAudit(spark, dir)
+    val rules = domainDf
       .agg(count(lit(1)).as("n"),
         sum(when(col("n_violations") > 0 && col("severity") === "error",
           1L).otherwise(0L)).as("viol"),
@@ -444,5 +498,41 @@ object Audit {
         col("n_warn_violations"),
         when(col("n_error_violations") === 0, "PASS").otherwise("FAIL")
           .as("gate"))
+  }
+
+  /** The three audit tables with the DOCUMENTS side supplied from
+    * maintained state (the q393 streaming twin's drain): the nine
+    * static tables' audits are recomputed (they don't stream — same
+    * cost as the batch gate minus one corpus pass), the documents
+    * rows come from the drained cells. `gateFrom` then yields the
+    * q380 row, so q380's SQL is the oracle verbatim.
+    */
+  private[graft] def gateWithDocState(spark: SparkSession, dir: String,
+      docCompleteness: DataFrame, docKeyRow: DataFrame,
+      docDomain: DataFrame): DataFrame = {
+    val staticTables = contractTables(spark, dir)
+      .filter(_._1 != "documents")
+    val comp = staticTables
+      .map { case (t, df) => completenessCellsOf(t, df) }
+      .reduce(_.unionByName(_))
+      .unionByName(docCompleteness)
+    val byName = staticTables.toMap
+    val keys = declaredKeys.filter(_._1 != "documents")
+      .map { case (t, ks, sev) =>
+        keyRowOf(t, ks, sev,
+          byName(t).groupBy(ks.map(col): _*)
+            .agg(count(lit(1)).as("cnt")))
+      }.reduce(_.unionByName(_))
+      .unionByName(docKeyRow)
+    val rules = domainRules.filter(_._2 != "documents")
+      .map { case (id, t, sev, viol) =>
+        byName(t).agg(count(lit(1)).as("n_checked"),
+            sum(when(viol, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit(id).as("rule_id"), lit(t).as("tbl"),
+            lit(sev).as("severity"), col("n_checked"),
+            col("n_violations"))
+      }.reduce(_.unionByName(_))
+      .unionByName(docDomain)
+    gateFrom(comp, keys, rules)
   }
 }

@@ -135,5 +135,9 @@ object OracleContracts {
         "ORDER BY col_name"),
     "q377_key_uniqueness" -> uniquenessSql,
     "q378_domain_audit" -> domainSql,
-    "q380_contract_gate" -> gateSql)
+    "q380_contract_gate" -> gateSql,
+    // q393: the gate off MAINTAINED documents state (completeness
+    // cells, key-grain counts, rule cells all merge exactly), so the
+    // batch gate's SQL is the oracle verbatim under any batching
+    "q393_streaming_contract_gate" -> gateSql)
 }

@@ -1791,7 +1791,7 @@ object StreamingOps {
     * facts (lineage manifests, first-writer provenance) oracle-able.
     * The mtime epoch is fixed: only the order matters.
     */
-  private[streaming] def idRangeSplitSource(spark: SparkSession,
+  private[graft] def idRangeSplitSource(spark: SparkSession,
       docsRaw: DataFrame, nSplits: Int): String = {
     val docs = docsRaw.persist()
     val srcRoot = graft.Caches.trackTempDir(
@@ -3143,6 +3143,65 @@ object StreamingOps {
         graft.operators.Audit.docCompletenessCells,
         sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
         stateRoot))
+
+  /** The q393 state stat: all three documents-side contract facets as
+    * ONE sum-merged cell grain — completeness (col_name, rows/nulls),
+    * key uniqueness (per-doc_id counts: a cross-batch duplicate
+    * becomes cnt > 1 at drain — the key-grain distinct-merge state),
+    * and the documents domain rules (checked/viol counts).
+    */
+  private def contractCellsOf(docs: DataFrame): DataFrame = {
+    import graft.operators.Audit
+    Audit.docCompletenessCells(docs)
+      .select(lit("comp").as("facet"), col("col_name").as("k1"),
+        col("kind").as("k2"), col("cnt"))
+      .unionByName(Audit.docKeyCells(docs)
+        .select(lit("key").as("facet"),
+          col("doc_id").cast("string").as("k1"), lit("").as("k2"),
+          col("cnt")))
+      .unionByName(Audit.docDomainCells(docs)
+        .select(lit("rule").as("facet"), col("rule_id").as("k1"),
+          col("kind").as("k2"), col("cnt")))
+  }
+
+  /** Streaming contract gate (q393, r13 verdict #5): q380's one-row
+    * CI gate drained from MAINTAINED documents state instead of a
+    * fresh corpus pass — the gate is continuously current as the
+    * ingest runs. The documents side of all three audits rides one
+    * (facet, k1, k2) cell state ([[contractCellsOf]]); the nine
+    * static tables are re-audited at drain (they don't stream); the
+    * rollup is [[graft.operators.Audit.gateFrom]] — the same code the
+    * batch gate runs, so q380's SQL is the oracle verbatim.
+    *
+    * 100 TB shape: per-batch work is one aggregate pass over the
+    * batch; state is #columns + #docs(key grain) + #rules rows — the
+    * key facet is the only corpus-grain piece, the same scale as the
+    * q235 dedup registry it mirrors.
+    */
+  def streamingContractGate(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Audit
+    val state = docCountState(spark, "contract_gate",
+      Seq("facet", "k1", "k2"), contractCellsOf,
+      sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+      stateRoot)
+      // barrier: three facet drains read the one state table
+      .persist()
+    graft.Caches.onRelease(() =>
+      try state.unpersist(false) catch { case _: Throwable => () })
+    Audit.gateWithDocState(spark, dir,
+      Audit.completenessFromCells(state.filter(col("facet") === "comp")
+        .select(col("k1").as("col_name"), col("k2").as("kind"),
+          col("cnt"))),
+      Audit.docKeyRowFromCells(state.filter(col("facet") === "key")
+        .select(col("k1").cast("long").as("doc_id"), col("cnt"))),
+      Audit.docDomainFromCells(state.filter(col("facet") === "rule")
+        .select(col("k1").as("rule_id"), col("k2").as("kind"),
+          col("cnt"))))
+  }
 
   /** Streaming tokenizer-drift alert (q350): q244's BPE re-training
     * off the MAINTAINED (w, split) word-frequency state — word counts

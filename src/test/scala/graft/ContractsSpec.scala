@@ -55,4 +55,34 @@ class ContractsSpec extends SparkSpec {
     assert(whole == merged)
     Caches.releaseAll(spark)
   }
+
+  test("streaming gate over a genuine 3-batch split equals the batch gate") {
+    val streamDir = graft.streaming.StreamingOps.idRangeSplitSource(
+      spark, graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")), 3)
+    val streamed = graft.streaming.StreamingOps.streamingContractGate(
+      spark, sfDir, sourceDir = Some(streamDir),
+      sourceGlob = "*.parquet", maxFilesPerTrigger = Some(1))
+      .collect().toSeq
+    val batch = Audit.contractGate(spark, sfDir).collect().toSeq
+    assert(streamed == batch)
+    Caches.releaseAll(spark)
+  }
+
+  test("key facet catches a cross-batch duplicate the per-batch view misses") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars")).limit(50)
+    // the same doc arrives in two different micro-batches: each batch
+    // alone is dup-free, the sum-merged key state is not
+    val b0 = Audit.docKeyCells(docs)
+    val b1 = Audit.docKeyCells(docs.filter(col("doc_id") < 5))
+    val mergedState = b0.unionByName(b1)
+      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("cnt"))
+    val row = Audit.docKeyRowFromCells(mergedState).collect()(0)
+    assert(row.getAs[Long]("n_dup_keys") === 5L)
+    assert(row.getAs[Long]("n_keys") === 50L)
+    Caches.releaseAll(spark)
+  }
 }
