@@ -1092,6 +1092,24 @@ object Registry {
     // facets merge exactly) — shares q380's SQL
     "q393_streaming_contract_gate" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingContractGate(s, d)),
+    // block 27: curriculum / data-ordering + curation budgeting
+    // docs/tokens/share per fixed lexical-diversity band
+    "q394_curriculum_phases" -> ((s, d) =>
+      Curriculum.curriculumPhases(s, d)),
+    // the deterministic pack order: per (phase, shard), (score,
+    // doc_id)-ordered manifest with running token offset
+    "q395_curriculum_manifest" -> ((s, d) =>
+      Curriculum.curriculumManifest(s, d)),
+    // greedy budgeted source selection (fractional-knapsack by quality
+    // density), trajectory-oracled
+    "q396_curation_optimizer" -> ((s, d) =>
+      Curriculum.curationOptimizer(s, d)),
+    // q394's cells sum-merge per micro-batch — shares q394's SQL
+    "q397_streaming_curriculum_mass" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingCurriculumMass(s, d)),
+    // q178's chop in curriculum order, per-shard boundary audit
+    "q398_curriculum_packed" -> ((s, d) =>
+      Curriculum.curriculumPacked(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1105,7 +1123,8 @@ object Registry {
       oracles.OracleText.sql, oracles.OracleDedup.sql,
       oracles.OracleAnn.sql, oracles.OracleStreamMedia.sql,
       oracles.OracleProvenance.sql, oracles.OracleSplits.sql,
-      oracles.OracleContracts.sql, oracles.OracleErasure.sql)
+      oracles.OracleContracts.sql, oracles.OracleErasure.sql,
+      oracles.OracleCurriculum.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

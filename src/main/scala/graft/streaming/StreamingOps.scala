@@ -3203,6 +3203,24 @@ object StreamingOps {
           col("cnt"))))
   }
 
+  /** Streaming curriculum-phase mass (q397): q394's (phase, kind)
+    * docs/tokens cells sum-merge per micro-batch — the curriculum
+    * sizing table kept current as the corpus arrives. The score is a
+    * stateless row-local function of the text, so a doc's phase never
+    * depends on which batch carried it and q394's SQL is the oracle
+    * for ANY micro-batching.
+    */
+  def streamingCurriculumMass(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    graft.operators.Curriculum.phasesFromCells(
+      docCountState(spark, "curriculum_mass", Seq("phase", "kind"),
+        graft.operators.Curriculum.phaseCells,
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
+
   /** Streaming tokenizer-drift alert (q350): q244's BPE re-training
     * off the MAINTAINED (w, split) word-frequency state — word counts
     * sum-merge per micro-batch, and at drain the snapshot side trains
