@@ -1110,6 +1110,38 @@ object Registry {
     // q178's chop in curriculum order, per-shard boundary audit
     "q398_curriculum_packed" -> ((s, d) =>
       Curriculum.curriculumPacked(s, d)),
+    // block 28: retrieval evaluation on label relevance (exact ground
+    // truth, not an FP threshold)
+    // P/R@10 per query, integer numerators
+    "q399_retrieval_precision_recall" -> ((s, d) =>
+      RetrievalEval.precisionRecall(s, d)),
+    // first-relevant rank + reciprocal, per query (no FP mean)
+    "q400_retrieval_mrr" -> ((s, d) => RetrievalEval.mrrTable(s, d)),
+    // binary-gain NDCG@10 via fixed-order left folds
+    "q401_retrieval_ndcg" -> ((s, d) => RetrievalEval.ndcgAt10(s, d)),
+    // the q120 quantizer at nprobe=2 vs the brute top-10
+    "q402_ivf_vs_brute" -> ((s, d) => RetrievalEval.ivfVsBrute(s, d)),
+    // kNN majority-label prediction → confusion counts
+    "q403_knn_confusion" -> ((s, d) => RetrievalEval.knnConfusion(s, d)),
+    // block 29: user-scope erasure + retention (the reference's
+    // user-keyed delete flows at GDPR scale; key % 97 == 0)
+    // the FK cascade blast radius (customer → orders → lineitem →
+    // events + contact exposure)
+    "q404_user_cascade_plan" -> ((s, d) =>
+      graft.streaming.UserErasure.cascadePlan(s, d)),
+    // events registry ledger + USER tombstones (one tombstone row
+    // kills every event the user ever produced, incl. late arrivals)
+    "q405_user_erasure_execute" -> ((s, d) =>
+      graft.streaming.UserErasure.userErasureExecute(s, d)),
+    // the post-erasure certificate on the user surface
+    "q406_user_erasure_certificate" -> ((s, d) =>
+      graft.streaming.UserErasure.userErasureCertificate(s, d)),
+    // time-based retention as a pure predicate rewrite (idempotent)
+    "q407_retention_rewrite" -> ((s, d) =>
+      graft.streaming.UserErasure.retentionRewrite(s, d)),
+    // what the cascade deletes in value terms, per erased customer
+    "q408_cascade_value_mass" -> ((s, d) =>
+      graft.streaming.UserErasure.cascadeValueMass(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1124,7 +1156,8 @@ object Registry {
       oracles.OracleAnn.sql, oracles.OracleStreamMedia.sql,
       oracles.OracleProvenance.sql, oracles.OracleSplits.sql,
       oracles.OracleContracts.sql, oracles.OracleErasure.sql,
-      oracles.OracleCurriculum.sql)
+      oracles.OracleCurriculum.sql, oracles.OracleRetrieval.sql,
+      oracles.OracleUserErasure.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

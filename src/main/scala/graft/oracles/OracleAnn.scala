@@ -886,7 +886,7 @@ private[graft] object OracleAnn {
     * quantizer), v (double-cast corpus), s (all centroid scores),
     * a (argmax list assignment).
     */
-  private def ivfModelCtes: String =
+  private[oracles] def ivfModelCtes: String =
     "WITH cv AS (SELECT c, d, " +
       "CAST(strpos('0123456789abcdef', substr(md5('iv|' || " +
       "CAST(c AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 " +

@@ -147,6 +147,23 @@ object Erasure {
       .parquet(s"$ledgerRoot/b${v + 1}_$b")
   }
 
+  /** Retire rows from a versioned ledger by PREDICATE (retention
+    * policies, q407): the current version filtered to `keep` becomes
+    * the next version under the same source batch id. Idempotent by
+    * construction (filtering twice is filtering once); no tombstones —
+    * the policy is the predicate, and a pipeline applying one also
+    * applies it to new folds.
+    */
+  private[streaming] def retire(spark: SparkSession, ledgerRoot: String,
+      keep: org.apache.spark.sql.Column): Unit = {
+    val (v, b, path) = Provenance.committedVersions(spark, ledgerRoot)
+      .lastOption.getOrElse(sys.error(
+        s"retention against an empty ledger: no committed version " +
+          s"under $ledgerRoot"))
+    spark.read.parquet(path).filter(keep)
+      .write.mode("overwrite").parquet(s"$ledgerRoot/b${v + 1}_$b")
+  }
+
   // ---------------------------------------------------------------
   // the probe ledger every executor-side query drives
   // ---------------------------------------------------------------
