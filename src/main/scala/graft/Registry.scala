@@ -1142,6 +1142,18 @@ object Registry {
     // what the cascade deletes in value terms, per erased customer
     "q408_cascade_value_mass" -> ((s, d) =>
       graft.streaming.UserErasure.cascadeValueMass(s, d)),
+    // block 30: join planning + derived-view retraction
+    // per FK edge: volumes, key cardinality, skew, strategy rule
+    "q409_join_stats_planner" -> ((s, d) =>
+      JoinPlanner.joinStatsPlanner(s, d)),
+    // Q1 cells after the cascade via a NEGATIVE delta merge — the
+    // oracle recomputes over retained rows, hash equality proves the
+    // delta algebra exact
+    "q410_retractable_pricing" -> ((s, d) =>
+      Retraction.retractablePricing(s, d)),
+    // the distinct (order, brand) grain retracts by anti-join
+    "q411_retractable_affinity" -> ((s, d) =>
+      Retraction.retractableAffinity(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1157,7 +1169,7 @@ object Registry {
       oracles.OracleProvenance.sql, oracles.OracleSplits.sql,
       oracles.OracleContracts.sql, oracles.OracleErasure.sql,
       oracles.OracleCurriculum.sql, oracles.OracleRetrieval.sql,
-      oracles.OracleUserErasure.sql)
+      oracles.OracleUserErasure.sql, oracles.OraclePlanner.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")
