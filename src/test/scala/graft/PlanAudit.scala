@@ -19,7 +19,17 @@ object PlanAudit {
       "q381" -> operators.Basket.brandAffinity(spark, d),
       "q368" -> operators.Analytics.idleBalanceAudit(spark, d),
       "q371" -> operators.Analytics.volumeShipping(spark, d),
-      "q376" -> operators.Audit.completeness(spark, d))) {
+      "q376" -> operators.Audit.completeness(spark, d),
+      // round 14: the erasure plan reads the artifact + two narrow
+      // scans; the cascade and retraction queries must reach lineitem
+      // through BROADCAST semi/anti joins (erased key sets are tiny)
+      "q386" -> streaming.Erasure.erasurePlan(spark, d),
+      "q404" -> streaming.UserErasure.cascadePlan(spark, d),
+      "q408" -> streaming.UserErasure.cascadeValueMass(spark, d),
+      "q409" -> operators.JoinPlanner.joinStatsPlanner(spark, d),
+      "q410" -> operators.Retraction.retractablePricing(spark, d),
+      "q396" -> operators.Curriculum.curationOptimizer(spark, d),
+      "q399" -> operators.RetrievalEval.precisionRecall(spark, d))) {
       val p = q.queryExecution.executedPlan.toString
       val shuffles = "Exchange".r.findAllIn(p).length
       val bcasts = "BroadcastExchange".r.findAllIn(p).length

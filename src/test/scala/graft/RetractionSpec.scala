@@ -23,6 +23,16 @@ class RetractionSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("retraction reaches lineitem through a broadcast join only") {
+    val p = preparedPlan(
+      Retraction.retractablePricing(spark, sfDir)).toString
+    // the erased order set is tiny — a sort-merge join here would be
+    // the 100 TB scale-killer this family exists to avoid
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    Caches.releaseAll(spark)
+  }
+
   test("delta merge equals recomputation over retained rows") {
     val li = graft.sources.Tables.lineitem(spark, sfDir)
     val retained = li.join(
