@@ -1154,6 +1154,22 @@ object Registry {
     // the distinct (order, brand) grain retracts by anti-join
     "q411_retractable_affinity" -> ((s, d) =>
       Retraction.retractableAffinity(s, d)),
+    // block 31: cross-split n-gram contamination (benchmark
+    // decontamination at w=15, the q174 window machinery over the
+    // q136 split rule)
+    // per source: train docs sharing a window with test + share
+    "q412_contamination_matrix" -> ((s, d) =>
+      Contamination.contaminationMatrix(s, d)),
+    // the purge work list: leaked spans removed, kept text hashed
+    "q413_contamination_purge" -> ((s, d) =>
+      Contamination.contaminationPurge(s, d)),
+    // per source: docs touched, token mass before/after/lost
+    "q414_contamination_summary" -> ((s, d) =>
+      Contamination.purgeSummary(s, d)),
+    // q414 off maintained cells vs the stored test window artifact —
+    // shares q414's SQL
+    "q415_streaming_contamination" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingContamination(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1169,7 +1185,8 @@ object Registry {
       oracles.OracleProvenance.sql, oracles.OracleSplits.sql,
       oracles.OracleContracts.sql, oracles.OracleErasure.sql,
       oracles.OracleCurriculum.sql, oracles.OracleRetrieval.sql,
-      oracles.OracleUserErasure.sql, oracles.OraclePlanner.sql)
+      oracles.OracleUserErasure.sql, oracles.OraclePlanner.sql,
+      oracles.OracleContamination.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

@@ -3221,6 +3221,33 @@ object StreamingOps {
         sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
         stateRoot))
 
+  /** Streaming decontamination monitor (q415): q414's per-source
+    * purge-cost cells maintained as train documents arrive — the TEST
+    * window-hash set is materialized ONCE as a stored artifact (the
+    * eval set is fixed while train streams), each micro-batch's train
+    * docs are windowed row-locally and semi-joined against it, and
+    * the (source, kind) cells sum-merge (contamination is per-doc
+    * against a fixed test set, so q414's SQL is the oracle for ANY
+    * micro-batching). The alert a 24/7 ingest runs so a benchmark
+    * leak is caught at ARRIVAL, not at eval time.
+    */
+  def streamingContamination(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame = {
+    import graft.operators.Contamination
+    val testWPath = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_testwin_")).toString + "/w"
+    Contamination.buildTestWindowTable(spark, dir, testWPath)
+    Contamination.purgeFromCells(
+      docCountState(spark, "contamination", Seq("source", "kind"),
+        d => Contamination.purgeCellsOf(d,
+          d.sparkSession.read.parquet(testWPath)),
+        sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+        stateRoot))
+  }
+
   /** Streaming tokenizer-drift alert (q350): q244's BPE re-training
     * off the MAINTAINED (w, split) word-frequency state — word counts
     * sum-merge per micro-batch, and at drain the snapshot side trains
