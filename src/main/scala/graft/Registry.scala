@@ -1170,6 +1170,15 @@ object Registry {
     // shares q414's SQL
     "q415_streaming_contamination" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingContamination(s, d)),
+    // block 32: physical layout & skew advisors (the scale knobs this
+    // library sets by config, computed as regenerable artifacts)
+    // per-source writer/file sizing at a fixed payload budget
+    "q416_partition_plan" -> ((s, d) => Layout.partitionPlan(s, d)),
+    // hot-key salting fan-out (event_type — the skewed key here)
+    "q417_salt_plan" -> ((s, d) => Layout.saltPlan(s, d)),
+    // per-relation shuffle-task sizing (the planning-time view of
+    // what AQE coalescing approximates at runtime)
+    "q418_shuffle_advisor" -> ((s, d) => Layout.shuffleAdvisor(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1186,7 +1195,7 @@ object Registry {
       oracles.OracleContracts.sql, oracles.OracleErasure.sql,
       oracles.OracleCurriculum.sql, oracles.OracleRetrieval.sql,
       oracles.OracleUserErasure.sql, oracles.OraclePlanner.sql,
-      oracles.OracleContamination.sql)
+      oracles.OracleContamination.sql, oracles.OracleLayout.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")
