@@ -1179,6 +1179,13 @@ object Registry {
     // per-relation shuffle-task sizing (the planning-time view of
     // what AQE coalescing approximates at runtime)
     "q418_shuffle_advisor" -> ((s, d) => Layout.shuffleAdvisor(s, d)),
+    // block 33: PSI drift between train/test splits on the curriculum
+    // difficulty bands
+    "q419_psi_bands" -> ((s, d) => Psi.psiBands(s, d)),
+    // fixed-band-order left fold + the standard 0.1/0.25 read
+    "q420_psi_total" -> ((s, d) => Psi.psiTotal(s, d)),
+    // (band, split) cells sum-merge — shares q419's SQL
+    "q421_streaming_psi" -> ((s, d) => Psi.streamingPsi(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1195,7 +1202,8 @@ object Registry {
       oracles.OracleContracts.sql, oracles.OracleErasure.sql,
       oracles.OracleCurriculum.sql, oracles.OracleRetrieval.sql,
       oracles.OracleUserErasure.sql, oracles.OraclePlanner.sql,
-      oracles.OracleContamination.sql, oracles.OracleLayout.sql)
+      oracles.OracleContamination.sql, oracles.OracleLayout.sql,
+      oracles.OraclePsi.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

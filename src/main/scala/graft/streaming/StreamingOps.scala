@@ -3221,6 +3221,20 @@ object StreamingOps {
         sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
         stateRoot))
 
+  /** The q421 cell state: (band, split) doc counts through the
+    * generic sum-merge core (band and split are stateless row-local
+    * rules, so q419's SQL is the oracle for any batching).
+    */
+  private[graft] def psiCellState(spark: SparkSession, dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    docCountState(spark, "psi_bands", Seq("band", "split"),
+      graft.operators.Psi.psiCells,
+      sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+      stateRoot)
+
   /** Streaming decontamination monitor (q415): q414's per-source
     * purge-cost cells maintained as train documents arrive — the TEST
     * window-hash set is materialized ONCE as a stored artifact (the
