@@ -62,8 +62,13 @@ object Curriculum {
   private[graft] def phasesFromCells(cells: DataFrame): DataFrame = {
     def k(kind: String) =
       sum(when(col("kind") === kind, col("cnt")).otherwise(0L))
+    // barrier: the share total and the output rows both read the
+    // phase table — persist it or the upstream corpus scan runs twice
     val byPhase = cells.groupBy(col("phase"))
       .agg(k("docs").as("n_docs"), k("tokens").as("n_tokens"))
+      .persist()
+    graft.Caches.onRelease(() =>
+      try byPhase.unpersist(false) catch { case _: Throwable => () })
     byPhase
       .crossJoin(broadcast(
         byPhase.agg(sum(col("n_tokens")).as("tt"))))

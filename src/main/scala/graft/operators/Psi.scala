@@ -43,11 +43,17 @@ object Psi {
 
   /** Drain: the q419 per-band table from the cells. */
   private[graft] def psiFromCells(cells: DataFrame): DataFrame = {
+    // barrier: the share totals and the output rows both read the
+    // band table — persist it or the upstream corpus scan runs twice
+    // (the q378 double-scan lesson)
     val byBand = cells.groupBy(col("band"))
       .agg(sum(when(col("split") === "train", col("cnt")).otherwise(0L))
         .as("n_train"),
         sum(when(col("split") === "test", col("cnt")).otherwise(0L))
           .as("n_test"))
+      .persist()
+    graft.Caches.onRelease(() =>
+      try byBand.unpersist(false) catch { case _: Throwable => () })
     byBand
       .crossJoin(broadcast(byBand.agg(
         sum(col("n_train")).as("tt"), sum(col("n_test")).as("te"))))

@@ -83,14 +83,33 @@ object Erasure {
   /** Erased keys recorded beside the ledger, or None before any
     * erasure. A sibling dir (not inside the root) so the version
     * listing never confuses it with a `b<n>` dir.
+    *
+    * Recovery: [[erase]] swaps the table via staging-write →
+    * delete-old → rename; a crash between the delete and the rename
+    * leaves only a COMMITTED staging dir, and without recovery the
+    * accumulated tombstones of every prior request would silently
+    * vanish (erased keys resurrected — the one unacceptable failure).
+    * So a read that finds no table but a committed staging dir
+    * completes the swap first (the StreamState.maybeCompact
+    * recover() discipline).
     */
   private[streaming] def readTombstones(spark: SparkSession,
       ledgerRoot: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(tombstonePath(ledgerRoot))
+    val tomb = tombstonePath(ledgerRoot)
+    val p = new org.apache.hadoop.fs.Path(tomb)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(
-        tombstonePath(ledgerRoot) + "/_SUCCESS")))
-      Some(spark.read.parquet(tombstonePath(ledgerRoot)))
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(
+      tomb + "/_SUCCESS"))
+    if (!committed && fs.exists(new org.apache.hadoop.fs.Path(
+        tomb + "_staging/_SUCCESS"))) {
+      if (fs.exists(p)) fs.delete(p, true) // partial pre-crash dir
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tomb + "_staging"),
+          p))
+        sys.error(s"tombstone swap recovery failed: " +
+          s"rename(${tomb}_staging -> $tomb)")
+    }
+    if (fs.exists(new org.apache.hadoop.fs.Path(tomb + "/_SUCCESS")))
+      Some(spark.read.parquet(tomb))
     else None
   }
 

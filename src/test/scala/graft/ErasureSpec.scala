@@ -121,6 +121,33 @@ class ErasureSpec extends SparkSpec {
     assert(stateIds(ledgerRoot) === Set(1L, 50L))
   }
 
+  test("crash between tombstone delete and staging rename recovers — " +
+      "accumulated tombstones are never lost") {
+    val root = freshRoot()
+    val ledgerRoot = s"$root/state"
+    val ledger = new StreamingOps.VersionedLedger(spark, ledgerRoot,
+      Some(root))
+    fold(ledger, ledgerRoot, 0L, Seq(1L, 37L, 74L))
+    Erasure.erase(spark, ledgerRoot, Seq(37L).toDF("doc_id"))
+    // simulate the swap crash window of a SECOND request: committed
+    // staging (old ∪ new), tombstone table deleted, rename never ran
+    val tomb = s"${ledgerRoot}_tombstones"
+    val fs = new org.apache.hadoop.fs.Path(tomb)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(tomb)
+      .unionByName(Seq(74L).toDF("doc_id")).distinct()
+      .write.mode("overwrite").parquet(tomb + "_staging")
+    fs.delete(new org.apache.hadoop.fs.Path(tomb), true)
+    // the next read completes the swap: BOTH requests' keys survive
+    val t = Erasure.readTombstones(spark, ledgerRoot).get
+      .select("doc_id").as[Long].collect().toSet
+    assert(t === Set(37L, 74L))
+    // and the fold path filters both
+    val kept = Erasure.applyTombstones(spark, ledgerRoot,
+      batchDf(Seq(37L, 74L, 99L)))
+    assert(kept.select("doc_id").as[Long].collect().toSet === Set(99L))
+  }
+
   test("artifact rebuild: fingerprint misses when erased docs vanish") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val path = java.nio.file.Files
