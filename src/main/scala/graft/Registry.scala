@@ -1186,6 +1186,10 @@ object Registry {
     "q420_psi_total" -> ((s, d) => Psi.psiTotal(s, d)),
     // (band, split) cells sum-merge — shares q419's SQL
     "q421_streaming_psi" -> ((s, d) => Psi.streamingPsi(s, d)),
+    // the release datasheet: volume, splits, dup/quality/PII/
+    // contamination mass — every fact its home family's exact
+    // arithmetic, one consistent snapshot
+    "q422_dataset_card" -> ((s, d) => DatasetCard.datasetCard(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1203,7 +1207,7 @@ object Registry {
       oracles.OracleCurriculum.sql, oracles.OracleRetrieval.sql,
       oracles.OracleUserErasure.sql, oracles.OraclePlanner.sql,
       oracles.OracleContamination.sql, oracles.OracleLayout.sql,
-      oracles.OraclePsi.sql)
+      oracles.OraclePsi.sql, oracles.OracleCard.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

@@ -18,8 +18,10 @@ object OracleContamination {
       s"strpos('0123456789abcdef', substr(md5('split|' || " +
       s"CAST($idExpr AS VARCHAR)), 2, 1)) - 1"
 
-  /** Tokenized + split docs, windows, and the test window set. */
-  private val ctmBase =
+  /** Tokenized + split docs, windows, and the test window set. Also
+    * read by the q422 dataset card (contamination fact).
+    */
+  private[oracles] val ctmBase =
     "ctmt AS (SELECT doc_id, source, " +
       "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') " +
       "AS toks FROM documents), " +
