@@ -1190,6 +1190,15 @@ object Registry {
     // contamination mass — every fact its home family's exact
     // arithmetic, one consistent snapshot
     "q422_dataset_card" -> ((s, d) => DatasetCard.datasetCard(s, d)),
+    // block 35: Gopher-style repetition/boilerplate screens
+    // the work list: docs failing any declared rule
+    "q423_repetition_screen" -> ((s, d) =>
+      Repetition.repetitionScreen(s, d)),
+    // per source: rule failures + pass rate
+    "q424_repetition_rollup" -> ((s, d) => Repetition.screenRollup(s, d)),
+    // cells sum-merge — shares q424's SQL
+    "q425_streaming_repetition" -> ((s, d) =>
+      Repetition.streamingScreen(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1207,7 +1216,8 @@ object Registry {
       oracles.OracleCurriculum.sql, oracles.OracleRetrieval.sql,
       oracles.OracleUserErasure.sql, oracles.OraclePlanner.sql,
       oracles.OracleContamination.sql, oracles.OracleLayout.sql,
-      oracles.OraclePsi.sql, oracles.OracleCard.sql)
+      oracles.OraclePsi.sql, oracles.OracleCard.sql,
+      oracles.OracleRepetition.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

@@ -3235,6 +3235,20 @@ object StreamingOps {
       sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
       stateRoot)
 
+  /** The q425 cell state: per-source repetition-screen counts through
+    * the generic sum-merge core (the rules are stateless per doc).
+    */
+  private[graft] def repetitionCellState(spark: SparkSession,
+      dir: String,
+      sourceDir: Option[String] = None,
+      sourceGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      stateRoot: Option[String] = None): DataFrame =
+    docCountState(spark, "repetition_screen", Seq("source", "kind"),
+      graft.operators.Repetition.screenCells,
+      sourceDir.getOrElse(dir), sourceGlob, maxFilesPerTrigger,
+      stateRoot)
+
   /** Streaming decontamination monitor (q415): q414's per-source
     * purge-cost cells maintained as train documents arrive — the TEST
     * window-hash set is materialized ONCE as a stored artifact (the
