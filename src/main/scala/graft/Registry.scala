@@ -1199,6 +1199,18 @@ object Registry {
     // cells sum-merge — shares q424's SQL
     "q425_streaming_repetition" -> ((s, d) =>
       Repetition.streamingScreen(s, d)),
+    // round 15, block 36: incremental erased-artifact maintenance —
+    // O(incident + boundary) update of the stored dup-edge relation
+    // instead of q390's full re-band; hash equality with the oracle's
+    // independent capped-chain re-derivation IS the rebuild proof
+    "q426_dup_edges_incremental" -> ((s, d) =>
+      Dedup.dupEdgesErasedIncremental(s, d, 37)
+        .orderBy(org.apache.spark.sql.functions.col("id_a"),
+          org.apache.spark.sql.functions.col("id_b"))),
+    // the maintenance algebra census: incident mass, cap boundary,
+    // repairs, and the q390 conservation flag
+    "q427_dup_edges_incremental_census" -> ((s, d) =>
+      Dedup.dupEdgesIncrementalCensus(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -848,47 +848,247 @@ object Dedup {
   private[graft] def dupEdgesAt(spark: SparkSession, docs: DataFrame,
       path: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val fp = docs.agg(count(lit(1)).cast("long").as("n"),
-      coalesce(bit_xor(xxhash64(col("doc_id"), col("n_chars"))), lit(0L))
-        .as("h")).collect()(0)
-    val (n, h) = (fp.getLong(0), fp.getLong(1))
-    val edgesPath = s"$path/edges"
-    val stagingPath = s"$path/edges_staging"
-    val metaPath = s"$path/meta"
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh = fs.exists(new Path(metaPath)) &&
-      fs.exists(new Path(edgesPath, "_SUCCESS")) &&
-      (try {
-        val m = spark.read.parquet(metaPath).collect()
-        m.nonEmpty && m(0).getLong(m(0).fieldIndex("n")) == n &&
-          m(0).getLong(m(0).fieldIndex("h")) == h
-      } catch { case _: Throwable => false })
-    if (!fresh) {
+    val (n, h) = corpusFingerprint(docs)
+    if (!artifactFresh(spark, path, n, h)) {
       dupEdgeBuilds.incrementAndGet()
       val t0 = System.nanoTime()
-      // build off to the side: a crash here leaves the committed
-      // edges+meta pair untouched and only strands a staging dir,
-      // which the next build overwrites
-      minhashOracledDf(docs).write.mode("overwrite").parquet(stagingPath)
-      // invalidate-first: the meta fingerprint is the COMMIT marker,
-      // so it must be gone before the committed edges dir is touched —
-      // a crash between here and the meta rewrite leaves no meta and
-      // the next call rebuilds, instead of pairing swapped edges with
-      // a stale still-matching fingerprint (the corpus-rollback window)
-      if (fs.exists(new Path(metaPath)))
-        fs.delete(new Path(metaPath), true)
-      if (fs.exists(new Path(edgesPath)))
-        fs.delete(new Path(edgesPath), true)
-      if (!fs.rename(new Path(stagingPath), new Path(edgesPath)))
-        sys.error(s"dup-edge artifact swap failed: " +
-          s"rename($stagingPath -> $edgesPath)")
-      spark.range(1).select(lit(n).as("n"), lit(h).as("h"))
-        .write.mode("overwrite").parquet(metaPath)
+      val shingled = md5ShingledDocs(docs).persist()
+      // capHotBuckets reads the band table twice (counts + anti join)
+      // and the hot-member extraction is a third read — persist it
+      val banded = md5BandedSignatures(shingled).persist()
+      val hotKeys = hotBuckets(banded).select(col("band"), col("bucket"))
+      // quarantined-bucket MEMBERSHIP rides the artifact so erasure
+      // maintenance can detect a bucket shrinking back under the cap
+      // without re-banding; structurally small — only the skew tail
+      // the cap already flagged
+      val hot = banded.join(broadcast(hotKeys), Seq("band", "bucket"))
+        .select(col("band"), col("bucket"), col("doc_id"))
+      val edges = md5VerifyPairs(bandSelfJoinPairs(banded), shingled,
+        "id_a", "id_b", 0.5).orderBy(col("id_a"), col("id_b"))
+      commitEdgeArtifact(spark, path, edges, hot, n, h)
+      banded.unpersist(false)
+      shingled.unpersist(false)
       graft.ArtifactLog.record(s"dup_edges:${new Path(path).getName}",
         (System.nanoTime() - t0) / 1e9)
     }
-    spark.read.parquet(edgesPath)
+    spark.read.parquet(s"$path/edges")
+  }
+
+  /** Order-independent corpus fingerprint (row count + bit_xor of
+    * xxhash64(doc_id, n_chars)) — the artifact freshness key; one
+    * narrow two-column scan, never text.
+    */
+  private def corpusFingerprint(docs: DataFrame): (Long, Long) = {
+    val fp = docs.agg(count(lit(1)).cast("long").as("n"),
+      coalesce(bit_xor(xxhash64(col("doc_id"), col("n_chars"))), lit(0L))
+        .as("h")).collect()(0)
+    (fp.getLong(0), fp.getLong(1))
+  }
+
+  /** Committed-and-current check for an edge artifact: meta present
+    * (the commit marker), both tables carry `_SUCCESS`, fingerprint
+    * matches. Artifacts written before the hot-membership table was
+    * added fail the `hot/_SUCCESS` leg and rebuild once.
+    */
+  private def artifactFresh(spark: SparkSession, path: String,
+      n: Long, h: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(s"$path/meta")) &&
+      fs.exists(new Path(s"$path/edges/_SUCCESS")) &&
+      fs.exists(new Path(s"$path/hot/_SUCCESS")) &&
+      (try {
+        val m = spark.read.parquet(s"$path/meta").collect()
+        m.nonEmpty && m(0).getLong(m(0).fieldIndex("n")) == n &&
+          m(0).getLong(m(0).fieldIndex("h")) == h
+      } catch { case _: Throwable => false })
+  }
+
+  /** Stage-and-swap commit of the (edges, hot, meta) artifact triple.
+    * Both tables are built off to the side first (readers of the
+    * committed dirs are never exposed to a partial overwrite); the
+    * meta fingerprint — the COMMIT marker — is deleted before either
+    * committed dir is touched, so a crash in any swap window leaves
+    * either the old committed triple intact (staging windows) or no
+    * meta (swap windows), and the next caller rebuilds instead of
+    * pairing swapped tables with a stale still-matching fingerprint
+    * (the corpus-rollback window).
+    */
+  private def commitEdgeArtifact(spark: SparkSession, path: String,
+      edges: DataFrame, hot: DataFrame, n: Long, h: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    edges.write.mode("overwrite").parquet(s"$path/edges_staging")
+    hot.write.mode("overwrite").parquet(s"$path/hot_staging")
+    if (fs.exists(new Path(s"$path/meta")))
+      fs.delete(new Path(s"$path/meta"), true)
+    for (t <- Seq("edges", "hot")) {
+      if (fs.exists(new Path(s"$path/$t")))
+        fs.delete(new Path(s"$path/$t"), true)
+      if (!fs.rename(new Path(s"$path/${t}_staging"),
+          new Path(s"$path/$t")))
+        sys.error(s"dup-edge artifact swap failed: " +
+          s"rename($path/${t}_staging -> $path/$t)")
+    }
+    spark.range(1).select(lit(n).as("n"), lit(h).as("h"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The erased-corpus artifact maintained INCREMENTALLY from the
+    * full-corpus artifact (q426) — the r14 verdict's #1: q390 proves
+    * `after == before − incident(before)` and then re-bands the whole
+    * retained corpus anyway; at 100 TB a takedown of 1/37 of docs
+    * must not re-band 37/37 of the corpus. This path updates the
+    * stored relation in O(incident + boundary-bucket members):
+    *
+    *  1. retained edges = stored edges anti-filtered on incident
+    *     endpoints (the conservation identity's license — banding
+    *     signatures are per-doc, so retained-pair candidacy through
+    *     un-quarantined buckets is unchanged);
+    *  2. the one case where the identity BREAKS — a quarantined
+    *     over-cap bucket shrinking back to ≤ cap, whose surviving
+    *     members re-enter candidate generation — is detected from the
+    *     artifact's hot-membership table (never a corpus re-band) and
+    *     repaired by pairing + exact-Jaccard-verifying just those
+    *     members;
+    *  3. the result commits under the SAME artifact key and
+    *     fingerprint contract as [[dupEdgesErased]], so every consumer
+    *     of the erased artifact (q390 included) reads the maintained
+    *     relation for free.
+    *
+    * Bit-identical to the full rebuild by construction (spec-pinned on
+    * a synthetic boundary-crossing corpus; oracled at q426 against
+    * DuckDB's independent re-derivation of the capped chain over the
+    * retained corpus). Reference anchor: the surgical delete flow
+    * (/root/reference/src/controllers/contactpoint.controller.js:176-227
+    * touches only the affected rows, never the table).
+    */
+  def dupEdgesErasedIncremental(spark: SparkSession, dir: String,
+      erasureMod: Int): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    incrementalErasedAt(spark, Tables.documents(spark, dir),
+      s"$artifactRoot/dup_edges_$key",
+      s"$artifactRoot/dup_edges_${key}_erased$erasureMod", erasureMod)
+  }
+
+  /** Maintenance counter — spec/probe hook only. */
+  private val dupEdgeIncrs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def dupEdgeIncrCount: Long = dupEdgeIncrs.get
+
+  private[graft] def incrementalErasedAt(spark: SparkSession,
+      docsAll: DataFrame, fullPath: String, path: String,
+      erasureMod: Int): DataFrame = {
+    val retainedPred = col("doc_id") % erasureMod =!= 0
+    val (n, h) = corpusFingerprint(docsAll.filter(retainedPred))
+    if (!artifactFresh(spark, path, n, h)) {
+      dupEdgeIncrs.incrementAndGet()
+      val t0 = System.nanoTime()
+      // ensure the full-corpus artifact (edges + hot membership)
+      val edges = dupEdgesAt(spark, docsAll, fullPath)
+      val hot = spark.read.parquet(s"$fullPath/hot")
+      val retainedEdges = edges.filter(
+        col("id_a") % erasureMod =!= 0 && col("id_b") % erasureMod =!= 0)
+      // boundary detection off the (small) hot table: survivors per
+      // quarantined bucket; 2..cap survivors ⇒ the bucket re-enters
+      // candidate generation (0/1 survivors pair nothing; > cap stays
+      // quarantined — deletion can only shrink a bucket, so no
+      // un-quarantined bucket ever becomes hot)
+      val surv = hot.filter(retainedPred)
+        // read twice: boundary counts + member extraction
+        .persist()
+      val counts = surv.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n_surv"))
+        .persist()
+      val boundary = counts
+        .filter(col("n_surv") >= 2 && col("n_surv") <= BandBucketCap)
+        .select(col("band"), col("bucket"))
+      val maintained =
+        if (boundary.isEmpty) retainedEdges
+        else {
+          val members = surv
+            .join(broadcast(boundary), Seq("band", "bucket"))
+          val cand = members.as("l")
+            .join(members.as("r"), Seq("band", "bucket"))
+            .select(col("l.doc_id").as("id_a"),
+              col("r.doc_id").as("id_b"))
+            .filter(col("id_a") < col("id_b"))
+            .distinct()
+          // pairs already verified through an un-quarantined band are
+          // kept by retainedEdges; only genuinely NEW candidates pay
+          // the shingle join, and only their docs are re-read
+          val fresh = cand.join(
+            retainedEdges.select(col("id_a"), col("id_b")),
+            Seq("id_a", "id_b"), "left_anti")
+          val ids = fresh.select(col("id_a").as("doc_id"))
+            .unionByName(fresh.select(col("id_b").as("doc_id")))
+            .distinct()
+          val repaired = md5VerifyPairs(fresh,
+            md5ShingledDocs(docsAll.join(ids, Seq("doc_id"),
+              "left_semi")),
+            "id_a", "id_b", 0.5)
+          retainedEdges.unionByName(repaired)
+        }
+      // the maintained corpus's own hot table: buckets still > cap,
+      // members filtered to survivors — exact (no bucket grows)
+      val stillHot = counts.filter(col("n_surv") > BandBucketCap)
+        .select(col("band"), col("bucket"))
+      val hotOut = surv.join(broadcast(stillHot), Seq("band", "bucket"))
+        .select(col("band"), col("bucket"), col("doc_id"))
+      commitEdgeArtifact(spark, path,
+        maintained.orderBy(col("id_a"), col("id_b")), hotOut, n, h)
+      counts.unpersist(false)
+      surv.unpersist(false)
+      graft.ArtifactLog.record("dup_edges_incr:" +
+        new org.apache.hadoop.fs.Path(path).getName,
+        (System.nanoTime() - t0) / 1e9)
+    }
+    spark.read.parquet(s"$path/edges")
+  }
+
+  /** Incremental-vs-identity census (q427): the full artifact, the
+    * erasure's incident mass, the quarantine boundary, and the
+    * maintained result — one row certifying the maintenance algebra.
+    * `exact_identity` is the q390 conservation flag: true iff no
+    * quarantined bucket crossed the cap boundary (n_repaired == 0).
+    * The oracle re-derives BOTH capped chains plus the boundary
+    * arithmetic independently in SQL.
+    */
+  def dupEdgesIncrementalCensus(spark: SparkSession,
+      dir: String): DataFrame = {
+    val mod = 37 // the erasure family's modulus (Erasure.ErasureMod)
+    val full = dupEdges(spark, dir)
+      // barrier: two counts off one artifact read
+      .persist()
+    graft.Caches.onRelease(() =>
+      try full.unpersist(false) catch { case _: Throwable => () })
+    val maintained = dupEdgesErasedIncremental(spark, dir, mod)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hot = spark.read.parquet(s"$artifactRoot/dup_edges_$key/hot")
+    val incident = col("id_a") % mod === 0 || col("id_b") % mod === 0
+    val hotAgg = hot.groupBy(col("band"), col("bucket"))
+      .agg(sum(when(col("doc_id") % mod =!= 0, 1L).otherwise(0L))
+        .as("n_surv"))
+      .agg(count(lit(1)).as("n_hot_buckets"),
+        coalesce(sum(when(col("n_surv") >= 2 &&
+          col("n_surv") <= BandBucketCap, 1L).otherwise(0L)), lit(0L))
+          .as("n_boundary_buckets"))
+    full.agg(count(lit(1)).as("n_edges_full"),
+        coalesce(sum(when(incident, 1L).otherwise(0L)), lit(0L))
+          .as("n_incident"))
+      .crossJoin(hotAgg)
+      .crossJoin(maintained.agg(count(lit(1)).as("n_edges_after")))
+      .select(col("n_edges_full"), col("n_incident"),
+        (col("n_edges_full") - col("n_incident")).as("n_retained"),
+        col("n_hot_buckets"), col("n_boundary_buckets"),
+        (col("n_edges_after") -
+          (col("n_edges_full") - col("n_incident"))).as("n_repaired"),
+        col("n_edges_after"),
+        (col("n_edges_after") ===
+          col("n_edges_full") - col("n_incident")).as("exact_identity"))
   }
 
   /** Dedup threshold sweep (q254): the q95 verified pair set rolled up

@@ -51,7 +51,13 @@ object JoinPlanner {
       facts.crossJoin(dims)
         .select(lit(name).as("relation"), col("fact_rows"),
           col("fact_keys"), col("max_mult"), col("dim_rows"),
-          expr("(max_mult * fact_keys * 1000L) div fact_rows")
+          // divide BEFORE multiplying: max_mult·fact_keys·1000 at
+          // 100 TB (fact_keys ~1e10) overflows Long; 1000·max/avg with
+          // the integer avg (fact_rows div fact_keys ≥ 1 whenever keys
+          // exist) keeps every intermediate ≤ 1000·max_mult. Empty
+          // fact ⇒ skew 0, not a division error.
+          expr("CASE WHEN fact_keys > 0 THEN (max_mult * 1000L) div " +
+            "(fact_rows div fact_keys) ELSE 0L END")
             .as("skew_x1000"))
         .withColumn("recommend",
           when(col("dim_rows") <= BroadcastRows,

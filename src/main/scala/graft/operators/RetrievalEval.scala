@@ -86,8 +86,12 @@ object RetrievalEval {
       .select(col("q_id"), col("q_label"),
         (col("n_label") - 1).as("n_rel"), col("n_hits"),
         (col("n_hits").cast("double") / lit(K.toDouble)).as("p_at_10"),
-        (col("n_hits").cast("double") /
-          (col("n_label") - 1).cast("double")).as("r_at_10"))
+        // a query whose label is unique in the corpus has no relevant
+        // candidates: recall is 0 by convention, not 0/0 = NaN (the
+        // ndcgAt10 idcg=0 guard, mirrored in the oracle SQL)
+        when(col("n_label") > 1, col("n_hits").cast("double") /
+          (col("n_label") - 1).cast("double")).otherwise(0.0)
+          .as("r_at_10"))
       .orderBy(col("q_id"))
   }
 

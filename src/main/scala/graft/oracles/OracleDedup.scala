@@ -307,6 +307,49 @@ private[graft] object OracleDedup {
         "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard FROM v " +
         "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5 " +
         "ORDER BY id_a, id_b"),
+    // q426: the erased-corpus edge artifact maintained INCREMENTALLY
+    // (retained stored edges + boundary-bucket repairs) must equal the
+    // independent capped-chain re-derivation over the retained corpus
+    // — hash equality IS the rebuild comparison the r14 verdict asked
+    // for. Prefix `inc` is unique to this row.
+    "q426_dup_edges_incremental" ->
+      ("WITH incbase AS (SELECT * FROM documents WHERE doc_id % 37 <> 0), " +
+        dupGraphCteBodyCapped("inc", "incbase") + " " +
+        "SELECT id_a, id_b, " +
+        "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard FROM incv " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5 " +
+        "ORDER BY id_a, id_b"),
+    // q427: the maintenance algebra certified end-to-end — full capped
+    // chain, incident mass, quarantine boundary (over-cap buckets with
+    // 2..cap survivors), erased capped chain. exact_identity is q390's
+    // conservation flag: true iff no bucket crossed the cap boundary.
+    // Prefixes `ixq`/`iyq` are unique to this row.
+    "q427_dup_edges_incremental_census" ->
+      ("WITH " + dupGraphCteBodyCapped("ixq", "documents") + ", " +
+        "iyqbase AS (SELECT * FROM documents WHERE doc_id % 37 <> 0), " +
+        dupGraphCteBodyCapped("iyq", "iyqbase") + ", " +
+        "ixqhot AS (SELECT band, bucket FROM ixqband " +
+        "GROUP BY band, bucket HAVING COUNT(*) > 64), " +
+        "ixqsurv AS (SELECT band, bucket, COUNT(*) AS n_surv " +
+        "FROM ixqband WHERE doc_id % 37 <> 0 GROUP BY band, bucket), " +
+        "ixqbnd AS (SELECT h.band, h.bucket FROM ixqhot h " +
+        "JOIN ixqsurv s ON h.band = s.band AND h.bucket = s.bucket " +
+        "WHERE s.n_surv BETWEEN 2 AND 64), " +
+        "ixqx AS (SELECT " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ixqed) AS n_edges_full, " +
+        "(SELECT CAST(COALESCE(SUM(CASE WHEN a % 37 = 0 OR b % 37 = 0 " +
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ixqed) AS n_incident, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ixqhot) AS n_hot_buckets, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ixqbnd) " +
+        "AS n_boundary_buckets, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM iyqed) AS n_edges_after) " +
+        "SELECT n_edges_full, n_incident, " +
+        "(n_edges_full - n_incident) AS n_retained, n_hot_buckets, " +
+        "n_boundary_buckets, " +
+        "(n_edges_after - (n_edges_full - n_incident)) AS n_repaired, " +
+        "n_edges_after, " +
+        "(n_edges_after = n_edges_full - n_incident) AS exact_identity " +
+        "FROM ixqx"),
     // hex-nibble decode differs by function (conv in Spark, strpos
     // here) but the VALUES are identical small ints, so the 60-bit
     // majority signature hash-matches exactly
@@ -1249,23 +1292,56 @@ private[graft] object OracleDedup {
     * statement. `dupGraphCte` is the zero-prefix instance every
     * existing consumer keeps reading verbatim.
     */
+  /** Shared shingle→signature→band head: CTEs `${p}t/s/f/e/sig/band`
+    * over `base` — the common prefix of the uncapped
+    * ([[dupGraphCteBody]]) and capped ([[dupGraphCteBodyCapped]])
+    * chains.
+    */
+  private def bandChainHead(p: String, base: String): String =
+    s"${p}t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+      s"x -> x <> '') AS toks FROM $base), " +
+      s"${p}s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+      s"i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM ${p}t), " +
+      s"${p}f AS (SELECT * FROM ${p}s WHERE len(sh) > 0), " +
+      s"${p}e AS (SELECT doc_id, unnest(sh) AS g FROM ${p}f), " +
+      s"${p}sig AS (SELECT doc_id, " +
+      "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
+      "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
+      "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
+      "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
+      s"FROM ${p}e GROUP BY doc_id), " +
+      s"${p}band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM ${p}sig " +
+      s"UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM ${p}sig " +
+      s"UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM ${p}sig " +
+      s"UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM ${p}sig)"
+
+  /** The q95 chain with the production hot-bucket quarantine spelled
+    * out (`HAVING COUNT(*) <= cap` over (band, bucket) — the
+    * [[graft.operators.Dedup.BandBucketCap]] discipline, the q241
+    * spelling): CTEs through `${p}v` (verification operands) and
+    * `${p}ed` (a, b edge pairs at jaccard ≥ 0.5). Used by the
+    * incremental-maintenance family (q426/q427), whose contract is
+    * exactly the CAPPED chain.
+    */
+  private[oracles] def dupGraphCteBodyCapped(p: String, base: String,
+      cap: Int = 64): String =
+    bandChainHead(p, base) + ", " +
+      s"${p}keep AS (SELECT band, bucket FROM ${p}band " +
+      s"GROUP BY band, bucket HAVING COUNT(*) <= $cap), " +
+      s"${p}kb AS (SELECT ${p}band.doc_id, ${p}band.band, ${p}band.bucket " +
+      s"FROM ${p}band JOIN ${p}keep ON ${p}band.band = ${p}keep.band " +
+      s"AND ${p}band.bucket = ${p}keep.bucket), " +
+      s"${p}p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+      s"FROM ${p}kb l JOIN ${p}kb r ON l.band = r.band AND l.bucket = r.bucket " +
+      "WHERE l.doc_id < r.doc_id), " +
+      s"${p}v AS (SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS inter, " +
+      "len(a.sh) AS la, len(b.sh) AS lb " +
+      s"FROM ${p}p JOIN ${p}f a ON a.doc_id = ${p}p.id_a JOIN ${p}f b ON b.doc_id = ${p}p.id_b), " +
+      s"${p}ed AS (SELECT id_a AS a, id_b AS b FROM ${p}v " +
+      "WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5)"
+
   private[oracles] def dupGraphCteBody(p: String, base: String): String =
-      s"${p}t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
-        s"x -> x <> '') AS toks FROM $base), " +
-        s"${p}s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
-        s"i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM ${p}t), " +
-        s"${p}f AS (SELECT * FROM ${p}s WHERE len(sh) > 0), " +
-        s"${p}e AS (SELECT doc_id, unnest(sh) AS g FROM ${p}f), " +
-        s"${p}sig AS (SELECT doc_id, " +
-        "MIN(md5(g || '#0')) AS m0, MIN(md5(g || '#1')) AS m1, " +
-        "MIN(md5(g || '#2')) AS m2, MIN(md5(g || '#3')) AS m3, " +
-        "MIN(md5(g || '#4')) AS m4, MIN(md5(g || '#5')) AS m5, " +
-        "MIN(md5(g || '#6')) AS m6, MIN(md5(g || '#7')) AS m7 " +
-        s"FROM ${p}e GROUP BY doc_id), " +
-        s"${p}band AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM ${p}sig " +
-        s"UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM ${p}sig " +
-        s"UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM ${p}sig " +
-        s"UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM ${p}sig), " +
+      bandChainHead(p, base) + ", " +
         s"${p}p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
         s"FROM ${p}band l JOIN ${p}band r ON l.band = r.band AND l.bucket = r.bucket " +
         "WHERE l.doc_id < r.doc_id), " +

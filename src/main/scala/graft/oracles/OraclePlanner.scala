@@ -25,8 +25,10 @@ object OraclePlanner {
       "CAST(COUNT(*) AS BIGINT) AS fact_keys, " +
       "CAST(MAX(cnt) AS BIGINT) AS max_mult, " +
       s"(SELECT CAST(COUNT(*) AS BIGINT) FROM $dim) AS dim_rows, " +
-      "(CAST(MAX(cnt) AS BIGINT) * COUNT(*) * 1000) // " +
-      "CAST(SUM(cnt) AS BIGINT) AS skew_x1000 FROM " +
+      "CASE WHEN COUNT(*) > 0 THEN " +
+      "(CAST(MAX(cnt) AS BIGINT) * 1000) // " +
+      "(CAST(SUM(cnt) AS BIGINT) // COUNT(*)) " +
+      "ELSE 0 END AS skew_x1000 FROM " +
       s"(SELECT $key AS k, COUNT(*) AS cnt FROM $fact " +
       s"GROUP BY $key) jplk) jple"
 

@@ -44,8 +44,10 @@ object OracleRetrieval {
         "AS BIGINT) AS n_hits, " +
         "CAST(SUM(CASE WHEN r.label = r.q_label THEN 1 ELSE 0 END) " +
         "AS DOUBLE) / 10.0 AS p_at_10, " +
+        "CASE WHEN l.n_label > 1 THEN " +
         "CAST(SUM(CASE WHEN r.label = r.q_label THEN 1 ELSE 0 END) " +
-        "AS DOUBLE) / CAST(l.n_label - 1 AS DOUBLE) AS r_at_10 " +
+        "AS DOUBLE) / CAST(l.n_label - 1 AS DOUBLE) " +
+        "ELSE 0.0 END AS r_at_10 " +
         "FROM revr r JOIN revl l USING (q_label) WHERE r.rank <= 10 " +
         "GROUP BY r.q_id, r.q_label, l.n_label ORDER BY r.q_id"),
     // q400: first relevant rank + its reciprocal, per query — the

@@ -329,12 +329,23 @@ object Erasure {
 
   /** Dup-edge artifact invalidation (q390): erased docs vanish from
     * the corpus → the artifact fingerprint misses → the edge relation
-    * rebuilds over the retained corpus. The rebuilt set obeys an
-    * exact conservation identity — removing docs removes exactly the
+    * rebuilds over the retained corpus. The rebuilt set obeys a
+    * conservation identity — removing docs removes exactly the
     * edges incident to them (banding signatures are per-doc, so
     * retained-pair candidacy and verification are unchanged) — and
     * the query emits both sides of it plus the zero that matters:
     * no surviving edge touches an erased doc.
+    *
+    * Scope of the identity: it is exact only while no band bucket
+    * crosses the [[graft.operators.Dedup.BandBucketCap]] quarantine
+    * boundary — erasing members of an over-cap bucket can drop it to
+    * ≤ cap, ADDING retained-pair edges that the capped full-corpus
+    * chain had quarantined, so `conserved` can legitimately read
+    * false at production scale (cross-engine parity is unaffected:
+    * the oracle recomputes both chains under the same cap). The
+    * incremental maintenance path
+    * ([[graft.operators.Dedup.dupEdgesErasedIncremental]]) handles
+    * exactly that boundary case by re-pairing the shrunk buckets.
     */
   def artifactRebuild(spark: SparkSession, dir: String): DataFrame = {
     val before = graft.operators.Dedup.dupEdges(spark, dir)

@@ -88,6 +88,19 @@ object DedupScaleProbe {
       time(s"artifact_read_$tag") {
         operators.Dedup.dupEdgesAt(spark, mat, artPath).count()
       }
+      // the r14 verdict's cost row: a 1/37 takedown via full re-band
+      // vs the O(incident + boundary) incremental maintenance off the
+      // stored artifact — the incremental row must stay near the
+      // artifact-read floor, not the full-chain cost
+      time(s"erased_rebuild_$tag") {
+        operators.Dedup.dupEdgesAt(spark,
+          mat.filter(col("doc_id") % 37 =!= 0), artPath + "_reb")
+          .count()
+      }
+      time(s"erased_incremental_$tag") {
+        operators.Dedup.incrementalErasedAt(spark, mat, artPath,
+          artPath + "_incr", 37).count()
+      }
       time(s"window_table_$tag") {
         operators.Dedup.windowRows(
           operators.Dedup.tokenizedDocs(mat), 15)
