@@ -1211,6 +1211,14 @@ object Registry {
     // repairs, and the q390 conservation flag
     "q427_dup_edges_incremental_census" -> ((s, d) =>
       Dedup.dupEdgesIncrementalCensus(s, d)),
+    // block 37: ledger vacuum — physical deletion of retired versions
+    // (erased rows were still time-travel-readable; the r14 #2 hole)
+    "q428_vacuum_manifest" -> ((s, d) =>
+      graft.streaming.Erasure.vacuumManifest(s, d)),
+    // every version still on disk post-vacuum, with erased-readable
+    // counts — the physical-completeness certificate
+    "q429_vacuum_erasure_audit" -> ((s, d) =>
+      graft.streaming.Erasure.vacuumAudit(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

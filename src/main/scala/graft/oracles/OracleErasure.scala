@@ -82,6 +82,31 @@ object OracleErasure {
         "AS BIGINT) AS n_erased, " +
         "TRUE AS conserved FROM documents " +
         "GROUP BY source ORDER BY source"),
+    // q428: the q388 version trail with the retention verdict — the
+    // batch-prefix versions (0..2, each still holding erased keys)
+    // dropped, the rewrite (3) retained; counts are pre-deletion
+    "q428_vacuum_manifest" ->
+      (s"WITH $ersBatchCtes, " +
+        "ersv AS (SELECT CAST(v AS BIGINT) AS version FROM " +
+        "(VALUES (0), (1), (2), (3)) AS t(v)) " +
+        "SELECT ersv.version, " +
+        "CAST(CASE WHEN ersv.version = 3 THEN 2 ELSE ersv.version END " +
+        "AS BIGINT) AS batch_id, " +
+        "CAST(SUM(CASE WHEN (ersv.version < 3 AND ersb.b <= ersv.version) " +
+        s"OR (ersv.version = 3 AND ersb.doc_id % $Mod <> 0) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_rows, " +
+        "(ersv.version = 3) AS retained " +
+        "FROM ersv CROSS JOIN ersb " +
+        "GROUP BY ersv.version ORDER BY ersv.version"),
+    // q429: after erase + vacuum(keepLast=1) exactly ONE version is
+    // physically readable — the rewrite, holding the retained rows and
+    // zero erased keys. A vacuum that left prior versions on disk
+    // surfaces as extra result rows and breaks the compare.
+    "q429_vacuum_erasure_audit" ->
+      ("SELECT CAST(3 AS BIGINT) AS version, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(0 AS BIGINT) AS n_erased_readable " +
+        s"FROM documents WHERE doc_id % $Mod <> 0"),
     // q390: banding signatures are per-doc, so removing docs removes
     // exactly the edges incident to them — the rebuilt artifact obeys
     // after == before − incident(before), and no surviving edge

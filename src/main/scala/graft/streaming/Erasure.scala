@@ -166,6 +166,108 @@ object Erasure {
       .parquet(s"$ledgerRoot/b${v + 1}_$b")
   }
 
+  /** Physically delete retired ledger versions past a retention floor
+    * (the r14 verdict's #2 / the ADVICE compliance hole): [[erase]]
+    * rewrites state as a NEW version but prior versions — including
+    * every erased row — stay on disk and time-travel-readable via
+    * [[Provenance.stateAsOfVersion]], so an erasure is only
+    * "logically complete" until this runs. `vacuum(root, keepLast=1)`
+    * after an erase makes it PHYSICAL: every version that predates the
+    * rewrite is gone from the filesystem, and a q358-style time-travel
+    * read of a vacuumed version now fails loudly instead of answering
+    * with erased PII.
+    *
+    * Crash discipline (the Delta-VACUUM shape adapted to the
+    * `b<v>_<batch>` layout): per dropped version, the `_SUCCESS`
+    * commit marker is deleted FIRST (one atomic file delete — the
+    * version becomes uncommitted and invisible to every reader/resume
+    * path), then the dir. A crash between the two strands an
+    * uncommitted dir that readers already ignore; the next vacuum
+    * sweeps any marker-less version dir below the retention floor.
+    * Idempotent: re-running deletes nothing new and returns the same
+    * retained set.
+    *
+    * Returns the audit manifest, one row per version that was
+    * committed at entry: (version, source batch id, row count at
+    * vacuum time, retained). Row counts are taken BEFORE deletion —
+    * the last accounting of a dropped version a regulator can ask for.
+    *
+    * 100 TB shape: driver-side listing + one count per version (≤
+    * #versions narrow scans) + file deletes; never touches row data.
+    */
+  def vacuum(spark: SparkSession, ledgerRoot: String,
+      keepLast: Int = 1): Seq[(Long, Long, Long, Boolean)] = {
+    require(keepLast >= 1, s"vacuum must retain at least one version")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(ledgerRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = Provenance.committedVersions(spark, ledgerRoot)
+    val cut = math.max(0, versions.length - keepLast)
+    val manifest = versions.zipWithIndex.map { case ((v, b, path), i) =>
+      (v, b, spark.read.parquet(path).count(), i >= cut)
+    }
+    versions.take(cut).foreach { case (_, _, path) =>
+      // marker first: one atomic delete de-commits the version before
+      // any data file disappears, so no reader ever sees a committed
+      // marker over a partially deleted dir
+      fs.delete(new Path(s"$path/_SUCCESS"), false)
+      fs.delete(new Path(path), true)
+    }
+    // sweep strands of a previously crashed vacuum: marker-less
+    // version dirs below the lowest retained version
+    val floor = versions.drop(cut).headOption.map(_._1)
+    floor.foreach { f =>
+      val root = new Path(ledgerRoot)
+      if (fs.exists(root)) fs.listStatus(root).map(_.getPath)
+        .filter { p =>
+          val name = p.getName
+          name.startsWith("b") &&
+            name.drop(1).takeWhile(_ != '_').toLongOption.exists(_ < f) &&
+            !fs.exists(new Path(p, "_SUCCESS"))
+        }
+        .foreach(p => fs.delete(p, true))
+    }
+    manifest
+  }
+
+  /** Vacuum manifest (q428): the erasure lifecycle completed — the
+    * registry ledger erased (q387) and then vacuumed to the rewrite
+    * (`keepLast = 1`), emitting the version trail with the retention
+    * verdict per version: versions 0..2 (the batch prefixes, every one
+    * still holding the erased keys) dropped, version 3 (the rewrite)
+    * retained. The row counts are the pre-deletion accounting.
+    */
+  def vacuumManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, root) = erasedRegistryLedger(spark, dir)
+    vacuum(spark, root, keepLast = 1)
+      .toDF("version", "batch_id", "n_rows", "retained")
+      .orderBy(col("version"))
+  }
+
+  /** Post-vacuum erasure audit (q429): read back EVERY version still
+    * committed on disk after erase + vacuum and count erased-key rows
+    * readable in each — the physical-completeness certificate. Exactly
+    * one version (the rewrite) must remain, with zero erased rows; a
+    * vacuum that left any prior version behind surfaces as extra rows
+    * here and breaks the oracle's row count.
+    */
+  def vacuumAudit(spark: SparkSession, dir: String): DataFrame = {
+    val (_, root) = erasedRegistryLedger(spark, dir)
+    vacuum(spark, root, keepLast = 1)
+    Provenance.committedVersions(spark, root)
+      .map { case (v, _, path) =>
+        spark.read.parquet(path)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(when(erasedPred, 1L).otherwise(0L)), lit(0L))
+              .as("n_erased_readable"))
+          .select(lit(v).as("version"), col("n_rows"),
+            col("n_erased_readable"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy(col("version"))
+  }
+
   /** Retire rows from a versioned ledger by PREDICATE (retention
     * policies, q407): the current version filtered to `keep` becomes
     * the next version under the same source batch id. Idempotent by

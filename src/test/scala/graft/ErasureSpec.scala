@@ -171,4 +171,72 @@ class ErasureSpec extends SparkSpec {
     assert(after.count() === before - incidentBefore)
     assert(incidentBefore > 0L) // non-vacuous on the fixture
   }
+
+  private def versionDirExists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  test("vacuum physically deletes retired versions past the floor " +
+      "and completes the erasure") {
+    val root = freshRoot()
+    val ledgerRoot = s"$root/state"
+    val ledger = new StreamingOps.VersionedLedger(spark, ledgerRoot,
+      Some(root))
+    fold(ledger, ledgerRoot, 0L, Seq(1L, 2L, 37L))
+    fold(ledger, ledgerRoot, 1L, Seq(74L, 75L))
+    fold(ledger, ledgerRoot, 2L, Seq(76L))
+    Erasure.erase(spark, ledgerRoot, Seq(37L, 74L).toDF("doc_id"))
+    val pre = Provenance.committedVersions(spark, ledgerRoot)
+    assert(pre.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    // keepLast=2: versions 0,1 physically gone; 2 (still holding the
+    // erased keys) and 3 (the rewrite) remain — erasure NOT yet
+    // physically complete
+    val m2 = Erasure.vacuum(spark, ledgerRoot, keepLast = 2)
+    assert(m2.map(v => (v._1, v._4)) ===
+      Seq((0L, false), (1L, false), (2L, true), (3L, true)))
+    assert(m2.map(_._3) === Seq(3L, 5L, 6L, 4L)) // pre-deletion counts
+    assert(!versionDirExists(pre(0)._3) && !versionDirExists(pre(1)._3))
+    assert(Provenance.committedVersions(spark, ledgerRoot).map(_._1)
+      === Seq(2L, 3L))
+    assert(spark.read.parquet(pre(2)._3)
+      .filter(col("doc_id").isin(37L, 74L)).count() === 2L)
+    // keepLast=1 completes it: ONLY the rewrite remains, and no
+    // retained version holds an erased key
+    Erasure.vacuum(spark, ledgerRoot, keepLast = 1)
+    val post = Provenance.committedVersions(spark, ledgerRoot)
+    assert(post.map(_._1) === Seq(3L))
+    assert(post.forall { case (_, _, p) =>
+      spark.read.parquet(p)
+        .filter(col("doc_id").isin(37L, 74L)).count() == 0L
+    })
+    // idempotent: a re-run drops nothing and reports the same set
+    val again = Erasure.vacuum(spark, ledgerRoot, keepLast = 1)
+    assert(again.map(v => (v._1, v._4)) === Seq((3L, true)))
+  }
+
+  test("vacuum sweeps the strands of a crashed prior vacuum") {
+    val root = freshRoot()
+    val ledgerRoot = s"$root/state"
+    val ledger = new StreamingOps.VersionedLedger(spark, ledgerRoot,
+      Some(root))
+    fold(ledger, ledgerRoot, 0L, Seq(1L))
+    fold(ledger, ledgerRoot, 1L, Seq(2L))
+    fold(ledger, ledgerRoot, 2L, Seq(3L))
+    val vs = Provenance.committedVersions(spark, ledgerRoot)
+    // simulate a crash after the marker-first delete of version 0:
+    // the dir survives without _SUCCESS — invisible to readers
+    val fs = new org.apache.hadoop.fs.Path(ledgerRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${vs(0)._3}/_SUCCESS"),
+      false)
+    assert(Provenance.committedVersions(spark, ledgerRoot).map(_._1)
+      === Seq(1L, 2L))
+    // the next vacuum (retaining just the head) removes the strand
+    Erasure.vacuum(spark, ledgerRoot, keepLast = 1)
+    assert(!versionDirExists(vs(0)._3))
+    assert(!versionDirExists(vs(1)._3))
+    assert(Provenance.committedVersions(spark, ledgerRoot).map(_._1)
+      === Seq(2L))
+  }
 }
