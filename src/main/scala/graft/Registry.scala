@@ -1219,6 +1219,11 @@ object Registry {
     // counts — the physical-completeness certificate
     "q429_vacuum_erasure_audit" -> ((s, d) =>
       graft.streaming.Erasure.vacuumAudit(s, d)),
+    // block 38: ONE data-subject request fanned across every state
+    // surface (three ledgers, the artifact, both derived-view
+    // algebras), certified in one conservation table
+    "q430_erasure_certificate" -> ((s, d) =>
+      graft.streaming.ErasureOrchestrator.certificate(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

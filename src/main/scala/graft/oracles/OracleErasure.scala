@@ -107,6 +107,72 @@ object OracleErasure {
         "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
         "CAST(0 AS BIGINT) AS n_erased_readable " +
         s"FROM documents WHERE doc_id % $Mod <> 0"),
+    // q430: the one-request orchestrator certificate — every surface's
+    // expectation recomputed independently (including BOTH capped
+    // banding chains for the artifact row and the q410/q411 view
+    // recomputes), so one surviving erased row anywhere breaks the
+    // hash. Subject set: key % 97 == 0 per surface key domain.
+    // Prefix `orc` is unique to this row.
+    "q430_erasure_certificate" ->
+      ("WITH " + OracleDedup.dupGraphCteBodyCapped("orca", "documents") +
+        ", orcbase AS (SELECT * FROM documents WHERE doc_id % 97 <> 0), " +
+        OracleDedup.dupGraphCteBodyCapped("orcb", "orcbase") + ", " +
+        "orcli AS (SELECT * FROM lineitem WHERE l_orderkey NOT IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0)), " +
+        "orcoba AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem l " +
+        "JOIN part p ON p.p_partkey = l.l_partkey), " +
+        "orcobr AS (SELECT DISTINCT l_orderkey, p_brand FROM orcli l " +
+        "JOIN part p ON p.p_partkey = l.l_partkey), " +
+        "orcpa AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT DISTINCT a.p_brand AS ba, b.p_brand AS bb FROM orcoba a " +
+        "JOIN orcoba b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.p_brand < b.p_brand) AS pa), " +
+        "orcpr AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT DISTINCT a.p_brand AS ba, b.p_brand AS bb FROM orcobr a " +
+        "JOIN orcobr b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.p_brand < b.p_brand) AS pr), " +
+        "orcca AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '2001-09-02') AS ca), " +
+        "orccr AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT DISTINCT l_returnflag, l_linestatus FROM orcli " +
+        "WHERE l_shipdate <= TIMESTAMP '2001-09-02') AS cr) " +
+        "SELECT * FROM (" +
+        "SELECT 'documents' AS surface, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents " +
+        "WHERE doc_id % 97 <> 0) AS n_state, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents " +
+        "WHERE doc_id % 97 <> 0) AS n_retained, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents " +
+        "WHERE doc_id % 97 = 0) AS n_erased, TRUE AS conserved " +
+        "UNION ALL SELECT 'events', " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM events " +
+        "WHERE user_id % 97 <> 0), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM events " +
+        "WHERE user_id % 97 <> 0), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM events " +
+        "WHERE user_id % 97 = 0), TRUE " +
+        "UNION ALL SELECT 'ann_lists', " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings " +
+        "WHERE vec_id % 97 <> 0), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings " +
+        "WHERE vec_id % 97 <> 0), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings " +
+        "WHERE vec_id % 97 = 0), TRUE " +
+        "UNION ALL SELECT 'dup_edges', " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM orcbed), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM orcaed) - " +
+        "(SELECT CAST(COALESCE(SUM(CASE WHEN a % 97 = 0 OR b % 97 = 0 " +
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orcaed), " +
+        "(SELECT CAST(COALESCE(SUM(CASE WHEN a % 97 = 0 OR b % 97 = 0 " +
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orcaed), TRUE " +
+        "UNION ALL SELECT 'pricing_cells', " +
+        "(SELECT c FROM orccr), (SELECT c FROM orccr), " +
+        "(SELECT c FROM orcca) - (SELECT c FROM orccr), TRUE " +
+        "UNION ALL SELECT 'brand_affinity', " +
+        "(SELECT c FROM orcpr), (SELECT c FROM orcpr), " +
+        "(SELECT c FROM orcpa) - (SELECT c FROM orcpr), TRUE" +
+        ") AS orcall ORDER BY surface"),
     // q390: banding signatures are per-doc, so removing docs removes
     // exactly the edges incident to them — the rebuilt artifact obeys
     // after == before − incident(before), and no surviving edge

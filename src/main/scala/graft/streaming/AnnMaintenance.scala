@@ -76,7 +76,7 @@ object AnnMaintenance {
     * list state and the ledger root.
     */
   private[streaming] def deletedIvfLedger(spark: SparkSession,
-      dir: String): (DataFrame, String) = {
+      dir: String, mod: Int = DeleteMod): (DataFrame, String) = {
     val cent = centroids(spark)
     val streamDir = StreamingOps.idRangeSplitSource(spark,
       Tables.embeddings(spark, dir)
@@ -114,7 +114,7 @@ object AnnMaintenance {
     StreamingOps.startWithCheckpoint(w, Some(root)).awaitTermination()
     Erasure.erase(spark, ledgerRoot,
       Tables.embeddings(spark, dir)
-        .filter(col("vec_id") % DeleteMod === 0).select(col("vec_id")),
+        .filter(col("vec_id") % mod === 0).select(col("vec_id")),
       keyCol = "vec_id")
     val (_, _, path) = Provenance.committedVersions(spark, ledgerRoot)
       .last

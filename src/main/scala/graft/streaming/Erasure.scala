@@ -297,7 +297,7 @@ object Erasure {
     * state and the ledger root.
     */
   private[streaming] def erasedRegistryLedger(spark: SparkSession,
-      dir: String): (DataFrame, String) = {
+      dir: String, mod: Int = ErasureMod): (DataFrame, String) = {
     val streamDir = StreamingOps.idRangeSplitSource(spark,
       Tables.documents(spark, dir).select(col("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars")), 3)
@@ -326,7 +326,7 @@ object Erasure {
       .trigger(Trigger.AvailableNow())
     StreamingOps.startWithCheckpoint(w, Some(root)).awaitTermination()
     erase(spark, ledgerRoot,
-      Tables.documents(spark, dir).filter(erasedPred)
+      Tables.documents(spark, dir).filter(col("doc_id") % mod === 0)
         .select(col("doc_id")))
     val (_, _, path) = Provenance.committedVersions(spark, ledgerRoot)
       .last
