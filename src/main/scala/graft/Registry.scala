@@ -1224,6 +1224,14 @@ object Registry {
     // algebras), certified in one conservation table
     "q430_erasure_certificate" -> ((s, d) =>
       graft.streaming.ErasureOrchestrator.certificate(s, d)),
+    // block 39: ledger schema evolution — widen-and-backfill fold
+    // (batch 1 adds a column mid-stream; unionByName died here before)
+    "q431_schema_evolution_manifest" -> ((s, d) =>
+      graft.streaming.SchemaEvolution.schemaManifest(s, d)),
+    // the widened state: late-added column populated for post-drift
+    // rows only, NULL backfill excluded from both count and sum
+    "q432_schema_evolution_drain" -> ((s, d) =>
+      graft.streaming.SchemaEvolution.evolvedDrain(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1242,7 +1250,7 @@ object Registry {
       oracles.OracleUserErasure.sql, oracles.OraclePlanner.sql,
       oracles.OracleContamination.sql, oracles.OracleLayout.sql,
       oracles.OraclePsi.sql, oracles.OracleCard.sql,
-      oracles.OracleRepetition.sql)
+      oracles.OracleRepetition.sql, oracles.OracleSchemaEvolution.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")
