@@ -1232,6 +1232,13 @@ object Registry {
     // rows only, NULL backfill excluded from both count and sum
     "q432_schema_evolution_drain" -> ((s, d) =>
       graft.streaming.SchemaEvolution.evolvedDrain(s, d)),
+    // block 40: ANN rebalance after deletes — survivors re-assigned
+    // against the refreshed 8-list quantizer; flow census + search
+    // parity at equal probed fraction
+    "q433_ann_rebalance_census" -> ((s, d) =>
+      graft.streaming.AnnMaintenance.rebalanceCensus(s, d)),
+    "q434_ann_rebalance_parity" -> ((s, d) =>
+      graft.streaming.AnnMaintenance.rebalanceRecallParity(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -738,6 +738,76 @@ private[graft] object OracleAnn {
         "vec_id) AS rank FROM sc) " +
         "SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, score " +
         "FROM rk WHERE rank <= 10 ORDER BY q_id, rank"),
+    // q433: the rebalance flow matrix — survivors of the delete
+    // re-assigned from the 4-list `iv` model to the refreshed 8-list
+    // `rb` model; both assignments are the broadcast-argmax md5-nibble
+    // arithmetic. CTE prefix `rb` is unique to the rebalance pair.
+    "q433_ann_rebalance_census" ->
+      (ivfModelCtes + ", " + rbModelCtes +
+        " SELECT a.cid AS cid_old, rba.cid_new, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_vectors " +
+        "FROM a JOIN rba ON rba.vec_id = a.vec_id " +
+        "WHERE a.vec_id % 37 <> 0 " +
+        "GROUP BY a.cid, rba.cid_new ORDER BY cid_old, cid_new"),
+    // q434: search parity at equal probed fraction — per retained
+    // query, top-10 overlap with the retained-corpus brute ranking
+    // through the OLD compacted index (nprobe=2 of 4) and the
+    // REBALANCED index (nprobe=4 of 8)
+    "q434_ann_rebalance_parity" ->
+      (ivfModelCtes + ", " + rbModelCtes + ", " +
+        "rbret AS (SELECT vec_id, v FROM v WHERE vec_id % 37 <> 0), " +
+        "rbq AS (SELECT vec_id AS q_id, v AS qv FROM v " +
+        "WHERE vec_id BETWEEN 1 AND 5), " +
+        "rbbr AS (SELECT q_id, vec_id FROM (SELECT rbq.q_id, r.vec_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY rbq.q_id ORDER BY " +
+        "list_reduce(list_transform(list_zip(rbq.qv, r.v), " +
+        "pr -> pr[1] * pr[2]), (acc, y) -> acc + y) DESC, r.vec_id) " +
+        "AS rank FROM rbq JOIN rbret r ON r.vec_id <> rbq.q_id) " +
+        "WHERE rank <= 10), " +
+        "rbqpo AS (SELECT q_id, cid FROM (SELECT rbq.q_id, s.c AS cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY rbq.q_id ORDER BY s.s DESC, " +
+        "s.c) AS rn FROM rbq JOIN s ON s.vec_id = rbq.q_id) " +
+        "WHERE rn <= 2), " +
+        "rbcdo AS (SELECT rbqpo.q_id, a.vec_id FROM rbqpo " +
+        "JOIN a ON a.cid = rbqpo.cid " +
+        "WHERE a.vec_id <> rbqpo.q_id AND a.vec_id % 37 <> 0), " +
+        "rbselo AS (SELECT q_id, vec_id FROM (SELECT rbcdo.q_id, " +
+        "rbcdo.vec_id, ROW_NUMBER() OVER (PARTITION BY rbcdo.q_id " +
+        "ORDER BY list_reduce(list_transform(list_zip(rbq.qv, v.v), " +
+        "pr -> pr[1] * pr[2]), (acc, y) -> acc + y) DESC, rbcdo.vec_id) " +
+        "AS rank FROM rbcdo JOIN rbq ON rbq.q_id = rbcdo.q_id " +
+        "JOIN v ON v.vec_id = rbcdo.vec_id) WHERE rank <= 10), " +
+        "rbqs AS (SELECT rbq.q_id, rbcent.c, " +
+        "list_reduce(list_transform(list_zip(rbq.qv, rbcent.w), " +
+        "pr -> pr[1] * pr[2]), (acc, y) -> acc + y) AS s " +
+        "FROM rbq CROSS JOIN rbcent), " +
+        "rbqpn AS (SELECT q_id, c AS cid FROM (SELECT q_id, c, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, c) " +
+        "AS rn FROM rbqs) WHERE rn <= 4), " +
+        "rbcdn AS (SELECT rbqpn.q_id, rba.vec_id FROM rbqpn " +
+        "JOIN rba ON rba.cid_new = rbqpn.cid " +
+        "WHERE rba.vec_id <> rbqpn.q_id), " +
+        "rbseln AS (SELECT q_id, vec_id FROM (SELECT rbcdn.q_id, " +
+        "rbcdn.vec_id, ROW_NUMBER() OVER (PARTITION BY rbcdn.q_id " +
+        "ORDER BY list_reduce(list_transform(list_zip(rbq.qv, v.v), " +
+        "pr -> pr[1] * pr[2]), (acc, y) -> acc + y) DESC, rbcdn.vec_id) " +
+        "AS rank FROM rbcdn JOIN rbq ON rbq.q_id = rbcdn.q_id " +
+        "JOIN v ON v.vec_id = rbcdn.vec_id) WHERE rank <= 10) " +
+        "SELECT rbbr.q_id, " +
+        "CAST(SUM(CASE WHEN rbselo.vec_id IS NOT NULL THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS n_overlap_old, " +
+        "CAST(SUM(CASE WHEN rbseln.vec_id IS NOT NULL THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS n_overlap_new, " +
+        "CAST(SUM(CASE WHEN rbselo.vec_id IS NOT NULL THEN 1 ELSE 0 " +
+        "END) AS DOUBLE) / 10.0 AS agreement_old, " +
+        "CAST(SUM(CASE WHEN rbseln.vec_id IS NOT NULL THEN 1 ELSE 0 " +
+        "END) AS DOUBLE) / 10.0 AS agreement_new " +
+        "FROM rbbr " +
+        "LEFT JOIN rbselo ON rbselo.q_id = rbbr.q_id " +
+        "AND rbselo.vec_id = rbbr.vec_id " +
+        "LEFT JOIN rbseln ON rbseln.q_id = rbbr.q_id " +
+        "AND rbseln.vec_id = rbbr.vec_id " +
+        "GROUP BY rbbr.q_id ORDER BY rbbr.q_id"),
     // q265: per-label cosine between the centroids of the two
     // deterministic md5('cd|') halves — the q104 fixed-point centroid
     // CTEs keyed by (label, half), one A–B join row per label
@@ -886,6 +956,27 @@ private[graft] object OracleAnn {
     * quantizer), v (double-cast corpus), s (all centroid scores),
     * a (argmax list assignment).
     */
+  /** The refreshed 8-list `rb`-seed quantizer and the retained
+    * survivors' re-assignment (q433/q434): rbcv/rbcent (model),
+    * rbs (scores over retained vectors), rba (argmax → cid_new).
+    * Composes after [[ivfModelCtes]] (reads its `v`).
+    */
+  private[oracles] def rbModelCtes: String =
+    "rbcv AS (SELECT c, d, " +
+      "CAST(strpos('0123456789abcdef', substr(md5('rb|' || " +
+      "CAST(c AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 " +
+      "AS DOUBLE) / 16.0 AS val " +
+      "FROM range(0, 8) t1(c), range(0, 64) t2(d)), " +
+      "rbcent AS (SELECT c, list(val ORDER BY d) AS w FROM rbcv " +
+      "GROUP BY c), " +
+      "rbs AS (SELECT vec_id, c, " +
+      "list_reduce(list_transform(list_zip(v, w), pr -> pr[1] * pr[2]), " +
+      "(acc, y) -> acc + y) AS s FROM v CROSS JOIN rbcent " +
+      "WHERE vec_id % 37 <> 0), " +
+      "rba AS (SELECT vec_id, c AS cid_new FROM (SELECT vec_id, c, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c) " +
+      "AS rn FROM rbs) WHERE rn = 1)"
+
   private[oracles] def ivfModelCtes: String =
     "WITH cv AS (SELECT c, d, " +
       "CAST(strpos('0123456789abcdef', substr(md5('iv|' || " +

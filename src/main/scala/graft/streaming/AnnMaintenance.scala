@@ -142,6 +142,120 @@ object AnnMaintenance {
       .orderBy(col("cid"))
   }
 
+  /** Rebalance after deletes (q391's pressure row, acted on — the r14
+    * verdict's #5): a post-delete index keeps probing half-empty
+    * lists; the maintenance step re-assigns the compacted survivors
+    * against a REFRESHED coarse quantizer with doubled capacity
+    * resolution (8 md5-nibble centroids, seed `rb` — deterministic and
+    * oracle-derivable, the q253 discipline; a trained k-means refresh
+    * would slot in behind the same assign call). q433 emits the
+    * old-list → new-list flow matrix — the census an index operator
+    * reads to confirm the skew dissolved; q434 proves search parity.
+    *
+    * 100 TB shape: one broadcast-argmax pass over the SURVIVING list
+    * membership joined back to its vectors — never the raw corpus, and
+    * the flow census is one map-side-combined aggregate of (old, new)
+    * pairs.
+    */
+  private val RebalanceNList = 8
+  private val RebalanceSeed = "rb"
+
+  private def centroidsSeeded(spark: SparkSession, seed: String,
+      nList: Int): DataFrame = {
+    val model = (0 until nList).map(c =>
+      (c.toLong, (0 until Dim).map(d =>
+        Similarity.mdNibbleVal(s"$seed|$c|$d")).toSeq))
+    spark.createDataFrame(model).toDF("c", "w")
+  }
+
+  /** Survivors with BOTH assignments: (vec_id, v, cid_old, cid_new).
+    * Reads the compacted post-delete lists, joins the vectors back,
+    * re-assigns against the refreshed model.
+    */
+  private def rebalanced(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (state, _) = deletedIvfLedger(spark, dir)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val surv = state.select(col("vec_id"), col("cid").as("cid_old"))
+      .join(vecs, Seq("vec_id"))
+    assign(surv.select(col("vec_id"), col("v")),
+      centroidsSeeded(spark, RebalanceSeed, RebalanceNList))
+      .select(col("vec_id"), col("cid").as("cid_new"))
+      .join(surv, Seq("vec_id"))
+  }
+
+  /** Rebalance flow census (q433): survivors per (old list → new
+    * list) — where each half-empty list's members land under the
+    * refreshed quantizer.
+    */
+  def rebalanceCensus(spark: SparkSession, dir: String): DataFrame =
+    rebalanced(spark, dir)
+      .groupBy(col("cid_old"), col("cid_new"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cid_old"), col("cid_new"))
+
+  /** Rebalance recall parity (q434): the q402-style agreement row
+    * before/after — for each retained query, top-10 overlap with the
+    * brute ranking over the retained corpus, searched through (a) the
+    * OLD compacted 4-list index at nprobe=2 and (b) the rebalanced
+    * 8-list index at nprobe=4 (the same probed fraction, 1/2). The
+    * decision row for shipping the rebalance: parity or better at
+    * equal probe budget.
+    */
+  def rebalanceRecallParity(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.dotNative
+    val rb = rebalanced(spark, dir)
+      // barrier: old lists, new lists, and candidate vectors all read
+      // this one survivor frame
+      .persist()
+    graft.Caches.onRelease(() =>
+      try rb.unpersist(false) catch { case _: Throwable => () })
+    val queries = rb.filter(col("vec_id") >= 1 && col("vec_id") <= 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def topK(cands: DataFrame): DataFrame =
+      cands.filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score", dotNative(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("vec_id"))
+    def probes(cent: DataFrame, nprobe: Int): DataFrame =
+      queries.crossJoin(broadcast(cent))
+        .withColumn("s", dotNative(col("qv"), col("w")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("s").desc, col("c"))))
+        .filter(col("rn") <= nprobe)
+        .select(col("q_id"), col("qv"), col("c").as("cid"))
+    val brute = topK(queries.crossJoin(
+      rb.select(col("vec_id"), col("v"))))
+    val oldTop = topK(probes(centroids(spark), 2)
+      .join(rb.select(col("cid_old").as("cid"), col("vec_id"),
+        col("v")), Seq("cid")))
+    val newTop = topK(probes(
+      centroidsSeeded(spark, RebalanceSeed, RebalanceNList), 4)
+      .join(rb.select(col("cid_new").as("cid"), col("vec_id"),
+        col("v")), Seq("cid")))
+    brute
+      .join(oldTop.withColumn("in_old", lit(1L)),
+        Seq("q_id", "vec_id"), "left")
+      .join(newTop.withColumn("in_new", lit(1L)),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("in_old"), lit(0L))).as("n_overlap_old"),
+        sum(coalesce(col("in_new"), lit(0L))).as("n_overlap_new"))
+      .select(col("q_id"), col("n_overlap_old"), col("n_overlap_new"),
+        (col("n_overlap_old").cast("double") / lit(k.toDouble))
+          .as("agreement_old"),
+        (col("n_overlap_new").cast("double") / lit(k.toDouble))
+          .as("agreement_new"))
+      .orderBy(col("q_id"))
+  }
+
   /** Delete-then-query (q392): a top-10 nprobe=2 search through the
     * COMPACTED lists for five retained query vectors — the oracled
     * proof that a deleted vector cannot be returned. If the tombstone

@@ -46,4 +46,37 @@ class AnnDeleteSpec extends SparkSpec {
     assert(res.filter(col("neighbor") % 37 === 0).count() === 0L)
     assert(res.count() > 0L)
   }
+
+  test("rebalance conserves the survivors and actually moves them") {
+    val flows = AnnMaintenance.rebalanceCensus(spark, sfDir).collect()
+    val (state, _) = AnnMaintenance.deletedIvfLedger(spark, sfDir)
+    // every survivor lands in exactly one new list — nothing lost,
+    // nothing invented, no deleted vector re-enters
+    assert(flows.map(_.getLong(flows.head.fieldIndex("n_vectors"))).sum
+      === state.count())
+    assert(flows.forall { r =>
+      val cn = r.getLong(r.fieldIndex("cid_new"))
+      cn >= 0L && cn < 8L
+    })
+    // the refreshed model genuinely redistributes (a no-op rebalance
+    // would keep every flow on the diagonal)
+    assert(flows.exists(r => r.getLong(r.fieldIndex("cid_old"))
+      != r.getLong(r.fieldIndex("cid_new"))))
+  }
+
+  test("rebalanced search keeps brute-overlap parity at equal " +
+      "probed fraction") {
+    val rows = AnnMaintenance.rebalanceRecallParity(spark, sfDir)
+      .collect()
+    assert(rows.length === 5)
+    val oldSum = rows.map(r =>
+      r.getLong(r.fieldIndex("n_overlap_old"))).sum
+    val newSum = rows.map(r =>
+      r.getLong(r.fieldIndex("n_overlap_new"))).sum
+    assert(newSum > 0L && oldSum > 0L)
+    // parity bar: the rebalanced index must not lose aggregate
+    // agreement vs the half-empty index it replaces
+    assert(newSum >= oldSum,
+      s"rebalance degraded agreement: $oldSum -> $newSum")
+  }
 }
