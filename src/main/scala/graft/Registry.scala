@@ -1239,6 +1239,17 @@ object Registry {
       graft.streaming.AnnMaintenance.rebalanceCensus(s, d)),
     "q434_ann_rebalance_parity" -> ((s, d) =>
       graft.streaming.AnnMaintenance.rebalanceRecallParity(s, d)),
+    // block 41: exact sign-test significance over the retrieval suite
+    // — paired hits table + integer-exact two-sided binomial verdict
+    "q435_retrieval_signtest_table" -> ((s, d) =>
+      SignTest.signTable(s, d)),
+    "q436_retrieval_signtest_summary" -> ((s, d) =>
+      SignTest.signSummary(s, d)),
+    // block 42: the engine must plan exactly what q409 recommends when
+    // driven as recommended — actual operator read from the physical
+    // plan, salting detected from the join keys
+    "q437_plan_conformance" -> ((s, d) =>
+      PlanConformance.planConformance(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -31,7 +31,12 @@ object JoinPlanner {
   private val BroadcastRows = 100000L
   private val SkewX1000 = 16000L
 
-  def joinStatsPlanner(spark: SparkSession, dir: String): DataFrame = {
+  /** The declared FK edges: (name, fact, fact key, dim, dim key) —
+    * shared by the stats planner (q409) and the plan-conformance
+    * audit (q437).
+    */
+  private[operators] def fkEdges(spark: SparkSession, dir: String)
+      : Seq[(String, DataFrame, String, DataFrame, String)] = {
     val li = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)
     val cust = Tables.customer(spark, dir)
@@ -40,6 +45,24 @@ object JoinPlanner {
     val nat = Tables.nation(spark, dir)
     val reg = Tables.region(spark, dir)
     val ev = Tables.events(spark, dir)
+    Seq(
+      ("customer.c_nationkey->nation", cust, "c_nationkey", nat,
+        "n_nationkey"),
+      ("events.user_id->customer", ev, "user_id", cust, "c_custkey"),
+      ("lineitem.l_orderkey->orders", li, "l_orderkey", ord,
+        "o_orderkey"),
+      ("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+      ("lineitem.l_suppkey->supplier", li, "l_suppkey", supp,
+        "s_suppkey"),
+      ("nation.n_regionkey->region", nat, "n_regionkey", reg,
+        "r_regionkey"),
+      ("orders.o_custkey->customer", ord, "o_custkey", cust,
+        "c_custkey"),
+      ("supplier.s_nationkey->nation", supp, "s_nationkey", nat,
+        "n_nationkey"))
+  }
+
+  def joinStatsPlanner(spark: SparkSession, dir: String): DataFrame = {
     def edge(name: String, fact: DataFrame, key: String,
         dim: DataFrame): DataFrame = {
       val facts = fact.groupBy(col(key).as("k"))
@@ -65,21 +88,9 @@ object JoinPlanner {
             .when(col("skew_x1000") > SkewX1000, "shuffle_salted")
             .otherwise("shuffle_hash"))
     }
-    edge("lineitem.l_orderkey->orders", li, "l_orderkey", ord)
-      .unionByName(edge("lineitem.l_partkey->part", li, "l_partkey",
-        part))
-      .unionByName(edge("lineitem.l_suppkey->supplier", li,
-        "l_suppkey", supp))
-      .unionByName(edge("orders.o_custkey->customer", ord, "o_custkey",
-        cust))
-      .unionByName(edge("customer.c_nationkey->nation", cust,
-        "c_nationkey", nat))
-      .unionByName(edge("supplier.s_nationkey->nation", supp,
-        "s_nationkey", nat))
-      .unionByName(edge("nation.n_regionkey->region", nat,
-        "n_regionkey", reg))
-      .unionByName(edge("events.user_id->customer", ev, "user_id",
-        cust))
+    fkEdges(spark, dir)
+      .map { case (name, fact, key, dim, _) => edge(name, fact, key, dim) }
+      .reduce(_.unionByName(_))
       .orderBy(col("relation"))
   }
 }

@@ -42,7 +42,8 @@ object RetrievalEval {
   /** (vec_id, v, label) double-cast corpus, persisted — queries,
     * scoring, and label marginals all read it.
     */
-  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def corpus(spark: SparkSession,
+      dir: String): DataFrame = {
     val c = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"),
@@ -56,7 +57,7 @@ object RetrievalEval {
   /** Brute-force ranking: every (query, candidate≠query) pair scored,
     * ranked per query by (score DESC, vec_id).
     */
-  private def bruteRanked(c: DataFrame): DataFrame = {
+  private[operators] def bruteRanked(c: DataFrame): DataFrame = {
     val q = c.filter(col("vec_id") >= 1 && col("vec_id") <= NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("label").as("q_label"))
@@ -149,7 +150,10 @@ object RetrievalEval {
     * replace the scan" at a given probe budget — on LABEL relevance,
     * complementing q253's true-NN recall sweep.
     */
-  def ivfVsBrute(spark: SparkSession, dir: String,
+  /** The ranked nprobe-IVF top-10 (q_id, q_label, vec_id, label,
+    * rank) — the q402 index side, shared with the sign-test family.
+    */
+  private[operators] def ivfRanked(spark: SparkSession, dir: String,
       nprobe: Int = 2): DataFrame = {
     val c = corpus(spark, dir)
     // the q120 fixed quantizer: assignment for corpus, probe routing
@@ -186,9 +190,19 @@ object RetrievalEval {
         Window.partitionBy(col("q_id"))
           .orderBy(col("score").desc, col("vec_id"))).cast("long"))
       .filter(col("rank") <= K)
-    val brute = bruteRanked(c).filter(col("rank") <= K)
-      .select(col("q_id"), col("vec_id"))
     ivfTop
+  }
+
+  /** IVF-vs-brute agreement (q402): the q120 4-list quantizer at
+    * nprobe=2 evaluated against the brute top-10 — per query: label
+    * hits through the index, overlap with the brute set, and the two
+    * rates.
+    */
+  def ivfVsBrute(spark: SparkSession, dir: String,
+      nprobe: Int = 2): DataFrame = {
+    val brute = bruteRanked(corpus(spark, dir)).filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"))
+    ivfRanked(spark, dir, nprobe)
       .join(brute.withColumn("in_brute", lit(1L)),
         Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"), col("q_label"))

@@ -36,27 +36,39 @@ object OraclePlanner {
     "l_orderkey NOT IN (SELECT o_orderkey FROM orders " +
       "WHERE o_custkey % 97 = 0)"
 
+  private val jplUnion = Seq(
+    jplEdge("lineitem.l_orderkey->orders", "lineitem",
+      "l_orderkey", "orders"),
+    jplEdge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+      "part"),
+    jplEdge("lineitem.l_suppkey->supplier", "lineitem",
+      "l_suppkey", "supplier"),
+    jplEdge("orders.o_custkey->customer", "orders", "o_custkey",
+      "customer"),
+    jplEdge("customer.c_nationkey->nation", "customer",
+      "c_nationkey", "nation"),
+    jplEdge("supplier.s_nationkey->nation", "supplier",
+      "s_nationkey", "nation"),
+    jplEdge("nation.n_regionkey->region", "nation", "n_regionkey",
+      "region"),
+    jplEdge("events.user_id->customer", "events", "user_id",
+      "customer"))
+    .mkString(" UNION ALL ")
+
   val sql: Map[String, String] = Map(
     "q409_join_stats_planner" ->
-      (Seq(
-        jplEdge("lineitem.l_orderkey->orders", "lineitem",
-          "l_orderkey", "orders"),
-        jplEdge("lineitem.l_partkey->part", "lineitem", "l_partkey",
-          "part"),
-        jplEdge("lineitem.l_suppkey->supplier", "lineitem",
-          "l_suppkey", "supplier"),
-        jplEdge("orders.o_custkey->customer", "orders", "o_custkey",
-          "customer"),
-        jplEdge("customer.c_nationkey->nation", "customer",
-          "c_nationkey", "nation"),
-        jplEdge("supplier.s_nationkey->nation", "supplier",
-          "s_nationkey", "nation"),
-        jplEdge("nation.n_regionkey->region", "nation", "n_regionkey",
-          "region"),
-        jplEdge("events.user_id->customer", "events", "user_id",
-          "customer"))
-        .mkString("SELECT * FROM (", " UNION ALL ",
-          ") ORDER BY relation")),
+      s"SELECT * FROM ($jplUnion) AS jplu ORDER BY relation",
+    // q437: the engine must plan exactly what the planner recommends
+    // when driven as recommended — the oracle recomputes the
+    // recommendation and maps it to the REQUIRED physical operator;
+    // the engine-side `actual` comes from the real physical plan, so
+    // an ignored hint or an out-planned broadcast breaks the hash
+    "q437_plan_conformance" ->
+      ("SELECT relation, recommend, " +
+        "CASE recommend WHEN 'broadcast_dim' THEN 'broadcast_hash' " +
+        "WHEN 'shuffle_salted' THEN 'shuffle_hash_salted' " +
+        "ELSE 'shuffle_hash' END AS actual, TRUE AS agree " +
+        s"FROM ($jplUnion) AS jplc ORDER BY relation"),
     // q410: Q1 over retained rows — what the negative-delta merge
     // must reproduce bit-for-bit
     "q410_retractable_pricing" ->

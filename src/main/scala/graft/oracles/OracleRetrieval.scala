@@ -34,6 +34,55 @@ object OracleRetrieval {
     "revl AS (SELECT label AS q_label, " +
       "CAST(COUNT(*) AS BIGINT) AS n_label FROM revv GROUP BY label)"
 
+  /** The q402 nprobe=2 IVF side (revqp probes, revcand candidates,
+    * revivf scores, revit ranked top-10) — shared with the sign-test
+    * family. Composes after [[OracleAnn.ivfModelCtes]] + [[revBase]].
+    */
+  private val revIvfCtes =
+    "revqp AS (SELECT q_id, cid FROM (SELECT q.q_id, s.c AS cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY q.q_id " +
+      "ORDER BY s.s DESC, s.c) AS rn " +
+      "FROM revq q JOIN s ON s.vec_id = q.q_id) WHERE rn <= 2), " +
+      "revcand AS (SELECT p.q_id, a.vec_id FROM revqp p " +
+      "JOIN a ON a.cid = p.cid WHERE a.vec_id <> p.q_id), " +
+      "revivf AS (SELECT cd.q_id, q.q_label, cd.vec_id, cc.label, " +
+      "list_reduce(list_transform(list_zip(q.qv, cc.v), " +
+      "pr -> pr[1] * pr[2]), (a, b) -> a + b) AS score " +
+      "FROM revcand cd JOIN revq q ON q.q_id = cd.q_id " +
+      "JOIN revv cc ON cc.vec_id = cd.vec_id), " +
+      "revit AS (SELECT * FROM (SELECT q_id, q_label, vec_id, label, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY q_id " +
+      "ORDER BY score DESC, vec_id) AS BIGINT) AS rank " +
+      "FROM revivf) WHERE rank <= 10)"
+
+  /** Paired per-query hit/rank outcome CTEs for the sign tests:
+    * revhb/revhi (label hits in the top 10, brute/IVF), revho (hit
+    * outcomes), revrb/revri (first relevant rank in the top 10),
+    * revro (rank outcomes, absence = 11, smaller wins).
+    */
+  private val revOutcomeCtes =
+    "revhb AS (SELECT q_id, CAST(SUM(CASE WHEN label = q_label " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS hits_brute FROM revr " +
+      "WHERE rank <= 10 GROUP BY q_id), " +
+      "revhi AS (SELECT q_id, CAST(SUM(CASE WHEN label = q_label " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS hits_ivf FROM revit " +
+      "GROUP BY q_id), " +
+      "revho AS (SELECT 'hits_at_10' AS metric, " +
+      "CASE WHEN COALESCE(i.hits_ivf, 0) > b.hits_brute THEN 'win' " +
+      "WHEN COALESCE(i.hits_ivf, 0) < b.hits_brute THEN 'loss' " +
+      "ELSE 'tie' END AS o " +
+      "FROM revhb b LEFT JOIN revhi i USING (q_id)), " +
+      "revrb AS (SELECT q_id, MIN(rank) AS r FROM revr " +
+      "WHERE rank <= 10 AND label = q_label GROUP BY q_id), " +
+      "revri AS (SELECT q_id, MIN(rank) AS r FROM revit " +
+      "WHERE label = q_label GROUP BY q_id), " +
+      "revro AS (SELECT 'first_rel_rank' AS metric, " +
+      "CASE WHEN COALESCE(ri.r, 11) < COALESCE(rb.r, 11) THEN 'win' " +
+      "WHEN COALESCE(ri.r, 11) > COALESCE(rb.r, 11) THEN 'loss' " +
+      "ELSE 'tie' END AS o " +
+      "FROM revq q LEFT JOIN revrb rb USING (q_id) " +
+      "LEFT JOIN revri ri USING (q_id))"
+
   val sql: Map[String, String] = Map(
     // q399: P/R@10 on label relevance — integer numerators, two
     // divisions per row
@@ -84,23 +133,8 @@ object OracleRetrieval {
     // q402: the q120 quantizer at nprobe=2 vs the brute top-10 —
     // label hits through the index + set agreement
     "q402_ivf_vs_brute" ->
-      (OracleAnn.ivfModelCtes + ", " + revBase + ", " +
-        "revqp AS (SELECT q_id, cid FROM (SELECT q.q_id, s.c AS cid, " +
-        "ROW_NUMBER() OVER (PARTITION BY q.q_id " +
-        "ORDER BY s.s DESC, s.c) AS rn " +
-        "FROM revq q JOIN s ON s.vec_id = q.q_id) WHERE rn <= 2), " +
-        "revcand AS (SELECT p.q_id, a.vec_id FROM revqp p " +
-        "JOIN a ON a.cid = p.cid WHERE a.vec_id <> p.q_id), " +
-        "revivf AS (SELECT cd.q_id, q.q_label, cd.vec_id, cc.label, " +
-        "list_reduce(list_transform(list_zip(q.qv, cc.v), " +
-        "pr -> pr[1] * pr[2]), (a, b) -> a + b) AS score " +
-        "FROM revcand cd JOIN revq q ON q.q_id = cd.q_id " +
-        "JOIN revv cc ON cc.vec_id = cd.vec_id), " +
-        "revit AS (SELECT * FROM (SELECT q_id, q_label, vec_id, label, " +
-        "CAST(ROW_NUMBER() OVER (PARTITION BY q_id " +
-        "ORDER BY score DESC, vec_id) AS BIGINT) AS rank " +
-        "FROM revivf) WHERE rank <= 10), " +
-        "revb AS (SELECT q_id, vec_id FROM revr WHERE rank <= 10) " +
+      (OracleAnn.ivfModelCtes + ", " + revBase + ", " + revIvfCtes +
+        ", revb AS (SELECT q_id, vec_id FROM revr WHERE rank <= 10) " +
         "SELECT t.q_id, t.q_label, " +
         "CAST(COUNT(*) AS BIGINT) AS n_returned, " +
         "CAST(SUM(CASE WHEN t.label = t.q_label THEN 1 ELSE 0 END) " +
@@ -125,5 +159,44 @@ object OracleRetrieval {
         "FROM revvt) WHERE rn = 1) " +
         "SELECT q_label, pred_label, " +
         "CAST(COUNT(*) AS BIGINT) AS n_queries FROM revp " +
-        "GROUP BY q_label, pred_label ORDER BY q_label, pred_label"))
+        "GROUP BY q_label, pred_label ORDER BY q_label, pred_label"),
+    // q435: paired per-query hits, brute vs IVF, with the sign-test
+    // outcome under "bigger wins"
+    "q435_retrieval_signtest_table" ->
+      (OracleAnn.ivfModelCtes + ", " + revBase + ", " + revIvfCtes +
+        ", " + revOutcomeCtes + " " +
+        "SELECT b.q_id, b.hits_brute, " +
+        "CAST(COALESCE(i.hits_ivf, 0) AS BIGINT) AS hits_ivf, " +
+        "CASE WHEN COALESCE(i.hits_ivf, 0) > b.hits_brute THEN 'win' " +
+        "WHEN COALESCE(i.hits_ivf, 0) < b.hits_brute THEN 'loss' " +
+        "ELSE 'tie' END AS outcome " +
+        "FROM revhb b LEFT JOIN revhi i USING (q_id) ORDER BY b.q_id"),
+    // q436: the exact two-sided sign test per metric — the binomial
+    // tail as an integer fraction (n ≤ 20 ⇒ 20! fits BIGINT), the
+    // α = 0.05 verdict as the integer inequality 40·p_num ≤ p_den
+    "q436_retrieval_signtest_summary" ->
+      (OracleAnn.ivfModelCtes + ", " + revBase + ", " + revIvfCtes +
+        ", " + revOutcomeCtes + ", " +
+        "revo AS (SELECT * FROM revho UNION ALL SELECT * FROM revro), " +
+        "revsg AS (SELECT metric, " +
+        "CAST(SUM(CASE WHEN o = 'win' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_wins, " +
+        "CAST(SUM(CASE WHEN o = 'loss' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_losses, " +
+        "CAST(SUM(CASE WHEN o = 'tie' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_ties FROM revo GROUP BY metric), " +
+        "revsg2 AS (SELECT metric, n_wins, n_losses, n_ties, " +
+        "n_wins + n_losses AS n_eff, " +
+        "GREATEST(n_wins, n_losses) AS k_extreme FROM revsg), " +
+        "revsg3 AS (SELECT *, " +
+        "list_reduce(list_transform(range(k_extreme, n_eff + 1), " +
+        "i -> CAST(factorial(CAST(n_eff AS INTEGER)) // " +
+        "(factorial(CAST(i AS INTEGER)) * " +
+        "factorial(CAST(n_eff - i AS INTEGER))) AS BIGINT)), " +
+        "(a, b) -> a + b) AS p_num, " +
+        "(CAST(1 AS BIGINT) << CAST(n_eff AS INTEGER)) AS p_den " +
+        "FROM revsg2) " +
+        "SELECT metric, n_wins, n_losses, n_ties, n_eff, k_extreme, " +
+        "p_num, p_den, (40 * p_num <= p_den) AS significant_05 " +
+        "FROM revsg3 ORDER BY metric"))
 }
