@@ -1250,6 +1250,11 @@ object Registry {
     // plan, salting detected from the join keys
     "q437_plan_conformance" -> ((s, d) =>
       PlanConformance.planConformance(s, d)),
+    // block 43: the release-to-release changelog — card facts at the
+    // previous snapshot (ledger version 1's content) vs the current
+    // corpus, per-fact delta
+    "q438_dataset_card_diff" -> ((s, d) =>
+      DatasetCard.datasetCardDiff(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
