@@ -1,0 +1,45 @@
+package graft.oracles
+
+/** DuckDB oracles for the OCC multi-writer commit protocol
+  * (q442–q443). The schedule is fixed (A commits, C conflicts with A
+  * and aborts, B is disjoint and rebases), so the oracle recomputes
+  * every attempt's verdict analytically from the key populations —
+  * a protocol bug (lost update, false conflict, missed conflict)
+  * changes a count or an outcome string and breaks the hash. CTE
+  * prefix `oc` is unique to this family.
+  */
+object OracleOcc {
+
+  private val Base =
+    "WITH ocb AS (SELECT CAST(o_custkey AS BIGINT) AS c_custkey, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1) "
+
+  val sql: Map[String, String] = Map(
+    // q442: one row per writer attempt — write-set size, conflicts,
+    // verdict, landed version
+    "q442_occ_audit" ->
+      (Base +
+        ", ocn AS (SELECT " +
+        "CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS " +
+        "BIGINT) AS n_a, " +
+        "CAST(SUM(CASE WHEN c_custkey % 3 = 1 THEN 1 ELSE 0 END) AS " +
+        "BIGINT) AS n_b, " +
+        "CAST(SUM(CASE WHEN c_custkey % 6 = 0 THEN 1 ELSE 0 END) AS " +
+        "BIGINT) AS n_c FROM ocb) " +
+        "SELECT * FROM (" +
+        "SELECT 'a' AS writer, 0::BIGINT AS base_version, " +
+        "n_a AS n_delta_keys, 0::BIGINT AS n_conflict_keys, " +
+        "'committed' AS outcome, 1::BIGINT AS commit_version FROM ocn " +
+        "UNION ALL SELECT 'b', 0::BIGINT, n_b, 0::BIGINT, 'rebased', " +
+        "2::BIGINT FROM ocn " +
+        "UNION ALL SELECT 'c', 0::BIGINT, n_c, n_c, 'aborted', " +
+        "(-1)::BIGINT FROM ocn) ORDER BY writer"),
+    // q443: the final state is the serial A-then-B application with
+    // no trace of aborted C's +1000
+    "q443_occ_final_state" ->
+      (Base +
+        "SELECT c_custkey, n_orders + CASE " +
+        "WHEN c_custkey % 3 = 0 THEN 7 " +
+        "WHEN c_custkey % 3 = 1 THEN 11 ELSE 0 END AS n_orders " +
+        "FROM ocb ORDER BY c_custkey"))
+}

@@ -1,0 +1,197 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Optimistic concurrency control for versioned ledgers (q442–q443,
+  * block 45): the missing multi-writer story. Every ledger so far is
+  * single-writer by contract (one streaming query owns one root); a
+  * real 100 TB deployment has compaction jobs, erasure requests, and
+  * backfills all wanting to commit against the SAME state table. This
+  * module adds the Delta/Iceberg-shaped commit protocol on top of the
+  * existing `b<v>_<batch>` layout:
+  *
+  *  - a writer stages its rewrite against the snapshot it read (its
+  *    BASE version), then claims the next version number by an atomic
+  *    `rename(staging, b<v+1>_<batch>)` — rename-if-absent is the
+  *    put-if-absent primitive every table format's commit relies on
+  *    (a lost race = rename fails = loop, never a torn commit);
+  *  - a writer whose base is stale (someone committed after it read)
+  *    must CONFLICT-CHECK before rebasing: its write set is
+  *    intersected with the keys written by every version in
+  *    `(base, current]`. Disjoint → rebase (re-apply the delta on the
+  *    current snapshot and try again); overlapping → abort — the
+  *    transactional no-lost-update guarantee (first committer wins,
+  *    the loser's increment must not silently clobber).
+  *
+  * Written-key sets are recovered by DIFFING adjacent versions (key
+  * present with a changed value, or newly present). At fixture scale
+  * that is a narrow two-column join per version; a production commit
+  * writes its change-set file inside the version dir before the
+  * rename so the conflict check is a metadata read — same protocol,
+  * same outcomes, which is why the fixture diff is the honest oracle
+  * of it.
+  *
+  * Deterministic schedule (all three writers read base v0): writer A
+  * (keys ≡ 0 mod 3, +7) commits first → v1; writer C (keys ≡ 0 mod
+  * 6, +1000 — a subset of A's write set) finds every one of its keys
+  * in v1's diff → ABORTS; writer B (keys ≡ 1 mod 3, +11) is disjoint
+  * from v1's diff → rebases onto v1 and commits v2. The final state
+  * is the serial A-then-B application and carries no trace of C —
+  * exactly what the oracle recomputes analytically.
+  *
+  * Reference anchor: the reference serializes all writes through one
+  * Node process and a single pg pool (`saveToPostgres.js` chunks,
+  * `server.js` one route at a time) — concurrency control by
+  * accident of architecture. At cluster scale the accident is gone
+  * and the protocol has to be explicit.
+  *
+  * 100 TB shape: staging writes are the rewrite the writer was doing
+  * anyway; the claim is one filesystem rename; the conflict check
+  * reads change-set metadata (here: a key-column diff), never row
+  * data of the corpus.
+  */
+object Occ {
+
+  /** Outcome of one writer's commit attempt. */
+  private[graft] final case class Attempt(
+      writer: String, baseVersion: Long, nDeltaKeys: Long,
+      nConflictKeys: Long, outcome: String, commitVersion: Long)
+
+  /** Keys written by version `v` relative to its parent: new keys or
+    * keys whose value changed — the change set a production commit
+    * would have stored beside the version.
+    */
+  private def writtenKeys(spark: SparkSession, parentPath: String,
+      childPath: String): DataFrame = {
+    val parent = spark.read.parquet(parentPath)
+      .select(col("c_custkey"), col("n_orders").as("p_val"))
+    spark.read.parquet(childPath)
+      .join(parent, Seq("c_custkey"), "left")
+      .filter(col("p_val").isNull || col("p_val") =!= col("n_orders"))
+      .select(col("c_custkey"))
+  }
+
+  /** Union of change sets of every version in `(base, current]`. */
+  private def writtenSince(spark: SparkSession,
+      versions: Seq[(Long, Long, String)], base: Long): DataFrame = {
+    val after = versions.filter(_._1 > base)
+    val withParents = after.map { case (v, _, path) =>
+      val parent = versions.filter(_._1 < v).maxBy(_._1)
+      writtenKeys(spark, parent._3, path)
+    }
+    withParents.reduce(_.unionByName(_)).distinct()
+  }
+
+  /** One writer's full OCC attempt: stage against the read snapshot,
+    * conflict-check if stale, rebase-and-claim or abort. `delta`
+    * receives the snapshot it must rewrite (update-in-place of the
+    * writer's key set) and returns the FULL next state. The claim
+    * itself is the atomic rename; a lost race (dest exists) re-enters
+    * the check loop rather than failing.
+    */
+  private[graft] def tryCommit(spark: SparkSession,
+      ledgerRoot: String, writer: String, readBase: Long,
+      deltaKeys: DataFrame => DataFrame,
+      delta: DataFrame => DataFrame): Attempt = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(ledgerRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseSnap = Provenance.committedVersions(spark, ledgerRoot)
+      .find(_._1 == readBase)
+      .getOrElse(sys.error(s"occ: base version $readBase not committed"))
+    val nDelta = deltaKeys(spark.read.parquet(baseSnap._3)).count()
+    var attemptBase = readBase
+    while (true) {
+      val versions = Provenance.committedVersions(spark, ledgerRoot)
+      val (vcur, bcur, pcur) = versions.maxBy(_._1)
+      if (vcur > attemptBase) {
+        // stale base: writers committed past us — conflict check
+        val conflicts = writtenSince(spark, versions, attemptBase)
+          .join(deltaKeys(spark.read.parquet(baseSnap._3)),
+            Seq("c_custkey"), "inner")
+          .count()
+        if (conflicts > 0L)
+          return Attempt(writer, readBase, nDelta, conflicts,
+            "aborted", -1L)
+        attemptBase = vcur // disjoint: rebase onto the current snapshot
+      }
+      val next = delta(spark.read.parquet(pcur))
+      val dest = s"$ledgerRoot/b${vcur + 1}_$bcur"
+      val staging = s"${dest}__${writer}_staging"
+      next.write.mode("overwrite").parquet(staging)
+      // the atomic claim: rename-if-absent; a lost race loops back
+      // into the conflict check against the new current version
+      if (!fs.exists(new Path(dest)) &&
+          fs.rename(new Path(staging), new Path(dest)))
+        return Attempt(writer, readBase, nDelta, 0L,
+          if (attemptBase == readBase) "committed" else "rebased",
+          vcur + 1)
+      fs.delete(new Path(staging), true)
+    }
+    sys.error("unreachable")
+  }
+
+  /** Build the base ledger (v0 = per-custkey order counts) and run the
+    * fixed A → C → B schedule. Returns (attempts, ledgerRoot).
+    */
+  private[graft] def runSchedule(spark: SparkSession,
+      dir: String): (Seq[Attempt], String) = {
+    val root = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_occ_")).toString
+    val ledgerRoot = s"$root/balances"
+    val v0 = Tables.read(spark, dir, "orders")
+      .groupBy(col("o_custkey").cast("long").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    v0.write.mode("overwrite").parquet(s"$ledgerRoot/b0_0")
+
+    def bump(keyPred: org.apache.spark.sql.Column, inc: Long)
+        (snap: DataFrame): DataFrame =
+      snap.withColumn("n_orders",
+        when(keyPred, col("n_orders") + inc).otherwise(col("n_orders")))
+
+    val a = tryCommit(spark, ledgerRoot, "a", 0L,
+      snap => snap.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey")),
+      bump(col("c_custkey") % 3 === 0, 7L))
+    val c = tryCommit(spark, ledgerRoot, "c", 0L,
+      snap => snap.filter(col("c_custkey") % 6 === 0)
+        .select(col("c_custkey")),
+      bump(col("c_custkey") % 6 === 0, 1000L))
+    val b = tryCommit(spark, ledgerRoot, "b", 0L,
+      snap => snap.filter(col("c_custkey") % 3 === 1)
+        .select(col("c_custkey")),
+      bump(col("c_custkey") % 3 === 1, 11L))
+    (Seq(a, c, b), ledgerRoot)
+  }
+
+  /** q442: the OCC audit — one row per writer attempt with its base,
+    * write-set size, conflict count, and verdict. The protocol's
+    * entire decision surface as a table the oracle recomputes
+    * analytically from the fixed schedule.
+    */
+  def occAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (attempts, _) = runSchedule(spark, dir)
+    attempts.toDF("writer", "base_version", "n_delta_keys",
+        "n_conflict_keys", "outcome", "commit_version")
+      .orderBy(col("writer"))
+  }
+
+  /** q443: the final committed state after the schedule — serial
+    * A-then-B application, no trace of aborted C. One surviving
+    * lost update would break the oracle hash.
+    */
+  def occFinalState(spark: SparkSession, dir: String): DataFrame = {
+    val (_, ledgerRoot) = runSchedule(spark, dir)
+    val (_, _, path) = Provenance.committedVersions(spark, ledgerRoot)
+      .maxBy(_._1)
+    spark.read.parquet(path)
+      .select(col("c_custkey"), col("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+}
