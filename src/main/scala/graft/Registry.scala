@@ -1255,6 +1255,59 @@ object Registry {
     // corpus, per-fact delta
     "q438_dataset_card_diff" -> ((s, d) =>
       DatasetCard.datasetCardDiff(s, d)),
+    // block 44: zone-map data skipping + Z-order clustering — the
+    // row-order half of the layout story (q416–q418 size files and
+    // shuffles; these decide what goes IN each file)
+    "q439_zonemap_stats" -> ((s, d) => ZoneMap.zonemapStats(s, d)),
+    "q440_zonemap_skip_audit" -> ((s, d) =>
+      ZoneMap.zonemapSkipAudit(s, d)),
+    "q441_zorder_skip_audit" -> ((s, d) =>
+      ZoneMap.zorderSkipAudit(s, d)),
+    // block 45: optimistic concurrency for versioned ledgers — the
+    // multi-writer commit protocol (atomic rename claim, conflict
+    // check over written key sets, rebase-or-abort)
+    "q442_occ_audit" -> ((s, d) =>
+      graft.streaming.Occ.occAudit(s, d)),
+    "q443_occ_final_state" -> ((s, d) =>
+      graft.streaming.Occ.occFinalState(s, d)),
+    // block 46: k-anonymity / l-diversity — re-identification risk of
+    // the rows a release KEEPS (the PII/erasure families cover what
+    // it finds/deletes)
+    "q444_kanon_audit" -> ((s, d) => Anonymity.kanonAudit(s, d)),
+    "q445_kanon_generalize" -> ((s, d) =>
+      Anonymity.kanonGeneralize(s, d)),
+    "q446_ldiversity" -> ((s, d) => Anonymity.lDiversity(s, d)),
+    // block 47: zone-map maintenance on append + the advisor that
+    // closes block 44's loop (audit every candidate layout, recommend
+    // the argmin)
+    "q447_zonemap_incremental" -> ((s, d) =>
+      ZoneMap.zonemapIncremental(s, d)),
+    "q448_zonemap_batched_stats" -> ((s, d) =>
+      ZoneMap.zonemapBatchedStats(s, d)),
+    "q449_cluster_key_advisor" -> ((s, d) =>
+      ZoneMap.clusterKeyAdvisor(s, d)),
+    // block 48: multi-table atomic commit — one manifest pointer
+    // spans two ledgers; a crash between version writes can never
+    // produce a torn snapshot
+    "q450_multitable_manifest" -> ((s, d) =>
+      graft.streaming.MultiTable.multitableManifest(s, d)),
+    "q451_multitable_snapshot" -> ((s, d) =>
+      graft.streaming.MultiTable.multitableSnapshot(s, d)),
+    // block 49: change data feed — the version trail as typed change
+    // rows (insert/update/delete with old+new), and the consumer-side
+    // replay that reconstructs the final state from them
+    "q452_change_feed" -> ((s, d) =>
+      graft.streaming.ChangeFeed.registryChangeFeed(s, d)),
+    "q453_occ_change_feed" -> ((s, d) =>
+      graft.streaming.ChangeFeed.occChangeFeed(s, d)),
+    "q454_change_feed_replay" -> ((s, d) =>
+      graft.streaming.ChangeFeed.changeFeedReplay(s, d)),
+    // block 50: streaming k-anonymity — one maintained QI cell state
+    // serves the whole ladder and the l-diversity facet at drain
+    "q455_streaming_kanon" -> ((s, d) =>
+      graft.streaming.AnonymityState.streamingKanonLadder(s, d)),
+    "q456_streaming_ldiversity" -> ((s, d) =>
+      graft.streaming.AnonymityState.streamingLDiversity(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1273,7 +1326,10 @@ object Registry {
       oracles.OracleUserErasure.sql, oracles.OraclePlanner.sql,
       oracles.OracleContamination.sql, oracles.OracleLayout.sql,
       oracles.OraclePsi.sql, oracles.OracleCard.sql,
-      oracles.OracleRepetition.sql, oracles.OracleSchemaEvolution.sql)
+      oracles.OracleRepetition.sql, oracles.OracleSchemaEvolution.sql,
+      oracles.OracleZoneMap.sql, oracles.OracleOcc.sql,
+      oracles.OracleAnonymity.sql, oracles.OracleMultiTable.sql,
+      oracles.OracleChangeFeed.sql, oracles.OracleAnonymity.streamingSql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

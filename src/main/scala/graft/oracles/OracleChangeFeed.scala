@@ -1,0 +1,51 @@
+package graft.oracles
+
+/** DuckDB oracles for the change-data-feed family (q452–q454). The
+  * ledgers' version contents are analytic (id-range batches, the
+  * %37 erasure, the fixed OCC schedule), so each feed row is
+  * recomputable from the base tables. CTE prefix `cf` is unique to
+  * this family.
+  */
+object OracleChangeFeed {
+
+  private val RegistryBase =
+    "WITH cfd AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS " +
+      "n_chars FROM documents), " +
+      "cfm AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM cfd), " +
+      "cfs AS (SELECT lo, (hi - lo + 3) // 3 AS span FROM cfm), " +
+      "cfb AS (SELECT d.*, LEAST((d.doc_id - s.lo) // s.span, 2) AS " +
+      "batch FROM cfd d, cfs s) "
+
+  val sql: Map[String, String] = Map(
+    // q452: inserts at v1/v2 (batches 1 and 2), deletes at v3 (the
+    // %37 erasure) — batch 0 is the v0 snapshot, not feed rows
+    "q452_change_feed" ->
+      (RegistryBase +
+        "SELECT * FROM (" +
+        "SELECT 1::BIGINT AS version_to, 'insert' AS change_type, " +
+        "doc_id, source, n_chars FROM cfb WHERE batch = 1 " +
+        "UNION ALL SELECT 2::BIGINT, 'insert', doc_id, source, " +
+        "n_chars FROM cfb WHERE batch = 2 " +
+        "UNION ALL SELECT 3::BIGINT, 'delete', doc_id, source, " +
+        "n_chars FROM cfb WHERE doc_id % 37 = 0) " +
+        "ORDER BY version_to, change_type, doc_id"),
+    // q453: the OCC schedule as updates with old/new — A's +7 keys at
+    // v1, B's +11 keys at v2 (disjoint, so B's old is the base value);
+    // aborted C appears nowhere
+    "q453_occ_change_feed" ->
+      ("WITH cfo AS (SELECT CAST(o_custkey AS BIGINT) AS c_custkey, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1) " +
+        "SELECT * FROM (" +
+        "SELECT 1::BIGINT AS version_to, 'update' AS change_type, " +
+        "c_custkey, n AS old_val, n + 7 AS new_val FROM cfo " +
+        "WHERE c_custkey % 3 = 0 " +
+        "UNION ALL SELECT 2::BIGINT, 'update', c_custkey, n, n + 11 " +
+        "FROM cfo WHERE c_custkey % 3 = 1) " +
+        "ORDER BY version_to, c_custkey"),
+    // q454: replaying the feed over the v0 snapshot reconstructs the
+    // final version — all three batches minus the erased keys
+    "q454_change_feed_replay" ->
+      (RegistryBase +
+        "SELECT doc_id, source, n_chars FROM cfb " +
+        "WHERE doc_id % 37 <> 0 ORDER BY doc_id"))
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.ChangeFeed
+
+/** Consumer-side guarantees of the change data feed (q452–q454): the
+  * replay reconstructs the ledger's final version EXACTLY (checked
+  * against the ledger, not the oracle's analytic shortcut), and feed
+  * rows partition by change type with no key repeated within one
+  * version step.
+  */
+class ChangeFeedSpec extends SparkSpec {
+
+  test("feed: no key changes twice in one version step; types partition") {
+    val feed = ChangeFeed.registryChangeFeed(spark, sfDir).persist()
+    val dupKeys = feed.groupBy(col("version_to"), col("doc_id"))
+      .count().filter(col("count") > 1).count()
+    assert(dupKeys === 0L)
+    val types = feed.select(col("change_type")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types === Set("insert", "delete"))
+    // append versions emit only inserts; the erasure version only deletes
+    val byVer = feed.groupBy(col("version_to"))
+      .agg(collect_set(col("change_type")).as("ts")).collect()
+      .map(r => r.getAs[Long]("version_to") ->
+        r.getAs[Seq[String]]("ts").toSet).toMap
+    assert(byVer(1L) === Set("insert"))
+    assert(byVer(2L) === Set("insert"))
+    assert(byVer(3L) === Set("delete"))
+    feed.unpersist()
+    Caches.releaseAll(spark)
+  }
+
+  test("occ feed: updates only, deltas are exactly +7 and +11") {
+    val feed = ChangeFeed.occChangeFeed(spark, sfDir).collect()
+    assert(feed.nonEmpty)
+    feed.foreach { r =>
+      assert(r.getAs[String]("change_type") === "update")
+      val delta = r.getAs[Long]("new_val") - r.getAs[Long]("old_val")
+      val want = if (r.getAs[Long]("version_to") == 1L) 7L else 11L
+      assert(delta === want)
+    }
+    Caches.releaseAll(spark)
+  }
+
+  test("replay reconstructs the ledger's final version exactly") {
+    val replayed = ChangeFeed.changeFeedReplay(spark, sfDir)
+      .collect().map(_.toSeq)
+    // independent final-state read: every doc except the erased set
+    val want = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    assert(replayed.length === want.length)
+    assert(replayed.toSeq === want.toSeq)
+    Caches.releaseAll(spark)
+  }
+}
