@@ -1308,6 +1308,13 @@ object Registry {
       graft.streaming.AnonymityState.streamingKanonLadder(s, d)),
     "q456_streaming_ldiversity" -> ((s, d) =>
       graft.streaming.AnonymityState.streamingLDiversity(s, d)),
+    // block 51: close two loops — OCC conflict checks read the
+    // change set stored atomically inside each version (parity with
+    // diff recovery), and the k-anonymity audit gets its release
+    // executor (suppression census)
+    "q457_occ_changeset_parity" -> ((s, d) =>
+      graft.streaming.Occ.occChangesetParity(s, d)),
+    "q458_kanon_release" -> ((s, d) => Anonymity.kanonRelease(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1329,7 +1336,8 @@ object Registry {
       oracles.OracleRepetition.sql, oracles.OracleSchemaEvolution.sql,
       oracles.OracleZoneMap.sql, oracles.OracleOcc.sql,
       oracles.OracleAnonymity.sql, oracles.OracleMultiTable.sql,
-      oracles.OracleChangeFeed.sql, oracles.OracleAnonymity.streamingSql)
+      oracles.OracleChangeFeed.sql, oracles.OracleAnonymity.streamingSql,
+      oracles.OracleAnonymity.releaseSql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

@@ -153,6 +153,33 @@ object Anonymity {
       .filter(col("l_distinct") < 2L)
       .orderBy(col("qi_geo"), col("qi_bal"))
 
+  /** q458: the release executor — act on the audit the way the PII
+    * family's redacted-copy writer acts on its sweep. At the level-2
+    * generalization, classes at or above the k floor are released
+    * as-is and sub-k classes are SUPPRESSED (the standard
+    * cell-suppression fallback when further coarsening would destroy
+    * utility); the census per region is the release's datasheet row:
+    * how many rows shipped, how many were withheld, in how many
+    * classes each.
+    */
+  def kanonRelease(spark: SparkSession, dir: String): DataFrame =
+    qiCellsOf(customers(spark, dir))
+      .groupBy(col("region").as("qi_geo"), col("segment").as("qi_seg"),
+        col("b5000").as("qi_bal"))
+      .agg(sum(col("cnt")).as("class_size"))
+      .withColumn("released", col("class_size") >= K)
+      .groupBy(col("qi_geo"))
+      .agg(
+        coalesce(sum(when(col("released"), 1L).otherwise(0L)), lit(0L))
+          .as("n_released_classes"),
+        coalesce(sum(when(col("released"), col("class_size"))
+          .otherwise(0L)), lit(0L)).as("n_released_rows"),
+        coalesce(sum(when(!col("released"), 1L).otherwise(0L)), lit(0L))
+          .as("n_suppressed_classes"),
+        coalesce(sum(when(!col("released"), col("class_size"))
+          .otherwise(0L)), lit(0L)).as("n_suppressed_rows"))
+      .orderBy(col("qi_geo"))
+
   /** q446: l-diversity at the adversary keys (nation, bal/1000) with
     * the market segment as the sensitive attribute — classes that are
     * k-anonymous can still leak the segment if homogeneous. Work list

@@ -59,6 +59,27 @@ object OracleAnonymity {
         "FROM anc GROUP BY 1, 2 HAVING COUNT(DISTINCT segment) < 2 " +
         "ORDER BY qi_geo, qi_bal"))
 
+  /** q458: the suppression-release census at level 2. */
+  val releaseSql: Map[String, String] = Map(
+    "q458_kanon_release" ->
+      ("WITH anc AS (SELECT CAST(n_regionkey AS BIGINT) AS region, " +
+        "c_mktsegment AS segment, c_acctbal FROM customer JOIN " +
+        "nation ON c_nationkey = n_nationkey), " +
+        "ang AS (SELECT region AS qi_geo, segment AS qi_seg, " +
+        "CAST(FLOOR(c_acctbal/5000.0) AS BIGINT) AS qi_bal, " +
+        "CAST(COUNT(*) AS BIGINT) AS class_size FROM anc " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT qi_geo, " +
+        "CAST(SUM(CASE WHEN class_size >= 5 THEN 1 ELSE 0 END) AS " +
+        "BIGINT) AS n_released_classes, " +
+        "CAST(SUM(CASE WHEN class_size >= 5 THEN class_size ELSE 0 " +
+        "END) AS BIGINT) AS n_released_rows, " +
+        "CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS " +
+        "BIGINT) AS n_suppressed_classes, " +
+        "CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 " +
+        "END) AS BIGINT) AS n_suppressed_rows " +
+        "FROM ang GROUP BY qi_geo ORDER BY qi_geo"))
+
   /** The streaming twins (q455–q456) drain ONE maintained QI cell
     * state into the same facets, so the batch SQL is their oracle for
     * any micro-batching (the twin contract).

@@ -34,6 +34,21 @@ object OracleOcc {
         "2::BIGINT FROM ocn " +
         "UNION ALL SELECT 'c', 0::BIGINT, n_c, n_c, 'aborted', " +
         "(-1)::BIGINT FROM ocn) ORDER BY writer"),
+    // q457: stored change sets equal the diff-recovered ones for
+    // both committed writer versions (A's %3==0 keys at v1, B's
+    // %3==1 keys at v2)
+    "q457_occ_changeset_parity" ->
+      (Base +
+        ", ocn AS (SELECT " +
+        "CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS " +
+        "BIGINT) AS n_a, " +
+        "CAST(SUM(CASE WHEN c_custkey % 3 = 1 THEN 1 ELSE 0 END) AS " +
+        "BIGINT) AS n_b FROM ocb) " +
+        "SELECT * FROM (" +
+        "SELECT 1::BIGINT AS version, n_a AS n_stored, n_a AS " +
+        "n_diffed, TRUE AS equal FROM ocn " +
+        "UNION ALL SELECT 2::BIGINT, n_b, n_b, TRUE FROM ocn) " +
+        "ORDER BY version"),
     // q443: the final state is the serial A-then-B application with
     // no trace of aborted C's +1000
     "q443_occ_final_state" ->

@@ -124,6 +124,13 @@ object Occ {
       val dest = s"$ledgerRoot/b${vcur + 1}_$bcur"
       val staging = s"${dest}__${writer}_staging"
       next.write.mode("overwrite").parquet(staging)
+      // the change set rides INSIDE the staged version (an
+      // underscore dir — hidden from state reads) so the rename
+      // commits state and metadata in one atomic step; later
+      // conflict checks read this instead of diffing (q457 pins the
+      // two paths equal)
+      deltaKeys(spark.read.parquet(baseSnap._3))
+        .write.mode("overwrite").parquet(s"$staging/_changeset")
       // the atomic claim: rename-if-absent; a lost race loops back
       // into the conflict check against the new current version
       if (!fs.exists(new Path(dest)) &&
@@ -167,6 +174,31 @@ object Occ {
         .select(col("c_custkey")),
       bump(col("c_custkey") % 3 === 1, 11L))
     (Seq(a, c, b), ledgerRoot)
+  }
+
+  /** q457: stored-change-set vs diff-recovered change-set parity —
+    * per committed writer version, the key count each path reports
+    * and their set equality. The license for production conflict
+    * checks to read metadata instead of diffing state: one row with
+    * `equal = false` means the stored change set under-declares (a
+    * missed conflict waiting to happen) or over-declares (false
+    * aborts), and the oracle hash breaks.
+    */
+  def occChangesetParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, ledgerRoot) = runSchedule(spark, dir)
+    val versions = Provenance.committedVersions(spark, ledgerRoot)
+    versions.filter(_._1 > 0L).map { case (v, _, path) =>
+      val stored = spark.read.parquet(s"$path/_changeset")
+      val parent = versions.filter(_._1 < v).maxBy(_._1)
+      val diffed = writtenKeys(spark, parent._3, path)
+      val nStored = stored.count()
+      val nDiffed = diffed.count()
+      val equal = nStored == nDiffed &&
+        stored.join(diffed, Seq("c_custkey"), "left_anti").count() == 0L
+      (v, nStored, nDiffed, equal)
+    }.toDF("version", "n_stored", "n_diffed", "equal")
+      .orderBy(col("version"))
   }
 
   /** q442: the OCC audit — one row per writer attempt with its base,

@@ -57,6 +57,18 @@ class AnonymitySpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("release census: released + suppressed rows partition the table") {
+    val rel = Anonymity.kanonRelease(spark, sfDir).collect()
+    val total = rel.map(r => r.getAs[Long]("n_released_rows") +
+      r.getAs[Long]("n_suppressed_rows")).sum
+    val customers = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(total === customers)
+    // suppression is non-vacuous at fixture scale, but never total
+    assert(rel.map(_.getAs[Long]("n_suppressed_rows")).sum > 0L)
+    assert(rel.map(_.getAs[Long]("n_released_rows")).sum > 0L)
+    Caches.releaseAll(spark)
+  }
+
   test("l-diversity: flagged classes are homogeneous and bounded by size") {
     val rows = Anonymity.lDiversity(spark, sfDir).collect()
     assert(rows.nonEmpty) // sparse QI classes exist at fixture scale

@@ -71,6 +71,26 @@ class OccSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("change sets ride inside versions, hidden from state reads") {
+    val (_, root) = Occ.runSchedule(spark, sfDir)
+    val versions = graft.streaming.Provenance
+      .committedVersions(spark, root)
+    // v1/v2 carry a _changeset dir; state reads don't see its rows
+    versions.filter(_._1 > 0L).foreach { case (v, _, path) =>
+      val cs = spark.read.parquet(s"$path/_changeset")
+      assert(cs.columns.toSeq === Seq("c_custkey"))
+      assert(cs.count() > 0L)
+      val state = spark.read.parquet(path)
+      assert(state.columns.toSeq === Seq("c_custkey", "n_orders"))
+    }
+    // parity rows all green
+    Occ.occChangesetParity(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Boolean]("equal"))
+      assert(r.getAs[Long]("n_stored") === r.getAs[Long]("n_diffed"))
+    }
+    Caches.releaseAll(spark)
+  }
+
   test("aborted writer leaves no staging dirs or versions behind") {
     val (_, root) = Occ.runSchedule(spark, sfDir)
     import org.apache.hadoop.fs.Path
