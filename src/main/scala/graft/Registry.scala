@@ -1315,6 +1315,12 @@ object Registry {
     "q457_occ_changeset_parity" -> ((s, d) =>
       graft.streaming.Occ.occChangesetParity(s, d)),
     "q458_kanon_release" -> ((s, d) => Anonymity.kanonRelease(s, d)),
+    // block 52: partition-spec evolution — old files keep their spec,
+    // new files carry the evolved one, reads prune each by its own
+    "q459_partition_evolution_manifest" -> ((s, d) =>
+      PartitionEvolution.partitionEvolutionManifest(s, d)),
+    "q460_partition_evolution_scan" -> ((s, d) =>
+      PartitionEvolution.partitionEvolutionScan(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1337,7 +1343,8 @@ object Registry {
       oracles.OracleZoneMap.sql, oracles.OracleOcc.sql,
       oracles.OracleAnonymity.sql, oracles.OracleMultiTable.sql,
       oracles.OracleChangeFeed.sql, oracles.OracleAnonymity.streamingSql,
-      oracles.OracleAnonymity.releaseSql)
+      oracles.OracleAnonymity.releaseSql,
+      oracles.OraclePartitionEvolution.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")
