@@ -1321,6 +1321,11 @@ object Registry {
       PartitionEvolution.partitionEvolutionManifest(s, d)),
     "q460_partition_evolution_scan" -> ((s, d) =>
       PartitionEvolution.partitionEvolutionScan(s, d)),
+    // block 53: small-file compaction — the OPTIMIZE work list over
+    // append tails and the metadata-only zone-map rewrite after it
+    "q461_compaction_plan" -> ((s, d) => ZoneMap.compactionPlan(s, d)),
+    "q462_compaction_zonemap" -> ((s, d) =>
+      ZoneMap.compactionZonemap(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

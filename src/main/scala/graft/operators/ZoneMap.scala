@@ -300,6 +300,79 @@ object ZoneMap {
       .reduce(_.unionByName(_))
   }
 
+  /** Compaction bin target: small files pack into ≤512-row outputs.
+    * Distinct from RowsPerFile on purpose — the write chunk and the
+    * OPTIMIZE target are different knobs (tails of adjacent 256-row
+    * write jobs must be able to merge).
+    */
+  private val CompactTarget = 512L
+
+  /** Synthetic id space for compacted output files, disjoint from the
+    * batch-prefixed input ids.
+    */
+  private val CompactIdBase = 1000000000L
+
+  /** Small files (batch tails) with their pack assignment: files are
+    * packed in file-id order by PREFIX-SUM bucketing — group =
+    * `(inclusive_cumsum − 1) div target` — the relational, one-window
+    * variant of greedy first-fit a distributed planner actually runs
+    * (greedy is inherently sequential; the prefix-sum cut needs one
+    * pass and is deterministic). Bound: a group holds at most
+    * target + one straddling file (< 512 + 256 rows) — the standard
+    * prefix-cut overshoot, accepted for scan-friendliness the same
+    * way maxPartitionBytes is a soft cap.
+    */
+  private def smallFilePlan(spark: SparkSession, dir: String): DataFrame =
+    zones(batchFiles(orders(spark, dir)))
+      .filter(col("n_rows") < RowsPerFile)
+      .withColumn("cum",
+        sum(col("n_rows")).over(Window.orderBy(col("file_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("group_id", expr(s"(cum - 1L) div ${CompactTarget}L"))
+      .drop("cum")
+
+  /** q461: the compaction work list — every sub-chunk file, the output
+    * group it packs into, and the group's total. The OPTIMIZE job's
+    * input manifest: at 100 TB the small-file problem is millions of
+    * append tails, and this table IS the job plan (metadata-sized, one
+    * row per small file).
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val planned = smallFilePlan(spark, dir)
+    val totals = planned.groupBy(col("group_id"))
+      .agg(sum(col("n_rows")).as("group_total"))
+    planned.join(totals, Seq("group_id"))
+      .select(col("file_id"), col("n_rows"), col("group_id"),
+        col("group_total"))
+      .orderBy(col("file_id"))
+  }
+
+  /** q462: the zone-map artifact after compaction — untouched full
+    * files keep their stats, each pack group becomes one output file
+    * whose zones are the member min/min–max/max merge. Compaction is
+    * a metadata rewrite for the zone maps: no corpus scan, the merged
+    * stats derive from the artifact itself (the q447 maintenance
+    * discipline again).
+    */
+  def compactionZonemap(spark: SparkSession, dir: String): DataFrame = {
+    val all = zones(batchFiles(orders(spark, dir))).persist()
+    val big = all.filter(col("n_rows") >= RowsPerFile)
+      .select(col("file_id").as("out_file"), col("n_rows"),
+        col("min_ok"), col("max_ok"), col("min_ck"), col("max_ck"),
+        lit(false).as("compacted"))
+    val merged = smallFilePlan(spark, dir)
+      .groupBy(col("group_id"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        min(col("min_ok")).as("min_ok"),
+        max(col("max_ok")).as("max_ok"),
+        min(col("min_ck")).as("min_ck"),
+        max(col("max_ck")).as("max_ck"))
+      .select((col("group_id") + CompactIdBase).as("out_file"),
+        col("n_rows"), col("min_ok"), col("max_ok"), col("min_ck"),
+        col("max_ck"), lit(true).as("compacted"))
+    big.unionByName(merged).orderBy(col("out_file"))
+  }
+
   /** q441: linear vs Z-order, one row per predicate — the layout
     * decision as a table. Z-order trades a little orderkey pruning for
     * custkey pruning going from 0% to ~94% skipped; the sum of files

@@ -149,6 +149,32 @@ object OracleZoneMap {
       (Common +
         "SELECT file_id, n_rows, min_ok, max_ok, min_ck, max_ck " +
         "FROM zmbz ORDER BY file_id"),
+    // q461: the small-file compaction work list (prefix-sum packing
+    // into 512-row bins over the batch tails)
+    "q461_compaction_plan" ->
+      (Common +
+        ", zmsf AS (SELECT file_id, n_rows, " +
+        "(SUM(n_rows) OVER (ORDER BY file_id) - 1) // 512 AS group_id " +
+        "FROM zmbz WHERE n_rows < 256), " +
+        "zmgt AS (SELECT group_id, CAST(SUM(n_rows) AS BIGINT) AS " +
+        "group_total FROM zmsf GROUP BY group_id) " +
+        "SELECT s.file_id, s.n_rows, CAST(s.group_id AS BIGINT) AS " +
+        "group_id, g.group_total FROM zmsf s JOIN zmgt g " +
+        "ON s.group_id = g.group_id ORDER BY s.file_id"),
+    // q462: post-compaction zone maps — full files unchanged, pack
+    // groups merged to min/min–max/max
+    "q462_compaction_zonemap" ->
+      (Common +
+        ", zmsf AS (SELECT file_id, n_rows, min_ok, max_ok, min_ck, " +
+        "max_ck, (SUM(n_rows) OVER (ORDER BY file_id) - 1) // 512 AS " +
+        "group_id FROM zmbz WHERE n_rows < 256) " +
+        "SELECT * FROM (" +
+        "SELECT file_id AS out_file, n_rows, min_ok, max_ok, min_ck, " +
+        "max_ck, FALSE AS compacted FROM zmbz WHERE n_rows >= 256 " +
+        "UNION ALL SELECT CAST(group_id + 1000000000 AS BIGINT), " +
+        "CAST(SUM(n_rows) AS BIGINT), MIN(min_ok), MAX(max_ok), " +
+        "MIN(min_ck), MAX(max_ck), TRUE FROM zmsf GROUP BY group_id) " +
+        "ORDER BY out_file"),
     // q449: the advisor — every candidate layout audited against the
     // same workload; recommend the argmin by rows scanned
     "q449_cluster_key_advisor" ->

@@ -81,6 +81,33 @@ class ZoneMapSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("compaction: plan covers exactly the sub-chunk files, artifact conserves rows") {
+    val plan = ZoneMap.compactionPlan(spark, sfDir).collect()
+    assert(plan.nonEmpty) // batch tails exist (batch size % 256 != 0)
+    plan.foreach { r =>
+      assert(r.getAs[Long]("n_rows") < 256L)
+      // prefix-cut soft cap: target + one straddling sub-chunk file
+      assert(r.getAs[Long]("group_total") < 512L + 256L)
+    }
+    val post = ZoneMap.compactionZonemap(spark, sfDir).collect()
+    val pre = ZoneMap.zonemapBatchedStats(spark, sfDir).collect()
+    // rows conserved; file count shrinks by (small files - groups)
+    assert(post.map(_.getAs[Long]("n_rows")).sum ===
+      pre.map(_.getAs[Long]("n_rows")).sum)
+    val nGroups = plan.map(_.getAs[Long]("group_id")).distinct.length
+    assert(post.length === pre.length - plan.length + nGroups)
+    assert(nGroups < plan.length) // at least one real merge happened
+    // merged zones bound their members
+    val byGroup = plan.groupBy(_.getAs[Long]("group_id"))
+    post.filter(_.getAs[Boolean]("compacted")).foreach { g =>
+      val gid = g.getAs[Long]("out_file") - 1000000000L
+      val members = byGroup(gid)
+      assert(g.getAs[Long]("n_rows") ===
+        members.map(_.getAs[Long]("n_rows")).sum)
+    }
+    Caches.releaseAll(spark)
+  }
+
   test("advisor: recommends z-order at sf0.01, totals reconcile with the audits") {
     val adv = ZoneMap.clusterKeyAdvisor(spark, "/root/testdata/sf0.01")
       .collect().map(r => r.getAs[String]("layout") -> r).toMap
