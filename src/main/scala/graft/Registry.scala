@@ -1326,6 +1326,14 @@ object Registry {
     "q461_compaction_plan" -> ((s, d) => ZoneMap.compactionPlan(s, d)),
     "q462_compaction_zonemap" -> ((s, d) =>
       ZoneMap.compactionZonemap(s, d)),
+    // block 54: deletion vectors — merge-on-read deletes (write the
+    // deleted keys per file, defer the rewrite), with union-merge
+    // maintenance across requests
+    "q463_dv_census" -> ((s, d) => DeletionVectors.dvCensus(s, d)),
+    "q464_dv_read_parity" -> ((s, d) =>
+      DeletionVectors.dvReadParity(s, d)),
+    "q465_dv_merge_census" -> ((s, d) =>
+      DeletionVectors.dvMergeCensus(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1349,7 +1357,8 @@ object Registry {
       oracles.OracleAnonymity.sql, oracles.OracleMultiTable.sql,
       oracles.OracleChangeFeed.sql, oracles.OracleAnonymity.streamingSql,
       oracles.OracleAnonymity.releaseSql,
-      oracles.OraclePartitionEvolution.sql)
+      oracles.OraclePartitionEvolution.sql,
+      oracles.OracleDeletionVectors.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

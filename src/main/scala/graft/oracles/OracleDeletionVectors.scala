@@ -1,0 +1,42 @@
+package graft.oracles
+
+/** DuckDB oracles for deletion vectors (q463–q465). CTE prefix `dv`
+  * is unique to this family.
+  */
+object OracleDeletionVectors {
+
+  private val Base =
+    "WITH dvf AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS " +
+      "n_chars, (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 256 AS " +
+      "file_id FROM documents) "
+
+  val sql: Map[String, String] = Map(
+    // q463: per touched file after the %37 request
+    "q463_dv_census" ->
+      (Base +
+        "SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) AS " +
+        "BIGINT) AS n_deleted, " +
+        "CAST(COUNT(*) - SUM(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS live_rows " +
+        "FROM dvf GROUP BY file_id " +
+        "HAVING SUM(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) > 0 " +
+        "ORDER BY file_id"),
+    // q464: merge-on-read == direct complement filter, per source
+    "q464_dv_read_parity" ->
+      (Base +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM dvf " +
+        "WHERE doc_id % 37 <> 0 GROUP BY source ORDER BY source"),
+    // q465: merged vectors == one-shot combined predicate
+    "q465_dv_merge_census" ->
+      (Base +
+        "SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN " +
+        "1 ELSE 0 END) AS BIGINT) AS n_deleted, " +
+        "CAST(COUNT(*) - SUM(CASE WHEN doc_id % 37 = 0 OR doc_id % " +
+        "41 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS live_rows " +
+        "FROM dvf GROUP BY file_id " +
+        "HAVING SUM(CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 " +
+        "THEN 1 ELSE 0 END) > 0 ORDER BY file_id"))
+}
