@@ -1334,6 +1334,13 @@ object Registry {
       DeletionVectors.dvReadParity(s, d)),
     "q465_dv_merge_census" -> ((s, d) =>
       DeletionVectors.dvMergeCensus(s, d)),
+    // block 55: bloom file skipping (point lookups on scattered
+    // keys — the case zone maps and partitions can't prune) + the
+    // materialized-view rewrite law
+    "q466_bloom_file_skipping" -> ((s, d) =>
+      BloomSkipping.bloomFileSkipping(s, d)),
+    "q467_mv_rewrite_parity" -> ((s, d) =>
+      BloomSkipping.mvRewriteParity(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1358,7 +1365,7 @@ object Registry {
       oracles.OracleChangeFeed.sql, oracles.OracleAnonymity.streamingSql,
       oracles.OracleAnonymity.releaseSql,
       oracles.OraclePartitionEvolution.sql,
-      oracles.OracleDeletionVectors.sql)
+      oracles.OracleDeletionVectors.sql, oracles.OracleBloomSkipping.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

@@ -29,7 +29,16 @@ object PlanAudit {
       "q409" -> operators.JoinPlanner.joinStatsPlanner(spark, d),
       "q410" -> operators.Retraction.retractablePricing(spark, d),
       "q396" -> operators.Curriculum.curationOptimizer(spark, d),
-      "q399" -> operators.RetrievalEval.precisionRecall(spark, d))) {
+      "q399" -> operators.RetrievalEval.precisionRecall(spark, d),
+      // round 15: layout/metadata families — the audits join tiny
+      // predicate/manifest relations via BROADCAST against per-file
+      // metadata; the advisor runs three audits in one plan
+      "q440" -> operators.ZoneMap.zonemapSkipAudit(spark, d),
+      "q449" -> operators.ZoneMap.clusterKeyAdvisor(spark, d),
+      "q445" -> operators.Anonymity.kanonGeneralize(spark, d),
+      "q460" -> operators.PartitionEvolution
+        .partitionEvolutionScan(spark, d),
+      "q464" -> operators.DeletionVectors.dvReadParity(spark, d))) {
       val p = q.queryExecution.executedPlan.toString
       val shuffles = "Exchange".r.findAllIn(p).length
       val bcasts = "BroadcastExchange".r.findAllIn(p).length
