@@ -1341,6 +1341,18 @@ object Registry {
       BloomSkipping.bloomFileSkipping(s, d)),
     "q467_mv_rewrite_parity" -> ((s, d) =>
       BloomSkipping.mvRewriteParity(s, d)),
+    // block 56: pseudonymization — keyed tokens keep analytical
+    // utility, the escrow mapping is the lawful way back
+    "q468_pseudonymize_census" -> ((s, d) =>
+      Pseudonymize.pseudonymizeCensus(s, d)),
+    "q469_token_histogram_parity" -> ((s, d) =>
+      Pseudonymize.tokenHistogramParity(s, d)),
+    "q470_escrow_roundtrip" -> ((s, d) =>
+      Pseudonymize.escrowRoundtrip(s, d)),
+    // block 57: CDF-driven incremental view maintenance — block 49's
+    // feed applied to a (source) aggregate view, parity with recompute
+    "q471_mv_incremental_parity" -> ((s, d) =>
+      graft.streaming.ChangeFeed.mvIncrementalParity(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1365,7 +1377,8 @@ object Registry {
       oracles.OracleChangeFeed.sql, oracles.OracleAnonymity.streamingSql,
       oracles.OracleAnonymity.releaseSql,
       oracles.OraclePartitionEvolution.sql,
-      oracles.OracleDeletionVectors.sql, oracles.OracleBloomSkipping.sql)
+      oracles.OracleDeletionVectors.sql, oracles.OracleBloomSkipping.sql,
+      oracles.OraclePseudonymize.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

@@ -103,6 +103,39 @@ object ChangeFeed {
       .orderBy(col("version_to"), col("c_custkey"))
   }
 
+  /** q471: CDF-driven incremental view maintenance — the composition
+    * blocks 42/49 point at: a (source, lang) aggregate view seeded
+    * from the v0 snapshot and maintained by APPLYING the feed
+    * (inserts add, deletes subtract — additive measures, the q410
+    * sign-flip merge driven by a real feed instead of its own state),
+    * never rescanning the corpus. The oracle recomputes the final
+    * corpus grain directly, so one lost or double-applied change row
+    * breaks the hash; empty cells (a (source, lang) whose docs all
+    * erased) drop out exactly as a recompute would drop them.
+    */
+  def mvIncrementalParity(spark: SparkSession, dir: String): DataFrame = {
+    val (_, root) = Erasure.erasedRegistryLedger(spark, dir)
+    val vs = Provenance.committedVersions(spark, root)
+    // registry state carries (doc_id, source, n_chars) — lang is not
+    // in the ledger grain, so the view keys on source
+    val v0 = spark.read.parquet(vs.head._3)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val feed = feedFromRegistry(spark, root)
+      .withColumn("sign",
+        when(col("change_type") === "delete", -1L).otherwise(1L))
+    val deltas = feed.groupBy(col("source"))
+      .agg(sum(col("sign")).as("d_docs"),
+        sum(col("sign") * col("n_chars")).as("d_chars"))
+    v0.join(deltas, Seq("source"), "full_outer")
+      .na.fill(0L, Seq("n_docs", "n_chars", "d_docs", "d_chars"))
+      .select(col("source"),
+        (col("n_docs") + col("d_docs")).as("n_docs"),
+        (col("n_chars") + col("d_chars")).as("n_chars"))
+      .filter(col("n_docs") > 0L)
+      .orderBy(col("source"))
+  }
+
   /** q454: the consumer-side replay — apply the feed version by
     * version to the v0 snapshot and return the reconstruction, which
     * must equal the ledger's final version row-for-row (the oracle
