@@ -1353,6 +1353,16 @@ object Registry {
     // feed applied to a (source) aggregate view, parity with recompute
     "q471_mv_incremental_parity" -> ((s, d) =>
       graft.streaming.ChangeFeed.mvIncrementalParity(s, d)),
+    // block 58: row-level security + column masking — per-principal
+    // views of one stored table, no per-role copies
+    "q472_rls_mask_audit" -> ((s, d) => Governance.rlsMaskAudit(s, d)),
+    "q473_masked_release" -> ((s, d) => Governance.maskedRelease(s, d)),
+    // block 59: shallow clone — zero-copy branch of a ledger; an
+    // erasure rehearsal on the branch never touches the source
+    "q474_clone_divergence" -> ((s, d) =>
+      graft.streaming.ShallowClone.cloneDivergence(s, d)),
+    "q475_clone_storage_audit" -> ((s, d) =>
+      graft.streaming.ShallowClone.cloneStorageAudit(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1378,7 +1388,7 @@ object Registry {
       oracles.OracleAnonymity.releaseSql,
       oracles.OraclePartitionEvolution.sql,
       oracles.OracleDeletionVectors.sql, oracles.OracleBloomSkipping.sql,
-      oracles.OraclePseudonymize.sql)
+      oracles.OraclePseudonymize.sql, oracles.OracleGovernance.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

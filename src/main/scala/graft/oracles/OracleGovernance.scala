@@ -1,0 +1,73 @@
+package graft.oracles
+
+/** DuckDB oracles for RLS/masking (q472–q473) and the shallow-clone
+  * rehearsal (q474–q475). CTE prefix `gv`.
+  */
+object OracleGovernance {
+
+  private val Policy =
+    "gvp AS (SELECT * FROM (VALUES " +
+      "('analyst_eu', 0, true, false), " +
+      "('analyst_eu', 1, true, false), " +
+      "('analyst_na', 2, false, true), " +
+      "('admin', 0, false, false), ('admin', 1, false, false), " +
+      "('admin', 2, false, false), ('admin', 3, false, false), " +
+      "('admin', 4, false, false)) " +
+      "p(role, region, mask_name, mask_balance)) "
+
+  private val Cust =
+    "gvc AS (SELECT c_custkey, c_name, CAST(n_regionkey AS BIGINT) " +
+      "AS region, c_acctbal FROM customer JOIN nation ON " +
+      "c_nationkey = n_nationkey) "
+
+  private val Batched =
+    "gvd AS (SELECT doc_id, " +
+      "LEAST((doc_id - (SELECT MIN(doc_id) FROM documents)) // " +
+      "((SELECT MAX(doc_id) - MIN(doc_id) + 3 FROM documents) // 3), " +
+      "2) AS batch FROM documents) "
+
+  val sql: Map[String, String] = Map(
+    // q472: per-role visibility + masking audit, balances in cents
+    "q472_rls_mask_audit" ->
+      ("WITH " + Policy + ", " + Cust +
+        "SELECT p.role, CAST(COUNT(*) AS BIGINT) AS n_visible, " +
+        "CAST(SUM(CASE WHEN p.mask_name THEN 1 ELSE 0 END) AS " +
+        "BIGINT) AS n_names_masked, " +
+        "CAST(SUM(CASE WHEN p.mask_balance THEN 1 ELSE 0 END) AS " +
+        "BIGINT) AS n_balances_masked, " +
+        "CAST(SUM(CASE WHEN NOT p.mask_balance THEN " +
+        "CAST(ROUND(c.c_acctbal * 100) AS BIGINT) ELSE 0 END) AS " +
+        "BIGINT) AS visible_balance_cents " +
+        "FROM gvc c JOIN gvp p ON c.region = p.region " +
+        "GROUP BY p.role ORDER BY p.role"),
+    // q473: the analyst_eu masked release at row grain
+    "q473_masked_release" ->
+      ("WITH " + Cust +
+        "SELECT c_custkey, md5('nm|' || CAST(c_custkey AS VARCHAR)) " +
+        "AS name_token, region, CAST(ROUND(c_acctbal * 100) AS " +
+        "BIGINT) AS acctbal_cents FROM gvc WHERE region IN (0, 1) " +
+        "ORDER BY c_custkey"),
+    // q474: the branch rehearsed the erasure; the source kept every key
+    "q474_clone_divergence" ->
+      ("SELECT * FROM (" +
+        "SELECT 'clone' AS side, CAST((SELECT COUNT(*) FROM " +
+        "documents WHERE doc_id % 37 <> 0) AS BIGINT) AS n_rows, " +
+        "0::BIGINT AS n_erased_readable " +
+        "UNION ALL SELECT 'source', CAST((SELECT COUNT(*) FROM " +
+        "documents) AS BIGINT), CAST((SELECT COUNT(*) FROM documents " +
+        "WHERE doc_id % 37 = 0) AS BIGINT)) ORDER BY side"),
+    // q475: version trail from the clone's view — three shared batch
+    // prefixes, one owned rehearsal delta
+    "q475_clone_storage_audit" ->
+      ("WITH " + Batched +
+        "SELECT * FROM (" +
+        "SELECT 0::BIGINT AS version, CAST((SELECT COUNT(*) FROM gvd " +
+        "WHERE batch = 0) AS BIGINT) AS n_rows, FALSE AS owned " +
+        "UNION ALL SELECT 1::BIGINT, CAST((SELECT COUNT(*) FROM gvd " +
+        "WHERE batch <= 1) AS BIGINT), FALSE " +
+        "UNION ALL SELECT 2::BIGINT, CAST((SELECT COUNT(*) FROM gvd) " +
+        "AS BIGINT), FALSE " +
+        "UNION ALL SELECT 3::BIGINT, CAST((SELECT COUNT(*) FROM " +
+        "documents WHERE doc_id % 37 <> 0) AS BIGINT), TRUE) " +
+        "ORDER BY version"))
+}

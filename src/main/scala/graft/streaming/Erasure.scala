@@ -298,6 +298,22 @@ object Erasure {
     */
   private[streaming] def erasedRegistryLedger(spark: SparkSession,
       dir: String, mod: Int = ErasureMod): (DataFrame, String) = {
+    val ledgerRoot = registryLedgerDrained(spark, dir)
+    erase(spark, ledgerRoot,
+      Tables.documents(spark, dir).filter(col("doc_id") % mod === 0)
+        .select(col("doc_id")))
+    val (_, _, path) = Provenance.committedVersions(spark, ledgerRoot)
+      .last
+    (spark.read.parquet(path), ledgerRoot)
+  }
+
+  /** The drained (pre-erasure) registry ledger: the 3-batch fold
+    * only. Factored out so the shallow-clone rehearsal (q474–q475)
+    * can branch a ledger whose SOURCE still contains the request
+    * keys.
+    */
+  private[graft] def registryLedgerDrained(spark: SparkSession,
+      dir: String): String = {
     val streamDir = StreamingOps.idRangeSplitSource(spark,
       Tables.documents(spark, dir).select(col("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars")), 3)
@@ -325,12 +341,7 @@ object Erasure {
       }
       .trigger(Trigger.AvailableNow())
     StreamingOps.startWithCheckpoint(w, Some(root)).awaitTermination()
-    erase(spark, ledgerRoot,
-      Tables.documents(spark, dir).filter(col("doc_id") % mod === 0)
-        .select(col("doc_id")))
-    val (_, _, path) = Provenance.committedVersions(spark, ledgerRoot)
-      .last
-    (spark.read.parquet(path), ledgerRoot)
+    ledgerRoot
   }
 
   // ---------------------------------------------------------------

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Governance
+import graft.streaming.ShallowClone
+
+/** RLS/masking invariants (q472–q473) and the shallow clone's
+  * non-interference guarantee (q474–q475), checked against the real
+  * ledger files rather than the oracle's analytic shortcut.
+  */
+class GovernanceSpec extends SparkSpec {
+
+  test("rls: admin sees everything, analysts see their grants, masks count") {
+    val audit = Governance.rlsMaskAudit(spark, sfDir).collect()
+      .map(r => r.getAs[String]("role") -> r).toMap
+    val total = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(audit("admin").getAs[Long]("n_visible") === total)
+    assert(audit("admin").getAs[Long]("n_names_masked") === 0L)
+    val eu = audit("analyst_eu")
+    assert(eu.getAs[Long]("n_visible") < total)
+    // every row the analyst sees has the name masked
+    assert(eu.getAs[Long]("n_names_masked") === eu.getAs[Long]("n_visible"))
+    val na = audit("analyst_na")
+    assert(na.getAs[Long]("n_balances_masked") === na.getAs[Long]("n_visible"))
+    assert(na.getAs[Long]("visible_balance_cents") === 0L)
+    // release row count matches the audit
+    val release = Governance.maskedRelease(spark, sfDir).count()
+    assert(release === eu.getAs[Long]("n_visible"))
+    Caches.releaseAll(spark)
+  }
+
+  test("shallow clone: rehearsal diverges the branch, source bytes untouched") {
+    val (sourceRoot, cloneRoot) = ShallowClone.rehearsal(spark, sfDir)
+    // source head still contains every erased-request key
+    val sourceHead = graft.streaming.Provenance
+      .committedVersions(spark, sourceRoot).maxBy(_._1)._3
+    val sourceErased = spark.read.parquet(sourceHead)
+      .filter(col("doc_id") % 37 === 0).count()
+    assert(sourceErased > 0L)
+    // clone head has none
+    val cloneHead = ShallowClone.headPath(spark, cloneRoot)
+    assert(spark.read.parquet(cloneHead)
+      .filter(col("doc_id") % 37 === 0).count() === 0L)
+    // zero-copy: every non-owned ref points INTO the source root
+    val refs = ShallowClone.refs(spark, cloneRoot).collect()
+    refs.filter(!_.getAs[Boolean]("owned")).foreach(r =>
+      assert(r.getAs[String]("path").startsWith(sourceRoot)))
+    assert(refs.count(_.getAs[Boolean]("owned")) === 1)
+    // the source's version listing is unchanged by the branch write
+    val vs = graft.streaming.Provenance
+      .committedVersions(spark, sourceRoot).map(_._1)
+    assert(vs === Seq(0L, 1L, 2L))
+    Caches.releaseAll(spark)
+  }
+}
