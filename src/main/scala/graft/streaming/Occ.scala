@@ -106,7 +106,12 @@ object Occ {
       .getOrElse(sys.error(s"occ: base version $readBase not committed"))
     val nDelta = deltaKeys(spark.read.parquet(baseSnap._3)).count()
     var attemptBase = readBase
-    while (true) {
+    // bounded: each iteration either returns, or the current version
+    // advanced (a racing commit landed — progress). A rename that
+    // fails with NO new version (permissions, fs fault) must not spin.
+    var attempts = 0
+    while (attempts < 16) {
+      attempts += 1
       val versions = Provenance.committedVersions(spark, ledgerRoot)
       val (vcur, bcur, pcur) = versions.maxBy(_._1)
       if (vcur > attemptBase) {
@@ -140,7 +145,8 @@ object Occ {
           vcur + 1)
       fs.delete(new Path(staging), true)
     }
-    sys.error("unreachable")
+    sys.error(s"occ: writer $writer could not claim a version in 16 " +
+      s"attempts under $ledgerRoot — filesystem fault, not a race")
   }
 
   /** Build the base ledger (v0 = per-custkey order counts) and run the

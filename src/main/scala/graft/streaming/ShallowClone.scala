@@ -52,9 +52,42 @@ object ShallowClone {
     cloneRoot
   }
 
+  /** Read the refs table, completing a crashed swap first (the
+    * tombstone-table recovery discipline: a missing `_refs` beside a
+    * COMMITTED `_refs_staging` means the updater died between delete
+    * and rename — finish the rename, never lose the branch).
+    */
   private[graft] def refs(spark: SparkSession,
-      cloneRoot: String): DataFrame =
+      cloneRoot: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dest = new Path(s"$cloneRoot/_refs")
+    val staging = new Path(s"$cloneRoot/_refs_staging")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dest, "_SUCCESS")) &&
+        fs.exists(new Path(staging, "_SUCCESS"))) {
+      if (fs.exists(dest)) fs.delete(dest, true)
+      if (!fs.rename(staging, dest))
+        sys.error(s"refs swap recovery failed under $cloneRoot")
+    }
     spark.read.parquet(s"$cloneRoot/_refs")
+  }
+
+  /** Swap in a new refs table via staging + delete + rename (atomic
+    * enough under the recovery above: every crash point leaves either
+    * the old committed table or a committed staging the next read
+    * completes).
+    */
+  private def swapRefs(spark: SparkSession, cloneRoot: String,
+      updated: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dest = new Path(s"$cloneRoot/_refs")
+    val staging = s"$cloneRoot/_refs_staging"
+    updated.coalesce(1).write.mode("overwrite").parquet(staging)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    if (!fs.rename(new Path(staging), dest))
+      sys.error(s"refs swap failed under $cloneRoot")
+  }
 
   /** Latest version path visible to clone readers. */
   private[graft] def headPath(spark: SparkSession,
@@ -76,8 +109,8 @@ object ShallowClone {
     val updated = r.map(x => (x.getAs[Long]("version"),
         x.getAs[Long]("batch_id"), x.getAs[String]("path"),
         x.getAs[Boolean]("owned"))) :+ ((v, b, dest, true))
-    updated.toSeq.toDF("version", "batch_id", "path", "owned")
-      .coalesce(1).write.mode("overwrite").parquet(s"$cloneRoot/_refs")
+    swapRefs(spark, cloneRoot,
+      updated.toSeq.toDF("version", "batch_id", "path", "owned"))
   }
 
   /** Build the fixture: registry ledger, clone it, rehearse the %37

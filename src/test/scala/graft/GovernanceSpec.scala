@@ -51,6 +51,19 @@ class GovernanceSpec extends SparkSpec {
     val vs = graft.streaming.Provenance
       .committedVersions(spark, sourceRoot).map(_._1)
     assert(vs === Seq(0L, 1L, 2L))
+
+    // crash-window recovery: simulate dying between the refs delete
+    // and the rename (only a committed staging remains) — the next
+    // read must complete the swap instead of losing the branch
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(cloneRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(s"$cloneRoot/_refs"),
+      new Path(s"$cloneRoot/_refs_staging")))
+    val recovered = ShallowClone.refs(spark, cloneRoot).collect()
+    assert(recovered.length === refs.length)
+    assert(fs.exists(new Path(s"$cloneRoot/_refs/_SUCCESS")))
+    assert(!fs.exists(new Path(s"$cloneRoot/_refs_staging")))
     Caches.releaseAll(spark)
   }
 }
