@@ -1363,6 +1363,11 @@ object Registry {
       graft.streaming.ShallowClone.cloneDivergence(s, d)),
     "q475_clone_storage_audit" -> ((s, d) =>
       graft.streaming.ShallowClone.cloneStorageAudit(s, d)),
+    // block 60: the OPTIMIZE-cadence number (fresh vs stale vs no
+    // clustering) and the ANALYZE-stats artifact
+    "q476_zorder_staleness" -> ((s, d) =>
+      ZoneMap.zorderStalenessAudit(s, d)),
+    "q477_table_stats" -> ((s, d) => Layout.tableStats(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -69,6 +69,29 @@ object Layout {
         expr(s"(n_rows + ${SaltCap - 1}L) div ${SaltCap}L").as("salt"))
       .orderBy(col("n_rows").desc, col("event_type"))
 
+  /** q477: table statistics collection — the ANALYZE TABLE artifact
+    * a cost-based planner feeds on (the q409 join planner computes
+    * its stats live; a production deployment materializes them per
+    * snapshot, and this is that table). Per documents column: rows,
+    * exact NDV (an HLL at 100 TB — same table shape, sketched
+    * column), nulls, and average value length in hundredths (integer
+    * `(Σ length · 100) div n`, hash-oracled).
+    */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.Tables.documents(spark, dir).persist()
+    val cols = Seq("doc_id", "lang", "source", "n_chars", "text")
+    cols.map { c =>
+      d.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(c)).as("ndv"),
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_nulls"),
+          expr(s"(sum(length(cast($c as string))) * 100L) div " +
+            "count(1)").as("avg_len_x100"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("ndv"),
+          col("n_nulls"), col("avg_len_x100"))
+    }.reduce(_.unionByName(_)).orderBy(col("column_name"))
+  }
+
   /** Shuffle-partition advisor (q418): per join/agg input relation,
     * the task count at the rows-per-task budget (ceil, floor 1) —
     * the `spark.sql.shuffle.partitions` sizing table, per relation

@@ -373,6 +373,50 @@ object ZoneMap {
     big.unionByName(merged).orderBy(col("out_file"))
   }
 
+  /** The stale-cluster layout: batches 0–1 Z-ordered at the time the
+    * last OPTIMIZE ran (ranks computed WITHIN that prefix — the only
+    * data the job saw), batch 2 appended afterwards in arrival order
+    * as new files. The state every periodically-clustered 100 TB
+    * table lives in between OPTIMIZE runs.
+    */
+  private def staleZorderFiles(spark: SparkSession,
+      o: DataFrame): DataFrame = {
+    val step = o.agg(expr("(max(o_orderkey) + 3L) div 3L").as("step"))
+    val withStep = o.crossJoin(broadcast(step))
+    val optimized = zorderFiles(spark,
+      withStep.filter(col("o_orderkey") < expr("2L * step"))
+        .drop("step"))
+    val tail = withStep.filter(col("o_orderkey") >= expr("2L * step"))
+      .drop("step")
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("o_orderkey"))).cast("long"))
+      .withColumn("file_id",
+        expr(s"5000000L + (rn - 1L) div ${RowsPerFile}L"))
+      .select(col("o_orderkey"), col("o_custkey"), col("file_id"))
+    optimized.unionByName(tail)
+  }
+
+  /** q476: the staleness audit — the same workload against the fresh
+    * Z-order, the stale one (clustered prefix + linear append tail),
+    * and no clustering at all. The middle row is the cost of NOT
+    * re-running OPTIMIZE, i.e. the number a clustering cadence is
+    * tuned against.
+    */
+  def zorderStalenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).persist()
+    val preds = predicates(spark, o).persist()
+    def total(layout: String, filed: DataFrame): DataFrame =
+      audit(zones(filed), preds, o)
+        .agg(sum(col("files_scanned")).as("files_scanned_total"),
+          sum(col("rows_scanned")).as("rows_scanned_total"))
+        .select(lit(layout).as("layout"), col("files_scanned_total"),
+          col("rows_scanned_total"))
+    total("fresh_zorder", zorderFiles(spark, o))
+      .unionByName(total("stale_zorder", staleZorderFiles(spark, o)))
+      .unionByName(total("linear", linearFiles(o)))
+      .orderBy(col("layout"))
+  }
+
   /** q441: linear vs Z-order, one row per predicate — the layout
     * decision as a table. Z-order trades a little orderkey pruning for
     * custkey pruning going from 0% to ~94% skipped; the sum of files

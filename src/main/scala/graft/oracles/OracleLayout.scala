@@ -34,5 +34,18 @@ object OracleLayout {
             "CAST(GREATEST(1, (COUNT(*) + 49999) // 50000) AS BIGINT) " +
             s"AS n_tasks FROM $t"
         }.mkString(" UNION ALL ") +
-        ") ORDER BY relation"))
+        ") ORDER BY relation"),
+    // q477: per-column documents statistics (the ANALYZE artifact)
+    "q477_table_stats" ->
+      ("SELECT * FROM (" +
+        Seq("doc_id", "lang", "source", "n_chars", "text").map { c =>
+          s"SELECT '$c' AS column_name, " +
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+            s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv, " +
+            s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS " +
+            "BIGINT) AS n_nulls, " +
+            s"CAST(SUM(LENGTH(CAST($c AS VARCHAR))) * 100 // " +
+            "COUNT(*) AS BIGINT) AS avg_len_x100 FROM documents"
+        }.mkString(" UNION ALL ") +
+        ") ORDER BY column_name"))
 }

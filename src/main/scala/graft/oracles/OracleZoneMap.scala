@@ -175,6 +175,54 @@ object OracleZoneMap {
         "CAST(SUM(n_rows) AS BIGINT), MIN(min_ok), MAX(max_ok), " +
         "MIN(min_ck), MAX(max_ck), TRUE FROM zmsf GROUP BY group_id) " +
         "ORDER BY out_file"),
+    // q476: fresh vs stale vs no clustering — the OPTIMIZE-cadence
+    // number (stale = prefix z-ordered with ranks within batches 0–1,
+    // batch 2 appended linear)
+    "q476_zorder_staleness" ->
+      (Common +
+        ", zmsa2 AS (SELECT * FROM zmo WHERE o_orderkey < 2 * " +
+        "(SELECT step FROM zms)), " +
+        "zmsb2 AS (SELECT * FROM zmo WHERE o_orderkey >= 2 * " +
+        "(SELECT step FROM zms)), " +
+        "zmna2 AS (SELECT COUNT(*) AS n FROM zmsa2), " +
+        "zmar2 AS (SELECT o_orderkey, o_custkey, " +
+        "((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) * 65536) // " +
+        "(SELECT n FROM zmna2) AS xb, " +
+        "((ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey) - 1) * " +
+        "65536) // (SELECT n FROM zmna2) AS yb FROM zmsa2), " +
+        "zmaz2 AS (SELECT r.o_orderkey, r.o_custkey, " +
+        "CAST(SUM(((r.xb // b.p2) % 2) * b.p4 + ((r.yb // b.p2) % 2) " +
+        "* 2 * b.p4) AS BIGINT) AS zval FROM zmar2 r, zmb b " +
+        "GROUP BY 1, 2, r.xb, r.yb), " +
+        "zmstf AS (SELECT o_orderkey, o_custkey, " +
+        "(ROW_NUMBER() OVER (ORDER BY zval, o_orderkey) - 1) // 256 " +
+        "AS file_id FROM zmaz2 " +
+        "UNION ALL SELECT o_orderkey, o_custkey, 5000000 + " +
+        "(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) // 256 " +
+        "FROM zmsb2), " +
+        "zmstz AS (SELECT file_id, CAST(COUNT(*) AS BIGINT) AS " +
+        "n_rows, MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS " +
+        "max_ok, MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck " +
+        "FROM zmstf GROUP BY file_id), " +
+        "zmsta AS (SELECT p.pred_id, " +
+        "CAST(SUM(CASE WHEN (CASE WHEN p.pred_col='o_orderkey' THEN " +
+        "z.max_ok ELSE z.max_ck END) >= p.lo AND (CASE WHEN " +
+        "p.pred_col='o_orderkey' THEN z.min_ok ELSE z.min_ck END) <= " +
+        "p.hi THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned, " +
+        "CAST(SUM(CASE WHEN (CASE WHEN p.pred_col='o_orderkey' THEN " +
+        "z.max_ok ELSE z.max_ck END) >= p.lo AND (CASE WHEN " +
+        "p.pred_col='o_orderkey' THEN z.min_ok ELSE z.min_ck END) <= " +
+        "p.hi THEN z.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned " +
+        "FROM zmstz z, zmpd p GROUP BY p.pred_id) " +
+        "SELECT * FROM (" +
+        "SELECT 'fresh_zorder' AS layout, CAST(SUM(files_scanned) AS " +
+        "BIGINT) AS files_scanned_total, CAST(SUM(rows_scanned) AS " +
+        "BIGINT) AS rows_scanned_total FROM zmza " +
+        "UNION ALL SELECT 'stale_zorder', CAST(SUM(files_scanned) AS " +
+        "BIGINT), CAST(SUM(rows_scanned) AS BIGINT) FROM zmsta " +
+        "UNION ALL SELECT 'linear', CAST(SUM(files_scanned) AS " +
+        "BIGINT), CAST(SUM(rows_scanned) AS BIGINT) FROM zmla) " +
+        "ORDER BY layout"),
     // q449: the advisor — every candidate layout audited against the
     // same workload; recommend the argmin by rows scanned
     "q449_cluster_key_advisor" ->

@@ -108,6 +108,27 @@ class ZoneMapSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("staleness: fresh beats stale beats linear at sf0.01; stats artifact sane") {
+    val a = graft.operators.ZoneMap
+      .zorderStalenessAudit(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getAs[String]("layout") ->
+        r.getAs[Long]("rows_scanned_total")).toMap
+    assert(a("fresh_zorder") < a("stale_zorder"))
+    assert(a("stale_zorder") < a("linear"))
+    val stats = graft.operators.Layout.tableStats(spark, sfDir)
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    stats.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === docs)
+      assert(r.getAs[Long]("ndv") <= docs)
+      assert(r.getAs[Long]("n_nulls") === 0L)
+    }
+    assert(stats("doc_id").getAs[Long]("ndv") === docs) // key column
+    assert(stats("text").getAs[Long]("avg_len_x100") >
+      stats("lang").getAs[Long]("avg_len_x100"))
+    Caches.releaseAll(spark)
+  }
+
   test("advisor: recommends z-order at sf0.01, totals reconcile with the audits") {
     val adv = ZoneMap.clusterKeyAdvisor(spark, "/root/testdata/sf0.01")
       .collect().map(r => r.getAs[String]("layout") -> r).toMap
