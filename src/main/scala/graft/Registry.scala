@@ -1368,6 +1368,12 @@ object Registry {
     "q476_zorder_staleness" -> ((s, d) =>
       ZoneMap.zorderStalenessAudit(s, d)),
     "q477_table_stats" -> ((s, d) => Layout.tableStats(s, d)),
+    // block 61: DV-triggered compaction — when the deferred rewrite
+    // debt gets paid, per file
+    "q478_dv_compaction_plan" -> ((s, d) =>
+      DeletionVectors.dvCompactionPlan(s, d)),
+    "q479_dv_compaction_state" -> ((s, d) =>
+      DeletionVectors.dvCompactionState(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

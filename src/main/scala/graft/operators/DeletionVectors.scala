@@ -80,6 +80,59 @@ object DeletionVectors {
       .orderBy(col("source"))
   }
 
+  /** Orders under the q439 file layout with the %37 delete request —
+    * a second fixture surface for the compaction trigger, chosen
+    * because its per-file deleted counts VARY (6 or 7 per 256-row
+    * file), so a count threshold genuinely splits the files.
+    */
+  private def filedOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "orders")
+      .select(col("o_orderkey"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("o_orderkey"))).cast("long"))
+      .withColumn("file_id", expr(s"(rn - 1L) div ${RowsPerFile}L"))
+      .drop("rn")
+
+  /** Rewrite trigger: a file carrying this many deleted rows has
+    * earned its copy-on-write rewrite; below it the DV stays.
+    */
+  private val RewriteAt = 7L
+
+  /** q478: the DV compaction plan — per file, its deleted count and
+    * the action (`rewrite` when the DV reached the threshold, `carry`
+    * otherwise). The deferred-rewrite decision q463's census exists
+    * to feed: DVs make deletes cheap, and THIS table is when the debt
+    * gets paid.
+    */
+  def dvCompactionPlan(spark: SparkSession, dir: String): DataFrame =
+    filedOrders(spark, dir)
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("o_orderkey") % 37 === 0, 1L)
+          .otherwise(0L)), lit(0L)).as("n_deleted"))
+      .filter(col("n_deleted") > 0L)
+      .withColumn("action",
+        when(col("n_deleted") >= RewriteAt, "rewrite")
+          .otherwise("carry"))
+      .orderBy(col("file_id"))
+
+  /** q479: the post-compaction state — rewritten files shrink to
+    * their live rows and drop their DV; carried files keep full size
+    * and their DV. Total live rows are identical either way (the
+    * compaction changes WHERE the delete is represented, never what
+    * a reader sees) — the invariant the oracle pins per file.
+    */
+  def dvCompactionState(spark: SparkSession, dir: String): DataFrame =
+    dvCompactionPlan(spark, dir)
+      .select(col("file_id"),
+        when(col("action") === "rewrite",
+          col("n_rows") - col("n_deleted")).otherwise(col("n_rows"))
+          .as("stored_rows"),
+        when(col("action") === "rewrite", 0L).otherwise(col("n_deleted"))
+          .as("dv_remaining"),
+        (col("n_rows") - col("n_deleted")).as("live_rows"))
+      .orderBy(col("file_id"))
+
   /** q465: DV maintenance — request 2 (% 41) merges into request 1's
     * vectors by per-file key union, and the merged census must
     * equal the one-shot census of the combined predicate (keys on

@@ -29,6 +29,27 @@ class DeletionVectorsSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("dv compaction: both actions fire, live rows invariant") {
+    val plan = DeletionVectors.dvCompactionPlan(spark, sfDir).collect()
+    val actions = plan.map(_.getAs[String]("action")).toSet
+    assert(actions === Set("rewrite", "carry")) // the bar splits files
+    val state = DeletionVectors.dvCompactionState(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("file_id") -> r).toMap
+    plan.foreach { p =>
+      val s = state(p.getAs[Long]("file_id"))
+      assert(s.getAs[Long]("live_rows") ===
+        p.getAs[Long]("n_rows") - p.getAs[Long]("n_deleted"))
+      if (p.getAs[String]("action") == "rewrite") {
+        assert(s.getAs[Long]("dv_remaining") === 0L)
+        assert(s.getAs[Long]("stored_rows") === s.getAs[Long]("live_rows"))
+      } else {
+        assert(s.getAs[Long]("dv_remaining") === p.getAs[Long]("n_deleted"))
+        assert(s.getAs[Long]("stored_rows") === p.getAs[Long]("n_rows"))
+      }
+    }
+    Caches.releaseAll(spark)
+  }
+
   test("merge is idempotent and monotone; censuses reconcile") {
     val c1 = DeletionVectors.dvCensus(spark, sfDir).collect()
     val cm = DeletionVectors.dvMergeCensus(spark, sfDir).collect()
