@@ -1374,6 +1374,12 @@ object Registry {
       DeletionVectors.dvCompactionPlan(s, d)),
     "q479_dv_compaction_state" -> ((s, d) =>
       DeletionVectors.dvCompactionState(s, d)),
+    // block 62: preference-data QA — pairwise win matrix + Condorcet
+    // cycle witnesses (intransitive majorities no reward model fits)
+    "q480_preference_matrix" -> ((s, d) =>
+      Preference.preferenceMatrix(s, d)),
+    "q481_preference_cycles" -> ((s, d) =>
+      Preference.preferenceCycles(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1399,7 +1405,8 @@ object Registry {
       oracles.OracleAnonymity.releaseSql,
       oracles.OraclePartitionEvolution.sql,
       oracles.OracleDeletionVectors.sql, oracles.OracleBloomSkipping.sql,
-      oracles.OraclePseudonymize.sql, oracles.OracleGovernance.sql)
+      oracles.OraclePseudonymize.sql, oracles.OracleGovernance.sql,
+      oracles.OraclePreference.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")
