@@ -1380,6 +1380,10 @@ object Registry {
       Preference.preferenceMatrix(s, d)),
     "q481_preference_cycles" -> ((s, d) =>
       Preference.preferenceCycles(s, d)),
+    // block 63: canonical re-election after a takedown — clusters
+    // whose kept representative is erased elect a new one
+    "q482_canonical_reelection" -> ((s, d) =>
+      graft.streaming.Erasure.canonicalReelection(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

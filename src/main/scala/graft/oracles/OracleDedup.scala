@@ -227,6 +227,29 @@ private[graft] object OracleDedup {
         "c AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id) " +
         "SELECT doc_id, cluster, COUNT(*) OVER (PARTITION BY cluster) AS n_members " +
         "FROM c ORDER BY doc_id"),
+    // q482: clusters whose canonical (min member id) is erased but
+    // which still have survivors, with the deterministically
+    // re-elected representative — same recursive CC as q66
+    "q482_canonical_reelection" ->
+      ("WITH RECURSIVE f AS (SELECT doc_id, md5(text) AS h1, " +
+        "md5(array_to_string(list_sort(list_distinct(" +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))), ' ')) AS h2 " +
+        "FROM documents), " +
+        "e0 AS (SELECT MIN(doc_id) OVER (PARTITION BY h1) AS a, doc_id AS b FROM f " +
+        "UNION ALL SELECT MIN(doc_id) OVER (PARTITION BY h2) AS a, doc_id AS b FROM f), " +
+        "e AS (SELECT a, b FROM e0 WHERE a <> b " +
+        "UNION SELECT b AS a, a AS b FROM e0 WHERE a <> b), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM f " +
+        "UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id), " +
+        "c AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id), " +
+        "g AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members, " +
+        "CAST(SUM(CASE WHEN doc_id % 37 <> 0 THEN 1 ELSE 0 END) AS " +
+        "BIGINT) AS n_surviving, " +
+        "MIN(CASE WHEN doc_id % 37 <> 0 THEN doc_id END) AS " +
+        "new_canonical FROM c GROUP BY cluster) " +
+        "SELECT cluster AS old_canonical, new_canonical, n_members, " +
+        "n_surviving FROM g WHERE cluster % 37 = 0 AND n_surviving > 0 " +
+        "ORDER BY old_canonical"),
     "q94_span_dedup" ->
       ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
         "x -> x <> '') AS toks FROM documents), " +

@@ -268,6 +268,35 @@ object Erasure {
       .orderBy(col("version"))
   }
 
+  /** q482: canonical re-election after a takedown — the dedup
+    * follow-up the erasure families stop short of. Retention keeps
+    * ONE representative per dup cluster (q148's policy, with the
+    * q66 cluster labels = min member id); erasing that
+    * representative (the %37 request) would otherwise silently drop
+    * the whole cluster from the corpus. This work list names every
+    * cluster whose canonical is erased but which still has
+    * survivors, and elects the new canonical deterministically (min
+    * surviving id — the same rule that chose the old one, so
+    * re-running after the NEXT takedown needs no special case).
+    *
+    * 100 TB shape: one aggregate over the already-computed cluster
+    * labels (the dup-edge artifact's CC), grouped at cluster grain —
+    * no re-banding, no text.
+    */
+  def canonicalReelection(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dupClusters(spark, dir)
+      .groupBy(col("cluster"))
+      .agg(max(col("n_members")).as("n_members"),
+        coalesce(sum(when(col("doc_id") % ErasureMod =!= 0, 1L)
+          .otherwise(0L)), lit(0L)).as("n_surviving"),
+        min(when(col("doc_id") % ErasureMod =!= 0, col("doc_id")))
+          .as("new_canonical"))
+      .filter(col("cluster") % ErasureMod === 0 &&
+        col("n_surviving") > 0L)
+      .select(col("cluster").as("old_canonical"),
+        col("new_canonical"), col("n_members"), col("n_surviving"))
+      .orderBy(col("old_canonical"))
+
   /** Retire rows from a versioned ledger by PREDICATE (retention
     * policies, q407): the current version filtered to `keep` becomes
     * the next version under the same source batch id. Idempotent by

@@ -239,4 +239,26 @@ class ErasureSpec extends SparkSpec {
     assert(Provenance.committedVersions(spark, ledgerRoot).map(_._1)
       === Seq(2L))
   }
+
+  test("canonical re-election: new canonical survives, is a member, min rule holds") {
+    import org.apache.spark.sql.functions._
+    val re = Erasure.canonicalReelection(spark, sfDir).collect()
+    assert(re.nonEmpty) // sf0.001 plants erased-canonical clusters
+    val clusters = graft.operators.Dedup.dupClusters(spark, sfDir)
+      .collect()
+      .groupBy(_.getAs[Long]("cluster"))
+    re.foreach { r =>
+      val old = r.getAs[Long]("old_canonical")
+      assert(old % 37 === 0L)
+      val members = clusters(old).map(_.getAs[Long]("doc_id"))
+      val newC = r.getAs[Long]("new_canonical")
+      assert(members.contains(newC))
+      assert(newC % 37 != 0L)
+      // min surviving member wins
+      assert(newC === members.filter(_ % 37 != 0L).min)
+      assert(r.getAs[Long]("n_surviving") ===
+        members.count(_ % 37 != 0L).toLong)
+    }
+    graft.Caches.releaseAll(spark)
+  }
 }
