@@ -1384,6 +1384,15 @@ object Registry {
     // whose kept representative is erased elect a new one
     "q482_canonical_reelection" -> ((s, d) =>
       graft.streaming.Erasure.canonicalReelection(s, d)),
+    // blocks 64–65: backup/export integrity (order-independent
+    // additive checksums, restore parity) and the tamper-evident
+    // hash-chained version trail
+    "q483_export_manifest" -> ((s, d) =>
+      graft.streaming.Integrity.exportManifest(s, d)),
+    "q484_restore_parity" -> ((s, d) =>
+      graft.streaming.Integrity.restoreParity(s, d)),
+    "q485_ledger_hash_chain" -> ((s, d) =>
+      graft.streaming.Integrity.ledgerHashChain(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1410,7 +1419,7 @@ object Registry {
       oracles.OraclePartitionEvolution.sql,
       oracles.OracleDeletionVectors.sql, oracles.OracleBloomSkipping.sql,
       oracles.OraclePseudonymize.sql, oracles.OracleGovernance.sql,
-      oracles.OraclePreference.sql)
+      oracles.OraclePreference.sql, oracles.OracleIntegrity.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

@@ -1,0 +1,56 @@
+package graft.oracles
+
+/** DuckDB oracles for export integrity + hash-chained trails
+  * (q483–q485). The additive checksum decodes ten md5 hex nibbles by
+  * strpos (Spark computes the identical value via
+  * `conv(substring(md5,1,10),16,10)`); the chain is the unrolled
+  * 3-version md5 fold. CTE prefix `ig`.
+  */
+object OracleIntegrity {
+
+  private val Base =
+    "WITH igd AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS " +
+      "n_chars, LEAST((doc_id - (SELECT MIN(doc_id) FROM documents)) " +
+      "// ((SELECT MAX(doc_id) - MIN(doc_id) + 3 FROM documents) // " +
+      "3), 2) AS batch FROM documents), " +
+      "igh AS (SELECT batch, list_sum(list_transform(range(1, 11), " +
+      "i -> (strpos('0123456789abcdef', substr(md5(concat_ws('|', " +
+      "doc_id, source, n_chars)), CAST(i AS INT), 1)) - 1) * " +
+      "(1::BIGINT << CAST(4 * (10 - i) AS INT)))) AS h FROM igd), " +
+      "igm AS (SELECT v.version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+      "CAST(SUM(h.h) AS BIGINT) AS checksum FROM " +
+      "(VALUES (0::BIGINT), (1::BIGINT), (2::BIGINT)) v(version) " +
+      "JOIN igh h ON h.batch <= v.version GROUP BY v.version) "
+
+  val sql: Map[String, String] = Map(
+    // q483: per-version rows + additive content checksum
+    "q483_export_manifest" ->
+      (Base +
+        "SELECT version, n_rows, checksum FROM igm ORDER BY version"),
+    // q484: manifest vs restore recompute — identical by construction
+    // in the oracle; a Spark-side restore drift breaks the hash
+    "q484_restore_parity" ->
+      (Base +
+        "SELECT version, n_rows, n_rows AS n_rows_restored, checksum, " +
+        "checksum AS checksum_restored, TRUE AS intact FROM igm " +
+        "ORDER BY version"),
+    // q485: the md5 hash chain over the version trail
+    "q485_ledger_hash_chain" ->
+      (Base +
+        ", ign AS (SELECT " +
+        "(SELECT COUNT(*) FROM igd WHERE batch <= 0) AS n0, " +
+        "(SELECT COUNT(*) FROM igd WHERE batch <= 1) AS n1, " +
+        "(SELECT COUNT(*) FROM igd) AS n2), " +
+        "igc AS (SELECT n0, n1, n2, " +
+        "md5('graft|0|' || CAST(n0 AS VARCHAR)) AS c0 FROM ign), " +
+        "igc2 AS (SELECT *, md5(c0 || '|1|' || CAST(n1 AS VARCHAR)) " +
+        "AS c1 FROM igc), " +
+        "igc3 AS (SELECT *, md5(c1 || '|2|' || CAST(n2 AS VARCHAR)) " +
+        "AS c2 FROM igc2) " +
+        "SELECT * FROM (" +
+        "SELECT 0::BIGINT AS version, CAST(n0 AS BIGINT) AS n_rows, " +
+        "c0 AS chain FROM igc3 " +
+        "UNION ALL SELECT 1::BIGINT, CAST(n1 AS BIGINT), c1 FROM igc3 " +
+        "UNION ALL SELECT 2::BIGINT, CAST(n2 AS BIGINT), c2 FROM " +
+        "igc3) ORDER BY version"))
+}

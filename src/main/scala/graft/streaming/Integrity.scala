@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Backup/export integrity + tamper-evident version trails
+  * (q483–q485, blocks 64–65): the operational story AFTER the data
+  * is right — prove a copy is complete and prove history wasn't
+  * edited.
+  *
+  * q483/q484 — export manifest with ORDER-INDEPENDENT content
+  * checksums: per ledger version, the row count plus an additive
+  * checksum (sum of a 40-bit md5 prefix of each row's canonical
+  * `|`-joined string). Additivity is the scale property: the
+  * checksum of a 100 TB table is a map-side sum — no sort, no
+  * single-reader pass — and any lost, duplicated, or altered row
+  * moves it. (40 bits × fixture rows stays far from Long overflow;
+  * a production run sums modulo 2^61−1 — same algebra.) q484 is the
+  * restore parity: re-read every version as a restore would and
+  * recompute — one row of drift between manifest and restore breaks
+  * the oracle hash.
+  *
+  * q485 — the hash CHAIN over the version trail (the QLDB/
+  * certificate-transparency shape on the `b<v>_<batch>` layout):
+  * `chain_v = md5(chain_{v−1} || '|' || v || '|' || n_v)` with a
+  * fixed seed. A retroactive edit of ANY version changes every
+  * subsequent link, so auditors verify the whole history by checking
+  * ONE tail value. The fold runs driver-side over #versions metadata
+  * rows (counts are one narrow aggregate per version);
+  * IntegritySpec tampers a mid-trail version and pins the detection.
+  */
+object Integrity {
+
+  /** 40-bit additive row checksum over the registry-state grain. */
+  private def rowSum: org.apache.spark.sql.Column =
+    sum(expr("CAST(conv(substring(md5(concat_ws('|', doc_id, " +
+      "source, n_chars)), 1, 10), 16, 10) AS LONG)"))
+
+  /** q483: the export manifest — per committered version of the
+    * registry ledger: rows + additive content checksum.
+    */
+  def exportManifest(spark: SparkSession, dir: String): DataFrame = {
+    val root = Erasure.registryLedgerDrained(spark, dir)
+    manifestOf(spark, root)
+  }
+
+  private[graft] def manifestOf(spark: SparkSession,
+      root: String): DataFrame = {
+    import spark.implicits._
+    Provenance.committedVersions(spark, root).map { case (v, _, path) =>
+      val r = spark.read.parquet(path)
+        .agg(count(lit(1)).as("n"), rowSum.as("c"))
+        .collect()(0)
+      (v, r.getLong(0), r.getLong(1))
+    }.toDF("version", "n_rows", "checksum").orderBy(col("version"))
+  }
+
+  /** q484: restore parity — the manifest beside the checksums a
+    * restore recomputes from the read-back bytes, with the verdict
+    * column. All-true is the integrity certificate.
+    */
+  def restoreParity(spark: SparkSession, dir: String): DataFrame = {
+    val root = Erasure.registryLedgerDrained(spark, dir)
+    val m = manifestOf(spark, root)
+    // an independent second read of every version (the restore path)
+    val again = manifestOf(spark, root)
+      .withColumnRenamed("n_rows", "n_rows_restored")
+      .withColumnRenamed("checksum", "checksum_restored")
+    m.join(again, Seq("version"))
+      .select(col("version"), col("n_rows"), col("n_rows_restored"),
+        col("checksum"), col("checksum_restored"),
+        (col("n_rows") === col("n_rows_restored") &&
+          col("checksum") === col("checksum_restored")).as("intact"))
+      .orderBy(col("version"))
+  }
+
+  /** Hash chain over a ledger's version trail (driver-side fold over
+    * metadata): `chain_v = md5(prev || '|' || v || '|' || n_v)`,
+    * seed `"graft"`.
+    */
+  private[graft] def chainOf(spark: SparkSession,
+      root: String): Seq[(Long, Long, String)] = {
+    var prev = "graft"
+    Provenance.committedVersions(spark, root).map { case (v, _, path) =>
+      val n = spark.read.parquet(path).count()
+      val link = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$prev|$v|$n".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      prev = link
+      (v, n, link)
+    }
+  }
+
+  /** q485: the tamper-evident version trail — every link of the
+    * chain, so the oracle recomputes the entire history and one
+    * edited version anywhere breaks every subsequent hash.
+    */
+  def ledgerHashChain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = Erasure.registryLedgerDrained(spark, dir)
+    chainOf(spark, root).toDF("version", "n_rows", "chain")
+      .orderBy(col("version"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Integrity-family properties (q483–q485) the oracles can't see:
+  * checksum order-independence, restore parity through an actual
+  * second read, and tamper DETECTION — editing a mid-trail version
+  * changes its link and every later one while earlier links stand.
+  */
+class IntegritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("additive checksum is order-independent and detects one changed row") {
+    val m = Integrity.exportManifest(spark, sfDir).collect()
+    assert(m.length === 3)
+    // recompute the head checksum over a shuffled, repartitioned read
+    val root = Erasure.registryLedgerDrained(spark, sfDir)
+    val headPath = Provenance.committedVersions(spark, root).maxBy(_._1)._3
+    def sumOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(expr("CAST(conv(substring(md5(concat_ws('|', " +
+        "doc_id, source, n_chars)), 1, 10), 16, 10) AS LONG)")))
+        .collect()(0).getLong(0)
+    val head = spark.read.parquet(headPath)
+    val shuffled = head.repartition(7, col("source"))
+    assert(sumOf(shuffled) === m.last.getAs[Long]("checksum"))
+    // one altered row moves it
+    val tampered = head.withColumn("n_chars",
+      when(col("doc_id") === head.agg(min(col("doc_id")))
+        .collect()(0).getLong(0), col("n_chars") + 1L)
+        .otherwise(col("n_chars")))
+    assert(sumOf(tampered) !== m.last.getAs[Long]("checksum"))
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("restore parity is all-intact; hash chain detects a mid-trail edit") {
+    Integrity.restoreParity(spark, sfDir).collect()
+      .foreach(r => assert(r.getAs[Boolean]("intact")))
+    val root = Erasure.registryLedgerDrained(spark, sfDir)
+    val before = Integrity.chainOf(spark, root)
+    // tamper version 1: drop one row and rewrite the version dir
+    val v1 = Provenance.committedVersions(spark, root)
+      .find(_._1 == 1L).get._3
+    val rows = spark.read.parquet(v1)
+    val minId = rows.agg(min(col("doc_id"))).collect()(0).getLong(0)
+    val edited = rows.filter(col("doc_id") =!= minId).collect()
+    val schema = rows.schema
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(edited.toSeq), schema)
+      .write.mode("overwrite").parquet(v1)
+    val after = Integrity.chainOf(spark, root)
+    assert(after.head._3 === before.head._3) // link 0 stands
+    assert(after(1)._3 !== before(1)._3) // the edited link moves
+    assert(after(2)._3 !== before(2)._3) // ...and every later one
+    graft.Caches.releaseAll(spark)
+  }
+}
