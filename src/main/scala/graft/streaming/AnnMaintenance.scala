@@ -72,18 +72,34 @@ object AnnMaintenance {
 
   /** Stream the embedding corpus in as 3 id-range micro-batches, fold
     * each into the list-membership ledger (tombstone-filtered, replay-
-    * gated), then execute the delete request. Returns the post-delete
-    * list state and the ledger root.
+    * gated), then execute the delete request — built ONCE per
+    * (corpus, mod) as a shared [[LedgerArtifacts]] artifact (every
+    * consumer is read-only). Returns the post-delete list state and
+    * the ledger root.
     */
   private[streaming] def deletedIvfLedger(spark: SparkSession,
       dir: String, mod: Int = DeleteMod): (DataFrame, String) = {
+    val fp = LedgerArtifacts.fingerprint(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+      Seq("vec_id", "label"))
+    val ledgerRoot = LedgerArtifacts.shared(spark,
+      s"ivf_deleted${mod}_${LedgerArtifacts.dirKey(dir)}", fp)(
+      buildDeletedIvf(spark, dir, mod))
+    val (_, _, path) = Provenance.committedVersions(spark, ledgerRoot)
+      .last
+    (spark.read.parquet(path), ledgerRoot)
+  }
+
+  /** The drain + delete into a caller-provided scratch root (the
+    * [[LedgerArtifacts]] build contract).
+    */
+  private def buildDeletedIvf(spark: SparkSession, dir: String,
+      mod: Int)(root: String): Unit = {
     val cent = centroids(spark)
     val streamDir = StreamingOps.idRangeSplitSource(spark,
       Tables.embeddings(spark, dir)
         .select(col("vec_id").as("doc_id"), col("embedding"),
           col("label")), 3)
-    val root = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_ivf_del_state_")).toString
     val ledgerRoot = s"$root/state"
     val ledger =
       new StreamingOps.VersionedLedger(spark, ledgerRoot, Some(root))
@@ -116,9 +132,7 @@ object AnnMaintenance {
       Tables.embeddings(spark, dir)
         .filter(col("vec_id") % mod === 0).select(col("vec_id")),
       keyCol = "vec_id")
-    val (_, _, path) = Provenance.committedVersions(spark, ledgerRoot)
-      .last
-    (spark.read.parquet(path), ledgerRoot)
+    ()
   }
 
   /** IVF delete maintenance (q391): the per-list census after the

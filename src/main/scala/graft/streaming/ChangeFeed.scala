@@ -54,7 +54,7 @@ object ChangeFeed {
     * values at (or, for deletes, before) the change.
     */
   def registryChangeFeed(spark: SparkSession, dir: String): DataFrame = {
-    val (_, root) = Erasure.erasedRegistryLedger(spark, dir)
+    val (_, root) = Erasure.erasedRegistryLedgerShared(spark, dir)
     feedFromRegistry(spark, root)
   }
 
@@ -114,7 +114,7 @@ object ChangeFeed {
     * erased) drop out exactly as a recompute would drop them.
     */
   def mvIncrementalParity(spark: SparkSession, dir: String): DataFrame = {
-    val (_, root) = Erasure.erasedRegistryLedger(spark, dir)
+    val (_, root) = Erasure.erasedRegistryLedgerShared(spark, dir)
     val vs = Provenance.committedVersions(spark, root)
     // registry state carries (doc_id, source, n_chars) — lang is not
     // in the ledger grain, so the view keys on source
@@ -143,7 +143,7 @@ object ChangeFeed {
     * duplicated one change breaks the hash).
     */
   def changeFeedReplay(spark: SparkSession, dir: String): DataFrame = {
-    val (_, root) = Erasure.erasedRegistryLedger(spark, dir)
+    val (_, root) = Erasure.erasedRegistryLedgerShared(spark, dir)
     val vs = Provenance.committedVersions(spark, root)
     val v0 = spark.read.parquet(vs.head._3)
       .select(col("doc_id"), col("source"), col("n_chars"))

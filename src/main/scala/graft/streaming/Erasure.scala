@@ -318,36 +318,81 @@ object Erasure {
   // the probe ledger every executor-side query drives
   // ---------------------------------------------------------------
 
+  private def dirKey(dir: String): String = LedgerArtifacts.dirKey(dir)
+
+  private def docsFingerprint(spark: SparkSession,
+      dir: String): (Long, Long) =
+    LedgerArtifacts.fingerprint(
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      Seq("doc_id", "n_chars"))
+
   /** Registry-grain probe: a (doc_id, source, n_chars) state table
     * maintained over the deterministic 3-batch id-range split, then
-    * the erasure request executed against it. Every fold applies the
-    * tombstones, so the pipeline stays correct whether the request
-    * lands mid-stream or after the drain. Returns the post-erasure
-    * state and the ledger root.
+    * the erasure request executed against it — built ONCE per
+    * (corpus, mod) as a shared [[LedgerArtifacts]] artifact. This
+    * variant returns the IMMUTABLE shared root: for the manifest /
+    * feed / certificate consumers, which only read.
+    */
+  private[streaming] def erasedRegistryLedgerShared(spark: SparkSession,
+      dir: String, mod: Int = ErasureMod): (DataFrame, String) = {
+    val root = LedgerArtifacts.shared(spark,
+      s"registry_erased${mod}_${dirKey(dir)}",
+      docsFingerprint(spark, dir))(buildErasedRegistry(spark, dir, mod))
+    val (_, _, path) = Provenance.committedVersions(spark, root).last
+    (spark.read.parquet(path), root)
+  }
+
+  /** A PRIVATE copy of the erased registry ledger — for consumers
+    * that go on to MUTATE the trail (the vacuum family q428–q429).
     */
   private[streaming] def erasedRegistryLedger(spark: SparkSession,
       dir: String, mod: Int = ErasureMod): (DataFrame, String) = {
-    val ledgerRoot = registryLedgerDrained(spark, dir)
-    erase(spark, ledgerRoot,
-      Tables.documents(spark, dir).filter(col("doc_id") % mod === 0)
-        .select(col("doc_id")))
-    val (_, _, path) = Provenance.committedVersions(spark, ledgerRoot)
-      .last
-    (spark.read.parquet(path), ledgerRoot)
+    val root = LedgerArtifacts.privateCopy(spark,
+      s"registry_erased${mod}_${dirKey(dir)}",
+      docsFingerprint(spark, dir))(buildErasedRegistry(spark, dir, mod))
+    val (_, _, path) = Provenance.committedVersions(spark, root).last
+    (spark.read.parquet(path), root)
   }
 
-  /** The drained (pre-erasure) registry ledger: the 3-batch fold
-    * only. Factored out so the shallow-clone rehearsal (q474–q475)
-    * can branch a ledger whose SOURCE still contains the request
-    * keys.
+  /** Artifact build for the erased registry: copy the shared drained
+    * ledger (never re-drain) and execute the request on the copy.
+    */
+  private def buildErasedRegistry(spark: SparkSession, dir: String,
+      mod: Int)(stagingRoot: String): Unit = {
+    val drained = registryLedgerShared(spark, dir)
+    LedgerArtifacts.copyLedger(spark, drained, s"$stagingRoot/state")
+    erase(spark, s"$stagingRoot/state",
+      Tables.documents(spark, dir).filter(col("doc_id") % mod === 0)
+        .select(col("doc_id")))
+  }
+
+  /** The drained (pre-erasure) registry ledger as the shared
+    * IMMUTABLE artifact — for read-only consumers (integrity
+    * manifests, hash chains, the shallow-clone rehearsal's source).
+    */
+  private[graft] def registryLedgerShared(spark: SparkSession,
+      dir: String): String =
+    LedgerArtifacts.shared(spark, s"registry_drained_${dirKey(dir)}",
+      docsFingerprint(spark, dir))(drainRegistry(spark, dir))
+
+  /** A PRIVATE mutable copy of the drained registry ledger — for
+    * consumers that rewrite or tamper the trail (IntegritySpec's
+    * tamper fixture).
     */
   private[graft] def registryLedgerDrained(spark: SparkSession,
-      dir: String): String = {
+      dir: String): String =
+    LedgerArtifacts.privateCopy(spark,
+      s"registry_drained_${dirKey(dir)}",
+      docsFingerprint(spark, dir))(drainRegistry(spark, dir))
+
+  /** The 3-batch drain into a caller-provided scratch root (the
+    * [[LedgerArtifacts]] build contract: populate `<root>/state`).
+    */
+  private def drainRegistry(spark: SparkSession, dir: String)(
+      root: String): Unit = {
     val streamDir = StreamingOps.idRangeSplitSource(spark,
       Tables.documents(spark, dir).select(col("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars")), 3)
-    val root = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_erasure_state_")).toString
     val ledgerRoot = s"$root/state"
     val ledger =
       new StreamingOps.VersionedLedger(spark, ledgerRoot, Some(root))
@@ -370,7 +415,7 @@ object Erasure {
       }
       .trigger(Trigger.AvailableNow())
     StreamingOps.startWithCheckpoint(w, Some(root)).awaitTermination()
-    ledgerRoot
+    ()
   }
 
   // ---------------------------------------------------------------

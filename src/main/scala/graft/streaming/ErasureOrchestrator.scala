@@ -66,7 +66,7 @@ object ErasureOrchestrator {
           (col("n_state") === col("n_retained")).as("conserved"))
 
     // 1. documents registry ledger (the q387 pipeline at mod 97)
-    val (docState, _) = Erasure.erasedRegistryLedger(spark, dir, Mod)
+    val (docState, _) = Erasure.erasedRegistryLedgerShared(spark, dir, Mod)
     val docs = Tables.documents(spark, dir)
     val docRow = row("documents",
       docState.agg(count(lit(1)).as("n_state")),

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,9 +18,10 @@ import org.apache.spark.sql.functions._
   * single-reader pass — and any lost, duplicated, or altered row
   * moves it. (40 bits × fixture rows stays far from Long overflow;
   * a production run sums modulo 2^61−1 — same algebra.) q484 is the
-  * restore parity: re-read every version as a restore would and
-  * recompute — one row of drift between manifest and restore breaks
-  * the oracle hash.
+  * restore parity: every version is EXPORTED to a backup copy
+  * (re-encoded, re-partitioned — different bytes, same content) and
+  * the restore side recomputes from those copies — one row of drift
+  * between manifest and restore breaks the oracle hash.
   *
   * q485 — the hash CHAIN over the version trail (the QLDB/
   * certificate-transparency shape on the `b<v>_<batch>` layout):
@@ -40,7 +43,7 @@ object Integrity {
     * registry ledger: rows + additive content checksum.
     */
   def exportManifest(spark: SparkSession, dir: String): DataFrame = {
-    val root = Erasure.registryLedgerDrained(spark, dir)
+    val root = Erasure.registryLedgerShared(spark, dir)
     manifestOf(spark, root)
   }
 
@@ -55,18 +58,49 @@ object Integrity {
     }.toDF("version", "n_rows", "checksum").orderBy(col("version"))
   }
 
-  /** q484: restore parity — the manifest beside the checksums a
-    * restore recomputes from the read-back bytes, with the verdict
-    * column. All-true is the integrity certificate.
+  /** Export every committed version of `root` to `exportRoot` as a
+    * BACKUP COPY: re-encoded parquet under a different layout
+    * (repartitioned, so file count, file bytes, and row order all
+    * differ from the source — only the CONTENT is preserved, which is
+    * exactly what the additive checksum certifies).
+    */
+  private[graft] def exportVersions(spark: SparkSession, root: String,
+      exportRoot: String): Unit =
+    Provenance.committedVersions(spark, root).foreach {
+      case (v, _, path) =>
+        spark.read.parquet(path).repartition(3)
+          .write.mode("overwrite").parquet(s"$exportRoot/v$v")
+    }
+
+  /** Recompute the manifest from the EXPORTED copies — the restore
+    * side of q484, reading the backup's bytes, never the source's.
+    */
+  private[graft] def restoredManifest(spark: SparkSession, root: String,
+      exportRoot: String): DataFrame = {
+    import spark.implicits._
+    Provenance.committedVersions(spark, root).map { case (v, _, _) =>
+      val r = spark.read.parquet(s"$exportRoot/v$v")
+        .agg(count(lit(1)).as("n"), rowSum.as("c"))
+        .collect()(0)
+      (v, r.getLong(0), r.getLong(1))
+    }.toDF("version", "n_rows_restored", "checksum_restored")
+  }
+
+  /** q484: restore parity — the source manifest beside the checksums
+    * recomputed from an actual EXPORTED copy (different files,
+    * different row order, different partitioning), with the verdict
+    * column. All-true is the integrity certificate; a backup that
+    * lost, duplicated, or altered one row anywhere in the trail
+    * surfaces as `intact = false` and breaks the oracle hash.
+    * IntegritySpec tampers the exported copy and pins the detection.
     */
   def restoreParity(spark: SparkSession, dir: String): DataFrame = {
-    val root = Erasure.registryLedgerDrained(spark, dir)
+    val root = Erasure.registryLedgerShared(spark, dir)
+    val exportRoot = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_export_")).toString
+    exportVersions(spark, root, exportRoot)
     val m = manifestOf(spark, root)
-    // an independent second read of every version (the restore path)
-    val again = manifestOf(spark, root)
-      .withColumnRenamed("n_rows", "n_rows_restored")
-      .withColumnRenamed("checksum", "checksum_restored")
-    m.join(again, Seq("version"))
+    m.join(restoredManifest(spark, root, exportRoot), Seq("version"))
       .select(col("version"), col("n_rows"), col("n_rows_restored"),
         col("checksum"), col("checksum_restored"),
         (col("n_rows") === col("n_rows_restored") &&
@@ -97,7 +131,7 @@ object Integrity {
     */
   def ledgerHashChain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val root = Erasure.registryLedgerDrained(spark, dir)
+    val root = Erasure.registryLedgerShared(spark, dir)
     chainOf(spark, root).toDF("version", "n_rows", "chain")
       .orderBy(col("version"))
   }

@@ -28,13 +28,19 @@ import graft.sources.Tables
   *    transactional no-lost-update guarantee (first committer wins,
   *    the loser's increment must not silently clobber).
   *
-  * Written-key sets are recovered by DIFFING adjacent versions (key
-  * present with a changed value, or newly present). At fixture scale
-  * that is a narrow two-column join per version; a production commit
-  * writes its change-set file inside the version dir before the
-  * rename so the conflict check is a metadata read — same protocol,
-  * same outcomes, which is why the fixture diff is the honest oracle
-  * of it.
+  * Conflict checks are METADATA reads: every OCC commit stages its
+  * change set (`_changeset` — keys plus old/new values, computed
+  * against the snapshot actually rewritten) inside the version dir
+  * before the rename, so `_changeset` commits atomically with the
+  * state and [[changesSince]] unions those files instead of diffing
+  * row data. The adjacent-version DIFF ([[writtenKeys]]) survives in
+  * two roles only: the fallback for versions committed outside the
+  * protocol (the v0 bootstrap, legacy dirs — which by construction
+  * declared no change set), and the q457 parity audit that certifies
+  * stored change sets faithful. OccSpec additionally plants a forged
+  * `_changeset` over a content-identical version and pins that the
+  * conflict verdict follows the metadata — the proof the executor
+  * consumes `_changeset`, not row diffs.
   *
   * Deterministic schedule (all three writers read base v0): writer A
   * (keys ≡ 0 mod 3, +7) commits first → v1; writer C (keys ≡ 0 mod
@@ -52,8 +58,8 @@ import graft.sources.Tables
   *
   * 100 TB shape: staging writes are the rewrite the writer was doing
   * anyway; the claim is one filesystem rename; the conflict check
-  * reads change-set metadata (here: a key-column diff), never row
-  * data of the corpus.
+  * reads stored change-set metadata (key-grain, ≤ #versions files),
+  * never row data of the corpus.
   */
 object Occ {
 
@@ -62,9 +68,9 @@ object Occ {
       writer: String, baseVersion: Long, nDeltaKeys: Long,
       nConflictKeys: Long, outcome: String, commitVersion: Long)
 
-  /** Keys written by version `v` relative to its parent: new keys or
-    * keys whose value changed — the change set a production commit
-    * would have stored beside the version.
+  /** Keys written by version `v` relative to its parent, recovered by
+    * DIFF (new keys or keys whose value changed) — the fallback for
+    * versions that declared no change set, and the q457 parity side.
     */
   private def writtenKeys(spark: SparkSession, parentPath: String,
       childPath: String): DataFrame = {
@@ -76,15 +82,30 @@ object Occ {
       .select(col("c_custkey"))
   }
 
-  /** Union of change sets of every version in `(base, current]`. */
-  private def writtenSince(spark: SparkSession,
+  /** True iff version dir `path` carries a committed change set. */
+  private def hasChangeset(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$path/_changeset/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Union of change sets of every version in `(base, current]` —
+    * served from the stored `_changeset` metadata (never row data);
+    * only a version committed without one (bootstrap/legacy) falls
+    * back to the adjacent-version diff.
+    */
+  private def changesSince(spark: SparkSession,
       versions: Seq[(Long, Long, String)], base: Long): DataFrame = {
     val after = versions.filter(_._1 > base)
-    val withParents = after.map { case (v, _, path) =>
-      val parent = versions.filter(_._1 < v).maxBy(_._1)
-      writtenKeys(spark, parent._3, path)
+    val keySets = after.map { case (v, _, path) =>
+      if (hasChangeset(spark, path))
+        spark.read.parquet(s"$path/_changeset").select(col("c_custkey"))
+      else {
+        val parent = versions.filter(_._1 < v).maxBy(_._1)
+        writtenKeys(spark, parent._3, path)
+      }
     }
-    withParents.reduce(_.unionByName(_)).distinct()
+    keySets.reduce(_.unionByName(_)).distinct()
   }
 
   /** One writer's full OCC attempt: stage against the read snapshot,
@@ -114,36 +135,57 @@ object Occ {
       attempts += 1
       val versions = Provenance.committedVersions(spark, ledgerRoot)
       val (vcur, bcur, pcur) = versions.maxBy(_._1)
-      if (vcur > attemptBase) {
-        // stale base: writers committed past us — conflict check
-        val conflicts = writtenSince(spark, versions, attemptBase)
-          .join(deltaKeys(spark.read.parquet(baseSnap._3)),
-            Seq("c_custkey"), "inner")
-          .count()
-        if (conflicts > 0L)
-          return Attempt(writer, readBase, nDelta, conflicts,
-            "aborted", -1L)
-        attemptBase = vcur // disjoint: rebase onto the current snapshot
-      }
-      val next = delta(spark.read.parquet(pcur))
-      val dest = s"$ledgerRoot/b${vcur + 1}_$bcur"
-      val staging = s"${dest}__${writer}_staging"
-      next.write.mode("overwrite").parquet(staging)
-      // the change set rides INSIDE the staged version (an
-      // underscore dir — hidden from state reads) so the rename
-      // commits state and metadata in one atomic step; later
-      // conflict checks read this instead of diffing (q457 pins the
-      // two paths equal)
-      deltaKeys(spark.read.parquet(baseSnap._3))
-        .write.mode("overwrite").parquet(s"$staging/_changeset")
-      // the atomic claim: rename-if-absent; a lost race loops back
-      // into the conflict check against the new current version
-      if (!fs.exists(new Path(dest)) &&
-          fs.rename(new Path(staging), new Path(dest)))
-        return Attempt(writer, readBase, nDelta, 0L,
-          if (attemptBase == readBase) "committed" else "rebased",
-          vcur + 1)
-      fs.delete(new Path(staging), true)
+      // the write set this attempt will commit, computed ONCE per
+      // attempt against the snapshot actually being rewritten (the
+      // rebased parent — a delta whose key set depends on parent
+      // state must declare keys vs pcur, not the stale base) and
+      // persisted: the conflict probe and the stored change set read
+      // this same frame instead of re-deriving it three times
+      val parentSnap = spark.read.parquet(pcur)
+      val dk = deltaKeys(parentSnap).persist()
+      try {
+        if (vcur > attemptBase) {
+          // stale base: writers committed past us — conflict check
+          // against the stored change-set METADATA of every version
+          // in (attemptBase, vcur]
+          val conflicts = changesSince(spark, versions, attemptBase)
+            .join(dk, Seq("c_custkey"), "inner")
+            .count()
+          if (conflicts > 0L)
+            return Attempt(writer, readBase, nDelta, conflicts,
+              "aborted", -1L)
+          attemptBase = vcur // disjoint: rebase onto the current snapshot
+        }
+        val next = delta(parentSnap)
+        val dest = s"$ledgerRoot/b${vcur + 1}_$bcur"
+        // underscore prefix: a staging dir must never match the
+        // committed-version name pattern, or a reader racing the
+        // stage-to-rename window (or surveying after a writer crash)
+        // would list an uncommitted version as committed
+        val staging = s"$ledgerRoot/_staging_b${vcur + 1}_${bcur}_$writer"
+        next.write.mode("overwrite").parquet(staging)
+        // the change set rides INSIDE the staged version (an
+        // underscore dir — hidden from state reads) so the rename
+        // commits state and metadata in one atomic step; it carries
+        // old/new values (old from the rebased parent, new from the
+        // staged state) so both later conflict checks AND the change
+        // feed are metadata reads (q457 pins it equal to the diff)
+        dk.join(parentSnap
+            .select(col("c_custkey"), col("n_orders").as("old_val")),
+            Seq("c_custkey"), "left")
+          .join(spark.read.parquet(staging)
+            .select(col("c_custkey"), col("n_orders").as("new_val")),
+            Seq("c_custkey"), "left")
+          .write.mode("overwrite").parquet(s"$staging/_changeset")
+        // the atomic claim: rename-if-absent; a lost race loops back
+        // into the conflict check against the new current version
+        if (!fs.exists(new Path(dest)) &&
+            fs.rename(new Path(staging), new Path(dest)))
+          return Attempt(writer, readBase, nDelta, 0L,
+            if (attemptBase == readBase) "committed" else "rebased",
+            vcur + 1)
+        fs.delete(new Path(staging), true)
+      } finally dk.unpersist(false)
     }
     sys.error(s"occ: writer $writer could not claim a version in 16 " +
       s"attempts under $ledgerRoot — filesystem fault, not a race")
@@ -184,11 +226,11 @@ object Occ {
 
   /** q457: stored-change-set vs diff-recovered change-set parity —
     * per committed writer version, the key count each path reports
-    * and their set equality. The license for production conflict
-    * checks to read metadata instead of diffing state: one row with
-    * `equal = false` means the stored change set under-declares (a
-    * missed conflict waiting to happen) or over-declares (false
-    * aborts), and the oracle hash breaks.
+    * and their set equality. The conflict check ([[changesSince]])
+    * consumes the stored metadata, so this audit is what keeps it
+    * honest: one row with `equal = false` means the stored change set
+    * under-declares (a missed conflict waiting to happen) or
+    * over-declares (false aborts), and the oracle hash breaks.
     */
   def occChangesetParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -66,7 +66,10 @@ object Provenance {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("b"))
+      // a staging dir must never be listed as a version, even if a
+      // writer names it with a leading 'b' (defense in depth for the
+      // OCC stage-to-rename window and crashed-writer strands)
+      .filter(n => n.startsWith("b") && !n.contains("staging"))
       .flatMap { n =>
         val body = n.drop(1)
         val (vStr, bStr) = body.span(_ != '_')

@@ -15,13 +15,20 @@ import org.apache.spark.sql.functions._
   * run on a branch that costs one metadata file.
   *
   * Mechanics on the `b<v>_<batch>` layout: the clone root holds a
-  * `_refs` parquet listing (version, path, owned) rows — versions
+  * refs parquet listing (version, path, owned) rows — versions
   * 0..n cloned by REFERENCE (owned = false, path pointing into the
   * source root), later clone-local writes appended with owned = true.
   * A reader resolves the latest version row and reads its path; the
-  * source's own reader never consults the clone. The divergence
-  * fixture: clone the q387 registry ledger at its head, then run the
-  * %37 erasure rehearsal ON THE CLONE ONLY.
+  * source's own reader never consults the clone. Refs updates are
+  * GENERATIONAL (`_refs_g<N>` dirs, readers resolve the highest
+  * committed generation): the new table is committed under a fresh
+  * name BEFORE any old one is removed, so there is no instant at
+  * which no refs table exists — the delete-then-rename window the r15
+  * ADVICE flagged is gone, and a crashed swap leaves at worst two
+  * committed generations (max wins; old ones are GC'd best-effort on
+  * the next swap). The divergence fixture: clone the q387 registry
+  * ledger at its head, then run the %37 erasure rehearsal ON THE
+  * CLONE ONLY.
   *
   * q474 is the divergence census (source head vs clone head row
   * counts and erased-key presence — source must still contain every
@@ -48,45 +55,56 @@ object ShallowClone {
     val refs = Provenance.committedVersions(spark, sourceRoot)
       .map { case (v, b, path) => (v, b, path, false) }
     refs.toDF("version", "batch_id", "path", "owned")
-      .coalesce(1).write.mode("overwrite").parquet(s"$cloneRoot/_refs")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$cloneRoot/_refs_g0")
     cloneRoot
   }
 
-  /** Read the refs table, completing a crashed swap first (the
-    * tombstone-table recovery discipline: a missing `_refs` beside a
-    * COMMITTED `_refs_staging` means the updater died between delete
-    * and rename — finish the rename, never lose the branch).
+  /** Committed refs generations under a clone root, ascending. */
+  private def refGenerations(spark: SparkSession,
+      cloneRoot: String): Seq[(Long, String)] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(cloneRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("_refs_g"))
+      .flatMap(n => n.drop(7).toLongOption.map(g => (g, s"$cloneRoot/$n")))
+      .filter { case (_, path) =>
+        fs.exists(new Path(s"$path/_SUCCESS")) }
+      .sortBy(_._1).toSeq
+  }
+
+  /** Read the refs table: the highest committed generation. A reader
+    * can never observe "no refs" mid-update — a new generation is
+    * committed before any old one is removed.
     */
   private[graft] def refs(spark: SparkSession,
       cloneRoot: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val dest = new Path(s"$cloneRoot/_refs")
-    val staging = new Path(s"$cloneRoot/_refs_staging")
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(dest, "_SUCCESS")) &&
-        fs.exists(new Path(staging, "_SUCCESS"))) {
-      if (fs.exists(dest)) fs.delete(dest, true)
-      if (!fs.rename(staging, dest))
-        sys.error(s"refs swap recovery failed under $cloneRoot")
-    }
-    spark.read.parquet(s"$cloneRoot/_refs")
+    val gens = refGenerations(spark, cloneRoot)
+    val (_, path) = gens.lastOption.getOrElse(
+      sys.error(s"no committed refs generation under $cloneRoot — " +
+        "not a shallow-clone root, or the clone never committed"))
+    spark.read.parquet(path)
   }
 
-  /** Swap in a new refs table via staging + delete + rename (atomic
-    * enough under the recovery above: every crash point leaves either
-    * the old committed table or a committed staging the next read
-    * completes).
+  /** Publish a new refs table as the next generation, then GC older
+    * generations best-effort (a failed delete leaves extra committed
+    * generations behind; readers always resolve the max, and the next
+    * swap retries the GC).
     */
   private def swapRefs(spark: SparkSession, cloneRoot: String,
       updated: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
-    val dest = new Path(s"$cloneRoot/_refs")
-    val staging = s"$cloneRoot/_refs_staging"
-    updated.coalesce(1).write.mode("overwrite").parquet(staging)
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dest)) fs.delete(dest, true)
-    if (!fs.rename(new Path(staging), dest))
-      sys.error(s"refs swap failed under $cloneRoot")
+    val gens = refGenerations(spark, cloneRoot)
+    val next = gens.lastOption.map(_._1 + 1L).getOrElse(0L)
+    updated.coalesce(1).write.mode("overwrite")
+      .parquet(s"$cloneRoot/_refs_g$next")
+    val fs = new Path(cloneRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    gens.foreach { case (_, old) =>
+      try fs.delete(new Path(old), true) catch { case _: Throwable => () }
+    }
   }
 
   /** Latest version path visible to clone readers. */
@@ -118,7 +136,7 @@ object ShallowClone {
     */
   private[graft] def rehearsal(spark: SparkSession,
       dir: String): (String, String) = {
-    val sourceRoot = Erasure.registryLedgerDrained(spark, dir)
+    val sourceRoot = Erasure.registryLedgerShared(spark, dir)
     val cloneRoot = clone(spark, sourceRoot)
     val head = spark.read.parquet(headPath(spark, cloneRoot))
     commitOwned(spark, cloneRoot,

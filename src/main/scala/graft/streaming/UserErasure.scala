@@ -90,17 +90,32 @@ object UserErasure {
 
   /** The events registry ledger: (event_id, user_id, event_type, ts)
     * maintained over the deterministic 3-batch event_id-range split,
-    * every fold anti-joined against the USER tombstones. After the
-    * drain the erasure request executes ([[Erasure.erase]] on
-    * user_id). Returns (post-erasure state, ledger root).
+    * every fold anti-joined against the USER tombstones, then the
+    * erasure request executed ([[Erasure.erase]] on user_id) — built
+    * ONCE per corpus as a shared [[LedgerArtifacts]] artifact (every
+    * consumer is read-only). Returns (post-erasure state, ledger root).
     */
   private[streaming] def erasedEventsLedger(spark: SparkSession,
       dir: String): (DataFrame, String) = {
+    val fp = LedgerArtifacts.fingerprint(
+      Tables.events(spark, dir).select(col("event_id"), col("user_id")),
+      Seq("event_id", "user_id"))
+    val ledgerRoot = LedgerArtifacts.shared(spark,
+      s"events_erased_${LedgerArtifacts.dirKey(dir)}", fp)(
+      buildErasedEvents(spark, dir))
+    val (_, _, path) = Provenance.committedVersions(spark, ledgerRoot)
+      .last
+    (spark.read.parquet(path), ledgerRoot)
+  }
+
+  /** The drain + erase into a caller-provided scratch root (the
+    * [[LedgerArtifacts]] build contract).
+    */
+  private def buildErasedEvents(spark: SparkSession, dir: String)(
+      root: String): Unit = {
     val streamDir = StreamingOps.idRangeSplitSource(spark,
       Tables.events(spark, dir).select(col("event_id").as("doc_id"),
         col("user_id"), col("event_type"), col("ts")), 3)
-    val root = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_user_erasure_state_")).toString
     val ledgerRoot = s"$root/state"
     val ledger =
       new StreamingOps.VersionedLedger(spark, ledgerRoot, Some(root))
@@ -129,9 +144,7 @@ object UserErasure {
       Tables.events(spark, dir).filter(erasedUser(col("user_id")))
         .select(col("user_id")).distinct(),
       keyCol = "user_id")
-    val (_, _, path) = Provenance.committedVersions(spark, ledgerRoot)
-      .last
-    (spark.read.parquet(path), ledgerRoot)
+    ()
   }
 
   /** User erasure executor (q405): the events registry after the

@@ -52,18 +52,28 @@ class GovernanceSpec extends SparkSpec {
       .committedVersions(spark, sourceRoot).map(_._1)
     assert(vs === Seq(0L, 1L, 2L))
 
-    // crash-window recovery: simulate dying between the refs delete
-    // and the rename (only a committed staging remains) — the next
-    // read must complete the swap instead of losing the branch
+    // generational swap: a crashed GC leaves an OLD committed
+    // generation beside the new one — readers must resolve the newest
+    // and never observe a missing refs table. Simulate the strand by
+    // re-committing the current refs as a stale-looking lower
+    // generation copy; the reader still picks the max.
     import org.apache.hadoop.fs.Path
     val fs = new Path(cloneRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new Path(s"$cloneRoot/_refs"),
-      new Path(s"$cloneRoot/_refs_staging")))
+    val gens = fs.listStatus(new Path(cloneRoot)).map(_.getPath.getName)
+      .filter(_.startsWith("_refs_g")).sorted
+    assert(gens.length === 1) // GC keeps exactly one committed gen
+    val curGen = gens.last.drop(7).toLong
+    // plant a stale lower generation (a crashed swap's leftover)
+    spark.read.parquet(s"$cloneRoot/${gens.last}").coalesce(1)
+      .write.parquet(s"$cloneRoot/_refs_g${curGen - 1}")
     val recovered = ShallowClone.refs(spark, cloneRoot).collect()
-    assert(recovered.length === refs.length)
-    assert(fs.exists(new Path(s"$cloneRoot/_refs/_SUCCESS")))
-    assert(!fs.exists(new Path(s"$cloneRoot/_refs_staging")))
+    assert(recovered.length === refs.length) // max gen wins
+    // an empty clone root fails loudly instead of inventing a branch
+    val err = intercept[RuntimeException] {
+      ShallowClone.refs(spark, s"$cloneRoot/nonexistent")
+    }
+    assert(err.getMessage.contains("no committed refs generation"))
     Caches.releaseAll(spark)
   }
 }

@@ -16,7 +16,7 @@ class IntegritySpec extends SparkSpec {
     val m = Integrity.exportManifest(spark, sfDir).collect()
     assert(m.length === 3)
     // recompute the head checksum over a shuffled, repartitioned read
-    val root = Erasure.registryLedgerDrained(spark, sfDir)
+    val root = Erasure.registryLedgerShared(spark, sfDir)
     val headPath = Provenance.committedVersions(spark, root).maxBy(_._1)._3
     def sumOf(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(sum(expr("CAST(conv(substring(md5(concat_ws('|', " +
@@ -31,6 +31,32 @@ class IntegritySpec extends SparkSpec {
         .collect()(0).getLong(0), col("n_chars") + 1L)
         .otherwise(col("n_chars")))
     assert(sumOf(tampered) !== m.last.getAs[Long]("checksum"))
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("restore parity detects a tampered export") {
+    val root = Erasure.registryLedgerShared(spark, sfDir)
+    val exportRoot = graft.Caches.trackTempDir(
+      java.nio.file.Files.createTempDirectory("graft_export_t_")).toString
+    Integrity.exportVersions(spark, root, exportRoot)
+    // tamper the v1 backup: drop one row and rewrite the copy
+    val v1 = s"$exportRoot/v1"
+    val rows = spark.read.parquet(v1).collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq.drop(1)),
+        spark.read.parquet(v1).schema)
+      .write.mode("overwrite").parquet(v1)
+    val m = Integrity.manifestOf(spark, root)
+    val verdicts = m.join(
+        Integrity.restoredManifest(spark, root, exportRoot),
+        Seq("version"))
+      .select(col("version"),
+        (col("n_rows") === col("n_rows_restored") &&
+          col("checksum") === col("checksum_restored")).as("intact"))
+      .collect().map(r => r.getAs[Long]("version") ->
+        r.getAs[Boolean]("intact")).toMap
+    assert(!verdicts(1L)) // the tampered backup surfaces
+    assert(verdicts(0L) && verdicts(2L)) // untouched copies stand
     graft.Caches.releaseAll(spark)
   }
 

@@ -75,11 +75,16 @@ class OccSpec extends SparkSpec {
     val (_, root) = Occ.runSchedule(spark, sfDir)
     val versions = graft.streaming.Provenance
       .committedVersions(spark, root)
-    // v1/v2 carry a _changeset dir; state reads don't see its rows
+    // v1/v2 carry a _changeset dir with old/new values; state reads
+    // don't see its rows
     versions.filter(_._1 > 0L).foreach { case (v, _, path) =>
       val cs = spark.read.parquet(s"$path/_changeset")
-      assert(cs.columns.toSeq === Seq("c_custkey"))
+      assert(cs.columns.toSeq === Seq("c_custkey", "old_val", "new_val"))
       assert(cs.count() > 0L)
+      // every stored row is a real update: new = old + the writer's
+      // increment, never null on either side (updates-only fixture)
+      assert(cs.filter(col("old_val").isNull || col("new_val").isNull)
+        .count() === 0L)
       val state = spark.read.parquet(path)
       assert(state.columns.toSeq === Seq("c_custkey", "n_orders"))
     }
@@ -88,6 +93,31 @@ class OccSpec extends SparkSpec {
       assert(r.getAs[Boolean]("equal"))
       assert(r.getAs[Long]("n_stored") === r.getAs[Long]("n_diffed"))
     }
+    Caches.releaseAll(spark)
+  }
+
+  test("conflict check consumes _changeset metadata, not row diffs") {
+    val (_, root) = Occ.runSchedule(spark, sfDir)
+    val latest = graft.streaming.Provenance
+      .committedVersions(spark, root).maxBy(_._1)
+    // squat v3 with a content-identical copy of v2 (row diff = ∅) but
+    // FORGE its change set to claim writer e's keys (%3 == 2). A
+    // diff-based conflict check sees no conflict; the metadata path
+    // must abort — the verdict tells us which one ran.
+    val head = spark.read.parquet(latest._3)
+    head.write.parquet(s"$root/b3_0")
+    head.filter(col("c_custkey") % 3 === 2)
+      .select(col("c_custkey"), col("n_orders").as("old_val"),
+        (col("n_orders") + 1L).as("new_val"))
+      .write.parquet(s"$root/b3_0/_changeset")
+    val e = Occ.tryCommit(spark, root, "e", 2L,
+      snap => snap.filter(col("c_custkey") % 3 === 2)
+        .select(col("c_custkey")),
+      snap => snap.withColumn("n_orders",
+        when(col("c_custkey") % 3 === 2, col("n_orders") + 5L)
+          .otherwise(col("n_orders"))))
+    assert(e.outcome === "aborted")
+    assert(e.nConflictKeys > 0L)
     Caches.releaseAll(spark)
   }
 
