@@ -1393,6 +1393,10 @@ object Registry {
       graft.streaming.Integrity.restoreParity(s, d)),
     "q485_ledger_hash_chain" -> ((s, d) =>
       graft.streaming.Integrity.ledgerHashChain(s, d)),
+    // block 66: CDF served from stored per-commit change sets — the
+    // diff demoted to this parity audit (r15 verdict #3)
+    "q486_cdf_storage_parity" -> ((s, d) =>
+      graft.streaming.ChangeFeed.cdfStorageParity(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

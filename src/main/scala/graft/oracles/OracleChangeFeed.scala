@@ -47,5 +47,22 @@ object OracleChangeFeed {
     "q454_change_feed_replay" ->
       (RegistryBase +
         "SELECT doc_id, source, n_chars FROM cfb " +
-        "WHERE doc_id % 37 <> 0 ORDER BY doc_id"))
+        "WHERE doc_id % 37 <> 0 ORDER BY doc_id"),
+    // q486: stored-vs-diffed parity per feed version — both paths
+    // must report the analytic change counts (batch sizes for the
+    // insert folds, the %37 request for the erasure), all equal
+    "q486_cdf_storage_parity" ->
+      (RegistryBase +
+        "SELECT * FROM (" +
+        "SELECT 1::BIGINT AS version, " +
+        "(SELECT COUNT(*) FROM cfb WHERE batch = 1) AS n_stored, " +
+        "(SELECT COUNT(*) FROM cfb WHERE batch = 1) AS n_diffed, " +
+        "TRUE AS equal " +
+        "UNION ALL SELECT 2::BIGINT, " +
+        "(SELECT COUNT(*) FROM cfb WHERE batch = 2), " +
+        "(SELECT COUNT(*) FROM cfb WHERE batch = 2), TRUE " +
+        "UNION ALL SELECT 3::BIGINT, " +
+        "(SELECT COUNT(*) FROM cfb WHERE doc_id % 37 = 0), " +
+        "(SELECT COUNT(*) FROM cfb WHERE doc_id % 37 = 0), TRUE) " +
+        "ORDER BY version"))
 }

@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
   * artifact) all update from exactly this shape; this family makes
   * the feed itself a first-class, oracled query.
   *
-  * The feed is computed by DIFFING adjacent committed versions on the
-  * state key (the same change-set recovery the OCC conflict check
-  * uses): a key only in the newer version is an insert, only in the
-  * older a delete, in both with a changed value an update carrying
-  * old and new. Feed semantics start AFTER the initial snapshot
+  * The feed is served from the STORED per-commit change sets (every
+  * registry-ledger commit — drain folds and the erasure rewrite —
+  * writes its typed change rows as `_changeset` inside the version
+  * dir, committed atomically by the stage+rename; the OCC commits do
+  * the same): reading the feed costs ≤ #versions metadata files,
+  * never a state diff. The adjacent-version DIFF survives as the
+  * fallback for versions committed without a change set (legacy
+  * trails) and as the q486 parity audit that certifies the stored
+  * sets faithful — the same stored-vs-diffed split q457 pins for the
+  * OCC ledger. Feed semantics start AFTER the initial snapshot
   * (v0 is read as a snapshot, not emitted as inserts) — the Delta
   * `readChangeFeed` convention.
   *
@@ -32,11 +37,12 @@ import org.apache.spark.sql.functions._
   * computed row-by-row at write time; here it is recovered from the
   * version trail after the fact, for every consumer at once.
   *
-  * 100 TB shape: each adjacent diff is one key-grain join of two
-  * state versions (narrow columns — never corpus text); a production
-  * ledger stores the per-commit change set and serves the feed as a
-  * metadata read, with this diff as its audit. Replay is a sequence
-  * of key-grain anti-join/union steps, each O(delta + state).
+  * 100 TB shape: the feed read is ≤ #versions change-set files, each
+  * O(commit delta) — never a state scan; the parity audit's diff is
+  * one key-grain join of two state versions (narrow columns — never
+  * corpus text), run as an audit cadence, not per consumer. Replay is
+  * a sequence of key-grain anti-join/union steps, each
+  * O(delta + state).
   */
 object ChangeFeed {
 
@@ -61,24 +67,61 @@ object ChangeFeed {
   private[graft] def feedFromRegistry(spark: SparkSession,
       root: String): DataFrame =
     pairs(spark, root).map { case (_, pf, vt, pt) =>
-      val prev = spark.read.parquet(pf)
-        .select(col("doc_id"), col("source").as("old_source"),
-          col("n_chars").as("old_n_chars"))
-      val cur = spark.read.parquet(pt)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-      cur.join(prev, Seq("doc_id"), "full_outer")
-        .withColumn("change_type",
-          when(col("old_source").isNull, "insert")
-            .when(col("source").isNull, "delete")
-            .when(col("source") =!= col("old_source") ||
-              col("n_chars") =!= col("old_n_chars"), "update"))
-        .filter(col("change_type").isNotNull)
-        .select(lit(vt).as("version_to"), col("change_type"),
-          col("doc_id"),
-          coalesce(col("source"), col("old_source")).as("source"),
-          coalesce(col("n_chars"), col("old_n_chars")).as("n_chars"))
+      if (Provenance.hasCommittedChangeset(spark, pt))
+        spark.read.parquet(s"$pt/_changeset")
+          .select(lit(vt).as("version_to"), col("change_type"),
+            col("doc_id"), col("source"), col("n_chars"))
+      else diffFeedVersion(spark, pf, vt, pt)
     }.reduce(_.unionByName(_))
       .orderBy(col("version_to"), col("change_type"), col("doc_id"))
+
+  /** The diff recovery of one version's change rows — the fallback
+    * for undeclared versions and the q486 parity side.
+    */
+  private def diffFeedVersion(spark: SparkSession, pf: String, vt: Long,
+      pt: String): DataFrame = {
+    val prev = spark.read.parquet(pf)
+      .select(col("doc_id"), col("source").as("old_source"),
+        col("n_chars").as("old_n_chars"))
+    val cur = spark.read.parquet(pt)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    cur.join(prev, Seq("doc_id"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_source").isNull, "insert")
+          .when(col("source").isNull, "delete")
+          .when(col("source") =!= col("old_source") ||
+            col("n_chars") =!= col("old_n_chars"), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(lit(vt).as("version_to"), col("change_type"),
+        col("doc_id"),
+        coalesce(col("source"), col("old_source")).as("source"),
+        coalesce(col("n_chars"), col("old_n_chars")).as("n_chars"))
+  }
+
+  /** q486: stored-vs-diffed change-set parity for the registry ledger
+    * — per feed version, the row count each path reports and their
+    * set equality on (change_type, doc_id). The audit that licenses
+    * serving the feed from metadata (the q457 shape on this ledger):
+    * an under-declared commit (a consumer would miss a change) or an
+    * over-declared one (phantom changes) breaks the oracle hash.
+    */
+  def cdfStorageParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, root) = Erasure.erasedRegistryLedgerShared(spark, dir)
+    pairs(spark, root).map { case (_, pf, vt, pt) =>
+      val stored = spark.read.parquet(s"$pt/_changeset")
+        .select(col("change_type"), col("doc_id"))
+      val diffed = diffFeedVersion(spark, pf, vt, pt)
+        .select(col("change_type"), col("doc_id"))
+      val nStored = stored.count()
+      val nDiffed = diffed.count()
+      val equal = nStored == nDiffed &&
+        stored.join(diffed, Seq("change_type", "doc_id"), "left_anti")
+          .count() == 0L
+      (vt, nStored, nDiffed, equal)
+    }.toDF("version", "n_stored", "n_diffed", "equal")
+      .orderBy(col("version"))
+  }
 
   /** q453: the OCC ledger's feed — pure updates, old and new values
     * side by side (writer A's +7 at v1, writer B's +11 at v2; the
@@ -87,11 +130,19 @@ object ChangeFeed {
   def occChangeFeed(spark: SparkSession, dir: String): DataFrame = {
     val (_, root) = Occ.runSchedule(spark, dir)
     pairs(spark, root).map { case (_, pf, vt, pt) =>
-      val prev = spark.read.parquet(pf)
-        .select(col("c_custkey"), col("n_orders").as("old_val"))
-      val cur = spark.read.parquet(pt)
-        .select(col("c_custkey"), col("n_orders").as("new_val"))
-      cur.join(prev, Seq("c_custkey"), "full_outer")
+      val changes =
+        if (Provenance.hasCommittedChangeset(spark, pt))
+          // OCC commits store (key, old_val, new_val) — the feed's
+          // exact grain, typed here (no-op declarations drop out)
+          spark.read.parquet(s"$pt/_changeset")
+        else {
+          val prev = spark.read.parquet(pf)
+            .select(col("c_custkey"), col("n_orders").as("old_val"))
+          spark.read.parquet(pt)
+            .select(col("c_custkey"), col("n_orders").as("new_val"))
+            .join(prev, Seq("c_custkey"), "full_outer")
+        }
+      changes
         .withColumn("change_type",
           when(col("old_val").isNull, "insert")
             .when(col("new_val").isNull, "delete")

@@ -158,12 +158,25 @@ object Erasure {
       .lastOption.getOrElse(sys.error(
         s"erasure against an empty ledger: no committed version " +
           s"under $ledgerRoot"))
-    val rewritten = spark.read.parquet(path)
-      .join(broadcast(spark.read.parquet(tomb)), Seq(keyCol),
-        "left_anti")
-    // same batch id: content rewrite, not stream progress
-    rewritten.write.mode("overwrite")
-      .parquet(s"$ledgerRoot/b${v + 1}_$b")
+    val snapshot = spark.read.parquet(path)
+    val tombDf = spark.read.parquet(tomb)
+    val rewritten = snapshot.join(broadcast(tombDf), Seq(keyCol),
+      "left_anti")
+    // same batch id: content rewrite, not stream progress. The change
+    // set (the removed rows, old values, type 'delete') commits
+    // atomically with the rewrite via stage + rename, so the change
+    // feed serves the erasure from metadata (q452/q486).
+    val removed = snapshot.join(broadcast(tombDf), Seq(keyCol),
+        "left_semi")
+      .withColumn("change_type", lit("delete"))
+    val dest = s"$ledgerRoot/b${v + 1}_$b"
+    val vStaging = s"$ledgerRoot/_staging_b${v + 1}_$b"
+    rewritten.write.mode("overwrite").parquet(vStaging)
+    removed.write.mode("overwrite").parquet(s"$vStaging/_changeset")
+    fs.delete(new org.apache.hadoop.fs.Path(dest), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(vStaging),
+        new org.apache.hadoop.fs.Path(dest)))
+      sys.error(s"erasure commit failed: rename($vStaging -> $dest)")
   }
 
   /** Physically delete retired ledger versions past a retention floor
@@ -336,7 +349,7 @@ object Erasure {
   private[streaming] def erasedRegistryLedgerShared(spark: SparkSession,
       dir: String, mod: Int = ErasureMod): (DataFrame, String) = {
     val root = LedgerArtifacts.shared(spark,
-      s"registry_erased${mod}_${dirKey(dir)}",
+      s"registry_erased_v2_${mod}_${dirKey(dir)}",
       docsFingerprint(spark, dir))(buildErasedRegistry(spark, dir, mod))
     val (_, _, path) = Provenance.committedVersions(spark, root).last
     (spark.read.parquet(path), root)
@@ -348,7 +361,7 @@ object Erasure {
   private[streaming] def erasedRegistryLedger(spark: SparkSession,
       dir: String, mod: Int = ErasureMod): (DataFrame, String) = {
     val root = LedgerArtifacts.privateCopy(spark,
-      s"registry_erased${mod}_${dirKey(dir)}",
+      s"registry_erased_v2_${mod}_${dirKey(dir)}",
       docsFingerprint(spark, dir))(buildErasedRegistry(spark, dir, mod))
     val (_, _, path) = Provenance.committedVersions(spark, root).last
     (spark.read.parquet(path), root)
@@ -372,7 +385,7 @@ object Erasure {
     */
   private[graft] def registryLedgerShared(spark: SparkSession,
       dir: String): String =
-    LedgerArtifacts.shared(spark, s"registry_drained_${dirKey(dir)}",
+    LedgerArtifacts.shared(spark, s"registry_drained_v2_${dirKey(dir)}",
       docsFingerprint(spark, dir))(drainRegistry(spark, dir))
 
   /** A PRIVATE mutable copy of the drained registry ledger — for
@@ -382,7 +395,7 @@ object Erasure {
   private[graft] def registryLedgerDrained(spark: SparkSession,
       dir: String): String =
     LedgerArtifacts.privateCopy(spark,
-      s"registry_drained_${dirKey(dir)}",
+      s"registry_drained_v2_${dirKey(dir)}",
       docsFingerprint(spark, dir))(drainRegistry(spark, dir))
 
   /** The 3-batch drain into a caller-provided scratch root (the
@@ -409,7 +422,13 @@ object Erasure {
           val merged =
             if (ledger.isEmpty) rows
             else ss.read.parquet(ledger.path).unionByName(rows)
-          ledger.write(merged, id)
+          // an append fold's change set IS the folded batch (all
+          // inserts — id ranges are disjoint); committed atomically
+          // with the version so the CDF reads metadata (q452/q486)
+          ledger.writeWithChangeset(merged, id,
+            rows.withColumn("change_type", lit("insert"))
+              .select(col("change_type"), col("doc_id"), col("source"),
+                col("n_chars")))
         }
         ()
       }

@@ -82,12 +82,8 @@ object Occ {
       .select(col("c_custkey"))
   }
 
-  /** True iff version dir `path` carries a committed change set. */
-  private def hasChangeset(spark: SparkSession, path: String): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val p = new Path(s"$path/_changeset/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def hasChangeset(spark: SparkSession, path: String): Boolean =
+    Provenance.hasCommittedChangeset(spark, path)
 
   /** Union of change sets of every version in `(base, current]` —
     * served from the stored `_changeset` metadata (never row data);

@@ -83,6 +83,16 @@ object Provenance {
       .sortBy(_._1).toSeq
   }
 
+  /** True iff version dir `path` carries a committed `_changeset` —
+    * the stored per-commit change rows conflict checks and change
+    * feeds read instead of diffing row data.
+    */
+  private[streaming] def hasCommittedChangeset(spark: SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_changeset/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** The library manifest: one row per committed version of the ledger
     * at `root` — (version, batch_id, n_rows). Works against any
     * versioned-ledger root; the oracled query form is [[ledgerManifest]].

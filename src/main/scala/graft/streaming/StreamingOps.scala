@@ -223,6 +223,31 @@ object StreamingOps {
       cur.set(next)
       lastBatch.set(math.max(lastBatch.get, id))
     }
+
+    /** Write the next version for micro-batch `id` with its typed
+      * change rows committed ATOMICALLY beside it: state and
+      * `_changeset` are staged under an underscore dir (invisible to
+      * version listings) and land in one rename — the commit
+      * discipline OCC writers already use, generalized so the change
+      * data feed (q452–q454) is a metadata read instead of an
+      * adjacent-version diff.
+      */
+    def writeWithChangeset(df: DataFrame, id: Long,
+        changes: DataFrame): Unit = {
+      import org.apache.hadoop.fs.Path
+      val v = ver.incrementAndGet()
+      val next = s"$ledgerRoot/b${v}_$id"
+      val staging = s"$ledgerRoot/_staging_b${v}_$id"
+      df.write.mode("overwrite").parquet(staging)
+      changes.write.mode("overwrite").parquet(s"$staging/_changeset")
+      val fs = new Path(ledgerRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(next), true) // replay overwrite, single-writer
+      if (!fs.rename(new Path(staging), new Path(next)))
+        sys.error(s"ledger commit failed: rename($staging -> $next)")
+      cur.set(next)
+      lastBatch.set(math.max(lastBatch.get, id))
+    }
     /** Initial (pre-stream) artifact — not tied to a source batch. */
     def init(df: DataFrame): Unit = {
       val next = s"$ledgerRoot/b${ver.incrementAndGet()}"

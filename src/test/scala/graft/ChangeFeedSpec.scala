@@ -44,6 +44,32 @@ class ChangeFeedSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("feed is served from stored change sets, not diffs") {
+    // a PRIVATE ledger copy with one version's changeset FORGED: the
+    // feed must follow the metadata (proving it never diffs when a
+    // changeset is committed), and q486's parity is what would catch
+    // the forgery in production
+    val root: String =
+      graft.streaming.Erasure.registryLedgerDrained(spark, sfDir)
+    val versions = graft.streaming.Provenance
+      .committedVersions(spark, root)
+    val v1 = versions.find(_._1 == 1L).get._3
+    val forged = spark.read.parquet(s"$v1/_changeset").limit(3)
+      .withColumn("source", lit("forged_source"))
+    forged.write.mode("overwrite").parquet(s"$v1/_changeset_new")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$v1/_changeset"), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$v1/_changeset_new"),
+      new org.apache.hadoop.fs.Path(s"$v1/_changeset")))
+    val feed = graft.streaming.ChangeFeed
+      .feedFromRegistry(spark, root)
+      .filter(col("version_to") === 1L).collect()
+    assert(feed.length === 3) // the forged count, not the diff's
+    assert(feed.forall(_.getAs[String]("source") == "forged_source"))
+    Caches.releaseAll(spark)
+  }
+
   test("replay reconstructs the ledger's final version exactly") {
     val replayed = ChangeFeed.changeFeedReplay(spark, sfDir)
       .collect().map(_.toSeq)
