@@ -1397,6 +1397,11 @@ object Registry {
     // diff demoted to this parity audit (r15 verdict #3)
     "q486_cdf_storage_parity" -> ((s, d) =>
       graft.streaming.ChangeFeed.cdfStorageParity(s, d)),
+    // block 67: the OPTIMIZE executor — fold DVs, re-cluster by the
+    // advisor's layout, prove rows_scanned dropped (r15 verdict #1)
+    "q487_optimize_audit" -> ((s, d) => Optimize.optimizeAudit(s, d)),
+    "q488_optimize_zonemap" -> ((s, d) =>
+      Optimize.optimizeZonemap(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -47,12 +47,12 @@ import graft.sources.Tables
 object ZoneMap {
 
   /** Rows per simulated file — fixed so #files scales with data. */
-  private val RowsPerFile = 256L
+  private[operators] val RowsPerFile = 256L
 
   /** Bits per dimension in the Z-value (16 → 32-bit Morton codes). */
   private val BitsPerDim = 16
 
-  private def orders(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def orders(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey").cast("long").as("o_custkey"))
 
@@ -82,7 +82,7 @@ object ZoneMap {
     * bit-interleaved into a 32-bit Morton code via the bit-weight
     * join, and files are cut in Morton order.
     */
-  private def zorderFiles(spark: SparkSession, o: DataFrame): DataFrame = {
+  private[operators] def zorderFiles(spark: SparkSession, o: DataFrame): DataFrame = {
     val n = o.count()
     val ranked = o
       .withColumn("rx",
@@ -106,7 +106,7 @@ object ZoneMap {
   }
 
   /** Per-file zone maps: min/max of both predicate columns + count. */
-  private def zones(filed: DataFrame): DataFrame =
+  private[operators] def zones(filed: DataFrame): DataFrame =
     filed.groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("o_orderkey")).as("min_ok"),
@@ -119,7 +119,7 @@ object ZoneMap {
     * — sf-portable (derived from the column max by integer division)
     * and identical in the oracle.
     */
-  private def predicates(spark: SparkSession, o: DataFrame): DataFrame = {
+  private[operators] def predicates(spark: SparkSession, o: DataFrame): DataFrame = {
     import spark.implicits._
     val maxes = o.agg(max(col("o_orderkey")).as("max_ok"),
       max(col("o_custkey")).as("max_ck"))
@@ -142,7 +142,7 @@ object ZoneMap {
     * zone maps admit vs skip, and the row-level read amplification
     * (rows in scanned files vs rows actually matching).
     */
-  private def audit(zonesDf: DataFrame, preds: DataFrame,
+  private[operators] def audit(zonesDf: DataFrame, preds: DataFrame,
       o: DataFrame): DataFrame = {
     val hit = zonesDf.crossJoin(broadcast(preds))
       .withColumn("zmin",
@@ -253,7 +253,7 @@ object ZoneMap {
     * zone-map maintenance is incremental: the artifact gains the new
     * batch's rows and nothing else changes.
     */
-  private def batchFiles(o: DataFrame): DataFrame =
+  private[operators] def batchFiles(o: DataFrame): DataFrame =
     batched(o)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("batch_id"))

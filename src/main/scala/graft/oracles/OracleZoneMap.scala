@@ -107,6 +107,32 @@ object OracleZoneMap {
       "MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck " +
       "FROM zmbr GROUP BY file_id) "
 
+  /** OPTIMIZE-side CTEs (q487–q488): live rows (the %37 DVs folded),
+    * ranks recomputed within the retained set, Morton interleave, and
+    * the rewritten files' zone maps. Appends to [[Common]]'s WITH.
+    */
+  private val OptLive =
+    ", zolv AS (SELECT o_orderkey, o_custkey FROM zmo " +
+      "WHERE o_orderkey % 37 <> 0), " +
+      "zoln AS (SELECT COUNT(*) AS n FROM zolv), " +
+      "zork AS (SELECT o_orderkey, o_custkey, " +
+      "((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) * 65536) // " +
+      "(SELECT n FROM zoln) AS xb, " +
+      "((ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey) - 1) * " +
+      "65536) // (SELECT n FROM zoln) AS yb FROM zolv), " +
+      "zozv AS (SELECT r.o_orderkey, r.o_custkey, " +
+      "CAST(SUM(((r.xb // b.p2) % 2) * b.p4 + ((r.yb // b.p2) % 2) * " +
+      "2 * b.p4) AS BIGINT) AS zval " +
+      "FROM zork r, zmb b GROUP BY r.o_orderkey, r.o_custkey, r.xb, " +
+      "r.yb), " +
+      "zovf AS (SELECT o_orderkey, o_custkey, " +
+      "(ROW_NUMBER() OVER (ORDER BY zval, o_orderkey) - 1) // 256 AS " +
+      "file_id FROM zozv), " +
+      "zovz AS (SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+      "MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS max_ok, " +
+      "MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck " +
+      "FROM zovf GROUP BY file_id) "
+
   val sql: Map[String, String] = Map(
     // q439: the per-file zone-map relation under the linear layout
     "q439_zonemap_stats" ->
@@ -240,5 +266,46 @@ object OracleZoneMap {
         "UNION ALL SELECT 'zorder', " +
         "CAST(SUM(files_scanned) AS BIGINT), " +
         "CAST(SUM(rows_scanned) AS BIGINT) FROM zmza) " +
-        "ORDER BY layout"))
+        "ORDER BY layout"),
+    // q487: the OPTIMIZE before/after audit — before = batch-appended
+    // files carrying the %37 DVs (zmbz), after = live rows Z-ordered
+    // (zone maps recomputed over the retained set, same workload)
+    "q487_optimize_audit" ->
+      (Common + OptLive +
+        "SELECT * FROM (" +
+        "SELECT 'after' AS side, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zovz) AS files_total, " +
+        "(SELECT CAST(SUM(n_rows) AS BIGINT) FROM zovz) AS rows_stored, " +
+        "0::BIGINT AS dv_rows, " +
+        "(SELECT CAST(SUM(CASE WHEN (CASE WHEN p.pred_col = " +
+        "'o_orderkey' THEN z.max_ok ELSE z.max_ck END) >= p.lo AND " +
+        "(CASE WHEN p.pred_col = 'o_orderkey' THEN z.min_ok ELSE " +
+        "z.min_ck END) <= p.hi THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM zovz z, zmpd p) AS files_scanned_total, " +
+        "(SELECT CAST(SUM(CASE WHEN (CASE WHEN p.pred_col = " +
+        "'o_orderkey' THEN z.max_ok ELSE z.max_ck END) >= p.lo AND " +
+        "(CASE WHEN p.pred_col = 'o_orderkey' THEN z.min_ok ELSE " +
+        "z.min_ck END) <= p.hi THEN z.n_rows ELSE 0 END) AS BIGINT) " +
+        "FROM zovz z, zmpd p) AS rows_scanned_total " +
+        "UNION ALL SELECT 'before', " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zmbz), " +
+        "(SELECT CAST(SUM(n_rows) AS BIGINT) FROM zmbz), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zmo WHERE " +
+        "o_orderkey % 37 = 0), " +
+        "(SELECT CAST(SUM(CASE WHEN (CASE WHEN p.pred_col = " +
+        "'o_orderkey' THEN z.max_ok ELSE z.max_ck END) >= p.lo AND " +
+        "(CASE WHEN p.pred_col = 'o_orderkey' THEN z.min_ok ELSE " +
+        "z.min_ck END) <= p.hi THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM zmbz z, zmpd p), " +
+        "(SELECT CAST(SUM(CASE WHEN (CASE WHEN p.pred_col = " +
+        "'o_orderkey' THEN z.max_ok ELSE z.max_ck END) >= p.lo AND " +
+        "(CASE WHEN p.pred_col = 'o_orderkey' THEN z.min_ok ELSE " +
+        "z.min_ck END) <= p.hi THEN z.n_rows ELSE 0 END) AS BIGINT) " +
+        "FROM zmbz z, zmpd p)) " +
+        "ORDER BY side"),
+    // q488: the rewritten zone-map artifact (live rows, Z-ordered)
+    "q488_optimize_zonemap" ->
+      (Common + OptLive +
+        "SELECT file_id, n_rows, min_ok, max_ok, min_ck, max_ck " +
+        "FROM zovz ORDER BY file_id"))
 }
