@@ -4,12 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.streaming.LedgerArtifacts
 
 /** Join statistics planner (q409): the table a 100 TB deployment
   * reads before picking physical join strategies — per declared FK
   * edge, fact-side volume, key cardinality, worst-key multiplicity,
   * dim-side volume, an exact integer skew factor
-  * (max_mult · n_keys · 1000 div n_rows ≈ 1000 · max/avg), and the
+  * (1000 · max/avg with the divide-first integer arithmetic), and the
   * rule-based recommendation (broadcast the dim when it fits the
   * broadcast budget; salt the shuffle when one key dominates). The
   * q293 FK-edge declaration plus the q294 skew discipline, composed
@@ -17,10 +18,21 @@ import graft.sources.Tables
   * already does by hand (`broadcast()` on every dim below the budget,
   * salting on skewed keys).
   *
-  * 100 TB shape: one key-grain collapse per edge (map-side combined),
-  * #edges rows out — statistics collection is itself a linear pass,
-  * which is why real deployments keep exactly this table as an
-  * artifact.
+  * The CBO loop (r15 verdict #4): the edge stats are a STORED
+  * artifact, not a per-call recompute — collected once per corpus
+  * snapshot (the q477 ANALYZE discipline), committed under the same
+  * fingerprint-freshness contract as the dup-edge artifact, and read
+  * back by every subsequent plan (q409's report, q437's conformance
+  * audit). A corpus change flips the fingerprint and the next call
+  * recollects; JoinPlannerSpec pins build-once, stale-fallback, and
+  * read-path parity with a fresh recompute.
+  *
+  * 100 TB shape: statistics collection is one key-grain collapse per
+  * edge (map-side combined, #edges rows out) — a linear pass a real
+  * deployment schedules, which is exactly why the artifact is stored;
+  * consuming it is a metadata read. The freshness probe here is a
+  * narrow key-column scan per table; a production lakehouse gets the
+  * same signal free from table-format snapshot ids.
   */
 object JoinPlanner {
 
@@ -62,7 +74,14 @@ object JoinPlanner {
         "n_nationkey"))
   }
 
-  def joinStatsPlanner(spark: SparkSession, dir: String): DataFrame = {
+  /** Build counter for the stored stats — spec hook only. */
+  private val statsBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def statsBuildCount: Long = statsBuilds.get
+
+  /** One fresh collection pass: the per-edge stat collapse. */
+  private def collectEdgeStats(spark: SparkSession,
+      dir: String): DataFrame = {
     def edge(name: String, fact: DataFrame, key: String,
         dim: DataFrame): DataFrame = {
       val facts = fact.groupBy(col(key).as("k"))
@@ -82,15 +101,96 @@ object JoinPlanner {
           expr("CASE WHEN fact_keys > 0 THEN (max_mult * 1000L) div " +
             "(fact_rows div fact_keys) ELSE 0L END")
             .as("skew_x1000"))
-        .withColumn("recommend",
-          when(col("dim_rows") <= BroadcastRows,
-            "broadcast_dim")
-            .when(col("skew_x1000") > SkewX1000, "shuffle_salted")
-            .otherwise("shuffle_hash"))
     }
     fkEdges(spark, dir)
       .map { case (name, fact, key, dim, _) => edge(name, fact, key, dim) }
       .reduce(_.unionByName(_))
-      .orderBy(col("relation"))
   }
+
+  /** Combined corpus fingerprint over every key column any edge
+    * reads — narrow scans only; any added/removed/rekeyed row in any
+    * joined table flips it.
+    */
+  private def corpusFingerprint(spark: SparkSession,
+      dir: String): String = {
+    val parts = Seq(
+      ("customer", Tables.customer(spark, dir),
+        Seq("c_custkey", "c_nationkey")),
+      ("events", Tables.events(spark, dir), Seq("user_id")),
+      ("lineitem", Tables.lineitem(spark, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      ("nation", Tables.nation(spark, dir),
+        Seq("n_nationkey", "n_regionkey")),
+      ("orders", Tables.orders(spark, dir),
+        Seq("o_orderkey", "o_custkey")),
+      ("part", Tables.part(spark, dir), Seq("p_partkey")),
+      ("region", Tables.region(spark, dir), Seq("r_regionkey")),
+      ("supplier", Tables.supplier(spark, dir),
+        Seq("s_suppkey", "s_nationkey")))
+    val body = parts.map { case (n, df, cols) =>
+      val (c, h) = LedgerArtifacts.fingerprint(
+        df.select(cols.map(col): _*), cols)
+      s"$n:$c:$h"
+    }.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Committed-and-current check: meta present (commit marker), its
+    * fingerprint matches, the stats table committed.
+    */
+  private def fresh(spark: SparkSession, path: String,
+      fp: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(s"$path/meta/_SUCCESS")) &&
+      fs.exists(new Path(s"$path/stats/_SUCCESS")) && {
+        val m = spark.read.parquet(s"$path/meta").collect()
+        m.length == 1 && m(0).getString(0) == fp
+      }
+  }
+
+  /** The stored edge-stats artifact: read when fresh, recollect and
+    * commit (stats first, meta marker last — a crash leaves a
+    * missing/mismatched meta and the next caller recollects) when the
+    * corpus changed or no artifact exists.
+    */
+  private[graft] def edgeStatsArtifact(spark: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val path = s"${LedgerArtifacts.artifactRoot}/join_stats_" +
+      LedgerArtifacts.dirKey(dir)
+    val fp = corpusFingerprint(spark, dir)
+    if (!fresh(spark, path, fp)) synchronized {
+      if (!fresh(spark, path, fp)) {
+        statsBuilds.incrementAndGet()
+        val t0 = System.nanoTime()
+        val fs = new Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(s"$path/meta"), true)
+        collectEdgeStats(spark, dir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/stats")
+        import spark.implicits._
+        Seq(fp).toDF("fingerprint").coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/meta")
+        graft.ArtifactLog.record("join_stats",
+          (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    spark.read.parquet(s"$path/stats")
+  }
+
+  /** q409: the decision table — stored stats plus the rule-based
+    * recommendation derived at read time (policy thresholds are
+    * code, not data: retuning them must not invalidate the artifact).
+    */
+  def joinStatsPlanner(spark: SparkSession, dir: String): DataFrame =
+    edgeStatsArtifact(spark, dir)
+      .withColumn("recommend",
+        when(col("dim_rows") <= BroadcastRows,
+          "broadcast_dim")
+          .when(col("skew_x1000") > SkewX1000, "shuffle_salted")
+          .otherwise("shuffle_hash"))
+      .orderBy(col("relation"))
 }

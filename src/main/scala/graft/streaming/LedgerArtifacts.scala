@@ -45,8 +45,11 @@ import org.apache.spark.sql.functions._
   */
 object LedgerArtifacts {
 
-  /** JVM-lifetime artifact root (the `Dedup.artifactRoot` contract). */
-  private lazy val artifactRoot: String =
+  /** JVM-lifetime artifact root (the `Dedup.artifactRoot` contract).
+    * Exposed within the library so non-ledger artifacts (the join
+    * planner's stored edge stats) share the same root and lifetime.
+    */
+  private[graft] lazy val artifactRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ROOT", {
       val p = Files.createTempDirectory("graft_ledger_artifact_")
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -55,14 +58,14 @@ object LedgerArtifacts {
     })
 
   /** Stable artifact-key suffix for a fixture dir. */
-  private[streaming] def dirKey(dir: String): String =
+  private[graft] def dirKey(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Order-independent corpus fingerprint over `keyCols` — one narrow
     * scan, never wide columns.
     */
-  private[streaming] def fingerprint(df: DataFrame,
+  private[graft] def fingerprint(df: DataFrame,
       keyCols: Seq[String]): (Long, Long) = {
     val fp = df.agg(count(lit(1)).cast("long").as("n"),
       coalesce(bit_xor(xxhash64(keyCols.map(col): _*)), lit(0L))
