@@ -1402,6 +1402,13 @@ object Registry {
     "q487_optimize_audit" -> ((s, d) => Optimize.optimizeAudit(s, d)),
     "q488_optimize_zonemap" -> ((s, d) =>
       Optimize.optimizeZonemap(s, d)),
+    // block 68: schema evolution beyond adds — declared column
+    // renames absorbed at ingest, int→long widening by union
+    // coercion, old versions never rewritten (r15 verdict #7)
+    "q489_schema_rename_widen_manifest" -> ((s, d) =>
+      graft.streaming.SchemaEvolution.renameWidenManifest(s, d)),
+    "q490_schema_rename_widen_drain" -> ((s, d) =>
+      graft.streaming.SchemaEvolution.renameWidenDrain(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

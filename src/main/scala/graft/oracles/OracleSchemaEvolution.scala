@@ -46,5 +46,28 @@ object OracleSchemaEvolution {
         "AS n_with_rev, " +
         "CAST(SUM(CASE WHEN b >= 1 THEN doc_id % 5 ELSE 0 END) " +
         "AS BIGINT) AS sum_rev " +
-        "FROM sevb GROUP BY source ORDER BY source"))
+        "FROM sevb GROUP BY source ORDER BY source"),
+    // q489: rename+widen manifest — versions 0–1 store n_chars as
+    // int (never rewritten), version 2 commits bigint; the declared
+    // src→source rename fires on batches 1 and 2 only
+    "q489_schema_rename_widen_manifest" ->
+      (s"WITH $sevBatchCtes, " +
+        "sevv AS (SELECT CAST(v AS BIGINT) AS version FROM " +
+        "(VALUES (0), (1), (2)) AS t(v)) " +
+        "SELECT sevv.version, sevv.version AS batch_id, " +
+        "CAST(SUM(CASE WHEN sevb.b <= sevv.version THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_rows, " +
+        "CASE WHEN sevv.version = 2 THEN 'bigint' ELSE 'int' END " +
+        "AS n_chars_type, " +
+        "CAST(CASE WHEN sevv.version = 0 THEN 0 ELSE 1 END AS BIGINT) " +
+        "AS n_renamed_cols " +
+        "FROM sevv CROSS JOIN sevb " +
+        "GROUP BY sevv.version ORDER BY sevv.version"),
+    // q490: rename+widen drain parity — the head state equals the raw
+    // table per source (no rows lost to the rename, no values lost to
+    // the int→long widening)
+    "q490_schema_rename_widen_drain" ->
+      ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars " +
+        "FROM documents GROUP BY source ORDER BY source"))
 }

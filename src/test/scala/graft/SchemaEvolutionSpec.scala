@@ -67,6 +67,43 @@ class SchemaEvolutionSpec extends SparkSpec {
       .select(col("rev").isNull).head().getBoolean(0))
   }
 
+  test("renames map at ingest; int→long widens by coercion; old versions keep int") {
+    val (state, root, renames) =
+      SchemaEvolution.renamedWidenedLedger(spark, sfDir)
+    // the declared src→source mapping fired on batches 1 and 2 only
+    assert(renames === Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
+    // the drifted name never reaches storage
+    val vs = Provenance.committedVersions(spark, root)
+    vs.foreach { case (_, _, path) =>
+      assert(!spark.read.parquet(path).columns.contains("src"))
+    }
+    // widening: v0/v1 keep int forever (never rewritten), v2 is long
+    assert(spark.read.parquet(vs(0)._3).schema("n_chars")
+      .dataType.simpleString === "int")
+    assert(spark.read.parquet(vs(1)._3).schema("n_chars")
+      .dataType.simpleString === "int")
+    assert(state.schema("n_chars").dataType.simpleString === "bigint")
+    // value parity: no row or character lost through rename+widen
+    val want = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(count(lit(1)), sum(col("n_chars"))).head()
+    val got = state.agg(count(lit(1)),
+      sum(col("n_chars"))).head()
+    assert(got.getLong(0) === want.getLong(0))
+    assert(got.getLong(1) === want.getLong(1))
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("a replayed INT batch after the long widening still merges") {
+    // late producer on the old narrow type: long state + int rows
+    val longState = Seq((1L, "s0", 10L)).toDF(
+      "doc_id", "source", "n_chars")
+    val intRows = Seq((2L, "s1", 7)).toDF(
+      "doc_id", "source", "n_chars")
+    val merged = SchemaEvolution.widenMerge(longState, intRows)
+    assert(merged.schema("n_chars").dataType.simpleString === "bigint")
+    assert(merged.agg(sum(col("n_chars"))).head().getLong(0) === 17L)
+  }
+
   test("restart resumes the widened ledger and the replay gate holds") {
     val root = freshRoot()
     val ledgerRoot = s"$root/state"
