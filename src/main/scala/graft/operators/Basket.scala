@@ -68,26 +68,42 @@ object Basket {
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
+  /** The full-corpus affinity pair table as a STORED VIEW (the
+    * maintained-view discipline the retraction family certifies):
+    * built once per corpus under the fingerprint contract, read by
+    * q381, q382, and the q430 certificate's full-corpus expectation.
+    * Fingerprint covers the (order, part) incidence and the brand
+    * dimension — the exact inputs of the grain.
+    */
+  private[graft] def affinityPairsStored(spark: SparkSession,
+      dir: String): DataFrame = {
+    import graft.streaming.LedgerArtifacts
+    val fp = LedgerArtifacts.tableFingerprint(Seq(
+      ("lineitem", Tables.lineitem(spark, dir),
+        Seq("l_orderkey", "l_partkey")),
+      ("part", Tables.part(spark, dir), Seq("p_partkey", "p_brand"))))
+    LedgerArtifacts.sharedTable(spark,
+      s"view_affinity_pairs_${LedgerArtifacts.dirKey(dir)}", fp) {
+      affinityOf(orderBrands(spark, dir, Tables.lineitem(spark, dir)))
+    }
+  }
+
   /** Brand affinity table (q381): every co-ordered brand pair with
-    * support counts and lift.
+    * support counts and lift — served from the stored view.
     */
   def brandAffinity(spark: SparkSession, dir: String): DataFrame =
-    affinityOf(orderBrands(spark, dir, Tables.lineitem(spark, dir)))
+    affinityPairsStored(spark, dir)
       .orderBy(col("brand_a"), col("brand_b"))
 
   /** Top affinities per brand (q382): the symmetrized pair table
     * ranked by lift within each brand, top 3 — deterministic under
-    * ties (partner name breaks them).
+    * ties (partner name breaks them). Reads the stored view, so the
+    * symmetrizing union's two arms are two cheap parquet reads
+    * instead of two pair self-joins.
     */
   def topAffinities(spark: SparkSession, dir: String,
       k: Int = 3): DataFrame = {
-    // barrier: both arms of the symmetrizing union read the pair
-    // table — persist it or the pair self-join plus both marginal
-    // joins execute twice (r13 advice)
-    val pairs = affinityOf(
-      orderBrands(spark, dir, Tables.lineitem(spark, dir))).persist()
-    graft.Caches.onRelease(() =>
-      try pairs.unpersist(false) catch { case _: Throwable => () })
+    val pairs = affinityPairsStored(spark, dir)
     val sym = pairs.select(col("brand_a").as("brand"),
         col("brand_b").as("partner"), col("n_cooc"), col("lift"))
       .unionByName(pairs.select(col("brand_b").as("brand"),

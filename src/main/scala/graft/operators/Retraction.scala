@@ -47,19 +47,42 @@ object Retraction {
     * standard drain. The oracle recomputes Q1 over the retained rows;
     * hash equality IS the proof that the delta algebra is exact.
     */
-  def retractablePricing(spark: SparkSession, dir: String): DataFrame = {
+  /** Combined fingerprint of the retraction views' inputs. */
+  private def viewFingerprint(spark: SparkSession, dir: String,
+      tag: String): String =
+    tag + ":" + graft.streaming.LedgerArtifacts.tableFingerprint(Seq(
+      ("lineitem", Tables.lineitem(spark, dir),
+        Seq("l_orderkey", "l_partkey", "l_quantity")),
+      ("orders", Tables.orders(spark, dir),
+        Seq("o_orderkey", "o_custkey"))))
+
+  /** The maintenance pipeline itself (the delta-merge plan the spec
+    * pins: lineitem reached through a BROADCAST semi-join only).
+    */
+  private[graft] def retractablePricingCompute(spark: SparkSession,
+      dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val base = Analytics.pricingStatOf(li)
     val retracted = Analytics.pricingStatOf(
       li.join(broadcast(erasedOrders(spark, dir)),
         col("l_orderkey") === col("o_orderkey"), "left_semi"))
-    val neg = retracted.select(col("l_returnflag"), col("l_linestatus"),
+    val neg = retracted.select(col("l_returnflag"),
+      col("l_linestatus"),
       (-col("sq")).as("sq"), (-col("sbp")).as("sbp"),
       (-col("sdp")).as("sdp"), (-col("sc")).as("sc"),
       (-col("n")).as("n"))
     Analytics.pricingFinish(
       Analytics.pricingMerge(base.unionByName(neg))
         .filter(col("n") > 0))
+  }
+
+  def retractablePricing(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.LedgerArtifacts
+    LedgerArtifacts.sharedTable(spark,
+      s"view_pricing_retracted_${LedgerArtifacts.dirKey(dir)}",
+      viewFingerprint(spark, dir, "pricing")) {
+      retractablePricingCompute(spark, dir)
+    }.orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   /** Retractable brand affinity (q411): the q381/q384 DISTINCT
@@ -69,9 +92,15 @@ object Retraction {
     * orders.
     */
   def retractableAffinity(spark: SparkSession, dir: String): DataFrame = {
-    val ob = Basket.orderBrands(spark, dir, Tables.lineitem(spark, dir))
-      .join(broadcast(erasedOrders(spark, dir)),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-    Basket.affinityOf(ob).orderBy(col("brand_a"), col("brand_b"))
+    import graft.streaming.LedgerArtifacts
+    LedgerArtifacts.sharedTable(spark,
+      s"view_affinity_retracted_${LedgerArtifacts.dirKey(dir)}",
+      viewFingerprint(spark, dir, "affinity")) {
+      val ob = Basket.orderBrands(spark, dir,
+        Tables.lineitem(spark, dir))
+        .join(broadcast(erasedOrders(spark, dir)),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+      Basket.affinityOf(ob)
+    }.orderBy(col("brand_a"), col("brand_b"))
   }
 }

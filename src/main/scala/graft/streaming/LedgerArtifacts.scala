@@ -126,6 +126,55 @@ object LedgerArtifacts {
     s"$dest/state"
   }
 
+  /** Combined fingerprint over several (name, frame, keyCols) inputs
+    * — for artifacts derived from more than one table.
+    */
+  private[graft] def tableFingerprint(
+      parts: Seq[(String, DataFrame, Seq[String])]): String = {
+    val body = parts.map { case (n, df, cols) =>
+      val (c, h) = fingerprint(df.select(cols.map(col): _*), cols)
+      s"$n:$c:$h"
+    }.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Build-once stored TABLE artifact (the non-ledger variant of
+    * [[shared]]): a derived VIEW a deployment materializes once per
+    * corpus snapshot — read when fresh, rebuilt and committed (table
+    * first, meta marker last) when the fingerprint flipped. Readers
+    * must re-apply their ORDER BY (parquet keeps content, not order).
+    */
+  private[graft] def sharedTable(spark: SparkSession, name: String,
+      fp: String)(build: => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val path = s"$artifactRoot/$name"
+    def isFresh: Boolean = {
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(new Path(s"$path/meta/_SUCCESS")) &&
+        fs.exists(new Path(s"$path/table/_SUCCESS")) && {
+          val m = spark.read.parquet(s"$path/meta").collect()
+          m.length == 1 && m(0).getString(0) == fp
+        }
+    }
+    if (!isFresh) synchronized {
+      if (!isFresh) {
+        val t0 = System.nanoTime()
+        val fs = new Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(s"$path/meta"), true)
+        build.write.mode("overwrite").parquet(s"$path/table")
+        import spark.implicits._
+        Seq(fp).toDF("fingerprint").coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/meta")
+        graft.ArtifactLog.record(s"view:$name",
+          (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    spark.read.parquet(s"$path/table")
+  }
+
   /** Copy a committed ledger (state dir + its `_tombstones` sibling)
     * to a new location — the physical-clone primitive behind
     * [[privateCopy]] and the erased-artifact build.

@@ -24,8 +24,10 @@ class RetractionSpec extends SparkSpec {
   }
 
   test("retraction reaches lineitem through a broadcast join only") {
+    // the BUILD pipeline's plan (the stored-view read that q410 now
+    // serves is joinless by construction)
     val p = preparedPlan(
-      Retraction.retractablePricing(spark, sfDir)).toString
+      Retraction.retractablePricingCompute(spark, sfDir)).toString
     // the erased order set is tiny — a sort-merge join here would be
     // the 100 TB scale-killer this family exists to avoid
     assert(!p.contains("SortMergeJoin"), p.take(2000))
