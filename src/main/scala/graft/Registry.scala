@@ -1409,6 +1409,16 @@ object Registry {
       graft.streaming.SchemaEvolution.renameWidenManifest(s, d)),
     "q490_schema_rename_widen_drain" -> ((s, d) =>
       graft.streaming.SchemaEvolution.renameWidenDrain(s, d)),
+    // block 69: cadence-triggered incremental re-cluster — the q476
+    // staleness row acted on at O(tail) rewrite cost
+    "q491_incremental_recluster" -> ((s, d) =>
+      ZoneMap.incrementalReclusterAudit(s, d)),
+    // block 70: branch merge — a clean rehearsal PROMOTED into the
+    // source via the OCC discipline at branch grain
+    "q492_branch_merge_audit" -> ((s, d) =>
+      graft.streaming.ShallowClone.branchMergeAudit(s, d)),
+    "q493_branch_merge_state" -> ((s, d) =>
+      graft.streaming.ShallowClone.branchMergeState(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

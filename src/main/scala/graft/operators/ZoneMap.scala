@@ -373,6 +373,18 @@ object ZoneMap {
     big.unionByName(merged).orderBy(col("out_file"))
   }
 
+  /** Split orders at the last-OPTIMIZE boundary: (the clustered
+    * prefix = batches 0–1, the appended tail = batch 2).
+    */
+  private def prefixTail(o: DataFrame): (DataFrame, DataFrame) = {
+    val step = o.agg(expr("(max(o_orderkey) + 3L) div 3L").as("step"))
+    val withStep = o.crossJoin(broadcast(step))
+    (withStep.filter(col("o_orderkey") < expr("2L * step"))
+        .drop("step"),
+      withStep.filter(col("o_orderkey") >= expr("2L * step"))
+        .drop("step"))
+  }
+
   /** The stale-cluster layout: batches 0–1 Z-ordered at the time the
     * last OPTIMIZE ran (ranks computed WITHIN that prefix — the only
     * data the job saw), batch 2 appended afterwards in arrival order
@@ -381,19 +393,61 @@ object ZoneMap {
     */
   private def staleZorderFiles(spark: SparkSession,
       o: DataFrame): DataFrame = {
-    val step = o.agg(expr("(max(o_orderkey) + 3L) div 3L").as("step"))
-    val withStep = o.crossJoin(broadcast(step))
-    val optimized = zorderFiles(spark,
-      withStep.filter(col("o_orderkey") < expr("2L * step"))
-        .drop("step"))
-    val tail = withStep.filter(col("o_orderkey") >= expr("2L * step"))
-      .drop("step")
+    val (prefix, tail0) = prefixTail(o)
+    val optimized = zorderFiles(spark, prefix)
+    val tail = tail0
       .withColumn("rn",
         row_number().over(Window.orderBy(col("o_orderkey"))).cast("long"))
       .withColumn("file_id",
         expr(s"5000000L + (rn - 1L) div ${RowsPerFile}L"))
       .select(col("o_orderkey"), col("o_custkey"), col("file_id"))
     optimized.unionByName(tail)
+  }
+
+  /** The INCREMENTAL re-cluster's layout (q491): the clustered prefix
+    * untouched, the appended tail Z-ordered within itself (ranks over
+    * the tail only) into files under a distinct id space. What a
+    * cadence-triggered OPTIMIZE actually rewrites: O(tail), not
+    * O(table).
+    */
+  private def incrementalZorderFiles(spark: SparkSession,
+      o: DataFrame): DataFrame = {
+    val (prefix, tail) = prefixTail(o)
+    zorderFiles(spark, prefix)
+      .unionByName(zorderFiles(spark, tail)
+        .withColumn("file_id", col("file_id") + 7000000L))
+  }
+
+  /** q491: the incremental-recluster decision table — the same
+    * workload against the fresh full re-cluster, the incremental
+    * tail-only one, and doing nothing (stale), WITH each option's
+    * rewrite bill. The row the q476 cadence acts on: the incremental
+    * job recovers most of the skip benefit for a fraction of the
+    * rows rewritten — the reason table formats ship incremental
+    * OPTIMIZE at all.
+    */
+  def incrementalReclusterAudit(spark: SparkSession,
+      dir: String): DataFrame = {
+    val o = orders(spark, dir).persist()
+    val preds = predicates(spark, o).persist()
+    val (_, tail) = prefixTail(o)
+    val nAll = o.agg(count(lit(1)).as("rows_rewritten"))
+    val nTail = tail.agg(count(lit(1)).as("rows_rewritten"))
+    val zero = o.agg(lit(0L).as("rows_rewritten"))
+    def total(layout: String, filed: DataFrame,
+        rewritten: DataFrame): DataFrame =
+      audit(zones(filed), preds, o)
+        .agg(sum(col("files_scanned")).as("files_scanned_total"),
+          sum(col("rows_scanned")).as("rows_scanned_total"))
+        .crossJoin(rewritten)
+        .select(lit(layout).as("layout"), col("files_scanned_total"),
+          col("rows_scanned_total"), col("rows_rewritten"))
+    total("fresh_zorder", zorderFiles(spark, o), nAll)
+      .unionByName(total("incremental",
+        incrementalZorderFiles(spark, o), nTail))
+      .unionByName(total("stale_zorder", staleZorderFiles(spark, o),
+        zero))
+      .orderBy(col("layout"))
   }
 
   /** q476: the staleness audit — the same workload against the fresh

@@ -69,5 +69,23 @@ object OracleGovernance {
         "AS BIGINT), FALSE " +
         "UNION ALL SELECT 3::BIGINT, CAST((SELECT COUNT(*) FROM " +
         "documents WHERE doc_id % 37 <> 0) AS BIGINT), TRUE) " +
-        "ORDER BY version"))
+        "ORDER BY version"),
+    // q492: the merge audit — fork at v2 (the 3-batch drain's head),
+    // the rehearsal's %37 deletes, an unmoved source, a clean merge
+    // committing v3 with the retained row count
+    "q492_branch_merge_audit" ->
+      ("SELECT 2::BIGINT AS fork_version, " +
+        "CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 37 = 0) " +
+        "AS BIGINT) AS n_clone_deletes, " +
+        "0::BIGINT AS n_clone_upserts, 0::BIGINT AS n_source_changes, " +
+        "0::BIGINT AS n_conflicts, 'merged' AS outcome, " +
+        "3::BIGINT AS merged_version, " +
+        "CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 37 <> 0) " +
+        "AS BIGINT) AS merged_rows"),
+    // q493: the merged source head — identical to executing the
+    // erasure on the source directly
+    "q493_branch_merge_state" ->
+      ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents " +
+        "WHERE doc_id % 37 <> 0 GROUP BY source ORDER BY source"))
 }

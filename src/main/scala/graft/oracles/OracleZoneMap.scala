@@ -133,6 +133,83 @@ object OracleZoneMap {
       "MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck " +
       "FROM zovf GROUP BY file_id) "
 
+  /** Stale-layout CTEs (q476/q491): the batch 0-1 prefix Z-ordered
+    * within itself, the batch-2 tail appended linear, zones + audit.
+    * Appends to [[Common]]'s WITH.
+    */
+  private val StaleCtes =
+        ", zmsa2 AS (SELECT * FROM zmo WHERE o_orderkey < 2 * " +
+        "(SELECT step FROM zms)), " +
+        "zmsb2 AS (SELECT * FROM zmo WHERE o_orderkey >= 2 * " +
+        "(SELECT step FROM zms)), " +
+        "zmna2 AS (SELECT COUNT(*) AS n FROM zmsa2), " +
+        "zmar2 AS (SELECT o_orderkey, o_custkey, " +
+        "((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) * 65536) // " +
+        "(SELECT n FROM zmna2) AS xb, " +
+        "((ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey) - 1) * " +
+        "65536) // (SELECT n FROM zmna2) AS yb FROM zmsa2), " +
+        "zmaz2 AS (SELECT r.o_orderkey, r.o_custkey, " +
+        "CAST(SUM(((r.xb // b.p2) % 2) * b.p4 + ((r.yb // b.p2) % 2) " +
+        "* 2 * b.p4) AS BIGINT) AS zval FROM zmar2 r, zmb b " +
+        "GROUP BY 1, 2, r.xb, r.yb), " +
+        "zmstf AS (SELECT o_orderkey, o_custkey, " +
+        "(ROW_NUMBER() OVER (ORDER BY zval, o_orderkey) - 1) // 256 " +
+        "AS file_id FROM zmaz2 " +
+        "UNION ALL SELECT o_orderkey, o_custkey, 5000000 + " +
+        "(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) // 256 " +
+        "FROM zmsb2), " +
+        "zmstz AS (SELECT file_id, CAST(COUNT(*) AS BIGINT) AS " +
+        "n_rows, MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS " +
+        "max_ok, MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck " +
+        "FROM zmstf GROUP BY file_id), " +
+        "zmsta AS (SELECT p.pred_id, " +
+        "CAST(SUM(CASE WHEN (CASE WHEN p.pred_col='o_orderkey' THEN " +
+        "z.max_ok ELSE z.max_ck END) >= p.lo AND (CASE WHEN " +
+        "p.pred_col='o_orderkey' THEN z.min_ok ELSE z.min_ck END) <= " +
+        "p.hi THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned, " +
+        "CAST(SUM(CASE WHEN (CASE WHEN p.pred_col='o_orderkey' THEN " +
+        "z.max_ok ELSE z.max_ck END) >= p.lo AND (CASE WHEN " +
+        "p.pred_col='o_orderkey' THEN z.min_ok ELSE z.min_ck END) <= " +
+        "p.hi THEN z.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned " +
+        "FROM zmstz z, zmpd p GROUP BY p.pred_id) "
+
+  /** Incremental-recluster CTEs (q491): the tail Z-ordered within
+    * itself (ranks over the tail only), unioned with the untouched
+    * prefix files; zones + audit. Appends to [[StaleCtes]]'s WITH.
+    */
+  private val IncrCtes =
+    ", zitn AS (SELECT COUNT(*) AS n FROM zmsb2), " +
+      "zitr AS (SELECT o_orderkey, o_custkey, " +
+      "((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) * 65536) // " +
+      "(SELECT n FROM zitn) AS xb, " +
+      "((ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey) - 1) * " +
+      "65536) // (SELECT n FROM zitn) AS yb FROM zmsb2), " +
+      "zitz AS (SELECT r.o_orderkey, r.o_custkey, " +
+      "CAST(SUM(((r.xb // b.p2) % 2) * b.p4 + ((r.yb // b.p2) % 2) * " +
+      "2 * b.p4) AS BIGINT) AS zval " +
+      "FROM zitr r, zmb b GROUP BY r.o_orderkey, r.o_custkey, r.xb, " +
+      "r.yb), " +
+      "zitf AS (SELECT o_orderkey, o_custkey, " +
+      "(ROW_NUMBER() OVER (ORDER BY zval, o_orderkey) - 1) // 256 AS " +
+      "file_id FROM zmaz2 " +
+      "UNION ALL SELECT o_orderkey, o_custkey, 7000000 + " +
+      "(ROW_NUMBER() OVER (ORDER BY zval, o_orderkey) - 1) // 256 " +
+      "FROM zitz), " +
+      "zicz AS (SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+      "MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS max_ok, " +
+      "MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck " +
+      "FROM zitf GROUP BY file_id), " +
+      "zica AS (SELECT p.pred_id, " +
+      "CAST(SUM(CASE WHEN (CASE WHEN p.pred_col='o_orderkey' THEN " +
+      "z.max_ok ELSE z.max_ck END) >= p.lo AND (CASE WHEN " +
+      "p.pred_col='o_orderkey' THEN z.min_ok ELSE z.min_ck END) <= " +
+      "p.hi THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned, " +
+      "CAST(SUM(CASE WHEN (CASE WHEN p.pred_col='o_orderkey' THEN " +
+      "z.max_ok ELSE z.max_ck END) >= p.lo AND (CASE WHEN " +
+      "p.pred_col='o_orderkey' THEN z.min_ok ELSE z.min_ck END) <= " +
+      "p.hi THEN z.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned " +
+      "FROM zicz z, zmpd p GROUP BY p.pred_id) "
+
   val sql: Map[String, String] = Map(
     // q439: the per-file zone-map relation under the linear layout
     "q439_zonemap_stats" ->
@@ -205,41 +282,7 @@ object OracleZoneMap {
     // number (stale = prefix z-ordered with ranks within batches 0–1,
     // batch 2 appended linear)
     "q476_zorder_staleness" ->
-      (Common +
-        ", zmsa2 AS (SELECT * FROM zmo WHERE o_orderkey < 2 * " +
-        "(SELECT step FROM zms)), " +
-        "zmsb2 AS (SELECT * FROM zmo WHERE o_orderkey >= 2 * " +
-        "(SELECT step FROM zms)), " +
-        "zmna2 AS (SELECT COUNT(*) AS n FROM zmsa2), " +
-        "zmar2 AS (SELECT o_orderkey, o_custkey, " +
-        "((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) * 65536) // " +
-        "(SELECT n FROM zmna2) AS xb, " +
-        "((ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey) - 1) * " +
-        "65536) // (SELECT n FROM zmna2) AS yb FROM zmsa2), " +
-        "zmaz2 AS (SELECT r.o_orderkey, r.o_custkey, " +
-        "CAST(SUM(((r.xb // b.p2) % 2) * b.p4 + ((r.yb // b.p2) % 2) " +
-        "* 2 * b.p4) AS BIGINT) AS zval FROM zmar2 r, zmb b " +
-        "GROUP BY 1, 2, r.xb, r.yb), " +
-        "zmstf AS (SELECT o_orderkey, o_custkey, " +
-        "(ROW_NUMBER() OVER (ORDER BY zval, o_orderkey) - 1) // 256 " +
-        "AS file_id FROM zmaz2 " +
-        "UNION ALL SELECT o_orderkey, o_custkey, 5000000 + " +
-        "(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) // 256 " +
-        "FROM zmsb2), " +
-        "zmstz AS (SELECT file_id, CAST(COUNT(*) AS BIGINT) AS " +
-        "n_rows, MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS " +
-        "max_ok, MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck " +
-        "FROM zmstf GROUP BY file_id), " +
-        "zmsta AS (SELECT p.pred_id, " +
-        "CAST(SUM(CASE WHEN (CASE WHEN p.pred_col='o_orderkey' THEN " +
-        "z.max_ok ELSE z.max_ck END) >= p.lo AND (CASE WHEN " +
-        "p.pred_col='o_orderkey' THEN z.min_ok ELSE z.min_ck END) <= " +
-        "p.hi THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned, " +
-        "CAST(SUM(CASE WHEN (CASE WHEN p.pred_col='o_orderkey' THEN " +
-        "z.max_ok ELSE z.max_ck END) >= p.lo AND (CASE WHEN " +
-        "p.pred_col='o_orderkey' THEN z.min_ok ELSE z.min_ck END) <= " +
-        "p.hi THEN z.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned " +
-        "FROM zmstz z, zmpd p GROUP BY p.pred_id) " +
+      (Common + StaleCtes +
         "SELECT * FROM (" +
         "SELECT 'fresh_zorder' AS layout, CAST(SUM(files_scanned) AS " +
         "BIGINT) AS files_scanned_total, CAST(SUM(rows_scanned) AS " +
@@ -307,5 +350,23 @@ object OracleZoneMap {
     "q488_optimize_zonemap" ->
       (Common + OptLive +
         "SELECT file_id, n_rows, min_ok, max_ok, min_ck, max_ck " +
-        "FROM zovz ORDER BY file_id"))
+        "FROM zovz ORDER BY file_id"),
+    // q491: incremental re-cluster decision table — fresh vs
+    // tail-only vs stale, each with its rewrite bill
+    "q491_incremental_recluster" ->
+      (Common + StaleCtes + IncrCtes +
+        "SELECT * FROM (" +
+        "SELECT 'fresh_zorder' AS layout, " +
+        "CAST(SUM(files_scanned) AS BIGINT) AS files_scanned_total, " +
+        "CAST(SUM(rows_scanned) AS BIGINT) AS rows_scanned_total, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zmo) AS rows_rewritten " +
+        "FROM zmza " +
+        "UNION ALL SELECT 'incremental', " +
+        "CAST(SUM(files_scanned) AS BIGINT), " +
+        "CAST(SUM(rows_scanned) AS BIGINT), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zmsb2) FROM zica " +
+        "UNION ALL SELECT 'stale_zorder', " +
+        "CAST(SUM(files_scanned) AS BIGINT), " +
+        "CAST(SUM(rows_scanned) AS BIGINT), 0::BIGINT FROM zmsta) " +
+        "ORDER BY layout"))
 }

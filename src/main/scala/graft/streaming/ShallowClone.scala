@@ -165,6 +165,160 @@ object ShallowClone {
       .orderBy(col("side"))
   }
 
+  /** The merge outcome (q492's row). */
+  private[graft] final case class MergeResult(
+      forkVersion: Long, nCloneDeletes: Long, nCloneUpserts: Long,
+      nSourceChanges: Long, nConflicts: Long, outcome: String,
+      mergedVersion: Long, mergedRows: Long)
+
+  /** Merge the clone's owned delta back into its source (q492–q493):
+    * the branch workflow's missing second half — a rehearsal that
+    * SUCCEEDED gets promoted instead of re-executed. The protocol is
+    * the OCC discipline at branch grain:
+    *
+    *  1. the clone's change set is computed against its FORK point
+    *     (the highest referenced, non-owned version): key deletes
+    *     (fork ∖ head) and value upserts (new or changed rows);
+    *  2. it is conflict-checked against everything the SOURCE
+    *     committed since the fork (stored change sets when declared,
+    *     diff fallback — [[Occ]]'s changesSince shape). Overlap →
+    *     abort: the rehearsal must be re-run on a fresh branch;
+    *  3. disjoint → the delta re-applies onto the source head and
+    *     commits as the source's next version, change set staged
+    *     inside and landed by one rename (the CDF-visible commit).
+    *
+    * The target MUTATES, so the fixture merges into a PRIVATE copy of
+    * the drained registry ledger, never the shared artifact.
+    *
+    * 100 TB shape: the delta is key-grain (≤ branch writes), the
+    * conflict check reads change-set metadata, the merge commit is
+    * the one rewrite the branch was for, and the claim is one rename.
+    */
+  private[graft] def merge(spark: SparkSession, sourceRoot: String,
+      cloneRoot: String): MergeResult = {
+    import org.apache.hadoop.fs.Path
+    val r = refs(spark, cloneRoot).collect()
+    val forkVersion = r.filter(!_.getAs[Boolean]("owned"))
+      .map(_.getAs[Long]("version")).max
+    val forkPath = r.find(x => x.getAs[Long]("version") == forkVersion)
+      .get.getAs[String]("path")
+    val fork = spark.read.parquet(forkPath)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val head = spark.read.parquet(headPath(spark, cloneRoot))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val deletes = fork.join(head.select(col("doc_id")), Seq("doc_id"),
+      "left_anti").persist()
+    val upserts = head.join(
+        fork.select(col("doc_id"), col("source").as("f_source"),
+          col("n_chars").as("f_chars")), Seq("doc_id"), "left")
+      .filter(col("f_source").isNull ||
+        col("f_source") =!= col("source") ||
+        col("f_chars") =!= col("n_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars")).persist()
+    val nDeletes = deletes.count()
+    val nUpserts = upserts.count()
+    // what the source committed past the fork — stored change sets
+    // first, diff fallback for undeclared versions
+    val srcVersions = Provenance.committedVersions(spark, sourceRoot)
+    val after = srcVersions.filter(_._1 > forkVersion)
+    val srcChanged =
+      if (after.isEmpty) None
+      else Some(after.map { case (v, _, path) =>
+        if (Provenance.hasCommittedChangeset(spark, path))
+          spark.read.parquet(s"$path/_changeset").select(col("doc_id"))
+        else {
+          val parent = srcVersions.filter(_._1 < v).maxBy(_._1)._3
+          val prev = spark.read.parquet(parent)
+            .select(col("doc_id"), col("n_chars").as("p_chars"))
+          spark.read.parquet(path).select(col("doc_id"), col("n_chars"))
+            .join(prev, Seq("doc_id"), "full_outer")
+            .filter(col("p_chars").isNull || col("n_chars").isNull ||
+              col("p_chars") =!= col("n_chars"))
+            .select(col("doc_id"))
+        }
+      }.reduce(_.unionByName(_)).distinct().persist())
+    val nSrcChanges = srcChanged.map(_.count()).getOrElse(0L)
+    val branchKeys = deletes.select(col("doc_id"))
+      .unionByName(upserts.select(col("doc_id")))
+    val nConflicts = srcChanged
+      .map(_.join(branchKeys, Seq("doc_id"), "inner").count())
+      .getOrElse(0L)
+    if (nConflicts > 0L) {
+      deletes.unpersist(false); upserts.unpersist(false)
+      srcChanged.foreach(_.unpersist(false))
+      return MergeResult(forkVersion, nDeletes, nUpserts, nSrcChanges,
+        nConflicts, "aborted", -1L, -1L)
+    }
+    val (v, b, srcHeadPath) = srcVersions.maxBy(_._1)
+    val merged = spark.read.parquet(srcHeadPath)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(branchKeys), Seq("doc_id"), "left_anti")
+      .unionByName(upserts)
+    val dest = s"$sourceRoot/b${v + 1}_$b"
+    val staging = s"$sourceRoot/_staging_b${v + 1}_${b}_merge"
+    merged.write.mode("overwrite").parquet(staging)
+    deletes.withColumn("change_type", lit("delete"))
+      .unionByName(upserts.withColumn("change_type", lit("upsert")))
+      .select(col("change_type"), col("doc_id"), col("source"),
+        col("n_chars"))
+      .write.mode("overwrite").parquet(s"$staging/_changeset")
+    val fs = new Path(sourceRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(dest)) ||
+        !fs.rename(new Path(staging), new Path(dest)))
+      sys.error(s"branch merge commit failed: rename($staging -> $dest)")
+    val mergedRows = spark.read.parquet(dest).count()
+    deletes.unpersist(false); upserts.unpersist(false)
+    srcChanged.foreach(_.unpersist(false))
+    MergeResult(forkVersion, nDeletes, nUpserts, nSrcChanges, 0L,
+      "merged", v + 1, mergedRows)
+  }
+
+  /** The merge fixture: a PRIVATE drained-registry copy as source,
+    * clone, %37 rehearsal on the branch, merge back.
+    */
+  private[graft] def mergedRehearsal(spark: SparkSession,
+      dir: String): (MergeResult, String) = {
+    val sourceRoot = Erasure.registryLedgerDrained(spark, dir)
+    val cloneRoot = clone(spark, sourceRoot)
+    val head = spark.read.parquet(headPath(spark, cloneRoot))
+    commitOwned(spark, cloneRoot,
+      head.filter(col("doc_id") % 37 =!= 0))
+    (merge(spark, sourceRoot, cloneRoot), sourceRoot)
+  }
+
+  /** q492: the merge audit — fork point, branch delta sizes, source
+    * movement since the fork, conflicts, verdict, and the merged
+    * version's row count. The deterministic fixture: fork at v2,
+    * the %37 rehearsal's deletes, an unmoved source, a clean merge
+    * committing v3.
+    */
+  def branchMergeAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (res, _) = mergedRehearsal(spark, dir)
+    Seq((res.forkVersion, res.nCloneDeletes, res.nCloneUpserts,
+        res.nSourceChanges, res.nConflicts, res.outcome,
+        res.mergedVersion, res.mergedRows))
+      .toDF("fork_version", "n_clone_deletes", "n_clone_upserts",
+        "n_source_changes", "n_conflicts", "outcome",
+        "merged_version", "merged_rows")
+  }
+
+  /** q493: the merged source head per source group — the rehearsal's
+    * outcome PROMOTED: identical to executing the erasure on the
+    * source directly (the oracle recomputes that form).
+    */
+  def branchMergeState(spark: SparkSession, dir: String): DataFrame = {
+    val (res, sourceRoot) = mergedRehearsal(spark, dir)
+    require(res.outcome == "merged", s"fixture merge ${res.outcome}")
+    val head = Provenance.committedVersions(spark, sourceRoot)
+      .maxBy(_._1)._3
+    spark.read.parquet(head)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("source"))
+  }
+
   /** q475: the storage-sharing audit — per version visible to the
     * clone: row count and whether the bytes are referenced (shared
     * with the source) or owned (the branch's own delta). Exactly one

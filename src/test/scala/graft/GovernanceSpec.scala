@@ -76,4 +76,31 @@ class GovernanceSpec extends SparkSpec {
     assert(err.getMessage.contains("no committed refs generation"))
     Caches.releaseAll(spark)
   }
+
+  test("branch merge aborts when the source moved over the branch's keys") {
+    val sourceRoot = graft.streaming.Erasure
+      .registryLedgerDrained(spark, sfDir)
+    val cloneRoot = ShallowClone.clone(spark, sourceRoot)
+    val head = spark.read
+      .parquet(ShallowClone.headPath(spark, cloneRoot))
+    ShallowClone.commitOwned(spark, cloneRoot,
+      head.filter(col("doc_id") % 37 =!= 0))
+    // the source commits a change OVERLAPPING the branch's delete set
+    // after the fork (a %37 doc's n_chars bumped) — the merge must
+    // abort with the overlap counted, and commit nothing
+    val vs = graft.streaming.Provenance
+      .committedVersions(spark, sourceRoot)
+    val (v, b, path) = vs.maxBy(_._1)
+    spark.read.parquet(path)
+      .withColumn("n_chars",
+        when(col("doc_id") % 37 === 0, col("n_chars") + 1L)
+          .otherwise(col("n_chars")))
+      .write.parquet(s"$sourceRoot/b${v + 1}_$b")
+    val res = ShallowClone.merge(spark, sourceRoot, cloneRoot)
+    assert(res.outcome === "aborted")
+    assert(res.nConflicts > 0L)
+    assert(graft.streaming.Provenance
+      .committedVersions(spark, sourceRoot).map(_._1).max === v + 1)
+    Caches.releaseAll(spark)
+  }
 }
