@@ -1419,6 +1419,12 @@ object Registry {
       graft.streaming.ShallowClone.branchMergeAudit(s, d)),
     "q493_branch_merge_state" -> ((s, d) =>
       graft.streaming.ShallowClone.branchMergeState(s, d)),
+    // block 71: unified AS OF (version + batch axes) composed with
+    // the RLS/masking layer
+    "q494_asof_governed_balances" -> ((s, d) =>
+      graft.streaming.TimeTravel.asOfGovernedBalances(s, d)),
+    "q495_asof_batch_registry" -> ((s, d) =>
+      graft.streaming.TimeTravel.asOfBatchRegistry(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

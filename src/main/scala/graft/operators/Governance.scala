@@ -30,6 +30,18 @@ import graft.sources.Tables
   */
 object Governance {
 
+  /** The region grants of one role — the RLS predicate other layers
+    * (the q494 time-travel composition) broadcast into their scans.
+    */
+  private[graft] def grantedRegions(spark: SparkSession,
+      role: String): DataFrame =
+    policy(spark).filter(col("role") === role).select(col("region"))
+
+  /** Customer → region mapping (shared with the q494 composition). */
+  private[graft] def customerRegions(spark: SparkSession,
+      dir: String): DataFrame =
+    customers(spark, dir).select(col("c_custkey"), col("region"))
+
   /** (role, region grant, mask flags) — the policy catalog. */
   private def policy(spark: SparkSession): DataFrame = {
     import spark.implicits._

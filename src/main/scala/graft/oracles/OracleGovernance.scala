@@ -87,5 +87,30 @@ object OracleGovernance {
     "q493_branch_merge_state" ->
       ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
         "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents " +
-        "WHERE doc_id % 37 <> 0 GROUP BY source ORDER BY source"))
+        "WHERE doc_id % 37 <> 0 GROUP BY source ORDER BY source"),
+    // q494: the OCC ledger AS OF v1 (writer A's +7 only) released to
+    // analyst_eu — regions 0–1, keys tokenized, balances clear
+    "q494_asof_governed_balances" ->
+      ("WITH ttb AS (SELECT CAST(o_custkey AS BIGINT) AS c_custkey, " +
+        "CAST(COUNT(*) AS BIGINT) AS base_n FROM orders GROUP BY 1), " +
+        "ttr AS (SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, " +
+        "CAST(n.n_regionkey AS BIGINT) AS region FROM customer c " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey) " +
+        "SELECT md5('nm|' || CAST(b.c_custkey AS VARCHAR)) AS " +
+        "name_token, r.region, " +
+        "CAST(b.base_n + CASE WHEN b.c_custkey % 3 = 0 THEN 7 ELSE 0 " +
+        "END AS BIGINT) AS n_orders " +
+        "FROM ttb b JOIN ttr r ON b.c_custkey = r.c_custkey " +
+        "WHERE r.region IN (0, 1) ORDER BY name_token"),
+    // q495: the registry AS OF batch 1 — exactly batches 0–1 of the
+    // deterministic id-range split
+    "q495_asof_batch_registry" ->
+      ("WITH ttm AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi " +
+        "FROM documents), " +
+        "ttd AS (SELECT d.source, CAST(d.n_chars AS BIGINT) AS " +
+        "n_chars, LEAST((d.doc_id - m.lo) // ((m.hi - m.lo + 3) // 3)" +
+        ", 2) AS b FROM documents d, ttm m) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM ttd " +
+        "WHERE b <= 1 GROUP BY source ORDER BY source"))
 }

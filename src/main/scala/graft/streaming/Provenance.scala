@@ -216,23 +216,48 @@ object Provenance {
       .withColumn("state_batch", lit(b))
   }
 
-  /** Version-pinned time travel (q358): the per-source state AS OF an
-    * earlier version — reproducing yesterday's numbers from today's
-    * ledger, the actual USE of keeping versions. Version `version`
-    * holds exactly batches 0..version of the deterministic split, so
-    * the oracle is the same report with the id-range predicate.
-    * A missing version fails loudly — silently answering from a
-    * different version is the one wrong behavior here.
+  /** The unified AS OF read, version axis: the pinned committed
+    * version of ANY versioned-ledger root. A missing version fails
+    * loudly — silently answering from a different version is the one
+    * wrong behavior here (and a vacuumed version MUST fail: that is
+    * q429's physical-erasure guarantee).
     */
-  def stateAsOfVersion(spark: SparkSession, dir: String,
-      version: Long = 1L): DataFrame = {
-    val (_, root) = splitLedger(spark, dir, "asof_version",
-      Seq("source"), sourceCounts)
+  def ledgerAsOf(spark: SparkSession, root: String,
+      version: Long): DataFrame = {
     val path = committedVersions(spark, root).find(_._1 == version)
       .map(_._3)
       .getOrElse(sys.error(
         s"state version $version is not committed under $root"))
     spark.read.parquet(path)
+  }
+
+  /** The unified AS OF read, batch axis: the highest committed
+    * version whose source micro-batch id is ≤ `batch` — "the state
+    * as of stream position b", the axis an operator replaying an
+    * upstream incident actually has. Rewrite versions carry their
+    * retired version's batch id, so the answer reflects every
+    * rewrite that position has absorbed.
+    */
+  def ledgerAsOfBatch(spark: SparkSession, root: String,
+      batch: Long): DataFrame = {
+    val vs = committedVersions(spark, root).filter(_._2 <= batch)
+    if (vs.isEmpty)
+      sys.error(s"no committed version at or before batch $batch " +
+        s"under $root")
+    spark.read.parquet(vs.maxBy(_._1)._3)
+  }
+
+  /** Version-pinned time travel (q358): the per-source state AS OF an
+    * earlier version — reproducing yesterday's numbers from today's
+    * ledger, the actual USE of keeping versions. Version `version`
+    * holds exactly batches 0..version of the deterministic split, so
+    * the oracle is the same report with the id-range predicate.
+    */
+  def stateAsOfVersion(spark: SparkSession, dir: String,
+      version: Long = 1L): DataFrame = {
+    val (_, root) = splitLedger(spark, dir, "asof_version",
+      Seq("source"), sourceCounts)
+    ledgerAsOf(spark, root, version)
       .select(col("source"), col("cnt").as("n_docs"))
       .orderBy(col("source"))
   }
