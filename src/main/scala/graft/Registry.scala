@@ -1425,6 +1425,23 @@ object Registry {
       graft.streaming.TimeTravel.asOfGovernedBalances(s, d)),
     "q495_asof_batch_registry" -> ((s, d) =>
       graft.streaming.TimeTravel.asOfBatchRegistry(s, d)),
+    // block 72: commit-time contract enforcement — the 'error' rule
+    // gates the fold, violations quarantine to a dead-letter ledger
+    "q496_gated_commit_manifest" -> ((s, d) =>
+      graft.streaming.GatedCommit.gatedCommitManifest(s, d)),
+    "q497_dead_letter_census" -> ((s, d) =>
+      graft.streaming.GatedCommit.deadLetterCensus(s, d)),
+    // block 73: changelog compaction — the net change set a
+    // bootstrapping consumer applies instead of the full history
+    "q498_cdf_net_changes" -> ((s, d) =>
+      graft.streaming.ChangeFeed.cdfNetChanges(s, d)),
+    // block 74: orphan detection + GC beside vacuum — crashed-writer
+    // strands and stray files classified, then removed, committed
+    // versions provably intact
+    "q499_orphan_audit" -> ((s, d) =>
+      graft.streaming.Orphans.orphanAudit(s, d)),
+    "q500_orphan_gc_state" -> ((s, d) =>
+      graft.streaming.Orphans.orphanGcState(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

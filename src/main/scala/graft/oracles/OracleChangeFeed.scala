@@ -64,5 +64,16 @@ object OracleChangeFeed {
         "UNION ALL SELECT 3::BIGINT, " +
         "(SELECT COUNT(*) FROM cfb WHERE doc_id % 37 = 0), " +
         "(SELECT COUNT(*) FROM cfb WHERE doc_id % 37 = 0), TRUE) " +
-        "ORDER BY version"))
+        "ORDER BY version"),
+    // q498: the net change set v0 → head — inserts that survived the
+    // erasure (batches 1–2, % 37 ≠ 0), deletes of v0-resident keys
+    // (batch 0, % 37 = 0); insert-then-delete pairs net to nothing
+    "q498_cdf_net_changes" ->
+      (RegistryBase +
+        "SELECT * FROM (" +
+        "SELECT 'insert' AS change_type, doc_id, source, n_chars " +
+        "FROM cfb WHERE batch >= 1 AND doc_id % 37 <> 0 " +
+        "UNION ALL SELECT 'delete', doc_id, source, n_chars " +
+        "FROM cfb WHERE batch = 0 AND doc_id % 37 = 0) " +
+        "ORDER BY change_type, doc_id"))
 }

@@ -139,5 +139,34 @@ object OracleContracts {
     // q393: the gate off MAINTAINED documents state (completeness
     // cells, key-grain counts, rule cells all merge exactly), so the
     // batch gate's SQL is the oracle verbatim under any batching
-    "q393_streaming_contract_gate" -> gateSql)
+    "q393_streaming_contract_gate" -> gateSql,
+    // q496: gated-commit manifest — per stream position, the
+    // cumulative committed/quarantined split of the n_chars>=100
+    // rule and the INDEPENDENT arrival count (id-range prefix); a
+    // row routed to the wrong side breaks the engine's sum here
+    "q496_gated_commit_manifest" ->
+      ("WITH gcm AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi " +
+        "FROM documents), " +
+        "gcd AS (SELECT d.*, LEAST((d.doc_id - m.lo) // " +
+        "((m.hi - m.lo + 3) // 3), 2) AS b FROM documents d, gcm m), " +
+        "gcv AS (SELECT CAST(v AS BIGINT) AS version FROM " +
+        "(VALUES (0), (1), (2)) t(v)) " +
+        "SELECT gcv.version, gcv.version AS batch_id, " +
+        "CAST(SUM(CASE WHEN gcd.b <= gcv.version AND " +
+        "gcd.n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS " +
+        "n_committed, " +
+        "CAST(SUM(CASE WHEN gcd.b <= gcv.version AND " +
+        "gcd.n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS " +
+        "n_quarantined, " +
+        "CAST(SUM(CASE WHEN gcd.b <= gcv.version THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_arrived " +
+        "FROM gcv CROSS JOIN gcd GROUP BY gcv.version " +
+        "ORDER BY gcv.version"),
+    // q497: the dead-letter census — what the gate refused, per
+    // source, with the violated rule
+    "q497_dead_letter_census" ->
+      ("SELECT source, 'n_chars>=100' AS rule, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents " +
+        "WHERE n_chars < 100 GROUP BY source ORDER BY source"))
 }

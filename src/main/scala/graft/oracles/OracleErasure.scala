@@ -194,5 +194,39 @@ object OracleErasure {
         "SELECT n_edges_before, n_incident_before, n_edges_after, " +
         "n_incident_after, " +
         "(n_edges_after = n_edges_before - n_incident_before) " +
-        "AS conserved FROM ersx"))
+        "AS conserved FROM ersx"),
+    // q499: the orphan audit — three committed batch prefixes, the
+    // planted markerless strand (a v0 copy), the planted stray file
+    "q499_orphan_audit" ->
+      ("WITH orpm AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi " +
+        "FROM documents), " +
+        "orpd AS (SELECT LEAST((d.doc_id - m.lo) // " +
+        "((m.hi - m.lo + 3) // 3), 2) AS b FROM documents d, orpm m) " +
+        "SELECT * FROM (" +
+        "SELECT 'b0_0' AS entry, 'committed_version' AS kind, " +
+        "CAST((SELECT COUNT(*) FROM orpd WHERE b = 0) AS BIGINT) " +
+        "AS n_rows " +
+        "UNION ALL SELECT 'b1_1', 'committed_version', " +
+        "CAST((SELECT COUNT(*) FROM orpd WHERE b <= 1) AS BIGINT) " +
+        "UNION ALL SELECT 'b2_2', 'committed_version', " +
+        "CAST((SELECT COUNT(*) FROM orpd) AS BIGINT) " +
+        "UNION ALL SELECT 'b9_9', 'orphan_uncommitted', " +
+        "CAST((SELECT COUNT(*) FROM orpd WHERE b = 0) AS BIGINT) " +
+        "UNION ALL SELECT 'tmp_export_stray', 'orphan_foreign', " +
+        "0::BIGINT) ORDER BY entry"),
+    // q500: post-GC — orphans gone, committed versions intact
+    "q500_orphan_gc_state" ->
+      ("WITH orpm AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi " +
+        "FROM documents), " +
+        "orpd AS (SELECT LEAST((d.doc_id - m.lo) // " +
+        "((m.hi - m.lo + 3) // 3), 2) AS b FROM documents d, orpm m) " +
+        "SELECT * FROM (" +
+        "SELECT 'b0_0' AS entry, 'committed_version' AS kind, " +
+        "CAST((SELECT COUNT(*) FROM orpd WHERE b = 0) AS BIGINT) " +
+        "AS n_rows " +
+        "UNION ALL SELECT 'b1_1', 'committed_version', " +
+        "CAST((SELECT COUNT(*) FROM orpd WHERE b <= 1) AS BIGINT) " +
+        "UNION ALL SELECT 'b2_2', 'committed_version', " +
+        "CAST((SELECT COUNT(*) FROM orpd) AS BIGINT)) " +
+        "ORDER BY entry"))
 }

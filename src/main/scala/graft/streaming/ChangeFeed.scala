@@ -187,6 +187,36 @@ object ChangeFeed {
       .orderBy(col("source"))
   }
 
+  /** q498: changelog compaction — the NET change set across the whole
+    * feed (v0 → head): a key inserted and later deleted nets to
+    * NOTHING; a surviving insert stays an insert; a delete of a
+    * v0-resident key stays a delete. A consumer bootstrapping from
+    * position 0 applies this set instead of the full history —
+    * O(net) rows, the Kafka-compacted-topic / Delta-checkpoint move
+    * on the stored feed. One key netted wrong (a resurrected
+    * insert+delete pair, a dropped v0 delete) breaks the oracle hash.
+    */
+  def cdfNetChanges(spark: SparkSession, dir: String): DataFrame = {
+    val (_, root) = Erasure.erasedRegistryLedgerShared(spark, dir)
+    val feed = feedFromRegistry(spark, root).persist()
+    graft.Caches.onRelease(() =>
+      try feed.unpersist(false) catch { case _: Throwable => () })
+    val ins = feed.filter(col("change_type") === "insert")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val del = feed.filter(col("change_type") === "delete")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val netIns = ins
+      .join(del.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(lit("insert").as("change_type"), col("doc_id"),
+        col("source"), col("n_chars"))
+    val netDel = del
+      .join(ins.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(lit("delete").as("change_type"), col("doc_id"),
+        col("source"), col("n_chars"))
+    netIns.unionByName(netDel)
+      .orderBy(col("change_type"), col("doc_id"))
+  }
+
   /** q454: the consumer-side replay — apply the feed version by
     * version to the v0 snapshot and return the reconstruction, which
     * must equal the ledger's final version row-for-row (the oracle

@@ -70,6 +70,30 @@ class ChangeFeedSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("net change set bootstraps a consumer to the exact head") {
+    val net = ChangeFeed.cdfNetChanges(spark, sfDir).persist()
+    // apply the net set to the v0 snapshot: one anti-join + one union
+    val root: String =
+      graft.streaming.Erasure.registryLedgerShared(spark, sfDir)
+    val v0 = spark.read.parquet(graft.streaming.Provenance
+        .committedVersions(spark, root).head._3)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val dels = net.filter(col("change_type") === "delete")
+      .select(col("doc_id"))
+    val ins = net.filter(col("change_type") === "insert")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val boot = v0.join(dels, Seq("doc_id"), "left_anti")
+      .unionByName(ins)
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    val want = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    assert(boot.toSeq === want.toSeq)
+    net.unpersist()
+    Caches.releaseAll(spark)
+  }
+
   test("replay reconstructs the ledger's final version exactly") {
     val replayed = ChangeFeed.changeFeedReplay(spark, sfDir)
       .collect().map(_.toSeq)
