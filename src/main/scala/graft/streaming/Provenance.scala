@@ -115,16 +115,34 @@ object Provenance {
     * state (`keys` → summed `cnt`, optionally a min-merged
     * `first_batch`) maintained over the deterministic 3-batch id-range
     * split of `documents`, persisted as a versioned ledger with the
-    * standard replay gate. Returns (final drained state, ledger root).
+    * standard replay gate — built ONCE per (corpus, state shape) as a
+    * shared [[LedgerArtifacts]] artifact (every consumer in the
+    * family is read-only; `op` names the shape, so the three
+    * source-count queries share one build). Returns
+    * (final drained state, ledger root).
     */
   private def splitLedger(spark: SparkSession, dir: String, op: String,
       keys: Seq[String], stat: DataFrame => DataFrame,
       firstBatchCol: Boolean = false): (DataFrame, String) = {
+    val fp = LedgerArtifacts.fingerprint(
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      Seq("doc_id", "n_chars"))
+    val ledgerRoot = LedgerArtifacts.shared(spark,
+      s"prov_${op}_${LedgerArtifacts.dirKey(dir)}", fp)(
+      drainSplitLedger(spark, dir, keys, stat, firstBatchCol))
+    val (_, _, path) = committedVersions(spark, ledgerRoot).last
+    (spark.read.parquet(path), ledgerRoot)
+  }
+
+  /** The drain itself, into a caller-provided scratch root (the
+    * [[LedgerArtifacts]] build contract).
+    */
+  private def drainSplitLedger(spark: SparkSession, dir: String,
+      keys: Seq[String], stat: DataFrame => DataFrame,
+      firstBatchCol: Boolean)(root: String): Unit = {
     val streamDir = StreamingOps.idRangeSplitSource(spark,
       Tables.documents(spark, dir).select(col("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars")), 3)
-    val root = graft.Caches.trackTempDir(
-      Files.createTempDirectory(s"graft_${op}_state_")).toString
     val ledgerRoot = s"$root/state"
     val ledger =
       new StreamingOps.VersionedLedger(spark, ledgerRoot, Some(root))
@@ -158,7 +176,7 @@ object Provenance {
       }
       .trigger(Trigger.AvailableNow())
     StreamingOps.startWithCheckpoint(w, Some(root)).awaitTermination()
-    (spark.read.parquet(ledger.path), ledgerRoot)
+    ()
   }
 
   /** Ledger lineage manifest (q355): which micro-batch produced which
@@ -171,7 +189,7 @@ object Provenance {
     */
   def ledgerManifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (_, root) = splitLedger(spark, dir, "lineage_manifest",
+    val (_, root) = splitLedger(spark, dir, "sourcecounts",
       Seq("source"), sourceCounts)
     committedVersions(spark, root)
       .map { case (v, b, path) =>
@@ -255,7 +273,7 @@ object Provenance {
     */
   def stateAsOfVersion(spark: SparkSession, dir: String,
       version: Long = 1L): DataFrame = {
-    val (_, root) = splitLedger(spark, dir, "asof_version",
+    val (_, root) = splitLedger(spark, dir, "sourcecounts",
       Seq("source"), sourceCounts)
     ledgerAsOf(spark, root, version)
       .select(col("source"), col("cnt").as("n_docs"))
@@ -269,7 +287,7 @@ object Provenance {
     * matters). The audit a 24/7 pipeline runs after every resume.
     */
   def lineageConservation(spark: SparkSession, dir: String): DataFrame = {
-    val (state, _) = splitLedger(spark, dir, "conservation",
+    val (state, _) = splitLedger(spark, dir, "sourcecounts",
       Seq("source"), sourceCounts)
     val raw = Tables.documents(spark, dir).groupBy(col("source"))
       .agg(count(lit(1)).as("n_raw"))
