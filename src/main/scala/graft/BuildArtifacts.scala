@@ -39,12 +39,17 @@ object BuildArtifacts {
       System.err.println("WARN: SPARK_GRAFT_ARTIFACT_ROOT not set — " +
         "artifacts land in a per-JVM temp root and die with this process")
     val t0 = System.nanoTime()
-    val edges = operators.Dedup.dupEdges(spark, sfDir).count()
+    val rows = streaming.Prebuild.all(spark, sfDir)
     val sec = (System.nanoTime() - t0) / 1e9
-    val builds = ArtifactLog.drain()
-    val built = builds.exists(_.name.startsWith("dup_edges"))
-    println(s"""{"artifact":"dup_edges","sf":"$sfDir","rows":$edges,""" +
-      s""""sec":${"%.3f".format(sec)},"built":$built}""")
+    rows.foreach { case (name, n, built) =>
+      println(s"""{"artifact":"$name","sf":"$sfDir","rows":$n,""" +
+        s""""built":${built.isDefined},""" +
+        s""""build_sec":${"%.3f".format(built.getOrElse(0.0))}}""")
+    }
+    println(s"""{"artifact":"ALL","sf":"$sfDir",""" +
+      s""""n_artifacts":${rows.size},""" +
+      s""""sec":${"%.3f".format(sec)},""" +
+      s""""n_built":${rows.count(_._3.isDefined)}}""")
     spark.stop()
   }
 }

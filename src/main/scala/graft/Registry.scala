@@ -1442,6 +1442,12 @@ object Registry {
       graft.streaming.Orphans.orphanAudit(s, d)),
     "q500_orphan_gc_state" -> ((s, d) =>
       graft.streaming.Orphans.orphanGcState(s, d)),
+    // block 75: multi-table branch + atomic merge — two shallow
+    // clones rehearse one coordinated change, landed by ONE manifest
+    "q501_multibranch_merge_audit" -> ((s, d) =>
+      graft.streaming.MultiTable.multiBranchMergeAudit(s, d)),
+    "q502_multibranch_torn_read" -> ((s, d) =>
+      graft.streaming.MultiTable.multiBranchTornRead(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -41,5 +41,38 @@ object OracleMultiTable {
         "FROM mtbase " +
         "UNION ALL SELECT 'pri', CAST(COUNT(DISTINCT " +
         "o_orderpriority) AS BIGINT), CAST(COUNT(*) AS BIGINT) " +
-        "FROM mtbase) ORDER BY table_name"))
+        "FROM mtbase) ORDER BY table_name"),
+    // q501: the multi-table merge audit — both tables cite txn 1 →
+    // txn 2; cnt loses the %97 keys, pri keeps its priorities, both
+    // shed exactly the erased customers' order mass
+    "q501_multibranch_merge_audit" ->
+      (Base +
+        "SELECT * FROM (" +
+        "SELECT 'cnt' AS table_name, 1::BIGINT AS fork_txn, " +
+        "2::BIGINT AS merged_txn, " +
+        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_rows_fork, " +
+        "CAST(COUNT(DISTINCT CASE WHEN o_custkey % 97 <> 0 THEN " +
+        "o_custkey END) AS BIGINT) AS n_rows_merged, " +
+        "CAST(COUNT(*) AS BIGINT) AS mass_fork, " +
+        "CAST(SUM(CASE WHEN o_custkey % 97 <> 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS mass_merged FROM mtb " +
+        "UNION ALL SELECT 'pri', 1::BIGINT, 2::BIGINT, " +
+        "CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT), " +
+        "CAST(COUNT(DISTINCT CASE WHEN o_custkey % 97 <> 0 THEN " +
+        "o_orderpriority END) AS BIGINT), " +
+        "CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN o_custkey % 97 <> 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) FROM mtb) " +
+        "ORDER BY table_name"),
+    // q502: the torn-merge read answers from the FORK manifest for
+    // both tables — the merge's half-landed versions invisible
+    "q502_multibranch_torn_read" ->
+      (Base +
+        "SELECT * FROM (" +
+        "SELECT 'cnt' AS table_name, CAST(COUNT(DISTINCT o_custkey) " +
+        "AS BIGINT) AS n_keys, CAST(COUNT(*) AS BIGINT) AS mass " +
+        "FROM mtb " +
+        "UNION ALL SELECT 'pri', CAST(COUNT(DISTINCT " +
+        "o_orderpriority) AS BIGINT), CAST(COUNT(*) AS BIGINT) " +
+        "FROM mtb) ORDER BY table_name"))
 }

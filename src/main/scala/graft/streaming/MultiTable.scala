@@ -170,6 +170,104 @@ object MultiTable {
       .orderBy(col("txn_id"), col("table_name"))
   }
 
+  // ---------------------------------------------------------------
+  // multi-table branch + atomic merge (q501–q502, block 75)
+  // ---------------------------------------------------------------
+
+  /** The cross-table rehearsal: branch BOTH member tables (zero-copy
+    * [[ShallowClone]]s of each version trail), apply one coordinated
+    * change on the branches — the %97 customer erasure, which must
+    * move `cnt` (keys dropped) and `pri` (masses decremented)
+    * TOGETHER or not at all — and return
+    * (root, fork txn id, cnt clone, pri clone).
+    */
+  private def multiBranchRehearsal(spark: SparkSession,
+      dir: String): (String, Long, String, String) = {
+    val root = runToCrash(spark, dir)
+    recover(spark, dir, root)
+    val (forkTxn, _) = latestManifest(spark, root).get
+    val cloneCnt = ShallowClone.clone(spark, s"$root/cnt")
+    val clonePri = ShallowClone.clone(spark, s"$root/pri")
+    val retained = batchedOrders(spark, dir)
+      .filter(col("o_custkey") % 97 =!= 0)
+    ShallowClone.commitOwned(spark, cloneCnt, cntState(retained))
+    ShallowClone.commitOwned(spark, clonePri, priState(retained))
+    (root, forkTxn, cloneCnt, clonePri)
+  }
+
+  /** Atomically merge both branches back: write each table's next
+    * version from its clone head, then commit ONE manifest — the
+    * rename is the commit point for the WHOLE cross-table merge. A
+    * manifest that moved past the fork aborts the merge (the branch
+    * rehearsed against a stale snapshot); a crash after the version
+    * writes but before the manifest leaves every reader on the fork
+    * manifest seeing BOTH pre-merge tables (q502 pins exactly that
+    * point).
+    */
+  private[graft] def mergeBranches(spark: SparkSession, root: String,
+      forkTxn: Long, cloneCnt: String, clonePri: String,
+      commitTheManifest: Boolean): String = {
+    val (curTxn, _) = latestManifest(spark, root).get
+    if (curTxn != forkTxn)
+      return "aborted" // the source committed past the fork
+    val next = forkTxn + 1L
+    spark.read.parquet(ShallowClone.headPath(spark, cloneCnt))
+      .write.mode("overwrite").parquet(s"$root/cnt/b${next}_$next")
+    spark.read.parquet(ShallowClone.headPath(spark, clonePri))
+      .write.mode("overwrite").parquet(s"$root/pri/b${next}_$next")
+    if (!commitTheManifest) return "crashed_before_manifest"
+    commitManifest(spark, root, next,
+      Seq("cnt" -> next, "pri" -> next))
+    "merged"
+  }
+
+  /** q501: the multi-table merge audit — per member table, the fork
+    * and merged transaction ids with row counts and masses on both
+    * sides. The coordinated change lands in ONE commit: cnt loses the
+    * %97 keys, pri keeps its 5 priorities but sheds exactly the
+    * erased customers' order mass, and both tables cite the same
+    * merged txn.
+    */
+  def multiBranchMergeAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (root, forkTxn, cc, cp) = multiBranchRehearsal(spark, dir)
+    val outcome = mergeBranches(spark, root, forkTxn, cc, cp,
+      commitTheManifest = true)
+    require(outcome == "merged", s"fixture merge $outcome")
+    val (mergedTxn, _) = latestManifest(spark, root).get
+    Seq("cnt", "pri").map { t =>
+      val fork = spark.read.parquet(s"$root/$t/b${forkTxn}_$forkTxn")
+      val merged = readTable(spark, root, t)
+      val (fr, fm) = (fork.count(),
+        fork.agg(sum(col("n_orders"))).collect()(0).getLong(0))
+      val (mr, mm) = (merged.count(),
+        merged.agg(sum(col("n_orders"))).collect()(0).getLong(0))
+      (t, forkTxn, mergedTxn, fr, mr, fm, mm)
+    }.toDF("table_name", "fork_txn", "merged_txn", "n_rows_fork",
+        "n_rows_merged", "mass_fork", "mass_merged")
+      .orderBy(col("table_name"))
+  }
+
+  /** q502: the torn-merge guard — the merge's version writes land but
+    * the process dies BEFORE the manifest; reading through the
+    * manifest must still see BOTH tables at the fork state (the q451
+    * invariant at merge time). One table answering from the
+    * half-merged versions breaks the oracle hash.
+    */
+  def multiBranchTornRead(spark: SparkSession, dir: String): DataFrame = {
+    val (root, forkTxn, cc, cp) = multiBranchRehearsal(spark, dir)
+    val outcome = mergeBranches(spark, root, forkTxn, cc, cp,
+      commitTheManifest = false)
+    require(outcome == "crashed_before_manifest", s"fixture $outcome")
+    val cnt = readTable(spark, root, "cnt")
+      .agg(count(lit(1)).as("n_keys"), sum(col("n_orders")).as("mass"))
+      .select(lit("cnt").as("table_name"), col("n_keys"), col("mass"))
+    val pri = readTable(spark, root, "pri")
+      .agg(count(lit(1)).as("n_keys"), sum(col("n_orders")).as("mass"))
+      .select(lit("pri").as("table_name"), col("n_keys"), col("mass"))
+    cnt.unionByName(pri).orderBy(col("table_name"))
+  }
+
   /** q451: the torn-read test as a query — read BOTH tables through
     * the manifest at the crash point (cnt's v1 on disk, manifest
     * still m0) and emit each table's census. Atomicity means both

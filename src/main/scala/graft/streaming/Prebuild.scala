@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Build every shared artifact for a corpus in one scheduled pass —
+  * the production pre-step that moves one-time build costs out of
+  * query latency entirely (run with `SPARK_GRAFT_ARTIFACT_ROOT` set
+  * to a durable location; every later session then reads committed
+  * artifacts). Invoked by [[graft.BuildArtifacts]]; each builder is
+  * its own idempotent fingerprint-checked commit, so a crashed
+  * pre-build resumes where it died and a fresh corpus rebuilds only
+  * what changed.
+  */
+object Prebuild {
+
+  /** Build (or freshness-check) every shared artifact; returns
+    * (name, rows, builtSeconds — None when the committed artifact was
+    * fresh and only read) per artifact in build order.
+    */
+  def all(spark: SparkSession,
+      dir: String): Seq[(String, Long, Option[Double])] = {
+    val builds = Seq[(String, () => Long)](
+      ("dup_edges",
+        () => graft.operators.Dedup.dupEdges(spark, dir).count()),
+      ("dup_edges_erased37",
+        () => graft.operators.Dedup.dupEdgesErased(spark, dir, 37)
+          .count()),
+      ("registry_drained",
+        () => spark.read.parquet(Provenance.committedVersions(spark,
+          Erasure.registryLedgerShared(spark, dir)).last._3).count()),
+      ("registry_erased37",
+        () => Erasure.erasedRegistryLedgerShared(spark, dir)._1
+          .count()),
+      ("registry_erased97",
+        () => Erasure.erasedRegistryLedgerShared(spark, dir, 97)._1
+          .count()),
+      ("events_erased",
+        () => UserErasure.erasedEventsLedger(spark, dir)._1.count()),
+      ("ivf_deleted37",
+        () => AnnMaintenance.deletedIvfLedger(spark, dir)._1.count()),
+      ("ivf_deleted97",
+        () => AnnMaintenance.deletedIvfLedger(spark, dir, 97)._1
+          .count()),
+      ("join_stats",
+        () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
+          .count()),
+      ("view_affinity_pairs",
+        () => graft.operators.Basket.affinityPairsStored(spark, dir)
+          .count()),
+      ("view_pricing_retracted",
+        () => graft.operators.Retraction.retractablePricing(spark, dir)
+          .count()),
+      ("view_affinity_retracted",
+        () => graft.operators.Retraction
+          .retractableAffinity(spark, dir).count()),
+      ("prov_sourcecounts",
+        () => Provenance.ledgerManifest(spark, dir).count()),
+      ("prov_first_writer",
+        () => Provenance.firstWriterProvenance(spark, dir).count()),
+      ("prov_bound_incidence",
+        () => Provenance.incidenceWithLineage(spark, dir).count()))
+    graft.ArtifactLog.drain() // clear anything a caller left behind
+    builds.map { case (name, run) =>
+      val n = run()
+      // drain per step: whatever was recorded belongs to this build
+      val spent = graft.ArtifactLog.drain().map(_.sec)
+      (name, n, if (spent.isEmpty) None else Some(spent.sum))
+    }
+  }
+}
