@@ -1448,6 +1448,14 @@ object Registry {
       graft.streaming.MultiTable.multiBranchMergeAudit(s, d)),
     "q502_multibranch_torn_read" -> ((s, d) =>
       graft.streaming.MultiTable.multiBranchTornRead(s, d)),
+    // block 76: the restore executor — rebuild a usable ledger from
+    // the export, chain-equal to the source link by link
+    "q503_restore_executor" -> ((s, d) =>
+      graft.streaming.Integrity.restoreExecutor(s, d)),
+    // block 77: the ANALYZE cadence — when the q409 stats artifact
+    // stops being trustworthy
+    "q504_stats_staleness" -> ((s, d) =>
+      JoinPlanner.statsStalenessAudit(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -181,6 +181,49 @@ object JoinPlanner {
     spark.read.parquet(s"$path/stats")
   }
 
+  /** Re-analyze when the fact grew past this (per-mille growth). */
+  private val ReanalyzeAtX1000 = 200L
+
+  /** q504: the ANALYZE cadence — the q476 staleness shape for the
+    * CBO. Stored stats were collected at the last-analyze boundary
+    * (the orders-key-domain prefix, batches 0–1 of the deterministic
+    * split — the only data the ANALYZE job saw); the table kept
+    * growing. Per key-domain edge: the stale and fresh fact volumes,
+    * the integer growth rate, and the re-analyze verdict — the row
+    * that tells an operator WHEN the q409 artifact stops being
+    * trustworthy, before a misplanned join tells them the hard way.
+    *
+    * 100 TB shape: the stale side is the stored artifact's numbers
+    * (metadata); the fresh side is one count per fact — the cheapest
+    * staleness probe there is (a lakehouse reads it off snapshot
+    * metadata for free).
+    */
+  def statsStalenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val bound = broadcast(o.agg(
+      expr("2L * ((max(o_orderkey) + 3L) div 3L)").as("bound")))
+    def edge(name: String, fact: DataFrame, key: String): DataFrame =
+      fact.crossJoin(bound)
+        .agg(
+          sum(when(col(key) < col("bound"), 1L).otherwise(0L))
+            .as("fact_rows_stale"),
+          count(lit(1)).as("fact_rows_fresh"))
+        .select(lit(name).as("relation"), col("fact_rows_stale"),
+          col("fact_rows_fresh"),
+          expr("CASE WHEN fact_rows_stale > 0 THEN " +
+            "((fact_rows_fresh - fact_rows_stale) * 1000L) div " +
+            "fact_rows_stale ELSE 1000L END").as("growth_x1000"))
+        .withColumn("reanalyze",
+          col("growth_x1000") > ReanalyzeAtX1000)
+    edge("lineitem.l_orderkey->orders", li, "l_orderkey")
+      .unionByName(edge("lineitem.l_partkey->part", li, "l_orderkey"))
+      .unionByName(edge("lineitem.l_suppkey->supplier", li,
+        "l_orderkey"))
+      .unionByName(edge("orders.o_custkey->customer", o, "o_orderkey"))
+      .orderBy(col("relation"))
+  }
+
   /** q409: the decision table — stored stats plus the rule-based
     * recommendation derived at read time (policy thresholds are
     * code, not data: retuning them must not invalidate the artifact).

@@ -52,5 +52,28 @@ object OracleIntegrity {
         "c0 AS chain FROM igc3 " +
         "UNION ALL SELECT 1::BIGINT, CAST(n1 AS BIGINT), c1 FROM igc3 " +
         "UNION ALL SELECT 2::BIGINT, CAST(n2 AS BIGINT), c2 FROM " +
-        "igc3) ORDER BY version"))
+        "igc3) ORDER BY version"),
+    // q503: the restore executor — the restored trail's chain must
+    // equal the source's link by link (same versions, same order,
+    // same counts); the oracle recomputes the one true chain
+    "q503_restore_executor" ->
+      (Base +
+        ", ign AS (SELECT " +
+        "(SELECT COUNT(*) FROM igd WHERE batch <= 0) AS n0, " +
+        "(SELECT COUNT(*) FROM igd WHERE batch <= 1) AS n1, " +
+        "(SELECT COUNT(*) FROM igd) AS n2), " +
+        "igc AS (SELECT n0, n1, n2, " +
+        "md5('graft|0|' || CAST(n0 AS VARCHAR)) AS c0 FROM ign), " +
+        "igc2 AS (SELECT *, md5(c0 || '|1|' || CAST(n1 AS VARCHAR)) " +
+        "AS c1 FROM igc), " +
+        "igc3 AS (SELECT *, md5(c1 || '|2|' || CAST(n2 AS VARCHAR)) " +
+        "AS c2 FROM igc2) " +
+        "SELECT * FROM (" +
+        "SELECT 0::BIGINT AS version, CAST(n0 AS BIGINT) AS n_rows, " +
+        "c0 AS chain_source, c0 AS chain_restored, TRUE AS intact " +
+        "FROM igc3 " +
+        "UNION ALL SELECT 1::BIGINT, CAST(n1 AS BIGINT), c1, c1, " +
+        "TRUE FROM igc3 " +
+        "UNION ALL SELECT 2::BIGINT, CAST(n2 AS BIGINT), c2, c2, " +
+        "TRUE FROM igc3) ORDER BY version"))
 }

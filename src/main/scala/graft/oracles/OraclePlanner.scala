@@ -55,9 +55,41 @@ object OraclePlanner {
       "customer"))
     .mkString(" UNION ALL ")
 
+  /** One staleness row (q504): the fact's volume at the analyze
+    * boundary (keys below 2·step of the orders-key split) vs now.
+    */
+  private def jplStale(name: String, fact: String,
+      key: String): String =
+    s"SELECT '$name' AS relation, " +
+      s"CAST(SUM(CASE WHEN $key < (SELECT 2 * " +
+      "((MAX(o_orderkey) + 3) // 3) FROM orders) THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS fact_rows_stale, " +
+      "CAST(COUNT(*) AS BIGINT) AS fact_rows_fresh " +
+      s"FROM $fact"
+
   val sql: Map[String, String] = Map(
     "q409_join_stats_planner" ->
       s"SELECT * FROM ($jplUnion) AS jplu ORDER BY relation",
+    // q504: the ANALYZE cadence — per key-domain edge, stale (prefix)
+    // vs fresh fact volume and the re-analyze verdict
+    "q504_stats_staleness" ->
+      ("SELECT relation, fact_rows_stale, fact_rows_fresh, " +
+        "CASE WHEN fact_rows_stale > 0 THEN " +
+        "((fact_rows_fresh - fact_rows_stale) * 1000) // " +
+        "fact_rows_stale ELSE 1000 END AS growth_x1000, " +
+        "(CASE WHEN fact_rows_stale > 0 THEN " +
+        "((fact_rows_fresh - fact_rows_stale) * 1000) // " +
+        "fact_rows_stale ELSE 1000 END) > 200 AS reanalyze FROM (" +
+        jplStale("lineitem.l_orderkey->orders", "lineitem",
+          "l_orderkey") +
+        " UNION ALL " +
+        jplStale("lineitem.l_partkey->part", "lineitem", "l_orderkey") +
+        " UNION ALL " +
+        jplStale("lineitem.l_suppkey->supplier", "lineitem",
+          "l_orderkey") +
+        " UNION ALL " +
+        jplStale("orders.o_custkey->customer", "orders", "o_orderkey") +
+        ") ORDER BY relation"),
     // q437: the engine must plan exactly what the planner recommends
     // when driven as recommended — the oracle recomputes the
     // recommendation and maps it to the REQUIRED physical operator;

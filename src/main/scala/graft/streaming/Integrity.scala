@@ -65,12 +65,35 @@ object Integrity {
     * exactly what the additive checksum certifies).
     */
   private[graft] def exportVersions(spark: SparkSession, root: String,
-      exportRoot: String): Unit =
-    Provenance.committedVersions(spark, root).foreach {
-      case (v, _, path) =>
-        spark.read.parquet(path).repartition(3)
-          .write.mode("overwrite").parquet(s"$exportRoot/v$v")
+      exportRoot: String): Unit = {
+    import spark.implicits._
+    val versions = Provenance.committedVersions(spark, root)
+    versions.foreach { case (v, _, path) =>
+      spark.read.parquet(path).repartition(3)
+        .write.mode("overwrite").parquet(s"$exportRoot/v$v")
     }
+    // the backup manifest: (version, batch) — what a restore needs to
+    // re-register each copy under its original committed name
+    versions.map { case (v, b, _) => (v, b) }
+      .toDF("version", "batch_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$exportRoot/_backup_manifest")
+  }
+
+  /** RESTORE the export as a usable ledger root (q503's executor):
+    * every backed-up version re-registered under its original
+    * `b<v>_<batch>` name, content re-encoded from the backup's bytes.
+    * The result is a first-class ledger — version listings, AS OF
+    * reads, and the hash chain all work against it.
+    */
+  private[graft] def restoreLedger(spark: SparkSession,
+      exportRoot: String, restoredRoot: String): Unit = {
+    spark.read.parquet(s"$exportRoot/_backup_manifest").collect()
+      .foreach { r =>
+        val (v, b) = (r.getAs[Long]("version"), r.getAs[Long]("batch_id"))
+        spark.read.parquet(s"$exportRoot/v$v")
+          .write.mode("overwrite").parquet(s"$restoredRoot/b${v}_$b")
+      }
+  }
 
   /** Recompute the manifest from the EXPORTED copies — the restore
     * side of q484, reading the backup's bytes, never the source's.
@@ -133,6 +156,35 @@ object Integrity {
     import spark.implicits._
     val root = Erasure.registryLedgerShared(spark, dir)
     chainOf(spark, root).toDF("version", "n_rows", "chain")
+      .orderBy(col("version"))
+  }
+
+  /** q503: the restore EXECUTOR certified — export the ledger, rebuild
+    * a fresh root from the backup ([[restoreLedger]]), and emit the
+    * hash chain of source and restored trails side by side. Chain
+    * equality is the strongest claim the integrity family can make:
+    * the restored root has the same versions, in the same order, with
+    * the same row counts, link by link — so AS OF reads against the
+    * restore answer exactly as the source would. One dropped,
+    * duplicated, or reordered version breaks every subsequent link
+    * and the oracle hash. IntegritySpec additionally drops a backup
+    * version and pins the divergence point.
+    */
+  def restoreExecutor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = Erasure.registryLedgerShared(spark, dir)
+    val work = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_restore_")).toString
+    exportVersions(spark, root, s"$work/backup")
+    restoreLedger(spark, s"$work/backup", s"$work/restored")
+    val src = chainOf(spark, root)
+    val rst = chainOf(spark, s"$work/restored")
+      .map { case (v, n, link) => v -> (n, link) }.toMap
+    src.map { case (v, n, link) =>
+      val (rn, rlink) = rst.getOrElse(v, (-1L, ""))
+      (v, n, link, rlink, n == rn && link == rlink)
+    }.toDF("version", "n_rows", "chain_source", "chain_restored",
+        "intact")
       .orderBy(col("version"))
   }
 }

@@ -60,6 +60,36 @@ class IntegritySpec extends SparkSpec {
     graft.Caches.releaseAll(spark)
   }
 
+  test("restore executor: a dropped backup version breaks the chain there") {
+    val root = Erasure.registryLedgerShared(spark, sfDir)
+    val work = graft.Caches.trackTempDir(
+      java.nio.file.Files.createTempDirectory("graft_restore_t_"))
+      .toString
+    Integrity.exportVersions(spark, root, s"$work/backup")
+    // lose version 1's backup AND its manifest row (a partial backup)
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/backup/v1"), true)
+    val manifest = spark.read
+      .parquet(s"$work/backup/_backup_manifest")
+      .filter(col("version") =!= 1L)
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(s"$work/backup/_backup_manifest_fix")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$work/backup/_backup_manifest"), true)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$work/backup/_backup_manifest_fix"),
+      new org.apache.hadoop.fs.Path(s"$work/backup/_backup_manifest")))
+    Integrity.restoreLedger(spark, s"$work/backup", s"$work/restored")
+    val src = Integrity.chainOf(spark, root)
+    val rst = Integrity.chainOf(spark, s"$work/restored")
+    assert(rst.length === src.length - 1)
+    // link 0 stands; the trail diverges from the gap onward
+    assert(rst.head._3 === src.head._3)
+    assert(rst.last._3 !== src.last._3)
+    graft.Caches.releaseAll(spark)
+  }
+
   test("restore parity is all-intact; hash chain detects a mid-trail edit") {
     Integrity.restoreParity(spark, sfDir).collect()
       .foreach(r => assert(r.getAs[Boolean]("intact")))
