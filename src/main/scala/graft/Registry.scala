@@ -1456,6 +1456,13 @@ object Registry {
     // stops being trustworthy
     "q504_stats_staleness" -> ((s, d) =>
       JoinPlanner.statsStalenessAudit(s, d)),
+    // block 78: merge-on-read time travel — epoch-pinned DV reads
+    "q505_dv_asof_census" -> ((s, d) =>
+      DeletionVectors.dvAsOfCensus(s, d)),
+    // block 79: the governed release bundle — masked export certified
+    // from the exported bytes
+    "q506_governed_export" -> ((s, d) =>
+      graft.streaming.Integrity.governedExportManifest(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -133,6 +133,32 @@ object DeletionVectors {
         (col("n_rows") - col("n_deleted")).as("live_rows"))
       .orderBy(col("file_id"))
 
+  /** q505: merge-on-read TIME TRAVEL — deletes are versioned metadata,
+    * so a reader pinned at DV epoch e applies exactly the vectors
+    * committed by e: epoch 0 (before any request) sees everything,
+    * epoch 1 applies request 1 (%37), epoch 2 the merged requests
+    * (%37 ∪ %41). "Yesterday's table" includes yesterday's deletes
+    * only — the composition of the q463 DV family with the q358 AS OF
+    * axis, per (epoch, source) live census.
+    *
+    * 100 TB shape: each epoch's read is the same scan + broadcast
+    * anti-join of that epoch's DV keys; the epoch pin costs metadata.
+    */
+  def dvAsOfCensus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = filedDocs(spark, dir).persist()
+    def epoch(e: Long, dead: Option[org.apache.spark.sql.Column])
+        : DataFrame = {
+      val live = dead.map(d => docs.filter(!d)).getOrElse(docs)
+      live.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit(e).as("epoch"), col("source"), col("n_docs"))
+    }
+    epoch(0L, None)
+      .unionByName(epoch(1L, Some(deletedPred1)))
+      .unionByName(epoch(2L, Some(deletedPred1 || deletedPred2)))
+      .orderBy(col("epoch"), col("source"))
+  }
+
   /** q465: DV maintenance — request 2 (% 41) merges into request 1's
     * vectors by per-file key union, and the merged census must
     * equal the one-shot census of the combined predicate (keys on

@@ -65,5 +65,16 @@ object OracleDeletionVectors {
         "41 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS live_rows " +
         "FROM dvf GROUP BY file_id " +
         "HAVING SUM(CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 " +
-        "THEN 1 ELSE 0 END) > 0 ORDER BY file_id"))
+        "THEN 1 ELSE 0 END) > 0 ORDER BY file_id"),
+    // q505: epoch-pinned merge-on-read reads — per (epoch, source)
+    // live census: epoch 0 all rows, 1 after %37, 2 after %37∪%41
+    "q505_dv_asof_census" ->
+      ("SELECT * FROM (" +
+        "SELECT 0::BIGINT AS epoch, source, CAST(COUNT(*) AS BIGINT) " +
+        "AS n_docs FROM documents GROUP BY source " +
+        "UNION ALL SELECT 1::BIGINT, source, CAST(COUNT(*) AS BIGINT) " +
+        "FROM documents WHERE doc_id % 37 <> 0 GROUP BY source " +
+        "UNION ALL SELECT 2::BIGINT, source, CAST(COUNT(*) AS BIGINT) " +
+        "FROM documents WHERE doc_id % 37 <> 0 AND doc_id % 41 <> 0 " +
+        "GROUP BY source) ORDER BY epoch, source"))
 }

@@ -75,5 +75,23 @@ object OracleIntegrity {
         "UNION ALL SELECT 1::BIGINT, CAST(n1 AS BIGINT), c1, c1, " +
         "TRUE FROM igc3 " +
         "UNION ALL SELECT 2::BIGINT, CAST(n2 AS BIGINT), c2, c2, " +
-        "TRUE FROM igc3) ORDER BY version"))
+        "TRUE FROM igc3) ORDER BY version"),
+    // q506: the governed release bundle — per region, rows + additive
+    // checksum over the MASKED release rows (tokenized name included)
+    "q506_governed_export" ->
+      ("WITH igrel AS (SELECT c_custkey, " +
+        "md5('nm|' || CAST(c_custkey AS VARCHAR)) AS name_token, " +
+        "CAST(n_regionkey AS BIGINT) AS region, " +
+        "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE n_regionkey IN (0, 1)), " +
+        "igrh AS (SELECT region, list_sum(list_transform(range(1, 11)" +
+        ", i -> (strpos('0123456789abcdef', substr(md5(" +
+        "CAST(c_custkey AS VARCHAR) || '|' || name_token || '|' || " +
+        "CAST(region AS VARCHAR) || '|' || " +
+        "CAST(acctbal_cents AS VARCHAR)), CAST(i AS INT), 1)) - 1) * " +
+        "(1::BIGINT << CAST(4 * (10 - i) AS INT)))) AS h FROM igrel) " +
+        "SELECT region, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(h) AS BIGINT) AS checksum FROM igrh " +
+        "GROUP BY region ORDER BY region"))
 }

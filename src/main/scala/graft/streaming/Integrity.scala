@@ -159,6 +159,31 @@ object Integrity {
       .orderBy(col("version"))
   }
 
+  /** q506: the GOVERNED release bundle manifest — the q473 masked
+    * release (tenant-facing: keys tokenized, grants applied) exported
+    * to a backup location and certified per region with the additive
+    * content checksum recomputed FROM THE EXPORTED COPY. What a
+    * tenant receives beside the data: the integrity stub their
+    * auditor checks — over the masked bytes, so the certificate never
+    * touches (or leaks) the clear values. Composition of the q483
+    * export discipline with the q472/q473 governance layer.
+    */
+  def governedExportManifest(spark: SparkSession,
+      dir: String): DataFrame = {
+    val rel = graft.operators.Governance.maskedRelease(spark, dir)
+    val exportRoot = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_gov_export_")).toString
+    rel.repartition(3).write.mode("overwrite")
+      .parquet(s"$exportRoot/release")
+    spark.read.parquet(s"$exportRoot/release")
+      .groupBy(col("region"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(conv(substring(md5(concat_ws('|', c_custkey, " +
+          "name_token, region, acctbal_cents)), 1, 10), 16, 10) " +
+          "AS LONG)")).as("checksum"))
+      .orderBy(col("region"))
+  }
+
   /** q503: the restore EXECUTOR certified — export the ledger, rebuild
     * a fresh root from the backup ([[restoreLedger]]), and emit the
     * hash chain of source and restored trails side by side. Chain
