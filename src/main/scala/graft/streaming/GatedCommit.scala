@@ -83,8 +83,16 @@ object GatedCommit {
           val deadMerged =
             if (dead.isEmpty) bad
             else ss.read.parquet(dead.path).unionByName(bad)
+          // QUARANTINE-FIRST (the tombstone-first discipline): the
+          // replay gate keys off the STATE ledger, so the dead-letter
+          // version must exist before the state version commits — a
+          // crash between the two writes then re-runs the whole fold
+          // (state not committed), with the dead side's own replay
+          // guard keeping its trail single-versioned. The reverse
+          // order would mark the batch replayed with its quarantine
+          // lost forever.
+          if (!dead.isReplayed(id)) dead.write(deadMerged, id)
           ledger.write(merged, id)
-          dead.write(deadMerged, id)
         }
         ()
       }
