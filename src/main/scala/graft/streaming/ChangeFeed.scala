@@ -128,7 +128,7 @@ object ChangeFeed {
     * aborted writer contributes nothing, which the oracle pins).
     */
   def occChangeFeed(spark: SparkSession, dir: String): DataFrame = {
-    val (_, root) = Occ.runSchedule(spark, dir)
+    val (_, root) = Occ.scheduleShared(spark, dir)
     pairs(spark, root).map { case (_, pf, vt, pt) =>
       val changes =
         if (Provenance.hasCommittedChangeset(spark, pt))

@@ -37,7 +37,7 @@ object TimeTravel {
 
   /** q494: version-pinned + RLS + masking, row grain. */
   def asOfGovernedBalances(spark: SparkSession, dir: String): DataFrame = {
-    val (_, root) = Occ.runSchedule(spark, dir)
+    val (_, root) = Occ.scheduleShared(spark, dir)
     val v1 = Provenance.ledgerAsOf(spark, root, 1L)
     v1.join(Governance.customerRegions(spark, dir), Seq("c_custkey"))
       .join(broadcast(Governance.grantedRegions(spark, "analyst_eu")),
