@@ -16,8 +16,15 @@ import org.apache.spark.sql.SparkSession
   * Prints one JSON line per artifact: name, build/read seconds, rows.
   * Idempotent — a second run hits the freshness fingerprints and
   * reads instead of rebuilding (build_sec ≈ 0, `built:false`).
-  * Single-writer: see the `dupEdgesAt` contract — one writing JVM per
-  * corpus key at a time.
+  *
+  * SINGLE-WRITER REQUIREMENT (hard): at most ONE process may run
+  * BuildArtifacts (or any first-toucher query that triggers a build)
+  * against a given SPARK_GRAFT_ARTIFACT_ROOT at a time. The in-JVM
+  * lock in [[streaming.LedgerArtifacts]] serializes threads, not
+  * processes; a second writing process during a rebuild can observe
+  * the delete+rename swap window or race the staging dir. Readers are
+  * safe throughout: a committed artifact is only replaced by a fully
+  * built one in a two-op swap, and its meta marker commits last.
   */
 object BuildArtifacts {
   def main(args: Array[String]): Unit = {

@@ -45,9 +45,16 @@ object GatedCommit {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** The declared 'error' rule: rows below the floor quarantine. */
+  /** The declared 'error' rule: rows below the floor quarantine.
+    * NULL-safe on purpose: `n_chars >= 100` is UNKNOWN for a NULL
+    * n_chars, and a plain `filter(p)` / `filter(!p)` split drops
+    * UNKNOWN rows from BOTH sides — the silent loss the conservation
+    * law exists to forbid. A row the gate cannot evaluate routes to
+    * quarantine (fail-closed), so committed + quarantined = arrived
+    * holds for every input, not just the fixture's.
+    */
   private val MinChars = 100L
-  private def passes = col("n_chars") >= MinChars
+  private def passes = coalesce(col("n_chars") >= MinChars, lit(false))
 
   /** The gated 3-batch drain: returns (state root, dead-letter root).
     */

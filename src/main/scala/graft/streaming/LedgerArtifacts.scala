@@ -105,14 +105,20 @@ object LedgerArtifacts {
     if (!fresh(spark, dest, fp)) {
       val fs = new Path(dest)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(dest), true)
       val staging = s"$artifactRoot/${name}_build_staging"
       fs.delete(new Path(staging), true)
       val t0 = System.nanoTime()
+      // build FULLY into staging before touching dest: the old
+      // committed artifact stays readable (a consistent stale read,
+      // never a half-deleted one) for the whole build; the
+      // unreadable window is the delete+rename swap below. Writers
+      // across PROCESSES are serialized by contract, not by this
+      // lock — see BuildArtifacts' single-writer requirement.
       build(staging)
       if (Provenance.committedVersions(spark, s"$staging/state").isEmpty)
         sys.error(s"ledger artifact build for $name committed no " +
           s"version under $staging/state")
+      fs.delete(new Path(dest), true)
       if (!fs.rename(new Path(staging), new Path(dest)))
         sys.error(s"ledger artifact commit failed: " +
           s"rename($staging -> $dest)")

@@ -71,15 +71,33 @@ object Orphans {
     }.sortBy(_._1)
   }
 
-  /** Delete every non-committed entry under the root. */
-  private[graft] def gc(spark: SparkSession, root: String): Unit = {
+  /** Default orphan retention: entries younger than this survive GC.
+    * The stage→rename window of a LIVE writer looks exactly like a
+    * crashed writer's strand from the outside; Iceberg's
+    * `remove_orphan_files` gates on age for the same reason. Three
+    * days comfortably exceeds any sane commit latency.
+    */
+  private[graft] val DefaultRetentionMs: Long = 3L * 24 * 3600 * 1000
+
+  /** Delete every non-committed entry under the root older than
+    * `minAgeMs` (by filesystem modification time). Entries younger
+    * than the threshold are skipped — they may be a concurrent
+    * writer's in-flight `_staging_*` dir, and deleting one mid-commit
+    * fails that commit. Pass `minAgeMs = 0` ONLY when the caller
+    * guarantees no concurrent writers on the root (the fixture does:
+    * a private copy, single JVM, drained stream).
+    */
+  private[graft] def gc(spark: SparkSession, root: String,
+      minAgeMs: Long = DefaultRetentionMs): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = Provenance.committedVersions(spark, root)
       .map(v => new Path(v._3).getName).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
     fs.listStatus(new Path(root))
       .filter(st => !committed.contains(st.getPath.getName))
+      .filter(st => st.getModificationTime <= cutoff)
       .foreach(st => fs.delete(st.getPath, true))
   }
 
@@ -100,7 +118,9 @@ object Orphans {
   def orphanGcState(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = planted(spark, dir)
-    gc(spark, root)
+    // minAgeMs = 0: the planted root is a private copy with no
+    // concurrent writers, and the fixture's orphans are seconds old
+    gc(spark, root, minAgeMs = 0L)
     classify(spark, root)
       .toDF("entry", "kind", "n_rows")
       .orderBy(col("entry"))

@@ -41,6 +41,8 @@ object Prebuild {
       ("ivf_deleted97",
         () => AnnMaintenance.deletedIvfLedger(spark, dir, 97)._1
           .count()),
+      ("occ_schedule",
+        () => Occ.scheduleShared(spark, dir)._1.count()),
       ("join_stats",
         () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
           .count()),

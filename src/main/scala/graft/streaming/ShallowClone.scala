@@ -227,13 +227,21 @@ object ShallowClone {
         if (Provenance.hasCommittedChangeset(spark, path))
           spark.read.parquet(s"$path/_changeset").select(col("doc_id"))
         else {
+          // the fallback diff must watch EVERY mutable column (the
+          // ChangeFeed.diffFeedVersion predicate): a legacy source
+          // commit that changed only `source` for a doc is still a
+          // conflicting write, and missing it would let the merge
+          // silently overwrite that commit
           val parent = srcVersions.filter(_._1 < v).maxBy(_._1)._3
           val prev = spark.read.parquet(parent)
-            .select(col("doc_id"), col("n_chars").as("p_chars"))
-          spark.read.parquet(path).select(col("doc_id"), col("n_chars"))
+            .select(col("doc_id"), col("source").as("p_source"),
+              col("n_chars").as("p_chars"))
+          spark.read.parquet(path)
+            .select(col("doc_id"), col("source"), col("n_chars"))
             .join(prev, Seq("doc_id"), "full_outer")
             .filter(col("p_chars").isNull || col("n_chars").isNull ||
-              col("p_chars") =!= col("n_chars"))
+              col("p_chars") =!= col("n_chars") ||
+              col("p_source") =!= col("source"))
             .select(col("doc_id"))
         }
       }.reduce(_.unionByName(_)).distinct().persist())
