@@ -1463,6 +1463,15 @@ object Registry {
     // from the exported bytes
     "q506_governed_export" -> ((s, d) =>
       graft.streaming.Integrity.governedExportManifest(s, d)),
+    // block 81: the DSv2 lake provider — the stored zone-map/bloom
+    // artifacts consumed by planInputPartitions, so skipping prunes
+    // REAL parquet files (r16 verdict #1)
+    "q507_lake_pruned_revenue" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakePrunedRevenue(s, d)),
+    "q508_lake_plan_audit" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakePlanAudit(s, d)),
+    "q509_lake_bloom_probe" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeBloomProbes(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in
@@ -1489,7 +1498,8 @@ object Registry {
       oracles.OraclePartitionEvolution.sql,
       oracles.OracleDeletionVectors.sql, oracles.OracleBloomSkipping.sql,
       oracles.OraclePseudonymize.sql, oracles.OracleGovernance.sql,
-      oracles.OraclePreference.sql, oracles.OracleIntegrity.sql)
+      oracles.OraclePreference.sql, oracles.OracleIntegrity.sql,
+      oracles.OracleLake.sql)
     val merged = parts.reduce(_ ++ _)
     require(merged.size == parts.map(_.size).sum,
       "duplicate oracle key across graft.oracles family objects")

@@ -52,7 +52,7 @@ object ZoneMap {
   /** Bits per dimension in the Z-value (16 → 32-bit Morton codes). */
   private val BitsPerDim = 16
 
-  private[operators] def orders(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def orders(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey").cast("long").as("o_custkey"))
 
@@ -106,7 +106,7 @@ object ZoneMap {
   }
 
   /** Per-file zone maps: min/max of both predicate columns + count. */
-  private[operators] def zones(filed: DataFrame): DataFrame =
+  private[graft] def zones(filed: DataFrame): DataFrame =
     filed.groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("o_orderkey")).as("min_ok"),
@@ -119,7 +119,7 @@ object ZoneMap {
     * — sf-portable (derived from the column max by integer division)
     * and identical in the oracle.
     */
-  private[operators] def predicates(spark: SparkSession, o: DataFrame): DataFrame = {
+  private[graft] def predicates(spark: SparkSession, o: DataFrame): DataFrame = {
     import spark.implicits._
     val maxes = o.agg(max(col("o_orderkey")).as("max_ok"),
       max(col("o_custkey")).as("max_ck"))

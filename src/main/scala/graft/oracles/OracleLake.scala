@@ -1,0 +1,78 @@
+package graft.oracles
+
+/** DuckDB oracles for the DSv2 lake provider (q507–q509). The table
+  * the provider serves is the OPTIMIZE output (live rows, %37 folded,
+  * Z-ordered into 256-row files), so the oracle re-derives the whole
+  * layout from raw `orders` via [[OracleZoneMap.OptLive]]'s CTEs
+  * (`zolv` = live rows, `zovf` = file assignment, `zovz` = zones) and
+  * then recomputes zone admission — and, for q509, the bloom bitmap's
+  * exact bit positions (`((key·a + b) % 1048573) % 4096`, k = 3) —
+  * independently in SQL. A provider that planned one file too many or
+  * too few, or a bloom that admitted or rejected one wrong probe,
+  * breaks these hashes.
+  */
+object OracleLake {
+
+  private val Hashes =
+    "(VALUES (2654435761, 0), (2246822519, 7), (3266489917, 13)) h(a, b)"
+
+  val sql: Map[String, String] = Map(
+    // q507: the pruned aggregate through the provider — full-scan twin
+    // over raw orders with the DVs folded
+    "q507_lake_pruned_revenue" ->
+      ("WITH lmx AS (SELECT MAX(CAST(o_custkey AS BIGINT)) AS max_ck " +
+        "FROM orders), " +
+        "lbd AS (SELECT (3 * max_ck) // 8 AS lo, " +
+        "(3 * max_ck) // 8 + max_ck // 16 AS hi FROM lmx), " +
+        "llv AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS " +
+        "o_custkey FROM orders WHERE o_orderkey % 37 <> 0) " +
+        "SELECT o_custkey % 8 AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok " +
+        "FROM llv, lbd WHERE o_custkey BETWEEN lo AND hi " +
+        "GROUP BY bucket ORDER BY bucket"),
+    // q508: per workload predicate, the files the provider must plan
+    // (zone overlap on the rewritten layout) and the rows returned
+    "q508_lake_plan_audit" ->
+      (OracleZoneMap.Common + OracleZoneMap.OptLive +
+        "SELECT p.pred_id, p.pred_col, p.lo, p.hi, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zovz) AS files_total, " +
+        "CAST(SUM(CASE WHEN (CASE WHEN p.pred_col = 'o_orderkey' " +
+        "THEN z.max_ok ELSE z.max_ck END) >= p.lo AND (CASE WHEN " +
+        "p.pred_col = 'o_orderkey' THEN z.min_ok ELSE z.min_ck END) " +
+        "<= p.hi THEN 1 ELSE 0 END) AS BIGINT) AS files_planned, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zolv v WHERE " +
+        "(CASE WHEN p.pred_col = 'o_orderkey' THEN v.o_orderkey " +
+        "ELSE v.o_custkey END) BETWEEN p.lo AND p.hi) AS n_rows " +
+        "FROM zmpd p, zovz z " +
+        "GROUP BY p.pred_id, p.pred_col, p.lo, p.hi " +
+        "ORDER BY p.pred_id"),
+    // q509: bloom point probes — zone admission vs zone+bloom
+    // admission vs rows found, every bit recomputed from raw keys
+    "q509_lake_bloom_probe" ->
+      (OracleZoneMap.Common + OracleZoneMap.OptLive +
+        ", lpr AS (SELECT CAST(j AS BIGINT) AS probe_id, " +
+        "(j * (SELECT MAX(o_orderkey) FROM zmo)) // 9 AS probe_key " +
+        "FROM range(1, 9) t(j)), " +
+        s"lpp AS (SELECT DISTINCT p.probe_id, " +
+        "((p.probe_key * h.a + h.b) % 1048573) % 4096 AS pos " +
+        s"FROM lpr p, $Hashes), " +
+        s"lfp AS (SELECT DISTINCT f.file_id, " +
+        "((f.o_orderkey * h.a + h.b) % 1048573) % 4096 AS pos " +
+        s"FROM zovf f, $Hashes), " +
+        "lzf AS (SELECT p.probe_id, z.file_id FROM lpr p " +
+        "JOIN zovz z ON p.probe_key BETWEEN z.min_ok AND z.max_ok), " +
+        "lbf AS (SELECT zf.probe_id, zf.file_id FROM lzf zf WHERE " +
+        "(SELECT COUNT(*) FROM lpp pp WHERE pp.probe_id = " +
+        "zf.probe_id) = (SELECT COUNT(*) FROM lpp pp JOIN lfp fp ON " +
+        "fp.pos = pp.pos WHERE pp.probe_id = zf.probe_id AND " +
+        "fp.file_id = zf.file_id)) " +
+        "SELECT p.probe_id, p.probe_key, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM lzf WHERE " +
+        "lzf.probe_id = p.probe_id) AS files_zone, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM lbf WHERE " +
+        "lbf.probe_id = p.probe_id) AS files_bloom, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zolv WHERE " +
+        "o_orderkey = p.probe_key) AS n_rows " +
+        "FROM lpr p ORDER BY p.probe_id"))
+}

@@ -11,7 +11,7 @@ object OracleZoneMap {
     * 8-predicate workload, and the per-layout audits. Mirrors
     * `ZoneMap` expression-for-expression.
     */
-  private val Common =
+  private[oracles] val Common =
     "WITH zmo AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS " +
       "o_custkey FROM orders), " +
       "zmn AS (SELECT COUNT(*) AS n FROM zmo), " +
@@ -111,7 +111,7 @@ object OracleZoneMap {
     * ranks recomputed within the retained set, Morton interleave, and
     * the rewritten files' zone maps. Appends to [[Common]]'s WITH.
     */
-  private val OptLive =
+  private[oracles] val OptLive =
     ", zolv AS (SELECT o_orderkey, o_custkey FROM zmo " +
       "WHERE o_orderkey % 37 <> 0), " +
       "zoln AS (SELECT COUNT(*) AS n FROM zolv), " +

@@ -1,0 +1,247 @@
+package graft.sources.lake
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThanOrEqual}
+
+import graft.operators.{Optimize, ZoneMap}
+import graft.streaming.LedgerArtifacts
+
+/** The graft lake table format's writer + manifest IO + the oracled
+  * queries that drive [[LakeTableProvider]] (q507–q509, block 81).
+  *
+  * The table is the OPTIMIZE output made REAL: [[ensureTable]] writes
+  * [[Optimize.rewrittenFiles]]'s layout (live rows only — the %37 DVs
+  * folded — Z-ordered, one parquet file per planned file id) to a
+  * build-once shared artifact, plus the table's commit metadata:
+  * `_manifest.tsv`, one line per file with its physical path, row
+  * count, per-column [min,max] zones, and a 4096-bit bloom bitmap
+  * over `o_orderkey` ([[LakeBloom]]). The provider's
+  * `planInputPartitions` consumes exactly this manifest — q488's
+  * zone-map artifact stops being an audit subject and becomes the
+  * engine's own read path.
+  *
+  * Commit protocol: the standard staging→rename→meta-marker-last
+  * discipline ([[LedgerArtifacts]]); freshness is the corpus
+  * fingerprint. Single writing process per artifact root, as
+  * documented on [[graft.BuildArtifacts]].
+  *
+  * 100 TB shape: the build is the OPTIMIZE job the table was already
+  * paying (scan + one z-value shuffle + per-file stat aggregation);
+  * the manifest is one metadata row per file. Every query here reads
+  * through the provider, so its cost is proportional to files
+  * ADMITTED by its predicate — the audit columns quantify exactly how
+  * many.
+  */
+object GraftLake {
+
+  /** Parse the committed manifest. Format (TSV, one line per file):
+    * `file_id  rel_path  n_rows  min_ok  max_ok  min_ck  max_ck
+    * w0,w1,...,w63` (the bloom bitmap's 64 words).
+    */
+  private[graft] def readManifest(root: String): Seq[LakeFile] = {
+    val p = new HPath(s"$root/_manifest.tsv")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    body.split('\n').iterator.filter(_.nonEmpty).map { line =>
+      val f = line.split('\t')
+      LakeFile(f(0).toLong, f(1), f(2).toLong, f(3).toLong, f(4).toLong,
+        f(5).toLong, f(6).toLong, f(7).split(',').map(_.toLong))
+    }.toSeq
+  }
+
+  /** Build (or freshness-check) the lake table for a corpus dir;
+    * returns the committed table root.
+    */
+  def ensureTable(spark: SparkSession, dir: String): String =
+    synchronized {
+      val fp = LedgerArtifacts.fingerprint(
+        ZoneMap.orders(spark, dir), Seq("o_orderkey", "o_custkey"))
+      val dest = s"${LedgerArtifacts.artifactRoot}/lake_orders_" +
+        LedgerArtifacts.dirKey(dir)
+      val fs = new HPath(dest)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def fresh: Boolean = {
+        val meta = new HPath(s"$dest/_meta.tsv")
+        fs.exists(meta) && {
+          val in = fs.open(meta)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()
+          s == s"${fp._1}\t${fp._2}" &&
+            fs.exists(new HPath(s"$dest/_manifest.tsv"))
+        }
+      }
+      if (!fresh) {
+        val t0 = System.nanoTime()
+        val staging = s"${dest}_build_staging"
+        fs.delete(new HPath(staging), true)
+        val filed = Optimize.rewrittenFiles(spark, dir).persist()
+        try {
+          // one physical parquet file per planned file id: repartition
+          // by file_id puts each id in exactly one task, partitionBy
+          // then cuts one file per id dir
+          filed.repartition(col("file_id"))
+            .write.partitionBy("file_id").mode("overwrite")
+            .parquet(s"$staging/data")
+          val zones = ZoneMap.zones(filed)
+          val posCols = LakeBloom.Hashes.map { case (a, b) =>
+            expr(s"((o_orderkey * ${a}L + ${b}L) % ${LakeBloom.P}L) " +
+              s"% ${LakeBloom.Bits}L")
+          }
+          val blooms = filed
+            .select(col("file_id"),
+              explode(array(posCols: _*)).as("pos"))
+            .groupBy(col("file_id"))
+            .agg(sort_array(collect_set(col("pos"))).as("poss"))
+          // metadata-sized collect: one row per file (the manifest a
+          // table format keeps in its log)
+          val rows = zones.join(blooms, Seq("file_id")).collect()
+            .sortBy(_.getAs[Long]("file_id"))
+          val lines = rows.map { r =>
+            val id = r.getAs[Long]("file_id")
+            val fname = {
+              val d = new HPath(s"$staging/data/file_id=$id")
+              val fsFiles = fs.listStatus(d)
+                .filter(_.getPath.getName.endsWith(".parquet"))
+              if (fsFiles.length != 1)
+                sys.error(s"lake build: expected exactly one parquet " +
+                  s"file under $d, found ${fsFiles.length}")
+              fsFiles(0).getPath.getName
+            }
+            val words = new Array[Long](LakeBloom.Words)
+            r.getSeq[Long](r.fieldIndex("poss")).foreach { p =>
+              words((p >> 6).toInt) |= 1L << (p & 63)
+            }
+            s"$id\tdata/file_id=$id/$fname\t${r.getAs[Long]("n_rows")}" +
+              s"\t${r.getAs[Long]("min_ok")}\t${r.getAs[Long]("max_ok")}" +
+              s"\t${r.getAs[Long]("min_ck")}\t${r.getAs[Long]("max_ck")}" +
+              s"\t${words.mkString(",")}"
+          }
+          writeText(fs, s"$staging/_manifest.tsv",
+            lines.mkString("", "\n", "\n"))
+          fs.delete(new HPath(dest), true)
+          if (!fs.rename(new HPath(staging), new HPath(dest)))
+            sys.error(s"lake table commit failed: " +
+              s"rename($staging -> $dest)")
+          // meta LAST: the commit marker
+          writeText(fs, s"$dest/_meta.tsv", s"${fp._1}\t${fp._2}\n")
+          graft.ArtifactLog.record("lake:orders",
+            (System.nanoTime() - t0) / 1e9)
+        } finally filed.unpersist(false)
+      }
+      dest
+    }
+
+  private def writeText(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, body: String): Unit = {
+    val out = fs.create(new HPath(path), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The table through the DSv2 provider — the user-facing read. */
+  def lakeDf(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureTable(spark, dir)
+    spark.read.format(classOf[LakeTableProvider].getName)
+      .option("path", root).load()
+  }
+
+  /** How many files `planInputPartitions` actually plans for a filter
+    * set — the provider's own planning code path, invoked directly
+    * (not a parallel reimplementation).
+    */
+  private[graft] def plannedFiles(root: String,
+      filters: Array[Filter]): Long = {
+    val sb = new LakeScanBuilder(root)
+    sb.pushFilters(filters)
+    sb.build().asInstanceOf[LakeScan].planInputPartitions().length.toLong
+  }
+
+  /** q507: a pruned aggregate THROUGH the provider — the o_custkey
+    * range probe (the workload's k=1 custkey predicate) grouped into
+    * buckets. The result hash-matches the full-scan twin (DuckDB over
+    * raw orders, %37 folded) while the plan reads only admitted files
+    * — correctness of the pruned read path, end to end.
+    */
+  def lakePrunedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val maxCk = ZoneMap.orders(spark, dir)
+      .agg(max(col("o_custkey"))).collect()(0).getLong(0)
+    val lo = 3L * maxCk / 8L
+    val hi = lo + maxCk / 16L
+    lakeDf(spark, dir)
+      .filter(col("o_custkey") >= lo && col("o_custkey") <= hi)
+      .groupBy((col("o_custkey") % 8L).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_ok"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q508: the plan audit — for every workload predicate, how many
+    * files the provider PLANS (its planInputPartitions, invoked on
+    * the committed manifest) vs the table total, and the rows the
+    * pruned scan returns. The q440/q487 audit numbers, now measured
+    * against the engine's own read path instead of a simulation.
+    */
+  def lakePlanAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureTable(spark, dir)
+    val filesTotal = readManifest(root).length.toLong
+    val preds = ZoneMap.predicates(spark,
+      ZoneMap.orders(spark, dir)).collect()
+    val out = ArrayBuffer.empty[(String, String, Long, Long, Long, Long, Long)]
+    preds.foreach { p =>
+      val predId = p.getAs[String]("pred_id")
+      val predCol = p.getAs[String]("pred_col")
+      val lo = p.getAs[Long]("lo")
+      val hi = p.getAs[Long]("hi")
+      val planned = plannedFiles(root, Array[Filter](
+        GreaterThanOrEqual(predCol, lo), LessThanOrEqual(predCol, hi)))
+      val nRows = lakeDf(spark, dir)
+        .filter(col(predCol) >= lo && col(predCol) <= hi).count()
+      out += ((predId, predCol, lo, hi, filesTotal, planned, nRows))
+    }
+    out.toSeq.toDF("pred_id", "pred_col", "lo", "hi", "files_total",
+        "files_planned", "n_rows")
+      .orderBy(col("pred_id"))
+  }
+
+  /** q509: bloom point probes — 8 deterministic keys spread across the
+    * key range (some present, some absent: the %37-folded keys and the
+    * gaps in the sparse orderkey space). Per probe: files admitted by
+    * zones alone, files admitted by zones+bloom (the EqualTo path),
+    * and the rows actually found. Bloom admission is exact integer
+    * arithmetic, so DuckDB recomputes every bit.
+    */
+  def lakeBloomProbes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureTable(spark, dir)
+    val maxOk = ZoneMap.orders(spark, dir)
+      .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val rows = (1L to 8L).map { j =>
+      val key = j * maxOk / 9L
+      val zoned = plannedFiles(root, Array[Filter](
+        GreaterThanOrEqual("o_orderkey", key),
+        LessThanOrEqual("o_orderkey", key)))
+      val bloomed = plannedFiles(root,
+        Array[Filter](EqualTo("o_orderkey", key)))
+      val nRows = lakeDf(spark, dir)
+        .filter(col("o_orderkey") === key).count()
+      (j, key, zoned, bloomed, nRows)
+    }
+    rows.toDF("probe_id", "probe_key", "files_zone", "files_bloom",
+        "n_rows")
+      .orderBy(col("probe_id"))
+  }
+}
+
+/** Provider-side manifest access, kept in an object the scan can reach
+  * without a SparkSession (planInputPartitions runs at planning time).
+  */
+private[lake] object GraftLakeFormat {
+  def readManifest(root: String): Seq[LakeFile] =
+    GraftLake.readManifest(root)
+}

@@ -43,6 +43,10 @@ object Prebuild {
           .count()),
       ("occ_schedule",
         () => Occ.scheduleShared(spark, dir)._1.count()),
+      ("lake_orders",
+        () => graft.sources.lake.GraftLake
+          .readManifest(graft.sources.lake.GraftLake
+            .ensureTable(spark, dir)).size.toLong),
       ("join_stats",
         () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
           .count()),

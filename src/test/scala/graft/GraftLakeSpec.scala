@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThanOrEqual}
+
+import graft.operators.{Optimize, ZoneMap}
+import graft.sources.lake.{GraftLake, LakeBloom}
+
+/** The DSv2 lake provider's contract: planned partitions equal the
+  * zone-map audit's admitted-file count (pruning is REAL — a pruned
+  * file is never planned), results through the pruned path equal the
+  * full corpus, the bloom path prunes strictly harder on absent point
+  * probes, and every bloom decision is sound (no admitted-and-present
+  * key ever rejected).
+  */
+class GraftLakeSpec extends SparkSpec {
+
+  private lazy val root = GraftLake.ensureTable(spark, sfDir)
+  private lazy val lake = GraftLake.lakeDf(spark, sfDir)
+  private lazy val live = Optimize.rewrittenFiles(spark, sfDir)
+    .select(col("o_orderkey"), col("o_custkey"))
+
+  test("full scan through the provider equals the OPTIMIZE output") {
+    val got = lake.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = live.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the %37 DVs are folded on disk, not masked at read
+    assert(got.forall(_._1 % 37 != 0))
+  }
+
+  test("planInputPartitions matches the zone-map overlap count, and " +
+      "the PHYSICAL scan plans exactly that many partitions") {
+    val o = ZoneMap.orders(spark, sfDir)
+    val maxCk = o.agg(max(col("o_custkey"))).collect()(0).getLong(0)
+    val lo = 3L * maxCk / 8L
+    val hi = lo + maxCk / 16L
+    // expected = admitted files per the stored manifest semantics,
+    // recomputed independently from the layout frame
+    val zones = ZoneMap.zones(Optimize.rewrittenFiles(spark, sfDir))
+    val expected = zones
+      .filter(col("max_ck") >= lo && col("min_ck") <= hi).count()
+    val total = zones.count()
+    assert(expected < total, "fixture must actually prune")
+    val planned = GraftLake.plannedFiles(root, Array[Filter](
+      GreaterThanOrEqual("o_custkey", lo),
+      LessThanOrEqual("o_custkey", hi)))
+    assert(planned == expected)
+    // and the SQL surface plans the same partitions: the BatchScan
+    // under the filtered df carries exactly `expected` input splits
+    val df = lake.filter(col("o_custkey") >= lo && col("o_custkey") <= hi)
+    df.count() // materialize (finalizes AQE)
+    val scans = preparedPlan(df).collect {
+      case b: BatchScanExec => b.inputRDD.getNumPartitions
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.toLong == expected)
+    // result parity with the unpruned corpus
+    val viaLake = df.agg(count(lit(1)), sum(col("o_orderkey")))
+      .collect()(0)
+    val viaFull = live
+      .filter(col("o_custkey") >= lo && col("o_custkey") <= hi)
+      .agg(count(lit(1)), sum(col("o_orderkey"))).collect()(0)
+    assert(viaLake.getLong(0) == viaFull.getLong(0))
+    assert(viaLake.getLong(1) == viaFull.getLong(1))
+  }
+
+  test("column pruning: a single-column projection reads correctly") {
+    val got = lake.select(col("o_custkey"))
+      .agg(sum(col("o_custkey"))).collect()(0).getLong(0)
+    val want = live.agg(sum(col("o_custkey"))).collect()(0).getLong(0)
+    assert(got == want)
+    assert(lake.count() == live.count())
+  }
+
+  test("bloom point probes: sound on present keys, strictly harder " +
+      "than zones on a folded (absent) key") {
+    // every PRESENT key must be admitted by its own file's bloom:
+    // probe 20 live keys spread across the range
+    val keys = live.orderBy(col("o_orderkey")).limit(2000)
+      .collect().map(_.getLong(0))
+    val sample = keys.indices.filter(_ % 97 == 0).map(keys(_)).take(20)
+    sample.foreach { k =>
+      val n = lake.filter(col("o_orderkey") === k).count()
+      assert(n == 1L, s"present key $k must survive the bloom path")
+    }
+    // an absent key (%37-folded) inside some file's zone range:
+    // zones admit >=1 file; bloom must admit a subset and the scan
+    // returns zero rows
+    val folded = ZoneMap.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 37 === 0)
+      .orderBy(col("o_orderkey")).limit(50).collect()
+      .map(_.getLong(0))
+    var sawStrictPrune = false
+    folded.foreach { k =>
+      val zoned = GraftLake.plannedFiles(root, Array[Filter](
+        GreaterThanOrEqual("o_orderkey", k),
+        LessThanOrEqual("o_orderkey", k)))
+      val bloomed = GraftLake.plannedFiles(root,
+        Array[Filter](EqualTo("o_orderkey", k)))
+      assert(bloomed <= zoned)
+      if (bloomed < zoned) sawStrictPrune = true
+      assert(lake.filter(col("o_orderkey") === k).count() == 0L)
+    }
+    assert(sawStrictPrune,
+      "bloom must prune at least one absent probe beyond zones " +
+        "(expected: ~19% bits set, fp rate < 1% per file)")
+  }
+
+  test("bloom bitmap semantics: admits() equals the positions-subset " +
+      "definition") {
+    val words = new Array[Long](LakeBloom.Words)
+    val present = Seq(11L, 222L, 3333L)
+    present.flatMap(LakeBloom.positions).foreach { p =>
+      words(p >> 6) |= 1L << (p & 63)
+    }
+    present.foreach(k => assert(LakeBloom.admits(words, k)))
+    val absentRejected = (1L to 500L)
+      .filterNot(present.contains)
+      .count(k => !LakeBloom.admits(words, k))
+    assert(absentRejected > 480,
+      "a 9-bit bitmap must reject nearly all absent keys")
+  }
+}
