@@ -1472,6 +1472,13 @@ object Registry {
       graft.sources.lake.GraftLake.lakePlanAudit(s, d)),
     "q509_lake_bloom_probe" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeBloomProbes(s, d)),
+    // block 82: OCC under GENUINE concurrency — 7 writer threads race
+    // stage → check → rename against one ledger; the end state is
+    // deterministic under every interleaving (r16 verdict #2)
+    "q510_occ_race_census" -> ((s, d) =>
+      graft.streaming.Occ.occRaceCensus(s, d)),
+    "q511_occ_race_state" -> ((s, d) =>
+      graft.streaming.Occ.occRaceState(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

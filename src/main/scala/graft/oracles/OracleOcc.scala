@@ -56,5 +56,26 @@ object OracleOcc {
         "SELECT c_custkey, n_orders + CASE " +
         "WHEN c_custkey % 3 = 0 THEN 7 " +
         "WHEN c_custkey % 3 = 1 THEN 11 ELSE 0 END AS n_orders " +
+        "FROM ocb ORDER BY c_custkey"),
+    // q510: the raced census — 7 concurrent writers (6 disjoint
+    // classes + 1 duplicate of class 0), so exactly 6 commit, 1
+    // aborts, 7 versions land, and the final mass is the base plus
+    // every class increment applied exactly once. Analytic under ANY
+    // thread interleaving — that invariance is the protocol's claim.
+    "q510_occ_race_census" ->
+      (Base +
+        "SELECT 7::BIGINT AS n_writers, 6::BIGINT AS n_committed, " +
+        "1::BIGINT AS n_aborted, 7::BIGINT AS n_versions, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_keys_base, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_keys_final, " +
+        "CAST(SUM(n_orders) AS BIGINT) AS sum_base, " +
+        "CAST(SUM(n_orders + (c_custkey % 6 + 1) * 10) AS BIGINT) AS " +
+        "sum_final, TRUE AS conserved FROM ocb"),
+    // q511: the raced final state at key grain — base + 10·(class+1)
+    // on every key, the duplicate's increment applied exactly once
+    "q511_occ_race_state" ->
+      (Base +
+        "SELECT c_custkey, " +
+        "n_orders + (c_custkey % 6 + 1) * 10 AS n_orders " +
         "FROM ocb ORDER BY c_custkey"))
 }

@@ -16,10 +16,14 @@ import graft.sources.Tables
   * existing `b<v>_<batch>` layout:
   *
   *  - a writer stages its rewrite against the snapshot it read (its
-  *    BASE version), then claims the next version number by an atomic
-  *    `rename(staging, b<v+1>_<batch>)` — rename-if-absent is the
-  *    put-if-absent primitive every table format's commit relies on
-  *    (a lost race = rename fails = loop, never a torn commit);
+  *    BASE version), then claims the next version number by
+  *    `rename(staging, b<v+1>_<batch>)` PLUS an ownership verify —
+  *    Hadoop rename has mv semantics (renaming onto an existing dir
+  *    nests the source inside it, returning true), so the claim is
+  *    only real if the staging dir BECAME dest; a writer that finds
+  *    its staging nested lost the race, un-nests, and loops (never a
+  *    torn commit, never two owners of one version — OccRaceSpec
+  *    races 7 threads through this exact window);
   *  - a writer whose base is stale (someone committed after it read)
   *    must CONFLICT-CHECK before rebasing: its write set is
   *    intersected with the keys written by every version in
@@ -173,14 +177,28 @@ object Occ {
             .select(col("c_custkey"), col("n_orders").as("new_val")),
             Seq("c_custkey"), "left")
           .write.mode("overwrite").parquet(s"$staging/_changeset")
-        // the atomic claim: rename-if-absent; a lost race loops back
-        // into the conflict check against the new current version
+        // the atomic claim: rename, then VERIFY ownership. Hadoop
+        // FileSystem.rename has mv semantics — renaming onto an
+        // EXISTING directory moves the source INSIDE it and still
+        // returns true — so a bare exists()+rename pair is a TOCTOU
+        // window where two racing writers both "claim" the same
+        // version and one increment is silently lost (OccRaceSpec
+        // caught exactly this under 7 real threads). The verify is
+        // cheap and decisive: if our uniquely-named staging dir now
+        // sits NESTED inside dest, the rename lost to an earlier
+        // committer — undo the nest (it is underscore-prefixed, so
+        // readers never saw it) and loop back into the conflict
+        // check against the new current version. Only the writer
+        // whose staging BECAME dest returns success.
         if (!fs.exists(new Path(dest)) &&
-            fs.rename(new Path(staging), new Path(dest)))
-          return Attempt(writer, readBase, nDelta, 0L,
-            if (attemptBase == readBase) "committed" else "rebased",
-            vcur + 1)
-        fs.delete(new Path(staging), true)
+            fs.rename(new Path(staging), new Path(dest))) {
+          val nested = new Path(dest, new Path(staging).getName)
+          if (!fs.exists(nested))
+            return Attempt(writer, readBase, nDelta, 0L,
+              if (attemptBase == readBase) "committed" else "rebased",
+              vcur + 1)
+          fs.delete(nested, true)
+        } else fs.delete(new Path(staging), true)
       } finally dk.unpersist(false)
     }
     sys.error(s"occ: writer $writer could not claim a version in 16 " +
@@ -223,18 +241,25 @@ object Occ {
     (spark.read.parquet(s"$ledgerRoot/_attempts"), ledgerRoot)
   }
 
-  private def runScheduleAt(spark: SparkSession, dir: String,
-      ledgerRoot: String): (Seq[Attempt], String) = {
-    val v0 = Tables.read(spark, dir, "orders")
+  /** The balance bump every schedule writer applies: +inc on its key
+    * class, identity elsewhere (an update-in-place delta).
+    */
+  private def bump(keyPred: org.apache.spark.sql.Column, inc: Long)
+      (snap: DataFrame): DataFrame =
+    snap.withColumn("n_orders",
+      when(keyPred, col("n_orders") + inc).otherwise(col("n_orders")))
+
+  /** Seed version 0: per-custkey order counts. */
+  private def writeV0(spark: SparkSession, dir: String,
+      ledgerRoot: String): Unit =
+    Tables.read(spark, dir, "orders")
       .groupBy(col("o_custkey").cast("long").as("c_custkey"))
       .agg(count(lit(1)).as("n_orders"))
-    v0.write.mode("overwrite").parquet(s"$ledgerRoot/b0_0")
+      .write.mode("overwrite").parquet(s"$ledgerRoot/b0_0")
 
-    def bump(keyPred: org.apache.spark.sql.Column, inc: Long)
-        (snap: DataFrame): DataFrame =
-      snap.withColumn("n_orders",
-        when(keyPred, col("n_orders") + inc).otherwise(col("n_orders")))
-
+  private def runScheduleAt(spark: SparkSession, dir: String,
+      ledgerRoot: String): (Seq[Attempt], String) = {
+    writeV0(spark, dir, ledgerRoot)
     val a = tryCommit(spark, ledgerRoot, "a", 0L,
       snap => snap.filter(col("c_custkey") % 3 === 0)
         .select(col("c_custkey")),
@@ -292,6 +317,117 @@ object Occ {
   def occFinalState(spark: SparkSession, dir: String): DataFrame = {
     val (_, ledgerRoot) = scheduleShared(spark, dir)
     val (_, _, path) = Provenance.committedVersions(spark, ledgerRoot)
+      .maxBy(_._1)
+    spark.read.parquet(path)
+      .select(col("c_custkey"), col("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------
+  // genuine multi-writer concurrency (q510–q511, block 82 — the r16
+  // verdict's #2: every prior schedule was a serial replay; the
+  // production reason OCC exists is writers racing stage → check →
+  // rename from concurrent threads)
+  // ---------------------------------------------------------------
+
+  /** The race roster: six writers on pairwise-DISJOINT key classes
+    * (`c_custkey % 6 == w`, +10·(w+1)) plus one DUPLICATE of class 0
+    * with the same increment. Under any interleaving exactly one of
+    * the class-0 pair commits (the other finds its keys in the
+    * winner's stored `_changeset` and aborts — the first of the pair
+    * to claim a version can never abort, so "both abort" is
+    * impossible), and every disjoint writer commits after at most
+    * per-version rebases. The END STATE is therefore deterministic —
+    * base + 10·(class+1) on every key — even though the
+    * version-assignment order is not, which is what makes a genuinely
+    * raced protocol oracle-checkable.
+    */
+  private val RaceWriters: Seq[(String, Int, Long)] =
+    (0 to 5).map(w => (s"w$w", w, 10L * (w + 1))) :+ ("dup", 0, 10L)
+
+  /** Run the race: all writers enter [[tryCommit]] concurrently from
+    * their own threads, all with read base v0. Returns the attempts
+    * in roster order.
+    */
+  private[graft] def runRace(spark: SparkSession, dir: String,
+      ledgerRoot: String): Seq[Attempt] = {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    writeV0(spark, dir, ledgerRoot)
+    val pool = Executors.newFixedThreadPool(RaceWriters.size)
+    try {
+      val futures = RaceWriters.map { case (name, cls, inc) =>
+        pool.submit(new Callable[Attempt] {
+          override def call(): Attempt =
+            tryCommit(spark, ledgerRoot, name, 0L,
+              snap => snap.filter(col("c_custkey") % 6 === cls)
+                .select(col("c_custkey")),
+              bump(col("c_custkey") % 6 === cls, inc))
+        })
+      }
+      futures.map(_.get(600, TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+  }
+
+  /** The race as a build-once shared artifact (deterministic END
+    * state; the nondeterministic version-assignment order lives only
+    * in `_attempts`, which the queries read as aggregates).
+    */
+  private[graft] def raceShared(spark: SparkSession,
+      dir: String): String = {
+    val fp = LedgerArtifacts.fingerprint(
+      Tables.read(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+      Seq("o_orderkey", "o_custkey"))
+    LedgerArtifacts.shared(spark,
+      s"occ_race_${LedgerArtifacts.dirKey(dir)}", fp) { root =>
+      import spark.implicits._
+      val lr = s"$root/state"
+      val attempts = runRace(spark, dir, lr)
+      attempts.toDF("writer", "base_version", "n_delta_keys",
+          "n_conflict_keys", "outcome", "commit_version")
+        .coalesce(1).write.mode("overwrite").parquet(s"$lr/_attempts")
+    }
+  }
+
+  /** q510: the post-race census — writers in, commits out, aborts,
+    * versions on disk, and the conservation verdict (final mass =
+    * base mass + every committed increment, the duplicate applied
+    * exactly once). The oracle recomputes every number analytically
+    * from `orders`; a lost update, a double-applied duplicate, or a
+    * torn version would each break a different column.
+    */
+  def occRaceCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = raceShared(spark, dir)
+    val attempts = spark.read.parquet(s"$root/_attempts")
+    val nCommitted = attempts.filter(col("outcome") =!= "aborted")
+      .count()
+    val nAborted = attempts.filter(col("outcome") === "aborted").count()
+    val versions = Provenance.committedVersions(spark, root)
+    val base = spark.read.parquet(versions.head._3)
+      .agg(count(lit(1)), sum(col("n_orders"))).collect()(0)
+    val fin = spark.read.parquet(versions.maxBy(_._1)._3)
+      .agg(count(lit(1)), sum(col("n_orders"))).collect()(0)
+    // the analytic expectation: every class bumped once
+    val expected = spark.read.parquet(versions.head._3)
+      .agg(sum(col("n_orders") +
+        (col("c_custkey") % 6 + 1L) * 10L)).collect()(0).getLong(0)
+    Seq((RaceWriters.size.toLong, nCommitted, nAborted,
+        versions.size.toLong, base.getLong(0), fin.getLong(0),
+        base.getLong(1), fin.getLong(1), fin.getLong(1) == expected))
+      .toDF("n_writers", "n_committed", "n_aborted", "n_versions",
+        "n_keys_base", "n_keys_final", "sum_base", "sum_final",
+        "conserved")
+  }
+
+  /** q511: the raced final state, full key grain — deterministic
+    * (base + 10·(class+1) per key) under every interleaving; one key
+    * bumped twice by the duplicate or zero times by a lost update
+    * breaks the hash.
+    */
+  def occRaceState(spark: SparkSession, dir: String): DataFrame = {
+    val root = raceShared(spark, dir)
+    val (_, _, path) = Provenance.committedVersions(spark, root)
       .maxBy(_._1)
     spark.read.parquet(path)
       .select(col("c_custkey"), col("n_orders"))
