@@ -1479,6 +1479,14 @@ object Registry {
       graft.streaming.Occ.occRaceCensus(s, d)),
     "q511_occ_race_state" -> ((s, d) =>
       graft.streaming.Occ.occRaceState(s, d)),
+    // block 84: the wall-clock AS OF axis — versions carry recorded
+    // commit timestamps; reads resolve by instant, tie-break to the
+    // highest version, retention floor named on under-floor asks
+    // (r16 verdict #3)
+    "q512_asof_time_registry" -> ((s, d) =>
+      graft.streaming.TimeTravel.asOfTimeRegistry(s, d)),
+    "q513_asof_time_governed" -> ((s, d) =>
+      graft.streaming.TimeTravel.asOfTimeGovernedBalances(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

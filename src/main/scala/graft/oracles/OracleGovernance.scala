@@ -112,5 +112,33 @@ object OracleGovernance {
         ", 2) AS b FROM documents d, ttm m) " +
         "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
         "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM ttd " +
-        "WHERE b <= 1 GROUP BY source ORDER BY source"))
+        "WHERE b <= 1 GROUP BY source ORDER BY source"),
+    // q512: the wall-clock AS OF — 01:30 on the fixture clock (epoch
+    // + 1h per batch) resolves to the 01:00 version = batches 0–1,
+    // the same retained set as the batch axis at position 1
+    "q512_asof_time_registry" ->
+      ("WITH ttm AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi " +
+        "FROM documents), " +
+        "ttd AS (SELECT d.source, CAST(d.n_chars AS BIGINT) AS " +
+        "n_chars, LEAST((d.doc_id - m.lo) // ((m.hi - m.lo + 3) // 3)" +
+        ", 2) AS b FROM documents d, ttm m) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM ttd " +
+        "WHERE b <= 1 GROUP BY source ORDER BY source"),
+    // q513: equal commit timestamps resolve to the HIGHEST version —
+    // the serial A-then-B end state (+7 on %3==0, +11 on %3==1),
+    // governed exactly like q494
+    "q513_asof_time_governed" ->
+      ("WITH ttb AS (SELECT CAST(o_custkey AS BIGINT) AS c_custkey, " +
+        "CAST(COUNT(*) AS BIGINT) AS base_n FROM orders GROUP BY 1), " +
+        "ttr AS (SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, " +
+        "CAST(n.n_regionkey AS BIGINT) AS region FROM customer c " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey) " +
+        "SELECT md5('nm|' || CAST(b.c_custkey AS VARCHAR)) AS " +
+        "name_token, r.region, " +
+        "CAST(b.base_n + CASE WHEN b.c_custkey % 3 = 0 THEN 7 " +
+        "WHEN b.c_custkey % 3 = 1 THEN 11 ELSE 0 END AS BIGINT) AS " +
+        "n_orders " +
+        "FROM ttb b JOIN ttr r ON b.c_custkey = r.c_custkey " +
+        "WHERE r.region IN (0, 1) ORDER BY name_token"))
 }

@@ -33,12 +33,19 @@ import graft.sources.Tables
   *
   * The certificate is the q389/q406 conservation shape, one row per
   * surface: the ACTUAL post-erasure state mass (`n_state`), the
-  * independently recomputed expectation over retained raw data
-  * (`n_retained`), the request's mass (`n_erased`), and
-  * `conserved = n_state == n_retained`. The oracle recomputes every
-  * expectation in SQL — including re-deriving both capped banding
-  * chains for the artifact row — so a single surviving erased row on
-  * ANY surface breaks the hash.
+  * expected retained mass (`n_retained`), the request's mass
+  * (`n_erased`), and `conserved = n_state == n_retained`.
+  *
+  * EXPECTATIONS COME FROM COMMITTED STATE (r16 verdict #3 — the round
+  * item closing the r15 bar): the per-surface retained/total masses
+  * are a fingerprinted CORPUS CENSUS artifact ([[censusArtifact]] —
+  * one row per surface × the mod-97 key split), built once per corpus
+  * snapshot and read back as six numbers; the per-query raw scans
+  * those expectations used to cost are gone. The cold path that
+  * re-derives the census from raw stays alive in OrchestratorSpec,
+  * and the DuckDB oracle independently recomputes every expectation
+  * from scratch — so a stale or doctored census breaks the hash, not
+  * just a spec.
   *
   * Reference anchor: the delete flow + cache wipe
   * (/root/reference/src/controllers/contactpoint.controller.js:176-227,
@@ -47,63 +54,107 @@ import graft.sources.Tables
   *
   * 100 TB shape: every leg READS a committed artifact (the shared
   * probe ledgers, the incremental dup-edge relation, the stored
-  * retraction views) — the cascades run once, owned and
-  * cost-attributed by the per-surface queries / artifact-log rows;
-  * the certificate itself is six 1-row aggregates cross-joined plus
-  * two cheap independent expectations (a countDistinct over group
-  * keys; one pair-grain pass over retained rows). Nothing
-  * corpus-sized is ever re-derived to certify.
+  * retraction views, the census) — the cascades and the census build
+  * run once, owned and cost-attributed by the per-surface queries /
+  * artifact-log rows; the certificate itself is six 1-row aggregates
+  * plus one metadata-sized census read. Nothing corpus-sized is ever
+  * re-derived to certify.
   */
 object ErasureOrchestrator {
 
   private val Mod = 97
+
+  /** The corpus census at the mod-97 subject split: one row per
+    * surface with (retained mass, total mass) — the independent
+    * expectations every conservation certificate needs, materialized
+    * once per corpus fingerprint. The derived-view rows reuse the
+    * view algebra's own grains (distinct pricing cells; distinct
+    * brand pairs), so `certificate` stays value-identical to the
+    * raw-scanning form it replaces.
+    */
+  private[streaming] def censusArtifact(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val fp = LedgerArtifacts.tableFingerprint(Seq(
+      ("documents", docs, Seq("doc_id")),
+      ("events", ev, Seq("event_id")),
+      ("embeddings", emb, Seq("vec_id")),
+      ("lineitem", li, Seq("l_orderkey", "l_linenumber")),
+      ("orders", Tables.orders(spark, dir), Seq("o_orderkey"))))
+    LedgerArtifacts.sharedTable(spark,
+      s"census97_${LedgerArtifacts.dirKey(dir)}", fp) {
+      def massOf(name: String, df: DataFrame,
+          key: org.apache.spark.sql.Column): DataFrame =
+        df.agg(
+          coalesce(sum(when(key % Mod =!= 0, 1L).otherwise(0L)), lit(0L))
+            .as("n_retained"),
+          count(lit(1)).as("n_all"))
+          .select(lit(name).as("surface"), col("n_retained"),
+            col("n_all"))
+      val retainedLi = li.join(
+        broadcast(Tables.orders(spark, dir)
+          .filter(col("o_custkey") % Mod === 0)
+          .select(col("o_orderkey"))),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val pricing = retainedLi
+        .agg(countDistinct(col("l_returnflag"), col("l_linestatus"))
+          .as("n_retained"))
+        .crossJoin(li.agg(
+          countDistinct(col("l_returnflag"), col("l_linestatus"))
+            .as("n_all")))
+        .select(lit("pricing_cells").as("surface"), col("n_retained"),
+          col("n_all"))
+      val affinity = Basket.affinityOf(
+          Basket.orderBrands(spark, dir, retainedLi))
+        .agg(count(lit(1)).as("n_retained"))
+        .crossJoin(Basket.affinityPairsStored(spark, dir)
+          .agg(count(lit(1)).as("n_all")))
+        .select(lit("brand_affinity").as("surface"), col("n_retained"),
+          col("n_all"))
+      massOf("documents", docs, col("doc_id"))
+        .unionByName(massOf("events", ev, col("user_id")))
+        .unionByName(massOf("ann_lists", emb, col("vec_id")))
+        .unionByName(pricing)
+        .unionByName(affinity)
+    }
+  }
 
   /** The single-request certificate (q430). Idempotent end to end:
     * every leg either re-reads a committed artifact or re-executes an
     * idempotent erase (OrchestratorSpec runs the cascade twice).
     */
   def certificate(spark: SparkSession, dir: String): DataFrame = {
-    def row(surface: String, nState: DataFrame, nRetained: DataFrame,
-        nErased: DataFrame): DataFrame =
-      nState.crossJoin(nRetained).crossJoin(nErased)
-        .select(lit(surface).as("surface"), col("n_state"),
-          col("n_retained"), col("n_erased"),
-          (col("n_state") === col("n_retained")).as("conserved"))
+    // the committed expectations: surface -> (n_retained, n_all)
+    val census = censusArtifact(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def row(surface: String, nState: DataFrame): DataFrame = {
+      val (ret, all) = census(surface)
+      nState.select(lit(surface).as("surface"), col("n_state"),
+        lit(ret).as("n_retained"), lit(all - ret).as("n_erased"),
+        (col("n_state") === ret).as("conserved"))
+    }
 
     // 1. documents registry ledger (the q387 pipeline at mod 97)
     val (docState, _) = Erasure.erasedRegistryLedgerShared(spark, dir, Mod)
-    val docs = Tables.documents(spark, dir)
     val docRow = row("documents",
-      docState.agg(count(lit(1)).as("n_state")),
-      docs.filter(col("doc_id") % Mod =!= 0)
-        .agg(count(lit(1)).as("n_retained")),
-      docs.filter(col("doc_id") % Mod === 0)
-        .agg(count(lit(1)).as("n_erased")))
+      docState.agg(count(lit(1)).as("n_state")))
 
     // 2. events ledger (the q405 pipeline — already user % 97)
     val (evState, _) = UserErasure.erasedEventsLedger(spark, dir)
-    val ev = Tables.events(spark, dir)
-    val evRow = row("events",
-      evState.agg(count(lit(1)).as("n_state")),
-      ev.filter(col("user_id") % Mod =!= 0)
-        .agg(count(lit(1)).as("n_retained")),
-      ev.filter(col("user_id") % Mod === 0)
-        .agg(count(lit(1)).as("n_erased")))
+    val evRow = row("events", evState.agg(count(lit(1)).as("n_state")))
 
     // 3. ANN inverted lists (the q391 pipeline at mod 97)
     val (annState, _) = AnnMaintenance.deletedIvfLedger(spark, dir, Mod)
-    val emb = Tables.embeddings(spark, dir)
     val annRow = row("ann_lists",
-      annState.agg(count(lit(1)).as("n_state")),
-      emb.filter(col("vec_id") % Mod =!= 0)
-        .agg(count(lit(1)).as("n_retained")),
-      emb.filter(col("vec_id") % Mod === 0)
-        .agg(count(lit(1)).as("n_erased")))
+      annState.agg(count(lit(1)).as("n_state")))
 
     // 4. dup-edge artifact, maintained incrementally; the expectation
-    // comes from the FULL artifact + the conservation identity (an
-    // independent path from the maintained relation), and the oracle
-    // re-derives both chains from scratch
+    // comes from the FULL stored artifact + the conservation identity
+    // (an independent path from the maintained relation), and the
+    // oracle re-derives both chains from scratch
     val maintained = Dedup.dupEdgesErasedIncremental(spark, dir, Mod)
     val full = Dedup.dupEdges(spark, dir)
       // barrier: two counts off one artifact read
@@ -111,63 +162,26 @@ object ErasureOrchestrator {
     graft.Caches.onRelease(() =>
       try full.unpersist(false) catch { case _: Throwable => () })
     val incident = col("id_a") % Mod === 0 || col("id_b") % Mod === 0
-    val edgeRow = row("dup_edges",
-      maintained.agg(count(lit(1)).as("n_state")),
-      full.agg((count(lit(1)) -
+    val edgeRow = maintained.agg(count(lit(1)).as("n_state"))
+      .crossJoin(full.agg((count(lit(1)) -
         coalesce(sum(when(incident, 1L).otherwise(0L)), lit(0L)))
-        .as("n_retained")),
-      full.agg(coalesce(sum(when(incident, 1L).otherwise(0L)), lit(0L))
-        .as("n_erased")))
-
-    // 5. sum-cell derived view: n_state reads the STORED q410 view
-    // (the maintained artifact its sibling query owns — never
-    // re-derived here); the expectation is an INDEPENDENT cheap pass —
-    // a cell is present iff its (flag, status) pair occurs in the
-    // retained rows, so countDistinct over the group keys equals the
-    // full pricing chain's cell count without the decimal sums (q410
-    // already pins cell VALUES)
-    val li = Tables.lineitem(spark, dir)
-    val retainedLi = li.join(
-      broadcast(Tables.orders(spark, dir)
-        .filter(col("o_custkey") % Mod === 0)
-        .select(col("o_orderkey"))),
-      col("l_orderkey") === col("o_orderkey"), "left_anti")
-    def shared1(df: DataFrame): DataFrame = {
-      // 1-row expectation read by two certificate columns — persist so
-      // the recompute chain behind it runs once
-      val p = df.persist()
-      graft.Caches.onRelease(() =>
-        try p.unpersist(false) catch { case _: Throwable => () })
-      p
-    }
-    val pricingRet = shared1(retainedLi
-      .agg(countDistinct(col("l_returnflag"), col("l_linestatus"))
         .as("n_retained")))
+      .crossJoin(full.agg(
+        coalesce(sum(when(incident, 1L).otherwise(0L)), lit(0L))
+          .as("n_erased")))
+      .select(lit("dup_edges").as("surface"), col("n_state"),
+        col("n_retained"), col("n_erased"),
+        (col("n_state") === col("n_retained")).as("conserved"))
+
+    // 5./6. derived views: n_state reads the STORED q410/q411 views
+    // (the maintained artifacts their sibling queries own); the
+    // expectations are the census's view-grain rows
     val cellRow = row("pricing_cells",
       Retraction.retractablePricing(spark, dir)
-        .agg(count(lit(1)).as("n_state")),
-      pricingRet,
-      li.agg(countDistinct(col("l_returnflag"), col("l_linestatus"))
-          .as("n_all"))
-        .crossJoin(pricingRet)
-        .select((col("n_all") - col("n_retained")).as("n_erased")))
-
-    // 6. distinct-grain derived view: n_state reads the STORED q411
-    // view; the retained expectation re-derives the pair grain from
-    // the retained rows (the independent path the conservation check
-    // needs); n_all reads the stored FULL-corpus pair view (q381's
-    // artifact) instead of running a third pair self-join
-    val affRet = shared1(Basket.affinityOf(
-        Basket.orderBrands(spark, dir, retainedLi))
-      .agg(count(lit(1)).as("n_retained")))
+        .agg(count(lit(1)).as("n_state")))
     val affRow = row("brand_affinity",
       Retraction.retractableAffinity(spark, dir)
-        .agg(count(lit(1)).as("n_state")),
-      affRet,
-      Basket.affinityPairsStored(spark, dir)
-        .agg(count(lit(1)).as("n_all"))
-        .crossJoin(affRet)
-        .select((col("n_all") - col("n_retained")).as("n_erased")))
+        .agg(count(lit(1)).as("n_state")))
 
     docRow.unionByName(evRow).unionByName(annRow).unionByName(edgeRow)
       .unionByName(cellRow).unionByName(affRow)

@@ -63,33 +63,76 @@ object LedgerArtifacts {
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Order-independent corpus fingerprint over `keyCols` — one narrow
-    * scan, never wide columns.
+    * scan, never wide columns — MEMOIZED per JVM session: the content
+    * hash is keyed by the frame's canonicalized plan plus the
+    * (path, mtime, length) of every backing file, so the hundreds of
+    * freshness probes a query session issues against an unchanged
+    * corpus cost a file stat instead of a scan, while any rewrite of
+    * a backing file (new mtime/length) — or a semantically different
+    * frame — recomputes. Frames with no file lineage (in-memory,
+    * sources that hide their files) are never memoized.
     */
+  private val fpMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
   private[graft] def fingerprint(df: DataFrame,
       keyCols: Seq[String]): (Long, Long) = {
-    val fp = df.agg(count(lit(1)).cast("long").as("n"),
-      coalesce(bit_xor(xxhash64(keyCols.map(col): _*)), lit(0L))
-        .as("h")).collect()(0)
-    (fp.getLong(0), fp.getLong(1))
+    def compute: (Long, Long) = {
+      val fp = df.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(bit_xor(xxhash64(keyCols.map(col): _*)), lit(0L))
+          .as("h")).collect()(0)
+      (fp.getLong(0), fp.getLong(1))
+    }
+    val files = df.inputFiles.sorted
+    if (files.isEmpty) compute
+    else {
+      import org.apache.hadoop.fs.Path
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val tokens = files.map { f =>
+        try {
+          val p = new Path(f)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          s"$f:${st.getModificationTime}:${st.getLen}"
+        } catch { case _: Throwable => return compute }
+      }
+      val planKey = java.security.MessageDigest.getInstance("MD5")
+        .digest((df.queryExecution.analyzed.canonicalized.toString +
+          "|" + keyCols.mkString(",") + "|" + tokens.mkString("|"))
+          .getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      fpMemo.getOrElseUpdate(planKey, compute)
+    }
   }
 
   private def metaPath(dest: String) = s"$dest/_artifact_meta"
+
+  /** Once an artifact at `dest` verified fresh for fingerprint `fp`
+    * in this JVM, later probes skip the meta read: under the
+    * single-writer contract ([[graft.BuildArtifacts]]) the only
+    * process that could have replaced it since is this one, and a
+    * corpus change flips `fp`, missing the memo.
+    */
+  private val freshMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   /** Committed-and-current: meta present (the commit marker), the
     * ledger has at least one committed version, fingerprint matches.
     */
   private def fresh(spark: SparkSession, dest: String,
-      fp: (Long, Long)): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(dest)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new Path(s"${metaPath(dest)}/_SUCCESS")) && {
-      val m = spark.read.parquet(metaPath(dest)).collect()
-      m.length == 1 && m(0).getLong(0) == fp._1 &&
-        m(0).getLong(1) == fp._2 &&
-        Provenance.committedVersions(spark, s"$dest/state").nonEmpty
+      fp: (Long, Long)): Boolean =
+    freshMemo.contains(s"$dest|${fp._1}|${fp._2}") || {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(dest)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ok = fs.exists(new Path(s"${metaPath(dest)}/_SUCCESS")) && {
+        val m = spark.read.parquet(metaPath(dest)).collect()
+        m.length == 1 && m(0).getLong(0) == fp._1 &&
+          m(0).getLong(1) == fp._2 &&
+          Provenance.committedVersions(spark, s"$dest/state").nonEmpty
+      }
+      if (ok) freshMemo.put(s"$dest|${fp._1}|${fp._2}", true)
+      ok
     }
-  }
 
   /** The shared immutable ledger: build once per (name, fingerprint),
     * return the committed LEDGER root (`<dest>/state`; tombstones, if
@@ -155,14 +198,16 @@ object LedgerArtifacts {
       fp: String)(build: => DataFrame): DataFrame = {
     import org.apache.hadoop.fs.Path
     val path = s"$artifactRoot/$name"
-    def isFresh: Boolean = {
+    def isFresh: Boolean = freshMemo.contains(s"$path|$fp") || {
       val fs = new Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(new Path(s"$path/meta/_SUCCESS")) &&
+      val ok = fs.exists(new Path(s"$path/meta/_SUCCESS")) &&
         fs.exists(new Path(s"$path/table/_SUCCESS")) && {
           val m = spark.read.parquet(s"$path/meta").collect()
           m.length == 1 && m(0).getString(0) == fp
         }
+      if (ok) freshMemo.put(s"$path|$fp", true)
+      ok
     }
     if (!isFresh) synchronized {
       if (!isFresh) {

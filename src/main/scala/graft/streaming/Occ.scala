@@ -177,6 +177,9 @@ object Occ {
             .select(col("c_custkey"), col("n_orders").as("new_val")),
             Seq("c_custkey"), "left")
           .write.mode("overwrite").parquet(s"$staging/_changeset")
+        // commit timestamp, atomically with the claim (q512's axis)
+        Provenance.writeCommitTs(spark, staging,
+          Provenance.CommitClock.ofBatch(bcur))
         // the atomic claim: rename, then VERIFY ownership. Hadoop
         // FileSystem.rename has mv semantics — renaming onto an
         // EXISTING directory moves the source INSIDE it and still

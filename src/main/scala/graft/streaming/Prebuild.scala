@@ -25,6 +25,11 @@ object Prebuild {
       ("dup_edges_erased37",
         () => graft.operators.Dedup.dupEdgesErased(spark, dir, 37)
           .count()),
+      ("dup_edges_incr_erased97",
+        () => graft.operators.Dedup
+          .dupEdgesErasedIncremental(spark, dir, 97).count()),
+      ("census97",
+        () => ErasureOrchestrator.censusArtifact(spark, dir).count()),
       ("registry_drained",
         () => spark.read.parquet(Provenance.committedVersions(spark,
           Erasure.registryLedgerShared(spark, dir)).last._3).count()),

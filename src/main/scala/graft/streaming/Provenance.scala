@@ -47,6 +47,90 @@ import graft.sources.Tables
   */
 object Provenance {
 
+  /** The fixture's deterministic commit clock (q512–q513): versions
+    * stamp `2026-01-01T00:00:00Z + 1 hour × source batch id`. A
+    * production writer records wall-clock here instead; everything
+    * downstream ([[ledgerAsOfTime]], the retention-floor error, the
+    * tie-break) is clock-agnostic. Derivable from the batch id so the
+    * oracle can spell the same instants — the same reason the batch
+    * id lives in the version dir NAME.
+    */
+  object CommitClock {
+    val EpochMs: Long = 1767225600000L // 2026-01-01T00:00:00Z
+    val StepMs: Long = 3600000L
+    def ofBatch(batch: Long): Long =
+      EpochMs + math.max(batch, 0L) * StepMs
+  }
+
+  /** Record a version's commit timestamp: a `_commit_ts` sidecar
+    * (underscore-prefixed — invisible to state reads) inside the
+    * version dir. Writers that commit by staging→rename write it into
+    * the staging dir so it lands atomically with the state.
+    */
+  private[graft] def writeCommitTs(spark: SparkSession,
+      versionPath: String, tsMillis: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$versionPath/_commit_ts")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(tsMillis.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** A version's commit timestamp: the recorded sidecar, else derived
+    * from the batch id in the dir name (legacy versions committed
+    * before timestamps were recorded — by construction the fixture
+    * clock, so mixed trails stay consistent).
+    */
+  private[graft] def commitTsOf(spark: SparkSession,
+      versionPath: String, batch: Long): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$versionPath/_commit_ts")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) CommitClock.ofBatch(batch)
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      s.toLongOption.getOrElse(CommitClock.ofBatch(batch))
+    }
+  }
+
+  /** All committed versions with their commit timestamps, in version
+    * order: (version, batch, commit_ts_millis, path).
+    */
+  def versionsWithTime(spark: SparkSession,
+      root: String): Seq[(Long, Long, Long, String)] =
+    committedVersions(spark, root).map { case (v, b, path) =>
+      (v, b, commitTsOf(spark, path, b), path)
+    }
+
+  /** The unified AS OF read, WALL-CLOCK axis (q512–q513, block 84 —
+    * the r16 verdict's #3 missing axis: "the table as of yesterday
+    * 14:00" is the form users actually ask): the highest committed
+    * version whose commit timestamp is ≤ `tsMillis`.
+    *
+    * Tie-break: at equal timestamps the HIGHEST version wins —
+    * version order is commit order, and a coarse clock cannot reorder
+    * commits. Asking for a time before the earliest RETAINED version
+    * fails loudly and names the retention floor: after a vacuum, the
+    * history below the floor is physically gone (that is q429's
+    * erasure guarantee), and silently answering from a newer version
+    * would fabricate history.
+    */
+  def ledgerAsOfTime(spark: SparkSession, root: String,
+      tsMillis: Long): DataFrame = {
+    val vs = versionsWithTime(spark, root)
+    if (vs.isEmpty) sys.error(s"no committed versions under $root")
+    val candidates = vs.filter(_._3 <= tsMillis)
+    if (candidates.isEmpty) {
+      val floor = vs.minBy(_._1)
+      sys.error(s"no committed version at or before timestamp " +
+        s"$tsMillis under $root: the retention floor is version " +
+        s"${floor._1} (committed at ${floor._3}); versions below the " +
+        s"floor were vacuumed and their history is physically gone")
+    }
+    spark.read.parquet(candidates.maxBy(_._1)._4)
+  }
+
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),

@@ -220,6 +220,11 @@ object StreamingOps {
     def write(df: DataFrame, id: Long): Unit = {
       val next = s"$ledgerRoot/b${ver.incrementAndGet()}_$id"
       df.write.mode("overwrite").parquet(next)
+      // the commit timestamp record (q512 wall-clock AS OF axis);
+      // the fixture clock derives from the batch id, so a legacy
+      // version without the sidecar reads identically
+      Provenance.writeCommitTs(spark, next,
+        Provenance.CommitClock.ofBatch(id))
       cur.set(next)
       lastBatch.set(math.max(lastBatch.get, id))
     }
@@ -240,6 +245,10 @@ object StreamingOps {
       val staging = s"$ledgerRoot/_staging_b${v}_$id"
       df.write.mode("overwrite").parquet(staging)
       changes.write.mode("overwrite").parquet(s"$staging/_changeset")
+      // timestamp rides the staging dir: state, change set, and
+      // commit time land in ONE rename
+      Provenance.writeCommitTs(spark, staging,
+        Provenance.CommitClock.ofBatch(id))
       val fs = new Path(ledgerRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new Path(next), true) // replay overwrite, single-writer

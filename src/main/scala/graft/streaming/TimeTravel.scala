@@ -57,4 +57,42 @@ object TimeTravel {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy(col("source"))
   }
+
+  /** q512: the WALL-CLOCK axis (block 84, r16 verdict #3) — "the
+    * corpus as of 01:30" against the registry ledger, whose three
+    * versions committed at 00:00/01:00/02:00 on the fixture clock:
+    * the read resolves to the 01:00 version (batches 0–1), and the
+    * asked-for instant needs no knowledge of version numbers or
+    * stream positions — the form a user actually asks in.
+    */
+  def asOfTimeRegistry(spark: SparkSession, dir: String): DataFrame = {
+    val root = Erasure.registryLedgerShared(spark, dir)
+    Provenance.ledgerAsOfTime(spark, root,
+      Provenance.CommitClock.EpochMs + 90L * 60L * 1000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** q513: the tie-break, composed with governance — every version of
+    * the OCC balance ledger commits within one fixture-clock tick
+    * (batch 0), so "as of that instant" must resolve to the HIGHEST
+    * version (the serial A-then-B end state: a coarse clock cannot
+    * reorder commits), released to analyst_eu under RLS + masking.
+    * One row answering from v0 or v1 instead of v2 breaks the hash.
+    */
+  def asOfTimeGovernedBalances(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (_, root) = Occ.scheduleShared(spark, dir)
+    val head = Provenance.ledgerAsOfTime(spark, root,
+      Provenance.CommitClock.EpochMs)
+    head.join(Governance.customerRegions(spark, dir), Seq("c_custkey"))
+      .join(broadcast(Governance.grantedRegions(spark, "analyst_eu")),
+        Seq("region"))
+      .select(
+        md5(concat(lit("nm|"), col("c_custkey").cast("string")))
+          .as("name_token"),
+        col("region"), col("n_orders"))
+      .orderBy(col("name_token"))
+  }
 }

@@ -25,4 +25,39 @@ class OrchestratorSpec extends SparkSpec {
     val second = ErasureOrchestrator.certificate(spark, sfDir).collect()
     assert(first.map(_.toString).toSeq == second.map(_.toString).toSeq)
   }
+
+  test("the census artifact equals a cold re-derivation from raw") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val census = ErasureOrchestrator.censusArtifact(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def split(df: org.apache.spark.sql.DataFrame,
+        key: String): (Long, Long) = {
+      val r = df.agg(
+        sum(when(col(key) % 97 =!= 0, 1L).otherwise(0L)),
+        count(lit(1))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(census("documents") ==
+      split(Tables.documents(spark, sfDir), "doc_id"))
+    assert(census("events") ==
+      split(Tables.events(spark, sfDir), "user_id"))
+    assert(census("ann_lists") ==
+      split(Tables.embeddings(spark, sfDir), "vec_id"))
+    // view grains: retained pricing cells / brand pairs recomputed raw
+    val li = Tables.lineitem(spark, sfDir)
+    val retainedLi = li.join(
+      Tables.orders(spark, sfDir).filter(col("o_custkey") % 97 === 0)
+        .select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val pr = retainedLi
+      .agg(countDistinct(col("l_returnflag"), col("l_linestatus")))
+      .collect()(0).getLong(0)
+    val pa = li
+      .agg(countDistinct(col("l_returnflag"), col("l_linestatus")))
+      .collect()(0).getLong(0)
+    assert(census("pricing_cells") == ((pr, pa)))
+    graft.Caches.releaseAll(spark)
+  }
 }
