@@ -1487,6 +1487,12 @@ object Registry {
       graft.streaming.TimeTravel.asOfTimeRegistry(s, d)),
     "q513_asof_time_governed" -> ((s, d) =>
       graft.streaming.TimeTravel.asOfTimeGovernedBalances(s, d)),
+    // block 85: the gate consumes the DECLARED rule catalog — rules
+    // are versioned data (a contract change is a commit), error rules
+    // quarantine naming the catalog version, warn rules annotate
+    // (r16 verdict #5)
+    "q514_gated_warn_annotations" -> ((s, d) =>
+      graft.streaming.GatedCommit.gatedWarnAnnotations(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

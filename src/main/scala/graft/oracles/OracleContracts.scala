@@ -140,33 +140,67 @@ object OracleContracts {
     // cells, key-grain counts, rule cells all merge exactly), so the
     // batch gate's SQL is the oracle verbatim under any batching
     "q393_streaming_contract_gate" -> gateSql,
-    // q496: gated-commit manifest — per stream position, the
-    // cumulative committed/quarantined split of the n_chars>=100
-    // rule and the INDEPENDENT arrival count (id-range prefix); a
-    // row routed to the wrong side breaks the engine's sum here
+    // q496: gated-commit manifest under the VERSIONED catalog — per
+    // stream position: the catalog in force (v0 at position 0, v1
+    // from position 1), the cumulative committed/quarantined split
+    // with each batch gated at ITS OWN catalog's floor (100 then
+    // 150), and the independent arrival count (id-range prefix)
     "q496_gated_commit_manifest" ->
-      ("WITH gcm AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi " +
-        "FROM documents), " +
-        "gcd AS (SELECT d.*, LEAST((d.doc_id - m.lo) // " +
-        "((m.hi - m.lo + 3) // 3), 2) AS b FROM documents d, gcm m), " +
-        "gcv AS (SELECT CAST(v AS BIGINT) AS version FROM " +
+      (GatedCtes +
+        ", gcv AS (SELECT CAST(v AS BIGINT) AS version FROM " +
         "(VALUES (0), (1), (2)) t(v)) " +
         "SELECT gcv.version, gcv.version AS batch_id, " +
+        "CAST(CASE WHEN gcv.version = 0 THEN 0 ELSE 1 END AS BIGINT) " +
+        "AS catalog_version, " +
         "CAST(SUM(CASE WHEN gcd.b <= gcv.version AND " +
-        "gcd.n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS " +
+        "gcd.rule IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS " +
         "n_committed, " +
         "CAST(SUM(CASE WHEN gcd.b <= gcv.version AND " +
-        "gcd.n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS " +
+        "gcd.rule IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS " +
         "n_quarantined, " +
         "CAST(SUM(CASE WHEN gcd.b <= gcv.version THEN 1 ELSE 0 END) " +
         "AS BIGINT) AS n_arrived " +
         "FROM gcv CROSS JOIN gcd GROUP BY gcv.version " +
         "ORDER BY gcv.version"),
     // q497: the dead-letter census — what the gate refused, per
-    // source, with the violated rule
+    // (source, rule, catalog version): the same doc range quarantines
+    // under catalog 0 at position 0 and catalog 1 later, so the
+    // version column separates real contract texts
     "q497_dead_letter_census" ->
-      ("SELECT source, 'n_chars>=100' AS rule, " +
+      (GatedCtes +
+        "SELECT source, rule, " +
+        "CAST(CASE WHEN b = 0 THEN 0 ELSE 1 END AS BIGINT) AS " +
+        "catalog_version, " +
         "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
-        "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents " +
-        "WHERE n_chars < 100 GROUP BY source ORDER BY source"))
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM gcd " +
+        "WHERE rule IS NOT NULL " +
+        "GROUP BY source, rule, catalog_version " +
+        "ORDER BY source, rule, catalog_version"),
+    // q514: warn rules annotate WITHOUT quarantining — the committed
+    // head grouped by its warns column ('' = clean)
+    "q514_gated_warn_annotations" ->
+      (GatedCtes +
+        "SELECT CASE WHEN n_chars < 200 THEN 'rw_doc_short' ELSE '' " +
+        "END AS warns, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM gcd " +
+        "WHERE rule IS NULL GROUP BY warns ORDER BY warns"))
+
+  /** Shared gated-commit CTEs: the 3-batch id-range split and each
+    * row's first-violated error rule AT ITS OWN BATCH'S catalog
+    * (r01 positive length, r02 non-empty lang, r09 floor 100 at
+    * position 0 / 150 after) — NULL rule = committed.
+    */
+  private def GatedCtes: String =
+    "WITH gcm AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi " +
+      "FROM documents), " +
+      "gcd AS (SELECT d.source, CAST(d.n_chars AS BIGINT) AS n_chars, " +
+      "LEAST((d.doc_id - m.lo) // ((m.hi - m.lo + 3) // 3), 2) AS b, " +
+      "CASE WHEN d.n_chars IS NULL OR d.n_chars <= 0 " +
+      "THEN 'r01_doc_chars_positive' " +
+      "WHEN d.lang IS NULL OR LENGTH(d.lang) = 0 " +
+      "THEN 'r02_doc_lang_nonempty' " +
+      "WHEN d.n_chars < (CASE WHEN LEAST((d.doc_id - m.lo) // " +
+      "((m.hi - m.lo + 3) // 3), 2) = 0 THEN 100 ELSE 150 END) " +
+      "THEN 'r09_doc_min_len' END AS rule " +
+      "FROM documents d, gcm m) "
 }

@@ -1,40 +1,52 @@
 package graft.streaming
 
-import java.nio.file.Files
-
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.sources.Tables
 
-/** Commit-time contract enforcement with a dead-letter quarantine
-  * (q496–q497, block 72): the Delta-constraints / DLT-expectations
-  * shape the read-side contract family (q376–q380) stops short of —
-  * an audit reports bad data AFTER it landed; a production ledger
-  * refuses it AT THE COMMIT. Each fold splits its micro-batch on the
-  * declared 'error' rule: passing rows fold into the state version,
-  * violating rows commit BESIDE it to a dead-letter ledger under the
-  * SAME micro-batch id — one incident, two tables, reconcilable by
-  * stream position. Nothing drops silently: the conservation law
-  * (committed + quarantined = arrived, per position) is exactly what
-  * q496 oracles, and one row routed wrong breaks the hash.
+/** Commit-time contract enforcement driven by a VERSIONED RULE
+  * CATALOG, with a dead-letter quarantine (q496–q497 + q514, blocks
+  * 72/85): the Delta-constraints / DLT-expectations shape. r16 made
+  * the gate real; this round makes it a CATALOG CONSUMER (the r16
+  * verdict's #4 "what's missing"): the rules are DATA — committed as
+  * versions of their own ledger, with an effective-from stream
+  * position — not predicates hardcoded in the fold. Severities mean
+  * what they mean in production gates:
   *
-  * Declared rule on the registry probe: `n_chars >= 100`, severity
-  * 'error' (the q377 domain-rule catalog's short-doc finding,
-  * promoted from warn-report to commit gate; the fixture carries
-  * violation mass at every sf, so the quarantine is non-vacuous).
+  *  - `error` rules QUARANTINE: a violating row commits BESIDE the
+  *    state to the dead-letter ledger under the same micro-batch id,
+  *    recording the rule id AND the catalog version that rejected it
+  *    (so a producer disputing a rejection can name the exact
+  *    contract text in force);
+  *  - `warn` rules ANNOTATE: the row COMMITS, carrying the warn-rule
+  *    ids it tripped in a `warns` column — report, never gate (q514
+  *    proves annotated rows live in the committed state);
+  *  - a catalog CHANGE is itself a versioned commit: version 0 (the
+  *    q377/q378 documents rules — positive length, non-empty lang,
+  *    the short-doc floor at 100) is in force at stream position 0;
+  *    version 1 TIGHTENS the floor to 150 effective position 1, so
+  *    the same row can pass at batch 0 and quarantine at batch 2 —
+  *    exactly the dispute the recorded catalog version settles.
+  *
+  * Nothing drops silently: committed + quarantined = arrived per
+  * position (q496's conservation law), and the split is NULL-safe —
+  * a row the gate cannot evaluate (NULL n_chars) fails closed into
+  * quarantine.
   *
   * Reference anchor: the reference validates row shape before its
   * INSERT chunks (`saveToPostgres.js` key normalization + filters) —
-  * accept-or-drop at write time, with the drop unrecorded. The
-  * dead-letter ledger is that decision made auditable.
+  * accept-or-drop at write time, the drop unrecorded and the rule
+  * unversioned. This module is that decision made auditable and the
+  * rule made data.
   *
-  * 100 TB shape: the split is one predicate over the batch the fold
-  * already scans (two writes instead of one, each O(its rows)); the
-  * quarantine is violation-sized, not corpus-sized; the manifest is
-  * ≤ #versions narrow reads.
+  * 100 TB shape: the catalog is a metadata-sized ledger read once per
+  * micro-batch (≤ #rules rows); the split is one derived column over
+  * the batch the fold already scans; the quarantine is
+  * violation-sized; the whole (state, dead, rules) triple builds once
+  * per corpus as a shared artifact and every consumer reads it.
   */
 object GatedCommit {
 
@@ -45,32 +57,92 @@ object GatedCommit {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** The declared 'error' rule: rows below the floor quarantine.
-    * NULL-safe on purpose: `n_chars >= 100` is UNKNOWN for a NULL
-    * n_chars, and a plain `filter(p)` / `filter(!p)` split drops
-    * UNKNOWN rows from BOTH sides — the silent loss the conservation
-    * law exists to forbid. A row the gate cannot evaluate routes to
-    * quarantine (fail-closed), so committed + quarantined = arrived
-    * holds for every input, not just the fixture's.
+  /** One catalog row: (rule_id, severity, kind, threshold). `kind`
+    * names the violation predicate family; `threshold` parameterizes
+    * it. The catalog is DATA — this seq only seeds the committed
+    * versions the gate actually consumes.
     */
-  private val MinChars = 100L
-  private def passes = coalesce(col("n_chars") >= MinChars, lit(false))
+  private val CatalogV0: Seq[(String, String, String, Long)] = Seq(
+    ("r01_doc_chars_positive", "error", "chars_positive", 0L),
+    ("r02_doc_lang_nonempty", "error", "lang_nonempty", 0L),
+    ("r09_doc_min_len", "error", "min_chars", 100L),
+    ("rw_doc_short", "warn", "min_chars", 200L))
 
-  /** The gated 3-batch drain: returns (state root, dead-letter root).
+  /** Version 1: the short-doc floor tightened 100 → 150, effective
+    * stream position 1. Everything else carries over.
     */
-  private[streaming] def gatedLedger(spark: SparkSession,
-      dir: String): (String, String) = {
+  private val CatalogV1: Seq[(String, String, String, Long)] =
+    CatalogV0.map {
+      case ("r09_doc_min_len", sev, kind, _) =>
+        ("r09_doc_min_len", sev, kind, 150L)
+      case r => r
+    }
+
+  /** The violation predicate for one stored rule row. NULL-safe,
+    * fail-closed: an unevaluable row VIOLATES an error rule (routes
+    * to quarantine) — the conservation law forbids silent drops.
+    */
+  private def violates(kind: String, threshold: Long): Column =
+    kind match {
+      case "chars_positive" =>
+        coalesce(col("n_chars") <= threshold, lit(true))
+      case "lang_nonempty" =>
+        col("lang").isNull || length(col("lang")) === 0
+      case "min_chars" =>
+        coalesce(col("n_chars") < threshold, lit(true))
+      case other => sys.error(s"unknown gate rule kind: $other")
+    }
+
+  /** The gated 3-batch drain as a build-once shared artifact: the
+    * state ledger at `<dest>/state`, the dead-letter ledger at
+    * `<dest>/state_dead`, and the RULE CATALOG ledger at
+    * `<dest>/state_rules` (two committed versions, effective-from in
+    * the batch slot of the dir name). Returns the state root; the
+    * siblings derive from it. Build-once closes the repeated-drain
+    * cost q496/q497 used to pay twice.
+    */
+  private[streaming] def gatedShared(spark: SparkSession,
+      dir: String): String = {
+    val fp = LedgerArtifacts.fingerprint(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Seq("doc_id", "lang", "n_chars"))
+    LedgerArtifacts.shared(spark,
+      s"gated_catalog_${LedgerArtifacts.dirKey(dir)}", fp)(
+      buildGated(spark, dir))
+  }
+
+  private def catalogDf(spark: SparkSession,
+      rows: Seq[(String, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("rule_id", "severity", "kind", "threshold")
+  }
+
+  /** The drain into a scratch root (the [[LedgerArtifacts]] build
+    * contract). The catalog versions are committed BEFORE the batches
+    * they govern — the gate reads the catalog ledger per batch and
+    * applies the highest version whose effective-from position ≤ the
+    * batch id, exactly how a deployment rolls a contract change.
+    */
+  private def buildGated(spark: SparkSession, dir: String)(
+      root: String): Unit = {
     val streamDir = StreamingOps.idRangeSplitSource(spark,
       Tables.documents(spark, dir).select(col("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars")), 3)
-    val root = graft.Caches.trackTempDir(
-      Files.createTempDirectory("graft_gated_state_")).toString
     val ledgerRoot = s"$root/state"
-    val deadRoot = s"$root/dead"
+    val deadRoot = s"$root/state_dead"
+    val rulesRoot = s"$root/state_rules"
     val ledger =
       new StreamingOps.VersionedLedger(spark, ledgerRoot, Some(root))
     val dead =
       new StreamingOps.VersionedLedger(spark, deadRoot, Some(root))
+    // the catalog's own commits: v0 effective position 0, v1
+    // effective position 1 (the batch slot of the dir name IS the
+    // effective-from position)
+    catalogDf(spark, CatalogV0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$rulesRoot/b0_0")
+    catalogDf(spark, CatalogV1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$rulesRoot/b1_1")
     val stream = spark.readStream.schema(docsSchema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", "1")
@@ -79,11 +151,39 @@ object GatedCommit {
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
         if (!ledger.isReplayed(id)) {
-          val rows = batch.select(col("doc_id"), col("source"),
-            col("n_chars"))
-          val ok = rows.filter(passes)
-          val bad = rows.filter(!passes)
-            .withColumn("rule", lit(s"n_chars>=$MinChars"))
+          // the catalog IN FORCE at this position: highest committed
+          // catalog version with effective-from ≤ id
+          val (cv, _, cpath) = Provenance
+            .committedVersions(ss, rulesRoot)
+            .filter(_._2 <= id).maxBy(_._1)
+          val rules = ss.read.parquet(cpath).collect()
+            .map(r => (r.getString(0), r.getString(1), r.getString(2),
+              r.getLong(3)))
+            .sortBy(_._1)
+          val errs = rules.filter(_._2 == "error")
+          val warnsR = rules.filter(_._2 == "warn")
+          // first violated error rule, in rule-id order
+          val ruleCol = errs.foldRight(lit(null).cast("string")) {
+            case ((rid, _, kind, th), acc) =>
+              when(violates(kind, th), rid).otherwise(acc)
+          }
+          // annotations: every tripped warn rule, comma-joined
+          val warnCol = concat_ws(",", warnsR.map {
+            case (rid, _, kind, th) =>
+              when(violates(kind, th), rid).otherwise(lit(null))
+          }: _*)
+          val rows = batch
+            .select(col("doc_id"), col("source"), col("n_chars"),
+              col("lang"))
+            .withColumn("rule", ruleCol)
+          val ok = rows.filter(col("rule").isNull)
+            .withColumn("warns", warnCol)
+            .select(col("doc_id"), col("source"), col("n_chars"),
+              col("warns"))
+          val bad = rows.filter(col("rule").isNotNull)
+            .withColumn("catalog_version", lit(cv))
+            .select(col("doc_id"), col("source"), col("n_chars"),
+              col("rule"), col("catalog_version"))
           val merged =
             if (ledger.isEmpty) ok
             else ss.read.parquet(ledger.path).unionByName(ok)
@@ -105,42 +205,66 @@ object GatedCommit {
       }
       .trigger(Trigger.AvailableNow())
     StreamingOps.startWithCheckpoint(w, Some(root)).awaitTermination()
-    (ledgerRoot, deadRoot)
+    ()
   }
 
-  /** q496: the gated-commit manifest — per stream position, the state
-    * and quarantine masses and the conservation verdict
-    * (committed + quarantined = every row that arrived by then).
+  /** q496: the gated-commit manifest — per stream position, the
+    * catalog version in force, state and quarantine masses, and the
+    * conservation verdict (committed + quarantined = every row that
+    * arrived by then).
     */
   def gatedCommitManifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (stateRoot, deadRoot) = gatedLedger(spark, dir)
-    val states = Provenance.committedVersions(spark, stateRoot)
-      .map { case (v, b, path) =>
-        (v, b, spark.read.parquet(path).count())
-      }
+    val stateRoot = gatedShared(spark, dir)
+    val deadRoot = s"${stateRoot}_dead"
+    val rulesRoot = s"${stateRoot}_rules"
+    val catalogs = Provenance.committedVersions(spark, rulesRoot)
     val deads = Provenance.committedVersions(spark, deadRoot)
       .map { case (v, b, path) => ((v, b), spark.read.parquet(path)
         .count()) }.toMap
-    states.map { case (v, b, nOk) =>
-      val nBad = deads.getOrElse((v, b), 0L)
-      (v, b, nOk, nBad, nOk + nBad)
-    }.toDF("version", "batch_id", "n_committed", "n_quarantined",
-        "n_arrived")
+    Provenance.committedVersions(spark, stateRoot)
+      .map { case (v, b, path) =>
+        val cv = catalogs.filter(_._2 <= b).maxBy(_._1)._1
+        val nOk = spark.read.parquet(path).count()
+        val nBad = deads.getOrElse((v, b), 0L)
+        (v, b, cv, nOk, nBad, nOk + nBad)
+      }
+      .toDF("version", "batch_id", "catalog_version", "n_committed",
+        "n_quarantined", "n_arrived")
       .orderBy(col("version"))
   }
 
-  /** q497: the dead-letter census — per source, the quarantined rows
-    * and their character mass, with the violated rule. The table a
-    * producer gets back when asking "what did you refuse and why".
+  /** q497: the dead-letter census — per (source, rule, catalog
+    * version), the quarantined rows and their character mass. The
+    * table a producer gets back when asking "what did you refuse,
+    * why, and under which contract text" — the same doc_id range
+    * quarantines under catalog 0 at position 0 and catalog 1 at
+    * positions 1–2, so the version column carries real information.
     */
   def deadLetterCensus(spark: SparkSession, dir: String): DataFrame = {
-    val (_, deadRoot) = gatedLedger(spark, dir)
+    val stateRoot = gatedShared(spark, dir)
+    val deadRoot = s"${stateRoot}_dead"
     val (_, _, head) = Provenance.committedVersions(spark, deadRoot)
       .last
     spark.read.parquet(head)
-      .groupBy(col("source"), col("rule"))
+      .groupBy(col("source"), col("rule"), col("catalog_version"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
-      .orderBy(col("source"))
+      .orderBy(col("source"), col("rule"), col("catalog_version"))
+  }
+
+  /** q514: warn rules ANNOTATE without quarantining — the committed
+    * head state grouped by its `warns` column: annotated rows are IN
+    * the state (not the dead letter), unannotated rows carry ''.
+    * One warn row routed to quarantine, or one annotation lost in the
+    * merge, breaks the hash.
+    */
+  def gatedWarnAnnotations(spark: SparkSession, dir: String): DataFrame = {
+    val stateRoot = gatedShared(spark, dir)
+    val (_, _, head) = Provenance.committedVersions(spark, stateRoot)
+      .last
+    spark.read.parquet(head)
+      .groupBy(col("warns"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("warns"))
   }
 }

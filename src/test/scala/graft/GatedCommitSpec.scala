@@ -43,27 +43,47 @@ class GatedCommitSpec extends SparkSpec {
     graft.Caches.releaseAll(spark)
   }
 
-  test("gate splits physically; positions align; conservation holds") {
-    val (stateRoot, deadRoot) = GatedCommit.gatedLedger(spark, sfDir)
+  test("gate splits physically by the catalog in force; positions " +
+      "align; conservation holds; warns never quarantine") {
+    val stateRoot = GatedCommit.gatedShared(spark, sfDir)
+    val deadRoot = s"${stateRoot}_dead"
+    val rulesRoot = s"${stateRoot}_rules"
     val sv = Provenance.committedVersions(spark, stateRoot)
     val dv = Provenance.committedVersions(spark, deadRoot)
-    // both trails carry the same stream positions
+    // both trails carry the same stream positions; the catalog ledger
+    // carries its two committed contract versions
     assert(sv.map(v => (v._1, v._2)) === dv.map(v => (v._1, v._2)))
-    // no violating row ever committed to state; no passing row to dead
-    sv.foreach { case (_, _, p) =>
-      assert(spark.read.parquet(p)
-        .filter(col("n_chars") < 100).count() === 0L)
-    }
-    dv.foreach { case (_, _, p) =>
-      assert(spark.read.parquet(p)
-        .filter(col("n_chars") >= 100).count() === 0L)
-    }
+    assert(Provenance.committedVersions(spark, rulesRoot)
+      .map(v => (v._1, v._2)) === Seq((0L, 0L), (1L, 1L)))
+    // the head state holds no row violating ITS batch's floor: batch
+    // 0 rows gated at 100, later rows at 150 — so nothing under 100
+    // anywhere, and every 100..149 survivor must be a batch-0 arrival
+    val head = spark.read.parquet(sv.last._3)
+    assert(head.filter(col("n_chars") < 100).count() === 0L)
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val span = (hi - lo + 3) / 3
+    assert(head.filter(col("n_chars") < 150 &&
+      col("doc_id") >= lo + span).count() === 0L,
+      "a post-catalog-change batch leaked a row under the new floor")
+    // dead letters: only violations, each naming rule + catalog version
+    val deadHead = spark.read.parquet(dv.last._3)
+    assert(deadHead.filter(col("rule").isNull).count() === 0L)
+    assert(deadHead.filter(col("catalog_version") === 0L &&
+      col("n_chars") >= 100).count() === 0L)
+    assert(deadHead.filter(col("catalog_version") === 1L &&
+      col("n_chars") >= 150).count() === 0L)
+    // warn rows annotated IN STATE, never quarantined for a warn
+    assert(head.filter(col("warns") === "rw_doc_short" &&
+      col("n_chars") >= 200).count() === 0L)
+    assert(head.filter(col("warns") === "rw_doc_short").count() > 0L)
+    assert(deadHead.filter(col("rule") === "rw_doc_short")
+      .count() === 0L)
     // head conservation against the raw table
     val raw = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val nOk = spark.read.parquet(sv.last._3).count()
-    val nBad = spark.read.parquet(dv.last._3).count()
-    assert(nOk + nBad === raw)
-    assert(nBad > 0L) // non-vacuous: the fixture has violations
+    assert(head.count() + deadHead.count() === raw)
+    assert(deadHead.count() > 0L) // non-vacuous
     graft.Caches.releaseAll(spark)
   }
 }
