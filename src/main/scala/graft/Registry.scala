@@ -1493,6 +1493,11 @@ object Registry {
     // (r16 verdict #5)
     "q514_gated_warn_annotations" -> ((s, d) =>
       graft.streaming.GatedCommit.gatedWarnAnnotations(s, d)),
+    // block 86: point-in-time restore — a ledger rebuilt TRUNCATED at
+    // version N from the backup, chain-certified, failing loudly when
+    // N precedes the backup's retention floor (r16 verdict #6)
+    "q515_pitr_restore" -> ((s, d) =>
+      graft.streaming.Integrity.pitrRestore(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

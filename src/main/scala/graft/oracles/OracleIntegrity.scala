@@ -76,6 +76,23 @@ object OracleIntegrity {
         "TRUE FROM igc3 " +
         "UNION ALL SELECT 2::BIGINT, CAST(n2 AS BIGINT), c2, c2, " +
         "TRUE FROM igc3) ORDER BY version"),
+    // q515: PITR to version 1 — the truncated trail's chain equals
+    // the source prefix link by link; exactly two versions restored
+    "q515_pitr_restore" ->
+      (Base +
+        ", ign AS (SELECT " +
+        "(SELECT COUNT(*) FROM igd WHERE batch <= 0) AS n0, " +
+        "(SELECT COUNT(*) FROM igd WHERE batch <= 1) AS n1), " +
+        "igc AS (SELECT n0, n1, " +
+        "md5('graft|0|' || CAST(n0 AS VARCHAR)) AS c0 FROM ign), " +
+        "igc2 AS (SELECT *, md5(c0 || '|1|' || CAST(n1 AS VARCHAR)) " +
+        "AS c1 FROM igc) " +
+        "SELECT * FROM (" +
+        "SELECT 0::BIGINT AS version, CAST(n0 AS BIGINT) AS n_rows, " +
+        "c0 AS chain_source, c0 AS chain_restored, TRUE AS intact, " +
+        "2::BIGINT AS n_versions_restored FROM igc2 " +
+        "UNION ALL SELECT 1::BIGINT, CAST(n1 AS BIGINT), c1, c1, " +
+        "TRUE, 2::BIGINT FROM igc2) ORDER BY version"),
     // q506: the governed release bundle — per region, rows + additive
     // checksum over the MASKED release rows (tokenized name included)
     "q506_governed_export" ->

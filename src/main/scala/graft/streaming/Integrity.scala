@@ -212,4 +212,61 @@ object Integrity {
         "intact")
       .orderBy(col("version"))
   }
+
+  /** POINT-IN-TIME restore (q515, block 86 — the r16 verdict's #5
+    * missing piece): rebuild a ledger TRUNCATED at `version` from the
+    * backup — the disaster-recovery drill "give me the table as it
+    * stood at version N", not just "give me everything". Composition
+    * with retention is explicit and fails loudly on both edges: a
+    * target below the backup's own floor (the version was vacuumed
+    * before this backup was taken — its history is physically gone,
+    * q429's guarantee) names the floor; a target above the backup's
+    * head names the head (not yet backed up).
+    */
+  private[graft] def restoreTo(spark: SparkSession, exportRoot: String,
+      restoredRoot: String, version: Long): Unit = {
+    val entries = spark.read
+      .parquet(s"$exportRoot/_backup_manifest").collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[Long]("batch_id")))
+      .sortBy(_._1)
+    if (entries.isEmpty) sys.error(s"empty backup under $exportRoot")
+    val floor = entries.head._1
+    if (version < floor)
+      sys.error(s"cannot restore to version $version: the backup's " +
+        s"retention floor is version $floor — earlier versions were " +
+        s"vacuumed before this backup was taken and their history " +
+        s"is physically gone")
+    if (version > entries.last._1)
+      sys.error(s"cannot restore to version $version: the backup's " +
+        s"head is version ${entries.last._1}")
+    entries.filter(_._1 <= version).foreach { case (v, b) =>
+      spark.read.parquet(s"$exportRoot/v$v")
+        .write.mode("overwrite").parquet(s"$restoredRoot/b${v}_$b")
+    }
+  }
+
+  /** q515: the PITR census — restore the registry ledger TO version 1
+    * and certify the truncated trail: the restored chain must equal
+    * the source chain's PREFIX link by link, and hold exactly the
+    * target version count (version 2 absent — a PITR that quietly
+    * restored the head too would add a row and break the hash).
+    */
+  def pitrRestore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = Erasure.registryLedgerShared(spark, dir)
+    val work = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_pitr_")).toString
+    exportVersions(spark, root, s"$work/backup")
+    restoreTo(spark, s"$work/backup", s"$work/restored", 1L)
+    val restored = chainOf(spark, s"$work/restored")
+    val nRestored = restored.size.toLong
+    val src = chainOf(spark, root)
+      .map { case (v, n, link) => v -> (n, link) }.toMap
+    restored.map { case (v, n, link) =>
+      val (sn, slink) = src.getOrElse(v, (-1L, ""))
+      (v, n, slink, link, n == sn && link == slink, nRestored)
+    }.toDF("version", "n_rows", "chain_source", "chain_restored",
+        "intact", "n_versions_restored")
+      .orderBy(col("version"))
+  }
 }

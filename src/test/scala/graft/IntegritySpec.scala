@@ -111,4 +111,30 @@ class IntegritySpec extends SparkSpec {
     assert(after(2)._3 !== before(2)._3) // ...and every later one
     graft.Caches.releaseAll(spark)
   }
+
+  test("PITR: truncation is exact; a target below the backup's " +
+      "retention floor fails naming the floor") {
+    // normal PITR: restore to v1 leaves exactly versions 0-1
+    val root = Erasure.registryLedgerShared(spark, sfDir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_pitr_spec_").toString
+    Integrity.exportVersions(spark, root, s"$work/backup")
+    Integrity.restoreTo(spark, s"$work/backup", s"$work/r1", 1L)
+    assert(Provenance.committedVersions(spark, s"$work/r1")
+      .map(_._1) === Seq(0L, 1L))
+    // a target beyond the backup head names the head
+    val eHigh = intercept[RuntimeException](Integrity.restoreTo(
+      spark, s"$work/backup", s"$work/rx", 9L))
+    assert(eHigh.getMessage.contains("head is version 2"))
+    // the floor drill: vacuum a private copy to its head, back THAT
+    // up, and ask for a pre-floor version - the error names the floor
+    val vroot = Erasure.registryLedgerDrained(spark, sfDir)
+    Erasure.vacuum(spark, vroot, keepLast = 1)
+    Integrity.exportVersions(spark, vroot, s"$work/backup_vac")
+    val eLow = intercept[RuntimeException](Integrity.restoreTo(
+      spark, s"$work/backup_vac", s"$work/rv", 0L))
+    assert(eLow.getMessage.contains("retention floor is version 2"))
+    assert(eLow.getMessage.contains("physically gone"))
+    graft.Caches.releaseAll(spark)
+  }
 }
