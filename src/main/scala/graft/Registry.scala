@@ -1498,6 +1498,18 @@ object Registry {
     // N precedes the backup's retention floor (r16 verdict #6)
     "q515_pitr_restore" -> ((s, d) =>
       graft.streaming.Integrity.pitrRestore(s, d)),
+    // block 87: branch-aware CDF — the feed served ACROSS a merge
+    // from the merge commit's stored change set; a subscriber cannot
+    // tell a promoted rehearsal from a trunk-direct execution
+    "q516_branch_cdf_feed" -> ((s, d) =>
+      graft.streaming.ChangeFeed.branchMergeFeed(s, d)),
+    "q517_branch_cdf_replay" -> ((s, d) =>
+      graft.streaming.ChangeFeed.branchMergeFeedReplay(s, d)),
+    // block 88: multi-tenant governed export bundles — one bundle per
+    // role under its own policy, certified per (role, region) from
+    // the exported masked bytes
+    "q518_governed_export_bundles" -> ((s, d) =>
+      graft.streaming.Integrity.governedExportBundles(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -98,4 +98,26 @@ object Governance {
         col("region"),
         round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
       .orderBy(col("c_custkey"))
+
+  /** The release for ANY role, its policy applied column by column:
+    * RLS from the role's region grants, the name tokenized where
+    * `mask_name`, the balance REDACTED TO NULL where `mask_balance`
+    * (a redaction exports as absence, not a sentinel — concat-based
+    * checksums skip it identically in both engines). The per-tenant
+    * generalization of [[maskedRelease]] that q518's bundles export.
+    */
+  private[graft] def releaseFor(spark: SparkSession, dir: String,
+      role: String): DataFrame =
+    customers(spark, dir)
+      .join(broadcast(policy(spark).filter(col("role") === role)),
+        Seq("region"))
+      .select(col("c_custkey"),
+        when(col("mask_name"),
+          md5(concat(lit("nm|"), col("c_custkey").cast("string"))))
+          .otherwise(col("c_name")).as("name_out"),
+        col("region"),
+        when(col("mask_balance"), lit(null).cast("long"))
+          .otherwise(round(col("c_acctbal") * 100).cast("long"))
+          .as("acctbal_cents"))
+      .orderBy(col("c_custkey"))
 }

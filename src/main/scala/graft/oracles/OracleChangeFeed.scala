@@ -75,5 +75,25 @@ object OracleChangeFeed {
         "FROM cfb WHERE batch >= 1 AND doc_id % 37 <> 0 " +
         "UNION ALL SELECT 'delete', doc_id, source, n_chars " +
         "FROM cfb WHERE batch = 0 AND doc_id % 37 = 0) " +
-        "ORDER BY change_type, doc_id"))
+        "ORDER BY change_type, doc_id"),
+    // q516: the feed across a merge must be INDISTINGUISHABLE from
+    // the trunk-direct feed — q452's SQL verbatim, because the merge
+    // commit declares its changes like every other commit
+    "q516_branch_cdf_feed" ->
+      (RegistryBase +
+        "SELECT * FROM (" +
+        "SELECT 1::BIGINT AS version_to, 'insert' AS change_type, " +
+        "doc_id, source, n_chars FROM cfb WHERE batch = 1 " +
+        "UNION ALL SELECT 2::BIGINT, 'insert', doc_id, source, " +
+        "n_chars FROM cfb WHERE batch = 2 " +
+        "UNION ALL SELECT 3::BIGINT, 'delete', doc_id, source, " +
+        "n_chars FROM cfb WHERE doc_id % 37 = 0) " +
+        "ORDER BY version_to, change_type, doc_id"),
+    // q517: replaying the branch-aware feed reconstructs the merged
+    // head — identical to executing the erasure on the trunk (q493's
+    // SQL verbatim)
+    "q517_branch_cdf_replay" ->
+      ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents " +
+        "WHERE doc_id % 37 <> 0 GROUP BY source ORDER BY source"))
 }

@@ -93,6 +93,33 @@ object OracleIntegrity {
         "2::BIGINT AS n_versions_restored FROM igc2 " +
         "UNION ALL SELECT 1::BIGINT, CAST(n1 AS BIGINT), c1, c1, " +
         "TRUE, 2::BIGINT FROM igc2) ORDER BY version"),
+    // q518: multi-tenant bundles — per (role, region), rows + the
+    // additive checksum over each role's OWN masked bytes (tokenized
+    // name for eu, NULL-redacted balance for na — concat_ws skips the
+    // NULL identically in both engines)
+    "q518_governed_export_bundles" ->
+      ("WITH igcu AS (SELECT c_custkey, c_name, " +
+        "CAST(n_regionkey AS BIGINT) AS region, " +
+        "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey), " +
+        "igbr AS (" +
+        "SELECT 'admin' AS role, c_custkey, c_name AS name_out, " +
+        "region, CAST(cents AS VARCHAR) AS bal_s FROM igcu " +
+        "UNION ALL SELECT 'analyst_eu', c_custkey, " +
+        "md5('nm|' || CAST(c_custkey AS VARCHAR)), region, " +
+        "CAST(cents AS VARCHAR) FROM igcu WHERE region IN (0, 1) " +
+        "UNION ALL SELECT 'analyst_na', c_custkey, c_name, region, " +
+        "NULL FROM igcu WHERE region = 2), " +
+        "igbh AS (SELECT role, region, " +
+        "list_sum(list_transform(range(1, 11), i -> (strpos(" +
+        "'0123456789abcdef', substr(md5(concat_ws('|', " +
+        "CAST(c_custkey AS VARCHAR), name_out, " +
+        "CAST(region AS VARCHAR), bal_s)), CAST(i AS INT), 1)) - 1) " +
+        "* (1::BIGINT << CAST(4 * (10 - i) AS INT)))) AS h " +
+        "FROM igbr) " +
+        "SELECT role, region, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(h) AS BIGINT) AS checksum FROM igbh " +
+        "GROUP BY role, region ORDER BY role, region"),
     // q506: the governed release bundle — per region, rows + additive
     // checksum over the MASKED release rows (tokenized name included)
     "q506_governed_export" ->

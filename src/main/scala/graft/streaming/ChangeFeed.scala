@@ -217,6 +217,56 @@ object ChangeFeed {
       .orderBy(col("change_type"), col("doc_id"))
   }
 
+  /** q516: the BRANCH-AWARE feed (block 87) — serve the CDF ACROSS a
+    * merge: the trunk's own commits (v1/v2 drain folds) followed by
+    * the branch's rehearsal landing as the merge commit (v3), served
+    * from the change set the merge staged inside its version dir. The
+    * claim that makes branches safe for consumers: a subscriber
+    * cannot tell whether the erasure ran on the trunk or was
+    * rehearsed on a branch and promoted — the feed is IDENTICAL
+    * (q452's oracle verbatim), because the merge commit DECLARES its
+    * changes like every other commit instead of forcing consumers
+    * back to a snapshot diff at the merge boundary.
+    */
+  def branchMergeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val (res, sourceRoot) = ShallowClone.mergedRehearsal(spark, dir)
+    require(res.outcome == "merged", s"fixture merge ${res.outcome}")
+    feedFromRegistry(spark, sourceRoot)
+  }
+
+  /** q517: the consumer-side proof for q516 — replay the branch-aware
+    * feed over the v0 snapshot to the MERGED head and roll it up: the
+    * reconstruction must equal executing the erasure on the trunk
+    * directly (q493's oracle verbatim). One change row lost at the
+    * merge boundary breaks the hash.
+    */
+  def branchMergeFeedReplay(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (res, sourceRoot) = ShallowClone.mergedRehearsal(spark, dir)
+    require(res.outcome == "merged", s"fixture merge ${res.outcome}")
+    val vs = Provenance.committedVersions(spark, sourceRoot)
+    val v0 = spark.read.parquet(vs.head._3)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val feed = feedFromRegistry(spark, sourceRoot).persist()
+    graft.Caches.onRelease(() =>
+      try feed.unpersist(false) catch { case _: Throwable => () })
+    val replayed = vs.map(_._1).drop(1).foldLeft(v0) { (state, vt) =>
+      val delta = feed.filter(col("version_to") === vt)
+      val dels = delta.filter(col("change_type") === "delete")
+        .select(col("doc_id"))
+      val upserts = delta
+        .filter(col("change_type").isin("insert", "update"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      state.join(broadcast(dels), Seq("doc_id"), "left_anti")
+        .join(broadcast(upserts.select(col("doc_id"))), Seq("doc_id"),
+          "left_anti")
+        .unionByName(upserts)
+    }
+    replayed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("source"))
+  }
+
   /** q454: the consumer-side replay — apply the feed version by
     * version to the v0 snapshot and return the reconstruction, which
     * must equal the ledger's final version row-for-row (the oracle

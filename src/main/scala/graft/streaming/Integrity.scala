@@ -245,6 +245,37 @@ object Integrity {
     }
   }
 
+  /** q518: MULTI-TENANT governed export bundles (block 88) — one
+    * bundle per role, each role's OWN policy applied (analyst_eu:
+    * regions 0–1, names tokenized; analyst_na: region 2, balances
+    * redacted to NULL; admin: everything clear), each certified per
+    * (role, region) with the additive checksum recomputed FROM THE
+    * EXPORTED BYTES. The q506 discipline at fleet grain: every
+    * tenant's auditor gets a stub computed over exactly the bytes
+    * that tenant received — a cross-tenant leak (a clear name in the
+    * eu bundle, a balance in the na bundle, a foreign region
+    * anywhere) moves that bundle's checksum and breaks the hash.
+    */
+  def governedExportBundles(spark: SparkSession,
+      dir: String): DataFrame = {
+    val exportRoot = graft.Caches.trackTempDir(
+      Files.createTempDirectory("graft_bundles_")).toString
+    Seq("admin", "analyst_eu", "analyst_na").map { role =>
+      graft.operators.Governance.releaseFor(spark, dir, role)
+        .repartition(2).write.mode("overwrite")
+        .parquet(s"$exportRoot/$role")
+      spark.read.parquet(s"$exportRoot/$role")
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(conv(substring(md5(concat_ws('|', " +
+            "c_custkey, name_out, region, acctbal_cents)), 1, 10), " +
+            "16, 10) AS LONG)")).as("checksum"))
+        .select(lit(role).as("role"), col("region"), col("n_rows"),
+          col("checksum"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("role"), col("region"))
+  }
+
   /** q515: the PITR census — restore the registry ledger TO version 1
     * and certify the truncated trail: the restored chain must equal
     * the source chain's PREFIX link by link, and hold exactly the
