@@ -1510,6 +1510,13 @@ object Registry {
     // the exported masked bytes
     "q518_governed_export_bundles" -> ((s, d) =>
       graft.streaming.Integrity.governedExportBundles(s, d)),
+    // block 89: OPTIMIZE for versioned ledgers — the head rewritten
+    // size-bounded as a rewrite version (retired batch id carried,
+    // empty declared change set → CDF-silent), telemetry-gated
+    "q519_ledger_optimize_audit" -> ((s, d) =>
+      graft.streaming.LedgerOptimize.ledgerOptimizeAudit(s, d)),
+    "q520_ledger_optimize_trail" -> ((s, d) =>
+      graft.streaming.LedgerOptimize.ledgerOptimizeTrail(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

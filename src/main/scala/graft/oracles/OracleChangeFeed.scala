@@ -95,5 +95,31 @@ object OracleChangeFeed {
     "q517_branch_cdf_replay" ->
       ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
         "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents " +
-        "WHERE doc_id % 37 <> 0 GROUP BY source ORDER BY source"))
+        "WHERE doc_id % 37 <> 0 GROUP BY source ORDER BY source"),
+    // q519: the ledger-head OPTIMIZE audit — a rewrite that conserves
+    // rows and content, grows no files, and is CDF-silent (its stored
+    // change set is empty by declaration)
+    "q519_ledger_optimize_audit" ->
+      ("SELECT 2::BIGINT AS version_retired, " +
+        "3::BIGINT AS version_committed, 2::BIGINT AS batch_id, " +
+        "CAST(COUNT(*) AS BIGINT) AS rows_before, " +
+        "CAST(COUNT(*) AS BIGINT) AS rows_after, " +
+        "TRUE AS content_intact, TRUE AS files_not_increased, " +
+        "0::BIGINT AS n_feed_rows FROM documents"),
+    // q520: the trail after the rewrite — history untouched, the
+    // rewrite carrying the retired version's batch id so AS OF batch
+    // 2 resolves to it
+    "q520_ledger_optimize_trail" ->
+      (RegistryBase +
+        ", cfn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nall FROM cfb) " +
+        "SELECT * FROM (" +
+        "SELECT 0::BIGINT AS version, 0::BIGINT AS batch_id, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM cfb WHERE batch = 0) " +
+        "AS n_rows, nall AS n_rows_asof_batch2 FROM cfn " +
+        "UNION ALL SELECT 1::BIGINT, 1::BIGINT, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM cfb WHERE batch <= 1)" +
+        ", nall FROM cfn " +
+        "UNION ALL SELECT 2::BIGINT, 2::BIGINT, nall, nall FROM cfn " +
+        "UNION ALL SELECT 3::BIGINT, 2::BIGINT, nall, nall FROM cfn) " +
+        "ORDER BY version"))
 }
