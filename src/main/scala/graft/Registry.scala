@@ -1517,6 +1517,12 @@ object Registry {
       graft.streaming.LedgerOptimize.ledgerOptimizeAudit(s, d)),
     "q520_ledger_optimize_trail" -> ((s, d) =>
       graft.streaming.LedgerOptimize.ledgerOptimizeTrail(s, d)),
+    // block 90: IN-list + LIMIT pushdown on the lake provider — the
+    // point-lookup-batch and preview patterns planned from metadata
+    "q521_lake_in_probe" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeInProbe(s, d)),
+    "q522_lake_limit_audit" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeLimitAudit(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -74,5 +74,48 @@ object OracleLake {
         "lbf.probe_id = p.probe_id) AS files_bloom, " +
         "(SELECT CAST(COUNT(*) AS BIGINT) FROM zolv WHERE " +
         "o_orderkey = p.probe_key) AS n_rows " +
-        "FROM lpr p ORDER BY p.probe_id"))
+        "FROM lpr p ORDER BY p.probe_id"),
+    // q521: the same 8 probes pushed as ONE IN filter — the provider
+    // plans the UNION of per-key bloom-admitted files
+    "q521_lake_in_probe" ->
+      (OracleZoneMap.Common + OracleZoneMap.OptLive +
+        ", lpr AS (SELECT CAST(j AS BIGINT) AS probe_id, " +
+        "(j * (SELECT MAX(o_orderkey) FROM zmo)) // 9 AS probe_key " +
+        "FROM range(1, 9) t(j)), " +
+        s"lpp AS (SELECT DISTINCT p.probe_id, " +
+        "((p.probe_key * h.a + h.b) % 1048573) % 4096 AS pos " +
+        s"FROM lpr p, $Hashes), " +
+        s"lfp AS (SELECT DISTINCT f.file_id, " +
+        "((f.o_orderkey * h.a + h.b) % 1048573) % 4096 AS pos " +
+        s"FROM zovf f, $Hashes), " +
+        "lzf AS (SELECT p.probe_id, z.file_id FROM lpr p " +
+        "JOIN zovz z ON p.probe_key BETWEEN z.min_ok AND z.max_ok), " +
+        "lbf AS (SELECT zf.probe_id, zf.file_id FROM lzf zf WHERE " +
+        "(SELECT COUNT(*) FROM lpp pp WHERE pp.probe_id = " +
+        "zf.probe_id) = (SELECT COUNT(*) FROM lpp pp JOIN lfp fp ON " +
+        "fp.pos = pp.pos WHERE pp.probe_id = zf.probe_id AND " +
+        "fp.file_id = zf.file_id)) " +
+        "SELECT 8::BIGINT AS n_probe_keys, " +
+        "(SELECT CAST(COUNT(DISTINCT file_id) AS BIGINT) FROM lbf) " +
+        "AS files_planned, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zovz) AS files_total, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zolv v JOIN lpr p ON " +
+        "v.o_orderkey = p.probe_key) AS n_rows"),
+    // q522: LIMIT pushdown — the provider plans only the file-id
+    // prefix covering the limit
+    "q522_lake_limit_audit" ->
+      (OracleZoneMap.Common + OracleZoneMap.OptLive +
+        ", llp AS (SELECT file_id, n_rows, " +
+        "SUM(n_rows) OVER (ORDER BY file_id) - n_rows AS cum_before " +
+        "FROM zovz), " +
+        "lln AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total " +
+        "FROM zovz), " +
+        "llk AS (SELECT CAST(k AS BIGINT) AS lim FROM " +
+        "(VALUES (100), (1000), (10000)) t(k)) " +
+        "SELECT k.lim AS \"limit\", " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM llp p WHERE " +
+        "p.cum_before < k.lim) AS files_planned, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zovz) AS files_total, " +
+        "(SELECT CAST(LEAST(k.lim, total) AS BIGINT) FROM lln) AS " +
+        "n_rows FROM llk k ORDER BY k.lim"))
 }

@@ -5,7 +5,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, LessThanOrEqual}
 
 import graft.operators.{Optimize, ZoneMap}
 import graft.streaming.LedgerArtifacts
@@ -159,6 +159,51 @@ object GraftLake {
     val sb = new LakeScanBuilder(root)
     sb.pushFilters(filters)
     sb.build().asInstanceOf[LakeScan].planInputPartitions().length.toLong
+  }
+
+  /** Planned-file count under a pushed LIMIT (no filters). */
+  private[graft] def plannedFilesLimited(root: String,
+      n: Int): Long = {
+    val sb = new LakeScanBuilder(root)
+    sb.pushLimit(n)
+    sb.build().asInstanceOf[LakeScan].planInputPartitions().length.toLong
+  }
+
+  /** q521: the IN-probe plan audit — a batch of 8 point keys pushed
+    * as ONE `In` filter: the provider plans the UNION of each key's
+    * bloom-admitted files (the point-lookup-batch pattern a feature
+    * store issues), and the scan returns exactly the present keys.
+    */
+  def lakeInProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureTable(spark, dir)
+    val maxOk = ZoneMap.orders(spark, dir)
+      .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val keys = (1L to 8L).map(j => j * maxOk / 9L)
+    val planned = plannedFiles(root,
+      Array[Filter](In("o_orderkey", keys.map(_.asInstanceOf[Any])
+        .toArray)))
+    val nRows = lakeDf(spark, dir)
+      .filter(col("o_orderkey").isin(keys: _*)).count()
+    Seq((keys.length.toLong, planned,
+        readManifest(root).length.toLong, nRows))
+      .toDF("n_probe_keys", "files_planned", "files_total", "n_rows")
+  }
+
+  /** q522: the LIMIT pushdown audit — per limit, the provider plans
+    * only a row-covering file-id prefix (a `df.limit(k)` preview
+    * never opens the table's tail), and returns at least the limit.
+    */
+  def lakeLimitAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureTable(spark, dir)
+    val filesTotal = readManifest(root).length.toLong
+    Seq(100, 1000, 10000).map { k =>
+      val planned = plannedFilesLimited(root, k)
+      val nRows = lakeDf(spark, dir).limit(k).count()
+      (k.toLong, planned, filesTotal, nRows)
+    }.toDF("limit", "files_planned", "files_total", "n_rows")
+      .orderBy(col("limit"))
   }
 
   /** q507: a pruned aggregate THROUGH the provider — the o_custkey

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -113,10 +113,11 @@ class LakeTable(root: String) extends Table with SupportsRead {
   */
 class LakeScanBuilder(root: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = LakeTable.schema
+  private var limit: Option[Int] = None
 
   private def longOf(v: Any): Option[Long] = v match {
     case n: java.lang.Number => Some(n.longValue())
@@ -129,6 +130,8 @@ class LakeScanBuilder(root: String)
     case GreaterThanOrEqual(c, v) => isCol(c) && longOf(v).isDefined
     case LessThan(c, v) => isCol(c) && longOf(v).isDefined
     case LessThanOrEqual(c, v) => isCol(c) && longOf(v).isDefined
+    case In(c, vs) => isCol(c) && vs.nonEmpty &&
+      vs.forall(v => longOf(v).isDefined)
     case IsNotNull(c) => isCol(c)
     case _ => false
   }
@@ -147,35 +150,18 @@ class LakeScanBuilder(root: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    var loOk = Long.MinValue; var hiOk = Long.MaxValue
-    var loCk = Long.MinValue; var hiCk = Long.MaxValue
-    var eqOk: Option[Long] = None
-    def tighten(c: String, lo: Option[Long], hi: Option[Long]): Unit =
-      if (c == "o_orderkey") {
-        lo.foreach(v => loOk = math.max(loOk, v))
-        hi.foreach(v => hiOk = math.min(hiOk, v))
-      } else {
-        lo.foreach(v => loCk = math.max(loCk, v))
-        hi.foreach(v => hiCk = math.min(hiCk, v))
-      }
-    pushed.foreach {
-      case EqualTo(c, v) =>
-        val k = v.asInstanceOf[java.lang.Number].longValue()
-        tighten(c, Some(k), Some(k))
-        if (c == "o_orderkey") eqOk = Some(k)
-      case GreaterThan(c, v) =>
-        tighten(c, Some(v.asInstanceOf[java.lang.Number].longValue() + 1), None)
-      case GreaterThanOrEqual(c, v) =>
-        tighten(c, Some(v.asInstanceOf[java.lang.Number].longValue()), None)
-      case LessThan(c, v) =>
-        tighten(c, None, Some(v.asInstanceOf[java.lang.Number].longValue() - 1))
-      case LessThanOrEqual(c, v) =>
-        tighten(c, None, Some(v.asInstanceOf[java.lang.Number].longValue()))
-      case _ => ()
-    }
-    new LakeScan(root, required, loOk, hiOk, loCk, hiCk, eqOk)
+  /** LIMIT pushdown: plan only a file-id prefix covering `n` rows.
+    * Sound because Spark only pushes a limit when nothing but
+    * projections sit between it and the scan (our residual filters
+    * block it otherwise), and Spark re-applies the limit regardless.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true
   }
+
+  override def build(): Scan =
+    new LakeScan(root, required, pushed, limit)
 }
 
 /** One data file = one input partition (post-pruning). */
@@ -183,28 +169,60 @@ private[lake] final case class LakeFileSplit(path: String)
     extends InputPartition
 
 class LakeScan(root: String, required: StructType,
-    loOk: Long, hiOk: Long, loCk: Long, hiCk: Long, eqOk: Option[Long])
+    pushed: Array[Filter], limit: Option[Int])
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_lake [ok=[$loOk,$hiOk] ck=[$loCk,$hiCk] " +
-      s"bloom=${eqOk.isDefined}]"
+    s"graft_lake [filters=${pushed.mkString(",")} limit=$limit]"
+
+  private def longV(v: Any): Long =
+    v.asInstanceOf[java.lang.Number].longValue()
+
+  /** File-grain admission for one pushed filter: range filters prune
+    * on the column's [min,max] zone; equality and IN probes on
+    * `o_orderkey` additionally consult the bloom bitmap (an IN is
+    * admitted iff ANY member is).
+    */
+  private def admits(f: LakeFile, filter: Filter): Boolean = {
+    def zone(c: String, lo: Long, hi: Long): Boolean =
+      if (c == "o_orderkey") f.maxOk >= lo && f.minOk <= hi
+      else f.maxCk >= lo && f.minCk <= hi
+    def point(c: String, k: Long): Boolean =
+      zone(c, k, k) &&
+        (c != "o_orderkey" || LakeBloom.admits(f.bloom, k))
+    filter match {
+      case EqualTo(c, v) => point(c, longV(v))
+      case In(c, vs) => vs.exists(v => point(c, longV(v)))
+      case GreaterThan(c, v) => zone(c, longV(v) + 1, Long.MaxValue)
+      case GreaterThanOrEqual(c, v) => zone(c, longV(v), Long.MaxValue)
+      case LessThan(c, v) => zone(c, Long.MinValue, longV(v) - 1)
+      case LessThanOrEqual(c, v) => zone(c, Long.MinValue, longV(v))
+      case _ => true
+    }
+  }
 
   /** The skipping layer's whole point: consult the committed manifest
-    * and PLAN only admitted files. Runs on the driver; the manifest is
+    * and PLAN only admitted files (then only a row-covering prefix
+    * under a pushed limit). Runs on the driver; the manifest is
     * metadata-sized.
     */
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftLakeFormat.readManifest(root)
-      .filter { f =>
-        f.maxOk >= loOk && f.minOk <= hiOk &&
-          f.maxCk >= loCk && f.minCk <= hiCk &&
-          eqOk.forall(k => LakeBloom.admits(f.bloom, k))
-      }
-      .map(f => LakeFileSplit(s"$root/${f.path}"): InputPartition)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val admitted = GraftLakeFormat.readManifest(root)
+      .filter(f => pushed.forall(admits(f, _)))
+      .sortBy(_.fileId)
+    val taken = limit match {
+      case Some(n) =>
+        var cum = 0L
+        admitted.takeWhile { f =>
+          val need = cum < n; cum += f.nRows; need
+        }
+      case None => admitted
+    }
+    taken.map(f => LakeFileSplit(s"$root/${f.path}"): InputPartition)
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(required.fieldNames)

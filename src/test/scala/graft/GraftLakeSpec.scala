@@ -108,6 +108,41 @@ class GraftLakeSpec extends SparkSpec {
         "(expected: ~19% bits set, fp rate < 1% per file)")
   }
 
+  test("IN pushdown plans the union of bloom-admitted files; LIMIT " +
+      "pushdown plans a row-covering prefix") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val keys = live.orderBy(col("o_orderkey")).limit(500)
+      .collect().map(_.getLong(0))
+    val probes = Seq(keys(10), keys(200), keys(450))
+    // IN-planned files = union of the per-key EqualTo plans
+    val inPlanned = GraftLake.plannedFiles(root, Array[Filter](
+      In("o_orderkey", probes.map(_.asInstanceOf[Any]).toArray)))
+    val perKey = probes.map(k => GraftLake.plannedFiles(root,
+      Array[Filter](EqualTo("o_orderkey", k))))
+    assert(inPlanned <= perKey.sum)
+    assert(inPlanned >= perKey.max)
+    assert(lake.filter(col("o_orderkey").isin(probes: _*)).count()
+      == probes.length.toLong)
+    // LIMIT: the planned prefix covers the limit and no more files
+    // than needed (256-row files)
+    val manifest = GraftLake.readManifest(root).sortBy(_.fileId)
+    def expectPrefix(n: Int): Long = {
+      var cum = 0L
+      manifest.takeWhile { f =>
+        val need = cum < n; cum += f.nRows; need
+      }.length.toLong
+    }
+    Seq(1, 256, 257, 1000).foreach { n =>
+      assert(GraftLake.plannedFilesLimited(root, n) == expectPrefix(n),
+        s"limit $n")
+    }
+    assert(GraftLake.plannedFilesLimited(root, 1) == 1L)
+    // through the SQL surface: a bare limit must NOT scan every file
+    val df = lake.limit(300)
+    assert(df.count() == 300L)
+    Caches.releaseAll(spark)
+  }
+
   test("bloom bitmap semantics: admits() equals the positions-subset " +
       "definition") {
     val words = new Array[Long](LakeBloom.Words)
