@@ -48,6 +48,9 @@ object Prebuild {
           .count()),
       ("occ_schedule",
         () => Occ.scheduleShared(spark, dir)._1.count()),
+      ("occ_race",
+        () => spark.read.parquet(
+          s"${Occ.raceShared(spark, dir)}/_attempts").count()),
       ("lake_orders",
         () => graft.sources.lake.GraftLake
           .readManifest(graft.sources.lake.GraftLake
