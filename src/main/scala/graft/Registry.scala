@@ -1523,6 +1523,14 @@ object Registry {
       graft.sources.lake.GraftLake.lakeInProbe(s, d)),
     "q522_lake_limit_audit" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeLimitAudit(s, d)),
+    // block 91: the lake format is SCHEMA-GENERAL — a second table
+    // instance (documents, five columns incl. the wide text) through
+    // the same provider, with parquet projection pushdown keeping
+    // unrequested columns undecoded
+    "q523_lake_docs_pruned" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeDocsPruned(s, d)),
+    "q524_lake_docs_plan" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeDocsPlanAudit(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -117,5 +117,37 @@ object OracleLake {
         "p.cum_before < k.lim) AS files_planned, " +
         "(SELECT CAST(COUNT(*) AS BIGINT) FROM zovz) AS files_total, " +
         "(SELECT CAST(LEAST(k.lim, total) AS BIGINT) FROM lln) AS " +
-        "n_rows FROM llk k ORDER BY k.lim"))
+        "n_rows FROM llk k ORDER BY k.lim"),
+    // q523: the documents instance pruned + projected — a doc_id
+    // range probe per source, text decoded because it is asked for
+    "q523_lake_docs_pruned" ->
+      ("WITH lkm AS (SELECT MAX(doc_id) AS m FROM documents), " +
+        "lkb AS (SELECT (3 * m) // 8 AS lo, " +
+        "(3 * m) // 8 + m // 16 AS hi FROM lkm) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(SUM(LENGTH(text)) AS BIGINT) AS n_text_chars " +
+        "FROM documents, lkb WHERE doc_id BETWEEN lo AND hi " +
+        "GROUP BY source ORDER BY source"),
+    // q524: the documents plan audit — the id-sorted 512-row layout
+    // prunes a doc_id range probe to the few overlapping files
+    "q524_lake_docs_plan" ->
+      ("WITH lkf AS (SELECT doc_id, " +
+        "(ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 512 AS file_id " +
+        "FROM documents), " +
+        "lkz AS (SELECT file_id, MIN(doc_id) AS min_id, " +
+        "MAX(doc_id) AS max_id FROM lkf GROUP BY file_id), " +
+        "lkm AS (SELECT MAX(doc_id) AS m FROM documents), " +
+        "lkp AS (SELECT CAST(k AS BIGINT) AS pred_id, " +
+        "((2 * k + 1) * m) // 8 AS lo, " +
+        "((2 * k + 1) * m) // 8 + m // 16 AS hi " +
+        "FROM range(0, 4) t(k), lkm) " +
+        "SELECT p.pred_id, p.lo, p.hi, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM lkz) AS files_total, " +
+        "CAST(SUM(CASE WHEN z.max_id >= p.lo AND z.min_id <= p.hi " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS files_planned, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE " +
+        "doc_id BETWEEN p.lo AND p.hi) AS n_rows " +
+        "FROM lkp p, lkz z GROUP BY p.pred_id, p.lo, p.hi " +
+        "ORDER BY p.pred_id"))
 }

@@ -2,68 +2,160 @@ package graft.sources.lake
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.operators.{Optimize, ZoneMap}
+import graft.sources.Tables
 import graft.streaming.LedgerArtifacts
 
-/** The graft lake table format's writer + manifest IO + the oracled
-  * queries that drive [[LakeTableProvider]] (q507–q509, block 81).
+/** The graft lake table format's WRITER + manifest IO + the oracled
+  * queries that drive [[LakeTableProvider]] (q507–q509, q521–q524,
+  * blocks 81/90/91).
   *
-  * The table is the OPTIMIZE output made REAL: [[ensureTable]] writes
-  * [[Optimize.rewrittenFiles]]'s layout (live rows only — the %37 DVs
-  * folded — Z-ordered, one parquet file per planned file id) to a
-  * build-once shared artifact, plus the table's commit metadata:
-  * `_manifest.tsv`, one line per file with its physical path, row
-  * count, per-column [min,max] zones, and a 4096-bit bloom bitmap
-  * over `o_orderkey` ([[LakeBloom]]). The provider's
-  * `planInputPartitions` consumes exactly this manifest — q488's
-  * zone-map artifact stops being an audit subject and becomes the
-  * engine's own read path.
+  * A lake table is a directory of parquet files plus a committed
+  * `_manifest.tsv` whose HEADER declares the table (columns + types,
+  * zone-stat columns, optional bloom column) and whose rows carry one
+  * file each: physical path, row count, per-zone-column [min,max],
+  * and the bloom bitmap. [[writeTable]] writes ANY DataFrame carrying
+  * a `file_id` layout column this way — the LAYOUT is the caller's
+  * decision (Z-order for the orders instance, id-sort for the
+  * documents instance), exactly as OPTIMIZE owns layout in a real
+  * format. Commit protocol: staging→rename→meta-marker-last, corpus
+  * fingerprint as freshness ([[LedgerArtifacts]] discipline); single
+  * writing process per artifact root ([[graft.BuildArtifacts]]).
   *
-  * Commit protocol: the standard staging→rename→meta-marker-last
-  * discipline ([[LedgerArtifacts]]); freshness is the corpus
-  * fingerprint. Single writing process per artifact root, as
-  * documented on [[graft.BuildArtifacts]].
+  * Two committed instances:
+  *  - `orders`: the OPTIMIZE output (live rows, %37 DVs folded,
+  *    Z-ordered, 256-row files), zones on both keys, bloom on
+  *    `o_orderkey` — q488's artifact as the engine's own read path;
+  *  - `documents`: the full five-column corpus registry (including
+  *    the wide `text`), id-sorted into 512-row files, zones on
+  *    `doc_id`/`n_chars`, bloom on `doc_id` — proving the format is
+  *    schema-general (strings ride the same reader; the projection
+  *    pushdown keeps `text` undecoded unless asked for).
   *
-  * 100 TB shape: the build is the OPTIMIZE job the table was already
-  * paying (scan + one z-value shuffle + per-file stat aggregation);
-  * the manifest is one metadata row per file. Every query here reads
+  * 100 TB shape: the build is the layout job the table was already
+  * paying (scan + one shuffle + per-file stat aggregation); the
+  * manifest is one metadata row per file. Every query here reads
   * through the provider, so its cost is proportional to files
   * ADMITTED by its predicate — the audit columns quantify exactly how
   * many.
   */
 object GraftLake {
 
-  /** Parse the committed manifest. Format (TSV, one line per file):
-    * `file_id  rel_path  n_rows  min_ok  max_ok  min_ck  max_ck
-    * w0,w1,...,w63` (the bloom bitmap's 64 words).
+  /** Parse a committed table's metadata. Manifest format: header
+    * `#schema<TAB>col:type,...<TAB>zone_cols<TAB>bloom_col|-`, then
+    * one line per file:
+    * `file_id  rel_path  n_rows  zmins  zmaxs  bloom_words` (comma-
+    * joined arrays, `-` when the table declares no bloom).
     */
-  private[graft] def readManifest(root: String): Seq[LakeFile] = {
+  private[graft] def readMeta(root: String): LakeMeta = {
     val p = new HPath(s"$root/_manifest.tsv")
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8")
       .mkString finally in.close()
-    body.split('\n').iterator.filter(_.nonEmpty).map { line =>
+    val lines = body.split('\n').filter(_.nonEmpty)
+    val h = lines.head.split('\t')
+    require(h(0) == "#schema", s"bad lake manifest header under $root")
+    val schema = StructType(h(1).split(',').map { ct =>
+      val Array(n, t) = ct.split(':')
+      StructField(n, if (t == "long") LongType else StringType,
+        nullable = true)
+    })
+    val zoneCols = h(2).split(',').filter(_.nonEmpty)
+    val bloomCol = if (h(3) == "-") None else Some(h(3))
+    val files = lines.tail.map { line =>
       val f = line.split('\t')
-      LakeFile(f(0).toLong, f(1), f(2).toLong, f(3).toLong, f(4).toLong,
-        f(5).toLong, f(6).toLong, f(7).split(',').map(_.toLong))
+      LakeFile(f(0).toLong, f(1), f(2).toLong,
+        f(3).split(',').map(_.toLong), f(4).split(',').map(_.toLong),
+        if (f(5) == "-") Array.empty[Long]
+        else f(5).split(',').map(_.toLong))
     }.toSeq
+    LakeMeta(schema, zoneCols, bloomCol, files)
   }
 
-  /** Build (or freshness-check) the lake table for a corpus dir;
-    * returns the committed table root.
+  /** Write `filed` (data columns + a `file_id` layout column) as a
+    * committed lake table under `staging`: one physical parquet file
+    * per file id, the manifest with per-file zone stats over
+    * `zoneCols` (long-typed) and, when `bloomCol` is set, the
+    * per-file bloom bitmap.
     */
-  def ensureTable(spark: SparkSession, dir: String): String =
+  private def writeTable(spark: SparkSession, fs: FileSystem,
+      staging: String, filed: DataFrame,
+      dataCols: Seq[(String, String)], zoneCols: Seq[String],
+      bloomCol: Option[String]): Unit = {
+    // one physical parquet file per planned file id: repartition by
+    // file_id puts each id in exactly one task, partitionBy then cuts
+    // one file per id dir
+    filed.repartition(col("file_id"))
+      .write.partitionBy("file_id").mode("overwrite")
+      .parquet(s"$staging/data")
+    val zoneAggs = count(lit(1)).as("n_rows") +:
+      zoneCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c")))
+    val zones = filed.groupBy(col("file_id"))
+      .agg(zoneAggs.head, zoneAggs.tail: _*)
+    val withBloom = bloomCol match {
+      case Some(bc) =>
+        val posCols = LakeBloom.Hashes.map { case (a, b) =>
+          expr(s"(($bc * ${a}L + ${b}L) % ${LakeBloom.P}L) " +
+            s"% ${LakeBloom.Bits}L")
+        }
+        val blooms = filed
+          .select(col("file_id"), explode(array(posCols: _*)).as("pos"))
+          .groupBy(col("file_id"))
+          .agg(sort_array(collect_set(col("pos"))).as("poss"))
+        zones.join(blooms, Seq("file_id"))
+      case None => zones
+    }
+    // metadata-sized collect: one row per file (the manifest a table
+    // format keeps in its log)
+    val rows = withBloom.collect().sortBy(_.getAs[Long]("file_id"))
+    val lines = rows.map { r =>
+      val id = r.getAs[Long]("file_id")
+      val fname = {
+        val d = new HPath(s"$staging/data/file_id=$id")
+        val fsFiles = fs.listStatus(d)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        if (fsFiles.length != 1)
+          sys.error(s"lake build: expected exactly one parquet file " +
+            s"under $d, found ${fsFiles.length}")
+        fsFiles(0).getPath.getName
+      }
+      val zmins = zoneCols.map(c => r.getAs[Long](s"min_$c"))
+      val zmaxs = zoneCols.map(c => r.getAs[Long](s"max_$c"))
+      val bloomStr = bloomCol match {
+        case Some(_) =>
+          val words = new Array[Long](LakeBloom.Words)
+          r.getSeq[Long](r.fieldIndex("poss")).foreach { p =>
+            words((p >> 6).toInt) |= 1L << (p & 63)
+          }
+          words.mkString(",")
+        case None => "-"
+      }
+      s"$id\tdata/file_id=$id/$fname\t${r.getAs[Long]("n_rows")}" +
+        s"\t${zmins.mkString(",")}\t${zmaxs.mkString(",")}\t$bloomStr"
+    }
+    val header = s"#schema\t${dataCols.map { case (n, t) => s"$n:$t" }
+      .mkString(",")}\t${zoneCols.mkString(",")}\t${
+      bloomCol.getOrElse("-")}"
+    writeText(fs, s"$staging/_manifest.tsv",
+      (header +: lines).mkString("", "\n", "\n"))
+  }
+
+  /** Build-once commit wrapper: freshness by corpus fingerprint, the
+    * standard staging→swap→meta-last protocol.
+    */
+  private def ensureLake(spark: SparkSession, name: String,
+      fp: (Long, Long))(build: (FileSystem, String) => Unit): String =
     synchronized {
-      val fp = LedgerArtifacts.fingerprint(
-        ZoneMap.orders(spark, dir), Seq("o_orderkey", "o_custkey"))
-      val dest = s"${LedgerArtifacts.artifactRoot}/lake_orders_" +
-        LedgerArtifacts.dirKey(dir)
+      val dest = s"${LedgerArtifacts.artifactRoot}/$name"
       val fs = new HPath(dest)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       def fresh: Boolean = {
@@ -80,75 +172,81 @@ object GraftLake {
         val t0 = System.nanoTime()
         val staging = s"${dest}_build_staging"
         fs.delete(new HPath(staging), true)
-        val filed = Optimize.rewrittenFiles(spark, dir).persist()
-        try {
-          // one physical parquet file per planned file id: repartition
-          // by file_id puts each id in exactly one task, partitionBy
-          // then cuts one file per id dir
-          filed.repartition(col("file_id"))
-            .write.partitionBy("file_id").mode("overwrite")
-            .parquet(s"$staging/data")
-          val zones = ZoneMap.zones(filed)
-          val posCols = LakeBloom.Hashes.map { case (a, b) =>
-            expr(s"((o_orderkey * ${a}L + ${b}L) % ${LakeBloom.P}L) " +
-              s"% ${LakeBloom.Bits}L")
-          }
-          val blooms = filed
-            .select(col("file_id"),
-              explode(array(posCols: _*)).as("pos"))
-            .groupBy(col("file_id"))
-            .agg(sort_array(collect_set(col("pos"))).as("poss"))
-          // metadata-sized collect: one row per file (the manifest a
-          // table format keeps in its log)
-          val rows = zones.join(blooms, Seq("file_id")).collect()
-            .sortBy(_.getAs[Long]("file_id"))
-          val lines = rows.map { r =>
-            val id = r.getAs[Long]("file_id")
-            val fname = {
-              val d = new HPath(s"$staging/data/file_id=$id")
-              val fsFiles = fs.listStatus(d)
-                .filter(_.getPath.getName.endsWith(".parquet"))
-              if (fsFiles.length != 1)
-                sys.error(s"lake build: expected exactly one parquet " +
-                  s"file under $d, found ${fsFiles.length}")
-              fsFiles(0).getPath.getName
-            }
-            val words = new Array[Long](LakeBloom.Words)
-            r.getSeq[Long](r.fieldIndex("poss")).foreach { p =>
-              words((p >> 6).toInt) |= 1L << (p & 63)
-            }
-            s"$id\tdata/file_id=$id/$fname\t${r.getAs[Long]("n_rows")}" +
-              s"\t${r.getAs[Long]("min_ok")}\t${r.getAs[Long]("max_ok")}" +
-              s"\t${r.getAs[Long]("min_ck")}\t${r.getAs[Long]("max_ck")}" +
-              s"\t${words.mkString(",")}"
-          }
-          writeText(fs, s"$staging/_manifest.tsv",
-            lines.mkString("", "\n", "\n"))
-          fs.delete(new HPath(dest), true)
-          if (!fs.rename(new HPath(staging), new HPath(dest)))
-            sys.error(s"lake table commit failed: " +
-              s"rename($staging -> $dest)")
-          // meta LAST: the commit marker
-          writeText(fs, s"$dest/_meta.tsv", s"${fp._1}\t${fp._2}\n")
-          graft.ArtifactLog.record("lake:orders",
-            (System.nanoTime() - t0) / 1e9)
-        } finally filed.unpersist(false)
+        build(fs, staging)
+        fs.delete(new HPath(dest), true)
+        if (!fs.rename(new HPath(staging), new HPath(dest)))
+          sys.error(s"lake table commit failed: " +
+            s"rename($staging -> $dest)")
+        // meta LAST: the commit marker
+        writeText(fs, s"$dest/_meta.tsv", s"${fp._1}\t${fp._2}\n")
+        graft.ArtifactLog.record(s"lake:$name",
+          (System.nanoTime() - t0) / 1e9)
       }
       dest
     }
 
-  private def writeText(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, body: String): Unit = {
+  /** The orders instance: the OPTIMIZE output as a committed table. */
+  def ensureTable(spark: SparkSession, dir: String): String = {
+    val fp = LedgerArtifacts.fingerprint(
+      ZoneMap.orders(spark, dir), Seq("o_orderkey", "o_custkey"))
+    ensureLake(spark,
+      s"lake2_orders_${LedgerArtifacts.dirKey(dir)}", fp) {
+      (fs, staging) =>
+        val filed = Optimize.rewrittenFiles(spark, dir).persist()
+        try writeTable(spark, fs, staging, filed,
+          Seq(("o_orderkey", "long"), ("o_custkey", "long")),
+          Seq("o_orderkey", "o_custkey"), Some("o_orderkey"))
+        finally filed.unpersist(false)
+    }
+  }
+
+  /** The documents instance: all five corpus columns (text included),
+    * id-sorted into 512-row files, zones on doc_id/n_chars, bloom on
+    * doc_id. The exact-rank layout window is the fixture's oracle
+    * determinism; a production writer cuts files by ingest order +
+    * OPTIMIZE, as everywhere in the layout family.
+    */
+  def ensureDocsTable(spark: SparkSession, dir: String): String = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("text"))
+    val fp = LedgerArtifacts.fingerprint(
+      docs.select(col("doc_id"), col("n_chars")),
+      Seq("doc_id", "n_chars"))
+    ensureLake(spark,
+      s"lake2_documents_${LedgerArtifacts.dirKey(dir)}", fp) {
+      (fs, staging) =>
+        val filed = docs
+          .withColumn("rn", row_number()
+            .over(Window.orderBy(col("doc_id"))).cast("long"))
+          .withColumn("file_id", expr("(rn - 1L) div 512L"))
+          .drop("rn").persist()
+        try writeTable(spark, fs, staging, filed,
+          Seq(("doc_id", "long"), ("lang", "string"),
+            ("source", "string"), ("n_chars", "long"),
+            ("text", "string")),
+          Seq("doc_id", "n_chars"), Some("doc_id"))
+        finally filed.unpersist(false)
+    }
+  }
+
+  private def writeText(fs: FileSystem, path: String,
+      body: String): Unit = {
     val out = fs.create(new HPath(path), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
-  /** The table through the DSv2 provider — the user-facing read. */
-  def lakeDf(spark: SparkSession, dir: String): DataFrame = {
-    val root = ensureTable(spark, dir)
+  private def dfFor(spark: SparkSession, root: String): DataFrame =
     spark.read.format(classOf[LakeTableProvider].getName)
       .option("path", root).load()
-  }
+
+  /** The orders table through the DSv2 provider. */
+  def lakeDf(spark: SparkSession, dir: String): DataFrame =
+    dfFor(spark, ensureTable(spark, dir))
+
+  /** The documents table through the DSv2 provider. */
+  def lakeDocsDf(spark: SparkSession, dir: String): DataFrame =
+    dfFor(spark, ensureDocsTable(spark, dir))
 
   /** How many files `planInputPartitions` actually plans for a filter
     * set — the provider's own planning code path, invoked directly
@@ -167,43 +265,6 @@ object GraftLake {
     val sb = new LakeScanBuilder(root)
     sb.pushLimit(n)
     sb.build().asInstanceOf[LakeScan].planInputPartitions().length.toLong
-  }
-
-  /** q521: the IN-probe plan audit — a batch of 8 point keys pushed
-    * as ONE `In` filter: the provider plans the UNION of each key's
-    * bloom-admitted files (the point-lookup-batch pattern a feature
-    * store issues), and the scan returns exactly the present keys.
-    */
-  def lakeInProbe(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val root = ensureTable(spark, dir)
-    val maxOk = ZoneMap.orders(spark, dir)
-      .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
-    val keys = (1L to 8L).map(j => j * maxOk / 9L)
-    val planned = plannedFiles(root,
-      Array[Filter](In("o_orderkey", keys.map(_.asInstanceOf[Any])
-        .toArray)))
-    val nRows = lakeDf(spark, dir)
-      .filter(col("o_orderkey").isin(keys: _*)).count()
-    Seq((keys.length.toLong, planned,
-        readManifest(root).length.toLong, nRows))
-      .toDF("n_probe_keys", "files_planned", "files_total", "n_rows")
-  }
-
-  /** q522: the LIMIT pushdown audit — per limit, the provider plans
-    * only a row-covering file-id prefix (a `df.limit(k)` preview
-    * never opens the table's tail), and returns at least the limit.
-    */
-  def lakeLimitAudit(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val root = ensureTable(spark, dir)
-    val filesTotal = readManifest(root).length.toLong
-    Seq(100, 1000, 10000).map { k =>
-      val planned = plannedFilesLimited(root, k)
-      val nRows = lakeDf(spark, dir).limit(k).count()
-      (k.toLong, planned, filesTotal, nRows)
-    }.toDF("limit", "files_planned", "files_total", "n_rows")
-      .orderBy(col("limit"))
   }
 
   /** q507: a pruned aggregate THROUGH the provider — the o_custkey
@@ -234,7 +295,7 @@ object GraftLake {
   def lakePlanAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = ensureTable(spark, dir)
-    val filesTotal = readManifest(root).length.toLong
+    val filesTotal = readMeta(root).files.length.toLong
     val preds = ZoneMap.predicates(spark,
       ZoneMap.orders(spark, dir)).collect()
     val out = ArrayBuffer.empty[(String, String, Long, Long, Long, Long, Long)]
@@ -281,12 +342,85 @@ object GraftLake {
         "n_rows")
       .orderBy(col("probe_id"))
   }
-}
 
-/** Provider-side manifest access, kept in an object the scan can reach
-  * without a SparkSession (planInputPartitions runs at planning time).
-  */
-private[lake] object GraftLakeFormat {
-  def readManifest(root: String): Seq[LakeFile] =
-    GraftLake.readManifest(root)
+  /** q521: the IN-probe plan audit — a batch of 8 point keys pushed
+    * as ONE `In` filter: the provider plans the UNION of each key's
+    * bloom-admitted files (the point-lookup-batch pattern a feature
+    * store issues), and the scan returns exactly the present keys.
+    */
+  def lakeInProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureTable(spark, dir)
+    val maxOk = ZoneMap.orders(spark, dir)
+      .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val keys = (1L to 8L).map(j => j * maxOk / 9L)
+    val planned = plannedFiles(root,
+      Array[Filter](In("o_orderkey", keys.map(_.asInstanceOf[Any])
+        .toArray)))
+    val nRows = lakeDf(spark, dir)
+      .filter(col("o_orderkey").isin(keys: _*)).count()
+    Seq((keys.length.toLong, planned,
+        readMeta(root).files.length.toLong, nRows))
+      .toDF("n_probe_keys", "files_planned", "files_total", "n_rows")
+  }
+
+  /** q522: the LIMIT pushdown audit — per limit, the provider plans
+    * only a row-covering file-id prefix (a `df.limit(k)` preview
+    * never opens the table's tail), and returns at least the limit.
+    */
+  def lakeLimitAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureTable(spark, dir)
+    val filesTotal = readMeta(root).files.length.toLong
+    Seq(100, 1000, 10000).map { k =>
+      val planned = plannedFilesLimited(root, k)
+      val nRows = lakeDf(spark, dir).limit(k).count()
+      (k.toLong, planned, filesTotal, nRows)
+    }.toDF("limit", "files_planned", "files_total", "n_rows")
+      .orderBy(col("limit"))
+  }
+
+  /** q523: the DOCUMENTS instance, pruned and projected — a doc_id
+    * range probe rolled up per source, including a string column and
+    * a text-length sum (the wide column decoded only because it is
+    * asked for). Schema-generality of the format, hash-checked
+    * against raw `documents`.
+    */
+  def lakeDocsPruned(spark: SparkSession, dir: String): DataFrame = {
+    val maxId = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val lo = 3L * maxId / 8L
+    val hi = lo + maxId / 16L
+    lakeDocsDf(spark, dir)
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(length(col("text"))).as("n_text_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** q524: the documents plan audit — 4 doc_id range probes against
+    * the id-sorted 512-row layout: planned files vs total, rows
+    * returned. Near-perfect pruning is the point of the id-sorted
+    * layout (each file spans one contiguous id range).
+    */
+  def lakeDocsPlanAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureDocsTable(spark, dir)
+    val filesTotal = readMeta(root).files.length.toLong
+    val maxId = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    (0L to 3L).map { k =>
+      val lo = (2L * k + 1L) * maxId / 8L
+      val hi = lo + maxId / 16L
+      val planned = plannedFiles(root, Array[Filter](
+        GreaterThanOrEqual("doc_id", lo), LessThanOrEqual("doc_id", hi)))
+      val nRows = lakeDocsDf(spark, dir)
+        .filter(col("doc_id") >= lo && col("doc_id") <= hi).count()
+      (k, lo, hi, filesTotal, planned, nRows)
+    }.toDF("pred_id", "lo", "hi", "files_total", "files_planned",
+        "n_rows")
+      .orderBy(col("pred_id"))
+  }
 }

@@ -53,8 +53,12 @@ object Prebuild {
           s"${Occ.raceShared(spark, dir)}/_attempts").count()),
       ("lake_orders",
         () => graft.sources.lake.GraftLake
-          .readManifest(graft.sources.lake.GraftLake
-            .ensureTable(spark, dir)).size.toLong),
+          .readMeta(graft.sources.lake.GraftLake
+            .ensureTable(spark, dir)).files.size.toLong),
+      ("lake_documents",
+        () => graft.sources.lake.GraftLake
+          .readMeta(graft.sources.lake.GraftLake
+            .ensureDocsTable(spark, dir)).files.size.toLong),
       ("join_stats",
         () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
           .count()),

@@ -125,7 +125,7 @@ class GraftLakeSpec extends SparkSpec {
       == probes.length.toLong)
     // LIMIT: the planned prefix covers the limit and no more files
     // than needed (256-row files)
-    val manifest = GraftLake.readManifest(root).sortBy(_.fileId)
+    val manifest = GraftLake.readMeta(root).files.sortBy(_.fileId)
     def expectPrefix(n: Int): Long = {
       var cum = 0L
       manifest.takeWhile { f =>
@@ -142,6 +142,52 @@ class GraftLakeSpec extends SparkSpec {
     assert(df.count() == 300L)
     Caches.releaseAll(spark)
   }
+
+  test("the documents instance: schema-general reads (strings + " +
+      "projection), id-sorted pruning, bloom on doc_id") {
+    import org.apache.spark.sql.sources.EqualTo
+    val docs = lakeDocs
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(docs.count() == raw.count())
+    // string + long columns round-trip through the provider
+    val got = docs.agg(sum(col("n_chars")),
+      sum(length(col("text"))), countDistinct(col("source")))
+      .collect()(0)
+    val want = raw.agg(sum(col("n_chars")),
+      sum(length(col("text"))), countDistinct(col("source")))
+      .collect()(0)
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getLong(1) == want.getLong(1))
+    assert(got.getLong(2) == want.getLong(2))
+    // a present doc_id point probe survives bloom; an absent id is 0
+    val someId = raw.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    assert(docs.filter(col("doc_id") === someId).count() == 1L)
+    assert(docs.filter(col("doc_id") === someId + 12345L).count() == 0L)
+    // pruning on the id-sorted layout: a narrow id range plans few
+    // files; the provider's plan equals the layout-derived overlap
+    val docsRoot = GraftLake.ensureDocsTable(spark, sfDir)
+    val meta = GraftLake.readMeta(docsRoot)
+    assert(meta.schema.fieldNames.toSeq ==
+      Seq("doc_id", "lang", "source", "n_chars", "text"))
+    val lo = someId / 2
+    val hi = lo + 100
+    val planned = GraftLake.plannedFiles(docsRoot, Array[Filter](
+      GreaterThanOrEqual("doc_id", lo), LessThanOrEqual("doc_id", hi)))
+    val expected = meta.files
+      .count(f => f.zMax(0) >= lo && f.zMin(0) <= hi).toLong
+    assert(planned == expected)
+    // sf0.001's corpus fits one 512-row file; pruning bites from
+    // sf0.01 up (q524's oracle pins it there)
+    if (meta.files.length > 1)
+      assert(planned < meta.files.length, "range probe must prune")
+    // bloom probe through the provider's own planner
+    val bloomPlanned = GraftLake.plannedFiles(docsRoot,
+      Array[Filter](EqualTo("doc_id", someId)))
+    assert(bloomPlanned >= 1L)
+    Caches.releaseAll(spark)
+  }
+
+  private lazy val lakeDocs = GraftLake.lakeDocsDf(spark, sfDir)
 
   test("bloom bitmap semantics: admits() equals the positions-subset " +
       "definition") {
