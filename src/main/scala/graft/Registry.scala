@@ -1531,6 +1531,13 @@ object Registry {
       graft.sources.lake.GraftLake.lakeDocsPruned(s, d)),
     "q524_lake_docs_plan" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeDocsPlanAudit(s, d)),
+    // block 92: versioned manifest snapshots + the APPEND executor on
+    // the lake format — old files never touched, time travel through
+    // the provider (versionAsOf)
+    "q525_lake_append_audit" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeAppendAudit(s, d)),
+    "q526_lake_asof_scan" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeAsOfScan(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -82,7 +82,7 @@ object ZoneMap {
     * bit-interleaved into a 32-bit Morton code via the bit-weight
     * join, and files are cut in Morton order.
     */
-  private[operators] def zorderFiles(spark: SparkSession, o: DataFrame): DataFrame = {
+  private[graft] def zorderFiles(spark: SparkSession, o: DataFrame): DataFrame = {
     val n = o.count()
     val ranked = o
       .withColumn("rx",
@@ -376,7 +376,7 @@ object ZoneMap {
   /** Split orders at the last-OPTIMIZE boundary: (the clustered
     * prefix = batches 0–1, the appended tail = batch 2).
     */
-  private def prefixTail(o: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def prefixTail(o: DataFrame): (DataFrame, DataFrame) = {
     val step = o.agg(expr("(max(o_orderkey) + 3L) div 3L").as("step"))
     val withStep = o.crossJoin(broadcast(step))
     (withStep.filter(col("o_orderkey") < expr("2L * step"))

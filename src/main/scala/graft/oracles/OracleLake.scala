@@ -149,5 +149,40 @@ object OracleLake {
         "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE " +
         "doc_id BETWEEN p.lo AND p.hi) AS n_rows " +
         "FROM lkp p, lkz z GROUP BY p.pred_id, p.lo, p.hi " +
-        "ORDER BY p.pred_id"))
+        "ORDER BY p.pred_id"),
+    // q525: the append audit — snapshot v0 (order prefix, 256-row
+    // z-order files), v1 = v0 + the tail's own files; history
+    // immutable by construction of the append
+    "q525_lake_append_audit" ->
+      ("WITH lam AS (SELECT (MAX(o_orderkey) + 3) // 3 AS step, " +
+        "CAST(COUNT(*) AS BIGINT) AS nall FROM orders), " +
+        "lan AS (SELECT CAST((SELECT COUNT(*) FROM orders, lam " +
+        "WHERE o_orderkey < 2 * step) AS BIGINT) AS n0, nall " +
+        "FROM lam), " +
+        "laf AS (SELECT n0, nall, (n0 + 255) // 256 AS f0, " +
+        "(nall - n0 + 255) // 256 AS ft FROM lan) " +
+        "SELECT * FROM (" +
+        "SELECT 0::BIGINT AS version, f0 AS n_files, n0 AS n_rows, " +
+        "f0 AS n_files_added, n0 AS n_rows_added, " +
+        "TRUE AS history_immutable FROM laf " +
+        "UNION ALL SELECT 1::BIGINT, f0 + ft, nall, ft, nall - n0, " +
+        "TRUE FROM laf) ORDER BY version"),
+    // q526: time travel through the provider — v0 answers WITHOUT
+    // the appended rows, latest equals v1
+    "q526_lake_asof_scan" ->
+      ("WITH lam AS (SELECT (MAX(o_orderkey) + 3) // 3 AS step " +
+        "FROM orders), " +
+        "lag AS (SELECT " +
+        "CAST(COUNT(*) AS BIGINT) AS nall, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sall, " +
+        "CAST(SUM(CASE WHEN o_orderkey < 2 * (SELECT step FROM lam) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(SUM(CASE WHEN o_orderkey < 2 * (SELECT step FROM lam) " +
+        "THEN o_orderkey ELSE 0 END) AS BIGINT) AS s0 FROM orders) " +
+        "SELECT * FROM (" +
+        "SELECT 'latest' AS snapshot, nall AS n_rows, sall AS sum_ok " +
+        "FROM lag " +
+        "UNION ALL SELECT 'v0', n0, s0 FROM lag " +
+        "UNION ALL SELECT 'v1', nall, sall FROM lag) " +
+        "ORDER BY snapshot"))
 }

@@ -54,9 +54,27 @@ object GraftLake {
     * `file_id  rel_path  n_rows  zmins  zmaxs  bloom_words` (comma-
     * joined arrays, `-` when the table declares no bloom).
     */
-  private[graft] def readMeta(root: String): LakeMeta = {
-    val p = new HPath(s"$root/_manifest.tsv")
+  private[graft] def readMeta(root: String,
+      version: Option[Long] = None): LakeMeta = {
+    val name = version match {
+      case Some(v) => s"_manifest_v$v.tsv"
+      case None    => "_manifest.tsv"
+    }
+    val p = new HPath(s"$root/$name")
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p))
+      sys.error(version match {
+        case Some(v) =>
+          val have = fs.listStatus(new HPath(root))
+            .map(_.getPath.getName)
+            .filter(n => n.startsWith("_manifest_v") && n.endsWith(".tsv"))
+            .map(_.stripPrefix("_manifest_v").stripSuffix(".tsv"))
+            .sorted.mkString(", ")
+          s"lake table at $root has no snapshot version $v " +
+            s"(committed versions: ${if (have.isEmpty) "none - this " +
+              "table keeps no versioned snapshots" else have})"
+        case None => s"no committed lake manifest under $root"
+      })
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8")
       .mkString finally in.close()
@@ -90,12 +108,32 @@ object GraftLake {
       staging: String, filed: DataFrame,
       dataCols: Seq[(String, String)], zoneCols: Seq[String],
       bloomCol: Option[String]): Unit = {
+    val lines = writeFiles(spark, fs, staging, "data", filed, zoneCols,
+      bloomCol)
+    writeText(fs, s"$staging/_manifest.tsv",
+      (headerOf(dataCols, zoneCols, bloomCol) +: lines)
+        .mkString("", "\n", "\n"))
+  }
+
+  private def headerOf(dataCols: Seq[(String, String)],
+      zoneCols: Seq[String], bloomCol: Option[String]): String =
+    s"#schema\t${dataCols.map { case (n, t) => s"$n:$t" }
+      .mkString(",")}\t${zoneCols.mkString(",")}\t${
+      bloomCol.getOrElse("-")}"
+
+  /** Write one batch of files under `<staging>/<subdir>` and return
+    * its manifest lines — the unit an APPEND commits beside the
+    * existing ones (old files are never touched or renumbered).
+    */
+  private def writeFiles(spark: SparkSession, fs: FileSystem,
+      staging: String, subdir: String, filed: DataFrame,
+      zoneCols: Seq[String], bloomCol: Option[String]): Seq[String] = {
     // one physical parquet file per planned file id: repartition by
     // file_id puts each id in exactly one task, partitionBy then cuts
     // one file per id dir
     filed.repartition(col("file_id"))
       .write.partitionBy("file_id").mode("overwrite")
-      .parquet(s"$staging/data")
+      .parquet(s"$staging/$subdir")
     val zoneAggs = count(lit(1)).as("n_rows") +:
       zoneCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c")))
@@ -120,7 +158,7 @@ object GraftLake {
     val lines = rows.map { r =>
       val id = r.getAs[Long]("file_id")
       val fname = {
-        val d = new HPath(s"$staging/data/file_id=$id")
+        val d = new HPath(s"$staging/$subdir/file_id=$id")
         val fsFiles = fs.listStatus(d)
           .filter(_.getPath.getName.endsWith(".parquet"))
         if (fsFiles.length != 1)
@@ -139,14 +177,10 @@ object GraftLake {
           words.mkString(",")
         case None => "-"
       }
-      s"$id\tdata/file_id=$id/$fname\t${r.getAs[Long]("n_rows")}" +
+      s"$id\t$subdir/file_id=$id/$fname\t${r.getAs[Long]("n_rows")}" +
         s"\t${zmins.mkString(",")}\t${zmaxs.mkString(",")}\t$bloomStr"
     }
-    val header = s"#schema\t${dataCols.map { case (n, t) => s"$n:$t" }
-      .mkString(",")}\t${zoneCols.mkString(",")}\t${
-      bloomCol.getOrElse("-")}"
-    writeText(fs, s"$staging/_manifest.tsv",
-      (header +: lines).mkString("", "\n", "\n"))
+    lines.toSeq
   }
 
   /** Build-once commit wrapper: freshness by corpus fingerprint, the
@@ -228,6 +262,100 @@ object GraftLake {
           Seq("doc_id", "n_chars"), Some("doc_id"))
         finally filed.unpersist(false)
     }
+  }
+
+  /** The APPENDABLE orders instance with VERSIONED MANIFEST snapshots
+    * (q525–q526, block 92): snapshot v0 = the order prefix (batches
+    * 0–1 of the id-range split) Z-ordered; the APPEND commits batch
+    * 2's rows as NEW files (Z-ordered within the tail, the q491
+    * incremental-recluster discipline, under a distinct file-id
+    * space) and writes snapshot v1 = v0's lines + the new ones —
+    * old files are never touched, renamed, or renumbered, which is
+    * the append-only contract every table format's time travel rests
+    * on. `_manifest_v<N>.tsv` are the snapshots; `_manifest.tsv` is
+    * the latest; a reader pins a snapshot with
+    * `option("versionAsOf", n)`.
+    */
+  def ensureIncTable(spark: SparkSession, dir: String): String = {
+    val o = ZoneMap.orders(spark, dir)
+    val fp = LedgerArtifacts.fingerprint(o,
+      Seq("o_orderkey", "o_custkey"))
+    ensureLake(spark,
+      s"lake2_orders_inc_${LedgerArtifacts.dirKey(dir)}", fp) {
+      (fs, staging) =>
+        val cols = Seq(("o_orderkey", "long"), ("o_custkey", "long"))
+        val zcols = Seq("o_orderkey", "o_custkey")
+        val header = headerOf(cols, zcols, Some("o_orderkey"))
+        val (prefix, tail) = ZoneMap.prefixTail(o)
+        val v0 = writeFiles(spark, fs, staging, "data",
+          ZoneMap.zorderFiles(spark, prefix), zcols, Some("o_orderkey"))
+        writeText(fs, s"$staging/_manifest_v0.tsv",
+          (header +: v0).mkString("", "\n", "\n"))
+        // the append: tail rows as new files under a disjoint id
+        // space, in their own subdir — v0's files untouched
+        val appended = writeFiles(spark, fs, staging, "data_b2",
+          ZoneMap.zorderFiles(spark, tail)
+            .withColumn("file_id", col("file_id") + 7000000L),
+          zcols, Some("o_orderkey"))
+        val v1 = v0 ++ appended
+        writeText(fs, s"$staging/_manifest_v1.tsv",
+          (header +: v1).mkString("", "\n", "\n"))
+        writeText(fs, s"$staging/_manifest.tsv",
+          (header +: v1).mkString("", "\n", "\n"))
+    }
+  }
+
+  /** q525: the append audit — per snapshot: files/rows, what the
+    * commit added, and `history_immutable`: every v0 manifest line
+    * appears VERBATIM in v1 (same path, same stats — the append
+    * touched nothing it didn't write).
+    */
+  def lakeAppendAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureIncTable(spark, dir)
+    val v0 = readMeta(root, Some(0L))
+    val v1 = readMeta(root, Some(1L))
+    val v0Paths = v0.files.map(f => (f.path, f.nRows)).toSet
+    val immutable = v0.files.map(_.path).toSet
+      .subsetOf(v1.files.map(_.path).toSet) &&
+      v1.files.filter(f => v0Paths.exists(_._1 == f.path))
+        .forall(f => v0Paths.contains((f.path, f.nRows)))
+    def rows(m: LakeMeta): Long = m.files.map(_.nRows).sum
+    Seq(
+      (0L, v0.files.length.toLong, rows(v0), v0.files.length.toLong,
+        rows(v0), true),
+      (1L, v1.files.length.toLong, rows(v1),
+        (v1.files.length - v0.files.length).toLong,
+        rows(v1) - rows(v0), immutable))
+      .toDF("version", "n_files", "n_rows", "n_files_added",
+        "n_rows_added", "history_immutable")
+      .orderBy(col("version"))
+  }
+
+  /** q526: TIME TRAVEL through the provider — the same aggregate at
+    * snapshot v0 (the pre-append table), snapshot v1, and latest:
+    * v0 must answer WITHOUT the appended rows (one appended row
+    * leaking into the pinned snapshot breaks the hash), and latest
+    * must equal v1.
+    */
+  def lakeAsOfScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureIncTable(spark, dir)
+    def agg(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("o_orderkey"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    def at(v: Option[Long]): DataFrame = {
+      val rd = spark.read.format(classOf[LakeTableProvider].getName)
+        .option("path", root)
+      v.fold(rd)(x => rd.option("versionAsOf", x.toString)).load()
+    }
+    val (n0, s0) = agg(at(Some(0L)))
+    val (n1, s1) = agg(at(Some(1L)))
+    val (nl, sl) = agg(at(None))
+    Seq(("latest", nl, sl), ("v0", n0, s0), ("v1", n1, s1))
+      .toDF("snapshot", "n_rows", "sum_ok")
+      .orderBy(col("snapshot"))
   }
 
   private def writeText(fs: FileSystem, path: String,

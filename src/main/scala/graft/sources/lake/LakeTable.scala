@@ -55,7 +55,8 @@ class LakeTableProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = Option(options.get("path")).getOrElse(
       sys.error("graft-lake: 'path' option (table root) is required"))
-    GraftLake.readMeta(root).schema
+    GraftLake.readMeta(root,
+      Option(options.get("versionAsOf")).map(_.toLong)).schema
   }
 
   override def getTable(schema: StructType,
@@ -63,7 +64,8 @@ class LakeTableProvider extends TableProvider {
       properties: JMap[String, String]): Table = {
     val root = Option(properties.get("path")).getOrElse(
       sys.error("graft-lake: 'path' option (table root) is required"))
-    new LakeTable(root, schema)
+    new LakeTable(root, schema,
+      Option(properties.get("versionAsOf")).map(_.toLong))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -104,26 +106,28 @@ private[graft] object LakeBloom {
     positions(key).forall(p => (bloom(p >> 6) & (1L << (p & 63))) != 0L)
 }
 
-class LakeTable(root: String, schema0: StructType)
+class LakeTable(root: String, schema0: StructType,
+    version: Option[Long] = None)
     extends Table with SupportsRead {
-  override def name(): String = s"graft_lake($root)"
+  override def name(): String =
+    s"graft_lake($root${version.fold("")(v => s"@v$v")})"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScanBuilder(root)
+    new LakeScanBuilder(root, version)
 }
 
 /** Collects prunable filters + projection + limit. ALL filters are
   * returned as residuals — file-grain pruning is approximate by
   * design, Spark's row-level filter keeps exactness.
   */
-class LakeScanBuilder(root: String)
+class LakeScanBuilder(root: String, version: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
-  private lazy val meta = GraftLake.readMeta(root)
+  private lazy val meta = GraftLake.readMeta(root, version)
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
   private var limit: Option[Int] = None

@@ -189,6 +189,36 @@ class GraftLakeSpec extends SparkSpec {
 
   private lazy val lakeDocs = GraftLake.lakeDocsDf(spark, sfDir)
 
+  test("versioned snapshots: a pinned v0 never sees appended rows, " +
+      "an unknown version fails naming the committed range") {
+    val root = GraftLake.ensureIncTable(spark, sfDir)
+    val v0 = GraftLake.readMeta(root, Some(0L))
+    val v1 = GraftLake.readMeta(root, Some(1L))
+    // append-only: v0's files are a strict subset of v1's, untouched
+    assert(v0.files.map(_.path).toSet
+      .subsetOf(v1.files.map(_.path).toSet))
+    assert(v1.files.length > v0.files.length)
+    val e = intercept[RuntimeException](
+      GraftLake.readMeta(root, Some(9L)))
+    assert(e.getMessage.contains("no snapshot version 9"))
+    assert(e.getMessage.contains("0, 1"))
+    // the SQL surface: versionAsOf pins the snapshot end to end
+    def at(v: Option[String]) = {
+      val rd = spark.read
+        .format(classOf[graft.sources.lake.LakeTableProvider].getName)
+        .option("path", root)
+      v.fold(rd)(rd.option("versionAsOf", _)).load()
+    }
+    val n0 = at(Some("0")).count()
+    val n1 = at(Some("1")).count()
+    val nl = at(None).count()
+    assert(n0 == v0.files.map(_.nRows).sum)
+    assert(n1 == v1.files.map(_.nRows).sum)
+    assert(nl == n1)
+    assert(n0 < n1)
+    Caches.releaseAll(spark)
+  }
+
   test("bloom bitmap semantics: admits() equals the positions-subset " +
       "definition") {
     val words = new Array[Long](LakeBloom.Words)
