@@ -1538,6 +1538,13 @@ object Registry {
       graft.sources.lake.GraftLake.lakeAppendAudit(s, d)),
     "q526_lake_asof_scan" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeAsOfScan(s, d)),
+    // block 93: merge-on-read DELETES on the lake format — positional
+    // deletion vectors committed as a snapshot, masked by the reader,
+    // time travel across the delete
+    "q527_lake_dv_audit" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeDvAudit(s, d)),
+    "q528_lake_dv_pruned_scan" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeDvPrunedScan(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

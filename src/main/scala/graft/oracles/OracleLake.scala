@@ -168,21 +168,61 @@ object OracleLake {
         "UNION ALL SELECT 1::BIGINT, f0 + ft, nall, ft, nall - n0, " +
         "TRUE FROM laf) ORDER BY version"),
     // q526: time travel through the provider — v0 answers WITHOUT
-    // the appended rows, latest equals v1
+    // the appended rows, v1 still SHOWS the later-deleted rows (time
+    // travel across the delete), latest (v2) masks the %37 DVs
     "q526_lake_asof_scan" ->
       ("WITH lam AS (SELECT (MAX(o_orderkey) + 3) // 3 AS step " +
         "FROM orders), " +
         "lag AS (SELECT " +
         "CAST(COUNT(*) AS BIGINT) AS nall, " +
         "CAST(SUM(o_orderkey) AS BIGINT) AS sall, " +
+        "CAST(SUM(CASE WHEN o_orderkey % 37 <> 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS nlive, " +
+        "CAST(SUM(CASE WHEN o_orderkey % 37 <> 0 THEN o_orderkey " +
+        "ELSE 0 END) AS BIGINT) AS slive, " +
         "CAST(SUM(CASE WHEN o_orderkey < 2 * (SELECT step FROM lam) " +
         "THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
         "CAST(SUM(CASE WHEN o_orderkey < 2 * (SELECT step FROM lam) " +
         "THEN o_orderkey ELSE 0 END) AS BIGINT) AS s0 FROM orders) " +
         "SELECT * FROM (" +
-        "SELECT 'latest' AS snapshot, nall AS n_rows, sall AS sum_ok " +
-        "FROM lag " +
+        "SELECT 'latest' AS snapshot, nlive AS n_rows, slive AS " +
+        "sum_ok FROM lag " +
         "UNION ALL SELECT 'v0', n0, s0 FROM lag " +
         "UNION ALL SELECT 'v1', nall, sall FROM lag) " +
-        "ORDER BY snapshot"))
+        "ORDER BY snapshot"),
+    // q527: the DV-delete audit — stored rows unchanged across the
+    // delete (merge-on-read), masked counts and DV-carrying files
+    // recomputed from the incremental layout
+    "q527_lake_dv_audit" ->
+      (OracleZoneMap.Common + OracleZoneMap.StaleCtes +
+        OracleZoneMap.IncrCtes +
+        ", ldn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nall, " +
+        "CAST(SUM(CASE WHEN o_orderkey % 37 = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS ndel FROM zmo), " +
+        "ldf AS (SELECT CAST(COUNT(*) AS BIGINT) AS nfiles FROM zicz)" +
+        ", ldd AS (SELECT CAST(COUNT(DISTINCT file_id) AS BIGINT) AS " +
+        "nwithdv FROM zitf WHERE o_orderkey % 37 = 0) " +
+        "SELECT * FROM (" +
+        "SELECT 1::BIGINT AS version, f.nfiles AS n_files, " +
+        "n.nall AS rows_stored, 0::BIGINT AS dv_rows, " +
+        "n.nall AS rows_live, 0::BIGINT AS files_with_dv " +
+        "FROM ldn n, ldf f " +
+        "UNION ALL SELECT 2::BIGINT, f.nfiles, n.nall, n.ndel, " +
+        "n.nall - n.ndel, d.nwithdv FROM ldn n, ldf f, ldd d) " +
+        "ORDER BY version"),
+    // q528: the pruned aggregate at the DV snapshot — live rows only;
+    // q507's SQL verbatim (the MOR-masked inc table and the DV-folded
+    // OPTIMIZE table must agree on the same live set)
+    "q528_lake_dv_pruned_scan" ->
+      ("WITH lmx AS (SELECT MAX(CAST(o_custkey AS BIGINT)) AS max_ck " +
+        "FROM orders), " +
+        "lbd AS (SELECT (3 * max_ck) // 8 AS lo, " +
+        "(3 * max_ck) // 8 + max_ck // 16 AS hi FROM lmx), " +
+        "llv AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS " +
+        "o_custkey FROM orders WHERE o_orderkey % 37 <> 0) " +
+        "SELECT o_custkey % 8 AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok " +
+        "FROM llv, lbd WHERE o_custkey BETWEEN lo AND hi " +
+        "GROUP BY bucket ORDER BY bucket"))
 }

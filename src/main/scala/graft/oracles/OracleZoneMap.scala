@@ -137,7 +137,7 @@ object OracleZoneMap {
     * within itself, the batch-2 tail appended linear, zones + audit.
     * Appends to [[Common]]'s WITH.
     */
-  private val StaleCtes =
+  private[oracles] val StaleCtes =
         ", zmsa2 AS (SELECT * FROM zmo WHERE o_orderkey < 2 * " +
         "(SELECT step FROM zms)), " +
         "zmsb2 AS (SELECT * FROM zmo WHERE o_orderkey >= 2 * " +
@@ -177,7 +177,7 @@ object OracleZoneMap {
     * itself (ranks over the tail only), unioned with the untouched
     * prefix files; zones + audit. Appends to [[StaleCtes]]'s WITH.
     */
-  private val IncrCtes =
+  private[oracles] val IncrCtes =
     ", zitn AS (SELECT COUNT(*) AS n FROM zmsb2), " +
       "zitr AS (SELECT o_orderkey, o_custkey, " +
       "((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) * 65536) // " +

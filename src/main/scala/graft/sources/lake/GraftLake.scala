@@ -93,7 +93,9 @@ object GraftLake {
       LakeFile(f(0).toLong, f(1), f(2).toLong,
         f(3).split(',').map(_.toLong), f(4).split(',').map(_.toLong),
         if (f(5) == "-") Array.empty[Long]
-        else f(5).split(',').map(_.toLong))
+        else f(5).split(',').map(_.toLong),
+        if (f.length > 6 && f(6) != "-") Some(f(6)) else None,
+        if (f.length > 7) f(7).toLong else 0L)
     }.toSeq
     LakeMeta(schema, zoneCols, bloomCol, files)
   }
@@ -178,13 +180,22 @@ object GraftLake {
         case None => "-"
       }
       s"$id\t$subdir/file_id=$id/$fname\t${r.getAs[Long]("n_rows")}" +
-        s"\t${zmins.mkString(",")}\t${zmaxs.mkString(",")}\t$bloomStr"
+        s"\t${zmins.mkString(",")}\t${zmaxs.mkString(",")}\t$bloomStr" +
+        "\t-\t0"
     }
     lines.toSeq
   }
 
-  /** Build-once commit wrapper: freshness by corpus fingerprint, the
-    * standard staging→swap→meta-last protocol.
+  /** The lake format's build version, stamped into the freshness
+    * marker: a binary whose BUILD logic changed (new snapshot kinds,
+    * new manifest fields) must not read a durable root's artifact
+    * built by an older one — the stamp mismatch forces a rebuild the
+    * same way a corpus change does.
+    */
+  private val FormatVersion = 3
+
+  /** Build-once commit wrapper: freshness by corpus fingerprint +
+    * format version, the standard staging→swap→meta-last protocol.
     */
   private def ensureLake(spark: SparkSession, name: String,
       fp: (Long, Long))(build: (FileSystem, String) => Unit): String =
@@ -198,7 +209,7 @@ object GraftLake {
           val in = fs.open(meta)
           val s = try scala.io.Source.fromInputStream(in, "UTF-8")
             .mkString.trim finally in.close()
-          s == s"${fp._1}\t${fp._2}" &&
+          s == s"${fp._1}\t${fp._2}\tfmt$FormatVersion" &&
             fs.exists(new HPath(s"$dest/_manifest.tsv"))
         }
       }
@@ -212,7 +223,8 @@ object GraftLake {
           sys.error(s"lake table commit failed: " +
             s"rename($staging -> $dest)")
         // meta LAST: the commit marker
-        writeText(fs, s"$dest/_meta.tsv", s"${fp._1}\t${fp._2}\n")
+        writeText(fs, s"$dest/_meta.tsv",
+          s"${fp._1}\t${fp._2}\tfmt$FormatVersion\n")
         graft.ArtifactLog.record(s"lake:$name",
           (System.nanoTime() - t0) / 1e9)
       }
@@ -300,9 +312,56 @@ object GraftLake {
         val v1 = v0 ++ appended
         writeText(fs, s"$staging/_manifest_v1.tsv",
           (header +: v1).mkString("", "\n", "\n"))
+        // snapshot v2: the DELETE (o_orderkey % 37 == 0) committed as
+        // POSITIONAL deletion vectors — per affected file, the row
+        // ordinals to mask, computed with the SAME row reader the
+        // provider scans with (ordinal agreement by construction).
+        // Data files untouched; only manifest lines gain a DV pointer
+        // and the masked count.
+        val v2 = v1.map { line =>
+          val f = line.split('\t')
+          val ordinals = ArrayBuffer.empty[Long]
+          val keys = scanKeys(s"$staging/${f(1)}", "o_orderkey")
+          var i = 0L
+          keys.foreach { k =>
+            if (k % 37 == 0) ordinals += i
+            i += 1
+          }
+          if (ordinals.isEmpty) line
+          else {
+            val dvRel = s"dv_v2/file_${f(0)}.tsv"
+            writeText(fs, s"$staging/$dvRel",
+              ordinals.mkString("", "\n", "\n"))
+            (f.take(6) ++ Array(dvRel, ordinals.length.toString))
+              .mkString("\t")
+          }
+        }
+        writeText(fs, s"$staging/_manifest_v2.tsv",
+          (header +: v2).mkString("", "\n", "\n"))
         writeText(fs, s"$staging/_manifest.tsv",
-          (header +: v1).mkString("", "\n", "\n"))
+          (header +: v2).mkString("", "\n", "\n"))
     }
+  }
+
+  /** Stream one long column of a committed file in STORED row order —
+    * the DV builder's ordinal source, deliberately the same
+    * parquet-hadoop reader the provider uses.
+    */
+  private def scanKeys(path: String, column: String): Iterator[Long] = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.api.ReadSupport
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val conf = new Configuration()
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA,
+      s"message graft_lake {\noptional int64 $column;\n}")
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), new HPath(path))
+      .withConf(conf).build()
+    Iterator.continually(reader.read()).takeWhile { g =>
+      if (g == null) reader.close()
+      g != null
+    }.map(_.getLong(column, 0))
   }
 
   /** q525: the append audit — per snapshot: files/rows, what the
@@ -333,10 +392,12 @@ object GraftLake {
   }
 
   /** q526: TIME TRAVEL through the provider — the same aggregate at
-    * snapshot v0 (the pre-append table), snapshot v1, and latest:
-    * v0 must answer WITHOUT the appended rows (one appended row
-    * leaking into the pinned snapshot breaks the hash), and latest
-    * must equal v1.
+    * snapshot v0 (pre-append), v1 (post-append, pre-delete), and
+    * latest (v2 — the %37 DELETE masked merge-on-read): v0 must
+    * answer WITHOUT the appended rows, v1 WITH them and WITH the
+    * later-deleted rows still visible (time travel ACROSS a delete),
+    * and latest without the masked rows. One row leaking across any
+    * snapshot boundary breaks the hash.
     */
   def lakeAsOfScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -356,6 +417,45 @@ object GraftLake {
     Seq(("latest", nl, sl), ("v0", n0, s0), ("v1", n1, s1))
       .toDF("snapshot", "n_rows", "sum_ok")
       .orderBy(col("snapshot"))
+  }
+
+  /** q527: the DV-delete audit on the lake table — per snapshot
+    * (v1 pre-delete, v2 post-delete): files, stored rows (UNCHANGED —
+    * merge-on-read stores nothing smaller), masked DV rows, live
+    * rows, and how many files carry a DV. The q478 DV-debt audit
+    * measured against the engine's own format instead of a
+    * simulation.
+    */
+  def lakeDvAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureIncTable(spark, dir)
+    Seq(1L, 2L).map { v =>
+      val m = readMeta(root, Some(v))
+      (v, m.files.length.toLong, m.files.map(_.nRows).sum,
+        m.files.map(_.dvRows).sum, m.files.map(_.liveRows).sum,
+        m.files.count(_.dvPath.isDefined).toLong)
+    }.toDF("version", "n_files", "rows_stored", "dv_rows",
+        "rows_live", "files_with_dv")
+      .orderBy(col("version"))
+  }
+
+  /** q528: a pruned aggregate through the provider at LATEST (the DV
+    * snapshot): the o_custkey range probe rolled into buckets over
+    * LIVE rows only — zones still prune (stale-but-sound), the reader
+    * masks the DV ordinals. One masked row surviving, or one live row
+    * lost, breaks the hash.
+    */
+  def lakeDvPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val maxCk = ZoneMap.orders(spark, dir)
+      .agg(max(col("o_custkey"))).collect()(0).getLong(0)
+    val lo = 3L * maxCk / 8L
+    val hi = lo + maxCk / 16L
+    dfFor(spark, ensureIncTable(spark, dir))
+      .filter(col("o_custkey") >= lo && col("o_custkey") <= hi)
+      .groupBy((col("o_custkey") % 8L).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_ok"))
+      .orderBy(col("bucket"))
   }
 
   private def writeText(fs: FileSystem, path: String,

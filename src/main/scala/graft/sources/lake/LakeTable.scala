@@ -80,11 +80,18 @@ private[graft] final case class LakeMeta(schema: StructType,
     files: Seq[LakeFile])
 
 /** One committed data file: per-zone-column [min,max] arrays are
-  * positionally aligned with [[LakeMeta.zoneCols]].
+  * positionally aligned with [[LakeMeta.zoneCols]]; `dvPath` names
+  * the file's positional deletion vector (row ordinals masked at
+  * read — merge-on-read), `dvRows` its cardinality. Zone stats stay
+  * the STORED rows' stats after a DV lands: stale-but-sound for
+  * pruning (a DV only removes rows).
   */
 private[graft] final case class LakeFile(fileId: Long, path: String,
     nRows: Long, zMin: Array[Long], zMax: Array[Long],
-    bloom: Array[Long])
+    bloom: Array[Long], dvPath: Option[String] = None,
+    dvRows: Long = 0L) {
+  def liveRows: Long = nRows - dvRows
+}
 
 /** The bloom filter's arithmetic, shared by the writer, the planner,
   * and the oracle SQL: k=3 hash functions `((key·a + b) mod P) mod m`
@@ -177,9 +184,11 @@ class LakeScanBuilder(root: String, version: Option[Long] = None)
       limit)
 }
 
-/** One data file = one input partition (post-pruning). */
-private[lake] final case class LakeFileSplit(path: String)
-    extends InputPartition
+/** One data file = one input partition (post-pruning), with its
+  * deletion vector when one is committed.
+  */
+private[lake] final case class LakeFileSplit(path: String,
+    dvPath: Option[String]) extends InputPartition
 
 class LakeScan(root: String, meta: LakeMeta, required: StructType,
     pushed: Array[Filter], limit: Option[Int])
@@ -229,13 +238,16 @@ class LakeScan(root: String, meta: LakeMeta, required: StructType,
       .sortBy(_.fileId)
     val taken = limit match {
       case Some(n) =>
+        // coverage counts LIVE rows: a DV-carrying file contributes
+        // only its unmasked rows toward the limit
         var cum = 0L
         admitted.takeWhile { f =>
-          val need = cum < n; cum += f.nRows; need
+          val need = cum < n; cum += f.liveRows; need
         }
       case None => admitted
     }
-    taken.map(f => LakeFileSplit(s"$root/${f.path}"): InputPartition)
+    taken.map(f => LakeFileSplit(s"$root/${f.path}",
+        f.dvPath.map(d => s"$root/$d")): InputPartition)
       .toArray
   }
 
@@ -261,7 +273,8 @@ class LakeReaderFactory(cols: Array[(String, String)])
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val LakeFileSplit(path) = partition.asInstanceOf[LakeFileSplit]
+    val LakeFileSplit(path, dvPath) =
+      partition.asInstanceOf[LakeFileSplit]
     new PartitionReader[InternalRow] {
       // parquet-hadoop row reader with the pushed projection; the
       // PLANNING layer above is the part that scales (a production
@@ -273,8 +286,34 @@ class LakeReaderFactory(cols: Array[(String, String)])
           .withConf(conf)
           .build()
       }
+      // the positional deletion vector: sorted row ordinals, skipped
+      // while streaming (records arrive in stored order, so the DV
+      // cursor only ever advances — O(rows + dv), no lookups)
+      private val dv: Array[Long] = dvPath match {
+        case Some(d) =>
+          val dp = new HPath(d)
+          val fs = dp.getFileSystem(new Configuration())
+          val in = fs.open(dp)
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString finally in.close()
+          body.split('\n').iterator.filter(_.nonEmpty)
+            .map(_.toLong).toArray.sorted
+        case None => Array.empty[Long]
+      }
+      private var dvIdx = 0
+      private var ordinal = -1L
       private var cur: Group = _
-      override def next(): Boolean = { cur = reader.read(); cur != null }
+      override def next(): Boolean = {
+        cur = reader.read()
+        ordinal += 1
+        while (cur != null && dvIdx < dv.length &&
+            dv(dvIdx) == ordinal) {
+          dvIdx += 1
+          cur = reader.read()
+          ordinal += 1
+        }
+        cur != null
+      }
       override def get(): InternalRow =
         InternalRow.fromSeq(cols.toIndexedSeq.map { case (n, t) =>
           if (cur.getFieldRepetitionCount(n) == 0) null

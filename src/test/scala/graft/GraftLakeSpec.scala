@@ -214,8 +214,38 @@ class GraftLakeSpec extends SparkSpec {
     val nl = at(None).count()
     assert(n0 == v0.files.map(_.nRows).sum)
     assert(n1 == v1.files.map(_.nRows).sum)
-    assert(nl == n1)
+    // latest is the v2 DV snapshot: stored rows minus the masked set
+    val v2 = GraftLake.readMeta(root, Some(2L))
+    assert(nl == v2.files.map(_.liveRows).sum)
+    assert(nl < n1)
     assert(n0 < n1)
+    Caches.releaseAll(spark)
+  }
+
+  test("merge-on-read DVs: latest masks deleted ordinals, a pinned " +
+      "pre-delete snapshot still shows them, limit counts live rows") {
+    val root = GraftLake.ensureIncTable(spark, sfDir)
+    def at(v: Option[String]) = {
+      val rd = spark.read
+        .format(classOf[graft.sources.lake.LakeTableProvider].getName)
+        .option("path", root)
+      v.fold(rd)(rd.option("versionAsOf", _)).load()
+    }
+    // latest (v2): no %37 key survives the reader's mask
+    assert(at(None).filter(col("o_orderkey") % 37 === 0).count() == 0L)
+    // time travel ACROSS the delete: v1 still shows them
+    val v1Deleted = at(Some("1"))
+      .filter(col("o_orderkey") % 37 === 0).count()
+    assert(v1Deleted > 0L)
+    // conservation: latest + masked = v1
+    assert(at(None).count() + v1Deleted == at(Some("1")).count())
+    // the masked set is EXACTLY the predicate (no over/under-mask)
+    val live = at(None).collect().map(_.getLong(0)).toSet
+    val all = at(Some("1")).collect().map(_.getLong(0)).toSet
+    assert(live == all.filter(_ % 37 != 0))
+    // a pushed limit covers by LIVE rows: k rows come back even
+    // though every planned file carries a DV
+    assert(at(None).limit(700).count() == 700L)
     Caches.releaseAll(spark)
   }
 
