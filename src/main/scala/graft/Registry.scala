@@ -1545,6 +1545,12 @@ object Registry {
       graft.sources.lake.GraftLake.lakeDvAudit(s, d)),
     "q528_lake_dv_pruned_scan" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeDvPrunedScan(s, d)),
+    // block 94: OPTIMIZE on the lake format — snapshot v3 folds the
+    // DV debt into fresh re-clustered files; time travel keeps v0-v2
+    "q529_lake_optimize_snapshot" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeOptimizeSnapshot(s, d)),
+    "q530_lake_optimize_scan_parity" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeOptimizeScanParity(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -224,5 +224,48 @@ object OracleLake {
         "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
         "CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok " +
         "FROM llv, lbd WHERE o_custkey BETWEEN lo AND hi " +
-        "GROUP BY bucket ORDER BY bucket"))
+        "GROUP BY bucket ORDER BY bucket"),
+    // q529: OPTIMIZE folds the DV debt — stored shrinks by exactly
+    // the masked set, DVs zero, live mass conserved, fresh files
+    "q529_lake_optimize_snapshot" ->
+      ("WITH lam AS (SELECT (MAX(o_orderkey) + 3) // 3 AS step, " +
+        "CAST(COUNT(*) AS BIGINT) AS nall, " +
+        "CAST(SUM(CASE WHEN o_orderkey % 37 = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS ndel FROM orders), " +
+        "lan AS (SELECT nall, ndel, nall - ndel AS nlive, " +
+        "CAST((SELECT COUNT(*) FROM orders, lam " +
+        "WHERE o_orderkey < 2 * step) AS BIGINT) AS n0 FROM lam), " +
+        "laf AS (SELECT nall, ndel, nlive, " +
+        "(n0 + 255) // 256 + (nall - n0 + 255) // 256 AS f2, " +
+        "(nlive + 255) // 256 AS f3 FROM lan) " +
+        "SELECT * FROM (" +
+        "SELECT 2::BIGINT AS version, f2 AS n_files, " +
+        "nall AS rows_stored, ndel AS dv_rows, nlive AS rows_live " +
+        "FROM laf " +
+        "UNION ALL SELECT 3::BIGINT, f3, nlive, 0::BIGINT, nlive " +
+        "FROM laf) ORDER BY version"),
+    // q530: the probe answers identically across the fold; each
+    // side's planned files come from its own layout's zones (v2 the
+    // two-generation incremental layout, v3 the re-clustered one)
+    "q530_lake_optimize_scan_parity" ->
+      (OracleZoneMap.Common + OracleZoneMap.OptLive +
+        OracleZoneMap.StaleCtes + OracleZoneMap.IncrCtes +
+        ", lob AS (SELECT (3 * MAX(o_custkey)) // 8 AS lo, " +
+        "(3 * MAX(o_custkey)) // 8 + MAX(o_custkey) // 16 AS hi " +
+        "FROM zmo), " +
+        "log2 AS (SELECT " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok " +
+        "FROM zolv v, lob b WHERE v.o_custkey BETWEEN b.lo AND b.hi) " +
+        "SELECT * FROM (" +
+        "SELECT 2::BIGINT AS version, " +
+        "(SELECT CAST(SUM(CASE WHEN z.max_ck >= b.lo AND " +
+        "z.min_ck <= b.hi THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM zicz z, lob b) AS files_planned, " +
+        "n_rows, sum_ok FROM log2 " +
+        "UNION ALL SELECT 3::BIGINT, " +
+        "(SELECT CAST(SUM(CASE WHEN z.max_ck >= b.lo AND " +
+        "z.min_ck <= b.hi THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM zovz z, lob b), n_rows, sum_ok FROM log2) " +
+        "ORDER BY version"))
 }

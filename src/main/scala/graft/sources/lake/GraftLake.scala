@@ -338,8 +338,19 @@ object GraftLake {
         }
         writeText(fs, s"$staging/_manifest_v2.tsv",
           (header +: v2).mkString("", "\n", "\n"))
+        // snapshot v3: OPTIMIZE on the format — the DV debt FOLDED:
+        // live rows (prefix + tail together) re-clustered by the
+        // advisor's Z-order into fresh uniform files, committed as a
+        // snapshot with zero DVs. v0–v2's files stay on disk for time
+        // travel until a vacuum retires them — exactly Delta/Iceberg
+        // OPTIMIZE + expire_snapshots.
+        val v3 = writeFiles(spark, fs, staging, "data_v3",
+          ZoneMap.zorderFiles(spark, o.filter(col("o_orderkey") % 37
+            =!= 0)), zcols, Some("o_orderkey"))
+        writeText(fs, s"$staging/_manifest_v3.tsv",
+          (header +: v3).mkString("", "\n", "\n"))
         writeText(fs, s"$staging/_manifest.tsv",
-          (header +: v2).mkString("", "\n", "\n"))
+          (header +: v3).mkString("", "\n", "\n"))
     }
   }
 
@@ -439,23 +450,80 @@ object GraftLake {
       .orderBy(col("version"))
   }
 
-  /** q528: a pruned aggregate through the provider at LATEST (the DV
-    * snapshot): the o_custkey range probe rolled into buckets over
-    * LIVE rows only — zones still prune (stale-but-sound), the reader
-    * masks the DV ordinals. One masked row surviving, or one live row
-    * lost, breaks the hash.
+  private def dfForAt(spark: SparkSession, root: String,
+      version: Option[Long]): DataFrame = {
+    val rd = spark.read.format(classOf[LakeTableProvider].getName)
+      .option("path", root)
+    version.fold(rd)(v => rd.option("versionAsOf", v.toString)).load()
+  }
+
+  /** Planned-file count for a filter set at a pinned snapshot. */
+  private[graft] def plannedFilesAt(root: String, version: Option[Long],
+      filters: Array[Filter]): Long = {
+    val sb = new LakeScanBuilder(root, version)
+    sb.pushFilters(filters)
+    sb.build().asInstanceOf[LakeScan].planInputPartitions().length.toLong
+  }
+
+  /** q528: a pruned aggregate through the provider PINNED AT the DV
+    * snapshot (v2): the o_custkey range probe rolled into buckets
+    * over LIVE rows only — zones still prune (stale-but-sound), the
+    * reader masks the DV ordinals. One masked row surviving, or one
+    * live row lost, breaks the hash.
     */
   def lakeDvPrunedScan(spark: SparkSession, dir: String): DataFrame = {
     val maxCk = ZoneMap.orders(spark, dir)
       .agg(max(col("o_custkey"))).collect()(0).getLong(0)
     val lo = 3L * maxCk / 8L
     val hi = lo + maxCk / 16L
-    dfFor(spark, ensureIncTable(spark, dir))
+    dfForAt(spark, ensureIncTable(spark, dir), Some(2L))
       .filter(col("o_custkey") >= lo && col("o_custkey") <= hi)
       .groupBy((col("o_custkey") % 8L).as("bucket"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_orderkey")).as("sum_ok"))
       .orderBy(col("bucket"))
+  }
+
+  /** q529: OPTIMIZE on the format — snapshot v3 folds the DV debt:
+    * stored rows shrink by exactly the masked set, DVs hit zero, the
+    * live mass is unchanged, and the whole table re-clusters into
+    * fresh uniform files while v0–v2 stay readable for time travel.
+    * The q487 executor's audit against the engine's own format.
+    */
+  def lakeOptimizeSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureIncTable(spark, dir)
+    Seq(2L, 3L).map { v =>
+      val m = readMeta(root, Some(v))
+      (v, m.files.length.toLong, m.files.map(_.nRows).sum,
+        m.files.map(_.dvRows).sum, m.files.map(_.liveRows).sum)
+    }.toDF("version", "n_files", "rows_stored", "dv_rows", "rows_live")
+      .orderBy(col("version"))
+  }
+
+  /** q530: the same probe BEFORE and AFTER the fold — identical
+    * answers (one row drifting across the rewrite breaks the hash),
+    * with each side's planned-file count: the v2 plan pays the
+    * two-generation layout, the v3 plan reads the re-clustered one.
+    */
+  def lakeOptimizeScanParity(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureIncTable(spark, dir)
+    val maxCk = ZoneMap.orders(spark, dir)
+      .agg(max(col("o_custkey"))).collect()(0).getLong(0)
+    val lo = 3L * maxCk / 8L
+    val hi = lo + maxCk / 16L
+    Seq(2L, 3L).map { v =>
+      val planned = plannedFilesAt(root, Some(v), Array[Filter](
+        GreaterThanOrEqual("o_custkey", lo),
+        LessThanOrEqual("o_custkey", hi)))
+      val r = dfForAt(spark, root, Some(v))
+        .filter(col("o_custkey") >= lo && col("o_custkey") <= hi)
+        .agg(count(lit(1)), sum(col("o_orderkey"))).collect()(0)
+      (v, planned, r.getLong(0), r.getLong(1))
+    }.toDF("version", "files_planned", "n_rows", "sum_ok")
+      .orderBy(col("version"))
   }
 
   private def writeText(fs: FileSystem, path: String,
