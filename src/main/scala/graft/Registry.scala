@@ -1551,6 +1551,11 @@ object Registry {
       graft.sources.lake.GraftLake.lakeOptimizeSnapshot(s, d)),
     "q530_lake_optimize_scan_parity" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeOptimizeScanParity(s, d)),
+    // block 94b: snapshot expiry — the vacuum side of the format's
+    // time travel: unreferenced files physically deleted, pinned
+    // reads below the floor fail naming the committed range
+    "q531_lake_expire_audit" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeExpireAudit(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

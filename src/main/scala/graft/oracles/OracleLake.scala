@@ -267,5 +267,26 @@ object OracleLake {
         "(SELECT CAST(SUM(CASE WHEN z.max_ck >= b.lo AND " +
         "z.min_ck <= b.hi THEN 1 ELSE 0 END) AS BIGINT) " +
         "FROM zovz z, lob b), n_rows, sum_ok FROM log2) " +
-        "ORDER BY version"))
+        "ORDER BY version"),
+    // q531: snapshot expiry — keeping only v3 deletes every pre-fold
+    // data file (both z-order generations) and every DV file; the
+    // retained read is intact and the expired one is physically gone
+    "q531_lake_expire_audit" ->
+      (OracleZoneMap.Common + OracleZoneMap.StaleCtes +
+        OracleZoneMap.IncrCtes +
+        ", lxm AS (SELECT (MAX(o_orderkey) + 3) // 3 AS step, " +
+        "CAST(COUNT(*) AS BIGINT) AS nall, " +
+        "CAST(SUM(CASE WHEN o_orderkey % 37 = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS ndel FROM zmo), " +
+        "lxn AS (SELECT nall, ndel, nall - ndel AS nlive, " +
+        "CAST((SELECT COUNT(*) FROM zmo, lxm " +
+        "WHERE o_orderkey < 2 * step) AS BIGINT) AS n0 FROM lxm), " +
+        "lxd AS (SELECT CAST(COUNT(DISTINCT file_id) AS BIGINT) AS " +
+        "nwithdv FROM zitf WHERE o_orderkey % 37 = 0) " +
+        "SELECT 3::BIGINT AS kept_from, " +
+        "CAST((n0 + 255) // 256 + (nall - n0 + 255) // 256 + " +
+        "(SELECT nwithdv FROM lxd) AS BIGINT) AS n_files_deleted, " +
+        "CAST((nlive + 255) // 256 AS BIGINT) AS n_files_kept, " +
+        "nlive AS n_rows_live, TRUE AS expired_read_fails, " +
+        "TRUE AS history_was_larger FROM lxn"))
 }

@@ -526,6 +526,94 @@ object GraftLake {
       .orderBy(col("version"))
   }
 
+  /** EXPIRE snapshots below `keepFrom` (q531): delete their manifest
+    * files and every data/DV file no RETAINED snapshot references —
+    * the `expire_snapshots` half of time travel, and the point where
+    * history becomes PHYSICALLY gone (a later `versionAsOf` below the
+    * floor fails naming the committed range, the q429 guarantee on
+    * the format). Returns (files deleted, files kept).
+    */
+  private[graft] def expireSnapshots(spark: SparkSession, root: String,
+      keepFrom: Long): (Long, Long) = {
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snaps = fs.listStatus(new HPath(root)).map(_.getPath.getName)
+      .filter(n => n.startsWith("_manifest_v") && n.endsWith(".tsv"))
+      .map(_.stripPrefix("_manifest_v").stripSuffix(".tsv").toLong)
+      .sorted
+    require(snaps.contains(keepFrom),
+      s"keepFrom=$keepFrom is not a committed snapshot of $root")
+    val kept = snaps.filter(_ >= keepFrom)
+    val referenced = kept.flatMap { v =>
+      readMeta(root, Some(v)).files
+        .flatMap(f => f.path +: f.dvPath.toSeq)
+    }.toSet
+    // walk the data/DV subdirs; delete anything unreferenced
+    var deleted = 0L
+    fs.listStatus(new HPath(root))
+      .filter(st => st.isDirectory &&
+        (st.getPath.getName.startsWith("data") ||
+          st.getPath.getName.startsWith("dv")))
+      .foreach { d =>
+        val it = fs.listFiles(d.getPath, true)
+        val toDelete = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val f = it.next().getPath
+          val rel = f.toString.stripPrefix(
+            fs.makeQualified(new HPath(root)).toString + "/")
+          if (!referenced.contains(rel) && !f.getName.startsWith("_") &&
+              !f.getName.startsWith("."))
+            toDelete += f
+        }
+        toDelete.foreach { f =>
+          // checksum sidecars ride along uncounted (fs bookkeeping,
+          // not data files)
+          fs.delete(new HPath(f.getParent,
+            s".${f.getName}.crc"), false)
+          fs.delete(f, false); deleted += 1
+        }
+      }
+    // retire the expired manifests LAST: a crash mid-delete leaves a
+    // snapshot whose read fails on a missing file (detectable), never
+    // a silently incomplete one presented as committed
+    snaps.filter(_ < keepFrom).foreach { v =>
+      fs.delete(new HPath(s"$root/_manifest_v$v.tsv"), false)
+    }
+    (deleted, referenced.size.toLong)
+  }
+
+  /** q531: the expiry audit on a PRIVATE copy of the inc table —
+    * keep only the OPTIMIZE snapshot (v3): every pre-fold file
+    * deletes (v3 references none of them), the retained read answers
+    * identically, and a pinned read below the floor now FAILS naming
+    * the committed range.
+    */
+  def lakeExpireAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.FileUtil
+    import spark.implicits._
+    val shared = ensureIncTable(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new HPath(shared).getFileSystem(conf)
+    val copy = graft.Caches.trackTempDir(java.nio.file.Files
+      .createTempDirectory("graft_lake_expire_")).toString + "/table"
+    if (!FileUtil.copy(fs, new HPath(shared), fs, new HPath(copy),
+        false, conf))
+      sys.error(s"lake table copy failed: $shared -> $copy")
+    val before = readMeta(copy, Some(3L)).files.length.toLong +
+      readMeta(copy, Some(2L)).files.length.toLong
+    val (nDeleted, nKept) = expireSnapshots(spark, copy, keepFrom = 3L)
+    val live = dfForAt(spark, copy, Some(3L))
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    val expiredFails =
+      try { readMeta(copy, Some(2L)); false }
+      catch { case e: RuntimeException =>
+        e.getMessage.contains("no snapshot version 2") }
+    Seq((3L, nDeleted, nKept, live, expiredFails, before > nKept))
+      .toDF("kept_from", "n_files_deleted", "n_files_kept",
+        "n_rows_live", "expired_read_fails", "history_was_larger")
+  }
+
   private def writeText(fs: FileSystem, path: String,
       body: String): Unit = {
     val out = fs.create(new HPath(path), true)
