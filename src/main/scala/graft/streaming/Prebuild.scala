@@ -59,6 +59,10 @@ object Prebuild {
         () => graft.sources.lake.GraftLake
           .readMeta(graft.sources.lake.GraftLake
             .ensureDocsTable(spark, dir)).files.size.toLong),
+      ("lake_orders_inc",
+        () => graft.sources.lake.GraftLake
+          .readMeta(graft.sources.lake.GraftLake
+            .ensureIncTable(spark, dir)).files.size.toLong),
       ("join_stats",
         () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
           .count()),

@@ -33,6 +33,11 @@ class WindowBoundarySpec extends SparkSpec {
     */
   private val Allowed = Map(
     "operators/ZoneMap.scala" -> 8,
+    // class (a): the documents lake table's id-sort layout rank —
+    // runs ONCE per corpus at table build (not per query), the same
+    // exact-rank file-cut machinery as ZoneMap, on a 5-column
+    // projection
+    "sources/lake/GraftLake.scala" -> 1,
     "operators/DeletionVectors.scala" -> 2,
     "operators/BloomSkipping.scala" -> 1,
     "operators/Analytics.scala" -> 1,
