@@ -48,6 +48,15 @@ import graft.streaming.LedgerArtifacts
   */
 object GraftLake {
 
+  /** The session's Hadoop conf when a session is up (so non-default
+    * filesystem settings/credentials reach manifest and DV IO), else
+    * defaults — callable from any thread (build pools included).
+    */
+  private[graft] def hadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   /** Parse a committed table's metadata. Manifest format: header
     * `#schema<TAB>col:type,...<TAB>zone_cols<TAB>bloom_col|-`, then
     * one line per file:
@@ -61,7 +70,7 @@ object GraftLake {
       case None    => "_manifest.tsv"
     }
     val p = new HPath(s"$root/$name")
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf)
     if (!fs.exists(p))
       sys.error(version match {
         case Some(v) =>
@@ -367,15 +376,16 @@ object GraftLake {
   }
 
   /** Stream one long column of a committed file in STORED row order —
-    * the DV builder's ordinal source, deliberately the same
-    * parquet-hadoop reader the provider uses.
+    * the DV builder's ordinal source. Parquet row order is the stored
+    * order under any reader, so these ordinals agree with the
+    * provider's vectorized scan by the format's own contract.
     */
   private def scanKeys(path: String, column: String): Iterator[Long] = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.parquet.hadoop.ParquetReader
     import org.apache.parquet.hadoop.api.ReadSupport
     import org.apache.parquet.hadoop.example.GroupReadSupport
-    val conf = new Configuration()
+    val conf = new Configuration(hadoopConf)
     conf.set(ReadSupport.PARQUET_READ_SCHEMA,
       s"message graft_lake {\noptional int64 $column;\n}")
     val reader = ParquetReader

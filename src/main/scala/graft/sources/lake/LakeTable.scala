@@ -4,18 +4,19 @@ import java.util.{Map => JMap}
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.parquet.example.data.Group
-import org.apache.parquet.hadoop.ParquetReader
-import org.apache.parquet.hadoop.api.ReadSupport
-import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.hadoop.mapred.FileSplit
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.vectorized.ColumnarBatch
 
 /** DataSource V2 provider for the graft lake table format (q507–q509,
   * q521–q524, blocks 81/90/91) — the r16 verdict's top item, made a
@@ -46,10 +47,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * 100 TB shape: the manifest is one metadata row per file (~1M rows
   * at 128 MB files), read once per scan at planning; partitions map
   * 1:1 to admitted files so executor work is proportional to ADMITTED
-  * bytes. The fixture reader is parquet-hadoop's row API with a
-  * pushed projection; a production split would hand admitted files to
-  * the vectorized columnar reader — the planning layer, which is what
-  * this format adds, is identical either way.
+  * bytes. Decode is Spark's own VECTORIZED columnar parquet reader
+  * ([[LakeReaderFactory]]) — a DV-free scan hands `ColumnarBatch`es
+  * straight to the exec (`supportColumnarReads`), and a DV-carrying
+  * scan iterates the same batches row-wise, skipping masked ordinals
+  * — so the format pays Spark's decode cost, not a row-object per
+  * record.
   */
 class LakeTableProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -232,7 +235,7 @@ class LakeScan(root: String, meta: LakeMeta, required: StructType,
     * under a pushed limit). Runs on the driver; the manifest is
     * metadata-sized.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val planned: Array[InputPartition] = {
     val admitted = meta.files
       .filter(f => pushed.forall(admits(f, _)))
       .sortBy(_.fileId)
@@ -251,75 +254,152 @@ class LakeScan(root: String, meta: LakeMeta, required: StructType,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(required.fields.map(f =>
-      (f.name, f.dataType.typeName)))
+  override def planInputPartitions(): Array[InputPartition] = planned
+
+  /** Columnar iff no planned file carries a DV: Spark requires one
+    * mode per scan (`DataSourceV2ScanExecBase` rejects mixed), and a
+    * ColumnarBatch has no row-selection vector to mask DV ordinals
+    * through — so a DV-carrying scan iterates the SAME vectorized
+    * batches row-wise instead (still vectorized decode; only the
+    * batch→exec handoff degrades to rows until the next OPTIMIZE
+    * folds the DVs away).
+    */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // newHadoopConf = core hadoopConfiguration + the session's SQL
+    // confs folded in — plus the five converter keys the built-in
+    // parquet source sets EXPLICITLY before shipping (newHadoopConf
+    // carries only explicitly-set confs; ParquetToSparkSchemaConverter
+    // reads these with no default)
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    Seq("spark.sql.parquet.binaryAsString" -> "false",
+      "spark.sql.parquet.int96AsTimestamp" -> "true",
+      "spark.sql.caseSensitive" -> "false",
+      "spark.sql.parquet.inferTimestampNTZ.enabled" -> "true",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "false")
+      .foreach { case (k, d) =>
+        conf.set(k, spark.conf.getOption(k).getOrElse(d))
+      }
+    new LakeReaderFactory(required,
+      new SerializableHadoopConf(conf),
+      columnar = !planned.exists(
+        _.asInstanceOf[LakeFileSplit].dvPath.isDefined))
+  }
 }
 
-class LakeReaderFactory(cols: Array[(String, String)])
+/** Hadoop `Configuration` is not `java.io.Serializable`; ship the
+  * session's one to executors via Hadoop's own Writable round-trip so
+  * non-default filesystem settings/credentials (object-store access)
+  * survive — a bare `new Configuration()` on the executor would see
+  * only defaults.
+  */
+private[graft] class SerializableHadoopConf(
+    @transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Executor-side decode through Spark's VECTORIZED parquet reader —
+  * the same `VectorizedParquetRecordReader` the built-in parquet
+  * source runs, fed the pruned projection (`required.json` as the
+  * requested row schema, so an unrequested wide column is never
+  * decoded) and the session Hadoop conf. Missing requested columns
+  * null-fill (the schema-evolution contract); a DV split iterates the
+  * decoded batches row-wise, skipping masked ordinals with an
+  * advancing cursor (records arrive in stored order — O(rows + dv)).
+  */
+class LakeReaderFactory(required: StructType,
+    hconf: SerializableHadoopConf, columnar: Boolean)
     extends PartitionReaderFactory {
 
-  /** Parquet projection for the requested columns — pushed into the
-    * reader so unrequested columns (e.g. a wide `text`) are never
-    * decoded.
-    */
-  private def projection: Option[String] =
-    if (cols.isEmpty) None
-    else Some(cols.map {
-      case (n, "long") => s"optional int64 $n;"
-      case (n, "string") => s"optional binary $n (UTF8);"
-      case (n, t) => sys.error(s"graft-lake: unsupported type $t for $n")
-    }.mkString("message graft_lake {\n", "\n", "\n}"))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar
+
+  private def openVectorized(path: String): VectorizedParquetRecordReader = {
+    val conf = new Configuration(hconf.value)
+    // the built-in source's reader contract: requested schema by conf
+    // key, ParquetReadSupport computing the file-schema clip
+    conf.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet." +
+        "ParquetReadSupport")
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+      required.json)
+    val p = new HPath(path)
+    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    val split = new FileSplit(p, 0, len, Array.empty[String])
+    // rebase CORRECTED: lake files are written by this same engine
+    // (post-1582 proleptic Gregorian), never by legacy Spark 2.x
+    val reader = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "", "CORRECTED", "", false, 4096)
+    reader.initialize(split,
+      new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+    reader.initBatch(new StructType(), InternalRow.empty)
+    reader
+  }
+
+  private def readDv(dvPath: Option[String]): Array[Long] =
+    dvPath match {
+      case Some(d) =>
+        val dp = new HPath(d)
+        val fs = dp.getFileSystem(hconf.value)
+        val in = fs.open(dp)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString finally in.close()
+        body.split('\n').iterator.filter(_.nonEmpty)
+          .map(_.toLong).toArray.sorted
+      case None => Array.empty[Long]
+    }
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val LakeFileSplit(path, dvPath) =
+      partition.asInstanceOf[LakeFileSplit]
+    require(dvPath.isEmpty,
+      "graft-lake: columnar mode never plans a DV split")
+    new PartitionReader[ColumnarBatch] {
+      private val reader = openVectorized(path)
+      override def next(): Boolean = reader.nextBatch()
+      override def get(): ColumnarBatch = reader.resultBatch()
+      override def close(): Unit = reader.close()
+    }
+  }
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val LakeFileSplit(path, dvPath) =
       partition.asInstanceOf[LakeFileSplit]
     new PartitionReader[InternalRow] {
-      // parquet-hadoop row reader with the pushed projection; the
-      // PLANNING layer above is the part that scales (a production
-      // reader would be the vectorized columnar one)
-      private val reader: ParquetReader[Group] = {
-        val conf = new Configuration()
-        projection.foreach(conf.set(ReadSupport.PARQUET_READ_SCHEMA, _))
-        ParquetReader.builder(new GroupReadSupport(), new HPath(path))
-          .withConf(conf)
-          .build()
-      }
-      // the positional deletion vector: sorted row ordinals, skipped
-      // while streaming (records arrive in stored order, so the DV
-      // cursor only ever advances — O(rows + dv), no lookups)
-      private val dv: Array[Long] = dvPath match {
-        case Some(d) =>
-          val dp = new HPath(d)
-          val fs = dp.getFileSystem(new Configuration())
-          val in = fs.open(dp)
-          val body = try scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString finally in.close()
-          body.split('\n').iterator.filter(_.nonEmpty)
-            .map(_.toLong).toArray.sorted
-        case None => Array.empty[Long]
-      }
+      private val reader = openVectorized(path)
+      private val dv = readDv(dvPath)
       private var dvIdx = 0
       private var ordinal = -1L
-      private var cur: Group = _
-      override def next(): Boolean = {
-        cur = reader.read()
-        ordinal += 1
-        while (cur != null && dvIdx < dv.length &&
-            dv(dvIdx) == ordinal) {
-          dvIdx += 1
-          cur = reader.read()
+      private var rows: java.util.Iterator[InternalRow] =
+        java.util.Collections.emptyIterator()
+      private var cur: InternalRow = _
+      @annotation.tailrec
+      private def advance(): Boolean = {
+        if (rows.hasNext) {
+          cur = rows.next()
           ordinal += 1
-        }
-        cur != null
+          if (dvIdx < dv.length && dv(dvIdx) == ordinal) {
+            dvIdx += 1
+            advance()
+          } else true
+        } else if (reader.nextBatch()) {
+          rows = reader.resultBatch().rowIterator()
+            .asInstanceOf[java.util.Iterator[InternalRow]]
+          advance()
+        } else false
       }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(cols.toIndexedSeq.map { case (n, t) =>
-          if (cur.getFieldRepetitionCount(n) == 0) null
-          else if (t == "long") cur.getLong(n, 0)
-          else UTF8String.fromString(cur.getString(n, 0))
-        })
+      override def next(): Boolean = advance()
+      override def get(): InternalRow = cur
       override def close(): Unit = reader.close()
     }
   }

@@ -100,6 +100,15 @@ object LedgerArtifacts {
           "|" + keyCols.mkString(",") + "|" + tokens.mkString("|"))
           .getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
+      // Memo soundness rests on (path, mtime, length) changing when
+      // content does. An IN-PLACE rewrite that preserves length within
+      // the filesystem's mtime granularity would serve a stale
+      // fingerprint for the rest of this JVM — acceptable because
+      // corpus inputs here are immutable parquet (writers stage new
+      // files and rename; nothing rewrites a data file in place, per
+      // the BuildArtifacts single-writer contract). A deployment with
+      // mutable inputs should fold a content token (e.g. a first-block
+      // checksum) into the per-file token above.
       fpMemo.getOrElseUpdate(planKey, compute)
     }
   }

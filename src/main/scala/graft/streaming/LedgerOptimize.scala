@@ -92,10 +92,23 @@ object LedgerOptimize {
       Provenance.writeCommitTs(spark, staging,
         Provenance.CommitClock.ofBatch(b))
       val dest = s"$root/b${v + 1}_$b"
+      // rename + ownership verify (the Occ.tryCommit discipline):
+      // Hadoop rename has mv semantics — renaming onto an EXISTING
+      // dest nests the staging dir inside it and returns true, so a
+      // bare exists+rename is a TOCTOU window in which a writer racing
+      // this optimizer would have its version silently adopted as our
+      // rewrite. If our uniquely-named staging dir now sits nested
+      // inside dest, the rename lost — undo the nest and fail loudly.
       if (fs.exists(new Path(dest)) ||
           !fs.rename(new Path(staging), new Path(dest)))
         sys.error(s"ledger optimize commit failed: " +
           s"rename($staging -> $dest)")
+      val nested = new Path(dest, new Path(staging).getName)
+      if (fs.exists(nested)) {
+        fs.delete(nested, true)
+        sys.error(s"ledger optimize commit lost a race: $dest was " +
+          s"committed by another writer between exists() and rename()")
+      }
       val after = spark.read.parquet(dest)
       val filesAfter = fs.listStatus(new Path(dest))
         .count(_.getPath.getName.endsWith(".parquet")).toLong

@@ -231,7 +231,10 @@ object ShallowClone {
           // ChangeFeed.diffFeedVersion predicate): a legacy source
           // commit that changed only `source` for a doc is still a
           // conflicting write, and missing it would let the merge
-          // silently overwrite that commit
+          // silently overwrite that commit. Null-SAFE comparisons
+          // throughout: a commit that moved a column between NULL and
+          // a value is a change too — `=!=` would yield NULL there and
+          // silently drop the row from the conflict set.
           val parent = srcVersions.filter(_._1 < v).maxBy(_._1)._3
           val prev = spark.read.parquet(parent)
             .select(col("doc_id"), col("source").as("p_source"),
@@ -239,9 +242,8 @@ object ShallowClone {
           spark.read.parquet(path)
             .select(col("doc_id"), col("source"), col("n_chars"))
             .join(prev, Seq("doc_id"), "full_outer")
-            .filter(col("p_chars").isNull || col("n_chars").isNull ||
-              col("p_chars") =!= col("n_chars") ||
-              col("p_source") =!= col("source"))
+            .filter(!(col("p_chars") <=> col("n_chars")) ||
+              !(col("p_source") <=> col("source")))
             .select(col("doc_id"))
         }
       }.reduce(_.unionByName(_)).distinct().persist())

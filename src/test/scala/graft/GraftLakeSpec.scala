@@ -249,6 +249,35 @@ class GraftLakeSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("the physical scan is COLUMNAR (vectorized decode) on a " +
+      "DV-free table, row-based only when a planned file carries a DV") {
+    val df = lake.filter(col("o_custkey") >= 0L)
+    df.count()
+    val scans = preparedPlan(df).collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.supportsColumnar),
+      "a DV-free lake scan must hand ColumnarBatches to the exec")
+    // a DV-pinned snapshot (v2) degrades to row mode — same
+    // vectorized decode, row-wise handoff masking the DV ordinals
+    val root2 = GraftLake.ensureIncTable(spark, sfDir)
+    val dv = spark.read
+      .format(classOf[graft.sources.lake.LakeTableProvider].getName)
+      .option("path", root2).option("versionAsOf", "2").load()
+    dv.count()
+    val dvScans = preparedPlan(dv).collect { case b: BatchScanExec => b }
+    assert(dvScans.nonEmpty)
+    assert(dvScans.forall(!_.supportsColumnar),
+      "a DV-carrying scan has no selection vector: row mode")
+    // and the v3 (OPTIMIZE, DV-free) snapshot is columnar again
+    val v3 = spark.read
+      .format(classOf[graft.sources.lake.LakeTableProvider].getName)
+      .option("path", root2).option("versionAsOf", "3").load()
+    v3.count()
+    val v3Scans = preparedPlan(v3).collect { case b: BatchScanExec => b }
+    assert(v3Scans.nonEmpty && v3Scans.forall(_.supportsColumnar))
+    Caches.releaseAll(spark)
+  }
+
   test("bloom bitmap semantics: admits() equals the positions-subset " +
       "definition") {
     val words = new Array[Long](LakeBloom.Words)
