@@ -1556,6 +1556,13 @@ object Registry {
     // reads below the floor fail naming the committed range
     "q531_lake_expire_audit" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeExpireAudit(s, d)),
+    // block 95: the lake type system — a TPC-H-shaped lineitem fact
+    // table on the format with decimal money, DATE, TIMESTAMP_NTZ,
+    // DOUBLE and INT columns; zones on all five ordered encodings
+    "q532_lake_lineitem_q6" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeLineitemQ6(s, d)),
+    "q533_lake_types_plan" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeTypesPlanAudit(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -268,6 +268,77 @@ object OracleLake {
         "z.min_ck <= b.hi THEN 1 ELSE 0 END) AS BIGINT) " +
         "FROM zovz z, lob b), n_rows, sum_ok FROM log2) " +
         "ORDER BY version"),
+    // q532: the TPC-H Q6 shape re-served from the lake's typed
+    // lineitem instance — money in exact integer cents
+    // (floor(price·100 + 0.5), the deterministic double op both
+    // engines compute bit-identically), discount in basis points
+    "q532_lake_lineitem_q6" ->
+      ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) " +
+        "* CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) " +
+        "AS BIGINT) AS rev_cents_bp " +
+        "FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_discount >= 0.02 AND l_discount <= 0.05 " +
+        "AND CAST(l_quantity AS BIGINT) < 24 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // q533: the typed-zone plan audit — layout (shipdate-sorted
+    // 512-row files) and every zone overlap re-derived in the NATIVE
+    // domain (timestamps, dates, cents, doubles), bloom bits in
+    // integer arithmetic; one planned file off on any typed encoding
+    // breaks the hash
+    "q533_lake_types_plan" ->
+      ("WITH ltf AS (SELECT l_orderkey, l_shipdate, l_discount, " +
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents, " +
+        "(ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey, " +
+        "l_linenumber) - 1) // 512 AS file_id FROM lineitem), " +
+        "ltz AS (SELECT file_id, MIN(l_shipdate) AS min_ts, " +
+        "MAX(l_shipdate) AS max_ts, MIN(l_orderkey) AS min_ok, " +
+        "MAX(l_orderkey) AS max_ok, MIN(cents) AS min_c, " +
+        "MAX(cents) AS max_c, MIN(l_discount) AS min_d, " +
+        "MAX(l_discount) AS max_d FROM ltf GROUP BY file_id), " +
+        "ltt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ft FROM ltz), " +
+        "lkk AS (SELECT MAX(l_orderkey) AS k FROM lineitem), " +
+        s"lpp AS (SELECT DISTINCT ((k.k * h.a + h.b) % 1048573) " +
+        s"% 4096 AS pos FROM lkk k, $Hashes), " +
+        s"lfp AS (SELECT DISTINCT f.file_id, ((f.l_orderkey * h.a " +
+        s"+ h.b) % 1048573) % 4096 AS pos FROM ltf f, $Hashes), " +
+        "lbm AS (SELECT z.file_id FROM ltz z, lkk k WHERE " +
+        "k.k BETWEEN z.min_ok AND z.max_ok AND " +
+        "(SELECT COUNT(*) FROM lpp) = (SELECT COUNT(*) FROM lpp pp " +
+        "JOIN lfp fp ON fp.pos = pp.pos AND fp.file_id = z.file_id)) " +
+        "SELECT * FROM (" +
+        "SELECT '1_date_q1' AS pred_id, ft AS files_total, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ltz WHERE " +
+        "CAST(max_ts AS DATE) >= DATE '1996-01-01' AND " +
+        "CAST(min_ts AS DATE) <= DATE '1996-03-31') AS files_planned, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE " +
+        "CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND " +
+        "DATE '1996-03-31') AS n_rows FROM ltt " +
+        "UNION ALL SELECT '2_ts_q1', ft, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ltz WHERE " +
+        "max_ts >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+        "min_ts <= TIMESTAMP '1996-03-31 23:59:59'), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE " +
+        "l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND " +
+        "TIMESTAMP '1996-03-31 23:59:59') FROM ltt " +
+        "UNION ALL SELECT '3_price_band', ft, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ltz WHERE " +
+        "max_c >= 500000 AND min_c <= 550000), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ltf WHERE " +
+        "cents BETWEEN 500000 AND 550000) FROM ltt " +
+        "UNION ALL SELECT '4_disc_band', ft, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ltz WHERE " +
+        "max_d >= 0.02 AND min_d <= 0.03), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE " +
+        "l_discount >= 0.02 AND l_discount <= 0.03) FROM ltt " +
+        "UNION ALL SELECT '5_okey_bloom', ft, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM lbm), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem, lkk " +
+        "WHERE l_orderkey = k) FROM ltt) " +
+        "ORDER BY pred_id"),
     // q531: snapshot expiry — keeping only v3 deletes every pre-fold
     // data file (both z-order generations) and every DV file; the
     // retained read is intact and the expired one is physically gone

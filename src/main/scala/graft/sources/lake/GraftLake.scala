@@ -92,8 +92,7 @@ object GraftLake {
     require(h(0) == "#schema", s"bad lake manifest header under $root")
     val schema = StructType(h(1).split(',').map { ct =>
       val Array(n, t) = ct.split(':')
-      StructField(n, if (t == "long") LongType else StringType,
-        nullable = true)
+      StructField(n, LakeEncode.parseType(t), nullable = true)
     })
     val zoneCols = h(2).split(',').filter(_.nonEmpty)
     val bloomCol = if (h(3) == "-") None else Some(h(3))
@@ -139,6 +138,18 @@ object GraftLake {
   private def writeFiles(spark: SparkSession, fs: FileSystem,
       staging: String, subdir: String, filed: DataFrame,
       zoneCols: Seq[String], bloomCol: Option[String]): Seq[String] = {
+    // zone stats aggregate in the column's NATIVE type (min/max are
+    // order-preserving); the driver encodes the collected extrema into
+    // the manifest's ordered-long domain afterwards — so zones on
+    // date/timestamp/decimal/double cost the same one agg as longs
+    val zoneTypes = zoneCols.map(c => filed.schema(c).dataType)
+    bloomCol.foreach { bc =>
+      require(Set[Any](LongType,
+        org.apache.spark.sql.types.IntegerType)
+        .contains(filed.schema(bc).dataType),
+        s"graft-lake: bloom column $bc must be integral (bitmap keys " +
+          "are exact integer arithmetic the oracle re-derives)")
+    }
     // one physical parquet file per planned file id: repartition by
     // file_id puts each id in exactly one task, partitionBy then cuts
     // one file per id dir
@@ -177,8 +188,15 @@ object GraftLake {
             s"under $d, found ${fsFiles.length}")
         fsFiles(0).getPath.getName
       }
-      val zmins = zoneCols.map(c => r.getAs[Long](s"min_$c"))
-      val zmaxs = zoneCols.map(c => r.getAs[Long](s"max_$c"))
+      def enc(pref: String): Seq[Long] =
+        zoneCols.zip(zoneTypes).map { case (c, dt) =>
+          LakeEncode.toOrderedLong(dt, r.get(r.fieldIndex(s"$pref$c")))
+            .getOrElse(sys.error(s"graft-lake: zone column $c of file " +
+              s"$id has a null/unencodable $pref stat — zone columns " +
+              "must be non-null"))
+        }
+      val zmins = enc("min_")
+      val zmaxs = enc("max_")
       val bloomStr = bloomCol match {
         case Some(_) =>
           val words = new Array[Long](LakeBloom.Words)
@@ -283,6 +301,128 @@ object GraftLake {
           Seq("doc_id", "n_chars"), Some("doc_id"))
         finally filed.unpersist(false)
     }
+  }
+
+  /** The LINEITEM instance (q532/q533, block 95 — the r17 verdict's
+    * "generalize lake types" item): a TPC-H-shaped fact table on the
+    * format with the full type surface — decimal(18,2) money, DATE,
+    * TIMESTAMP_NTZ, DOUBLE, INT — zones on all five ordered encodings
+    * and bloom on the long key. Money is derived EXACTLY (cents =
+    * floor(price·100 + 0.5), a deterministic double op both engines
+    * compute bit-identically, then an integer-exact decimal), never
+    * by double rounding. Layout: shipdate-sorted 512-row files — the
+    * time-clustered ingest order a fact table naturally has, which is
+    * what makes the q6-style date-range scan prune.
+    */
+  def ensureLineitemTable(spark: SparkSession, dir: String): String = {
+    val li = Tables.lineitem(spark, dir)
+    val fp = LedgerArtifacts.fingerprint(
+      li.select(col("l_orderkey"), col("l_linenumber")),
+      Seq("l_orderkey", "l_linenumber"))
+    ensureLake(spark,
+      s"lake2_lineitem_${LedgerArtifacts.dirKey(dir)}", fp) {
+      (fs, staging) =>
+        val typed = li.select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_quantity").cast("long").as("l_quantity"),
+          expr("cast(cast(floor(l_extendedprice * 100 + 0.5) as " +
+            "bigint) as decimal(18,2)) / 100").cast("decimal(18,2)")
+            .as("l_price"),
+          col("l_discount"),
+          col("l_returnflag"),
+          to_date(col("l_shipdate")).as("l_shipdate"),
+          col("l_shipdate").as("l_shipts"))
+        val filed = typed
+          .withColumn("rn", row_number().over(Window.orderBy(
+            col("l_shipts"), col("l_orderkey"), col("l_linenumber")))
+            .cast("long"))
+          .withColumn("file_id", expr("(rn - 1L) div 512L"))
+          .drop("rn").persist()
+        try writeTable(spark, fs, staging, filed,
+          Seq(("l_orderkey", "long"), ("l_linenumber", "int"),
+            ("l_quantity", "long"), ("l_price", "decimal(18.2)"),
+            ("l_discount", "double"), ("l_returnflag", "string"),
+            ("l_shipdate", "date"), ("l_shipts", "timestamp_ntz")),
+          Seq("l_shipdate", "l_shipts", "l_orderkey", "l_price",
+            "l_discount"),
+          Some("l_orderkey"))
+        finally filed.unpersist(false)
+    }
+  }
+
+  /** The lineitem table through the DSv2 provider. */
+  def lakeLineitemDf(spark: SparkSession, dir: String): DataFrame =
+    dfFor(spark, ensureLineitemTable(spark, dir))
+
+  /** q532: the TPC-H Q6 shape re-served from the lake — a shipdate
+    * year + discount band + quantity cap, revenue in exact integer
+    * cents·basis-points (decimal money × double discount without one
+    * FP accumulation), grouped per returnflag. The DATE range prunes
+    * on the shipdate-sorted layout; discount/quantity stay residuals.
+    * Hash-checked against DuckDB over raw lineitem.
+    */
+  def lakeLineitemQ6(spark: SparkSession, dir: String): DataFrame =
+    lakeLineitemDf(spark, dir)
+      .filter(col("l_shipdate") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+        col("l_shipdate") < lit(java.sql.Date.valueOf("1997-01-01")) &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.05 &&
+        col("l_quantity") < 24)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum((col("l_price") * 100).cast("long") *
+          floor(col("l_discount") * 10000 + 0.5).cast("long"))
+          .as("rev_cents_bp"))
+      .orderBy(col("l_returnflag"))
+
+  /** q533: the typed-zone plan audit — one pushed predicate per zone
+    * encoding (date range, timestamp_ntz range, decimal money band,
+    * double discount band, long bloom point probe): files the
+    * provider PLANS vs total, and the rows the pruned scan returns.
+    * The DuckDB twin re-derives the layout and every overlap in the
+    * NATIVE domain, so each encoding is cross-engine order-checked.
+    */
+  def lakeTypesPlanAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureLineitemTable(spark, dir)
+    val filesTotal = readMeta(root).files.length.toLong
+    val df = lakeLineitemDf(spark, dir)
+    def audit(predId: String, filters: Array[Filter],
+        pred: org.apache.spark.sql.Column): (String, Long, Long, Long) =
+      (predId, filesTotal, plannedFiles(root, filters),
+        df.filter(pred).count())
+    val d0 = java.sql.Date.valueOf("1996-01-01")
+    val d1 = java.sql.Date.valueOf("1996-03-31")
+    val t0 = java.time.LocalDateTime.parse("1996-01-01T00:00:00")
+    val t1 = java.time.LocalDateTime.parse("1996-03-31T23:59:59")
+    val p0 = new java.math.BigDecimal("5000.00")
+    val p1 = new java.math.BigDecimal("5500.00")
+    // a key that exists at every SF: the max orderkey always ships
+    val probeKey = Tables.lineitem(spark, dir)
+      .agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+    val rows = Seq(
+      audit("1_date_q1", Array[Filter](
+        GreaterThanOrEqual("l_shipdate", d0),
+        LessThanOrEqual("l_shipdate", d1)),
+        col("l_shipdate") >= lit(d0) && col("l_shipdate") <= lit(d1)),
+      audit("2_ts_q1", Array[Filter](
+        GreaterThanOrEqual("l_shipts", t0),
+        LessThanOrEqual("l_shipts", t1)),
+        col("l_shipts") >= lit(t0) && col("l_shipts") <= lit(t1)),
+      audit("3_price_band", Array[Filter](
+        GreaterThanOrEqual("l_price", p0),
+        LessThanOrEqual("l_price", p1)),
+        col("l_price") >= lit(p0) && col("l_price") <= lit(p1)),
+      audit("4_disc_band", Array[Filter](
+        GreaterThanOrEqual("l_discount", 0.02),
+        LessThanOrEqual("l_discount", 0.03)),
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.03),
+      audit("5_okey_bloom", Array[Filter](
+        EqualTo("l_orderkey", probeKey)),
+        col("l_orderkey") === probeKey))
+    rows.toDF("pred_id", "files_total", "files_planned", "n_rows")
+      .orderBy(col("pred_id"))
   }
 
   /** The APPENDABLE orders instance with VERSIONED MANIFEST snapshots

@@ -96,6 +96,92 @@ private[graft] final case class LakeFile(fileId: Long, path: String,
   def liveRows: Long = nRows - dvRows
 }
 
+/** Order-isomorphic injection of every supported zone-column type
+  * into Long — the manifest stores zone [min,max] as longs regardless
+  * of column type, so planning is one integer compare per file per
+  * filter whatever the schema. Writer and planner share THIS mapping;
+  * the DuckDB oracle re-derives it (dates → epoch days, timestamps →
+  * epoch micros, decimal(p≤18,s) → unscaled units, double → IEEE-754
+  * total-order bits).
+  *
+  * Double caveats (documented, not hit by any committed table): NaN
+  * encodes above +Inf (Spark's own sort order), and -0.0 encodes
+  * strictly below +0.0 — a file whose zone is exactly [-0.0,-0.0]
+  * would reject an `= 0.0` probe. Values are never NaN/-0.0 in the
+  * graft corpora.
+  */
+private[graft] object LakeEncode {
+
+  def orderedBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    if (b >= 0L) b else b ^ 0x7fffffffffffffffL
+  }
+
+  private val EpochLdt = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+
+  /** Encode one zone value (a collected aggregate or a pushed filter
+    * literal — both external Java types). None = this value cannot
+    * prune (unknown type / lossy decimal rescale); the filter stays a
+    * residual, so bailing is always sound.
+    */
+  def toOrderedLong(dt: DataType, v: Any): Option[Long] = v match {
+    case null => None
+    case n: java.lang.Long => Some(n.longValue)
+    case n: java.lang.Integer => Some(n.longValue)
+    case n: java.lang.Short => Some(n.longValue)
+    case n: java.lang.Byte => Some(n.longValue)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      Some(Math.floorDiv(t.getTime, 1000L) * 1000000L +
+        t.getNanos / 1000L)
+    case t: java.time.Instant =>
+      Some(java.time.temporal.ChronoUnit.MICROS
+        .between(java.time.Instant.EPOCH, t))
+    case t: java.time.LocalDateTime =>
+      Some(java.time.temporal.ChronoUnit.MICROS.between(EpochLdt, t))
+    case b: java.math.BigDecimal => dt match {
+      case dec: DecimalType if dec.precision <= 18 =>
+        try Some(b.setScale(dec.scale).unscaledValue.longValueExact)
+        catch { case _: ArithmeticException => None }
+      case _ => None
+    }
+    case d: org.apache.spark.sql.types.Decimal =>
+      toOrderedLong(dt, d.toJavaBigDecimal)
+    case d: java.lang.Double => Some(orderedBits(d.doubleValue))
+    case f: java.lang.Float => Some(orderedBits(f.doubleValue))
+    case _ => None
+  }
+
+  /** Manifest type string for a supported column type. */
+  def typeName(dt: DataType): String = dt match {
+    case LongType => "long"
+    case IntegerType => "int"
+    case StringType => "string"
+    case DoubleType => "double"
+    case DateType => "date"
+    case TimestampType => "timestamp"
+    case TimestampNTZType => "timestamp_ntz"
+    case dec: DecimalType => s"decimal(${dec.precision}.${dec.scale})"
+    case other =>
+      sys.error(s"graft-lake: unsupported column type $other")
+  }
+
+  private val DecimalRe = """decimal\((\d+)\.(\d+)\)""".r
+
+  def parseType(t: String): DataType = t match {
+    case "long" => LongType
+    case "int" => IntegerType
+    case "string" => StringType
+    case "double" => DoubleType
+    case "date" => DateType
+    case "timestamp" => TimestampType
+    case "timestamp_ntz" => TimestampNTZType
+    case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+    case other => sys.error(s"graft-lake: unknown manifest type $other")
+  }
+}
+
 /** The bloom filter's arithmetic, shared by the writer, the planner,
   * and the oracle SQL: k=3 hash functions `((key·a + b) mod P) mod m`
   * with P = 1048573 (prime), m = 4096 bits (64 words). Pure integer
@@ -142,21 +228,24 @@ class LakeScanBuilder(root: String, version: Option[Long] = None)
   private var required: Option[StructType] = None
   private var limit: Option[Int] = None
 
-  private def longOf(v: Any): Option[Long] = v match {
-    case n: java.lang.Number => Some(n.longValue())
-    case _                   => None
-  }
+  /** A value prunes iff its zone column's type admits the ordered-long
+    * encoding for it (typed literals — date/timestamp/decimal/double —
+    * encode exactly like the writer encoded the file stats).
+    */
+  private def encodable(c: String, v: Any): Boolean =
+    meta.zoneCols.contains(c) &&
+      meta.schema.find(_.name == c)
+        .exists(f => LakeEncode.toOrderedLong(f.dataType, v).isDefined)
 
   private def isZoneCol(c: String): Boolean = meta.zoneCols.contains(c)
 
   private def prunable(f: Filter): Boolean = f match {
-    case EqualTo(c, v) => isZoneCol(c) && longOf(v).isDefined
-    case GreaterThan(c, v) => isZoneCol(c) && longOf(v).isDefined
-    case GreaterThanOrEqual(c, v) => isZoneCol(c) && longOf(v).isDefined
-    case LessThan(c, v) => isZoneCol(c) && longOf(v).isDefined
-    case LessThanOrEqual(c, v) => isZoneCol(c) && longOf(v).isDefined
-    case In(c, vs) => isZoneCol(c) && vs.nonEmpty &&
-      vs.forall(v => longOf(v).isDefined)
+    case EqualTo(c, v) => encodable(c, v)
+    case GreaterThan(c, v) => encodable(c, v)
+    case GreaterThanOrEqual(c, v) => encodable(c, v)
+    case LessThan(c, v) => encodable(c, v)
+    case LessThanOrEqual(c, v) => encodable(c, v)
+    case In(c, vs) => vs.nonEmpty && vs.forall(v => encodable(c, v))
     case IsNotNull(c) => isZoneCol(c)
     case _ => false
   }
@@ -203,15 +292,22 @@ class LakeScan(root: String, meta: LakeMeta, required: StructType,
     s"graft_lake [filters=${pushed.mkString(",")} limit=$limit " +
       s"cols=${required.fieldNames.mkString(",")}]"
 
-  private def longV(v: Any): Long =
-    v.asInstanceOf[java.lang.Number].longValue()
+  /** The pushed literal in the column's ordered-long zone domain —
+    * the builder only pushes encodable values, so the lookup always
+    * succeeds here.
+    */
+  private def longV(c: String, v: Any): Long =
+    LakeEncode.toOrderedLong(
+      meta.schema.find(_.name == c).get.dataType, v).get
 
   private val zoneIdx: Map[String, Int] = meta.zoneCols.zipWithIndex.toMap
 
   /** File-grain admission for one pushed filter: range filters prune
-    * on the column's [min,max] zone; equality and IN probes on the
-    * bloom column additionally consult the bloom bitmap (an IN is
-    * admitted iff ANY member is).
+    * on the column's [min,max] zone (in the ordered-long encoding —
+    * `+1`/`-1` are exact successor/predecessor in every encoded
+    * domain since the encoding is an order-isomorphic injection);
+    * equality and IN probes on the bloom column additionally consult
+    * the bloom bitmap (an IN is admitted iff ANY member is).
     */
   private def admits(f: LakeFile, filter: Filter): Boolean = {
     def zone(c: String, lo: Long, hi: Long): Boolean =
@@ -220,12 +316,13 @@ class LakeScan(root: String, meta: LakeMeta, required: StructType,
       zone(c, k, k) &&
         (!meta.bloomCol.contains(c) || LakeBloom.admits(f.bloom, k))
     filter match {
-      case EqualTo(c, v) => point(c, longV(v))
-      case In(c, vs) => vs.exists(v => point(c, longV(v)))
-      case GreaterThan(c, v) => zone(c, longV(v) + 1, Long.MaxValue)
-      case GreaterThanOrEqual(c, v) => zone(c, longV(v), Long.MaxValue)
-      case LessThan(c, v) => zone(c, Long.MinValue, longV(v) - 1)
-      case LessThanOrEqual(c, v) => zone(c, Long.MinValue, longV(v))
+      case EqualTo(c, v) => point(c, longV(c, v))
+      case In(c, vs) => vs.exists(v => point(c, longV(c, v)))
+      case GreaterThan(c, v) => zone(c, longV(c, v) + 1, Long.MaxValue)
+      case GreaterThanOrEqual(c, v) =>
+        zone(c, longV(c, v), Long.MaxValue)
+      case LessThan(c, v) => zone(c, Long.MinValue, longV(c, v) - 1)
+      case LessThanOrEqual(c, v) => zone(c, Long.MinValue, longV(c, v))
       case _ => true
     }
   }

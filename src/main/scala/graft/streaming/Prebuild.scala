@@ -63,6 +63,10 @@ object Prebuild {
         () => graft.sources.lake.GraftLake
           .readMeta(graft.sources.lake.GraftLake
             .ensureIncTable(spark, dir)).files.size.toLong),
+      ("lake_lineitem",
+        () => graft.sources.lake.GraftLake
+          .readMeta(graft.sources.lake.GraftLake
+            .ensureLineitemTable(spark, dir)).files.size.toLong),
       ("join_stats",
         () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
           .count()),

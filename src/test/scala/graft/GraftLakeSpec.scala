@@ -278,6 +278,62 @@ class GraftLakeSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("the lineitem instance: typed columns round-trip exactly " +
+      "(decimal money, date, timestamp_ntz, double, int), typed " +
+      "zones prune, and the scan stays columnar") {
+    import org.apache.spark.sql.types._
+    import graft.sources.Tables
+    val root = GraftLake.ensureLineitemTable(spark, sfDir)
+    val meta = GraftLake.readMeta(root)
+    assert(meta.schema("l_price").dataType == DecimalType(18, 2))
+    assert(meta.schema("l_shipdate").dataType == DateType)
+    assert(meta.schema("l_shipts").dataType == TimestampNTZType)
+    assert(meta.schema("l_discount").dataType == DoubleType)
+    assert(meta.schema("l_linenumber").dataType == IntegerType)
+    val df = GraftLake.lakeLineitemDf(spark, sfDir)
+    val raw = Tables.lineitem(spark, sfDir)
+    assert(df.count() == raw.count())
+    // money EXACT: cents through the lake = floor-derived cents raw
+    val gotCents = df.agg(sum((col("l_price") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    val wantCents = raw.agg(sum(
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long")))
+      .collect()(0).getLong(0)
+    assert(gotCents == wantCents)
+    // typed pushdown end-to-end: a date filter through the SQL
+    // surface returns exactly the raw twin's rows, on a COLUMNAR scan
+    val d0 = java.sql.Date.valueOf("1996-01-01")
+    val d1 = java.sql.Date.valueOf("1996-03-31")
+    val pruned = df.filter(col("l_shipdate") >= lit(d0) &&
+      col("l_shipdate") <= lit(d1))
+    val got = pruned.count()
+    val want = raw.filter(to_date(col("l_shipdate")) >= lit(d0) &&
+      to_date(col("l_shipdate")) <= lit(d1)).count()
+    assert(got == want)
+    val scans = preparedPlan(pruned).collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar))
+    // typed zones prune: the provider's plan equals the layout
+    // overlap (guard: sf0.001 may be near-single-file)
+    val planned = GraftLake.plannedFiles(root, Array[Filter](
+      GreaterThanOrEqual("l_shipdate", d0),
+      LessThanOrEqual("l_shipdate", d1)))
+    if (meta.files.length > 8)
+      assert(planned < meta.files.length,
+        "a one-quarter date probe must prune a ~7-year corpus")
+    // decimal probe: a money band admits a subset and counts exactly
+    val p0 = new java.math.BigDecimal("5000.00")
+    val p1 = new java.math.BigDecimal("5500.00")
+    val nBand = df.filter(col("l_price") >= lit(p0) &&
+      col("l_price") <= lit(p1)).count()
+    val nBandRaw = raw.filter(
+      floor(col("l_extendedprice") * 100 + 0.5).between(500000, 550000))
+      .count()
+    assert(nBand == nBandRaw)
+    Caches.releaseAll(spark)
+  }
+
   test("bloom bitmap semantics: admits() equals the positions-subset " +
       "definition") {
     val words = new Array[Long](LakeBloom.Words)
