@@ -1563,6 +1563,13 @@ object Registry {
       graft.sources.lake.GraftLake.lakeLineitemQ6(s, d)),
     "q533_lake_types_plan" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeTypesPlanAudit(s, d)),
+    // block 96: the DSv2 write path — df.write.format(lake) APPEND
+    // commits snapshots through stage→claim-rename→manifest, batch-id
+    // keyed so a replayed commit is a no-op
+    "q534_lake_write_audit" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeWriteAudit(s, d)),
+    "q535_lake_write_pruned" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeWritePruned(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

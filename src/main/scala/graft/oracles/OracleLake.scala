@@ -339,6 +339,37 @@ object OracleLake {
         "(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem, lkk " +
         "WHERE l_orderkey = k) FROM ltt) " +
         "ORDER BY pred_id"),
+    // q534: the DSv2 write path's snapshot trail — three id-range
+    // APPEND batches (4 hash-partitioned files each) then a REPLAYED
+    // batch: 4 committed versions (the replay no-ops), cumulative
+    // content per version
+    "q534_lake_write_audit" ->
+      ("WITH st AS (SELECT (MAX(o_orderkey) + 3) // 3 AS step " +
+        "FROM orders), " +
+        "vb AS (SELECT o_orderkey, o_orderkey // step AS bi " +
+        "FROM orders, st), " +
+        "vv AS (SELECT CAST(v AS BIGINT) AS version " +
+        "FROM range(0, 4) t(v)) " +
+        "SELECT v.version, " +
+        "CAST(4 * v.version AS BIGINT) AS n_files, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM vb WHERE " +
+        "bi < v.version) AS n_rows, " +
+        "(SELECT CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) " +
+        "FROM vb WHERE bi < v.version) AS sum_ok, " +
+        "4::BIGINT AS n_versions " +
+        "FROM vv v ORDER BY v.version"),
+    // q535: the q507 bucket probe against the DSv2-WRITTEN table —
+    // all orders (no %37 fold on this instance)
+    "q535_lake_write_pruned" ->
+      ("WITH lmx AS (SELECT MAX(CAST(o_custkey AS BIGINT)) AS max_ck " +
+        "FROM orders), " +
+        "lbd AS (SELECT (3 * max_ck) // 8 AS lo, " +
+        "(3 * max_ck) // 8 + max_ck // 16 AS hi FROM lmx) " +
+        "SELECT CAST(o_custkey AS BIGINT) % 8 AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok " +
+        "FROM orders, lbd WHERE CAST(o_custkey AS BIGINT) " +
+        "BETWEEN lo AND hi GROUP BY bucket ORDER BY bucket"),
     // q531: snapshot expiry — keeping only v3 deletes every pre-fold
     // data file (both z-order generations) and every DV file; the
     // retained read is intact and the expired one is physically gone

@@ -57,33 +57,84 @@ object GraftLake {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 
+  /** Committed snapshot versions under a root, across both commit
+    * encodings: `_manifest_v<N>.tsv` files (the build-time fixtures)
+    * and `_commit_v<N>/manifest.tsv` dirs (the DSv2 write path, whose
+    * commit claim is a dir rename because a FILE rename on local/HDFS
+    * semantics cannot claim-if-absent).
+    */
+  private[graft] def committedVersions(fs: FileSystem,
+      root: String): Seq[Long] =
+    fs.listStatus(new HPath(root)).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!st.isDirectory && n.startsWith("_manifest_v") &&
+          n.endsWith(".tsv"))
+        Some(n.stripPrefix("_manifest_v").stripSuffix(".tsv").toLong)
+      else if (st.isDirectory && n.startsWith("_commit_v"))
+        Some(n.stripPrefix("_commit_v").toLong)
+      else None
+    }.distinct.sorted
+
+  /** The manifest path of a committed version (commit-dir encoding
+    * wins when both exist — they never should).
+    */
+  private def manifestPathOf(fs: FileSystem, root: String,
+      v: Long): HPath = {
+    val dirP = new HPath(s"$root/_commit_v$v/manifest.tsv")
+    if (fs.exists(dirP)) dirP else new HPath(s"$root/_manifest_v$v.tsv")
+  }
+
+  /** The raw file lines of a committed snapshot — what an APPEND
+    * copies verbatim into its successor manifest (old files are never
+    * touched, re-stat'd, or renumbered).
+    */
+  private[lake] def rawFileLines(fs: FileSystem, root: String,
+      version: Option[Long]): Seq[String] = {
+    val p = version match {
+      case Some(v) => manifestPathOf(fs, root, v)
+      case None    => new HPath(s"$root/_manifest.tsv")
+    }
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString finally in.close()
+      body.split('\n').filter(l => l.nonEmpty && !l.startsWith("#"))
+        .toSeq
+    }
+  }
+
   /** Parse a committed table's metadata. Manifest format: header
-    * `#schema<TAB>col:type,...<TAB>zone_cols<TAB>bloom_col|-`, then
-    * one line per file:
+    * `#schema<TAB>col:type,...<TAB>zone_cols<TAB>bloom_col|-`, an
+    * optional `#props<TAB>k=v...` line (commit metadata: batch id for
+    * idempotent replay, version), then one line per file:
     * `file_id  rel_path  n_rows  zmins  zmaxs  bloom_words` (comma-
-    * joined arrays, `-` when the table declares no bloom).
+    * joined arrays, `-` when the table declares no bloom). Latest =
+    * the MAX committed version when the table keeps versioned
+    * snapshots, else the flat `_manifest.tsv`.
     */
   private[graft] def readMeta(root: String,
       version: Option[Long] = None): LakeMeta = {
-    val name = version match {
-      case Some(v) => s"_manifest_v$v.tsv"
-      case None    => "_manifest.tsv"
-    }
-    val p = new HPath(s"$root/$name")
-    val fs = p.getFileSystem(hadoopConf)
-    if (!fs.exists(p))
-      sys.error(version match {
-        case Some(v) =>
-          val have = fs.listStatus(new HPath(root))
-            .map(_.getPath.getName)
-            .filter(n => n.startsWith("_manifest_v") && n.endsWith(".tsv"))
-            .map(_.stripPrefix("_manifest_v").stripSuffix(".tsv"))
-            .sorted.mkString(", ")
-          s"lake table at $root has no snapshot version $v " +
+    val fs = new HPath(root).getFileSystem(hadoopConf)
+    val p = version match {
+      case Some(v) =>
+        val cand = manifestPathOf(fs, root, v)
+        if (!fs.exists(cand)) {
+          val have = committedVersions(fs, root).mkString(", ")
+          sys.error(s"lake table at $root has no snapshot version $v " +
             s"(committed versions: ${if (have.isEmpty) "none - this " +
-              "table keeps no versioned snapshots" else have})"
-        case None => s"no committed lake manifest under $root"
-      })
+              "table keeps no versioned snapshots" else have})")
+        }
+        cand
+      case None =>
+        val vs = committedVersions(fs, root)
+        val cand =
+          if (vs.nonEmpty) manifestPathOf(fs, root, vs.max)
+          else new HPath(s"$root/_manifest.tsv")
+        if (!fs.exists(cand))
+          sys.error(s"no committed lake manifest under $root")
+        cand
+    }
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8")
       .mkString finally in.close()
@@ -96,7 +147,11 @@ object GraftLake {
     })
     val zoneCols = h(2).split(',').filter(_.nonEmpty)
     val bloomCol = if (h(3) == "-") None else Some(h(3))
-    val files = lines.tail.map { line =>
+    val props = lines.tail.filter(_.startsWith("#props"))
+      .flatMap(_.split('\t').drop(1))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+      .toMap
+    val files = lines.tail.filterNot(_.startsWith("#")).map { line =>
       val f = line.split('\t')
       LakeFile(f(0).toLong, f(1), f(2).toLong,
         f(3).split(',').map(_.toLong), f(4).split(',').map(_.toLong),
@@ -105,7 +160,7 @@ object GraftLake {
         if (f.length > 6 && f(6) != "-") Some(f(6)) else None,
         if (f.length > 7) f(7).toLong else 0L)
     }.toSeq
-    LakeMeta(schema, zoneCols, bloomCol, files)
+    LakeMeta(schema, zoneCols, bloomCol, files, props)
   }
 
   /** Write `filed` (data columns + a `file_id` layout column) as a
@@ -515,6 +570,109 @@ object GraftLake {
     }
   }
 
+  /** Bootstrap an EMPTY lake table: snapshot v0 with the declared
+    * schema/zones/bloom and no files — the `CREATE TABLE` the DSv2
+    * write path appends into. Committed through the same staged-dir
+    * rename as every snapshot.
+    */
+  private[graft] def createTable(fs: FileSystem, root: String,
+      schema: StructType, zoneCols: Seq[String],
+      bloomCol: Option[String]): Unit = {
+    val header = s"#schema\t${schema.fields.map(f =>
+      s"${f.name}:${LakeEncode.typeName(f.dataType)}").mkString(",")
+      }\t${zoneCols.mkString(",")}\t${bloomCol.getOrElse("-")}"
+    val staging = s"$root/_staging_c_create"
+    fs.delete(new HPath(staging), true)
+    writeText(fs, s"$staging/manifest.tsv",
+      header + "\n#props\tbatch_id=-\tversion=0\n")
+    val dest = new HPath(s"$root/_commit_v0")
+    if (fs.exists(dest) ||
+        !fs.rename(new HPath(staging), dest))
+      sys.error(s"graft-lake: createTable($root) failed — v0 exists")
+  }
+
+  /** The DSv2-WRITTEN orders instance (q534/q535, block 96): created
+    * empty, then populated by three `df.write.format(lake)` APPEND
+    * commits (the id-range batches, 4 hash-partitioned files each),
+    * then the LAST batch REPLAYED with its original batch id — the
+    * crash-retry a pipeline actually performs — which must no-op.
+    * Every snapshot v0–v3 stays readable; the replay adds nothing.
+    */
+  def ensureWriteTable(spark: SparkSession, dir: String): String = {
+    val o = ZoneMap.orders(spark, dir)
+    val fp = LedgerArtifacts.fingerprint(o,
+      Seq("o_orderkey", "o_custkey"))
+    ensureLake(spark,
+      s"lake2_wt_orders_${LedgerArtifacts.dirKey(dir)}", fp) {
+      (fs, staging) =>
+        createTable(fs, staging, StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType))),
+          Seq("o_orderkey", "o_custkey"), Some("o_orderkey"))
+        val maxOk = o.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val step = (maxOk + 3) / 3
+        def append(i: Int): Unit = o
+          .filter(col("o_orderkey") >= i * step &&
+            col("o_orderkey") < (i + 1) * step)
+          .repartition(4, col("o_orderkey"))
+          .write.format(classOf[LakeTableProvider].getName)
+          .option("path", staging).option("batchId", s"append-$i")
+          .mode("append").save()
+        (0 to 2).foreach(append)
+        append(2) // the committed retry: recognized by batch id, no-op
+        // compat copy (ensureLake's freshness marker checks it; the
+        // reader itself resolves latest = max committed version)
+        val latest = rawFileLines(fs, staging,
+          committedVersions(fs, staging).lastOption)
+        val header = s"#schema\to_orderkey:long,o_custkey:long" +
+          s"\to_orderkey,o_custkey\to_orderkey"
+        writeText(fs, s"$staging/_manifest.tsv",
+          (header +: latest).mkString("", "\n", "\n"))
+    }
+  }
+
+  /** q534: the write-path audit — per snapshot of the DSv2-written
+    * table: files, rows and content mass THROUGH the provider, plus
+    * the total committed version count, which pins the replayed batch
+    * to a NO-OP (4 versions, not 5 — one snapshot per unique batch
+    * id). Row/sum parity per version is the cross-engine content
+    * check on files the engine's own writer produced.
+    */
+  def lakeWriteAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureWriteTable(spark, dir)
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = committedVersions(fs, root)
+    val rows = vs.map { v =>
+      val m = readMeta(root, Some(v))
+      val r = dfForAt(spark, root, Some(v))
+        .agg(count(lit(1)), coalesce(sum(col("o_orderkey")), lit(0L)))
+        .collect()(0)
+      (v, m.files.length.toLong, r.getLong(0), r.getLong(1),
+        vs.length.toLong)
+    }
+    rows.toDF("version", "n_files", "n_rows", "sum_ok", "n_versions")
+      .orderBy(col("version"))
+  }
+
+  /** q535: the q507 bucket probe against the DSv2-WRITTEN table —
+    * zones collected by the executor writers prune the range scan,
+    * and the content matches DuckDB over raw orders exactly.
+    */
+  def lakeWritePruned(spark: SparkSession, dir: String): DataFrame = {
+    val maxCk = ZoneMap.orders(spark, dir)
+      .agg(max(col("o_custkey"))).collect()(0).getLong(0)
+    val lo = 3L * maxCk / 8L
+    val hi = lo + maxCk / 16L
+    dfFor(spark, ensureWriteTable(spark, dir))
+      .filter(col("o_custkey") >= lo && col("o_custkey") <= hi)
+      .groupBy((col("o_custkey") % 8L).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_ok"))
+      .orderBy(col("bucket"))
+  }
+
   /** Stream one long column of a committed file in STORED row order —
     * the DV builder's ordinal source. Parquet row order is the stored
     * order under any reader, so these ordinals agree with the
@@ -699,10 +857,7 @@ object GraftLake {
       keepFrom: Long): (Long, Long) = {
     val fs = new HPath(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snaps = fs.listStatus(new HPath(root)).map(_.getPath.getName)
-      .filter(n => n.startsWith("_manifest_v") && n.endsWith(".tsv"))
-      .map(_.stripPrefix("_manifest_v").stripSuffix(".tsv").toLong)
-      .sorted
+    val snaps = committedVersions(fs, root)
     require(snaps.contains(keepFrom),
       s"keepFrom=$keepFrom is not a committed snapshot of $root")
     val kept = snaps.filter(_ >= keepFrom)
@@ -755,6 +910,7 @@ object GraftLake {
     // a silently incomplete one presented as committed
     snaps.filter(_ < keepFrom).foreach { v =>
       fs.delete(new HPath(s"$root/_manifest_v$v.tsv"), false)
+      fs.delete(new HPath(s"$root/_commit_v$v"), true)
     }
     (deleted, referenced.size.toLong)
   }

@@ -80,7 +80,7 @@ class LakeTableProvider extends TableProvider {
   */
 private[graft] final case class LakeMeta(schema: StructType,
     zoneCols: Array[String], bloomCol: Option[String],
-    files: Seq[LakeFile])
+    files: Seq[LakeFile], props: Map[String, String] = Map.empty)
 
 /** One committed data file: per-zone-column [min,max] arrays are
   * positionally aligned with [[LakeMeta.zoneCols]]; `dvPath` names
@@ -204,15 +204,24 @@ private[graft] object LakeBloom {
 
 class LakeTable(root: String, schema0: StructType,
     version: Option[Long] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"graft_lake($root${version.fold("")(v => s"@v$v")})"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(root, version)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(version.isEmpty,
+      "graft-lake: cannot write to a pinned snapshot (versionAsOf)")
+    new LakeWriteBuilder(root, info)
+  }
 }
 
 /** Collects prunable filters + projection + limit. ALL filters are

@@ -67,6 +67,10 @@ object Prebuild {
         () => graft.sources.lake.GraftLake
           .readMeta(graft.sources.lake.GraftLake
             .ensureLineitemTable(spark, dir)).files.size.toLong),
+      ("lake_wt_orders",
+        () => graft.sources.lake.GraftLake
+          .readMeta(graft.sources.lake.GraftLake
+            .ensureWriteTable(spark, dir)).files.size.toLong),
       ("join_stats",
         () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
           .count()),

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.lake.{GraftLake, LakeTableProvider}
+
+/** The DSv2 write path's commit contract: appends through
+  * `df.write.format(lake)` are atomic (a killed commit leaves NO
+  * listable snapshot), idempotent under batch-id replay, schema-gated,
+  * and the stats the executor writers fold inline (zones + bloom)
+  * agree with what the planner then prunes on.
+  */
+class LakeWriteSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType)))
+
+  private def freshRoot(): String = {
+    val dir = Caches.trackTempDir(java.nio.file.Files
+      .createTempDirectory("graft_lake_write_")).toString + "/t"
+    val fs = new HPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GraftLake.createTable(fs, dir, schema,
+      Seq("o_orderkey", "o_custkey"), Some("o_orderkey"))
+    dir
+  }
+
+  private def append(root: String, lo: Long, hi: Long,
+      batchId: String): Unit = {
+    import spark.implicits._
+    (lo until hi).map(k => (k, k % 97)).toDF("o_orderkey", "o_custkey")
+      .repartition(3, col("o_orderkey"))
+      .write.format(classOf[LakeTableProvider].getName)
+      .option("path", root).option("batchId", batchId)
+      .mode("append").save()
+  }
+
+  private def scan(root: String, v: Option[String] = None) = {
+    val rd = spark.read.format(classOf[LakeTableProvider].getName)
+      .option("path", root)
+    v.fold(rd)(rd.option("versionAsOf", _)).load()
+  }
+
+  test("append commits snapshots; batch-id replay is a no-op; " +
+      "content round-trips") {
+    val root = freshRoot()
+    append(root, 0L, 500L, "b1")
+    append(root, 500L, 900L, "b2")
+    append(root, 500L, 900L, "b2") // committed retry: must no-op
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(GraftLake.committedVersions(fs, root) == Seq(0L, 1L, 2L))
+    assert(scan(root).count() == 900L)
+    assert(scan(root, Some("1")).count() == 500L)
+    assert(scan(root, Some("0")).count() == 0L)
+    val got = scan(root).agg(sum(col("o_orderkey"))).collect()(0)
+      .getLong(0)
+    assert(got == (0L until 900L).sum)
+  }
+
+  test("a killed mid-write commit leaves NO listable snapshot, and " +
+      "the retry commits exactly once") {
+    val root = freshRoot()
+    append(root, 0L, 300L, "b1")
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the two crash windows a real commit has:
+    // (1) after data staging, before the commit claim — uuid data
+    //     files exist but no manifest names them
+    fs.create(new HPath(s"$root/data_udeadbeef/part-0-0.parquet"),
+      true).close()
+    // (2) after the commit dir was staged, before the claim rename
+    val out = fs.create(
+      new HPath(s"$root/_staging_c_dead/manifest.tsv"), true)
+    out.write("#schema\to_orderkey:long\t\t-\n".getBytes("UTF-8"))
+    out.close()
+    // neither window is listable as a snapshot…
+    assert(GraftLake.committedVersions(fs, root) == Seq(0L, 1L))
+    assert(scan(root).count() == 300L)
+    // …and the batch retried after the crash commits exactly once
+    append(root, 300L, 400L, "b2")
+    append(root, 300L, 400L, "b2")
+    assert(GraftLake.committedVersions(fs, root) == Seq(0L, 1L, 2L))
+    assert(scan(root).count() == 400L)
+    // the orphaned staging data never leaks into any snapshot
+    assert(scan(root).collect().map(_.getLong(0)).toSet ==
+      (0L until 400L).toSet)
+  }
+
+  test("schema mismatch and missing batchId are rejected") {
+    import spark.implicits._
+    val root = freshRoot()
+    val bad = intercept[Exception] {
+      Seq((1L, "x")).toDF("o_orderkey", "o_name")
+        .write.format(classOf[LakeTableProvider].getName)
+        .option("path", root).option("batchId", "b")
+        .mode("append").save()
+    }
+    assert(bad.getMessage != null)
+    val noId = intercept[Exception] {
+      Seq((1L, 2L)).toDF("o_orderkey", "o_custkey")
+        .write.format(classOf[LakeTableProvider].getName)
+        .option("path", root).mode("append").save()
+    }
+    assert(noId.getMessage.contains("batchId") ||
+      noId.getCause != null)
+  }
+
+  test("writer-folded zones and bloom prune the written table " +
+      "exactly like build-time stats") {
+    import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThanOrEqual}
+    val root = freshRoot()
+    append(root, 0L, 2000L, "b1")
+    val meta = GraftLake.readMeta(root)
+    assert(meta.files.nonEmpty)
+    // provider plan = manifest-derived overlap, recomputed here
+    val (lo, hi) = (250L, 260L)
+    val expected = meta.files.count(f =>
+      f.zMax(0) >= lo && f.zMin(0) <= hi).toLong
+    val planned = GraftLake.plannedFiles(root, Array[Filter](
+      GreaterThanOrEqual("o_orderkey", lo),
+      LessThanOrEqual("o_orderkey", hi)))
+    assert(planned == expected)
+    assert(scan(root).filter(col("o_orderkey").between(lo, hi))
+      .count() == 11L)
+    // bloom: a present key admits >=1 file; an absent one (beyond the
+    // range) is rejected by zones+bloom and returns zero rows
+    assert(GraftLake.plannedFiles(root,
+      Array[Filter](EqualTo("o_orderkey", 1234L))) >= 1L)
+    assert(scan(root).filter(col("o_orderkey") === 99999L).count()
+      == 0L)
+  }
+}
