@@ -1570,6 +1570,13 @@ object Registry {
       graft.sources.lake.GraftLake.lakeWriteAudit(s, d)),
     "q535_lake_write_pruned" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeWritePruned(s, d)),
+    // block 97: declared partitioning on the lake — day(ts) pvals in
+    // the manifest, M3's replay-overwrite as an atomic partition
+    // replace, partition×zone×bloom plan composition
+    "q536_lake_part_replace" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakePartReplace(s, d)),
+    "q537_lake_part_plan" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakePartPlanAudit(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -370,6 +370,93 @@ object OracleLake {
         "CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok " +
         "FROM orders, lbd WHERE CAST(o_custkey AS BIGINT) " +
         "BETWEEN lo AND hi GROUP BY bucket ORDER BY bucket"),
+    // q536: the atomic partition replace — day 2024-01-15 replayed
+    // without its %13 duplicates in ONE manifest swap; every other
+    // day's files verbatim across versions
+    "q536_lake_part_replace" ->
+      ("WITH ef AS (SELECT event_id, CAST(ts AS DATE) AS d " +
+        "FROM events), " +
+        "pc AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        "CAST(SUM(event_id) AS BIGINT) AS s, " +
+        "CAST(SUM(CASE WHEN event_id % 13 <> 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS cnt_c, " +
+        "CAST(SUM(CASE WHEN event_id % 13 <> 0 THEN event_id " +
+        "ELSE 0 END) AS BIGINT) AS s_c FROM ef GROUP BY d), " +
+        "tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nall, " +
+        "CAST(SUM(s) AS BIGINT) AS sall, " +
+        "CAST(SUM((cnt + 255) // 256) AS BIGINT) AS f0 FROM pc), " +
+        "dd AS (SELECT cnt AS nd, s AS sd, cnt_c AS ndc, s_c AS sdc, " +
+        "(cnt + 255) // 256 AS fd, (cnt_c + 255) // 256 AS fdc " +
+        "FROM pc WHERE d = DATE '2024-01-15') " +
+        "SELECT * FROM (" +
+        "SELECT 0::BIGINT AS version, f0 AS n_files, nall AS n_rows, " +
+        "sall AS sum_eid, nd AS n_day_rows, sd AS sum_day_eid, " +
+        "TRUE AS outside_untouched FROM tot, dd " +
+        "UNION ALL SELECT 1::BIGINT, f0 - fd + fdc, nall - nd + ndc, " +
+        "sall - sd + sdc, ndc, sdc, TRUE FROM tot, dd) " +
+        "ORDER BY version"),
+    // q537: partition×zone×bloom plan composition at v0 — the layout,
+    // every partition value, ts/user zones and event_id bloom bits
+    // re-derived; a day probe prunes by PARTITION, a point probe by
+    // BLOOM, a composed probe by both
+    "q537_lake_part_plan" ->
+      ("WITH ef AS (SELECT event_id, ts, user_id, " +
+        "DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) " +
+        "AS pday, (ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE) " +
+        "ORDER BY ts, event_id) - 1) // 256 AS chunk FROM events), " +
+        "ez AS (SELECT pday, chunk, MIN(ts) AS min_ts, " +
+        "MAX(ts) AS max_ts, MIN(event_id) AS min_e, " +
+        "MAX(event_id) AS max_e, MIN(user_id) AS min_u, " +
+        "MAX(user_id) AS max_u FROM ef GROUP BY pday, chunk), " +
+        "ett AS (SELECT CAST(COUNT(*) AS BIGINT) AS ft FROM ez), " +
+        "emx AS (SELECT MAX(event_id) AS ke, MAX(user_id) // 10 " +
+        "AS hu FROM events), " +
+        s"epp AS (SELECT DISTINCT ((m.ke * h.a + h.b) % 1048573) " +
+        s"% 4096 AS pos FROM emx m, $Hashes), " +
+        s"efp AS (SELECT DISTINCT f.pday, f.chunk, ((f.event_id * " +
+        s"h.a + h.b) % 1048573) % 4096 AS pos FROM ef f, $Hashes), " +
+        "ebm AS (SELECT z.pday, z.chunk FROM ez z, emx m WHERE " +
+        "m.ke BETWEEN z.min_e AND z.max_e AND " +
+        "(SELECT COUNT(*) FROM epp) = (SELECT COUNT(*) FROM epp pp " +
+        "JOIN efp fp ON fp.pos = pp.pos WHERE fp.pday = z.pday AND " +
+        "fp.chunk = z.chunk)) " +
+        "SELECT * FROM (" +
+        "SELECT '1_day_one' AS pred_id, ft AS files_total, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ez WHERE " +
+        "pday = 19732) AS files_part, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ez WHERE " +
+        "pday = 19732 AND max_ts >= TIMESTAMP '2024-01-10 00:00:00' " +
+        "AND min_ts <= TIMESTAMP '2024-01-10 23:59:59') " +
+        "AS files_planned, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE ts " +
+        "BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND " +
+        "TIMESTAMP '2024-01-10 23:59:59') AS n_rows FROM ett " +
+        "UNION ALL SELECT '2_days_three', ft, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ez WHERE " +
+        "pday BETWEEN 19732 AND 19734), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ez WHERE " +
+        "pday BETWEEN 19732 AND 19734 AND max_ts >= " +
+        "TIMESTAMP '2024-01-10 00:00:00' AND min_ts <= " +
+        "TIMESTAMP '2024-01-12 23:59:59'), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE ts " +
+        "BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND " +
+        "TIMESTAMP '2024-01-12 23:59:59') FROM ett " +
+        "UNION ALL SELECT '3_eid_point', ft, ft, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ebm), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM events, emx " +
+        "WHERE event_id = ke) FROM ett " +
+        "UNION ALL SELECT '4_day_user', ft, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ez WHERE " +
+        "pday = 19732), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ez, emx WHERE " +
+        "pday = 19732 AND max_ts >= TIMESTAMP '2024-01-10 00:00:00' " +
+        "AND min_ts <= TIMESTAMP '2024-01-10 23:59:59' AND " +
+        "min_u <= hu AND max_u >= 0), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM events, emx WHERE ts " +
+        "BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND " +
+        "TIMESTAMP '2024-01-10 23:59:59' AND user_id >= 0 AND " +
+        "user_id <= hu) FROM ett) " +
+        "ORDER BY pred_id"),
     // q531: snapshot expiry — keeping only v3 deletes every pre-fold
     // data file (both z-order generations) and every DV file; the
     // retained read is intact and the expired one is physically gone

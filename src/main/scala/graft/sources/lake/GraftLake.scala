@@ -147,6 +147,8 @@ object GraftLake {
     })
     val zoneCols = h(2).split(',').filter(_.nonEmpty)
     val bloomCol = if (h(3) == "-") None else Some(h(3))
+    val partSpec = if (h.length > 4 && h(4) != "-")
+      Some(LakePartSpec.parse(h(4))) else None
     val props = lines.tail.filter(_.startsWith("#props"))
       .flatMap(_.split('\t').drop(1))
       .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
@@ -158,9 +160,10 @@ object GraftLake {
         if (f(5) == "-") Array.empty[Long]
         else f(5).split(',').map(_.toLong),
         if (f.length > 6 && f(6) != "-") Some(f(6)) else None,
-        if (f.length > 7) f(7).toLong else 0L)
+        if (f.length > 7) f(7).toLong else 0L,
+        if (f.length > 8 && f(8) != "-") Some(f(8).toLong) else None)
     }.toSeq
-    LakeMeta(schema, zoneCols, bloomCol, files, props)
+    LakeMeta(schema, zoneCols, bloomCol, files, props, partSpec)
   }
 
   /** Write `filed` (data columns + a `file_id` layout column) as a
@@ -181,10 +184,12 @@ object GraftLake {
   }
 
   private def headerOf(dataCols: Seq[(String, String)],
-      zoneCols: Seq[String], bloomCol: Option[String]): String =
+      zoneCols: Seq[String], bloomCol: Option[String],
+      partSpec: Option[String] = None): String =
     s"#schema\t${dataCols.map { case (n, t) => s"$n:$t" }
       .mkString(",")}\t${zoneCols.mkString(",")}\t${
-      bloomCol.getOrElse("-")}"
+      bloomCol.getOrElse("-")}" +
+      partSpec.fold("")(s => s"\t$s")
 
   /** Write one batch of files under `<staging>/<subdir>` and return
     * its manifest lines — the unit an APPEND commits beside the
@@ -192,7 +197,8 @@ object GraftLake {
     */
   private def writeFiles(spark: SparkSession, fs: FileSystem,
       staging: String, subdir: String, filed: DataFrame,
-      zoneCols: Seq[String], bloomCol: Option[String]): Seq[String] = {
+      zoneCols: Seq[String], bloomCol: Option[String],
+      partValCol: Option[String] = None): Seq[String] = {
     // zone stats aggregate in the column's NATIVE type (min/max are
     // order-preserving); the driver encodes the collected extrema into
     // the manifest's ordered-long domain afterwards — so zones on
@@ -211,9 +217,12 @@ object GraftLake {
     filed.repartition(col("file_id"))
       .write.partitionBy("file_id").mode("overwrite")
       .parquet(s"$staging/$subdir")
-    val zoneAggs = count(lit(1)).as("n_rows") +:
+    val zoneAggs = (count(lit(1)).as("n_rows") +:
       zoneCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
-        max(col(c)).as(s"max_$c")))
+        max(col(c)).as(s"max_$c")))) ++
+      partValCol.toSeq.flatMap(pc => Seq(
+        min(col(pc)).cast("long").as("min_pval"),
+        max(col(pc)).cast("long").as("max_pval")))
     val zones = filed.groupBy(col("file_id"))
       .agg(zoneAggs.head, zoneAggs.tail: _*)
     val withBloom = bloomCol match {
@@ -261,9 +270,17 @@ object GraftLake {
           words.mkString(",")
         case None => "-"
       }
+      val pvalStr = partValCol.map { _ =>
+        val lo = r.getAs[Long]("min_pval")
+        val hi = r.getAs[Long]("max_pval")
+        require(lo == hi, s"graft-lake: file $id spans partition " +
+          s"values [$lo,$hi] — the layout must cut files within one " +
+          "partition")
+        s"\t$lo"
+      }.getOrElse("")
       s"$id\t$subdir/file_id=$id/$fname\t${r.getAs[Long]("n_rows")}" +
         s"\t${zmins.mkString(",")}\t${zmaxs.mkString(",")}\t$bloomStr" +
-        "\t-\t0"
+        "\t-\t0" + pvalStr
     }
     lines.toSeq
   }
@@ -671,6 +688,164 @@ object GraftLake {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_orderkey")).as("sum_ok"))
       .orderBy(col("bucket"))
+  }
+
+  /** The DAY-PARTITIONED events instance (q536/q537, block 97 — the
+    * r17 verdict's "partition transforms" item): `day(ts)` declared in
+    * the manifest, every file carrying one epoch-day pval, zones on
+    * (ts, event_id, user_id), bloom on event_id; within each day the
+    * layout is ts-ordered 256-row files. Snapshot v1 is the M3
+    * replay-overwrite (`controller.js:105-118` — delete a window,
+    * rewrite it) re-expressed as an ATOMIC PARTITION REPLACE: day
+    * 2024-01-15's files are swapped for a replayed (dedup-cleaned)
+    * set in ONE manifest commit — every other partition's lines ride
+    * verbatim, which q536 pins.
+    */
+  def ensureEventsTable(spark: SparkSession, dir: String): String = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val fp = LedgerArtifacts.fingerprint(
+      ev.select(col("event_id"), col("user_id")),
+      Seq("event_id", "user_id"))
+    ensureLake(spark,
+      s"lake2_events_${LedgerArtifacts.dirKey(dir)}", fp) {
+      (fs, staging) =>
+        val cols = Seq(("event_id", "long"), ("ts", "timestamp_ntz"),
+          ("user_id", "long"), ("event_type", "string"),
+          ("value", "double"))
+        val zcols = Seq("ts", "event_id", "user_id")
+        val header = headerOf(cols, zcols, Some("event_id"),
+          Some("day(ts)"))
+        def filedOf(df: DataFrame, idBase: Long): DataFrame = df
+          .withColumn("p_day", expr("unix_date(to_date(ts))")
+            .cast("long"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("p_day"))
+            .orderBy(col("ts"), col("event_id"))).cast("long"))
+          .withColumn("file_id",
+            col("p_day") * 1000L + lit(idBase) +
+              expr("(rn - 1L) div 256L"))
+          .drop("rn")
+        val v0 = writeFiles(spark, fs, staging, "data",
+          filedOf(ev, 0L), zcols, Some("event_id"), Some("p_day"))
+        writeText(fs, s"$staging/_manifest_v0.tsv",
+          (header +: v0).mkString("", "\n", "\n"))
+        // the replace: day D replayed without its % 13 duplicates,
+        // committed as one manifest swap — old D files dropped, new
+        // ones (disjoint id space, own subdir) added, everything else
+        // VERBATIM
+        val dayD = ReplayDay.toEpochDay
+        val clean = ev.filter(
+          expr("unix_date(to_date(ts))").cast("long") === dayD &&
+            col("event_id") % 13 =!= 0)
+        val rep = writeFiles(spark, fs, staging, "data_r1",
+          filedOf(clean, 500L), zcols, Some("event_id"), Some("p_day"))
+        val v1 = v0.filterNot(
+          _.split('\t')(8) == dayD.toString) ++ rep
+        writeText(fs, s"$staging/_manifest_v1.tsv",
+          (header +: v1).mkString("", "\n", "\n"))
+        writeText(fs, s"$staging/_manifest.tsv",
+          (header +: v1).mkString("", "\n", "\n"))
+    }
+  }
+
+  /** The replayed partition (all fixture SFs cover January 2024). */
+  private val ReplayDay = java.time.LocalDate.of(2024, 1, 15)
+
+  /** q536: the partition-replace audit — per snapshot: files, total
+    * content, day-D content, and `outside_untouched`: every non-D
+    * manifest line identical across the replace. v1 must show day D
+    * without its %13 replays and every other day byte-identical.
+    */
+  def lakePartReplace(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureEventsTable(spark, dir)
+    val dayD = ReplayDay.toEpochDay
+    val t0 = ReplayDay.atStartOfDay()
+    val t1 = ReplayDay.plusDays(1).atStartOfDay()
+    val outside0 = readMeta(root, Some(0L)).files
+      .filterNot(_.pval.contains(dayD)).map(f => (f.path, f.nRows))
+      .toSet
+    Seq(0L, 1L).map { v =>
+      val m = readMeta(root, Some(v))
+      val df = dfForAt(spark, root, Some(v))
+      val r = df.agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+      val rd = df.filter(col("ts") >= lit(t0) && col("ts") < lit(t1))
+        .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+      val outsideV = m.files.filterNot(_.pval.contains(dayD))
+        .map(f => (f.path, f.nRows)).toSet
+      (v, m.files.length.toLong, r.getLong(0), r.getLong(1),
+        rd.getLong(0), rd.getLong(1), outsideV == outside0)
+    }.toDF("version", "n_files", "n_rows", "sum_eid", "n_day_rows",
+        "sum_day_eid", "outside_untouched")
+      .orderBy(col("version"))
+  }
+
+  /** q537: the partition×zone plan audit at v0 — per predicate: files
+    * admitted by the DECLARED PARTITION alone, files the provider
+    * plans (partition ∧ zones ∧ bloom), and the rows returned. A day
+    * probe prunes by partition; an event_id point probe cannot prune
+    * by day but blooms to a handful; a composed day+user probe prunes
+    * on both dimensions.
+    */
+  def lakePartPlanAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureEventsTable(spark, dir)
+    val m0 = readMeta(root, Some(0L))
+    val filesTotal = m0.files.length.toLong
+    val spec = m0.partSpec.get
+    val tsType = m0.schema("ts").dataType
+    def partOnly(filters: Array[Filter]): Long =
+      m0.files.count(f => filters.forall(fl => f.pval.forall(pv =>
+        spec.admits(tsType, pv, fl,
+          v => graft.sources.lake.LakeEncode
+            .toOrderedLong(tsType, v).get)))).toLong
+    val df0 = dfForAt(spark, root, Some(0L))
+    def ts(s: String) = java.time.LocalDateTime.parse(s)
+    val maxEid = Tables.events(spark, dir)
+      .agg(max(col("event_id"))).collect()(0).getLong(0)
+    val maxUid = Tables.events(spark, dir)
+      .agg(max(col("user_id"))).collect()(0).getLong(0)
+    val rows = Seq(
+      {
+        val (a, b) = (ts("2024-01-10T00:00:00"),
+          ts("2024-01-10T23:59:59"))
+        val fl = Array[Filter](GreaterThanOrEqual("ts", a),
+          LessThanOrEqual("ts", b))
+        ("1_day_one", filesTotal, partOnly(fl),
+          plannedFilesAt(root, Some(0L), fl),
+          df0.filter(col("ts") >= lit(a) && col("ts") <= lit(b))
+            .count())
+      }, {
+        val (a, b) = (ts("2024-01-10T00:00:00"),
+          ts("2024-01-12T23:59:59"))
+        val fl = Array[Filter](GreaterThanOrEqual("ts", a),
+          LessThanOrEqual("ts", b))
+        ("2_days_three", filesTotal, partOnly(fl),
+          plannedFilesAt(root, Some(0L), fl),
+          df0.filter(col("ts") >= lit(a) && col("ts") <= lit(b))
+            .count())
+      }, {
+        val fl = Array[Filter](EqualTo("event_id", maxEid))
+        ("3_eid_point", filesTotal, partOnly(fl),
+          plannedFilesAt(root, Some(0L), fl),
+          df0.filter(col("event_id") === maxEid).count())
+      }, {
+        val (a, b) = (ts("2024-01-10T00:00:00"),
+          ts("2024-01-10T23:59:59"))
+        val hi = maxUid / 10L
+        val fl = Array[Filter](GreaterThanOrEqual("ts", a),
+          LessThanOrEqual("ts", b), GreaterThanOrEqual("user_id", 0L),
+          LessThanOrEqual("user_id", hi))
+        ("4_day_user", filesTotal, partOnly(fl),
+          plannedFilesAt(root, Some(0L), fl),
+          df0.filter(col("ts") >= lit(a) && col("ts") <= lit(b) &&
+            col("user_id") >= 0L && col("user_id") <= hi).count())
+      })
+    rows.toDF("pred_id", "files_total", "files_part", "files_planned",
+        "n_rows")
+      .orderBy(col("pred_id"))
   }
 
   /** Stream one long column of a committed file in STORED row order —

@@ -80,7 +80,75 @@ class LakeTableProvider extends TableProvider {
   */
 private[graft] final case class LakeMeta(schema: StructType,
     zoneCols: Array[String], bloomCol: Option[String],
-    files: Seq[LakeFile], props: Map[String, String] = Map.empty)
+    files: Seq[LakeFile], props: Map[String, String] = Map.empty,
+    partSpec: Option[LakePartSpec] = None)
+
+/** A declared partition transform over one source column — every file
+  * carries ONE partition value ([[LakeFile.pval]]), so partition
+  * pruning is an integer predicate on the manifest exactly like
+  * zones, and a partition REPLACE is a manifest line swap. Transforms
+  * (manifest syntax → pval):
+  *  - `identity(c)`: the column's ordered-long encoding;
+  *  - `day(c)`: epoch day (micros `div` 86400e6 for timestamps, the
+  *    encoding itself for dates);
+  *  - `bucket(n,c)`: `key mod n` on an integral column — the
+  *    DETERMINISTIC bucket (not a private hash) so the DuckDB oracle
+  *    re-derives bucket membership bit-for-bit.
+  */
+private[graft] final case class LakePartSpec(transform: String,
+    col: String, n: Int) {
+
+  def render: String = transform match {
+    case "bucket" => s"bucket($n,$col)"
+    case t        => s"$t($col)"
+  }
+
+  private val MicrosPerDay = 86400000000L
+
+  /** pval of one encoded column value. `dt` is the SOURCE column's
+    * type (day-of-timestamp divides micros; day-of-date is identity).
+    */
+  def pvalOf(dt: DataType, enc: Long): Long = transform match {
+    case "identity" => enc
+    case "day" => dt match {
+      case DateType => enc
+      case _        => Math.floorDiv(enc, MicrosPerDay)
+    }
+    case "bucket" => ((enc % n) + n) % n
+    case other => sys.error(s"graft-lake: unknown transform $other")
+  }
+
+  /** File-grain partition admission for one pushed filter on the
+    * source column (encoded). Sound: monotone transforms admit the
+    * covering pval range; bucket admits only point/IN probes.
+    */
+  def admits(dt: DataType, pval: Long, filter: Filter,
+      enc: Any => Long): Boolean = filter match {
+    case EqualTo(c, v) if c == col => pval == pvalOf(dt, enc(v))
+    case In(c, vs) if c == col =>
+      vs.exists(v => pval == pvalOf(dt, enc(v)))
+    case GreaterThan(c, v) if c == col && transform != "bucket" =>
+      pval >= pvalOf(dt, enc(v))
+    case GreaterThanOrEqual(c, v) if c == col && transform != "bucket" =>
+      pval >= pvalOf(dt, enc(v))
+    case LessThan(c, v) if c == col && transform != "bucket" =>
+      pval <= pvalOf(dt, enc(v))
+    case LessThanOrEqual(c, v) if c == col && transform != "bucket" =>
+      pval <= pvalOf(dt, enc(v))
+    case _ => true
+  }
+}
+
+private[graft] object LakePartSpec {
+  private val Bucket = """bucket\((\d+),([^)]+)\)""".r
+  private val Unary = """(identity|day)\(([^)]+)\)""".r
+
+  def parse(s: String): LakePartSpec = s match {
+    case Bucket(n, c) => LakePartSpec("bucket", c, n.toInt)
+    case Unary(t, c)  => LakePartSpec(t, c, 0)
+    case other => sys.error(s"graft-lake: bad partition spec $other")
+  }
+}
 
 /** One committed data file: per-zone-column [min,max] arrays are
   * positionally aligned with [[LakeMeta.zoneCols]]; `dvPath` names
@@ -92,7 +160,7 @@ private[graft] final case class LakeMeta(schema: StructType,
 private[graft] final case class LakeFile(fileId: Long, path: String,
     nRows: Long, zMin: Array[Long], zMax: Array[Long],
     bloom: Array[Long], dvPath: Option[String] = None,
-    dvRows: Long = 0L) {
+    dvRows: Long = 0L, pval: Option[Long] = None) {
   def liveRows: Long = nRows - dvRows
 }
 
@@ -237,16 +305,18 @@ class LakeScanBuilder(root: String, version: Option[Long] = None)
   private var required: Option[StructType] = None
   private var limit: Option[Int] = None
 
-  /** A value prunes iff its zone column's type admits the ordered-long
-    * encoding for it (typed literals — date/timestamp/decimal/double —
-    * encode exactly like the writer encoded the file stats).
+  /** A value prunes iff its column is a zone column OR the declared
+    * partition source, and its type admits the ordered-long encoding
+    * (typed literals — date/timestamp/decimal/double — encode exactly
+    * like the writer encoded the file stats).
     */
   private def encodable(c: String, v: Any): Boolean =
-    meta.zoneCols.contains(c) &&
+    isZoneCol(c) &&
       meta.schema.find(_.name == c)
         .exists(f => LakeEncode.toOrderedLong(f.dataType, v).isDefined)
 
-  private def isZoneCol(c: String): Boolean = meta.zoneCols.contains(c)
+  private def isZoneCol(c: String): Boolean =
+    meta.zoneCols.contains(c) || meta.partSpec.exists(_.col == c)
 
   private def prunable(f: Filter): Boolean = f match {
     case EqualTo(c, v) => encodable(c, v)
@@ -324,7 +394,7 @@ class LakeScan(root: String, meta: LakeMeta, required: StructType,
     def point(c: String, k: Long): Boolean =
       zone(c, k, k) &&
         (!meta.bloomCol.contains(c) || LakeBloom.admits(f.bloom, k))
-    filter match {
+    val zoned = filter match {
       case EqualTo(c, v) => point(c, longV(c, v))
       case In(c, vs) => vs.exists(v => point(c, longV(c, v)))
       case GreaterThan(c, v) => zone(c, longV(c, v) + 1, Long.MaxValue)
@@ -334,7 +404,23 @@ class LakeScan(root: String, meta: LakeMeta, required: StructType,
       case LessThanOrEqual(c, v) => zone(c, Long.MinValue, longV(c, v))
       case _ => true
     }
+    zoned && partAdmits(f, filter)
   }
+
+  /** Declared-partition admission, COMPOSED with zones (a file plans
+    * only when both dimensions admit). Legacy files with no pval are
+    * always admitted.
+    */
+  private def partAdmits(f: LakeFile, filter: Filter): Boolean =
+    meta.partSpec match {
+      case None => true
+      case Some(spec) => f.pval.forall { pv =>
+        meta.schema.find(_.name == spec.col).forall { field =>
+          spec.admits(field.dataType, pv, filter,
+            v => LakeEncode.toOrderedLong(field.dataType, v).get)
+        }
+      }
+    }
 
   /** The skipping layer's whole point: consult the committed manifest
     * and PLAN only admitted files (then only a row-covering prefix

@@ -55,6 +55,10 @@ private[lake] class LakeWriteBuilder(root: String,
         meta.schema.fields.map(f => (f.name, f.dataType)).toSeq,
         s"graft-lake: append schema ${got.simpleString} does not " +
           s"match table schema ${meta.schema.simpleString}")
+      require(meta.partSpec.isEmpty,
+        "graft-lake: DSv2 append to a declared-partition table is " +
+          "not supported yet — partitioned tables commit through the " +
+          "partition committer, which keeps one pval per file")
       val batchId = Option(info.options.get("batchId")).getOrElse(
         sys.error("graft-lake: writes require a 'batchId' option — " +
           "the idempotence key a replayed commit is recognized by"))

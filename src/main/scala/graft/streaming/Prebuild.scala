@@ -67,6 +67,10 @@ object Prebuild {
         () => graft.sources.lake.GraftLake
           .readMeta(graft.sources.lake.GraftLake
             .ensureLineitemTable(spark, dir)).files.size.toLong),
+      ("lake_events",
+        () => graft.sources.lake.GraftLake
+          .readMeta(graft.sources.lake.GraftLake
+            .ensureEventsTable(spark, dir)).files.size.toLong),
       ("lake_wt_orders",
         () => graft.sources.lake.GraftLake
           .readMeta(graft.sources.lake.GraftLake

@@ -334,6 +334,38 @@ class GraftLakeSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("partition transforms: identity/day/bucket pval and admission " +
+      "semantics (sound, and exact where declared)") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan}
+    import org.apache.spark.sql.types._
+    import graft.sources.lake.{LakeEncode, LakePartSpec}
+    def encL(v: Any): Long = LakeEncode.toOrderedLong(LongType, v).get
+    val day = LakePartSpec.parse("day(ts)")
+    assert(day.pvalOf(TimestampNTZType, 86400000000L * 5 + 123L) == 5L)
+    assert(day.pvalOf(DateType, 19732L) == 19732L)
+    // day admission: a probe inside day 5 admits exactly pval 5
+    def encT(v: Any): Long =
+      LakeEncode.toOrderedLong(TimestampNTZType, v).get
+    val t = java.time.LocalDateTime.of(1970, 1, 6, 12, 0)
+    assert(day.admits(TimestampNTZType, 5L, EqualTo("ts", t), encT))
+    assert(!day.admits(TimestampNTZType, 4L, EqualTo("ts", t), encT))
+    assert(day.admits(TimestampNTZType, 5L, GreaterThan("ts", t), encT))
+    assert(!day.admits(TimestampNTZType, 4L, GreaterThan("ts", t), encT))
+    val b = LakePartSpec.parse("bucket(8,event_id)")
+    assert(b.render == "bucket(8,event_id)")
+    assert(b.pvalOf(LongType, 17L) == 1L)
+    assert(b.admits(LongType, 1L, EqualTo("event_id", 17L), encL))
+    assert(!b.admits(LongType, 2L, EqualTo("event_id", 17L), encL))
+    // bucket cannot prune ranges — must stay admitted (soundness)
+    assert(b.admits(LongType, 2L, GreaterThan("event_id", 17L), encL))
+    val id = LakePartSpec.parse("identity(k)")
+    assert(id.admits(LongType, 5L, EqualTo("k", 5L), encL))
+    assert(!id.admits(LongType, 6L, LessThan("k", 5L), encL))
+    assert(!id.admits(LongType, 4L, GreaterThan("k", 5L), encL))
+    // filters on OTHER columns never partition-prune
+    assert(b.admits(LongType, 3L, EqualTo("user_id", 17L), encL))
+  }
+
   test("bloom bitmap semantics: admits() equals the positions-subset " +
       "definition") {
     val words = new Array[Long](LakeBloom.Words)
