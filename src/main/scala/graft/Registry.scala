@@ -1577,6 +1577,13 @@ object Registry {
       graft.sources.lake.GraftLake.lakePartReplace(s, d)),
     "q537_lake_part_plan" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakePartPlanAudit(s, d)),
+    // block 98: concurrent lake writers — 6 disjoint appenders + a
+    // late duplicate + a racing OPTIMIZE on one root; deterministic
+    // end state under every interleaving
+    "q538_lake_race_census" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeRaceCensus(s, d)),
+    "q539_lake_race_state" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeRaceState(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -457,6 +457,20 @@ object OracleLake {
         "TIMESTAMP '2024-01-10 23:59:59' AND user_id >= 0 AND " +
         "user_id <= hu) FROM ett) " +
         "ORDER BY pred_id"),
+    // q538: the lake race census — 8 writers, 8 versions (create + 6
+    // disjoint appends + 1 fold; the duplicate no-ops), content mass
+    // conserved exactly once per orders row
+    "q538_lake_race_census" ->
+      ("SELECT 8::BIGINT AS n_writers, 8::BIGINT AS n_versions, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows_final, " +
+        "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys_final, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok_final, " +
+        "TRUE AS fold_committed FROM orders"),
+    // q539: the raced final state, full key grain — orders exactly
+    // once under every interleaving
+    "q539_lake_race_state" ->
+      ("SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey " +
+        "FROM orders ORDER BY o_orderkey, o_custkey"),
     // q531: snapshot expiry — keeping only v3 deletes every pre-fold
     // data file (both z-order generations) and every DV file; the
     // retained read is intact and the expired one is physically gone

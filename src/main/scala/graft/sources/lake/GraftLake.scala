@@ -195,7 +195,7 @@ object GraftLake {
     * its manifest lines — the unit an APPEND commits beside the
     * existing ones (old files are never touched or renumbered).
     */
-  private def writeFiles(spark: SparkSession, fs: FileSystem,
+  private[lake] def writeFiles(spark: SparkSession, fs: FileSystem,
       staging: String, subdir: String, filed: DataFrame,
       zoneCols: Seq[String], bloomCol: Option[String],
       partValCol: Option[String] = None): Seq[String] = {
@@ -847,6 +847,100 @@ object GraftLake {
         "n_rows")
       .orderBy(col("pred_id"))
   }
+
+  /** The RACED lake table (q538/q539, block 98 — the r17 verdict's
+    * "concurrent lake writers"): from one createTable root, EIGHT
+    * concurrent committers on their own threads — six DSv2 appenders
+    * on pairwise-disjoint orderkey classes, one DUPLICATE of class 0
+    * submitted under the same batch id (the crash-retry that arrives
+    * late, after other writers advanced the trail), and one OPTIMIZE
+    * folding whatever snapshot it reads while appends race it. Under
+    * every interleaving: versions serialize through the claim rename
+    * (ownership-verified), the duplicate lands exactly once (carried
+    * batch-id set), the fold loses no racing append (RewriteFiles
+    * semantics: replace only files read, re-base the swap on claim
+    * loss) — so the END STATE is deterministic: every orders row
+    * exactly once, 8 committed versions (v0 + 6 appends + 1 fold).
+    */
+  def ensureRaceTable(spark: SparkSession, dir: String): String = {
+    val o = ZoneMap.orders(spark, dir)
+    val fp = LedgerArtifacts.fingerprint(o,
+      Seq("o_orderkey", "o_custkey"))
+    ensureLake(spark,
+      s"lake2_race_orders_${LedgerArtifacts.dirKey(dir)}", fp) {
+      (fs, staging) =>
+        import java.util.concurrent.{Callable, Executors, TimeUnit}
+        createTable(fs, staging, StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType))),
+          Seq("o_orderkey", "o_custkey"), Some("o_orderkey"))
+        def appendSlice(cls: Int, batchId: String): Unit = o
+          .filter(col("o_orderkey") % 6 === cls)
+          .repartition(2, col("o_orderkey"))
+          .write.format(classOf[LakeTableProvider].getName)
+          .option("path", staging).option("batchId", batchId)
+          .mode("append").save()
+        val pool = Executors.newFixedThreadPool(8)
+        try {
+          val tasks: Seq[Callable[Unit]] =
+            (0 to 5).map[Callable[Unit]] { w =>
+              () => appendSlice(w, s"append-$w")
+            } ++ Seq[Callable[Unit]](
+              // the late duplicate: same slice, same batch id
+              () => appendSlice(0, "append-0"),
+              // the racing fold: retries until it commits once (the
+              // claim loop re-bases; the outer retry only covers the
+              // empty-table start)
+              () => {
+                var done = false
+                while (!done)
+                  done = LakeMaintain.optimize(spark, staging,
+                    "optimize-fold")
+              })
+          val futures = tasks.map(t => pool.submit(t))
+          futures.foreach(_.get(600, TimeUnit.SECONDS))
+        } finally pool.shutdownNow()
+        val latest = rawFileLines(fs, staging,
+          committedVersions(fs, staging).lastOption)
+        val header = "#schema\to_orderkey:long,o_custkey:long" +
+          "\to_orderkey,o_custkey\to_orderkey"
+        writeText(fs, s"$staging/_manifest.tsv",
+          (header +: latest).mkString("", "\n", "\n"))
+    }
+  }
+
+  /** q538: the post-race census on the lake — writers in, committed
+    * versions out (exactly 8: the duplicate no-oped), final content
+    * mass conserved (every orders row exactly once: a lost append, a
+    * double-applied duplicate, or a fold that dropped a racing append
+    * each break a different column), and the fold provably committed.
+    */
+  def lakeRaceCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureRaceTable(spark, dir)
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = committedVersions(fs, root)
+    val optCommitted = vs.exists(v =>
+      readMeta(root, Some(v)).props.get("batch_id")
+        .contains("optimize-fold"))
+    val fin = dfFor(spark, root)
+      .agg(count(lit(1)), sum(col("o_orderkey")),
+        countDistinct(col("o_orderkey"))).collect()(0)
+    Seq((8L, vs.length.toLong, fin.getLong(0), fin.getLong(2),
+        fin.getLong(1), optCommitted))
+      .toDF("n_writers", "n_versions", "n_rows_final", "n_keys_final",
+        "sum_ok_final", "fold_committed")
+  }
+
+  /** q539: the raced final state at FULL KEY GRAIN — deterministic
+    * under every interleaving (orders, each row once). One key
+    * dropped by the fold or doubled by the duplicate breaks the hash.
+    */
+  def lakeRaceState(spark: SparkSession, dir: String): DataFrame =
+    dfFor(spark, ensureRaceTable(spark, dir))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy(col("o_orderkey"), col("o_custkey"))
 
   /** Stream one long column of a committed file in STORED row order —
     * the DV builder's ordinal source. Parquet row order is the stored

@@ -62,6 +62,9 @@ private[lake] class LakeWriteBuilder(root: String,
       val batchId = Option(info.options.get("batchId")).getOrElse(
         sys.error("graft-lake: writes require a 'batchId' option — " +
           "the idempotence key a replayed commit is recognized by"))
+      require(!batchId.contains(',') && !batchId.contains('\t') &&
+        !batchId.contains('\n'), "graft-lake: batchId must not " +
+        "contain ',', tab or newline (it joins the carried id set)")
       new LakeBatchWrite(root, meta, batchId)
     }
   }
@@ -111,9 +114,20 @@ private[lake] class LakeBatchWrite(root: String, meta: LakeMeta,
       val latestVs = GraftLake.committedVersions(fs, root)
       val latest = GraftLake.readMeta(root,
         if (latestVs.nonEmpty) Some(latestVs.max) else None)
-      if (latest.props.get("batch_id").contains(batchId)) {
-        // committed retry: the snapshot this batch wrote is already
-        // the latest — idempotent no-op (our staged data files are
+      // replay check against the CARRIED batch-id set, not just the
+      // latest commit's own id: under concurrent writers a duplicate
+      // submission can arrive arbitrarily many commits after its twin
+      // landed (the lake race fixture exercises exactly this). The
+      // set is capped — the documented retention window for retry
+      // recognition, the same contract as per-app txn versions in a
+      // real format's log.
+      val seen = latest.props.get("batch_ids")
+        .map(_.split(',').filter(_.nonEmpty).toSeq)
+        .getOrElse(latest.props.get("batch_id")
+          .filter(_ != "-").toSeq)
+      if (seen.contains(batchId)) {
+        // committed retry: this batch's snapshot is already on the
+        // trail — idempotent no-op (our staged data files are
         // manifest-unreferenced garbage; drop them now)
         fs.delete(new HPath(s"$root/$dataSubdir"), true)
         return
@@ -129,7 +143,9 @@ private[lake] class LakeBatchWrite(root: String, meta: LakeMeta,
       val header = s"#schema\t${meta.schema.fields.map(f =>
         s"${f.name}:${LakeEncode.typeName(f.dataType)}").mkString(",")
         }\t${meta.zoneCols.mkString(",")}\t${meta.bloomCol.getOrElse("-")}"
-      val props = s"#props\tbatch_id=$batchId\tversion=$nextV"
+      val props = s"#props\tbatch_id=$batchId\tversion=$nextV" +
+        s"\tbatch_ids=${((seen :+ batchId).distinct.takeRight(256))
+          .mkString(",")}"
       val existing = GraftLake.rawFileLines(fs, root, latestVs.lastOption)
       val body = (Seq(header, props) ++ existing ++ lines)
         .mkString("", "\n", "\n")
@@ -153,6 +169,98 @@ private[lake] class LakeBatchWrite(root: String, meta: LakeMeta,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new HPath(root).getFileSystem(GraftLake.hadoopConf)
     fs.delete(new HPath(s"$root/$dataSubdir"), true)
+  }
+}
+
+/** OPTIMIZE as a CONCURRENT committer (q538/q539, block 98): fold the
+  * files of the snapshot it read into a fresh zone-sorted layout and
+  * commit the swap through the same claim protocol as appends — and,
+  * like Iceberg's RewriteFiles, survive RACING appenders: the rewrite
+  * replaces exactly the FILES IT READ; a lost version claim recomputes
+  * the manifest against the new latest (keeping the racer's appended
+  * lines verbatim) without re-writing any data. Data is written once;
+  * only the metadata swap retries.
+  */
+private[graft] object LakeMaintain {
+
+  /** Returns true when this call committed the fold; false when the
+    * table was empty or `batchId` already committed (replay).
+    */
+  def optimize(spark: SparkSession, root: String, batchId: String,
+      rowsPerFile: Long = 256L): Boolean = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val fs = new HPath(root).getFileSystem(GraftLake.hadoopConf)
+    val baseVs = GraftLake.committedVersions(fs, root)
+    val base = GraftLake.readMeta(root, baseVs.lastOption)
+    if (base.files.isEmpty) return false
+    require(base.files.forall(_.dvPath.isEmpty),
+      "graft-lake: concurrent optimize handles DV-free tables " +
+        "(DV folding goes through the single-writer OPTIMIZE)")
+    val fPaths = base.files.map(_.path).toSet
+    // rewrite the read snapshot's rows: zone-sorted uniform files.
+    // The exact-rank window is the fixture's determinism, as in every
+    // layout family (class (a) of the window boundary).
+    val rd = spark.read.format(classOf[LakeTableProvider].getName)
+      .option("path", root)
+    val df = (baseVs.lastOption match {
+      case Some(v) => rd.option("versionAsOf", v.toString)
+      case None    => rd
+    }).load()
+    val sortCols = base.zoneCols.toSeq.map(col)
+    val filed = df
+      .withColumn("rn",
+        row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
+      .withColumn("file_id", expr(s"(rn - 1L) div ${rowsPerFile}L"))
+      .drop("rn")
+    val subdir = s"data_o${UUID.randomUUID.toString.take(12)}"
+    val written = GraftLake.writeFiles(spark, fs, root, subdir, filed,
+      base.zoneCols.toSeq, base.bloomCol)
+    val header = s"#schema\t${base.schema.fields.map(f =>
+      s"${f.name}:${LakeEncode.typeName(f.dataType)}").mkString(",")
+      }\t${base.zoneCols.mkString(",")}\t${base.bloomCol.getOrElse("-")}"
+    val stagingUuid = UUID.randomUUID.toString.take(12)
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val latestVs = GraftLake.committedVersions(fs, root)
+      val latest = GraftLake.readMeta(root, latestVs.lastOption)
+      val seen = latest.props.get("batch_ids")
+        .map(_.split(',').filter(_.nonEmpty).toSeq)
+        .getOrElse(latest.props.get("batch_id").filter(_ != "-").toSeq)
+      if (seen.contains(batchId)) {
+        fs.delete(new HPath(s"$root/$subdir"), true)
+        return false
+      }
+      val nextV = if (latestVs.nonEmpty) latestVs.max + 1 else 1L
+      // keep every line the rewrite did NOT read (racing appends ride
+      // verbatim); renumber the rewrite's manifest ids into a fresh
+      // range (paths are opaque — the id is only a plan-order key)
+      val kept = GraftLake.rawFileLines(fs, root, latestVs.lastOption)
+        .filterNot(l => fPaths.contains(l.split('\t')(1)))
+      val maxId = (kept.map(_.split('\t')(0).toLong) ++ Seq(-1L)).max
+      val renumbered = written.zipWithIndex.map { case (l, i) =>
+        val f = l.split('\t')
+        ((maxId + 1 + i).toString +: f.tail).mkString("\t")
+      }
+      val props = s"#props\tbatch_id=$batchId\tversion=$nextV" +
+        s"\tbatch_ids=${((seen :+ batchId).distinct.takeRight(256))
+          .mkString(",")}"
+      val body = (Seq(header, props) ++ kept ++ renumbered)
+        .mkString("", "\n", "\n")
+      val staging = s"$root/_staging_c_$stagingUuid"
+      fs.delete(new HPath(staging), true)
+      val out = fs.create(new HPath(s"$staging/manifest.tsv"), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      val dest = new HPath(s"$root/_commit_v$nextV")
+      if (!fs.exists(dest) && fs.rename(new HPath(staging), dest)) {
+        val nested = new HPath(dest, new HPath(staging).getName)
+        if (!fs.exists(nested)) return true
+        fs.delete(nested, true)
+      } else fs.delete(new HPath(staging), true)
+    }
+    sys.error(s"graft-lake: optimize of $root lost $attempts " +
+      "consecutive version claims — giving up")
   }
 }
 

@@ -75,6 +75,10 @@ object Prebuild {
         () => graft.sources.lake.GraftLake
           .readMeta(graft.sources.lake.GraftLake
             .ensureWriteTable(spark, dir)).files.size.toLong),
+      ("lake_race_orders",
+        () => graft.sources.lake.GraftLake
+          .readMeta(graft.sources.lake.GraftLake
+            .ensureRaceTable(spark, dir)).files.size.toLong),
       ("join_stats",
         () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
           .count()),

@@ -109,6 +109,56 @@ class LakeWriteSpec extends SparkSpec {
       noId.getCause != null)
   }
 
+  test("the 8-writer race: disjoint appends + a late duplicate + a " +
+      "racing fold converge to the exact-once end state, 3 rounds") {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    import graft.sources.lake.LakeMaintain
+    (1 to 3).foreach { round =>
+      val root = freshRoot()
+      val pool = Executors.newFixedThreadPool(8)
+      try {
+        val tasks: Seq[Callable[Unit]] =
+          (0 to 5).map[Callable[Unit]] { w =>
+            () => {
+              import spark.implicits._
+              (0L until 600L).filter(_ % 6 == w).map(k => (k, k % 7))
+                .toDF("o_orderkey", "o_custkey")
+                .repartition(2, col("o_orderkey"))
+                .write.format(
+                  classOf[graft.sources.lake.LakeTableProvider].getName)
+                .option("path", root).option("batchId", s"b$w")
+                .mode("append").save()
+            }
+          } ++ Seq[Callable[Unit]](
+            () => {
+              import spark.implicits._
+              (0L until 600L).filter(_ % 6 == 0).map(k => (k, k % 7))
+                .toDF("o_orderkey", "o_custkey")
+                .repartition(2, col("o_orderkey"))
+                .write.format(
+                  classOf[graft.sources.lake.LakeTableProvider].getName)
+                .option("path", root).option("batchId", "b0")
+                .mode("append").save()
+            },
+            () => {
+              var done = false
+              while (!done)
+                done = LakeMaintain.optimize(spark, root, "fold")
+            })
+        tasks.map(t => pool.submit(t))
+          .foreach(_.get(600, TimeUnit.SECONDS))
+      } finally pool.shutdownNow()
+      val fs = new HPath(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(GraftLake.committedVersions(fs, root).length == 8,
+        s"round $round: create + 6 appends + 1 fold, duplicate no-ops")
+      val keys = scan(root).collect().map(_.getLong(0)).sorted
+      assert(keys.toSeq == (0L until 600L).toSeq,
+        s"round $round: every key exactly once")
+      Caches.releaseAll(spark)
+    }
+  }
+
   test("writer-folded zones and bloom prune the written table " +
       "exactly like build-time stats") {
     import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThanOrEqual}

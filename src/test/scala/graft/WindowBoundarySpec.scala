@@ -39,6 +39,9 @@ class WindowBoundarySpec extends SparkSpec {
     // exact-rank file-cut machinery as ZoneMap, on a narrow
     // projection
     "sources/lake/GraftLake.scala" -> 2,
+    // class (a): the concurrent OPTIMIZE's exact-rank re-cluster of
+    // the snapshot it folds — a maintenance commit, not a query path
+    "sources/lake/LakeWrite.scala" -> 1,
     "operators/DeletionVectors.scala" -> 2,
     "operators/BloomSkipping.scala" -> 1,
     "operators/Analytics.scala" -> 1,
