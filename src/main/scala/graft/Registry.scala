@@ -1584,6 +1584,12 @@ object Registry {
       graft.sources.lake.GraftLake.lakeRaceCensus(s, d)),
     "q539_lake_race_state" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeRaceState(s, d)),
+    // block 99: streaming sink into the lake — foreachBatch appends
+    // snapshots batch-id-keyed; a replayed micro-batch no-ops
+    "q540_lake_stream_audit" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeStreamAudit(s, d)),
+    "q541_lake_stream_twin" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeStreamTwin(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -471,6 +471,20 @@ object OracleLake {
     "q539_lake_race_state" ->
       ("SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey " +
         "FROM orders ORDER BY o_orderkey, o_custkey"),
+    // q540: the streaming sink's snapshot trail — 6 versions (create
+    // + 5 one-file micro-batches; the replayed batch no-ops), content
+    // mass = the whole feed exactly once
+    "q540_lake_stream_audit" ->
+      ("SELECT 6::BIGINT AS n_versions, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_keys, " +
+        "CAST(SUM(event_id) AS BIGINT) AS sum_eid FROM events"),
+    // q541: the streaming-sunk table vs the batch twin at user grain
+    "q541_lake_stream_twin" ->
+      ("SELECT user_id % 100 AS user_bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(SUM(event_id) AS BIGINT) AS sum_eid " +
+        "FROM events GROUP BY user_bucket ORDER BY user_bucket"),
     // q531: snapshot expiry — keeping only v3 deletes every pre-fold
     // data file (both z-order generations) and every DV file; the
     // retained read is intact and the expired one is physically gone

@@ -942,6 +942,118 @@ object GraftLake {
       .select(col("o_orderkey"), col("o_custkey"))
       .orderBy(col("o_orderkey"), col("o_custkey"))
 
+  /** The STREAMING-SUNK lake table (q540/q541, block 99 — the r17
+    * verdict's "streaming sink into the lake"): a Structured Streaming
+    * drain whose `foreachBatch` APPENDS each micro-batch to the format
+    * through the DSv2 write path, batch-id-keyed (`stream-<id>`) so a
+    * crash-replayed micro-batch commits exactly once — the
+    * VersionedLedger idempotence discipline, on the engine's own
+    * table format. The fixture stages the events corpus as a 5-file
+    * feed, drains it one file per trigger (5 snapshot commits), then
+    * REPLAYS batch 0 through the same sink function — which must
+    * no-op, and q540 pins it (6 committed versions, not 7).
+    */
+  def ensureStreamTable(spark: SparkSession, dir: String): String = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val fp = LedgerArtifacts.fingerprint(
+      ev.select(col("event_id"), col("user_id")),
+      Seq("event_id", "user_id"))
+    ensureLake(spark,
+      s"lake2_stream_events_${LedgerArtifacts.dirKey(dir)}", fp) {
+      (fs, staging) =>
+        val feed = s"$staging/_feed"
+        ev.repartition(5).write.mode("overwrite").parquet(feed)
+        val table = s"$staging/table"
+        createTable(fs, table, StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", org.apache.spark.sql.types
+            .TimestampNTZType),
+          StructField("user_id", LongType))),
+          Seq("ts", "event_id"), Some("event_id"))
+        def sinkBatch(batch: DataFrame, id: Long): Unit = batch
+          .select(col("event_id"), col("ts"), col("user_id"))
+          .write.format(classOf[LakeTableProvider].getName)
+          .option("path", table).option("batchId", s"stream-$id")
+          .mode("append").save()
+        val prevNoData = spark.conf
+          .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        spark.conf
+          .set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        try {
+          val q = spark.readStream
+            .schema(StructType(Seq(
+              StructField("event_id", LongType),
+              StructField("ts", org.apache.spark.sql.types
+                .TimestampNTZType),
+              StructField("user_id", LongType))))
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed)
+            .writeStream
+            .outputMode(org.apache.spark.sql.streaming.OutputMode
+              .Append())
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], id: Long) => sinkBatch(b, id) }
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .AvailableNow())
+            .option("checkpointLocation", s"$staging/_checkpoint")
+            .start()
+          q.awaitTermination()
+        } finally spark.conf.set(
+          "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        // the crash replay: micro-batch 0 re-submitted through the
+        // SAME sink function — recognized by its batch id, no-ops
+        sinkBatch(spark.read.parquet(feed).limit(0), 0L)
+        sinkBatch(spark.read
+          .schema("event_id long, ts timestamp_ntz, user_id long")
+          .parquet(feed), 0L)
+        // compat copy for the freshness marker — paths re-anchored at
+        // the artifact root (the table lives under table/)
+        val latest = rawFileLines(fs, table,
+          committedVersions(fs, table).lastOption)
+          .map { l =>
+            val f = l.split('\t')
+            (f.take(1) ++ Array(s"table/${f(1)}") ++ f.drop(2))
+              .mkString("\t")
+          }
+        val header = "#schema\tevent_id:long,ts:timestamp_ntz," +
+          "user_id:long\tts,event_id\tevent_id"
+        writeText(fs, s"$staging/_manifest.tsv",
+          (header +: latest).mkString("", "\n", "\n"))
+    }
+  }
+
+  /** q540: the streaming-sink audit — committed versions (create + 5
+    * micro-batch appends; the replayed batch 0 no-ops), final content
+    * mass through the provider, and conservation vs the feed.
+    */
+  def lakeStreamAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureStreamTable(spark, dir)
+    val table = s"$root/table"
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = committedVersions(fs, table)
+    val fin = dfFor(spark, table)
+      .agg(count(lit(1)), sum(col("event_id")),
+        countDistinct(col("event_id"))).collect()(0)
+    Seq((vs.length.toLong, fin.getLong(0), fin.getLong(2),
+        fin.getLong(1)))
+      .toDF("n_versions", "n_rows", "n_keys", "sum_eid")
+  }
+
+  /** q541: the streaming-sunk table vs the batch twin at USER grain —
+    * per user-id bucket: events and id mass, hash-matched against
+    * DuckDB over raw events (one micro-batch lost, doubled, or torn
+    * breaks it).
+    */
+  def lakeStreamTwin(spark: SparkSession, dir: String): DataFrame =
+    dfFor(spark, s"${ensureStreamTable(spark, dir)}/table")
+      .groupBy((col("user_id") % 100L).as("user_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_eid"))
+      .orderBy(col("user_bucket"))
+
   /** Stream one long column of a committed file in STORED row order —
     * the DV builder's ordinal source. Parquet row order is the stored
     * order under any reader, so these ordinals agree with the

@@ -108,6 +108,12 @@ private[lake] class LakeBatchWrite(root: String, meta: LakeMeta,
     val stats = messages.collect {
       case m: LakeFileStats if m.nRows > 0 => m
     }.sortBy(_.partitionId)
+    if (stats.isEmpty) {
+      // an empty append commits nothing — keeps version counts free
+      // of no-data micro-batches (a streaming sink's trailing batch)
+      fs.delete(new HPath(s"$root/$dataSubdir"), true)
+      return
+    }
     var attempts = 0
     while (attempts < 64) {
       attempts += 1

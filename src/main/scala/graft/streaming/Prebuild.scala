@@ -75,6 +75,9 @@ object Prebuild {
         () => graft.sources.lake.GraftLake
           .readMeta(graft.sources.lake.GraftLake
             .ensureWriteTable(spark, dir)).files.size.toLong),
+      ("lake_stream_events",
+        () => { graft.sources.lake.GraftLake
+          .ensureStreamTable(spark, dir); 1L }),
       ("lake_race_orders",
         () => graft.sources.lake.GraftLake
           .readMeta(graft.sources.lake.GraftLake
