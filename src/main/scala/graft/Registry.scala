@@ -1590,6 +1590,10 @@ object Registry {
       graft.sources.lake.GraftLake.lakeStreamAudit(s, d)),
     "q541_lake_stream_twin" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeStreamTwin(s, d)),
+    // block 100: schema evolution on the manifest — add column +
+    // int->long widen, data never rewritten, AS OF across the boundary
+    "q542_lake_evolution_audit" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeEvolutionAudit(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -485,6 +485,31 @@ object OracleLake {
         "CAST(COUNT(*) AS BIGINT) AS n_events, " +
         "CAST(SUM(event_id) AS BIGINT) AS sum_eid " +
         "FROM events GROUP BY user_bucket ORDER BY user_bucket"),
+    // q542: schema evolution across the boundary — v0 empty 2-col,
+    // v1 the prefix in (k, cnt:int), v2 same rows re-declared 3-col
+    // widened, v3 the tail appended with notes; cnt mass identical
+    // across the v1→v2 boundary (the widen is metadata-only)
+    "q542_lake_evolution_audit" ->
+      ("WITH st AS (SELECT (MAX(o_orderkey) + 3) // 3 AS step " +
+        "FROM orders), " +
+        "pre AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(o_custkey AS BIGINT)) AS BIGINT) AS s " +
+        "FROM orders, st WHERE o_orderkey < 2 * step), " +
+        "al AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(o_custkey AS BIGINT)) AS BIGINT) AS s " +
+        "FROM orders), " +
+        "tl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders, st " +
+        "WHERE o_orderkey >= 2 * step) " +
+        "SELECT * FROM (" +
+        "SELECT 0::BIGINT AS version, 2::BIGINT AS n_cols, " +
+        "0::BIGINT AS n_rows, 0::BIGINT AS sum_cnt, " +
+        "0::BIGINT AS n_notes " +
+        "UNION ALL SELECT 1::BIGINT, 2::BIGINT, n, s, 0::BIGINT " +
+        "FROM pre " +
+        "UNION ALL SELECT 2::BIGINT, 3::BIGINT, n, s, 0::BIGINT " +
+        "FROM pre " +
+        "UNION ALL SELECT 3::BIGINT, 3::BIGINT, al.n, al.s, tl.n " +
+        "FROM al, tl) ORDER BY version"),
     // q531: snapshot expiry — keeping only v3 deletes every pre-fold
     // data file (both z-order generations) and every DV file; the
     // retained read is intact and the expired one is physically gone

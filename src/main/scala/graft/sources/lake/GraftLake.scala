@@ -1054,6 +1054,127 @@ object GraftLake {
         sum(col("event_id")).as("sum_eid"))
       .orderBy(col("user_bucket"))
 
+  /** SCHEMA EVOLUTION on the format (q542, block 100 — the r17
+    * verdict's last item): commit a snapshot that declares a NEW
+    * schema over the SAME file lines — add column (old files
+    * null-backfill at read) and int→long widen (the vectorized
+    * reader's IntegerToLongUpdater up-casts old int32 pages in
+    * place). Data is never rewritten; every pre-evolution snapshot
+    * keeps answering in ITS OWN declared schema — the q431/q432
+    * widen-and-backfill discipline, manifest-native.
+    */
+  private[graft] def evolveSchema(fs: FileSystem, root: String,
+      newSchema: StructType, batchId: String): Unit = {
+    val vs = committedVersions(fs, root)
+    val latest = readMeta(root, vs.lastOption)
+    latest.schema.fields.foreach { f =>
+      val nf = newSchema.find(_.name == f.name).getOrElse(
+        sys.error(s"graft-lake: evolution drops column ${f.name} — " +
+          "only additive evolution is supported"))
+      require(nf.dataType == f.dataType ||
+        (f.dataType == org.apache.spark.sql.types.IntegerType &&
+          nf.dataType == LongType),
+        s"graft-lake: illegal evolution ${f.dataType} -> " +
+          s"${nf.dataType} for ${f.name} (add or int->long widen only)")
+    }
+    val header = s"#schema\t${newSchema.fields.map(f =>
+      s"${f.name}:${LakeEncode.typeName(f.dataType)}").mkString(",")
+      }\t${latest.zoneCols.mkString(",")}\t${
+      latest.bloomCol.getOrElse("-")}" +
+      latest.partSpec.fold("")(s => s"\t${s.render}")
+    val seen = latest.props.get("batch_ids")
+      .map(_.split(',').filter(_.nonEmpty).toSeq)
+      .getOrElse(latest.props.get("batch_id").filter(_ != "-").toSeq)
+    if (seen.contains(batchId)) return
+    val nextV = (vs :+ -1L).max + 1
+    val props = s"#props\tbatch_id=$batchId\tversion=$nextV" +
+      s"\tbatch_ids=${((seen :+ batchId).distinct.takeRight(256))
+        .mkString(",")}"
+    val lines = rawFileLines(fs, root, vs.lastOption)
+    val stagingDir = s"$root/_staging_c_evolve"
+    fs.delete(new HPath(stagingDir), true)
+    writeText(fs, s"$stagingDir/manifest.tsv",
+      (Seq(header, props) ++ lines).mkString("", "\n", "\n"))
+    val dest = new HPath(s"$root/_commit_v$nextV")
+    if (fs.exists(dest) ||
+        !fs.rename(new HPath(stagingDir), dest))
+      sys.error(s"graft-lake: evolution commit of $root lost its " +
+        s"version claim (single-writer evolution)")
+  }
+
+  /** The EVOLVED orders instance: created (k long, cnt int), filled
+    * with the order prefix, evolved to (k long, cnt long, note
+    * string), then appended under the new schema — four snapshots
+    * across the boundary.
+    */
+  def ensureEvoTable(spark: SparkSession, dir: String): String = {
+    val o = ZoneMap.orders(spark, dir)
+    val fp = LedgerArtifacts.fingerprint(o,
+      Seq("o_orderkey", "o_custkey"))
+    ensureLake(spark,
+      s"lake2_evo_orders_${LedgerArtifacts.dirKey(dir)}", fp) {
+      (fs, staging) =>
+        createTable(fs, staging, StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("cnt", org.apache.spark.sql.types.IntegerType))),
+          Seq("o_orderkey"), None)
+        val maxOk = o.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val step = (maxOk + 3) / 3
+        o.filter(col("o_orderkey") < 2 * step)
+          .select(col("o_orderkey"),
+            col("o_custkey").cast("int").as("cnt"))
+          .repartition(3, col("o_orderkey"))
+          .write.format(classOf[LakeTableProvider].getName)
+          .option("path", staging).option("batchId", "pre")
+          .mode("append").save()
+        evolveSchema(fs, staging, StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("cnt", LongType),
+          StructField("note", StringType))), "evolve")
+        o.filter(col("o_orderkey") >= 2 * step)
+          .select(col("o_orderkey"),
+            col("o_custkey").cast("long").as("cnt"),
+            concat(lit("c"), col("o_custkey")).as("note"))
+          .repartition(3, col("o_orderkey"))
+          .write.format(classOf[LakeTableProvider].getName)
+          .option("path", staging).option("batchId", "post")
+          .mode("append").save()
+        val latest = rawFileLines(fs, staging,
+          committedVersions(fs, staging).lastOption)
+        val header = "#schema\to_orderkey:long,cnt:long,note:string" +
+          "\to_orderkey\t-"
+        writeText(fs, s"$staging/_manifest.tsv",
+          (header +: latest).mkString("", "\n", "\n"))
+    }
+  }
+
+  /** q542: the evolution audit — per snapshot ACROSS the boundary:
+    * declared column count, rows, cnt mass (old int32 pages up-cast
+    * where the declared type is long), and non-null notes (old files
+    * null-backfill). A pre-evolution snapshot answering with 3
+    * columns, or a post-evolution read dropping the backfill, breaks
+    * a column.
+    */
+  def lakeEvolutionAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureEvoTable(spark, dir)
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = committedVersions(fs, root).map { v =>
+      val m = readMeta(root, Some(v))
+      val df = dfForAt(spark, root, Some(v))
+      val hasNote = m.schema.fieldNames.contains("note")
+      val agg = df.agg(count(lit(1)),
+        coalesce(sum(col("cnt").cast("long")), lit(0L)),
+        if (hasNote) count(col("note")) else lit(0L).as("n"))
+        .collect()(0)
+      (v, m.schema.fields.length.toLong, agg.getLong(0),
+        agg.getLong(1), agg.getLong(2))
+    }
+    rows.toDF("version", "n_cols", "n_rows", "sum_cnt", "n_notes")
+      .orderBy(col("version"))
+  }
+
   /** Stream one long column of a committed file in STORED row order —
     * the DV builder's ordinal source. Parquet row order is the stored
     * order under any reader, so these ordinals agree with the

@@ -78,6 +78,10 @@ object Prebuild {
       ("lake_stream_events",
         () => { graft.sources.lake.GraftLake
           .ensureStreamTable(spark, dir); 1L }),
+      ("lake_evo_orders",
+        () => graft.sources.lake.GraftLake
+          .readMeta(graft.sources.lake.GraftLake
+            .ensureEvoTable(spark, dir)).files.size.toLong),
       ("lake_race_orders",
         () => graft.sources.lake.GraftLake
           .readMeta(graft.sources.lake.GraftLake
