@@ -1594,6 +1594,11 @@ object Registry {
     // int->long widen, data never rewritten, AS OF across the boundary
     "q542_lake_evolution_audit" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeEvolutionAudit(s, d)),
+    // block 101: the ledgers UNIFIED with the lake — versioned-ledger
+    // state reads (AS OF q512/q513, CDF diff q452/q486) go through
+    // LakeTableProvider over footer-bridged manifests
+    "q543_lake_ledger_head" -> ((s, d) =>
+      graft.sources.lake.LakeLedger.lakeLedgerHead(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -510,6 +510,12 @@ object OracleLake {
         "FROM pre " +
         "UNION ALL SELECT 3::BIGINT, 3::BIGINT, al.n, al.s, tl.n " +
         "FROM al, tl) ORDER BY version"),
+    // q543: the bridged registry ledger's head through the provider —
+    // the drained registry equals the full corpus per source
+    "q543_lake_ledger_head" ->
+      ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents " +
+        "GROUP BY source ORDER BY source"),
     // q531: snapshot expiry — keeping only v3 deletes every pre-fold
     // data file (both z-order generations) and every DV file; the
     // retained read is intact and the expired one is physically gone

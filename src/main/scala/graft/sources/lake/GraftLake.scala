@@ -153,10 +153,13 @@ object GraftLake {
       .flatMap(_.split('\t').drop(1))
       .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
       .toMap
+    def longs(s: String): Array[Long] =
+      if (s == "-" || s.isEmpty) Array.empty[Long]
+      else s.split(',').map(_.toLong)
     val files = lines.tail.filterNot(_.startsWith("#")).map { line =>
       val f = line.split('\t')
       LakeFile(f(0).toLong, f(1), f(2).toLong,
-        f(3).split(',').map(_.toLong), f(4).split(',').map(_.toLong),
+        longs(f(3)), longs(f(4)),
         if (f(5) == "-") Array.empty[Long]
         else f(5).split(',').map(_.toLong),
         if (f.length > 6 && f(6) != "-") Some(f(6)) else None,

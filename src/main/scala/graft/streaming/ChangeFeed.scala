@@ -66,24 +66,26 @@ object ChangeFeed {
 
   private[graft] def feedFromRegistry(spark: SparkSession,
       root: String): DataFrame =
-    pairs(spark, root).map { case (_, pf, vt, pt) =>
+    pairs(spark, root).map { case (vf, pf, vt, pt) =>
       if (Provenance.hasCommittedChangeset(spark, pt))
         spark.read.parquet(s"$pt/_changeset")
           .select(lit(vt).as("version_to"), col("change_type"),
             col("doc_id"), col("source"), col("n_chars"))
-      else diffFeedVersion(spark, pf, vt, pt)
+      else diffFeedVersion(spark, root, vf, vt)
     }.reduce(_.unionByName(_))
       .orderBy(col("version_to"), col("change_type"), col("doc_id"))
 
   /** The diff recovery of one version's change rows — the fallback
-    * for undeclared versions and the q486 parity side.
+    * for undeclared versions and the q486 parity side. Both version
+    * STATES read through the lake provider (the bridged ledger — one
+    * table abstraction; `_changeset` metadata rides beside it).
     */
-  private def diffFeedVersion(spark: SparkSession, pf: String, vt: Long,
-      pt: String): DataFrame = {
-    val prev = spark.read.parquet(pf)
+  private def diffFeedVersion(spark: SparkSession, root: String,
+      vf: Long, vt: Long): DataFrame = {
+    val prev = graft.sources.lake.LakeLedger.versionDf(spark, root, vf)
       .select(col("doc_id"), col("source").as("old_source"),
         col("n_chars").as("old_n_chars"))
-    val cur = spark.read.parquet(pt)
+    val cur = graft.sources.lake.LakeLedger.versionDf(spark, root, vt)
       .select(col("doc_id"), col("source"), col("n_chars"))
     cur.join(prev, Seq("doc_id"), "full_outer")
       .withColumn("change_type",
@@ -108,10 +110,10 @@ object ChangeFeed {
   def cdfStorageParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (_, root) = Erasure.erasedRegistryLedgerShared(spark, dir)
-    pairs(spark, root).map { case (_, pf, vt, pt) =>
+    pairs(spark, root).map { case (vf, _, vt, pt) =>
       val stored = spark.read.parquet(s"$pt/_changeset")
         .select(col("change_type"), col("doc_id"))
-      val diffed = diffFeedVersion(spark, pf, vt, pt)
+      val diffed = diffFeedVersion(spark, root, vf, vt)
         .select(col("change_type"), col("doc_id"))
       val nStored = stored.count()
       val nDiffed = diffed.count()

@@ -128,7 +128,11 @@ object Provenance {
         s"${floor._1} (committed at ${floor._3}); versions below the " +
         s"floor were vacuumed and their history is physically gone")
     }
-    spark.read.parquet(candidates.maxBy(_._1)._4)
+    // the resolved state reads THROUGH the lake provider — the
+    // ledger bridged into the one table abstraction (footer-lifted
+    // zones, versionAsOf = the ledger version)
+    graft.sources.lake.LakeLedger.versionDf(spark, root,
+      candidates.maxBy(_._1)._1)
   }
 
   private val docsSchema = StructType(Seq(
