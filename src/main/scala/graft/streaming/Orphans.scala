@@ -55,20 +55,28 @@ object Orphans {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = Provenance.committedVersions(spark, root)
-      .map(v => new Path(v._3).getName).toSet
-    fs.listStatus(new Path(root)).toSeq.map { st =>
-      val name = st.getPath.getName
-      val kind =
-        if (committed.contains(name)) "committed_version"
-        else if (st.isDirectory && name.startsWith("b") &&
-          !name.contains("staging")) "orphan_uncommitted"
-        else "orphan_foreign"
-      val nRows =
-        if (kind == "orphan_foreign") 0L
-        else spark.read.parquet(st.getPath.toString).count()
-      (name, kind, nRows)
-    }.sortBy(_._1)
+    val versions = Provenance.committedVersions(spark, root)
+    val committed = versions.map(v => new Path(v._3).getName).toSet
+    // a committed version's LAKE BRIDGE manifest (`_commit_v<N>`,
+    // LakeLedger) is that snapshot's own derived metadata — it lives
+    // and dies with the version, so it is neither an entry of its own
+    // nor an orphan; an UNMATCHED bridge (its version vacuumed) stays
+    // orphan_foreign and falls to GC like any strand
+    val bridged = versions.map(v => s"_commit_v${v._1}").toSet
+    fs.listStatus(new Path(root)).toSeq
+      .filterNot(st => bridged.contains(st.getPath.getName))
+      .map { st =>
+        val name = st.getPath.getName
+        val kind =
+          if (committed.contains(name)) "committed_version"
+          else if (st.isDirectory && name.startsWith("b") &&
+            !name.contains("staging")) "orphan_uncommitted"
+          else "orphan_foreign"
+        val nRows =
+          if (kind == "orphan_foreign") 0L
+          else spark.read.parquet(st.getPath.toString).count()
+        (name, kind, nRows)
+      }.sortBy(_._1)
   }
 
   /** Default orphan retention: entries younger than this survive GC.
@@ -92,8 +100,12 @@ object Orphans {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = Provenance.committedVersions(spark, root)
-      .map(v => new Path(v._3).getName).toSet
+    val versions = Provenance.committedVersions(spark, root)
+    val committed = versions.map(v => new Path(v._3).getName).toSet ++
+      // a live version's lake-bridge manifest is its metadata; an
+      // unmatched bridge (version vacuumed) is GC'able like any
+      // strand (LakeLedger rebuilds bridges on demand anyway)
+      versions.map(v => s"_commit_v${v._1}")
     val cutoff = System.currentTimeMillis() - minAgeMs
     fs.listStatus(new Path(root))
       .filter(st => !committed.contains(st.getPath.getName))
