@@ -1287,7 +1287,7 @@ object GraftLake {
       filters: Array[Filter]): Long = {
     val sb = new LakeScanBuilder(root, version)
     sb.pushFilters(filters)
-    sb.build().asInstanceOf[LakeScan].planInputPartitions().length.toLong
+    sb.build().asInstanceOf[LakeScan].plannedFiles.length.toLong
   }
 
   /** q528: a pruned aggregate through the provider PINNED AT the DV
@@ -1509,7 +1509,7 @@ object GraftLake {
       filters: Array[Filter]): Long = {
     val sb = new LakeScanBuilder(root)
     sb.pushFilters(filters)
-    sb.build().asInstanceOf[LakeScan].planInputPartitions().length.toLong
+    sb.build().asInstanceOf[LakeScan].plannedFiles.length.toLong
   }
 
   /** Planned-file count under a pushed LIMIT (no filters). */
@@ -1517,7 +1517,19 @@ object GraftLake {
       n: Int): Long = {
     val sb = new LakeScanBuilder(root)
     sb.pushLimit(n)
-    sb.build().asInstanceOf[LakeScan].planInputPartitions().length.toLong
+    sb.build().asInstanceOf[LakeScan].plannedFiles.length.toLong
+  }
+
+  /** Planned INPUT PARTITIONS (bin-packed splits) for a filter set —
+    * what the physical scan actually launches; ≤ the planned-file
+    * count by the packing discipline.
+    */
+  private[graft] def plannedSplits(root: String,
+      filters: Array[Filter]): Long = {
+    val sb = new LakeScanBuilder(root)
+    sb.pushFilters(filters)
+    sb.build().asInstanceOf[LakeScan].planInputPartitions().length
+      .toLong
   }
 
   /** q507: a pruned aggregate THROUGH the provider — the o_custkey

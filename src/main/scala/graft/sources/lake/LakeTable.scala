@@ -355,11 +355,17 @@ class LakeScanBuilder(root: String, version: Option[Long] = None)
       limit)
 }
 
-/** One data file = one input partition (post-pruning), with its
-  * deletion vector when one is committed.
+/** One input partition = a BIN-PACKED run of admitted files (each
+  * with its deletion vector when one is committed). One-task-per-file
+  * does not survive scale — a million-file table must not launch a
+  * million tasks — so admitted files pack into splits of ~`target`
+  * live rows (Spark's own FilePartition discipline, by rows instead
+  * of bytes because the manifest already carries exact row counts).
   */
-private[lake] final case class LakeFileSplit(path: String,
-    dvPath: Option[String]) extends InputPartition
+private[lake] final case class LakeFileSplit(
+    files: Seq[(String, Option[String])]) extends InputPartition {
+  def hasDv: Boolean = files.exists(_._2.isDefined)
+}
 
 class LakeScan(root: String, meta: LakeMeta, required: StructType,
     pushed: Array[Filter], limit: Option[Int])
@@ -427,11 +433,14 @@ class LakeScan(root: String, meta: LakeMeta, required: StructType,
     * under a pushed limit). Runs on the driver; the manifest is
     * metadata-sized.
     */
-  private lazy val planned: Array[InputPartition] = {
+  /** The admitted files, post-pruning and post-limit — the unit the
+    * plan-audit queries count (and the oracle re-derives).
+    */
+  private[lake] lazy val plannedFiles: Seq[LakeFile] = {
     val admitted = meta.files
       .filter(f => pushed.forall(admits(f, _)))
       .sortBy(_.fileId)
-    val taken = limit match {
+    limit match {
       case Some(n) =>
         // coverage counts LIVE rows: a DV-carrying file contributes
         // only its unmasked rows toward the limit
@@ -441,9 +450,31 @@ class LakeScan(root: String, meta: LakeMeta, required: StructType,
         }
       case None => admitted
     }
-    taken.map(f => LakeFileSplit(s"$root/${f.path}",
-        f.dvPath.map(d => s"$root/$d")): InputPartition)
-      .toArray
+  }
+
+  private lazy val planned: Array[InputPartition] = {
+    // pack sequential file runs into splits of ~target live rows:
+    // enough splits to feed ~4× the session parallelism on a large
+    // scan, never less than one file, never a task under ~4k rows on
+    // a small one (task launch would dominate decode)
+    val total = plannedFiles.map(_.liveRows).sum
+    val parallelism = SparkSession.getActiveSession
+      .map(_.sparkContext.defaultParallelism).getOrElse(32)
+    val target = math.max(4096L,
+      (total + 4L * parallelism - 1) / math.max(1L, 4L * parallelism))
+    val splits = scala.collection.mutable.ArrayBuffer
+      .empty[Vector[(String, Option[String])]]
+    var cur = Vector.empty[(String, Option[String])]
+    var curRows = 0L
+    plannedFiles.foreach { f =>
+      if (curRows >= target && cur.nonEmpty) {
+        splits += cur; cur = Vector.empty; curRows = 0L
+      }
+      cur :+= ((s"$root/${f.path}", f.dvPath.map(d => s"$root/$d")))
+      curRows += f.liveRows
+    }
+    if (cur.nonEmpty) splits += cur
+    splits.map(LakeFileSplit(_): InputPartition).toArray
   }
 
   override def planInputPartitions(): Array[InputPartition] = planned
@@ -475,7 +506,7 @@ class LakeScan(root: String, meta: LakeMeta, required: StructType,
     new LakeReaderFactory(required,
       new SerializableHadoopConf(conf),
       columnar = !planned.exists(
-        _.asInstanceOf[LakeFileSplit].dvPath.isDefined))
+        _.asInstanceOf[LakeFileSplit].hasDv))
   }
 }
 
@@ -514,7 +545,10 @@ class LakeReaderFactory(required: StructType,
   override def supportColumnarReads(p: InputPartition): Boolean =
     columnar
 
-  private def openVectorized(path: String): VectorizedParquetRecordReader = {
+  /** One configured conf per SPLIT (Configuration copies are not
+    * cheap; a split shares it across its packed files).
+    */
+  private def splitConf(): Configuration = {
     val conf = new Configuration(hconf.value)
     // the built-in source's reader contract: requested schema by conf
     // key, ParquetReadSupport computing the file-schema clip
@@ -523,6 +557,11 @@ class LakeReaderFactory(required: StructType,
         "ParquetReadSupport")
     conf.set("org.apache.spark.sql.parquet.row.requested_schema",
       required.json)
+    conf
+  }
+
+  private def openVectorized(path: String,
+      conf: Configuration): VectorizedParquetRecordReader = {
     val p = new HPath(path)
     val len = p.getFileSystem(conf).getFileStatus(p).getLen
     val split = new FileSplit(p, 0, len, Array.empty[String])
@@ -551,25 +590,41 @@ class LakeReaderFactory(required: StructType,
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val LakeFileSplit(path, dvPath) =
-      partition.asInstanceOf[LakeFileSplit]
-    require(dvPath.isEmpty,
+    val split = partition.asInstanceOf[LakeFileSplit]
+    require(!split.hasDv,
       "graft-lake: columnar mode never plans a DV split")
     new PartitionReader[ColumnarBatch] {
-      private val reader = openVectorized(path)
-      override def next(): Boolean = reader.nextBatch()
+      private val conf = splitConf()
+      private var idx = 0
+      private var reader: VectorizedParquetRecordReader = _
+      @annotation.tailrec
+      private def advance(): Boolean = {
+        if (reader == null) {
+          if (idx >= split.files.length) false
+          else {
+            reader = openVectorized(split.files(idx)._1, conf)
+            idx += 1
+            advance()
+          }
+        } else if (reader.nextBatch()) true
+        else {
+          reader.close(); reader = null; advance()
+        }
+      }
+      override def next(): Boolean = advance()
       override def get(): ColumnarBatch = reader.resultBatch()
-      override def close(): Unit = reader.close()
+      override def close(): Unit = if (reader != null) reader.close()
     }
   }
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val LakeFileSplit(path, dvPath) =
-      partition.asInstanceOf[LakeFileSplit]
+    val split = partition.asInstanceOf[LakeFileSplit]
     new PartitionReader[InternalRow] {
-      private val reader = openVectorized(path)
-      private val dv = readDv(dvPath)
+      private val conf = splitConf()
+      private var idx = 0
+      private var reader: VectorizedParquetRecordReader = _
+      private var dv: Array[Long] = Array.empty
       private var dvIdx = 0
       private var ordinal = -1L
       private var rows: java.util.Iterator[InternalRow] =
@@ -584,15 +639,26 @@ class LakeReaderFactory(required: StructType,
             dvIdx += 1
             advance()
           } else true
-        } else if (reader.nextBatch()) {
+        } else if (reader != null && reader.nextBatch()) {
           rows = reader.resultBatch().rowIterator()
             .asInstanceOf[java.util.Iterator[InternalRow]]
           advance()
-        } else false
+        } else if (idx < split.files.length) {
+          if (reader != null) reader.close()
+          val (path, dvPath) = split.files(idx)
+          idx += 1
+          reader = openVectorized(path, conf)
+          dv = readDv(dvPath)
+          dvIdx = 0
+          ordinal = -1L
+          advance()
+        } else {
+          false
+        }
       }
       override def next(): Boolean = advance()
       override def get(): InternalRow = cur
-      override def close(): Unit = reader.close()
+      override def close(): Unit = if (reader != null) reader.close()
     }
   }
 }

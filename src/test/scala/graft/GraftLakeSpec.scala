@@ -43,19 +43,23 @@ class GraftLakeSpec extends SparkSpec {
       .filter(col("max_ck") >= lo && col("min_ck") <= hi).count()
     val total = zones.count()
     assert(expected < total, "fixture must actually prune")
-    val planned = GraftLake.plannedFiles(root, Array[Filter](
+    val filters = Array[Filter](
       GreaterThanOrEqual("o_custkey", lo),
-      LessThanOrEqual("o_custkey", hi)))
+      LessThanOrEqual("o_custkey", hi))
+    val planned = GraftLake.plannedFiles(root, filters)
     assert(planned == expected)
-    // and the SQL surface plans the same partitions: the BatchScan
-    // under the filtered df carries exactly `expected` input splits
+    // and the SQL surface plans the PACKED splits: the BatchScan
+    // under the filtered df carries exactly the bin-packed partition
+    // count (≤ admitted files — one task per file does not scale)
+    val expectedSplits = GraftLake.plannedSplits(root, filters)
+    assert(expectedSplits <= planned)
     val df = lake.filter(col("o_custkey") >= lo && col("o_custkey") <= hi)
     df.count() // materialize (finalizes AQE)
     val scans = preparedPlan(df).collect {
       case b: BatchScanExec => b.inputRDD.getNumPartitions
     }
     assert(scans.nonEmpty)
-    assert(scans.head.toLong == expected)
+    assert(scans.head.toLong == expectedSplits)
     // result parity with the unpruned corpus
     val viaLake = df.agg(count(lit(1)), sum(col("o_orderkey")))
       .collect()(0)
