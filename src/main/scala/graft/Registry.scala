@@ -1599,6 +1599,13 @@ object Registry {
     // LakeTableProvider over footer-bridged manifests
     "q543_lake_ledger_head" -> ((s, d) =>
       graft.sources.lake.LakeLedger.lakeLedgerHead(s, d)),
+    // block 102: aggregate pushdown on the lake provider — global
+    // COUNT/MIN/MAX answered from the committed manifest (zero data
+    // files opened), with the DV / filtered / grouped fallbacks
+    "q544_lake_agg_pushdown" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeAggPushdown(s, d)),
+    "q545_lake_agg_matrix" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeAggMatrix(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -536,5 +536,46 @@ object OracleLake {
         "(SELECT nwithdv FROM lxd) AS BIGINT) AS n_files_deleted, " +
         "CAST((nlive + 255) // 256 AS BIGINT) AS n_files_kept, " +
         "nlive AS n_rows_live, TRUE AS expired_read_fails, " +
-        "TRUE AS history_was_larger FROM lxn"))
+        "TRUE AS history_was_larger FROM lxn"),
+    // q544: the manifest-served aggregate — COUNT + MIN/MAX over
+    // four typed zone encodings recomputed from raw lineitem in
+    // exact integer domains (epoch days, cents, basis points);
+    // agg_pushed pins that the plan never opened a data file
+    "q544_lake_agg_pushdown" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(MIN(CAST(l_shipdate AS DATE)) - DATE '1970-01-01' " +
+        "AS BIGINT) AS min_ship_day, " +
+        "CAST(MAX(CAST(l_shipdate AS DATE)) - DATE '1970-01-01' " +
+        "AS BIGINT) AS max_ship_day, " +
+        "CAST(MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) " +
+        "AS BIGINT) AS min_price_cents, " +
+        "CAST(MAX(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) " +
+        "AS BIGINT) AS max_price_cents, " +
+        "CAST(MIN(l_orderkey) AS BIGINT) AS min_ok, " +
+        "CAST(MAX(l_orderkey) AS BIGINT) AS max_ok, " +
+        "CAST(FLOOR(MIN(l_discount) * 10000 + 0.5) AS BIGINT) " +
+        "AS min_disc_bp, " +
+        "CAST(FLOOR(MAX(l_discount) * 10000 + 0.5) AS BIGINT) " +
+        "AS max_disc_bp, " +
+        "1::BIGINT AS agg_pushed FROM lineitem"),
+    // q545: the pushdown decision matrix — pushed flags are the
+    // CONTRACT (count over DVs pushes; min over DVs, filtered and
+    // grouped aggregates must not), values recomputed from raw
+    // orders (%37 masked at v2) and lineitem
+    "q545_lake_agg_matrix" ->
+      ("SELECT * FROM (" +
+        "SELECT '1_count_dv' AS case_id, 1::BIGINT AS pushed, " +
+        "CAST(COUNT(*) AS BIGINT) AS val FROM orders " +
+        "WHERE o_orderkey % 37 <> 0 " +
+        "UNION ALL SELECT '2_min_dv', 0::BIGINT, " +
+        "CAST(MIN(o_orderkey) AS BIGINT) FROM orders " +
+        "WHERE o_orderkey % 37 <> 0 " +
+        "UNION ALL SELECT '3_max_clean', 1::BIGINT, " +
+        "CAST(MAX(l_orderkey) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT '4_filtered', 0::BIGINT, " +
+        "CAST(COUNT(*) AS BIGINT) FROM lineitem " +
+        "WHERE CAST(l_quantity AS BIGINT) < 10 " +
+        "UNION ALL SELECT '5_grouped', 0::BIGINT, " +
+        "CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) FROM lineitem) " +
+        "ORDER BY case_id"))
 }

@@ -1532,6 +1532,82 @@ object GraftLake {
       .toLong
   }
 
+  /** 1 iff `df`'s physical plan serves its aggregate from the
+    * MANIFEST (a [[LakeAggScan]] batch scan — zero data files
+    * opened); 0 when it fell back to an ordinary scan + aggregate.
+    * Read from the plan Spark actually prepared, not re-derived.
+    */
+  private[graft] def aggPushed(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    if (plan.collectFirst {
+      case b: BatchScanExec if b.scan.isInstanceOf[LakeAggScan] => b
+    }.isDefined) 1L else 0L
+  }
+
+  /** q544: the manifest-served aggregate (block 102) — COUNT plus
+    * MIN/MAX over four zone encodings (long key, date, decimal
+    * money, double discount) on the typed lineitem instance, all
+    * answered WITHOUT opening a data file (`agg_pushed` pins the
+    * physical plan; the spec additionally pins zero input files).
+    * Values in exact integer domains (epoch days, cents, basis
+    * points); DuckDB recomputes each from raw lineitem, so one bad
+    * manifest extremum — or a decode drift in any typed zone
+    * encoding — breaks the hash.
+    */
+  def lakeAggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val df = lakeLineitemDf(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      datediff(min(col("l_shipdate")), lit("1970-01-01"))
+        .cast("long").as("min_ship_day"),
+      datediff(max(col("l_shipdate")), lit("1970-01-01"))
+        .cast("long").as("max_ship_day"),
+      (min(col("l_price")) * 100).cast("long").as("min_price_cents"),
+      (max(col("l_price")) * 100).cast("long").as("max_price_cents"),
+      min(col("l_orderkey")).as("min_ok"),
+      max(col("l_orderkey")).as("max_ok"),
+      floor(min(col("l_discount")) * 10000 + 0.5).cast("long")
+        .as("min_disc_bp"),
+      floor(max(col("l_discount")) * 10000 + 0.5).cast("long")
+        .as("max_disc_bp"))
+    df.withColumn("agg_pushed", lit(aggPushed(df)))
+  }
+
+  /** q545: the aggregate-pushdown DECISION MATRIX — when the manifest
+    * may answer and when it must not: COUNT over a DV-carrying
+    * snapshot pushes (live = stored − DV cardinality, both manifest
+    * fields); MIN over the same snapshot must NOT (the DV could mask
+    * the extreme row) and falls back to the masked scan; clean-table
+    * MIN/MAX pushes; a filtered or grouped aggregate never pushes
+    * (file-grain admission is approximate — a pushed answer could be
+    * wrong). Every `val` is recomputed by DuckDB from raw orders /
+    * lineitem, so the fallback paths are value-checked too.
+    */
+  def lakeAggMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val incRoot = ensureIncTable(spark, dir)
+    val dv = dfForAt(spark, incRoot, Some(2L))
+    val li = lakeLineitemDf(spark, dir)
+    def one(df: DataFrame): (Long, Long) =
+      (aggPushed(df), df.collect()(0).getLong(0))
+    val c1 = one(dv.agg(count(lit(1))))
+    val c2 = one(dv.agg(min(col("o_orderkey"))))
+    val c3 = one(li.agg(max(col("l_orderkey"))))
+    val c4 = one(li.filter(col("l_quantity") < 10).agg(count(lit(1))))
+    val grouped = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    val c5 = (aggPushed(grouped), grouped.count())
+    Seq(("1_count_dv", c1._1, c1._2), ("2_min_dv", c2._1, c2._2),
+      ("3_max_clean", c3._1, c3._2), ("4_filtered", c4._1, c4._2),
+      ("5_grouped", c5._1, c5._2))
+      .toDF("case_id", "pushed", "val")
+      .orderBy(col("case_id"))
+  }
+
   /** q507: a pruned aggregate THROUGH the provider — the o_custkey
     * range probe (the workload's k=1 custkey predicate) grouped into
     * buckets. The result hash-matches the full-scan twin (DuckDB over

@@ -10,7 +10,8 @@ import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
@@ -221,6 +222,23 @@ private[graft] object LakeEncode {
     case _ => None
   }
 
+  /** Inverse of the ordered-long encoding, back to the column's
+    * INTERNAL (Catalyst) representation — what a manifest-served
+    * aggregate row carries. Total on every encodable zone type
+    * because the encoding is an injection.
+    */
+  def fromOrderedLong(dt: DataType, enc: Long): Any = dt match {
+    case LongType | TimestampType | TimestampNTZType => enc
+    case IntegerType | DateType => enc.toInt
+    case d: DecimalType =>
+      Decimal(java.math.BigDecimal.valueOf(enc, d.scale), d.precision,
+        d.scale)
+    case DoubleType => java.lang.Double.longBitsToDouble(
+      if (enc >= 0L) enc else enc ^ 0x7fffffffffffffffL)
+    case other =>
+      sys.error(s"graft-lake: type $other has no zone encoding")
+  }
+
   /** Manifest type string for a supported column type. */
   def typeName(dt: DataType): String = dt match {
     case LongType => "long"
@@ -298,12 +316,14 @@ class LakeTable(root: String, schema0: StructType,
   */
 class LakeScanBuilder(root: String, version: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private lazy val meta = GraftLake.readMeta(root, version)
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
   private var limit: Option[Int] = None
+  private var agg: Option[Aggregation] = None
 
   /** A value prunes iff its column is a zone column OR the declared
     * partition source, and its type admits the ordered-long encoding
@@ -350,9 +370,163 @@ class LakeScanBuilder(root: String, version: Option[Long] = None)
     true
   }
 
-  override def build(): Scan =
-    new LakeScan(root, meta, required.getOrElse(meta.schema), pushed,
-      limit)
+  /** AGGREGATE pushdown (block 102): a global COUNT/MIN/MAX is
+    * answered from the COMMITTED MANIFEST — zero data files opened,
+    * which is the difference between "count a 100 TB table" being a
+    * metadata read and being a full scan. Accepted, all-or-nothing:
+    *  - `COUNT(*)` (and `COUNT(zone_col)` — zone columns are
+    *    non-null by the writer contract) — exact on any snapshot:
+    *    live rows = stored rows minus the DV cardinality, both
+    *    manifest fields;
+    *  - `MIN/MAX(zone_col)` — the fold of the per-file zone extrema,
+    *    exact ONLY while no file carries a deletion vector (a DV
+    *    could mask the extreme row; zones are stale-but-sound for
+    *    pruning, not for answers), so any DV rejects the push and
+    *    the query falls back to the ordinary masked scan.
+    * Spark only offers an aggregate when every filter was fully
+    * handled; this provider keeps all filters as residuals, so a
+    * filtered aggregate never reaches here (guarded anyway) and
+    * file-grain admission approximation can never corrupt an answer.
+    */
+  private def colOf(f: AggregateFunc): Option[String] = {
+    val e = f match {
+      case m: Min => m.column()
+      case m: Max => m.column()
+      case c: Count if !c.isDistinct => c.column()
+      case _ => return None
+    }
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+  }
+
+  private def acceptable(a: Aggregation): Boolean =
+    a.groupByExpressions().isEmpty && pushed.isEmpty &&
+      limit.isEmpty && a.aggregateExpressions().nonEmpty &&
+      a.aggregateExpressions().forall {
+        case _: CountStar => true
+        case c: Count =>
+          // count(zone_col) — non-null by the writer contract — and
+          // count(<non-null literal>) both equal count(*)
+          colOf(c).exists(meta.zoneCols.contains) ||
+            LakeAggScan.isNonNullLiteral(c.column())
+        case m @ (_: Min | _: Max) =>
+          meta.files.forall(_.dvPath.isEmpty) &&
+            colOf(m).exists(meta.zoneCols.contains)
+        case _ => false
+      }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    acceptable(a)
+
+  override def pushAggregation(a: Aggregation): Boolean = {
+    if (!acceptable(a)) false
+    else {
+      agg = Some(a)
+      true
+    }
+  }
+
+  override def build(): Scan = agg match {
+    case Some(a) => LakeAggScan.build(meta, a)
+    case None =>
+      new LakeScan(root, meta, required.getOrElse(meta.schema), pushed,
+        limit)
+  }
+}
+
+/** The manifest-served aggregate scan: one partition, one row,
+  * computed on the DRIVER from per-file stats (min/max decode back
+  * from the ordered-long zone domain through the inverse injection).
+  * An empty table answers COUNT 0 and NULL extrema — SQL aggregate
+  * semantics.
+  */
+private[lake] final case class LakeAggRow(schema: StructType,
+    values: Array[Any]) extends InputPartition
+
+private[graft] class LakeAggScan(schema: StructType, values: Array[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_lake_agg [${schema.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LakeAggRow(schema, values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var served = false
+          override def next(): Boolean =
+            if (served) false else { served = true; true }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(p.asInstanceOf[LakeAggRow].values)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[graft] object LakeAggScan {
+
+  def isNonNullLiteral(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Boolean = e match {
+    case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+      l.value != null
+    case _ => false
+  }
+
+  def build(meta: LakeMeta, a: Aggregation): LakeAggScan = {
+    val zoneIdx = meta.zoneCols.zipWithIndex.toMap
+    def dtOf(c: String): DataType =
+      meta.schema.fields.find(_.name == c).get.dataType
+    def nameOf(f: AggregateFunc): String = f match {
+      case m: Min => s"min(${colName(m)})"
+      case m: Max => s"max(${colName(m)})"
+      case c: Count => s"count(${colName(c)})"
+      case _ => "count(*)"
+    }
+    def colName(f: AggregateFunc): String = (f match {
+      case m: Min => m.column()
+      case m: Max => m.column()
+      case c: Count => c.column()
+      case _ => sys.error("unreachable")
+    }) match {
+      case r: NamedReference => r.fieldNames()(0)
+      case other => other.toString
+    }
+    val count = meta.files.map(_.liveRows).sum
+    def extremum(c: String, isMin: Boolean): Any =
+      if (meta.files.isEmpty) null
+      else {
+        val i = zoneIdx(c)
+        val enc =
+          if (isMin) meta.files.map(_.zMin(i)).min
+          else meta.files.map(_.zMax(i)).max
+        LakeEncode.fromOrderedLong(dtOf(c), enc)
+      }
+    val (fields, values) = a.aggregateExpressions().map {
+      case _: CountStar =>
+        (StructField("count(*)", LongType, nullable = false),
+          count: Any)
+      case c: Count =>
+        (StructField(nameOf(c), LongType, nullable = false),
+          count: Any)
+      case m: Min =>
+        (StructField(nameOf(m), dtOf(colName(m))),
+          extremum(colName(m), isMin = true))
+      case m: Max =>
+        (StructField(nameOf(m), dtOf(colName(m))),
+          extremum(colName(m), isMin = false))
+      case other =>
+        sys.error(s"graft-lake: unpushable aggregate $other accepted")
+    }.unzip
+    new LakeAggScan(StructType(fields.toArray), values.toArray)
+  }
 }
 
 /** One input partition = a BIN-PACKED run of admitted files (each

@@ -370,6 +370,57 @@ class GraftLakeSpec extends SparkSpec {
     assert(b.admits(LongType, 3L, EqualTo("user_id", 17L), encL))
   }
 
+  test("aggregate pushdown: a global COUNT/MIN/MAX is served from " +
+      "the manifest (one metadata partition, zero data files), " +
+      "values equal the scan-computed truth, and DV / filtered / " +
+      "grouped aggregates fall back") {
+    import graft.sources.lake.LakeTableProvider
+    val liRoot = GraftLake.ensureLineitemTable(spark, sfDir)
+    val li = spark.read.format(classOf[LakeTableProvider].getName)
+      .option("path", liRoot).load()
+    val agg = li.agg(count(lit(1)), min(col("l_orderkey")),
+      max(col("l_price")), min(col("l_shipdate")))
+    val scans = preparedPlan(agg).collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.forall(
+      _.scan.isInstanceOf[graft.sources.lake.LakeAggScan]),
+      "a clean-table global aggregate must be manifest-served")
+    assert(scans.forall(_.inputRDD.getNumPartitions == 1),
+      "the manifest answer is one metadata partition")
+    // value parity against the ordinary (non-pushable, filtered)
+    // read path — filter true blocks pushdown without changing rows
+    val full = li.filter(col("l_quantity") >= -1L)
+      .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_price")),
+        min(col("l_shipdate"))).collect()(0)
+    val fullScans = preparedPlan(li.filter(col("l_quantity") >= -1L)
+      .agg(count(lit(1)))).collect { case b: BatchScanExec => b }
+    assert(fullScans.forall(
+      !_.scan.isInstanceOf[graft.sources.lake.LakeAggScan]),
+      "a filtered aggregate must NOT be manifest-served")
+    val got = agg.collect()(0)
+    assert(got.getLong(0) == full.getLong(0))
+    assert(got.getLong(1) == full.getLong(1))
+    assert(got.getDecimal(2) == full.getDecimal(2))
+    assert(got.getDate(3) == full.getDate(3))
+    // a DV-carrying snapshot: COUNT pushes (live = stored − DV,
+    // both manifest fields), MIN must not (the DV could mask the
+    // extreme row)
+    val incRoot = GraftLake.ensureIncTable(spark, sfDir)
+    val dv = spark.read.format(classOf[LakeTableProvider].getName)
+      .option("path", incRoot).option("versionAsOf", "2").load()
+    val dvCount = dv.agg(count(lit(1)))
+    assert(preparedPlan(dvCount).collect { case b: BatchScanExec => b }
+      .forall(_.scan.isInstanceOf[graft.sources.lake.LakeAggScan]))
+    val dvMin = dv.agg(min(col("o_orderkey")))
+    assert(preparedPlan(dvMin).collect { case b: BatchScanExec => b }
+      .forall(!_.scan.isInstanceOf[graft.sources.lake.LakeAggScan]))
+    assert(dvCount.collect()(0).getLong(0) ==
+      dv.filter(col("o_orderkey") >= 0L).count())
+    assert(dvMin.collect()(0).getLong(0) % 37 != 0,
+      "the masked extreme must come from the live rows")
+    Caches.releaseAll(spark)
+  }
+
   test("bloom bitmap semantics: admits() equals the positions-subset " +
       "definition") {
     val words = new Array[Long](LakeBloom.Words)
