@@ -1606,6 +1606,12 @@ object Registry {
       graft.sources.lake.GraftLake.lakeAggPushdown(s, d)),
     "q545_lake_agg_matrix" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeAggMatrix(s, d)),
+    // block 103: reported statistics on the lake scan — post-pruning
+    // manifest row counts steer Catalyst's broadcast build side
+    "q546_lake_stats_plan" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeStatsPlan(s, d)),
+    "q547_lake_stats_join" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeStatsJoin(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -577,5 +577,57 @@ object OracleLake {
         "WHERE CAST(l_quantity AS BIGINT) < 10 " +
         "UNION ALL SELECT '5_grouped', 0::BIGINT, " +
         "CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) FROM lineitem) " +
-        "ORDER BY case_id"))
+        "ORDER BY case_id"),
+    // q546: the statistics audit — estimates (live rows over
+    // zone-admitted files, the limit prefix) re-derived from the
+    // Z-order layout frame; broadcast build-side flags are the
+    // CONTRACT (pruned lake side builds; a 16-key probe side builds
+    // against the full lake; a limit caps the estimate)
+    "q546_lake_stats_plan" ->
+      (OracleZoneMap.Common + OracleZoneMap.OptLive +
+        ", lsb AS (SELECT (3 * max_ck) // 8 AS lo, " +
+        "(3 * max_ck) // 8 + max_ck // 64 AS hi FROM zmmx), " +
+        "lsc AS (SELECT file_id, n_rows, " +
+        "SUM(n_rows) OVER (ORDER BY file_id) - n_rows AS cumb " +
+        "FROM zovz), " +
+        "lsk AS (SELECT DISTINCT (j * (SELECT max_ok FROM zmmx)) " +
+        "// 17 AS k FROM range(1, 17) t(j)) " +
+        "SELECT * FROM (" +
+        "SELECT '1_pruned' AS case_id, " +
+        "(SELECT CAST(SUM(z.n_rows) AS BIGINT) FROM zovz z, lsb b " +
+        "WHERE z.max_ck >= b.lo AND z.min_ck <= b.hi) AS est_rows, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zovz z, lsb b " +
+        "WHERE z.max_ck >= b.lo AND z.min_ck <= b.hi) " +
+        "AS files_planned, " +
+        "1::BIGINT AS bcast_lake, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l " +
+        "JOIN zolv v ON l.l_orderkey = v.o_orderkey, lsb b WHERE " +
+        "v.o_custkey BETWEEN b.lo AND b.hi) AS n_rows " +
+        "UNION ALL SELECT '2_tiny_probe', " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zolv), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zovz), 0::BIGINT, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zolv WHERE " +
+        "o_orderkey IN (SELECT k FROM lsk)) " +
+        "UNION ALL SELECT '3_limit', " +
+        "(SELECT CAST(LEAST(500, SUM(n_rows)) AS BIGINT) FROM lsc " +
+        "WHERE cumb < 500), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM lsc WHERE cumb < 500), " +
+        "-1::BIGINT, 500::BIGINT) " +
+        "ORDER BY case_id"),
+    // q547: the stats-steered broadcast join — pruned lake side ⋈
+    // the %3 key sample, bucket rollup; bcast pins the build side
+    "q547_lake_stats_join" ->
+      ("WITH lmx AS (SELECT MAX(CAST(o_custkey AS BIGINT)) AS max_ck " +
+        "FROM orders), " +
+        "lbd AS (SELECT (3 * max_ck) // 8 AS lo, " +
+        "(3 * max_ck) // 8 + max_ck // 64 AS hi FROM lmx), " +
+        "llv AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS " +
+        "o_custkey FROM orders WHERE o_orderkey % 37 <> 0) " +
+        "SELECT o_custkey % 8 AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_li, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "1::BIGINT AS bcast " +
+        "FROM llv JOIN lineitem ON l_orderkey = o_orderkey, lbd " +
+        "WHERE o_custkey BETWEEN lo AND hi " +
+        "GROUP BY bucket ORDER BY bucket"))
 }

@@ -1549,6 +1549,127 @@ object GraftLake {
     }.isDefined) 1L else 0L
   }
 
+  /** Estimated row count the scan REPORTS to Catalyst for a filter
+    * set — the provider's own statistics path (post-pruning).
+    */
+  private[graft] def estimatedRows(root: String,
+      filters: Array[Filter]): Long = {
+    val sb = new LakeScanBuilder(root)
+    sb.pushFilters(filters)
+    sb.build().asInstanceOf[LakeScan].estimateStatistics()
+      .numRows().getAsLong
+  }
+
+  /** Estimated row count under a pushed LIMIT. */
+  private[graft] def estimatedRowsLimited(root: String, n: Int): Long = {
+    val sb = new LakeScanBuilder(root)
+    sb.pushLimit(n)
+    sb.build().asInstanceOf[LakeScan].estimateStatistics()
+      .numRows().getAsLong
+  }
+
+  /** 1 iff the join Spark PLANNED for `df` is a broadcast-hash join
+    * whose BUILD side contains the lake scan — the decision the
+    * reported statistics exist to steer. Read from the prepared
+    * physical plan, query stages expanded.
+    */
+  private[graft] def lakeBuildSide(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def expand(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ (p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      })).flatMap(expand)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val hit = expand(root).exists {
+      case b: BroadcastHashJoinExec =>
+        val side = b.buildSide match {
+          case BuildLeft => b.left
+          case BuildRight => b.right
+        }
+        expand(side).exists {
+          case s: BatchScanExec => s.scan.isInstanceOf[LakeScan]
+          case _ => false
+        }
+      case _ => false
+    }
+    if (hit) 1L else 0L
+  }
+
+  /** q546: the statistics audit (block 103) — what the scan REPORTS
+    * (exact live rows over admitted files, post-pruning) and the join
+    * decision those stats steer: a zone-pruned lake side becomes the
+    * BROADCAST build side against the full raw table (without
+    * reported stats a DSv2 relation defaults to effectively-infinite
+    * size and can never build); a genuinely smaller other side still
+    * wins the build (stats must not over-claim); a pushed limit caps
+    * the estimate. DuckDB re-derives every estimate from the Z-order
+    * layout frame.
+    */
+  def lakeStatsPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureTable(spark, dir)
+    val o = ZoneMap.orders(spark, dir)
+    val maxCk = o.agg(max(col("o_custkey"))).collect()(0).getLong(0)
+    val lo = 3L * maxCk / 8L
+    val hi = lo + maxCk / 64L
+    val lake = lakeDf(spark, dir)
+    val rangeF = Array[Filter](GreaterThanOrEqual("o_custkey", lo),
+      LessThanOrEqual("o_custkey", hi))
+    val pruned = lake
+      .filter(col("o_custkey") >= lo && col("o_custkey") <= hi)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val j1 = pruned.join(li, col("o_orderkey") === col("l_orderkey"))
+    val maxOk = o.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val keys = (1 to 16).map(j => j.toLong * maxOk / 17L).distinct
+      .toDF("k")
+    val j2 = lake.join(keys, col("o_orderkey") === col("k"))
+    val rows = Seq(
+      ("1_pruned", estimatedRows(root, rangeF),
+        plannedFiles(root, rangeF), lakeBuildSide(j1), j1.count()),
+      ("2_tiny_probe", estimatedRows(root, Array.empty),
+        plannedFiles(root, Array.empty), lakeBuildSide(j2), j2.count()),
+      ("3_limit", estimatedRowsLimited(root, 500),
+        plannedFilesLimited(root, 500), -1L, lake.limit(500).count()))
+    rows.toDF("case_id", "est_rows", "files_planned", "bcast_lake",
+      "n_rows").orderBy(col("case_id"))
+  }
+
+  /** q547: the join the statistics make cheap — the zone-pruned lake
+    * side broadcast against the %3 key sample of raw orders, rolled
+    * into buckets; `bcast` pins the planned build side. At 100 TB
+    * this is the difference between shuffling the fact table and
+    * shipping a few admitted files' rows to every executor.
+    */
+  def lakeStatsJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = ZoneMap.orders(spark, dir)
+    val maxCk = o.agg(max(col("o_custkey"))).collect()(0).getLong(0)
+    val lo = 3L * maxCk / 8L
+    val hi = lo + maxCk / 64L
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("long").as("l_quantity"))
+    val pruned = lakeDf(spark, dir)
+      .filter(col("o_custkey") >= lo && col("o_custkey") <= hi)
+    val joined = pruned.join(li,
+      col("o_orderkey") === col("l_orderkey"))
+    val bcast = lakeBuildSide(joined)
+    joined
+      .groupBy((col("o_custkey") % 8L).as("bucket"))
+      .agg(count(lit(1)).as("n_li"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .withColumn("bcast", lit(bcast))
+      .orderBy(col("bucket"))
+  }
+
   /** q544: the manifest-served aggregate (block 102) — COUNT plus
     * MIN/MAX over four zone encodings (long key, date, decimal
     * money, double discount) on the typed lineitem instance, all

@@ -421,6 +421,46 @@ class GraftLakeSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("reported statistics: the scan's estimate is the live-row sum " +
+      "over admitted files (post-pruning), and it steers the " +
+      "broadcast build side") {
+    import graft.sources.lake.LakeTableProvider
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual => GE, LessThanOrEqual => LE}
+    val o = ZoneMap.orders(spark, sfDir)
+    val maxCk = o.agg(max(col("o_custkey"))).collect()(0).getLong(0)
+    val lo = 3L * maxCk / 8L
+    val hi = lo + maxCk / 64L
+    val rangeF = Array[Filter](GE("o_custkey", lo), LE("o_custkey", hi))
+    // the estimate is exactly the admitted files' live rows
+    val zones = ZoneMap.zones(Optimize.rewrittenFiles(spark, sfDir))
+    val admittedRows = zones
+      .filter(col("max_ck") >= lo && col("min_ck") <= hi)
+      .agg(sum(col("n_rows"))).collect()(0).getLong(0)
+    assert(GraftLake.estimatedRows(root, rangeF) == admittedRows)
+    assert(GraftLake.estimatedRows(root, Array.empty) ==
+      live.count())
+    // pruned lake side vs the lineitem fact probe: the lake side is
+    // the BUILD side only because its post-pruning stats say so (an
+    // unknown-size DSv2 relation could never build)
+    val pruned = lake
+      .filter(col("o_custkey") >= lo && col("o_custkey") <= hi)
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val j1 = pruned.join(li, col("o_orderkey") === col("l_orderkey"))
+    assert(GraftLake.lakeBuildSide(j1) == 1L,
+      "the zone-pruned lake side must be the broadcast build side")
+    // a 16-row probe side is smaller than the FULL lake: the stats
+    // must not over-claim the build
+    import spark.implicits._
+    val maxOk = o.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val keys = (1 to 16).map(j => j.toLong * maxOk / 17L).distinct
+      .toDF("k")
+    val j2 = lake.join(keys, col("o_orderkey") === col("k"))
+    assert(GraftLake.lakeBuildSide(j2) == 0L,
+      "a tiny probe side must win the build against the full lake")
+    Caches.releaseAll(spark)
+  }
+
   test("bloom bitmap semantics: admits() equals the positions-subset " +
       "definition") {
     val words = new Array[Long](LakeBloom.Words)
