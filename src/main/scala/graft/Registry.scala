@@ -1612,6 +1612,12 @@ object Registry {
       graft.sources.lake.GraftLake.lakeStatsPlan(s, d)),
     "q547_lake_stats_join" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeStatsJoin(s, d)),
+    // block 104: MERGE INTO on the lake — copy-on-write upsert,
+    // zone/bloom candidate pruning, touched-only rewrite, replay-safe
+    "q548_lake_merge_state" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeMergeState(s, d)),
+    "q549_lake_merge_audit" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeMergeAudit(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

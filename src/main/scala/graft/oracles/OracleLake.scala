@@ -629,5 +629,49 @@ object OracleLake {
         "1::BIGINT AS bcast " +
         "FROM llv JOIN lineitem ON l_orderkey = o_orderkey, lbd " +
         "WHERE o_custkey BETWEEN lo AND hi " +
-        "GROUP BY bucket ORDER BY bucket"))
+        "GROUP BY bucket ORDER BY bucket"),
+    // q548: the merged state — raw orders with the key-band custkeys
+    // bumped by 1e6 plus 50 fresh inserts past the max, re-bucketed;
+    // a lost update, doubled insert, or replayed row breaks it
+    "q548_lake_merge_state" ->
+      ("WITH mmx AS (SELECT MAX(o_orderkey) AS mx FROM orders), " +
+        "mbd AS (SELECT (5 * mx) // 8 AS lo, " +
+        "(5 * mx) // 8 + mx // 64 AS hi, mx FROM mmx), " +
+        "mrg AS (SELECT o_orderkey, CASE WHEN o_orderkey BETWEEN " +
+        "b.lo AND b.hi THEN CAST(o_custkey AS BIGINT) + 1000000 " +
+        "ELSE CAST(o_custkey AS BIGINT) END AS ck FROM orders, mbd b " +
+        "UNION ALL SELECT b.mx + j, CAST(j AS BIGINT) " +
+        "FROM range(1, 51) t(j), mbd b) " +
+        "SELECT ck % 8 AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        "CAST(SUM(ck) AS BIGINT) AS sum_ck, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok " +
+        "FROM mrg GROUP BY bucket ORDER BY bucket"),
+    // q549: the copy-on-write audit — the id-sorted 256-row layout,
+    // the files the key band touches, and the key-sorted re-file
+    // count, all re-derived; a merge that rewrote one untouched file
+    // or kept one touched breaks it
+    "q549_lake_merge_audit" ->
+      ("WITH mmx AS (SELECT MAX(o_orderkey) AS mx, " +
+        "CAST(COUNT(*) AS BIGINT) AS n0 FROM orders), " +
+        "mbd AS (SELECT (5 * mx) // 8 AS lo, " +
+        "(5 * mx) // 8 + mx // 64 AS hi FROM mmx), " +
+        "mfr AS (SELECT o_orderkey, (ROW_NUMBER() OVER " +
+        "(ORDER BY o_orderkey) - 1) // 256 AS file_id FROM orders), " +
+        "mtf AS (SELECT DISTINCT f.file_id FROM mfr f, mbd b " +
+        "WHERE f.o_orderkey BETWEEN b.lo AND b.hi), " +
+        "mtr AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM mtf), " +
+        "mrr AS (SELECT CAST(COUNT(*) AS BIGINT) AS r FROM mfr " +
+        "WHERE file_id IN (SELECT file_id FROM mtf)), " +
+        "mf0 AS (SELECT (n0 + 255) // 256 AS f0, n0 FROM mmx) " +
+        "SELECT * FROM (" +
+        "SELECT 0::BIGINT AS version, f0 AS n_files, n0 AS n_rows, " +
+        "0::BIGINT AS files_kept, 0::BIGINT AS files_new FROM mf0 " +
+        "UNION ALL SELECT 1::BIGINT, " +
+        "(SELECT f0 FROM mf0) - (SELECT t FROM mtr) + " +
+        "((SELECT r FROM mrr) + 50 + 255) // 256, " +
+        "(SELECT n0 FROM mf0) + 50, " +
+        "(SELECT f0 FROM mf0) - (SELECT t FROM mtr), " +
+        "((SELECT r FROM mrr) + 50 + 255) // 256) " +
+        "ORDER BY version"))
 }

@@ -1670,6 +1670,94 @@ object GraftLake {
       .orderBy(col("bucket"))
   }
 
+  /** The MERGED orders instance (q548/q549, block 104): snapshot v0 =
+    * raw orders (o_orderkey, o_custkey) id-sorted into 256-row files,
+    * zones on both keys, bloom on the key; then ONE [[LakeMerge]]
+    * commit — updates = every order in the [5/8·max, 5/8·max+max/64]
+    * key band (custkey bumped by 1,000,000), inserts = 50 fresh keys
+    * past the max — and the SAME batch replayed (must no-op).
+    * Untouched files ride verbatim; only key-band-overlapping files
+    * rewrite.
+    */
+  def ensureMergeTable(spark: SparkSession, dir: String): String = {
+    val o = ZoneMap.orders(spark, dir)
+    val fp = LedgerArtifacts.fingerprint(o,
+      Seq("o_orderkey", "o_custkey"))
+    ensureLake(spark,
+      s"lake2_merge_${LedgerArtifacts.dirKey(dir)}", fp) {
+      (fs, staging) =>
+        val cols = Seq(("o_orderkey", "long"), ("o_custkey", "long"))
+        val zcols = Seq("o_orderkey", "o_custkey")
+        val header = headerOf(cols, zcols, Some("o_orderkey"))
+        val filed = o
+          .withColumn("rn", row_number()
+            .over(Window.orderBy(col("o_orderkey"))).cast("long"))
+          .withColumn("file_id", expr("(rn - 1L) div 256L"))
+          .drop("rn").persist()
+        val v0 = try writeFiles(spark, fs, staging, "data", filed,
+          zcols, Some("o_orderkey"))
+        finally filed.unpersist(false)
+        writeText(fs, s"$staging/_manifest_v0.tsv",
+          (Seq(header,
+            "#props\tbatch_id=create\tversion=0\tbatch_ids=create") ++
+            v0).mkString("", "\n", "\n"))
+        val maxOk = o.agg(max(col("o_orderkey"))).collect()(0)
+          .getLong(0)
+        val mlo = 5L * maxOk / 8L
+        val mhi = mlo + maxOk / 64L
+        val updates = o
+          .filter(col("o_orderkey") >= mlo && col("o_orderkey") <= mhi)
+          .select(col("o_orderkey"),
+            (col("o_custkey") + 1000000L).as("o_custkey"))
+        val inserts = spark.range(1, 51)
+          .select((lit(maxOk) + col("id")).as("o_orderkey"),
+            col("id").as("o_custkey"))
+        val src = updates.unionAll(inserts)
+        val r1 = LakeMerge.merge(spark, staging, src, "o_orderkey",
+          "merge_b1")
+        require(r1.isDefined, "merge fixture: first merge must commit")
+        // replayed batch: recognized on the trail, no-ops
+        val r2 = LakeMerge.merge(spark, staging, src, "o_orderkey",
+          "merge_b1")
+        require(r2.isEmpty, "merge fixture: replay must no-op")
+    }
+  }
+
+  /** q548: the post-merge state through the provider — custkey
+    * buckets over the merged table (band rows re-bucketed by the
+    * +1e6 bump, 50 inserts in). DuckDB recomputes the merge from raw
+    * orders; one lost update, one doubled insert, or one replayed
+    * row breaks the hash.
+    */
+  def lakeMergeState(spark: SparkSession, dir: String): DataFrame =
+    dfFor(spark, ensureMergeTable(spark, dir))
+      .groupBy((col("o_custkey") % 8L).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_custkey")).as("sum_ck"),
+        sum(col("o_orderkey")).as("sum_ok"))
+      .orderBy(col("bucket"))
+
+  /** q549: the merge audit — per snapshot: files, rows, and the
+    * copy-on-write delta (paths kept verbatim vs fresh). The oracle
+    * re-derives the id-sorted layout, which files the key band
+    * touches, and the key-sorted re-file count — a merge that
+    * rewrote one untouched file, or kept one touched, breaks it.
+    */
+  def lakeMergeAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureMergeTable(spark, dir)
+    val m0 = readMeta(root, Some(0L))
+    val m1 = readMeta(root, Some(1L))
+    val p0 = m0.files.map(_.path).toSet
+    val kept = m1.files.count(f => p0.contains(f.path)).toLong
+    Seq(
+      (0L, m0.files.length.toLong, m0.files.map(_.nRows).sum, 0L, 0L),
+      (1L, m1.files.length.toLong, m1.files.map(_.nRows).sum, kept,
+        m1.files.length - kept))
+      .toDF("version", "n_files", "n_rows", "files_kept", "files_new")
+      .orderBy(col("version"))
+  }
+
   /** q544: the manifest-served aggregate (block 102) — COUNT plus
     * MIN/MAX over four zone encodings (long key, date, decimal
     * money, double discount) on the typed lineitem instance, all

@@ -70,6 +70,73 @@ private[lake] class LakeWriteBuilder(root: String,
   }
 }
 
+/** The version-claim loop EVERY lake committer shares (append,
+  * OPTIMIZE, MERGE): recompute the successor manifest against the
+  * CURRENT latest snapshot, stage it, claim version latest+1 by a
+  * directory rename with the nested-ownership verify
+  * ([[graft.streaming.Occ]]'s discipline — Hadoop rename onto an
+  * extant dir nests and returns true), and on a lost race recompute
+  * against the new latest. Batch-id idempotence is checked per
+  * attempt against the CARRIED id set, so a duplicate submission
+  * no-ops however many commits after its twin landed.
+  */
+private[lake] object LakeCommit {
+
+  /** Ids already on the trail at `latest` — the retry-recognition
+    * window (capped at 256 carried ids when re-written).
+    */
+  def seenIds(latest: LakeMeta): Seq[String] =
+    latest.props.get("batch_ids")
+      .map(_.split(',').filter(_.nonEmpty).toSeq)
+      .getOrElse(latest.props.get("batch_id").filter(_ != "-").toSeq)
+
+  /** The `#props` line a committer writes: its own id, the claimed
+    * version, and the carried id set extended by itself.
+    */
+  def propsLine(batchId: String, nextV: Long,
+      seen: Seq[String]): String =
+    s"#props\tbatch_id=$batchId\tversion=$nextV" +
+      s"\tbatch_ids=${((seen :+ batchId).distinct.takeRight(256))
+        .mkString(",")}"
+
+  /** Run the claim loop. `body(latestVersion, latestMeta, seen,
+    * nextV)` produces the full successor manifest text against the
+    * attempt's latest snapshot. Returns the committed version, or
+    * None when `batchId` was already on the trail (idempotent
+    * replay — the caller drops its staged data).
+    */
+  def claim(fs: org.apache.hadoop.fs.FileSystem, root: String,
+      batchId: String,
+      body: (Option[Long], LakeMeta, Seq[String], Long) => String)
+      : Option[Long] = {
+    val stagingUuid = UUID.randomUUID.toString.take(12)
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val latestVs = GraftLake.committedVersions(fs, root)
+      val latest = GraftLake.readMeta(root, latestVs.lastOption)
+      val seen = seenIds(latest)
+      if (seen.contains(batchId)) return None
+      val nextV = if (latestVs.nonEmpty) latestVs.max + 1 else 1L
+      val text = body(latestVs.lastOption, latest, seen, nextV)
+      val staging = s"$root/_staging_c_$stagingUuid"
+      fs.delete(new HPath(staging), true)
+      val out = fs.create(new HPath(s"$staging/manifest.tsv"), true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+      val dest = new HPath(s"$root/_commit_v$nextV")
+      // the atomic claim + nested-ownership verify (Occ discipline)
+      if (!fs.exists(dest) && fs.rename(new HPath(staging), dest)) {
+        val nested = new HPath(dest, new HPath(staging).getName)
+        if (!fs.exists(nested)) return Some(nextV)
+        fs.delete(nested, true) // lost the race onto an extant dest
+      } else fs.delete(new HPath(staging), true)
+      // lost: another writer claimed nextV — recompute against it
+    }
+    sys.error(s"graft-lake: commit of batch $batchId to $root lost " +
+      s"$attempts consecutive version claims — giving up")
+  }
+}
+
 /** One per-file stats message — the only thing an executor sends the
   * driver (metadata-sized by construction).
   */
@@ -114,62 +181,35 @@ private[lake] class LakeBatchWrite(root: String, meta: LakeMeta,
       fs.delete(new HPath(s"$root/$dataSubdir"), true)
       return
     }
-    var attempts = 0
-    while (attempts < 64) {
-      attempts += 1
-      val latestVs = GraftLake.committedVersions(fs, root)
-      val latest = GraftLake.readMeta(root,
-        if (latestVs.nonEmpty) Some(latestVs.max) else None)
-      // replay check against the CARRIED batch-id set, not just the
-      // latest commit's own id: under concurrent writers a duplicate
-      // submission can arrive arbitrarily many commits after its twin
-      // landed (the lake race fixture exercises exactly this). The
-      // set is capped — the documented retention window for retry
-      // recognition, the same contract as per-app txn versions in a
-      // real format's log.
-      val seen = latest.props.get("batch_ids")
-        .map(_.split(',').filter(_.nonEmpty).toSeq)
-        .getOrElse(latest.props.get("batch_id")
-          .filter(_ != "-").toSeq)
-      if (seen.contains(batchId)) {
-        // committed retry: this batch's snapshot is already on the
-        // trail — idempotent no-op (our staged data files are
-        // manifest-unreferenced garbage; drop them now)
-        fs.delete(new HPath(s"$root/$dataSubdir"), true)
-        return
-      }
-      val nextV = if (latestVs.nonEmpty) latestVs.max + 1 else 1L
-      val nextFileId = (latest.files.map(_.fileId) ++ Seq(-1L)).max + 1
-      val lines = stats.zipWithIndex.map { case (m, i) =>
-        s"${nextFileId + i}\t${m.relPath}\t${m.nRows}" +
-          s"\t${m.zMin.mkString(",")}\t${m.zMax.mkString(",")}" +
-          s"\t${if (meta.bloomCol.isDefined) m.bloom.mkString(",")
-            else "-"}\t-\t0"
-      }
-      val header = s"#schema\t${meta.schema.fields.map(f =>
-        s"${f.name}:${LakeEncode.typeName(f.dataType)}").mkString(",")
-        }\t${meta.zoneCols.mkString(",")}\t${meta.bloomCol.getOrElse("-")}"
-      val props = s"#props\tbatch_id=$batchId\tversion=$nextV" +
-        s"\tbatch_ids=${((seen :+ batchId).distinct.takeRight(256))
-          .mkString(",")}"
-      val existing = GraftLake.rawFileLines(fs, root, latestVs.lastOption)
-      val body = (Seq(header, props) ++ existing ++ lines)
-        .mkString("", "\n", "\n")
-      val staging = s"$root/_staging_c_$writeUuid"
-      fs.delete(new HPath(staging), true)
-      val out = fs.create(new HPath(s"$staging/manifest.tsv"), true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      val dest = new HPath(s"$root/_commit_v$nextV")
-      // the atomic claim + nested-ownership verify (Occ discipline)
-      if (!fs.exists(dest) && fs.rename(new HPath(staging), dest)) {
-        val nested = new HPath(dest, new HPath(staging).getName)
-        if (!fs.exists(nested)) return // committed
-        fs.delete(nested, true) // lost the race onto an extant dest
-      } else fs.delete(new HPath(staging), true)
-      // lost: another writer claimed nextV — recompute against it
+    // replay recognition is against the CARRIED batch-id set, not
+    // just the latest commit's own id: under concurrent writers a
+    // duplicate submission can arrive arbitrarily many commits after
+    // its twin landed (the lake race fixture exercises exactly this).
+    // The set is capped — the documented retention window for retry
+    // recognition, the same contract as per-app txn versions in a
+    // real format's log.
+    val committed = LakeCommit.claim(fs, root, batchId,
+      (latestV, latest, seen, nextV) => {
+        val nextFileId = (latest.files.map(_.fileId) ++ Seq(-1L)).max + 1
+        val lines = stats.zipWithIndex.map { case (m, i) =>
+          s"${nextFileId + i}\t${m.relPath}\t${m.nRows}" +
+            s"\t${m.zMin.mkString(",")}\t${m.zMax.mkString(",")}" +
+            s"\t${if (meta.bloomCol.isDefined) m.bloom.mkString(",")
+              else "-"}\t-\t0"
+        }
+        val header = s"#schema\t${meta.schema.fields.map(f =>
+          s"${f.name}:${LakeEncode.typeName(f.dataType)}").mkString(",")
+          }\t${meta.zoneCols.mkString(",")}\t${meta.bloomCol.getOrElse("-")}"
+        val existing = GraftLake.rawFileLines(fs, root, latestV)
+        (Seq(header, LakeCommit.propsLine(batchId, nextV, seen)) ++
+          existing ++ lines).mkString("", "\n", "\n")
+      })
+    if (committed.isEmpty) {
+      // committed retry: this batch's snapshot is already on the
+      // trail — idempotent no-op (our staged data files are
+      // manifest-unreferenced garbage; drop them now)
+      fs.delete(new HPath(s"$root/$dataSubdir"), true)
     }
-    sys.error(s"graft-lake: commit of batch $batchId to $root lost " +
-      s"$attempts consecutive version claims — giving up")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -225,48 +265,170 @@ private[graft] object LakeMaintain {
     val header = s"#schema\t${base.schema.fields.map(f =>
       s"${f.name}:${LakeEncode.typeName(f.dataType)}").mkString(",")
       }\t${base.zoneCols.mkString(",")}\t${base.bloomCol.getOrElse("-")}"
-    val stagingUuid = UUID.randomUUID.toString.take(12)
-    var attempts = 0
-    while (attempts < 64) {
-      attempts += 1
-      val latestVs = GraftLake.committedVersions(fs, root)
-      val latest = GraftLake.readMeta(root, latestVs.lastOption)
-      val seen = latest.props.get("batch_ids")
-        .map(_.split(',').filter(_.nonEmpty).toSeq)
-        .getOrElse(latest.props.get("batch_id").filter(_ != "-").toSeq)
-      if (seen.contains(batchId)) {
-        fs.delete(new HPath(s"$root/$subdir"), true)
-        return false
-      }
-      val nextV = if (latestVs.nonEmpty) latestVs.max + 1 else 1L
-      // keep every line the rewrite did NOT read (racing appends ride
-      // verbatim); renumber the rewrite's manifest ids into a fresh
-      // range (paths are opaque — the id is only a plan-order key)
-      val kept = GraftLake.rawFileLines(fs, root, latestVs.lastOption)
-        .filterNot(l => fPaths.contains(l.split('\t')(1)))
-      val maxId = (kept.map(_.split('\t')(0).toLong) ++ Seq(-1L)).max
-      val renumbered = written.zipWithIndex.map { case (l, i) =>
-        val f = l.split('\t')
-        ((maxId + 1 + i).toString +: f.tail).mkString("\t")
-      }
-      val props = s"#props\tbatch_id=$batchId\tversion=$nextV" +
-        s"\tbatch_ids=${((seen :+ batchId).distinct.takeRight(256))
-          .mkString(",")}"
-      val body = (Seq(header, props) ++ kept ++ renumbered)
-        .mkString("", "\n", "\n")
-      val staging = s"$root/_staging_c_$stagingUuid"
-      fs.delete(new HPath(staging), true)
-      val out = fs.create(new HPath(s"$staging/manifest.tsv"), true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      val dest = new HPath(s"$root/_commit_v$nextV")
-      if (!fs.exists(dest) && fs.rename(new HPath(staging), dest)) {
-        val nested = new HPath(dest, new HPath(staging).getName)
-        if (!fs.exists(nested)) return true
-        fs.delete(nested, true)
-      } else fs.delete(new HPath(staging), true)
+    val committed = LakeCommit.claim(fs, root, batchId,
+      (latestV, _, seen, nextV) => {
+        // keep every line the rewrite did NOT read (racing appends
+        // ride verbatim); renumber the rewrite's manifest ids into a
+        // fresh range (paths are opaque — the id is only a
+        // plan-order key)
+        val kept = GraftLake.rawFileLines(fs, root, latestV)
+          .filterNot(l => fPaths.contains(l.split('\t')(1)))
+        val maxId = (kept.map(_.split('\t')(0).toLong) ++ Seq(-1L)).max
+        val renumbered = written.zipWithIndex.map { case (l, i) =>
+          val f = l.split('\t')
+          ((maxId + 1 + i).toString +: f.tail).mkString("\t")
+        }
+        (Seq(header, LakeCommit.propsLine(batchId, nextV, seen)) ++
+          kept ++ renumbered).mkString("", "\n", "\n")
+      })
+    if (committed.isEmpty)
+      fs.delete(new HPath(s"$root/$subdir"), true)
+    committed.isDefined
+  }
+}
+
+/** MERGE INTO on the lake format (block 104, q548/q549): Delta-style
+  * copy-on-write upsert. Semantics: a source row whose key EXISTS in
+  * the target replaces that row; an absent key inserts. Protocol:
+  *
+  *  1. CANDIDATE files — the distinct source keys join the broadcast
+  *     manifest (metadata-sized): a file is a candidate iff its key
+  *     zone admits ≥1 source key AND, when the key column carries a
+  *     bloom, the bitmap admits it (the same integer arithmetic the
+  *     planner and the oracle use). At 100 TB this is the step that
+  *     keeps a point-ish merge from rewriting the table: only
+  *     key-overlapping files are even READ.
+  *  2. TOUCHED files — candidates are scanned and only files with an
+  *     ACTUAL key match rewrite (a bloom/zone false positive costs a
+  *     read, never a rewrite — Delta's find-touched-files scan).
+  *  3. REWRITE — touched rows with matches replaced by their source
+  *     rows, unioned with the true inserts (keys absent from the
+  *     whole table), re-filed key-sorted; untouched files ride
+  *     verbatim. Commit through [[LakeCommit.claim]], batch-id
+  *     idempotent, racing appends kept by path like OPTIMIZE.
+  *
+  * Reference anchor: the K1–K3 `INSERT ... ON CONFLICT DO UPDATE`
+  * upsert (`controller.js:64-79`) re-expressed as a table-format
+  * commit instead of a row-at-a-time statement.
+  */
+private[graft] object LakeMerge {
+
+  /** Returns (filesRewritten, filesNew, committedVersion), or None
+    * when `batchId` already committed (idempotent replay).
+    */
+  def merge(spark: SparkSession, root: String,
+      source: org.apache.spark.sql.DataFrame, keyCol: String,
+      batchId: String): Option[(Long, Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    val fs = new HPath(root).getFileSystem(GraftLake.hadoopConf)
+    val baseVs = GraftLake.committedVersions(fs, root)
+    val base = GraftLake.readMeta(root, baseVs.lastOption)
+    if (LakeCommit.seenIds(base).contains(batchId)) return None
+    require(base.files.forall(_.dvPath.isEmpty),
+      "graft-lake: merge handles DV-free tables (fold DVs first)")
+    require(base.zoneCols.contains(keyCol),
+      s"graft-lake: merge key $keyCol must be a zone column")
+    require(base.partSpec.isEmpty,
+      "graft-lake: merge into a declared-partition table is not " +
+        "supported yet")
+    val zi = base.zoneCols.indexOf(keyCol)
+    import spark.implicits._
+    val filesDf = base.files
+      .map(f => (f.fileId, f.path, f.zMin(zi), f.zMax(zi),
+        f.bloom.toSeq))
+      .toDF("file_id", "path", "zmin", "zmax", "bloom")
+    val keys = source.select(col(keyCol).cast("long").as("mk"))
+      .distinct()
+    // candidate admission, DISTRIBUTED: every key probes the
+    // broadcast manifest exactly like the planner would
+    val bloomed = base.bloomCol.contains(keyCol)
+    val admit = if (!bloomed) lit(true)
+      else LakeBloom.Hashes.map { case (a, b) =>
+        expr(s"(element_at(bloom, cast((((mk * ${a}L + ${b}L) % " +
+          s"${LakeBloom.P}L) % ${LakeBloom.Bits}L) div 64 as int) + 1)" +
+          s" & shiftleft(cast(1 as bigint), cast((((mk * ${a}L + " +
+          s"${b}L) % ${LakeBloom.P}L) % ${LakeBloom.Bits}L) % 64 " +
+          "as int))) != 0")
+      }.reduce(_ && _)
+    val candPaths = keys
+      .join(broadcast(filesDf),
+        col("mk") >= col("zmin") && col("mk") <= col("zmax"))
+      .filter(admit)
+      .select(col("path")).distinct()
+      .as[String].collect().sorted
+    val schema = base.schema
+    val dataCols = schema.fieldNames.toSeq
+    // which candidates actually MATCH (and the full candidate rows,
+    // read once into the rewrite)
+    val candRows = if (candPaths.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema)
+      .parquet(candPaths.map(p => s"$root/$p"): _*)
+      .withColumn("_src", input_file_name())
+    val touchedPaths: Set[String] = if (candPaths.isEmpty) Set.empty
+    else candRows
+      .join(keys, col(keyCol) === col("mk"))
+      .select(col("_src")).distinct().as[String].collect()
+      .map(abs => candPaths.find(p => abs.endsWith(p)).getOrElse(
+        sys.error(s"graft-lake: unmatched scan path $abs")))
+      .toSet
+    // rows of touched files only (candidates without a match ride
+    // untouched)
+    val touchedRows = if (touchedPaths.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema)
+      .parquet(touchedPaths.toSeq.sorted.map(p => s"$root/$p"): _*)
+    val tableKeys = candRows match {
+      case _ if candPaths.isEmpty => keys.limit(0)
+      case cr => cr.select(col(keyCol).cast("long").as("mk"))
+        .join(keys, "mk").distinct()
     }
-    sys.error(s"graft-lake: optimize of $root lost $attempts " +
-      "consecutive version claims — giving up")
+    val updates = source.join(tableKeys,
+      source(keyCol).cast("long") === col("mk"))
+      .select(dataCols.map(source(_)): _*)
+    val inserts = source.join(tableKeys,
+      source(keyCol).cast("long") === col("mk"), "left_anti")
+      .select(dataCols.map(source(_)): _*)
+    val rewritten = touchedRows
+      .join(keys, touchedRows(keyCol).cast("long") === col("mk"),
+        "left_anti")
+      .select(dataCols.map(touchedRows(_)): _*)
+      .unionAll(updates).unionAll(inserts)
+    // re-file key-sorted (the fixtures' deterministic 256-row cut —
+    // exact-rank layout machinery, a commit-time maintenance cost)
+    val filed = {
+      import org.apache.spark.sql.expressions.Window
+      rewritten
+        .withColumn("rn", row_number()
+          .over(Window.orderBy(col(keyCol))).cast("long"))
+        .withColumn("file_id", expr("(rn - 1L) div 256L"))
+        .drop("rn")
+    }
+    val subdir = s"data_m${UUID.randomUUID.toString.take(12)}"
+    val written = GraftLake.writeFiles(spark, fs, root, subdir, filed,
+      base.zoneCols.toSeq, base.bloomCol)
+    val header = s"#schema\t${base.schema.fields.map(f =>
+      s"${f.name}:${LakeEncode.typeName(f.dataType)}").mkString(",")
+      }\t${base.zoneCols.mkString(",")}\t${base.bloomCol.getOrElse("-")}"
+    val committed = LakeCommit.claim(fs, root, batchId,
+      (latestV, _, seen, nextV) => {
+        val kept = GraftLake.rawFileLines(fs, root, latestV)
+          .filterNot(l => touchedPaths.contains(l.split('\t')(1)))
+        val maxId = (kept.map(_.split('\t')(0).toLong) ++ Seq(-1L)).max
+        val renumbered = written.zipWithIndex.map { case (l, i) =>
+          val f = l.split('\t')
+          ((maxId + 1 + i).toString +: f.tail).mkString("\t")
+        }
+        (Seq(header, LakeCommit.propsLine(batchId, nextV, seen)) ++
+          kept ++ renumbered).mkString("", "\n", "\n")
+      })
+    if (committed.isEmpty) {
+      fs.delete(new HPath(s"$root/$subdir"), true)
+      None
+    } else Some((touchedPaths.size.toLong, written.size.toLong,
+      committed.get))
   }
 }
 

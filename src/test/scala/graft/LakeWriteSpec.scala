@@ -183,4 +183,44 @@ class LakeWriteSpec extends SparkSpec {
     assert(scan(root).filter(col("o_orderkey") === 99999L).count()
       == 0L)
   }
+
+  test("MERGE: copy-on-write rewrites ONLY key-matching files, " +
+      "upsert semantics hold at key grain, and a replayed batch " +
+      "no-ops") {
+    import graft.sources.lake.LakeMerge
+    import spark.implicits._
+    val root = freshRoot()
+    append(root, 0L, 2048L, "b0") // 0..2047, custkey = k % 97
+    val m1 = GraftLake.readMeta(root)
+    val p1 = m1.files.map(_.path).toSet
+    // updates hit a narrow key band; inserts extend past the max
+    val src = ((100L to 140L).map(k => (k, k + 500000L)) ++
+      (5000L until 5010L).map(k => (k, k))).toDF(
+      "o_orderkey", "o_custkey")
+    val r = LakeMerge.merge(spark, root, src, "o_orderkey", "m1")
+    assert(r.isDefined)
+    val (rew, _, v) = r.get
+    val m2 = GraftLake.readMeta(root)
+    // only files whose key zone meets [100,140] rewrite
+    val touchedExpected = m1.files.count(f =>
+      f.zMax(0) >= 100L && f.zMin(0) <= 140L).toLong
+    assert(rew > 0 && rew <= touchedExpected)
+    val kept = m2.files.map(_.path).toSet.intersect(p1)
+    assert(kept.size == m1.files.length - rew,
+      "untouched files must ride verbatim")
+    // upsert semantics at key grain
+    val got = scan(root).collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toMap
+    assert(got.size == 2048 + 10)
+    (100L to 140L).foreach(k => assert(got(k) == k + 500000L))
+    (5000L until 5010L).foreach(k => assert(got(k) == k))
+    assert(got(99L) == 99L % 97)
+    assert(got(141L) == 141L % 97)
+    // replay: recognized on the trail, no new snapshot
+    assert(LakeMerge.merge(spark, root, src, "o_orderkey", "m1")
+      .isEmpty)
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(GraftLake.committedVersions(fs, root).max == v)
+  }
 }
