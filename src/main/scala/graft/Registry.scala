@@ -1618,6 +1618,12 @@ object Registry {
       graft.sources.lake.GraftLake.lakeMergeState(s, d)),
     "q549_lake_merge_audit" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeMergeAudit(s, d)),
+    // block 105: runtime file pruning — a selective dim's join keys
+    // pushed into the fact scan at plan time (dynamic file pruning)
+    "q550_lake_runtime_prune" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeRuntimePrune(s, d)),
+    "q551_lake_runtime_join" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeRuntimeJoin(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

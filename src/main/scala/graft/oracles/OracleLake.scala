@@ -673,5 +673,36 @@ object OracleLake {
         "(SELECT n0 FROM mf0) + 50, " +
         "(SELECT f0 FROM mf0) - (SELECT t FROM mtr), " +
         "((SELECT r FROM mrr) + 50 + 255) // 256) " +
-        "ORDER BY version"))
+        "ORDER BY version"),
+    // q550: the runtime-prune audit — the newest-cohort custkeys
+    // (top 1/32), per-key zone admission over the Z-order layout,
+    // and the pruned row count, all re-derived
+    "q550_lake_runtime_prune" ->
+      (OracleZoneMap.Common + OracleZoneMap.OptLive +
+        ", rcx AS (SELECT MAX(CAST(c_custkey AS BIGINT)) AS mc " +
+        "FROM customer), " +
+        "rck AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k " +
+        "FROM customer, rcx WHERE c_custkey >= (31 * mc) // 32) " +
+        "SELECT 'dim_cohort' AS probe_id, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zovz) AS files_total, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zovz z WHERE EXISTS " +
+        "(SELECT 1 FROM rck WHERE k BETWEEN z.min_ck AND z.max_ck)) " +
+        "AS files_planned, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM rck) AS n_keys, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM zolv v JOIN rck " +
+        "ON v.o_custkey = rck.k) AS n_rows"),
+    // q551: the runtime-pruned join — the cohort's orders per
+    // nation, value-identical to the plain join over raw tables
+    "q551_lake_runtime_join" ->
+      ("WITH rcx AS (SELECT MAX(CAST(c_custkey AS BIGINT)) AS mc " +
+        "FROM customer), " +
+        "rcd AS (SELECT CAST(c_custkey AS BIGINT) AS k, " +
+        "CAST(c_nationkey AS BIGINT) AS nation FROM customer, rcx " +
+        "WHERE c_custkey >= (31 * mc) // 32), " +
+        "llv AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS " +
+        "o_custkey FROM orders WHERE o_orderkey % 37 <> 0) " +
+        "SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok " +
+        "FROM llv JOIN rcd ON o_custkey = k " +
+        "GROUP BY nation ORDER BY nation"))
 }

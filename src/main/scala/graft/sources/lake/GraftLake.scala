@@ -1758,6 +1758,84 @@ object GraftLake {
       .orderBy(col("version"))
   }
 
+  /** Runtime file pruning (block 105, q550/q551) — the dynamic
+    * file-pruning pattern on the lake format: the DIM side of a join
+    * is computed FIRST and its join keys (a bounded collect — the
+    * DPP assumption: a selective dimension) are pushed into the fact
+    * scan as an IN probe, so `planInputPartitions` admits only files
+    * whose key zones cover ≥1 dim key. At 100 TB this turns
+    * "join the fact table to this week's registrations" from a full
+    * fact scan into reading the handful of files the cohort's key
+    * range actually lands in. The cap is the honesty guard: a dim
+    * that is NOT selective must fall back to the plain shuffled join
+    * rather than ship an unbounded literal list through the plan.
+    */
+  private[graft] def runtimePrunedFact(spark: SparkSession,
+      root: String, keyCol: String, keys: Seq[Long],
+      cap: Int = 100000): DataFrame = {
+    require(keys.nonEmpty, "graft-lake: runtime prune needs ≥1 key")
+    require(keys.length <= cap,
+      s"graft-lake: runtime prune key set ${keys.length} exceeds " +
+        s"$cap — use the plain join (the dim is not selective)")
+    dfFor(spark, root).filter(col(keyCol).isin(keys: _*))
+  }
+
+  /** The newest-cohort dim keys: customers in the top 1/32 of the
+    * key range ("most recently registered" — custkey is the
+    * registration order), the selective dim side both q550 and q551
+    * derive at plan time.
+    */
+  private def cohortKeys(spark: SparkSession,
+      dir: String): Array[Long] = {
+    val c = Tables.customer(spark, dir)
+    val maxC = c.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+    val cut = 31L * maxC / 32L
+    c.filter(col("c_custkey") >= cut)
+      .select(col("c_custkey").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+  }
+
+  /** q550: the runtime-prune audit — total files vs files the
+    * dim-derived IN probe plans, the cohort size, and the pruned
+    * fact rows. DuckDB re-derives the Z-order layout and every
+    * per-key zone admission; one file planned too many or too few
+    * breaks the hash.
+    */
+  def lakeRuntimePrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureTable(spark, dir)
+    val keys = cohortKeys(spark, dir)
+    val filters = Array[Filter](
+      In("o_custkey", keys.map(_.asInstanceOf[Any])))
+    Seq(("dim_cohort", readMeta(root).files.length.toLong,
+      plannedFiles(root, filters), keys.length.toLong,
+      runtimePrunedFact(spark, root, "o_custkey", keys).count()))
+      .toDF("probe_id", "files_total", "files_planned", "n_keys",
+        "n_rows")
+  }
+
+  /** q551: the runtime-pruned JOIN — the newest cohort's orders
+    * served through the pruned fact scan, rolled up per nation.
+    * Value-identical to the unpruned join (DuckDB computes it from
+    * raw orders ⋈ customer), while the plan reads only admitted
+    * files.
+    */
+  def lakeRuntimeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val maxC = c.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+    val cut = 31L * maxC / 32L
+    val dim = c.filter(col("c_custkey") >= cut)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val keys = cohortKeys(spark, dir)
+    val fact = runtimePrunedFact(spark,
+      ensureTable(spark, dir), "o_custkey", keys)
+    fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_ok"))
+      .orderBy(col("nation"))
+  }
+
   /** q544: the manifest-served aggregate (block 102) — COUNT plus
     * MIN/MAX over four zone encodings (long key, date, decimal
     * money, double discount) on the typed lineitem instance, all

@@ -461,6 +461,47 @@ class GraftLakeSpec extends SparkSpec {
     Caches.releaseAll(spark)
   }
 
+  test("runtime file pruning: a selective dim's keys pushed as an IN " +
+      "probe plan only zone-admitted files, result equals the plain " +
+      "join, and an unbounded key set is refused") {
+    import org.apache.spark.sql.sources.In
+    val c = graft.sources.Tables.customer(spark, sfDir)
+    val maxC = c.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+    val cut = 31L * maxC / 32L
+    val keys = c.filter(col("c_custkey") >= cut)
+      .select(col("c_custkey").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(keys.nonEmpty)
+    val filters = Array[Filter](
+      In("o_custkey", keys.map(_.asInstanceOf[Any])))
+    val total = GraftLake.plannedFiles(root, Array.empty)
+    val planned = GraftLake.plannedFiles(root, filters)
+    if (total > 4)
+      assert(planned < total, "the cohort probe must actually prune")
+    // per-file admission recomputed from the layout frame
+    val zones = ZoneMap.zones(Optimize.rewrittenFiles(spark, sfDir))
+      .collect().map(r => (r.getAs[Long]("min_ck"),
+        r.getAs[Long]("max_ck")))
+    val expected = zones.count { case (mn, mx) =>
+      keys.exists(k => k >= mn && k <= mx)
+    }.toLong
+    assert(planned == expected)
+    // value parity with the unpruned path
+    val viaPruned = GraftLake
+      .runtimePrunedFact(spark, root, "o_custkey", keys)
+      .agg(count(lit(1)), sum(col("o_orderkey"))).collect()(0)
+    val viaFull = live.filter(col("o_custkey").isin(keys: _*))
+      .agg(count(lit(1)), sum(col("o_orderkey"))).collect()(0)
+    assert(viaPruned.getLong(0) == viaFull.getLong(0))
+    assert(viaPruned.getLong(1) == viaFull.getLong(1))
+    // the honesty guard: an unbounded dim refuses the literal path
+    intercept[IllegalArgumentException] {
+      GraftLake.runtimePrunedFact(spark, root, "o_custkey",
+        keys, cap = 1)
+    }
+    Caches.releaseAll(spark)
+  }
+
   test("bloom bitmap semantics: admits() equals the positions-subset " +
       "definition") {
     val words = new Array[Long](LakeBloom.Words)
