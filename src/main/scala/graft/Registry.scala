@@ -1624,6 +1624,12 @@ object Registry {
       graft.sources.lake.GraftLake.lakeRuntimePrune(s, d)),
     "q551_lake_runtime_join" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeRuntimeJoin(s, d)),
+    // block 106: storage-partitioned joins — two identity(day)
+    // co-partitioned lake tables join with ZERO shuffles
+    "q552_lake_spj_plan" -> ((s, d) =>
+      graft.sources.lake.LakeSpj.lakeSpjPlan(s, d)),
+    "q553_lake_spj_rollup" -> ((s, d) =>
+      graft.sources.lake.LakeSpj.lakeSpjRollup(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -704,5 +704,37 @@ object OracleLake {
         "SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
         "CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok " +
         "FROM llv JOIN rcd ON o_custkey = k " +
-        "GROUP BY nation ORDER BY nation"))
+        "GROUP BY nation ORDER BY nation"),
+    // q552: the storage-partitioned-join audit — day-partition count
+    // and the join cardinality (each event meets exactly its
+    // (day,user) summary row) re-derived from raw events; the
+    // shuffle counts are the plan CONTRACT (0 co-partitioned, 2
+    // shuffled)
+    "q552_lake_spj_plan" ->
+      ("WITH sev AS (SELECT CAST(ts AS DATE) - DATE '1970-01-01' " +
+        "AS day FROM events), " +
+        "sdc AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS nd, " +
+        "CAST(COUNT(*) AS BIGINT) AS ne FROM sev) " +
+        "SELECT * FROM (" +
+        "SELECT '1_spj' AS mode, nd AS n_day_partitions, " +
+        "0::BIGINT AS n_shuffles, ne AS n_rows FROM sdc " +
+        "UNION ALL SELECT '2_shuffled', nd, 2::BIGINT, ne FROM sdc) " +
+        "ORDER BY mode"),
+    // q553: the enrichment through the SPJ — per weekday: events,
+    // exact integer cents, and the summed (day,user) group sizes
+    "q553_lake_spj_rollup" ->
+      ("WITH sev AS (SELECT CAST(ts AS DATE) - DATE '1970-01-01' " +
+        "AS day, user_id, " +
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents " +
+        "FROM events), " +
+        "sdu AS (SELECT day, user_id, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_ev FROM sev " +
+        "GROUP BY day, user_id) " +
+        "SELECT e.day % 7 AS weekday, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(SUM(e.cents) AS BIGINT) AS sum_cents, " +
+        "CAST(SUM(d.n_ev) AS BIGINT) AS sum_group " +
+        "FROM sev e JOIN sdu d ON e.day = d.day AND " +
+        "e.user_id = d.user_id " +
+        "GROUP BY weekday ORDER BY weekday"))
 }

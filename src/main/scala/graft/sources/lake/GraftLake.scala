@@ -186,7 +186,7 @@ object GraftLake {
         .mkString("", "\n", "\n"))
   }
 
-  private def headerOf(dataCols: Seq[(String, String)],
+  private[lake] def headerOf(dataCols: Seq[(String, String)],
       zoneCols: Seq[String], bloomCol: Option[String],
       partSpec: Option[String] = None): String =
     s"#schema\t${dataCols.map { case (n, t) => s"$n:$t" }
@@ -299,7 +299,7 @@ object GraftLake {
   /** Build-once commit wrapper: freshness by corpus fingerprint +
     * format version, the standard staging→swap→meta-last protocol.
     */
-  private def ensureLake(spark: SparkSession, name: String,
+  private[lake] def ensureLake(spark: SparkSession, name: String,
       fp: (Long, Long))(build: (FileSystem, String) => Unit): String =
     synchronized {
       val dest = s"${LedgerArtifacts.artifactRoot}/$name"
@@ -1483,13 +1483,13 @@ object GraftLake {
         "n_rows_live", "expired_read_fails", "history_was_larger")
   }
 
-  private def writeText(fs: FileSystem, path: String,
+  private[lake] def writeText(fs: FileSystem, path: String,
       body: String): Unit = {
     val out = fs.create(new HPath(path), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
-  private def dfFor(spark: SparkSession, root: String): DataFrame =
+  private[lake] def dfFor(spark: SparkSession, root: String): DataFrame =
     spark.read.format(classOf[LakeTableProvider].getName)
       .option("path", root).load()
 

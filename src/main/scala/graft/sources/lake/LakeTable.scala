@@ -536,14 +536,32 @@ private[graft] object LakeAggScan {
   * live rows (Spark's own FilePartition discipline, by rows instead
   * of bytes because the manifest already carries exact row counts).
   */
-private[lake] final case class LakeFileSplit(
-    files: Seq[(String, Option[String])]) extends InputPartition {
+private[lake] sealed trait LakeSplit extends InputPartition {
+  def files: Seq[(String, Option[String])]
   def hasDv: Boolean = files.exists(_._2.isDefined)
+}
+
+private[lake] final case class LakeFileSplit(
+    files: Seq[(String, Option[String])]) extends LakeSplit
+
+/** A split of ONE declared-partition value (identity transform) —
+  * carries its key so the scan can report
+  * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+  * and a join of two co-partitioned lake tables plans WITHOUT a
+  * shuffle (block 106). `key` is the column's internal value.
+  */
+private[lake] final case class LakeKeyedSplit(
+    files: Seq[(String, Option[String])], key: Any)
+    extends LakeSplit with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array(key))
 }
 
 class LakeScan(root: String, meta: LakeMeta, required: StructType,
     pushed: Array[Filter], limit: Option[Int])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -652,7 +670,32 @@ class LakeScan(root: String, meta: LakeMeta, required: StructType,
     }
   }
 
-  private lazy val planned: Array[InputPartition] = {
+  /** Identity-grouped planning (block 106): when the table declares
+    * `identity(c)` partitioning and every admitted file carries its
+    * pval, one split per partition VALUE, keyed — the unit
+    * [[outputPartitioning]] reports so a co-partitioned join plans
+    * shuffle-free. A production refinement sub-splits large values
+    * and lets Spark's partition grouping re-merge them; one split
+    * per value keeps the fixture's plan deterministic.
+    */
+  private lazy val identitySpec: Option[LakePartSpec] =
+    meta.partSpec.filter(s => s.transform == "identity" &&
+      plannedFiles.nonEmpty && plannedFiles.forall(_.pval.isDefined))
+
+  private lazy val planned: Array[InputPartition] = identitySpec match {
+    case Some(spec) =>
+      val dt = meta.schema.fields.find(_.name == spec.col).get.dataType
+      plannedFiles.groupBy(_.pval.get).toSeq.sortBy(_._1)
+        .map { case (pv, fs) =>
+          // identity: the pval IS the column's ordered-long encoding
+          LakeKeyedSplit(fs.sortBy(_.fileId).map(f =>
+            (s"$root/${f.path}", f.dvPath.map(d => s"$root/$d"))),
+            LakeEncode.fromOrderedLong(dt, pv)): InputPartition
+        }.toArray
+    case None => packedPlan
+  }
+
+  private lazy val packedPlan: Array[InputPartition] = {
     // pack sequential file runs into splits of ~target live rows:
     // enough splits to feed ~4× the session parallelism on a large
     // scan, never less than one file, never a task under ~4k rows on
@@ -678,6 +721,27 @@ class LakeScan(root: String, meta: LakeMeta, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = planned
+
+  /** SPJ report (block 106): an identity-partitioned table's scan is
+    * KEY-GROUPED on the partition column — one planned split per
+    * value, each carrying its key — so a join of two tables
+    * co-partitioned on that column plans as a storage-partitioned
+    * join: NO shuffle on either side (the 100 TB co-location win:
+    * the fact and its daily dim never move). Non-identity tables
+    * report unknown and plan exactly as before.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    identitySpec match {
+      case Some(spec) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions
+              .Expressions.identity(spec.col)), planned.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(planned.length)
+    }
 
   /** Columnar iff no planned file carries a DV: Spark requires one
     * mode per scan (`DataSourceV2ScanExecBase` rejects mixed), and a
@@ -706,7 +770,7 @@ class LakeScan(root: String, meta: LakeMeta, required: StructType,
     new LakeReaderFactory(required,
       new SerializableHadoopConf(conf),
       columnar = !planned.exists(
-        _.asInstanceOf[LakeFileSplit].hasDv))
+        _.asInstanceOf[LakeSplit].hasDv))
   }
 }
 
@@ -790,7 +854,7 @@ class LakeReaderFactory(required: StructType,
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val split = partition.asInstanceOf[LakeFileSplit]
+    val split = partition.asInstanceOf[LakeSplit]
     require(!split.hasDv,
       "graft-lake: columnar mode never plans a DV split")
     new PartitionReader[ColumnarBatch] {
@@ -819,7 +883,7 @@ class LakeReaderFactory(required: StructType,
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val split = partition.asInstanceOf[LakeFileSplit]
+    val split = partition.asInstanceOf[LakeSplit]
     new PartitionReader[InternalRow] {
       private val conf = splitConf()
       private var idx = 0

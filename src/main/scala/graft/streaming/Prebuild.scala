@@ -90,6 +90,14 @@ object Prebuild {
         () => graft.sources.lake.GraftLake
           .readMeta(graft.sources.lake.GraftLake
             .ensureMergeTable(spark, dir)).files.size.toLong),
+      ("lake_spj_fact",
+        () => graft.sources.lake.GraftLake
+          .readMeta(graft.sources.lake.LakeSpj
+            .ensureFactTable(spark, dir)).files.size.toLong),
+      ("lake_spj_daily",
+        () => graft.sources.lake.GraftLake
+          .readMeta(graft.sources.lake.LakeSpj
+            .ensureDailyTable(spark, dir)).files.size.toLong),
       ("join_stats",
         () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
           .count()),
