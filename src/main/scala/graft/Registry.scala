@@ -1630,6 +1630,12 @@ object Registry {
       graft.sources.lake.LakeSpj.lakeSpjPlan(s, d)),
     "q553_lake_spj_rollup" -> ((s, d) =>
       graft.sources.lake.LakeSpj.lakeSpjRollup(s, d)),
+    // block 107: DSv2 appends to DECLARED-PARTITION tables — the
+    // write demands day-clustered rows, one file per pval run
+    "q554_lake_pwrite_audit" -> ((s, d) =>
+      graft.sources.lake.LakeSpj.lakePwriteAudit(s, d)),
+    "q555_lake_pwrite_pruned" -> ((s, d) =>
+      graft.sources.lake.LakeSpj.lakePwritePruned(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

@@ -736,5 +736,52 @@ object OracleLake {
         "CAST(SUM(d.n_ev) AS BIGINT) AS sum_group " +
         "FROM sev e JOIN sdu d ON e.day = d.day AND " +
         "e.user_id = d.user_id " +
-        "GROUP BY weekday ORDER BY weekday"))
+        "GROUP BY weekday ORDER BY weekday"),
+    // q554: the partitioned DSv2 write — one file per day per batch
+    // (the clustering contract), counts per snapshot from raw
+    // events; versions_committed pins the replay no-op (3, not 4)
+    "q554_lake_pwrite_audit" ->
+      ("WITH pev AS (SELECT CAST(ts AS DATE) - DATE '1970-01-01' " +
+        "AS day FROM events), " +
+        "pmd AS (SELECT MIN(day) + 14 AS mid FROM pev), " +
+        "ph0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(COUNT(DISTINCT day) AS BIGINT) AS d FROM pev, pmd " +
+        "WHERE day < mid), " +
+        "ph1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(COUNT(DISTINCT day) AS BIGINT) AS d FROM pev, pmd " +
+        "WHERE day >= mid) " +
+        "SELECT * FROM (" +
+        "SELECT 0::BIGINT AS version, 0::BIGINT AS n_files, " +
+        "0::BIGINT AS n_rows, 0::BIGINT AS n_days, " +
+        "3::BIGINT AS versions_committed " +
+        "UNION ALL SELECT 1::BIGINT, d, n, d, 3::BIGINT FROM ph0 " +
+        "UNION ALL SELECT 2::BIGINT, " +
+        "(SELECT d FROM ph0) + (SELECT d FROM ph1), " +
+        "(SELECT n FROM ph0) + (SELECT n FROM ph1), " +
+        "(SELECT CAST(COUNT(DISTINCT day) AS BIGINT) FROM pev), " +
+        "3::BIGINT) ORDER BY version"),
+    // q555: partition + zone pruning on the DSv2-written table — the
+    // one-file-per-day layout and each day's event_id zone
+    // re-derived from raw events
+    "q555_lake_pwrite_pruned" ->
+      ("WITH pev AS (SELECT CAST(ts AS DATE) - DATE '1970-01-01' " +
+        "AS day, event_id FROM events), " +
+        "pdz AS (SELECT day, MIN(event_id) AS mn FROM pev " +
+        "GROUP BY day), " +
+        "pbb AS (SELECT MIN(day) + 7 AS lo, MIN(day) + 13 AS hi " +
+        "FROM pev), " +
+        "pme AS (SELECT MAX(event_id) // 2 AS half FROM pev), " +
+        "pft AS (SELECT CAST(COUNT(*) AS BIGINT) AS ft FROM pdz) " +
+        "SELECT * FROM (" +
+        "SELECT '1_week' AS probe_id, ft AS files_total, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM pdz, pbb WHERE " +
+        "day BETWEEN lo AND hi) AS files_planned, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM pev, pbb WHERE " +
+        "day BETWEEN lo AND hi) AS n_rows FROM pft " +
+        "UNION ALL SELECT '2_week_zone', ft, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM pdz, pbb, pme WHERE " +
+        "day BETWEEN lo AND hi AND mn <= half), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM pev, pbb, pme WHERE " +
+        "day BETWEEN lo AND hi AND event_id <= half) FROM pft) " +
+        "ORDER BY probe_id"))
 }

@@ -597,10 +597,12 @@ object GraftLake {
     */
   private[graft] def createTable(fs: FileSystem, root: String,
       schema: StructType, zoneCols: Seq[String],
-      bloomCol: Option[String]): Unit = {
+      bloomCol: Option[String],
+      partSpec: Option[String] = None): Unit = {
     val header = s"#schema\t${schema.fields.map(f =>
       s"${f.name}:${LakeEncode.typeName(f.dataType)}").mkString(",")
-      }\t${zoneCols.mkString(",")}\t${bloomCol.getOrElse("-")}"
+      }\t${zoneCols.mkString(",")}\t${bloomCol.getOrElse("-")
+      }${partSpec.fold("")(s => s"\t$s")}"
     val staging = s"$root/_staging_c_create"
     fs.delete(new HPath(staging), true)
     writeText(fs, s"$staging/manifest.tsv",

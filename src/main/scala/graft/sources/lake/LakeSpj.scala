@@ -40,7 +40,8 @@ object LakeSpj {
   /** Epoch-day + integer-cents projection of the events corpus — the
     * shared frame both tables and both DuckDB twins derive from.
     */
-  private def eventFrame(spark: SparkSession, dir: String): DataFrame =
+  private[lake] def eventFrame(spark: SparkSession,
+      dir: String): DataFrame =
     Tables.events(spark, dir).select(
       datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
         .as("day"),
@@ -96,6 +97,93 @@ object LakeSpj {
             Some("identity(day)")) +: lines)
             .mkString("", "\n", "\n"))
     }
+  }
+
+  /** The DSv2-WRITTEN PARTITIONED table (block 107, q554/q555):
+    * created empty with `identity(day)` declared, then populated by
+    * two `df.write.format(lake)` appends (day halves of the events
+    * corpus) — the write path DEMANDS rows clustered + sorted by the
+    * partition column ([[LakeWriteBuilder]]'s
+    * `RequiresDistributionAndOrdering`), so every committed file
+    * carries exactly one pval and the planner's partition pruning
+    * holds on DSv2-written data. The second batch is then REPLAYED
+    * with its original id and must no-op.
+    */
+  def ensurePartWriteTable(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.types._
+    val ev = eventFrame(spark, dir)
+    val fp = LedgerArtifacts.fingerprint(
+      ev.select(col("event_id"), col("day")), Seq("event_id", "day"))
+    GraftLake.ensureLake(spark,
+      s"lake2_pwrite_${LedgerArtifacts.dirKey(dir)}", fp) {
+      (fs, staging) =>
+        GraftLake.createTable(fs, staging, StructType(Seq(
+          StructField("day", LongType),
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("cents", LongType))),
+          Seq("event_id", "user_id"), None, Some("identity(day)"))
+        val mid = ev.agg(min(col("day"))).collect()(0).getLong(0) + 14L
+        def appendHalf(pred: org.apache.spark.sql.Column,
+            id: String): Unit = ev.filter(pred)
+          .write.format(classOf[LakeTableProvider].getName)
+          .option("path", staging).option("batchId", id)
+          .mode("append").save()
+        appendHalf(col("day") < mid, "pw-b0")
+        appendHalf(col("day") >= mid, "pw-b1")
+        // the crash-retry replay: recognized, no-ops
+        appendHalf(col("day") >= mid, "pw-b1")
+    }
+  }
+
+  /** q554: the partitioned-write audit — per snapshot: files (ONE
+    * per day per batch, the clustering contract), rows, distinct
+    * pvals; `versions_committed` pins the replay no-op (3, not 4).
+    * DuckDB re-derives every count from raw events.
+    */
+  def lakePwriteAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensurePartWriteTable(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(GraftLake.hadoopConf)
+    val nVersions = GraftLake.committedVersions(fs, root).length.toLong
+    (0L to 2L).map { v =>
+      val m = GraftLake.readMeta(root, Some(v))
+      (v, m.files.length.toLong, m.files.map(_.nRows).sum,
+        m.files.flatMap(_.pval).distinct.length.toLong, nVersions)
+    }.toDF("version", "n_files", "n_rows", "n_days",
+        "versions_committed")
+      .orderBy(col("version"))
+  }
+
+  /** q555: partition pruning on the DSv2-WRITTEN table — a one-week
+    * day window plans exactly that week's files (one per day), plus
+    * an event_id zone probe composed on top; rows through the pruned
+    * scan match DuckDB over raw events.
+    */
+  def lakePwritePruned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThanOrEqual}
+    val root = ensurePartWriteTable(spark, dir)
+    val ev = eventFrame(spark, dir)
+    val d0 = ev.agg(min(col("day"))).collect()(0).getLong(0)
+    val (lo, hi) = (d0 + 7L, d0 + 13L)
+    val filesTotal = GraftLake.readMeta(root).files.length.toLong
+    val week = Array[Filter](GreaterThanOrEqual("day", lo),
+      LessThanOrEqual("day", hi))
+    val maxEid = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val weekAndZone = week ++ Array[Filter](
+      LessThanOrEqual("event_id", maxEid / 2L))
+    val df = GraftLake.dfFor(spark, root)
+    Seq(
+      ("1_week", filesTotal, GraftLake.plannedFiles(root, week),
+        df.filter(col("day") >= lo && col("day") <= hi).count()),
+      ("2_week_zone", filesTotal,
+        GraftLake.plannedFiles(root, weekAndZone),
+        df.filter(col("day") >= lo && col("day") <= hi &&
+          col("event_id") <= maxEid / 2L).count()))
+      .toDF("probe_id", "files_total", "files_planned", "n_rows")
+      .orderBy(col("probe_id"))
   }
 
   /** Run `f` under the SPJ plan regime (v2 bucketing on, broadcast

@@ -47,18 +47,52 @@ import org.apache.spark.sql.types._
 private[lake] class LakeWriteBuilder(root: String,
     info: LogicalWriteInfo) extends WriteBuilder {
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+      with RequiresDistributionAndOrdering {
+    private val meta = GraftLake.readMeta(root)
+
+    /** Partitioned appends (block 107, q554/q555): the write DEMANDS
+      * rows clustered and sorted by the partition SOURCE column, so
+      * each task receives whole partition-value runs and the writer
+      * cuts one file per value as the pval changes — every committed
+      * file keeps the one-pval-per-file invariant the planner prunes
+      * on. Identity clustering is used for every transform (it
+      * refines day/bucket grouping and resolves without a function
+      * catalog); a production deployment would register the
+      * transform functions and cluster by `days(ts)`/`bucket(n,c)`
+      * directly for coarser, fuller files.
+      */
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      meta.partSpec match {
+        case Some(spec) =>
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .identity(spec.col)))
+        case None =>
+          org.apache.spark.sql.connector.distributions.Distributions
+            .unspecified()
+      }
+
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      meta.partSpec match {
+        case Some(spec) => Array(
+          org.apache.spark.sql.connector.expressions.Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(spec.col),
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING))
+        case None => Array.empty
+      }
+
     override def toBatch: BatchWrite = {
-      val meta = GraftLake.readMeta(root)
       val got = info.schema()
       require(got.fields.map(f => (f.name, f.dataType)).toSeq ==
         meta.schema.fields.map(f => (f.name, f.dataType)).toSeq,
         s"graft-lake: append schema ${got.simpleString} does not " +
           s"match table schema ${meta.schema.simpleString}")
-      require(meta.partSpec.isEmpty,
-        "graft-lake: DSv2 append to a declared-partition table is " +
-          "not supported yet — partitioned tables commit through the " +
-          "partition committer, which keeps one pval per file")
       val batchId = Option(info.options.get("batchId")).getOrElse(
         sys.error("graft-lake: writes require a 'batchId' option — " +
           "the idempotence key a replayed commit is recognized by"))
@@ -137,12 +171,18 @@ private[lake] object LakeCommit {
   }
 }
 
-/** One per-file stats message — the only thing an executor sends the
-  * driver (metadata-sized by construction).
+/** One written file's inline-folded stats. */
+private[lake] final case class LakeFileStat(relPath: String,
+    nRows: Long, zMin: Array[Long], zMax: Array[Long],
+    bloom: Array[Long], pval: Option[Long])
+
+/** One task's stats message — the only thing an executor sends the
+  * driver (metadata-sized by construction): one record per file the
+  * task cut (one on an unpartitioned table; one per partition-value
+  * run on a partitioned one).
   */
-private[lake] final case class LakeFileStats(partitionId: Int,
-    relPath: String, nRows: Long, zMin: Array[Long], zMax: Array[Long],
-    bloom: Array[Long]) extends WriterCommitMessage
+private[lake] final case class LakeTaskStats(partitionId: Int,
+    files: Seq[LakeFileStat]) extends WriterCommitMessage
 
 private[lake] class LakeBatchWrite(root: String, meta: LakeMeta,
     batchId: String) extends BatchWrite {
@@ -167,14 +207,15 @@ private[lake] class LakeBatchWrite(root: String, meta: LakeMeta,
         conf.set(k, spark.conf.getOption(k).getOrElse(d))
       }
     new LakeWriterFactory(s"$root/$dataSubdir", meta.schema,
-      meta.zoneCols, meta.bloomCol, new SerializableHadoopConf(conf))
+      meta.zoneCols, meta.bloomCol, meta.partSpec,
+      new SerializableHadoopConf(conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new HPath(root).getFileSystem(GraftLake.hadoopConf)
-    val stats = messages.collect {
-      case m: LakeFileStats if m.nRows > 0 => m
-    }.sortBy(_.partitionId)
+    val stats = messages.collect { case m: LakeTaskStats => m }
+      .sortBy(_.partitionId)
+      .flatMap(_.files).filter(_.nRows > 0)
     if (stats.isEmpty) {
       // an empty append commits nothing — keeps version counts free
       // of no-data micro-batches (a streaming sink's trailing batch)
@@ -195,11 +236,12 @@ private[lake] class LakeBatchWrite(root: String, meta: LakeMeta,
           s"${nextFileId + i}\t${m.relPath}\t${m.nRows}" +
             s"\t${m.zMin.mkString(",")}\t${m.zMax.mkString(",")}" +
             s"\t${if (meta.bloomCol.isDefined) m.bloom.mkString(",")
-              else "-"}\t-\t0"
+              else "-"}\t-\t0" + m.pval.fold("")(v => s"\t$v")
         }
         val header = s"#schema\t${meta.schema.fields.map(f =>
           s"${f.name}:${LakeEncode.typeName(f.dataType)}").mkString(",")
-          }\t${meta.zoneCols.mkString(",")}\t${meta.bloomCol.getOrElse("-")}"
+          }\t${meta.zoneCols.mkString(",")}\t${meta.bloomCol.getOrElse("-")
+          }${meta.partSpec.fold("")(s => s"\t${s.render}")}"
         val existing = GraftLake.rawFileLines(fs, root, latestV)
         (Seq(header, LakeCommit.propsLine(batchId, nextV, seen)) ++
           existing ++ lines).mkString("", "\n", "\n")
@@ -434,12 +476,13 @@ private[graft] object LakeMerge {
 
 private[lake] class LakeWriterFactory(dataDir: String,
     schema: StructType, zoneCols: Array[String],
-    bloomCol: Option[String], hconf: SerializableHadoopConf)
+    bloomCol: Option[String], partSpec: Option[LakePartSpec],
+    hconf: SerializableHadoopConf)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new LakeDataWriter(dataDir, schema, zoneCols, bloomCol,
+    new LakeDataWriter(dataDir, schema, zoneCols, bloomCol, partSpec,
       hconf.value, partitionId, taskId)
 }
 
@@ -453,10 +496,12 @@ private[lake] class LakeWriterFactory(dataDir: String,
   */
 private[lake] class LakeDataWriter(dataDir: String, schema: StructType,
     zoneCols: Array[String], bloomCol: Option[String],
-    conf: Configuration, partitionId: Int, taskId: Long)
+    partSpec: Option[LakePartSpec], conf: Configuration,
+    partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
-  private val fileName = f"part-$partitionId%05d-$taskId.parquet"
+  private def fileName(seq: Int) =
+    f"part-$partitionId%05d-$taskId-$seq%03d.parquet"
 
   /** Zone accessor per column: internal representations are already
     * ordered longs for long/timestamp (micros), ints for int/date
@@ -480,21 +525,58 @@ private[lake] class LakeDataWriter(dataDir: String, schema: StructType,
   private val zoneIdx = zoneCols.map(c => schema.fieldIndex(c))
   private val zoneEnc = zoneIdx.map(i => encoderOf(schema(i).dataType))
   private val bloomIdx = bloomCol.map(schema.fieldIndex)
+  // partition source accessor: the write REQUESTED rows clustered +
+  // sorted by this column, so pval runs are contiguous and one file
+  // per run keeps the one-pval-per-file invariant
+  private val partIdx = partSpec.map(s => schema.fieldIndex(s.col))
+  private val partEnc = partIdx.map(i => encoderOf(schema(i).dataType))
+  private val partDt = partIdx.map(i => schema(i).dataType)
+
   private val zMin = Array.fill(zoneCols.length)(Long.MaxValue)
   private val zMax = Array.fill(zoneCols.length)(Long.MinValue)
-  private val bloomWords = new Array[Long](LakeBloom.Words)
+  private var bloomWords = new Array[Long](LakeBloom.Words)
   private var nRows = 0L
+  private var curPval: Option[Long] = None
+  private var seq = 0
   private var writer: ParquetWriter[InternalRow] = _
+  private val done = scala.collection.mutable.ArrayBuffer
+    .empty[LakeFileStat]
+
+  private def open(): Unit = {
+    ParquetWriteSupport.setSchema(schema, conf)
+    writer = new ParquetWriter[InternalRow](
+      new HPath(s"$dataDir/${fileName(seq)}"),
+      new ParquetWriteSupport(),
+      CompressionCodecName.SNAPPY, ParquetWriter.DEFAULT_BLOCK_SIZE,
+      ParquetWriter.DEFAULT_PAGE_SIZE, ParquetWriter.DEFAULT_PAGE_SIZE,
+      true, false, ParquetWriter.DEFAULT_WRITER_VERSION, conf)
+  }
+
+  private def rollFile(): Unit = {
+    if (writer != null) {
+      writer.close()
+      done += LakeFileStat(
+        s"${new HPath(dataDir).getName}/${fileName(seq)}", nRows,
+        zMin.clone(), zMax.clone(), bloomWords, curPval)
+      writer = null
+      seq += 1
+      java.util.Arrays.fill(zMin, Long.MaxValue)
+      java.util.Arrays.fill(zMax, Long.MinValue)
+      bloomWords = new Array[Long](LakeBloom.Words)
+      nRows = 0L
+    }
+  }
 
   override def write(row: InternalRow): Unit = {
-    if (writer == null) {
-      ParquetWriteSupport.setSchema(schema, conf)
-      writer = new ParquetWriter[InternalRow](
-        new HPath(s"$dataDir/$fileName"), new ParquetWriteSupport(),
-        CompressionCodecName.SNAPPY, ParquetWriter.DEFAULT_BLOCK_SIZE,
-        ParquetWriter.DEFAULT_PAGE_SIZE, ParquetWriter.DEFAULT_PAGE_SIZE,
-        true, false, ParquetWriter.DEFAULT_WRITER_VERSION, conf)
+    val pv = partEnc.map { enc =>
+      val i = partIdx.get
+      require(!row.isNullAt(i), s"graft-lake: partition column " +
+        s"${partSpec.get.col} must be non-null")
+      partSpec.get.pvalOf(partDt.get, enc(row, i))
     }
+    if (writer != null && pv != curPval) rollFile()
+    curPval = pv
+    if (writer == null) open()
     var z = 0
     while (z < zoneIdx.length) {
       val i = zoneIdx(z)
@@ -519,17 +601,16 @@ private[lake] class LakeDataWriter(dataDir: String, schema: StructType,
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer != null) writer.close()
-    LakeFileStats(partitionId,
-      s"${new HPath(dataDir).getName}/$fileName", nRows, zMin, zMax,
-      bloomWords)
+    rollFile()
+    LakeTaskStats(partitionId, done.toSeq)
   }
 
   override def abort(): Unit = {
     if (writer != null) writer.close()
-    val p = new HPath(s"$dataDir/$fileName")
-    val fs = p.getFileSystem(conf)
-    fs.delete(p, false)
+    val fs = new HPath(dataDir).getFileSystem(conf)
+    (0 to seq).foreach { s =>
+      fs.delete(new HPath(s"$dataDir/${fileName(s)}"), false)
+    }
   }
 
   override def close(): Unit = ()

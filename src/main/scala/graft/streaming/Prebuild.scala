@@ -98,6 +98,10 @@ object Prebuild {
         () => graft.sources.lake.GraftLake
           .readMeta(graft.sources.lake.LakeSpj
             .ensureDailyTable(spark, dir)).files.size.toLong),
+      ("lake_pwrite_events",
+        () => graft.sources.lake.GraftLake
+          .readMeta(graft.sources.lake.LakeSpj
+            .ensurePartWriteTable(spark, dir)).files.size.toLong),
       ("join_stats",
         () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
           .count()),

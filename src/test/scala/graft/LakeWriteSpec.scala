@@ -184,6 +184,47 @@ class LakeWriteSpec extends SparkSpec {
       == 0L)
   }
 
+  test("partitioned DSv2 append: the write demands day-clustered " +
+      "sorted rows, cuts one file per pval run, and partition " +
+      "pruning holds on the written table") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Caches.trackTempDir(java.nio.file.Files
+      .createTempDirectory("graft_lake_pwrite_")).toString + "/t"
+    val fs = new HPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GraftLake.createTable(fs, dir, StructType(Seq(
+      StructField("day", LongType), StructField("id", LongType))),
+      Seq("id"), None, Some("identity(day)"))
+    // deliberately UNSORTED, scattered input: the required
+    // distribution + ordering must reassemble whole-day files
+    val rows = (0L until 1000L).map(k => ((k * 7L) % 5L, k))
+    scala.util.Random.shuffle(rows).toDF("day", "id")
+      .repartition(7)
+      .write.format(classOf[LakeTableProvider].getName)
+      .option("path", dir).option("batchId", "p0")
+      .mode("append").save()
+    val meta = GraftLake.readMeta(dir)
+    assert(meta.partSpec.exists(s =>
+      s.transform == "identity" && s.col == "day"))
+    // one file per day value, each single-pval
+    assert(meta.files.length == 5)
+    assert(meta.files.flatMap(_.pval).sorted == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(meta.files.map(_.nRows).sum == 1000L)
+    // partition pruning on the written table
+    import org.apache.spark.sql.sources.{EqualTo, Filter}
+    assert(GraftLake.plannedFiles(dir,
+      Array[Filter](EqualTo("day", 2L))) == 1L)
+    val got = scan(dir).filter(col("day") === 2L).count()
+    assert(got == rows.count(_._1 == 2L).toLong)
+    // replay no-ops
+    rows.toDF("day", "id")
+      .write.format(classOf[LakeTableProvider].getName)
+      .option("path", dir).option("batchId", "p0")
+      .mode("append").save()
+    assert(GraftLake.readMeta(dir).files.length == 5)
+  }
+
   test("MERGE: copy-on-write rewrites ONLY key-matching files, " +
       "upsert semantics hold at key grain, and a replayed batch " +
       "no-ops") {
