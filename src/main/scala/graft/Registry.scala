@@ -1636,6 +1636,12 @@ object Registry {
       graft.sources.lake.LakeSpj.lakePwriteAudit(s, d)),
     "q555_lake_pwrite_pruned" -> ((s, d) =>
       graft.sources.lake.LakeSpj.lakePwritePruned(s, d)),
+    // block 108: incremental (changes-since) reads — a manifest
+    // set-diff serves only files added after a snapshot, append-only
+    "q556_lake_changes_audit" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeChangesAudit(s, d)),
+    "q557_lake_changes_matrix" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeChangesMatrix(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

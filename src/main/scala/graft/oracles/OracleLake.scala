@@ -783,5 +783,34 @@ object OracleLake {
         "day BETWEEN lo AND hi AND mn <= half), " +
         "(SELECT CAST(COUNT(*) AS BIGINT) FROM pev, pbb, pme WHERE " +
         "day BETWEEN lo AND hi AND event_id <= half) FROM pft) " +
-        "ORDER BY probe_id"))
+        "ORDER BY probe_id"),
+    // q556: changes-since deltas on the id-range batch layout — the
+    // files added after version v are exactly batches v..2
+    "q556_lake_changes_audit" ->
+      ("WITH wst AS (SELECT (MAX(o_orderkey) + 3) // 3 AS step " +
+        "FROM orders) " +
+        "SELECT * FROM (" +
+        "SELECT 0::BIGINT AS from_version, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows_new, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok_new FROM orders " +
+        "UNION ALL SELECT 1::BIGINT, CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(o_orderkey) AS BIGINT) FROM orders, wst " +
+        "WHERE o_orderkey >= step " +
+        "UNION ALL SELECT 2::BIGINT, CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(o_orderkey) AS BIGINT) FROM orders, wst " +
+        "WHERE o_orderkey >= 2 * step) " +
+        "ORDER BY from_version"),
+    // q557: the incremental-read contract — append ranges serve the
+    // tail, DV-only ranges serve nothing, rewrite ranges refuse
+    "q557_lake_changes_matrix" ->
+      ("WITH ist AS (SELECT (MAX(o_orderkey) + 3) // 3 AS step " +
+        "FROM orders) " +
+        "SELECT * FROM (" +
+        "SELECT '1_append' AS case_id, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders, ist WHERE " +
+        "o_orderkey >= 2 * step) AS n_rows_new, " +
+        "0::BIGINT AS refused " +
+        "UNION ALL SELECT '2_dv_only', 0::BIGINT, 0::BIGINT " +
+        "UNION ALL SELECT '3_rewrite', -1::BIGINT, 1::BIGINT) " +
+        "ORDER BY case_id"))
 }

@@ -1838,6 +1838,62 @@ object GraftLake {
       .orderBy(col("nation"))
   }
 
+  /** An incremental (changes-since) provider read — files added
+    * after snapshot `from`, optionally pinned at `to`.
+    */
+  private[graft] def dfChangesFrom(spark: SparkSession, root: String,
+      from: Long, to: Option[Long] = None): DataFrame = {
+    val rd = spark.read.format(classOf[LakeTableProvider].getName)
+      .option("path", root).option("changesFrom", from.toString)
+    to.fold(rd)(v => rd.option("versionAsOf", v.toString)).load()
+  }
+
+  /** q556: the changes-since audit on the DSv2-written table — for
+    * each from-version, the NEW rows (files added after it) and
+    * their content mass; the id-range batch layout lets DuckDB
+    * re-derive every delta from raw orders. The consumer pattern
+    * "process what landed since my last run" as a metadata-priced
+    * manifest diff.
+    */
+  def lakeChangesAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureWriteTable(spark, dir)
+    (0L to 2L).map { v =>
+      val r = dfChangesFrom(spark, root, v)
+        .agg(count(lit(1)), sum(col("o_orderkey"))).collect()(0)
+      (v, r.getLong(0), r.getLong(1))
+    }.toDF("from_version", "n_rows_new", "sum_ok_new")
+      .orderBy(col("from_version"))
+  }
+
+  /** q557: the incremental-read decision matrix on the versioned inc
+    * table — an APPEND range serves exactly the appended tail; a
+    * DV-only range serves NOTHING (deletes attach to existing files;
+    * the change-feed family carries delete deltas); a range spanning
+    * the OPTIMIZE rewrite is REFUSED (rewritten rows are not new
+    * data — serving them would double-count).
+    */
+  def lakeChangesMatrix(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureIncTable(spark, dir)
+    def attempt(from: Long, to: Long): (Long, Long) =
+      try (dfChangesFrom(spark, root, from, Some(to)).count(), 0L)
+      catch {
+        case e: Throwable if Iterator.iterate(e)(_.getCause)
+          .takeWhile(_ != null)
+          .exists(t => Option(t.getMessage)
+            .exists(_.contains("append-only"))) => (-1L, 1L)
+      }
+    val c1 = attempt(0L, 1L)
+    val c2 = attempt(1L, 2L)
+    val c3 = attempt(0L, 3L)
+    Seq(("1_append", c1._1, c1._2), ("2_dv_only", c2._1, c2._2),
+      ("3_rewrite", c3._1, c3._2))
+      .toDF("case_id", "n_rows_new", "refused")
+      .orderBy(col("case_id"))
+  }
+
   /** q544: the manifest-served aggregate (block 102) — COUNT plus
     * MIN/MAX over four zone encodings (long key, date, decimal
     * money, double discount) on the typed lineitem instance, all

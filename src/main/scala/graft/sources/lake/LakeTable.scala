@@ -69,7 +69,8 @@ class LakeTableProvider extends TableProvider {
     val root = Option(properties.get("path")).getOrElse(
       sys.error("graft-lake: 'path' option (table root) is required"))
     new LakeTable(root, schema,
-      Option(properties.get("versionAsOf")).map(_.toLong))
+      Option(properties.get("versionAsOf")).map(_.toLong),
+      Option(properties.get("changesFrom")).map(_.toLong))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -289,23 +290,25 @@ private[graft] object LakeBloom {
 }
 
 class LakeTable(root: String, schema0: StructType,
-    version: Option[Long] = None)
+    version: Option[Long] = None, changesFrom: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
-    s"graft_lake($root${version.fold("")(v => s"@v$v")})"
+    s"graft_lake($root${version.fold("")(v => s"@v$v")}${
+      changesFrom.fold("")(v => s" changes>$v")})"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScanBuilder(root, version)
+    new LakeScanBuilder(root, version, changesFrom)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    require(version.isEmpty,
-      "graft-lake: cannot write to a pinned snapshot (versionAsOf)")
+    require(version.isEmpty && changesFrom.isEmpty,
+      "graft-lake: cannot write to a pinned snapshot " +
+        "(versionAsOf/changesFrom)")
     new LakeWriteBuilder(root, info)
   }
 }
@@ -314,12 +317,39 @@ class LakeTable(root: String, schema0: StructType,
   * returned as residuals — file-grain pruning is approximate by
   * design, Spark's row-level filter keeps exactness.
   */
-class LakeScanBuilder(root: String, version: Option[Long] = None)
+class LakeScanBuilder(root: String, version: Option[Long] = None,
+    changesFrom: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
 
-  private lazy val meta = GraftLake.readMeta(root, version)
+  /** INCREMENTAL (changes-since) read (block 108, q556/q557): with
+    * `changesFrom=v`, the scan serves only files ADDED after
+    * snapshot v — a manifest set-diff, metadata-priced whatever the
+    * table size, the consumer pattern "give me what landed since I
+    * last ran". Append-only by contract: a range containing a
+    * REWRITE (OPTIMIZE/MERGE removed paths) is refused — rewritten
+    * rows are not new data, and serving them would double-count;
+    * row-level deletes (DVs) attach to EXISTING files and so
+    * correctly surface nothing here (the change-feed family q452+
+    * carries delete deltas). Every pushdown (filters, limit,
+    * aggregates, stats) composes with the diffed file set untouched.
+    */
+  private lazy val meta = {
+    val m = GraftLake.readMeta(root, version)
+    changesFrom match {
+      case Some(v0) =>
+        val basePaths = GraftLake.readMeta(root, Some(v0))
+          .files.map(_.path).toSet
+        val nowPaths = m.files.map(_.path).toSet
+        require(basePaths.subsetOf(nowPaths),
+          s"graft-lake: changesFrom=$v0 spans a rewrite (" +
+            s"${(basePaths -- nowPaths).size} files removed) — " +
+            "incremental reads are append-only; read full snapshots")
+        m.copy(files = m.files.filterNot(f => basePaths(f.path)))
+      case None => m
+    }
+  }
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
   private var limit: Option[Int] = None

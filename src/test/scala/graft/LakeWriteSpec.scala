@@ -225,6 +225,36 @@ class LakeWriteSpec extends SparkSpec {
     assert(GraftLake.readMeta(dir).files.length == 5)
   }
 
+  test("changes-since reads: an append range serves exactly the new " +
+      "files, increments compose to the full table, and a rewrite " +
+      "range refuses") {
+    import spark.implicits._
+    val root = freshRoot()
+    append(root, 0L, 500L, "b0")   // v1
+    append(root, 500L, 800L, "b1") // v2
+    def inc(from: Long, to: Option[Long]) =
+      GraftLake.dfChangesFrom(spark, root, from, to)
+    assert(inc(0L, Some(2L)).count() == 800L)
+    assert(inc(1L, Some(2L)).count() == 300L)
+    assert(inc(1L, Some(2L)).agg(min(col("o_orderkey")))
+      .collect()(0).getLong(0) == 500L)
+    // increments compose: (0->1) + (1->2) == full v2
+    assert(inc(0L, Some(1L)).count() + inc(1L, Some(2L)).count() ==
+      scan(root).count())
+    // a MERGE rewrite poisons the range: refuse, don't double-count
+    val src = Seq((10L, 999999L)).toDF("o_orderkey", "o_custkey")
+    assert(graft.sources.lake.LakeMerge
+      .merge(spark, root, src, "o_orderkey", "mx").isDefined)
+    val e = intercept[Exception] { inc(1L, None).count() }
+    assert(Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => Option(t.getMessage)
+        .exists(_.contains("append-only"))))
+    // but a post-rewrite increment works again
+    append(root, 800L, 900L, "b2")
+    assert(inc(3L, None).count() == 100L)
+  }
+
   test("MERGE: copy-on-write rewrites ONLY key-matching files, " +
       "upsert semantics hold at key grain, and a replayed batch " +
       "no-ops") {
