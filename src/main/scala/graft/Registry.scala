@@ -1642,6 +1642,12 @@ object Registry {
       graft.sources.lake.GraftLake.lakeChangesAudit(s, d)),
     "q557_lake_changes_matrix" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeChangesMatrix(s, d)),
+    // block 109: the lake as a STREAMING SOURCE — offsets are
+    // snapshot versions, each micro-batch a manifest diff
+    "q558_lake_stream_source" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeStreamSource(s, d)),
+    "q559_lake_stream_resume" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeStreamResume(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

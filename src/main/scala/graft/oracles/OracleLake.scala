@@ -812,5 +812,24 @@ object OracleLake {
         "0::BIGINT AS refused " +
         "UNION ALL SELECT '2_dv_only', 0::BIGINT, 0::BIGINT " +
         "UNION ALL SELECT '3_rewrite', -1::BIGINT, 1::BIGINT) " +
-        "ORDER BY case_id"))
+        "ORDER BY case_id"),
+    // q558: the streaming drain of the written table equals the
+    // batch read — every append consumed exactly once
+    "q558_lake_stream_source" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok, " +
+        "1::BIGINT AS drained FROM orders"),
+    // q559: checkpointed resume — phase 1 = the first id-range
+    // batch, phase 2 = only the delta appended after it
+    "q559_lake_stream_resume" ->
+      ("WITH rst AS (SELECT (MAX(o_orderkey) + 3) // 3 AS step " +
+        "FROM orders) " +
+        "SELECT * FROM (" +
+        "SELECT 1::BIGINT AS phase, CAST(COUNT(*) AS BIGINT) AS " +
+        "n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok " +
+        "FROM orders, rst WHERE o_orderkey < step " +
+        "UNION ALL SELECT 2::BIGINT, CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(o_orderkey) AS BIGINT) FROM orders, rst " +
+        "WHERE o_orderkey >= step) " +
+        "ORDER BY phase"))
 }

@@ -1894,6 +1894,87 @@ object GraftLake {
       .orderBy(col("case_id"))
   }
 
+  /** Drain a lake streaming read to completion (AvailableNow),
+    * folding count + key mass driver-side; returns (rows, sumKeys,
+    * microBatches).
+    */
+  private def drainLake(spark: SparkSession, df: DataFrame,
+      checkpoint: String): (Long, Long, Long) = {
+    var nRows = 0L
+    var keyMass = 0L
+    var nBatches = 0L
+    val q = df.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val r = b.agg(count(lit(1)), sum(col("o_orderkey")))
+          .collect()(0)
+        nRows += r.getLong(0)
+        if (!r.isNullAt(1)) keyMass += r.getLong(1)
+        nBatches += 1
+      }
+      .start()
+    q.awaitTermination()
+    (nRows, keyMass, nBatches)
+  }
+
+  /** q558: the lake as a STREAMING SOURCE — a `readStream` over the
+    * DSv2-written table drains every committed append exactly once
+    * (offsets are snapshot versions); the drained mass equals the
+    * batch read, DuckDB-checked against raw orders.
+    */
+  def lakeStreamSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureWriteTable(spark, dir)
+    val checkpoint = graft.Caches.trackTempDir(java.nio.file.Files
+      .createTempDirectory("graft_lake_src_")).toString + "/cp"
+    val stream = spark.readStream
+      .format(classOf[LakeTableProvider].getName)
+      .option("path", root).load()
+    val (rows, sumOk, batches) = drainLake(spark, stream, checkpoint)
+    Seq((rows, sumOk, if (batches >= 1L) 1L else 0L))
+      .toDF("n_rows", "sum_ok", "drained")
+  }
+
+  /** q559: checkpointed RESUME on the lake source — phase 1 drains
+    * the first id-range batch; a second append lands; phase 2 (same
+    * checkpoint) serves ONLY the delta — the exactly-once consumer
+    * loop, stream-in/stream-out on one format. The scenario runs on
+    * a per-run temp root (the shared fixtures stay immutable);
+    * both phases' masses re-derive from raw orders.
+    */
+  def lakeStreamResume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = ZoneMap.orders(spark, dir)
+    val maxOk = o.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val step = (maxOk + 3) / 3
+    val base = graft.Caches.trackTempDir(java.nio.file.Files
+      .createTempDirectory("graft_lake_resume_")).toString
+    val root = s"$base/table"
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    createTable(fs, root, StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType))),
+      Seq("o_orderkey", "o_custkey"), Some("o_orderkey"))
+    def append(pred: org.apache.spark.sql.Column, id: String): Unit =
+      o.filter(pred).repartition(2, col("o_orderkey"))
+        .write.format(classOf[LakeTableProvider].getName)
+        .option("path", root).option("batchId", id)
+        .mode("append").save()
+    append(col("o_orderkey") < step, "rs-b0")
+    val checkpoint = s"$base/cp"
+    def stream = spark.readStream
+      .format(classOf[LakeTableProvider].getName)
+      .option("path", root).load()
+    val p1 = drainLake(spark, stream, checkpoint)
+    append(col("o_orderkey") >= step, "rs-b1")
+    val p2 = drainLake(spark, stream, checkpoint)
+    Seq((1L, p1._1, p1._2), (2L, p2._1, p2._2))
+      .toDF("phase", "n_rows", "sum_ok")
+      .orderBy(col("phase"))
+  }
+
   /** q544: the manifest-served aggregate (block 102) — COUNT plus
     * MIN/MAX over four zone encodings (long key, date, decimal
     * money, double discount) on the typed lineitem instance, all

@@ -70,7 +70,8 @@ class LakeTableProvider extends TableProvider {
       sys.error("graft-lake: 'path' option (table root) is required"))
     new LakeTable(root, schema,
       Option(properties.get("versionAsOf")).map(_.toLong),
-      Option(properties.get("changesFrom")).map(_.toLong))
+      Option(properties.get("changesFrom")).map(_.toLong),
+      Option(properties.get("startingVersion")).map(_.toLong))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -290,7 +291,8 @@ private[graft] object LakeBloom {
 }
 
 class LakeTable(root: String, schema0: StructType,
-    version: Option[Long] = None, changesFrom: Option[Long] = None)
+    version: Option[Long] = None, changesFrom: Option[Long] = None,
+    startingVersion: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
@@ -299,10 +301,11 @@ class LakeTable(root: String, schema0: StructType,
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScanBuilder(root, version, changesFrom)
+    new LakeScanBuilder(root, version, changesFrom, startingVersion)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -318,7 +321,8 @@ class LakeTable(root: String, schema0: StructType,
   * design, Spark's row-level filter keeps exactness.
   */
 class LakeScanBuilder(root: String, version: Option[Long] = None,
-    changesFrom: Option[Long] = None)
+    changesFrom: Option[Long] = None,
+    startingVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -463,7 +467,7 @@ class LakeScanBuilder(root: String, version: Option[Long] = None,
     case Some(a) => LakeAggScan.build(meta, a)
     case None =>
       new LakeScan(root, meta, required.getOrElse(meta.schema), pushed,
-        limit)
+        limit, startingVersion)
   }
 }
 
@@ -589,9 +593,23 @@ private[lake] final case class LakeKeyedSplit(
 }
 
 class LakeScan(root: String, meta: LakeMeta, required: StructType,
-    pushed: Array[Filter], limit: Option[Int])
+    pushed: Array[Filter], limit: Option[Int],
+    startingVersion: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning {
+
+  /** The lake as a STREAMING SOURCE (block 109, q558/q559): offsets
+    * ARE snapshot versions — each micro-batch serves the manifest
+    * diff (start, end], the same append-only set-diff as
+    * `changesFrom`, so a `readStream` over the table consumes every
+    * committed append exactly once and resumes from its checkpoint.
+    * This closes the loop with the streaming SINK (q540): stream in,
+    * stream out, one table format.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LakeMicroBatchStream(root, meta.schema,
+      startingVersion.getOrElse(0L))
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -781,12 +799,22 @@ class LakeScan(root: String, meta: LakeMeta, required: StructType,
     * batch→exec handoff degrades to rows until the next OPTIMIZE
     * folds the DVs away).
     */
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // newHadoopConf = core hadoopConfiguration + the session's SQL
-    // confs folded in — plus the five converter keys the built-in
-    // parquet source sets EXPLICITLY before shipping (newHadoopConf
-    // carries only explicitly-set confs; ParquetToSparkSchemaConverter
-    // reads these with no default)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(required,
+      new SerializableHadoopConf(LakeReaderConf.sessionConf()),
+      columnar = !planned.exists(
+        _.asInstanceOf[LakeSplit].hasDv))
+}
+
+/** The reader-side Hadoop conf every lake scan (batch or streaming)
+  * ships: newHadoopConf = core hadoopConfiguration + the session's
+  * SQL confs folded in — plus the five converter keys the built-in
+  * parquet source sets EXPLICITLY before shipping (newHadoopConf
+  * carries only explicitly-set confs; ParquetToSparkSchemaConverter
+  * reads these with no default).
+  */
+private[lake] object LakeReaderConf {
+  def sessionConf(): Configuration = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     Seq("spark.sql.parquet.binaryAsString" -> "false",
@@ -797,11 +825,86 @@ class LakeScan(root: String, meta: LakeMeta, required: StructType,
       .foreach { case (k, d) =>
         conf.set(k, spark.conf.getOption(k).getOrElse(d))
       }
-    new LakeReaderFactory(required,
-      new SerializableHadoopConf(conf),
-      columnar = !planned.exists(
-        _.asInstanceOf[LakeSplit].hasDv))
+    conf
   }
+}
+
+/** Version-number offsets for the lake streaming source. */
+private[lake] case class LakeVersionOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** The manifest-diff micro-batch stream: `latestOffset` is the max
+  * committed version (a metadata listing); each batch plans the
+  * files added in (start, end] — the block-108 append-only set-diff
+  * — and decodes them through the same vectorized reader factory as
+  * batch scans (row handoff; a streaming batch is consumed once).
+  * Exactly-once: the offset log stores version numbers, a restarted
+  * query resumes from its checkpointed version, and a batch replay
+  * plans the identical file set (manifests are immutable).
+  */
+private[lake] class LakeMicroBatchStream(root: String,
+    schema: StructType, starting: Long)
+    extends org.apache.spark.sql.connector.read.streaming
+      .MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def fs = new HPath(root)
+    .getFileSystem(GraftLake.hadoopConf)
+
+  private def committedMax: Long = {
+    val vs = GraftLake.committedVersions(fs, root)
+    if (vs.nonEmpty) vs.max else starting
+  }
+
+  /** AvailableNow latches the version the drain will stop at. */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(committedMax)
+
+  override def initialOffset(): Offset = LakeVersionOffset(starting)
+
+  override def latestOffset(): Offset =
+    LakeVersionOffset(availableNowCap.getOrElse(committedMax))
+
+  /** Admission-control variant (SupportsTriggerAvailableNow extends
+    * it): no rate limiting — a version diff is already the natural
+    * batch unit — so both forms answer the same capped latest.
+    */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = latestOffset()
+
+  override def deserializeOffset(json: String): Offset =
+    LakeVersionOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val v0 = start.asInstanceOf[LakeVersionOffset].version
+    val v1 = end.asInstanceOf[LakeVersionOffset].version
+    if (v1 <= v0) return Array.empty
+    val base = GraftLake.readMeta(root, Some(v0)).files.map(_.path)
+      .toSet
+    val now = GraftLake.readMeta(root, Some(v1))
+    require(base.subsetOf(now.files.map(_.path).toSet),
+      s"graft-lake: stream range ($v0,$v1] spans a rewrite — " +
+        "append-only; restart the stream from a full snapshot")
+    now.files.filterNot(f => base(f.path)).sortBy(_.fileId)
+      .map(f => LakeFileSplit(Seq((s"$root/${f.path}",
+        f.dvPath.map(d => s"$root/$d")))): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(schema,
+      new SerializableHadoopConf(LakeReaderConf.sessionConf()),
+      columnar = false)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Hadoop `Configuration` is not `java.io.Serializable`; ship the

@@ -255,6 +255,46 @@ class LakeWriteSpec extends SparkSpec {
     assert(inc(3L, None).count() == 100L)
   }
 
+  test("the lake as a streaming source: a drain consumes every " +
+      "append exactly once, a checkpointed resume serves only the " +
+      "delta, and a mid-stream rewrite fails the query instead of " +
+      "double-counting") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = freshRoot()
+    append(root, 0L, 400L, "s0")
+    append(root, 400L, 600L, "s1")
+    val base = Caches.trackTempDir(java.nio.file.Files
+      .createTempDirectory("graft_lake_srcspec_")).toString
+    def drain(): Long = {
+      var n = 0L
+      val q = spark.readStream
+        .format(classOf[LakeTableProvider].getName)
+        .option("path", root).load()
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/cp")
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          n += b.count())
+        .start()
+      q.awaitTermination()
+      n
+    }
+    assert(drain() == 600L)
+    assert(drain() == 0L, "a re-drain with nothing new serves nothing")
+    append(root, 600L, 650L, "s2")
+    assert(drain() == 50L, "the resume serves exactly the delta")
+    // a rewrite between drains: the next increment must refuse
+    val src = Seq((5L, 111L)).toDF("o_orderkey", "o_custkey")
+    assert(graft.sources.lake.LakeMerge
+      .merge(spark, root, src, "o_orderkey", "sm").isDefined)
+    append(root, 650L, 660L, "s3")
+    val e = intercept[Exception] { drain() }
+    assert(Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => Option(t.getMessage)
+        .exists(_.contains("append-only"))))
+  }
+
   test("MERGE: copy-on-write rewrites ONLY key-matching files, " +
       "upsert semantics hold at key grain, and a replayed batch " +
       "no-ops") {
