@@ -1648,6 +1648,12 @@ object Registry {
       graft.sources.lake.GraftLake.lakeStreamSource(s, d)),
     "q559_lake_stream_resume" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeStreamResume(s, d)),
+    // block 110: DELETE FROM on the lake — predicate deletes as
+    // merge-on-read deletion vectors, DV union on overlap
+    "q560_lake_delete_audit" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeDeleteAudit(s, d)),
+    "q561_lake_delete_state" -> ((s, d) =>
+      graft.sources.lake.GraftLake.lakeDeleteState(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

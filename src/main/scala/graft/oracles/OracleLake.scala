@@ -831,5 +831,52 @@ object OracleLake {
         "UNION ALL SELECT 2::BIGINT, CAST(COUNT(*) AS BIGINT), " +
         "CAST(SUM(o_orderkey) AS BIGINT) FROM orders, rst " +
         "WHERE o_orderkey >= step) " +
-        "ORDER BY phase"))
+        "ORDER BY phase"),
+    // q560: the DELETE audit — per snapshot, which id-sorted files
+    // the two overlapping ranges touch and the union of their
+    // vectors, all re-derived from raw orders
+    "q560_lake_delete_audit" ->
+      ("WITH dmx AS (SELECT MAX(o_orderkey) AS mx, " +
+        "CAST(COUNT(*) AS BIGINT) AS n0 FROM orders), " +
+        "dbd AS (SELECT (3 * mx) // 8 AS a0, " +
+        "(3 * mx) // 8 + mx // 32 AS a1, " +
+        "(3 * mx) // 8 + mx // 64 AS b0, " +
+        "(3 * mx) // 8 + mx // 16 AS b1 FROM dmx), " +
+        "dfr AS (SELECT o_orderkey, (ROW_NUMBER() OVER " +
+        "(ORDER BY o_orderkey) - 1) // 256 AS file_id FROM orders), " +
+        "dd1 AS (SELECT o_orderkey, file_id FROM dfr, dbd WHERE " +
+        "o_orderkey BETWEEN a0 AND a1), " +
+        "dd2 AS (SELECT o_orderkey, file_id FROM dfr, dbd WHERE " +
+        "o_orderkey BETWEEN a0 AND a1 OR " +
+        "o_orderkey BETWEEN b0 AND b1) " +
+        "SELECT * FROM (" +
+        "SELECT 0::BIGINT AS version, 0::BIGINT AS files_with_dv, " +
+        "0::BIGINT AS dv_rows, n0 AS rows_live, " +
+        "3::BIGINT AS versions_committed FROM dmx " +
+        "UNION ALL SELECT 1::BIGINT, " +
+        "(SELECT CAST(COUNT(DISTINCT file_id) AS BIGINT) FROM dd1), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM dd1), " +
+        "n0 - (SELECT CAST(COUNT(*) AS BIGINT) FROM dd1), " +
+        "3::BIGINT FROM dmx " +
+        "UNION ALL SELECT 2::BIGINT, " +
+        "(SELECT CAST(COUNT(DISTINCT file_id) AS BIGINT) FROM dd2), " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM dd2), " +
+        "n0 - (SELECT CAST(COUNT(*) AS BIGINT) FROM dd2), " +
+        "3::BIGINT FROM dmx) " +
+        "ORDER BY version"),
+    // q561: post-delete live state — orders minus the union of the
+    // two ranges, re-bucketed
+    "q561_lake_delete_state" ->
+      ("WITH dmx AS (SELECT MAX(o_orderkey) AS mx FROM orders), " +
+        "dbd AS (SELECT (3 * mx) // 8 AS a0, " +
+        "(3 * mx) // 8 + mx // 32 AS a1, " +
+        "(3 * mx) // 8 + mx // 64 AS b0, " +
+        "(3 * mx) // 8 + mx // 16 AS b1 FROM dmx) " +
+        "SELECT CAST(o_custkey AS BIGINT) % 8 AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok " +
+        "FROM orders, dbd WHERE " +
+        "NOT (o_orderkey BETWEEN a0 AND a1) AND " +
+        "NOT (o_orderkey BETWEEN b0 AND b1) " +
+        "GROUP BY bucket ORDER BY bucket"))
 }

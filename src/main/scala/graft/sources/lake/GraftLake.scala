@@ -104,6 +104,23 @@ object GraftLake {
     }
   }
 
+  /** The `#schema` header line of a committed snapshot, verbatim —
+    * what a metadata-only commit (a DELETE's DV swap) copies into
+    * its successor so schema/zones/partitioning ride unchanged.
+    */
+  private[lake] def rawHeaderLine(fs: FileSystem, root: String,
+      version: Option[Long]): String = {
+    val p = version match {
+      case Some(v) => manifestPathOf(fs, root, v)
+      case None    => new HPath(s"$root/_manifest.tsv")
+    }
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    body.split('\n').find(_.startsWith("#schema")).getOrElse(
+      sys.error(s"no #schema header in $p"))
+  }
+
   /** Parse a committed table's metadata. Manifest format: header
     * `#schema<TAB>col:type,...<TAB>zone_cols<TAB>bloom_col|-`, an
     * optional `#props<TAB>k=v...` line (commit metadata: batch id for
@@ -1185,7 +1202,7 @@ object GraftLake {
     * order under any reader, so these ordinals agree with the
     * provider's vectorized scan by the format's own contract.
     */
-  private def scanKeys(path: String, column: String): Iterator[Long] = {
+  private[lake] def scanKeys(path: String, column: String): Iterator[Long] = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.parquet.hadoop.ParquetReader
     import org.apache.parquet.hadoop.api.ReadSupport
@@ -1974,6 +1991,80 @@ object GraftLake {
       .toDF("phase", "n_rows", "sum_ok")
       .orderBy(col("phase"))
   }
+
+  /** The DELETE-FROM instance (q560/q561, block 110): snapshot v0 =
+    * raw orders id-sorted into 256-row files; then TWO overlapping
+    * [[LakeDelete]] range deletes — the second extends the first's
+    * vectors on their shared files (the DV union) and masks fresh
+    * rows beyond them — and the second batch REPLAYED (must no-op).
+    */
+  def ensureDeleteTable(spark: SparkSession, dir: String): String = {
+    val o = ZoneMap.orders(spark, dir)
+    val fp = LedgerArtifacts.fingerprint(o,
+      Seq("o_orderkey", "o_custkey"))
+    ensureLake(spark,
+      s"lake2_del_${LedgerArtifacts.dirKey(dir)}", fp) {
+      (fs, staging) =>
+        val cols = Seq(("o_orderkey", "long"), ("o_custkey", "long"))
+        val zcols = Seq("o_orderkey", "o_custkey")
+        val header = headerOf(cols, zcols, Some("o_orderkey"))
+        val filed = o
+          .withColumn("rn", row_number()
+            .over(Window.orderBy(col("o_orderkey"))).cast("long"))
+          .withColumn("file_id", expr("(rn - 1L) div 256L"))
+          .drop("rn").persist()
+        val v0 = try writeFiles(spark, fs, staging, "data", filed,
+          zcols, Some("o_orderkey"))
+        finally filed.unpersist(false)
+        writeText(fs, s"$staging/_manifest_v0.tsv",
+          (Seq(header,
+            "#props\tbatch_id=create\tversion=0\tbatch_ids=create") ++
+            v0).mkString("", "\n", "\n"))
+        val maxOk = o.agg(max(col("o_orderkey"))).collect()(0)
+          .getLong(0)
+        val a0 = 3L * maxOk / 8L
+        require(LakeDelete.deleteRange(spark, staging, "o_orderkey",
+          a0, a0 + maxOk / 32L, "del-a").isDefined)
+        require(LakeDelete.deleteRange(spark, staging, "o_orderkey",
+          a0 + maxOk / 64L, a0 + maxOk / 16L, "del-b").isDefined)
+        require(LakeDelete.deleteRange(spark, staging, "o_orderkey",
+          a0 + maxOk / 64L, a0 + maxOk / 16L, "del-b").isEmpty,
+          "delete fixture: replay must no-op")
+    }
+  }
+
+  /** q560: the DELETE audit — per snapshot: files carrying a DV,
+    * masked rows, live rows; `versions_committed` pins the replay
+    * no-op. The id-sorted layout lets DuckDB re-derive which files
+    * each range touches and the union of the two vectors.
+    */
+  def lakeDeleteAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureDeleteTable(spark, dir)
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nVersions = committedVersions(fs, root).length.toLong
+    (0L to 2L).map { v =>
+      val m = readMeta(root, Some(v))
+      (v, m.files.count(_.dvPath.isDefined).toLong,
+        m.files.map(_.dvRows).sum, m.files.map(_.liveRows).sum,
+        nVersions)
+    }.toDF("version", "files_with_dv", "dv_rows", "rows_live",
+        "versions_committed")
+      .orderBy(col("version"))
+  }
+
+  /** q561: the post-delete state through the provider — bucket
+    * rollup over live rows at the latest snapshot; one row masked
+    * too many or too few (or a replayed vector re-applied) breaks
+    * the cross-engine hash.
+    */
+  def lakeDeleteState(spark: SparkSession, dir: String): DataFrame =
+    dfFor(spark, ensureDeleteTable(spark, dir))
+      .groupBy((col("o_custkey") % 8L).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_ok"))
+      .orderBy(col("bucket"))
 
   /** q544: the manifest-served aggregate (block 102) — COUNT plus
     * MIN/MAX over four zone encodings (long key, date, decimal

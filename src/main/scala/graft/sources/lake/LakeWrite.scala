@@ -474,6 +474,118 @@ private[graft] object LakeMerge {
   }
 }
 
+/** DELETE FROM on the lake format (block 110, q560/q561): a
+  * predicate delete commits as MERGE-ON-READ positional deletion
+  * vectors — no data file is rewritten; the touched manifest lines
+  * gain (or extend) a DV pointer and the masked count. Protocol:
+  *
+  *  1. CANDIDATES — files whose zone for the predicate column
+  *     overlaps the range (the planner's own admission);
+  *  2. per candidate, the column is scanned in STORED order on a
+  *     bounded pool and matching row ordinals collected — the same
+  *     ordinal domain the reader masks;
+  *  3. commit through [[LakeCommit.claim]]: each touched line's DV
+  *     becomes the UNION of its current vector (re-read inside the
+  *     claim body, so a racing deleter's masks survive) and the new
+  *     matches; files with nothing newly masked ride verbatim.
+  *
+  * Deletes surface immediately in reads (the DV-aware row reader),
+  * keep time travel intact (old snapshots keep old vectors), and
+  * fold away at the next OPTIMIZE. Reference anchor: the chunked
+  * DELETE loop (M1/M2, `maintenance.js:20-33`) as a metadata commit
+  * instead of row-at-a-time statements.
+  */
+private[graft] object LakeDelete {
+
+  /** Delete rows with `colName` ∈ [lo, hi]. Returns (filesTouched,
+    * rowsNewlyMasked, version), or None when `batchId` already
+    * committed (idempotent replay).
+    */
+  def deleteRange(spark: SparkSession, root: String, colName: String,
+      lo: Long, hi: Long, batchId: String): Option[(Long, Long, Long)] = {
+    val fs = new HPath(root).getFileSystem(GraftLake.hadoopConf)
+    val baseVs = GraftLake.committedVersions(fs, root)
+    val base = GraftLake.readMeta(root, baseVs.lastOption)
+    if (LakeCommit.seenIds(base).contains(batchId)) return None
+    require(base.zoneCols.contains(colName),
+      s"graft-lake: delete predicate column $colName must be a " +
+        "zone column")
+    val zi = base.zoneCols.indexOf(colName)
+    val cands = base.files
+      .filter(f => f.zMax(zi) >= lo && f.zMin(zi) <= hi)
+    // matched ordinals per candidate path, scanned on a bounded pool
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    val matched: Map[String, Array[Long]] = try {
+      val futures = cands.map { f =>
+        (f.path, pool.submit(
+          new java.util.concurrent.Callable[Array[Long]] {
+            override def call(): Array[Long] = {
+              val hits = scala.collection.mutable.ArrayBuffer
+                .empty[Long]
+              var i = 0L
+              GraftLake.scanKeys(s"$root/${f.path}", colName)
+                .foreach { v =>
+                  if (v >= lo && v <= hi) hits += i
+                  i += 1
+                }
+              hits.toArray
+            }
+          }))
+      }
+      futures.map { case (p, fu) =>
+        p -> fu.get(600, java.util.concurrent.TimeUnit.SECONDS)
+      }.toMap
+    } finally pool.shutdownNow()
+    val dvDir = s"dv_${batchId}"
+
+    def readDvLines(rel: String): Array[Long] = {
+      val in = fs.open(new HPath(s"$root/$rel"))
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString finally in.close()
+      body.split('\n').iterator.filter(_.nonEmpty).map(_.toLong)
+        .toArray
+    }
+
+    var touched = 0L
+    var masked = 0L
+    val committed = LakeCommit.claim(fs, root, batchId,
+      (latestV, _, seen, nextV) => {
+        touched = 0L
+        masked = 0L
+        val header = GraftLake.rawHeaderLine(fs, root, latestV)
+        val lines = GraftLake.rawFileLines(fs, root, latestV).map {
+          line =>
+            val f = line.split('\t')
+            matched.get(f(1)).filter(_.nonEmpty) match {
+              case Some(hits) =>
+                // union with the line's CURRENT vector (a racing
+                // deleter's masks survive the recompute)
+                val cur = if (f.length > 6 && f(6) != "-")
+                  readDvLines(f(6)) else Array.empty[Long]
+                val merged = (cur ++ hits).distinct.sorted
+                if (merged.length == cur.length) line
+                else {
+                  touched += 1
+                  masked += merged.length - cur.length
+                  val dvRel = s"$dvDir/file_${f(0)}.tsv"
+                  GraftLake.writeText(fs, s"$root/$dvRel",
+                    merged.mkString("", "\n", "\n"))
+                  (f.take(6) ++ Array(dvRel, merged.length.toString) ++
+                    f.drop(8)).mkString("\t")
+                }
+              case None => line
+            }
+        }
+        (Seq(header, LakeCommit.propsLine(batchId, nextV, seen)) ++
+          lines).mkString("", "\n", "\n")
+      })
+    if (committed.isEmpty) {
+      fs.delete(new HPath(s"$root/$dvDir"), true)
+      None
+    } else Some((touched, masked, committed.get))
+  }
+}
+
 private[lake] class LakeWriterFactory(dataDir: String,
     schema: StructType, zoneCols: Array[String],
     bloomCol: Option[String], partSpec: Option[LakePartSpec],

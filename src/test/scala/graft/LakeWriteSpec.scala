@@ -295,6 +295,34 @@ class LakeWriteSpec extends SparkSpec {
         .exists(_.contains("append-only"))))
   }
 
+  test("DELETE FROM: range deletes mask exactly the matching rows " +
+      "as DVs, overlapping deletes union, time travel keeps the " +
+      "pre-delete state, and a replay no-ops") {
+    import graft.sources.lake.LakeDelete
+    val root = freshRoot()
+    append(root, 0L, 1000L, "b0")
+    val r1 = LakeDelete.deleteRange(spark, root, "o_orderkey",
+      100L, 199L, "d1")
+    assert(r1.isDefined)
+    assert(r1.get._2 == 100L)
+    assert(scan(root).count() == 900L)
+    assert(scan(root).filter(col("o_orderkey").between(100L, 199L))
+      .count() == 0L)
+    // overlap: [150,249] adds only the 50 fresh ordinals
+    val r2 = LakeDelete.deleteRange(spark, root, "o_orderkey",
+      150L, 249L, "d2")
+    assert(r2.get._2 == 50L)
+    assert(scan(root).count() == 850L)
+    // untouched rows intact, time travel to the pre-delete snapshot
+    assert(scan(root).filter(col("o_orderkey") === 99L).count() == 1L)
+    assert(scan(root, Some("1")).count() == 1000L)
+    assert(scan(root, Some("2")).count() == 900L)
+    // replay: recognized, nothing re-masked
+    assert(LakeDelete.deleteRange(spark, root, "o_orderkey",
+      150L, 249L, "d2").isEmpty)
+    assert(scan(root).count() == 850L)
+  }
+
   test("MERGE: copy-on-write rewrites ONLY key-matching files, " +
       "upsert semantics hold at key grain, and a replayed batch " +
       "no-ops") {

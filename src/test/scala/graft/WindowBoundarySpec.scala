@@ -34,11 +34,11 @@ class WindowBoundarySpec extends SparkSpec {
   private val Allowed = Map(
     "operators/ZoneMap.scala" -> 8,
     // class (a): the documents lake table's id-sort layout rank, the
-    // lineitem instance's shipdate-sort layout rank, and the merge
-    // fixture's id-sort base layout — each runs ONCE per corpus at
-    // table build (not per query), the same exact-rank file-cut
-    // machinery as ZoneMap, on a narrow projection
-    "sources/lake/GraftLake.scala" -> 3,
+    // lineitem instance's shipdate-sort layout rank, and the merge +
+    // delete fixtures' id-sort base layouts — each runs ONCE per
+    // corpus at table build (not per query), the same exact-rank
+    // file-cut machinery as ZoneMap, on a narrow projection
+    "sources/lake/GraftLake.scala" -> 4,
     // class (a): the concurrent OPTIMIZE's exact-rank re-cluster of
     // the snapshot it folds, and MERGE's key-sorted re-file of the
     // touched rows — maintenance commits, not query paths
