@@ -1654,6 +1654,12 @@ object Registry {
       graft.sources.lake.GraftLake.lakeDeleteAudit(s, d)),
     "q561_lake_delete_state" -> ((s, d) =>
       graft.sources.lake.GraftLake.lakeDeleteState(s, d)),
+    // block 111: the medallion loop on the format — cursor-tracked
+    // changesFrom deltas folded into silver through MERGE
+    "q562_lake_medallion_state" -> ((s, d) =>
+      graft.sources.lake.LakeMedallion.lakeMedallionState(s, d)),
+    "q563_lake_medallion_audit" -> ((s, d) =>
+      graft.sources.lake.LakeMedallion.lakeMedallionAudit(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

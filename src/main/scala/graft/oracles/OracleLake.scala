@@ -878,5 +878,35 @@ object OracleLake {
         "FROM orders, dbd WHERE " +
         "NOT (o_orderkey BETWEEN a0 AND a1) AND " +
         "NOT (o_orderkey BETWEEN b0 AND b1) " +
-        "GROUP BY bucket ORDER BY bucket"))
+        "GROUP BY bucket ORDER BY bucket"),
+    // q562: the incrementally-folded silver equals a FULL recompute
+    // from raw orders — nothing lost, nothing doubled across cycles
+    "q562_lake_medallion_state" ->
+      ("WITH ms AS (SELECT CAST(o_custkey AS BIGINT) AS ck, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS s FROM orders " +
+        "GROUP BY ck) " +
+        "SELECT ck % 8 AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_keys, " +
+        "CAST(SUM(n) AS BIGINT) AS n_orders, " +
+        "CAST(SUM(s) AS BIGINT) AS sum_ok " +
+        "FROM ms GROUP BY bucket ORDER BY bucket"),
+    // q563: the refresh trail — per silver snapshot: summary rows,
+    // the consumed-through bronze cursor, and the version count
+    // pinning the caught-up no-op
+    "q563_lake_medallion_audit" ->
+      ("WITH wst AS (SELECT (MAX(o_orderkey) + 3) // 3 AS step " +
+        "FROM orders), " +
+        "mh1 AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) " +
+        "AS k FROM orders, wst WHERE o_orderkey < 2 * step), " +
+        "mht AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) " +
+        "AS k FROM orders) " +
+        "SELECT * FROM (" +
+        "SELECT 0::BIGINT AS version, 0::BIGINT AS n_rows, " +
+        "0::BIGINT AS cursor, 3::BIGINT AS versions_committed " +
+        "UNION ALL SELECT 1::BIGINT, (SELECT k FROM mh1), " +
+        "2::BIGINT, 3::BIGINT " +
+        "UNION ALL SELECT 2::BIGINT, (SELECT k FROM mht), " +
+        "3::BIGINT, 3::BIGINT) " +
+        "ORDER BY version"))
 }

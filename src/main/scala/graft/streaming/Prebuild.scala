@@ -106,6 +106,10 @@ object Prebuild {
         () => graft.sources.lake.GraftLake
           .readMeta(graft.sources.lake.GraftLake
             .ensureDeleteTable(spark, dir)).files.size.toLong),
+      ("lake_silver_orders",
+        () => graft.sources.lake.GraftLake
+          .readMeta(graft.sources.lake.LakeMedallion
+            .ensureSilverTable(spark, dir)).files.size.toLong),
       ("join_stats",
         () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
           .count()),

@@ -323,6 +323,44 @@ class LakeWriteSpec extends SparkSpec {
     assert(scan(root).count() == 850L)
   }
 
+  test("medallion loop: cursor-tracked incremental folding equals " +
+      "the full recompute, and a caught-up or crash-replayed cycle " +
+      "no-ops") {
+    import graft.sources.lake.{LakeMedallion, LakeMerge}
+    import spark.implicits._
+    val bronze = freshRoot()
+    append(bronze, 0L, 400L, "b0")
+    append(bronze, 400L, 700L, "b1")
+    val silver = Caches.trackTempDir(java.nio.file.Files
+      .createTempDirectory("graft_lake_silver_")).toString + "/t"
+    val fs = new HPath(silver)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GraftLake.createTable(fs, silver, StructType(Seq(
+      StructField("o_custkey", LongType),
+      StructField("n_orders", LongType),
+      StructField("sum_ok", LongType))),
+      Seq("o_custkey"), Some("o_custkey"))
+    val c1 = LakeMedallion.refresh(spark, bronze, silver)
+    assert(c1.exists(r => r._1 == 0L && r._2 == 2L))
+    append(bronze, 700L, 900L, "b2")
+    val c2 = LakeMedallion.refresh(spark, bronze, silver)
+    assert(c2.exists(r => r._1 == 2L && r._2 == 3L))
+    // incremental == full recompute at key grain
+    val got = scan(silver).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = scan(bronze).groupBy(col("o_custkey"))
+      .agg(count(lit(1)), sum(col("o_orderkey"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // caught up → no-op; a crash-replayed cycle commit → no-op
+    assert(LakeMedallion.refresh(spark, bronze, silver).isEmpty)
+    val stale = Seq((0L, 1L, 1L))
+      .toDF("o_custkey", "n_orders", "sum_ok")
+    assert(LakeMerge.merge(spark, silver, stale, "o_custkey",
+      "refresh-2-3").isEmpty,
+      "a replayed refresh commit must be recognized on the trail")
+  }
+
   test("MERGE: copy-on-write rewrites ONLY key-matching files, " +
       "upsert semantics hold at key grain, and a replayed batch " +
       "no-ops") {
