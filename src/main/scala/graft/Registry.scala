@@ -1660,6 +1660,12 @@ object Registry {
       graft.sources.lake.LakeMedallion.lakeMedallionState(s, d)),
     "q563_lake_medallion_audit" -> ((s, d) =>
       graft.sources.lake.LakeMedallion.lakeMedallionAudit(s, d)),
+    // block 112: vacuum for crash debris — file-grain orphan sweep,
+    // referenced files safe at any age
+    "q564_lake_vacuum_audit" -> ((s, d) =>
+      graft.sources.lake.LakeVacuum.lakeVacuumAudit(s, d)),
+    "q565_lake_vacuum_state" -> ((s, d) =>
+      graft.sources.lake.LakeVacuum.lakeVacuumState(s, d)),
   )
 
   /** DuckDB oracle SQL, merged from the per-family objects in

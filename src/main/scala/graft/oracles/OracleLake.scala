@@ -908,5 +908,26 @@ object OracleLake {
         "2::BIGINT, 3::BIGINT " +
         "UNION ALL SELECT 2::BIGINT, (SELECT k FROM mht), " +
         "3::BIGINT, 3::BIGINT) " +
-        "ORDER BY version"))
+        "ORDER BY version"),
+    // q564: post-vacuum snapshot parity — both snapshots answer in
+    // full after the sweep (id-range halves from raw orders); the
+    // version trail intact
+    "q564_lake_vacuum_audit" ->
+      ("WITH vst AS (SELECT (MAX(o_orderkey) + 2) // 2 AS step " +
+        "FROM orders) " +
+        "SELECT * FROM (" +
+        "SELECT 1::BIGINT AS version, CAST(COUNT(*) AS BIGINT) AS " +
+        "n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok, " +
+        "3::BIGINT AS versions_committed FROM orders, vst " +
+        "WHERE o_orderkey < step " +
+        "UNION ALL SELECT 2::BIGINT, CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(o_orderkey) AS BIGINT), 3::BIGINT FROM orders) " +
+        "ORDER BY version"),
+    // q565: post-vacuum full state — a sweep that deleted one
+    // referenced byte breaks this
+    "q565_lake_vacuum_state" ->
+      ("SELECT CAST(o_custkey AS BIGINT) % 8 AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok " +
+        "FROM orders GROUP BY bucket ORDER BY bucket"))
 }

@@ -1294,7 +1294,7 @@ object GraftLake {
       .orderBy(col("version"))
   }
 
-  private def dfForAt(spark: SparkSession, root: String,
+  private[lake] def dfForAt(spark: SparkSession, root: String,
       version: Option[Long]): DataFrame = {
     val rd = spark.read.format(classOf[LakeTableProvider].getName)
       .option("path", root)

@@ -110,6 +110,10 @@ object Prebuild {
         () => graft.sources.lake.GraftLake
           .readMeta(graft.sources.lake.LakeMedallion
             .ensureSilverTable(spark, dir)).files.size.toLong),
+      ("lake_vacuum_orders",
+        () => graft.sources.lake.GraftLake
+          .readMeta(graft.sources.lake.LakeVacuum
+            .ensureVacuumTable(spark, dir)).files.size.toLong),
       ("join_stats",
         () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
           .count()),

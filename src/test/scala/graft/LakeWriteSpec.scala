@@ -361,6 +361,38 @@ class LakeWriteSpec extends SparkSpec {
       "a replayed refresh commit must be recognized on the trail")
   }
 
+  test("vacuum: unreferenced crash debris sweeps at file grain, " +
+      "referenced files and young in-flight files survive") {
+    import graft.sources.lake.LakeVacuum
+    val root = freshRoot()
+    append(root, 0L, 600L, "v0")
+    val meta = GraftLake.readMeta(root)
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDir = meta.files.head.path.split('/').head
+    // debris: an orphan beside committed files + a dead staging dir
+    def plant(rel: String): Unit = {
+      val out = fs.create(new HPath(s"$root/$rel"), true)
+      try out.write("junk".getBytes("UTF-8")) finally out.close()
+    }
+    plant(s"$dataDir/part-speculative.parquet")
+    plant("_staging_c_dead/manifest.tsv")
+    plant("data_uorphan00/part-0.parquet")
+    // a young in-flight writer's file survives an age-floored sweep
+    val (s1, d1, k1) = LakeVacuum.sweepOrphans(spark, root,
+      minAgeMs = 3600000L)
+    assert(s1 == 0L && d1 == 0L,
+      "young debris must survive the age floor")
+    assert(k1 == meta.files.size.toLong)
+    // an immediate sweep retires exactly the debris
+    val (s2, d2, k2) = LakeVacuum.sweepOrphans(spark, root)
+    assert(s2 == 2L, s"expected 2 orphan files swept, got $s2")
+    assert(d2 >= 1L, "the dead staging dir must sweep")
+    assert(k2 == meta.files.size.toLong)
+    // the table answers in full after the sweep
+    assert(scan(root).count() == 600L)
+  }
+
   test("MERGE: copy-on-write rewrites ONLY key-matching files, " +
       "upsert semantics hold at key grain, and a replayed batch " +
       "no-ops") {
