@@ -329,7 +329,15 @@ object GraftLake {
           val s = try scala.io.Source.fromInputStream(in, "UTF-8")
             .mkString.trim finally in.close()
           s == s"${fp._1}\t${fp._2}\tfmt$FormatVersion" &&
-            fs.exists(new HPath(s"$dest/_manifest.tsv"))
+            // a committed table is one with EITHER manifest encoding:
+            // the flat `_manifest.tsv` (single-snapshot fixtures) or
+            // ≥1 versioned snapshot (`_manifest_v<N>.tsv` /
+            // `_commit_v<N>/`) — the merge/delete/medallion/vacuum
+            // fixtures are versioned-only, and requiring the flat
+            // file made them rebuild on EVERY call (~15 s each per
+            // query at sf0.1, twice per pair)
+            (fs.exists(new HPath(s"$dest/_manifest.tsv")) ||
+              committedVersions(fs, dest).nonEmpty)
         }
       }
       if (!fresh) {

@@ -114,6 +114,8 @@ object Prebuild {
         () => graft.sources.lake.GraftLake
           .readMeta(graft.sources.lake.LakeVacuum
             .ensureVacuumTable(spark, dir)).files.size.toLong),
+      ("gated_catalog",
+        () => { GatedCommit.gatedShared(spark, dir); 1L }),
       ("join_stats",
         () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
           .count()),
