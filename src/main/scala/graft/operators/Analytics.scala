@@ -365,9 +365,14 @@ object Analytics {
     require(checkpointMode == "local" || checkpointMode == "reliable",
       s"checkpointMode must be local|reliable, got $checkpointMode")
     val scale = 1000000000000L
-    val edges = cs.select(lit("c").as("st"), col("c").as("sid"),
+    // persist the edge relation BEFORE the symmetrizing union: both
+    // union branches read the same `cs`, and without the cache the
+    // upstream join+distinct runs twice (plan-audited — two full scan
+    // subtrees in the union)
+    val csP = cs.persist()
+    val edges = csP.select(lit("c").as("st"), col("c").as("sid"),
         lit("s").as("dt"), col("s").as("did"))
-      .unionByName(cs.select(lit("s").as("st"), col("s").as("sid"),
+      .unionByName(csP.select(lit("s").as("st"), col("s").as("sid"),
         lit("c").as("dt"), col("c").as("did")))
       .persist()
     val nodes = edges.select(col("st").as("t"), col("sid").as("id"))
@@ -384,6 +389,18 @@ object Analytics {
     val n = nodes.count()
     val base = (15L * (scale / n)) / 100L
     var ranks = nodes.withColumn("r", lit(scale / n))
+    // Join-strategy decision (guide §3.1): the per-round rank/sum
+    // vectors come out of a checkpoint, whose LogicalRDD reports NO
+    // size — the planner defaults both per-round joins to
+    // SortMergeJoin, paying a sort of the EDGE table every round.
+    // A rank row is ~32 bytes, and n is known exactly (counted once),
+    // so hint broadcast whenever the vector is provably small
+    // (n ≤ 4M ⇒ ≲128 MB built, far under the 8 GB/512M-row broadcast
+    // cap); a billion-node corpus falls back to the sort-merge plan
+    // unchanged. Bit-identical either way: integer sums over the same
+    // rows, order-free.
+    val hintSmall: DataFrame => DataFrame =
+      if (n <= 4000000L) broadcast else identity
     // Eager localCheckpoint per round, superseded blocks freed in-loop
     // (the BPE/q66 discipline): without lineage truncation the rank
     // plan chains `rounds` joins deep — linear re-analysis cost per
@@ -398,15 +415,21 @@ object Analytics {
     var prevCkpt = Set.empty[Int]
     for (_ <- 1 to rounds) {
       val sums = edgesWd
-        .join(ranks, col("st") === col("t") && col("sid") === col("id"))
+        .join(hintSmall(ranks),
+          col("st") === col("t") && col("sid") === col("id"))
         .groupBy(col("dt").as("t2"), col("did").as("id2"))
         .agg(sum(expr("r div deg")).as("s"))
       val before = sc.getPersistentRDDs.keySet.toSet
       val next = nodes
-        .join(sums, col("t") === col("t2") && col("id") === col("id2"),
-          "left")
+        .join(hintSmall(sums),
+          col("t") === col("t2") && col("id") === col("id2"), "left")
         .select(col("t"), col("id"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+      // dev knob: dump one round's physical plan (the loop's plan is
+      // invisible from the registered query's explain — lineage is
+      // checkpoint-truncated every round by design)
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN_ROUNDS"))
+        sums.explain("formatted")
       ranks = if (reliable) next.checkpoint(eager = true)
         else next.localCheckpoint(true)
       prevCkpt.foreach(id => sc.getPersistentRDDs.get(id)

@@ -501,26 +501,31 @@ object GraftLake {
     // a key that exists at every SF: the max orderkey always ships
     val probeKey = Tables.lineitem(spark, dir)
       .agg(max(col("l_orderkey"))).collect()(0).getLong(0)
-    val rows = Seq(
-      audit("1_date_q1", Array[Filter](
+    type AuditRow = (String, Array[Filter], org.apache.spark.sql.Column)
+    def run(specs: Seq[AuditRow]): Seq[(String, Long, Long, Long)] =
+      graft.operators.Par.seq(specs) { case (id, fl, pred) =>
+        audit(id, fl, pred)
+      }
+    val rows = run(Seq(
+      ("1_date_q1", Array[Filter](
         GreaterThanOrEqual("l_shipdate", d0),
         LessThanOrEqual("l_shipdate", d1)),
         col("l_shipdate") >= lit(d0) && col("l_shipdate") <= lit(d1)),
-      audit("2_ts_q1", Array[Filter](
+      ("2_ts_q1", Array[Filter](
         GreaterThanOrEqual("l_shipts", t0),
         LessThanOrEqual("l_shipts", t1)),
         col("l_shipts") >= lit(t0) && col("l_shipts") <= lit(t1)),
-      audit("3_price_band", Array[Filter](
+      ("3_price_band", Array[Filter](
         GreaterThanOrEqual("l_price", p0),
         LessThanOrEqual("l_price", p1)),
         col("l_price") >= lit(p0) && col("l_price") <= lit(p1)),
-      audit("4_disc_band", Array[Filter](
+      ("4_disc_band", Array[Filter](
         GreaterThanOrEqual("l_discount", 0.02),
         LessThanOrEqual("l_discount", 0.03)),
         col("l_discount") >= 0.02 && col("l_discount") <= 0.03),
-      audit("5_okey_bloom", Array[Filter](
+      ("5_okey_bloom", Array[Filter](
         EqualTo("l_orderkey", probeKey)),
-        col("l_orderkey") === probeKey))
+        col("l_orderkey") === probeKey)))
     rows.toDF("pred_id", "files_total", "files_planned", "n_rows")
       .orderBy(col("pred_id"))
   }
@@ -797,16 +802,19 @@ object GraftLake {
     val outside0 = readMeta(root, Some(0L)).files
       .filterNot(_.pval.contains(dayD)).map(f => (f.path, f.nRows))
       .toSet
-    Seq(0L, 1L).map { v =>
-      val m = readMeta(root, Some(v))
+    // 4 independent snapshot aggregates — overlap them (guide §2.6)
+    graft.operators.Par.seq(Seq((0L, false), (0L, true), (1L, false),
+      (1L, true))) { case (v, dayOnly) =>
       val df = dfForAt(spark, root, Some(v))
-      val r = df.agg(count(lit(1)), sum(col("event_id"))).collect()(0)
-      val rd = df.filter(col("ts") >= lit(t0) && col("ts") < lit(t1))
-        .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+      val fd = if (dayOnly)
+        df.filter(col("ts") >= lit(t0) && col("ts") < lit(t1)) else df
+      val r = fd.agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+      (v, r.getLong(0), r.getLong(1))
+    }.grouped(2).toSeq.map { case Seq((v, n, s), (_, nd, sd)) =>
+      val m = readMeta(root, Some(v))
       val outsideV = m.files.filterNot(_.pval.contains(dayD))
         .map(f => (f.path, f.nRows)).toSet
-      (v, m.files.length.toLong, r.getLong(0), r.getLong(1),
-        rd.getLong(0), rd.getLong(1), outsideV == outside0)
+      (v, m.files.length.toLong, n, s, nd, sd, outsideV == outside0)
     }.toDF("version", "n_files", "n_rows", "sum_eid", "n_day_rows",
         "sum_day_eid", "outside_untouched")
       .orderBy(col("version"))
@@ -837,42 +845,38 @@ object GraftLake {
       .agg(max(col("event_id"))).collect()(0).getLong(0)
     val maxUid = Tables.events(spark, dir)
       .agg(max(col("user_id"))).collect()(0).getLong(0)
-    val rows = Seq(
-      {
-        val (a, b) = (ts("2024-01-10T00:00:00"),
-          ts("2024-01-10T23:59:59"))
-        val fl = Array[Filter](GreaterThanOrEqual("ts", a),
-          LessThanOrEqual("ts", b))
-        ("1_day_one", filesTotal, partOnly(fl),
-          plannedFilesAt(root, Some(0L), fl),
-          df0.filter(col("ts") >= lit(a) && col("ts") <= lit(b))
-            .count())
-      }, {
-        val (a, b) = (ts("2024-01-10T00:00:00"),
-          ts("2024-01-12T23:59:59"))
-        val fl = Array[Filter](GreaterThanOrEqual("ts", a),
-          LessThanOrEqual("ts", b))
-        ("2_days_three", filesTotal, partOnly(fl),
-          plannedFilesAt(root, Some(0L), fl),
-          df0.filter(col("ts") >= lit(a) && col("ts") <= lit(b))
-            .count())
-      }, {
-        val fl = Array[Filter](EqualTo("event_id", maxEid))
-        ("3_eid_point", filesTotal, partOnly(fl),
-          plannedFilesAt(root, Some(0L), fl),
-          df0.filter(col("event_id") === maxEid).count())
-      }, {
-        val (a, b) = (ts("2024-01-10T00:00:00"),
-          ts("2024-01-10T23:59:59"))
-        val hi = maxUid / 10L
-        val fl = Array[Filter](GreaterThanOrEqual("ts", a),
-          LessThanOrEqual("ts", b), GreaterThanOrEqual("user_id", 0L),
-          LessThanOrEqual("user_id", hi))
-        ("4_day_user", filesTotal, partOnly(fl),
-          plannedFilesAt(root, Some(0L), fl),
-          df0.filter(col("ts") >= lit(a) && col("ts") <= lit(b) &&
-            col("user_id") >= 0L && col("user_id") <= hi).count())
-      })
+    val specs: Seq[(String, Array[Filter], org.apache.spark.sql.Column)] =
+      Seq(
+        {
+          val (a, b) = (ts("2024-01-10T00:00:00"),
+            ts("2024-01-10T23:59:59"))
+          ("1_day_one", Array[Filter](GreaterThanOrEqual("ts", a),
+            LessThanOrEqual("ts", b)),
+            col("ts") >= lit(a) && col("ts") <= lit(b))
+        }, {
+          val (a, b) = (ts("2024-01-10T00:00:00"),
+            ts("2024-01-12T23:59:59"))
+          ("2_days_three", Array[Filter](GreaterThanOrEqual("ts", a),
+            LessThanOrEqual("ts", b)),
+            col("ts") >= lit(a) && col("ts") <= lit(b))
+        },
+        ("3_eid_point", Array[Filter](EqualTo("event_id", maxEid)),
+          col("event_id") === maxEid),
+        {
+          val (a, b) = (ts("2024-01-10T00:00:00"),
+            ts("2024-01-10T23:59:59"))
+          val hi = maxUid / 10L
+          ("4_day_user", Array[Filter](GreaterThanOrEqual("ts", a),
+            LessThanOrEqual("ts", b), GreaterThanOrEqual("user_id", 0L),
+            LessThanOrEqual("user_id", hi)),
+            col("ts") >= lit(a) && col("ts") <= lit(b) &&
+              col("user_id") >= 0L && col("user_id") <= hi)
+        })
+    // 4 independent probe jobs — overlap them (guide §2.6)
+    val rows = graft.operators.Par.seq(specs) { case (id, fl, pred) =>
+      (id, filesTotal, partOnly(fl),
+        plannedFilesAt(root, Some(0L), fl), df0.filter(pred).count())
+    }
     rows.toDF("pred_id", "files_total", "files_part", "files_planned",
         "n_rows")
       .orderBy(col("pred_id"))
@@ -1274,9 +1278,9 @@ object GraftLake {
         .option("path", root)
       v.fold(rd)(x => rd.option("versionAsOf", x.toString)).load()
     }
-    val (n0, s0) = agg(at(Some(0L)))
-    val (n1, s1) = agg(at(Some(1L)))
-    val (nl, sl) = agg(at(None))
+    // three independent snapshot scans — overlap them (guide §2.6)
+    val Seq((n0, s0), (n1, s1), (nl, sl)) = graft.operators.Par.seq(
+      Seq(Some(0L), Some(1L), None))(v => agg(at(v)))
     Seq(("latest", nl, sl), ("v0", n0, s0), ("v1", n1, s1))
       .toDF("snapshot", "n_rows", "sum_ok")
       .orderBy(col("snapshot"))
@@ -2119,16 +2123,20 @@ object GraftLake {
     val li = lakeLineitemDf(spark, dir)
     def one(df: DataFrame): (Long, Long) =
       (aggPushed(df), df.collect()(0).getLong(0))
-    val c1 = one(dv.agg(count(lit(1))))
-    val c2 = one(dv.agg(min(col("o_orderkey"))))
-    val c3 = one(li.agg(max(col("l_orderkey"))))
-    val c4 = one(li.filter(col("l_quantity") < 10).agg(count(lit(1))))
+    // 5 independent decision-matrix jobs — overlap them (guide §2.6)
     val grouped = li.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"))
-    val c5 = (aggPushed(grouped), grouped.count())
-    Seq(("1_count_dv", c1._1, c1._2), ("2_min_dv", c2._1, c2._2),
-      ("3_max_clean", c3._1, c3._2), ("4_filtered", c4._1, c4._2),
-      ("5_grouped", c5._1, c5._2))
+    val cases = graft.operators.Par.seq(
+      Seq[() => (Long, Long)](
+        () => one(dv.agg(count(lit(1)))),
+        () => one(dv.agg(min(col("o_orderkey")))),
+        () => one(li.agg(max(col("l_orderkey")))),
+        () => one(li.filter(col("l_quantity") < 10)
+          .agg(count(lit(1)))),
+        () => (aggPushed(grouped), grouped.count())))(_.apply())
+    Seq("1_count_dv", "2_min_dv", "3_max_clean", "4_filtered",
+      "5_grouped").zip(cases)
+      .map { case (id, (p, v)) => (id, p, v) }
       .toDF("case_id", "pushed", "val")
       .orderBy(col("case_id"))
   }
@@ -2164,8 +2172,10 @@ object GraftLake {
     val filesTotal = readMeta(root).files.length.toLong
     val preds = ZoneMap.predicates(spark,
       ZoneMap.orders(spark, dir)).collect()
-    val out = ArrayBuffer.empty[(String, String, Long, Long, Long, Long, Long)]
-    preds.foreach { p =>
+    // the per-predicate audits are independent jobs — overlap them
+    // (guide §2.6); results keep input order, so the output is
+    // unchanged
+    val out = graft.operators.Par.seq(preds.toSeq) { p =>
       val predId = p.getAs[String]("pred_id")
       val predCol = p.getAs[String]("pred_col")
       val lo = p.getAs[Long]("lo")
@@ -2174,9 +2184,9 @@ object GraftLake {
         GreaterThanOrEqual(predCol, lo), LessThanOrEqual(predCol, hi)))
       val nRows = lakeDf(spark, dir)
         .filter(col(predCol) >= lo && col(predCol) <= hi).count()
-      out += ((predId, predCol, lo, hi, filesTotal, planned, nRows))
+      (predId, predCol, lo, hi, filesTotal, planned, nRows)
     }
-    out.toSeq.toDF("pred_id", "pred_col", "lo", "hi", "files_total",
+    out.toDF("pred_id", "pred_col", "lo", "hi", "files_total",
         "files_planned", "n_rows")
       .orderBy(col("pred_id"))
   }
@@ -2193,7 +2203,8 @@ object GraftLake {
     val root = ensureTable(spark, dir)
     val maxOk = ZoneMap.orders(spark, dir)
       .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
-    val rows = (1L to 8L).map { j =>
+    // 8 independent probe jobs — overlap them (guide §2.6)
+    val rows = graft.operators.Par.seq(1L to 8L) { j =>
       val key = j * maxOk / 9L
       val zoned = plannedFiles(root, Array[Filter](
         GreaterThanOrEqual("o_orderkey", key),
@@ -2238,7 +2249,7 @@ object GraftLake {
     import spark.implicits._
     val root = ensureTable(spark, dir)
     val filesTotal = readMeta(root).files.length.toLong
-    Seq(100, 1000, 10000).map { k =>
+    graft.operators.Par.seq(Seq(100, 1000, 10000)) { k =>
       val planned = plannedFilesLimited(root, k)
       val nRows = lakeDf(spark, dir).limit(k).count()
       (k.toLong, planned, filesTotal, nRows)
@@ -2277,7 +2288,7 @@ object GraftLake {
     val filesTotal = readMeta(root).files.length.toLong
     val maxId = Tables.documents(spark, dir)
       .agg(max(col("doc_id"))).collect()(0).getLong(0)
-    (0L to 3L).map { k =>
+    graft.operators.Par.seq(0L to 3L) { k =>
       val lo = (2L * k + 1L) * maxId / 8L
       val hi = lo + maxId / 16L
       val planned = plannedFiles(root, Array[Filter](
