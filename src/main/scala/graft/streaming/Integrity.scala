@@ -68,7 +68,9 @@ object Integrity {
       exportRoot: String): Unit = {
     import spark.implicits._
     val versions = Provenance.committedVersions(spark, root)
-    versions.foreach { case (v, _, path) =>
+    // per-version exports are independent jobs — overlap them
+    // (guide §2.6)
+    graft.operators.Par.seq(versions) { case (v, _, path) =>
       spark.read.parquet(path).repartition(3)
         .write.mode("overwrite").parquet(s"$exportRoot/v$v")
     }
@@ -87,8 +89,8 @@ object Integrity {
     */
   private[graft] def restoreLedger(spark: SparkSession,
       exportRoot: String, restoredRoot: String): Unit = {
-    spark.read.parquet(s"$exportRoot/_backup_manifest").collect()
-      .foreach { r =>
+    graft.operators.Par.seq(spark.read
+      .parquet(s"$exportRoot/_backup_manifest").collect().toSeq) { r =>
         val (v, b) = (r.getAs[Long]("version"), r.getAs[Long]("batch_id"))
         spark.read.parquet(s"$exportRoot/v$v")
           .write.mode("overwrite").parquet(s"$restoredRoot/b${v}_$b")
@@ -137,9 +139,15 @@ object Integrity {
     */
   private[graft] def chainOf(spark: SparkSession,
       root: String): Seq[(Long, Long, String)] = {
+    // the chain is sequential by definition, but its INPUTS (per-
+    // version row counts) are independent jobs — count in parallel
+    // (guide §2.6), then fold the links locally. Identical chain.
+    val counts = graft.operators.Par.seq(
+      Provenance.committedVersions(spark, root)) { case (v, _, path) =>
+      (v, spark.read.parquet(path).count())
+    }
     var prev = "graft"
-    Provenance.committedVersions(spark, root).map { case (v, _, path) =>
-      val n = spark.read.parquet(path).count()
+    counts.map { case (v, n) =>
       val link = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$prev|$v|$n".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString

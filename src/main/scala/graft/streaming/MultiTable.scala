@@ -127,8 +127,14 @@ object MultiTable {
       Files.createTempDirectory("graft_mtx_")).toString
     val o = batchedOrders(spark, dir).persist()
     val base = o.filter(col("batch_id") <= 1)
-    cntState(base).write.mode("overwrite").parquet(s"$root/cnt/b0_0")
-    priState(base).write.mode("overwrite").parquet(s"$root/pri/b0_0")
+    // the two member-table version writes are independent jobs —
+    // overlap them (guide §2.6); the manifest commit stays the single
+    // ordered commit point
+    graft.operators.Par.seq(Seq(
+      () => cntState(base).write.mode("overwrite")
+        .parquet(s"$root/cnt/b0_0"),
+      () => priState(base).write.mode("overwrite")
+        .parquet(s"$root/pri/b0_0")))(_.apply())
     commitManifest(spark, root, 0L, Seq("cnt" -> 0L, "pri" -> 0L))
     // txn 1: cnt's v1 lands, then the process dies before pri/manifest
     cntState(o).write.mode("overwrite").parquet(s"$root/cnt/b1_1")
@@ -140,9 +146,12 @@ object MultiTable {
     */
   private[graft] def recover(spark: SparkSession, dir: String,
       root: String): Unit = {
-    val o = batchedOrders(spark, dir)
-    cntState(o).write.mode("overwrite").parquet(s"$root/cnt/b1_1")
-    priState(o).write.mode("overwrite").parquet(s"$root/pri/b1_1")
+    val o = batchedOrders(spark, dir).persist()
+    graft.operators.Par.seq(Seq(
+      () => cntState(o).write.mode("overwrite")
+        .parquet(s"$root/cnt/b1_1"),
+      () => priState(o).write.mode("overwrite")
+        .parquet(s"$root/pri/b1_1")))(_.apply())
     commitManifest(spark, root, 1L, Seq("cnt" -> 1L, "pri" -> 1L))
   }
 
@@ -186,12 +195,20 @@ object MultiTable {
     val root = runToCrash(spark, dir)
     recover(spark, dir, root)
     val (forkTxn, _) = latestManifest(spark, root).get
-    val cloneCnt = ShallowClone.clone(spark, s"$root/cnt")
-    val clonePri = ShallowClone.clone(spark, s"$root/pri")
     val retained = batchedOrders(spark, dir)
-      .filter(col("o_custkey") % 97 =!= 0)
-    ShallowClone.commitOwned(spark, cloneCnt, cntState(retained))
-    ShallowClone.commitOwned(spark, clonePri, priState(retained))
+      .filter(col("o_custkey") % 97 =!= 0).persist()
+    // the two branch rehearsals are independent — overlap them
+    val Seq(cloneCnt, clonePri) = graft.operators.Par.seq(Seq(
+      () => {
+        val c = ShallowClone.clone(spark, s"$root/cnt")
+        ShallowClone.commitOwned(spark, c, cntState(retained))
+        c
+      },
+      () => {
+        val c = ShallowClone.clone(spark, s"$root/pri")
+        ShallowClone.commitOwned(spark, c, priState(retained))
+        c
+      }))(_.apply())
     (root, forkTxn, cloneCnt, clonePri)
   }
 
@@ -211,10 +228,12 @@ object MultiTable {
     if (curTxn != forkTxn)
       return "aborted" // the source committed past the fork
     val next = forkTxn + 1L
-    spark.read.parquet(ShallowClone.headPath(spark, cloneCnt))
-      .write.mode("overwrite").parquet(s"$root/cnt/b${next}_$next")
-    spark.read.parquet(ShallowClone.headPath(spark, clonePri))
-      .write.mode("overwrite").parquet(s"$root/pri/b${next}_$next")
+    graft.operators.Par.seq(Seq(
+      () => spark.read.parquet(ShallowClone.headPath(spark, cloneCnt))
+        .write.mode("overwrite").parquet(s"$root/cnt/b${next}_$next"),
+      () => spark.read.parquet(ShallowClone.headPath(spark, clonePri))
+        .write.mode("overwrite")
+        .parquet(s"$root/pri/b${next}_$next")))(_.apply())
     if (!commitTheManifest) return "crashed_before_manifest"
     commitManifest(spark, root, next,
       Seq("cnt" -> next, "pri" -> next))
@@ -235,13 +254,15 @@ object MultiTable {
       commitTheManifest = true)
     require(outcome == "merged", s"fixture merge $outcome")
     val (mergedTxn, _) = latestManifest(spark, root).get
-    Seq("cnt", "pri").map { t =>
+    graft.operators.Par.seq(Seq("cnt", "pri")) { t =>
       val fork = spark.read.parquet(s"$root/$t/b${forkTxn}_$forkTxn")
       val merged = readTable(spark, root, t)
-      val (fr, fm) = (fork.count(),
-        fork.agg(sum(col("n_orders"))).collect()(0).getLong(0))
-      val (mr, mm) = (merged.count(),
-        merged.agg(sum(col("n_orders"))).collect()(0).getLong(0))
+      def cm(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(col("n_orders"))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val (fr, fm) = cm(fork)
+      val (mr, mm) = cm(merged)
       (t, forkTxn, mergedTxn, fr, mr, fm, mm)
     }.toDF("table_name", "fork_txn", "merged_txn", "n_rows_fork",
         "n_rows_merged", "mass_fork", "mass_merged")
