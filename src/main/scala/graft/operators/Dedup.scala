@@ -1856,11 +1856,25 @@ object Dedup {
   def sourceOverlapSketch(spark: SparkSession, dir: String,
       k: Int = 64, auditMod: Int = 5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = shingleSetBySource(docs)
-      // barrier: feeds the two-phase sketch ranking twice
+    // ONE shingle explode+distinct pass for both grains (the full
+    // corpus set and its audit-band subset): the audit membership
+    // rides the distinct as a max-flag, so the second full pass the
+    // audit relation used to pay disappears. Same two relations by
+    // construction: a (source, h) is in the audit set iff ANY doc in
+    // the band contributes it.
+    val flagged = docs
+      .select(col("source"),
+        (col("doc_id") % auditMod === 0).as("in_audit"),
+        explode(TextAnalytics.shingles(col("text"), 3)).as("g"))
+      .select(col("source"), col("in_audit"),
+        md5(col("g").cast("binary")).as("h"))
+      .groupBy(col("source"), col("h"))
+      .agg(max(when(col("in_audit"), 1L).otherwise(0L)).as("in_audit"))
+      // barrier: feeds the two-phase sketch ranking and the audit join
       .persist()
-    val shAudit = shingleSetBySource(
-      docs.filter(col("doc_id") % auditMod === 0)).persist()
+    val sh = flagged.select(col("source"), col("h"))
+    val shAudit = flagged.filter(col("in_audit") === 1L)
+      .select(col("source"), col("h"))
     overlapReport(shAudit, bottomKSketch(sh, k), k,
       auditCoverage(docs, auditMod))
   }

@@ -231,7 +231,7 @@ object ChangeFeed {
     * back to a snapshot diff at the merge boundary.
     */
   def branchMergeFeed(spark: SparkSession, dir: String): DataFrame = {
-    val (res, sourceRoot) = ShallowClone.mergedRehearsal(spark, dir)
+    val (res, sourceRoot) = ShallowClone.mergedRehearsalShared(spark, dir)
     require(res.outcome == "merged", s"fixture merge ${res.outcome}")
     feedFromRegistry(spark, sourceRoot)
   }
@@ -244,7 +244,7 @@ object ChangeFeed {
     */
   def branchMergeFeedReplay(spark: SparkSession,
       dir: String): DataFrame = {
-    val (res, sourceRoot) = ShallowClone.mergedRehearsal(spark, dir)
+    val (res, sourceRoot) = ShallowClone.mergedRehearsalShared(spark, dir)
     require(res.outcome == "merged", s"fixture merge ${res.outcome}")
     val vs = Provenance.committedVersions(spark, sourceRoot)
     val v0 = spark.read.parquet(vs.head._3)

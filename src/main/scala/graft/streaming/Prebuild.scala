@@ -116,6 +116,8 @@ object Prebuild {
             .ensureVacuumTable(spark, dir)).files.size.toLong),
       ("gated_catalog",
         () => { GatedCommit.gatedShared(spark, dir); 1L }),
+      ("merged_rehearsal",
+        () => { ShallowClone.mergedRehearsalShared(spark, dir); 1L }),
       ("join_stats",
         () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
           .count()),

@@ -297,6 +297,48 @@ object ShallowClone {
     (merge(spark, sourceRoot, cloneRoot), sourceRoot)
   }
 
+  /** [[mergedRehearsal]] as a build-once SHARED artifact: the
+    * rehearsal is a deterministic fixture and its four consumers
+    * (q492/q493/q516/q517) only READ the merged trail, so each used
+    * to pay the private copy + clone + commit + merge job chain per
+    * query. The MergeResult stats ride beside the ledger as a one-row
+    * parquet, re-read on a fresh hit.
+    */
+  private[graft] def mergedRehearsalShared(spark: SparkSession,
+      dir: String): (MergeResult, String) = {
+    import spark.implicits._
+    val fp = LedgerArtifacts.fingerprint(
+      graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars")),
+      Seq("doc_id", "n_chars"))
+    val state = LedgerArtifacts.shared(spark,
+      s"merged_rehearsal_${LedgerArtifacts.dirKey(dir)}", fp) {
+      scratch =>
+        val sourceRoot = s"$scratch/state"
+        LedgerArtifacts.copyLedger(spark,
+          Erasure.registryLedgerDrained(spark, dir), sourceRoot)
+        val cloneRoot = clone(spark, sourceRoot)
+        val head = spark.read.parquet(headPath(spark, cloneRoot))
+        commitOwned(spark, cloneRoot,
+          head.filter(col("doc_id") % 37 =!= 0))
+        val res = merge(spark, sourceRoot, cloneRoot)
+        Seq((res.forkVersion, res.nCloneDeletes, res.nCloneUpserts,
+            res.nSourceChanges, res.nConflicts, res.outcome,
+            res.mergedVersion, res.mergedRows))
+          .toDF("fork_version", "n_clone_deletes", "n_clone_upserts",
+            "n_source_changes", "n_conflicts", "outcome",
+            "merged_version", "merged_rows")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$scratch/merge_result")
+    }
+    val resRoot = new org.apache.hadoop.fs.Path(state)
+      .getParent.toString
+    val r = spark.read.parquet(s"$resRoot/merge_result").collect()(0)
+    (MergeResult(r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getString(5), r.getLong(6),
+      r.getLong(7)), state)
+  }
+
   /** q492: the merge audit — fork point, branch delta sizes, source
     * movement since the fork, conflicts, verdict, and the merged
     * version's row count. The deterministic fixture: fork at v2,
@@ -305,7 +347,7 @@ object ShallowClone {
     */
   def branchMergeAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (res, _) = mergedRehearsal(spark, dir)
+    val (res, _) = mergedRehearsalShared(spark, dir)
     Seq((res.forkVersion, res.nCloneDeletes, res.nCloneUpserts,
         res.nSourceChanges, res.nConflicts, res.outcome,
         res.mergedVersion, res.mergedRows))
@@ -319,7 +361,7 @@ object ShallowClone {
     * source directly (the oracle recomputes that form).
     */
   def branchMergeState(spark: SparkSession, dir: String): DataFrame = {
-    val (res, sourceRoot) = mergedRehearsal(spark, dir)
+    val (res, sourceRoot) = mergedRehearsalShared(spark, dir)
     require(res.outcome == "merged", s"fixture merge ${res.outcome}")
     val head = Provenance.committedVersions(spark, sourceRoot)
       .maxBy(_._1)._3
