@@ -454,6 +454,36 @@ object Sessionize {
     */
   private[graft] def stationaryFromCounts(spark: SparkSession,
       countsRaw: DataFrame, iters: Int = 10): DataFrame = {
+    import spark.implicits._
+    // The transition matrix is (event-type vocabulary)² — a DOMAIN
+    // constant (like the ANN codebooks), not corpus-scaled — so the
+    // K-round power iteration over it is driver arithmetic, not a
+    // distributed job chain: the previous shape paid 10 rounds of
+    // (join + two aggregates + eager localCheckpoint) over a ~5-row
+    // relation, ~0.5 s of pure machinery per round. A structural cap
+    // keeps the honesty guard: an unexpectedly wide vocabulary falls
+    // back to the distributed loop below, identical arithmetic.
+    val mRows = countsRaw.collect().map(r => (r.getString(0),
+      r.getString(1), r.getLong(2)))
+    if (mRows.length <= 100000) {
+      val rowSums = mRows.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+        .toMap
+      val pt = mRows.map { case (f, t, n) =>
+        (f, t, n.toDouble / rowSums(f).toDouble) }
+      val types = (mRows.map(_._1) ++ mRows.map(_._2)).distinct
+      var p: Map[String, Double] =
+        types.map(_ -> 1.0 / types.length.toDouble).toMap
+      (1 to iters).foreach { _ =>
+        val pin = pt.groupBy(_._2).view.mapValues(
+          _.map { case (f, _, w) => p(f) * w }.sum).toMap
+        val z = pin.values.sum
+        p = types.map(t => t -> pin.getOrElse(t, 0.0) / z).toMap
+      }
+      return types.map(t =>
+          (t, rowSums.getOrElse(t, 0L), p(t)))
+        .toSeq.toDF("event_type", "n_out", "stationary_p")
+        .orderBy(col("event_type"))
+    }
     val counts = countsRaw.persist()
     val rowSums = counts.groupBy(col("from_type"))
       .agg(sum(col("n")).as("rs"))
