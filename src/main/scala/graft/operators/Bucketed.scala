@@ -36,8 +36,24 @@ object Bucketed {
     * filesystem first (Hadoop FS API, so the same code works on a
     * cluster store, not just local disk).
     */
+  /** Session memo: the bucketed mart is a stored artifact like any
+    * other — rebuild once per (warehouse, corpus fingerprint), then
+    * reads are free. The mart's whole point is that the bucketing
+    * shuffle is paid ONCE upstream, not per join (guide §2.4).
+    */
+  private val builtFor =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
   def writeBucketed(spark: SparkSession, dir: String,
       buckets: Int = 8): Unit = {
+    val fp = graft.streaming.LedgerArtifacts.fingerprint(
+      Tables.orders(spark, dir).select(col("o_orderkey")),
+      Seq("o_orderkey"))
+    val key = s"${spark.conf.get("spark.sql.warehouse.dir")}|$dir|" +
+      s"$buckets|${fp._1}|${fp._2}"
+    if (builtFor.containsKey(key) &&
+        spark.catalog.tableExists("orders_bkt") &&
+        spark.catalog.tableExists("lineitem_bkt")) return
     Seq("orders_bkt", "lineitem_bkt").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
@@ -65,6 +81,7 @@ object Bucketed {
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("lineitem_bkt")
+    builtFor.put(key, true)
   }
 
   /** Per-order revenue via the bucketed tables: join + aggregation both

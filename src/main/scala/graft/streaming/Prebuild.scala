@@ -118,6 +118,10 @@ object Prebuild {
         () => { GatedCommit.gatedShared(spark, dir); 1L }),
       ("merged_rehearsal",
         () => { ShallowClone.mergedRehearsalShared(spark, dir); 1L }),
+      ("funnel_stages",
+        () => StreamingOps.streamingFunnel(spark, dir).count()),
+      ("bucketed_mart",
+        () => { graft.operators.Bucketed.writeBucketed(spark, dir); 2L }),
       ("join_stats",
         () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
           .count()),
