@@ -122,6 +122,14 @@ object Prebuild {
         () => StreamingOps.streamingFunnel(spark, dir).count()),
       ("bucketed_mart",
         () => { graft.operators.Bucketed.writeBucketed(spark, dir); 2L }),
+      ("transition_counts",
+        () => StreamingOps.streamingTransitions(spark, dir).count()),
+      ("rfm_state",
+        () => StreamingOps.streamingRfm(spark, dir).count()),
+      ("daily_counts",
+        () => StreamingOps.streamingCusum(spark, dir).count()),
+      ("user_days",
+        () => StreamingOps.streamingGrowth(spark, dir).count()),
       ("join_stats",
         () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
           .count()),
