@@ -39,7 +39,23 @@ object AnonymityState {
   /** Drain the 3-batch customer stream into the QI cell state and
     * return the final cells.
     */
-  private def drainedCells(spark: SparkSession, dir: String): DataFrame = {
+  /** The maintained cell state is ONE fold serving both facets (see
+    * the object doc) — materialize the drained cells once per corpus
+    * fingerprint so q455 and q456 stop each paying the same 3-batch
+    * drain.
+    */
+  private def drainedCells(spark: SparkSession,
+      dir: String): DataFrame = {
+    val fp = LedgerArtifacts.fingerprint(
+      Anonymity.customers(spark, dir).select(col("c_custkey")),
+      Seq("c_custkey"))
+    LedgerArtifacts.sharedTable(spark,
+      s"kanon_cells_${LedgerArtifacts.dirKey(dir)}",
+      s"${fp._1}_${fp._2}")(drainedCellsLive(spark, dir))
+  }
+
+  private def drainedCellsLive(spark: SparkSession,
+      dir: String): DataFrame = {
     val cust = Anonymity.customers(spark, dir)
       .withColumnRenamed("c_custkey", "doc_id")
     val streamDir = StreamingOps.idRangeSplitSource(spark, cust, 3)

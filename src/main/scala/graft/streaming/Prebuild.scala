@@ -130,6 +130,8 @@ object Prebuild {
         () => StreamingOps.streamingCusum(spark, dir).count()),
       ("user_days",
         () => StreamingOps.streamingGrowth(spark, dir).count()),
+      ("kanon_cells",
+        () => AnonymityState.streamingKanonLadder(spark, dir).count()),
       ("join_stats",
         () => graft.operators.JoinPlanner.edgeStatsArtifact(spark, dir)
           .count()),
